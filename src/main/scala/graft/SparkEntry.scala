@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Corpus
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` exposes one entry per implemented operator; each runs on the
+  * parquet tables under the given sf directory. `oracleSql` carries the
+  * DuckDB-equivalent SQL for the driver's correctness gate; operators whose
+  * semantics aren't SQL-expressible (model fitting) get rows-only checks
+  * and are golden-tested in ScalaTest instead. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Flagship: a 5-pass ARTM fit over the documents corpus, returning the
+    * per-pass perplexity trajectory. Smoke-checked rows>0 at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = Corpus.fromDocumentsTable(docs(spark, dir)).cache()
+    val dict = DictionaryOps.gather(corpus)
+    val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
+    val res = Fit.fitOffline(corpus, pwt0,
+      Fit.Config(numTopics = 8, numCollectionPasses = 5,
+        estep = EStepConfig(numDocumentPasses = 1)))
+    import spark.implicits._
+    res.scores.map(s => (s.pass, s.perplexity, s.sparsityTheta, s.itemsProcessed))
+      .toDF("pass", "perplexity", "sparsity_theta", "items_processed")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 Dictionary::Gather — tf/df/value over the documents corpus
+    "dict_gather" -> ((s, dir) => {
+      val d = DictionaryOps.gather(Corpus.fromDocumentsTable(docs(s, dir)))
+      d.select(col("token"),
+        round(col("value").cast("double"), 6).as("value"),
+        col("tf").cast("double").as("tf"),
+        col("df").cast("double").as("df"))
+        .orderBy(col("token"))
+    }),
+    // §2.3 Dictionary::Filter — df/tf bounds
+    "dict_filter" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      val d = DictionaryOps.gather(corpus)
+      val n = DictionaryOps.numItems(corpus)
+      DictionaryOps.filter(d, n, DictionaryOps.FilterArgs(
+          minDf = Some(5.0f), maxDfRate = Some(0.8f), minTf = Some(10.0f)))
+        .select(col("token"), col("tf").cast("double").as("tf"),
+          col("df").cast("double").as("df"))
+        .orderBy(col("token"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "dict_gather" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), grouped AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |)
+        |SELECT token, round(tf / sum(tf) OVER (), 6) AS value, tf, df
+        |FROM grouped ORDER BY token""".stripMargin,
+    "dict_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), grouped AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |), n AS (SELECT count(*) AS num_docs FROM documents)
+        |SELECT token, tf, df FROM grouped, n
+        |WHERE df >= 5.0 AND df < 0.8 * num_docs AND tf >= 10.0
+        |ORDER BY token""".stripMargin
+  )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Float-vector aggregation primitives. The reference merges per-thread
+  * n_wt partials with per-row spinlocks (dense_phi_matrix.h:41-51); in
+  * Spark the associative merge is the shuffle itself: map-side partial
+  * aggregation (the kernel pre-combines per partition) + these Aggregators
+  * as the reduce. Arithmetic stays float32 to mirror the reference.
+  */
+object VectorOps {
+
+  private[graft] val floatArrayEncoder: Encoder[Array[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+
+  /** Elementwise sum of array<float> columns. Null-safe: null input rows
+    * are skipped; empty group yields null. */
+  private object VectorSumAgg extends Aggregator[Array[Float], Array[Float], Array[Float]] {
+    def zero: Array[Float] = Array.empty[Float]
+    def reduce(b: Array[Float], a: Array[Float]): Array[Float] = {
+      if (a == null) return b
+      if (b.length == 0) return a.clone()
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+    def merge(x: Array[Float], y: Array[Float]): Array[Float] =
+      if (x.length == 0) y else if (y.length == 0) x else reduce(x, y)
+    def finish(b: Array[Float]): Array[Float] = if (b.length == 0) null else b
+    def bufferEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
+    def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
+  }
+
+  /** Same but each input row is pre-scaled: sum_i w_i * vec_i (MergeModel's
+    * weighted union, reference master_component.cc:937-1013). */
+  private object WeightedVectorSumAgg
+      extends Aggregator[(Array[Float], Float), Array[Float], Array[Float]] {
+    def zero: Array[Float] = Array.empty[Float]
+    def reduce(b: Array[Float], a: (Array[Float], Float)): Array[Float] = {
+      val (v, w) = a
+      if (v == null) return b
+      val out = if (b.length == 0) new Array[Float](v.length) else b
+      var i = 0
+      while (i < v.length) { out(i) += v(i) * w; i += 1 }
+      out
+    }
+    def merge(x: Array[Float], y: Array[Float]): Array[Float] = {
+      if (x.length == 0) return y
+      if (y.length == 0) return x
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Float]): Array[Float] = if (b.length == 0) null else b
+    def bufferEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
+    def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
+  }
+
+  /** vector_sum(col): groupBy-able elementwise float-vector sum. */
+  def vectorSum(c: Column): Column = {
+    val fn = udaf(VectorSumAgg)
+    fn(c)
+  }
+
+  /** weighted_vector_sum(vec, w): Σ w·vec. */
+  def weightedVectorSum(vec: Column, w: Column): Column = {
+    val fn = udaf(WeightedVectorSumAgg)
+    fn(vec, w)
+  }
+
+  // ---- local (kernel-side) primitives -------------------------------------
+
+  /** dot of a phi row slice against theta, float32. */
+  def dotSlice(flat: Array[Float], off: Int, theta: Array[Float]): Float = {
+    var s = 0.0f
+    var k = 0
+    while (k < theta.length) { s += flat(off + k) * theta(k); k += 1 }
+    s
+  }
+
+  def axpySlice(alpha: Float, flat: Array[Float], off: Int, out: Array[Float]): Unit = {
+    var k = 0
+    while (k < out.length) { out(k) += alpha * flat(off + k); k += 1 }
+  }
+}

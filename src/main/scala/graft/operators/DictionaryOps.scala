@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Doc
+
+/** Dictionary operators — relational transforms on the vocabulary table.
+  * Reference: src/artm/core/dictionary_operations.cc.
+  *
+  * A dictionary is a DataFrame[class_id, token, value, tf, df] (+ the item
+  * count carried alongside). At 100 TB the gather is one explode +
+  * map-side-combined groupBy over (class_id, token) — the canonical
+  * word-count shape, no skew concerns beyond stop-words (AQE handles the
+  * reduce-side; tf/df are associative). */
+object DictionaryOps {
+
+  /** Dictionary::Gather — reference dictionary_operations.cc:254-360.
+    * Per (class_id, token): tf = Σ weight over all occurrences, df =
+    * #distinct docs containing the token (regardless of weight), value =
+    * tf / Σ_class tf (class-conditional normalization). */
+  def gather(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exploded = docs.select($"doc_id", explode($"tokens").as("t"))
+      .select($"doc_id", $"t.class_id", $"t.token", $"t.weight")
+    val grouped = exploded
+      .groupBy($"class_id", $"token")
+      .agg(
+        sum($"weight").cast("float").as("tf"),
+        countDistinct($"doc_id").cast("float").as("df"))
+    grouped
+      .withColumn("value",
+        ($"tf" / sum($"tf").over(Window.partitionBy($"class_id"))).cast("float"))
+      .select($"class_id", $"token", $"value", $"tf", $"df")
+  }
+
+  /** Number of items in the collection (the dictionary's
+    * num_items_in_collection companion scalar). */
+  def numItems(docs: Dataset[Doc]): Long = docs.count()
+
+  case class FilterArgs(
+      classId: Option[String] = None,
+      minDf: Option[Float] = None, maxDf: Option[Float] = None,
+      minDfRate: Option[Float] = None, maxDfRate: Option[Float] = None,
+      minTf: Option[Float] = None, maxTf: Option[Float] = None,
+      maxDictionarySize: Option[Int] = None,
+      recalculateValue: Boolean = false)
+
+  /** Dictionary::Filter — reference dictionary_operations.cc:483-584.
+    * Faithful semantics: bounds apply only to entries of `classId` (others
+    * pass untouched); min bounds are `<` drops, max bounds are `>=` drops;
+    * `maxDictionarySize` finds the (k+1)-th largest df among survivors and
+    * drops every entry with df <= that threshold (so ties at the boundary
+    * are dropped, possibly yielding < k tokens); `recalculateValue`
+    * renormalizes tf over the survivors of ALL classes (unlike gather's
+    * per-class normalization — this mirrors the reference exactly). */
+  def filter(dict: DataFrame, numItemsInCollection: Long, args: FilterArgs): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val size = numItemsInCollection.toFloat
+
+    var cond = lit(true)
+    args.minDf.foreach(v => cond = cond && $"df" >= v)
+    args.maxDf.foreach(v => cond = cond && $"df" < v)
+    args.minDfRate.foreach(v => cond = cond && $"df" >= v * size)
+    args.maxDfRate.foreach(v => cond = cond && $"df" < v * size)
+    args.minTf.foreach(v => cond = cond && $"tf" >= v)
+    args.maxTf.foreach(v => cond = cond && $"tf" < v)
+    val applies = args.classId.map(c => $"class_id" === c).getOrElse(lit(true))
+    var survivors = dict.filter(!applies || cond)
+
+    args.maxDictionarySize.foreach { k =>
+      val n = survivors.count()
+      if (k < n) {
+        // (k+1)-th largest df among survivors = the reference's
+        // df_values[max_dictionary_size] after a descending sort
+        val threshold = survivors.select($"df").orderBy($"df".desc)
+          .limit(k + 1).agg(min($"df")).as[Float].head()
+        survivors = survivors.filter($"df" > threshold)
+      }
+    }
+
+    if (args.recalculateValue) {
+      val norm = sum($"tf").over(Window.partitionBy())
+      survivors
+        .withColumn("value",
+          when(norm > 0.0, ($"tf" / norm).cast("float")).otherwise(lit(0.0f)))
+        .select($"class_id", $"token", $"value", $"tf", $"df")
+    } else survivors.select($"class_id", $"token", $"value", $"tf", $"df")
+  }
+
+  /** Restrict a cooc table to pairs whose both tokens survive in `dict`
+    * (the reference's index remap, :566-581 — indices are an encoding
+    * detail here, tokens are the keys). */
+  def filterCooc(cooc: DataFrame, dict: DataFrame): DataFrame = {
+    val d = dict.select("class_id", "token")
+    cooc
+      .join(d.withColumnRenamed("token", "token_a"), Seq("class_id", "token_a"), "left_semi")
+      .join(d.withColumnRenamed("token", "token_b"), Seq("class_id", "token_b"), "left_semi")
+  }
+
+  /** Dictionary::Create from explicit arrays — dictionary_operations.cc:31-51. */
+  def create(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[graft.core.DictEntry]): DataFrame = {
+    import spark.implicits._
+    entries.toDF()
+  }
+
+  /** CountTopicCoherence — reference core/dictionary.cc:147-193: for a
+    * token set K (all same class), coherence = 2/(|K|(|K|-1)) ·
+    * Σ_{i<j} cooc_value(w_i, w_j), missing pairs contribute 0. Returns the
+    * coherence for each (class, group) in `tokenGroups`
+    * [class_id, group, token]. */
+  def topicCoherence(tokenGroups: DataFrame, cooc: DataFrame, valueCol: String = "cooc_tf"): DataFrame = {
+    val a = tokenGroups.select(col("class_id"), col("group"), col("token").as("token_a"))
+    val b = tokenGroups.select(col("class_id"), col("group"), col("token").as("token_b"))
+    val pairs = a.join(b, Seq("class_id", "group")).filter(col("token_a") =!= col("token_b"))
+    val k = tokenGroups.groupBy("class_id", "group").agg(count("*").cast("double").as("k"))
+    pairs
+      .join(cooc, Seq("class_id", "token_a", "token_b"), "left")
+      .groupBy("class_id", "group")
+      .agg(sum(coalesce(col(valueCol), lit(0.0))).as("pair_sum"))
+      .join(k, Seq("class_id", "group"))
+      .select(col("class_id"), col("group"),
+        when(col("k") > 1, col("pair_sum") / (col("k") * (col("k") - 1.0)))
+          .otherwise(lit(0.0)).as("coherence"))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.Doc
+
+/** A phi-side regularizer: produces an r_wt increment DataFrame
+  * [class_id, token, weights] from the current (p_wt, n_wt). The final
+  * r_wt is τ-weighted sum of all increments — reference
+  * core/master_component.cc:1015-1045 RegularizeModel. */
+trait PhiRegularizer {
+  def name: String
+  def apply(pwt: DataFrame, nwt: DataFrame, ctx: RegContext): DataFrame
+}
+
+/** Context handed to phi regularizers (dictionary, topic metadata). */
+case class RegContext(
+    spark: SparkSession,
+    numTopics: Int,
+    topicNames: Seq[String],
+    dictionary: Option[DataFrame] = None,
+    cooc: Option[DataFrame] = None)
+
+/** Per-pass cumulative score values (theta-side scores merged across the
+  * collection — reference core/score_manager.cc). */
+case class PassScores(
+    pass: Int,
+    perplexity: Double, perplexityRaw: Double, perplexityNormalizer: Double,
+    zeroWords: Long,
+    sparsityTheta: Double,
+    itemsProcessed: Long, tokenWeightProcessed: Double)
+
+/** Result of a fit: final pwt + nwt + per-pass score history (ScoreTracker,
+  * reference core/score_manager.h:24-61). */
+case class FitResult(
+    pwt: DataFrame,
+    nwt: DataFrame,
+    theta: DataFrame,
+    scores: Seq[PassScores])
+
+/** EM driver loops — reference core/master_component.cc:1350-1439
+  * (ArtmExecutor offline/online algorithms).
+  *
+  * Per pass: broadcast pwt -> E-step mapPartitions -> persist -> n_wt
+  * groupBy-sum -> regularize (DataFrame transforms) -> normalize -> next
+  * pwt. Lineage is truncated every pass because pwt is re-collected for
+  * broadcast (a deliberate local-checkpoint: EM is iterative, carrying N
+  * passes of lineage would blow the plan). */
+object Fit {
+
+  case class Config(
+      numTopics: Int,
+      numCollectionPasses: Int = 1,
+      estep: EStepConfig = EStepConfig(),
+      phiRegularizers: Seq[(PhiRegularizer, Float)] = Nil,
+      dictionary: Option[DataFrame] = None,
+      cooc: Option[DataFrame] = None,
+      topicNames: Seq[String] = Nil) {
+    def resolvedTopicNames: Seq[String] =
+      if (topicNames.nonEmpty) topicNames else (0 until numTopics).map(i => s"topic_$i")
+  }
+
+  /** fit_offline — reference master_component.cc:1350-1362: per pass,
+    * ProcessBatches -> Regularize -> Normalize.
+    *
+    * Lineage is cut every pass: the new pwt is collected to the driver
+    * (needed for the next broadcast anyway) and re-created as a local
+    * relation, so pass N's plan never references pass N-1's E-step. */
+  def fitOffline(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult = {
+    val spark = docs.sparkSession
+    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics)
+    var pwt: DataFrame = PhiOps.phiFromLocal(spark, phiLocal)
+    var nwt: DataFrame = null
+    var theta: DataFrame = null
+    var out: Dataset[EStepOut] = null
+    val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+
+    var pass = 0
+    while (pass < cfg.numCollectionPasses) {
+      val bPhi = spark.sparkContext.broadcast(phiLocal)
+      val prevOut = out
+      out = EStep.run(docs, bPhi, cfg.estep).persist(StorageLevel.MEMORY_AND_DISK)
+
+      nwt = EStep.nwt(out)
+      scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
+      theta = EStep.theta(out)
+
+      val rwt = regularize(pwt, nwt, cfg)
+      val newPwt = PhiOps.normalizeModel(nwt, rwt)
+
+      pass += 1
+      if (pass < cfg.numCollectionPasses) {
+        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics) // consumes persisted `out`
+        pwt = PhiOps.phiFromLocal(spark, phiLocal)
+        out.unpersist(false)
+      } else {
+        pwt = newPwt // last pass: lazy over the still-persisted `out`
+      }
+      if (prevOut != null) prevOut.unpersist(false)
+      bPhi.unpersist(false)
+    }
+    FitResult(pwt, nwt, theta, scores.toSeq)
+  }
+
+  /** fit_online — reference master_component.cc:1364-1385: for each chunk
+    * of documents, E-step on the chunk -> nwt_hat; then
+    * nwt = decay_i·nwt + apply_i·nwt_hat -> Regularize -> Normalize.
+    * Weight schedules follow python/artm/artm_model.py:610-680:
+    * rho_i = (tau0 + i)^(-kappa), apply = rho, decay = 1 - rho. */
+  def fitOnline(chunks: Seq[Dataset[Doc]], initialPwt: DataFrame, cfg: Config,
+      tau0: Double = 1024.0, kappa: Double = 0.7,
+      asyncDepth: Int = 0): FitResult = {
+    val spark = chunks.head.sparkSession
+    var pwt = initialPwt
+    var nwt: DataFrame = null
+    var theta: DataFrame = null
+    val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+
+    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics)
+    pwt = PhiOps.phiFromLocal(spark, phiLocal)
+
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val rho = math.pow(tau0 + i + 1, -kappa).toFloat
+      val bPhi = spark.sparkContext.broadcast(phiLocal)
+      val out = EStep.run(chunk, bPhi, cfg.estep).persist(StorageLevel.MEMORY_AND_DISK)
+      val nwtHat = EStep.nwt(out)
+      scores += cumulativeScores(i, out, cfg.numTopics)
+      theta = EStep.theta(out)
+
+      val merged =
+        if (nwt == null) PhiOps.mergeModels(Seq((nwtHat, rho)))
+        else PhiOps.mergeModels(Seq((nwt, 1.0f - rho), (nwtHat, rho)))
+      // materialize merged nwt to truncate lineage across chunks
+      val mergedP = merged.persist(StorageLevel.MEMORY_AND_DISK)
+      mergedP.count()
+      if (nwt != null) nwt.unpersist()
+      nwt = mergedP
+
+      val rwt = regularize(pwt, nwt, cfg)
+      val newPwt = PhiOps.normalizeModel(nwt, rwt)
+      if (i < chunks.length - 1) {
+        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics)
+        pwt = PhiOps.phiFromLocal(spark, phiLocal)
+        out.unpersist(false)
+      } else {
+        pwt = newPwt
+      }
+      bPhi.unpersist(false)
+    }
+    FitResult(pwt, nwt, theta, scores.toSeq)
+  }
+
+  /** transform (inference) — reference master_component.cc:1145-1212: the
+    * E-step without the n_wt update; returns theta. */
+  def transform(docs: Dataset[Doc], pwt: DataFrame, numTopics: Int,
+      estep: EStepConfig = EStepConfig()): DataFrame = {
+    val spark = docs.sparkSession
+    val bPhi = spark.sparkContext.broadcast(PhiOps.collectPhi(pwt, numTopics))
+    EStep.theta(EStep.run(docs, bPhi, estep.copy(computeNwt = false)))
+  }
+
+  /** transform with predict_class_id — p(c|d) = Σ_t φ_ct·θ_td for every
+    * token c of the label class (reference processor_helpers.cc:27-42).
+    * Pure relational: explode label phi + join theta — a broadcast
+    * matmul. Returns [doc_id, title, label_token, p]. */
+  def transformPredict(docs: Dataset[Doc], pwt: DataFrame, numTopics: Int,
+      predictClassId: String, estep: EStepConfig = EStepConfig()): DataFrame = {
+    val theta = transform(docs, pwt, numTopics, estep)
+    val labels = pwt.filter(col("class_id") === predictClassId)
+      .select(col("token").as("label_token"), col("weights").as("phi_c"))
+    theta.crossJoin(broadcast(labels))
+      .select(col("doc_id"), col("title"), col("label_token"),
+        aggregate(zip_with(col("weights"), col("phi_c"), (t, p) => t * p),
+          lit(0.0), (acc, x) => acc + x).as("p"))
+  }
+
+  /** r_wt = Σ_i τ_i · R_i(p_wt, n_wt) — reference RegularizeModel. */
+  private def regularize(pwt: DataFrame, nwt: DataFrame, cfg: Config): Option[DataFrame] = {
+    if (cfg.phiRegularizers.isEmpty) return None
+    val ctx = RegContext(pwt.sparkSession, cfg.numTopics, cfg.resolvedTopicNames,
+      cfg.dictionary, cfg.cooc)
+    val increments = cfg.phiRegularizers.map { case (reg, tau) =>
+      (reg(pwt, nwt, ctx), tau)
+    }
+    Some(PhiOps.mergeModels(increments))
+  }
+
+  /** Merge the per-document cumulative-score partials of one pass.
+    * perplexity = exp(-raw/normalizer) (score/perplexity.cc:290-350);
+    * sparsity_theta = zero fraction over all theta entries. */
+  def cumulativeScores(pass: Int, out: Dataset[EStepOut], numTopics: Int): PassScores = {
+    val spark = out.sparkSession
+    import spark.implicits._
+    val row = out.filter($"kind" === 1)
+      .agg(
+        sum($"raw").as("raw"),
+        sum($"normalizer").as("normalizer"),
+        sum($"zero_words").as("zero_words"),
+        sum($"theta_zeros").as("theta_zeros"),
+        count(lit(1)).as("items"),
+        sum($"doc_len").as("doc_len"))
+      .head()
+    val raw = row.getDouble(0)
+    val norm = row.getDouble(1)
+    val zw = row.getLong(2)
+    val tz = row.getLong(3)
+    val items = row.getLong(4)
+    val perp = if (norm > 0) math.exp(-raw / norm) else 0.0
+    val spTheta = if (items > 0) tz.toDouble / (items.toDouble * numTopics) else 0.0
+    PassScores(pass, perp, raw, norm, zw, spTheta, items, norm)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.{Doc, TokenEntry, Txn}
+import graft.functions.Rng
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Vowpal-Wabbit corpus reader — reference
+  * src/artm/core/collection_parser.cc:483-806.
+  *
+  * One document per line: `title token[:weight]… [|class token…]… [|| …]`;
+  * `|name` switches modality, `||` closes a multi-token transaction,
+  * `||name` switches transaction typename (single-token transactions).
+  *
+  * The reference reads the file with a mutex-guarded thread pool because
+  * its batch files must be assembled in memory; lines are independent, so
+  * here the parse is a narrow `map` over `spark.read.text` — embarrassingly
+  * parallel, no locks, scales to any file count/size Spark can scan. */
+object VwReader {
+
+  val DefaultTransaction = "@default_transaction"
+
+  def read(spark: SparkSession, path: String): Dataset[Doc] = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    // stable doc ids = line order via zipWithIndex (deterministic per file)
+    val withId = lines.rdd.zipWithIndex()
+    spark.createDataset(withId.map { case (line, idx) => parseLine(line, idx) })
+      .filter(_ != null)
+  }
+
+  /** Parse one VW line into a Doc; doc_id = line number. Returns null for
+    * blank/too-short lines (the reference raises; we skip and let callers
+    * validate counts). */
+  def parseLine(line: String, docId: Long): Doc = {
+    val strs = line.split("[ \t\r]")
+    if (strs.length <= 1) return null
+    val title = strs(0)
+
+    val toks = new ArrayBuffer[TokenEntry]()
+    val txns = new ArrayBuffer[Txn]()
+    var currentTt = DefaultTransaction
+    var currentClass = Rng.DefaultClass
+
+    // pending tokens of the (possibly multi-token) open transaction
+    val pTok = new ArrayBuffer[TokenEntry]()
+
+    def recordTransaction(entries: Seq[TokenEntry], tt: String): Unit = {
+      if (entries.nonEmpty) {
+        txns += Txn(tt, toks.length, entries.length)
+        toks ++= entries
+      }
+    }
+    def dumpPendingAsSingles(): Unit = {
+      pTok.foreach(t => recordTransaction(Seq(t), currentTt))
+      pTok.clear()
+    }
+
+    var i = 1
+    while (i < strs.length) {
+      val elem = strs(i)
+      if (elem.nonEmpty) {
+        if (elem.charAt(0) == '|') {
+          if (elem.length > 1 && elem.charAt(1) == '|') {
+            if (elem.length == 2) {
+              // `||` — close the open multi-token transaction
+              if (pTok.nonEmpty) recordTransaction(pTok.toSeq, currentTt)
+            } else {
+              // `||name` — dump pending as single-token txns, switch typename
+              dumpPendingAsSingles()
+              currentTt = elem.substring(2)
+            }
+            pTok.clear()
+            currentClass = Rng.DefaultClass
+          } else {
+            currentClass = if (elem.length == 1) Rng.DefaultClass else elem.substring(1)
+          }
+        } else {
+          val ci = elem.indexOf(':')
+          if (ci == 0 || ci == elem.length - 1) {
+            // reference raises on `:x` / `x:`; skip defensively
+          } else if (ci > 0) {
+            val w = try elem.substring(ci + 1).toFloat catch { case _: NumberFormatException => Float.NaN }
+            if (!w.isNaN) pTok += TokenEntry(currentClass, elem.substring(0, ci), w)
+          } else {
+            pTok += TokenEntry(currentClass, elem, 1.0f)
+          }
+        }
+      }
+      i += 1
+    }
+    dumpPendingAsSingles()
+    Doc(docId, title, toks.toArray, txns.toArray)
+  }
+}
