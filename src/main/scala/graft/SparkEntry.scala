@@ -32,8 +32,49 @@ object SparkEntry {
       .toDF("pass", "perplexity", "sparsity_theta", "items_processed")
   }
 
+  /** Shared small fit used by the model-dependent (rows-only) queries:
+    * 8 topics, 3 passes over the documents corpus. */
+  private def smallFit(s: SparkSession, dir: String,
+      regs: Seq[(PhiRegularizer, Float)] = Nil): FitResult = {
+    val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+    val dict = DictionaryOps.gather(corpus)
+    val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
+    Fit.fitOffline(corpus, pwt0, Fit.Config(
+      numTopics = 8, numCollectionPasses = 3,
+      estep = EStepConfig(numDocumentPasses = 2),
+      phiRegularizers = regs, dictionary = Some(dict)))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 fit_offline + §2.6 cumulative scores (rows-only; golden-tested
+    // against the reference trajectory in SyntheticGoldenSpec)
+    "artm_fit_offline" -> ((s, dir) => {
+      import s.implicits._
+      smallFit(s, dir).scores
+        .map(x => (x.pass, x.perplexity, x.sparsityTheta, x.itemsProcessed))
+        .toDF("pass", "perplexity", "sparsity_theta", "items_processed")
+    }),
+    // §2.5 SmoothSparsePhi + DecorrelatorPhi regularized fit (rows-only)
+    "artm_fit_regularized" -> ((s, dir) => {
+      import s.implicits._
+      val res = smallFit(s, dir, Seq(
+        (graft.regularizers.SmoothSparsePhi(), -0.5f),
+        (graft.regularizers.DecorrelatorPhi(), 100.0f)))
+      res.scores.map(x => (x.pass, x.perplexity)).toDF("pass", "perplexity")
+    }),
+    // §2.6 TopTokens + SparsityPhi over the fitted model (rows-only)
+    "artm_top_tokens" -> ((s, dir) => {
+      val res = smallFit(s, dir)
+      graft.scores.Scores.topTokens(res.pwt, 5)
+    }),
+    // §2.4 transform (inference on the fitted model; rows-only)
+    "artm_transform" -> ((s, dir) => {
+      val res = smallFit(s, dir)
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      Fit.transform(corpus, res.pwt, numTopics = 8)
+        .select(col("doc_id"), col("title"))
+    }),
     // §2.3 Dictionary::Gather — tf/df/value over the documents corpus
     "dict_gather" -> ((s, dir) => {
       val d = DictionaryOps.gather(Corpus.fromDocumentsTable(docs(s, dir)))
