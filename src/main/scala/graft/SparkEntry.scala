@@ -84,6 +84,44 @@ object SparkEntry {
         col("df").cast("double").as("df"))
         .orderBy(col("token"))
     }),
+    // §2.7 windowed co-occurrence gather
+    "cooc_window" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
+      Cooc.gather(corpus, windowWidth = 3)
+        .select(col("token_a"), col("token_b"),
+          col("cooc_tf").cast("double").as("cooc_tf"),
+          col("cooc_df").cast("double").as("cooc_df"))
+        .orderBy(col("token_a"), col("token_b"))
+    }),
+    // §2.7 PPMI over the symmetrized cooc table (tf mode)
+    "cooc_ppmi" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
+      val sym = Cooc.symmetrize(Cooc.gather(corpus, windowWidth = 3))
+      Cooc.ppmi(sym, "tf")
+        .select(col("token_a"), col("token_b"), round(col("ppmi"), 6).as("ppmi"))
+        .orderBy(col("token_a"), col("token_b"))
+    }),
+    // §2.4 hARTM two-level hierarchy: Psi row count = parent topics (rows-only)
+    "artm_hartm_psi" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      val dict = DictionaryOps.gather(corpus)
+      val levels = Seq(
+        Fit.Config(numTopics = 4, numCollectionPasses = 2, estep = EStepConfig(numDocumentPasses = 2)),
+        Fit.Config(numTopics = 8, numCollectionPasses = 2, estep = EStepConfig(numDocumentPasses = 2)))
+      Hartm.fit(corpus, dict, levels, parentWeight = 2.0f, seed = 13)(1).psi
+        .select(col("parent_topic"))
+    }),
+    // §2.4 ptdw E-step variant (rows-only; per-position topic rows)
+    "artm_ptdw" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
+        .filter(col("doc_id") < 20)
+      val dict = DictionaryOps.gather(corpus)
+      val pwt0 = PhiOps.initializeModel(dict, 8, seed = 21)
+      val bPhi = s.sparkContext.broadcast(PhiOps.collectPhi(pwt0, 8))
+      EStep.ptdw(EStep.run(corpus, bPhi,
+        EStepConfig(numDocumentPasses = 2, emitPtdw = true, computeNwt = false)))
+        .select(col("doc_id"), col("position"), col("token"))
+    }),
     // §2.3 Dictionary::Filter — df/tf bounds
     "dict_filter" -> ((s, dir) => {
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
@@ -100,6 +138,52 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "cooc_window" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+        |         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents WHERE trim(text) <> ''
+        |), pairs AS (
+        |  SELECT a.doc_id,
+        |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+        |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+        |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |)
+        |SELECT token_a, token_b, CAST(sum(tf) AS DOUBLE) AS cooc_tf,
+        |       CAST(count(DISTINCT doc_id) AS DOUBLE) AS cooc_df
+        |FROM pairs GROUP BY token_a, token_b ORDER BY token_a, token_b""".stripMargin,
+    "cooc_ppmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+        |         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents WHERE trim(text) <> ''
+        |), pairs AS (
+        |  SELECT a.doc_id,
+        |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+        |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+        |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |), cooc AS (
+        |  SELECT token_a, token_b, sum(tf) AS cooc_tf
+        |  FROM pairs GROUP BY token_a, token_b
+        |), sym AS (
+        |  SELECT token_a, token_b, cooc_tf FROM cooc
+        |  UNION ALL
+        |  SELECT token_b, token_a, cooc_tf FROM cooc WHERE token_a <> token_b
+        |), marg AS (
+        |  SELECT token_a, sum(cooc_tf) AS n_u FROM sym GROUP BY token_a
+        |), tot AS (SELECT sum(cooc_tf) AS n FROM sym)
+        |SELECT s.token_a, s.token_b,
+        |       round(ln((tot.n / ma.n_u) / (mb.n_u / s.cooc_tf)), 6) AS ppmi
+        |FROM sym s, tot, marg ma, marg mb
+        |WHERE ma.token_a = s.token_a AND mb.token_a = s.token_b
+        |  AND ln((tot.n / ma.n_u) / (mb.n_u / s.cooc_tf)) > 0
+        |ORDER BY s.token_a, s.token_b""".stripMargin,
     "dict_gather" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.core.Doc
 import graft.functions.{Rng, VectorOps}
+import graft.regularizers.PtdwAgent
 
 /** Per-document theta regularizer agent — the Spark mirror of the
   * reference's RegularizeThetaAgent (regularizer_interface.h:27-57): called
@@ -16,40 +17,50 @@ trait ThetaAgent extends Serializable {
       nTd: Array[Float], rTd: Array[Float]): Unit
 }
 
-/** ProcessBatches configuration — reference messages.proto ProcessBatchesArgs. */
+/** ProcessBatches configuration — reference messages.proto
+  * ProcessBatchesArgs. `docNwtWeightByTitle` is the per-pseudo-batch
+  * weight used by hARTM (reference batch_weight,
+  * master_component.cc:1627). */
 case class EStepConfig(
     numDocumentPasses: Int = 10,                  // messages.proto:664 default
     classWeights: Map[String, Float] = Map.empty, // empty = every class weight 1
+    transactionWeights: Map[String, Float] = Map.empty, // empty = no tt weighting
     batchWeight: Float = 1.0f,
+    docNwtWeightByTitle: Map[String, Float] = Map.empty,
     useRandomTheta: Boolean = false,              // messages.proto:675 default
     thetaSeed: Int = 0,
     thetaAgents: Seq[ThetaAgent] = Nil,
+    ptdwAgents: Seq[PtdwAgent] = Nil,
+    emitPtdw: Boolean = false,
     computeNwt: Boolean = true,
     /** p(c|d) prediction over this label class (transform predict mode) */
-    predictClassId: Option[String] = None)
+    predictClassId: Option[String] = None) {
+  def usePtdw: Boolean = ptdwAgents.nonEmpty || emitPtdw
+}
 
-/** One output row of the E-step: either an n_wt partial (kind 0) or a
-  * per-document result (kind 1) carrying theta + cumulative-score partials.
-  * The wide-row union keeps the kernel single-pass: one mapPartitions
-  * produces both streams, split afterwards by a cheap filter on `kind`. */
+/** One output row of the E-step: an n_wt partial (kind 0), a per-document
+  * result carrying theta + cumulative-score partials (kind 1), or — when
+  * requested — one p(t|d,w) row per token position (kind 2). The wide-row
+  * union keeps the kernel single-pass. */
 case class EStepOut(
     kind: Int,
     class_id: String, token: String,
     vec: Array[Float],
-    doc_id: Long, title: String,
+    doc_id: Long, title: String, position: Int,
     raw: Double, normalizer: Double, zero_words: Long,
     theta_zeros: Long, doc_len: Long)
 
 /** The E-step — the one genuinely custom operator of the engine (reference
-  * core/processor.cc:50-292 + processor_helpers.cc:384-589).
+  * core/processor.cc:50-292, processor_helpers.cc:384-589 dense path,
+  * :261-382 ptdw path, processor_transaction_helpers.cc:28-161
+  * transaction path).
   *
-  * For each document: resolve tokens against a broadcast Phi, run
-  * `numDocumentPasses` local EM passes (p_tdw ∝ φ_wt·θ_td; n_td = Σ_w
-  * n_dw·p_tdw; theta-regularizer agents; normalize with ≥0 clamp), then
-  * emit (a) per-token n_wt partials pre-combined in a per-partition hash
-  * map (map-side combine — the shuffle then only merges one partial per
+  * For each document: resolve tokens against a broadcast Phi, run the
+  * local EM inner loop (dense / ptdw / transaction variant), then emit
+  * (a) per-token n_wt partials pre-combined in per-partition hash maps
+  * (map-side combine — the shuffle then merges one partial per
   * (partition, token)), and (b) the document's theta row + perplexity /
-  * sparsity partials.
+  * sparsity partials, and optionally (c) ptdw rows.
   *
   * Scale notes: the only shuffle downstream is groupBy(class_id, token) of
   * the partials — proportional to (#partitions × vocab-touched), not to
@@ -62,7 +73,8 @@ case class EStepOut(
   */
 object EStep {
 
-  val eps: Float = 1e-16f // reference helpers.h:62
+  val eps: Float = 1e-16f          // reference helpers.h:62
+  val txnEps: Double = 1e-100      // reference processor_transaction_helpers.cc:9
 
   def run(docs: Dataset[Doc], bPhi: Broadcast[PhiLocal], cfg: EStepConfig): Dataset[EStepOut] = {
     val spark = docs.sparkSession
@@ -72,10 +84,20 @@ object EStep {
       val phi = bPhi.value
       val T = phi.numTopics
       val useClassWeights = cfg.classWeights.nonEmpty
-      // per-partition n_wt partial accumulator: phi row -> Σ_d (n_dw/p_wd)·θ_d
-      val acc = new java.util.HashMap[Int, Array[Float]]()
+      // phi row -> Σ_d (n_dw/p_wd)·θ_d — multiplied by φ at flush (dense path)
+      val accPre = new java.util.HashMap[Int, Array[Float]]()
+      // phi row -> already-final contributions (txn / ptdw paths)
+      val accRaw = new java.util.HashMap[Int, Array[Float]]()
 
-      val docRows: Iterator[EStepOut] = it.map { doc =>
+      def addTo(map: java.util.HashMap[Int, Array[Float]], row: Int,
+          scale: Float, vec: Array[Float]): Unit = {
+        var a = map.get(row)
+        if (a == null) { a = new Array[Float](T); map.put(row, a) }
+        var k = 0
+        while (k < T) { a(k) += scale * vec(k); k += 1 }
+      }
+
+      val docRows: Iterator[EStepOut] = it.flatMap { doc =>
         val nTok = doc.tokens.length
         val idx = new Array[Int](nTok)
         val w = new Array[Float](nTok)
@@ -89,6 +111,7 @@ object EStep {
           if (idx(i) >= 0) hasTokens = true
           i += 1
         }
+        val docW = cfg.docNwtWeightByTitle.getOrElse(doc.title, 1.0f)
 
         // ---- theta init (reference processor_helpers.cc:73-112) ----
         val theta = new Array[Float](T)
@@ -98,131 +121,356 @@ object EStep {
             if (cfg.thetaSeed != 0) hh = 31 * hh + cfg.thetaSeed
             hh
           }
-          val v = Rng.generateRandomVector(T, h)
-          System.arraycopy(v, 0, theta, 0, T)
+          System.arraycopy(Rng.generateRandomVector(T, h), 0, theta, 0, T)
         } else {
           java.util.Arrays.fill(theta, 1.0f / T)
         }
 
+        val isTxnDoc = doc.txns.nonEmpty &&
+          (cfg.transactionWeights.nonEmpty || doc.txns.exists(_.length > 1))
+
+        var ptdwRows: Iterator[EStepOut] = Iterator.empty
         if (hasTokens) {
-          // ---- inner EM passes (processor_helpers.cc:384-514) ----
-          val nTd = new Array[Float](T)
-          val rTd = new Array[Float](T)
-          var pass = 0
-          while (pass < cfg.numDocumentPasses) {
-            java.util.Arrays.fill(nTd, 0.0f)
-            i = 0
-            while (i < nTok) {
-              val row = idx(i)
-              if (row >= 0) {
-                val off = phi.offset(row)
-                val pdw = VectorOps.dotSlice(phi.flat, off, theta)
-                if (math.abs(pdw) >= eps) {
-                  VectorOps.axpySlice(w(i) / pdw, phi.flat, off, nTd)
-                }
-              }
-              i += 1
+          if (isTxnDoc) runTransactionDoc(doc, phi, cfg, idx, w, theta, docW, accRaw, addTo)
+          else if (cfg.usePtdw) {
+            val ptdw = runPtdwDoc(doc, phi, cfg, idx, w, theta, docW, accRaw, addTo)
+            if (cfg.emitPtdw) ptdwRows = ptdw.iterator.zipWithIndex.collect {
+              case (row, pos) if row != null =>
+                EStepOut(2, doc.tokens(pos).class_id, doc.tokens(pos).token, row,
+                  doc.doc_id, doc.title, pos, 0.0, 0.0, 0L, 0L, 0L)
             }
-            // theta <- theta ∘ n_td
-            var k = 0
-            while (k < T) { theta(k) *= nTd(k); k += 1 }
-            // regularizer agents then normalization (NormalizeThetaAgent)
-            java.util.Arrays.fill(rTd, 0.0f)
-            cfg.thetaAgents.foreach(_.apply(doc.title, doc.doc_id, pass, theta, rTd))
-            var sum = 0.0f
-            k = 0
-            while (k < T) {
-              val v = theta(k) + rTd(k)
-              if (v > 0) sum += v
-              k += 1
-            }
-            val inv = if (sum > 0) 1.0f / sum else 0.0f
-            k = 0
-            while (k < T) {
-              var v = inv * (theta(k) + rTd(k))
-              if (v < eps) v = 0.0f
-              theta(k) = v
-              k += 1
-            }
-            pass += 1
-          }
-
-          // ---- n_wt partials with the FINAL theta (processor_helpers.cc:546-589)
-          if (cfg.computeNwt) {
-            i = 0
-            while (i < nTok) {
-              val row = idx(i)
-              if (row >= 0 && w(i) != 0.0f) {
-                val off = phi.offset(row)
-                val pwd = VectorOps.dotSlice(phi.flat, off, theta)
-                if (math.abs(pwd) >= eps) {
-                  var a = acc.get(row)
-                  if (a == null) { a = new Array[Float](T); acc.put(row, a) }
-                  val alpha = w(i) / pwd
-                  var k2 = 0
-                  while (k2 < T) { a(k2) += alpha * theta(k2); k2 += 1 }
-                }
-              }
-              i += 1
-            }
-          }
+          } else runDenseDoc(doc, phi, cfg, idx, w, theta, docW, accPre, addTo)
         }
 
-        // ---- cumulative score partials (perplexity: score/perplexity.cc:30-260)
-        var normalizer = 0.0
-        i = 0
-        while (i < nTok) { normalizer += w(i); i += 1 }
-        var raw = 0.0
-        var zeroWords = 0L
-        i = 0
-        while (i < nTok) {
-          if (math.abs(w(i)) >= eps) {
-            var sum = 0.0
-            val row = idx(i)
-            if (row >= 0) {
-              val off = phi.offset(row)
-              var k = 0
-              while (k < T) { sum += theta(k) * phi.flat(off + k); k += 1 }
-            } else {
-              // token missing from the model: φ factor stays 1.0
-              var k = 0
-              while (k < T) { sum += theta(k); k += 1 }
-            }
-            if (math.abs(sum) < eps) {
-              sum = w(i) / normalizer // document-unigram fallback
-              zeroWords += 1
-            }
-            raw += w(i) * math.log(sum)
-          }
-          i += 1
-        }
+        // ---- cumulative score partials (perplexity: score/perplexity.cc)
+        val (raw, normalizer, zeroWords) = perplexityPartials(doc, phi, cfg, idx, w, theta, isTxnDoc)
 
         var thetaZeros = 0L
         var k = 0
         while (k < T) { if (theta(k) == 0.0f) thetaZeros += 1; k += 1 }
 
-        EStepOut(1, null, null, theta.clone(), doc.doc_id, doc.title,
-          raw, normalizer, zeroWords, thetaZeros, nTok.toLong)
+        Iterator.single(EStepOut(1, null, null, theta.clone(), doc.doc_id, doc.title, -1,
+          raw, normalizer, zeroWords, thetaZeros, nTok.toLong)) ++ ptdwRows
       }
 
       def nwtRows: Iterator[EStepOut] = {
         import scala.jdk.CollectionConverters._
-        acc.entrySet().iterator().asScala.map { e =>
+        val pre = accPre.entrySet().iterator().asScala.map { e =>
           val row = e.getKey
           val a = e.getValue
           val off = phi.offset(row)
           val out = new Array[Float](T)
           var k = 0
-          // n_wt = φ_wt ∘ Σ_d (n_dw/p_wd)θ_td, scaled by batch weight —
-          // the φ product applied AFTER the doc sum, as in the reference
+          // n_wt = φ_wt ∘ Σ_d (n_dw/p_wd)θ_td · batch_weight — the φ
+          // product applied AFTER the doc sum, as in the reference
           while (k < T) { out(k) = phi.flat(off + k) * a(k) * cfg.batchWeight; k += 1 }
+          row -> out
+        }
+        val raw = accRaw.entrySet().iterator().asScala.map { e =>
+          val out = e.getValue.clone()
+          var k = 0
+          while (k < T) { out(k) *= cfg.batchWeight; k += 1 }
+          e.getKey -> out
+        }
+        (pre ++ raw).map { case (row, out) =>
           EStepOut(0, phi.classIds(row), phi.tokens(row), out,
-            -1L, null, 0.0, 0.0, 0L, 0L, 0L)
+            -1L, null, -1, 0.0, 0.0, 0L, 0L, 0L)
         }
       }
 
       docRows ++ nwtRows
     }
+  }
+
+  /** dense path — processor_helpers.cc:384-589 (see scaladoc above). */
+  private def runDenseDoc(doc: Doc, phi: PhiLocal, cfg: EStepConfig,
+      idx: Array[Int], w: Array[Float], theta: Array[Float], docW: Float,
+      acc: java.util.HashMap[Int, Array[Float]],
+      addTo: (java.util.HashMap[Int, Array[Float]], Int, Float, Array[Float]) => Unit): Unit = {
+    val T = phi.numTopics
+    val nTok = idx.length
+    val nTd = new Array[Float](T)
+    val rTd = new Array[Float](T)
+    var pass = 0
+    while (pass < cfg.numDocumentPasses) {
+      java.util.Arrays.fill(nTd, 0.0f)
+      var i = 0
+      while (i < nTok) {
+        val row = idx(i)
+        if (row >= 0) {
+          val off = phi.offset(row)
+          val pdw = VectorOps.dotSlice(phi.flat, off, theta)
+          if (math.abs(pdw) >= eps) {
+            VectorOps.axpySlice(w(i) / pdw, phi.flat, off, nTd)
+          }
+        }
+        i += 1
+      }
+      var k = 0
+      while (k < T) { theta(k) *= nTd(k); k += 1 }
+      applyAgentsAndNormalize(doc, cfg, pass, theta, rTd)
+      pass += 1
+    }
+
+    if (cfg.computeNwt) {
+      var i = 0
+      while (i < nTok) {
+        val row = idx(i)
+        if (row >= 0 && w(i) != 0.0f) {
+          val off = phi.offset(row)
+          val pwd = VectorOps.dotSlice(phi.flat, off, theta)
+          if (math.abs(pwd) >= eps) {
+            addTo(acc, row, docW * w(i) / pwd, theta)
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** ptdw path — processor_helpers.cc:261-382. Returns the final ptdw
+    * matrix (rows aligned with doc.tokens; null row = token not in model). */
+  private def runPtdwDoc(doc: Doc, phi: PhiLocal, cfg: EStepConfig,
+      idx: Array[Int], w: Array[Float], theta: Array[Float], docW: Float,
+      acc: java.util.HashMap[Int, Array[Float]],
+      addTo: (java.util.HashMap[Int, Array[Float]], Int, Float, Array[Float]) => Unit): Array[Array[Float]] = {
+    val T = phi.numTopics
+    val nTok = idx.length
+    val ptdw = new Array[Array[Float]](nTok)
+    var i = 0
+    while (i < nTok) { if (idx(i) >= 0) ptdw(i) = new Array[Float](T); i += 1 }
+    val nTd = new Array[Float](T)
+    val rTd = new Array[Float](T)
+
+    var pass = 0
+    while (pass <= cfg.numDocumentPasses) { // inclusive: one extra ptdw refresh
+      val last = pass == cfg.numDocumentPasses
+      i = 0
+      while (i < nTok) {
+        val row = idx(i)
+        if (row >= 0) {
+          val off = phi.offset(row)
+          var pdw = 0.0f
+          var k = 0
+          while (k < T) {
+            val v = phi.flat(off + k) * theta(k)
+            ptdw(i)(k) = v
+            pdw += v
+            k += 1
+          }
+          if (math.abs(pdw) >= eps) {
+            val z = 1.0f / pdw
+            k = 0
+            while (k < T) { ptdw(i)(k) *= z; k += 1 }
+          }
+        }
+        i += 1
+      }
+      cfg.ptdwAgents.foreach(_.apply(doc.title, doc.doc_id, pass,
+        ptdw.filter(_ != null))) // agents see only in-model positions, in order
+
+      if (!last) {
+        java.util.Arrays.fill(nTd, 0.0f)
+        i = 0
+        while (i < nTok) {
+          if (ptdw(i) != null) {
+            var k = 0
+            while (k < T) { nTd(k) += w(i) * ptdw(i)(k); k += 1 }
+          }
+          i += 1
+        }
+        System.arraycopy(nTd, 0, theta, 0, T) // replacement, not product
+        applyAgentsAndNormalize(doc, cfg, pass, theta, rTd)
+      } else if (cfg.computeNwt) {
+        i = 0
+        while (i < nTok) {
+          if (ptdw(i) != null && w(i) != 0.0f) {
+            addTo(acc, idx(i), docW * w(i), ptdw(i))
+          }
+          i += 1
+        }
+      }
+      pass += 1
+    }
+    ptdw
+  }
+
+  /** transaction path — processor_transaction_helpers.cc:28-161:
+    * p(x|t) = θ_t · Π_{w∈x} φ_wt; n_kdx = weight of the transaction's
+    * first token; theta replaced (not multiplied) each pass; one extra
+    * inner pass, as in the reference. Transactions containing tokens
+    * missing from the model are skipped (the reference's behavior on
+    * missing tokens is undefined). */
+  private def runTransactionDoc(doc: Doc, phi: PhiLocal, cfg: EStepConfig,
+      idx: Array[Int], w: Array[Float], theta: Array[Float], docW: Float,
+      acc: java.util.HashMap[Int, Array[Float]],
+      addTo: (java.util.HashMap[Int, Array[Float]], Int, Float, Array[Float]) => Unit): Unit = {
+    val T = phi.numTopics
+    val useTt = cfg.transactionWeights.nonEmpty
+    val txns = doc.txns
+    val nTd = new Array[Float](T)
+    val rTd = new Array[Float](T)
+    val helper = new Array[Double](T)
+
+    def txnHelper(t: graft.core.Txn): Double = {
+      // helper[k] = θ_k · Π φ; returns p_dx = Σ_k helper[k]; -1 if skipped
+      var k = 0
+      while (k < T) { helper(k) = theta(k); k += 1 }
+      var j = t.start
+      val end = t.start + t.length
+      while (j < end) {
+        val row = idx(j)
+        if (row < 0) return -1.0
+        val off = phi.offset(row)
+        k = 0
+        while (k < T) { helper(k) *= phi.flat(off + k); k += 1 }
+        j += 1
+      }
+      var p = 0.0
+      k = 0
+      while (k < T) { p += helper(k); k += 1 }
+      p
+    }
+
+    var pass = 0
+    while (pass <= cfg.numDocumentPasses) { // inclusive, as in the reference
+      java.util.Arrays.fill(nTd, 0.0f)
+      txns.foreach { t =>
+        if (t.length > 0) {
+          val ttW = if (useTt) cfg.transactionWeights.getOrElse(t.tt_name, 0.0f) else 1.0f
+          if (ttW != 0.0f) {
+            val nKdx = w(t.start)
+            val pDx = txnHelper(t)
+            if (pDx >= txnEps) {
+              var k = 0
+              while (k < T) { nTd(k) += (ttW * nKdx * helper(k) / pDx).toFloat; k += 1 }
+            }
+          }
+        }
+      }
+      System.arraycopy(nTd, 0, theta, 0, T)
+      applyAgentsAndNormalize(doc, cfg, pass, theta, rTd)
+      pass += 1
+    }
+
+    if (cfg.computeNwt) {
+      val values = new Array[Float](T)
+      txns.foreach { t =>
+        if (t.length > 0) {
+          val ttW = if (useTt) cfg.transactionWeights.getOrElse(t.tt_name, 0.0f) else 1.0f
+          if (ttW != 0.0f) {
+            val nKdx = w(t.start)
+            val pDx = txnHelper(t)
+            if (pDx >= txnEps) {
+              var k = 0
+              while (k < T) { values(k) = (ttW * helper(k) * nKdx / pDx).toFloat; k += 1 }
+              var j = t.start
+              while (j < t.start + t.length) {
+                addTo(acc, idx(j), docW, values)
+                j += 1
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** regularizer agents + NormalizeThetaAgent (processor_helpers.h:78-100) */
+  private def applyAgentsAndNormalize(doc: Doc, cfg: EStepConfig, pass: Int,
+      theta: Array[Float], rTd: Array[Float]): Unit = {
+    val T = theta.length
+    java.util.Arrays.fill(rTd, 0.0f)
+    cfg.thetaAgents.foreach(_.apply(doc.title, doc.doc_id, pass, theta, rTd))
+    var sum = 0.0f
+    var k = 0
+    while (k < T) {
+      val v = theta(k) + rTd(k)
+      if (v > 0) sum += v
+      k += 1
+    }
+    val inv = if (sum > 0) 1.0f / sum else 0.0f
+    k = 0
+    while (k < T) {
+      var v = inv * (theta(k) + rTd(k))
+      if (v < eps) v = 0.0f
+      theta(k) = v
+      k += 1
+    }
+  }
+
+  /** perplexity partials — score/perplexity.cc:30-260. For transaction
+    * documents each transaction contributes p(x|d) = Σ_t θ_t Π φ;
+    * otherwise per-token (tokens missing from the model keep φ = 1). */
+  private def perplexityPartials(doc: Doc, phi: PhiLocal, cfg: EStepConfig,
+      idx: Array[Int], w: Array[Float], theta: Array[Float],
+      isTxnDoc: Boolean): (Double, Double, Long) = {
+    val T = phi.numTopics
+    var raw = 0.0
+    var normalizer = 0.0
+    var zeroWords = 0L
+
+    if (isTxnDoc) {
+      val useTt = cfg.transactionWeights.nonEmpty
+      // normalizer first (fallback needs it complete)
+      doc.txns.foreach { t =>
+        var tw = 0.0
+        var j = t.start
+        while (j < t.start + t.length) { tw += w(j); j += 1 }
+        val ttW = if (useTt) cfg.transactionWeights.getOrElse(t.tt_name, 0.0f) else 1.0f
+        normalizer += ttW * tw
+      }
+      doc.txns.foreach { t =>
+        var tw = 0.0
+        var j = t.start
+        while (j < t.start + t.length) { tw += w(j); j += 1 }
+        if (math.abs(tw) >= eps) {
+          var sum = 0.0
+          var k = 0
+          while (k < T) {
+            var p = theta(k).toDouble
+            j = t.start
+            while (j < t.start + t.length) {
+              val row = idx(j)
+              if (row >= 0) p *= phi.flat(phi.offset(row) + k)
+              j += 1
+            }
+            sum += p
+            k += 1
+          }
+          if (math.abs(sum) < eps) {
+            sum = tw / normalizer
+            zeroWords += 1
+          }
+          raw += tw * math.log(sum)
+        }
+      }
+    } else {
+      var i = 0
+      while (i < idx.length) { normalizer += w(i); i += 1 }
+      i = 0
+      while (i < idx.length) {
+        if (math.abs(w(i)) >= eps) {
+          var sum = 0.0
+          val row = idx(i)
+          if (row >= 0) {
+            val off = phi.offset(row)
+            var k = 0
+            while (k < T) { sum += theta(k) * phi.flat(off + k); k += 1 }
+          } else {
+            var k = 0
+            while (k < T) { sum += theta(k); k += 1 }
+          }
+          if (math.abs(sum) < eps) {
+            sum = w(i) / normalizer
+            zeroWords += 1
+          }
+          raw += w(i) * math.log(sum)
+        }
+        i += 1
+      }
+    }
+    (raw, normalizer, zeroWords)
   }
 
   /** Split an E-step output into (n_wt, theta) DataFrames. Callers should
@@ -235,4 +483,11 @@ object EStep {
   def theta(out: Dataset[EStepOut]): DataFrame =
     out.filter(col("kind") === 1)
       .select(col("doc_id"), col("title"), col("vec").as("weights"))
+
+  /** ptdw retrieval (theta_matrix_type=ptdw) — [doc_id, title, position,
+    * class_id, token, weights]. Requires cfg.emitPtdw. */
+  def ptdw(out: Dataset[EStepOut]): DataFrame =
+    out.filter(col("kind") === 2)
+      .select(col("doc_id"), col("title"), col("position"),
+        col("class_id"), col("token"), col("vec").as("weights"))
 }

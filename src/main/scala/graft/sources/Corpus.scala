@@ -31,6 +31,21 @@ object Corpus {
       }
   }
 
+  /** Position-preserving variant (one TokenEntry per occurrence, weight 1)
+    * — required by window-based operators (cooc gather, ptdw agents). */
+  def fromDocumentsTablePositional(docs: DataFrame): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id".cast("long"), $"text".cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = (if (text == null) "" else text).toLowerCase.trim
+          .split("\\s+").filter(_.nonEmpty)
+          .map(t => TokenEntry(Rng.DefaultClass, t, 1.0f))
+        Doc(id, s"doc$id", toks, Array.empty[Txn])
+      }
+  }
+
   /** Deterministic whitespace bag-of-words with counts, preserving first-
     * occurrence order (the reference keeps batch insertion order). */
   def tokenize(text: String, classId: String = Rng.DefaultClass): Array[TokenEntry] = {
