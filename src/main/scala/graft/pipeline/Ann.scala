@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Rng
+
+/** Approximate nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two strategies:
+  * - `bruteForceTopK` — exact: broadcast the (small) query set against the
+  *   corpus, one narrow pass + a per-query top-k window. The right
+  *   baseline and the correctness oracle.
+  * - `lshTopK` — scale path: random-hyperplane signatures bucket the
+  *   corpus (narrow), queries probe their bucket(s) and rerank exactly
+  *   within them. Recall grows with probes/planes; at 100 TB the bucket
+  *   join replaces the quadratic crossJoin with a key-partitioned join.
+  *   (An IVF variant would k-means the corpus first; the bucketing seam
+  *   is the same — `bucket` is just the partition key.)
+  */
+object Ann {
+
+  /** cosine(a, b) computed in double, sequential array order (matches the
+    * DuckDB oracle's list_cosine_similarity bit-for-bit in practice). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors for each query id. `queries` must be small
+    * enough to broadcast (the usual online-serving shape); the corpus side
+    * streams. Returns [query_id, rank, id, cosine]. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits of dot(v, r_i) packed
+    * into a long bucket key. Hyperplanes are seeded-deterministic
+    * (hash-derived, reproducible across runs/partitionings). */
+  def hyperplaneSignature(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, seed: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val first = emb.select(col(vecCol)).limit(1).collect()
+    require(first.nonEmpty, "empty embedding table")
+    val dim = first(0).getSeq[Float](0).length
+    // deterministic gaussian-ish hyperplanes from the engine RNG
+    val planeVecs: Array[Array[Float]] = (0 until planes).map { p =>
+      val v = Rng.generateRandomVector(dim, Rng.tokenHash("@plane", p.toString, seed))
+      v.map(x => x - 0.5f) // center
+    }.toArray
+    val bPlanes = spark.sparkContext.broadcast(planeVecs)
+
+    val sigUdf = udf { (vec: Seq[Float]) =>
+      val ps = bPlanes.value
+      var bucket = 0L
+      var p = 0
+      while (p < ps.length) {
+        var s = 0.0f
+        var i = 0
+        val pv = ps(p)
+        while (i < pv.length && i < vec.length) { s += pv(i) * vec(i); i += 1 }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      sigUdf(col(vecCol)).as("bucket"))
+  }
+
+  /** LSH top-k: bucket corpus and queries by hyperplane signature; rerank
+    * exactly within the shared bucket. `probes` > 1 additionally explores
+    * buckets at Hamming distance 1 from the query's (multi-probe LSH),
+    * trading compute for recall. Returns [query_id, rank, id, cosine]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 12, probes: Int = 4, seed: Int = 42): DataFrame = {
+    val c = hyperplaneSignature(corpus, idCol, vecCol, planes, seed)
+    val q0 = hyperplaneSignature(queries, idCol, vecCol, planes, seed)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("bucket"))
+    // multi-probe: original bucket + single-bit flips
+    val flips = Seq(lit(0L)) ++ (0 until math.min(probes - 1, planes)).map(p => lit(1L << p))
+    val q = q0.select(col("query_id"), col("qvec"),
+      explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .dropDuplicates("query_id", "id")
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+}

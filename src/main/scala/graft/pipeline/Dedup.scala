@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame plans built for the 100 TB shape:
+  * - exact: one hash-groupBy (the only full shuffle, on a short hash key)
+  * - minhash-LSH: narrow per-row signature computation, then a shuffle on
+  *   band keys whose fan-in is bounded by bucket size, then per-bucket
+  *   pair generation — never an all-pairs join
+  * - simhash: same banded-candidate shape over Hamming space
+  * - n-gram Jaccard: exact verification over candidate pairs only
+  * - embedding cosine: see Ann.scala for the ANN machinery it reuses
+  */
+object Dedup {
+
+  /** Exact dedup: group identical `textCol` bodies (after whitespace
+    * normalization) by md5; keep the smallest id as canonical. Returns
+    * [fingerprint, canonical_id, dup_count, dup_ids]. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    df.select(col(idCol).cast("long").as("id"), md5(norm).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("id")).as("canonical_id"),
+        count(lit(1)).as("dup_count"),
+        sort_array(collect_list(col("id"))).as("dup_ids"))
+  }
+
+  /** Word k-gram shingle set of a text column (distinct, lowercased,
+    * whitespace-tokenized) — the input to minhash / jaccard. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(regexp_replace(trim(lower(textCol)), "\\s+", " "), " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i + k <= size(toks), array_join(slice(toks, i + lit(1), lit(k)), " "))),
+        x => x.isNotNull))
+  }
+
+  /** MinHash signature: for hash function i, the lexicographic minimum of
+    * md5(i || ' ' || shingle). String-min MD5 is deterministic across
+    * engines and partitionings (and matches the DuckDB oracle); the min of
+    * a uniformly-hashed set is the standard permutation approximation. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => md5(concat(lit(i.toString), lit(" "), s))))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * signature → split into `bands` bands of numHashes/bands rows; docs
+    * sharing a band hash land in one bucket (one shuffle on the band key);
+    * pairs are generated per bucket and deduplicated, then scored by the
+    * fraction of matching minhashes (the unbiased Jaccard estimate).
+    * Returns [id_a, id_b, est_jaccard] with id_a < id_b,
+    * est_jaccard >= `threshold`.
+    *
+    * Scale: bucket sizes are the skew risk — pathological buckets (e.g.
+    * empty-text docs) are capped at `maxBucketSize` and dropped (logged
+    * loudly in the plan as a filter, not silently sampled). */
+  def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .filter(size(col("sig")) === numHashes) // docs with >=1 shingle
+
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        md5(array_join(slice(col("sig"), b * rows + 1, rows), "|"))): _*))
+        .as(Seq("band", "bucket")))
+
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val bounded = banded
+      .withColumn("_bucket_n", count(lit(1)).over(w))
+      .filter(col("_bucket_n") <= maxBucketSize)
+
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the fingerprint is
+    * the sign of Σ_tokens weight · (bit j of xxhash64(token)). */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new java.util.HashMap[String, Int]()
+        (if (text == null) "" else text).toLowerCase.trim.split("\\s+")
+          .filter(_.nonEmpty).foreach(t => counts.merge(t, 1, (a, b) => a + b))
+        val acc = new Array[Long](64)
+        counts.forEach { (tok, n) =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(tok).toLong << 32 |
+            (scala.util.hashing.MurmurHash3.stringHash(tok.reverse).toLong & 0xffffffffL)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) acc(j) += n else acc(j) -= n
+            j += 1
+          }
+        }
+        var fp = 0L
+        var j = 0
+        while (j < 64) { if (acc(j) > 0) fp |= (1L << j); j += 1 }
+        (id, fp)
+      }.toDF("id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit bands
+    * (any pair within Hamming distance 3 shares a band by pigeonhole);
+    * verified with an exact popcount <= `maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("simhash").as("f_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("simhash").as("f_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("f_a").bitwiseXOR(col("f_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for a given candidate-pair table
+    * [id_a, id_b] (from LSH, blocking, or any generator). */
+  def ngramJaccard(df: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), n).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") > 0, col("inter").cast("double") / col("uni"))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold, using the
+    * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale. */
+  def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, planes: Int = 16, seed: Int = 42): DataFrame = {
+    val sig = Ann.hyperplaneSignature(emb, idCol, vecCol, planes, seed)
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Ann.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All narrow per-row
+  * columnar transforms (whole-stage codegen, zero shuffles) — at 100 TB
+  * these run at scan speed with filters/projections pushed to parquet. */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * heuristic. Real pipelines plug their own lists; the operator shape
+    * (per-language hit counting + argmax) is what matters. */
+  val defaultStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "de", "que", "y"))
+
+  private def tokens(textCol: Column): Column =
+    split(regexp_replace(trim(lower(textCol)), "\\s+", " "), " ")
+
+  /** Language ID: per language, hits = tokens found in its stopword list;
+    * prediction = argmax hits (ties broken by language name; `und` =
+    * undetermined when nothing hits). Returns the input plus
+    * [lang_pred, lang_hits]. */
+  def languageId(df: DataFrame, textCol: String = "text",
+      stopwords: Map[String, Seq[String]] = defaultStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val langs = stopwords.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val sw = array(stopwords(l).map(lit): _*)
+      size(filter(toks, t => array_contains(sw, t))).as(s"hits_$l")
+    }
+    val withHits = df.select(col("*") +: hitCols: _*)
+    val best = langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
+      val h = col(s"hits_$l")
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    withHits
+      .withColumn("lang_pred", best._1)
+      .withColumn("lang_hits", best._2)
+      .drop(langs.map(l => s"hits_$l"): _*)
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length, repetition ratio (1 - distinct/total tokens); composite
+    * `quality` in [0,1] combining the standard heuristics. */
+  def qualityScore(df: DataFrame, textCol: String = "text",
+      stopwords: Seq[String] = defaultStopwords.values.flatten.toSeq): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val sw = array(stopwords.distinct.map(lit): _*)
+    df
+      .withColumn("n_chars_q", length(text))
+      .withColumn("n_tokens_q", nTok)
+      .withColumn("punct_ratio",
+        when(length(text) > 0,
+          (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+            .cast("double") / length(text)).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, size(filter(toks, t => array_contains(sw, t))).cast("double") / nTok)
+          .otherwise(0.0))
+      .withColumn("mean_token_len",
+        when(nTok > 0, aggregate(transform(toks, t => length(t)), lit(0),
+          (a, x) => a + x).cast("double") / nTok).otherwise(0.0))
+      .withColumn("repetition_ratio",
+        when(nTok > 0, lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
+          .otherwise(0.0))
+      .withColumn("quality",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0)
+            - col("punct_ratio") * 2.0
+            - when(col("mean_token_len") < 2.0 || col("mean_token_len") > 12.0, 0.3).otherwise(0.0)
+            - when(col("n_tokens_q") < 5, 0.4).otherwise(0.0)
+            - col("repetition_ratio") * 0.5)))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation count
+    * (letter runs / digit runs / single other symbols — the standard
+    * pre-tokenizer regex), both codegen'd regex ops. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    df
+      .withColumn("ws_tokens",
+        when(length(trim(text)) === 0, 0).otherwise(size(tokens(text))))
+      .withColumn("bpeish_tokens",
+        size(regexp_extract_all(lower(text), lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))))
+  }
+
+  /** Document fingerprinting:
+    * - `fingerprint`: md5 of the whitespace-normalized lowercased text
+    *   (cheap exact-dup key, oracle-checkable);
+    * - `rolling_fp`: 64-bit polynomial rolling hash over tokens
+    *   (h = h·1000003 + murmur(token), wrap-around), robust to whitespace
+    *   layout, usable for shift-tolerant chunk fingerprints. */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val rolling = udf { (text: String) =>
+      var h = 1469598103934665603L
+      (if (text == null) "" else text).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty)
+        .foreach { t => h = h * 1000003L + scala.util.hashing.MurmurHash3.stringHash(t) }
+      h
+    }
+    df
+      .withColumn("fingerprint", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .withColumn("rolling_fp", rolling(col(textCol)))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+  lazy val docsDF = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+      (2L, "the quick brown fox jumped over the lazy dog"),  // near dup
+      (3L, "completely different content about spark engines"),
+      (4L, "la vie est belle et la mer est calme"),
+      (5L, "")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docsDF).filter(col("dup_count") > 1).collect()
+    assert(d.length === 1)
+    assert(d(0).getLong(1) === 0L) // canonical
+    assert(d(0).getSeq[Long](3) === Seq(0L, 1L))
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashLsh(docsDF, numHashes = 128, bands = 128, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical -> distance 0, near dup small, unrelated unpaired") {
+    val pairs = Dedup.simhashPairs(docsDF, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) === 0)
+    assert(pairs.get((0L, 2L)).forall(_ <= 10))
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard exact verification") {
+    import spark.implicits._
+    val cand = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docsDF, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 2L)) > 0.2 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) === 0.0)
+  }
+
+  test("brute-force ANN: self-similar vectors rank first; LSH agrees on cosines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Ann.bruteForceTopK(emb, queries, k = 10).cache()
+    assert(bf.groupBy("query_id").count().collect().forall(_.getLong(1) === 10))
+    // ranks strictly ordered by cosine desc per query
+    val r = bf.filter(col("query_id") === 0).orderBy(col("rank")).select("cosine")
+      .collect().map(_.getDouble(0))
+    assert(r.sameElements(r.sortBy(-_)))
+
+    val lsh = Ann.lshTopK(emb, queries, k = 10, planes = 8, probes = 4).cache()
+    // every LSH hit must carry the same cosine as brute force (same pair)
+    val joined = lsh.as("l").join(bf.as("b"), Seq("query_id", "id"))
+      .select(abs(col("l.cosine") - col("b.cosine")).as("d")).agg(max("d")).head()
+    assert(joined.isNullAt(0) || joined.getDouble(0) < 1e-12)
+    // and recall@10 should be nontrivial
+    val recall = lsh.join(bf, Seq("query_id", "id", "rank"), "left_semi").count().toDouble /
+      bf.count()
+    info(s"LSH recall proxy = $recall")
+  }
+
+  test("embedding near-dup via hyperplane buckets returns high-cosine pairs only") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val nd = Dedup.embeddingNearDup(emb, threshold = 0.9, planes = 6)
+    assert(nd.filter(col("cosine") < 0.9).count() === 0)
+  }
+
+  test("language id picks the stopword-matching language") {
+    val out = TextAnalysis.languageId(docsDF).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
+    assert(out(0L) === "en")
+    assert(out(4L) === "fr")
+    assert(out(5L) === "und")
+  }
+
+  test("quality, token counts, fingerprints") {
+    val q = TextAnalysis.qualityScore(docsDF).filter(col("doc_id") === 0).head()
+    assert(q.getDouble(q.fieldIndex("quality")) > 0.5)
+    val empty = TextAnalysis.qualityScore(docsDF).filter(col("doc_id") === 5).head()
+    assert(empty.getDouble(empty.fieldIndex("quality")) < 0.7)
+
+    val t = TextAnalysis.tokenCounts(docsDF).filter(col("doc_id") === 0).head()
+    assert(t.getInt(t.fieldIndex("ws_tokens")) === 9)
+    assert(t.getInt(t.fieldIndex("bpeish_tokens")) === 9)
+
+    val f = TextAnalysis.fingerprint(docsDF)
+    val fps = f.select("doc_id", "fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+  }
+
+  test("multimodal plumbing: deterministic stub features and frame sampling") {
+    val media = Multimodal.fromStrings(docsDF, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(0L) === feats(1L))           // identical payloads
+    assert(math.abs(feats(0L).sum - 1.0f) < 1e-5)
+    assert(feats(5L).sum === 0.0f)            // empty payload
+
+    val frames = Multimodal.sampleFrames(media.withColumn("kind", lit("video")), n = 4)
+    assert(frames.filter(col("media_id") === 0).count() === 4)
+  }
+}
