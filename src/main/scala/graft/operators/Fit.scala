@@ -107,10 +107,11 @@ object Fit {
     * of documents, E-step on the chunk -> nwt_hat; then
     * nwt = decay_i·nwt + apply_i·nwt_hat -> Regularize -> Normalize.
     * Weight schedules follow python/artm/artm_model.py:610-680:
-    * rho_i = (tau0 + i)^(-kappa), apply = rho, decay = 1 - rho. */
+    * rho_i = (tau0 + i)^(-kappa), apply = rho, decay = 1 - rho.
+    * Synchronous only — the reference's async pipelined variant
+    * (master_component.cc:1387-1439) changes scheduling, not results. */
   def fitOnline(chunks: Seq[Dataset[Doc]], initialPwt: DataFrame, cfg: Config,
-      tau0: Double = 1024.0, kappa: Double = 0.7,
-      asyncDepth: Int = 0): FitResult = {
+      tau0: Double = 1024.0, kappa: Double = 0.7): FitResult = {
     val spark = chunks.head.sparkSession
     var pwt = initialPwt
     var nwt: DataFrame = null

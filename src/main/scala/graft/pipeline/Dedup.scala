@@ -67,8 +67,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).cast("long").as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
-      .filter(size(col("sig")) === numHashes) // docs with >=1 shingle
+      shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0) // drop shingle-less (short/empty) docs
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
