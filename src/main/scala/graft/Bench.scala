@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the JVM/codegen/parquet/shuffle machinery once so the first
+    // timed query doesn't absorb session startup (~5 s at local[32])
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
     // a failed query must NOT look like a fast success: record the error
     // and report its time as -1 (driver-side convention for "broken")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

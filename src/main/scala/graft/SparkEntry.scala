@@ -45,35 +45,72 @@ object SparkEntry {
       phiRegularizers = regs, dictionary = Some(dict)))
   }
 
+  // Relational-EM configuration shared by the oracle-checked ARTM entries
+  // (see RelationalEm scaladoc: DuckDB == RelationalEm by hash,
+  // RelationalEm ≈ kernel by RelationalParitySpec).
+  private val T = 8
+  private val Passes = 2
+  private val TopK = 5
+  private val RegTaus = (-0.5, 50.0) // (SmoothSparsePhi τ, DecorrelatorPhi τ)
+  private val OnlineTau0 = 16.0
+  private val OnlineKappa = 0.7
+  private val HartmT1 = 4
+  private val HartmW = 2.0
+
+  private def relTok(s: SparkSession, dir: String): DataFrame =
+    RelationalEm.tokens(docs(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.4 fit_offline + §2.6 cumulative scores (rows-only; golden-tested
-    // against the reference trajectory in SyntheticGoldenSpec)
+    // §2.4 fit_offline (md5-init relational EM — DuckDB-checkable; the
+    // float32 kernel is held to this same math by RelationalParitySpec)
     "artm_fit_offline" -> ((s, dir) => {
-      import s.implicits._
-      smallFit(s, dir).scores
-        .map(x => (x.pass, x.perplexity, x.sparsityTheta, x.itemsProcessed))
-        .toDF("pass", "perplexity", "sparsity_theta", "items_processed")
+      RelationalEm.fitOffline(relTok(s, dir), T, Passes).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
     }),
-    // §2.5 SmoothSparsePhi + DecorrelatorPhi regularized fit (rows-only)
+    // §2.6 Perplexity score per pass (cumulative-score path)
+    "artm_perplexity" -> ((s, dir) => {
+      RelationalEm.fitOffline(relTok(s, dir), T, Passes).perplexities
+        .map(_.select(col("pass"), round(col("perplexity"), 6).as("perplexity")))
+        .reduce(_ unionByName _)
+        .orderBy(col("pass"))
+    }),
+    // §2.5 SmoothSparsePhi + DecorrelatorPhi regularized fit
     "artm_fit_regularized" -> ((s, dir) => {
-      import s.implicits._
-      val res = smallFit(s, dir, Seq(
-        (graft.regularizers.SmoothSparsePhi(), -0.5f),
-        (graft.regularizers.DecorrelatorPhi(), 100.0f)))
-      res.scores.map(x => (x.pass, x.perplexity)).toDF("pass", "perplexity")
+      RelationalEm.fitOffline(relTok(s, dir), T, Passes,
+        RelationalEm.RegCfg(smoothTau = RegTaus._1, decorrTau = RegTaus._2)).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
     }),
-    // §2.6 TopTokens + SparsityPhi over the fitted model (rows-only)
+    // §2.4 fit_online (decay-weight merge over two doc-parity chunks)
+    "artm_fit_online" -> ((s, dir) => {
+      val tok = relTok(s, dir)
+      RelationalEm.fitOnline(
+        Seq(tok.filter(col("doc_id") % 2 === 0), tok.filter(col("doc_id") % 2 === 1)),
+        T, OnlineTau0, OnlineKappa)
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
+    // §2.6 TopTokens over the fitted model (rank on rounded weight)
     "artm_top_tokens" -> ((s, dir) => {
-      val res = smallFit(s, dir)
-      graft.scores.Scores.topTokens(res.pwt, 5)
+      import org.apache.spark.sql.expressions.Window
+      val pwt = RelationalEm.fitOffline(relTok(s, dir), T, Passes).pwt
+      pwt.withColumn("p6", round(col("p"), 6))
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy(col("topic")).orderBy(col("p6").desc, col("token")))
+          .cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("topic"), col("rank"), col("token"), col("p6").as("p"))
+        .orderBy(col("topic"), col("rank"))
     }),
-    // §2.4 transform (inference on the fitted model; rows-only)
+    // §2.4 transform (inference pass with the fitted phi)
     "artm_transform" -> ((s, dir) => {
-      val res = smallFit(s, dir)
-      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
-      Fit.transform(corpus, res.pwt, numTopics = 8)
-        .select(col("doc_id"), col("title"))
+      val tok = relTok(s, dir)
+      val fit = RelationalEm.fitOffline(tok, T, Passes)
+      RelationalEm.emPass(tok, fit.pwt, T).theta
+        .select(col("doc_id"), col("topic"), round(col("th"), 6).as("theta"))
+        .orderBy(col("doc_id"), col("topic"))
     }),
     // §2.3 Dictionary::Gather — tf/df/value over the documents corpus
     "dict_gather" -> ((s, dir) => {
@@ -101,26 +138,18 @@ object SparkEntry {
         .select(col("token_a"), col("token_b"), round(col("ppmi"), 6).as("ppmi"))
         .orderBy(col("token_a"), col("token_b"))
     }),
-    // §2.4 hARTM two-level hierarchy: Psi row count = parent topics (rows-only)
+    // §2.4 hARTM two-level hierarchy: Psi = p(child topic | parent topic)
     "artm_hartm_psi" -> ((s, dir) => {
-      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
-      val dict = DictionaryOps.gather(corpus)
-      val levels = Seq(
-        Fit.Config(numTopics = 4, numCollectionPasses = 2, estep = EStepConfig(numDocumentPasses = 2)),
-        Fit.Config(numTopics = 8, numCollectionPasses = 2, estep = EStepConfig(numDocumentPasses = 2)))
-      Hartm.fit(corpus, dict, levels, parentWeight = 2.0f, seed = 13)(1).psi
-        .select(col("parent_topic"))
+      RelationalEm.hartmPsi(relTok(s, dir), HartmT1, T, HartmW)
+        .select(col("parent_topic"), col("topic"), round(col("psi"), 6).as("psi"))
+        .orderBy(col("parent_topic"), col("topic"))
     }),
-    // §2.4 ptdw E-step variant (rows-only; per-position topic rows)
+    // §2.4 ptdw E-step variant: p(t|d,w) rows on a doc subset
     "artm_ptdw" -> ((s, dir) => {
-      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
-        .filter(col("doc_id") < 20)
-      val dict = DictionaryOps.gather(corpus)
-      val pwt0 = PhiOps.initializeModel(dict, 8, seed = 21)
-      val bPhi = s.sparkContext.broadcast(PhiOps.collectPhi(pwt0, 8))
-      EStep.ptdw(EStep.run(corpus, bPhi,
-        EStepConfig(numDocumentPasses = 2, emitPtdw = true, computeNwt = false)))
-        .select(col("doc_id"), col("position"), col("token"))
+      RelationalEm.ptdw(relTok(s, dir).filter(col("doc_id") < 20), T)
+        .select(col("doc_id"), col("token"), col("topic"),
+          round(col("ptdw"), 6).as("ptdw"))
+        .orderBy(col("doc_id"), col("token"), col("topic"))
     }),
     // §2.3 Dictionary::Filter — df/tf bounds
     "dict_filter" -> ((s, dir) => {
@@ -136,8 +165,17 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. The artm_* oracles are generated by
+    * RelationalEmSql (the CTE-by-CTE mirror of RelationalEm). */
   def oracleSql: Map[String, String] = Map(
+    "artm_fit_offline" -> RelationalEmSql.fitOffline(T, Passes),
+    "artm_perplexity" -> RelationalEmSql.perplexity(T, Passes),
+    "artm_fit_regularized" -> RelationalEmSql.fitOffline(T, Passes, Some(RegTaus)),
+    "artm_fit_online" -> RelationalEmSql.fitOnline(T, OnlineTau0, OnlineKappa),
+    "artm_top_tokens" -> RelationalEmSql.topTokens(T, Passes, TopK),
+    "artm_transform" -> RelationalEmSql.transform(T, Passes),
+    "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
+    "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),
     "cooc_window" ->
       """WITH tok AS (
         |  SELECT doc_id,

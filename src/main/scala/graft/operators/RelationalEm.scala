@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A fully relational (DataFrame-only, double-precision) expression of the
+  * ARTM EM step, existing so the driver's DuckDB oracle can verify the fit
+  * path end-to-end:
+  *
+  *   DuckDB SQL  ==(hash-exact)==  RelationalEm  ≈(1e-4)≈  EStep kernel
+  *
+  * The left equality is checked by CORRECTNESS_r{N} (same math, same md5
+  * init, double precision, round(6)); the right one by RelationalParitySpec
+  * (the float32 kernel against this reference implementation). Together
+  * they give the driver a hard signal on the core EM math — reference
+  * correctness semantics from core/processor_helpers.cc:384-514 (E-step),
+  * master_component.cc:1047-1088 (normalize), score/perplexity.cc.
+  *
+  * Every step mirrors a kernel step with numDocumentPasses = 1:
+  *  - theta starts uniform 1/T each collection pass;
+  *  - one inner pass: n_td = Σ_w n_dw·φ_wt·θ_t/p_dw, theta' = norm(n_td);
+  *  - n_wt = Σ_d w_d·n_dw·φ_wt·θ'_td / p'_dw with the UPDATED theta
+  *    (the kernel computes n_wt after the inner loop finishes);
+  *  - p_wt = max(n_wt + r_wt, 0) / Σ_w max(n_wt + r_wt, 0) per topic;
+  *  - perplexity = exp(−Σ n_dw·ln p'_dw / Σ n_dw).
+  *
+  * The md5 init (initPhi) replaces the MT19937 hash-seeded init with a
+  * SQL-expressible deterministic uniform: raw_wt = uint32(first 8 hex chars
+  * of md5(token + "_" + topic)) / 2^32, normalized per topic. Same
+  * determinism guarantee (pure function of (token, topic)), trivially
+  * replicable in any engine with md5.
+  *
+  * Scale: this path is all joins + groupBys on (doc_id, token) — it
+  * shuffles the corpus per pass where the kernel path ships Phi by
+  * broadcast and shuffles only (partition × vocab) partials. It is the
+  * correctness mirror, not the production fit; its plan shape is the same
+  * as the join-based E-step fallback for huge vocabularies (EStep scaladoc).
+  */
+object RelationalEm {
+
+  /** Relational regularizer config: SmoothSparsePhi without dictionary
+    * (r_wt += smoothTau · 1) and DecorrelatorPhi
+    * (r_wt += decorrTau · (−p_wt·(Σ_s p_ws − p_wt))). */
+  case class RegCfg(smoothTau: Double = 0.0, decorrTau: Double = 0.0) {
+    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0
+  }
+
+  /** The EM chains below reuse every intermediate (phi feeds 3 joins per
+    * pass, theta 2, p_dw 2, pwt the next pass) and stack pass upon pass —
+    * without truncation the logical plan grows multiplicatively and
+    * optimizer/AQE time dominates execution (measured: 14 s planning for a
+    * 40 k-row chain). Doc-sized intermediates get a lazy persist; the
+    * vocab×T phi/nwt tables are collected into driver LocalRelations at
+    * pass boundaries — the same lineage-cut strategy the kernel fit loop
+    * applies via collectPhi, with the same "phi fits on the driver"
+    * contract. */
+  private def cached(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Collect a small (vocab×T) table into a lineage-free LocalRelation. */
+  private def toLocal(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /** Bag-of-words token table from the driver `documents` table:
+    * [doc_id: long, token: string, n_dw: double, w: double] with the same
+    * tokenization as the dict_gather oracle (lowercased whitespace split).
+    * `w` is the per-document n_wt weight (1.0; hARTM pseudo-docs override). */
+  def tokens(docsTable: DataFrame): DataFrame =
+    docsTable
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("n_dw"))
+      .withColumn("w", lit(1.0))
+
+  /** Deterministic md5-uniform Phi init: [token, topic, p]. */
+  def initPhi(tok: DataFrame, numTopics: Int): DataFrame = {
+    val vocab = tok.select(col("token")).distinct()
+    val topics = explode(sequence(lit(0), lit(numTopics - 1))).as("topic")
+    val raw = conv(substring(md5(concat(col("token"), lit("_"), col("topic").cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    vocab.select(col("token"), topics)
+      .select(col("token"), col("topic").cast("long").as("topic"), raw.as("raw"))
+      .withColumn("p", col("raw") / sum(col("raw")).over(Window.partitionBy(col("topic"))))
+      .drop("raw")
+  }
+
+  /** One collection pass output. `pdw` = [doc_id, token, n_dw, w, p_dw]
+    * with the pass's FINAL theta (feeds both n_wt and perplexity). */
+  case class Pass(theta: DataFrame, pdw: DataFrame, nwt: DataFrame, pwt: DataFrame)
+
+  /** One EM collection pass (numDocumentPasses = 1) over `tok` given the
+    * current `phi` [token, topic, p]. */
+  def emPass(tok: DataFrame, phi: DataFrame, numTopics: Int,
+      reg: RegCfg = RegCfg()): Pass = {
+    val invT = 1.0 / numTopics
+    // the (doc, token) × topic expansion feeds three aggregates — compute
+    // it once (phi is a broadcast-sized LocalRelation, so this is one
+    // broadcast join over tok, no shuffle)
+    val tp = cached(tok.join(phi, Seq("token")))
+    // p_dw under uniform theta = Σ_t φ_wt / T
+    val pdwA = tp
+      .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
+      .agg((sum(col("p")) * lit(invT)).as("p_dw"))
+    // n_td = Σ_w n_dw · φ_wt · (1/T) / p_dw
+    val ntd = tp
+      .join(pdwA.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(sum(col("n_dw") * col("p") * lit(invT) / col("p_dw")).as("n_td"))
+    val theta = cached(ntd
+      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("topic"), col("th")))
+    // the same expansion with the updated theta attached, reused twice
+    val tpt = cached(tp.join(theta, Seq("doc_id", "topic")))
+    // p_dw with the updated theta
+    val pdwB = cached(tpt
+      .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
+      .agg(sum(col("p") * col("th")).as("p_dw")))
+    // n_wt = Σ_d w_d · n_dw · φ_wt · θ_td / p_dw
+    val nwt = tpt
+      .join(pdwB.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
+      .groupBy(col("token"), col("topic"))
+      .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
+    val pwt = toLocal(normalize(nwt, phi, reg))
+    Pass(theta, pdwB, nwt, pwt)
+  }
+
+  /** M-step normalize (+ optional relational regularizers):
+    * p = max(n_wt + r_wt, 0) / Σ_w max(n_wt + r_wt, 0) per topic. */
+  def normalize(nwt: DataFrame, phiIn: DataFrame, reg: RegCfg): DataFrame = {
+    val base =
+      if (reg.isEmpty) nwt.withColumn("adj", greatest(col("n_wt"), lit(0.0)))
+      else {
+        // r from the pass's INPUT phi (p_wt), as in Fit.regularize
+        val withSum = phiIn
+          .withColumn("p_sum", sum(col("p")).over(Window.partitionBy(col("token"))))
+        val r = withSum.select(col("token"), col("topic"),
+          (lit(reg.smoothTau) + lit(reg.decorrTau) * (-col("p") * (col("p_sum") - col("p"))))
+            .as("r_wt"))
+        nwt.join(r, Seq("token", "topic"), "left")
+          .withColumn("adj", greatest(col("n_wt") + coalesce(col("r_wt"), lit(0.0)), lit(0.0)))
+      }
+    base
+      .withColumn("p", col("adj") / sum(col("adj")).over(Window.partitionBy(col("topic"))))
+      .select(col("token"), col("topic"), col("p"))
+  }
+
+  /** Per-pass perplexity from the pass's final p_dw table. */
+  def perplexity(pdw: DataFrame, pass: Int): DataFrame =
+    pdw.agg(exp(-sum(col("n_dw") * log(col("p_dw"))) / sum(col("n_dw"))).as("perplexity"))
+      .select(lit(pass.toLong).as("pass"), col("perplexity"))
+
+  case class FitOut(pwt: DataFrame, theta: DataFrame, perplexities: Seq[DataFrame])
+
+  /** fit_offline, relational: `passes` collection passes from the md5 init. */
+  def fitOffline(tok0: DataFrame, numTopics: Int, passes: Int,
+      reg: RegCfg = RegCfg()): FitOut = {
+    val tok = cached(tok0)
+    var phi = toLocal(initPhi(tok, numTopics))
+    var last: Pass = null
+    val perp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var p = 0
+    while (p < passes) {
+      last = emPass(tok, phi, numTopics, reg)
+      perp += perplexity(last.pdw, p)
+      phi = last.pwt
+      p += 1
+    }
+    FitOut(phi, last.theta, perp.toSeq)
+  }
+
+  /** fit_online, relational — mirror of Fit.fitOnline's decay merge:
+    * rho_i = (tau0 + i + 1)^(−kappa); nwt = (1−rho)·nwt + rho·nwt_hat. */
+  def fitOnline(tokChunks0: Seq[DataFrame], numTopics: Int,
+      tau0: Double = 1024.0, kappa: Double = 0.7): DataFrame = {
+    val tokChunks = tokChunks0.map(cached)
+    var phi = toLocal(initPhi(tokChunks.reduce(_ unionByName _), numTopics))
+    var nwt: DataFrame = null
+    tokChunks.zipWithIndex.foreach { case (chunk, i) =>
+      val rho = math.pow(tau0 + i + 1, -kappa)
+      val hat = emPass(chunk, phi, numTopics).nwt
+        .select(col("token"), col("topic"), (col("n_wt") * lit(rho)).as("n_wt"))
+      nwt = toLocal(
+        if (nwt == null) hat
+        else nwt.select(col("token"), col("topic"), (col("n_wt") * lit(1.0 - rho)).as("n_wt"))
+          .unionByName(hat)
+          .groupBy(col("token"), col("topic")).agg(sum(col("n_wt")).as("n_wt")))
+      phi = toLocal(normalize(nwt, phi, RegCfg()))
+    }
+    phi
+  }
+
+  /** ptdw, relational (1 collection pass, numDocumentPasses = 1): the
+    * kernel's final refresh p(t|d,w) = φ_wt·θ_td / p_dw with the updated
+    * theta — [doc_id, token, topic, ptdw]. */
+  def ptdw(tok0: DataFrame, numTopics: Int): DataFrame = {
+    val tok = cached(tok0)
+    val phi = toLocal(initPhi(tok, numTopics))
+    val pass = emPass(tok, phi, numTopics)
+    tok.join(phi, Seq("token"))
+      .join(pass.theta, Seq("doc_id", "topic"))
+      .join(pass.pdw.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
+      .select(col("doc_id"), col("token"), col("topic"),
+        (col("p") * col("th") / col("p_dw")).as("ptdw"))
+  }
+
+  /** Convert a relational phi [token, topic, p] to the engine's Phi shape
+    * [class_id, token, weights: array<float>] (for feeding the md5 init to
+    * the float32 kernel in parity tests). */
+  def toPhiRows(phi: DataFrame, classId: String = graft.functions.Rng.DefaultClass): DataFrame =
+    phi.groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("topic"), col("p")))).as("cells"))
+      .select(lit(classId).as("class_id"), col("token"),
+        expr("transform(cells, c -> cast(c.p as float))").as("weights"))
+
+  /** hARTM psi, relational: level-1 fit (T1 topics, 1 pass) → pseudo-docs
+    * from its pwt (doc −(parent+1), n_dw = p_wt, nwt-weight parentWeight)
+    * → level-2 fit over corpus + pseudo-docs → psi = pseudo-doc theta:
+    * [parent_topic, topic, psi]. */
+  def hartmPsi(tok0: DataFrame, t1: Int, t2: Int, parentWeight: Double): DataFrame = {
+    val tok = cached(tok0)
+    val phiA = fitOffline(tok, t1, 1).pwt
+    val pseudo = phiA.select(
+      (-(col("topic") + lit(1))).cast("long").as("doc_id"),
+      col("token"), col("p").as("n_dw"), lit(parentWeight).as("w"))
+    val union = tok.unionByName(pseudo)
+    val lvl2 = fitOffline(union, t2, 1)
+    lvl2.theta.filter(col("doc_id") < 0)
+      .select((-col("doc_id") - lit(1)).as("parent_topic"), col("topic"), col("th").as("psi"))
+  }
+}

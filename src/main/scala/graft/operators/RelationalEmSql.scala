@@ -1,0 +1,181 @@
+package graft.operators
+
+/** DuckDB-SQL mirror of [[RelationalEm]], CTE by CTE — the oracle side of
+  * the driver's correctness gate. Every generated CTE corresponds 1:1 to a
+  * DataFrame in RelationalEm (same join keys, same arithmetic shape, same
+  * double precision), so the row hashes match after round(…, 6).
+  *
+  * Generation (not hand-inlined SQL) keeps the two sides from drifting:
+  * pass CTEs for offline/online/hARTM all come from the same template.
+  */
+object RelationalEmSql {
+
+  /** tok CTE: bag-of-words with weight column, dict_gather tokenization. */
+  def tokCte(name: String = "tok", docFilter: String = ""): String = {
+    val extra = if (docFilter.isEmpty) "" else s" AND ($docFilter)"
+    s"""$name AS (
+       |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS n_dw, 1.0 AS w
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents WHERE trim(text) <> ''$extra)
+       |  WHERE token <> ''
+       |  GROUP BY doc_id, token
+       |)""".stripMargin
+  }
+
+  /** md5-uniform init CTEs producing `phi$s` from `$tok`'s vocabulary. */
+  def initCtes(tok: String, t: Int, s: String): String =
+    s"""vocab$s AS (SELECT DISTINCT token FROM $tok),
+       |phir$s AS (
+       |  SELECT token, CAST(topic AS BIGINT) AS topic,
+       |         CAST(('0x' || substr(md5(token || '_' || CAST(topic AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+       |           / 4294967296.0 AS raw
+       |  FROM vocab$s CROSS JOIN (SELECT unnest(generate_series(0, ${t - 1})) AS topic)
+       |),
+       |phi$s AS (SELECT token, topic, raw / sum(raw) OVER (PARTITION BY topic) AS p FROM phir$s)""".stripMargin
+
+  /** One EM collection pass: tok `$tok` × phi `$phiIn` → theta$s, pdwb$s,
+    * nwt$s, phi$s. `reg` = (smoothTau, decorrTau) relational regularizers. */
+  def passCtes(tok: String, phiIn: String, t: Int, s: String,
+      reg: Option[(Double, Double)] = None): String = {
+    val invT = s"(1.0/$t)"
+    val em =
+      s"""pdwa$s AS (
+         |  SELECT t.doc_id, t.token, t.n_dw, t.w, sum(f.p) * $invT AS p_dw
+         |  FROM $tok t JOIN $phiIn f ON f.token = t.token
+         |  GROUP BY t.doc_id, t.token, t.n_dw, t.w),
+         |ntd$s AS (
+         |  SELECT t.doc_id, f.topic, sum(t.n_dw * f.p * $invT / a.p_dw) AS n_td
+         |  FROM $tok t JOIN $phiIn f ON f.token = t.token
+         |  JOIN pdwa$s a ON a.doc_id = t.doc_id AND a.token = t.token
+         |  GROUP BY t.doc_id, f.topic),
+         |theta$s AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntd$s),
+         |pdwb$s AS (
+         |  SELECT t.doc_id, t.token, t.n_dw, t.w, sum(f.p * h.th) AS p_dw
+         |  FROM $tok t JOIN $phiIn f ON f.token = t.token
+         |  JOIN theta$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
+         |  GROUP BY t.doc_id, t.token, t.n_dw, t.w),
+         |nwt$s AS (
+         |  SELECT t.token, f.topic, sum(t.w * t.n_dw * f.p * h.th / b.p_dw) AS n_wt
+         |  FROM $tok t JOIN $phiIn f ON f.token = t.token
+         |  JOIN theta$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
+         |  JOIN pdwb$s b ON b.doc_id = t.doc_id AND b.token = t.token
+         |  GROUP BY t.token, f.topic)""".stripMargin
+    val norm = reg match {
+      case None =>
+        s"""phi$s AS (
+           |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+           |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwt$s))""".stripMargin
+      case Some((sm, de)) =>
+        s"""rwt$s AS (
+           |  SELECT token, topic,
+           |         ($sm) + ($de) * (-p * (sum(p) OVER (PARTITION BY token) - p)) AS r_wt
+           |  FROM $phiIn),
+           |phi$s AS (
+           |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+           |  FROM (SELECT n.token, n.topic, greatest(n.n_wt + coalesce(r.r_wt, 0.0), 0.0) AS adj
+           |        FROM nwt$s n LEFT JOIN rwt$s r ON r.token = n.token AND r.topic = n.topic))""".stripMargin
+    }
+    em + ",\n" + norm
+  }
+
+  /** Chain `passes` passes from the init, phi0 → phi1 → … → phi$passes. */
+  private def offlineChain(tok: String, t: Int, passes: Int,
+      reg: Option[(Double, Double)]): String = {
+    val ctes = Seq(initCtes(tok, t, "0")) ++
+      (1 to passes).map(p => passCtes(tok, s"phi${p - 1}", t, p.toString, reg))
+    ctes.mkString(",\n")
+  }
+
+  /** Final pwt after `passes` passes: [token, topic, p(6)]. */
+  def fitOffline(t: Int, passes: Int, reg: Option[(Double, Double)] = None): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, reg)}
+       |SELECT token, topic, round(p, 6) AS p FROM phi$passes ORDER BY token, topic""".stripMargin
+
+  /** Per-pass perplexity rows: [pass, perplexity(6)]. */
+  def perplexity(t: Int, passes: Int): String = {
+    val sel = (1 to passes).map { p =>
+      s"SELECT CAST(${p - 1} AS BIGINT) AS pass, round(exp(-sum(n_dw * ln(p_dw)) / sum(n_dw)), 6) AS perplexity FROM pdwb$p"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)}
+       |SELECT * FROM (
+       |      $sel
+       |) ORDER BY pass""".stripMargin
+  }
+
+  /** Inference theta with the fitted phi (one extra E pass):
+    * [doc_id, topic, theta(6)]. */
+  def transform(t: Int, passes: Int): String = {
+    val inf = passCtes("tok", s"phi$passes", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |$inf
+       |SELECT doc_id, topic, round(th, 6) AS theta FROM thetaInf ORDER BY doc_id, topic""".stripMargin
+  }
+
+  /** Top-k tokens per topic of the fitted phi: [topic, rank, token, p(6)].
+    * Rank on the ROUNDED weight (token tie-break) so both engines rank
+    * identical values. */
+  def topTokens(t: Int, passes: Int, k: Int): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |ranked AS (
+       |  SELECT topic, token, round(p, 6) AS p,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY round(p, 6) DESC, token) AS BIGINT) AS rank
+       |  FROM phi$passes)
+       |SELECT topic, rank, token, p FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
+
+  /** Online decay merge over two doc_id-parity chunks: final pwt. */
+  def fitOnline(t: Int, tau0: Double, kappa: Double): String = {
+    val rho1 = s"pow($tau0 + 1, -$kappa)"
+    val rho2 = s"pow($tau0 + 2, -$kappa)"
+    s"""WITH ${tokCte()},
+       |tokA AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+       |tokB AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+       |${initCtes("tok", t, "0")},
+       |${passCtes("tokA", "phi0", t, "A", None)},
+       |nwtmA AS (SELECT token, topic, n_wt * $rho1 AS n_wt FROM nwtA),
+       |phiMA AS (
+       |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+       |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwtmA)),
+       |${passCtes("tokB", "phiMA", t, "B", None)},
+       |nwtmB AS (
+       |  SELECT token, topic, sum(n_wt) AS n_wt FROM (
+       |    SELECT token, topic, n_wt * (1.0 - $rho2) AS n_wt FROM nwtmA
+       |    UNION ALL
+       |    SELECT token, topic, n_wt * $rho2 AS n_wt FROM nwtB)
+       |  GROUP BY token, topic),
+       |phiMB AS (
+       |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+       |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwtmB))
+       |SELECT token, topic, round(p, 6) AS p FROM phiMB ORDER BY token, topic""".stripMargin
+  }
+
+  /** ptdw of the kernel's final refresh on a doc subset:
+    * [doc_id, token, topic, ptdw(6)]. */
+  def ptdw(t: Int, docFilter: String): String =
+    s"""WITH ${tokCte(docFilter = docFilter)},
+       |${initCtes("tok", t, "0")},
+       |${passCtes("tok", "phi0", t, "1", None)}
+       |SELECT t.doc_id, t.token, f.topic, round(f.p * h.th / b.p_dw, 6) AS ptdw
+       |FROM tok t JOIN phi0 f ON f.token = t.token
+       |JOIN theta1 h ON h.doc_id = t.doc_id AND h.topic = f.topic
+       |JOIN pdwb1 b ON b.doc_id = t.doc_id AND b.token = t.token
+       |ORDER BY t.doc_id, t.token, f.topic""".stripMargin
+
+  /** hARTM psi: level-1 (t1 topics) pwt → pseudo-docs → level-2 (t2
+    * topics) theta of the pseudo-docs: [parent_topic, topic, psi(6)]. */
+  def hartmPsi(t1: Int, t2: Int, parentWeight: Double): String =
+    s"""WITH ${tokCte()},
+       |${initCtes("tok", t1, "L1")},
+       |${passCtes("tok", "phiL1", t1, "P1", None)},
+       |pseudo AS (
+       |  SELECT CAST(-(topic + 1) AS BIGINT) AS doc_id, token, p AS n_dw, $parentWeight AS w
+       |  FROM phiP1),
+       |tok2 AS (SELECT doc_id, token, n_dw, w FROM tok UNION ALL SELECT doc_id, token, n_dw, w FROM pseudo),
+       |${initCtes("tok2", t2, "L2")},
+       |${passCtes("tok2", "phiL2", t2, "P2", None)}
+       |SELECT CAST(-doc_id - 1 AS BIGINT) AS parent_topic, topic, round(th, 6) AS psi
+       |FROM thetaP2 WHERE doc_id < 0 ORDER BY parent_topic, topic""".stripMargin
+}
