@@ -56,6 +56,14 @@ object SparkEntry {
   private val OnlineKappa = 0.7
   private val HartmT1 = 4
   private val HartmW = 2.0
+  // LLM-pipeline entry parameters (small hash count keeps the DuckDB
+  // oracle cheap; the operators scale these freely)
+  private val ShingleK = 3
+  private val MinHashes = 8
+  private val MinBands = 4
+  private val MinhashThreshold = 0.25
+  private val AnnQueries = 5
+  private val AnnK = 10
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -151,6 +159,64 @@ object SparkEntry {
           round(col("ptdw"), 6).as("ptdw"))
         .orderBy(col("doc_id"), col("token"), col("topic"))
     }),
+    // LLM pipeline: exact dedup (hash-groupBy on the normalized body)
+    "dedup_exact" -> ((s, dir) => {
+      graft.pipeline.Dedup.exact(docs(s, dir))
+        .select(col("fingerprint"), col("canonical_id"), col("dup_count"),
+          array_join(col("dup_ids"), ",").as("dup_ids"))
+        .orderBy(col("fingerprint"))
+    }),
+    // LLM pipeline: MinHash-LSH near-duplicate pairs (banded buckets)
+    "dedup_minhash" -> ((s, dir) => {
+      graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
+        numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // LLM pipeline: exact n-gram jaccard over the LSH candidate pairs
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cands = graft.pipeline.Dedup.minhashLsh(d, shingleSize = ShingleK,
+        numHashes = MinHashes, bands = MinBands, threshold = 0.0)
+        .select(col("id_a"), col("id_b"))
+      graft.pipeline.Dedup.ngramJaccard(d, cands, n = ShingleK)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // LLM pipeline: brute-force cosine top-k (the ANN oracle baseline)
+    "ann_bruteforce" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // LLM pipeline: text quality scoring (columnar heuristics)
+    "text_quality" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.qualityScore(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars_q").cast("long").as("n_chars_q"),
+          col("n_tokens_q").cast("long").as("n_tokens_q"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("repetition_ratio"), 6).as("repetition_ratio"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: stopword-hit language ID
+    "text_lang_id" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.languageId(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("lang_pred"), col("lang_hits").cast("long").as("lang_hits"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: whitespace + BPE-ish token counting
+    "text_tokens" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpeish_tokens").cast("long").as("bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.3 Dictionary::Filter — df/tf bounds
     "dict_filter" -> ((s, dir) => {
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
@@ -176,6 +242,15 @@ object SparkEntry {
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
     "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),
+    "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
+    "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
+    "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),
+    "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),
+    "text_quality" -> graft.pipeline.PipelineSql.textQuality(
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "text_lang_id" -> graft.pipeline.PipelineSql.langId(
+      graft.pipeline.TextAnalysis.defaultStopwords),
+    "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "cooc_window" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -66,10 +66,26 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+    // Materialization barriers matter here: without them Catalyst's
+    // CollapseProject + filter pushdown inline the shingle expression into
+    // every minhash transform (×numHashes) and the signature expression
+    // into every band projection (×bands) — measured 17 s instead of ~2 s
+    // at sf0.1. Both cached tables are small relative to the corpus
+    // (shingle set / signature per doc), so the barrier is the right
+    // trade at any scale.
+    // repartition first: shingling + numHashes×md5 per shingle is the CPU
+    // hot spot; a single-file input would otherwise run it in one task.
+    // The shingle-emptiness filter goes ABOVE the persist barrier — pushed
+    // down it would re-evaluate shingles() on the pre-shuffle side.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par)
+      .select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("sh")) > 0) // drop shingle-less (short/empty) docs
+    val sig = sh
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
@@ -77,9 +93,11 @@ object Dedup {
         .as(Seq("band", "bucket")))
 
     val w = Window.partitionBy(col("band"), col("bucket"))
+    // persisted: feeds both sides of the candidate self-join
     val bounded = banded
       .withColumn("_bucket_n", count(lit(1)).over(w))
       .filter(col("_bucket_n") <= maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -148,8 +166,12 @@ object Dedup {
     * [id_a, id_b] (from LSH, blocking, or any generator). */
   def ngramJaccard(df: DataFrame, candidates: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), n).as("sh"))
+    // persisted + repartitioned: joined from both candidate endpoints and
+    // CPU-heavy to compute (see minhashLsh note)
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+/** DuckDB oracle SQL for the LLM-pipeline operators wired into
+  * SparkEntry.queries — each statement mirrors the corresponding Dedup /
+  * Ann / TextAnalysis DataFrame plan step by step (same normalization,
+  * same md5 hashing, same integer-exact ratios), so the driver's row-hash
+  * compare is meaningful for these operators too. */
+object PipelineSql {
+
+  /** Shared doc normalization: lowercased, whitespace-collapsed. */
+  private val norm = raw"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+  val dedupExact: String =
+    s"""WITH f AS (SELECT doc_id, md5($norm) AS fingerprint FROM documents)
+       |SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS dup_count,
+       |       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+       |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
+
+  /** Shingle/signature CTEs shared by minhash + jaccard oracles.
+    * k = shingle size, numHashes minhash functions, rows hashes per band. */
+  private def minhashCtes(k: Int, numHashes: Int, rows: Int): String =
+    s"""docs2 AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+       |shl AS (SELECT doc_id,
+       |  list_distinct([array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks) - ${k - 2})]) AS sh
+       |  FROM docs2),
+       |good AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+       |sigs AS (SELECT doc_id, h, list_min([md5(h::VARCHAR || ' ' || s) for s in sh]) AS mh
+       |         FROM good CROSS JOIN (SELECT unnest(generate_series(0, ${numHashes - 1})) AS h)),
+       |bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY h)) AS bucket
+       |          FROM (SELECT doc_id, h, h // $rows AS b, mh FROM sigs) GROUP BY doc_id, b),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  def dedupMinhash(k: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)},
+       |sigj AS (SELECT c.id_a, c.id_b, sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+       |         FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+       |         JOIN sigs sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+       |         GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, CAST(m AS DOUBLE) / $numHashes AS est_jaccard
+       |FROM sigj WHERE CAST(m AS DOUBLE) / $numHashes >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact n-gram jaccard over the minhash candidate pairs. */
+  def ngramJaccard(k: Int, numHashes: Int, bands: Int): String =
+    s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)}
+       |SELECT c.id_a, c.id_b,
+       |       CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+       |            THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |                 / len(list_distinct(sa.sh || sb.sh))
+       |            ELSE 0.0 END AS jaccard
+       |FROM cand c JOIN good sa ON sa.doc_id = c.id_a JOIN good sb ON sb.doc_id = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+
+  def annBruteForce(numQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |scored AS (SELECT q.query_id, e.vec_id AS id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cosine
+       |           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, id, cosine,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS BIGINT) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Mirrors TextAnalysis.qualityScore (same stopword list, same ratios). */
+  def textQuality(stopwords: Seq[String]): String = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_q,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens_q,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+       |              / length(text) ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(len(list_filter(toks, t -> t IN ($sw))) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS stopword_ratio,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS mean_token_len,
+       |    CASE WHEN len(toks) > 0
+       |         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |         ELSE 0.0 END AS repetition_ratio
+       |  FROM base)
+       |SELECT doc_id, n_chars_q, n_tokens_q,
+       |  round(punct_ratio, 6) AS punct_ratio,
+       |  round(stopword_ratio, 6) AS stopword_ratio,
+       |  round(mean_token_len, 6) AS mean_token_len,
+       |  round(repetition_ratio, 6) AS repetition_ratio,
+       |  round(greatest(0.0, least(1.0,
+       |    1.0 - punct_ratio * 2.0
+       |        - CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 0.3 ELSE 0.0 END
+       |        - CASE WHEN n_tokens_q < 5 THEN 0.4 ELSE 0.0 END
+       |        - repetition_ratio * 0.5)), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.languageId's fold (langs in sorted order, strict
+    * `>` keeps the earlier language on ties, `und` when nothing hits). */
+  def langId(stopwords: Map[String, Seq[String]]): String = {
+    val langs = stopwords.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val sw = stopwords(l).map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($sw))) AS BIGINT) AS hits_$l"
+    }.mkString(",\n    ")
+    val fold = langs.zipWithIndex.map { case (l, i) =>
+      val (pl, ph) = if (i == 0) ("'und'", "CAST(0 AS BIGINT)") else (s"l$i", s"b$i")
+      s"SELECT *, CASE WHEN hits_$l > $ph THEN '$l' ELSE $pl END AS l${i + 1}, " +
+        s"CASE WHEN hits_$l > $ph THEN hits_$l ELSE $ph END AS b${i + 1} FROM s$i"
+    }.zipWithIndex.map { case (sql, i) => s"s${i + 1} AS ($sql)" }.mkString(",\n")
+    val n = langs.length
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+       |s0 AS (
+       |  SELECT doc_id,
+       |    $hitCols
+       |  FROM base),
+       |$fold
+       |SELECT doc_id, l$n AS lang_pred, b$n AS lang_hits FROM s$n ORDER BY doc_id""".stripMargin
+  }
+
+  val tokenCounts: String =
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |            ELSE len(string_split($norm, ' ')) END AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
