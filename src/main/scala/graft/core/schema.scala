@@ -43,6 +43,12 @@ object Doc {
     Doc(docId, title, tokens, Array.empty[Txn])
 }
 
+/** A document paired with an initial theta (reuse_theta — reference
+  * core/cache_manager.cc:208-280, processor_helpers.cc:83-91: the E-step
+  * starts from the cached per-item theta instead of uniform). null theta0
+  * falls back to the configured default init. */
+case class DocWithTheta(doc: Doc, theta0: Array[Float])
+
 /** One row of a Phi-like matrix (p_wt / n_wt / r_wt):
   * reference core/phi_matrix.h:17-47. weights.length == numTopics. */
 case class PhiRow(class_id: String, token: String, weights: Array[Float])

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.core.Doc
+import graft.core.{Doc, DocWithTheta}
 import graft.functions.{Rng, VectorOps}
 import graft.regularizers.PtdwAgent
 
@@ -79,9 +79,25 @@ object EStep {
   def run(docs: Dataset[Doc], bPhi: Broadcast[PhiLocal], cfg: EStepConfig): Dataset[EStepOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-
     docs.mapPartitions { it =>
-      val phi = bPhi.value
+      kernel(it.map(d => (d, null: Array[Float])), bPhi.value, cfg)
+    }
+  }
+
+  /** E-step with per-document initial theta (reuse_theta): documents whose
+    * theta0 is null fall back to the default init. */
+  def runWithInit(docs: Dataset[DocWithTheta], bPhi: Broadcast[PhiLocal],
+      cfg: EStepConfig): Dataset[EStepOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      kernel(it.map(dt => (dt.doc, dt.theta0)), bPhi.value, cfg)
+    }
+  }
+
+  private def kernel(it: Iterator[(Doc, Array[Float])], phi: PhiLocal,
+      cfg: EStepConfig): Iterator[EStepOut] = {
+    locally {
       val T = phi.numTopics
       val useClassWeights = cfg.classWeights.nonEmpty
       // phi row -> Σ_d (n_dw/p_wd)·θ_d — multiplied by φ at flush (dense path)
@@ -97,7 +113,7 @@ object EStep {
         while (k < T) { a(k) += scale * vec(k); k += 1 }
       }
 
-      val docRows: Iterator[EStepOut] = it.flatMap { doc =>
+      val docRows: Iterator[EStepOut] = it.flatMap { case (doc, theta0) =>
         val nTok = doc.tokens.length
         val idx = new Array[Int](nTok)
         val w = new Array[Float](nTok)
@@ -113,9 +129,12 @@ object EStep {
         }
         val docW = cfg.docNwtWeightByTitle.getOrElse(doc.title, 1.0f)
 
-        // ---- theta init (reference processor_helpers.cc:73-112) ----
+        // ---- theta init (reference processor_helpers.cc:73-112; cached
+        // theta first, as in the reference's reuse_theta branch) ----
         val theta = new Array[Float](T)
-        if (cfg.useRandomTheta) {
+        if (theta0 != null && theta0.length == T) {
+          System.arraycopy(theta0, 0, theta, 0, T)
+        } else if (cfg.useRandomTheta) {
           val h = {
             var hh = java.lang.Long.rotateLeft(doc.title.hashCode.toLong, 17) ^ doc.doc_id
             if (cfg.thetaSeed != 0) hh = 31 * hh + cfg.thetaSeed

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.core.Doc
+import graft.core.{Doc, DocWithTheta}
 
 /** A phi-side regularizer: produces an r_wt increment DataFrame
   * [class_id, token, weights] from the current (p_wt, n_wt). The final
@@ -56,7 +56,11 @@ object Fit {
       phiRegularizers: Seq[(PhiRegularizer, Float)] = Nil,
       dictionary: Option[DataFrame] = None,
       cooc: Option[DataFrame] = None,
-      topicNames: Seq[String] = Nil) {
+      topicNames: Seq[String] = Nil,
+      /** reuse_theta (reference messages.proto ProcessBatchesArgs +
+        * cache_manager.cc): initialize each pass's theta from the previous
+        * pass's cached theta (joined back by doc_id) instead of uniform. */
+      reuseTheta: Boolean = false) {
     def resolvedTopicNames: Seq[String] =
       if (topicNames.nonEmpty) topicNames else (0 until numTopics).map(i => s"topic_$i")
   }
@@ -80,7 +84,19 @@ object Fit {
     while (pass < cfg.numCollectionPasses) {
       val bPhi = spark.sparkContext.broadcast(phiLocal)
       val prevOut = out
-      out = EStep.run(docs, bPhi, cfg.estep).persist(StorageLevel.MEMORY_AND_DISK)
+      val estepOut =
+        if (cfg.reuseTheta && theta != null) {
+          // join the previous pass's theta back by doc_id (one shuffle of
+          // [doc_id, T floats] — the Spark form of the reference's theta
+          // cache keyed by item)
+          import spark.implicits._
+          val prev = theta.select(col("doc_id").cast("long").as("_1"),
+            col("weights").as("_2")).as[(Long, Array[Float])]
+          val docsT = docs.joinWith(prev, docs("doc_id") === prev("_1"), "left_outer")
+            .map { case (d, t) => DocWithTheta(d, if (t == null) null else t._2) }
+          EStep.runWithInit(docsT, bPhi, cfg.estep)
+        } else EStep.run(docs, bPhi, cfg.estep)
+      out = estepOut.persist(StorageLevel.MEMORY_AND_DISK)
 
       nwt = EStep.nwt(out)
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
@@ -93,7 +109,9 @@ object Fit {
       if (pass < cfg.numCollectionPasses) {
         phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics) // consumes persisted `out`
         pwt = PhiOps.phiFromLocal(spark, phiLocal)
-        out.unpersist(false)
+        // under reuse_theta the next pass still reads this pass's theta —
+        // keep `out` persisted until the next pass has materialized
+        if (!cfg.reuseTheta) out.unpersist(false)
       } else {
         pwt = newPwt // last pass: lazy over the still-persisted `out`
       }
