@@ -17,6 +17,16 @@ trait ThetaAgent extends Serializable {
       nTd: Array[Float], rTd: Array[Float]): Unit
 }
 
+/** A batch-level theta regularizer agent: sees ALL items of a batch each
+  * inner iteration (the reference's RegularizeThetaAgent matrix overload,
+  * regularizer_interface.h:38-44 — needed by HierarchySparsingTheta whose
+  * increments depend on cross-item topic proportions). Used by the joint
+  * E-step (EStep.runJoint) on small pseudo-batches. */
+trait BatchThetaAgent extends Serializable {
+  def apply(innerIter: Int, titles: Array[String],
+      nTd: Array[Array[Float]], rTd: Array[Array[Float]]): Unit
+}
+
 /** ProcessBatches configuration — reference messages.proto
   * ProcessBatchesArgs. `docNwtWeightByTitle` is the per-pseudo-batch
   * weight used by hARTM (reference batch_weight,
@@ -398,9 +408,14 @@ object EStep {
   /** regularizer agents + NormalizeThetaAgent (processor_helpers.h:78-100) */
   private def applyAgentsAndNormalize(doc: Doc, cfg: EStepConfig, pass: Int,
       theta: Array[Float], rTd: Array[Float]): Unit = {
-    val T = theta.length
     java.util.Arrays.fill(rTd, 0.0f)
     cfg.thetaAgents.foreach(_.apply(doc.title, doc.doc_id, pass, theta, rTd))
+    normalizeTheta(theta, rTd)
+  }
+
+  /** NormalizeThetaAgent: theta = max(theta + r, 0) normalized, eps flush. */
+  private def normalizeTheta(theta: Array[Float], rTd: Array[Float]): Unit = {
+    val T = theta.length
     var sum = 0.0f
     var k = 0
     while (k < T) {
@@ -415,6 +430,124 @@ object EStep {
       if (v < eps) v = 0.0f
       theta(k) = v
       k += 1
+    }
+  }
+
+  /** Joint (whole-batch) dense E-step for small pseudo-batches whose theta
+    * regularization needs cross-item state (hARTM's parent pseudo-batch —
+    * reference processes it as ONE batch so HierarchySparsingTheta's agent
+    * sees the full theta matrix). Coalesces to a single task; the batch is
+    * #parentTopics items by construction, so this is never the scale path.
+    * Emits the same EStepOut rows as `run` — union the outputs before the
+    * n_wt aggregation. */
+  def runJoint(docs: Dataset[Doc], bPhi: Broadcast[PhiLocal], cfg: EStepConfig,
+      batchAgents: Seq[BatchThetaAgent]): Dataset[EStepOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.coalesce(1).mapPartitions { it =>
+      val phi = bPhi.value
+      val T = phi.numTopics
+      val ds = it.toArray
+      val n = ds.length
+      if (n == 0) Iterator.empty
+      else {
+        val titles = ds.map(_.title)
+        val useClassWeights = cfg.classWeights.nonEmpty
+        val idxs = new Array[Array[Int]](n)
+        val ws = new Array[Array[Float]](n)
+        var d = 0
+        while (d < n) {
+          val toks = ds(d).tokens
+          idxs(d) = new Array[Int](toks.length)
+          ws(d) = new Array[Float](toks.length)
+          var i = 0
+          while (i < toks.length) {
+            idxs(d)(i) = phi.rowIndex(toks(i).class_id, toks(i).token)
+            val cw = if (useClassWeights) cfg.classWeights.getOrElse(toks(i).class_id, 0.0f) else 1.0f
+            ws(d)(i) = toks(i).weight * cw
+            i += 1
+          }
+          d += 1
+        }
+        val thetas = Array.fill(n)(Array.fill(T)(1.0f / T))
+        val rTds = Array.fill(n)(new Array[Float](T))
+        val nTd = new Array[Float](T)
+
+        var pass = 0
+        while (pass < cfg.numDocumentPasses) {
+          // dense theta update for every item first …
+          d = 0
+          while (d < n) {
+            java.util.Arrays.fill(nTd, 0.0f)
+            var i = 0
+            while (i < idxs(d).length) {
+              val row = idxs(d)(i)
+              if (row >= 0) {
+                val off = phi.offset(row)
+                val pdw = VectorOps.dotSlice(phi.flat, off, thetas(d))
+                if (math.abs(pdw) >= eps) VectorOps.axpySlice(ws(d)(i) / pdw, phi.flat, off, nTd)
+              }
+              i += 1
+            }
+            var k = 0
+            while (k < T) { thetas(d)(k) *= nTd(k); k += 1 }
+            d += 1
+          }
+          // … then batch agents see the full n_td matrix, then per-item
+          // agents + normalize (reference RegularizeAndNormalizeTheta order)
+          rTds.foreach(java.util.Arrays.fill(_, 0.0f))
+          batchAgents.foreach(_.apply(pass, titles, thetas, rTds))
+          d = 0
+          while (d < n) {
+            cfg.thetaAgents.foreach(_.apply(titles(d), ds(d).doc_id, pass, thetas(d), rTds(d)))
+            normalizeTheta(thetas(d), rTds(d))
+            d += 1
+          }
+          pass += 1
+        }
+
+        // n_wt partials + theta/score rows, as in the per-doc kernel
+        val acc = new java.util.HashMap[Int, Array[Float]]()
+        val out = scala.collection.mutable.ArrayBuffer.empty[EStepOut]
+        d = 0
+        while (d < n) {
+          val doc = ds(d)
+          val docW = cfg.docNwtWeightByTitle.getOrElse(doc.title, 1.0f)
+          if (cfg.computeNwt) {
+            var i = 0
+            while (i < idxs(d).length) {
+              val row = idxs(d)(i)
+              if (row >= 0 && ws(d)(i) != 0.0f) {
+                val off = phi.offset(row)
+                val pwd = VectorOps.dotSlice(phi.flat, off, thetas(d))
+                if (math.abs(pwd) >= eps) {
+                  var a = acc.get(row)
+                  if (a == null) { a = new Array[Float](T); acc.put(row, a) }
+                  val scale = docW * ws(d)(i) / pwd
+                  var k = 0
+                  while (k < T) { a(k) += scale * thetas(d)(k) * phi.flat(off + k); k += 1 }
+                }
+              }
+              i += 1
+            }
+          }
+          val (raw, normalizer, zeroWords) =
+            perplexityPartials(doc, phi, cfg, idxs(d), ws(d), thetas(d), isTxnDoc = false)
+          var thetaZeros = 0L
+          var k = 0
+          while (k < T) { if (thetas(d)(k) == 0.0f) thetaZeros += 1; k += 1 }
+          out += EStepOut(1, null, null, thetas(d).clone(), doc.doc_id, doc.title, -1,
+            raw, normalizer, zeroWords, thetaZeros, idxs(d).length.toLong)
+          d += 1
+        }
+        acc.forEach { (row, a) =>
+          var k = 0
+          while (k < T) { a(k) *= cfg.batchWeight; k += 1 }
+          out += EStepOut(0, phi.classIds(row), phi.tokens(row), a,
+            -1L, null, -1, 0.0, 0.0, 0L, 0L, 0L)
+        }
+        out.iterator
+      }
     }
   }
 

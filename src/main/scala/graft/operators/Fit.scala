@@ -49,6 +49,11 @@ case class FitResult(
   * passes of lineage would blow the plan). */
 object Fit {
 
+  /** A small side batch processed jointly (single task, cross-item theta
+    * regularization) — the hARTM parent pseudo-batch (reference
+    * kParentPhiMatrixBatch, master_component.cc:1613-1634). */
+  case class JointBatch(docs: Dataset[Doc], agents: Seq[BatchThetaAgent])
+
   case class Config(
       numTopics: Int,
       numCollectionPasses: Int = 1,
@@ -60,7 +65,8 @@ object Fit {
       /** reuse_theta (reference messages.proto ProcessBatchesArgs +
         * cache_manager.cc): initialize each pass's theta from the previous
         * pass's cached theta (joined back by doc_id) instead of uniform. */
-      reuseTheta: Boolean = false) {
+      reuseTheta: Boolean = false,
+      jointBatch: Option[JointBatch] = None) {
     def resolvedTopicNames: Seq[String] =
       if (topicNames.nonEmpty) topicNames else (0 until numTopics).map(i => s"topic_$i")
   }
@@ -96,7 +102,11 @@ object Fit {
             .map { case (d, t) => DocWithTheta(d, if (t == null) null else t._2) }
           EStep.runWithInit(docsT, bPhi, cfg.estep)
         } else EStep.run(docs, bPhi, cfg.estep)
-      out = estepOut.persist(StorageLevel.MEMORY_AND_DISK)
+      val withJoint = cfg.jointBatch match {
+        case Some(jb) => estepOut.union(EStep.runJoint(jb.docs, bPhi, cfg.estep, jb.agents))
+        case None => estepOut
+      }
+      out = withJoint.persist(StorageLevel.MEMORY_AND_DISK)
 
       nwt = EStep.nwt(out)
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`

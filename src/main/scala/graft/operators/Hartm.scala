@@ -39,7 +39,11 @@ object Hartm {
     * on corpus + parent pseudo-batch. Returns per-level results with Psi
     * (empty for the root). */
   def fit(docs: Dataset[Doc], dict: DataFrame, levels: Seq[Fit.Config],
-      parentWeight: Float = 1.0f, seed: Int = -1): Seq[LevelResult] = {
+      parentWeight: Float = 1.0f, seed: Int = -1,
+      /** τ for HierarchySparsingTheta on the parent pseudo-batch; when set
+        * the pseudo-batch runs through the joint E-step (cross-item agent
+        * state — reference hierarchy_sparsing_theta.cc:24-70). */
+      hierarchySparsingTau: Option[Float] = None): Seq[LevelResult] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(levels.nonEmpty)
@@ -48,15 +52,24 @@ object Hartm {
     var parent: Option[(FitResult, Seq[String])] = None
     levels.foreach { cfg =>
       val pwt0 = PhiOps.initializeModel(dict, cfg.numTopics, seed)
-      val (trainDocs, estep) = parent match {
-        case None => (docs, cfg.estep)
+      val (trainDocs, estep, joint) = parent match {
+        case None => (docs, cfg.estep, None)
         case Some((p, pNames)) =>
           val pseudo = pseudoDocs(p.pwt, pNames)
           val weights = pNames.map(_ -> parentWeight).toMap
-          (docs.unionByName(pseudo),
-            cfg.estep.copy(docNwtWeightByTitle = cfg.estep.docNwtWeightByTitle ++ weights))
+          val estep2 = cfg.estep.copy(
+            docNwtWeightByTitle = cfg.estep.docNwtWeightByTitle ++ weights)
+          hierarchySparsingTau match {
+            case Some(tau) =>
+              // pseudo-batch processed jointly (as one reference batch) so
+              // the sparsing agent sees all parent-topic items at once
+              (docs, estep2, Some(Fit.JointBatch(pseudo,
+                Seq(graft.regularizers.HierarchySparsingTheta(tau)))))
+            case None =>
+              (docs.unionByName(pseudo), estep2, None)
+          }
       }
-      val res = Fit.fitOffline(trainDocs, pwt0, cfg.copy(estep = estep))
+      val res = Fit.fitOffline(trainDocs, pwt0, cfg.copy(estep = estep, jointBatch = joint))
       val psi = parent match {
         case None => spark.emptyDataFrame
         case Some((_, pNames)) =>

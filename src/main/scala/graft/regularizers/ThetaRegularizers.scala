@@ -1,6 +1,6 @@
 package graft.regularizers
 
-import graft.operators.ThetaAgent
+import graft.operators.{BatchThetaAgent, ThetaAgent}
 
 /** Theta-side regularizer agents — applied inside the E-step kernel each
   * inner iteration (reference regularizer_interface.h:27-57 agent classes).
@@ -90,34 +90,61 @@ object TopicSelectionTheta {
 }
 
 /** HierarchySparsingTheta — reference
-  * regularizer/hierarchy_sparsing_theta.cc:15-130: active only on the
-  * hARTM parent pseudo-batch (items = parent topics): pushes each parent
-  * topic's child-topic distribution toward sparsity via a KL term against
-  * the uniform prior 1/numItems. `pseudoItemTitles` marks pseudo-batch
-  * items; others are untouched. */
+  * regularizer/hierarchy_sparsing_theta.cc:24-70, faithfully: applied to
+  * the whole hARTM parent pseudo-batch at once (items = parent topics).
+  * Per inner iteration, with n_d[i] = Σ_t n_td(i) and the cross-item topic
+  * proportion n_t[t] = Σ_i prop[i] · n_td(i,t) / n_d[i]:
+  *
+  *   r_td(i,t) += α_iter · (−τ) · (prior − (n_td(i,t)/n_d[i]) · prop[i] / n_t[t])
+  *
+  * where prop = parent_topic_proportion (default all 1) and prior is the
+  * uniform 1/item_size. NOTE the reference computes `1 / item_size` in C++
+  * int arithmetic (hierarchy_sparsing_theta.cc:96), which is 0 for more
+  * than one parent topic — we implement the documented intent (a float
+  * uniform prior); set `literalIntPrior = true` for bug-compatible output.
+  * Runs as a BatchThetaAgent under EStep.runJoint — the per-document
+  * kernel cannot see cross-item state. */
 case class HierarchySparsingTheta(
     tau: Float,
-    pseudoItemTitles: Set[String],
-    alphaIter: Seq[Float] = Nil) extends ThetaAgent {
+    parentTopicProportion: Option[Array[Float]] = None,
+    alphaIter: Seq[Float] = Nil,
+    topicIndices: Seq[Int] = Nil,
+    literalIntPrior: Boolean = false) extends BatchThetaAgent {
 
-  override def apply(title: String, docId: Long, innerIter: Int,
-      nTd: Array[Float], rTd: Array[Float]): Unit = {
-    if (!pseudoItemTitles.contains(title)) return
+  override def apply(innerIter: Int, titles: Array[String],
+      nTd: Array[Array[Float]], rTd: Array[Array[Float]]): Unit = {
+    val items = nTd.length
+    if (items == 0) return
+    val T = nTd(0).length
     val alpha = if (alphaIter.isEmpty) 1.0f
     else if (innerIter < alphaIter.length) alphaIter(innerIter) else return
-    var sum = 0.0f
+    val prop = parentTopicProportion.getOrElse(Array.fill(items)(1.0f))
+    require(prop.length == items, "parent_topic_proportion size != item count")
+    val sel: Array[Boolean] =
+      if (topicIndices.isEmpty) Array.fill(T)(true)
+      else { val s = new Array[Boolean](T); topicIndices.foreach(i => if (i >= 0 && i < T) s(i) = true); s }
+
+    val nD = nTd.map { row => var s = 0.0f; var t = 0; while (t < T) { s += row(t); t += 1 }; s }
+    val nT = new Array[Float](T)
     var t = 0
-    while (t < nTd.length) { sum += math.max(nTd(t), 0.0f); t += 1 }
-    if (sum <= 0.0f) return
-    val prior = 1.0f / nTd.length
-    t = 0
-    while (t < nTd.length) {
-      if (nTd(t) > 0.0f) {
-        val p = nTd(t) / sum
-        // d/dθ of -KL(p ‖ uniform): pull below-prior mass down, above up
-        rTd(t) += alpha * tau * nTd(t) * (math.log(p / prior)).toFloat
-      }
+    while (t < T) {
+      var s = 0.0f
+      var i = 0
+      while (i < items) { if (nD(i) != 0.0f) s += prop(i) * nTd(i)(t) / nD(i); i += 1 }
+      nT(t) = s
       t += 1
+    }
+    val prior = if (literalIntPrior) (1 / items).toFloat else 1.0f / items
+    var i = 0
+    while (i < items) {
+      t = 0
+      while (t < T) {
+        if (sel(t) && nTd(i)(t) > 0.0f && nD(i) != 0.0f && nT(t) != 0.0f) {
+          rTd(i)(t) += alpha * (-tau) * (prior - (nTd(i)(t) / nD(i)) * prop(i) / nT(t))
+        }
+        t += 1
+      }
+      i += 1
     }
   }
 }
