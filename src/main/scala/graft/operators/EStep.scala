@@ -105,6 +105,58 @@ object EStep {
     }
   }
 
+  /** One (doc, needed-phi-row) pair of the join-based E-step. */
+  private[operators] case class DocPhiRow(
+      doc_id: Long, class_id: String, token: String, weights: Array[Float])
+
+  /** Join-based E-step — the scale path for Phi matrices too large to
+    * broadcast (10M vocab × 1k topics ≫ executor memory). Instead of
+    * shipping the whole Phi to every executor, each document is joined
+    * with exactly the Phi rows it touches:
+    *
+    *   distinct (doc, class, token)  ⋈  pwt   (shuffle hash join on token)
+    *   cogroup by doc_id with the original docs (co-partitioned shuffle)
+    *   per-doc mini-Phi → the SAME per-document kernel as the broadcast
+    *   path (bit-identical per-doc math — token order preserved)
+    *
+    * Shuffle volume per pass = Σ_d |distinct tokens(d)| rows of T floats —
+    * linear in corpus size, independent of vocabulary size; Phi itself
+    * stays distributed (no driver collect, no single-executor constraint).
+    * n_wt partials are per-document here (no partition-level pre-combine),
+    * but the downstream vectorSum aggregate still partial-aggregates
+    * map-side before its shuffle. */
+  def runJoinBased(docs: Dataset[Doc], pwt: DataFrame, numTopics: Int,
+      cfg: EStepConfig): Dataset[EStepOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val needed = docs.flatMap { d =>
+      val seen = new java.util.HashSet[String]()
+      d.tokens.iterator
+        .filter(t => seen.add(t.class_id + "\u0001" + t.token))
+        .map(t => (d.doc_id, t.class_id, t.token))
+    }.toDF("doc_id", "class_id", "token")
+    val joined = needed
+      .join(pwt.select(col("class_id"), col("token"), col("weights")), Seq("class_id", "token"))
+      .select(col("doc_id"), col("class_id"), col("token"), col("weights"))
+      .as[DocPhiRow]
+    docs.groupByKey(_.doc_id).cogroup(joined.groupByKey(_.doc_id)) { (_, dIt, rIt) =>
+      dIt.flatMap { doc =>
+        val rows = rIt.toArray
+        val classIds = rows.map(_.class_id)
+        val toks = rows.map(_.token)
+        val flat = new Array[Float](rows.length * numTopics)
+        var i = 0
+        while (i < rows.length) {
+          val w = rows(i).weights
+          require(w.length == numTopics, s"phi row has ${w.length} topics, expected $numTopics")
+          System.arraycopy(w, 0, flat, i * numTopics, numTopics)
+          i += 1
+        }
+        kernel(Iterator((doc, null)), new PhiLocal(classIds, toks, flat, numTopics), cfg)
+      }
+    }
+  }
+
   private def kernel(it: Iterator[(Doc, Array[Float])], phi: PhiLocal,
       cfg: EStepConfig): Iterator[EStepOut] = {
     locally {

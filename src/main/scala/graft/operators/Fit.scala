@@ -66,7 +66,12 @@ object Fit {
         * cache_manager.cc): initialize each pass's theta from the previous
         * pass's cached theta (joined back by doc_id) instead of uniform. */
       reuseTheta: Boolean = false,
-      jointBatch: Option[JointBatch] = None) {
+      jointBatch: Option[JointBatch] = None,
+      /** Phi rows above this count switch fit_offline to the join-based
+        * E-step (EStep.runJoinBased): Phi stays distributed instead of
+        * being collected + broadcast — the scale path when vocab × topics
+        * exceeds one executor. */
+      maxBroadcastRows: Long = 5000000L) {
     def resolvedTopicNames: Seq[String] =
       if (topicNames.nonEmpty) topicNames else (0 until numTopics).map(i => s"topic_$i")
   }
@@ -77,7 +82,11 @@ object Fit {
     * Lineage is cut every pass: the new pwt is collected to the driver
     * (needed for the next broadcast anyway) and re-created as a local
     * relation, so pass N's plan never references pass N-1's E-step. */
-  def fitOffline(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult = {
+  def fitOffline(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult =
+    if (initialPwt.count() > cfg.maxBroadcastRows) fitOfflineJoinPhi(docs, initialPwt, cfg)
+    else fitOfflineBroadcast(docs, initialPwt, cfg)
+
+  private def fitOfflineBroadcast(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult = {
     val spark = docs.sparkSession
     var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics)
     var pwt: DataFrame = PhiOps.phiFromLocal(spark, phiLocal)
@@ -127,6 +136,37 @@ object Fit {
       }
       if (prevOut != null) prevOut.unpersist(false)
       bPhi.unpersist(false)
+    }
+    FitResult(pwt, nwt, theta, scores.toSeq)
+  }
+
+  /** fit_offline with the join-based E-step: Phi stays a distributed
+    * DataFrame end to end (lineage cut per pass by an eager
+    * localCheckpoint — no driver collect, no broadcast). The path for
+    * vocabularies beyond one executor; same per-document math as the
+    * broadcast loop (JoinPhiParitySpec pins them together). */
+  private def fitOfflineJoinPhi(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult = {
+    require(cfg.jointBatch.isEmpty && !cfg.reuseTheta,
+      "jointBatch/reuseTheta require the broadcast fit path (raise maxBroadcastRows)")
+    var pwt = initialPwt.persist(StorageLevel.MEMORY_AND_DISK)
+    var nwt: DataFrame = null
+    var theta: DataFrame = null
+    var out: Dataset[EStepOut] = null
+    val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+    var pass = 0
+    while (pass < cfg.numCollectionPasses) {
+      val prevOut = out
+      out = EStep.runJoinBased(docs, pwt, cfg.numTopics, cfg.estep)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nwt = EStep.nwt(out)
+      scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
+      theta = EStep.theta(out)
+      val rwt = regularize(pwt, nwt, cfg)
+      val newPwt = PhiOps.normalizeModel(nwt, rwt).localCheckpoint(true)
+      pwt.unpersist(false)
+      pwt = newPwt
+      if (prevOut != null) prevOut.unpersist(false)
+      pass += 1
     }
     FitResult(pwt, nwt, theta, scores.toSeq)
   }
