@@ -20,17 +20,30 @@ object Hartm {
 
   case class LevelResult(fit: FitResult, psi: DataFrame)
 
-  def pseudoDocs(pwt: DataFrame, topicNames: Seq[String], sparseEps: Double = 1e-37): Dataset[Doc] = {
+  /** Parent Phi → pseudo-documents. One doc per (parent topic, chunk):
+    * a single doc per topic would hold the ENTIRE vocabulary in one row
+    * (hundreds of MB at 10M vocab — a straggler/row-limit wall), so the
+    * vocabulary is hash-split into bounded chunks sharing the topic's
+    * title. The E-step weights n_wt by title and theta merges back per
+    * title (Hartm.fit), so chunking only re-partitions the pseudo-batch
+    * work. Chunk membership is a deterministic token hash — stable across
+    * runs and partitionings. */
+  def pseudoDocs(pwt: DataFrame, topicNames: Seq[String], sparseEps: Double = 1e-37,
+      maxTokensPerChunk: Int = 1 << 18): Dataset[Doc] = {
     val spark = pwt.sparkSession
     import spark.implicits._
     val names = topicNames.toArray
+    val vocab = pwt.count()
+    val chunks = math.max(1L, (vocab + maxTokensPerChunk - 1) / maxTokensPerChunk).toInt
     pwt.select(col("class_id"), col("token"), posexplode(col("weights")).as(Seq("topic", "w")))
       .filter(abs(col("w")) > sparseEps)
-      .groupBy(col("topic"))
+      .withColumn("chunk",
+        if (chunks == 1) lit(0) else pmod(abs(hash(col("class_id"), col("token"))), lit(chunks)))
+      .groupBy(col("topic"), col("chunk"))
       .agg(collect_list(struct(col("class_id"), col("token"), col("w"))).as("toks"))
-      .as[(Int, Seq[(String, String, Float)])]
-      .map { case (topic, toks) =>
-        Doc(-(topic + 1).toLong, names(topic),
+      .as[(Int, Int, Seq[(String, String, Float)])]
+      .map { case (topic, chunk, toks) =>
+        Doc(-(topic.toLong * chunks + chunk + 1), names(topic),
           toks.map { case (c, t, w) => TokenEntry(c, t, w) }.toArray, Array.empty[Txn])
       }
   }
@@ -52,10 +65,9 @@ object Hartm {
     var parent: Option[(FitResult, Seq[String])] = None
     levels.foreach { cfg =>
       val pwt0 = PhiOps.initializeModel(dict, cfg.numTopics, seed)
-      val (trainDocs, estep, joint) = parent match {
-        case None => (docs, cfg.estep, None)
-        case Some((p, pNames)) =>
-          val pseudo = pseudoDocs(p.pwt, pNames)
+      val pseudoOpt = parent.map { case (p, pNames) => pseudoDocs(p.pwt, pNames) }
+      val (trainDocs, estep, joint) = (parent, pseudoOpt) match {
+        case (Some((_, pNames)), Some(pseudo)) =>
           val weights = pNames.map(_ -> parentWeight).toMap
           val estep2 = cfg.estep.copy(
             docNwtWeightByTitle = cfg.estep.docNwtWeightByTitle ++ weights)
@@ -68,14 +80,24 @@ object Hartm {
             case None =>
               (docs.unionByName(pseudo), estep2, None)
           }
+        case _ => (docs, cfg.estep, None)
       }
       val res = Fit.fitOffline(trainDocs, pwt0, cfg.copy(estep = estep, jointBatch = joint))
-      val psi = parent match {
+      val psi = pseudoOpt match {
         case None => spark.emptyDataFrame
-        case Some((_, pNames)) =>
-          // Psi = child-topic mixture of each parent pseudo-doc
+        case Some(pseudo) =>
+          // Psi = child-topic mixture per parent topic: pseudo-docs may be
+          // chunked, so merge chunk thetas per title weighted by chunk
+          // token mass (exact for one chunk; mass-weighted average else)
+          val mass = pseudo.map(d => (d.doc_id, d.totalWeight)).toDF("doc_id", "mass")
           res.theta.filter(col("doc_id") < 0)
-            .select(col("title").as("parent_topic"), col("weights"))
+            .join(mass, "doc_id")
+            .groupBy(col("title"))
+            .agg(graft.functions.VectorOps
+              .weightedVectorSum(col("weights"), col("mass").cast("float")).as("wsum"),
+              sum(col("mass")).as("msum"))
+            .select(col("title").as("parent_topic"),
+              transform(col("wsum"), x => (x / col("msum")).cast("float")).as("weights"))
       }
       results += LevelResult(res, psi)
       parent = Some((res, cfg.resolvedTopicNames))

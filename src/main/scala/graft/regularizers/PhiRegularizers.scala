@@ -133,9 +133,11 @@ case class LabelRegularizationPhi(
   * r_wt = −n_wt (zeroing them after normalize). SparseTokens mode: same
   * per token row.
   *
-  * Implemented with posexplode + two windows (rank, running mass) — the
-  * reference's priority queue becomes a top-k window, the canonical Spark
-  * shape; shuffle key = (class, topic) or (class, token). */
+  * Implemented with posexplode + a two-phase top-k aggregate
+  * (functions.TopK.topMassKeep): partial top-k per partition, merged at
+  * the reduce — the reference's priority queue without the per-group
+  * full-vocab sort task a rank window would need; shuffle key = (class,
+  * topic) or (class, token). */
 case class SpecifiedSparsePhi(
     name: String = "sparse",
     classId: String = graft.functions.Rng.DefaultClass,
@@ -155,21 +157,24 @@ case class SpecifiedSparsePhi(
       .filter(col("topic").isin(topicSel.toSeq: _*))
 
     val groupCols = if (byTopics) Seq(col("class_id"), col("topic")) else Seq(col("class_id"), col("token"))
-    val wRank = Window.partitionBy(groupCols: _*).orderBy(col("n").desc, col("token"), col("topic"))
-    val wAll = Window.partitionBy(groupCols: _*)
+    // tie-break matches the old rank window (n desc, token, topic): the
+    // in-group key is the token for byTopics, the zero-padded topic index
+    // (numeric order) for byTokens
+    val keyCol = if (byTopics) col("token") else format_string("%05d", col("topic"))
 
     // keep top-maxElements, then within them the largest prefix whose
     // cumulative mass first reaches threshold·total (reference scans the
     // queue from the largest down and stops at the first crossing)
-    val ranked = cells
-      .withColumn("_rank", row_number().over(wRank))
-      .withColumn("_total", sum(col("n")).over(wAll))
-      .withColumn("_cum", sum(when(col("_rank") <= maxElements, col("n")).otherwise(0.0f))
-        .over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
-    val kept = col("_rank") <= maxElements &&
-      (col("_cum") - col("n")) < col("_total") * probabilityThreshold
-    val rCells = ranked.withColumn("_r",
-      when(kept, lit(0.0f)).otherwise((-col("n")).cast("float")))
+    val keptDf = cells.groupBy(groupCols: _*)
+      .agg(graft.functions.TopK.topMassKeep(keyCol, col("n"), maxElements,
+        probabilityThreshold).as("_kept"))
+    // keptDf has one short row per group — broadcast-sized for byTopics,
+    // AQE-planned otherwise
+    val joinKeys = if (byTopics) Seq("class_id", "topic") else Seq("class_id", "token")
+    val rCells = cells.join(keptDf, joinKeys)
+      .withColumn("_r",
+        when(array_contains(col("_kept"), keyCol), lit(0.0f))
+          .otherwise((-col("n")).cast("float")))
 
     // reassemble array rows; untouched topics contribute 0
     rCells.groupBy(col("class_id"), col("token"))

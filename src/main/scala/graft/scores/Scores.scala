@@ -31,14 +31,18 @@ object Scores {
 
   /** TopTokens — score/top_tokens.cc:18-118: per topic the k tokens with
     * the largest p_wt (deterministic tie-break by token). Returns
-    * [topic, rank, token, weight]. One explode + one windowed top-k. */
+    * [topic, rank, token, weight]. One explode + a two-phase top-k
+    * aggregate (map-side partial top-k — no per-topic full-vocab sort
+    * task, see functions.TopK). */
   def topTokens(pwt: DataFrame, k: Int, classId: String = graft.functions.Rng.DefaultClass): DataFrame = {
     val cells = pwt.filter(col("class_id") === classId)
       .select(col("token"), posexplode(col("weights")).as(Seq("topic", "weight")))
-    val w = Window.partitionBy(col("topic")).orderBy(col("weight").desc, col("token"))
-    cells.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k && col("weight") > 0.0f)
-      .select(col("topic"), col("rank"), col("token"), col("weight"))
+    cells.groupBy(col("topic"))
+      .agg(graft.functions.TopK.topK(col("token"), col("weight"), k).as("top"))
+      .select(col("topic"), posexplode(col("top")).as(Seq("idx", "kv")))
+      .select(col("topic"), (col("idx") + 1).as("rank"),
+        col("kv.k").as("token"), col("kv.v").as("weight"))
+      .filter(col("weight") > 0.0f)
   }
 
   /** Average coherence of the top-k tokens of each topic against a cooc

@@ -50,6 +50,23 @@ class HierarchySparsingSpec extends SparkSpec {
     assert(r1.forall(_.forall(_ == 0.0f)))
   }
 
+  test("chunked pseudo-docs cover the same tokens per parent topic") {
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = Corpus.fromDocumentsTable(docsTable).cache()
+    val dict = DictionaryOps.gather(corpus)
+    val pwt = PhiOps.initializeModel(dict, numTopics = 3, seed = 2)
+    val names = Seq("p0", "p1", "p2")
+    val whole = Hartm.pseudoDocs(pwt, names).collect()
+    val chunked = Hartm.pseudoDocs(pwt, names, maxTokensPerChunk = 4).collect()
+    assert(whole.length == 3)
+    assert(chunked.length > 3, "expected multiple chunks per parent topic")
+    // identical (token -> weight) multiset per title, and bounded chunks
+    def byTitle(ds: Array[graft.core.Doc]) = ds.groupBy(_.title).map { case (t, docs) =>
+      t -> docs.flatMap(_.tokens).map(e => (e.class_id, e.token, e.weight)).sortBy(_._2).toSeq
+    }
+    assert(byTitle(whole) == byTitle(chunked))
+  }
+
   test("hARTM with hierarchy sparsing runs jointly and changes Psi") {
     val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = Corpus.fromDocumentsTable(docsTable).cache()
