@@ -83,6 +83,42 @@ object Scores {
       .select(col("topic"), col("size"), col("purity"), col("contrast"))
   }
 
+  /** TopicKernel with the reference's full report (topic_kernel.cc:30-171):
+    * per-topic size/purity/contrast (+ kernel coherence against a cooc
+    * table when given) and an averages-over-topics summary row with
+    * topic = -1. */
+  def topicKernelFull(pwt: DataFrame, nwt: DataFrame, threshold: Double = 0.1,
+      classId: String = graft.functions.Rng.DefaultClass,
+      cooc: Option[DataFrame] = None): DataFrame = {
+    val base = topicKernel(pwt, nwt, threshold, classId)
+    val withCoh = cooc match {
+      case None => base.withColumn("coherence", lit(null).cast("double"))
+      case Some(c) =>
+        // kernel token sets per topic → pairwise average cooc value
+        val nt = nwt.filter(col("class_id") === classId)
+          .select(transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
+          .agg(VectorOps.vectorSum(col("pos")).as("n_t"))
+        val kernelTokens = pwt.filter(col("class_id") === classId)
+          .crossJoin(broadcast(nt))
+          .withColumn("raw", zip_with(col("weights"), col("n_t"), (p, n) => p * n))
+          .withColumn("norm", aggregate(col("raw"), lit(0.0), (a, x) => a + x))
+          .select(col("token"),
+            posexplode(when(col("norm") > 0.0,
+              transform(col("raw"), x => x / col("norm"))).otherwise(col("raw")))
+              .as(Seq("topic", "ptw")))
+          .filter(col("ptw") > threshold)
+          .select(lit(classId).as("class_id"), col("topic").as("group"), col("token"))
+        val coh = graft.operators.DictionaryOps.topicCoherence(kernelTokens, c)
+          .select(col("group").as("topic"), col("coherence"))
+        base.join(coh, Seq("topic"), "left")
+    }
+    val averages = withCoh.agg(
+      avg(col("size")).as("size"), avg(col("purity")).as("purity"),
+      avg(col("contrast")).as("contrast"), avg(col("coherence")).as("coherence"))
+      .select(lit(-1).as("topic"), col("size"), col("purity"), col("contrast"), col("coherence"))
+    withCoh.unionByName(averages).orderBy(col("topic"))
+  }
+
   /** TopicMassPhi — score/topic_mass_phi.cc:18-80: n_t = Σ_w n_wt per
     * topic of a class (+ ratio to the total mass). */
   def topicMassPhi(nwt: DataFrame, classId: String = graft.functions.Rng.DefaultClass): DataFrame = {

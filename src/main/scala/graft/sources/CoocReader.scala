@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Rng
+
+/** Co-occurrence file reader — reference
+  * core/dictionary_operations.cc:404-478 (GatherDictionaryArgs
+  * .cooc_file_path): each line is `first_token second:value …` where atoms
+  * are separated by spaces/tabs/colons interchangeably (the reference
+  * splits on ` :\t\r` and pairs positionally, so `1 2 0.5` parses the same
+  * as `1 2:0.5`), and `|modality` atoms switch the class of the following
+  * tokens. Lines are independent → distributed text scan + flatMap. */
+object CoocReader {
+
+  /** [class_id, token_a, token_b, cooc_value]; `symmetric` mirrors the
+    * reference's symmetric_cooc_values (both directions emitted). */
+  def read(spark: SparkSession, path: String, symmetric: Boolean = false): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(parseLine(_, symmetric))
+      .toDF("class_id", "token_a", "token_b", "cooc_value")
+  }
+
+  private[graft] def parseLine(line: String, symmetric: Boolean): Seq[(String, String, String, Float)] = {
+    val atoms = line.trim.split("[ :\t\r]+").filter(_.nonEmpty)
+    var i = 0
+    var classId = Rng.DefaultClass
+    // first token (skipping leading modality markers)
+    while (i < atoms.length && atoms(i).startsWith("|")) {
+      classId = atoms(i).substring(1)
+      i += 1
+    }
+    if (i >= atoms.length) return Nil
+    val firstClass = classId
+    val first = atoms(i)
+    i += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Float)]
+    var secondClass = firstClass
+    while (i < atoms.length) {
+      if (atoms(i).startsWith("|")) {
+        secondClass = atoms(i).substring(1)
+        i += 1
+      } else if (i + 1 < atoms.length) {
+        val second = atoms(i)
+        val value = atoms(i + 1).toFloat
+        // reference keys cooc by token pair within the first token's class
+        out += ((firstClass, first, second, value))
+        if (symmetric) out += ((firstClass, second, first, value))
+        i += 2
+      } else i = atoms.length
+    }
+    out.toSeq
+  }
+}

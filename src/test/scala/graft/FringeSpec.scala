@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{Doc, TokenEntry, Txn}
+import graft.operators._
+import graft.sources._
+
+/** Behavioral coverage for the ingestion/scoring fringe: UCI + MM readers
+  * (FIXTURES.md §3-4), cooc file reader (§5), batch writer + registry +
+  * parse dispatcher, transformPredict + ClassPrecision, TopicKernel full
+  * report. Fixture contents are written inline (same formats as the
+  * reference's test_data, independent content). */
+class FringeSpec extends SparkSpec {
+
+  private def tmpFile(name: String, content: String): String = {
+    val f = Files.createTempFile(name, ".txt")
+    Files.writeString(f, content)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  test("UCI docword + vocab reader builds docs with class ids") {
+    val docword = tmpFile("docword",
+      """3
+        |4
+        |5
+        |1 1 2
+        |1 3 1
+        |2 2 5
+        |3 4 1
+        |3 1 1
+        |""".stripMargin)
+    val vocab = tmpFile("vocab",
+      """alpha
+        |beta @label
+        |gamma
+        |delta
+        |""".stripMargin)
+    val docs = UciReader.read(spark, docword, vocab).collect().sortBy(_.doc_id)
+    assert(docs.length == 3)
+    val d1 = docs(0)
+    assert(d1.tokens.map(t => (t.class_id, t.token, t.weight)).toSeq ==
+      Seq(("@default_class", "alpha", 2.0f), ("@default_class", "gamma", 1.0f)))
+    val d2 = docs(1)
+    assert(d2.tokens.head.class_id == "@label" && d2.tokens.head.token == "beta"
+      && d2.tokens.head.weight == 5.0f)
+    // out-of-range word ids are dropped
+    assert(docs(2).tokens.map(_.token).toSeq == Seq("alpha", "delta"))
+  }
+
+  test("duplicate vocab entries are an error") {
+    val vocab = tmpFile("vocabdup", "alpha\nbeta\nalpha\n")
+    intercept[IllegalArgumentException] {
+      UciReader.readVocab(spark, vocab)
+    }
+  }
+
+  test("MatrixMarket reader parses banner + id-token-weight vocab") {
+    val mm = tmpFile("mm",
+      """%%MatrixMarket matrix coordinate real general
+        |2 2 3
+        |1 1 1
+        |1 2 2
+        |2 2 3
+        |""".stripMargin)
+    val vocab = tmpFile("mmvocab", "1 apple 0.0\n2 pear 0.0\n")
+    val docs = UciReader.readMatrixMarket(spark, mm, vocab).collect().sortBy(_.doc_id)
+    assert(docs.length == 2)
+    assert(docs(0).tokens.map(t => (t.token, t.weight)).toSeq ==
+      Seq(("apple", 1.0f), ("pear", 2.0f)))
+    assert(docs(1).tokens.map(_.token).toSeq == Seq("pear"))
+  }
+
+  test("cooc file reader parses triples, colon form, modalities, symmetry") {
+    assert(CoocReader.parseLine("1 2 0.5", symmetric = false) ==
+      Seq(("@default_class", "1", "2", 0.5f)))
+    assert(CoocReader.parseLine("a b:0.5 c:0.25", symmetric = false) ==
+      Seq(("@default_class", "a", "b", 0.5f), ("@default_class", "a", "c", 0.25f)))
+    assert(CoocReader.parseLine("|author smith jones 1.5", symmetric = false) ==
+      Seq(("author", "smith", "jones", 1.5f)))
+    assert(CoocReader.parseLine("x y 2.0", symmetric = true).toSet ==
+      Set(("@default_class", "x", "y", 2.0f), ("@default_class", "y", "x", 2.0f)))
+    val path = tmpFile("cooc", "1 2 0.5\n2 3 0.4\n1 3 0.8\n")
+    val df = CoocReader.read(spark, path)
+    assert(df.count() == 3)
+    // attach path: restrict to a surviving dictionary
+    val dict = DictionaryOps.create(spark, Seq(
+      graft.core.DictEntry("@default_class", "1", 0.5f, 1f, 1f),
+      graft.core.DictEntry("@default_class", "2", 0.5f, 1f, 1f)))
+    val attached = DictionaryOps.filterCooc(
+      df.withColumnRenamed("cooc_value", "cooc_tf"), dict)
+    assert(attached.count() == 1) // only the (1,2) pair survives
+  }
+
+  test("batch writer round-trips and the registry imports/disposes") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      Doc(1L, "d1", Array(TokenEntry("@default_class", "a", 1f)), Array.empty[Txn]),
+      Doc(2L, "d2", Array(TokenEntry("@default_class", "b", 2f)),
+        Array(Txn("@default_transaction", 0, 1)))))
+    val dir = Files.createTempDirectory("graft-batches").toString
+    BatchIO.write(docs, dir)
+    val back = BatchIO.read(spark, dir).collect().sortBy(_.doc_id)
+    assert(back.length == 2)
+    assert(back(0).tokens.head.token == "a")
+    assert(back(1).txns.head.tt_name == "@default_transaction")
+
+    val reg = new BatchIO.BatchRegistry
+    reg.importBatch("b1", docs)
+    assert(reg.names == Seq("b1"))
+    assert(reg("b1").count() == 2)
+    reg.dispose("b1")
+    assert(reg.get("b1").isEmpty)
+  }
+
+  test("parse dispatcher selects formats") {
+    val vw = tmpFile("vw", "doc1 hello world:2\n")
+    assert(BatchIO.parse(spark, "vowpal_wabbit", vw).count() == 1)
+    intercept[IllegalArgumentException] {
+      BatchIO.parse(spark, "bow_uci", vw) // missing vocab
+    }
+    intercept[IllegalArgumentException] {
+      BatchIO.parse(spark, "nope", vw)
+    }
+  }
+
+  test("transformPredict + ClassPrecision on a labeled fixture") {
+    import spark.implicits._
+    // hand-built model: wA→topic0, wB→topic1; labels lA=(1,0), lB=(0,1)
+    val pwt = Seq(
+      ("@default_class", "wA", Array(1.0f, 0.0f)),
+      ("@default_class", "wB", Array(0.0f, 1.0f)),
+      ("@label", "lA", Array(1.0f, 0.0f)),
+      ("@label", "lB", Array(0.0f, 1.0f))).toDF("class_id", "token", "weights")
+    val docs = spark.createDataset(Seq(
+      Doc(1L, "d1", Array(TokenEntry("@default_class", "wA", 3f)), Array.empty[Txn]),
+      Doc(2L, "d2", Array(TokenEntry("@default_class", "wB", 2f)), Array.empty[Txn])))
+    val preds = Fit.transformPredict(docs, pwt, numTopics = 2, predictClassId = "@label",
+      estep = EStepConfig(numDocumentPasses = 5))
+    val best = preds.collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.maxBy(_.getDouble(3)).getString(2)
+    }
+    assert(best(1L) == "lA" && best(2L) == "lB")
+    val truth = Seq((1L, "lA"), (2L, "lB")).toDF("doc_id", "label_token")
+    val precision = graft.scores.Scores.classPrecision(preds, truth).head()
+    assert(precision.getLong(0) == 2L && precision.getLong(1) == 2L)
+    assert(precision.getDouble(2) == 1.0)
+  }
+
+  test("TopicKernel full report: coherence column + averages row") {
+    import spark.implicits._
+    val pwt = Seq(
+      ("@default_class", "a", Array(0.8f, 0.0f)),
+      ("@default_class", "b", Array(0.2f, 0.1f)),
+      ("@default_class", "c", Array(0.0f, 0.9f))).toDF("class_id", "token", "weights")
+    val nwt = Seq(
+      ("@default_class", "a", Array(8.0f, 0.0f)),
+      ("@default_class", "b", Array(2.0f, 1.0f)),
+      ("@default_class", "c", Array(0.0f, 9.0f))).toDF("class_id", "token", "weights")
+    val cooc = Seq(
+      ("@default_class", "a", "b", 4.0), ("@default_class", "b", "a", 4.0))
+      .toDF("class_id", "token_a", "token_b", "cooc_tf")
+    val rep = graft.scores.Scores.topicKernelFull(pwt, nwt, threshold = 0.1,
+      cooc = Some(cooc)).collect()
+    val byTopic = rep.map(r => r.getInt(0) -> r).toMap
+    assert(byTopic.contains(-1), "averages row missing")
+    assert(byTopic.keySet == Set(-1, 0, 1))
+    // topic 0 kernel = {a, b} → coherence = 2·4/(2·1)/2 = pairwise avg of 4
+    val c0 = byTopic(0).getDouble(4)
+    assert(c0 > 0.0, s"expected positive coherence, got $c0")
+    val avgRow = byTopic(-1)
+    assert(!avgRow.isNullAt(1) && !avgRow.isNullAt(3))
+  }
+}
