@@ -26,7 +26,10 @@ class SyntheticGoldenSpec extends SparkSpec {
     val got = res.scores.map(_.perplexity)
     golden.zip(got).zipWithIndex.foreach { case ((exp, act), i) =>
       info(f"pass $i: expected $exp%.3f got $act%.3f")
-      assert(math.abs(exp - act) < 0.01, s"pass $i: expected $exp got $act")
+      // reference's own per-pass eps is 0.001 (test_01_synthetic_collection
+      // .py); goldens are published to 3 decimals, so allow the 0.0005
+      // quantization plus float32 headroom
+      assert(math.abs(exp - act) < 0.002, s"pass $i: expected $exp got $act")
     }
 
     // top-token weight ≈ 0.1 (tol 0.05) — test_01_synthetic_collection.py:43-44
