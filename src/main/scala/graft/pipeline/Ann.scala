@@ -84,6 +84,103 @@ object Ann {
       sigUdf(col(vecCol)).as("bucket"))
   }
 
+  /** Deterministic k-means centroids from a bounded sample (Lloyd driver-
+    * side on ≤ sampleSize vectors — the standard IVF training shape: the
+    * codebook is tiny and global, the assignment pass is distributed). */
+  def trainCentroids(emb: DataFrame, vecCol: String, numCentroids: Int,
+      iters: Int = 5, sampleSize: Int = 10000, seed: Int = 42,
+      idCol: String = "vec_id"): Array[Array[Float]] = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    val k = math.min(numCentroids, sample.length)
+    // seeded initial pick, then Lloyd iterations (L2)
+    val cents = Array.tabulate(k) { i =>
+      val idx = (Rng.tokenHash("@ivf", i.toString, seed) % sample.length).toInt
+      sample(math.floorMod(idx, sample.length)).clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < cents(c).length) {
+            cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val cc = cents(c)
+      while (i < v.length && i < cc.length) {
+        val x = v(i) - cc(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def centroidsByDistance(v: Array[Float], cents: Array[Array[Float]], n: Int): Seq[Int] =
+    cents.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length && i < cents(c).length) {
+        val x = v(i) - cents(c)(i); d += x * x; i += 1
+      }
+      (c, d)
+    }.sortBy(_._2).take(n).map(_._1)
+
+  /** IVF top-k: corpus vectors are assigned to their nearest centroid cell
+    * (one narrow pass over a broadcast codebook); each query probes its
+    * `nprobe` nearest cells and reranks exactly inside them. The cell id
+    * is the partition key — at 100 TB the join touches nprobe/numCentroids
+    * of the corpus instead of all of it. Returns [query_id, rank, id,
+    * cosine]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, vecCol, numCentroids, iters, idCol = idCol, seed = seed)
+    val bC = spark.sparkContext.broadcast(cents)
+    val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bC.value) }
+    val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bC.value, nprobe) }
+
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assign(col("vec")))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probes(col("qvec"))))
+
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
   /** LSH top-k: bucket corpus and queries by hyperplane signature; rerank
     * exactly within the shared bucket. `probes` > 1 additionally explores
     * buckets at Hamming distance 1 from the query's (multi-probe LSH),

@@ -71,6 +71,23 @@ class PipelineSpec extends SparkSpec {
     info(s"LSH recall proxy = $recall")
   }
 
+  test("IVF ANN: cells partition the corpus, probes recover most of brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Ann.bruteForceTopK(emb, queries, k = 10).cache()
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, numCentroids = 8, nprobe = 4).cache()
+    // IVF results are exact cosines of a subset of candidates
+    val joined = ivf.as("i").join(bf.as("b"), Seq("query_id", "id"))
+      .select(abs(col("i.cosine") - col("b.cosine")).as("d")).agg(max("d")).head()
+    assert(joined.isNullAt(0) || joined.getDouble(0) < 1e-12)
+    // probing half the cells must recover a nontrivial share of the truth
+    val recall = ivf.join(bf, Seq("query_id", "id"), "left_semi").count().toDouble / bf.count()
+    info(s"IVF recall@10 = $recall")
+    assert(recall > 0.4, s"IVF recall too low: $recall")
+    // every query returns k rows (cells are never empty with nprobe=4/8)
+    assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+  }
+
   test("embedding near-dup via hyperplane buckets returns high-cosine pairs only") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val nd = Dedup.embeddingNearDup(emb, threshold = 0.9, planes = 6)
