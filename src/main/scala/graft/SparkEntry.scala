@@ -152,6 +152,12 @@ object SparkEntry {
         .select(col("parent_topic"), col("topic"), round(col("psi"), 6).as("psi"))
         .orderBy(col("parent_topic"), col("topic"))
     }),
+    // §2.4 transaction E-step (product-of-phis) on consecutive token pairs
+    "artm_transactions" -> ((s, dir) => {
+      RelationalEm.txnFit(RelationalEm.txnPairs(docs(s, dir)), T)._2
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
     // §2.4 ptdw E-step variant: p(t|d,w) rows on a doc subset
     "artm_ptdw" -> ((s, dir) => {
       RelationalEm.ptdw(relTok(s, dir).filter(col("doc_id") < 20), T)
@@ -242,6 +248,7 @@ object SparkEntry {
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
     "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),
+    "artm_transactions" -> RelationalEmSql.txnFit(T),
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),

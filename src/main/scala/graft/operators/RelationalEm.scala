@@ -208,6 +208,66 @@ object RelationalEm {
         (col("p") * col("th") / col("p_dw")).as("ptdw"))
   }
 
+  /** Consecutive disjoint token pairs of each document as two-token
+    * transactions: [doc_id, txn_id, tok_a, tok_b] (trailing odd token
+    * dropped). The deterministic transaction fixture for the
+    * transaction-E-step oracle. */
+  def txnPairs(docsTable: DataFrame): DataFrame =
+    docsTable
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos0", "token")))
+      .filter(col("token") =!= "")
+      .withColumn("txn_id", (col("pos0") / 2).cast("long"))
+      .groupBy(col("doc_id"), col("txn_id"))
+      .agg(max(when(col("pos0") % 2 === 0, col("token"))).as("tok_a"),
+        max(when(col("pos0") % 2 === 1, col("token"))).as("tok_b"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+      .drop("n")
+
+  /** Transaction EM, relational mirror of the kernel's transaction path
+    * (processor_transaction_helpers.cc:28-161) with numDocumentPasses = 0
+    * (one theta replacement from uniform, n_wt with the updated theta):
+    *   helper_k(x) = θ_k · φ(a,k) · φ(b,k);  p_dx = Σ_k helper_k
+    *   n_td = Σ_x helper_k / p_dx  (typename weight and n_kdx are 1)
+    *   θ' = norm(n_td);  n_wt(w,k) += helper'_k / p'_dx for w ∈ {a, b}.
+    * Returns (theta, pwt). */
+  def txnFit(pairs0: DataFrame, numTopics: Int): (DataFrame, DataFrame) = {
+    val pairs = cached(pairs0)
+    val invT = 1.0 / numTopics
+    val vocab = pairs.select(col("tok_a").as("token"))
+      .unionByName(pairs.select(col("tok_b").as("token")))
+    val phi = toLocal(initPhi(vocab, numTopics))
+    val fa = phi.select(col("token").as("tok_a"), col("topic"), col("p").as("pa"))
+    val fb = phi.select(col("token").as("tok_b"), col("topic"), col("p").as("pb"))
+    val prod = cached(pairs
+      .join(fa, Seq("tok_a")).join(fb, Seq("tok_b", "topic"))
+      .select(col("doc_id"), col("txn_id"), col("tok_a"), col("tok_b"),
+        col("topic"), (col("pa") * col("pb")).as("pp")))
+    val pdx0 = prod.groupBy(col("doc_id"), col("txn_id"))
+      .agg((sum(col("pp")) * lit(invT)).as("pdx"))
+    val ntd = prod
+      .join(pdx0, Seq("doc_id", "txn_id"))
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(sum(col("pp") * lit(invT) / col("pdx")).as("n_td"))
+    val theta = cached(ntd
+      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("topic"), col("th")))
+    val pdx1 = cached(prod.join(theta, Seq("doc_id", "topic"))
+      .groupBy(col("doc_id"), col("txn_id"))
+      .agg(sum(col("pp") * col("th")).as("pdx")))
+    val vals = prod.join(theta, Seq("doc_id", "topic"))
+      .join(pdx1, Seq("doc_id", "txn_id"))
+      .select(col("tok_a"), col("tok_b"), col("topic"),
+        (col("pp") * col("th") / col("pdx")).as("v"))
+    val nwt = vals.select(col("tok_a").as("token"), col("topic"), col("v"))
+      .unionByName(vals.select(col("tok_b").as("token"), col("topic"), col("v")))
+      .groupBy(col("token"), col("topic"))
+      .agg(sum(col("v")).as("n_wt"))
+    val pwt = toLocal(normalize(nwt, phi, RegCfg()))
+    (theta, pwt)
+  }
+
   /** Convert a relational phi [token, topic, p] to the engine's Phi shape
     * [class_id, token, weights: array<float>] (for feeding the md5 init to
     * the float32 kernel in parity tests). */

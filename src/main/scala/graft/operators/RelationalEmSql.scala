@@ -164,6 +164,47 @@ object RelationalEmSql {
        |JOIN pdwb1 b ON b.doc_id = t.doc_id AND b.token = t.token
        |ORDER BY t.doc_id, t.token, f.topic""".stripMargin
 
+  /** Transaction E-step oracle (mirror of RelationalEm.txnFit — the
+    * kernel's product-of-phis path on consecutive-token-pair
+    * transactions): final pwt [token, topic, p(6)]. */
+  def txnFit(t: Int): String = {
+    val invT = s"(1.0/$t)"
+    s"""WITH tokp AS (
+       |  SELECT doc_id, token, pos FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |    FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> ''),
+       |pairs AS (
+       |  SELECT doc_id, (pos - 1) // 2 AS txn_id,
+       |         max(CASE WHEN (pos - 1) % 2 = 0 THEN token END) AS tok_a,
+       |         max(CASE WHEN (pos - 1) % 2 = 1 THEN token END) AS tok_b
+       |  FROM tokp GROUP BY doc_id, (pos - 1) // 2 HAVING count(*) = 2),
+       |pairtok AS (SELECT tok_a AS token FROM pairs UNION ALL SELECT tok_b AS token FROM pairs),
+       |${initCtes("pairtok", t, "T")},
+       |prod AS (
+       |  SELECT p.doc_id, p.txn_id, p.tok_a, p.tok_b, fa.topic, fa.p * fb.p AS pp
+       |  FROM pairs p JOIN phiT fa ON fa.token = p.tok_a
+       |       JOIN phiT fb ON fb.token = p.tok_b AND fb.topic = fa.topic),
+       |pdx0 AS (SELECT doc_id, txn_id, sum(pp) * $invT AS pdx FROM prod GROUP BY doc_id, txn_id),
+       |ntdT AS (SELECT pr.doc_id, pr.topic, sum(pr.pp * $invT / d.pdx) AS n_td
+       |        FROM prod pr JOIN pdx0 d ON d.doc_id = pr.doc_id AND d.txn_id = pr.txn_id
+       |        GROUP BY pr.doc_id, pr.topic),
+       |thetaT AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdT),
+       |pdx1 AS (SELECT pr.doc_id, pr.txn_id, sum(pr.pp * h.th) AS pdx
+       |         FROM prod pr JOIN thetaT h ON h.doc_id = pr.doc_id AND h.topic = pr.topic
+       |         GROUP BY pr.doc_id, pr.txn_id),
+       |vals AS (SELECT pr.tok_a, pr.tok_b, pr.topic, pr.pp * h.th / d.pdx AS v
+       |         FROM prod pr JOIN thetaT h ON h.doc_id = pr.doc_id AND h.topic = pr.topic
+       |         JOIN pdx1 d ON d.doc_id = pr.doc_id AND d.txn_id = pr.txn_id),
+       |nwtT AS (SELECT token, topic, sum(v) AS n_wt FROM (
+       |           SELECT tok_a AS token, topic, v FROM vals
+       |           UNION ALL SELECT tok_b AS token, topic, v FROM vals) GROUP BY token, topic),
+       |phiOut AS (SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+       |           FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwtT))
+       |SELECT token, topic, round(p, 6) AS p FROM phiOut ORDER BY token, topic""".stripMargin
+  }
+
   /** hARTM psi: level-1 (t1 topics) pwt → pseudo-docs → level-2 (t2
     * topics) theta of the pseudo-docs: [parent_topic, topic, psi(6)]. */
   def hartmPsi(t1: Int, t2: Int, parentWeight: Double): String =

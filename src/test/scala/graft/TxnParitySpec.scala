@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Doc, TokenEntry, Txn}
+import graft.operators._
+
+/** Transaction (product-of-phis) E-step pinned to the DuckDB-verified
+  * relational transaction mirror: same consecutive-pair transactions, same
+  * md5 init, numDocumentPasses = 0 (one theta replacement). */
+class TxnParitySpec extends SparkSpec {
+
+  test("kernel transaction E-step matches the relational transaction EM") {
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = RelationalEm.txnPairs(docsTable).cache()
+    val (_, relPwt) = RelationalEm.txnFit(pairs, numTopics = 8)
+
+    // kernel-side docs: positional tokens truncated to pairs, one Txn per
+    // consecutive pair — identical structure to txnPairs
+    import spark.implicits._
+    val docs = pairs.as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val ps = it.toArray.sortBy(_._2)
+        val toks = ps.flatMap(p => Seq(
+          TokenEntry(graft.functions.Rng.DefaultClass, p._3, 1.0f),
+          TokenEntry(graft.functions.Rng.DefaultClass, p._4, 1.0f)))
+        val txns = ps.indices.map(i => Txn("@default_transaction", i * 2, 2)).toArray
+        Doc(id, s"doc$id", toks, txns)
+      }
+
+    val vocab = pairs.select(col("tok_a").as("token"))
+      .unionByName(pairs.select(col("tok_b").as("token")))
+    val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(vocab, 8))
+    val bPhi = spark.sparkContext.broadcast(PhiOps.collectPhi(pwt0, 8))
+    val out = EStep.run(docs, bPhi, EStepConfig(numDocumentPasses = 0))
+      .persist()
+    val kernPwt = PhiOps.normalizeModel(EStep.nwt(out))
+
+    val kern = PhiOps.explodePhi(kernPwt, sparseEps = -1.0)
+      .select(col("token"), col("topic").cast("long").as("topic"),
+        col("weight").cast("double").as("pk"))
+    val joined = relPwt.join(kern, Seq("token", "topic"), "full")
+      .select(coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("pk"), lit(0.0)).as("pk"))
+    val row = joined.agg(max(abs(col("p") - col("pk"))), count(lit(1))).head()
+    info(f"${row.getLong(1)} cells, max |relational - kernel| = ${row.getDouble(0)}%.2e")
+    assert(row.getLong(1) > 0)
+    assert(row.getDouble(0) < 5e-4)
+  }
+}
