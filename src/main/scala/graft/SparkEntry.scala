@@ -32,19 +32,6 @@ object SparkEntry {
       .toDF("pass", "perplexity", "sparsity_theta", "items_processed")
   }
 
-  /** Shared small fit used by the model-dependent (rows-only) queries:
-    * 8 topics, 3 passes over the documents corpus. */
-  private def smallFit(s: SparkSession, dir: String,
-      regs: Seq[(PhiRegularizer, Float)] = Nil): FitResult = {
-    val corpus = Corpus.fromDocumentsTable(docs(s, dir))
-    val dict = DictionaryOps.gather(corpus)
-    val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
-    Fit.fitOffline(corpus, pwt0, Fit.Config(
-      numTopics = 8, numCollectionPasses = 3,
-      estep = EStepConfig(numDocumentPasses = 2),
-      phiRegularizers = regs, dictionary = Some(dict)))
-  }
-
   // Relational-EM configuration shared by the oracle-checked ARTM entries
   // (see RelationalEm scaladoc: DuckDB == RelationalEm by hash,
   // RelationalEm ≈ kernel by RelationalParitySpec).

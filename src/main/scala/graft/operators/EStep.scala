@@ -39,6 +39,10 @@ case class EStepConfig(
     docNwtWeightByTitle: Map[String, Float] = Map.empty,
     useRandomTheta: Boolean = false,              // messages.proto:675 default
     thetaSeed: Int = 0,
+    /** use_sparse_computation (messages.proto:799-800): pack near-zero phi
+      * rows before broadcast so the dense kernel skips zeros. Bit-identical
+      * output (zero terms add exactly 0). */
+    useSparseComputation: Boolean = false,
     thetaAgents: Seq[ThetaAgent] = Nil,
     ptdwAgents: Seq[PtdwAgent] = Nil,
     emitPtdw: Boolean = false,
@@ -279,10 +283,9 @@ object EStep {
       while (i < nTok) {
         val row = idx(i)
         if (row >= 0) {
-          val off = phi.offset(row)
-          val pdw = VectorOps.dotSlice(phi.flat, off, theta)
+          val pdw = phi.dotRow(row, theta)
           if (math.abs(pdw) >= eps) {
-            VectorOps.axpySlice(w(i) / pdw, phi.flat, off, nTd)
+            phi.axpyRow(w(i) / pdw, row, nTd)
           }
         }
         i += 1
@@ -298,8 +301,7 @@ object EStep {
       while (i < nTok) {
         val row = idx(i)
         if (row >= 0 && w(i) != 0.0f) {
-          val off = phi.offset(row)
-          val pwd = VectorOps.dotSlice(phi.flat, off, theta)
+          val pwd = phi.dotRow(row, theta)
           if (math.abs(pwd) >= eps) {
             addTo(acc, row, docW * w(i) / pwd, theta)
           }

@@ -88,7 +88,7 @@ object Fit {
 
   private def fitOfflineBroadcast(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult = {
     val spark = docs.sparkSession
-    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics)
+    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
     var pwt: DataFrame = PhiOps.phiFromLocal(spark, phiLocal)
     var nwt: DataFrame = null
     var theta: DataFrame = null
@@ -126,7 +126,7 @@ object Fit {
 
       pass += 1
       if (pass < cfg.numCollectionPasses) {
-        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics) // consumes persisted `out`
+        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics, cfg.estep.useSparseComputation) // consumes persisted `out`
         pwt = PhiOps.phiFromLocal(spark, phiLocal)
         // under reuse_theta the next pass still reads this pass's theta —
         // keep `out` persisted until the next pass has materialized
@@ -186,7 +186,7 @@ object Fit {
     var theta: DataFrame = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
 
-    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics)
+    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
     pwt = PhiOps.phiFromLocal(spark, phiLocal)
 
     chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -209,7 +209,7 @@ object Fit {
       val rwt = regularize(pwt, nwt, cfg)
       val newPwt = PhiOps.normalizeModel(nwt, rwt)
       if (i < chunks.length - 1) {
-        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics)
+        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics, cfg.estep.useSparseComputation)
         pwt = PhiOps.phiFromLocal(spark, phiLocal)
         out.unpersist(false)
       } else {
@@ -225,7 +225,8 @@ object Fit {
   def transform(docs: Dataset[Doc], pwt: DataFrame, numTopics: Int,
       estep: EStepConfig = EStepConfig()): DataFrame = {
     val spark = docs.sparkSession
-    val bPhi = spark.sparkContext.broadcast(PhiOps.collectPhi(pwt, numTopics))
+    val bPhi = spark.sparkContext.broadcast(
+      PhiOps.collectPhi(pwt, numTopics, estep.useSparseComputation))
     EStep.theta(EStep.run(docs, bPhi, estep.copy(computeNwt = false)))
   }
 
