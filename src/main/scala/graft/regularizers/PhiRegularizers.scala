@@ -235,7 +235,8 @@ case class BitermsPhi(
       .withColumn("_norm", aggregate(col("_ptuw"), lit(0.0f), (a, x) => a + x))
       .withColumn("_contrib",
         transform(col("_ptuw"), x =>
-          when(col("_norm") > 0f && x > 0f, x / col("_norm")).otherwise(lit(0.0f))))
+          when(col("_norm") > 0f && x > 0f, (x / col("_norm")).cast("float"))
+            .otherwise(lit(0.0f))))
       .groupBy(col("class_id"), col("token_a").as("token"))
       .agg(VectorOps.weightedVectorSum(col("_contrib"), col("cooc_tf")).as("weights"))
   }
