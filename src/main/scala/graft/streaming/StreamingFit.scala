@@ -80,6 +80,11 @@ final class StreamingOnlineFit(
   }
 }
 
+/** One closed user session from [[StreamingPipeline.sessionize]]. */
+case class UserSession(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, events: Long, total_value: Double)
+
 /** Streaming training-data hygiene: quality-score + fingerprint the
   * incoming documents and drop duplicates within the watermark window —
   * the streaming form of the batch Dedup/TextAnalysis operators. */
@@ -101,5 +106,59 @@ object StreamingPipeline {
         .dropDuplicates("fingerprint", ts)
       case None => scored.dropDuplicates("fingerprint")
     }
+  }
+
+  /** Watermarked tumbling-window aggregation over the `events` stream
+    * shape ([event_id, ts, user_id, event_type, value, …]): late data
+    * beyond `watermark` is dropped, window state is bounded. Returns
+    * [window, event_type, events, total_value]. */
+  def eventWindowCounts(events: DataFrame, windowLength: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
+
+  /** Session windows with custom state — flatMapGroupsWithState with an
+    * event-time timeout: a user's session closes after `gapSeconds` of
+    * silence (watermark-driven), emitting one UserSession row. The
+    * KeyValueGroupedDataset state machine the reference has no analogue
+    * for — pure Structured Streaming surface. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark) // after the projection so the tag survives
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(java.sql.Timestamp, java.sql.Timestamp, Long, Double), UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n, v) = state.get
+            state.remove()
+            Iterator.single(UserSession(user, start, end, n, v))
+          } else {
+            val evs = rows.toArray
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val sorted = evs.sortBy(_._2.getTime)
+              val (start0, end0, n0, v0) = state.getOption
+                .getOrElse((sorted.head._2, sorted.head._2, 0L, 0.0))
+              val start = if (sorted.head._2.before(start0)) sorted.head._2 else start0
+              val end = if (sorted.last._2.after(end0)) sorted.last._2 else end0
+              state.update((start, end, n0 + evs.length, v0 + evs.map(_._3).sum))
+              state.setTimeoutTimestamp(end.getTime + gapSeconds * 1000)
+              Iterator.empty
+            }
+          }
+      }
   }
 }

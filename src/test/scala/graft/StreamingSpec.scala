@@ -41,6 +41,43 @@ class StreamingSpec extends SparkSpec {
     colSums.foreach(s => assert(math.abs(s - 1.0f) < 1e-3))
   }
 
+  test("watermarked window counts and stateful sessionization over events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = stream.toDS().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val windowed = StreamingPipeline.eventWindowCounts(df, "10 minutes", "5 minutes")
+    val q1 = windowed.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    val sessions = StreamingPipeline.sessionize(df, gapSeconds = 600, watermark = "5 minutes")
+    val q2 = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, ts(0), 7L, "click", 1.0), (2L, ts(1), 7L, "click", 2.0),
+        (3L, ts(2), 9L, "view", 5.0))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // advance event time far beyond watermark + session gap → windows
+      // close, sessions time out
+      stream.addData((4L, ts(60), 11L, "click", 1.0))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      stream.addData((5L, ts(120), 11L, "click", 1.0))
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+
+    val wins = spark.sql("SELECT event_type, events, total_value FROM win_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wins.contains(("click", 2L, 3.0)), s"windowed counts wrong: $wins")
+    assert(wins.exists(_._1 == "view"))
+
+    val sess = spark.sql("SELECT user_id, events, total_value FROM sessions")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sess.get(7L).contains((2L, 3.0)), s"session for user 7 wrong: $sess")
+    assert(sess.get(9L).contains((1L, 5.0)))
+  }
+
   test("streaming clean+dedup drops low-quality docs and duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
