@@ -220,6 +220,69 @@ object Fit {
     FitResult(pwt, nwt, theta, scores.toSeq)
   }
 
+  /** fit_online with async pipelining — reference master_component.cc:
+    * 1387-1439 (AsyncProcessBatches/Await): chunk i+1's E-step starts with
+    * the PRE-merge phi while the driver merges chunk i — the same one-step
+    * staleness as the reference's interleave. `asyncDepth` ≥ 1 is how many
+    * chunk E-steps may run ahead (Spark schedules the concurrent jobs). */
+  def fitOnlineAsync(chunks: Seq[Dataset[Doc]], initialPwt: DataFrame, cfg: Config,
+      tau0: Double = 1024.0, kappa: Double = 0.7, asyncDepth: Int = 1): FitResult = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    require(asyncDepth >= 1, "asyncDepth must be >= 1")
+    val spark = chunks.head.sparkSession
+    var nwt: DataFrame = null
+    var theta: DataFrame = null
+    val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+
+    var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
+    var pwt = PhiOps.phiFromLocal(spark, phiLocal)
+    // in-flight E-steps: (chunk index, broadcast, persisted-out future)
+    val inflight = scala.collection.mutable.Queue.empty[
+      (Int, org.apache.spark.broadcast.Broadcast[PhiLocal], Future[Dataset[EStepOut]])]
+
+    def launch(i: Int): Unit = {
+      val bPhi = spark.sparkContext.broadcast(phiLocal)
+      val fut = Future {
+        val out = EStep.run(chunks(i), bPhi, cfg.estep).persist(StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize with the phi this job was launched with
+        out
+      }
+      inflight.enqueue((i, bPhi, fut))
+    }
+
+    var next = 0
+    while (next < math.min(asyncDepth, chunks.length)) { launch(next); next += 1 }
+    while (inflight.nonEmpty) {
+      val (i, bPhi, fut) = inflight.dequeue()
+      val out = Await.result(fut, Duration.Inf)
+      val rho = math.pow(tau0 + i + 1, -kappa).toFloat
+      val nwtHat = EStep.nwt(out)
+      scores += cumulativeScores(i, out, cfg.numTopics)
+      theta = EStep.theta(out)
+      val merged =
+        if (nwt == null) PhiOps.mergeModels(Seq((nwtHat, rho)))
+        else PhiOps.mergeModels(Seq((nwt, 1.0f - rho), (nwtHat, rho)))
+      val mergedP = merged.persist(StorageLevel.MEMORY_AND_DISK)
+      mergedP.count()
+      if (nwt != null) nwt.unpersist()
+      nwt = mergedP
+      val rwt = regularize(pwt, nwt, cfg)
+      val newPwt = PhiOps.normalizeModel(nwt, rwt)
+      if (inflight.isEmpty && next >= chunks.length) {
+        pwt = newPwt
+      } else {
+        phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics, cfg.estep.useSparseComputation)
+        pwt = PhiOps.phiFromLocal(spark, phiLocal)
+        out.unpersist(false)
+        if (next < chunks.length) { launch(next); next += 1 }
+      }
+      bPhi.unpersist(false)
+    }
+    FitResult(pwt, nwt, theta, scores.toSeq)
+  }
+
   /** transform (inference) — reference master_component.cc:1145-1212: the
     * E-step without the n_wt update; returns theta. */
   def transform(docs: Dataset[Doc], pwt: DataFrame, numTopics: Int,

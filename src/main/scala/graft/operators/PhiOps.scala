@@ -100,6 +100,14 @@ object PhiOps {
       .filter(abs(col("weight")) > sparseEps)
   }
 
+  /** get_theta sparse retrieval (MatrixLayout sparse,
+    * phi_matrix_operations.cc:178-188 applied to theta): explode to
+    * (doc_id, title, topic, weight) rows above `sparseEps`. */
+  def explodeTheta(theta: DataFrame, sparseEps: Double = 1e-37): DataFrame =
+    theta.select(col("doc_id"), col("title"),
+      posexplode(col("weights")).as(Seq("topic", "weight")))
+      .filter(abs(col("weight")) > sparseEps)
+
   /** ReconfigureTopicName / reshape_topics — keep matched topic columns by
     * name, new topics zero-filled (reference master_component.cc:728-732).*/
   def reshapeTopics(phi: DataFrame, oldNames: Seq[String], newNames: Seq[String]): DataFrame = {

@@ -37,6 +37,32 @@ class FitOnlineSpec extends SparkSpec {
     assert(row.getDouble(0) < 5e-4)
   }
 
+  test("async online matches sync online with depth 1 and overlaps with depth 2") {
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tok = RelationalEm.tokens(docsTable).cache()
+    val corpus = Corpus.fromDocumentsTable(docsTable).cache()
+    val chunks = Seq(corpus.filter(_.doc_id % 2 == 0), corpus.filter(_.doc_id % 2 == 1))
+    val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(tok, 8)).cache()
+    val cfg = Fit.Config(numTopics = 8, estep = EStepConfig(numDocumentPasses = 1))
+
+    val sync = Fit.fitOnline(chunks, pwt0, cfg, tau0 = 16.0, kappa = 0.7)
+    // depth 1 = no overlap → exactly the sync algorithm
+    val async1 = Fit.fitOnlineAsync(chunks, pwt0, cfg, tau0 = 16.0, kappa = 0.7, asyncDepth = 1)
+    val a = PhiOps.explodePhi(sync.pwt, sparseEps = -1)
+      .select(col("token"), col("topic"), col("weight").as("ws"))
+    val b = PhiOps.explodePhi(async1.pwt, sparseEps = -1)
+      .select(col("token"), col("topic"), col("weight").as("wa"))
+    val maxDiff = a.join(b, Seq("token", "topic"))
+      .agg(max(abs(col("ws") - col("wa")))).head().getFloat(0)
+    info(f"depth-1 async vs sync max diff = $maxDiff%.2e")
+    assert(maxDiff < 1e-6f)
+
+    // depth 2 overlaps (stale phi for chunk 2) — still converges sanely
+    val async2 = Fit.fitOnlineAsync(chunks, pwt0, cfg, tau0 = 16.0, kappa = 0.7, asyncDepth = 2)
+    assert(async2.scores.length == 2)
+    assert(async2.scores.last.perplexity > 0 && !async2.scores.last.perplexity.isNaN)
+  }
+
   test("online fit approaches the offline trajectory on the synthetic collection") {
     val docs = SyntheticCollection.dataset(spark, numPartitions = 1).cache()
     val dict = DictionaryOps.gather(docs)
