@@ -22,18 +22,42 @@ object PhiOps {
     * to `classIds`), filled with the deterministic hash-seeded random
     * simplex vector (reference master_component.cc:587-705 +
     * helpers.cc:79-140). Deterministic per token — independent of
-    * partitioning, matching repeatable_result_test.cc's guarantee. */
+    * partitioning, matching repeatable_result_test.cc's guarantee.
+    *
+    * Sparse init (reference :663-691): with denseInitRate < 1, only the
+    * top denseInitRate fraction of tokens BY TF get dense vectors; the
+    * rest draw with `guaranteedZerosRate` zeros. The dense set is chosen
+    * by a tf threshold (distributed TakeOrdered top-k, not a global rank
+    * window); ties at the boundary go sparse — a documented deviation
+    * from the reference's exact index cut, still a pure function of the
+    * dictionary. */
   def initializeModel(dict: DataFrame, numTopics: Int, seed: Int = -1,
-      classIds: Seq[String] = Nil): DataFrame = {
+      classIds: Seq[String] = Nil,
+      denseInitRate: Float = 1.0f, guaranteedZerosRate: Float = 0.0f): DataFrame = {
     val spark = dict.sparkSession
     import spark.implicits._
     val filtered =
       if (classIds.isEmpty) dict else dict.filter($"class_id".isin(classIds: _*))
-    val init = udf { (classId: String, token: String) =>
-      Rng.seededTokenVector(numTopics, classId, token, seed)
+    val useSparseInit = denseInitRate < 1.0f && guaranteedZerosRate > 0.0f
+    val withDense =
+      if (!useSparseInit) filtered.withColumn("_dense", lit(true))
+      else {
+        val n = filtered.count()
+        val numDense = (n * denseInitRate).toLong
+        if (numDense >= n) filtered.withColumn("_dense", lit(true))
+        else if (numDense <= 0) filtered.withColumn("_dense", lit(false))
+        else {
+          val threshold = filtered.select($"tf").orderBy($"tf".desc)
+            .limit(numDense.toInt + 1).agg(min($"tf")).as[Float].head()
+          filtered.withColumn("_dense", $"tf" > threshold)
+        }
+      }
+    val init = udf { (classId: String, token: String, dense: Boolean) =>
+      Rng.seededTokenVector(numTopics, classId, token, seed,
+        if (dense) 0.0f else guaranteedZerosRate)
     }
-    val seeded = filtered.select($"class_id", $"token",
-      init($"class_id", $"token").as("weights"))
+    val seeded = withDense.select($"class_id", $"token",
+      init($"class_id", $"token", $"_dense").as("weights"))
     // reference master_component.cc:699 — FindPwt: per-(class, topic)
     // normalization over tokens turns the seeded rows into a stochastic Phi
     normalizeModel(seeded)

@@ -108,6 +108,45 @@ class UntestedFringeValuesSpec extends SparkSpec {
     assert(weightsOf(reshaped)("a") == Seq(3f, 0f, 1f))
   }
 
+  test("sparse init: low-tf tokens draw zero-heavy rows, high-tf stay dense") {
+    import spark.implicits._
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = graft.sources.Corpus.fromDocumentsTable(docsTable).cache()
+    val dict = DictionaryOps.gather(corpus).cache()
+    val pwt = PhiOps.initializeModel(dict, numTopics = 16, seed = 4,
+      denseInitRate = 0.2f, guaranteedZerosRate = 0.9f).cache()
+    // columns are still stochastic
+    val colSums = pwt.agg(graft.functions.VectorOps.vectorSum(col("weights")))
+      .head().getSeq[Float](0)
+    colSums.foreach(s => assert(math.abs(s - 1.0f) < 1e-3))
+    // the sparse (low-tf) rows have zeros; dense rows have none
+    val zeroStats = pwt.join(dict, Seq("class_id", "token"))
+      .select(col("tf"), size(filter(col("weights"), w => w === 0.0f)).as("zeros"))
+      .collect()
+    val hiTf = zeroStats.sortBy(-_.getFloat(0)).take(3)
+    val loTf = zeroStats.sortBy(_.getFloat(0)).take(3)
+    assert(hiTf.forall(_.getInt(1) == 0), "top-tf rows should be dense")
+    assert(loTf.exists(_.getInt(1) > 4), "low-tf rows should be zero-heavy")
+    // deterministic: same call → identical matrix
+    val again = PhiOps.initializeModel(dict, 16, 4, Nil, 0.2f, 0.9f)
+    val diff = pwt.select(col("class_id"), col("token"), col("weights"))
+      .unionByName(again.select(col("class_id"), col("token"), col("weights")))
+      .groupBy(col("class_id"), col("token"), col("weights"))
+      .count().filter(col("count") =!= 2).count()
+    assert(diff == 0)
+  }
+
+  test("in-memory n_wd ingest builds the expected docs") {
+    val nwd = Array(
+      Array(2f, 0f), // token "x": doc0 weight 2
+      Array(0f, 3f)) // token "y": doc1 weight 3
+    val docs = graft.sources.Corpus.fromNwdMatrix(spark, nwd, Array("x", "y"))
+      .collect().sortBy(_.doc_id)
+    assert(docs.length == 2)
+    assert(docs(0).tokens.map(t => (t.token, t.weight)).toSeq == Seq(("x", 2f)))
+    assert(docs(1).tokens.map(t => (t.token, t.weight)).toSeq == Seq(("y", 3f)))
+  }
+
   test("ModelRegistry: put/overwrite/dispose") {
     val reg = new ModelRegistry
     val a = phiOf(("c", "a", Array(1f)))
