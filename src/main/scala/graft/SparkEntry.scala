@@ -139,6 +139,14 @@ object SparkEntry {
         .select(col("parent_topic"), col("topic"), round(col("psi"), 6).as("psi"))
         .orderBy(col("parent_topic"), col("topic"))
     }),
+    // §2.4 reuse_theta: pass-2 theta initialized from pass-1's cache
+    "artm_reuse_theta" -> ((s, dir) => {
+      val tok = relTok(s, dir)
+      val p1 = RelationalEm.fitOffline(tok, T, 1)
+      RelationalEm.emPassReuse(tok, p1.pwt, p1.theta, T)
+        .select(col("doc_id"), col("topic"), round(col("th"), 6).as("theta"))
+        .orderBy(col("doc_id"), col("topic"))
+    }),
     // §2.4 transaction E-step (product-of-phis) on consecutive token pairs
     "artm_transactions" -> ((s, dir) => {
       RelationalEm.txnFit(RelationalEm.txnPairs(docs(s, dir)), T)._2
@@ -236,6 +244,7 @@ object SparkEntry {
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
     "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),
     "artm_transactions" -> RelationalEmSql.txnFit(T),
+    "artm_reuse_theta" -> RelationalEmSql.reuseTheta(T),
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),

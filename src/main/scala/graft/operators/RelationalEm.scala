@@ -149,6 +149,26 @@ object RelationalEm {
       .select(col("token"), col("topic"), col("p"))
   }
 
+  /** One EM doc-pass whose theta STARTS from `thetaInit` instead of
+    * uniform — the relational mirror of reuse_theta (the kernel's cached
+    * theta init): theta' ∝ Σ_w n_dw·φ_wt·θ0_td / p_dw with
+    * p_dw = Σ_t φ_wt·θ0_td. Returns the updated theta. */
+  def emPassReuse(tok: DataFrame, phi: DataFrame, thetaInit: DataFrame,
+      numTopics: Int): DataFrame = {
+    val tpt = cached(tok.join(phi, Seq("token"))
+      .join(thetaInit.select(col("doc_id"), col("topic"), col("th").as("th0")),
+        Seq("doc_id", "topic")))
+    val pdw = tpt.groupBy(col("doc_id"), col("token"), col("n_dw"))
+      .agg(sum(col("p") * col("th0")).as("p_dw"))
+    val ntd = tpt
+      .join(pdw.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(sum(col("n_dw") * col("p") * col("th0") / col("p_dw")).as("n_td"))
+    ntd
+      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("topic"), col("th"))
+  }
+
   /** Per-pass perplexity from the pass's final p_dw table. */
   def perplexity(pdw: DataFrame, pass: Int): DataFrame =
     pdw.agg(exp(-sum(col("n_dw") * log(col("p_dw"))) / sum(col("n_dw"))).as("perplexity"))

@@ -164,6 +164,24 @@ object RelationalEmSql {
        |JOIN pdwb1 b ON b.doc_id = t.doc_id AND b.token = t.token
        |ORDER BY t.doc_id, t.token, f.topic""".stripMargin
 
+  /** reuse_theta oracle (mirror of RelationalEm.emPassReuse): pass 2's
+    * theta initialized from pass 1's cached theta —
+    * [doc_id, topic, theta(6)]. */
+  def reuseTheta(t: Int): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, 1, None)},
+       |tpt AS (
+       |  SELECT t.doc_id, t.token, t.n_dw, f.topic, f.p, h.th
+       |  FROM tok t JOIN phi1 f ON f.token = t.token
+       |  JOIN theta1 h ON h.doc_id = t.doc_id AND h.topic = f.topic),
+       |pdwR AS (SELECT doc_id, token, n_dw, sum(p * th) AS p_dw
+       |         FROM tpt GROUP BY doc_id, token, n_dw),
+       |ntdR AS (SELECT tpt.doc_id, tpt.topic, sum(tpt.n_dw * tpt.p * tpt.th / r.p_dw) AS n_td
+       |         FROM tpt JOIN pdwR r ON r.doc_id = tpt.doc_id AND r.token = tpt.token
+       |         GROUP BY tpt.doc_id, tpt.topic),
+       |thetaR AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdR)
+       |SELECT doc_id, topic, round(th, 6) AS theta FROM thetaR ORDER BY doc_id, topic""".stripMargin
+
   /** Transaction E-step oracle (mirror of RelationalEm.txnFit — the
     * kernel's product-of-phis path on consecutive-token-pair
     * transactions): final pwt [token, topic, p(6)]. */

@@ -39,6 +39,24 @@ class RelationalParitySpec extends SparkSpec {
     assert(n > 0)
     assert(maxDiff < 5e-4, f"kernel diverges from relational EM: $maxDiff%.2e")
 
+    // reuse_theta parity: kernel pass-2-with-cached-theta vs the
+    // relational reuse mirror
+    val p1 = RelationalEm.fitOffline(tok, 8, 1)
+    val relReuse = RelationalEm.emPassReuse(tok, p1.pwt, p1.theta, 8)
+      .select(col("doc_id"), col("topic"), col("th"))
+    val kernReuse = Fit.fitOffline(corpus, pwt0, Fit.Config(
+      numTopics = 8, numCollectionPasses = 2,
+      estep = EStepConfig(numDocumentPasses = 1), reuseTheta = true)).theta
+    val kr = kernReuse.select(col("doc_id"),
+      posexplode(col("weights")).as(Seq("topic", "thk")))
+      .select(col("doc_id"), col("topic").cast("long").as("topic"),
+        col("thk").cast("double").as("thk"))
+    val rj = relReuse.join(kr, Seq("doc_id", "topic"), "full")
+      .select(coalesce(col("th"), lit(0.0)).as("th"), coalesce(col("thk"), lit(0.0)).as("thk"))
+    val rrow = rj.agg(max(abs(col("th") - col("thk"))), count(lit(1))).head()
+    info(f"reuse_theta: ${rrow.getLong(1)} cells, max diff = ${rrow.getDouble(0)}%.2e")
+    assert(rrow.getLong(1) > 0 && rrow.getDouble(0) < 5e-4)
+
     // perplexity trajectory parity (per pass, relative 1e-3)
     val relPerp = rel.perplexities.map(_.select(col("perplexity")).head().getDouble(0))
     val kernPerp = fit.scores.map(_.perplexity)
