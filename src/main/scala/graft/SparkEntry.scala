@@ -99,6 +99,22 @@ object SparkEntry {
         .select(col("topic"), col("rank"), col("token"), col("p6").as("p"))
         .orderBy(col("topic"), col("rank"))
     }),
+    // §2.6 TopTokens computed by the PRODUCTION float32 kernel (md5 init,
+    // same schedule as the relational mirror) — rank-only output, so the
+    // float32↔double gap (~1e-7, RelationalParitySpec) cannot flip the
+    // hash: this row puts the actual kernel under the driver's oracle.
+    "artm_top_tokens_kernel" -> ((s, dir) => {
+      val tok = relTok(s, dir)
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(tok, T))
+      val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
+        numTopics = T, numCollectionPasses = Passes,
+        estep = EStepConfig(numDocumentPasses = 1)))
+      graft.scores.Scores.topTokens(fit.pwt, TopK)
+        .select(col("topic").cast("long").as("topic"),
+          col("rank").cast("long").as("rank"), col("token"))
+        .orderBy(col("topic"), col("rank"))
+    }),
     // §2.4 transform (inference pass with the fitted phi)
     "artm_transform" -> ((s, dir) => {
       val tok = relTok(s, dir)
@@ -240,6 +256,7 @@ object SparkEntry {
     "artm_fit_regularized" -> RelationalEmSql.fitOffline(T, Passes, Some(RegTaus)),
     "artm_fit_online" -> RelationalEmSql.fitOnline(T, OnlineTau0, OnlineKappa),
     "artm_top_tokens" -> RelationalEmSql.topTokens(T, Passes, TopK),
+    "artm_top_tokens_kernel" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
     "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),

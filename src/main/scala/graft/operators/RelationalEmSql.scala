@@ -126,6 +126,18 @@ object RelationalEmSql {
        |  FROM phi$passes)
        |SELECT topic, rank, token, p FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
+  /** Rank-only top-k (for checking the float32 kernel's fit against the
+    * double relational ranks — values would differ in the last decimals,
+    * ranks don't): [topic, rank, token]. */
+  def topTokensRankOnly(t: Int, passes: Int, k: Int): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phi$passes WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
+
   /** Online decay merge over two doc_id-parity chunks: final pwt. */
   def fitOnline(t: Int, tau0: Double, kappa: Double): String = {
     val rho1 = s"pow($tau0 + 1, -$kappa)"
