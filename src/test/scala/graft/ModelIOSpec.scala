@@ -75,6 +75,34 @@ class ModelIOSpec extends SparkSpec {
     assert(back == res.scores)
   }
 
+  test("CSV writers emit readable per-topic columns") {
+    val (res, _) = fixture
+    val names = Seq("t0", "t1", "t2", "t3")
+    val mPath = tmp("graft-csv-model")
+    val tPath = tmp("graft-csv-theta")
+    ModelIO.writeModelCsv(res.pwt, names, mPath)
+    ModelIO.writeThetaCsv(res.theta, names, tPath)
+    val m = spark.read.option("header", "true").csv(mPath)
+    assert(m.columns.toSeq == Seq("class_id", "token") ++ names)
+    assert(m.count() == res.pwt.count())
+    val t = spark.read.option("header", "true").csv(tPath)
+    assert(t.columns.toSeq == Seq("doc_id", "title") ++ names)
+    assert(t.count() == res.theta.count())
+    // values survive the round trip (as strings → doubles)
+    val v = m.select(col("t0").cast("double")).collect().map(_.getDouble(0))
+    assert(v.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("MultiLanguagePhi stub contributes exactly zero (API parity)") {
+    val (res, _) = fixture
+    val ctx = RegContext(spark, 4, Seq("t0", "t1", "t2", "t3"))
+    val r = graft.regularizers.MultiLanguagePhi()(res.pwt, res.nwt, ctx)
+    val nonzero = r.select(explode(col("weights")).as("w"))
+      .filter(col("w") =!= 0.0f).count()
+    assert(nonzero == 0)
+    assert(r.count() == res.pwt.count())
+  }
+
   test("theta cache round-trips and reuse_theta seeds the next pass") {
     val (res, _) = fixture
     val path = tmp("graft-theta")
