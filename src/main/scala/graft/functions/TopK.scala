@@ -18,10 +18,21 @@ object TopK {
   private def bound(s: Seq[KV], k: Int): Seq[KV] =
     s.sortBy(x => (-x.v, x.k)).take(k)
 
+  /** Worse-than-the-worst check: buffers stay sorted (v desc, k asc), so
+    * a full buffer rejects a non-improving row in O(1) — the reference
+    * priority queue's behavior, without re-sorting per row. */
+  private def insertBounded(b: Seq[KV], a: KV, k: Int): Seq[KV] = {
+    if (b.length >= k) {
+      val worst = b.last
+      if (a.v < worst.v || (a.v == worst.v && a.k >= worst.k)) return b
+    }
+    bound(b :+ a, k)
+  }
+
   /** top-k (v desc, k asc) as Seq[KV]. */
   private case class TopKAgg(k: Int) extends Aggregator[KV, Seq[KV], Seq[KV]] {
     def zero: Seq[KV] = Nil
-    def reduce(b: Seq[KV], a: KV): Seq[KV] = bound(b :+ a, k)
+    def reduce(b: Seq[KV], a: KV): Seq[KV] = insertBounded(b, a, k)
     def merge(x: Seq[KV], y: Seq[KV]): Seq[KV] = bound(x ++ y, k)
     def finish(b: Seq[KV]): Seq[KV] = b
     def bufferEncoder: Encoder[Seq[KV]] = ExpressionEncoder()
@@ -44,7 +55,7 @@ object TopK {
       extends Aggregator[KV, (Seq[KV], Double), Seq[String]] {
     def zero: (Seq[KV], Double) = (Nil, 0.0)
     def reduce(b: (Seq[KV], Double), a: KV): (Seq[KV], Double) =
-      (bound(b._1 :+ a, k), b._2 + a.v)
+      (insertBounded(b._1, a, k), b._2 + a.v)
     def merge(x: (Seq[KV], Double), y: (Seq[KV], Double)): (Seq[KV], Double) =
       (bound(x._1 ++ y._1, k), x._2 + y._2)
     def finish(b: (Seq[KV], Double)): Seq[String] = {
