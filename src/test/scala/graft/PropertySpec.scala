@@ -27,6 +27,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("normalizeModel normalizes PER (class, topic) with multiple modalities") {
+    import spark.implicits._
+    (0 until 10).foreach { _ =>
+      val rows = (0 until 4).map(i => ("text", s"w$i", randWeights(3))) ++
+        (0 until 2).map(i => ("@label", s"l$i", randWeights(3)))
+      val nwt = rows.toDF("class_id", "token", "weights")
+      val sums = PhiOps.normalizeModel(nwt)
+        .groupBy($"class_id")
+        .agg(graft.functions.VectorOps.vectorSum($"weights").as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+      assert(sums.keySet == Set("text", "@label"))
+      sums.values.foreach(_.foreach(s =>
+        assert(math.abs(s - 1.0f) < 1e-4 || s == 0.0f, s"per-class col sum $s")))
+    }
+  }
+
   test("mergeModels is linear: merge(x, a) = a·x and weights add over union") {
     import spark.implicits._
     (0 until 10).foreach { _ =>
