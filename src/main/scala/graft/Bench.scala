@@ -17,14 +17,22 @@ object Bench {
     // a failed query must NOT look like a fast success: record the error
     // and report its time as -1 (driver-side convention for "broken")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: deterministic timings (the first entry touching a
+    // memoized shared fit pays its cost — see SparkEntry scaladoc)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // entries must not leak block-manager cache into each other's
+      // timings (round-2's cooc_window 2× regression was cache-memory
+      // pressure from earlier entries' persists); SparkEntry's memoized
+      // shared fits are driver-local LocalRelations, unaffected by this
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -33,7 +41,7 @@ object Bench {
         case c if c < ' ' => " "; case c => c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core.Doc
 
 /** Dictionary operators — relational transforms on the vocabulary table.
@@ -29,9 +28,15 @@ object DictionaryOps {
       .agg(
         sum($"weight").cast("float").as("tf"),
         countDistinct($"doc_id").cast("float").as("df"))
+    // per-class normalizer as a tiny aggregate broadcast back (the
+    // PhiOps.normalizeModel pattern) — a Window.partitionBy(class_id) here
+    // would funnel a whole modality's vocabulary through ONE window task
+    // at scale; the groupBy is map-side combined and its exchange is
+    // shared with `grouped` by ReuseExchange
+    val classTotals = grouped.groupBy($"class_id").agg(sum($"tf").as("_class_tf"))
     grouped
-      .withColumn("value",
-        ($"tf" / sum($"tf").over(Window.partitionBy($"class_id"))).cast("float"))
+      .join(broadcast(classTotals), Seq("class_id"))
+      .withColumn("value", ($"tf" / $"_class_tf").cast("float"))
       .select($"class_id", $"token", $"value", $"tf", $"df")
   }
 
@@ -82,10 +87,14 @@ object DictionaryOps {
     }
 
     if (args.recalculateValue) {
-      val norm = sum($"tf").over(Window.partitionBy())
-      survivors
+      // global tf total as a one-row aggregate cross-joined back — an
+      // empty-partition window would pull the whole dictionary into a
+      // single task at scale
+      val total = survivors.agg(sum($"tf").as("_total_tf"))
+      survivors.crossJoin(broadcast(total))
         .withColumn("value",
-          when(norm > 0.0, ($"tf" / norm).cast("float")).otherwise(lit(0.0f)))
+          when($"_total_tf" > 0.0, ($"tf" / $"_total_tf").cast("float"))
+            .otherwise(lit(0.0f)))
         .select($"class_id", $"token", $"value", $"tf", $"df")
     } else survivors.select($"class_id", $"token", $"value", $"tf", $"df")
   }

@@ -144,20 +144,23 @@ object EStep {
       .select(col("doc_id"), col("class_id"), col("token"), col("weights"))
       .as[DocPhiRow]
     docs.groupByKey(_.doc_id).cogroup(joined.groupByKey(_.doc_id)) { (_, dIt, rIt) =>
-      dIt.flatMap { doc =>
-        val rows = rIt.toArray
-        val classIds = rows.map(_.class_id)
-        val toks = rows.map(_.token)
-        val flat = new Array[Float](rows.length * numTopics)
-        var i = 0
-        while (i < rows.length) {
-          val w = rows(i).weights
-          require(w.length == numTopics, s"phi row has ${w.length} topics, expected $numTopics")
-          System.arraycopy(w, 0, flat, i * numTopics, numTopics)
-          i += 1
-        }
-        kernel(Iterator((doc, null)), new PhiLocal(classIds, toks, flat, numTopics), cfg)
+      // materialize the phi rows ONCE per key, before iterating documents:
+      // rIt is a one-shot iterator, and evaluating it lazily inside the
+      // docs flatMap would hand every doc after the first an empty
+      // mini-Phi if a doc_id ever appeared twice
+      val rows = rIt.toArray
+      val classIds = rows.map(_.class_id)
+      val toks = rows.map(_.token)
+      val flat = new Array[Float](rows.length * numTopics)
+      var i = 0
+      while (i < rows.length) {
+        val w = rows(i).weights
+        require(w.length == numTopics, s"phi row has ${w.length} topics, expected $numTopics")
+        System.arraycopy(w, 0, flat, i * numTopics, numTopics)
+        i += 1
       }
+      val miniPhi = new PhiLocal(classIds, toks, flat, numTopics)
+      dIt.flatMap(doc => kernel(Iterator((doc, null)), miniPhi, cfg))
     }
   }
 

@@ -32,12 +32,21 @@ case class PassScores(
     itemsProcessed: Long, tokenWeightProcessed: Double)
 
 /** Result of a fit: final pwt + nwt + per-pass score history (ScoreTracker,
-  * reference core/score_manager.h:24-61). */
+  * reference core/score_manager.h:24-61).
+  *
+  * `retained` are the cached datasets the lazy pwt/nwt/theta still read
+  * from (the final pass's persisted E-step output, the online loop's
+  * merged nwt). Call [[unpersist]] once the outputs have been
+  * materialized (collected / written / re-persisted) to release them —
+  * the fit loops clean up every OTHER intermediate themselves. */
 case class FitResult(
     pwt: DataFrame,
     nwt: DataFrame,
     theta: DataFrame,
-    scores: Seq[PassScores])
+    scores: Seq[PassScores],
+    retained: Seq[Dataset[_]] = Nil) {
+  def unpersist(): Unit = retained.foreach(_.unpersist(false))
+}
 
 /** EM driver loops — reference core/master_component.cc:1350-1439
   * (ArtmExecutor offline/online algorithms).
@@ -137,7 +146,7 @@ object Fit {
       if (prevOut != null) prevOut.unpersist(false)
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq)
+    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out))
   }
 
   /** fit_offline with the join-based E-step: Phi stays a distributed
@@ -168,7 +177,7 @@ object Fit {
       if (prevOut != null) prevOut.unpersist(false)
       pass += 1
     }
-    FitResult(pwt, nwt, theta, scores.toSeq)
+    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out, pwt))
   }
 
   /** fit_online — reference master_component.cc:1364-1385: for each chunk
@@ -185,6 +194,7 @@ object Fit {
     var nwt: DataFrame = null
     var theta: DataFrame = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+    var lastOut: Dataset[EStepOut] = null
 
     var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
     pwt = PhiOps.phiFromLocal(spark, phiLocal)
@@ -214,10 +224,11 @@ object Fit {
         out.unpersist(false)
       } else {
         pwt = newPwt
+        lastOut = out
       }
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq)
+    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(lastOut, nwt))
   }
 
   /** fit_online with async pipelining — reference master_component.cc:
@@ -235,6 +246,7 @@ object Fit {
     var nwt: DataFrame = null
     var theta: DataFrame = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+    var lastOut: Dataset[EStepOut] = null
 
     var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
     var pwt = PhiOps.phiFromLocal(spark, phiLocal)
@@ -272,6 +284,7 @@ object Fit {
       val newPwt = PhiOps.normalizeModel(nwt, rwt)
       if (inflight.isEmpty && next >= chunks.length) {
         pwt = newPwt
+        lastOut = out
       } else {
         phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics, cfg.estep.useSparseComputation)
         pwt = PhiOps.phiFromLocal(spark, phiLocal)
@@ -280,7 +293,7 @@ object Fit {
       }
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq)
+    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(lastOut, nwt))
   }
 
   /** transform (inference) — reference master_component.cc:1145-1212: the

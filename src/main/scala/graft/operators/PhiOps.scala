@@ -260,7 +260,7 @@ final class PhiLocal(
     m
   }
 
-  @inline def key(classId: String, token: String): String = classId + " " + token
+  @inline def key(classId: String, token: String): String = classId + "\u0000" + token
 
   /** phi row index for (class, token), or -1. */
   def rowIndex(classId: String, token: String): Int = {

@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   * broadcast and shuffles only (partition × vocab) partials. It is the
   * correctness mirror, not the production fit; its plan shape is the same
   * as the join-based E-step fallback for huge vocabularies (EStep scaladoc).
+  *
+  * Persist discipline: every public method tracks its intermediate persists
+  * in a Scope and unpersists them before returning; the tables a caller
+  * keeps (pwt, theta, perplexities, ptdw) are returned as driver-local
+  * LocalRelations (vocab- or doc-sized only — documented driver-bound,
+  * oracle mirror only). Nothing stays in the block-manager cache after a
+  * call, so bench entries can `spark.catalog.clearCache()` between queries
+  * and SparkEntry can memoize one shared fit across oracle entries.
   */
 object RelationalEm {
 
@@ -50,15 +58,28 @@ object RelationalEm {
     * pass, theta 2, p_dw 2, pwt the next pass) and stack pass upon pass —
     * without truncation the logical plan grows multiplicatively and
     * optimizer/AQE time dominates execution (measured: 14 s planning for a
-    * 40 k-row chain). Doc-sized intermediates get a lazy persist; the
-    * vocab×T phi/nwt tables are collected into driver LocalRelations at
-    * pass boundaries — the same lineage-cut strategy the kernel fit loop
-    * applies via collectPhi, with the same "phi fits on the driver"
-    * contract. */
-  private def cached(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * 40 k-row chain). Doc-sized intermediates get a scoped persist
+    * (released before the public method returns); the vocab×T phi/nwt
+    * tables are collected into driver LocalRelations at pass boundaries —
+    * the same lineage-cut strategy the kernel fit loop applies via
+    * collectPhi, with the same "phi fits on the driver" contract. */
+  private final class Scope {
+    private val acquired = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      acquired += p
+      p
+    }
+    def close(): Unit = { acquired.foreach(_.unpersist(false)); acquired.clear() }
+  }
 
-  /** Collect a small (vocab×T) table into a lineage-free LocalRelation. */
+  private def scoped[A](f: Scope => A): A = {
+    val s = new Scope
+    try f(s) finally s.close()
+  }
+
+  /** Collect a small (vocab×T or doc×T) table into a lineage-free,
+    * cache-independent LocalRelation. */
   private def toLocal(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
@@ -94,14 +115,15 @@ object RelationalEm {
   case class Pass(theta: DataFrame, pdw: DataFrame, nwt: DataFrame, pwt: DataFrame)
 
   /** One EM collection pass (numDocumentPasses = 1) over `tok` given the
-    * current `phi` [token, topic, p]. */
-  def emPass(tok: DataFrame, phi: DataFrame, numTopics: Int,
-      reg: RegCfg = RegCfg()): Pass = {
+    * current `phi` [token, topic, p]. The scoped intermediates live until
+    * the caller's scope closes; `pwt` is returned local. */
+  private def emPassIn(s: Scope, tok: DataFrame, phi: DataFrame, numTopics: Int,
+      reg: RegCfg): Pass = {
     val invT = 1.0 / numTopics
     // the (doc, token) × topic expansion feeds three aggregates — compute
     // it once (phi is a broadcast-sized LocalRelation, so this is one
     // broadcast join over tok, no shuffle)
-    val tp = cached(tok.join(phi, Seq("token")))
+    val tp = s.cached(tok.join(phi, Seq("token")))
     // p_dw under uniform theta = Σ_t φ_wt / T
     val pdwA = tp
       .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
@@ -111,13 +133,13 @@ object RelationalEm {
       .join(pdwA.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .groupBy(col("doc_id"), col("topic"))
       .agg(sum(col("n_dw") * col("p") * lit(invT) / col("p_dw")).as("n_td"))
-    val theta = cached(ntd
+    val theta = s.cached(ntd
       .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("topic"), col("th")))
     // the same expansion with the updated theta attached, reused twice
-    val tpt = cached(tp.join(theta, Seq("doc_id", "topic")))
+    val tpt = s.cached(tp.join(theta, Seq("doc_id", "topic")))
     // p_dw with the updated theta
-    val pdwB = cached(tpt
+    val pdwB = s.cached(tpt
       .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
       .agg(sum(col("p") * col("th")).as("p_dw")))
     // n_wt = Σ_d w_d · n_dw · φ_wt · θ_td / p_dw
@@ -127,6 +149,15 @@ object RelationalEm {
       .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
     val pwt = toLocal(normalize(nwt, phi, reg))
     Pass(theta, pdwB, nwt, pwt)
+  }
+
+  /** Public one-pass wrapper: `theta` and `pwt` come back local; `pdw` /
+    * `nwt` are lazy plans that recompute if used (prefer fitOffline /
+    * perplexities for those). */
+  def emPass(tok: DataFrame, phi: DataFrame, numTopics: Int,
+      reg: RegCfg = RegCfg()): Pass = scoped { s =>
+    val pass = emPassIn(s, tok, phi, numTopics, reg)
+    Pass(toLocal(pass.theta), pass.pdw, pass.nwt, pass.pwt)
   }
 
   /** M-step normalize (+ optional relational regularizers):
@@ -152,10 +183,10 @@ object RelationalEm {
   /** One EM doc-pass whose theta STARTS from `thetaInit` instead of
     * uniform — the relational mirror of reuse_theta (the kernel's cached
     * theta init): theta' ∝ Σ_w n_dw·φ_wt·θ0_td / p_dw with
-    * p_dw = Σ_t φ_wt·θ0_td. Returns the updated theta. */
+    * p_dw = Σ_t φ_wt·θ0_td. Returns the updated theta (local). */
   def emPassReuse(tok: DataFrame, phi: DataFrame, thetaInit: DataFrame,
-      numTopics: Int): DataFrame = {
-    val tpt = cached(tok.join(phi, Seq("token"))
+      numTopics: Int): DataFrame = scoped { s =>
+    val tpt = s.cached(tok.join(phi, Seq("token"))
       .join(thetaInit.select(col("doc_id"), col("topic"), col("th").as("th0")),
         Seq("doc_id", "topic")))
     val pdw = tpt.groupBy(col("doc_id"), col("token"), col("n_dw"))
@@ -164,9 +195,9 @@ object RelationalEm {
       .join(pdw.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .groupBy(col("doc_id"), col("topic"))
       .agg(sum(col("n_dw") * col("p") * col("th0") / col("p_dw")).as("n_td"))
-    ntd
+    toLocal(ntd
       .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("topic"), col("th"))
+      .select(col("doc_id"), col("topic"), col("th")))
   }
 
   /** Per-pass perplexity from the pass's final p_dw table. */
@@ -174,58 +205,68 @@ object RelationalEm {
     pdw.agg(exp(-sum(col("n_dw") * log(col("p_dw"))) / sum(col("n_dw"))).as("perplexity"))
       .select(lit(pass.toLong).as("pass"), col("perplexity"))
 
+  /** All outputs are LocalRelations — reusable across bench/verify entries
+    * with zero recompute and immune to `spark.catalog.clearCache()`. */
   case class FitOut(pwt: DataFrame, theta: DataFrame, perplexities: Seq[DataFrame])
 
   /** fit_offline, relational: `passes` collection passes from the md5 init. */
   def fitOffline(tok0: DataFrame, numTopics: Int, passes: Int,
-      reg: RegCfg = RegCfg()): FitOut = {
-    val tok = cached(tok0)
+      reg: RegCfg = RegCfg()): FitOut = scoped { outer =>
+    val tok = outer.cached(tok0)
     var phi = toLocal(initPhi(tok, numTopics))
-    var last: Pass = null
+    var theta: DataFrame = null
     val perp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var p = 0
     while (p < passes) {
-      last = emPass(tok, phi, numTopics, reg)
-      perp += perplexity(last.pdw, p)
-      phi = last.pwt
+      val passScope = new Scope
+      try {
+        val pass = emPassIn(passScope, tok, phi, numTopics, reg)
+        perp += toLocal(perplexity(pass.pdw, p))
+        if (p == passes - 1) theta = toLocal(pass.theta)
+        phi = pass.pwt
+      } finally passScope.close()
       p += 1
     }
-    FitOut(phi, last.theta, perp.toSeq)
+    FitOut(phi, theta, perp.toSeq)
   }
 
   /** fit_online, relational — mirror of Fit.fitOnline's decay merge:
     * rho_i = (tau0 + i + 1)^(−kappa); nwt = (1−rho)·nwt + rho·nwt_hat. */
   def fitOnline(tokChunks0: Seq[DataFrame], numTopics: Int,
-      tau0: Double = 1024.0, kappa: Double = 0.7): DataFrame = {
-    val tokChunks = tokChunks0.map(cached)
+      tau0: Double = 1024.0, kappa: Double = 0.7): DataFrame = scoped { outer =>
+    val tokChunks = tokChunks0.map(outer.cached)
     var phi = toLocal(initPhi(tokChunks.reduce(_ unionByName _), numTopics))
     var nwt: DataFrame = null
     tokChunks.zipWithIndex.foreach { case (chunk, i) =>
       val rho = math.pow(tau0 + i + 1, -kappa)
-      val hat = emPass(chunk, phi, numTopics).nwt
-        .select(col("token"), col("topic"), (col("n_wt") * lit(rho)).as("n_wt"))
-      nwt = toLocal(
-        if (nwt == null) hat
-        else nwt.select(col("token"), col("topic"), (col("n_wt") * lit(1.0 - rho)).as("n_wt"))
-          .unionByName(hat)
-          .groupBy(col("token"), col("topic")).agg(sum(col("n_wt")).as("n_wt")))
-      phi = toLocal(normalize(nwt, phi, RegCfg()))
+      val passScope = new Scope
+      try {
+        val hat = emPassIn(passScope, chunk, phi, numTopics, RegCfg()).nwt
+          .select(col("token"), col("topic"), (col("n_wt") * lit(rho)).as("n_wt"))
+        nwt = toLocal(
+          if (nwt == null) hat
+          else nwt.select(col("token"), col("topic"), (col("n_wt") * lit(1.0 - rho)).as("n_wt"))
+            .unionByName(hat)
+            .groupBy(col("token"), col("topic")).agg(sum(col("n_wt")).as("n_wt")))
+        phi = toLocal(normalize(nwt, phi, RegCfg()))
+      } finally passScope.close()
     }
     phi
   }
 
   /** ptdw, relational (1 collection pass, numDocumentPasses = 1): the
     * kernel's final refresh p(t|d,w) = φ_wt·θ_td / p_dw with the updated
-    * theta — [doc_id, token, topic, ptdw]. */
-  def ptdw(tok0: DataFrame, numTopics: Int): DataFrame = {
-    val tok = cached(tok0)
+    * theta — [doc_id, token, topic, ptdw], local (callers pass a doc
+    * subset). */
+  def ptdw(tok0: DataFrame, numTopics: Int): DataFrame = scoped { s =>
+    val tok = s.cached(tok0)
     val phi = toLocal(initPhi(tok, numTopics))
-    val pass = emPass(tok, phi, numTopics)
-    tok.join(phi, Seq("token"))
+    val pass = emPassIn(s, tok, phi, numTopics, RegCfg())
+    toLocal(tok.join(phi, Seq("token"))
       .join(pass.theta, Seq("doc_id", "topic"))
       .join(pass.pdw.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .select(col("doc_id"), col("token"), col("topic"),
-        (col("p") * col("th") / col("p_dw")).as("ptdw"))
+        (col("p") * col("th") / col("p_dw")).as("ptdw")))
   }
 
   /** Consecutive disjoint token pairs of each document as two-token
@@ -251,16 +292,16 @@ object RelationalEm {
     *   helper_k(x) = θ_k · φ(a,k) · φ(b,k);  p_dx = Σ_k helper_k
     *   n_td = Σ_x helper_k / p_dx  (typename weight and n_kdx are 1)
     *   θ' = norm(n_td);  n_wt(w,k) += helper'_k / p'_dx for w ∈ {a, b}.
-    * Returns (theta, pwt). */
-  def txnFit(pairs0: DataFrame, numTopics: Int): (DataFrame, DataFrame) = {
-    val pairs = cached(pairs0)
+    * Returns (theta, pwt), both local. */
+  def txnFit(pairs0: DataFrame, numTopics: Int): (DataFrame, DataFrame) = scoped { s =>
+    val pairs = s.cached(pairs0)
     val invT = 1.0 / numTopics
     val vocab = pairs.select(col("tok_a").as("token"))
       .unionByName(pairs.select(col("tok_b").as("token")))
     val phi = toLocal(initPhi(vocab, numTopics))
     val fa = phi.select(col("token").as("tok_a"), col("topic"), col("p").as("pa"))
     val fb = phi.select(col("token").as("tok_b"), col("topic"), col("p").as("pb"))
-    val prod = cached(pairs
+    val prod = s.cached(pairs
       .join(fa, Seq("tok_a")).join(fb, Seq("tok_b", "topic"))
       .select(col("doc_id"), col("txn_id"), col("tok_a"), col("tok_b"),
         col("topic"), (col("pa") * col("pb")).as("pp")))
@@ -270,10 +311,10 @@ object RelationalEm {
       .join(pdx0, Seq("doc_id", "txn_id"))
       .groupBy(col("doc_id"), col("topic"))
       .agg(sum(col("pp") * lit(invT) / col("pdx")).as("n_td"))
-    val theta = cached(ntd
+    val theta = s.cached(ntd
       .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("topic"), col("th")))
-    val pdx1 = cached(prod.join(theta, Seq("doc_id", "topic"))
+    val pdx1 = s.cached(prod.join(theta, Seq("doc_id", "topic"))
       .groupBy(col("doc_id"), col("txn_id"))
       .agg(sum(col("pp") * col("th")).as("pdx")))
     val vals = prod.join(theta, Seq("doc_id", "topic"))
@@ -285,7 +326,80 @@ object RelationalEm {
       .groupBy(col("token"), col("topic"))
       .agg(sum(col("v")).as("n_wt"))
     val pwt = toLocal(normalize(nwt, phi, RegCfg()))
-    (theta, pwt)
+    (toLocal(theta), pwt)
+  }
+
+  /** Consecutive k-token transactions with alternating transaction
+    * typenames — the general-transaction fixture (k ≥ 2, typename
+    * "tt<txn_id mod numTypenames>"): long format
+    * [doc_id, txn_id, tt, pos, token] keeping duplicate tokens as
+    * separate positions (the reference stores n_wt per POSITION —
+    * processor_transaction_helpers.cc:152-157 — so duplicates within a
+    * transaction count twice). Transactions shorter than k (tail) are
+    * dropped. */
+  def txnK(docsTable: DataFrame, k: Int, numTypenames: Int = 2): DataFrame = {
+    val toks = docsTable
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos0", "token")))
+      .filter(col("token") =!= "")
+    val sized = toks
+      .withColumn("txn_id", (col("pos0") / k).cast("long"))
+      .withColumn("pos", (col("pos0") % k).cast("long"))
+      .withColumn("tt", concat(lit("tt"), (col("txn_id") % numTypenames).cast("string")))
+    val full = sized.groupBy(col("doc_id"), col("txn_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") === k)
+      .select(col("doc_id"), col("txn_id"))
+    sized.join(full, Seq("doc_id", "txn_id"))
+      .select(col("doc_id"), col("txn_id"), col("tt"), col("pos"), col("token"))
+  }
+
+  /** General transaction EM mirror (processor_transaction_helpers.cc:
+    * 68-161): k-token transactions with per-typename weights and
+    * first-token weight n_kdx = 1:
+    *   pp_k(x) = Π_{w∈x} φ(w,k)   (via exp Σ ln φ — init phi is all > 0)
+    *   helper_k = θ_k · pp_k;  p_dx = Σ_k helper_k
+    *   n_td += tt_weight · helper_k / p_dx;  θ' = norm(n_td)
+    *   n_wt(w,k) += tt_weight · helper'_k / p'_dx  for EVERY position w
+    * Returns the final pwt (local). `ttWeights` maps typename → weight
+    * (missing typenames weigh 0, as in the reference). */
+  def txnFitK(txns0: DataFrame, numTopics: Int,
+      ttWeights: Map[String, Double]): DataFrame = scoped { s =>
+    val txns = s.cached(txns0)
+    val invT = 1.0 / numTopics
+    val phi = toLocal(initPhi(txns.select(col("token")), numTopics))
+    // per-(doc, txn, topic) product of phis over all positions (duplicate
+    // tokens multiply once per position, like the reference's per-token_id
+    // loop), with the typename weight resolved to a column
+    val ttw = ttWeights.foldLeft(lit(0.0)) { case (acc, (name, wgt)) =>
+      when(col("tt") === name, lit(wgt)).otherwise(acc)
+    }
+    val prod = s.cached(txns
+      .join(phi, Seq("token"))
+      .groupBy(col("doc_id"), col("txn_id"), col("tt"), col("topic"))
+      .agg(exp(sum(log(col("p")))).as("pp"))
+      .withColumn("ttw", ttw))
+    val pdx0 = prod.groupBy(col("doc_id"), col("txn_id"))
+      .agg((sum(col("pp")) * lit(invT)).as("pdx"))
+    val ntd = prod
+      .join(pdx0, Seq("doc_id", "txn_id"))
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(sum(col("ttw") * col("pp") * lit(invT) / col("pdx")).as("n_td"))
+    val theta = s.cached(ntd
+      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("topic"), col("th")))
+    val pdx1 = s.cached(prod.join(theta, Seq("doc_id", "topic"))
+      .groupBy(col("doc_id"), col("txn_id"))
+      .agg(sum(col("pp") * col("th")).as("pdx")))
+    val vals = s.cached(prod.join(theta, Seq("doc_id", "topic"))
+      .join(pdx1, Seq("doc_id", "txn_id"))
+      .select(col("doc_id"), col("txn_id"), col("topic"),
+        (col("ttw") * col("pp") * col("th") / col("pdx")).as("v")))
+    // every POSITION of the transaction receives v (duplicates add twice)
+    val nwt = txns.select(col("doc_id"), col("txn_id"), col("token"))
+      .join(vals, Seq("doc_id", "txn_id"))
+      .groupBy(col("token"), col("topic"))
+      .agg(sum(col("v")).as("n_wt"))
+    toLocal(normalize(nwt, phi, RegCfg()))
   }
 
   /** Convert a relational phi [token, topic, p] to the engine's Phi shape
@@ -300,14 +414,16 @@ object RelationalEm {
   /** hARTM psi, relational: level-1 fit (T1 topics, 1 pass) → pseudo-docs
     * from its pwt (doc −(parent+1), n_dw = p_wt, nwt-weight parentWeight)
     * → level-2 fit over corpus + pseudo-docs → psi = pseudo-doc theta:
-    * [parent_topic, topic, psi]. */
+    * [parent_topic, topic, psi] (local — both fits clean up after
+    * themselves and return local outputs). */
   def hartmPsi(tok0: DataFrame, t1: Int, t2: Int, parentWeight: Double): DataFrame = {
-    val tok = cached(tok0)
-    val phiA = fitOffline(tok, t1, 1).pwt
+    // no cache here: each fitOffline scopes its own persist of its input
+    // (caching tok0 first would double-cache the same plan)
+    val phiA = fitOffline(tok0, t1, 1).pwt
     val pseudo = phiA.select(
       (-(col("topic") + lit(1))).cast("long").as("doc_id"),
       col("token"), col("p").as("n_dw"), lit(parentWeight).as("w"))
-    val union = tok.unionByName(pseudo)
+    val union = tok0.unionByName(pseudo)
     val lvl2 = fitOffline(union, t2, 1)
     lvl2.theta.filter(col("doc_id") < 0)
       .select((-col("doc_id") - lit(1)).as("parent_topic"), col("topic"), col("th").as("psi"))

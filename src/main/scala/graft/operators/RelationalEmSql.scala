@@ -128,15 +128,99 @@ object RelationalEmSql {
 
   /** Rank-only top-k (for checking the float32 kernel's fit against the
     * double relational ranks — values would differ in the last decimals,
-    * ranks don't): [topic, rank, token]. */
-  def topTokensRankOnly(t: Int, passes: Int, k: Int): String =
+    * ranks don't): [topic, rank, token]. With `reg` the chain is the
+    * regularized fit, putting the kernel's regularizer path under the
+    * oracle too. */
+  def topTokensRankOnly(t: Int, passes: Int, k: Int,
+      reg: Option[(Double, Double)] = None): String =
     s"""WITH ${tokCte()},
-       |${offlineChain("tok", t, passes, None)},
+       |${offlineChain("tok", t, passes, reg)},
        |ranked AS (
        |  SELECT topic, token,
        |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
        |  FROM phi$passes WHERE p > 0)
        |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
+
+  /** Value-bearing oracle for the float32 KERNEL fit: the row set is
+    * defined by the double mirror (rows whose p sits further than 2e-4
+    * from a 3-decimal rounding boundary — `abs(frac(p·1000) − 0.5) > 0.2`),
+    * and on those rows the kernel's p must round(3) identically (parity
+    * bound 5e-4 spec / ~1e-7 measured ≪ the 2e-4 guard band). A kernel
+    * regression beyond 2e-4 breaks the hash: [token, topic, p3]. */
+  def fitKernelValues(t: Int, passes: Int): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)}
+       |SELECT token, topic, round(p, 3) AS p3 FROM phi$passes
+       |WHERE abs(p * 1000 - floor(p * 1000) - 0.5) > 0.2
+       |ORDER BY token, topic""".stripMargin
+
+  /** Doc-level argmax oracle for the KERNEL transform: docs whose mirror
+    * top-1/top-2 theta margin exceeds `margin` (≫ the kernel↔mirror
+    * parity bound), with the winning topic — the kernel must produce the
+    * same argmax on those docs: [doc_id, topic]. */
+  def transformKernelArgmax(t: Int, passes: Int, margin: Double): String = {
+    val inf = passCtes("tok", s"phi$passes", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |$inf,
+       |ranked AS (
+       |  SELECT doc_id, topic, th,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY th DESC, topic) AS rn
+       |  FROM thetaInf)
+       |SELECT a.doc_id, a.topic
+       |FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id AND b.rn = 2
+       |WHERE a.rn = 1 AND a.th - b.th > $margin
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** General k-token transaction oracle (mirror of RelationalEm.txnFitK,
+    * reference processor_transaction_helpers.cc:68-161): consecutive
+    * k-token transactions, alternating typenames tt0..tt{n-1} with
+    * per-typename weights, n_wt per POSITION: final pwt
+    * [token, topic, p(6)]. */
+  def txnFitKSql(t: Int, k: Int, numTypenames: Int,
+      ttWeights: Map[String, Double]): String = {
+    val invT = s"(1.0/$t)"
+    val ttwCase = "CASE tt " +
+      ttWeights.map { case (n, w) => s"WHEN '$n' THEN $w" }.mkString(" ") +
+      " ELSE 0.0 END"
+    s"""WITH ttok0 AS (
+       |  SELECT doc_id, token, pos FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |    FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> ''),
+       |sized AS (
+       |  SELECT doc_id, (pos - 1) // $k AS txn_id,
+       |         'tt' || CAST(((pos - 1) // $k) % $numTypenames AS VARCHAR) AS tt, token
+       |  FROM ttok0),
+       |fullx AS (SELECT doc_id, txn_id FROM sized GROUP BY doc_id, txn_id HAVING count(*) = $k),
+       |txns AS (SELECT s.doc_id, s.txn_id, s.tt, s.token
+       |         FROM sized s JOIN fullx f ON f.doc_id = s.doc_id AND f.txn_id = s.txn_id),
+       |${initCtes("txns", t, "K")},
+       |prod AS (
+       |  SELECT x.doc_id, x.txn_id, x.tt, f.topic, exp(sum(ln(f.p))) AS pp
+       |  FROM txns x JOIN phiK f ON f.token = x.token
+       |  GROUP BY x.doc_id, x.txn_id, x.tt, f.topic),
+       |prodw AS (SELECT doc_id, txn_id, topic, pp, $ttwCase AS ttw FROM prod),
+       |pdx0 AS (SELECT doc_id, txn_id, sum(pp) * $invT AS pdx FROM prodw GROUP BY doc_id, txn_id),
+       |ntdK AS (SELECT p.doc_id, p.topic, sum(p.ttw * p.pp * $invT / d.pdx) AS n_td
+       |         FROM prodw p JOIN pdx0 d ON d.doc_id = p.doc_id AND d.txn_id = p.txn_id
+       |         GROUP BY p.doc_id, p.topic),
+       |thetaK AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdK),
+       |pdx1 AS (SELECT p.doc_id, p.txn_id, sum(p.pp * h.th) AS pdx
+       |         FROM prodw p JOIN thetaK h ON h.doc_id = p.doc_id AND h.topic = p.topic
+       |         GROUP BY p.doc_id, p.txn_id),
+       |vals AS (SELECT p.doc_id, p.txn_id, p.topic, p.ttw * p.pp * h.th / d.pdx AS v
+       |         FROM prodw p JOIN thetaK h ON h.doc_id = p.doc_id AND h.topic = p.topic
+       |         JOIN pdx1 d ON d.doc_id = p.doc_id AND d.txn_id = p.txn_id),
+       |nwtK AS (SELECT x.token, v.topic, sum(v.v) AS n_wt
+       |         FROM txns x JOIN vals v ON v.doc_id = x.doc_id AND v.txn_id = x.txn_id
+       |         GROUP BY x.token, v.topic),
+       |phiOut AS (SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+       |           FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwtK))
+       |SELECT token, topic, round(p, 6) AS p FROM phiOut ORDER BY token, topic""".stripMargin
+  }
 
   /** Online decay merge over two doc_id-parity chunks: final pwt. */
   def fitOnline(t: Int, tau0: Double, kappa: Double): String = {

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -49,6 +48,21 @@ object Dedup {
       array_min(transform(shingleCol, s => md5(concat(lit(i.toString), lit(" "), s))))
     }: _*)
 
+  /** Persisted per-doc shingle table [id, sh] — the shared CPU-heavy input
+    * of minhashLsh and ngramJaccard. Computing it once and passing it to
+    * both (same k) shingles the corpus once instead of twice.
+    *
+    * repartition first: shingling (+ the downstream numHashes×md5 per
+    * shingle) is the CPU hot spot; a single-file input would otherwise run
+    * it in one task. Persisted because Catalyst's CollapseProject would
+    * otherwise re-inline the shingle expression into every consumer
+    * (measured 17 s instead of ~2 s at sf0.1). */
+  def shingleTable(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"), shingles(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * signature → split into `bands` bands of numHashes/bands rows; docs
@@ -63,7 +77,8 @@ object Dedup {
     * loudly in the plan as a filter, not silently sampled). */
   def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 10000,
+      shinglesDf: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // Materialization barriers matter here: without them Catalyst's
@@ -73,15 +88,9 @@ object Dedup {
     // at sf0.1. Both cached tables are small relative to the corpus
     // (shingle set / signature per doc), so the barrier is the right
     // trade at any scale.
-    // repartition first: shingling + numHashes×md5 per shingle is the CPU
-    // hot spot; a single-file input would otherwise run it in one task.
     // The shingle-emptiness filter goes ABOVE the persist barrier — pushed
     // down it would re-evaluate shingles() on the pre-shuffle side.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.repartition(par)
-      .select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shinglesDf.getOrElse(shingleTable(df, idCol, textCol, shingleSize))
       .filter(size(col("sh")) > 0) // drop shingle-less (short/empty) docs
     val sig = sh
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
@@ -92,11 +101,18 @@ object Dedup {
         md5(array_join(slice(col("sig"), b * rows + 1, rows), "|"))): _*))
         .as(Seq("band", "bucket")))
 
-    val w = Window.partitionBy(col("band"), col("bucket"))
+    // bucket-size cap via a map-side-combined count + semi join, NOT a
+    // count().over(Window.partitionBy(band, bucket)): a window would
+    // materialize the pathological mega-bucket (the very thing the cap
+    // drops) as one window task before filtering, and windows get no AQE
+    // skew mitigation while joins do.
+    val okBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
     // persisted: feeds both sides of the candidate self-join
     val bounded = banded
-      .withColumn("_bucket_n", count(lit(1)).over(w))
-      .filter(col("_bucket_n") <= maxBucketSize)
+      .join(okBuckets, Seq("band", "bucket"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -165,13 +181,12 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for a given candidate-pair table
     * [id_a, id_b] (from LSH, blocking, or any generator). */
   def ngramJaccard(df: DataFrame, candidates: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      shinglesDf: Option[DataFrame] = None): DataFrame = {
     // persisted + repartitioned: joined from both candidate endpoints and
-    // CPU-heavy to compute (see minhashLsh note)
-    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CPU-heavy to compute (see shingleTable note); pass the same
+    // shinglesDf used for LSH to shingle the corpus only once
+    val sh = shinglesDf.getOrElse(shingleTable(df, idCol, textCol, n))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
