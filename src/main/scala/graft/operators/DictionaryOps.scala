@@ -101,12 +101,22 @@ object DictionaryOps {
 
   /** Restrict a cooc table to pairs whose both tokens survive in `dict`
     * (the reference's index remap, :566-581 — indices are an encoding
-    * detail here, tokens are the keys). */
+    * detail here, tokens are the keys). Accepts both the single-class
+    * shape [class_id, token_a, token_b, …] (windowed gather output) and
+    * the per-token-class shape [class_a, token_a, class_b, token_b, …]
+    * (CoocReader file output, where each token carries its own class). */
   def filterCooc(cooc: DataFrame, dict: DataFrame): DataFrame = {
     val d = dict.select("class_id", "token")
-    cooc
-      .join(d.withColumnRenamed("token", "token_a"), Seq("class_id", "token_a"), "left_semi")
-      .join(d.withColumnRenamed("token", "token_b"), Seq("class_id", "token_b"), "left_semi")
+    if (cooc.columns.contains("class_a"))
+      cooc
+        .join(d.withColumnRenamed("class_id", "class_a").withColumnRenamed("token", "token_a"),
+          Seq("class_a", "token_a"), "left_semi")
+        .join(d.withColumnRenamed("class_id", "class_b").withColumnRenamed("token", "token_b"),
+          Seq("class_b", "token_b"), "left_semi")
+    else
+      cooc
+        .join(d.withColumnRenamed("token", "token_a"), Seq("class_id", "token_a"), "left_semi")
+        .join(d.withColumnRenamed("token", "token_b"), Seq("class_id", "token_b"), "left_semi")
   }
 
   /** Dictionary::Create from explicit arrays — dictionary_operations.cc:31-51. */

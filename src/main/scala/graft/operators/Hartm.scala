@@ -65,7 +65,14 @@ object Hartm {
     var parent: Option[(FitResult, Seq[String])] = None
     levels.foreach { cfg =>
       val pwt0 = PhiOps.initializeModel(dict, cfg.numTopics, seed)
-      val pseudoOpt = parent.map { case (p, pNames) => pseudoDocs(p.pwt, pNames) }
+      // under HierarchySparsingTheta each joint-batch item must be exactly
+      // ONE parent topic (the agent's prior is 1/item_size and its n_t
+      // proportions are cross-item — chunked items would skew both,
+      // diverging from the reference where items ARE parent topics);
+      // chunking also buys nothing in the single-task joint E-step
+      val chunkCap = if (hierarchySparsingTau.isDefined) Int.MaxValue else 1 << 18
+      val pseudoOpt = parent.map { case (p, pNames) =>
+        pseudoDocs(p.pwt, pNames, maxTokensPerChunk = chunkCap) }
       val (trainDocs, estep, joint) = (parent, pseudoOpt) match {
         case (Some((_, pNames)), Some(pseudo)) =>
           val weights = pNames.map(_ -> parentWeight).toMap

@@ -53,35 +53,53 @@ object Ann {
     * into a long bucket key. Hyperplanes are seeded-deterministic
     * (hash-derived, reproducible across runs/partitionings). */
   def hyperplaneSignature(emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int, seed: Int): DataFrame = {
+      planes: Int, seed: Int): DataFrame =
+    hyperplaneSignatures(emb, idCol, vecCol, planes, seed, tables = 1)
+      .drop("table")
+
+  /** Multi-table variant: `tables` independent signatures per vector
+    * (table 0 uses the same hyperplanes as [[hyperplaneSignature]]),
+    * emitted as one row per (vector, table) from a SINGLE narrow pass —
+    * the classic OR-construction of LSH: each table stays selective
+    * (2^planes buckets) while the union of tables drives recall, since a
+    * neighbor is missed only if it hashes away in EVERY table.
+    * Returns [id, vec, table, bucket]. */
+  def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, seed: Int, tables: Int): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
     val first = emb.select(col(vecCol)).limit(1).collect()
     require(first.nonEmpty, "empty embedding table")
     val dim = first(0).getSeq[Float](0).length
-    // deterministic gaussian-ish hyperplanes from the engine RNG
-    val planeVecs: Array[Array[Float]] = (0 until planes).map { p =>
-      val v = Rng.generateRandomVector(dim, Rng.tokenHash("@plane", p.toString, seed))
-      v.map(x => x - 0.5f) // center
-    }.toArray
+    // deterministic uniform[-0.5, 0.5) hyperplanes from the engine RNG
+    // (raw MT19937 draws — generateRandomVector L1-normalizes to a
+    // near-constant simplex point, which would collapse every plane onto
+    // the same direction); table t shifts the seed so tables are
+    // independent
+    val planeVecs: Array[Array[Array[Float]]] = Array.tabulate(tables, planes) { (t, p) =>
+      val rng = new Rng.Mt19937(Rng.tokenHash("@plane", p.toString, seed + t).toInt)
+      Array.fill(dim)(rng.nextFloat01() - 0.5f)
+    }
     val bPlanes = spark.sparkContext.broadcast(planeVecs)
 
     val sigUdf = udf { (vec: Seq[Float]) =>
-      val ps = bPlanes.value
-      var bucket = 0L
-      var p = 0
-      while (p < ps.length) {
-        var s = 0.0f
-        var i = 0
-        val pv = ps(p)
-        while (i < pv.length && i < vec.length) { s += pv(i) * vec(i); i += 1 }
-        if (s > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
+      val ts = bPlanes.value
+      val arr = vec.toArray
+      ts.map { ps =>
+        var bucket = 0L
+        var p = 0
+        while (p < ps.length) {
+          var s = 0.0f
+          var i = 0
+          val pv = ps(p)
+          while (i < pv.length && i < arr.length) { s += pv(i) * arr(i); i += 1 }
+          if (s > 0) bucket |= (1L << p)
+          p += 1
+        }
+        bucket
+      }.toSeq
     }
     emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-      sigUdf(col(vecCol)).as("bucket"))
+      posexplode(sigUdf(col(vecCol))).as(Seq("table", "bucket")))
   }
 
   /** Deterministic k-means centroids from a bounded sample (Lloyd driver-
@@ -182,21 +200,32 @@ object Ann {
   }
 
   /** LSH top-k: bucket corpus and queries by hyperplane signature; rerank
-    * exactly within the shared bucket. `probes` > 1 additionally explores
-    * buckets at Hamming distance 1 from the query's (multi-probe LSH),
-    * trading compute for recall. Returns [query_id, rank, id, cosine]. */
+    * exactly within the shared (table, bucket). Recall knobs, both
+    * candidate-multiplying:
+    *  - `tables` — independent hyperplane sets OR-ed together (a neighbor
+    *    is missed only if it separates from the query in EVERY table);
+    *    the scale-path knob, since each table stays 2^planes-selective;
+    *  - `probes` — multi-probe perturbations per table by increasing
+    *    Hamming distance (exact bucket, 1-bit flips, then 2-bit flips).
+    * Returns [query_id, rank, id, cosine]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      planes: Int = 12, probes: Int = 4, seed: Int = 42): DataFrame = {
-    val c = hyperplaneSignature(corpus, idCol, vecCol, planes, seed)
-    val q0 = hyperplaneSignature(queries, idCol, vecCol, planes, seed)
-      .select(col("id").as("query_id"), col("vec").as("qvec"), col("bucket"))
-    // multi-probe: original bucket + single-bit flips
-    val flips = Seq(lit(0L)) ++ (0 until math.min(probes - 1, planes)).map(p => lit(1L << p))
-    val q = q0.select(col("query_id"), col("qvec"),
-      explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+      planes: Int = 12, probes: Int = 4, seed: Int = 42,
+      tables: Int = 1): DataFrame = {
+    val c = hyperplaneSignatures(corpus, idCol, vecCol, planes, seed, tables)
+    val q0 = hyperplaneSignatures(queries, idCol, vecCol, planes, seed, tables)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("table"), col("bucket"))
+    // multi-probe perturbations by increasing Hamming distance: exact
+    // bucket, all 1-bit flips, then 2-bit flips — `probes` masks total
+    val singles = (0 until planes).map(p => 1L << p)
+    val pairs = for {
+      a <- 0 until planes; b <- (a + 1) until planes
+    } yield (1L << a) | (1L << b)
+    val masks = (Seq(0L) ++ singles ++ pairs).take(math.max(1, probes))
+    val q = q0.select(col("query_id"), col("qvec"), col("table"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
 
-    val scored = c.join(q, Seq("bucket"))
+    val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
       .withColumn("cosine", cosine(col("vec"), col("qvec")))

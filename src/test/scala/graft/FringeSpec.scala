@@ -74,13 +74,22 @@ class FringeSpec extends SparkSpec {
 
   test("cooc file reader parses triples, colon form, modalities, symmetry") {
     assert(CoocReader.parseLine("1 2 0.5", symmetric = false) ==
-      Seq(("@default_class", "1", "2", 0.5f)))
+      Seq(("@default_class", "1", "@default_class", "2", 0.5f)))
     assert(CoocReader.parseLine("a b:0.5 c:0.25", symmetric = false) ==
-      Seq(("@default_class", "a", "b", 0.5f), ("@default_class", "a", "c", 0.25f)))
+      Seq(("@default_class", "a", "@default_class", "b", 0.5f),
+        ("@default_class", "a", "@default_class", "c", 0.25f)))
     assert(CoocReader.parseLine("|author smith jones 1.5", symmetric = false) ==
-      Seq(("author", "smith", "jones", 1.5f)))
+      Seq(("author", "smith", "author", "jones", 1.5f)))
+    // mid-line modality marker applies ONLY to the next second token; the
+    // class then RESETS to the first token's class (reference
+    // dictionary_operations.cc:441 — second_token_class_id is
+    // re-initialized at every pair)
+    assert(CoocReader.parseLine("w |m x 0.5 y 0.25", symmetric = false) ==
+      Seq(("@default_class", "w", "m", "x", 0.5f),
+        ("@default_class", "w", "@default_class", "y", 0.25f)))
     assert(CoocReader.parseLine("x y 2.0", symmetric = true).toSet ==
-      Set(("@default_class", "x", "y", 2.0f), ("@default_class", "y", "x", 2.0f)))
+      Set(("@default_class", "x", "@default_class", "y", 2.0f),
+        ("@default_class", "y", "@default_class", "x", 2.0f)))
     val path = tmpFile("cooc", "1 2 0.5\n2 3 0.4\n1 3 0.8\n")
     val df = CoocReader.read(spark, path)
     assert(df.count() == 3)
@@ -112,6 +121,56 @@ class FringeSpec extends SparkSpec {
     assert(reg("b1").count() == 2)
     reg.dispose("b1")
     assert(reg.get("b1").isEmpty)
+  }
+
+  test("VW transaction file: multi-token ||/||name lines parse and fit end-to-end") {
+    // same line shapes as the reference's vw_transaction_data.txt
+    // (collection_parser.cc:483-806): multi-token transactions closed by
+    // `||`, typename switches via `||name`, per-token modality via
+    // `|class`, weighted tokens — authored fixture, not the reference file
+    val path = tmpFile("vwtxn",
+      """d1 alpha beta:2 ||play |user ann:3 |action jump:3 || |user ann |action run ||
+        |d2 |author ann ||play alpha:5 |action run:5 || beta |action jump || ||@default_transaction beta
+        |""".stripMargin)
+    val docs = VwReader.read(spark, path).collect().sortBy(_.doc_id)
+    assert(docs.length == 2)
+
+    val d1 = docs(0)
+    // leading bare tokens become single-token @default_transaction txns;
+    // the two `|| … ||` groups are 2-token "play" transactions
+    assert(d1.tokens.map(t => (t.class_id, t.token, t.weight)).toSeq == Seq(
+      ("@default_class", "alpha", 1.0f), ("@default_class", "beta", 2.0f),
+      ("user", "ann", 3.0f), ("action", "jump", 3.0f),
+      ("user", "ann", 1.0f), ("action", "run", 1.0f)))
+    assert(d1.txns.map(t => (t.tt_name, t.start, t.length)).toSeq == Seq(
+      ("@default_transaction", 0, 1), ("@default_transaction", 1, 1),
+      ("play", 2, 2), ("play", 4, 2)))
+
+    val d2 = docs(1)
+    assert(d2.txns.map(t => (t.tt_name, t.start, t.length)).toSeq == Seq(
+      ("@default_transaction", 0, 1), ("play", 1, 2), ("play", 3, 2),
+      ("@default_transaction", 5, 1)))
+    assert(d2.tokens(0).class_id == "author") // class applies before ||play
+    assert(d2.tokens(4).class_id == "action") // mid-transaction modality
+
+    // end-to-end: transaction fit over the parsed docs with typename
+    // weights (the kernel's transaction E-step path)
+    import spark.implicits._
+    val ds = spark.createDataset(docs)
+    val dict = DictionaryOps.gather(ds)
+    val pwt0 = PhiOps.initializeModel(dict, numTopics = 4, seed = 7)
+    val fit = Fit.fitOffline(ds, pwt0, Fit.Config(
+      numTopics = 4, numCollectionPasses = 2,
+      estep = EStepConfig(numDocumentPasses = 1,
+        transactionWeights = Map("@default_transaction" -> 1.0f, "play" -> 0.5f))))
+    val phi = fit.pwt.collect()
+    assert(phi.nonEmpty)
+    // per-(class, topic) columns sum to 1 over tokens (stochastic phi)
+    val sums = PhiOps.explodePhi(fit.pwt, sparseEps = -1.0)
+      .groupBy("class_id", "topic").agg(sum("weight").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-4 || r.getDouble(2) == 0.0))
+    assert(fit.scores.head.itemsProcessed == 2)
+    fit.unpersist()
   }
 
   test("parse dispatcher selects formats") {

@@ -60,15 +60,21 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(r.sameElements(r.sortBy(-_)))
 
-    val lsh = Ann.lshTopK(emb, queries, k = 10, planes = 8, probes = 4).cache()
-    // every LSH hit must carry the same cosine as brute force (same pair)
+    // quantified recall target ≥0.9 (fixed fixture + seeded hyperplanes →
+    // deterministic number). The fixture is a HARD angular case: top-10
+    // neighbor cosines are only ~0.3 (θ≈72°, per-plane collision ~0.6), so
+    // recall comes from OR-ing tables: per-table ≈0.48 at planes=4 with
+    // 1-bit probing, 8 tables → expected ≈1-(0.52)^8 ≈ 0.995
+    val lsh = Ann.lshTopK(emb, queries, k = 10, planes = 4, probes = 5, tables = 8).cache()
+    // every LSH hit must carry the same cosine as brute force (same pair —
+    // the bucketed rerank is exact)
     val joined = lsh.as("l").join(bf.as("b"), Seq("query_id", "id"))
       .select(abs(col("l.cosine") - col("b.cosine")).as("d")).agg(max("d")).head()
-    assert(joined.isNullAt(0) || joined.getDouble(0) < 1e-12)
-    // and recall@10 should be nontrivial
-    val recall = lsh.join(bf, Seq("query_id", "id", "rank"), "left_semi").count().toDouble /
+    assert(!joined.isNullAt(0) && joined.getDouble(0) < 1e-12)
+    val recall = lsh.join(bf, Seq("query_id", "id"), "left_semi").count().toDouble /
       bf.count()
-    info(s"LSH recall proxy = $recall")
+    info(s"LSH recall@10 (planes=4, probes=5, tables=8) = $recall")
+    assert(recall >= 0.9, s"LSH recall@10 too low: $recall")
   }
 
   test("IVF ANN: cells partition the corpus, probes recover most of brute force") {
@@ -82,10 +88,17 @@ class PipelineSpec extends SparkSpec {
     assert(joined.isNullAt(0) || joined.getDouble(0) < 1e-12)
     // probing half the cells must recover a nontrivial share of the truth
     val recall = ivf.join(bf, Seq("query_id", "id"), "left_semi").count().toDouble / bf.count()
-    info(s"IVF recall@10 = $recall")
+    info(s"IVF recall@10 (nprobe=4/8) = $recall")
     assert(recall > 0.4, s"IVF recall too low: $recall")
     // every query returns k rows (cells are never empty with nprobe=4/8)
     assert(ivf.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+
+    // quantified recall target: probing 6 of 8 cells must recover ≥0.9 of
+    // the exact top-10 (fixed fixture + seeded centroids → deterministic)
+    val ivf6 = Ann.ivfTopK(emb, queries, k = 10, numCentroids = 8, nprobe = 6).cache()
+    val recall6 = ivf6.join(bf, Seq("query_id", "id"), "left_semi").count().toDouble / bf.count()
+    info(s"IVF recall@10 (nprobe=6/8) = $recall6")
+    assert(recall6 >= 0.9, s"IVF recall@10 too low: $recall6")
   }
 
   test("embedding near-dup via hyperplane buckets returns high-cosine pairs only") {

@@ -65,4 +65,34 @@ class RelationalParitySpec extends SparkSpec {
       assert(math.abs(r - k) / r < 1e-3, s"pass $i perplexity: relational $r kernel $k")
     }
   }
+
+  test("regularized float32 kernel fit matches the regularized relational EM within 5e-4") {
+    // backs the artm_fit_regularized_kernel oracle entry: the kernel's
+    // SmoothSparsePhi + DecorrelatorPhi path against the mirror's RegCfg
+    // (same τs as SparkEntry.RegTaus)
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tok = RelationalEm.tokens(docsTable).cache()
+    val rel = RelationalEm.fitOffline(tok, 8, 2,
+      RelationalEm.RegCfg(smoothTau = -0.5, decorrTau = 50.0))
+
+    val corpus = graft.sources.Corpus.fromDocumentsTable(docsTable)
+    val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(tok, 8))
+    val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
+      numTopics = 8, numCollectionPasses = 2,
+      estep = EStepConfig(numDocumentPasses = 1),
+      phiRegularizers = Seq(
+        (graft.regularizers.SmoothSparsePhi(), -0.5f),
+        (graft.regularizers.DecorrelatorPhi(), 50.0f))))
+    val kern = PhiOps.explodePhi(fit.pwt, sparseEps = -1.0)
+      .select(col("token"), col("topic").cast("long").as("topic"),
+        col("weight").cast("double").as("pk"))
+    val joined = rel.pwt.join(kern, Seq("token", "topic"), "full")
+      .select(coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("pk"), lit(0.0)).as("pk"))
+    val row = joined.agg(max(abs(col("p") - col("pk"))), count(lit(1))).head()
+    info(f"regularized: ${row.getLong(1)} cells, max |relational - kernel| = ${row.getDouble(0)}%.2e")
+    assert(row.getLong(1) > 0)
+    assert(row.getDouble(0) < 5e-4)
+    fit.unpersist()
+    tok.unpersist()
+  }
 }

@@ -46,4 +46,49 @@ class TxnParitySpec extends SparkSpec {
     assert(row.getLong(1) > 0)
     assert(row.getDouble(0) < 5e-4)
   }
+
+  test("kernel k-token transactions with typename weights match the general relational mirror") {
+    // 3-token transactions, two alternating typenames at weights 1.0/0.7 —
+    // the full reference path (processor_transaction_helpers.cc:68-161):
+    // k-token phi products, typename weight in n_td AND n_wt, per-position
+    // n_wt stores
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 3
+    val ttWeights = Map("tt0" -> 1.0, "tt1" -> 0.7)
+    val txns = RelationalEm.txnK(docsTable, k, numTypenames = 2).cache()
+    val relPwt = RelationalEm.txnFitK(txns, numTopics = 8, ttWeights)
+
+    import spark.implicits._
+    val docs = txns.as[(Long, Long, String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._4)) // (txn_id, pos)
+        val toks = rows.map(r =>
+          TokenEntry(graft.functions.Rng.DefaultClass, r._5, 1.0f))
+        val byTxn = rows.map(_._2).distinct.sorted
+        val txnArr = byTxn.zipWithIndex.map { case (txnId, i) =>
+          Txn(rows.find(_._2 == txnId).get._3, i * k, k)
+        }
+        Doc(id, s"doc$id", toks, txnArr)
+      }
+
+    val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(txns.select(col("token")), 8))
+    val bPhi = spark.sparkContext.broadcast(PhiOps.collectPhi(pwt0, 8))
+    val out = EStep.run(docs, bPhi, EStepConfig(numDocumentPasses = 0,
+      transactionWeights = ttWeights.map { case (n, w) => n -> w.toFloat }))
+      .persist()
+    val kernPwt = PhiOps.normalizeModel(EStep.nwt(out))
+
+    val kern = PhiOps.explodePhi(kernPwt, sparseEps = -1.0)
+      .select(col("token"), col("topic").cast("long").as("topic"),
+        col("weight").cast("double").as("pk"))
+    val joined = relPwt.join(kern, Seq("token", "topic"), "full")
+      .select(coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("pk"), lit(0.0)).as("pk"))
+    val row = joined.agg(max(abs(col("p") - col("pk"))), count(lit(1))).head()
+    info(f"k-token: ${row.getLong(1)} cells, max |relational - kernel| = ${row.getDouble(0)}%.2e")
+    assert(row.getLong(1) > 0)
+    assert(row.getDouble(0) < 5e-4)
+    out.unpersist()
+    txns.unpersist()
+  }
 }
