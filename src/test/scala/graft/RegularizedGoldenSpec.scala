@@ -7,11 +7,28 @@ import graft.sources.SyntheticCollection
 /** Regularized golden trajectory — the synthetic-collection counterpart of
   * the reference's kos regularized test (python/tests/artm/
   * test_artm_model.py:30-175: SmoothSparsePhi + DecorrelatorPhi lowering
-  * perplexity/raising sparsity along a frozen trajectory). kos itself
-  * needs a network fetch (test_data/download_datasets.sh), so the goldens
-  * here were generated once from this engine on the deterministic
-  * synthetic collection and frozen; any τ-scaling or sign regression in
-  * the regularize→normalize path breaks them at the 4th decimal. */
+  * perplexity/raising sparsity along a frozen trajectory).
+  *
+  * Why these goldens are engine-frozen, not reference-emitted (checked
+  * again round 3): (a) kos needs a network fetch
+  * (test_data/download_datasets.sh) and the sandbox has zero egress;
+  * (b) building the reference binary to run it on the committed synthetic
+  * collection is also impossible in-sandbox — no cmake on PATH and no
+  * Boost anywhere (`find_package(Boost REQUIRED)` in the root
+  * CMakeLists; 3rdparty vendors only gflags/glog/gtest/protobuf).
+  * What pins the regularized path to the reference instead:
+  *  - the UNregularized synthetic trajectory 54.616→20.581 matches the
+  *    reference-published numbers at ±0.002 (SyntheticGoldenSpec, pass 0
+  *    here is that same 54.616);
+  *  - the regularizer arithmetic is verified exactly against
+  *    hand-computed reference formulas (second test below);
+  *  - the full regularized fit is pinned to the DuckDB-verified
+  *    relational mirror at ~5e-8 (RelationalParitySpec regularized case
+  *    + the artm_fit_regularized / artm_fit_regularized_kernel oracle
+  *    rows).
+  * The frozen trajectory's remaining job is regression-pinning: any
+  * τ-scaling or sign regression in regularize→normalize breaks it at
+  * the 4th decimal. */
 class RegularizedGoldenSpec extends SparkSpec {
 
   val goldenPerplexity = Seq(54.6161, 38.1686, 28.4631, 24.3160,
