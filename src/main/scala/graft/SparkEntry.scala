@@ -88,13 +88,16 @@ object SparkEntry {
     }
 
   /** The 2-pass mirror fit shared by fit_offline / perplexity / top_tokens
-    * / transform / the kernel-entry row filters. */
+    * / transform / reuse_theta / the kernel-entry row filters. Pass
+    * outputs are kept so the 1-pass state is this same fit's first pass —
+    * no separate 1-pass re-fit. */
   private def relFit(s: SparkSession, dir: String): RelationalEm.FitOut =
-    memoized(s, dir, "relfit")(RelationalEm.fitOffline(relTok(s, dir), T, Passes))
+    memoized(s, dir, "relfit")(
+      RelationalEm.fitOffline(relTok(s, dir), T, Passes, keepPassOutputs = true))
 
-  /** 1-pass mirror fit (reuse_theta). */
+  /** 1-pass mirror fit (reuse_theta) — pass 0 of the shared fit. */
   private def relFit1(s: SparkSession, dir: String): RelationalEm.FitOut =
-    memoized(s, dir, "relfit1")(RelationalEm.fitOffline(relTok(s, dir), T, 1))
+    relFit(s, dir).afterPass(0)
 
   /** Mirror inference pass with the fitted phi (transform entries). */
   private def relTransformTheta(s: SparkSession, dir: String): DataFrame =
@@ -305,6 +308,17 @@ object SparkEntry {
           array_join(col("dup_ids"), ",").as("dup_ids"))
         .orderBy(col("fingerprint"))
     }),
+    // LLM pipeline: SimHash fingerprints (md5-bit kernel), emitted as four
+    // 16-bit bands — the same bands simhashPairs blocks on
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = graft.pipeline.Dedup.simhash(docs(s, dir))
+      fp.select(col("id").as("doc_id"),
+          shiftrightunsigned(col("simhash"), 0).bitwiseAND(lit(0xffffL)).as("b0"),
+          shiftrightunsigned(col("simhash"), 16).bitwiseAND(lit(0xffffL)).as("b1"),
+          shiftrightunsigned(col("simhash"), 32).bitwiseAND(lit(0xffffL)).as("b2"),
+          shiftrightunsigned(col("simhash"), 48).bitwiseAND(lit(0xffffL)).as("b3"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: MinHash-LSH near-duplicate pairs (banded buckets)
     "dedup_minhash" -> ((s, dir) => {
       graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
@@ -396,6 +410,7 @@ object SparkEntry {
       RelationalEmSql.txnFitKSql(T, TxnK, TxnTypenames, TxnWeights),
     "artm_reuse_theta" -> RelationalEmSql.reuseTheta(T),
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
+    "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),

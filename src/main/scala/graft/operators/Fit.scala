@@ -90,10 +90,17 @@ object Fit {
     *
     * Lineage is cut every pass: the new pwt is collected to the driver
     * (needed for the next broadcast anyway) and re-created as a local
-    * relation, so pass N's plan never references pass N-1's E-step. */
+    * relation, so pass N's plan never references pass N-1's E-step.
+    *
+    * Path selection: `maxBroadcastRows = 0` forces the join-based
+    * (distributed-Phi) E-step and `Long.MaxValue` forces broadcast —
+    * neither pays a counting job. Anything between sizes Phi with one
+    * count per fit (not per pass). */
   def fitOffline(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult =
-    if (initialPwt.count() > cfg.maxBroadcastRows) fitOfflineJoinPhi(docs, initialPwt, cfg)
-    else fitOfflineBroadcast(docs, initialPwt, cfg)
+    if (cfg.maxBroadcastRows <= 0L) fitOfflineJoinPhi(docs, initialPwt, cfg)
+    else if (cfg.maxBroadcastRows == Long.MaxValue ||
+      initialPwt.count() <= cfg.maxBroadcastRows) fitOfflineBroadcast(docs, initialPwt, cfg)
+    else fitOfflineJoinPhi(docs, initialPwt, cfg)
 
   private def fitOfflineBroadcast(docs: Dataset[Doc], initialPwt: DataFrame, cfg: Config): FitResult = {
     val spark = docs.sparkSession

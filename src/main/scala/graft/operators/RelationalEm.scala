@@ -206,28 +206,37 @@ object RelationalEm {
       .select(lit(pass.toLong).as("pass"), col("perplexity"))
 
   /** All outputs are LocalRelations — reusable across bench/verify entries
-    * with zero recompute and immune to `spark.catalog.clearCache()`. */
-  case class FitOut(pwt: DataFrame, theta: DataFrame, perplexities: Seq[DataFrame])
+    * with zero recompute and immune to `spark.catalog.clearCache()`.
+    * With `keepPassOutputs`, `passes(i)` holds the state after pass i —
+    * `passes(i)` of an N-pass fit IS the FitOut of an (i+1)-pass fit
+    * (each pass is a pure function of the previous phi), so a caller
+    * needing both the 1-pass and 2-pass fit runs ONE fit. */
+  case class FitOut(pwt: DataFrame, theta: DataFrame, perplexities: Seq[DataFrame],
+      passes: Seq[FitOut] = Nil) {
+    def afterPass(i: Int): FitOut = passes(i)
+  }
 
   /** fit_offline, relational: `passes` collection passes from the md5 init. */
   def fitOffline(tok0: DataFrame, numTopics: Int, passes: Int,
-      reg: RegCfg = RegCfg()): FitOut = scoped { outer =>
+      reg: RegCfg = RegCfg(), keepPassOutputs: Boolean = false): FitOut = scoped { outer =>
     val tok = outer.cached(tok0)
     var phi = toLocal(initPhi(tok, numTopics))
     var theta: DataFrame = null
     val perp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val passOuts = scala.collection.mutable.ArrayBuffer.empty[FitOut]
     var p = 0
     while (p < passes) {
       val passScope = new Scope
       try {
         val pass = emPassIn(passScope, tok, phi, numTopics, reg)
         perp += toLocal(perplexity(pass.pdw, p))
-        if (p == passes - 1) theta = toLocal(pass.theta)
+        if (keepPassOutputs || p == passes - 1) theta = toLocal(pass.theta)
         phi = pass.pwt
+        if (keepPassOutputs) passOuts += FitOut(phi, theta, perp.toSeq)
       } finally passScope.close()
       p += 1
     }
-    FitOut(phi, theta, perp.toSeq)
+    FitOut(phi, theta, perp.toSeq, passOuts.toSeq)
   }
 
   /** fit_online, relational — mirror of Fit.fitOnline's decay merge:

@@ -131,7 +131,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j of the fingerprint is
-    * the sign of Σ_tokens weight · (bit j of xxhash64(token)). */
+    * the sign of Σ_tokens count · (±1 per bit j of the token hash). The
+    * token hash is the first 8 bytes of MD5 (big-endian uint64) — chosen
+    * over murmur/xxhash because every engine computes MD5 identically, so
+    * the fingerprint is DuckDB-checkable (the `dedup_simhash` oracle row:
+    * `('0x' || substr(md5(token), 1, 16))::UBIGINT`). Ties (acc = 0) give
+    * bit 0 on both sides. */
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -141,10 +146,13 @@ object Dedup {
         val counts = new java.util.HashMap[String, Int]()
         (if (text == null) "" else text).toLowerCase.trim.split("\\s+")
           .filter(_.nonEmpty).foreach(t => counts.merge(t, 1, (a, b) => a + b))
+        val md = java.security.MessageDigest.getInstance("MD5")
         val acc = new Array[Long](64)
         counts.forEach { (tok, n) =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(tok).toLong << 32 |
-            (scala.util.hashing.MurmurHash3.stringHash(tok.reverse).toLong & 0xffffffffL)
+          val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) acc(j) += n else acc(j) -= n

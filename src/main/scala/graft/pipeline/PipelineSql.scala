@@ -16,6 +16,35 @@ object PipelineSql {
        |       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
        |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
 
+  /** Mirrors Dedup.simhash: md5-derived 64-bit token hash (first 8 bytes
+    * big-endian = first 16 hex chars), bit j of the fingerprint = sign of
+    * Σ count·(±1), emitted as four 16-bit bands (b0..b3 — BIGINT-safe in
+    * both engines; bit 63 of a single fingerprint column would overflow
+    * signed 64-bit in SQL). Docs with no tokens get all-zero bands. */
+  val dedupSimhash: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |h AS (SELECT doc_id, n, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM tok),
+       |bits AS (
+       |  SELECT t.doc_id, j.j,
+       |         sum(CASE WHEN (t.h >> j.j) & 1 = 1 THEN t.n ELSE -t.n END) AS s
+       |  FROM h t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+       |  GROUP BY t.doc_id, j.j),
+       |bands AS (
+       |  SELECT doc_id, j // 16 AS band,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % 16)) ELSE 0 END) AS bv
+       |  FROM bits GROUP BY doc_id, j // 16)
+       |SELECT d.doc_id,
+       |  coalesce(CAST(max(CASE WHEN band = 0 THEN bv END) AS BIGINT), 0) AS b0,
+       |  coalesce(CAST(max(CASE WHEN band = 1 THEN bv END) AS BIGINT), 0) AS b1,
+       |  coalesce(CAST(max(CASE WHEN band = 2 THEN bv END) AS BIGINT), 0) AS b2,
+       |  coalesce(CAST(max(CASE WHEN band = 3 THEN bv END) AS BIGINT), 0) AS b3
+       |FROM documents d LEFT JOIN bands b ON b.doc_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Shingle/signature CTEs shared by minhash + jaccard oracles.
     * k = shingle size, numHashes minhash functions, rows hashes per band. */
   private def minhashCtes(k: Int, numHashes: Int, rows: Int): String =
