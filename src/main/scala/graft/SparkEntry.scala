@@ -64,6 +64,7 @@ object SparkEntry {
   private val HartmT1 = 4
   private val HartmW = 2.0
   private val ArgmaxMargin = 0.002 // mirror top1−top2 margin ≫ parity bound
+  private val MmWeights = Map(graft.functions.Rng.DefaultClass -> 1.0, "@lang" -> 2.0)
   private val TxnK = 3             // k-token transaction fixture size
   private val TxnTypenames = 2
   private val TxnWeights = Map("tt0" -> 1.0, "tt1" -> 0.7)
@@ -209,6 +210,37 @@ object SparkEntry {
     // path now has both a correctness row and a tracked bench wall-time.
     "artm_fit_offline_joinphi" -> ((s, dir) =>
       kernelTopTokens(kernelFitLocal(s, dir, "kfitjoin", maxBroadcastRows = 0L))),
+    // §2.4 MULTIMODAL class-weighted fit (mirror): text + the lang column
+    // as a "@lang" modality at weight 2, per-(class, topic) normalization
+    "artm_fit_multimodal" -> ((s, dir) => {
+      memoized(s, dir, "relfitmm")(
+        RelationalEm.fitOfflineMm(RelationalEm.tokensMm(docs(s, dir)), T, Passes, MmWeights))
+        .select(col("class_id"), col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("class_id"), col("token"), col("topic"))
+    }),
+    // §2.4 MULTIMODAL KERNEL fit under the oracle (rank-only per
+    // (class, topic)): puts the kernel's class-weight + per-class
+    // normalization code on the driver's gate
+    "artm_fit_multimodal_kernel" -> ((s, dir) => {
+      val pwt = memoized(s, dir, "kfitmm") {
+        val corpus = Corpus.fromDocumentsTableMultimodal(docs(s, dir))
+        val pwt0 = RelationalEm.toPhiRowsMm(
+          RelationalEm.initPhiMm(RelationalEm.tokensMm(docs(s, dir)), T))
+        val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
+          numTopics = T, numCollectionPasses = Passes,
+          estep = EStepConfig(numDocumentPasses = 1,
+            classWeights = MmWeights.map { case (c, w) => c -> w.toFloat })))
+        val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
+        fit.unpersist()
+        local
+      }
+      MmWeights.keys.toSeq.sorted.map { cls =>
+        graft.scores.Scores.topTokens(pwt, TopK, cls)
+          .select(lit(cls).as("class_id"), col("topic").cast("long").as("topic"),
+            col("rank").cast("long").as("rank"), col("token"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("class_id"), col("topic"), col("rank"))
+    }),
     // §2.4 transform (inference pass with the fitted phi — mirror)
     "artm_transform" -> ((s, dir) => {
       relTransformTheta(s, dir)
@@ -400,6 +432,9 @@ object SparkEntry {
     "artm_fit_regularized_kernel" ->
       RelationalEmSql.topTokensRankOnly(T, Passes, TopK, Some(RegTaus)),
     "artm_fit_offline_joinphi" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
+    "artm_fit_multimodal" -> RelationalEmSql.fitOfflineMm(T, Passes, MmWeights),
+    "artm_fit_multimodal_kernel" ->
+      RelationalEmSql.topTokensMmRankOnly(T, Passes, TopK, MmWeights),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
     "artm_transform_kernel" ->
       RelationalEmSql.transformKernelArgmax(T, Passes, ArgmaxMargin),

@@ -411,6 +411,99 @@ object RelationalEm {
     toLocal(normalize(nwt, phi, RegCfg()))
   }
 
+  // ---- multimodal mirror (class-weighted tokens, per-(class, topic)
+  // normalization — reference phi_matrix_operations.cc:383-446 per-class
+  // normalizers + processor class_weight, master_component.cc ClassIds) ----
+
+  /** Multimodal bag-of-words: text tokens under @default_class plus the
+    * `lang` column as a one-token "@lang" modality:
+    * [doc_id, class_id, token, n_dw, w]. */
+  def tokensMm(docsTable: DataFrame, langClass: String = "@lang"): DataFrame = {
+    val text = docsTable
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("n_dw"))
+      .select(col("doc_id"), lit(graft.functions.Rng.DefaultClass).as("class_id"),
+        col("token"), col("n_dw"), lit(1.0).as("w"))
+    val lang = docsTable
+      .filter(col("lang").isNotNull && trim(col("lang")) =!= "")
+      .select(col("doc_id").cast("long").as("doc_id"), lit(langClass).as("class_id"),
+        lower(trim(col("lang"))).as("token"), lit(1.0).as("n_dw"), lit(1.0).as("w"))
+    text.unionByName(lang)
+  }
+
+  /** md5 init keyed by (class, token, topic), normalized per
+    * (class, topic): [class_id, token, topic, p]. */
+  def initPhiMm(tok: DataFrame, numTopics: Int): DataFrame = {
+    val vocab = tok.select(col("class_id"), col("token")).distinct()
+    val topics = explode(sequence(lit(0), lit(numTopics - 1))).as("topic")
+    val raw = conv(substring(md5(concat(col("class_id"), lit("|"), col("token"),
+      lit("_"), col("topic").cast("string"))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    vocab.select(col("class_id"), col("token"), topics)
+      .select(col("class_id"), col("token"), col("topic").cast("long").as("topic"), raw.as("raw"))
+      .withColumn("p",
+        col("raw") / sum(col("raw")).over(Window.partitionBy(col("class_id"), col("topic"))))
+      .drop("raw")
+  }
+
+  /** Multimodal fit_offline with class weights (kernel semantics: the
+    * weight multiplies a token's n_td / n_wt contributions, NOT its p_dw;
+    * classes absent from the map weigh 0, as in EStep's classWeights).
+    * Returns the final pwt [class_id, token, topic, p], local. */
+  def fitOfflineMm(tok0: DataFrame, numTopics: Int, passes: Int,
+      classWeights: Map[String, Double]): DataFrame = scoped { outer =>
+    val invT = 1.0 / numTopics
+    val cw = classWeights.foldLeft(lit(0.0)) { case (acc, (c, wt)) =>
+      when(col("class_id") === c, lit(wt)).otherwise(acc)
+    }
+    val tok = outer.cached(tok0.withColumn("cw", cw))
+    var phi = toLocal(initPhiMm(tok, numTopics))
+    var p = 0
+    while (p < passes) {
+      val s = new Scope
+      try {
+        val tp = s.cached(tok.join(phi, Seq("class_id", "token")))
+        val pdwA = tp
+          .groupBy(col("doc_id"), col("class_id"), col("token"), col("n_dw"), col("w"), col("cw"))
+          .agg((sum(col("p")) * lit(invT)).as("p_dw"))
+        val ntd = tp
+          .join(pdwA.select(col("doc_id"), col("class_id"), col("token"), col("p_dw")),
+            Seq("doc_id", "class_id", "token"))
+          .groupBy(col("doc_id"), col("topic"))
+          .agg(sum(col("cw") * col("n_dw") * col("p") * lit(invT) / col("p_dw")).as("n_td"))
+        val theta = s.cached(ntd
+          .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+          .select(col("doc_id"), col("topic"), col("th")))
+        val tpt = s.cached(tp.join(theta, Seq("doc_id", "topic")))
+        val pdwB = s.cached(tpt
+          .groupBy(col("doc_id"), col("class_id"), col("token"), col("n_dw"), col("w"), col("cw"))
+          .agg(sum(col("p") * col("th")).as("p_dw")))
+        val nwt = tpt
+          .join(pdwB.select(col("doc_id"), col("class_id"), col("token"), col("p_dw")),
+            Seq("doc_id", "class_id", "token"))
+          .groupBy(col("class_id"), col("token"), col("topic"))
+          .agg(sum(col("w") * col("cw") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
+        phi = toLocal(nwt
+          .withColumn("adj", greatest(col("n_wt"), lit(0.0)))
+          .withColumn("p",
+            col("adj") / sum(col("adj")).over(Window.partitionBy(col("class_id"), col("topic"))))
+          .select(col("class_id"), col("token"), col("topic"), col("p")))
+      } finally s.close()
+      p += 1
+    }
+    phi
+  }
+
+  /** Convert a multimodal relational phi [class_id, token, topic, p] to
+    * the engine's Phi shape [class_id, token, weights]. */
+  def toPhiRowsMm(phi: DataFrame): DataFrame =
+    phi.groupBy(col("class_id"), col("token"))
+      .agg(sort_array(collect_list(struct(col("topic"), col("p")))).as("cells"))
+      .select(col("class_id"), col("token"),
+        expr("transform(cells, c -> cast(c.p as float))").as("weights"))
+
   /** Convert a relational phi [token, topic, p] to the engine's Phi shape
     * [class_id, token, weights: array<float>] (for feeding the md5 init to
     * the float32 kernel in parity tests). */

@@ -173,6 +173,80 @@ object RelationalEmSql {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** Multimodal class-weighted fit oracle (mirror of
+    * RelationalEm.fitOfflineMm): text tokens + the lang column as a
+    * "@lang" modality, per-(class, topic) normalization, class weight
+    * multiplying n_td/n_wt contributions. Final pwt
+    * [class_id, token, topic, p(6)]. */
+  def fitOfflineMm(t: Int, passes: Int, classWeights: Map[String, Double]): String =
+    s"""WITH ${mmChain(t, passes, classWeights)}
+       |SELECT class_id, token, topic, round(p, 6) AS p FROM phiM$passes
+       |ORDER BY class_id, token, topic""".stripMargin
+
+  private def mmChain(t: Int, passes: Int, classWeights: Map[String, Double]): String = {
+    val invT = s"(1.0/$t)"
+    val cwCase = "CASE class_id " +
+      classWeights.map { case (c, w) => s"WHEN '$c' THEN $w" }.mkString(" ") +
+      " ELSE 0.0 END"
+    def passCtesMm(prev: String, s: String): String =
+      s"""pdwaM$s AS (
+         |  SELECT t.doc_id, t.class_id, t.token, t.n_dw, t.w, t.cw, sum(f.p) * $invT AS p_dw
+         |  FROM tokw t JOIN $prev f ON f.class_id = t.class_id AND f.token = t.token
+         |  GROUP BY t.doc_id, t.class_id, t.token, t.n_dw, t.w, t.cw),
+         |ntdM$s AS (
+         |  SELECT t.doc_id, f.topic, sum(t.cw * t.n_dw * f.p * $invT / a.p_dw) AS n_td
+         |  FROM tokw t JOIN $prev f ON f.class_id = t.class_id AND f.token = t.token
+         |  JOIN pdwaM$s a ON a.doc_id = t.doc_id AND a.class_id = t.class_id AND a.token = t.token
+         |  GROUP BY t.doc_id, f.topic),
+         |thetaM$s AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdM$s),
+         |pdwbM$s AS (
+         |  SELECT t.doc_id, t.class_id, t.token, t.n_dw, t.w, t.cw, sum(f.p * h.th) AS p_dw
+         |  FROM tokw t JOIN $prev f ON f.class_id = t.class_id AND f.token = t.token
+         |  JOIN thetaM$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
+         |  GROUP BY t.doc_id, t.class_id, t.token, t.n_dw, t.w, t.cw),
+         |nwtM$s AS (
+         |  SELECT t.class_id, t.token, f.topic, sum(t.w * t.cw * t.n_dw * f.p * h.th / b.p_dw) AS n_wt
+         |  FROM tokw t JOIN $prev f ON f.class_id = t.class_id AND f.token = t.token
+         |  JOIN thetaM$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
+         |  JOIN pdwbM$s b ON b.doc_id = t.doc_id AND b.class_id = t.class_id AND b.token = t.token
+         |  GROUP BY t.class_id, t.token, f.topic),
+         |phiM$s AS (
+         |  SELECT class_id, token, topic, adj / sum(adj) OVER (PARTITION BY class_id, topic) AS p
+         |  FROM (SELECT class_id, token, topic, greatest(n_wt, 0.0) AS adj FROM nwtM$s))""".stripMargin
+    val chain = (1 to passes).map(p => passCtesMm(s"phiM${p - 1}", p.toString)).mkString(",\n")
+    s"""tokmm AS (
+       |  SELECT doc_id, '@default_class' AS class_id, token,
+       |         CAST(count(*) AS DOUBLE) AS n_dw, 1.0 AS w
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> '' GROUP BY doc_id, token
+       |  UNION ALL
+       |  SELECT doc_id, '@lang', lower(trim(lang)), 1.0, 1.0
+       |  FROM documents WHERE lang IS NOT NULL AND trim(lang) <> ''),
+       |tokw AS (SELECT *, $cwCase AS cw FROM tokmm),
+       |vocabM AS (SELECT DISTINCT class_id, token FROM tokw),
+       |phirM AS (
+       |  SELECT class_id, token, CAST(topic AS BIGINT) AS topic,
+       |         CAST(('0x' || substr(md5(class_id || '|' || token || '_' || CAST(topic AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+       |           / 4294967296.0 AS raw
+       |  FROM vocabM CROSS JOIN (SELECT unnest(generate_series(0, ${t - 1})) AS topic)),
+       |phiM0 AS (SELECT class_id, token, topic, raw / sum(raw) OVER (PARTITION BY class_id, topic) AS p FROM phirM),
+       |$chain""".stripMargin
+  }
+
+  /** Rank-only top-k per (class, topic) of the multimodal fit — the
+    * float-safe projection for the KERNEL multimodal entry:
+    * [class_id, topic, rank, token]. */
+  def topTokensMmRankOnly(t: Int, passes: Int, k: Int,
+      classWeights: Map[String, Double]): String =
+    s"""WITH ${mmChain(t, passes, classWeights)},
+       |ranked AS (
+       |  SELECT class_id, topic, token,
+       |         CAST(row_number() OVER (PARTITION BY class_id, topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phiM$passes WHERE p > 0)
+       |SELECT class_id, topic, rank, token FROM ranked WHERE rank <= $k
+       |ORDER BY class_id, topic, rank""".stripMargin
+
   /** General k-token transaction oracle (mirror of RelationalEm.txnFitK,
     * reference processor_transaction_helpers.cc:68-161): consecutive
     * k-token transactions, alternating typenames tt0..tt{n-1} with

@@ -31,6 +31,23 @@ object Corpus {
       }
   }
 
+  /** Multimodal variant: text tokens under @default_class plus the `lang`
+    * column as a one-token modality (reference multimodal batches carry a
+    * class_id per token — messages.proto Item.field.class_id). */
+  def fromDocumentsTableMultimodal(docs: DataFrame,
+      langClass: String = "@lang"): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id".cast("long"), $"text".cast("string"), $"lang".cast("string"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val langTok =
+          if (lang == null || lang.trim.isEmpty) Array.empty[TokenEntry]
+          else Array(TokenEntry(langClass, lang.trim.toLowerCase, 1.0f))
+        Doc(id, s"doc$id", tokenize(text) ++ langTok, Array.empty[Txn])
+      }
+  }
+
   /** Position-preserving variant (one TokenEntry per occurrence, weight 1)
     * — required by window-based operators (cooc gather, ptdw agents). */
   def fromDocumentsTablePositional(docs: DataFrame): Dataset[Doc] = {
