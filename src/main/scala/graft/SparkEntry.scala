@@ -125,6 +125,42 @@ object SparkEntry {
       local
     }
 
+  /** Multimodal mirror fit (class-weighted, per-(class, topic) norm). */
+  private def relFitMm(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "relfitmm")(
+      RelationalEm.fitOfflineMm(RelationalEm.tokensMm(docs(s, dir)), T, Passes, MmWeights))
+
+  /** Mirror predict_class label scores [doc_id, lang_token, s]:
+    * text-only inference theta against the multimodal fit's
+    * @default_class rows, then s = Σ_t φ_lang,t·θ_td. */
+  private def relPredScores(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "relpred") {
+      val mm = relFitMm(s, dir)
+      val phiDc = mm.filter(col("class_id") === graft.functions.Rng.DefaultClass)
+        .select(col("token"), col("topic"), col("p"))
+      val theta = RelationalEm.emPass(relTok(s, dir), phiDc, T).theta
+      val phiLang = mm.filter(col("class_id") === "@lang")
+        .select(col("token").as("lang_token"), col("topic"), col("p").as("pl"))
+      theta.join(phiLang, Seq("topic"))
+        .groupBy(col("doc_id"), col("lang_token"))
+        .agg(sum(col("pl") * col("th")).as("s"))
+    }
+
+  /** PRODUCTION kernel multimodal fit (class weights, md5 mm init). */
+  private def kernelMmPwt(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "kfitmm") {
+      val corpus = Corpus.fromDocumentsTableMultimodal(docs(s, dir))
+      val pwt0 = RelationalEm.toPhiRowsMm(
+        RelationalEm.initPhiMm(RelationalEm.tokensMm(docs(s, dir)), T))
+      val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
+        numTopics = T, numCollectionPasses = Passes,
+        estep = EStepConfig(numDocumentPasses = 1,
+          classWeights = MmWeights.map { case (c, w) => c -> w.toFloat })))
+      val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
+      fit.unpersist()
+      local
+    }
+
   /** Kernel top-k tokens as (topic, rank, token) — the rank-only float-safe
     * projection shared by the three rank-oracle kernel entries. */
   private def kernelTopTokens(pwt: DataFrame): DataFrame =
@@ -213,8 +249,7 @@ object SparkEntry {
     // §2.4 MULTIMODAL class-weighted fit (mirror): text + the lang column
     // as a "@lang" modality at weight 2, per-(class, topic) normalization
     "artm_fit_multimodal" -> ((s, dir) => {
-      memoized(s, dir, "relfitmm")(
-        RelationalEm.fitOfflineMm(RelationalEm.tokensMm(docs(s, dir)), T, Passes, MmWeights))
+      relFitMm(s, dir)
         .select(col("class_id"), col("token"), col("topic"), round(col("p"), 6).as("p"))
         .orderBy(col("class_id"), col("token"), col("topic"))
     }),
@@ -222,24 +257,51 @@ object SparkEntry {
     // (class, topic)): puts the kernel's class-weight + per-class
     // normalization code on the driver's gate
     "artm_fit_multimodal_kernel" -> ((s, dir) => {
-      val pwt = memoized(s, dir, "kfitmm") {
-        val corpus = Corpus.fromDocumentsTableMultimodal(docs(s, dir))
-        val pwt0 = RelationalEm.toPhiRowsMm(
-          RelationalEm.initPhiMm(RelationalEm.tokensMm(docs(s, dir)), T))
-        val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
-          numTopics = T, numCollectionPasses = Passes,
-          estep = EStepConfig(numDocumentPasses = 1,
-            classWeights = MmWeights.map { case (c, w) => c -> w.toFloat })))
-        val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
-        fit.unpersist()
-        local
-      }
+      val pwt = kernelMmPwt(s, dir)
       MmWeights.keys.toSeq.sorted.map { cls =>
         graft.scores.Scores.topTokens(pwt, TopK, cls)
           .select(lit(cls).as("class_id"), col("topic").cast("long").as("topic"),
             col("rank").cast("long").as("rank"), col("token"))
       }.reduce(_ unionByName _)
         .orderBy(col("class_id"), col("topic"), col("rank"))
+    }),
+    // §2.6 SparsityPhi on the regularized fit (round-6 zero fraction per
+    // topic — the regularized mirror produces exact zeros)
+    "artm_sparsity_phi" -> ((s, dir) => {
+      memoized(s, dir, "relfitreg")(
+        RelationalEm.fitOffline(relTok(s, dir), T, Passes,
+          RelationalEm.RegCfg(smoothTau = RegTaus._1, decorrTau = RegTaus._2))).pwt
+        .groupBy(col("topic"))
+        .agg(round(sum(when(round(col("p"), 6) === 0.0, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 6).as("sparsity"))
+        .orderBy(col("topic"))
+    }),
+    // §2.4 predict_class (mirror): p(lang|d) = Σ_t φ_lang,t·θ_td with a
+    // text-only inference theta against the multimodal fit's
+    // @default_class rows — the relational transformPredict
+    "artm_predict_class" -> ((s, dir) => {
+      relPredScores(s, dir)
+        .select(col("doc_id"), col("lang_token"), round(col("s"), 6).as("p"))
+        .orderBy(col("doc_id"), col("lang_token"))
+    }),
+    // §2.4 predict_class KERNEL: Fit.transformPredict's argmax lang on
+    // docs with a wide mirror margin (row set mirror-defined, winner
+    // kernel-computed)
+    "artm_predict_class_kernel" -> ((s, dir) => {
+      val pred = relPredScores(s, dir)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("lang_token"))
+      val ranked = pred.withColumn("rn", row_number().over(w))
+      val qual = ranked.filter(col("rn") === 1).select(col("doc_id"), col("s").as("s1"))
+        .join(ranked.filter(col("rn") === 2).select(col("doc_id"), col("s").as("s2")), Seq("doc_id"))
+        .filter(col("s1") - col("s2") > ArgmaxMargin)
+        .select(col("doc_id"))
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      Fit.transformPredict(corpus, kernelMmPwt(s, dir), T, predictClassId = "@lang",
+          estep = EStepConfig(numDocumentPasses = 1))
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("label_token"), col("p")).as("lang_token"))
+        .join(qual, Seq("doc_id"))
+        .orderBy(col("doc_id"))
     }),
     // §2.4 transform (inference pass with the fitted phi — mirror)
     "artm_transform" -> ((s, dir) => {
@@ -433,6 +495,10 @@ object SparkEntry {
       RelationalEmSql.topTokensRankOnly(T, Passes, TopK, Some(RegTaus)),
     "artm_fit_offline_joinphi" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
     "artm_fit_multimodal" -> RelationalEmSql.fitOfflineMm(T, Passes, MmWeights),
+    "artm_sparsity_phi" -> RelationalEmSql.sparsityPhi(T, Passes, RegTaus),
+    "artm_predict_class" -> RelationalEmSql.predictClass(T, Passes, MmWeights),
+    "artm_predict_class_kernel" ->
+      RelationalEmSql.predictClassKernelArgmax(T, Passes, MmWeights, ArgmaxMargin),
     "artm_fit_multimodal_kernel" ->
       RelationalEmSql.topTokensMmRankOnly(T, Passes, TopK, MmWeights),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),

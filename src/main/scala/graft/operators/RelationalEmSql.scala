@@ -247,6 +247,62 @@ object RelationalEmSql {
        |SELECT class_id, topic, rank, token FROM ranked WHERE rank <= $k
        |ORDER BY class_id, topic, rank""".stripMargin
 
+  /** SparsityPhi oracle on the regularized fit: per-topic fraction of
+    * cells whose p rounds to 0 at 6 decimals (round-robust across
+    * engines; the regularized mirror produces exact zeros via
+    * max(n+r, 0)): [topic, sparsity(6)]. */
+  def sparsityPhi(t: Int, passes: Int, reg: (Double, Double)): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, Some(reg))}
+       |SELECT topic,
+       |       round(CAST(sum(CASE WHEN round(p, 6) = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS sparsity
+       |FROM phi$passes GROUP BY topic ORDER BY topic""".stripMargin
+
+  /** predict_class oracle (mirror of Fit.transformPredict over the
+    * multimodal fit): text-only inference theta against the
+    * @default_class rows of the multimodal phi, then
+    * p(lang|d) = Σ_t φ_lang,t · θ_td: [doc_id, lang_token, p(6)]. */
+  def predictClass(t: Int, passes: Int, classWeights: Map[String, Double]): String = {
+    val inf = passCtes("tok", "phiDc", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${mmChain(t, passes, classWeights)},
+       |phiDc AS (SELECT token, topic, p FROM phiM$passes WHERE class_id = '@default_class'),
+       |$inf,
+       |pred AS (
+       |  SELECT h.doc_id, f.token AS lang_token, sum(f.p * h.th) AS s
+       |  FROM (SELECT token, topic, p FROM phiM$passes WHERE class_id = '@lang') f
+       |  JOIN thetaInf h ON h.topic = f.topic
+       |  GROUP BY h.doc_id, f.token)
+       |SELECT doc_id, lang_token, round(s, 6) AS p FROM pred
+       |ORDER BY doc_id, lang_token""".stripMargin
+  }
+
+  /** Kernel predict_class oracle: argmax lang per doc, restricted to docs
+    * whose mirror top1−top2 score margin exceeds `margin`:
+    * [doc_id, lang_token]. */
+  def predictClassKernelArgmax(t: Int, passes: Int,
+      classWeights: Map[String, Double], margin: Double): String = {
+    val inf = passCtes("tok", "phiDc", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${mmChain(t, passes, classWeights)},
+       |phiDc AS (SELECT token, topic, p FROM phiM$passes WHERE class_id = '@default_class'),
+       |$inf,
+       |pred AS (
+       |  SELECT h.doc_id, f.token AS lang_token, sum(f.p * h.th) AS s
+       |  FROM (SELECT token, topic, p FROM phiM$passes WHERE class_id = '@lang') f
+       |  JOIN thetaInf h ON h.topic = f.topic
+       |  GROUP BY h.doc_id, f.token),
+       |ranked AS (
+       |  SELECT doc_id, lang_token, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang_token) AS rn
+       |  FROM pred)
+       |SELECT a.doc_id, a.lang_token
+       |FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id AND b.rn = 2
+       |WHERE a.rn = 1 AND a.s - b.s > $margin
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** General k-token transaction oracle (mirror of RelationalEm.txnFitK,
     * reference processor_transaction_helpers.cc:68-161): consecutive
     * k-token transactions, alternating typenames tt0..tt{n-1} with
