@@ -78,6 +78,25 @@ object RelationalEm {
     try f(s) finally s.close()
   }
 
+  /** The mirror's shuffles carry at most corpus-token-sized tables at
+    * oracle scale (sf ≤ 0.1); running them at the session's production
+    * shuffle-partition count (32+) wastes more on task scheduling than
+    * the work itself (measured at sf0.1: 20 s → 8.7 s for a 2-pass fit
+    * by dropping 32 → 8). Every public mirror method pins a small count
+    * for its own jobs and restores the caller's setting after. The
+    * production kernel path is untouched. */
+  private val MirrorShufflePartitions = 8
+
+  private def withMirrorConf[A](df: DataFrame)(f: => A): A = {
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", MirrorShufflePartitions.toString)
+    try f finally prev match {
+      case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
+      case None => conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+
   /** Collect a small (vocab×T or doc×T) table into a lineage-free,
     * cache-independent LocalRelation. */
   private def toLocal(df: DataFrame): DataFrame = {
@@ -155,10 +174,10 @@ object RelationalEm {
     * `nwt` are lazy plans that recompute if used (prefer fitOffline /
     * perplexities for those). */
   def emPass(tok: DataFrame, phi: DataFrame, numTopics: Int,
-      reg: RegCfg = RegCfg()): Pass = scoped { s =>
+      reg: RegCfg = RegCfg()): Pass = withMirrorConf(tok) { scoped { s =>
     val pass = emPassIn(s, tok, phi, numTopics, reg)
     Pass(toLocal(pass.theta), pass.pdw, pass.nwt, pass.pwt)
-  }
+  } }
 
   /** M-step normalize (+ optional relational regularizers):
     * p = max(n_wt + r_wt, 0) / Σ_w max(n_wt + r_wt, 0) per topic. */
@@ -185,7 +204,7 @@ object RelationalEm {
     * theta init): theta' ∝ Σ_w n_dw·φ_wt·θ0_td / p_dw with
     * p_dw = Σ_t φ_wt·θ0_td. Returns the updated theta (local). */
   def emPassReuse(tok: DataFrame, phi: DataFrame, thetaInit: DataFrame,
-      numTopics: Int): DataFrame = scoped { s =>
+      numTopics: Int): DataFrame = withMirrorConf(tok) { scoped { s =>
     val tpt = s.cached(tok.join(phi, Seq("token"))
       .join(thetaInit.select(col("doc_id"), col("topic"), col("th").as("th0")),
         Seq("doc_id", "topic")))
@@ -198,7 +217,7 @@ object RelationalEm {
     toLocal(ntd
       .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("topic"), col("th")))
-  }
+  } }
 
   /** Per-pass perplexity from the pass's final p_dw table. */
   def perplexity(pdw: DataFrame, pass: Int): DataFrame =
@@ -218,7 +237,8 @@ object RelationalEm {
 
   /** fit_offline, relational: `passes` collection passes from the md5 init. */
   def fitOffline(tok0: DataFrame, numTopics: Int, passes: Int,
-      reg: RegCfg = RegCfg(), keepPassOutputs: Boolean = false): FitOut = scoped { outer =>
+      reg: RegCfg = RegCfg(), keepPassOutputs: Boolean = false): FitOut =
+    withMirrorConf(tok0) { scoped { outer =>
     val tok = outer.cached(tok0)
     var phi = toLocal(initPhi(tok, numTopics))
     var theta: DataFrame = null
@@ -237,12 +257,13 @@ object RelationalEm {
       p += 1
     }
     FitOut(phi, theta, perp.toSeq, passOuts.toSeq)
-  }
+  } }
 
   /** fit_online, relational — mirror of Fit.fitOnline's decay merge:
     * rho_i = (tau0 + i + 1)^(−kappa); nwt = (1−rho)·nwt + rho·nwt_hat. */
   def fitOnline(tokChunks0: Seq[DataFrame], numTopics: Int,
-      tau0: Double = 1024.0, kappa: Double = 0.7): DataFrame = scoped { outer =>
+      tau0: Double = 1024.0, kappa: Double = 0.7): DataFrame =
+    withMirrorConf(tokChunks0.head) { scoped { outer =>
     val tokChunks = tokChunks0.map(outer.cached)
     var phi = toLocal(initPhi(tokChunks.reduce(_ unionByName _), numTopics))
     var nwt: DataFrame = null
@@ -261,13 +282,14 @@ object RelationalEm {
       } finally passScope.close()
     }
     phi
-  }
+  } }
 
   /** ptdw, relational (1 collection pass, numDocumentPasses = 1): the
     * kernel's final refresh p(t|d,w) = φ_wt·θ_td / p_dw with the updated
     * theta — [doc_id, token, topic, ptdw], local (callers pass a doc
     * subset). */
-  def ptdw(tok0: DataFrame, numTopics: Int): DataFrame = scoped { s =>
+  def ptdw(tok0: DataFrame, numTopics: Int): DataFrame =
+    withMirrorConf(tok0) { scoped { s =>
     val tok = s.cached(tok0)
     val phi = toLocal(initPhi(tok, numTopics))
     val pass = emPassIn(s, tok, phi, numTopics, RegCfg())
@@ -276,7 +298,7 @@ object RelationalEm {
       .join(pass.pdw.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .select(col("doc_id"), col("token"), col("topic"),
         (col("p") * col("th") / col("p_dw")).as("ptdw")))
-  }
+  } }
 
   /** Consecutive disjoint token pairs of each document as two-token
     * transactions: [doc_id, txn_id, tok_a, tok_b] (trailing odd token
@@ -302,7 +324,8 @@ object RelationalEm {
     *   n_td = Σ_x helper_k / p_dx  (typename weight and n_kdx are 1)
     *   θ' = norm(n_td);  n_wt(w,k) += helper'_k / p'_dx for w ∈ {a, b}.
     * Returns (theta, pwt), both local. */
-  def txnFit(pairs0: DataFrame, numTopics: Int): (DataFrame, DataFrame) = scoped { s =>
+  def txnFit(pairs0: DataFrame, numTopics: Int): (DataFrame, DataFrame) =
+    withMirrorConf(pairs0) { scoped { s =>
     val pairs = s.cached(pairs0)
     val invT = 1.0 / numTopics
     val vocab = pairs.select(col("tok_a").as("token"))
@@ -336,7 +359,7 @@ object RelationalEm {
       .agg(sum(col("v")).as("n_wt"))
     val pwt = toLocal(normalize(nwt, phi, RegCfg()))
     (toLocal(theta), pwt)
-  }
+  } }
 
   /** Consecutive k-token transactions with alternating transaction
     * typenames — the general-transaction fixture (k ≥ 2, typename
@@ -372,7 +395,7 @@ object RelationalEm {
     * Returns the final pwt (local). `ttWeights` maps typename → weight
     * (missing typenames weigh 0, as in the reference). */
   def txnFitK(txns0: DataFrame, numTopics: Int,
-      ttWeights: Map[String, Double]): DataFrame = scoped { s =>
+      ttWeights: Map[String, Double]): DataFrame = withMirrorConf(txns0) { scoped { s =>
     val txns = s.cached(txns0)
     val invT = 1.0 / numTopics
     val phi = toLocal(initPhi(txns.select(col("token")), numTopics))
@@ -409,7 +432,7 @@ object RelationalEm {
       .groupBy(col("token"), col("topic"))
       .agg(sum(col("v")).as("n_wt"))
     toLocal(normalize(nwt, phi, RegCfg()))
-  }
+  } }
 
   // ---- multimodal mirror (class-weighted tokens, per-(class, topic)
   // normalization — reference phi_matrix_operations.cc:383-446 per-class
@@ -453,7 +476,8 @@ object RelationalEm {
     * classes absent from the map weigh 0, as in EStep's classWeights).
     * Returns the final pwt [class_id, token, topic, p], local. */
   def fitOfflineMm(tok0: DataFrame, numTopics: Int, passes: Int,
-      classWeights: Map[String, Double]): DataFrame = scoped { outer =>
+      classWeights: Map[String, Double]): DataFrame =
+    withMirrorConf(tok0) { scoped { outer =>
     val invT = 1.0 / numTopics
     val cw = classWeights.foldLeft(lit(0.0)) { case (acc, (c, wt)) =>
       when(col("class_id") === c, lit(wt)).otherwise(acc)
@@ -494,7 +518,7 @@ object RelationalEm {
       p += 1
     }
     phi
-  }
+  } }
 
   /** Convert a multimodal relational phi [class_id, token, topic, p] to
     * the engine's Phi shape [class_id, token, weights]. */
