@@ -65,6 +65,7 @@ object SparkEntry {
   private val HartmW = 2.0
   private val ArgmaxMargin = 0.002 // mirror top1−top2 margin ≫ parity bound
   private val MmWeights = Map(graft.functions.Rng.DefaultClass -> 1.0, "@lang" -> 2.0)
+  private val ThetaTau = -0.5 // SmoothSparseTheta τ (sparsifying)
   private val TxnK = 3             // k-token transaction fixture size
   private val TxnTypenames = 2
   private val TxnWeights = Map("tt0" -> 1.0, "tt1" -> 0.7)
@@ -246,6 +247,47 @@ object SparkEntry {
     // path now has both a correctness row and a tracked bench wall-time.
     "artm_fit_offline_joinphi" -> ((s, dir) =>
       kernelTopTokens(kernelFitLocal(s, dir, "kfitjoin", maxBroadcastRows = 0L))),
+    // §2.4 KERNEL fit_online under the oracle (rank-only): the decay-merge
+    // loop (Fit.fitOnline) on the two doc-parity chunks vs the online
+    // mirror chain
+    "artm_fit_online_kernel" -> ((s, dir) => {
+      val pwt = memoized(s, dir, "kfitonline") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val chunks = Seq(corpus.filter(_.doc_id % 2 == 0), corpus.filter(_.doc_id % 2 == 1))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val fit = Fit.fitOnline(chunks, pwt0, Fit.Config(
+          numTopics = T, estep = EStepConfig(numDocumentPasses = 1)),
+          OnlineTau0, OnlineKappa)
+        val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
+        fit.unpersist()
+        local
+      }
+      kernelTopTokens(pwt)
+    }),
+    // §2.5 SmoothSparseTheta fit (mirror): the theta-side regularizer
+    // (tau added to every topic's post-multiply theta, max(.,0) norm)
+    // inside a 2-pass fit — exact hash on the resulting pwt
+    "artm_fit_smooth_theta" -> ((s, dir) => {
+      memoized(s, dir, "relfitst")(
+        RelationalEm.fitOffline(relTok(s, dir), T, Passes, thetaTau = ThetaTau)).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
+    // §2.5 SmoothSparseTheta KERNEL fit (rank-only): the production theta
+    // agent path (EStep.applyAgentsAndNormalize) under the oracle
+    "artm_fit_smooth_theta_kernel" -> ((s, dir) =>
+      kernelTopTokens(memoized(s, dir, "kfitst") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
+          numTopics = T, numCollectionPasses = Passes,
+          estep = EStepConfig(numDocumentPasses = 1,
+            thetaAgents = Seq(graft.regularizers.SmoothSparseTheta(
+              tau = ThetaTau.toFloat, numTopics = T)))))
+        val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
+        fit.unpersist()
+        local
+      })),
     // §2.4 MULTIMODAL class-weighted fit (mirror): text + the lang column
     // as a "@lang" modality at weight 2, per-(class, topic) normalization
     "artm_fit_multimodal" -> ((s, dir) => {
@@ -494,6 +536,12 @@ object SparkEntry {
     "artm_fit_regularized_kernel" ->
       RelationalEmSql.topTokensRankOnly(T, Passes, TopK, Some(RegTaus)),
     "artm_fit_offline_joinphi" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
+    "artm_fit_online_kernel" ->
+      RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),
+    "artm_fit_smooth_theta" ->
+      RelationalEmSql.fitOffline(T, Passes, thetaTau = Some(ThetaTau)),
+    "artm_fit_smooth_theta_kernel" ->
+      RelationalEmSql.topTokensRankOnly(T, Passes, TopK, thetaTau = Some(ThetaTau)),
     "artm_fit_multimodal" -> RelationalEmSql.fitOfflineMm(T, Passes, MmWeights),
     "artm_sparsity_phi" -> RelationalEmSql.sparsityPhi(T, Passes, RegTaus),
     "artm_predict_class" -> RelationalEmSql.predictClass(T, Passes, MmWeights),

@@ -137,7 +137,7 @@ object RelationalEm {
     * current `phi` [token, topic, p]. The scoped intermediates live until
     * the caller's scope closes; `pwt` is returned local. */
   private def emPassIn(s: Scope, tok: DataFrame, phi: DataFrame, numTopics: Int,
-      reg: RegCfg): Pass = {
+      reg: RegCfg, thetaTau: Double = 0.0): Pass = {
     val invT = 1.0 / numTopics
     // the (doc, token) × topic expansion feeds three aggregates — compute
     // it once (phi is a broadcast-sized LocalRelation, so this is one
@@ -152,8 +152,16 @@ object RelationalEm {
       .join(pdwA.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .groupBy(col("doc_id"), col("topic"))
       .agg(sum(col("n_dw") * col("p") * lit(invT) / col("p_dw")).as("n_td"))
+    // SmoothSparseTheta (Constant fn, no masks): the kernel agent adds
+    // tau to every topic's post-multiply theta, then max(.,0)-normalizes
+    // (EStep.applyAgentsAndNormalize + ThetaRegularizers.scala:11-52) —
+    // the mirror's n_td IS that post-multiply theta
+    val thRaw =
+      if (thetaTau == 0.0) col("n_td")
+      else greatest(col("n_td") + lit(thetaTau), lit(0.0))
     val theta = s.cached(ntd
-      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("_thr", thRaw)
+      .withColumn("th", col("_thr") / sum(col("_thr")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("topic"), col("th")))
     // the same expansion with the updated theta attached, reused twice
     val tpt = s.cached(tp.join(theta, Seq("doc_id", "topic")))
@@ -237,7 +245,8 @@ object RelationalEm {
 
   /** fit_offline, relational: `passes` collection passes from the md5 init. */
   def fitOffline(tok0: DataFrame, numTopics: Int, passes: Int,
-      reg: RegCfg = RegCfg(), keepPassOutputs: Boolean = false): FitOut =
+      reg: RegCfg = RegCfg(), keepPassOutputs: Boolean = false,
+      thetaTau: Double = 0.0): FitOut =
     withMirrorConf(tok0) { scoped { outer =>
     val tok = outer.cached(tok0)
     var phi = toLocal(initPhi(tok, numTopics))
@@ -248,7 +257,7 @@ object RelationalEm {
     while (p < passes) {
       val passScope = new Scope
       try {
-        val pass = emPassIn(passScope, tok, phi, numTopics, reg)
+        val pass = emPassIn(passScope, tok, phi, numTopics, reg, thetaTau)
         perp += toLocal(perplexity(pass.pdw, p))
         if (keepPassOutputs || p == passes - 1) theta = toLocal(pass.theta)
         phi = pass.pwt

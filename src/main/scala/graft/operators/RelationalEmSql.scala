@@ -36,8 +36,13 @@ object RelationalEmSql {
   /** One EM collection pass: tok `$tok` × phi `$phiIn` → theta$s, pdwb$s,
     * nwt$s, phi$s. `reg` = (smoothTau, decorrTau) relational regularizers. */
   def passCtes(tok: String, phiIn: String, t: Int, s: String,
-      reg: Option[(Double, Double)] = None): String = {
+      reg: Option[(Double, Double)] = None,
+      thetaTau: Option[Double] = None): String = {
     val invT = s"(1.0/$t)"
+    val thRaw = thetaTau match {
+      case None => "n_td"
+      case Some(tt) => s"greatest(n_td + ($tt), 0.0)"
+    }
     val em =
       s"""pdwa$s AS (
          |  SELECT t.doc_id, t.token, t.n_dw, t.w, sum(f.p) * $invT AS p_dw
@@ -48,7 +53,7 @@ object RelationalEmSql {
          |  FROM $tok t JOIN $phiIn f ON f.token = t.token
          |  JOIN pdwa$s a ON a.doc_id = t.doc_id AND a.token = t.token
          |  GROUP BY t.doc_id, f.topic),
-         |theta$s AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntd$s),
+         |theta$s AS (SELECT doc_id, topic, $thRaw / sum($thRaw) OVER (PARTITION BY doc_id) AS th FROM ntd$s),
          |pdwb$s AS (
          |  SELECT t.doc_id, t.token, t.n_dw, t.w, sum(f.p * h.th) AS p_dw
          |  FROM $tok t JOIN $phiIn f ON f.token = t.token
@@ -80,16 +85,17 @@ object RelationalEmSql {
 
   /** Chain `passes` passes from the init, phi0 → phi1 → … → phi$passes. */
   private def offlineChain(tok: String, t: Int, passes: Int,
-      reg: Option[(Double, Double)]): String = {
+      reg: Option[(Double, Double)], thetaTau: Option[Double] = None): String = {
     val ctes = Seq(initCtes(tok, t, "0")) ++
-      (1 to passes).map(p => passCtes(tok, s"phi${p - 1}", t, p.toString, reg))
+      (1 to passes).map(p => passCtes(tok, s"phi${p - 1}", t, p.toString, reg, thetaTau))
     ctes.mkString(",\n")
   }
 
   /** Final pwt after `passes` passes: [token, topic, p(6)]. */
-  def fitOffline(t: Int, passes: Int, reg: Option[(Double, Double)] = None): String =
+  def fitOffline(t: Int, passes: Int, reg: Option[(Double, Double)] = None,
+      thetaTau: Option[Double] = None): String =
     s"""WITH ${tokCte()},
-       |${offlineChain("tok", t, passes, reg)}
+       |${offlineChain("tok", t, passes, reg, thetaTau)}
        |SELECT token, topic, round(p, 6) AS p FROM phi$passes ORDER BY token, topic""".stripMargin
 
   /** Per-pass perplexity rows: [pass, perplexity(6)]. */
@@ -132,9 +138,10 @@ object RelationalEmSql {
     * regularized fit, putting the kernel's regularizer path under the
     * oracle too. */
   def topTokensRankOnly(t: Int, passes: Int, k: Int,
-      reg: Option[(Double, Double)] = None): String =
+      reg: Option[(Double, Double)] = None,
+      thetaTau: Option[Double] = None): String =
     s"""WITH ${tokCte()},
-       |${offlineChain("tok", t, passes, reg)},
+       |${offlineChain("tok", t, passes, reg, thetaTau)},
        |ranked AS (
        |  SELECT topic, token,
        |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
@@ -352,11 +359,12 @@ object RelationalEmSql {
        |SELECT token, topic, round(p, 6) AS p FROM phiOut ORDER BY token, topic""".stripMargin
   }
 
-  /** Online decay merge over two doc_id-parity chunks: final pwt. */
-  def fitOnline(t: Int, tau0: Double, kappa: Double): String = {
+  /** Online decay-merge CTE chain over two doc_id-parity chunks, ending in
+    * `phiMB` (the final pwt). */
+  private def onlineChain(t: Int, tau0: Double, kappa: Double): String = {
     val rho1 = s"pow($tau0 + 1, -$kappa)"
     val rho2 = s"pow($tau0 + 2, -$kappa)"
-    s"""WITH ${tokCte()},
+    s"""${tokCte()},
        |tokA AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
        |tokB AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
        |${initCtes("tok", t, "0")},
@@ -374,9 +382,23 @@ object RelationalEmSql {
        |  GROUP BY token, topic),
        |phiMB AS (
        |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
-       |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwtmB))
-       |SELECT token, topic, round(p, 6) AS p FROM phiMB ORDER BY token, topic""".stripMargin
+       |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwtmB))""".stripMargin
   }
+
+  /** Online decay merge over two doc_id-parity chunks: final pwt. */
+  def fitOnline(t: Int, tau0: Double, kappa: Double): String =
+    s"""WITH ${onlineChain(t, tau0, kappa)}
+       |SELECT token, topic, round(p, 6) AS p FROM phiMB ORDER BY token, topic""".stripMargin
+
+  /** Rank-only top-k of the online fit — the float-safe projection for the
+    * KERNEL online entry: [topic, rank, token]. */
+  def topTokensOnlineRankOnly(t: Int, tau0: Double, kappa: Double, k: Int): String =
+    s"""WITH ${onlineChain(t, tau0, kappa)},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phiMB WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
   /** ptdw of the kernel's final refresh on a doc subset:
     * [doc_id, token, topic, ptdw(6)]. */
