@@ -66,6 +66,7 @@ object SparkEntry {
   private val ArgmaxMargin = 0.002 // mirror top1−top2 margin ≫ parity bound
   private val MmWeights = Map(graft.functions.Rng.DefaultClass -> 1.0, "@lang" -> 2.0)
   private val ThetaTau = -0.5 // SmoothSparseTheta τ (sparsifying)
+  private val HartmMargin = 0.005 // mirror psi top1−top2 margin (measured ≥0.01)
   private val TxnK = 3             // k-token transaction fixture size
   private val TxnTypenames = 2
   private val TxnWeights = Map("tt0" -> 1.0, "tt1" -> 0.7)
@@ -403,9 +404,50 @@ object SparkEntry {
     }),
     // §2.4 hARTM two-level hierarchy: Psi = p(child topic | parent topic)
     "artm_hartm_psi" -> ((s, dir) => {
-      RelationalEm.hartmPsi(relTok(s, dir), HartmT1, T, HartmW)
+      memoized(s, dir, "relhartm")(
+        RelationalEm.hartmPsi(relTok(s, dir), HartmT1, T, HartmW))
         .select(col("parent_topic"), col("topic"), round(col("psi"), 6).as("psi"))
         .orderBy(col("parent_topic"), col("topic"))
+    }),
+    // §2.4 KERNEL hARTM under the oracle: per-parent argmax child topic
+    // (row set = parents with a wide mirror psi margin; winner computed by
+    // the production 2-level flow — kernel fits + Hartm.pseudoDocs +
+    // docNwtWeightByTitle, the hARTM-specific kernel feature)
+    "artm_hartm_kernel" -> ((s, dir) => {
+      val mirPsi = memoized(s, dir, "relhartm")(
+        RelationalEm.hartmPsi(relTok(s, dir), HartmT1, T, HartmW))
+      val w = Window.partitionBy(col("parent_topic")).orderBy(col("psi").desc, col("topic"))
+      val ranked = mirPsi.withColumn("rn", row_number().over(w))
+      val qual = ranked.filter(col("rn") === 1)
+        .select(col("parent_topic"), col("psi").as("p1"))
+        .join(ranked.filter(col("rn") === 2)
+          .select(col("parent_topic"), col("psi").as("p2")), Seq("parent_topic"))
+        .filter(col("p1") - col("p2") > HartmMargin)
+        .select(col("parent_topic"))
+      val psiK = memoized(s, dir, "khartm") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val tok = relTok(s, dir)
+        val names = (0 until HartmT1).map(i => s"topic_$i")
+        val fit1 = Fit.fitOffline(corpus,
+          RelationalEm.toPhiRows(RelationalEm.initPhi(tok, HartmT1)),
+          Fit.Config(numTopics = HartmT1, numCollectionPasses = 1,
+            estep = EStepConfig(numDocumentPasses = 1)))
+        val pseudo = Hartm.pseudoDocs(fit1.pwt, names)
+        val union = corpus.unionByName(pseudo)
+        val fit2 = Fit.fitOffline(union,
+          RelationalEm.toPhiRows(RelationalEm.initPhi(tok, T)),
+          Fit.Config(numTopics = T, numCollectionPasses = 1,
+            estep = EStepConfig(numDocumentPasses = 1,
+              docNwtWeightByTitle = names.map(_ -> HartmW.toFloat).toMap)))
+        val psi = fit2.theta.filter(col("doc_id") < 0)
+          .select((-col("doc_id") - 1).cast("long").as("parent_topic"),
+            (expr("array_position(weights, array_max(weights))") - 1)
+              .cast("long").as("topic"))
+        val local = RelationalEm.collectLocal(psi)
+        fit1.unpersist(); fit2.unpersist()
+        local
+      }
+      psiK.join(qual, Seq("parent_topic")).orderBy(col("parent_topic"))
     }),
     // §2.4 reuse_theta: pass-2 theta initialized from pass-1's cache
     "artm_reuse_theta" -> ((s, dir) => {
@@ -553,6 +595,8 @@ object SparkEntry {
     "artm_transform_kernel" ->
       RelationalEmSql.transformKernelArgmax(T, Passes, ArgmaxMargin),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
+    "artm_hartm_kernel" ->
+      RelationalEmSql.hartmKernelArgmax(HartmT1, T, HartmW, HartmMargin),
     "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),
     "artm_transactions" -> RelationalEmSql.txnFit(T),
     "artm_transactions_k" ->

@@ -104,6 +104,10 @@ object RelationalEm {
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
+  /** Public toLocal for oracle entries that memoize small derived tables
+    * (same driver-bound contract as the mirror's own outputs). */
+  def collectLocal(df: DataFrame): DataFrame = toLocal(df)
+
   /** Bag-of-words token table from the driver `documents` table:
     * [doc_id: long, token: string, n_dw: double, w: double] with the same
     * tokenization as the dict_gather oracle (lowercased whitespace split).

@@ -471,10 +471,10 @@ object RelationalEmSql {
        |SELECT token, topic, round(p, 6) AS p FROM phiOut ORDER BY token, topic""".stripMargin
   }
 
-  /** hARTM psi: level-1 (t1 topics) pwt → pseudo-docs → level-2 (t2
-    * topics) theta of the pseudo-docs: [parent_topic, topic, psi(6)]. */
-  def hartmPsi(t1: Int, t2: Int, parentWeight: Double): String =
-    s"""WITH ${tokCte()},
+  /** hARTM CTE chain: level-1 (t1 topics) pwt → pseudo-docs → level-2
+    * (t2 topics), ending in `thetaP2`. */
+  private def hartmChain(t1: Int, t2: Int, parentWeight: Double): String =
+    s"""${tokCte()},
        |${initCtes("tok", t1, "L1")},
        |${passCtes("tok", "phiL1", t1, "P1", None)},
        |pseudo AS (
@@ -482,7 +482,26 @@ object RelationalEmSql {
        |  FROM phiP1),
        |tok2 AS (SELECT doc_id, token, n_dw, w FROM tok UNION ALL SELECT doc_id, token, n_dw, w FROM pseudo),
        |${initCtes("tok2", t2, "L2")},
-       |${passCtes("tok2", "phiL2", t2, "P2", None)}
+       |${passCtes("tok2", "phiL2", t2, "P2", None)}""".stripMargin
+
+  /** hARTM psi: theta of the pseudo-docs: [parent_topic, topic, psi(6)]. */
+  def hartmPsi(t1: Int, t2: Int, parentWeight: Double): String =
+    s"""WITH ${hartmChain(t1, t2, parentWeight)}
        |SELECT CAST(-doc_id - 1 AS BIGINT) AS parent_topic, topic, round(th, 6) AS psi
        |FROM thetaP2 WHERE doc_id < 0 ORDER BY parent_topic, topic""".stripMargin
+
+  /** Kernel hARTM oracle: per-parent argmax child topic on parents whose
+    * mirror psi top1−top2 margin exceeds `margin`: [parent_topic, topic]. */
+  def hartmKernelArgmax(t1: Int, t2: Int, parentWeight: Double, margin: Double): String =
+    s"""WITH ${hartmChain(t1, t2, parentWeight)},
+       |psi AS (SELECT CAST(-doc_id - 1 AS BIGINT) AS parent_topic, topic, th
+       |        FROM thetaP2 WHERE doc_id < 0),
+       |ranked AS (
+       |  SELECT parent_topic, topic, th,
+       |         row_number() OVER (PARTITION BY parent_topic ORDER BY th DESC, topic) AS rn
+       |  FROM psi)
+       |SELECT a.parent_topic, a.topic
+       |FROM ranked a JOIN ranked b ON b.parent_topic = a.parent_topic AND b.rn = 2
+       |WHERE a.rn = 1 AND a.th - b.th > $margin
+       |ORDER BY a.parent_topic""".stripMargin
 }
