@@ -127,6 +127,18 @@ object SparkEntry {
       local
     }
 
+  /** Mirror reuse_theta (pass-2 theta from pass-1's cache), unrounded. */
+  private def relReuseTheta(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "relreuse") {
+      val p1 = relFit1(s, dir)
+      RelationalEm.emPassReuse(relTok(s, dir), p1.pwt, p1.theta, T)
+    }
+
+  /** Mirror ptdw on the doc_id < 20 subset, unrounded. */
+  private def relPtdw(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "relptdw")(
+      RelationalEm.ptdw(relTok(s, dir).filter(col("doc_id") < 20), T))
+
   /** Multimodal mirror fit (class-weighted, per-(class, topic) norm). */
   private def relFitMm(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "relfitmm")(
@@ -451,10 +463,64 @@ object SparkEntry {
     }),
     // §2.4 reuse_theta: pass-2 theta initialized from pass-1's cache
     "artm_reuse_theta" -> ((s, dir) => {
-      val p1 = relFit1(s, dir)
-      RelationalEm.emPassReuse(relTok(s, dir), p1.pwt, p1.theta, T)
+      relReuseTheta(s, dir)
         .select(col("doc_id"), col("topic"), round(col("th"), 6).as("theta"))
         .orderBy(col("doc_id"), col("topic"))
+    }),
+    // §2.4 KERNEL reuse_theta: per-doc argmax of the production
+    // pass-2-with-cached-theta theta (Fit reuseTheta path) on docs with a
+    // wide mirror margin
+    "artm_reuse_theta_kernel" -> ((s, dir) => {
+      val mir = relReuseTheta(s, dir)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("th").desc, col("topic"))
+      val ranked = mir.withColumn("rn", row_number().over(w))
+      val qual = ranked.filter(col("rn") === 1).select(col("doc_id"), col("th").as("t1"))
+        .join(ranked.filter(col("rn") === 2).select(col("doc_id"), col("th").as("t2")), Seq("doc_id"))
+        .filter(col("t1") - col("t2") > ArgmaxMargin)
+        .select(col("doc_id"))
+      val kTheta = memoized(s, dir, "kreusetheta") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
+          numTopics = T, numCollectionPasses = 2,
+          estep = EStepConfig(numDocumentPasses = 1), reuseTheta = true))
+        val local = RelationalEm.collectLocal(fit.theta
+          .select(col("doc_id"),
+            (expr("array_position(weights, array_max(weights))") - 1)
+              .cast("long").as("topic")))
+        fit.unpersist()
+        local
+      }
+      kTheta.join(qual, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+    // §2.4 KERNEL ptdw: per-(doc, token) argmax topic of the production
+    // ptdw path (emitPtdw kernel) on cells with a wide mirror margin
+    "artm_ptdw_kernel" -> ((s, dir) => {
+      val mir = relPtdw(s, dir)
+      val w = Window.partitionBy(col("doc_id"), col("token"))
+        .orderBy(col("ptdw").desc, col("topic"))
+      val ranked = mir.withColumn("rn", row_number().over(w))
+      val qual = ranked.filter(col("rn") === 1)
+        .select(col("doc_id"), col("token"), col("ptdw").as("v1"))
+        .join(ranked.filter(col("rn") === 2)
+          .select(col("doc_id"), col("token"), col("ptdw").as("v2")), Seq("doc_id", "token"))
+        .filter(col("v1") - col("v2") > ArgmaxMargin)
+        .select(col("doc_id"), col("token"))
+      val kPtdw = memoized(s, dir, "kptdw") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir).filter(col("doc_id") < 20))
+        val pwt0 = RelationalEm.toPhiRows(
+          RelationalEm.initPhi(relTok(s, dir).filter(col("doc_id") < 20), T))
+        val bPhi = s.sparkContext.broadcast(PhiOps.collectPhi(pwt0, T))
+        val out = EStep.run(corpus, bPhi,
+          EStepConfig(numDocumentPasses = 1, emitPtdw = true, computeNwt = false))
+        val rows = EStep.ptdw(out)
+          .select(col("doc_id"), col("token"),
+            (expr("array_position(weights, array_max(weights))") - 1)
+              .cast("long").as("topic"))
+          .dropDuplicates("doc_id", "token") // repeated positions carry identical ptdw
+        RelationalEm.collectLocal(rows)
+      }
+      kPtdw.join(qual, Seq("doc_id", "token")).orderBy(col("doc_id"), col("token"))
     }),
     // §2.4 transaction E-step (product-of-phis) on consecutive token pairs
     "artm_transactions" -> ((s, dir) => {
@@ -474,7 +540,7 @@ object SparkEntry {
     }),
     // §2.4 ptdw E-step variant: p(t|d,w) rows on a doc subset
     "artm_ptdw" -> ((s, dir) => {
-      RelationalEm.ptdw(relTok(s, dir).filter(col("doc_id") < 20), T)
+      relPtdw(s, dir)
         .select(col("doc_id"), col("token"), col("topic"),
           round(col("ptdw"), 6).as("ptdw"))
         .orderBy(col("doc_id"), col("token"), col("topic"))
@@ -602,6 +668,9 @@ object SparkEntry {
     "artm_transactions_k" ->
       RelationalEmSql.txnFitKSql(T, TxnK, TxnTypenames, TxnWeights),
     "artm_reuse_theta" -> RelationalEmSql.reuseTheta(T),
+    "artm_reuse_theta_kernel" -> RelationalEmSql.reuseThetaKernelArgmax(T, ArgmaxMargin),
+    "artm_ptdw_kernel" ->
+      RelationalEmSql.ptdwKernelArgmax(T, "doc_id < 20", ArgmaxMargin),
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
     "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),

@@ -400,23 +400,44 @@ object RelationalEmSql {
        |  FROM phiMB WHERE p > 0)
        |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
+  /** ptdw CTE chain on a doc subset, ending in `ptdwCells`
+    * [doc_id, token, topic, v]. */
+  private def ptdwChain(t: Int, docFilter: String): String =
+    s"""${tokCte(docFilter = docFilter)},
+       |${initCtes("tok", t, "0")},
+       |${passCtes("tok", "phi0", t, "1", None)},
+       |ptdwCells AS (
+       |  SELECT t.doc_id, t.token, f.topic, f.p * h.th / b.p_dw AS v
+       |  FROM tok t JOIN phi0 f ON f.token = t.token
+       |  JOIN theta1 h ON h.doc_id = t.doc_id AND h.topic = f.topic
+       |  JOIN pdwb1 b ON b.doc_id = t.doc_id AND b.token = t.token)""".stripMargin
+
   /** ptdw of the kernel's final refresh on a doc subset:
     * [doc_id, token, topic, ptdw(6)]. */
   def ptdw(t: Int, docFilter: String): String =
-    s"""WITH ${tokCte(docFilter = docFilter)},
-       |${initCtes("tok", t, "0")},
-       |${passCtes("tok", "phi0", t, "1", None)}
-       |SELECT t.doc_id, t.token, f.topic, round(f.p * h.th / b.p_dw, 6) AS ptdw
-       |FROM tok t JOIN phi0 f ON f.token = t.token
-       |JOIN theta1 h ON h.doc_id = t.doc_id AND h.topic = f.topic
-       |JOIN pdwb1 b ON b.doc_id = t.doc_id AND b.token = t.token
-       |ORDER BY t.doc_id, t.token, f.topic""".stripMargin
+    s"""WITH ${ptdwChain(t, docFilter)}
+       |SELECT doc_id, token, topic, round(v, 6) AS ptdw
+       |FROM ptdwCells ORDER BY doc_id, token, topic""".stripMargin
 
-  /** reuse_theta oracle (mirror of RelationalEm.emPassReuse): pass 2's
-    * theta initialized from pass 1's cached theta —
-    * [doc_id, topic, theta(6)]. */
-  def reuseTheta(t: Int): String =
-    s"""WITH ${tokCte()},
+  /** Kernel ptdw oracle: per-(doc, token) argmax topic on cells whose
+    * mirror top1−top2 ptdw margin exceeds `margin`:
+    * [doc_id, token, topic]. */
+  def ptdwKernelArgmax(t: Int, docFilter: String, margin: Double): String =
+    s"""WITH ${ptdwChain(t, docFilter)},
+       |ranked AS (
+       |  SELECT doc_id, token, topic, v,
+       |         row_number() OVER (PARTITION BY doc_id, token ORDER BY v DESC, topic) AS rn
+       |  FROM ptdwCells)
+       |SELECT a.doc_id, a.token, a.topic
+       |FROM ranked a JOIN ranked b
+       |  ON b.doc_id = a.doc_id AND b.token = a.token AND b.rn = 2
+       |WHERE a.rn = 1 AND a.v - b.v > $margin
+       |ORDER BY a.doc_id, a.token""".stripMargin
+
+  /** reuse_theta CTE chain (pass 2's theta initialized from pass 1's
+    * cached theta), ending in `thetaR`. */
+  private def reuseChain(t: Int): String =
+    s"""${tokCte()},
        |${offlineChain("tok", t, 1, None)},
        |tpt AS (
        |  SELECT t.doc_id, t.token, t.n_dw, f.topic, f.p, h.th
@@ -427,8 +448,27 @@ object RelationalEmSql {
        |ntdR AS (SELECT tpt.doc_id, tpt.topic, sum(tpt.n_dw * tpt.p * tpt.th / r.p_dw) AS n_td
        |         FROM tpt JOIN pdwR r ON r.doc_id = tpt.doc_id AND r.token = tpt.token
        |         GROUP BY tpt.doc_id, tpt.topic),
-       |thetaR AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdR)
+       |thetaR AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdR)""".stripMargin
+
+  /** reuse_theta oracle (mirror of RelationalEm.emPassReuse):
+    * [doc_id, topic, theta(6)]. */
+  def reuseTheta(t: Int): String =
+    s"""WITH ${reuseChain(t)}
        |SELECT doc_id, topic, round(th, 6) AS theta FROM thetaR ORDER BY doc_id, topic""".stripMargin
+
+  /** Kernel reuse_theta oracle: per-doc argmax topic of the
+    * pass-2-with-cached-theta theta, on docs with a mirror margin >
+    * `margin`: [doc_id, topic]. */
+  def reuseThetaKernelArgmax(t: Int, margin: Double): String =
+    s"""WITH ${reuseChain(t)},
+       |ranked AS (
+       |  SELECT doc_id, topic, th,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY th DESC, topic) AS rn
+       |  FROM thetaR)
+       |SELECT a.doc_id, a.topic
+       |FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id AND b.rn = 2
+       |WHERE a.rn = 1 AND a.th - b.th > $margin
+       |ORDER BY a.doc_id""".stripMargin
 
   /** Transaction E-step oracle (mirror of RelationalEm.txnFit — the
     * kernel's product-of-phis path on consecutive-token-pair
