@@ -113,14 +113,16 @@ object SparkEntry {
     * `maxBroadcastRows = 0` forces the join-based (scale) E-step. */
   private def kernelFitLocal(s: SparkSession, dir: String, key: String,
       regs: Seq[(PhiRegularizer, Float)] = Nil,
-      maxBroadcastRows: Long = 5000000L): DataFrame =
+      maxBroadcastRows: Long = 5000000L,
+      useSparseComputation: Boolean = false): DataFrame =
     memoized(s, dir, key) {
       val tok = relTok(s, dir)
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
       val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(tok, T))
       val fit = Fit.fitOffline(corpus, pwt0, Fit.Config(
         numTopics = T, numCollectionPasses = Passes,
-        estep = EStepConfig(numDocumentPasses = 1),
+        estep = EStepConfig(numDocumentPasses = 1,
+          useSparseComputation = useSparseComputation),
         phiRegularizers = regs, maxBroadcastRows = maxBroadcastRows))
       val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
       fit.unpersist()
@@ -357,6 +359,32 @@ object SparkEntry {
         .agg(max_by(col("label_token"), col("p")).as("lang_token"))
         .join(qual, Seq("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+    // §2.5 KERNEL regularized fit with use_sparse_computation: the
+    // sparse-packed dot/axpy path on a genuinely sparsified model (the
+    // regularizers zero cells, so packing engages) — bit-identical to the
+    // dense path by construction, so the same rank-only oracle applies
+    "artm_fit_sparse_kernel" -> ((s, dir) =>
+      kernelTopTokens(kernelFitLocal(s, dir, "kfitsparse",
+        regs = Seq((SmoothSparsePhi(), RegTaus._1.toFloat),
+          (DecorrelatorPhi(), RegTaus._2.toFloat)),
+        useSparseComputation = true))),
+    // §2.4 KERNEL fit_online ASYNC (depth 1 ≡ the sync algorithm exactly,
+    // so the sync oracle applies — puts the async pipelining machinery
+    // itself on the driver's gate)
+    "artm_fit_online_async_kernel" -> ((s, dir) => {
+      val pwt = memoized(s, dir, "kfitasync") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val chunks = Seq(corpus.filter(_.doc_id % 2 == 0), corpus.filter(_.doc_id % 2 == 1))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val fit = Fit.fitOnlineAsync(chunks, pwt0, Fit.Config(
+          numTopics = T, estep = EStepConfig(numDocumentPasses = 1)),
+          OnlineTau0, OnlineKappa, asyncDepth = 1)
+        val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
+        fit.unpersist()
+        local
+      }
+      kernelTopTokens(pwt)
     }),
     // §2.4 transform (inference pass with the fitted phi — mirror)
     "artm_transform" -> ((s, dir) => {
@@ -646,6 +674,10 @@ object SparkEntry {
     "artm_fit_offline_joinphi" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
     "artm_fit_online_kernel" ->
       RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),
+    "artm_fit_online_async_kernel" ->
+      RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),
+    "artm_fit_sparse_kernel" ->
+      RelationalEmSql.topTokensRankOnly(T, Passes, TopK, Some(RegTaus)),
     "artm_fit_smooth_theta" ->
       RelationalEmSql.fitOffline(T, Passes, thetaTau = Some(ThetaTau)),
     "artm_fit_smooth_theta_kernel" ->
