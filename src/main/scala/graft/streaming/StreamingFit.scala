@@ -90,6 +90,22 @@ case class UserSession(
   * the streaming form of the batch Dedup/TextAnalysis operators. */
 object StreamingPipeline {
 
+  /** Streaming inference: per-document theta over a document stream with
+    * a FIXED fitted model — the streaming form of `Fit.transform`
+    * (reference master_component.cc:1145-1212 applied to a live feed).
+    * Stateless: one phi broadcast + a narrow mapPartitions, no shuffle and
+    * no state store, so it runs under any trigger/output mode and scales
+    * with input partitions alone. Returns [doc_id, title, weights]. */
+  def transformStream(docsStream: Dataset[graft.core.Doc], pwt: DataFrame,
+      numTopics: Int,
+      estep: graft.operators.EStepConfig = graft.operators.EStepConfig()): DataFrame = {
+    val spark = docsStream.sparkSession
+    val bPhi = spark.sparkContext.broadcast(
+      graft.operators.PhiOps.collectPhi(pwt, numTopics, estep.useSparseComputation))
+    graft.operators.EStep.theta(
+      graft.operators.EStep.run(docsStream, bPhi, estep.copy(computeNwt = false)))
+  }
+
   /** `stream` must carry a `text` column; when `eventTimeCol` is given the
     * stream is watermarked so the dedup state is bounded (exact dedup
     * within the lateness window — at 100 TB/day unbounded dedup state is

@@ -173,6 +173,27 @@ class FringeSpec extends SparkSpec {
     fit.unpersist()
   }
 
+  test("multimodal tokens: null/blank lang rows get no @lang token on either side") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (0L, "alpha beta", "EN"),
+      (1L, "gamma", null.asInstanceOf[String]),
+      (2L, "delta", "  "),
+      (3L, "", "fr")).toDF("doc_id", "text", "lang")
+    // mirror side: one @lang row per valid lang, lowercased
+    val mm = graft.operators.RelationalEm.tokensMm(docsDf)
+    val langRows = mm.filter(col("class_id") === "@lang")
+      .select("doc_id", "token").as[(Long, String)].collect().toSet
+    assert(langRows == Set((0L, "en"), (3L, "fr")))
+    // kernel side: same docs get the same lang TokenEntry
+    val corpusLang = Corpus.fromDocumentsTableMultimodal(docsDf).collect()
+      .flatMap(d => d.tokens.filter(_.class_id == "@lang").map(t => (d.doc_id, t.token)))
+      .toSet
+    assert(corpusLang == langRows)
+    // doc 3 has no text tokens but still carries its lang token
+    assert(mm.filter(col("doc_id") === 3L).count() == 1)
+  }
+
   test("parse dispatcher selects formats") {
     val vw = tmpFile("vw", "doc1 hello world:2\n")
     assert(BatchIO.parse(spark, "vowpal_wabbit", vw).count() == 1)

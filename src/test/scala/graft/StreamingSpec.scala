@@ -41,6 +41,38 @@ class StreamingSpec extends SparkSpec {
     colSums.foreach(s => assert(math.abs(s - 1.0f) < 1e-3))
   }
 
+  test("streaming transform matches batch transform exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val corpus = Corpus.fromDocumentsTable(docsTable).cache()
+    val dict = DictionaryOps.gather(corpus)
+    val pwt = Fit.fitOffline(corpus, PhiOps.initializeModel(dict, 4, seed = 3),
+      Fit.Config(numTopics = 4, numCollectionPasses = 2,
+        estep = EStepConfig(numDocumentPasses = 2))).pwt.cache()
+
+    val stream = MemoryStream[Doc]
+    val theta = StreamingPipeline.transformStream(stream.toDS(), pwt, 4,
+      EStepConfig(numDocumentPasses = 2))
+    val query = theta.writeStream.format("memory").queryName("stream_theta")
+      .outputMode("append").start()
+    try {
+      stream.addData(corpus.collect().toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("stream_theta")
+      .select(col("doc_id"), posexplode(col("weights")).as(Seq("topic", "w")))
+    val batch = Fit.transform(corpus, pwt, 4, EStepConfig(numDocumentPasses = 2))
+      .select(col("doc_id"), posexplode(col("weights")).as(Seq("topic", "wb")))
+    val joined = streamed.join(batch, Seq("doc_id", "topic"), "full")
+    val row = joined.agg(max(abs(col("w") - col("wb"))), count(lit(1))).head()
+    info(s"${row.getLong(1)} theta cells, max |stream - batch| = ${row.get(0)}")
+    assert(row.getLong(1) === 50L * 4)
+    assert(!row.isNullAt(0) && row.getFloat(0) === 0.0f) // same kernel, same phi
+  }
+
   test("watermarked window counts and stateful sessionization over events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -89,6 +89,22 @@ class TxnParitySpec extends SparkSpec {
     assert(row.getLong(1) > 0)
     assert(row.getDouble(0) < 5e-4)
     out.unpersist()
+
+    // typename missing from the weight map weighs 0 on BOTH sides
+    // (reference: tt_name_to_weight miss → 0; EStepConfig.getOrElse 0):
+    // tt1 transactions must contribute nothing
+    val relPwt0 = RelationalEm.txnFitK(txns, numTopics = 8, Map("tt0" -> 1.0))
+    val out0 = EStep.run(docs, bPhi, EStepConfig(numDocumentPasses = 0,
+      transactionWeights = Map("tt0" -> 1.0f))).persist()
+    val kern0 = PhiOps.explodePhi(PhiOps.normalizeModel(EStep.nwt(out0)), sparseEps = -1.0)
+      .select(col("token"), col("topic").cast("long").as("topic"),
+        col("weight").cast("double").as("pk"))
+    val joined0 = relPwt0.join(kern0, Seq("token", "topic"), "full")
+      .select(coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("pk"), lit(0.0)).as("pk"))
+    val row0 = joined0.agg(max(abs(col("p") - col("pk"))), count(lit(1))).head()
+    info(f"k-token missing-typename: ${row0.getLong(1)} cells, max diff = ${row0.getDouble(0)}%.2e")
+    assert(row0.getLong(1) > 0 && row0.getDouble(0) < 5e-4)
+    out0.unpersist()
     txns.unpersist()
   }
 }
