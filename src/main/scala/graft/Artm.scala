@@ -106,6 +106,18 @@ class Artm(
     Fit.transformPredict(docs, requirePwt(), numTopics, predictClassId,
       EStepConfig(numDocumentPasses = numDocumentPasses, classWeights = classWeights))
 
+  /** transform with theta_matrix_type = "ptdw" (reference
+    * artm_model.py transform + processor_helpers.cc:261-382): one
+    * p(t|d,w) row per in-model token position —
+    * [doc_id, title, position, class_id, token, weights]. */
+  def transformPtdw(docs: Dataset[Doc]): DataFrame = {
+    val bPhi = spark.sparkContext.broadcast(
+      PhiOps.collectPhi(requirePwt(), numTopics, useSparseComputation))
+    EStep.ptdw(EStep.run(docs, bPhi,
+      EStepConfig(numDocumentPasses = numDocumentPasses, classWeights = classWeights,
+        emitPtdw = true, computeNwt = false)))
+  }
+
   // ---- retrieval (get_phi / get_theta / scores) ----
 
   def getPhi: DataFrame = requirePwt()

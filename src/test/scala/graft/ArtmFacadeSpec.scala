@@ -54,5 +54,14 @@ class ArtmFacadeSpec extends SparkSpec {
     val chunks = Seq(corpus.filter(_.doc_id % 2 == 0), corpus.filter(_.doc_id % 2 == 1))
     model.fitOnline(chunks, tau0 = 8.0, kappa = 0.7)
     assert(model.scoreTracker.length == 7)
+
+    // ptdw-mode transform: one row per in-model token position, each a
+    // probability distribution over topics
+    val ptdw = model.transformPtdw(corpus.filter(_.doc_id < 5)).cache()
+    assert(ptdw.count() > 0)
+    val sums = ptdw
+      .select(aggregate(col("weights"), lit(0.0), (a, x) => a + x).as("s"))
+      .agg(min(col("s")), max(col("s"))).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4 && math.abs(sums.getDouble(1) - 1.0) < 1e-4)
   }
 }
