@@ -25,6 +25,18 @@ object CoocReader {
       .toDF("class_a", "token_a", "class_b", "token_b", "cooc_value")
   }
 
+  /** Same-class pairs in the single-class shape consumed by the coherence
+    * operators and regularizers ([class_id, token_a, token_b,
+    * cooc_value]); cross-class pairs — only produced by mid-line modality
+    * markers — are dropped, since coherence is per-class
+    * (dictionary.cc:147-193 reads pairs within one token's class). */
+  def toSingleClass(cooc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    cooc.filter(col("class_a") === col("class_b"))
+      .select(col("class_a").as("class_id"), col("token_a"), col("token_b"),
+        col("cooc_value"))
+  }
+
   private[graft] def parseLine(line: String,
       symmetric: Boolean): Seq[(String, String, String, String, Float)] = {
     val atoms = line.trim.split("[ :\t\r]+").filter(_.nonEmpty)

@@ -93,6 +93,12 @@ class FringeSpec extends SparkSpec {
     val path = tmpFile("cooc", "1 2 0.5\n2 3 0.4\n1 3 0.8\n")
     val df = CoocReader.read(spark, path)
     assert(df.count() == 3)
+    // single-class adapter feeds the coherence consumers (drops the rare
+    // cross-class pairs, renames to class_id)
+    val single = CoocReader.toSingleClass(df)
+    assert(single.columns.toSeq ==
+      Seq("class_id", "token_a", "token_b", "cooc_value"))
+    assert(single.count() == 3)
     // attach path: restrict to a surviving dictionary
     val dict = DictionaryOps.create(spark, Seq(
       graft.core.DictEntry("@default_class", "1", 0.5f, 1f, 1f),
