@@ -70,6 +70,12 @@ object SparkEntry {
   private val TxnK = 3             // k-token transaction fixture size
   private val TxnTypenames = 2
   private val TxnWeights = Map("tt0" -> 1.0, "tt1" -> 0.7)
+  // Score-entry parameters (TopicKernel / BackgroundTokensRatio /
+  // coherence / ThetaSnippet)
+  private val KernelThreshold = 0.25
+  private val BgDelta = 0.15
+  private val SnippetDocs = 10
+  private val CoocWindow = 3
   // LLM-pipeline entry parameters (small hash count keeps the DuckDB
   // oracle cheap; the operators scale these freely)
   private val ShingleK = 3
@@ -416,6 +422,71 @@ object SparkEntry {
         .join(qual, Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    // §2.6 TopicMassPhi — n_t per topic of the fitted model's final nwt
+    // (+ ratio of total mass), from the shared mirror fit
+    "artm_topic_mass" -> ((s, dir) => {
+      val nwt = relFit(s, dir).nwt
+      nwt.groupBy(col("topic")).agg(sum(col("n_wt")).as("mass"))
+        .select(col("topic"), round(col("mass"), 6).as("mass"),
+          round(col("mass") / sum(col("mass")).over(Window.partitionBy()), 6).as("ratio"))
+        .orderBy(col("topic"))
+    }),
+    // §2.6 TopicKernel score — kernel W_t = {w: p(t|w) > threshold} with
+    // p(t|w) = p·n_t / Σ_s p_s·n_s; per topic size / purity / contrast
+    "artm_topic_kernel_score" -> ((s, dir) => {
+      val f = relFit(s, dir)
+      val nt = f.nwt.groupBy(col("topic")).agg(sum(greatest(col("n_wt"), lit(0.0))).as("n_t"))
+      val cells = f.pwt.join(nt, Seq("topic"))
+        .withColumn("raw", col("p") * col("n_t"))
+        .withColumn("ptw", col("raw") / sum(col("raw")).over(Window.partitionBy(col("token"))))
+      cells.filter(col("ptw") > KernelThreshold)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("size"), round(sum(col("p")), 6).as("purity"),
+          round(avg(col("ptw")), 6).as("contrast"))
+        .orderBy(col("topic"))
+    }),
+    // §2.6 BackgroundTokensRatio — per token KL(p(t) ‖ p(t|w)) and the
+    // background flag (kl > delta); the full KL surface under the oracle
+    "artm_background_tokens" -> ((s, dir) => {
+      val f = relFit(s, dir)
+      val nt = f.nwt.groupBy(col("topic")).agg(sum(greatest(col("n_wt"), lit(0.0))).as("n_t"))
+      val ntot = nt.agg(sum(col("n_t")).as("n"))
+      val cells = f.pwt.join(nt, Seq("topic")).crossJoin(ntot)
+        .withColumn("raw", col("p") * col("n_t"))
+        .withColumn("pt", col("n_t") / col("n"))
+        .withColumn("ptw", col("raw") / sum(col("raw")).over(Window.partitionBy(col("token"))))
+      cells.groupBy(col("token"))
+        .agg(sum(when(col("pt") > 0 && col("ptw") > 0,
+          col("pt") * log(col("pt") / col("ptw"))).otherwise(lit(0.0))).as("kl"))
+        .select(col("token"), round(col("kl"), 6).as("kl"),
+          when(col("kl") > BgDelta, 1L).otherwise(0L).as("is_background"))
+        .orderBy(col("token"))
+    }),
+    // §2.3/§2.6 CountTopicCoherence — the PRODUCTION Cooc.gather +
+    // DictionaryOps.topicCoherence path on the mirror's top-k tokens
+    // (cooc_tf sums are exact integers, so the float32 cooc table is
+    // hash-safe; the token sets are mirror-defined like artm_top_tokens)
+    "artm_coherence" -> ((s, dir) => {
+      val top = relFit(s, dir).pwt
+        .withColumn("p6", round(col("p"), 6))
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy(col("topic")).orderBy(col("p6").desc, col("token"))))
+        .filter(col("rank") <= TopK)
+        .select(lit(graft.functions.Rng.DefaultClass).as("class_id"),
+          col("topic").as("group"), col("token"))
+      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
+      val cooc = Cooc.symmetrize(Cooc.gather(corpus, windowWidth = CoocWindow))
+      DictionaryOps.topicCoherence(top, cooc)
+        .select(col("group").as("topic"), round(col("coherence"), 6).as("coherence"))
+        .orderBy(col("topic"))
+    }),
+    // §2.6 ThetaSnippet — inference theta of the first docs (from the
+    // shared memoized transform pass; zero extra fit cost)
+    "artm_theta_snippet" -> ((s, dir) => {
+      relTransformTheta(s, dir).filter(col("doc_id") < SnippetDocs)
+        .select(col("doc_id"), col("topic"), round(col("th"), 6).as("theta"))
+        .orderBy(col("doc_id"), col("topic"))
+    }),
     // §2.3 Dictionary::Gather — tf/df/value over the documents corpus
     "dict_gather" -> ((s, dir) => {
       val d = DictionaryOps.gather(Corpus.fromDocumentsTable(docs(s, dir)))
@@ -690,6 +761,11 @@ object SparkEntry {
     "artm_fit_multimodal_kernel" ->
       RelationalEmSql.topTokensMmRankOnly(T, Passes, TopK, MmWeights),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
+    "artm_topic_mass" -> RelationalEmSql.topicMass(T, Passes),
+    "artm_topic_kernel_score" -> RelationalEmSql.topicKernelScore(T, Passes, KernelThreshold),
+    "artm_background_tokens" -> RelationalEmSql.backgroundTokens(T, Passes, BgDelta),
+    "artm_coherence" -> RelationalEmSql.topTokensCoherence(T, Passes, TopK, CoocWindow),
+    "artm_theta_snippet" -> RelationalEmSql.thetaSnippet(T, Passes, SnippetDocs),
     "artm_transform_kernel" ->
       RelationalEmSql.transformKernelArgmax(T, Passes, ArgmaxMargin),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),

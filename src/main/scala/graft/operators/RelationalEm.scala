@@ -174,17 +174,21 @@ object RelationalEm {
       .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
       .agg(sum(col("p") * col("th")).as("p_dw")))
     // n_wt = Σ_d w_d · n_dw · φ_wt · θ_td / p_dw
-    val nwt = tpt
+    // nwt comes back LOCAL (vocab×T): the normalize window then runs over
+    // a LocalRelation (driver-cheap) instead of re-running the corpus
+    // aggregation, and FitOut can expose nwt to the score mirrors
+    // (TopicMassPhi / TopicKernel / BackgroundTokensRatio need n_t).
+    val nwt = toLocal(tpt
       .join(pdwB.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .groupBy(col("token"), col("topic"))
-      .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
+      .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt")))
     val pwt = toLocal(normalize(nwt, phi, reg))
     Pass(theta, pdwB, nwt, pwt)
   }
 
-  /** Public one-pass wrapper: `theta` and `pwt` come back local; `pdw` /
-    * `nwt` are lazy plans that recompute if used (prefer fitOffline /
-    * perplexities for those). */
+  /** Public one-pass wrapper: `theta`, `nwt` and `pwt` come back local;
+    * `pdw` is a lazy plan that recomputes if used (prefer fitOffline /
+    * perplexities for that). */
   def emPass(tok: DataFrame, phi: DataFrame, numTopics: Int,
       reg: RegCfg = RegCfg()): Pass = withMirrorConf(tok) { scoped { s =>
     val pass = emPassIn(s, tok, phi, numTopics, reg)
@@ -243,7 +247,7 @@ object RelationalEm {
     * (each pass is a pure function of the previous phi), so a caller
     * needing both the 1-pass and 2-pass fit runs ONE fit. */
   case class FitOut(pwt: DataFrame, theta: DataFrame, perplexities: Seq[DataFrame],
-      passes: Seq[FitOut] = Nil) {
+      passes: Seq[FitOut] = Nil, nwt: DataFrame = null) {
     def afterPass(i: Int): FitOut = passes(i)
   }
 
@@ -255,6 +259,7 @@ object RelationalEm {
     val tok = outer.cached(tok0)
     var phi = toLocal(initPhi(tok, numTopics))
     var theta: DataFrame = null
+    var nwt: DataFrame = null
     val perp = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val passOuts = scala.collection.mutable.ArrayBuffer.empty[FitOut]
     var p = 0
@@ -265,11 +270,12 @@ object RelationalEm {
         perp += toLocal(perplexity(pass.pdw, p))
         if (keepPassOutputs || p == passes - 1) theta = toLocal(pass.theta)
         phi = pass.pwt
-        if (keepPassOutputs) passOuts += FitOut(phi, theta, perp.toSeq)
+        nwt = pass.nwt // already local
+        if (keepPassOutputs) passOuts += FitOut(phi, theta, perp.toSeq, nwt = nwt)
       } finally passScope.close()
       p += 1
     }
-    FitOut(phi, theta, perp.toSeq, passOuts.toSeq)
+    FitOut(phi, theta, perp.toSeq, passOuts.toSeq, nwt = nwt)
   } }
 
   /** fit_online, relational — mirror of Fit.fitOnline's decay merge:

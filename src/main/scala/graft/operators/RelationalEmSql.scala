@@ -161,6 +161,105 @@ object RelationalEmSql {
        |WHERE abs(p * 1000 - floor(p * 1000) - 0.5) > 0.2
        |ORDER BY token, topic""".stripMargin
 
+  /** TopicMassPhi oracle (score/topic_mass_phi.cc:18-80): n_t = Σ_w n_wt
+    * per topic of the final pass's nwt, plus ratio of the total mass:
+    * [topic, mass(6), ratio(6)]. */
+  def topicMass(t: Int, passes: Int): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |masses AS (SELECT topic, sum(n_wt) AS mass FROM nwt$passes GROUP BY topic)
+       |SELECT topic, round(mass, 6) AS mass,
+       |       round(mass / sum(mass) OVER (), 6) AS ratio
+       |FROM masses ORDER BY topic""".stripMargin
+
+  /** TopicKernel score oracle (score/topic_kernel.cc:30-171): kernel
+    * W_t = {w : p(t|w) > threshold} with p(t|w) = p_wt·n_t / Σ_s p_ws·n_s,
+    * n_t from the final nwt; per topic size / purity = Σ p_wt / contrast =
+    * avg p(t|w): [topic, size, purity(6), contrast(6)]. */
+  def topicKernelScore(t: Int, passes: Int, threshold: Double): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |nt AS (SELECT topic, sum(greatest(n_wt, 0.0)) AS n_t FROM nwt$passes GROUP BY topic),
+       |cells AS (
+       |  SELECT f.token, f.topic, f.p, f.p * n.n_t AS raw
+       |  FROM phi$passes f JOIN nt n ON n.topic = f.topic),
+       |ptwc AS (
+       |  SELECT token, topic, p, raw / sum(raw) OVER (PARTITION BY token) AS ptw FROM cells)
+       |SELECT topic, CAST(count(*) AS BIGINT) AS size,
+       |       round(sum(p), 6) AS purity, round(avg(ptw), 6) AS contrast
+       |FROM ptwc WHERE ptw > $threshold
+       |GROUP BY topic ORDER BY topic""".stripMargin
+
+  /** BackgroundTokensRatio oracle (score/background_tokens_ratio.cc:20-92):
+    * per token KL(p(t) ‖ p(t|w)) with p(t) = n_t/n, and the background
+    * flag kl > delta: [token, kl(6), is_background]. */
+  def backgroundTokens(t: Int, passes: Int, delta: Double): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |nt AS (SELECT topic, sum(greatest(n_wt, 0.0)) AS n_t FROM nwt$passes GROUP BY topic),
+       |ntot AS (SELECT sum(n_t) AS n FROM nt),
+       |cells AS (
+       |  SELECT f.token, f.topic, f.p * n.n_t AS raw, n.n_t / ntot.n AS pt
+       |  FROM phi$passes f JOIN nt n ON n.topic = f.topic CROSS JOIN ntot),
+       |ptwc AS (
+       |  SELECT token, topic, pt, raw / sum(raw) OVER (PARTITION BY token) AS ptw FROM cells),
+       |klt AS (
+       |  SELECT token,
+       |         sum(CASE WHEN pt > 0 AND ptw > 0 THEN pt * ln(pt / ptw) ELSE 0.0 END) AS kl
+       |  FROM ptwc GROUP BY token)
+       |SELECT token, round(kl, 6) AS kl,
+       |       CAST(CASE WHEN kl > $delta THEN 1 ELSE 0 END AS BIGINT) AS is_background
+       |FROM klt ORDER BY token""".stripMargin
+
+  /** CountTopicCoherence oracle (core/dictionary.cc:147-193 +
+    * top_tokens.cc coherence): average windowed-cooc value over ordered
+    * pairs of each topic's top-k tokens — the ranked CTE matches
+    * artm_top_tokens, the cooc CTEs match the cooc_window oracle
+    * (symmetrized): [topic, coherence(6)]. */
+  def topTokensCoherence(t: Int, passes: Int, k: Int, window: Int): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         row_number() OVER (PARTITION BY topic ORDER BY round(p, 6) DESC, token) AS rank
+       |  FROM phi$passes),
+       |topk AS (SELECT topic, token FROM ranked WHERE rank <= $k),
+       |postok AS (
+       |  SELECT doc_id, token, pos FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |    FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> ''),
+       |rawpairs AS (
+       |  SELECT CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+       |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+       |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+       |  FROM postok a JOIN postok b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $window),
+       |cooc AS (SELECT token_a, token_b, sum(tf) AS cooc_tf FROM rawpairs GROUP BY token_a, token_b),
+       |sym AS (
+       |  SELECT token_a, token_b, cooc_tf FROM cooc
+       |  UNION ALL
+       |  SELECT token_b, token_a, cooc_tf FROM cooc WHERE token_a <> token_b),
+       |tpairs AS (
+       |  SELECT a.topic, a.token AS token_a, b.token AS token_b
+       |  FROM topk a JOIN topk b ON b.topic = a.topic AND a.token <> b.token)
+       |SELECT p.topic,
+       |       round(sum(coalesce(s.cooc_tf, 0.0)) / ($k * ($k - 1.0)), 6) AS coherence
+       |FROM tpairs p LEFT JOIN sym s ON s.token_a = p.token_a AND s.token_b = p.token_b
+       |GROUP BY p.topic ORDER BY p.topic""".stripMargin
+
+  /** ThetaSnippet oracle (score/theta_snippet.cc): inference theta of the
+    * first `numDocs` docs: [doc_id, topic, theta(6)]. */
+  def thetaSnippet(t: Int, passes: Int, numDocs: Int): String = {
+    val inf = passCtes("tok", s"phi$passes", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |$inf
+       |SELECT doc_id, topic, round(th, 6) AS theta FROM thetaInf
+       |WHERE doc_id < $numDocs ORDER BY doc_id, topic""".stripMargin
+  }
+
   /** Doc-level argmax oracle for the KERNEL transform: docs whose mirror
     * top-1/top-2 theta margin exceeds `margin` (≫ the kernel↔mirror
     * parity bound), with the winning topic — the kernel must produce the
