@@ -76,6 +76,11 @@ object SparkEntry {
   private val BgDelta = 0.15
   private val SnippetDocs = 10
   private val CoocWindow = 3
+  // Regularizer-mix fit (label balancing + improve-coherence +
+  // specified-sparse keep-top-k per token row)
+  private val LabelTau = 0.5
+  private val CohTau = 0.002
+  private val SparseKeep = 2
   // LLM-pipeline entry parameters (small hash count keeps the DuckDB
   // oracle cheap; the operators scale these freely)
   private val ShingleK = 3
@@ -120,7 +125,8 @@ object SparkEntry {
   private def kernelFitLocal(s: SparkSession, dir: String, key: String,
       regs: Seq[(PhiRegularizer, Float)] = Nil,
       maxBroadcastRows: Long = 5000000L,
-      useSparseComputation: Boolean = false): DataFrame =
+      useSparseComputation: Boolean = false,
+      cooc: Option[DataFrame] = None): DataFrame =
     memoized(s, dir, key) {
       val tok = relTok(s, dir)
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
@@ -129,10 +135,20 @@ object SparkEntry {
         numTopics = T, numCollectionPasses = Passes,
         estep = EStepConfig(numDocumentPasses = 1,
           useSparseComputation = useSparseComputation),
-        phiRegularizers = regs, maxBroadcastRows = maxBroadcastRows))
+        phiRegularizers = regs, cooc = cooc, maxBroadcastRows = maxBroadcastRows))
       val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
       fit.unpersist()
       local
+    }
+
+  /** Shared symmetrized windowed-cooc table (production Cooc.gather —
+    * integer-valued cooc_tf, so it is hash-safe against the DuckDB cooc
+    * CTEs), memoized local: [class_id, token_a, token_b, cooc_tf, cooc_df]. */
+  private def coocSym(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "coocsym") {
+      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
+      RelationalEm.collectLocal(
+        Cooc.symmetrize(Cooc.gather(corpus, windowWidth = CoocWindow)))
     }
 
   /** Mirror reuse_theta (pass-2 theta from pass-1's cache), unrounded. */
@@ -422,6 +438,30 @@ object SparkEntry {
         .join(qual, Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    // §2.5 Regularizer-mix fit (mirror): LabelRegularizationPhi +
+    // ImproveCoherencePhi (windowed-cooc pull) + SpecifiedSparsePhi
+    // SparseTokens keep-top-2 — the three nwt-path regularizers in one
+    // hash-exact fit
+    "artm_fit_regmix" -> ((s, dir) => {
+      memoized(s, dir, "relfitmix")(
+        RelationalEm.fitOffline(relTok(s, dir), T, Passes,
+          RelationalEm.RegCfg(labelTau = LabelTau, cohTau = CohTau,
+            cooc = Some(coocSym(s, dir).select(col("token_a"), col("token_b"), col("cooc_tf"))),
+            sparseKeep = SparseKeep))).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
+    // §2.5 Regularizer-mix KERNEL fit (rank-only): the production
+    // LabelRegularizationPhi + ImproveCoherencePhi + SpecifiedSparsePhi
+    // (SparseTokens, threshold 1 ⇒ keep exactly top-k) under the oracle
+    "artm_fit_regmix_kernel" -> ((s, dir) =>
+      kernelTopTokens(kernelFitLocal(s, dir, "kfitmix",
+        regs = Seq(
+          (graft.regularizers.LabelRegularizationPhi(), LabelTau.toFloat),
+          (graft.regularizers.ImproveCoherencePhi(), CohTau.toFloat),
+          (graft.regularizers.SpecifiedSparsePhi(byTopics = false,
+            maxElements = SparseKeep, probabilityThreshold = 1.0), 1.0f)),
+        cooc = Some(coocSym(s, dir))))),
     // §2.6 TopicMassPhi — n_t per topic of the fitted model's final nwt
     // (+ ratio of total mass), from the shared mirror fit
     "artm_topic_mass" -> ((s, dir) => {
@@ -474,9 +514,7 @@ object SparkEntry {
         .filter(col("rank") <= TopK)
         .select(lit(graft.functions.Rng.DefaultClass).as("class_id"),
           col("topic").as("group"), col("token"))
-      val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
-      val cooc = Cooc.symmetrize(Cooc.gather(corpus, windowWidth = CoocWindow))
-      DictionaryOps.topicCoherence(top, cooc)
+      DictionaryOps.topicCoherence(top, coocSym(s, dir))
         .select(col("group").as("topic"), round(col("coherence"), 6).as("coherence"))
         .orderBy(col("topic"))
     }),
@@ -761,6 +799,10 @@ object SparkEntry {
     "artm_fit_multimodal_kernel" ->
       RelationalEmSql.topTokensMmRankOnly(T, Passes, TopK, MmWeights),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
+    "artm_fit_regmix" -> RelationalEmSql.fitOfflineRegMix(T, Passes,
+      RelationalEmSql.RegMix(LabelTau, CohTau, SparseKeep), CoocWindow),
+    "artm_fit_regmix_kernel" -> RelationalEmSql.topTokensRegMixRankOnly(T, Passes, TopK,
+      RelationalEmSql.RegMix(LabelTau, CohTau, SparseKeep), CoocWindow),
     "artm_topic_mass" -> RelationalEmSql.topicMass(T, Passes),
     "artm_topic_kernel_score" -> RelationalEmSql.topicKernelScore(T, Passes, KernelThreshold),
     "artm_background_tokens" -> RelationalEmSql.backgroundTokens(T, Passes, BgDelta),

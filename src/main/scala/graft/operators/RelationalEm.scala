@@ -47,11 +47,22 @@ import org.apache.spark.sql.functions._
   */
 object RelationalEm {
 
-  /** Relational regularizer config: SmoothSparsePhi without dictionary
-    * (r_wt += smoothTau · 1) and DecorrelatorPhi
-    * (r_wt += decorrTau · (−p_wt·(Σ_s p_ws − p_wt))). */
-  case class RegCfg(smoothTau: Double = 0.0, decorrTau: Double = 0.0) {
-    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0
+  /** Relational regularizer config. Two mutually exclusive paths:
+    *  - phi path: SmoothSparsePhi without dictionary (r_wt += smoothTau·1)
+    *    and DecorrelatorPhi (r_wt += decorrTau·(−p_wt·(Σ_s p_ws − p_wt)))
+    *    — r computed from the pass's INPUT phi;
+    *  - nwt path ("mix"): LabelRegularizationPhi
+    *    (r_wt += labelTau·n_wt/Σ_t n_wt), ImproveCoherencePhi
+    *    (r_wt += cohTau·Σ_v cooc(w,v)·n_vt over the symmetrized `cooc`
+    *    [token_a, token_b, cooc_tf]) and SpecifiedSparsePhi in SparseTokens
+    *    mode with probability_threshold = 1 (keep the top `sparseKeep`
+    *    topics per token by n_wt, r_wt = −n_wt for the rest, τ = 1)
+    *    — r computed from the pass's OUTPUT nwt, as in Fit.regularize. */
+  case class RegCfg(smoothTau: Double = 0.0, decorrTau: Double = 0.0,
+      labelTau: Double = 0.0, cohTau: Double = 0.0,
+      cooc: Option[DataFrame] = None, sparseKeep: Int = 0) {
+    def isMix: Boolean = labelTau != 0.0 || cohTau != 0.0 || sparseKeep > 0
+    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0 && !isMix
   }
 
   /** The EM chains below reuse every intermediate (phi feeds 3 joins per
@@ -200,7 +211,7 @@ object RelationalEm {
   def normalize(nwt: DataFrame, phiIn: DataFrame, reg: RegCfg): DataFrame = {
     val base =
       if (reg.isEmpty) nwt.withColumn("adj", greatest(col("n_wt"), lit(0.0)))
-      else {
+      else if (!reg.isMix) {
         // r from the pass's INPUT phi (p_wt), as in Fit.regularize
         val withSum = phiIn
           .withColumn("p_sum", sum(col("p")).over(Window.partitionBy(col("token"))))
@@ -209,6 +220,34 @@ object RelationalEm {
             .as("r_wt"))
         nwt.join(r, Seq("token", "topic"), "left")
           .withColumn("adj", greatest(col("n_wt") + coalesce(col("r_wt"), lit(0.0)), lit(0.0)))
+      } else {
+        // nwt-path mix (expression shape matches RelationalEmSql's regMix
+        // branch term for term — do not reorder the additions)
+        require(reg.smoothTau == 0.0 && reg.decorrTau == 0.0,
+          "the mix path excludes smooth/decorr (separate oracle entries)")
+        val ranked = nwt
+          .withColumn("rk", row_number()
+            .over(Window.partitionBy(col("token")).orderBy(col("n_wt").desc, col("topic"))))
+          .withColumn("rowsum", sum(col("n_wt")).over(Window.partitionBy(col("token"))))
+        val withCoh = reg.cooc match {
+          case Some(c) =>
+            val rcoh = c
+              .select(col("token_a"), col("token_b"), col("cooc_tf").cast("double").as("ctf"))
+              .join(nwt.select(col("token").as("token_b"), col("topic"), col("n_wt").as("nv")),
+                Seq("token_b"))
+              .groupBy(col("token_a"), col("topic"))
+              .agg(sum(col("ctf") * col("nv")).as("rc"))
+              .withColumnRenamed("token_a", "token")
+            ranked.join(rcoh, Seq("token", "topic"), "left")
+          case None => ranked.withColumn("rc", lit(null).cast("double"))
+        }
+        withCoh.withColumn("adj", greatest(
+          col("n_wt")
+            + when(col("rowsum") =!= 0.0,
+              lit(reg.labelTau) * col("n_wt") / col("rowsum")).otherwise(lit(0.0))
+            + lit(reg.cohTau) * coalesce(col("rc"), lit(0.0))
+            + when(col("rk") > reg.sparseKeep, -col("n_wt")).otherwise(lit(0.0)),
+          lit(0.0)))
       }
     base
       .withColumn("p", col("adj") / sum(col("adj")).over(Window.partitionBy(col("topic"))))

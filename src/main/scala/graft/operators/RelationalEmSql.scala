@@ -33,11 +33,41 @@ object RelationalEmSql {
        |),
        |phi$s AS (SELECT token, topic, raw / sum(raw) OVER (PARTITION BY topic) AS p FROM phir$s)""".stripMargin
 
+  /** nwt-path regularizer mix (mirror of RelationalEm.RegCfg's mix path):
+    * LabelRegularizationPhi + ImproveCoherencePhi (against a `coocsym`
+    * CTE) + SpecifiedSparsePhi SparseTokens keep-top-`sparseKeep`. */
+  case class RegMix(labelTau: Double, cohTau: Double, sparseKeep: Int)
+
+  /** Symmetrized windowed-cooc CTEs ending in `coocsym`
+    * [token_a, token_b, cooc_tf] — same tokenization and window semantics
+    * as the cooc_window oracle. */
+  def coocSymCtes(window: Int): String =
+    s"""cpostok AS (
+       |  SELECT doc_id, token, pos FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |    FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> ''),
+       |crawpairs AS (
+       |  SELECT CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+       |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+       |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+       |  FROM cpostok a JOIN cpostok b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $window),
+       |ccooc AS (SELECT token_a, token_b, sum(tf) AS cooc_tf FROM crawpairs GROUP BY token_a, token_b),
+       |coocsym AS (
+       |  SELECT token_a, token_b, cooc_tf FROM ccooc
+       |  UNION ALL
+       |  SELECT token_b, token_a, cooc_tf FROM ccooc WHERE token_a <> token_b)""".stripMargin
+
   /** One EM collection pass: tok `$tok` × phi `$phiIn` → theta$s, pdwb$s,
-    * nwt$s, phi$s. `reg` = (smoothTau, decorrTau) relational regularizers. */
+    * nwt$s, phi$s. `reg` = (smoothTau, decorrTau) relational regularizers;
+    * `regMix` = the nwt-path mix (requires a `coocsym` CTE in scope,
+    * mutually exclusive with `reg`). */
   def passCtes(tok: String, phiIn: String, t: Int, s: String,
       reg: Option[(Double, Double)] = None,
-      thetaTau: Option[Double] = None): String = {
+      thetaTau: Option[Double] = None,
+      regMix: Option[RegMix] = None): String = {
     val invT = s"(1.0/$t)"
     val thRaw = thetaTau match {
       case None => "n_td"
@@ -65,12 +95,31 @@ object RelationalEmSql {
          |  JOIN theta$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
          |  JOIN pdwb$s b ON b.doc_id = t.doc_id AND b.token = t.token
          |  GROUP BY t.token, f.topic)""".stripMargin
-    val norm = reg match {
-      case None =>
+    val norm = (reg, regMix) match {
+      case (None, Some(RegMix(lt, ct, keep))) =>
+        s"""rsp$s AS (
+           |  SELECT token, topic, n_wt,
+           |         row_number() OVER (PARTITION BY token ORDER BY n_wt DESC, topic) AS rk,
+           |         sum(n_wt) OVER (PARTITION BY token) AS rowsum
+           |  FROM nwt$s),
+           |rcoh$s AS (
+           |  SELECT c.token_a AS token, v.topic, sum(c.cooc_tf * v.n_wt) AS rc
+           |  FROM coocsym c JOIN nwt$s v ON v.token = c.token_b
+           |  GROUP BY c.token_a, v.topic),
+           |phi$s AS (
+           |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+           |  FROM (
+           |    SELECT r.token, r.topic,
+           |           greatest(r.n_wt
+           |             + (CASE WHEN r.rowsum <> 0 THEN ($lt) * r.n_wt / r.rowsum ELSE 0.0 END)
+           |             + ($ct) * coalesce(h.rc, 0.0)
+           |             + (CASE WHEN r.rk > $keep THEN -r.n_wt ELSE 0.0 END), 0.0) AS adj
+           |    FROM rsp$s r LEFT JOIN rcoh$s h ON h.token = r.token AND h.topic = r.topic))""".stripMargin
+      case (None, None) =>
         s"""phi$s AS (
            |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
            |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwt$s))""".stripMargin
-      case Some((sm, de)) =>
+      case (Some((sm, de)), _) =>
         s"""rwt$s AS (
            |  SELECT token, topic,
            |         ($sm) + ($de) * (-p * (sum(p) OVER (PARTITION BY token) - p)) AS r_wt
@@ -85,11 +134,36 @@ object RelationalEmSql {
 
   /** Chain `passes` passes from the init, phi0 → phi1 → … → phi$passes. */
   private def offlineChain(tok: String, t: Int, passes: Int,
-      reg: Option[(Double, Double)], thetaTau: Option[Double] = None): String = {
+      reg: Option[(Double, Double)], thetaTau: Option[Double] = None,
+      regMix: Option[RegMix] = None): String = {
     val ctes = Seq(initCtes(tok, t, "0")) ++
-      (1 to passes).map(p => passCtes(tok, s"phi${p - 1}", t, p.toString, reg, thetaTau))
+      (1 to passes).map(p => passCtes(tok, s"phi${p - 1}", t, p.toString, reg, thetaTau, regMix))
     ctes.mkString(",\n")
   }
+
+  /** Regularizer-mix fit oracle (RelationalEm mix path: label balancing +
+    * improve-coherence + specified-sparse keep-top-k): final pwt
+    * [token, topic, p(6)]. */
+  def fitOfflineRegMix(t: Int, passes: Int, mix: RegMix, window: Int): String =
+    s"""WITH ${tokCte()},
+       |${coocSymCtes(window)},
+       |${offlineChain("tok", t, passes, None, None, Some(mix))}
+       |SELECT token, topic, round(p, 6) AS p FROM phi$passes ORDER BY token, topic""".stripMargin
+
+  /** Rank-only top-k of the regularizer-mix fit — the float-safe
+    * projection for the KERNEL mix entry (production
+    * LabelRegularizationPhi + ImproveCoherencePhi + SpecifiedSparsePhi):
+    * [topic, rank, token]. */
+  def topTokensRegMixRankOnly(t: Int, passes: Int, k: Int, mix: RegMix,
+      window: Int): String =
+    s"""WITH ${tokCte()},
+       |${coocSymCtes(window)},
+       |${offlineChain("tok", t, passes, None, None, Some(mix))},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phi$passes WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
   /** Final pwt after `passes` passes: [token, topic, p(6)]. */
   def fitOffline(t: Int, passes: Int, reg: Option[(Double, Double)] = None,
