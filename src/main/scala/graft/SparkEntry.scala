@@ -81,6 +81,10 @@ object SparkEntry {
   private val LabelTau = 0.5
   private val CohTau = 0.002
   private val SparseKeep = 2
+  // SmoothTimeInTopicsPhi + BitermsPhi fit, TopicSelectionTheta fit
+  private val TimeTau = 50.0
+  private val BitermsTau = 0.5
+  private val TopicSelTau = -0.4
   // LLM-pipeline entry parameters (small hash count keeps the DuckDB
   // oracle cheap; the operators scale these freely)
   private val ShingleK = 3
@@ -462,6 +466,59 @@ object SparkEntry {
           (graft.regularizers.SpecifiedSparsePhi(byTopics = false,
             maxElements = SparseKeep, probabilityThreshold = 1.0), 1.0f)),
         cooc = Some(coocSym(s, dir))))),
+    // §2.5 SmoothTimeInTopicsPhi + BitermsPhi fit (mirror): time-slice
+    // sign smoothing over token adjacency + the biterm pull against the
+    // shared windowed-cooc table, hash-exact
+    "artm_fit_biterms_time" -> ((s, dir) => {
+      memoized(s, dir, "relfitbt")(
+        RelationalEm.fitOffline(relTok(s, dir), T, Passes,
+          RelationalEm.RegCfg(timeTau = TimeTau, bitermsTau = BitermsTau,
+            cooc = Some(coocSym(s, dir)
+              .select(col("token_a"), col("token_b"), col("cooc_tf")))))).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
+    // §2.5 SmoothTimeInTopicsPhi + BitermsPhi KERNEL fit (rank-only):
+    // the production lag/lead sign regularizer and biterm join under the
+    // oracle
+    "artm_fit_biterms_time_kernel" -> ((s, dir) =>
+      kernelTopTokens(kernelFitLocal(s, dir, "kfitbt",
+        regs = Seq(
+          (graft.regularizers.SmoothTimeInTopicsPhi(), TimeTau.toFloat),
+          (graft.regularizers.BitermsPhi(), BitermsTau.toFloat)),
+        cooc = Some(coocSym(s, dir))))),
+    // §2.5 TopicSelectionTheta fit (mirror): plain pass 1, driver-side
+    // topic_value[t] = n/(n_t·T) recompute, pass 2 with the theta agent
+    "artm_topic_select" -> ((s, dir) => {
+      memoized(s, dir, "reltopicsel")(
+        RelationalEm.topicSelectFit(relTok(s, dir), T, TopicSelTau)).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
+    // §2.5 TopicSelectionTheta KERNEL fit (rank-only): the production
+    // agent + TopicSelectionTheta.topicValues recompute between passes
+    "artm_topic_select_kernel" -> ((s, dir) =>
+      kernelTopTokens(memoized(s, dir, "ktopicsel") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val fit1 = Fit.fitOffline(corpus, pwt0, Fit.Config(
+          numTopics = T, numCollectionPasses = 1,
+          estep = EStepConfig(numDocumentPasses = 1)))
+        val pwt1 = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit1.pwt, T))
+        val nt = fit1.nwt
+          .agg(graft.functions.VectorOps.vectorSum(col("weights")).as("nt"))
+          .head.getSeq[Float](0).toArray
+        fit1.unpersist()
+        val tv = graft.regularizers.TopicSelectionTheta.topicValues(nt)
+        val fit2 = Fit.fitOffline(corpus, pwt1, Fit.Config(
+          numTopics = T, numCollectionPasses = 1,
+          estep = EStepConfig(numDocumentPasses = 1,
+            thetaAgents = Seq(graft.regularizers.TopicSelectionTheta(
+              TopicSelTau.toFloat, tv)))))
+        val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit2.pwt, T))
+        fit2.unpersist()
+        local
+      })),
     // §2.6 TopicMassPhi — n_t per topic of the fitted model's final nwt
     // (+ ratio of total mass), from the shared mirror fit
     "artm_topic_mass" -> ((s, dir) => {
@@ -799,6 +856,12 @@ object SparkEntry {
     "artm_fit_multimodal_kernel" ->
       RelationalEmSql.topTokensMmRankOnly(T, Passes, TopK, MmWeights),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),
+    "artm_fit_biterms_time" -> RelationalEmSql.fitOfflineTimeBiterms(
+      T, Passes, TimeTau, BitermsTau, CoocWindow),
+    "artm_fit_biterms_time_kernel" -> RelationalEmSql.topTokensTimeBitermsRankOnly(
+      T, Passes, TopK, TimeTau, BitermsTau, CoocWindow),
+    "artm_topic_select" -> RelationalEmSql.topicSelectFit(T, TopicSelTau),
+    "artm_topic_select_kernel" -> RelationalEmSql.topicSelectRankOnly(T, TopicSelTau, TopK),
     "artm_fit_regmix" -> RelationalEmSql.fitOfflineRegMix(T, Passes,
       RelationalEmSql.RegMix(LabelTau, CohTau, SparseKeep), CoocWindow),
     "artm_fit_regmix_kernel" -> RelationalEmSql.topTokensRegMixRankOnly(T, Passes, TopK,

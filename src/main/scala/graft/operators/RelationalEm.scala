@@ -60,9 +60,11 @@ object RelationalEm {
     *    — r computed from the pass's OUTPUT nwt, as in Fit.regularize. */
   case class RegCfg(smoothTau: Double = 0.0, decorrTau: Double = 0.0,
       labelTau: Double = 0.0, cohTau: Double = 0.0,
-      cooc: Option[DataFrame] = None, sparseKeep: Int = 0) {
+      cooc: Option[DataFrame] = None, sparseKeep: Int = 0,
+      timeTau: Double = 0.0, bitermsTau: Double = 0.0) {
     def isMix: Boolean = labelTau != 0.0 || cohTau != 0.0 || sparseKeep > 0
-    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0 && !isMix
+    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0 && !isMix &&
+      timeTau == 0.0 && bitermsTau == 0.0
   }
 
   /** The EM chains below reuse every intermediate (phi feeds 3 joins per
@@ -152,7 +154,8 @@ object RelationalEm {
     * current `phi` [token, topic, p]. The scoped intermediates live until
     * the caller's scope closes; `pwt` is returned local. */
   private def emPassIn(s: Scope, tok: DataFrame, phi: DataFrame, numTopics: Int,
-      reg: RegCfg, thetaTau: Double = 0.0): Pass = {
+      reg: RegCfg, thetaTau: Double = 0.0,
+      thetaSel: Option[(Double, DataFrame)] = None): Pass = {
     val invT = 1.0 / numTopics
     // the (doc, token) × topic expansion feeds three aggregates — compute
     // it once (phi is a broadcast-sized LocalRelation, so this is one
@@ -174,8 +177,16 @@ object RelationalEm {
     val thRaw =
       if (thetaTau == 0.0) col("n_td")
       else greatest(col("n_td") + lit(thetaTau), lit(0.0))
-    val theta = s.cached(ntd
-      .withColumn("_thr", thRaw)
+    // TopicSelectionTheta agent: thr = max(n_td + τ·tv_t·n_td, 0) with a
+    // per-topic value table (topic_selection_theta.cc:15-164)
+    val thetaBase = thetaSel match {
+      case Some((tauSel, tv)) =>
+        ntd.join(tv, Seq("topic"))
+          .withColumn("_thr",
+            greatest(col("n_td") + lit(tauSel) * col("tv") * col("n_td"), lit(0.0)))
+      case None => ntd.withColumn("_thr", thRaw)
+    }
+    val theta = s.cached(thetaBase
       .withColumn("th", col("_thr") / sum(col("_thr")).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("topic"), col("th")))
     // the same expansion with the updated theta attached, reused twice
@@ -211,7 +222,7 @@ object RelationalEm {
   def normalize(nwt: DataFrame, phiIn: DataFrame, reg: RegCfg): DataFrame = {
     val base =
       if (reg.isEmpty) nwt.withColumn("adj", greatest(col("n_wt"), lit(0.0)))
-      else if (!reg.isMix) {
+      else if (!reg.isMix && reg.timeTau == 0.0 && reg.bitermsTau == 0.0) {
         // r from the pass's INPUT phi (p_wt), as in Fit.regularize
         val withSum = phiIn
           .withColumn("p_sum", sum(col("p")).over(Window.partitionBy(col("token"))))
@@ -220,11 +231,58 @@ object RelationalEm {
             .as("r_wt"))
         nwt.join(r, Seq("token", "topic"), "left")
           .withColumn("adj", greatest(col("n_wt") + coalesce(col("r_wt"), lit(0.0)), lit(0.0)))
+      } else if (!reg.isMix) {
+        // phi-path extension (expression shape matches RelationalEmSql's
+        // timeBiterms branch term for term):
+        //  - SmoothTimeInTopicsPhi: r += timeTau·p·(sgn(p_prev−p)+sgn(p_next−p))
+        //    over lexicographic token adjacency within each topic
+        //    (smooth_time_in_topics_phi.cc:15-99);
+        //  - BitermsPhi: r += bitermsTau·Σ_u cooc(w,u)·p(t|u,w) with
+        //    p(t|u,w) = norm_t(n_t·p_wt·p_ut) (biterms_phi.cc:20-152).
+        val wOrd = Window.partitionBy(col("topic")).orderBy(col("token"))
+        val withNbr = phiIn
+          .withColumn("p_sum", sum(col("p")).over(Window.partitionBy(col("token"))))
+          .withColumn("pprev", lag(col("p"), 1).over(wOrd))
+          .withColumn("pnext", lead(col("p"), 1).over(wOrd))
+        def sgn(nbr: Column): Column =
+          when(nbr.isNull, lit(0.0)).when(nbr > col("p"), lit(1.0))
+            .when(nbr < col("p"), lit(-1.0)).otherwise(lit(0.0))
+        val r = withNbr.select(col("token"), col("topic"),
+          (lit(reg.smoothTau) + lit(reg.decorrTau) * (-col("p") * (col("p_sum") - col("p")))
+            + lit(reg.timeTau) * col("p") * (sgn(col("pprev")) + sgn(col("pnext"))))
+            .as("r_wt"))
+        val withR = nwt.join(r, Seq("token", "topic"), "left")
+        val withRb = reg.cooc match {
+          case Some(c) if reg.bitermsTau != 0.0 =>
+            val nt = nwt.groupBy(col("topic")).agg(sum(col("n_wt")).as("n_t"))
+            val fa = phiIn.select(col("token").as("token_a"), col("topic"), col("p").as("pa"))
+            val fb = phiIn.select(col("token").as("token_b"), col("topic"), col("p").as("pb"))
+            val praw = c
+              .select(col("token_a"), col("token_b"), col("cooc_tf").cast("double").as("ctf"))
+              .join(fa, Seq("token_a")).join(fb, Seq("token_b", "topic"))
+              .join(nt, Seq("topic"))
+              .select(col("token_a"), col("token_b"), col("topic"), col("ctf"),
+                (col("n_t") * col("pa") * col("pb")).as("raw"))
+            val pnorm = praw.groupBy(col("token_a"), col("token_b"))
+              .agg(sum(col("raw")).as("nrm"))
+            val rb = praw.join(pnorm, Seq("token_a", "token_b"))
+              .groupBy(col("token_a"), col("topic"))
+              .agg(sum(col("ctf") * when(col("nrm") > 0.0 && col("raw") > 0.0,
+                col("raw") / col("nrm")).otherwise(lit(0.0))).as("rb"))
+              .withColumnRenamed("token_a", "token")
+            withR.join(rb, Seq("token", "topic"), "left")
+          case _ => withR.withColumn("rb", lit(null).cast("double"))
+        }
+        withRb.withColumn("adj", greatest(
+          col("n_wt") + coalesce(col("r_wt"), lit(0.0))
+            + lit(reg.bitermsTau) * coalesce(col("rb"), lit(0.0)),
+          lit(0.0)))
       } else {
         // nwt-path mix (expression shape matches RelationalEmSql's regMix
         // branch term for term — do not reorder the additions)
-        require(reg.smoothTau == 0.0 && reg.decorrTau == 0.0,
-          "the mix path excludes smooth/decorr (separate oracle entries)")
+        require(reg.smoothTau == 0.0 && reg.decorrTau == 0.0 &&
+          reg.timeTau == 0.0 && reg.bitermsTau == 0.0,
+          "the mix path excludes the phi-path regularizers (separate oracle entries)")
         val ranked = nwt
           .withColumn("rk", row_number()
             .over(Window.partitionBy(col("token")).orderBy(col("n_wt").desc, col("topic"))))
@@ -315,6 +373,23 @@ object RelationalEm {
       p += 1
     }
     FitOut(phi, theta, perp.toSeq, passOuts.toSeq, nwt = nwt)
+  } }
+
+  /** TopicSelectionTheta fit, relational: pass 1 plain; then
+    * topic_value[t] = n / (n_t · T) from pass-1's nwt (the driver-side
+    * recompute in python artm_model.py:73-103); pass 2 with the theta
+    * agent thr = max(n_td + τ·tv_t·n_td, 0). Returns the final pwt and
+    * theta, both local. */
+  def topicSelectFit(tok0: DataFrame, numTopics: Int, tau: Double): FitOut =
+    withMirrorConf(tok0) { scoped { s =>
+    val tok = s.cached(tok0)
+    val phi0 = toLocal(initPhi(tok, numTopics))
+    val p1 = emPassIn(s, tok, phi0, numTopics, RegCfg())
+    val nt = p1.nwt.groupBy(col("topic")).agg(sum(col("n_wt")).as("n_t"))
+    val tv = toLocal(nt.crossJoin(nt.agg(sum(col("n_t")).as("n")))
+      .select(col("topic"), (col("n") / (col("n_t") * lit(numTopics.toDouble))).as("tv")))
+    val p2 = emPassIn(s, tok, p1.pwt, numTopics, RegCfg(), thetaSel = Some((tau, tv)))
+    FitOut(p2.pwt, toLocal(p2.theta), Nil, nwt = p2.nwt)
   } }
 
   /** fit_online, relational — mirror of Fit.fitOnline's decay merge:

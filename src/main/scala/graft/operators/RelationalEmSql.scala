@@ -67,11 +67,23 @@ object RelationalEmSql {
   def passCtes(tok: String, phiIn: String, t: Int, s: String,
       reg: Option[(Double, Double)] = None,
       thetaTau: Option[Double] = None,
-      regMix: Option[RegMix] = None): String = {
+      regMix: Option[RegMix] = None,
+      thetaSel: Option[(Double, String)] = None,
+      timeBiterms: Option[(Double, Double)] = None): String = {
     val invT = s"(1.0/$t)"
     val thRaw = thetaTau match {
       case None => "n_td"
       case Some(tt) => s"greatest(n_td + ($tt), 0.0)"
+    }
+    val thetaCte = thetaSel match {
+      case Some((tauSel, tvCte)) =>
+        s"""theta$s AS (
+           |  SELECT doc_id, topic, thr / sum(thr) OVER (PARTITION BY doc_id) AS th
+           |  FROM (SELECT n.doc_id, n.topic,
+           |               greatest(n.n_td + ($tauSel) * v.tv * n.n_td, 0.0) AS thr
+           |        FROM ntd$s n JOIN $tvCte v ON v.topic = n.topic))""".stripMargin
+      case None =>
+        s"theta$s AS (SELECT doc_id, topic, $thRaw / sum($thRaw) OVER (PARTITION BY doc_id) AS th FROM ntd$s)"
     }
     val em =
       s"""pdwa$s AS (
@@ -83,7 +95,7 @@ object RelationalEmSql {
          |  FROM $tok t JOIN $phiIn f ON f.token = t.token
          |  JOIN pdwa$s a ON a.doc_id = t.doc_id AND a.token = t.token
          |  GROUP BY t.doc_id, f.topic),
-         |theta$s AS (SELECT doc_id, topic, $thRaw / sum($thRaw) OVER (PARTITION BY doc_id) AS th FROM ntd$s),
+         |$thetaCte,
          |pdwb$s AS (
          |  SELECT t.doc_id, t.token, t.n_dw, t.w, sum(f.p * h.th) AS p_dw
          |  FROM $tok t JOIN $phiIn f ON f.token = t.token
@@ -95,8 +107,40 @@ object RelationalEmSql {
          |  JOIN theta$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
          |  JOIN pdwb$s b ON b.doc_id = t.doc_id AND b.token = t.token
          |  GROUP BY t.token, f.topic)""".stripMargin
-    val norm = (reg, regMix) match {
-      case (None, Some(RegMix(lt, ct, keep))) =>
+    val norm = (reg, regMix, timeBiterms) match {
+      case (None, None, Some((tm, bt))) =>
+        // SmoothTimeInTopicsPhi (lag/lead sign over token adjacency, from
+        // the INPUT phi) + BitermsPhi (cooc ⋈ phi² pull, per-pair
+        // normalized by n_t·p·p mass; needs a `coocsym` CTE in scope)
+        s"""rwt$s AS (
+           |  SELECT token, topic,
+           |         ($tm) * p * ((CASE WHEN pprev IS NULL THEN 0.0 WHEN pprev > p THEN 1.0 WHEN pprev < p THEN -1.0 ELSE 0.0 END)
+           |                      + (CASE WHEN pnext IS NULL THEN 0.0 WHEN pnext > p THEN 1.0 WHEN pnext < p THEN -1.0 ELSE 0.0 END)) AS r_wt
+           |  FROM (SELECT token, topic, p,
+           |               lag(p) OVER (PARTITION BY topic ORDER BY token) AS pprev,
+           |               lead(p) OVER (PARTITION BY topic ORDER BY token) AS pnext
+           |        FROM $phiIn)),
+           |ntb$s AS (SELECT topic, sum(n_wt) AS n_t FROM nwt$s GROUP BY topic),
+           |praw$s AS (
+           |  SELECT c.token_a, c.token_b, fa.topic, c.cooc_tf, nb.n_t * fa.p * fb.p AS raw
+           |  FROM coocsym c
+           |  JOIN $phiIn fa ON fa.token = c.token_a
+           |  JOIN $phiIn fb ON fb.token = c.token_b AND fb.topic = fa.topic
+           |  JOIN ntb$s nb ON nb.topic = fa.topic),
+           |pnorm$s AS (SELECT token_a, token_b, sum(raw) AS nrm FROM praw$s GROUP BY token_a, token_b),
+           |rb$s AS (
+           |  SELECT p.token_a AS token, p.topic,
+           |         sum(p.cooc_tf * (CASE WHEN n.nrm > 0 AND p.raw > 0 THEN p.raw / n.nrm ELSE 0.0 END)) AS rb
+           |  FROM praw$s p JOIN pnorm$s n ON n.token_a = p.token_a AND n.token_b = p.token_b
+           |  GROUP BY p.token_a, p.topic),
+           |phi$s AS (
+           |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+           |  FROM (SELECT w.token, w.topic,
+           |               greatest(w.n_wt + coalesce(r.r_wt, 0.0) + ($bt) * coalesce(b.rb, 0.0), 0.0) AS adj
+           |        FROM nwt$s w
+           |        LEFT JOIN rwt$s r ON r.token = w.token AND r.topic = w.topic
+           |        LEFT JOIN rb$s b ON b.token = w.token AND b.topic = w.topic))""".stripMargin
+      case (None, Some(RegMix(lt, ct, keep)), _) =>
         s"""rsp$s AS (
            |  SELECT token, topic, n_wt,
            |         row_number() OVER (PARTITION BY token ORDER BY n_wt DESC, topic) AS rk,
@@ -115,11 +159,11 @@ object RelationalEmSql {
            |             + ($ct) * coalesce(h.rc, 0.0)
            |             + (CASE WHEN r.rk > $keep THEN -r.n_wt ELSE 0.0 END), 0.0) AS adj
            |    FROM rsp$s r LEFT JOIN rcoh$s h ON h.token = r.token AND h.topic = r.topic))""".stripMargin
-      case (None, None) =>
+      case (None, None, None) =>
         s"""phi$s AS (
            |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
            |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwt$s))""".stripMargin
-      case (Some((sm, de)), _) =>
+      case (Some((sm, de)), _, _) =>
         s"""rwt$s AS (
            |  SELECT token, topic,
            |         ($sm) + ($de) * (-p * (sum(p) OVER (PARTITION BY token) - p)) AS r_wt
@@ -135,11 +179,63 @@ object RelationalEmSql {
   /** Chain `passes` passes from the init, phi0 → phi1 → … → phi$passes. */
   private def offlineChain(tok: String, t: Int, passes: Int,
       reg: Option[(Double, Double)], thetaTau: Option[Double] = None,
-      regMix: Option[RegMix] = None): String = {
+      regMix: Option[RegMix] = None,
+      timeBiterms: Option[(Double, Double)] = None): String = {
     val ctes = Seq(initCtes(tok, t, "0")) ++
-      (1 to passes).map(p => passCtes(tok, s"phi${p - 1}", t, p.toString, reg, thetaTau, regMix))
+      (1 to passes).map(p =>
+        passCtes(tok, s"phi${p - 1}", t, p.toString, reg, thetaTau, regMix,
+          timeBiterms = timeBiterms))
     ctes.mkString(",\n")
   }
+
+  /** SmoothTimeInTopicsPhi + BitermsPhi fit oracle: final pwt
+    * [token, topic, p(6)]. */
+  def fitOfflineTimeBiterms(t: Int, passes: Int, timeTau: Double,
+      bitermsTau: Double, window: Int): String =
+    s"""WITH ${tokCte()},
+       |${coocSymCtes(window)},
+       |${offlineChain("tok", t, passes, None, None, None, Some((timeTau, bitermsTau)))}
+       |SELECT token, topic, round(p, 6) AS p FROM phi$passes ORDER BY token, topic""".stripMargin
+
+  /** Rank-only top-k of the time+biterms fit — the float-safe projection
+    * for the KERNEL entry (production SmoothTimeInTopicsPhi + BitermsPhi):
+    * [topic, rank, token]. */
+  def topTokensTimeBitermsRankOnly(t: Int, passes: Int, k: Int,
+      timeTau: Double, bitermsTau: Double, window: Int): String =
+    s"""WITH ${tokCte()},
+       |${coocSymCtes(window)},
+       |${offlineChain("tok", t, passes, None, None, None, Some((timeTau, bitermsTau)))},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phi$passes WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
+
+  /** TopicSelectionTheta CTE chain: plain pass 1 → topic_value[t] =
+    * n/(n_t·T) from nwt1 → pass 2 with the theta-select agent; ends in
+    * phi2/theta2. */
+  private def topicSelectChain(t: Int, tau: Double): String =
+    s"""${tokCte()},
+       |${offlineChain("tok", t, 1, None)},
+       |ntk AS (SELECT topic, sum(n_wt) AS n_t FROM nwt1 GROUP BY topic),
+       |tvv AS (SELECT topic, (SELECT sum(n_t) FROM ntk) / (n_t * $t) AS tv FROM ntk),
+       |${passCtes("tok", "phi1", t, "2", None, None, None, thetaSel = Some((tau, "tvv")))}""".stripMargin
+
+  /** TopicSelectionTheta fit oracle: final pwt [token, topic, p(6)]. */
+  def topicSelectFit(t: Int, tau: Double): String =
+    s"""WITH ${topicSelectChain(t, tau)}
+       |SELECT token, topic, round(p, 6) AS p FROM phi2 ORDER BY token, topic""".stripMargin
+
+  /** Rank-only top-k of the topic-select fit — the float-safe projection
+    * for the KERNEL entry (production TopicSelectionTheta agent +
+    * driver-side topicValues recompute): [topic, rank, token]. */
+  def topicSelectRankOnly(t: Int, tau: Double, k: Int): String =
+    s"""WITH ${topicSelectChain(t, tau)},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phi2 WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
   /** Regularizer-mix fit oracle (RelationalEm mix path: label balancing +
     * improve-coherence + specified-sparse keep-top-k): final pwt
