@@ -167,6 +167,12 @@ object SparkEntry {
     memoized(s, dir, "relptdw")(
       RelationalEm.ptdw(relTok(s, dir).filter(col("doc_id") < 20), T))
 
+  /** SmoothPtdw MovingProduct mirror on the doc_id < 20 subset, unrounded. */
+  private def relPtdwSmooth(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "relptdwsmooth")(
+      RelationalEm.ptdwSmooth(
+        RelationalEm.tokensPos(docs(s, dir)).filter(col("doc_id") < 20), T))
+
   /** Multimodal mirror fit (class-weighted, per-(class, topic) norm). */
   private def relFitMm(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "relfitmm")(
@@ -716,6 +722,45 @@ object SparkEntry {
       }
       kPtdw.join(qual, Seq("doc_id", "token")).orderBy(col("doc_id"), col("token"))
     }),
+    // §2.5 SmoothPtdw MovingProduct (mirror): per-position
+    // p(t|d,w)·neighbors products rewriting the ptdw matrix at both inner
+    // refreshes, theta replaced from the rewritten pass-0 ptdw
+    "artm_ptdw_smooth" -> ((s, dir) => {
+      relPtdwSmooth(s, dir)
+        .select(col("doc_id"), col("pos"), col("token"), col("topic"),
+          round(col("ptdw"), 6).as("ptdw"))
+        .orderBy(col("doc_id"), col("pos"), col("topic"))
+    }),
+    // §2.5 SmoothPtdw KERNEL (argmax margin): the production ptdw-agent
+    // machinery (EStep.runPtdwDoc + SmoothPtdw movingProduct) on cells
+    // with a wide mirror margin
+    "artm_ptdw_smooth_kernel" -> ((s, dir) => {
+      val mir = relPtdwSmooth(s, dir)
+      val w = Window.partitionBy(col("doc_id"), col("pos"))
+        .orderBy(col("ptdw").desc, col("topic"))
+      val ranked = mir.withColumn("rn", row_number().over(w))
+      val qual = ranked.filter(col("rn") === 1)
+        .select(col("doc_id"), col("pos"), col("ptdw").as("v1"))
+        .join(ranked.filter(col("rn") === 2)
+          .select(col("doc_id"), col("pos"), col("ptdw").as("v2")), Seq("doc_id", "pos"))
+        .filter(col("v1") - col("v2") > ArgmaxMargin)
+        .select(col("doc_id"), col("pos"))
+      val kRows = memoized(s, dir, "kptdwsmooth") {
+        val corpus = Corpus.fromDocumentsTablePositional(
+          docs(s, dir).filter(col("doc_id") < 20))
+        val pwt0 = RelationalEm.toPhiRows(
+          RelationalEm.initPhi(relTok(s, dir).filter(col("doc_id") < 20), T))
+        val bPhi = s.sparkContext.broadcast(PhiOps.collectPhi(pwt0, T))
+        val out = EStep.run(corpus, bPhi, EStepConfig(numDocumentPasses = 1,
+          emitPtdw = true, computeNwt = false,
+          ptdwAgents = Seq(graft.regularizers.SmoothPtdw(0f, movingProduct = true))))
+        RelationalEm.collectLocal(EStep.ptdw(out)
+          .select(col("doc_id"), col("position").cast("long").as("pos"),
+            (expr("array_position(weights, array_max(weights))") - 1)
+              .cast("long").as("topic")))
+      }
+      kRows.join(qual, Seq("doc_id", "pos")).orderBy(col("doc_id"), col("pos"))
+    }),
     // §2.4 transaction E-step (product-of-phis) on consecutive token pairs
     "artm_transactions" -> ((s, dir) => {
       RelationalEm.txnFit(RelationalEm.txnPairs(docs(s, dir)), T)._2
@@ -877,6 +922,9 @@ object SparkEntry {
     "artm_hartm_kernel" ->
       RelationalEmSql.hartmKernelArgmax(HartmT1, T, HartmW, HartmMargin),
     "artm_ptdw" -> RelationalEmSql.ptdw(T, "doc_id < 20"),
+    "artm_ptdw_smooth" -> RelationalEmSql.ptdwSmooth(T, "doc_id < 20"),
+    "artm_ptdw_smooth_kernel" ->
+      RelationalEmSql.ptdwSmoothKernelArgmax(T, "doc_id < 20", ArgmaxMargin),
     "artm_transactions" -> RelationalEmSql.txnFit(T),
     "artm_transactions_k" ->
       RelationalEmSql.txnFitKSql(T, TxnK, TxnTypenames, TxnWeights),

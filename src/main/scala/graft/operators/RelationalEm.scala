@@ -433,6 +433,52 @@ object RelationalEm {
         (col("p") * col("th") / col("p_dw")).as("ptdw")))
   } }
 
+  /** Positional token table [doc_id, pos, token] (0-based text order,
+    * dict_gather tokenization) — the ptdw-agent mirror needs adjacency. */
+  def tokensPos(docsTable: DataFrame): DataFrame =
+    docsTable
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
+  /** SmoothPtdw MovingProduct mirror (smooth_ptdw.cc:15-115 product mode,
+    * inside the ptdw E-step flow of processor_helpers.cc:261-382 with
+    * numDocumentPasses = 1): per position i,
+    * rewritten(i) = (base(i)·base(i+1))·base(i−1) elementwise over the
+    * PRE-rewrite copy; pass 0's rewritten ptdw feeds the theta
+    * replacement, pass 1's rewritten ptdw is the output.
+    * Returns [doc_id, pos, token, topic, ptdw], local. */
+  def ptdwSmooth(tokPos0: DataFrame, numTopics: Int): DataFrame =
+    withMirrorConf(tokPos0) { scoped { s =>
+    val tokPos = s.cached(tokPos0)
+    val invT = 1.0 / numTopics
+    val phi = toLocal(initPhi(tokPos.select(col("token")), numTopics))
+    val tp = s.cached(tokPos.join(phi, Seq("token")))
+    val wSeq = Window.partitionBy(col("doc_id"), col("topic")).orderBy(col("pos"))
+    def rew(df: DataFrame): DataFrame = df
+      .withColumn("r", (col("b") * coalesce(lead(col("b"), 1).over(wSeq), lit(1.0)))
+        * coalesce(lag(col("b"), 1).over(wSeq), lit(1.0)))
+    val pdw0 = tp.groupBy(col("doc_id"), col("pos"))
+      .agg((sum(col("p")) * lit(invT)).as("pdw"))
+    val b0 = tp.join(pdw0, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("token"), col("topic"),
+        ((col("p") * lit(invT)) / col("pdw")).as("b"))
+    val r0 = s.cached(rew(b0))
+    val ntd = r0.groupBy(col("doc_id"), col("topic")).agg(sum(col("r")).as("n_td"))
+    val theta = s.cached(ntd
+      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("topic"), col("th")))
+    val tpt = s.cached(tp.join(theta, Seq("doc_id", "topic")))
+    val pdw1 = tpt.groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("p") * col("th")).as("pdw"))
+    val b1 = tpt.join(pdw1, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("token"), col("topic"),
+        ((col("p") * col("th")) / col("pdw")).as("b"))
+    toLocal(rew(b1)
+      .select(col("doc_id"), col("pos"), col("token"), col("topic"), col("r").as("ptdw")))
+  } }
+
   /** Consecutive disjoint token pairs of each document as two-token
     * transactions: [doc_id, txn_id, tok_a, tok_b] (trailing odd token
     * dropped). The deterministic transaction fixture for the

@@ -703,6 +703,66 @@ object RelationalEmSql {
        |WHERE a.rn = 1 AND a.v - b.v > $margin
        |ORDER BY a.doc_id, a.token""".stripMargin
 
+  /** SmoothPtdw MovingProduct CTE chain on a doc subset (mirror of
+    * RelationalEm.ptdwSmooth), ending in `r1`
+    * [doc_id, pos, token, topic, r]. */
+  private def ptdwSmoothChain(t: Int, docFilter: String): String = {
+    val invT = s"(1.0/$t)"
+    s"""ptok AS (
+       |  SELECT doc_id, token, CAST(pos - 1 AS BIGINT) AS pos FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |    FROM documents WHERE trim(text) <> '' AND ($docFilter))
+       |  WHERE token <> ''),
+       |${initCtes("ptok", t, "0")},
+       |pd0 AS (SELECT doc_id, pos, sum(p) * $invT AS pdw
+       |        FROM ptok k JOIN phi0 f ON f.token = k.token GROUP BY doc_id, pos),
+       |b0 AS (
+       |  SELECT k.doc_id, k.pos, k.token, f.topic, (f.p * $invT) / d.pdw AS b
+       |  FROM ptok k JOIN phi0 f ON f.token = k.token
+       |  JOIN pd0 d ON d.doc_id = k.doc_id AND d.pos = k.pos),
+       |r0 AS (
+       |  SELECT doc_id, pos, token, topic,
+       |         (b * coalesce(lead(b) OVER w, 1.0)) * coalesce(lag(b) OVER w, 1.0) AS r
+       |  FROM b0 WINDOW w AS (PARTITION BY doc_id, topic ORDER BY pos)),
+       |ntdP AS (SELECT doc_id, topic, sum(r) AS n_td FROM r0 GROUP BY doc_id, topic),
+       |thetaP AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdP),
+       |pd1 AS (SELECT k.doc_id, k.pos, sum(f.p * h.th) AS pdw
+       |        FROM ptok k JOIN phi0 f ON f.token = k.token
+       |        JOIN thetaP h ON h.doc_id = k.doc_id AND h.topic = f.topic
+       |        GROUP BY k.doc_id, k.pos),
+       |b1 AS (
+       |  SELECT k.doc_id, k.pos, k.token, f.topic, (f.p * h.th) / d.pdw AS b
+       |  FROM ptok k JOIN phi0 f ON f.token = k.token
+       |  JOIN thetaP h ON h.doc_id = k.doc_id AND h.topic = f.topic
+       |  JOIN pd1 d ON d.doc_id = k.doc_id AND d.pos = k.pos),
+       |r1 AS (
+       |  SELECT doc_id, pos, token, topic,
+       |         (b * coalesce(lead(b) OVER w, 1.0)) * coalesce(lag(b) OVER w, 1.0) AS r
+       |  FROM b1 WINDOW w AS (PARTITION BY doc_id, topic ORDER BY pos))""".stripMargin
+  }
+
+  /** SmoothPtdw (MovingProduct) oracle on a doc subset:
+    * [doc_id, pos, token, topic, ptdw(6)]. */
+  def ptdwSmooth(t: Int, docFilter: String): String =
+    s"""WITH ${ptdwSmoothChain(t, docFilter)}
+       |SELECT doc_id, pos, token, topic, round(r, 6) AS ptdw
+       |FROM r1 ORDER BY doc_id, pos, topic""".stripMargin
+
+  /** Kernel SmoothPtdw oracle: per-(doc, pos) argmax topic on cells whose
+    * mirror top1−top2 margin exceeds `margin`: [doc_id, pos, topic]. */
+  def ptdwSmoothKernelArgmax(t: Int, docFilter: String, margin: Double): String =
+    s"""WITH ${ptdwSmoothChain(t, docFilter)},
+       |ranked AS (
+       |  SELECT doc_id, pos, topic, r,
+       |         row_number() OVER (PARTITION BY doc_id, pos ORDER BY r DESC, topic) AS rn
+       |  FROM r1)
+       |SELECT a.doc_id, a.pos, a.topic
+       |FROM ranked a JOIN ranked b
+       |  ON b.doc_id = a.doc_id AND b.pos = a.pos AND b.rn = 2
+       |WHERE a.rn = 1 AND a.r - b.r > $margin
+       |ORDER BY a.doc_id, a.pos""".stripMargin
+
   /** reuse_theta CTE chain (pass 2's theta initialized from pass 1's
     * cached theta), ending in `thetaR`. */
   private def reuseChain(t: Int): String =
