@@ -588,6 +588,44 @@ object SparkEntry {
         .select(col("doc_id"), col("topic"), round(col("th"), 6).as("theta"))
         .orderBy(col("doc_id"), col("topic"))
     }),
+    // §2.6 ItemsProcessed — the production E-step's cumulative counters
+    // (items + token weight) from one kernel pass; integer-valued sums,
+    // so the float32 path is hash-safe against the SQL counts
+    "artm_items_processed" -> ((s, dir) => {
+      memoized(s, dir, "kitems") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val bPhi = s.sparkContext.broadcast(PhiOps.collectPhi(pwt0, T))
+        val out = EStep.run(corpus, bPhi, EStepConfig(numDocumentPasses = 1))
+        val sc = Fit.cumulativeScores(0, out, T)
+        import s.implicits._
+        Seq((sc.pass.toLong, sc.itemsProcessed, sc.tokenWeightProcessed))
+          .toDF("pass", "items_processed", "token_weight")
+          .select(col("pass"), col("items_processed"),
+            round(col("token_weight"), 6).as("token_weight"))
+      }
+    }),
+    // §2.6 ClassPrecision — the production score (argmax p(c|d) vs the
+    // true lang) over Fit.transformPredict, on margin-qualified docs
+    "artm_class_precision" -> ((s, dir) => {
+      val pred = relPredScores(s, dir)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("lang_token"))
+      val ranked = pred.withColumn("rn", row_number().over(w))
+      val qual = ranked.filter(col("rn") === 1).select(col("doc_id"), col("s").as("s1"))
+        .join(ranked.filter(col("rn") === 2).select(col("doc_id"), col("s").as("s2")), Seq("doc_id"))
+        .filter(col("s1") - col("s2") > ArgmaxMargin)
+        .select(col("doc_id"))
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      val preds = Fit.transformPredict(corpus, kernelMmPwt(s, dir), T,
+          predictClassId = "@lang", estep = EStepConfig(numDocumentPasses = 1))
+        .join(qual, Seq("doc_id"))
+      val truth = docs(s, dir)
+        .filter(col("lang").isNotNull && trim(col("lang")) =!= "")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          lower(trim(col("lang"))).as("label_token"))
+      graft.scores.Scores.classPrecision(preds, truth)
+        .select(col("correct"), col("total"), round(col("value"), 6).as("value"))
+    }),
     // §2.3 Dictionary::Gather — tf/df/value over the documents corpus
     "dict_gather" -> ((s, dir) => {
       val d = DictionaryOps.gather(Corpus.fromDocumentsTable(docs(s, dir)))
@@ -898,6 +936,9 @@ object SparkEntry {
     "artm_predict_class" -> RelationalEmSql.predictClass(T, Passes, MmWeights),
     "artm_predict_class_kernel" ->
       RelationalEmSql.predictClassKernelArgmax(T, Passes, MmWeights, ArgmaxMargin),
+    "artm_items_processed" -> RelationalEmSql.itemsProcessed(),
+    "artm_class_precision" ->
+      RelationalEmSql.classPrecision(T, Passes, MmWeights, ArgmaxMargin),
     "artm_fit_multimodal_kernel" ->
       RelationalEmSql.topTokensMmRankOnly(T, Passes, TopK, MmWeights),
     "artm_transform" -> RelationalEmSql.transform(T, Passes),

@@ -579,6 +579,46 @@ object RelationalEmSql {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** ItemsProcessed oracle (score/items_processed.cc): the E-step's
+    * cumulative item / token-weight counters after one pass:
+    * [pass, items_processed, token_weight(6)]. */
+  def itemsProcessed(): String =
+    s"""WITH ${tokCte()}
+       |SELECT CAST(0 AS BIGINT) AS pass,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS items_processed,
+       |       round((SELECT sum(n_dw) FROM tok), 6) AS token_weight""".stripMargin
+
+  /** ClassPrecision oracle (score/class_precision.cc:17-93): accuracy of
+    * the argmax predicted lang vs the true lang column over the
+    * margin-qualified docs: [correct, total, value(6)]. */
+  def classPrecision(t: Int, passes: Int, classWeights: Map[String, Double],
+      margin: Double): String = {
+    val inf = passCtes("tok", "phiDc", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${mmChain(t, passes, classWeights)},
+       |phiDc AS (SELECT token, topic, p FROM phiM$passes WHERE class_id = '@default_class'),
+       |$inf,
+       |pred AS (
+       |  SELECT h.doc_id, f.token AS lang_token, sum(f.p * h.th) AS s
+       |  FROM (SELECT token, topic, p FROM phiM$passes WHERE class_id = '@lang') f
+       |  JOIN thetaInf h ON h.topic = f.topic
+       |  GROUP BY h.doc_id, f.token),
+       |ranked AS (
+       |  SELECT doc_id, lang_token, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang_token) AS rn
+       |  FROM pred),
+       |best AS (
+       |  SELECT a.doc_id, a.lang_token
+       |  FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id AND b.rn = 2
+       |  WHERE a.rn = 1 AND a.s - b.s > $margin),
+       |acc AS (
+       |  SELECT CAST(sum(CASE WHEN p.lang_token = lower(trim(d.lang)) THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       |         CAST(count(*) AS BIGINT) AS total
+       |  FROM best p JOIN documents d ON d.doc_id = p.doc_id
+       |  WHERE d.lang IS NOT NULL AND trim(d.lang) <> '')
+       |SELECT correct, total, round(CAST(correct AS DOUBLE) / total, 6) AS value FROM acc""".stripMargin
+  }
+
   /** General k-token transaction oracle (mirror of RelationalEm.txnFitK,
     * reference processor_transaction_helpers.cc:68-161): consecutive
     * k-token transactions, alternating typenames tt0..tt{n-1} with
