@@ -155,7 +155,8 @@ object RelationalEm {
     * the caller's scope closes; `pwt` is returned local. */
   private def emPassIn(s: Scope, tok: DataFrame, phi: DataFrame, numTopics: Int,
       reg: RegCfg, thetaTau: Double = 0.0,
-      thetaSel: Option[(Double, DataFrame)] = None): Pass = {
+      thetaSel: Option[(Double, DataFrame)] = None,
+      collectNwt: Boolean = false): Pass = {
     val invT = 1.0 / numTopics
     // the (doc, token) × topic expansion feeds three aggregates — compute
     // it once (phi is a broadcast-sized LocalRelation, so this is one
@@ -196,21 +197,26 @@ object RelationalEm {
       .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
       .agg(sum(col("p") * col("th")).as("p_dw")))
     // n_wt = Σ_d w_d · n_dw · φ_wt · θ_td / p_dw
-    // nwt comes back LOCAL (vocab×T): the normalize window then runs over
-    // a LocalRelation (driver-cheap) instead of re-running the corpus
-    // aggregation, and FitOut can expose nwt to the score mirrors
-    // (TopicMassPhi / TopicKernel / BackgroundTokensRatio need n_t).
-    val nwt = toLocal(tpt
+    // With collectNwt the vocab×T nwt comes back LOCAL (one extra
+    // corpus-scale job) so callers can reuse it — the score mirrors
+    // (TopicMassPhi / TopicKernel / BackgroundTokensRatio) and
+    // topic_value need n_t, and normalize then runs driver-cheap over
+    // the LocalRelation. Without it (intermediate passes), normalize
+    // fuses with the aggregation in ONE job, as before.
+    val nwtPlan = tpt
       .join(pdwB.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
       .groupBy(col("token"), col("topic"))
-      .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt")))
+      .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
+    // the mix/biterms normalize paths read nwt several times (ranks,
+    // rowsums, cooc joins) — always collect there to avoid recompute
+    val nwt = if (collectNwt || reg.isMix || reg.bitermsTau != 0.0) toLocal(nwtPlan) else nwtPlan
     val pwt = toLocal(normalize(nwt, phi, reg))
     Pass(theta, pdwB, nwt, pwt)
   }
 
-  /** Public one-pass wrapper: `theta`, `nwt` and `pwt` come back local;
-    * `pdw` is a lazy plan that recomputes if used (prefer fitOffline /
-    * perplexities for that). */
+  /** Public one-pass wrapper: `theta` and `pwt` come back local; `pdw` /
+    * `nwt` are lazy plans that recompute if used (prefer fitOffline for
+    * a local final nwt). */
   def emPass(tok: DataFrame, phi: DataFrame, numTopics: Int,
       reg: RegCfg = RegCfg()): Pass = withMirrorConf(tok) { scoped { s =>
     val pass = emPassIn(s, tok, phi, numTopics, reg)
@@ -363,11 +369,12 @@ object RelationalEm {
     while (p < passes) {
       val passScope = new Scope
       try {
-        val pass = emPassIn(passScope, tok, phi, numTopics, reg, thetaTau)
+        val pass = emPassIn(passScope, tok, phi, numTopics, reg, thetaTau,
+          collectNwt = p == passes - 1)
         perp += toLocal(perplexity(pass.pdw, p))
         if (keepPassOutputs || p == passes - 1) theta = toLocal(pass.theta)
         phi = pass.pwt
-        nwt = pass.nwt // already local
+        if (p == passes - 1) nwt = pass.nwt // local (collectNwt)
         if (keepPassOutputs) passOuts += FitOut(phi, theta, perp.toSeq, nwt = nwt)
       } finally passScope.close()
       p += 1
@@ -384,12 +391,12 @@ object RelationalEm {
     withMirrorConf(tok0) { scoped { s =>
     val tok = s.cached(tok0)
     val phi0 = toLocal(initPhi(tok, numTopics))
-    val p1 = emPassIn(s, tok, phi0, numTopics, RegCfg())
+    val p1 = emPassIn(s, tok, phi0, numTopics, RegCfg(), collectNwt = true)
     val nt = p1.nwt.groupBy(col("topic")).agg(sum(col("n_wt")).as("n_t"))
     val tv = toLocal(nt.crossJoin(nt.agg(sum(col("n_t")).as("n")))
       .select(col("topic"), (col("n") / (col("n_t") * lit(numTopics.toDouble))).as("tv")))
     val p2 = emPassIn(s, tok, p1.pwt, numTopics, RegCfg(), thetaSel = Some((tau, tv)))
-    FitOut(p2.pwt, toLocal(p2.theta), Nil, nwt = p2.nwt)
+    FitOut(p2.pwt, toLocal(p2.theta), Nil)
   } }
 
   /** fit_online, relational — mirror of Fit.fitOnline's decay merge:
