@@ -85,6 +85,7 @@ object SparkEntry {
   private val TimeTau = 50.0
   private val BitermsTau = 0.5
   private val TopicSelTau = -0.4
+  private val NetTau = 1e-6 // r scales with n_t² — keep comparable to n_wt
   // LLM-pipeline entry parameters (small hash count keeps the DuckDB
   // oracle cheap; the operators scale these freely)
   private val ShingleK = 3
@@ -493,6 +494,27 @@ object SparkEntry {
           (graft.regularizers.SmoothTimeInTopicsPhi(), TimeTau.toFloat),
           (graft.regularizers.BitermsPhi(), BitermsTau.toFloat)),
         cooc = Some(coocSym(s, dir))))),
+    // §2.5 NetPlsaPhi fit (mirror): edge-Laplacian smoothing with the
+    // symmetrized windowed-cooc pairs as the vertex graph (unit vertex
+    // weights), n_t²-scaled — hash-exact
+    "artm_fit_netplsa" -> ((s, dir) => {
+      memoized(s, dir, "relfitnet")(
+        RelationalEm.fitOffline(relTok(s, dir), T, Passes,
+          RelationalEm.RegCfg(netTau = NetTau,
+            cooc = Some(coocSym(s, dir)
+              .select(col("token_a"), col("token_b"), col("cooc_tf")))))).pwt
+        .select(col("token"), col("topic"), round(col("p"), 6).as("p"))
+        .orderBy(col("token"), col("topic"))
+    }),
+    // §2.5 NetPlsaPhi KERNEL fit (rank-only): the production graph
+    // regularizer (edges join + vector sums) under the oracle
+    "artm_fit_netplsa_kernel" -> ((s, dir) =>
+      kernelTopTokens(kernelFitLocal(s, dir, "kfitnet",
+        regs = Seq((graft.regularizers.NetPlsaPhi(
+          classId = graft.functions.Rng.DefaultClass,
+          edges = coocSym(s, dir).select(col("token_a").as("vertex_a"),
+            col("token_b").as("vertex_b"), col("cooc_tf").as("weight"))),
+          NetTau.toFloat))))),
     // §2.5 TopicSelectionTheta fit (mirror): plain pass 1, driver-side
     // topic_value[t] = n/(n_t·T) recompute, pass 2 with the theta agent
     "artm_topic_select" -> ((s, dir) => {
@@ -946,6 +968,9 @@ object SparkEntry {
       T, Passes, TimeTau, BitermsTau, CoocWindow),
     "artm_fit_biterms_time_kernel" -> RelationalEmSql.topTokensTimeBitermsRankOnly(
       T, Passes, TopK, TimeTau, BitermsTau, CoocWindow),
+    "artm_fit_netplsa" -> RelationalEmSql.fitOfflineNetPlsa(T, Passes, NetTau, CoocWindow),
+    "artm_fit_netplsa_kernel" ->
+      RelationalEmSql.topTokensNetPlsaRankOnly(T, Passes, TopK, NetTau, CoocWindow),
     "artm_topic_select" -> RelationalEmSql.topicSelectFit(T, TopicSelTau),
     "artm_topic_select_kernel" -> RelationalEmSql.topicSelectRankOnly(T, TopicSelTau, TopK),
     "artm_fit_regmix" -> RelationalEmSql.fitOfflineRegMix(T, Passes,

@@ -61,10 +61,11 @@ object RelationalEm {
   case class RegCfg(smoothTau: Double = 0.0, decorrTau: Double = 0.0,
       labelTau: Double = 0.0, cohTau: Double = 0.0,
       cooc: Option[DataFrame] = None, sparseKeep: Int = 0,
-      timeTau: Double = 0.0, bitermsTau: Double = 0.0) {
+      timeTau: Double = 0.0, bitermsTau: Double = 0.0,
+      netTau: Double = 0.0) {
     def isMix: Boolean = labelTau != 0.0 || cohTau != 0.0 || sparseKeep > 0
-    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0 && !isMix &&
-      timeTau == 0.0 && bitermsTau == 0.0
+    def isPhiExt: Boolean = timeTau != 0.0 || bitermsTau != 0.0 || netTau != 0.0
+    def isEmpty: Boolean = smoothTau == 0.0 && decorrTau == 0.0 && !isMix && !isPhiExt
   }
 
   /** The EM chains below reuse every intermediate (phi feeds 3 joins per
@@ -209,7 +210,8 @@ object RelationalEm {
       .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
     // the mix/biterms normalize paths read nwt several times (ranks,
     // rowsums, cooc joins) — always collect there to avoid recompute
-    val nwt = if (collectNwt || reg.isMix || reg.bitermsTau != 0.0) toLocal(nwtPlan) else nwtPlan
+    val nwt = if (collectNwt || reg.isMix || reg.bitermsTau != 0.0 || reg.netTau != 0.0)
+      toLocal(nwtPlan) else nwtPlan
     val pwt = toLocal(normalize(nwt, phi, reg))
     Pass(theta, pdwB, nwt, pwt)
   }
@@ -228,7 +230,7 @@ object RelationalEm {
   def normalize(nwt: DataFrame, phiIn: DataFrame, reg: RegCfg): DataFrame = {
     val base =
       if (reg.isEmpty) nwt.withColumn("adj", greatest(col("n_wt"), lit(0.0)))
-      else if (!reg.isMix && reg.timeTau == 0.0 && reg.bitermsTau == 0.0) {
+      else if (!reg.isMix && !reg.isPhiExt) {
         // r from the pass's INPUT phi (p_wt), as in Fit.regularize
         val withSum = phiIn
           .withColumn("p_sum", sum(col("p")).over(Window.partitionBy(col("token"))))
@@ -279,9 +281,31 @@ object RelationalEm {
             withR.join(rb, Seq("token", "topic"), "left")
           case _ => withR.withColumn("rb", lit(null).cast("double"))
         }
-        withRb.withColumn("adj", greatest(
+        // NetPlsaPhi (net_plsa_phi.cc:15-159, unit vertex weights):
+        // r_ut += netTau·n_t²·Σ_v w_uv·(p_vt − p_ut) over the edge table
+        // (the shared symmetrized cooc pairs), n_t = clamped topic mass
+        val withRn = reg.cooc match {
+          case Some(c) if reg.netTau != 0.0 =>
+            val ntn = nwt.groupBy(col("topic"))
+              .agg(sum(greatest(col("n_wt"), lit(0.0))).as("n_t"))
+            val rn = c
+              .select(col("token_a"), col("token_b"), col("cooc_tf").cast("double").as("ctf"))
+              .join(phiIn.select(col("token").as("token_a"), col("topic"), col("p").as("pu")),
+                Seq("token_a"))
+              .join(phiIn.select(col("token").as("token_b"), col("topic"), col("p").as("pv")),
+                Seq("token_b", "topic"))
+              .groupBy(col("token_a"), col("topic"))
+              .agg(sum(col("ctf") * (col("pv") - col("pu"))).as("s"))
+              .join(ntn, Seq("topic"))
+              .select(col("token_a").as("token"), col("topic"),
+                ((col("s") * col("n_t")) * col("n_t")).as("rn"))
+            withRb.join(rn, Seq("token", "topic"), "left")
+          case _ => withRb.withColumn("rn", lit(null).cast("double"))
+        }
+        withRn.withColumn("adj", greatest(
           col("n_wt") + coalesce(col("r_wt"), lit(0.0))
-            + lit(reg.bitermsTau) * coalesce(col("rb"), lit(0.0)),
+            + lit(reg.bitermsTau) * coalesce(col("rb"), lit(0.0))
+            + lit(reg.netTau) * coalesce(col("rn"), lit(0.0)),
           lit(0.0)))
       } else {
         // nwt-path mix (expression shape matches RelationalEmSql's regMix

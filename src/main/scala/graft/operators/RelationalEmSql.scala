@@ -69,7 +69,8 @@ object RelationalEmSql {
       thetaTau: Option[Double] = None,
       regMix: Option[RegMix] = None,
       thetaSel: Option[(Double, String)] = None,
-      timeBiterms: Option[(Double, Double)] = None): String = {
+      timeBiterms: Option[(Double, Double)] = None,
+      netTau: Option[Double] = None): String = {
     val invT = s"(1.0/$t)"
     val thRaw = thetaTau match {
       case None => "n_td"
@@ -107,40 +108,66 @@ object RelationalEmSql {
          |  JOIN theta$s h ON h.doc_id = t.doc_id AND h.topic = f.topic
          |  JOIN pdwb$s b ON b.doc_id = t.doc_id AND b.token = t.token
          |  GROUP BY t.token, f.topic)""".stripMargin
-    val norm = (reg, regMix, timeBiterms) match {
-      case (None, None, Some((tm, bt))) =>
-        // SmoothTimeInTopicsPhi (lag/lead sign over token adjacency, from
-        // the INPUT phi) + BitermsPhi (cooc ⋈ phi² pull, per-pair
-        // normalized by n_t·p·p mass; needs a `coocsym` CTE in scope)
-        s"""rwt$s AS (
-           |  SELECT token, topic,
-           |         ($tm) * p * ((CASE WHEN pprev IS NULL THEN 0.0 WHEN pprev > p THEN 1.0 WHEN pprev < p THEN -1.0 ELSE 0.0 END)
-           |                      + (CASE WHEN pnext IS NULL THEN 0.0 WHEN pnext > p THEN 1.0 WHEN pnext < p THEN -1.0 ELSE 0.0 END)) AS r_wt
-           |  FROM (SELECT token, topic, p,
-           |               lag(p) OVER (PARTITION BY topic ORDER BY token) AS pprev,
-           |               lead(p) OVER (PARTITION BY topic ORDER BY token) AS pnext
-           |        FROM $phiIn)),
-           |ntb$s AS (SELECT topic, sum(n_wt) AS n_t FROM nwt$s GROUP BY topic),
-           |praw$s AS (
-           |  SELECT c.token_a, c.token_b, fa.topic, c.cooc_tf, nb.n_t * fa.p * fb.p AS raw
-           |  FROM coocsym c
-           |  JOIN $phiIn fa ON fa.token = c.token_a
-           |  JOIN $phiIn fb ON fb.token = c.token_b AND fb.topic = fa.topic
-           |  JOIN ntb$s nb ON nb.topic = fa.topic),
-           |pnorm$s AS (SELECT token_a, token_b, sum(raw) AS nrm FROM praw$s GROUP BY token_a, token_b),
-           |rb$s AS (
-           |  SELECT p.token_a AS token, p.topic,
-           |         sum(p.cooc_tf * (CASE WHEN n.nrm > 0 AND p.raw > 0 THEN p.raw / n.nrm ELSE 0.0 END)) AS rb
-           |  FROM praw$s p JOIN pnorm$s n ON n.token_a = p.token_a AND n.token_b = p.token_b
-           |  GROUP BY p.token_a, p.topic),
+    val norm = (reg, regMix, timeBiterms, netTau) match {
+      case (None, None, tb, nt) if tb.isDefined || nt.isDefined =>
+        // Phi-path extensions (any combination): SmoothTimeInTopicsPhi
+        // (lag/lead sign over token adjacency, from the INPUT phi),
+        // BitermsPhi (cooc ⋈ phi² pull, per-pair normalized by n_t·p·p
+        // mass) and NetPlsaPhi (n_t²-scaled edge-Laplacian pull, unit
+        // vertex weights). Biterms/net need a `coocsym` CTE in scope.
+        val (tm, bt) = tb.getOrElse((0.0, 0.0))
+        val timeCte =
+          s"""rwt$s AS (
+             |  SELECT token, topic,
+             |         ($tm) * p * ((CASE WHEN pprev IS NULL THEN 0.0 WHEN pprev > p THEN 1.0 WHEN pprev < p THEN -1.0 ELSE 0.0 END)
+             |                      + (CASE WHEN pnext IS NULL THEN 0.0 WHEN pnext > p THEN 1.0 WHEN pnext < p THEN -1.0 ELSE 0.0 END)) AS r_wt
+             |  FROM (SELECT token, topic, p,
+             |               lag(p) OVER (PARTITION BY topic ORDER BY token) AS pprev,
+             |               lead(p) OVER (PARTITION BY topic ORDER BY token) AS pnext
+             |        FROM $phiIn))""".stripMargin
+        val bitermCtes = if (bt == 0.0) "" else
+          s""",
+             |ntb$s AS (SELECT topic, sum(n_wt) AS n_t FROM nwt$s GROUP BY topic),
+             |praw$s AS (
+             |  SELECT c.token_a, c.token_b, fa.topic, c.cooc_tf, nb.n_t * fa.p * fb.p AS raw
+             |  FROM coocsym c
+             |  JOIN $phiIn fa ON fa.token = c.token_a
+             |  JOIN $phiIn fb ON fb.token = c.token_b AND fb.topic = fa.topic
+             |  JOIN ntb$s nb ON nb.topic = fa.topic),
+             |pnorm$s AS (SELECT token_a, token_b, sum(raw) AS nrm FROM praw$s GROUP BY token_a, token_b),
+             |rb$s AS (
+             |  SELECT p.token_a AS token, p.topic,
+             |         sum(p.cooc_tf * (CASE WHEN n.nrm > 0 AND p.raw > 0 THEN p.raw / n.nrm ELSE 0.0 END)) AS rb
+             |  FROM praw$s p JOIN pnorm$s n ON n.token_a = p.token_a AND n.token_b = p.token_b
+             |  GROUP BY p.token_a, p.topic)""".stripMargin
+        val netCtes = nt match {
+          case None => ""
+          case Some(_) =>
+            s""",
+               |ntn$s AS (SELECT topic, sum(greatest(n_wt, 0.0)) AS n_t FROM nwt$s GROUP BY topic),
+               |rnet$s AS (
+               |  SELECT g.token_a AS token, g.topic, (g.s * n.n_t) * n.n_t AS rn
+               |  FROM (SELECT e.token_a, fu.topic, sum(e.cooc_tf * (fv.p - fu.p)) AS s
+               |        FROM coocsym e
+               |        JOIN $phiIn fu ON fu.token = e.token_a
+               |        JOIN $phiIn fv ON fv.token = e.token_b AND fv.topic = fu.topic
+               |        GROUP BY e.token_a, fu.topic) g
+               |  JOIN ntn$s n ON n.topic = g.topic)""".stripMargin
+        }
+        val btTerm = if (bt == 0.0) "" else s" + ($bt) * coalesce(b.rb, 0.0)"
+        val ntTerm = nt.map(v => s" + ($v) * coalesce(n2.rn, 0.0)").getOrElse("")
+        val btJoin = if (bt == 0.0) "" else
+          s"\n        LEFT JOIN rb$s b ON b.token = w.token AND b.topic = w.topic"
+        val ntJoin = nt.map(_ =>
+          s"\n        LEFT JOIN rnet$s n2 ON n2.token = w.token AND n2.topic = w.topic").getOrElse("")
+        s"""$timeCte$bitermCtes$netCtes,
            |phi$s AS (
            |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
            |  FROM (SELECT w.token, w.topic,
-           |               greatest(w.n_wt + coalesce(r.r_wt, 0.0) + ($bt) * coalesce(b.rb, 0.0), 0.0) AS adj
+           |               greatest(w.n_wt + coalesce(r.r_wt, 0.0)$btTerm$ntTerm, 0.0) AS adj
            |        FROM nwt$s w
-           |        LEFT JOIN rwt$s r ON r.token = w.token AND r.topic = w.topic
-           |        LEFT JOIN rb$s b ON b.token = w.token AND b.topic = w.topic))""".stripMargin
-      case (None, Some(RegMix(lt, ct, keep)), _) =>
+           |        LEFT JOIN rwt$s r ON r.token = w.token AND r.topic = w.topic$btJoin$ntJoin))""".stripMargin
+      case (None, Some(RegMix(lt, ct, keep)), _, _) =>
         s"""rsp$s AS (
            |  SELECT token, topic, n_wt,
            |         row_number() OVER (PARTITION BY token ORDER BY n_wt DESC, topic) AS rk,
@@ -159,11 +186,11 @@ object RelationalEmSql {
            |             + ($ct) * coalesce(h.rc, 0.0)
            |             + (CASE WHEN r.rk > $keep THEN -r.n_wt ELSE 0.0 END), 0.0) AS adj
            |    FROM rsp$s r LEFT JOIN rcoh$s h ON h.token = r.token AND h.topic = r.topic))""".stripMargin
-      case (None, None, None) =>
+      case (None, None, None, None) =>
         s"""phi$s AS (
            |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
            |  FROM (SELECT token, topic, greatest(n_wt, 0.0) AS adj FROM nwt$s))""".stripMargin
-      case (Some((sm, de)), _, _) =>
+      case (Some((sm, de)), _, _, _) =>
         s"""rwt$s AS (
            |  SELECT token, topic,
            |         ($sm) + ($de) * (-p * (sum(p) OVER (PARTITION BY token) - p)) AS r_wt
@@ -180,13 +207,35 @@ object RelationalEmSql {
   private def offlineChain(tok: String, t: Int, passes: Int,
       reg: Option[(Double, Double)], thetaTau: Option[Double] = None,
       regMix: Option[RegMix] = None,
-      timeBiterms: Option[(Double, Double)] = None): String = {
+      timeBiterms: Option[(Double, Double)] = None,
+      netTau: Option[Double] = None): String = {
     val ctes = Seq(initCtes(tok, t, "0")) ++
       (1 to passes).map(p =>
         passCtes(tok, s"phi${p - 1}", t, p.toString, reg, thetaTau, regMix,
-          timeBiterms = timeBiterms))
+          timeBiterms = timeBiterms, netTau = netTau))
     ctes.mkString(",\n")
   }
+
+  /** NetPlsaPhi fit oracle (edges = the symmetrized windowed-cooc pairs,
+    * unit vertex weights): final pwt [token, topic, p(6)]. */
+  def fitOfflineNetPlsa(t: Int, passes: Int, netTau: Double, window: Int): String =
+    s"""WITH ${tokCte()},
+       |${coocSymCtes(window)},
+       |${offlineChain("tok", t, passes, None, None, None, None, Some(netTau))}
+       |SELECT token, topic, round(p, 6) AS p FROM phi$passes ORDER BY token, topic""".stripMargin
+
+  /** Rank-only top-k of the NetPlsa fit — the float-safe projection for
+    * the KERNEL entry (production NetPlsaPhi): [topic, rank, token]. */
+  def topTokensNetPlsaRankOnly(t: Int, passes: Int, k: Int, netTau: Double,
+      window: Int): String =
+    s"""WITH ${tokCte()},
+       |${coocSymCtes(window)},
+       |${offlineChain("tok", t, passes, None, None, None, None, Some(netTau))},
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phi$passes WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
   /** SmoothTimeInTopicsPhi + BitermsPhi fit oracle: final pwt
     * [token, topic, p(6)]. */
