@@ -94,6 +94,8 @@ object SparkEntry {
   private val MinhashThreshold = 0.25
   private val AnnQueries = 5
   private val AnnK = 10
+  private val NearDupPlants = 20   // planted scaled-copy near-dups
+  private val NearDupIdOffset = 1000000L
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -908,6 +910,60 @@ object SparkEntry {
           col("lang_pred"), col("lang_hits").cast("long").as("lang_hits"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: document fingerprints — whole-doc md5 + the
+    // order-sensitive rolling polynomial hash (md5-prefix token ints,
+    // pure HOF fold; same constants as the DuckDB mirror)
+    "text_fingerprint" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.fingerprint(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("fingerprint"), col("rolling_fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: LSH ANN top-k (hyperplane buckets, multi-probe,
+    // 2 OR-ed tables). The hyperplanes come from the engine MT19937, so
+    // no SQL oracle exists — rows-only driver check; recall@10 >= 0.9 vs
+    // brute force is asserted in PipelineSpec, and the entry gives the
+    // scale path a tracked bench wall-time. 4 planes / 16 buckets per
+    // table keeps buckets populated at the smoke SF (500 vectors) while
+    // still exercising the bucket join instead of the crossJoin.
+    "ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.lshTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        planes = 4, probes = 4, tables = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // LLM pipeline: IVF ANN top-k (seeded Lloyd codebook, nprobe cells) —
+    // rows-only for the same reason as ann_lsh (driver-side kmeans state)
+    "ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        numCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // LLM pipeline: embedding near-duplicate pairs via hyperplane buckets
+    // (cosine >= 0.9 verified inside the shared bucket), under the FULL
+    // oracle: the synthetic embeddings carry no near-dups (max pair
+    // cosine ~0.6), so the entry plants scaled copies of the first
+    // NearDupPlants vectors (vec_id + NearDupIdOffset, every component
+    // ×2). Scaling preserves every hyperplane sign bit exactly (power-of-
+    // two float scaling is exact), so each copy provably shares its
+    // original's bucket in every table — LSH recall on the planted pairs
+    // is 1 by construction, and DuckDB's brute-force cosine>=0.9 pair
+    // list is a sound hash oracle for the whole bucketed pipeline.
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < NearDupPlants)
+        .select((col("vec_id") + NearDupIdOffset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.pipeline.Dedup.embeddingNearDup(emb.unionByName(planted), threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
@@ -1008,6 +1064,9 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "text_fingerprint" -> graft.pipeline.PipelineSql.textFingerprint,
+    "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
+      NearDupPlants, NearDupIdOffset, 0.9),
     "cooc_window" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -95,6 +95,24 @@ object PipelineSql {
        |SELECT query_id, rank, id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors the dedup_embedding entry: embeddings ∪ ×2-scaled copies of
+    * the first `plants` vectors (ids shifted by `idOffset`), then ALL
+    * pairs with cosine >= threshold — a sound oracle because the planted
+    * exact copies provably share their original's LSH bucket (see the
+    * SparkEntry scaladoc) and the original corpus carries no pair above
+    * the threshold. */
+  def dedupEmbedding(plants: Int, idOffset: Long, threshold: Double): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planted AS (SELECT vec_id + $idOffset AS vec_id,
+       |                   [x * 2.0 for x in v] AS v
+       |            FROM base WHERE vec_id < $plants),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |                 list_cosine_similarity(a.v, b.v) AS cosine
+       |          FROM u a JOIN u b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cosine, 6) AS cosine
+       |FROM pairs WHERE cosine >= $threshold ORDER BY id_a, id_b""".stripMargin
+
   /** Mirrors TextAnalysis.qualityScore (same stopword list, same ratios). */
   def textQuality(stopwords: Seq[String]): String = {
     val sw = stopwords.map(s => s"'$s'").mkString(", ")
@@ -153,6 +171,21 @@ object PipelineSql {
        |$fold
        |SELECT doc_id, l$n AS lang_pred, b$n AS lang_hits FROM s$n ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirrors TextAnalysis.fingerprint: whole-doc md5 of the normalized
+    * text + the order-sensitive 131-ary rolling hash over per-token
+    * md5-prefix ints (same fold, same constants — BIGINT-safe in both
+    * engines; empty docs pin both to the empty-string md5 / 0). */
+  val textFingerprint: String =
+    s"""SELECT doc_id, md5($norm) AS fingerprint,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE list_reduce(
+       |         list_prepend(0::BIGINT,
+       |           [('0x' || substr(md5(t), 1, 12))::BIGINT
+       |            for t in string_split($norm, ' ')]),
+       |         (a, b) -> (a * ${TextAnalysis.RollingBase} + b) % ${TextAnalysis.RollingMod})
+       |  END AS rolling_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val tokenCounts: String =
     s"""SELECT doc_id,

@@ -97,16 +97,27 @@ object TextAnalysis {
     *   (h = h·1000003 + murmur(token), wrap-around), robust to whitespace
     *   layout, usable for shift-tolerant chunk fingerprints. */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val spark = df.sparkSession
-    val rolling = udf { (text: String) =>
-      var h = 1469598103934665603L
-      (if (text == null) "" else text).toLowerCase.trim.split("\\s+")
-        .filter(_.nonEmpty)
-        .foreach { t => h = h * 1000003L + scala.util.hashing.MurmurHash3.stringHash(t) }
-      h
-    }
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val toks = split(norm, " ")
+    // per-token 48-bit hash from the md5 prefix (the same md5→int idiom
+    // the minhash/simhash kernels use — deterministic across engines),
+    // folded left-to-right with a 131-ary polynomial mod a 2^51-scale
+    // prime: order-sensitive (unlike the md5 of the whole doc it survives
+    // local edits elsewhere in the doc when applied per chunk), and every
+    // intermediate stays < 2^58, BIGINT-safe in any SQL engine. Pure
+    // codegen'd HOFs — no UDF in this path.
+    val tokInts = transform(toks, t =>
+      conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    val rolling = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(aggregate(tokInts, lit(0L),
+        (acc, h) => (acc * lit(RollingBase) + h) % lit(RollingMod)))
     df
-      .withColumn("fingerprint", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
-      .withColumn("rolling_fp", rolling(col(textCol)))
+      .withColumn("fingerprint", md5(norm))
+      .withColumn("rolling_fp", rolling)
   }
+
+  /** Rolling-hash constants shared with the DuckDB oracle mirror
+    * ([[PipelineSql.textFingerprint]]). */
+  val RollingBase = 131L
+  val RollingMod = 1125899906842597L
 }
