@@ -552,10 +552,12 @@ object SparkEntry {
     // §2.6 TopicMassPhi — n_t per topic of the fitted model's final nwt
     // (+ ratio of total mass), from the shared mirror fit
     "artm_topic_mass" -> ((s, dir) => {
-      val nwt = relFit(s, dir).nwt
-      nwt.groupBy(col("topic")).agg(sum(col("n_wt")).as("mass"))
+      val mass = relFit(s, dir).nwt
+        .groupBy(col("topic")).agg(sum(col("n_wt")).as("mass"))
+      val tot = mass.agg(sum(col("mass")).as("tot"))
+      mass.crossJoin(tot)
         .select(col("topic"), round(col("mass"), 6).as("mass"),
-          round(col("mass") / sum(col("mass")).over(Window.partitionBy()), 6).as("ratio"))
+          round(col("mass") / col("tot"), 6).as("ratio"))
         .orderBy(col("topic"))
     }),
     // §2.6 TopicKernel score — kernel W_t = {w: p(t|w) > threshold} with

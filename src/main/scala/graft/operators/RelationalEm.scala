@@ -104,10 +104,21 @@ object RelationalEm {
   private def withMirrorConf[A](df: DataFrame)(f: => A): A = {
     val conf = df.sparkSession.conf
     val prev = conf.getOption("spark.sql.shuffle.partitions")
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
     conf.set("spark.sql.shuffle.partitions", MirrorShufflePartitions.toString)
-    try f finally prev match {
-      case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
-      case None => conf.unset("spark.sql.shuffle.partitions")
+    // AQE's per-stage re-planning costs more than it saves on the
+    // mirror's tiny pinned-width shuffles (measured ~1 s per 2-pass fit
+    // at sf0.1); the production kernel path keeps the session default
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally {
+      prev match {
+        case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
+        case None => conf.unset("spark.sql.shuffle.partitions")
+      }
+      prevAqe match {
+        case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+        case None => conf.unset("spark.sql.adaptive.enabled")
+      }
     }
   }
 

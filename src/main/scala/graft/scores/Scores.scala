@@ -124,8 +124,12 @@ object Scores {
   def topicMassPhi(nwt: DataFrame, classId: String = graft.functions.Rng.DefaultClass): DataFrame = {
     val nt = nwt.filter(col("class_id") === classId)
       .agg(VectorOps.vectorSum(col("weights")).as("n_t"))
-    nt.select(posexplode(col("n_t")).as(Seq("topic", "mass")))
-      .withColumn("ratio", col("mass") / sum(col("mass")).over(Window.partitionBy()))
+    // total from the same aggregated row (array fold) — no empty-partition
+    // window, which would plan a single-task WindowExec
+    nt.select(posexplode(col("n_t")).as(Seq("topic", "mass")),
+        aggregate(col("n_t"), lit(0.0), (a, x) => a + x).as("_total"))
+      .withColumn("ratio", col("mass") / col("_total"))
+      .drop("_total")
   }
 
   /** BackgroundTokensRatio — score/background_tokens_ratio.cc:20-92:
