@@ -89,6 +89,29 @@ class Artm(
     update(res)
   }
 
+  /** fit_offline with TopicSelectionTheta, recomputing the per-topic
+    * value n/(n_t·|T|) between passes the way the reference Python
+    * wrapper resyncs it on every update (artm_model.py:73-103,
+    * topic_selection_theta.cc:15-164). Starts from a uniform value
+    * (no nwt exists before the first pass). */
+  def fitOfflineTopicSelection(docs: Dataset[Doc], numCollectionPasses: Int,
+      tau: Float): this.type = {
+    import org.apache.spark.sql.functions.col
+    var tv = Array.fill(numTopics)(1.0f / numTopics)
+    (0 until numCollectionPasses).foreach { _ =>
+      val c = cfg(1)
+      val res = Fit.fitOffline(docs, requirePwt(), c.copy(estep =
+        c.estep.copy(thetaAgents = c.estep.thetaAgents :+
+          graft.regularizers.TopicSelectionTheta(tau, tv))))
+      update(res)
+      val nt = res.nwt
+        .agg(graft.functions.VectorOps.vectorSum(col("weights")).as("nt"))
+        .head.getSeq[Float](0).toArray
+      tv = graft.regularizers.TopicSelectionTheta.topicValues(nt)
+    }
+    this
+  }
+
   def fitOnline(chunks: Seq[Dataset[Doc]],
       tau0: Double = 1024.0, kappa: Double = 0.7, async: Boolean = false): this.type = {
     val res =

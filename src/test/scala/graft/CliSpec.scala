@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end CLI runs (reference srcmain.cc workflows) against a small
+  * VW corpus: offline fit with regularizers + writers, model round-trip
+  * into a transform-only run, online mode, topic-selection mode, and the
+  * cooc/PPMI writers. Drives Cli.run on the shared test session (the
+  * option surface, not main()'s session bootstrap). */
+class CliSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val vwFile: String = {
+    val f = Files.createTempFile("cli-corpus", ".vw")
+    val rnd = new scala.util.Random(7)
+    val themes = Seq(
+      Seq("market", "trade", "price", "stock", "bank"),
+      Seq("game", "team", "score", "match", "coach"),
+      Seq("cell", "gene", "protein", "lab", "assay"))
+    val lines = (0 until 120).map { i =>
+      val t = themes(i % 3)
+      val toks = (0 until 12).map(_ => t(rnd.nextInt(t.size)))
+      s"doc$i ${toks.mkString(" ")}"
+    }
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private def opts(pairs: (String, String)*): Cli.Opts =
+    Cli.Opts(pairs.groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap)
+
+  test("offline fit: regularizers, scores, model + readable + predictions writers") {
+    val modelDir = tmp("cli-model")
+    val readable = tmp("cli-readable")
+    val preds = tmp("cli-preds")
+    val scoresOut = tmp("cli-scores")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "6",
+      "rand-seed" -> "42",
+      "num-collection-passes" -> "4",
+      "num-document-passes" -> "1",
+      "regularizer" -> "0.01 SparsePhi",
+      "regularizer" -> "50 Decorrelation",
+      "score" -> "Perplexity",
+      "save-model" -> modelDir,
+      "write-model-readable" -> readable,
+      "write-predictions" -> preds,
+      "write-scores" -> scoresOut))
+
+    val phiCsv = spark.read.option("header", "true").csv(readable)
+    assert(phiCsv.columns.contains("topic_0") && phiCsv.count() > 0)
+    val thetaCsv = spark.read.option("header", "true").csv(preds)
+    assert(thetaCsv.count() === 120)
+    val sc = spark.read.option("header", "true").csv(scoresOut)
+    val perp = sc.select(col("perplexity").cast("double")).collect().map(_.getDouble(0))
+    assert(perp.length === 4 && perp.last < perp.head) // EM converges
+
+    // transform-only rerun: load the saved model, no fitting
+    val preds2 = tmp("cli-preds2")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "load-model" -> modelDir,
+      "num-document-passes" -> "1",
+      "write-predictions" -> preds2))
+    val t2 = spark.read.option("header", "true").csv(preds2)
+    assert(t2.count() === 120)
+  }
+
+  test("online fit with update-every batches") {
+    val scoresOut = tmp("cli-scores-online")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "4",
+      "num-collection-passes" -> "1",
+      "num-document-passes" -> "1",
+      "update-every" -> "1",
+      "batch-size" -> "40", // 120 docs -> 3 online chunks
+      "tau0" -> "16", "kappa" -> "0.7",
+      "write-scores" -> scoresOut))
+    val sc = spark.read.option("header", "true").csv(scoresOut)
+    assert(sc.count() === 3) // one tracker row per merged chunk
+  }
+
+  test("topic selection fit recomputes topic_value between passes") {
+    val scoresOut = tmp("cli-scores-sel")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "6",
+      "num-collection-passes" -> "3",
+      "num-document-passes" -> "1",
+      "regularizer" -> "0.2 TopicSelection",
+      "write-scores" -> scoresOut))
+    val sc = spark.read.option("header", "true").csv(scoresOut)
+    val perp = sc.select(col("perplexity").cast("double")).collect().map(_.getDouble(0))
+    assert(perp.length === 3 && perp.last < perp.head)
+  }
+
+  test("cooc + ppmi writers and coherence regularizer wiring") {
+    val coocOut = tmp("cli-cooc")
+    val ppmiOut = tmp("cli-ppmi")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "4",
+      "num-collection-passes" -> "2",
+      "num-document-passes" -> "1",
+      "cooc-window" -> "3",
+      "cooc-min-tf" -> "2",
+      "regularizer" -> "0.001 ImproveCoherence",
+      "write-cooc-tf" -> coocOut,
+      "write-ppmi-tf" -> ppmiOut))
+    val cooc = spark.read.option("header", "true").csv(coocOut)
+    assert(cooc.columns.toSeq === Seq("token_a", "token_b", "cooc_tf"))
+    assert(cooc.count() > 0)
+    assert(spark.read.option("header", "true").csv(ppmiOut).count() > 0)
+  }
+
+  test("multimodal class weights + class predictions writer") {
+    // second modality via |lang namespace lines
+    val f = Files.createTempFile("cli-mm", ".vw")
+    val lines = (0 until 60).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val toks = if (i % 2 == 0) "hello world hello" else "bonjour monde bonjour"
+      s"doc$i $toks |lang $lang"
+    }
+    Files.writeString(f, lines.mkString("\n"))
+    val out = tmp("cli-clspred")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> f.toString,
+      "topics" -> "2",
+      "rand-seed" -> "1",
+      "num-collection-passes" -> "3",
+      "num-document-passes" -> "1",
+      "use-modality" -> "@default_class:1,lang:1",
+      "predict-class" -> "lang",
+      "write-class-predictions" -> out))
+    val preds = spark.read.option("header", "true").csv(out)
+    assert(preds.count() === 60)
+    // the two language labels both appear (model separates the themes)
+    assert(preds.select("predicted").distinct().count() === 2)
+  }
+
+  test("regularizer string parsing mirrors the reference syntax") {
+    val s1 = Cli.parseRegularizer("0.5 SmoothPhi @c1,c2", 8)
+    assert(s1.asInstanceOf[Cli.PhiSpec].tau === 0.5f)
+    assert(s1.asInstanceOf[Cli.PhiSpec].reg.asInstanceOf[
+      graft.regularizers.SmoothSparsePhi].classIds === Seq("c1", "c2"))
+    val s2 = Cli.parseRegularizer("0.3 SparseTheta", 8)
+    assert(s2.asInstanceOf[Cli.ThetaSpec].tau === -0.3f)
+    intercept[IllegalArgumentException](Cli.parseRegularizer("0.1 NoSuch", 8))
+  }
+}
