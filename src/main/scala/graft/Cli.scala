@@ -44,6 +44,7 @@ import graft.sources.{BatchIO, ModelIO}
   *   --predict-class C
   *   --write-model-readable F --write-predictions F
   *   --write-class-predictions F --write-scores F
+  *   --write-vw-corpus F --write-dictionary-readable F
   *   --csv-separator S
   *   --score NAME (repeatable: Perplexity SparsityPhi SparsityTheta
   *     TopTokens ThetaSnippet TopicKernel — printed after fitting,
@@ -276,6 +277,14 @@ object Cli {
     o.str("write-scores").foreach { f =>
       import spark.implicits._
       writeCsv(model.scoreTracker.toDF(), f)
+    }
+    o.str("write-vw-corpus").foreach { f =>
+      graft.sources.VwReader.write(docsOpt.getOrElse(throw new IllegalArgumentException(
+        "--write-vw-corpus needs a corpus")), f)
+    }
+    o.str("write-dictionary-readable").foreach { f =>
+      model.dictionary.foreach(d => writeCsv(
+        d.select(col("class_id"), col("token"), col("value"), col("tf"), col("df")), f))
     }
     coocSym.foreach(_.unpersist())
   }

@@ -866,6 +866,14 @@ object SparkEntry {
           shiftrightunsigned(col("simhash"), 48).bitwiseAND(lit(0xffffL)).as("b3"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: SimHash near-dup pairs — 16-bit-band pigeonhole
+    // blocking + exact popcount verify (any pair within Hamming 3 shares
+    // a band). Hash-exact: md5 bit math on both engines.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      graft.pipeline.Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // LLM pipeline: MinHash-LSH near-duplicate pairs (banded buckets)
     "dedup_minhash" -> ((s, dir) => {
       graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
@@ -1058,6 +1066,7 @@ object SparkEntry {
       RelationalEmSql.ptdwKernelArgmax(T, "doc_id < 20", ArgmaxMargin),
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
     "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,
+    "dedup_simhash_pairs" -> graft.pipeline.PipelineSql.dedupSimhashPairs(3),
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),

@@ -45,6 +45,49 @@ object PipelineSql {
        |FROM documents d LEFT JOIN bands b ON b.doc_id = d.doc_id
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors Dedup.simhashPairs: docs sharing one of the four 16-bit
+    * bands (pigeonhole blocking), verified by exact Hamming distance.
+    * The 64-bit popcount is the SUM of per-band popcounts, so every
+    * value stays BIGINT-safe (bit 63 of a whole fingerprint would not).
+    * Empty-token docs all carry fingerprint 0 and pair up at Hamming 0 —
+    * same on both engines. */
+  def dedupSimhashPairs(maxHamming: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |h AS (SELECT doc_id, n, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM tok),
+       |bits AS (
+       |  SELECT t.doc_id, j.j,
+       |         sum(CASE WHEN (t.h >> j.j) & 1 = 1 THEN t.n ELSE -t.n END) AS s
+       |  FROM h t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+       |  GROUP BY t.doc_id, j.j),
+       |bands AS (
+       |  SELECT doc_id, j // 16 AS band,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % 16)) ELSE 0 END) AS bv
+       |  FROM bits GROUP BY doc_id, j // 16),
+       |fp AS (
+       |  SELECT d.doc_id,
+       |    coalesce(CAST(max(CASE WHEN band = 0 THEN bv END) AS BIGINT), 0) AS b0,
+       |    coalesce(CAST(max(CASE WHEN band = 1 THEN bv END) AS BIGINT), 0) AS b1,
+       |    coalesce(CAST(max(CASE WHEN band = 2 THEN bv END) AS BIGINT), 0) AS b2,
+       |    coalesce(CAST(max(CASE WHEN band = 3 THEN bv END) AS BIGINT), 0) AS b3
+       |  FROM documents d LEFT JOIN bands b ON b.doc_id = d.doc_id
+       |  GROUP BY d.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fp a JOIN fp b
+       |    ON a.doc_id < b.doc_id
+       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |ham AS (
+       |  SELECT c.id_a, c.id_b,
+       |         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       |       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS hamming
+       |  FROM cand c JOIN fp fa ON fa.doc_id = c.id_a JOIN fp fb ON fb.doc_id = c.id_b)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM ham WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
   /** Shingle/signature CTEs shared by minhash + jaccard oracles.
     * k = shingle size, numHashes minhash functions, rows hashes per band. */
   private def minhashCtes(k: Int, numHashes: Int, rows: Int): String =

@@ -93,4 +93,30 @@ object VwReader {
     dumpPendingAsSingles()
     Doc(docId, title, toks.toArray, txns.toArray)
   }
+
+  /** Write a corpus back out as VW text (reference CLI --write-vw-corpus,
+    * srcmain.cc): `title tok[:w]… |class tok…` with the default class
+    * first. Transaction segmentation is not re-emitted (the reference
+    * writer flattens batches the same way — tokens only). */
+  def write(docs: Dataset[Doc], path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      val sb = new StringBuilder(d.title)
+      var cur = Rng.DefaultClass
+      val groups = d.tokens.groupBy(_.class_id).toSeq
+        .sortBy { case (c, _) => (c != Rng.DefaultClass, c) }
+      groups.foreach { case (c, ts) =>
+        if (c != cur) { sb.append(" |").append(c); cur = c }
+        ts.foreach { t =>
+          sb.append(' ').append(t.token)
+          if (t.weight != 1.0f)
+            sb.append(':').append(
+              if (t.weight == t.weight.toInt) t.weight.toInt.toString
+              else t.weight.toString)
+        }
+      }
+      sb.toString
+    }.write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+  }
 }

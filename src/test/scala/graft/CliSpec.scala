@@ -143,6 +143,28 @@ class CliSpec extends SparkSpec {
     assert(preds.select("predicted").distinct().count() === 2)
   }
 
+  test("vw corpus round-trip and readable dictionary writers") {
+    val vwOut = tmp("cli-vwout")
+    val dictOut = tmp("cli-dictout")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "4",
+      "num-collection-passes" -> "1",
+      "num-document-passes" -> "1",
+      "write-vw-corpus" -> vwOut,
+      "write-dictionary-readable" -> dictOut))
+    // re-parse the exported corpus: same bag of (doc, token, weight)
+    val orig = graft.sources.VwReader.read(spark, vwFile)
+    val redo = graft.sources.VwReader.read(spark, s"$vwOut/*.txt")
+    def bag(d: org.apache.spark.sql.Dataset[graft.core.Doc]) =
+      d.collect().map(x => x.title ->
+        x.tokens.map(t => (t.class_id, t.token, t.weight)).sorted.toSeq).toMap
+    assert(bag(redo) === bag(orig))
+    val dict = spark.read.option("header", "true").csv(dictOut)
+    assert(dict.columns.toSeq === Seq("class_id", "token", "value", "tf", "df"))
+    assert(dict.count() === 15) // 3 themes x 5 tokens
+  }
+
   test("regularizer string parsing mirrors the reference syntax") {
     val s1 = Cli.parseRegularizer("0.5 SmoothPhi @c1,c2", 8)
     assert(s1.asInstanceOf[Cli.PhiSpec].tau === 0.5f)
