@@ -160,8 +160,11 @@ object Cli {
       o.str("write-cooc-df").foreach(p => writeCsv(
         sym.select("token_a", "token_b", "cooc_df"), p))
       o.str("write-ppmi-tf").foreach(p => writeCsv(Cooc.ppmi(sym, "tf"), p))
-      o.str("write-ppmi-df").foreach(p => writeCsv(
-        Cooc.ppmi(sym, "df", totalDocs = docsOpt.map(DictionaryOps.numItems).getOrElse(0L)), p))
+      o.str("write-ppmi-df").foreach { p =>
+        val d = docsOpt.get
+        writeCsv(Cooc.ppmi(sym, "df", totalDocs = DictionaryOps.numItems(d),
+          tokenDf = Some(DictionaryOps.gather(d))), p)
+      }
     }
 
     // ---- regularizers ----

@@ -678,6 +678,20 @@ object SparkEntry {
         .select(col("token_a"), col("token_b"), round(col("ppmi"), 6).as("ppmi"))
         .orderBy(col("token_a"), col("token_b"))
     }),
+    // §2.7 PPMI df mode: n_u = the token's own document frequency, n =
+    // total docs (reference GetTokenFreq → num_of_documents_token_
+    // occurred_in_, cooccurrence_collector.cc:932-939)
+    "cooc_ppmi_df" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = Corpus.fromDocumentsTablePositional(d)
+      val sym = Cooc.symmetrize(Cooc.gather(corpus, windowWidth = 3))
+      val dict = DictionaryOps.gather(Corpus.fromDocumentsTable(d))
+      Cooc.ppmi(sym, "df",
+          totalDocs = DictionaryOps.numItems(Corpus.fromDocumentsTable(d)),
+          tokenDf = Some(dict))
+        .select(col("token_a"), col("token_b"), round(col("ppmi"), 6).as("ppmi"))
+        .orderBy(col("token_a"), col("token_b"))
+    }),
     // §2.4 hARTM two-level hierarchy: Psi = p(child topic | parent topic)
     "artm_hartm_psi" -> ((s, dir) => {
       memoized(s, dir, "relhartm")(
@@ -1123,6 +1137,35 @@ object SparkEntry {
         |FROM sym s, tot, marg ma, marg mb
         |WHERE ma.token_a = s.token_a AND mb.token_a = s.token_b
         |  AND ln((tot.n / ma.n_u) / (mb.n_u / s.cooc_tf)) > 0
+        |ORDER BY s.token_a, s.token_b""".stripMargin,
+    "cooc_ppmi_df" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+        |         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents WHERE trim(text) <> ''
+        |), pairs AS (
+        |  SELECT a.doc_id,
+        |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+        |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |), cooc AS (
+        |  SELECT token_a, token_b, CAST(count(DISTINCT doc_id) AS DOUBLE) AS cooc_df
+        |  FROM pairs GROUP BY token_a, token_b
+        |), sym AS (
+        |  SELECT token_a, token_b, cooc_df FROM cooc
+        |  UNION ALL
+        |  SELECT token_b, token_a, cooc_df FROM cooc WHERE token_a <> token_b
+        |), tdf AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT s.token_a, s.token_b,
+        |       round(ln((n.n / da.df) / (db.df / s.cooc_df)), 6) AS ppmi
+        |FROM sym s, n, tdf da, tdf db
+        |WHERE da.token = s.token_a AND db.token = s.token_b
+        |  AND ln((n.n / da.df) / (db.df / s.cooc_df)) > 0
         |ORDER BY s.token_a, s.token_b""".stripMargin,
     "dict_gather" ->
       """WITH tok AS (
