@@ -70,6 +70,19 @@ class Artm(
     this
   }
 
+  /** ImportDictionary path — attach an externally built/loaded dictionary
+    * instead of gathering one (reference ArtmImportDictionary +
+    * use_dictionary CLI flow). */
+  def useDictionary(dict: DataFrame, numItemsInCollection: Long,
+      cooc: Option[DataFrame] = None): this.type = {
+    dictOpt = Some(dict)
+    numItems = numItemsInCollection
+    coocOpt = cooc.orElse(coocOpt)
+    this
+  }
+
+  def numItemsInCollection: Long = numItems
+
   def attachCooc(cooc: DataFrame): this.type = { coocOpt = Some(cooc); this }
   def dictionary: Option[DataFrame] = dictOpt
 

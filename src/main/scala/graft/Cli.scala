@@ -24,6 +24,7 @@ import graft.sources.{BatchIO, ModelIO}
   *   --save-batches DIR       persist the parsed corpus as parquet batches
   * Dictionary:
   *   --dictionary-min-df X --dictionary-max-df X --dictionary-size N
+  *   --save-dictionary P --use-dictionary P
   * Cooc/PPMI job (positional VW tokens, same-window pairs):
   *   --cooc-window W --cooc-min-tf X --cooc-min-df X
   *   --write-cooc-tf F --write-cooc-df F --write-ppmi-tf F --write-ppmi-df F
@@ -199,16 +200,24 @@ object Cli {
           numDocumentPasses = o.int("num-document-passes", 10),
           classWeights = classWeights, phiRegularizers = phiRegs,
           thetaAgents = thetaAgents, reuseTheta = o.flag("reuse-theta"))
-        val docs = docsOpt.getOrElse(
-          throw new IllegalArgumentException("no corpus: pass --read-* or --use-batches"))
-        m.gatherDictionary(docs)
-        val fa = DictionaryOps.FilterArgs(
-          minDf = o.str("dictionary-min-df").map(_.toFloat),
-          maxDfRate = o.str("dictionary-max-df").map(_.toFloat),
-          maxDictionarySize = o.str("dictionary-size").map(_.toInt))
-        if (fa.minDf.isDefined || fa.maxDfRate.isDefined || fa.maxDictionarySize.isDefined)
-          m.filterDictionary(fa)
+        o.str("use-dictionary") match {
+          case Some(p) =>
+            val (d, n, c) = ModelIO.importDictionary(spark, p)
+            m.useDictionary(d, n, c)
+          case None =>
+            val docs = docsOpt.getOrElse(
+              throw new IllegalArgumentException("no corpus: pass --read-* or --use-batches"))
+            m.gatherDictionary(docs)
+            val fa = DictionaryOps.FilterArgs(
+              minDf = o.str("dictionary-min-df").map(_.toFloat),
+              maxDfRate = o.str("dictionary-max-df").map(_.toFloat),
+              maxDictionarySize = o.str("dictionary-size").map(_.toInt))
+            if (fa.minDf.isDefined || fa.maxDfRate.isDefined || fa.maxDictionarySize.isDefined)
+              m.filterDictionary(fa)
+        }
         coocSym.foreach(m.attachCooc)
+        o.str("save-dictionary").foreach(p => m.dictionary.foreach(d =>
+          ModelIO.exportDictionary(d, m.numItemsInCollection, p, coocSym)))
         m.initialize(denseInitRate = o.flt("dense-init-rate", 1.0f),
           guaranteedZerosRate = o.flt("guaranteed-zeros-rate", 0.0f))
         m

@@ -165,6 +165,26 @@ class CliSpec extends SparkSpec {
     assert(dict.count() === 15) // 3 themes x 5 tokens
   }
 
+  test("dictionary save + use round-trip between runs") {
+    val dictDir = tmp("cli-dict")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "4",
+      "dictionary-min-df" -> "2",
+      "save-dictionary" -> dictDir))
+    // second run: import the saved dictionary instead of gathering
+    val scoresOut = tmp("cli-scores-dict")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> vwFile,
+      "topics" -> "4",
+      "use-dictionary" -> dictDir,
+      "num-collection-passes" -> "2",
+      "num-document-passes" -> "1",
+      "write-scores" -> scoresOut))
+    val sc = spark.read.option("header", "true").csv(scoresOut)
+    assert(sc.count() === 2)
+  }
+
   test("regularizer string parsing mirrors the reference syntax") {
     val s1 = Cli.parseRegularizer("0.5 SmoothPhi @c1,c2", 8)
     assert(s1.asInstanceOf[Cli.PhiSpec].tau === 0.5f)
