@@ -96,6 +96,7 @@ object SparkEntry {
   private val AnnK = 10
   private val NearDupPlants = 20   // planted scaled-copy near-dups
   private val NearDupIdOffset = 1000000L
+  private val DictTopK = 20        // maxDictionarySize fixture
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -996,6 +997,29 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 Dictionary::Gather over a MULTIMODAL corpus — the per-(class)
+    // value normalization (tf / class total) under the oracle; the round-2
+    // single-task-window fix's broadcast-join shape carries the hash
+    "dict_gather_mm" -> ((s, dir) => {
+      val d = DictionaryOps.gather(Corpus.fromDocumentsTableMultimodal(docs(s, dir)))
+      d.select(col("class_id"), col("token"),
+        round(col("value").cast("double"), 6).as("value"),
+        col("tf").cast("double").as("tf"),
+        col("df").cast("double").as("df"))
+        .orderBy(col("class_id"), col("token"))
+    }),
+    // §2.3 Dictionary::Filter maxDictionarySize — the reference's top-k
+    // semantics: threshold at the (k+1)-th largest df, ties AT the
+    // boundary dropped (dictionary_operations.cc:529-542)
+    "dict_filter_topk" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      val d = DictionaryOps.gather(corpus)
+      DictionaryOps.filter(d, DictionaryOps.numItems(corpus),
+          DictionaryOps.FilterArgs(maxDictionarySize = Some(DictTopK)))
+        .select(col("token"), col("tf").cast("double").as("tf"),
+          col("df").cast("double").as("df"))
+        .orderBy(col("token"))
+    }),
     // §2.3 Dictionary::Filter — df/tf bounds
     "dict_filter" -> ((s, dir) => {
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
@@ -1167,6 +1191,37 @@ object SparkEntry {
         |WHERE da.token = s.token_a AND db.token = s.token_b
         |  AND ln((n.n / da.df) / (db.df / s.cooc_df)) > 0
         |ORDER BY s.token_a, s.token_b""".stripMargin,
+    "dict_gather_mm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, '@default_class' AS class_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |  UNION ALL
+        |  SELECT doc_id, '@lang', lower(trim(lang))
+        |  FROM documents WHERE lang IS NOT NULL AND trim(lang) <> ''
+        |), grouped AS (
+        |  SELECT class_id, token, CAST(count(*) AS DOUBLE) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY class_id, token
+        |)
+        |SELECT class_id, token,
+        |       round(tf / sum(tf) OVER (PARTITION BY class_id), 6) AS value, tf, df
+        |FROM grouped ORDER BY class_id, token""".stripMargin,
+    "dict_filter_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), grouped AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |), thr AS (
+        |  SELECT min(df) AS t
+        |  FROM (SELECT df FROM grouped ORDER BY df DESC LIMIT 21)
+        |), cnt AS (SELECT count(*) AS n FROM grouped)
+        |SELECT token, tf, df FROM grouped, thr, cnt
+        |WHERE cnt.n <= 20 OR df > thr.t
+        |ORDER BY token""".stripMargin,
     "dict_gather" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
