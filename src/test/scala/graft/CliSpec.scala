@@ -185,6 +185,35 @@ class CliSpec extends SparkSpec {
     assert(sc.count() === 2)
   }
 
+  test("CLI reproduces the reference synthetic golden trajectory end to end") {
+    // the reference's synthetic collection written as a VW corpus: the
+    // full CLI chain (parse -> gather -> init -> 10x10 EM -> scores) must
+    // land on the published perplexity goldens
+    // (test_01_synthetic_collection.py:30-41), same band as
+    // SyntheticGoldenSpec
+    val golden = Seq(54.616, 38.472, 28.655, 24.362, 22.355,
+      21.137, 20.808, 20.791, 20.746, 20.581)
+    val f = Files.createTempFile("cli-synth", ".vw")
+    val lines = graft.sources.SyntheticCollection.docs().map { d =>
+      d.title + " " + d.tokens.map(t =>
+        s"${t.token}:${t.weight.toInt}").mkString(" ")
+    }
+    Files.writeString(f, lines.mkString("\n"))
+    val scoresOut = tmp("cli-scores-synth")
+    Cli.run(spark, opts(
+      "read-vw-corpus" -> f.toString,
+      "topics" -> "10",
+      "num-collection-passes" -> "10",
+      "num-document-passes" -> "10",
+      "write-scores" -> scoresOut))
+    val got = spark.read.option("header", "true").csv(scoresOut)
+      .orderBy(col("pass").cast("int"))
+      .select(col("perplexity").cast("double")).collect().map(_.getDouble(0))
+    golden.zip(got).zipWithIndex.foreach { case ((exp, act), i) =>
+      assert(math.abs(exp - act) < 0.002, s"pass $i: expected $exp got $act")
+    }
+  }
+
   test("regularizer string parsing mirrors the reference syntax") {
     val s1 = Cli.parseRegularizer("0.5 SmoothPhi @c1,c2", 8)
     assert(s1.asInstanceOf[Cli.PhiSpec].tau === 0.5f)
