@@ -185,6 +185,28 @@ class CliSpec extends SparkSpec {
     assert(sc.count() === 2)
   }
 
+  test("vw writer round-trips weights and modalities") {
+    import graft.core.{Doc, TokenEntry, Txn}
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.createDataset(Seq(
+      Doc(0L, "d0", Array(
+        TokenEntry("@default_class", "alpha", 2.5f),
+        TokenEntry("@default_class", "beta", 1.0f),
+        TokenEntry("author", "smith", 3.0f)), Array.empty[Txn]),
+      Doc(1L, "d1", Array(
+        TokenEntry("author", "jones", 1.0f)), Array.empty[Txn])))
+    val out = tmp("vw-rt")
+    graft.sources.VwReader.write(docs, out)
+    val redo = graft.sources.VwReader.read(spark, s"$out/*.txt")
+    val bag = redo.collect().map(d => d.title ->
+      d.tokens.map(t => (t.class_id, t.token, t.weight)).sorted.toSeq).toMap
+    assert(bag("d0") === Seq(
+      ("@default_class", "alpha", 2.5f), ("@default_class", "beta", 1.0f),
+      ("author", "smith", 3.0f)))
+    assert(bag("d1") === Seq(("author", "jones", 1.0f)))
+  }
+
   test("CLI reproduces the reference synthetic golden trajectory end to end") {
     // the reference's synthetic collection written as a VW corpus: the
     // full CLI chain (parse -> gather -> init -> 10x10 EM -> scores) must
