@@ -97,6 +97,12 @@ object SparkEntry {
   private val NearDupPlants = 20   // planted scaled-copy near-dups
   private val NearDupIdOffset = 1000000L
   private val DictTopK = 20        // maxDictionarySize fixture
+  // Sampling / packing entry parameters (Sampling.scala operators)
+  private val SampleRate = 0.25
+  private val SampleSalt = "graft"
+  private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+  private val StratCap = 10        // per-source cap (stratified sample)
+  private val PackBudget = 512L    // tokens per packed bin
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -997,6 +1003,44 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: deterministic Bernoulli sampling (salted md5 prefix
+    // below the rate threshold — reproducible on any cluster size, narrow)
+    "sample_hash" -> ((s, dir) => {
+      graft.pipeline.Sampling.sampleHash(docs(s, dir), "doc_id", SampleRate, SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: weighted source mixing (per-source keep rates;
+    // sources outside the mixture spec drop — a training-mixture filter)
+    "sample_mix" -> ((s, dir) => {
+      graft.pipeline.Sampling.mixSources(docs(s, dir), "source", MixRates,
+        "doc_id", SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: stratified cap — ≤k docs per source by salted hash
+    // order (two-phase WindowGroupLimit top-k per stratum, PLANS.md §5)
+    "sample_stratified" -> ((s, dir) => {
+      graft.pipeline.Sampling.stratifiedSample(docs(s, dir), "source", "doc_id",
+        StratCap, SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: concat-and-chunk sequence packing into PackBudget-token
+    // bins over doc_id order — the distributed two-phase prefix sum (no
+    // global-order window; see Sampling.packSequences scaladoc)
+    "pack_sequences" -> ((s, dir) => {
+      val withCounts = graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"))
+      val packed = graft.pipeline.Sampling.packSequences(
+        withCounts, "ws_tokens", PackBudget)
+        .select(col("doc_id"), col("cum_before"), col("bin").cast("long").as("bin"))
+        .orderBy(col("doc_id"))
+      val out = RelationalEm.collectLocal(packed)
+      graft.pipeline.Sampling.unpersistPacked(packed)
+      out
+    }),
     // §2.3 Dictionary::Gather over a MULTIMODAL corpus — the per-(class)
     // value normalization (tf / class total) under the oracle; the round-2
     // single-task-window fix's broadcast-join shape carries the hash
@@ -1113,6 +1157,10 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
+    "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
+    "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
+    "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "text_fingerprint" -> graft.pipeline.PipelineSql.textFingerprint,
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),

@@ -58,9 +58,42 @@ object VectorOps {
     def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
   }
 
+  private[graft] val doubleArrayEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+
+  /** Double-precision elementwise vector sum — the aggregation primitive of
+    * the relational oracle mirror's array dataflow (RelationalEm): one
+    * array row per (doc, token) replaces the corpus×T long-format
+    * expansion, and this aggregator's map-side partials replace the
+    * long-format groupBy shuffles. Summation order differs from a
+    * long-format sum only in float round-off (~1e-15 relative), absorbed
+    * by the oracle's round(6). */
+  private object DoubleVectorSumAgg
+      extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+    def zero: Array[Double] = Array.empty[Double]
+    def reduce(b: Array[Double], a: Array[Double]): Array[Double] = {
+      if (a == null) return b
+      if (b.length == 0) return a.clone()
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      if (x.length == 0) y else if (y.length == 0) x else reduce(x, y)
+    def finish(b: Array[Double]): Array[Double] = if (b.length == 0) null else b
+    def bufferEncoder: Encoder[Array[Double]] = VectorOps.doubleArrayEncoder
+    def outputEncoder: Encoder[Array[Double]] = VectorOps.doubleArrayEncoder
+  }
+
   /** vector_sum(col): groupBy-able elementwise float-vector sum. */
   def vectorSum(c: Column): Column = {
     val fn = udaf(VectorSumAgg)
+    fn(c)
+  }
+
+  /** double_vector_sum(col): groupBy-able elementwise double-vector sum. */
+  def doubleVectorSum(c: Column): Column = {
+    val fn = udaf(DoubleVectorSumAgg)
     fn(c)
   }
 

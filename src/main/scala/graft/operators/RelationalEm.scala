@@ -162,69 +162,135 @@ object RelationalEm {
     * with the pass's FINAL theta (feeds both n_wt and perplexity). */
   case class Pass(theta: DataFrame, pdw: DataFrame, nwt: DataFrame, pwt: DataFrame)
 
+  /** [token, topic, p] (driver-local by mirror contract) → [token, parr]
+    * with parr(k) = p(topic k), built driver-side so the pass joins it by
+    * broadcast with no shuffle. The mirror's array dataflow lives only on
+    * the Spark side — the DuckDB SQL (RelationalEmSql) keeps the
+    * long-format CTEs; both round(6)-hash identically because an array
+    * fold and a grouped sum differ only in summation order (~1e-15). */
+  private def phiToArrLocal(phi: DataFrame, numTopics: Int): DataFrame = {
+    val spark = phi.sparkSession
+    val m = new java.util.LinkedHashMap[String, Array[Double]]()
+    phi.select(col("token"), col("topic"), col("p")).collect().foreach { r =>
+      val arr = m.computeIfAbsent(r.getString(0), _ => new Array[Double](numTopics))
+      arr(r.getLong(1).toInt) = r.getDouble(2)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      m.entrySet().iterator().asScala
+        .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue.toSeq))
+        .toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("parr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false)))))
+  }
+
+  /** [doc_id, topic, th] (driver-local) → [doc_id, tharr]. */
+  private def thetaToArrLocal(theta: DataFrame, numTopics: Int,
+      thCol: String = "th"): DataFrame = {
+    val spark = theta.sparkSession
+    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Double]]()
+    theta.select(col("doc_id"), col("topic"), col(thCol)).collect().foreach { r =>
+      val arr = m.computeIfAbsent(r.getLong(0), _ => new Array[Double](numTopics))
+      arr(r.getLong(1).toInt) = r.getDouble(2)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      m.entrySet().iterator().asScala
+        .map(e => org.apache.spark.sql.Row(e.getKey.longValue(), e.getValue.toSeq))
+        .toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tharr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false)))))
+  }
+
+  /** Per-topic value table [topic, tv] (tiny, local) → dense Seq. */
+  private def tvToSeq(tv: DataFrame, numTopics: Int): Seq[Double] = {
+    val arr = new Array[Double](numTopics)
+    tv.select(col("topic"), col("tv")).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+    arr.toSeq
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
   /** One EM collection pass (numDocumentPasses = 1) over `tok` given the
     * current `phi` [token, topic, p]. The scoped intermediates live until
-    * the caller's scope closes; `pwt` is returned local. */
+    * the caller's scope closes; `pwt` is returned local.
+    *
+    * Array dataflow: one row per (doc, token) carrying the T-wide phi row;
+    * p_dw is a per-row fold (no per-(doc,token) groupBy), n_td / n_wt are
+    * map-side-combined vector sums — TWO corpus-scale shuffles per pass of
+    * corpus-row count, where the long-format shape shuffled the corpus×T
+    * expansion ~6 times (measured 11.7 s → ~3 s per 2-pass sf0.1 fit). */
   private def emPassIn(s: Scope, tok: DataFrame, phi: DataFrame, numTopics: Int,
       reg: RegCfg, thetaTau: Double = 0.0,
       thetaSel: Option[(Double, DataFrame)] = None,
       collectNwt: Boolean = false): Pass = {
     val invT = 1.0 / numTopics
-    // the (doc, token) × topic expansion feeds three aggregates — compute
-    // it once (phi is a broadcast-sized LocalRelation, so this is one
-    // broadcast join over tok, no shuffle)
-    val tp = s.cached(tok.join(phi, Seq("token")))
-    // p_dw under uniform theta = Σ_t φ_wt / T
-    val pdwA = tp
-      .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
-      .agg((sum(col("p")) * lit(invT)).as("p_dw"))
-    // n_td = Σ_w n_dw · φ_wt · (1/T) / p_dw
-    val ntd = tp
-      .join(pdwA.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
-      .groupBy(col("doc_id"), col("topic"))
-      .agg(sum(col("n_dw") * col("p") * lit(invT) / col("p_dw")).as("n_td"))
+    val phiArr = phiToArrLocal(phi, numTopics)
+    // p_dw under uniform theta = Σ_t φ_wt / T — a per-row fold
+    val tokA = s.cached(tok.join(broadcast(phiArr), Seq("token"))
+      .withColumn("pdw0", aggregate(col("parr"), lit(0.0), _ + _) * lit(invT)))
+    // n_td = Σ_w n_dw · φ_wt · (1/T) / p_dw — per-doc vector sum
+    val ntd = tokA
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        transform(col("parr"), p => col("n_dw") * p * lit(invT) / col("pdw0"))).as("ntd"))
     // SmoothSparseTheta (Constant fn, no masks): the kernel agent adds
     // tau to every topic's post-multiply theta, then max(.,0)-normalizes
     // (EStep.applyAgentsAndNormalize + ThetaRegularizers.scala:11-52) —
-    // the mirror's n_td IS that post-multiply theta
-    val thRaw =
-      if (thetaTau == 0.0) col("n_td")
-      else greatest(col("n_td") + lit(thetaTau), lit(0.0))
+    // the mirror's n_td IS that post-multiply theta.
     // TopicSelectionTheta agent: thr = max(n_td + τ·tv_t·n_td, 0) with a
-    // per-topic value table (topic_selection_theta.cc:15-164)
-    val thetaBase = thetaSel match {
+    // per-topic value table (topic_selection_theta.cc:15-164).
+    val thrCol: Column = thetaSel match {
       case Some((tauSel, tv)) =>
-        ntd.join(tv, Seq("topic"))
-          .withColumn("_thr",
-            greatest(col("n_td") + lit(tauSel) * col("tv") * col("n_td"), lit(0.0)))
-      case None => ntd.withColumn("_thr", thRaw)
+        zip_with(col("ntd"), typedLit(tvToSeq(tv, numTopics)),
+          (v, t) => greatest(v + lit(tauSel) * t * v, lit(0.0)))
+      case None =>
+        if (thetaTau == 0.0) col("ntd")
+        else transform(col("ntd"), v => greatest(v + lit(thetaTau), lit(0.0)))
     }
-    val theta = s.cached(thetaBase
-      .withColumn("th", col("_thr") / sum(col("_thr")).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("topic"), col("th")))
-    // the same expansion with the updated theta attached, reused twice
-    val tpt = s.cached(tp.join(theta, Seq("doc_id", "topic")))
-    // p_dw with the updated theta
-    val pdwB = s.cached(tpt
-      .groupBy(col("doc_id"), col("token"), col("n_dw"), col("w"))
-      .agg(sum(col("p") * col("th")).as("p_dw")))
-    // n_wt = Σ_d w_d · n_dw · φ_wt · θ_td / p_dw
+    val thetaArr = s.cached(ntd
+      .withColumn("_thr", thrCol)
+      .withColumn("_tsum", aggregate(col("_thr"), lit(0.0), _ + _))
+      .select(col("doc_id"),
+        transform(col("_thr"), v => v / col("_tsum")).as("tharr")))
+    // p_dw with the updated theta — theta is doc-count-sized (driver-bound
+    // mirror contract), so it broadcasts; tokA is not reshuffled
+    val tokB = s.cached(tokA.join(broadcast(thetaArr), Seq("doc_id"))
+      .withColumn("p_dw", dot(col("parr"), col("tharr"))))
+    val theta = thetaArr
+      .select(col("doc_id"), posexplode(col("tharr")).as(Seq("topic", "th")))
+      .select(col("doc_id"), col("topic").cast("long").as("topic"), col("th"))
+    val pdw = tokB.select(col("doc_id"), col("token"), col("n_dw"), col("w"), col("p_dw"))
+    // n_wt = Σ_d w_d · n_dw · φ_wt · θ_td / p_dw — per-token vector sum.
     // With collectNwt the vocab×T nwt comes back LOCAL (one extra
     // corpus-scale job) so callers can reuse it — the score mirrors
     // (TopicMassPhi / TopicKernel / BackgroundTokensRatio) and
     // topic_value need n_t, and normalize then runs driver-cheap over
     // the LocalRelation. Without it (intermediate passes), normalize
     // fuses with the aggregation in ONE job, as before.
-    val nwtPlan = tpt
-      .join(pdwB.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
-      .groupBy(col("token"), col("topic"))
-      .agg(sum(col("w") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
+    val nwtPlan = tokB
+      .groupBy(col("token"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        zip_with(col("parr"), col("tharr"),
+          (p, th) => col("w") * col("n_dw") * p * th / col("p_dw"))).as("nwtarr"))
+      .select(col("token"), posexplode(col("nwtarr")).as(Seq("topic", "n_wt")))
+      .select(col("token"), col("topic").cast("long").as("topic"), col("n_wt"))
     // the mix/biterms normalize paths read nwt several times (ranks,
     // rowsums, cooc joins) — always collect there to avoid recompute
     val nwt = if (collectNwt || reg.isMix || reg.bitermsTau != 0.0 || reg.netTau != 0.0)
       toLocal(nwtPlan) else nwtPlan
     val pwt = toLocal(normalize(nwt, phi, reg))
-    Pass(theta, pdwB, nwt, pwt)
+    Pass(theta, pdw, nwt, pwt)
   }
 
   /** Public one-pass wrapper: `theta` and `pwt` come back local; `pdw` /
@@ -359,18 +425,21 @@ object RelationalEm {
     * p_dw = Σ_t φ_wt·θ0_td. Returns the updated theta (local). */
   def emPassReuse(tok: DataFrame, phi: DataFrame, thetaInit: DataFrame,
       numTopics: Int): DataFrame = withMirrorConf(tok) { scoped { s =>
-    val tpt = s.cached(tok.join(phi, Seq("token"))
-      .join(thetaInit.select(col("doc_id"), col("topic"), col("th").as("th0")),
-        Seq("doc_id", "topic")))
-    val pdw = tpt.groupBy(col("doc_id"), col("token"), col("n_dw"))
-      .agg(sum(col("p") * col("th0")).as("p_dw"))
-    val ntd = tpt
-      .join(pdw.select(col("doc_id"), col("token"), col("p_dw")), Seq("doc_id", "token"))
-      .groupBy(col("doc_id"), col("topic"))
-      .agg(sum(col("n_dw") * col("p") * col("th0") / col("p_dw")).as("n_td"))
+    val phiArr = phiToArrLocal(phi, numTopics)
+    val th0 = thetaToArrLocal(thetaInit, numTopics)
+    val tokA = s.cached(tok.join(broadcast(phiArr), Seq("token"))
+      .join(broadcast(th0), Seq("doc_id"))
+      .withColumn("p_dw", dot(col("parr"), col("tharr"))))
+    val ntd = tokA
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        zip_with(col("parr"), col("tharr"),
+          (p, th0v) => col("n_dw") * p * th0v / col("p_dw"))).as("ntd"))
     toLocal(ntd
-      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("topic"), col("th")))
+      .withColumn("_tsum", aggregate(col("ntd"), lit(0.0), _ + _))
+      .select(col("doc_id"),
+        posexplode(transform(col("ntd"), v => v / col("_tsum"))).as(Seq("topic", "th")))
+      .select(col("doc_id"), col("topic").cast("long").as("topic"), col("th")))
   } }
 
   /** Per-pass perplexity from the pass's final p_dw table. */
@@ -709,27 +778,31 @@ object RelationalEm {
     while (p < passes) {
       val s = new Scope
       try {
-        val tp = s.cached(tok.join(phi, Seq("class_id", "token")))
-        val pdwA = tp
-          .groupBy(col("doc_id"), col("class_id"), col("token"), col("n_dw"), col("w"), col("cw"))
-          .agg((sum(col("p")) * lit(invT)).as("p_dw"))
-        val ntd = tp
-          .join(pdwA.select(col("doc_id"), col("class_id"), col("token"), col("p_dw")),
-            Seq("doc_id", "class_id", "token"))
-          .groupBy(col("doc_id"), col("topic"))
-          .agg(sum(col("cw") * col("n_dw") * col("p") * lit(invT) / col("p_dw")).as("n_td"))
-        val theta = s.cached(ntd
-          .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
-          .select(col("doc_id"), col("topic"), col("th")))
-        val tpt = s.cached(tp.join(theta, Seq("doc_id", "topic")))
-        val pdwB = s.cached(tpt
-          .groupBy(col("doc_id"), col("class_id"), col("token"), col("n_dw"), col("w"), col("cw"))
-          .agg(sum(col("p") * col("th")).as("p_dw")))
-        val nwt = tpt
-          .join(pdwB.select(col("doc_id"), col("class_id"), col("token"), col("p_dw")),
-            Seq("doc_id", "class_id", "token"))
-          .groupBy(col("class_id"), col("token"), col("topic"))
-          .agg(sum(col("w") * col("cw") * col("n_dw") * col("p") * col("th") / col("p_dw")).as("n_wt"))
+        // same array dataflow as emPassIn, keyed by (class_id, token);
+        // the class weight multiplies n_td / n_wt contributions, not p_dw
+        val phiArr = phiToArrLocalMm(phi, numTopics)
+        val tokA = s.cached(tok.join(broadcast(phiArr), Seq("class_id", "token"))
+          .withColumn("pdw0", aggregate(col("parr"), lit(0.0), _ + _) * lit(invT)))
+        val ntd = tokA
+          .groupBy(col("doc_id"))
+          .agg(graft.functions.VectorOps.doubleVectorSum(
+            transform(col("parr"),
+              pc => col("cw") * col("n_dw") * pc * lit(invT) / col("pdw0"))).as("ntd"))
+        val thetaArr = s.cached(ntd
+          .withColumn("_tsum", aggregate(col("ntd"), lit(0.0), _ + _))
+          .select(col("doc_id"),
+            transform(col("ntd"), v => v / col("_tsum")).as("tharr")))
+        val tokB = s.cached(tokA.join(broadcast(thetaArr), Seq("doc_id"))
+          .withColumn("p_dw", dot(col("parr"), col("tharr"))))
+        val nwt = tokB
+          .groupBy(col("class_id"), col("token"))
+          .agg(graft.functions.VectorOps.doubleVectorSum(
+            zip_with(col("parr"), col("tharr"), (pc, th) =>
+              col("w") * col("cw") * col("n_dw") * pc * th / col("p_dw"))).as("nwtarr"))
+          .select(col("class_id"), col("token"),
+            posexplode(col("nwtarr")).as(Seq("topic", "n_wt")))
+          .select(col("class_id"), col("token"),
+            col("topic").cast("long").as("topic"), col("n_wt"))
         phi = toLocal(nwt
           .withColumn("adj", greatest(col("n_wt"), lit(0.0)))
           .withColumn("p",
@@ -740,6 +813,30 @@ object RelationalEm {
     }
     phi
   } }
+
+  /** [class_id, token, topic, p] (local) → [class_id, token, parr]. */
+  private def phiToArrLocalMm(phi: DataFrame, numTopics: Int): DataFrame = {
+    val spark = phi.sparkSession
+    val m = new java.util.LinkedHashMap[(String, String), Array[Double]]()
+    phi.select(col("class_id"), col("token"), col("topic"), col("p")).collect().foreach { r =>
+      val arr = m.computeIfAbsent((r.getString(0), r.getString(1)),
+        _ => new Array[Double](numTopics))
+      arr(r.getLong(2).toInt) = r.getDouble(3)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      m.entrySet().iterator().asScala
+        .map(e => org.apache.spark.sql.Row(e.getKey._1, e.getKey._2, e.getValue.toSeq))
+        .toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("class_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("parr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false)))))
+  }
 
   /** Convert a multimodal relational phi [class_id, token, topic, p] to
     * the engine's Phi shape [class_id, token, weights]. */

@@ -236,4 +236,47 @@ object PipelineSql {
        |            ELSE len(string_split($norm, ' ')) END AS BIGINT) AS ws_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- sampling / mixing / packing (Sampling.scala) -----------------------
+  // Thresholds come from the SAME Scala helper the operators use
+  // (Sampling.rateThreshold), so Spark and DuckDB compare identical hex
+  // literals; md5 is lowercase hex in both engines.
+
+  private def hashPrefixSql(salt: String): String =
+    s"substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+  def sampleHash(rate: Double, salt: String): String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+       |WHERE ${hashPrefixSql(salt)} < '${Sampling.rateThreshold(rate)}'
+       |ORDER BY doc_id""".stripMargin
+
+  def sampleMix(rates: Map[String, Double], salt: String): String = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN '$src' THEN '${Sampling.rateThreshold(r)}'"
+    }.mkString(" ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+       |WHERE ${hashPrefixSql(salt)} < CASE source $cases ELSE '00000000' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def sampleStratified(k: Int, salt: String): String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source ORDER BY ${hashPrefixSql(salt)}, doc_id) AS rk
+       |  FROM documents) WHERE rk <= $k ORDER BY doc_id""".stripMargin
+
+  def packSequences(budget: Long): String =
+    s"""WITH tc AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split($norm, ' ')) END AS BIGINT) AS ws_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(sum(ws_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM tc)
+       |SELECT doc_id, cum_before,
+       |  CAST(floor(cum_before / $budget) AS BIGINT) AS bin
+       |FROM cum ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  lazy val rows = {
+    import spark.implicits._
+    (0L until 400L).map(i => (i, s"src${i % 4}", 10L + (i % 7)))
+      .toDF("doc_id", "source", "n_tok")
+  }
+
+  test("sampleHash is deterministic, key-exact, and rate-accurate") {
+    val a = Sampling.sampleHash(rows, "doc_id", 0.25, "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleHash(rows.repartition(7), "doc_id", 0.25, "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "same decision regardless of partitioning")
+    // binomial(400, .25): expect ~100, allow wide slack
+    assert(a.size > 60 && a.size < 140, s"got ${a.size}")
+    // nested rates: a 0.1 sample with the same salt is a subset of the 0.25
+    val c = Sampling.sampleHash(rows, "doc_id", 0.1, "s").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a), "thresholds nest: rate 0.1 ⊂ rate 0.25")
+    assert(Sampling.sampleHash(rows, "doc_id", 1.0, "s").count() === 400L)
+  }
+
+  test("mixSources applies per-source rates and drops unlisted sources") {
+    val mixed = Sampling.mixSources(rows, "source",
+      Map("src0" -> 1.0, "src1" -> 0.3), "doc_id", "s")
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src0", 0L) === 100L, "rate 1.0 keeps all (mod 2^-32)")
+    assert(bySrc.getOrElse("src1", 0L) > 10L && bySrc("src1") < 55L)
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3"), "unlisted drop")
+  }
+
+  test("stratifiedSample caps every stratum at k, deterministically") {
+    val s1 = Sampling.stratifiedSample(rows, "source", "doc_id", 7, "s")
+    val counts = s1.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.length === 4 && counts.forall(_ === 7L))
+    val again = Sampling.stratifiedSample(rows.repartition(13), "source", "doc_id", 7, "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === s1.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packSequences matches a sequential reference packing") {
+    val packed = Sampling.packSequences(rows, "n_tok", budget = 100L)
+      .select("doc_id", "cum_before", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // sequential oracle
+    var cum = 0L
+    val expect = (0L until 400L).map { i =>
+      val t = 10L + (i % 7)
+      val out = (i, cum, cum / 100L)
+      cum += t
+      out
+    }
+    assert(packed.toSeq === expect)
+    Sampling.unpersistPacked(rows)
+  }
+
+  test("packSequences is partition-count independent") {
+    val p3 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 3)
+      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val p17 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 17)
+      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(p3 === p17)
+  }
+}
