@@ -621,32 +621,39 @@ object RelationalEm {
     val vocab = pairs.select(col("tok_a").as("token"))
       .unionByName(pairs.select(col("tok_b").as("token")))
     val phi = toLocal(initPhi(vocab, numTopics))
-    val fa = phi.select(col("token").as("tok_a"), col("topic"), col("p").as("pa"))
-    val fb = phi.select(col("token").as("tok_b"), col("topic"), col("p").as("pb"))
+    // array dataflow: each transaction is ONE row carrying the T-wide
+    // helper product pp(k) = φ(a,k)·φ(b,k) — p_dx becomes a per-row fold
+    // instead of a per-(doc, txn) groupBy of the ×T expansion
+    val phiArr = phiToArrLocal(phi, numTopics)
     val prod = s.cached(pairs
-      .join(fa, Seq("tok_a")).join(fb, Seq("tok_b", "topic"))
+      .join(broadcast(phiArr.select(col("token").as("tok_a"), col("parr").as("paarr"))),
+        Seq("tok_a"))
+      .join(broadcast(phiArr.select(col("token").as("tok_b"), col("parr").as("pbarr"))),
+        Seq("tok_b"))
       .select(col("doc_id"), col("txn_id"), col("tok_a"), col("tok_b"),
-        col("topic"), (col("pa") * col("pb")).as("pp")))
-    val pdx0 = prod.groupBy(col("doc_id"), col("txn_id"))
-      .agg((sum(col("pp")) * lit(invT)).as("pdx"))
+        zip_with(col("paarr"), col("pbarr"), _ * _).as("pparr"))
+      .withColumn("pdx0", aggregate(col("pparr"), lit(0.0), _ + _) * lit(invT)))
     val ntd = prod
-      .join(pdx0, Seq("doc_id", "txn_id"))
-      .groupBy(col("doc_id"), col("topic"))
-      .agg(sum(col("pp") * lit(invT) / col("pdx")).as("n_td"))
-    val theta = s.cached(ntd
-      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("topic"), col("th")))
-    val pdx1 = s.cached(prod.join(theta, Seq("doc_id", "topic"))
-      .groupBy(col("doc_id"), col("txn_id"))
-      .agg(sum(col("pp") * col("th")).as("pdx")))
-    val vals = prod.join(theta, Seq("doc_id", "topic"))
-      .join(pdx1, Seq("doc_id", "txn_id"))
-      .select(col("tok_a"), col("tok_b"), col("topic"),
-        (col("pp") * col("th") / col("pdx")).as("v"))
-    val nwt = vals.select(col("tok_a").as("token"), col("topic"), col("v"))
-      .unionByName(vals.select(col("tok_b").as("token"), col("topic"), col("v")))
-      .groupBy(col("token"), col("topic"))
-      .agg(sum(col("v")).as("n_wt"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        transform(col("pparr"), pp => pp * lit(invT) / col("pdx0"))).as("ntd"))
+    val thetaArr = s.cached(ntd
+      .withColumn("_tsum", aggregate(col("ntd"), lit(0.0), _ + _))
+      .select(col("doc_id"), transform(col("ntd"), v => v / col("_tsum")).as("tharr")))
+    val theta = thetaArr
+      .select(col("doc_id"), posexplode(col("tharr")).as(Seq("topic", "th")))
+      .select(col("doc_id"), col("topic").cast("long").as("topic"), col("th"))
+    val prodB = s.cached(prod.join(broadcast(thetaArr), Seq("doc_id"))
+      .withColumn("pdx1", dot(col("pparr"), col("tharr")))
+      .select(col("tok_a"), col("tok_b"),
+        zip_with(col("pparr"), col("tharr"),
+          (pp, th) => pp * th / col("pdx1")).as("varr")))
+    val nwt = prodB.select(col("tok_a").as("token"), col("varr"))
+      .unionByName(prodB.select(col("tok_b").as("token"), col("varr")))
+      .groupBy(col("token"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(col("varr")).as("nwtarr"))
+      .select(col("token"), posexplode(col("nwtarr")).as(Seq("topic", "n_wt")))
+      .select(col("token"), col("topic").cast("long").as("topic"), col("n_wt"))
     val pwt = toLocal(normalize(nwt, phi, RegCfg()))
     (toLocal(theta), pwt)
   } }
@@ -689,38 +696,44 @@ object RelationalEm {
     val txns = s.cached(txns0)
     val invT = 1.0 / numTopics
     val phi = toLocal(initPhi(txns.select(col("token")), numTopics))
-    // per-(doc, txn, topic) product of phis over all positions (duplicate
-    // tokens multiply once per position, like the reference's per-token_id
-    // loop), with the typename weight resolved to a column
+    val phiArr = phiToArrLocal(phi, numTopics)
+    // per-(doc, txn) T-wide product of phis over all positions via
+    // exp(Σ ln φ) — duplicate tokens multiply once per position, like the
+    // reference's per-token_id loop; the typename weight resolves to a
+    // column. ONE groupBy builds the product rows; p_dx is then a
+    // per-row fold.
     val ttw = ttWeights.foldLeft(lit(0.0)) { case (acc, (name, wgt)) =>
       when(col("tt") === name, lit(wgt)).otherwise(acc)
     }
     val prod = s.cached(txns
-      .join(phi, Seq("token"))
-      .groupBy(col("doc_id"), col("txn_id"), col("tt"), col("topic"))
-      .agg(exp(sum(log(col("p")))).as("pp"))
-      .withColumn("ttw", ttw))
-    val pdx0 = prod.groupBy(col("doc_id"), col("txn_id"))
-      .agg((sum(col("pp")) * lit(invT)).as("pdx"))
+      .join(broadcast(phiArr), Seq("token"))
+      .groupBy(col("doc_id"), col("txn_id"), col("tt"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        transform(col("parr"), p => log(p))).as("lnarr"))
+      .select(col("doc_id"), col("txn_id"), col("tt"),
+        transform(col("lnarr"), v => exp(v)).as("pparr"))
+      .withColumn("ttw", ttw)
+      .withColumn("pdx0", aggregate(col("pparr"), lit(0.0), _ + _) * lit(invT)))
     val ntd = prod
-      .join(pdx0, Seq("doc_id", "txn_id"))
-      .groupBy(col("doc_id"), col("topic"))
-      .agg(sum(col("ttw") * col("pp") * lit(invT) / col("pdx")).as("n_td"))
-    val theta = s.cached(ntd
-      .withColumn("th", col("n_td") / sum(col("n_td")).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("topic"), col("th")))
-    val pdx1 = s.cached(prod.join(theta, Seq("doc_id", "topic"))
-      .groupBy(col("doc_id"), col("txn_id"))
-      .agg(sum(col("pp") * col("th")).as("pdx")))
-    val vals = s.cached(prod.join(theta, Seq("doc_id", "topic"))
-      .join(pdx1, Seq("doc_id", "txn_id"))
-      .select(col("doc_id"), col("txn_id"), col("topic"),
-        (col("ttw") * col("pp") * col("th") / col("pdx")).as("v")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        transform(col("pparr"),
+          pp => col("ttw") * pp * lit(invT) / col("pdx0"))).as("ntd"))
+    val thetaArr = s.cached(ntd
+      .withColumn("_tsum", aggregate(col("ntd"), lit(0.0), _ + _))
+      .select(col("doc_id"), transform(col("ntd"), v => v / col("_tsum")).as("tharr")))
+    val vals = s.cached(prod.join(broadcast(thetaArr), Seq("doc_id"))
+      .withColumn("pdx1", dot(col("pparr"), col("tharr")))
+      .select(col("doc_id"), col("txn_id"),
+        zip_with(col("pparr"), col("tharr"),
+          (pp, th) => col("ttw") * pp * th / col("pdx1")).as("varr")))
     // every POSITION of the transaction receives v (duplicates add twice)
     val nwt = txns.select(col("doc_id"), col("txn_id"), col("token"))
       .join(vals, Seq("doc_id", "txn_id"))
-      .groupBy(col("token"), col("topic"))
-      .agg(sum(col("v")).as("n_wt"))
+      .groupBy(col("token"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(col("varr")).as("nwtarr"))
+      .select(col("token"), posexplode(col("nwtarr")).as(Seq("topic", "n_wt")))
+      .select(col("token"), col("topic").cast("long").as("topic"), col("n_wt"))
     toLocal(normalize(nwt, phi, RegCfg()))
   } }
 
