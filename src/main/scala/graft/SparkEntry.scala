@@ -1003,6 +1003,15 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: Gopher-style n-gram repetition signals (share of all
+    // n-grams taken by the most frequent one — boilerplate filter)
+    "text_repetition" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.ngramRepetition(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          round(col("top_2gram_share"), 6).as("top_2gram_share"),
+          round(col("top_3gram_share"), 6).as("top_3gram_share"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: deterministic Bernoulli sampling (salted md5 prefix
     // below the rate threshold — reproducible on any cluster size, narrow)
     "sample_hash" -> ((s, dir) => {
@@ -1157,6 +1166,7 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),

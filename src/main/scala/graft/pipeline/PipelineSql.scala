@@ -237,6 +237,32 @@ object PipelineSql {
        |  CAST(len(regexp_extract_all(lower(text), '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextAnalysis.ngramRepetition for n = 2, 3: n-grams via
+    * window lead over the positional token table, per-doc max/total
+    * count share, 0 for docs with < n tokens. */
+  val textRepetition: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
+       |         generate_subscripts(string_split($norm, ' '), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |g2 AS (SELECT doc_id, g FROM (
+       |  SELECT doc_id, token || ' ' || lead(token, 1)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM tok) WHERE g IS NOT NULL),
+       |g3 AS (SELECT doc_id, g FROM (
+       |  SELECT doc_id, token || ' ' || lead(token, 1)
+       |      OVER (PARTITION BY doc_id ORDER BY pos)
+       |    || ' ' || lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM tok) WHERE g IS NOT NULL),
+       |s2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS sh FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+       |s3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS sh FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  round(COALESCE(s2.sh, 0), 6) AS top_2gram_share,
+       |  round(COALESCE(s3.sh, 0), 6) AS top_3gram_share
+       |FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- sampling / mixing / packing (Sampling.scala) -----------------------
   // Thresholds come from the SAME Scala helper the operators use
   // (Sampling.rateThreshold), so Spark and DuckDB compare identical hex

@@ -78,6 +78,38 @@ object TextAnalysis {
             - col("repetition_ratio") * 0.5)))
   }
 
+  /** Gopher-style n-gram repetition signals: for each n in `ns`, the
+    * share of all n-grams taken by the single most frequent one
+    * (`top_{n}gram_share` — high values flag boilerplate / repeated
+    * chatter; the standard "top n-gram fraction" quality filter). Docs
+    * with fewer than n tokens score 0.
+    *
+    * Shape at scale: n-grams come from ONE narrow HOF pass over the
+    * token array (no positional self-join), then a (doc, ngram) count
+    * and a per-doc max/total — two map-side-combined shuffles keyed by
+    * doc, corpus-linear, no skew beyond document length. */
+  def ngramRepetition(df: DataFrame, textCol: String = "text",
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.withColumn("_toks",
+      when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+        .otherwise(toks))
+    ns.foldLeft(base) { (acc, n) =>
+      val grams = transform(sequence(lit(0), size(col("_toks")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("_toks"), i + j + 1)): _*))
+      val exploded = acc.select(col("doc_id"), explode(
+        when(size(col("_toks")) >= n, grams)
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val share = exploded
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as(s"top_${n}gram_share"))
+      acc.join(share, Seq("doc_id"), "left")
+        .withColumn(s"top_${n}gram_share",
+          coalesce(col(s"top_${n}gram_share"), lit(0.0)))
+    }.drop("_toks")
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish segmentation count
     * (letter runs / digit runs / single other symbols — the standard
     * pre-tokenizer regex), both codegen'd regex ops. */

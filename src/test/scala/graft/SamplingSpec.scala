@@ -61,6 +61,23 @@ class SamplingSpec extends SparkSpec {
     Sampling.unpersistPacked(rows)
   }
 
+  test("ngramRepetition computes top n-gram shares with hand-checked values") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b a b a b"),        // bigrams: "a b"×3, "b a"×2 → top2 = 3/5
+      (1L, "x y z"),              // all distinct → top2 = 1/2, top3 = 1/1
+      (2L, "w"),                  // < 2 tokens → 0 and 0
+      (3L, "")).toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.ngramRepetition(d)
+      .select("doc_id", "top_2gram_share", "top_3gram_share")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(0L)._1 === 3.0 / 5.0)
+    assert(math.abs(r(0L)._2 - 2.0 / 4.0) < 1e-12) // "a b a"×2 of 4 trigrams
+    assert(r(1L) === ((0.5, 1.0)))
+    assert(r(2L) === ((0.0, 0.0)))
+    assert(r(3L) === ((0.0, 0.0)))
+  }
+
   test("packSequences is partition-count independent") {
     val p3 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 3)
       .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
