@@ -97,6 +97,9 @@ object SparkEntry {
   private val NearDupPlants = 20   // planted scaled-copy near-dups
   private val NearDupIdOffset = 1000000L
   private val DictTopK = 20        // maxDictionarySize fixture
+  private val DecontBenchDocs = 50 // doc_id < 50 = the "eval set" fixture
+  private val DecontN = 5          // decontamination n-gram width
+  private val PiiPlantMod = 5      // plant an email+URL on every 5th doc
   // Sampling / packing entry parameters (Sampling.scala operators)
   private val SampleRate = 0.25
   private val SampleSalt = "graft"
@@ -1003,6 +1006,33 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: benchmark decontamination — corpus docs sharing
+    // distinct word n-grams with the eval-set fixture (doc_id < 50); the
+    // pre-training screen against test-set leakage
+    "text_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Dedup.decontaminate(
+        d.filter(col("doc_id") >= DecontBenchDocs),
+        d.filter(col("doc_id") < DecontBenchDocs), n = DecontN)
+        .select(col("id").as("doc_id"), col("n_hits").cast("long").as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: PII counting + redaction (emails / URLs planted on
+    // every PiiPlantMod-th doc in BOTH engines, so counts and the
+    // scrubbed-text md5 are a meaningful oracle, like dedup_embedding's
+    // planted near-dups)
+    "text_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % PiiPlantMod === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or https://example.com/u/"),
+            col("doc_id").cast("string"), lit(" now")))
+          .otherwise(col("text")))
+      graft.pipeline.TextAnalysis.piiScrub(planted, "text2")
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_emails"),
+          col("n_urls"), md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: Gopher-style n-gram repetition signals (share of all
     // n-grams taken by the most frequent one — boilerplate filter)
     "text_repetition" -> ((s, dir) => {
@@ -1167,6 +1197,9 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
+    "text_decontaminate" ->
+      graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
+    "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),

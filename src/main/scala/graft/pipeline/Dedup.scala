@@ -205,6 +205,28 @@ object Dedup {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word n-grams it shares with a benchmark/eval set's n-gram
+    * pool (the standard pre-training screen against test-set leakage;
+    * docs with hits ≥ some threshold are dropped or audited). Returns
+    * [id, n_hits] for documents with at least one hit.
+    *
+    * Shape at scale: both sides shingle in one narrow HOF pass; the join
+    * is keyed on the n-gram with the benchmark side aggregated to a
+    * distinct set first — benchmarks are tiny relative to a 100 TB
+    * corpus, so the set broadcasts (AQE picks it from runtime stats) and
+    * the corpus streams through without a shuffle; per-doc hit counts
+    * then map-side combine on id. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).cast("long").as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val benchSh = benchmark.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    corpusSh.join(benchSh, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold, using the
     * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale. */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",

@@ -263,6 +263,48 @@ object PipelineSql {
        |FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirrors Dedup.decontaminate (n = 5, eval set = doc_id < benchDocs):
+    * distinct word n-grams per doc via window leads, inner-join against
+    * the benchmark pool, per-doc hit counts. */
+  def textDecontaminate(benchDocs: Int, n: Int): String = {
+    val leads = (1 until n)
+      .map(i => s"|| ' ' || lead(token, $i) OVER w").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
+       |         generate_subscripts(string_split($norm, ' '), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |g AS (SELECT doc_id, token $leads AS g
+       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |gg AS (SELECT DISTINCT doc_id, g FROM g WHERE g IS NOT NULL),
+       |bench AS (SELECT DISTINCT g FROM gg WHERE doc_id < $benchDocs)
+       |SELECT CAST(gg.doc_id AS BIGINT) AS doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_hits
+       |FROM gg JOIN bench USING (g) WHERE gg.doc_id >= $benchDocs
+       |GROUP BY gg.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.piiScrub over the planted text (every
+    * plantMod-th doc gets an email + URL appended in both engines). */
+  def textPiiScrub(plantMod: Int): String = {
+    val emailRe = raw"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    val urlRe = raw"https?://[^\s]+"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $plantMod = 0 THEN
+       |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |           || '@example.com or https://example.com/u/'
+       |           || CAST(doc_id AS VARCHAR) || ' now'
+       |    ELSE text END AS text2
+       |  FROM documents),
+       |r AS (SELECT doc_id, text2,
+       |        regexp_replace(text2, '$urlRe', '<URL>', 'g') AS no_url FROM t)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(len(regexp_extract_all(no_url, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text2, '$urlRe')) AS BIGINT) AS n_urls,
+       |  md5(regexp_replace(no_url, '$emailRe', '<EMAIL>', 'g')) AS scrubbed_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ---- sampling / mixing / packing (Sampling.scala) -----------------------
   // Thresholds come from the SAME Scala helper the operators use
   // (Sampling.rateThreshold), so Spark and DuckDB compare identical hex

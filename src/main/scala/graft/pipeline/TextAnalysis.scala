@@ -110,6 +110,28 @@ object TextAnalysis {
     }.drop("_toks")
   }
 
+  /** PII patterns kept deliberately lookaround-free so Java (Spark) and
+    * RE2 (DuckDB, the oracle) regex engines agree character for
+    * character. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII scrubbing: count and redact emails / URLs (URLs first — they can
+    * embed '@'). Adds [n_emails, n_urls, scrubbed]. A narrow codegen'd
+    * projection — scan-speed at 100 TB; real pipelines extend the pattern
+    * list (phones, IPs, id numbers) the same way. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    df
+      .withColumn("n_urls",
+        size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
+          lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish segmentation count
     * (letter runs / digit runs / single other symbols — the standard
     * pre-tokenizer regex), both codegen'd regex ops. */

@@ -78,6 +78,36 @@ class SamplingSpec extends SparkSpec {
     assert(r(3L) === ((0.0, 0.0)))
   }
 
+  test("decontaminate counts shared distinct n-grams against a benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma epsilon"),      // shares "alpha beta gamma" (n=3)
+      (1L, "alpha beta gamma delta extra"),  // shares 2 trigrams
+      (2L, "nothing in common here at all"),
+      (3L, "alpha beta gamma alpha beta gamma")) // same shared gram twice → 1 distinct
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.Dedup.decontaminate(corpus, bench, n = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("piiScrub counts and redacts emails and URLs") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail me at a.b+c@test.org or see https://ex.com/p?q=1 thanks"),
+      (1L, "no pii here"),
+      (2L, "u@x.io v@y.co https://a.b http://c.d/e")).toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.piiScrub(d)
+      .select("doc_id", "n_emails", "n_urls", "scrubbed")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(0L)._1 === 1L && r(0L)._2 === 1L)
+    assert(r(0L)._3 === "mail me at <EMAIL> or see <URL> thanks")
+    assert(r(1L) === ((0L, 0L, "no pii here")))
+    assert(r(2L)._1 === 2L && r(2L)._2 === 2L)
+    assert(r(2L)._3 === "<EMAIL> <EMAIL> <URL> <URL>")
+  }
+
   test("packSequences is partition-count independent") {
     val p3 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 3)
       .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
