@@ -133,7 +133,7 @@ object SparkEntry {
   /** Mirror inference pass with the fitted phi (transform entries). */
   private def relTransformTheta(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "reltransform")(
-      RelationalEm.emPass(relTok(s, dir), relFit(s, dir).pwt, T).theta)
+      RelationalEm.emPassTheta(relTok(s, dir), relFit(s, dir).pwt, T))
 
   /** PRODUCTION kernel fit (float32 EStep/Fit) from the md5 init, same
     * schedule as the mirror; pwt collected to a LocalRelation and all fit
@@ -199,7 +199,7 @@ object SparkEntry {
       val mm = relFitMm(s, dir)
       val phiDc = mm.filter(col("class_id") === graft.functions.Rng.DefaultClass)
         .select(col("token"), col("topic"), col("p"))
-      val theta = RelationalEm.emPass(relTok(s, dir), phiDc, T).theta
+      val theta = RelationalEm.emPassTheta(relTok(s, dir), phiDc, T)
       val phiLang = mm.filter(col("class_id") === "@lang")
         .select(col("token").as("lang_token"), col("topic"), col("p").as("pl"))
       theta.join(phiLang, Seq("topic"))

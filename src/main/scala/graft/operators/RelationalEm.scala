@@ -302,6 +302,27 @@ object RelationalEm {
     Pass(toLocal(pass.theta), pass.pdw, pass.nwt, pass.pwt)
   } }
 
+  /** Inference-only pass: the pass's updated theta (local) WITHOUT the
+    * M-step — transform/predict mirrors need no n_wt, so this skips the
+    * per-token vector-sum shuffle and the normalize/collect job that
+    * emPass pays eagerly. */
+  def emPassTheta(tok: DataFrame, phi: DataFrame, numTopics: Int): DataFrame =
+    withMirrorConf(tok) { scoped { s =>
+    val invT = 1.0 / numTopics
+    val phiArr = phiToArrLocal(phi, numTopics)
+    val tokA = s.cached(tok.join(broadcast(phiArr), Seq("token"))
+      .withColumn("pdw0", aggregate(col("parr"), lit(0.0), _ + _) * lit(invT)))
+    val ntd = tokA
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        transform(col("parr"), p => col("n_dw") * p * lit(invT) / col("pdw0"))).as("ntd"))
+    toLocal(ntd
+      .withColumn("_tsum", aggregate(col("ntd"), lit(0.0), _ + _))
+      .select(col("doc_id"),
+        posexplode(transform(col("ntd"), v => v / col("_tsum"))).as(Seq("topic", "th")))
+      .select(col("doc_id"), col("topic").cast("long").as("topic"), col("th")))
+  } }
+
   /** M-step normalize (+ optional relational regularizers):
     * p = max(n_wt + r_wt, 0) / Σ_w max(n_wt + r_wt, 0) per topic. */
   def normalize(nwt: DataFrame, phiIn: DataFrame, reg: RegCfg): DataFrame = {

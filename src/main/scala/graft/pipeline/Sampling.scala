@@ -79,13 +79,18 @@ object Sampling {
     * [cum_before, bin].
     *
     * The global running sum is a distributed two-phase prefix sum:
-    *   1. range-partition + sort by `orderCol` (pinned by persist);
-    *   2. per-partition token sums → driver (#partitions rows);
-    *   3. exclusive partition offsets broadcast back; per-partition
-    *      cumsum windows (parallel — one window task per partition).
+    *   1. range-partition + sort by `orderCol` (pinned by persist — the
+    *      ONLY shuffle);
+    *   2. per-partition token sums → driver (#partitions values, from a
+    *      narrow mapPartitions);
+    *   3. exclusive partition offsets captured into a second narrow
+    *      mapPartitions that emits each row's running total — no window,
+    *      no re-shuffle (a `Window.partitionBy(pid)` here would force a
+    *      redundant hash exchange: Spark cannot know the pid column
+    *      matches the physical layout).
     * Output depends only on the data and `orderCol` — the partition count
-    * only changes the execution shape. The caller must release the
-    * returned plan's persist with `unpersistPacked`. */
+    * only changes the execution shape (asserted by SamplingSpec). The
+    * caller must release the pinned persist with `unpersistPacked`. */
   def packSequences(df: DataFrame, tokenCountCol: String, budget: Long,
       orderCol: String = "doc_id", numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
@@ -96,25 +101,30 @@ object Sampling {
     val ranged = df
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partSums = ranged.groupBy(col("_pid"))
-      .agg(sum(col(tokenCountCol)).cast("long").as("_psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tokIdx = ranged.schema.fieldIndex(tokenCountCol)
+    import spark.implicits._
+    val partSums = ranged.toDF().mapPartitions { it =>
+      var s = 0L
+      it.foreach(r => s += r.getAs[Number](tokIdx).longValue())
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().toMap
     val offsets = (0 until n).scanLeft(0L) { (acc, pid) =>
       acc + partSums.getOrElse(pid, 0L)
-    }
-    val offsetExpr = (0 until n).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("_pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
-    val wLocal = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("cum_before",
-        coalesce(sum(col(tokenCountCol)).over(wLocal).cast("long"), lit(0L))
-          + offsetExpr)
-      .withColumn("bin", floor(col("cum_before") / lit(budget)))
-      .drop("_pid")
+    }.toArray
+    val outSchema = org.apache.spark.sql.types.StructType(ranged.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("cum_before",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    ranged.toDF().mapPartitions { it =>
+      var cum = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ cum :+ (cum / budget))
+        cum += r.getAs[Number](tokIdx).longValue()
+        row
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Release the persist pinned by packSequences (the plan's layout

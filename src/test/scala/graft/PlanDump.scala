@@ -39,6 +39,16 @@ object PlanDump {
     show("lsh_topk (multi-table)",
       graft.pipeline.Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), 10,
         planes = 4, probes = 5, tables = 8))
+    show("sample_stratified (WindowGroupLimit expected)",
+      graft.pipeline.Sampling.stratifiedSample(docsDf, "source", "doc_id", 5, "s"))
+    val packed = graft.pipeline.Sampling.packSequences(
+      graft.pipeline.TextAnalysis.tokenCounts(docsDf)
+        .select(col("doc_id"), col("ws_tokens")), "ws_tokens", 512L)
+    show("pack_sequences (per-partition windows + offsets, no global window)", packed)
+    graft.pipeline.Sampling.unpersistPacked(packed)
+    show("decontaminate (benchmark side aggregated before join)",
+      graft.pipeline.Dedup.decontaminate(
+        docsDf.filter(col("doc_id") >= 20), docsDf.filter(col("doc_id") < 20), n = 5))
     spark.stop()
   }
 }
