@@ -221,6 +221,17 @@ object RelationalEm {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
+  /** Per-topic mass n_t from a (local) nwt as a dense literal-able Seq;
+    * `clamp` applies the NetPlsa max(n_wt, 0) clamp. */
+  private def topicMassArr(nwt: DataFrame, numTopics: Int,
+      clamp: Boolean): Seq[Double] = {
+    val arr = new Array[Double](numTopics)
+    val mass = if (clamp) sum(greatest(col("n_wt"), lit(0.0))) else sum(col("n_wt"))
+    nwt.groupBy(col("topic")).agg(mass.as("n_t")).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+    arr.toSeq
+  }
+
   /** One EM collection pass (numDocumentPasses = 1) over `tok` given the
     * current `phi` [token, topic, p]. The scoped intermediates live until
     * the caller's scope closes; `pwt` is returned local.
@@ -358,24 +369,34 @@ object RelationalEm {
             + lit(reg.timeTau) * col("p") * (sgn(col("pprev")) + sgn(col("pnext"))))
             .as("r_wt"))
         val withR = nwt.join(r, Seq("token", "topic"), "left")
+        // numTopics for the array paths below — phiIn carries every topic
+        val numTopics = phiIn.agg(max(col("topic"))).collect()(0).getLong(0).toInt + 1
         val withRb = reg.cooc match {
           case Some(c) if reg.bitermsTau != 0.0 =>
-            val nt = nwt.groupBy(col("topic")).agg(sum(col("n_wt")).as("n_t"))
-            val fa = phiIn.select(col("token").as("token_a"), col("topic"), col("p").as("pa"))
-            val fb = phiIn.select(col("token").as("token_b"), col("topic"), col("p").as("pb"))
+            // array shape: each cooc pair is ONE row with the T-wide
+            // raw(k) = n_t·pa·pb product — the per-(a,b) normalizer is a
+            // per-row fold (the long form materialized pairs×T twice and
+            // joined them back); r_b then vector-sums per token_a
+            val ntArr = topicMassArr(nwt, numTopics, clamp = false)
+            val phiArr = phiToArrLocal(phiIn, numTopics)
             val praw = c
               .select(col("token_a"), col("token_b"), col("cooc_tf").cast("double").as("ctf"))
-              .join(fa, Seq("token_a")).join(fb, Seq("token_b", "topic"))
-              .join(nt, Seq("topic"))
-              .select(col("token_a"), col("token_b"), col("topic"), col("ctf"),
-                (col("n_t") * col("pa") * col("pb")).as("raw"))
-            val pnorm = praw.groupBy(col("token_a"), col("token_b"))
-              .agg(sum(col("raw")).as("nrm"))
-            val rb = praw.join(pnorm, Seq("token_a", "token_b"))
-              .groupBy(col("token_a"), col("topic"))
-              .agg(sum(col("ctf") * when(col("nrm") > 0.0 && col("raw") > 0.0,
-                col("raw") / col("nrm")).otherwise(lit(0.0))).as("rb"))
-              .withColumnRenamed("token_a", "token")
+              .join(broadcast(phiArr.select(col("token").as("token_a"), col("parr").as("paarr"))),
+                Seq("token_a"))
+              .join(broadcast(phiArr.select(col("token").as("token_b"), col("parr").as("pbarr"))),
+                Seq("token_b"))
+              .withColumn("rawarr", zip_with(
+                zip_with(col("paarr"), col("pbarr"), _ * _), typedLit(ntArr), _ * _))
+              .withColumn("nrm", aggregate(col("rawarr"), lit(0.0), _ + _))
+            val rb = praw
+              .groupBy(col("token_a"))
+              .agg(graft.functions.VectorOps.doubleVectorSum(
+                transform(col("rawarr"), raw =>
+                  col("ctf") * when(col("nrm") > 0.0 && raw > 0.0, raw / col("nrm"))
+                    .otherwise(lit(0.0)))).as("rbarr"))
+              .select(col("token_a").as("token"),
+                posexplode(col("rbarr")).as(Seq("topic", "rb")))
+              .select(col("token"), col("topic").cast("long").as("topic"), col("rb"))
             withR.join(rb, Seq("token", "topic"), "left")
           case _ => withR.withColumn("rb", lit(null).cast("double"))
         }
@@ -384,19 +405,22 @@ object RelationalEm {
         // (the shared symmetrized cooc pairs), n_t = clamped topic mass
         val withRn = reg.cooc match {
           case Some(c) if reg.netTau != 0.0 =>
-            val ntn = nwt.groupBy(col("topic"))
-              .agg(sum(greatest(col("n_wt"), lit(0.0))).as("n_t"))
+            val ntArr = topicMassArr(nwt, numTopics, clamp = true)
+            val phiArr = phiToArrLocal(phiIn, numTopics)
             val rn = c
               .select(col("token_a"), col("token_b"), col("cooc_tf").cast("double").as("ctf"))
-              .join(phiIn.select(col("token").as("token_a"), col("topic"), col("p").as("pu")),
+              .join(broadcast(phiArr.select(col("token").as("token_a"), col("parr").as("puarr"))),
                 Seq("token_a"))
-              .join(phiIn.select(col("token").as("token_b"), col("topic"), col("p").as("pv")),
-                Seq("token_b", "topic"))
-              .groupBy(col("token_a"), col("topic"))
-              .agg(sum(col("ctf") * (col("pv") - col("pu"))).as("s"))
-              .join(ntn, Seq("topic"))
-              .select(col("token_a").as("token"), col("topic"),
-                ((col("s") * col("n_t")) * col("n_t")).as("rn"))
+              .join(broadcast(phiArr.select(col("token").as("token_b"), col("parr").as("pvarr"))),
+                Seq("token_b"))
+              .groupBy(col("token_a"))
+              .agg(graft.functions.VectorOps.doubleVectorSum(
+                zip_with(col("pvarr"), col("puarr"),
+                  (pv, pu) => col("ctf") * (pv - pu))).as("sarr"))
+              .select(col("token_a").as("token"),
+                posexplode(zip_with(col("sarr"), typedLit(ntArr),
+                  (sv, nt) => (sv * nt) * nt)).as(Seq("topic", "rn")))
+              .select(col("token"), col("topic").cast("long").as("topic"), col("rn"))
             withRb.join(rn, Seq("token", "topic"), "left")
           case _ => withRb.withColumn("rn", lit(null).cast("double"))
         }
@@ -417,13 +441,21 @@ object RelationalEm {
           .withColumn("rowsum", sum(col("n_wt")).over(Window.partitionBy(col("token"))))
         val withCoh = reg.cooc match {
           case Some(c) =>
+            // array shape: nwt (local on the mix path) keyed token → T-wide
+            // n_v row; one vector-sum per token_a instead of a pairs×T join
+            val numTopics = nwt.agg(max(col("topic"))).collect()(0).getLong(0).toInt + 1
+            val nvArr = phiToArrLocal(
+              nwt.select(col("token"), col("topic"), col("n_wt").as("p")), numTopics)
             val rcoh = c
               .select(col("token_a"), col("token_b"), col("cooc_tf").cast("double").as("ctf"))
-              .join(nwt.select(col("token").as("token_b"), col("topic"), col("n_wt").as("nv")),
+              .join(broadcast(nvArr.select(col("token").as("token_b"), col("parr").as("nvarr"))),
                 Seq("token_b"))
-              .groupBy(col("token_a"), col("topic"))
-              .agg(sum(col("ctf") * col("nv")).as("rc"))
-              .withColumnRenamed("token_a", "token")
+              .groupBy(col("token_a"))
+              .agg(graft.functions.VectorOps.doubleVectorSum(
+                transform(col("nvarr"), nv => col("ctf") * nv)).as("rcarr"))
+              .select(col("token_a").as("token"),
+                posexplode(col("rcarr")).as(Seq("topic", "rc")))
+              .select(col("token"), col("topic").cast("long").as("topic"), col("rc"))
             ranked.join(rcoh, Seq("token", "topic"), "left")
           case None => ranked.withColumn("rc", lit(null).cast("double"))
         }
