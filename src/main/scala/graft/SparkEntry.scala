@@ -106,6 +106,7 @@ object SparkEntry {
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
   private val StratCap = 10        // per-source cap (stratified sample)
   private val PackBudget = 512L    // tokens per packed bin
+  private val E2eMinTokens = 5     // pipeline_e2e length-filter floor
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -1080,6 +1081,30 @@ object SparkEntry {
       graft.pipeline.Sampling.unpersistPacked(packed)
       out
     }),
+    // LLM pipeline: the composed end-to-end curation chain — length
+    // filter → exact-dedup (canonical survivor) → weighted source mix →
+    // sequence packing — every stage an already-verified operator, the
+    // WHOLE chain under one hash row (stage boundaries are where
+    // composition bugs live; see PipelineSql.pipelineE2e)
+    "pipeline_e2e" -> ((s, dir) => {
+      val counted = graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"), col("ws_tokens").cast("long").as("ws_tokens"))
+        .filter(col("ws_tokens") >= E2eMinTokens)
+      val canon = graft.pipeline.Dedup.exact(counted)
+        .select(col("canonical_id").as("doc_id"))
+      val deduped = counted.join(canon, Seq("doc_id"), "left_semi").drop("text")
+      val mixed = graft.pipeline.Sampling.mixSources(
+        deduped, "source", MixRates, "doc_id", SampleSalt)
+      val packed = graft.pipeline.Sampling.packSequences(
+        mixed, "ws_tokens", PackBudget)
+        .select(col("doc_id"), col("source"), col("ws_tokens"),
+          col("cum_before"), col("bin").cast("long").as("bin"))
+        .orderBy(col("doc_id"))
+      val out = RelationalEm.collectLocal(packed)
+      graft.pipeline.Sampling.unpersistPacked(packed)
+      out
+    }),
     // §2.3 Dictionary::Gather over a MULTIMODAL corpus — the per-(class)
     // value normalization (tf / class total) under the oracle; the round-2
     // single-task-window fix's broadcast-join shape carries the hash
@@ -1204,6 +1229,8 @@ object SparkEntry {
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
+    "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(
+      E2eMinTokens, MixRates, SampleSalt, PackBudget),
     "text_fingerprint" -> graft.pipeline.PipelineSql.textFingerprint,
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),

@@ -333,6 +333,39 @@ object PipelineSql {
        |    PARTITION BY source ORDER BY ${hashPrefixSql(salt)}, doc_id) AS rk
        |  FROM documents) WHERE rk <= $k ORDER BY doc_id""".stripMargin
 
+  /** Composed end-to-end pipeline oracle: length filter → exact-dedup
+    * (keep canonical = min doc_id per fingerprint) → weighted source mix
+    * → sequence packing, each stage the same SQL its standalone oracle
+    * uses, chained as CTEs. One hash row certifying that the verified
+    * operators still agree with DuckDB when composed (stage boundaries —
+    * which rows survive INTO the next stage — are where composition bugs
+    * live, and no standalone row would catch them). */
+  def pipelineE2e(minTokens: Int, rates: Map[String, Double], salt: String,
+      budget: Long): String = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN '$src' THEN '${Sampling.rateThreshold(r)}'"
+    }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5($norm) AS fp,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split($norm, ' ')) END AS BIGINT) AS ws_tokens
+       |  FROM documents),
+       |flt AS (SELECT * FROM base WHERE ws_tokens >= $minTokens),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM flt GROUP BY fp),
+       |ded AS (SELECT f.doc_id, f.source, f.ws_tokens FROM flt f
+       |        JOIN canon c ON f.doc_id = c.doc_id),
+       |mix AS (SELECT * FROM ded
+       |        WHERE ${hashPrefixSql(salt)} < CASE source $cases ELSE '00000000' END),
+       |cum AS (
+       |  SELECT doc_id, source, ws_tokens,
+       |    CAST(COALESCE(sum(ws_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM mix)
+       |SELECT doc_id, source, ws_tokens, cum_before,
+       |  CAST(floor(cum_before / $budget) AS BIGINT) AS bin
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
+
   def packSequences(budget: Long): String =
     s"""WITH tc AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
