@@ -219,8 +219,13 @@ object Dedup {
     * then map-side combine on id. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val corpusSh = corpus.select(col(idCol).cast("long").as("id"),
-      explode(shingles(col(textCol), n)).as("g"))
+    // repartition before shingling (the shingleTable rationale): n-gram
+    // extraction is the CPU hot spot, and a few-file input would run it
+    // on a few tasks regardless of core count
+    val corpusSh = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
     val benchSh = benchmark.select(explode(shingles(col(textCol), n)).as("g")).distinct()
     corpusSh.join(benchSh, Seq("g"))
       .groupBy(col("id"))
