@@ -1081,6 +1081,28 @@ object SparkEntry {
       graft.pipeline.Sampling.unpersistPacked(packed)
       out
     }),
+    // ARTM composed chain — the reference's canonical workflow
+    // (gather_dictionary → filter_dictionary → fit → top_tokens) as ONE
+    // oracle row: the fit's vocabulary (and so its md5 init
+    // normalization) is the dictionary filter's survivor set, exercising
+    // the dictionary→model boundary no standalone row crosses
+    "artm_e2e" -> ((s, dir) => {
+      val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+      val kept = DictionaryOps.filter(
+          DictionaryOps.gather(corpus), DictionaryOps.numItems(corpus),
+          DictionaryOps.FilterArgs(minDf = Some(5.0f), maxDfRate = Some(0.8f),
+            minTf = Some(10.0f)))
+        .select(col("token"))
+      val tok = relTok(s, dir).join(kept, Seq("token"), "left_semi")
+      RelationalEm.fitOffline(tok, T, Passes).pwt
+        .withColumn("p6", round(col("p"), 6))
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy(col("topic")).orderBy(col("p6").desc, col("token")))
+          .cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("topic"), col("rank"), col("token"), col("p6").as("p"))
+        .orderBy(col("topic"), col("rank"))
+    }),
     // LLM pipeline: the composed end-to-end curation chain — length
     // filter → exact-dedup (canonical survivor) → weighted source mix →
     // sequence packing — every stage an already-verified operator, the
@@ -1231,6 +1253,8 @@ object SparkEntry {
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(
       E2eMinTokens, MixRates, SampleSalt, PackBudget),
+    "artm_e2e" -> RelationalEmSql.topTokensDictFiltered(
+      T, Passes, TopK, 5.0, 0.8, 10.0),
     "text_fingerprint" -> graft.pipeline.PipelineSql.textFingerprint,
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),

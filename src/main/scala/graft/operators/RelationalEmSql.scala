@@ -310,6 +310,32 @@ object RelationalEmSql {
        |  FROM phi$passes WHERE p > 0)
        |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
 
+  /** Composed dictionary→fit chain (the reference's canonical workflow:
+    * gather → filter bounds → fit on the surviving vocabulary → top
+    * tokens) under ONE oracle row. The dictionary CTEs replay the
+    * dict_filter oracle (tf = Σ n_dw, df = distinct docs, strict `<` on
+    * the maxDfRate bound, num_docs = ALL documents rows); the fit then
+    * sees only kept tokens — its md5 init normalizes over the FILTERED
+    * vocabulary, so this row fails if filtering composes wrongly with
+    * init/fit even when both standalone rows pass. */
+  def topTokensDictFiltered(t: Int, passes: Int, k: Int,
+      minDf: Double, maxDfRate: Double, minTf: Double): String =
+    s"""WITH ${tokCte("tokraw")},
+       |dstats AS (SELECT token, sum(n_dw) AS tf,
+       |           CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |           FROM tokraw GROUP BY token),
+       |dn AS (SELECT count(*) AS num_docs FROM documents),
+       |dkeep AS (SELECT token FROM dstats, dn
+       |          WHERE df >= $minDf AND df < $maxDfRate * num_docs AND tf >= $minTf),
+       |tok AS (SELECT tr.doc_id, tr.token, tr.n_dw, tr.w
+       |        FROM tokraw tr JOIN dkeep USING (token)),
+       |${offlineChain("tok", t, passes, None)},
+       |ranked AS (
+       |  SELECT topic, token, round(p, 6) AS p,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY round(p, 6) DESC, token) AS BIGINT) AS rank
+       |  FROM phi$passes)
+       |SELECT topic, rank, token, p FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
+
   /** Final pwt after `passes` passes: [token, topic, p(6)]. */
   def fitOffline(t: Int, passes: Int, reg: Option[(Double, Double)] = None,
       thetaTau: Option[Double] = None): String =
