@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Corpus
+
+/** Scaling-linearity harness: replicates the sf0.1 documents corpus
+  * 1× / 4× / 16× (ids offset per replica; a per-replica token appended
+  * to the text so exact/near-dup structure does NOT grow with the
+  * replication factor) and measures per-row wall time of the heavy
+  * operator families. Near-constant rows/sec across factors is the
+  * local[32] proxy for "the plan has no accumulation point" — no
+  * single-task window, no driver loop, no all-pairs blowup — which is
+  * what survives the jump to a real cluster. Run:
+  * `sbt "Test/runMain graft.ScaleCheck"`; measured numbers live in
+  * PLANS.md §10.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    base.count() // warm scan machinery
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    for (r <- Seq(1, 4, 16)) {
+      val docsR = (0 until r).map { i =>
+        base
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" rep$i")))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docsR.count()
+
+      val results = Seq(
+        "text_quality (columnar)" -> time {
+          graft.pipeline.TextAnalysis.qualityScore(docsR).count()
+        },
+        "dedup_exact (hash groupBy)" -> time {
+          graft.pipeline.Dedup.exact(docsR).count()
+        },
+        "dedup_minhash (banded LSH)" -> time {
+          graft.pipeline.Dedup.minhashLsh(docsR, shingleSize = 3,
+            numHashes = 8, bands = 4, threshold = 0.25).count()
+        },
+        "pack_sequences (prefix sum)" -> time {
+          val packed = graft.pipeline.Sampling.packSequences(
+            graft.pipeline.TextAnalysis.tokenCounts(docsR)
+              .select(col("doc_id"), col("ws_tokens")), "ws_tokens", 512L)
+          packed.count()
+          graft.pipeline.Sampling.unpersistPacked(packed)
+        },
+        "kernel_fit 2 passes (E/M-step)" -> time {
+          val corpus = Corpus.fromDocumentsTable(docsR)
+          val dict = DictionaryOps.gather(corpus)
+          val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
+          Fit.fitOffline(corpus, pwt0,
+            Fit.Config(numTopics = 8, numCollectionPasses = 2,
+              estep = EStepConfig(numDocumentPasses = 1))).pwt.count()
+        }
+      )
+      results.foreach { case (name, sec) =>
+        println(f"SCALE r=$r%2d rows=$n%7d  $name%-32s ${sec}%8.2f s  ${n / sec}%10.0f rows/s")
+      }
+      docsR.unpersist()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
