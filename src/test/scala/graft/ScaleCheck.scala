@@ -66,6 +66,17 @@ object ScaleCheck {
           Fit.fitOffline(corpus, pwt0,
             Fit.Config(numTopics = 8, numCollectionPasses = 2,
               estep = EStepConfig(numDocumentPasses = 1))).pwt.count()
+        },
+        "kernel_fit joinphi (dist. Phi)" -> time {
+          // maxBroadcastRows = 0 forces the distributed-Phi E-step — the
+          // path a 100 TB vocab actually takes
+          val corpus = Corpus.fromDocumentsTable(docsR)
+          val dict = DictionaryOps.gather(corpus)
+          val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
+          Fit.fitOffline(corpus, pwt0,
+            Fit.Config(numTopics = 8, numCollectionPasses = 2,
+              estep = EStepConfig(numDocumentPasses = 1),
+              maxBroadcastRows = 0L)).pwt.count()
         }
       )
       results.foreach { case (name, sec) =>
