@@ -1043,6 +1043,17 @@ object SparkEntry {
           round(col("top_3gram_share"), 6).as("top_3gram_share"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: per-source corpus statistics (the data-card report) —
+    // exact interpolating percentiles for the oracle; the operator's
+    // default is the approx_percentile sketch (the mergeable 100 TB path)
+    "corpus_stats" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.corpusStats(
+        graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir)), exact = true)
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"), col("mean_tokens"),
+          col("p50_tokens"), col("p90_tokens"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: deterministic Bernoulli sampling (salted md5 prefix
     // below the rate threshold — reproducible on any cluster size, narrow)
     "sample_hash" -> ((s, dir) => {
@@ -1247,6 +1258,7 @@ object SparkEntry {
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
+    "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),

@@ -305,6 +305,22 @@ object PipelineSql {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextAnalysis.corpusStats(exact = true): DuckDB's
+    * quantile_cont uses the same linear interpolation as Spark's exact
+    * `percentile` aggregate. */
+  val corpusStats: String =
+    s"""WITH tc AS (
+       |  SELECT source,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split($norm, ' ')) END AS BIGINT) AS ws_tokens
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       |  round(avg(ws_tokens), 6) AS mean_tokens,
+       |  round(quantile_cont(ws_tokens, 0.5), 6) AS p50_tokens,
+       |  round(quantile_cont(ws_tokens, 0.9), 6) AS p90_tokens
+       |FROM tc GROUP BY source ORDER BY source""".stripMargin
+
   // ---- sampling / mixing / packing (Sampling.scala) -----------------------
   // Thresholds come from the SAME Scala helper the operators use
   // (Sampling.rateThreshold), so Spark and DuckDB compare identical hex

@@ -144,6 +144,31 @@ object TextAnalysis {
         size(regexp_extract_all(lower(text), lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))))
   }
 
+  /** Per-source corpus statistics (the data-card report a training
+    * mixture is audited with): doc count, total/mean whitespace tokens,
+    * and token-count percentiles per source.
+    *
+    * `exact = false` (the 100 TB path) uses `approx_percentile`
+    * (one-pass mergeable sketch, map-side combined — same shuffle shape
+    * as the count/sum); `exact = true` uses the exact interpolating
+    * `percentile` aggregate (sorts each group's values — fine at
+    * dictionary/report scale, and what the DuckDB oracle replays via
+    * `quantile_cont`). Expects a `ws_tokens` column ([[tokenCounts]]). */
+  def corpusStats(df: DataFrame, sourceCol: String = "source",
+      exact: Boolean = false): DataFrame = {
+    def pct(q: Double): Column =
+      if (exact) percentile_approx(col("ws_tokens"), lit(q), lit(Int.MaxValue))
+      else percentile_approx(col("ws_tokens"), lit(q), lit(10000))
+    val p50 = if (exact) expr("percentile(ws_tokens, 0.5)") else pct(0.5)
+    val p90 = if (exact) expr("percentile(ws_tokens, 0.9)") else pct(0.9)
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("ws_tokens")), 6).as("mean_tokens"),
+        round(p50.cast("double"), 6).as("p50_tokens"),
+        round(p90.cast("double"), 6).as("p90_tokens"))
+  }
+
   /** Document fingerprinting:
     * - `fingerprint`: md5 of the whitespace-normalized lowercased text
     *   (cheap exact-dup key, oracle-checkable);
