@@ -142,4 +142,27 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media.withColumn("kind", lit("video")), n = 4)
     assert(frames.filter(col("media_id") === 0).count() === 4)
   }
+
+  test("corpusStats: approx (scale path) agrees with exact on the fixture") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, ("tok " * (5 + i % 37)).trim, s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val counted = TextAnalysis.tokenCounts(docs)
+    val exact = TextAnalysis.corpusStats(counted, exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = TextAnalysis.corpusStats(counted, exact = false)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === Set("src0", "src1", "src2"))
+    exact.foreach { case (srcKey, e) =>
+      val a = approx(srcKey)
+      assert(a.getLong(1) === e.getLong(1))            // n_docs
+      assert(a.getLong(2) === e.getLong(2))            // total_tokens
+      assert(a.getDouble(3) === e.getDouble(3))        // mean
+      // approx_percentile returns an actual data value; exact interpolates.
+      // On integer token counts they must land within one data step.
+      assert(math.abs(a.getDouble(4) - e.getDouble(4)) <= 3.0, s"p50 $srcKey")
+      assert(math.abs(a.getDouble(5) - e.getDouble(5)) <= 3.0, s"p90 $srcKey")
+    }
+  }
 }

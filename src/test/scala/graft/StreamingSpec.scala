@@ -134,4 +134,41 @@ class StreamingSpec extends SparkSpec {
     val got = spark.sql("SELECT doc_id FROM cleaned_docs").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(1L, 6L), s"expected docs 1 and 6, got ${got.mkString(",")}")
   }
+
+  test("streaming composed curation: clean -> hash sample -> token counts in one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDS().toDF("doc_id", "text")
+    // every stage is a narrow transform, so the whole curation chain runs
+    // unchanged inside one streaming query (no extra state beyond dedup's)
+    val curated = graft.pipeline.TextAnalysis.tokenCounts(
+      graft.pipeline.Sampling.sampleHash(
+        StreamingPipeline.cleanDocuments(df, minQuality = 0.5),
+        "doc_id", rate = 1.0))
+    val query = curated.select("doc_id", "ws_tokens")
+      .writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup
+        (3L, "!!! ??? !!!")) // garbage
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.sql("SELECT doc_id, ws_tokens FROM curated_docs").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === 13)
+    // batch equivalence: the same chain over the same rows as a static DF
+    val static = graft.pipeline.TextAnalysis.tokenCounts(
+      graft.pipeline.Sampling.sampleHash(
+        graft.pipeline.TextAnalysis.qualityScore(
+          Seq((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+            .toDF("doc_id", "text")).filter(col("quality") >= 0.5),
+        "doc_id", rate = 1.0))
+      .select("doc_id", "ws_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(static === got)
+  }
 }
