@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Plan-shape regression guards: the scale properties PLANS.md claims
+  * (narrow samplers, broadcast-side decontamination, two-phase top-k,
+  * no empty-partition windows) asserted against the EXECUTED plan, so a
+  * refactor that silently reintroduces a shuffle / single-task window /
+  * all-pairs join fails CI rather than surfacing as a 100 TB incident. */
+class PlanAssertSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val docsDF = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      (i.toLong, s"alpha beta gamma delta tok$i epsilon zeta", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("sampleHash / mixSources are pure narrow filters — zero exchanges") {
+    val p1 = executedPlan(Sampling.sampleHash(docsDF, "doc_id", 0.5, "s"))
+    assert(!p1.contains("Exchange"), s"sampleHash plan has a shuffle:\n$p1")
+    val p2 = executedPlan(Sampling.mixSources(docsDF, "source",
+      Map("src0" -> 1.0, "src1" -> 0.5), "doc_id", "s"))
+    assert(!p2.contains("Exchange"), s"mixSources plan has a shuffle:\n$p2")
+  }
+
+  test("stratifiedSample compiles to the two-phase WindowGroupLimit") {
+    val p = executedPlan(Sampling.stratifiedSample(docsDF, "source", "doc_id", 3, "s"))
+    assert(p.contains("WindowGroupLimit"),
+      s"stratified sample lost the pre-shuffle per-partition top-k:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark n-gram pool") {
+    val p = executedPlan(Dedup.decontaminate(
+      docsDF.filter(col("doc_id") >= 10), docsDF.filter(col("doc_id") < 10), n = 3))
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontaminate joins the corpus without broadcasting the pool:\n$p")
+  }
+
+  test("no empty-partition window (global single-task sort) in the pipeline plans") {
+    val plans = Seq(
+      executedPlan(Dedup.exact(docsDF)),
+      executedPlan(TextAnalysis.corpusStats(
+        TextAnalysis.tokenCounts(docsDF), exact = false)),
+      executedPlan(TextAnalysis.ngramRepetition(docsDF)))
+    plans.foreach { p =>
+      // an empty window spec renders as "Window [...]" with no
+      // "partitionBy"-derived hashpartitioning on a real key; the robust
+      // signal is a SinglePartition exchange feeding a Window/Sort
+      assert(!p.contains("Exchange SinglePartition"),
+        s"plan funnels through one task:\n$p")
+    }
+  }
+
+  test("ANN brute force keeps the two-phase top-k (no global sort of all scores)") {
+    import spark.implicits._
+    val emb = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = executedPlan(Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5))
+    assert(p.contains("WindowGroupLimit"),
+      s"brute-force top-k lost the per-partition pre-limit:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || !p.contains("GlobalLimit"),
+      s"top-k funnels all scores through one task:\n$p")
+  }
+}
