@@ -905,6 +905,15 @@ object SparkEntry {
         numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // LLM pipeline: near-dup pairs resolved into duplicate CLUSTERS
+    // (distributed min-label propagation; cluster_id = component min id
+    // = the canonical survivor) — the step between LSH pairs and removal
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
+        numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold)
+      graft.pipeline.Dedup.duplicateClusters(pairs)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: exact n-gram jaccard over the LSH candidate pairs
     // (one shared shingle table feeds both the LSH and the exact verify)
     "ngram_jaccard" -> ((s, dir) => {
@@ -1248,6 +1257,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> graft.pipeline.PipelineSql.dedupSimhashPairs(3),
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),
+    "dedup_clusters" -> graft.pipeline.PipelineSql.dedupClusters(
+      ShingleK, MinHashes, MinBands, MinhashThreshold, rounds = 8),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),

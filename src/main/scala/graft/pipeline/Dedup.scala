@@ -232,6 +232,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
+    * between LSH pair output and actual removal (keep one doc per
+    * component of the pair graph). Distributed min-label propagation:
+    * every node starts labeled with its own id; each round a node takes
+    * the min of its label and its neighbors' labels; at fixpoint the
+    * label is the component's minimum id — which doubles as the
+    * canonical survivor. Returns [id, cluster_id].
+    *
+    * Scale: each round is one join + one groupBy(min) on the edge list —
+    * map-side combined, AQE-skew-mitigated, no driver-side union-find
+    * over the node set. Rounds needed = the max distance from a
+    * component's min-id node (≤ diameter); near-dup clusters are
+    * shallow (dup groups, not long chains), so this converges in a few
+    * rounds — the loop stops at the first round with zero label changes.
+    * Lineage is cut per round (localCheckpoint) so the plan does not
+    * stack `maxRounds` joins. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .limit(1).count() > 0
+      labels = next
+      round += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold, using the
     * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale. */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",

@@ -114,6 +114,38 @@ object PipelineSql {
        |FROM sigj WHERE CAST(m AS DOUBLE) / $numHashes >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors Dedup.duplicateClusters over the minhash pair graph:
+    * `rounds` unrolled min-label-propagation steps (node label = min of
+    * own and neighbors' labels). Exact equality with the Spark fixpoint
+    * loop holds when every component's min-id node reaches its farthest
+    * member within `rounds` hops — near-dup clusters are shallow dup
+    * groups, so 8 is ample (the Spark side stops at fixpoint and would
+    * expose a deeper-than-rounds chain as a hash mismatch, loudly). */
+  def dedupClusters(k: Int, numHashes: Int, bands: Int, threshold: Double,
+      rounds: Int): String = {
+    // every CTE here is MATERIALIZED: each round references the previous
+    // label table twice, and an inlined (default) CTE would re-evaluate
+    // the whole upstream chain 2^rounds times
+    val lp = (0 until rounds).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT l.id, least(l.label, coalesce(nb.m, l.label)) AS label
+         |  FROM l$i l LEFT JOIN (
+         |    SELECT e.dst AS id, min(lk.label) AS m
+         |    FROM e JOIN l$i lk ON lk.id = e.src GROUP BY e.dst) nb USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)},
+       |sigj AS (SELECT c.id_a, c.id_b, sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+       |         FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+       |         JOIN sigs sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+       |         GROUP BY c.id_a, c.id_b),
+       |mp AS MATERIALIZED (SELECT id_a, id_b FROM sigj WHERE CAST(m AS DOUBLE) / $numHashes >= $threshold),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mp UNION ALL SELECT id_b, id_a FROM mp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
+       |$lp
+       |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS cluster_id
+       |FROM l$rounds ORDER BY id""".stripMargin
+  }
+
   /** Exact n-gram jaccard over the minhash candidate pairs. */
   def ngramJaccard(k: Int, numHashes: Int, bands: Int): String =
     s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)}

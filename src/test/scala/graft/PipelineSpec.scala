@@ -165,4 +165,16 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(a.getDouble(5) - e.getDouble(5)) <= 3.0, s"p90 $srcKey")
     }
   }
+
+  test("duplicateClusters: min-label propagation resolves chains and separates components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (min label must travel 3 hops), separate pair 10-11,
+    // and a triangle 20-21-22 entered via multiple paths
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
