@@ -625,6 +625,18 @@ object SparkEntry {
         .select(col("doc_id"), col("topic"), round(col("th"), 6).as("theta"))
         .orderBy(col("doc_id"), col("topic"))
     }),
+    // Model-based quality filter signal: per-document perplexity under
+    // the fitted model (inference pass) — the ARTM analogue of
+    // CCNet-style LM-perplexity filtering; docs the model finds
+    // improbable score high and get dropped/audited in curation
+    "artm_doc_perplexity" -> ((s, dir) => {
+      memoized(s, dir, "docperp") {
+        RelationalEm.collectLocal(
+          RelationalEm.docPerplexity(relTok(s, dir), relFit(s, dir).pwt, T)
+            .select(col("doc_id"), round(col("perplexity"), 6).as("perplexity"))
+            .orderBy(col("doc_id")))
+      }
+    }),
     // §2.6 ItemsProcessed — the production E-step's cumulative counters
     // (items + token weight) from one kernel pass; integer-valued sums,
     // so the float32 path is hash-safe against the SQL counts
@@ -1236,6 +1248,7 @@ object SparkEntry {
     "artm_background_tokens" -> RelationalEmSql.backgroundTokens(T, Passes, BgDelta),
     "artm_coherence" -> RelationalEmSql.topTokensCoherence(T, Passes, TopK, CoocWindow),
     "artm_theta_snippet" -> RelationalEmSql.thetaSnippet(T, Passes, SnippetDocs),
+    "artm_doc_perplexity" -> RelationalEmSql.docPerplexity(T, Passes),
     "artm_transform_kernel" ->
       RelationalEmSql.transformKernelArgmax(T, Passes, ArgmaxMargin),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),

@@ -334,6 +334,31 @@ object RelationalEm {
       .select(col("doc_id"), col("topic").cast("long").as("topic"), col("th")))
   } }
 
+  /** Per-document perplexity under a fitted phi (one inference pass,
+    * p_dw with the pass's UPDATED theta — the same quantity pdwb carries
+    * inside a fit pass): [doc_id, perplexity], local. This is the
+    * model-based quality filter of a curation pipeline (documents the
+    * model finds improbable score high and get dropped/audited) — the
+    * ARTM analogue of CCNet-style LM-perplexity filtering. */
+  def docPerplexity(tok: DataFrame, phi: DataFrame, numTopics: Int): DataFrame =
+    withMirrorConf(tok) { scoped { s =>
+    val invT = 1.0 / numTopics
+    val phiArr = phiToArrLocal(phi, numTopics)
+    val tokA = s.cached(tok.join(broadcast(phiArr), Seq("token"))
+      .withColumn("pdw0", aggregate(col("parr"), lit(0.0), _ + _) * lit(invT)))
+    val ntd = tokA
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.VectorOps.doubleVectorSum(
+        transform(col("parr"), p => col("n_dw") * p * lit(invT) / col("pdw0"))).as("ntd"))
+    val thetaArr = toLocal(ntd
+      .withColumn("_tsum", aggregate(col("ntd"), lit(0.0), _ + _))
+      .select(col("doc_id"), transform(col("ntd"), v => v / col("_tsum")).as("tharr")))
+    toLocal(tokA.join(broadcast(thetaArr), Seq("doc_id"))
+      .withColumn("p_dw", dot(col("parr"), col("tharr")))
+      .groupBy(col("doc_id"))
+      .agg(exp(-sum(col("n_dw") * log(col("p_dw"))) / sum(col("n_dw"))).as("perplexity")))
+  } }
+
   /** M-step normalize (+ optional relational regularizers):
     * p = max(n_wt + r_wt, 0) / Σ_w max(n_wt + r_wt, 0) per topic. */
   def normalize(nwt: DataFrame, phiIn: DataFrame, reg: RegCfg): DataFrame = {

@@ -365,6 +365,18 @@ object RelationalEmSql {
        |SELECT doc_id, topic, round(th, 6) AS theta FROM thetaInf ORDER BY doc_id, topic""".stripMargin
   }
 
+  /** Per-document perplexity under the fitted phi (inference pass's
+    * pdwb): [doc_id, perplexity(6)] — the model-based quality-filter
+    * signal (mirror of RelationalEm.docPerplexity). */
+  def docPerplexity(t: Int, passes: Int): String = {
+    val inf = passCtes("tok", s"phi$passes", t, "Inf", None)
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, passes, None)},
+       |$inf
+       |SELECT doc_id, round(exp(-sum(n_dw * ln(p_dw)) / sum(n_dw)), 6) AS perplexity
+       |FROM pdwbInf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Top-k tokens per topic of the fitted phi: [topic, rank, token, p(6)].
     * Rank on the ROUNDED weight (token tie-break) so both engines rank
     * identical values. */
