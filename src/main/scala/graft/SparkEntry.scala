@@ -107,6 +107,8 @@ object SparkEntry {
   private val StratCap = 10        // per-source cap (stratified sample)
   private val PackBudget = 512L    // tokens per packed bin
   private val E2eMinTokens = 5     // pipeline_e2e length-filter floor
+  private val BoilerN = 3          // boilerplate n-gram width
+  private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -1028,6 +1030,14 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: corpus-self boilerplate n-grams (word n-grams in
+    // >= BoilerMinDocs distinct docs — the removal list built before
+    // span-level cleaning)
+    "text_boilerplate" -> ((s, dir) => {
+      graft.pipeline.Dedup.boilerplateNgrams(docs(s, dir),
+          n = BoilerN, minDocs = BoilerMinDocs)
+        .orderBy(col("g"))
+    }),
     // LLM pipeline: benchmark decontamination — corpus docs sharing
     // distinct word n-grams with the eval-set fixture (doc_id < 50); the
     // pre-training screen against test-set leakage
@@ -1281,6 +1291,8 @@ object SparkEntry {
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
+    "text_boilerplate" ->
+      graft.pipeline.PipelineSql.textBoilerplate(BoilerN, BoilerMinDocs),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),

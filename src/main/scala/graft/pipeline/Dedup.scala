@@ -232,6 +232,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
   }
 
+  /** Corpus-self boilerplate n-grams: word n-grams appearing in at least
+    * `minDocs` distinct documents (headers, footers, license blurbs,
+    * navigation chrome — the removal list a curation pipeline builds
+    * before span-level cleaning). Returns [g, n_docs].
+    *
+    * Shape at scale: same as decontaminate's corpus side — repartition,
+    * narrow HOF shingling, then ONE map-side-combined distinct-doc count
+    * per n-gram; the ≥ minDocs filter keeps the result boilerplate-sized
+    * (broadcastable back for span removal). */
+  def boilerplateNgrams(corpus: DataFrame, n: Int = 5, minDocs: Long = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs")) // shingles are distinct per doc
+      .filter(col("n_docs") >= minDocs)
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
     * between LSH pair output and actual removal (keep one doc per
     * component of the pair graph). Distributed min-label propagation:

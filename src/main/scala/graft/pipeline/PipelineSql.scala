@@ -315,6 +315,22 @@ object PipelineSql {
        |GROUP BY gg.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors Dedup.boilerplateNgrams: distinct word n-grams per doc via
+    * window leads, n-grams in >= minDocs distinct docs. */
+  def textBoilerplate(n: Int, minDocs: Long): String = {
+    val leads = (1 until n)
+      .map(i => s"|| ' ' || lead(token, $i) OVER w").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
+       |         generate_subscripts(string_split($norm, ' '), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |g AS (SELECT doc_id, token $leads AS g
+       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |gg AS (SELECT DISTINCT doc_id, g FROM g WHERE g IS NOT NULL)
+       |SELECT g, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM gg GROUP BY g HAVING count(*) >= $minDocs ORDER BY g""".stripMargin
+  }
+
   /** Mirrors TextAnalysis.piiScrub over the planted text (every
     * plantMod-th doc gets an email + URL appended in both engines). */
   def textPiiScrub(plantMod: Int): String = {
