@@ -113,6 +113,16 @@ object SparkEntry {
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
 
+  /** Memoized MinHash-LSH pair table [id_a, id_b, est_jaccard] — shared
+    * by dedup_minhash and dedup_clusters (driver-local: near-dup pairs
+    * are duplicate-sized, not corpus-sized). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "minhashpairs") {
+      RelationalEm.collectLocal(
+        graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
+          numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold))
+    }
+
   // ---- memoized shared fits (driver-local outputs only) ----
 
   private val memo = scala.collection.mutable.HashMap.empty[(Int, String, String), Any]
@@ -913,21 +923,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // LLM pipeline: MinHash-LSH near-duplicate pairs (banded buckets)
-    "dedup_minhash" -> ((s, dir) => {
-      graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
-        numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // LLM pipeline: MinHash-LSH near-duplicate pairs (banded buckets;
+    // the pair table is memoized driver-local — it is duplicate-sized,
+    // not corpus-sized — so dedup_clusters reuses it instead of
+    // re-shingling the corpus)
+    "dedup_minhash" -> ((s, dir) => minhashPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
     // LLM pipeline: near-dup pairs resolved into duplicate CLUSTERS
     // (distributed min-label propagation; cluster_id = component min id
     // = the canonical survivor) — the step between LSH pairs and removal
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
-        numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold)
-      graft.pipeline.Dedup.duplicateClusters(pairs)
-        .orderBy(col("id"))
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      graft.pipeline.Dedup.duplicateClusters(minhashPairs(s, dir))
+        .orderBy(col("id"))),
     // LLM pipeline: exact n-gram jaccard over the LSH candidate pairs
     // (one shared shingle table feeds both the LSH and the exact verify)
     "ngram_jaccard" -> ((s, dir) => {
