@@ -253,22 +253,31 @@ object Dedup {
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
     * between LSH pair output and actual removal (keep one doc per
-    * component of the pair graph). Distributed min-label propagation:
-    * every node starts labeled with its own id; each round a node takes
-    * the min of its label and its neighbors' labels; at fixpoint the
-    * label is the component's minimum id — which doubles as the
-    * canonical survivor. Returns [id, cluster_id].
+    * component of the pair graph). Distributed min-label propagation
+    * with POINTER JUMPING: every node starts labeled with its own id;
+    * each round a node takes the min of (its label, its neighbors'
+    * labels, its label's label). The third term is the pointer-doubling
+    * step — the label forest's paths halve every round, so convergence
+    * is O(log n) rounds even on a long chain (templated docs with
+    * sliding edits — realistic at 100 TB), where plain neighbor
+    * propagation needs diameter rounds. At fixpoint the label is the
+    * component's minimum id — which doubles as the canonical survivor.
+    * Returns [id, cluster_id].
     *
-    * Scale: each round is one join + one groupBy(min) on the edge list —
-    * map-side combined, AQE-skew-mitigated, no driver-side union-find
-    * over the node set. Rounds needed = the max distance from a
-    * component's min-id node (≤ diameter); near-dup clusters are
-    * shallow (dup groups, not long chains), so this converges in a few
-    * rounds — the loop stops at the first round with zero label changes.
-    * Lineage is cut per round (localCheckpoint) so the plan does not
-    * stack `maxRounds` joins. */
+    * Scale: each round is two node-sized joins + one edge-sized
+    * groupBy(min) — map-side combined, AQE-skew-mitigated, no
+    * driver-side union-find over the node set. ONE Spark action per
+    * round: the changed-count is folded into the label table and read
+    * off the same job that materializes the round's lazy localCheckpoint
+    * (lineage cut, so the plan never stacks `maxRounds` joins).
+    *
+    * Never silently truncates: if labels are still moving after
+    * `maxRounds` rounds, throws IllegalStateException rather than
+    * emitting non-converged cluster ids (pointer jumping makes the
+    * default 30 rounds ≈ 2^30-node components — unreachable in
+    * practice, so a raise means a bug, not a tuning problem). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+      idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
     val e0 = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -282,18 +291,35 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // pointer jump: my label's current label (labels always hold node
+      // ids, so the join always matches; left join is belt-and-braces)
+      val viaJump = labels.select(col("id"), col("label").as("jid"))
+        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")), Seq("jid"), "left")
+        .select(col("id"), col("jlabel"))
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
+        .join(viaJump, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .limit(1).count() > 0
-      labels = next
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("newlabel"),
+          col("label").as("prev"))
+        .select(col("id"), col("newlabel").as("label"),
+          (col("newlabel") =!= col("prev")).cast("int").as("chg"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the checkpoint AND
+      // reads the changed count off it
+      val row = next.agg(sum(col("chg"))).first()
+      changed = !row.isNullAt(0) && row.getLong(0) > 0L
+      labels = next.drop("chg")
       round += 1
     }
     edges.unpersist(false)
+    if (changed)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxRounds rounds — " +
+          "labels still moving; raise maxRounds (component deeper than " +
+          s"2^$maxRounds should be impossible: this indicates a bug or bad input)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

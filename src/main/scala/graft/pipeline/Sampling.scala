@@ -117,7 +117,7 @@ object Sampling {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("bin",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    ranged.toDF().mapPartitions { it =>
+    val out = ranged.toDF().mapPartitions { it =>
       var cum = offsets(org.apache.spark.TaskContext.getPartitionId())
       it.map { r =>
         val row = Row.fromSeq(r.toSeq :+ cum :+ (cum / budget))
@@ -125,10 +125,37 @@ object Sampling {
         row
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+    pinnedByPack.put(out.queryExecution.analyzed, ranged)
+    out
   }
 
+  /** The persist each packSequences output pins, keyed by the output's
+    * analyzed-plan node (plans are immutable trees, so that node survives
+    * by object identity inside any DataFrame derived from the output).
+    * Lets unpersistPacked release exactly that handle — never
+    * `clearCache()`, which would evict every OTHER persist in the session
+    * (a caller's shingle table, a memoized fit). */
+  private val pinnedByPack =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[Any, DataFrame]())
+
   /** Release the persist pinned by packSequences (the plan's layout
-    * consistency only matters while both passes run). */
-  def unpersistPacked(df: DataFrame): Unit =
-    df.sparkSession.catalog.clearCache()
+    * consistency only matters while both passes run). Pass the DataFrame
+    * packSequences returned, or anything derived from it — the pinned
+    * handle is found by plan-subtree identity. */
+  def unpersistPacked(df: DataFrame): Unit = {
+    val nodes = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Any, java.lang.Boolean]())
+    df.queryExecution.analyzed.foreach(n => nodes.add(n))
+    pinnedByPack.synchronized {
+      val it = pinnedByPack.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (nodes.contains(e.getKey)) {
+          e.getValue.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+    }
+  }
 }

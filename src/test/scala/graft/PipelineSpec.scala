@@ -177,4 +177,25 @@ class PipelineSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("duplicateClusters: pointer jumping converges a 1000-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a single 1000-node path — the worst case for plain neighbor
+    // propagation (999 rounds); pointer jumping must do it within the
+    // default 30-round budget (≈ log2 budget for 2^30 nodes)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 1000)
+    assert(got.forall(_._2 === 0L), "every chain node must label to the component min")
+  }
+
+  test("duplicateClusters: raises instead of silently truncating at maxRounds") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

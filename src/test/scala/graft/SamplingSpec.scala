@@ -46,7 +46,8 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("packSequences matches a sequential reference packing") {
-    val packed = Sampling.packSequences(rows, "n_tok", budget = 100L)
+    val packedDf = Sampling.packSequences(rows, "n_tok", budget = 100L)
+    val packed = packedDf
       .select("doc_id", "cum_before", "bin")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     // sequential oracle
@@ -58,7 +59,26 @@ class SamplingSpec extends SparkSpec {
       out
     }
     assert(packed.toSeq === expect)
-    Sampling.unpersistPacked(rows)
+    Sampling.unpersistPacked(packedDf)
+  }
+
+  test("unpersistPacked releases only the pack's own persist") {
+    val bystander = rows.select(col("doc_id")).persist()
+    bystander.count() // materialize
+    val packedDf = Sampling.packSequences(rows, "n_tok", budget = 100L)
+    packedDf.count()
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    Sampling.unpersistPacked(packedDf)
+    // an unrelated persisted table survives the pack+unpersist cycle...
+    assert(bystander.storageLevel.useMemory,
+      "bystander persist must survive unpersistPacked")
+    // ...while the pack's own pinned layout is released
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.size >= pinnedBefore
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size < pinnedBefore,
+      "pack's pinned persist must be released")
+    bystander.unpersist()
   }
 
   test("ngramRepetition computes top n-gram shares with hand-checked values") {
@@ -109,12 +129,12 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("packSequences is partition-count independent") {
-    val p3 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 3)
-      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    spark.catalog.clearCache()
-    val p17 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 17)
-      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    spark.catalog.clearCache()
+    val d3 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 3)
+    val p3 = d3.select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Sampling.unpersistPacked(d3)
+    val d17 = Sampling.packSequences(rows, "n_tok", 100L, numPartitions = 17)
+    val p17 = d17.select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Sampling.unpersistPacked(d17)
     assert(p3 === p17)
   }
 }
