@@ -984,12 +984,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // LLM pipeline: LSH ANN top-k (hyperplane buckets, multi-probe,
-    // 2 OR-ed tables). The hyperplanes come from the engine MT19937, so
-    // no SQL oracle exists — rows-only driver check; recall@10 >= 0.9 vs
-    // brute force is asserted in PipelineSpec, and the entry gives the
-    // scale path a tracked bench wall-time. 4 planes / 16 buckets per
-    // table keeps buckets populated at the smoke SF (500 vectors) while
-    // still exercising the bucket join instead of the crossJoin.
+    // 2 OR-ed tables) — under the FULL oracle: the hyperplane components
+    // are md5-derived doubles (Ann.planeComponent — the initPhi trick),
+    // so bucket assignment, probing, and the exact rerank are all
+    // replayed by PipelineSql.annLsh in DuckDB. Recall@10 >= 0.9 vs
+    // brute force is separately asserted in PipelineSpec. 4 planes /
+    // 16 buckets per table keeps buckets populated at the smoke SF
+    // (500 vectors) while still exercising the bucket join instead of
+    // the crossJoin.
     "ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Ann.lshTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
@@ -998,12 +1000,15 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
-    // LLM pipeline: IVF ANN top-k (seeded Lloyd codebook, nprobe cells) —
-    // rows-only for the same reason as ann_lsh (driver-side kmeans state)
+    // LLM pipeline: IVF ANN top-k — under the FULL oracle with the
+    // iters = 0 codebook (the md5-ordered sample pick, SQL-expressible
+    // via PipelineSql.annIvf); Lloyd refinement (iters > 0) changes only
+    // the codebook quality, not the operator shape, and is covered by
+    // PipelineSpec's recall assertions.
     "ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Ann.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
-        numCentroids = 16, nprobe = 4)
+        numCentroids = 16, nprobe = 4, iters = 0)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
@@ -1289,6 +1294,10 @@ object SparkEntry {
     "dedup_clusters" -> graft.pipeline.PipelineSql.dedupClusters(
       ShingleK, MinHashes, MinBands, MinhashThreshold, rounds = 8),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),
+    "ann_lsh" -> graft.pipeline.PipelineSql.annLsh(AnnQueries, AnnK,
+      planes = 4, probes = 4, seed = 42, tables = 2),
+    "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,
+      numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(

@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Rng
 
 /** Approximate nearest-neighbor search over an embedding column
   * (array<float>).
@@ -57,12 +56,31 @@ object Ann {
     hyperplaneSignatures(emb, idCol, vecCol, planes, seed, tables = 1)
       .drop("table")
 
+  /** md5-derived hyperplane component: uniform [-0.5, 0.5) double from
+    * the first 8 hex chars of md5("plane <seed+table> <plane> <i>") — the
+    * initPhi determinism trick (RelationalEm.scala): a pure function of
+    * the coordinates, so bucket assignment is replicable in ANY engine
+    * with md5. This is what puts the whole LSH top-k under the DuckDB
+    * oracle (PipelineSql.annLsh):
+    * `('0x' || substr(md5(...), 1, 8))::UBIGINT / 2^32 - 0.5`. */
+  private[pipeline] def planeComponent(seedT: Int, p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"plane $seedT $p $i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var u = 0L
+    var b = 0
+    while (b < 4) { u = (u << 8) | (d(b) & 0xffL); b += 1 }
+    u / 4294967296.0 - 0.5
+  }
+
   /** Multi-table variant: `tables` independent signatures per vector
     * (table 0 uses the same hyperplanes as [[hyperplaneSignature]]),
     * emitted as one row per (vector, table) from a SINGLE narrow pass —
     * the classic OR-construction of LSH: each table stays selective
     * (2^planes buckets) while the union of tables drives recall, since a
     * neighbor is missed only if it hashes away in EVERY table.
+    * Dot products accumulate in DOUBLE, sequential array order — the
+    * same fold the SQL oracle's list_sum performs, so the sign bits (and
+    * hence every bucket) agree across engines.
     * Returns [id, vec, table, bucket]. */
   def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, seed: Int, tables: Int): DataFrame = {
@@ -70,14 +88,10 @@ object Ann {
     val first = emb.select(col(vecCol)).limit(1).collect()
     require(first.nonEmpty, "empty embedding table")
     val dim = first(0).getSeq[Float](0).length
-    // deterministic uniform[-0.5, 0.5) hyperplanes from the engine RNG
-    // (raw MT19937 draws — generateRandomVector L1-normalizes to a
-    // near-constant simplex point, which would collapse every plane onto
-    // the same direction); table t shifts the seed so tables are
-    // independent
-    val planeVecs: Array[Array[Array[Float]]] = Array.tabulate(tables, planes) { (t, p) =>
-      val rng = new Rng.Mt19937(Rng.tokenHash("@plane", p.toString, seed + t).toInt)
-      Array.fill(dim)(rng.nextFloat01() - 0.5f)
+    // deterministic uniform[-0.5, 0.5) md5-derived hyperplanes; table t
+    // shifts the seed so tables are independent
+    val planeVecs: Array[Array[Array[Double]]] = Array.tabulate(tables, planes) { (t, p) =>
+      Array.tabulate(dim)(i => planeComponent(seed + t, p, i))
     }
     val bPlanes = spark.sparkContext.broadcast(planeVecs)
 
@@ -88,7 +102,7 @@ object Ann {
         var bucket = 0L
         var p = 0
         while (p < ps.length) {
-          var s = 0.0f
+          var s = 0.0
           var i = 0
           val pv = ps(p)
           while (i < pv.length && i < arr.length) { s += pv(i) * arr(i); i += 1 }
@@ -102,26 +116,43 @@ object Ann {
       posexplode(sigUdf(col(vecCol))).as(Seq("table", "bucket")))
   }
 
+  /** Multi-probe perturbation masks by increasing Hamming distance:
+    * exact bucket, all 1-bit flips, then 2-bit flips — `probes` masks
+    * total. Shared with the SQL oracle generator (PipelineSql.annLsh) so
+    * the probed bucket set cannot drift between engines. */
+  def probeMasks(planes: Int, probes: Int): Seq[Long] = {
+    val singles = (0 until planes).map(p => 1L << p)
+    val pairs = for {
+      a <- 0 until planes; b <- (a + 1) until planes
+    } yield (1L << a) | (1L << b)
+    (Seq(0L) ++ singles ++ pairs).take(math.max(1, probes))
+  }
+
   /** Deterministic k-means centroids from a bounded sample (Lloyd driver-
     * side on ≤ sampleSize vectors — the standard IVF training shape: the
-    * codebook is tiny and global, the assignment pass is distributed). */
+    * codebook is tiny and global, the assignment pass is distributed).
+    * The initial codebook is the first `numCentroids` sample vectors in
+    * (md5("ivf " + id), id) order — a deterministic uniform pick that any
+    * engine with md5 reproduces, so the iters = 0 codebook (and with it
+    * the whole IVF top-k) is SQL-expressible (PipelineSql.annIvf). */
   def trainCentroids(emb: DataFrame, vecCol: String, numCentroids: Int,
       iters: Int = 5, sampleSize: Int = 10000, seed: Int = 42,
       idCol: String = "vec_id"): Array[Array[Float]] = {
     val sample = emb.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(sample.nonEmpty, "empty embedding table")
     val k = math.min(numCentroids, sample.length)
-    // seeded initial pick, then Lloyd iterations (L2)
-    val cents = Array.tabulate(k) { i =>
-      val idx = (Rng.tokenHash("@ivf", i.toString, seed) % sample.length).toInt
-      sample(math.floorMod(idx, sample.length)).clone()
-    }
+    // md5-ordered initial pick, then Lloyd iterations (L2)
+    val cents = sample
+      .map { case (id, v) => (md5Hex(s"ivf $id"), id, v) }
+      .sortBy(t => (t._1, t._2))
+      .take(k).map(_._3.clone())
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val sums = Array.fill(k)(new Array[Double](sample(0)._2.length))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
+      sample.foreach { case (_, v) =>
         val c = nearestCentroid(v, cents)
         counts(c) += 1
         var i = 0
@@ -142,6 +173,16 @@ object Ann {
     cents
   }
 
+  private def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  // L2 distances accumulate in DOUBLE over double-widened floats,
+  // sequential order — the same arithmetic the SQL oracle's
+  // `(v::DOUBLE[] - c)²` list_sum performs, so argmin cell assignment
+  // agrees across engines (ties broken by centroid index in both)
   private def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -151,7 +192,7 @@ object Ann {
       var i = 0
       val cc = cents(c)
       while (i < v.length && i < cc.length) {
-        val x = v(i) - cc(i); d += x * x; i += 1
+        val x = v(i).toDouble - cc(i).toDouble; d += x * x; i += 1
       }
       if (d < bestD) { bestD = d; best = c }
       c += 1
@@ -164,7 +205,7 @@ object Ann {
       var d = 0.0
       var i = 0
       while (i < v.length && i < cents(c).length) {
-        val x = v(i) - cents(c)(i); d += x * x; i += 1
+        val x = v(i).toDouble - cents(c)(i).toDouble; d += x * x; i += 1
       }
       (c, d)
     }.sortBy(_._2).take(n).map(_._1)
@@ -215,13 +256,7 @@ object Ann {
     val c = hyperplaneSignatures(corpus, idCol, vecCol, planes, seed, tables)
     val q0 = hyperplaneSignatures(queries, idCol, vecCol, planes, seed, tables)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("table"), col("bucket"))
-    // multi-probe perturbations by increasing Hamming distance: exact
-    // bucket, all 1-bit flips, then 2-bit flips — `probes` masks total
-    val singles = (0 until planes).map(p => 1L << p)
-    val pairs = for {
-      a <- 0 until planes; b <- (a + 1) until planes
-    } yield (1L << a) | (1L << b)
-    val masks = (Seq(0L) ++ singles ++ pairs).take(math.max(1, probes))
+    val masks = probeMasks(planes, probes)
     val q = q0.select(col("query_id"), col("qvec"), col("table"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
 

@@ -170,6 +170,88 @@ object PipelineSql {
        |SELECT query_id, rank, id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors Ann.lshTopK end to end: md5-derived hyperplane components
+    * (`('0x' || substr(md5('plane <seed+t> <p> <i>'), 1, 8))::UBIGINT /
+    * 2^32 - 0.5` — the exact doubles Ann.planeComponent computes), dot
+    * products as double list_sum folds (same sequential order as the
+    * operator's accumulate loop, so every sign bit — and hence every
+    * bucket — agrees), multi-probe masks from the SHARED
+    * Ann.probeMasks, then the exact cosine rerank. */
+  def annLsh(numQueries: Int, k: Int, planes: Int, probes: Int,
+      seed: Int, tables: Int): String = {
+    def dot(t: Int, p: Int) =
+      s"""list_sum([v[i+1] * (('0x' || substr(md5('plane ${seed + t} $p ' || i::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 - 0.5) for i in range(0, len(v))])"""
+    def bucket(t: Int) = (0 until planes)
+      .map(p => s"(CASE WHEN ${dot(t, p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val sigCols = (0 until tables)
+      .map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n  ")
+    val sigUnion = (0 until tables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    val masks = Ann.probeMasks(planes, probes).mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id,
+       |  $sigCols
+       |  FROM base),
+       |sigl AS ($sigUnion),
+       |qp AS (SELECT vec_id AS query_id, tbl, xor(bucket, CAST(m.m AS BIGINT)) AS bucket
+       |       FROM sigl CROSS JOIN (SELECT unnest([$masks]) AS m) m
+       |       WHERE vec_id < $numQueries),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS id
+       |         FROM qp q JOIN sigl c ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE c.vec_id <> q.query_id),
+       |scored AS (SELECT cd.query_id, cd.id,
+       |                  list_cosine_similarity(bc.v, bq.v) AS cosine
+       |           FROM cand cd JOIN base bc ON bc.vec_id = cd.id
+       |           JOIN base bq ON bq.vec_id = cd.query_id),
+       |ranked AS (SELECT query_id, id, cosine,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS BIGINT) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirrors Ann.ivfTopK with iters = 0: the codebook is the first
+    * `numCentroids` sample vectors in (md5('ivf ' || id), id) order —
+    * Ann.trainCentroids' md5-ordered pick — cell assignment is the
+    * double-L2 argmin with index tiebreak (the operator's
+    * nearestCentroid loop), probes the `nprobe` nearest cells, exact
+    * cosine rerank inside them. */
+  def annIvf(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
+      sampleSize: Int): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $sampleSize),
+       |cents AS (SELECT c, cv FROM (
+       |  SELECT row_number() OVER (
+       |    ORDER BY md5('ivf ' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+       |    v AS cv FROM samp) WHERE c < $numCentroids),
+       |dist AS (SELECT b.vec_id, c.c,
+       |  list_sum([(b.v[i+1] - c.cv[i+1]) * (b.v[i+1] - c.cv[i+1])
+       |            for i in range(0, len(b.v))]) AS d
+       |  FROM base b CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, c AS cell FROM (
+       |  SELECT vec_id, c, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d, c) AS rk FROM dist) WHERE rk = 1),
+       |qprobe AS (SELECT vec_id AS query_id, c AS cell FROM (
+       |  SELECT vec_id, c, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d, c) AS rk FROM dist
+       |  WHERE vec_id < $numQueries) WHERE rk <= $nprobe),
+       |cand AS (SELECT q.query_id, a.vec_id AS id
+       |         FROM qprobe q JOIN assign a ON a.cell = q.cell
+       |         WHERE a.vec_id <> q.query_id),
+       |scored AS (SELECT cd.query_id, cd.id,
+       |                  list_cosine_similarity(bc.v, bq.v) AS cosine
+       |           FROM cand cd JOIN base bc ON bc.vec_id = cd.id
+       |           JOIN base bq ON bq.vec_id = cd.query_id),
+       |ranked AS (SELECT query_id, id, cosine,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS BIGINT) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Mirrors the dedup_embedding entry: embeddings ∪ ×2-scaled copies of
     * the first `plants` vectors (ids shifted by `idOffset`), then ALL
     * pairs with cosine >= threshold — a sound oracle because the planted
