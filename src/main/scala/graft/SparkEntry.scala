@@ -1049,6 +1049,19 @@ object SparkEntry {
           n = BoilerN, minDocs = BoilerMinDocs)
         .orderBy(col("g"))
     }),
+    // LLM pipeline: boilerplate span REMOVAL — the corpus-self n-gram
+    // list applied back to the text (broadcast list join + span
+    // excision; md5 of the scrubbed text hash-checks every kept token
+    // and its order — the text_pii_scrub pattern)
+    "text_boilerplate_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bl = graft.pipeline.Dedup.boilerplateNgrams(d,
+        n = BoilerN, minDocs = BoilerMinDocs)
+      graft.pipeline.Dedup.boilerplateScrub(d, bl, n = BoilerN)
+        .select(col("id").as("doc_id"), col("n_removed"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: benchmark decontamination — corpus docs sharing
     // distinct word n-grams with the eval-set fixture (doc_id < 50); the
     // pre-training screen against test-set leakage
@@ -1308,6 +1321,8 @@ object SparkEntry {
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_boilerplate" ->
       graft.pipeline.PipelineSql.textBoilerplate(BoilerN, BoilerMinDocs),
+    "text_boilerplate_scrub" ->
+      graft.pipeline.PipelineSql.textBoilerplateScrub(BoilerN, BoilerMinDocs),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),

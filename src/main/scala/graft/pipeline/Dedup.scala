@@ -251,6 +251,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs")) // shingles are distinct per doc
       .filter(col("n_docs") >= minDocs)
 
+  /** Apply a boilerplate removal list (the [[boilerplateNgrams]] output)
+    * to text: excise every span covered by a listed word n-gram — the
+    * curation step the list exists for. A token is removed iff some
+    * listed n-gram starts at a position p with p <= pos < p + n; spans
+    * union (overlapping boilerplate removes once). Returns
+    * [id, scrubbed, n_removed] over the normalized (lowercased,
+    * whitespace-collapsed) text.
+    *
+    * Shape at scale — no UDF, no driver collect:
+    *  1. positional n-grams via the same narrow HOF as [[shingles]]
+    *     (repartition first: the CPU hot spot);
+    *  2. hit positions = gram join against the BROADCAST removal list
+    *     (boilerplate-sized by construction — the >= minDocs filter);
+    *  3. covered positions per doc: explode each hit's n-token span,
+    *     collect_set per doc — hit-docs-sized, not corpus-sized;
+    *  4. one doc-keyed left join back, then a narrow indexed-HOF filter
+    *     + array_join rebuilds the text. */
+  def boilerplateScrub(corpus: DataFrame, ngrams: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toksCol = split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ")
+    val grams = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(transform(toksCol, (_, i) =>
+          when(i + lit(n) <= size(toksCol), array_join(slice(toksCol, i + lit(1), lit(n)), " "))))
+          .as(Seq("p", "g")))
+      .filter(col("g").isNotNull)
+    val covered = grams
+      .join(broadcast(ngrams.select(col("g"))), Seq("g"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("j"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("j")).as("cov"))
+    corpus
+      .select(col(idCol).cast("long").as("id"), toksCol.as("toks"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cov"), typedLit(Array.empty[Int])).as("cov"),
+        col("toks"))
+      .select(col("id"),
+        array_join(filter(col("toks"), (_, i) => !array_contains(col("cov"), i)), " ")
+          .as("scrubbed"),
+        size(col("cov")).cast("long").as("n_removed"))
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
     * between LSH pair output and actual removal (keep one doc per
     * component of the pair graph). Distributed min-label propagation

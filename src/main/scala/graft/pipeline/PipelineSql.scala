@@ -413,6 +413,43 @@ object PipelineSql {
        |FROM gg GROUP BY g HAVING count(*) >= $minDocs ORDER BY g""".stripMargin
   }
 
+  /** Mirrors Dedup.boilerplateScrub over the corpus-self removal list:
+    * positional n-grams, the >= minDocs boilerplate pool, covered
+    * positions = union of listed-gram spans, kept tokens re-joined in
+    * position order (md5 of the scrubbed text — the text_pii_scrub
+    * pattern). Docs whose normalized text is empty hash the empty
+    * string in both engines. */
+  def textBoilerplateScrub(n: Int, minDocs: Long): String = {
+    val leads = (1 until n)
+      .map(i => s"|| ' ' || lead(token, $i) OVER w").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
+       |         generate_subscripts(string_split($norm, ' '), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |g AS (SELECT doc_id, pos, token $leads AS g
+       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |gg AS (SELECT DISTINCT doc_id, g FROM g WHERE g IS NOT NULL),
+       |bl AS (SELECT g FROM gg GROUP BY g HAVING count(*) >= $minDocs),
+       |hit AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN bl USING (g)
+       |        WHERE g.g IS NOT NULL),
+       |cov AS (SELECT DISTINCT t.doc_id, t.pos FROM tok t
+       |        JOIN hit h ON h.doc_id = t.doc_id
+       |         AND t.pos >= h.pos AND t.pos < h.pos + $n),
+       |kept AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+       |         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |         WHERE c.pos IS NULL),
+       |scr AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS s
+       |        FROM kept GROUP BY doc_id),
+       |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+       |         FROM cov GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  coalesce(nrem.n_removed, 0) AS n_removed,
+       |  md5(coalesce(scr.s, '')) AS scrubbed_md5
+       |FROM documents d LEFT JOIN scr ON scr.doc_id = d.doc_id
+       |LEFT JOIN nrem ON nrem.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors TextAnalysis.piiScrub over the planted text (every
     * plantMod-th doc gets an email + URL appended in both engines). */
   def textPiiScrub(plantMod: Int): String = {

@@ -178,6 +178,26 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("boilerplateScrub excises listed n-gram spans, unions overlaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "keep subscribe to our newsletter keep2"),   // one listed 3-gram mid-doc
+      (1L, "subscribe to our newsletter today"),        // overlapping spans union
+      (2L, "nothing listed here at all"),
+      (3L, "")).toDF("doc_id", "text")
+    // removal list: two overlapping 3-grams
+    val bl = Seq("subscribe to our", "to our newsletter").toDF("g")
+    val r = graft.pipeline.Dedup.boilerplateScrub(docs, bl, n = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    // doc 0: positions 1-3 ("subscribe to our") and 2-4 ("to our newsletter")
+    //        both listed -> tokens 1..4 removed
+    assert(r(0L) === (("keep keep2", 4L)))
+    // doc 1: positions 0-2 and 1-3 removed -> only "today" survives
+    assert(r(1L) === (("today", 4L)))
+    assert(r(2L) === (("nothing listed here at all", 0L)))
+    assert(r(3L) === (("", 0L)))
+  }
+
   test("duplicateClusters: pointer jumping converges a 1000-node chain in O(log n) rounds") {
     import spark.implicits._
     // a single 1000-node path — the worst case for plain neighbor
