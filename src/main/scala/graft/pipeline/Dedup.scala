@@ -213,10 +213,15 @@ object Dedup {
     *
     * Shape at scale: both sides shingle in one narrow HOF pass; the join
     * is keyed on the n-gram with the benchmark side aggregated to a
-    * distinct set first — benchmarks are tiny relative to a 100 TB
-    * corpus, so the set broadcasts (AQE picks it from runtime stats) and
-    * the corpus streams through without a shuffle; per-doc hit counts
-    * then map-side combine on id. */
+    * distinct set and BROADCAST by hint — benchmarks are tiny relative
+    * to a 100 TB corpus by definition, and the static hint matters:
+    * without it the planner picks sort-merge from (unknowable) static
+    * stats, and even though AQE converts to broadcast at runtime, the
+    * corpus side's exploded n-gram stream has already been WRITTEN as a
+    * shuffle map stage by then — the single most expensive byte-moving
+    * step the query could take. With the hint the corpus streams through
+    * the join with no shuffle at all; per-doc hit counts then map-side
+    * combine on id. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // repartition before shingling (the shingleTable rationale): n-gram
@@ -227,7 +232,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"),
         explode(shingles(col(textCol), n)).as("g"))
     val benchSh = benchmark.select(explode(shingles(col(textCol), n)).as("g")).distinct()
-    corpusSh.join(benchSh, Seq("g"))
+    corpusSh.join(broadcast(benchSh), Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
   }

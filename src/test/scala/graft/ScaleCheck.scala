@@ -59,6 +59,30 @@ object ScaleCheck {
           packed.count()
           graft.pipeline.Sampling.unpersistPacked(packed)
         },
+        "text_decontaminate (bcast pool)" -> time {
+          // bench fixture shape: eval set = a slice of the corpus
+          graft.pipeline.Dedup.decontaminate(
+            docsR.filter(col("doc_id") % 10000000L >= 50),
+            docsR.filter(col("doc_id") % 10000000L < 50), n = 5).count()
+        },
+        "text_boilerplate (+scrub)" -> time {
+          val bl = graft.pipeline.Dedup.boilerplateNgrams(docsR, n = 3, minDocs = 5)
+          graft.pipeline.Dedup.boilerplateScrub(docsR, bl, n = 3).count()
+        },
+        "dedup_simhash_pairs (pigeonhole)" -> time {
+          graft.pipeline.Dedup.simhashPairs(docsR, maxHamming = 3).count()
+        },
+        "dedup_clusters (pointer jump)" -> time {
+          // synthetic 64-node chain segments, edges ∝ corpus rows:
+          // replica minhash pairs would grow quadratically BY DATA
+          // CONSTRUCTION (every doc pairs with its replicas), which
+          // would measure the fixture, not the operator; fixed-depth
+          // segments isolate the label-propagation rounds themselves
+          val pairs = spark.range(n)
+            .filter(col("id") % 64 =!= 63)
+            .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+          graft.pipeline.Dedup.duplicateClusters(pairs).count()
+        },
         "kernel_fit 2 passes (E/M-step)" -> time {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)

@@ -41,6 +41,50 @@ class StreamingSpec extends SparkSpec {
     colSums.foreach(s => assert(math.abs(s - 1.0f) < 1e-3))
   }
 
+  test("streaming fit_online matches batch fit_online bit-exactly, chunk for chunk") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // shuffle.partitions = 1 + single-partition chunks make every float
+    // aggregation order deterministic, so the two paths — which share the
+    // same E-step, decay merge, and normalize — must agree to the BIT
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 60)
+      val corpus = Corpus.fromDocumentsTable(docsTable).cache()
+      val dict = DictionaryOps.gather(corpus)
+      val pwt0 = PhiOps.initializeModel(dict, 4, seed = 7)
+      val cfg = Fit.Config(numTopics = 4, estep = EStepConfig(numDocumentPasses = 2))
+      val all = corpus.collect().toSeq.sortBy(_.doc_id)
+      val chunkSeqs = all.grouped(20).toSeq // 3 chunks, same split on both paths
+      val chunks = chunkSeqs.map(c => spark.createDataset(c).coalesce(1))
+      val batch = Fit.fitOnline(chunks, pwt0, cfg, tau0 = 64.0, kappa = 0.7)
+
+      val fitter = new StreamingOnlineFit(pwt0, cfg, tau0 = 64.0, kappa = 0.7)
+      val stream = MemoryStream[Doc]
+      val query = fitter.writer(stream.toDS()).start()
+      try {
+        // one addData + drain per chunk = one micro-batch per chunk — the
+        // same chunking (and so the same rho_i schedule) as the batch run
+        chunkSeqs.foreach { c => stream.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+
+      val a = batch.pwt.select(col("class_id"), col("token"),
+        posexplode(col("weights")).as(Seq("topic", "wa")))
+      val b = fitter.currentPwt.select(col("class_id"), col("token"),
+        posexplode(col("weights")).as(Seq("topic", "wb")))
+      val row = a.join(b, Seq("class_id", "token", "topic"), "full")
+        .agg(max(abs(col("wa") - col("wb"))), count(lit(1)),
+          sum(when(col("wa").isNull || col("wb").isNull, 1).otherwise(0))).head()
+      info(s"${row.getLong(1)} phi cells, max |stream - batch| = ${row.get(0)}")
+      assert(row.getLong(2) === 0L, "same (class, token, topic) support")
+      assert(row.getLong(1) > 0L)
+      assert(!row.isNullAt(0) && row.getFloat(0) === 0.0f,
+        "streaming decay-merge must equal batch fit_online bit-for-bit")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("streaming transform matches batch transform exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
