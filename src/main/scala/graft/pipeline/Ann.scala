@@ -63,7 +63,7 @@ object Ann {
     * with md5. This is what puts the whole LSH top-k under the DuckDB
     * oracle (PipelineSql.annLsh):
     * `('0x' || substr(md5(...), 1, 8))::UBIGINT / 2^32 - 0.5`. */
-  private[pipeline] def planeComponent(seedT: Int, p: Int, i: Int): Double = {
+  private[graft] def planeComponent(seedT: Int, p: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(s"plane $seedT $p $i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var u = 0L
@@ -81,10 +81,15 @@ object Ann {
     * Dot products accumulate in DOUBLE, sequential array order — the
     * same fold the SQL oracle's list_sum performs, so the sign bits (and
     * hence every bucket) agree across engines.
+    *
+    * The signature is a native codegen'd Catalyst expression
+    * ([[graft.functions.HyperplaneSignature]]), not a ScalaUDF: the scan
+    * → signature → posexplode pipeline stays inside one
+    * WholeStageCodegen span, with the plane matrix embedded as a codegen
+    * reference object (constant-sized: tables × planes × dim doubles).
     * Returns [id, vec, table, bucket]. */
   def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, seed: Int, tables: Int): DataFrame = {
-    val spark = emb.sparkSession
     val first = emb.select(col(vecCol)).limit(1).collect()
     require(first.nonEmpty, "empty embedding table")
     val dim = first(0).getSeq[Float](0).length
@@ -93,27 +98,11 @@ object Ann {
     val planeVecs: Array[Array[Array[Double]]] = Array.tabulate(tables, planes) { (t, p) =>
       Array.tabulate(dim)(i => planeComponent(seed + t, p, i))
     }
-    val bPlanes = spark.sparkContext.broadcast(planeVecs)
-
-    val sigUdf = udf { (vec: Seq[Float]) =>
-      val ts = bPlanes.value
-      val arr = vec.toArray
-      ts.map { ps =>
-        var bucket = 0L
-        var p = 0
-        while (p < ps.length) {
-          var s = 0.0
-          var i = 0
-          val pv = ps(p)
-          while (i < pv.length && i < arr.length) { s += pv(i) * arr(i); i += 1 }
-          if (s > 0) bucket |= (1L << p)
-          p += 1
-        }
-        bucket
-      }.toSeq
-    }
+    import org.apache.spark.sql.GraftColumnBridge
+    val sigCol = GraftColumnBridge.column(graft.functions.HyperplaneSignature(
+      GraftColumnBridge.expression(col(vecCol)), planeVecs))
     emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-      posexplode(sigUdf(col(vecCol))).as(Seq("table", "bucket")))
+      posexplode(sigCol).as(Seq("table", "bucket")))
   }
 
   /** Multi-probe perturbation masks by increasing Hamming distance:

@@ -59,6 +59,38 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane signature is a codegen'd native expression (no ScalaUDF in the plan)") {
+    import spark.implicits._
+    val emb = (0 until 32)
+      .map(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 97f)))
+      .toDF("vec_id", "embedding")
+    val sig = Ann.hyperplaneSignatures(emb, "vec_id", "embedding",
+      planes = 4, seed = 42, tables = 2)
+    val p = executedPlan(sig)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"hyperplane signature fell back to a UDF:\n$p")
+    // `*(n)` is the compact WholeStageCodegen stage marker: the Generate
+    // evaluating hyperplane_signature must sit inside a codegen stage
+    assert(p.linesIterator.exists(l =>
+      l.contains("hyperplane_signature") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      s"signature projection left whole-stage codegen:\n$p")
+    // codegen and interpreted eval agree bit for bit (the oracle depends
+    // on the accumulation order)
+    val planesArr = Array.tabulate(2, 4)((t, pl) =>
+      Array.tabulate(8)(i => Ann.planeComponent(42 + t, pl, i)))
+    val got = sig.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    got.foreach { case (id, t, bucket) =>
+      val v = Array.tabulate(8)(j => (id * 8 + j).toFloat / 97f)
+      var expect = 0L
+      for (pl <- 0 until 4) {
+        var s = 0.0
+        for (i <- 0 until 8) s += planesArr(t)(pl)(i) * v(i)
+        if (s > 0) expect |= (1L << pl)
+      }
+      assert(bucket === expect, s"bucket mismatch for vec $id table $t")
+    }
+  }
+
   test("ANN brute force keeps the two-phase top-k (no global sort of all scores)") {
     import spark.implicits._
     val emb = (0 until 30).map { i =>
