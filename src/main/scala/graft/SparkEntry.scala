@@ -107,6 +107,8 @@ object SparkEntry {
   private val StratCap = 10        // per-source cap (stratified sample)
   private val PackBudget = 512L    // tokens per packed bin
   private val E2eMinTokens = 5     // pipeline_e2e length-filter floor
+  private val SqlKeepRate = 0.5    // sql_surface sampling-decision rate
+  private val SqlKeepSalt = "sqlsurface"
   private val BoilerN = 3          // boilerplate n-gram width
   private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
 
@@ -1033,6 +1035,30 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // SQL surface: the registered graft_* functions driven entirely
+    // through spark.sql — one per-doc report touching tokenization,
+    // quality, language ID, fingerprints, PII counts and the
+    // deterministic sampling decision. The oracle replays the same
+    // report from the per-operator DuckDB mirrors, so this row guards
+    // BOTH surfaces: a graft_* builder drifting from its DataFrame
+    // twin breaks the hash.
+    "sql_surface" -> ((s, dir) => {
+      GraftFunctions.install(s)
+      docs(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql(s"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(graft_ws_tokens(text) AS BIGINT) AS ws_tokens,
+          CAST(graft_bpeish_tokens(text) AS BIGINT) AS bpeish_tokens,
+          round(graft_quality(text), 6) AS quality,
+          graft_lang_id(text) AS lang_pred,
+          graft_fingerprint(text) AS fingerprint,
+          graft_rolling_fp(text) AS rolling_fp,
+          graft_n_urls(text) AS n_urls,
+          graft_n_emails(text) AS n_emails,
+          CAST(CASE WHEN graft_sample_keep(doc_id, '$SqlKeepSalt', $SqlKeepRate)
+               THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM graft_documents ORDER BY doc_id""")
+    }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
@@ -1316,6 +1342,7 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "sql_surface" -> graft.pipeline.PipelineSql.sqlSurface(SqlKeepRate, SqlKeepSalt),
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),

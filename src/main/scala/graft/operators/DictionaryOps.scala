@@ -76,12 +76,15 @@ object DictionaryOps {
     var survivors = dict.filter(!applies || cond)
 
     args.maxDictionarySize.foreach { k =>
-      val n = survivors.count()
-      if (k < n) {
-        // (k+1)-th largest df among survivors = the reference's
-        // df_values[max_dictionary_size] after a descending sort
-        val threshold = survivors.select($"df").orderBy($"df".desc)
-          .limit(k + 1).agg(min($"df")).as[Float].head()
+      // one driver action: the top-(k+1) df list decides both "is the cap
+      // binding" (fewer than k+1 rows back => no-op) and the threshold —
+      // the reference's df_values[max_dictionary_size] after a descending
+      // sort. A dictionary cap is small by construction, so collecting
+      // k+1 floats is bounded.
+      val top = survivors.select($"df").orderBy($"df".desc)
+        .limit(k + 1).as[Float].collect()
+      if (top.length > k) {
+        val threshold = top.last
         survivors = survivors.filter($"df" > threshold)
       }
     }

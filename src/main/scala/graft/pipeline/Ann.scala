@@ -21,15 +21,14 @@ import org.apache.spark.sql.expressions.Window
 object Ann {
 
   /** cosine(a, b) computed in double, sequential array order (matches the
-    * DuckDB oracle's list_cosine_similarity bit-for-bit in practice). */
+    * DuckDB oracle's list_cosine_similarity bit-for-bit in practice).
+    * A native codegen'd expression ([[graft.functions.CosineSimilarity]]):
+    * one primitive loop per pair instead of three boxed HOF walks — the
+    * rerank inner loop of every ANN/embedding-dedup path. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
   /** Exact top-k neighbors for each query id. `queries` must be small
@@ -162,6 +161,58 @@ object Ann {
     cents
   }
 
+  /** Distributed Lloyd: the 100 TB codebook-training path. Same
+    * deterministic md5-ordered initial pick as [[trainCentroids]] (k
+    * codebook vectors collected to the driver — the codebook is tiny by
+    * contract), but each Lloyd iteration runs ON the cluster over the
+    * WHOLE corpus: broadcast codebook → one narrow assignment pass (the
+    * same double-widened sequential L2, ties to the lower centroid
+    * index) → map-side-combined groupBy(cell) double-vector sums — the
+    * shuffle carries k·dim partial sums per partition, never vectors.
+    * With `sampleSize >= corpus` the result matches [[trainCentroids]]
+    * up to partial-sum addition order (~1e-12 relative — asserted by
+    * PipelineSpec), so the bounded-sample and full-corpus trainers are
+    * interchangeable knobs on one contract. */
+  def trainCentroidsDistributed(emb: DataFrame, vecCol: String,
+      numCentroids: Int, iters: Int = 5, seed: Int = 42,
+      idCol: String = "vec_id"): Array[Array[Float]] = {
+    val spark = emb.sparkSession
+    val initRows = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", md5(concat(lit("ivf "), col("id").cast("string"))))
+      .orderBy(col("h"), col("id"))
+      .limit(numCentroids) // TakeOrderedAndProject: k rows, no global sort
+      .select(col("v")).collect()
+    require(initRows.nonEmpty, "empty embedding table")
+    var cents = initRows.map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val bC = spark.sparkContext.broadcast(cents)
+      val assignU = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bC.value) }
+      val agg = emb
+        .select(assignU(col(vecCol)).as("cell"),
+          transform(col(vecCol), x => x.cast("double")).as("dv"))
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorOps.doubleVectorSum(col("dv")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // ≤ k rows
+      val next = cents.map(_.clone())
+      agg.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2)
+        var i = 0
+        while (i < next(cell).length && i < s.length) {
+          next(cell)(i) = (s(i) / n).toFloat; i += 1
+        }
+      }
+      bC.unpersist(blocking = false)
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -208,9 +259,13 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, trainDistributed: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = trainCentroids(corpus, vecCol, numCentroids, iters, idCol = idCol, seed = seed)
+    val cents =
+      if (trainDistributed)
+        trainCentroidsDistributed(corpus, vecCol, numCentroids, iters, seed, idCol)
+      else
+        trainCentroids(corpus, vecCol, numCentroids, iters, idCol = idCol, seed = seed)
     val bC = spark.sparkContext.broadcast(cents)
     val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bC.value) }
     val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bC.value, nprobe) }

@@ -563,4 +563,38 @@ object PipelineSql {
        |SELECT doc_id, cum_before,
        |  CAST(floor(cum_before / $budget) AS BIGINT) AS bin
        |FROM cum ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the `sql_surface` entry — the same per-doc report the
+    * registered graft_* SQL functions produce through `spark.sql`,
+    * composed from the already-verified per-operator mirrors as CTEs
+    * (quality, language, token counts, fingerprints) plus inline PII
+    * counts and the deterministic sampling decision. One row per doc:
+    * a drift guard over the whole SQL-facing function surface. */
+  def sqlSurface(rate: Double, salt: String): String = {
+    val q = textQuality(TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct)
+    val l = langId(TextAnalysis.defaultStopwords)
+    val urlRe = TextAnalysis.UrlRe
+    val emailRe = TextAnalysis.EmailRe
+    s"""WITH q AS ($q),
+       |l AS ($l),
+       |t AS ($tokenCounts),
+       |f AS ($textFingerprint)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  t.ws_tokens, t.bpeish_tokens,
+       |  q.quality,
+       |  l.lang_pred,
+       |  f.fingerprint, f.rolling_fp,
+       |  CAST(len(regexp_extract_all(d.text, '$urlRe')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(regexp_replace(d.text, '$urlRe', '<URL>', 'g'),
+       |           '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(CASE WHEN substr(md5('$salt' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+       |              < '${Sampling.rateThreshold(rate)}'
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d
+       |JOIN q ON q.doc_id = d.doc_id
+       |JOIN l ON l.doc_id = d.doc_id
+       |JOIN t ON t.doc_id = d.doc_id
+       |JOIN f ON f.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 }

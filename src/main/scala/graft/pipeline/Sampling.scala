@@ -27,12 +27,12 @@ object Sampling {
   /** Uniform hex threshold for `rate`: md5 prefixes are uniform in
     * [0, 16^8), so `substr(md5, 1, 8) < hex(rate·2^32)` keeps `rate` of
     * the rows (resolution 2^-32). */
-  private[pipeline] def rateThreshold(rate: Double): String = {
+  private[graft] def rateThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
     f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
   }
 
-  private def hashPrefix(keyCol: Column, salt: String): Column =
+  private[graft] def hashPrefix(keyCol: Column, salt: String): Column =
     substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8)
 
   /** Deterministic Bernoulli sampling: keep rows whose salted key hash

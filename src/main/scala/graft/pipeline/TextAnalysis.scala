@@ -18,8 +18,88 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
     "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "de", "que", "y"))
 
-  private def tokens(textCol: Column): Column =
-    split(regexp_replace(trim(lower(textCol)), "\\s+", " "), " ")
+  // ---- scalar Column builders ----------------------------------------
+  // The per-row kernels, exposed both to the DataFrame operators below
+  // and to the SQL surface (GraftFunctions registers each as a graft_*
+  // SQL function) — one definition, two APIs, so the two surfaces cannot
+  // drift.
+
+  /** Whitespace-normalized lowercased text — the shared normal form. */
+  def normTextCol(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace token array over the normal form — the shared tokenizer. */
+  def tokensCol(text: Column): Column = split(normTextCol(text), " ")
+
+  private def tokens(textCol: Column): Column = tokensCol(textCol)
+
+  /** Whitespace token count (0 for blank text). */
+  def wsTokensCol(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokensCol(text)))
+
+  /** BPE-ish pre-tokenizer segment count (letter runs / digit runs /
+    * single other symbols). */
+  def bpeishTokensCol(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0)))
+
+  /** Share of non-letter/digit/space characters. */
+  def punctRatioCol(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+        .cast("double") / length(text)).otherwise(0.0)
+
+  /** Share of tokens found in the stopword list. */
+  def stopwordRatioCol(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokensCol(text)
+    val sw = array(stopwords.distinct.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLenCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    when(size(toks) > 0, aggregate(transform(toks, t => length(t)), lit(0),
+      (a, x) => a + x).cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  /** 1 - distinct/total tokens — high values flag repeated chatter. */
+  def repetitionRatioCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    when(size(toks) > 0, lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality heuristic in [0,1] — the same formula
+    * [[qualityScore]] materializes, inlined for scalar (SQL-surface) use. */
+  def qualityCol(text: Column): Column = {
+    val nTok = wsTokensCol(text)
+    val mtl = meanTokenLenCol(text)
+    greatest(lit(0.0), least(lit(1.0),
+      lit(1.0)
+        - punctRatioCol(text) * 2.0
+        - when(mtl < 2.0 || mtl > 12.0, 0.3).otherwise(0.0)
+        - when(nTok < 5, 0.4).otherwise(0.0)
+        - repetitionRatioCol(text) * 0.5))
+  }
+
+  /** Predicted language: argmax of per-language stopword hits, ties to
+    * the lexicographically first language, `und` when nothing hits.
+    * Same decision as [[languageId]]'s `lang_pred` (the fold there and
+    * the struct-min here pick the same winner), in one scalar
+    * expression: min over (-hits, lang) structs. */
+  def langPredCol(text: Column,
+      stopwords: Map[String, Seq[String]] = defaultStopwords): Column = {
+    val toks = tokensCol(text)
+    val entries = stopwords.keys.toSeq.sorted.map { l =>
+      val sw = array(stopwords(l).map(lit): _*)
+      struct((-size(filter(toks, t => array_contains(sw, t)))).as("neg"),
+        lit(l).as("lang"))
+    }
+    val best = array_min(array(entries: _*))
+    when(best.getField("neg") < 0, best.getField("lang")).otherwise(lit("und"))
+  }
 
   /** Language ID: per language, hits = tokens found in its stopword list;
     * prediction = argmax hits (ties broken by language name; `und` =
@@ -50,25 +130,13 @@ object TextAnalysis {
   def qualityScore(df: DataFrame, textCol: String = "text",
       stopwords: Seq[String] = defaultStopwords.values.flatten.toSeq): DataFrame = {
     val text = col(textCol)
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val sw = array(stopwords.distinct.map(lit): _*)
     df
       .withColumn("n_chars_q", length(text))
-      .withColumn("n_tokens_q", nTok)
-      .withColumn("punct_ratio",
-        when(length(text) > 0,
-          (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
-            .cast("double") / length(text)).otherwise(0.0))
-      .withColumn("stopword_ratio",
-        when(nTok > 0, size(filter(toks, t => array_contains(sw, t))).cast("double") / nTok)
-          .otherwise(0.0))
-      .withColumn("mean_token_len",
-        when(nTok > 0, aggregate(transform(toks, t => length(t)), lit(0),
-          (a, x) => a + x).cast("double") / nTok).otherwise(0.0))
-      .withColumn("repetition_ratio",
-        when(nTok > 0, lit(1.0) - size(array_distinct(toks)).cast("double") / nTok)
-          .otherwise(0.0))
+      .withColumn("n_tokens_q", size(tokens(text)))
+      .withColumn("punct_ratio", punctRatioCol(text))
+      .withColumn("stopword_ratio", stopwordRatioCol(text, stopwords))
+      .withColumn("mean_token_len", meanTokenLenCol(text))
+      .withColumn("repetition_ratio", repetitionRatioCol(text))
       .withColumn("quality",
         greatest(lit(0.0), least(lit(1.0),
           lit(1.0)
@@ -123,14 +191,23 @@ object TextAnalysis {
   def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     df
-      .withColumn("n_urls",
-        size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long"))
-      .withColumn("n_emails",
-        size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
-          lit(EmailRe), lit(0))).cast("long"))
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>"))
+      .withColumn("n_urls", nUrlsCol(text))
+      .withColumn("n_emails", nEmailsCol(text))
+      .withColumn("scrubbed", piiScrubCol(text))
   }
+
+  /** URL match count. */
+  def nUrlsCol(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long")
+
+  /** Email match count (URLs masked first — they can embed '@'). */
+  def nEmailsCol(text: Column): Column =
+    size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
+      lit(EmailRe), lit(0))).cast("long")
+
+  /** Text with URLs then emails redacted. */
+  def piiScrubCol(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation count
     * (letter runs / digit runs / single other symbols — the standard
@@ -138,10 +215,8 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     df
-      .withColumn("ws_tokens",
-        when(length(trim(text)) === 0, 0).otherwise(size(tokens(text))))
-      .withColumn("bpeish_tokens",
-        size(regexp_extract_all(lower(text), lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))))
+      .withColumn("ws_tokens", wsTokensCol(text))
+      .withColumn("bpeish_tokens", bpeishTokensCol(text))
   }
 
   /** Per-source corpus statistics (the data-card report a training
@@ -175,24 +250,27 @@ object TextAnalysis {
     * - `rolling_fp`: 64-bit polynomial rolling hash over tokens
     *   (h = h·1000003 + murmur(token), wrap-around), robust to whitespace
     *   layout, usable for shift-tolerant chunk fingerprints. */
-  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val toks = split(norm, " ")
-    // per-token 48-bit hash from the md5 prefix (the same md5→int idiom
-    // the minhash/simhash kernels use — deterministic across engines),
-    // folded left-to-right with a 131-ary polynomial mod a 2^51-scale
-    // prime: order-sensitive (unlike the md5 of the whole doc it survives
-    // local edits elsewhere in the doc when applied per chunk), and every
-    // intermediate stays < 2^58, BIGINT-safe in any SQL engine. Pure
-    // codegen'd HOFs — no UDF in this path.
-    val tokInts = transform(toks, t =>
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df
+      .withColumn("fingerprint", fingerprintCol(col(textCol)))
+      .withColumn("rolling_fp", rollingFpCol(col(textCol)))
+
+  /** md5 of the whitespace-normalized lowercased text. */
+  def fingerprintCol(text: Column): Column = md5(normTextCol(text))
+
+  /** 131-ary rolling polynomial fingerprint: per-token 48-bit hash from
+    * the md5 prefix (the same md5→int idiom the minhash/simhash kernels
+    * use — deterministic across engines), folded left-to-right mod a
+    * 2^51-scale prime: order-sensitive (unlike the md5 of the whole doc
+    * it survives local edits elsewhere in the doc when applied per
+    * chunk), and every intermediate stays < 2^58, BIGINT-safe in any SQL
+    * engine. Pure codegen'd HOFs — no UDF in this path. */
+  def rollingFpCol(text: Column): Column = {
+    val tokInts = transform(tokensCol(text), t =>
       conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
-    val rolling = when(length(trim(col(textCol))) === 0, lit(0L))
+    when(length(trim(text)) === 0, lit(0L))
       .otherwise(aggregate(tokInts, lit(0L),
         (acc, h) => (acc * lit(RollingBase) + h) % lit(RollingMod)))
-    df
-      .withColumn("fingerprint", md5(norm))
-      .withColumn("rolling_fp", rolling)
   }
 
   /** Rolling-hash constants shared with the DuckDB oracle mirror

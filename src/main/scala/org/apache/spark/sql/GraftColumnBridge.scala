@@ -10,4 +10,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager Column → Catalyst conversion for FunctionRegistry builders
+    * (GraftFunctions): `expression` returns a LAZY ColumnNodeExpression
+    * wrapper that only DataFrame API boundaries unwrap — inside SQL
+    * analysis it would reach codegen unconverted. This walks the node
+    * tree to a real (possibly unresolved) Catalyst expression the
+    * analyzer then resolves like any parsed SQL. */
+  def sqlExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Test seam for the config-driven injection path
+    * (`spark.sql.extensions=graft.GraftExtensions`):
+    * `SparkSessionExtensions.registerFunctions` is `private[sql]`, so the
+    * extensions-spec applies an injected extensions object to a cloned
+    * registry through here. */
+  def registerFunctions(ext: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

@@ -101,6 +101,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall6 >= 0.9, s"IVF recall@10 too low: $recall6")
   }
 
+  test("distributed Lloyd codebook == driver-side trainer (order-of-summation only)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    // sampleSize >= corpus: the bounded-sample trainer sees every vector,
+    // so the two trainers share init and assignments — only partial-sum
+    // addition order can differ
+    val driver = Ann.trainCentroids(emb, "embedding", numCentroids = 8,
+      iters = 3, sampleSize = 100000)
+    val dist = Ann.trainCentroidsDistributed(emb, "embedding", numCentroids = 8,
+      iters = 3)
+    assert(driver.length === dist.length)
+    driver.zip(dist).zipWithIndex.foreach { case ((a, b), c) =>
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-4f, s"centroid $c drifted: $x vs $y")
+      }
+    }
+    // and the full IVF path accepts the distributed codebook
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Ann.bruteForceTopK(emb, queries, k = 10)
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, numCentroids = 8, nprobe = 6,
+      trainDistributed = true)
+    val recall = ivf.join(bf, Seq("query_id", "id"), "left_semi").count().toDouble /
+      bf.count()
+    info(s"IVF recall@10 (distributed codebook, nprobe=6/8) = $recall")
+    assert(recall >= 0.9, s"IVF distributed-codebook recall too low: $recall")
+  }
+
   test("embedding near-dup via hyperplane buckets returns high-cosine pairs only") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val nd = Dedup.embeddingNearDup(emb, threshold = 0.9, planes = 6)
