@@ -80,6 +80,11 @@ final class StreamingOnlineFit(
   }
 }
 
+/** One streaming near-dup claim from [[StreamingPipeline.nearDupStream]]:
+  * `doc_id` shares minhash band `band`'s bucket with the earlier doc
+  * `dup_of`. */
+case class DupClaim(doc_id: Long, band: Int, dup_of: Long)
+
 /** One closed user session from [[StreamingPipeline.sessionize]]. */
 case class UserSession(
     user_id: Long, session_start: java.sql.Timestamp,
@@ -122,6 +127,73 @@ object StreamingPipeline {
         .dropDuplicates("fingerprint", ts)
       case None => scored.dropDuplicates("fingerprint")
     }
+  }
+
+  /** Streaming MinHash near-dup flagging — the streaming form of
+    * [[graft.pipeline.Dedup.minhashLsh]]'s candidate generation: each
+    * arriving document's banded minhash buckets (the SAME
+    * `md5(array_join(slice(sig, …), "|"))` band keys as the batch
+    * operator, so streamed claims are a subset of batch candidate
+    * pairs) are checked against a bucket → first-claimer state; a doc
+    * whose bucket is already claimed by an EARLIER doc (event-time
+    * order, ties by id; across micro-batches, arrival order) emits a
+    * [[DupClaim]] naming that claimer. Consumers near-dup-verify /
+    * min-aggregate claims exactly as they would batch LSH pairs.
+    *
+    * State is ONE long per seen (band, bucket), expired by event-time
+    * timeout once the watermark passes `stateGapSeconds` beyond the
+    * bucket's last activity — near-dup detection within the lateness
+    * window, the same bounded-state contract as [[cleanDocuments]]
+    * (unbounded bucket state at 100 TB/day is not an option). The
+    * signature itself is the narrow codegen'd batch kernel
+    * (shingles → minhash), no UDF, no shuffle before the keyed state. */
+  def nearDupStream(stream: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "1 hour", stateGapSeconds: Long = 3600,
+      shingleSize: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): Dataset[DupClaim] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rows = numHashes / bands
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sh = stream.select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        graft.pipeline.Dedup.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs claim nothing
+    val banded = sh.select(col("id"), col("ts"),
+        posexplode(array((0 until bands).map { b =>
+          md5(array_join(slice(
+            graft.pipeline.Dedup.minhashSignature(col("sh"), numHashes),
+            b * rows + 1, rows), "|"))
+        }: _*)).as(Seq("band", "bucket")))
+      .withWatermark("ts", watermark)
+
+    banded.select(col("band"), col("bucket"), col("id"), col("ts"))
+      .as[(Int, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, DupClaim](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, String), rs: Iterator[(Int, String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val docs = rs.toArray.sortBy(r => (r._4.getTime, r._3))
+            if (docs.isEmpty) Iterator.empty
+            else {
+              var claimer = state.getOption.getOrElse(-1L)
+              val out = scala.collection.mutable.ArrayBuffer.empty[DupClaim]
+              docs.foreach { d =>
+                if (claimer < 0) claimer = d._3
+                else if (d._3 != claimer) out += DupClaim(d._3, key._1, claimer)
+              }
+              state.update(claimer)
+              state.setTimeoutTimestamp(docs.map(_._4.getTime).max +
+                stateGapSeconds * 1000)
+              out.iterator
+            }
+          }
+      }
   }
 
   /** Watermarked tumbling-window aggregation over the `events` stream

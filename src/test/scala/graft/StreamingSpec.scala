@@ -215,4 +215,55 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(static === got)
   }
+
+  test("streaming minhash near-dup claims match batch LSH candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // differs in the last token only: shares 2 of 4 band keys with `base`
+    // (verified against the md5 minhash math — deterministic, not a
+    // probabilistic recall roll)
+    val nearDup = "the quick brown fox jumps over the lazy dog near the river bank soon"
+    val unrelated = "completely different text about spark structured streaming state stores"
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val claims = StreamingPipeline.nearDupStream(
+      stream.toDS().toDF("doc_id", "ts", "text"),
+      numHashes = 12, bands = 4, watermark = "10 minutes")
+    val query = claims.writeStream.format("memory").queryName("dup_claims")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), base), (4L, ts(1), unrelated))
+      query.processAllAvailable()
+      // same batch: identical doc claims against the in-batch earlier doc
+      stream.addData((7L, ts(2), base), (9L, ts(3), base))
+      query.processAllAvailable()
+      // later batch: near-identical doc claims against the ORIGINAL claimer
+      stream.addData((12L, ts(4), nearDup))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.sql("SELECT doc_id, dup_of FROM dup_claims").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs claim 1 on every band; near-dup claims 1 on >= 1 band
+    assert(got.contains((7L, 1L)), s"got $got")
+    assert(got.contains((9L, 1L)), s"got $got")
+    assert(got.contains((12L, 1L)), s"got $got")
+    // the unrelated doc never appears on either side of a claim
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"got $got")
+
+    // batch agreement: every streamed claim pair is a batch-LSH candidate
+    // pair under the SAME banding (threshold 0 = candidates)
+    val corpus = Seq((1L, base), (4L, unrelated), (7L, base), (9L, base),
+      (12L, nearDup)).toDF("doc_id", "text")
+    val batchPairs = graft.pipeline.Dedup.minhashLsh(corpus,
+      numHashes = 12, bands = 4, threshold = 0.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (d, of) =>
+      val p = (math.min(d, of), math.max(d, of))
+      assert(batchPairs.contains(p), s"stream claim $p not a batch candidate")
+    }
+  }
 }
