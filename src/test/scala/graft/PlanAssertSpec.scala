@@ -101,5 +101,11 @@ class PlanAssertSpec extends SparkSpec {
       s"brute-force top-k lost the per-partition pre-limit:\n$p")
     assert(!p.contains("Exchange SinglePartition") || !p.contains("GlobalLimit"),
       s"top-k funnels all scores through one task:\n$p")
+    // the rerank scorer is the native codegen expression, not the 3-HOF
+    // fold it replaced (three boxed lambda walks per pair)
+    assert(p.contains("graft_cosine"),
+      s"brute-force rerank lost the native cosine expression:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"UDF appeared in the ANN rerank plan:\n$p")
   }
 }
