@@ -1088,6 +1088,33 @@ object SparkEntry {
           md5(col("scrubbed")).as("scrubbed_md5"))
         .orderBy(col("doc_id"))
     }),
+    // Composed curation chain #2: PII-plant → corpus-self boilerplate
+    // span excision → PII redaction → quality report, ONE oracle row
+    // across three operator boundaries — the planted fixture text flows
+    // through span excision, then regex redaction, then the quality
+    // formula; a bug at any seam breaks the final md5/quality hash.
+    // (pipeline_e2e covers the filter→dedup→mix→pack half of curation;
+    // this covers the text-TRANSFORMING half.)
+    "curation_e2e" -> ((s, dir) => {
+      import graft.pipeline.TextAnalysis
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % PiiPlantMod === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or https://example.com/u/"),
+            col("doc_id").cast("string"), lit(" now")))
+          .otherwise(col("text")))
+      val bl = graft.pipeline.Dedup.boilerplateNgrams(planted,
+        n = BoilerN, minDocs = BoilerMinDocs)
+      val scrubbed = graft.pipeline.Dedup.boilerplateScrub(planted, bl, n = BoilerN)
+      scrubbed.select(col("id").as("doc_id"), col("n_removed"),
+          TextAnalysis.nUrlsCol(col("scrubbed")).as("n_urls"),
+          TextAnalysis.nEmailsCol(col("scrubbed")).as("n_emails"),
+          TextAnalysis.piiScrubCol(col("scrubbed")).as("final"))
+        .select(col("doc_id"), col("n_removed"), col("n_urls"), col("n_emails"),
+          md5(col("final")).as("final_md5"),
+          round(TextAnalysis.qualityCol(col("final")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: benchmark decontamination — corpus docs sharing
     // distinct word n-grams with the eval-set fixture (doc_id < 50); the
     // pre-training screen against test-set leakage
@@ -1133,6 +1160,14 @@ object SparkEntry {
         .select(col("source"), col("n_docs").cast("long").as("n_docs"),
           col("total_tokens"), col("mean_tokens"),
           col("p50_tokens"), col("p90_tokens"))
+        .orderBy(col("source"))
+    }),
+    // LLM pipeline: per-source vocabulary statistics — exact distinct
+    // for the oracle; the operator default is the HyperLogLog++ sketch
+    // (mergeable one-pass 100 TB path, pinned within 2% by PipelineSpec)
+    "corpus_vocab" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.vocabStats(docs(s, dir), exact = true)
+        .select(col("source"), col("distinct_tokens"), col("total_tokens"))
         .orderBy(col("source"))
     }),
     // LLM pipeline: deterministic Bernoulli sampling (salted md5 prefix
@@ -1350,8 +1385,12 @@ object SparkEntry {
       graft.pipeline.PipelineSql.textBoilerplate(BoilerN, BoilerMinDocs),
     "text_boilerplate_scrub" ->
       graft.pipeline.PipelineSql.textBoilerplateScrub(BoilerN, BoilerMinDocs),
+    "curation_e2e" -> graft.pipeline.PipelineSql.curationE2e(
+      PiiPlantMod, BoilerN, BoilerMinDocs,
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
+    "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),

@@ -170,14 +170,24 @@ object Dedup {
     * (any pair within Hamming distance 3 shares a band by pigeonhole);
     * verified with an exact popcount <= `maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val fp = simhash(df, idCol, textCol)
     val banded = fp.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("simhash").as("f_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("simhash").as("f_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same skew guard as minhashLsh: a pathological band bucket (every
+    // near-blank doc hashes to 0; templated corpora collapse onto few
+    // fingerprints) would self-join quadratically — cap via a map-side-
+    // combined count + semi join, never a window
+    val okBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = banded.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("simhash").as("f_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("simhash").as("f_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

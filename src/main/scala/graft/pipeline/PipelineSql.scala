@@ -271,12 +271,12 @@ object PipelineSql {
        |FROM pairs WHERE cosine >= $threshold ORDER BY id_a, id_b""".stripMargin
 
   /** Mirrors TextAnalysis.qualityScore (same stopword list, same ratios). */
-  def textQuality(stopwords: Seq[String]): String = {
+  /** The quality-metrics CTE body over a source exposing
+    * (doc_id, text, toks) — shared by [[textQuality]] and the composed
+    * [[curationE2e]] chain so the two oracles cannot drift. */
+  private def qualityMetricsSql(src: String, stopwords: Seq[String]): String = {
     val sw = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH base AS (
-       |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
+    s"""SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars_q,
        |    CAST(len(toks) AS BIGINT) AS n_tokens_q,
        |    CASE WHEN length(text) > 0
@@ -291,17 +291,28 @@ object PipelineSql {
        |    CASE WHEN len(toks) > 0
        |         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
        |         ELSE 0.0 END AS repetition_ratio
-       |  FROM base)
+       |  FROM $src""".stripMargin
+  }
+
+  /** The composite-quality expression over a [[qualityMetricsSql]] row. */
+  private val qualityExprSql: String =
+    """greatest(0.0, least(1.0,
+      |    1.0 - punct_ratio * 2.0
+      |        - CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 0.3 ELSE 0.0 END
+      |        - CASE WHEN n_tokens_q < 5 THEN 0.4 ELSE 0.0 END
+      |        - repetition_ratio * 0.5))""".stripMargin
+
+  def textQuality(stopwords: Seq[String]): String = {
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),
+       |m AS (
+       |  ${qualityMetricsSql("base", stopwords)})
        |SELECT doc_id, n_chars_q, n_tokens_q,
        |  round(punct_ratio, 6) AS punct_ratio,
        |  round(stopword_ratio, 6) AS stopword_ratio,
        |  round(mean_token_len, 6) AS mean_token_len,
        |  round(repetition_ratio, 6) AS repetition_ratio,
-       |  round(greatest(0.0, least(1.0,
-       |    1.0 - punct_ratio * 2.0
-       |        - CASE WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 0.3 ELSE 0.0 END
-       |        - CASE WHEN n_tokens_q < 5 THEN 0.4 ELSE 0.0 END
-       |        - repetition_ratio * 0.5)), 6) AS quality
+       |  round($qualityExprSql, 6) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -419,13 +430,17 @@ object PipelineSql {
     * position order (md5 of the scrubbed text — the text_pii_scrub
     * pattern). Docs whose normalized text is empty hash the empty
     * string in both engines. */
-  def textBoilerplateScrub(n: Int, minDocs: Long): String = {
+  /** The boilerplate span-excision CTE chain over a source table exposing
+    * (doc_id, text) — shared by [[textBoilerplateScrub]] and the composed
+    * [[curationE2e]] chain. Produces CTEs `scr` (doc_id, s = scrubbed
+    * text) and `nrem` (doc_id, n_removed). */
+  private def boilerplateScrubCtes(n: Int, minDocs: Long, src: String): String = {
     val leads = (1 until n)
       .map(i => s"|| ' ' || lead(token, $i) OVER w").mkString(" ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
        |         generate_subscripts(string_split($norm, ' '), 1) AS pos
-       |  FROM documents WHERE trim(text) <> ''),
+       |  FROM $src WHERE trim(text) <> ''),
        |g AS (SELECT doc_id, pos, token $leads AS g
        |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |gg AS (SELECT DISTINCT doc_id, g FROM g WHERE g IS NOT NULL),
@@ -441,13 +456,62 @@ object PipelineSql {
        |scr AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS s
        |        FROM kept GROUP BY doc_id),
        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
-       |         FROM cov GROUP BY doc_id)
+       |         FROM cov GROUP BY doc_id)""".stripMargin
+  }
+
+  def textBoilerplateScrub(n: Int, minDocs: Long): String =
+    s"""WITH ${boilerplateScrubCtes(n, minDocs, "documents")}
        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        |  coalesce(nrem.n_removed, 0) AS n_removed,
        |  md5(coalesce(scr.s, '')) AS scrubbed_md5
        |FROM documents d LEFT JOIN scr ON scr.doc_id = d.doc_id
        |LEFT JOIN nrem ON nrem.doc_id = d.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the `curation_e2e` entry: PII-plant → corpus-self
+    * boilerplate span excision → PII redaction → quality report, one
+    * chained-CTE oracle across three operator boundaries (the planted
+    * fixture text flows through span excision, then regex redaction,
+    * then the quality formula — a bug at any seam breaks the final
+    * md5/quality hash). */
+  def curationE2e(plantMod: Int, n: Int, minDocs: Long,
+      stopwords: Seq[String]): String = {
+    val urlRe = TextAnalysis.UrlRe
+    val emailRe = TextAnalysis.EmailRe
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $plantMod = 0 THEN
+       |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |           || '@example.com or https://example.com/u/'
+       |           || CAST(doc_id AS VARCHAR) || ' now'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |${boilerplateScrubCtes(n, minDocs, "t")},
+       |fin AS (
+       |  SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       |    coalesce(nrem.n_removed, 0) AS n_removed,
+       |    coalesce(scr.s, '') AS s1
+       |  FROM t LEFT JOIN scr ON scr.doc_id = t.doc_id
+       |  LEFT JOIN nrem ON nrem.doc_id = t.doc_id),
+       |p AS (
+       |  SELECT doc_id, n_removed,
+       |    CAST(len(regexp_extract_all(s1, '$urlRe')) AS BIGINT) AS n_urls,
+       |    CAST(len(regexp_extract_all(regexp_replace(s1, '$urlRe', '<URL>', 'g'),
+       |             '$emailRe')) AS BIGINT) AS n_emails,
+       |    regexp_replace(regexp_replace(s1, '$urlRe', '<URL>', 'g'),
+       |                   '$emailRe', '<EMAIL>', 'g') AS final
+       |  FROM fin),
+       |qb AS (
+       |  SELECT doc_id, final AS text,
+       |    string_split(regexp_replace(trim(lower(final)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM p),
+       |m AS (
+       |  ${qualityMetricsSql("qb", stopwords)})
+       |SELECT p.doc_id, p.n_removed, p.n_urls, p.n_emails,
+       |  md5(p.final) AS final_md5,
+       |  round($qualityExprSql, 6) AS quality
+       |FROM p JOIN m ON m.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
   }
 
   /** Mirrors TextAnalysis.piiScrub over the planted text (every
@@ -487,6 +551,18 @@ object PipelineSql {
        |  round(quantile_cont(ws_tokens, 0.5), 6) AS p50_tokens,
        |  round(quantile_cont(ws_tokens, 0.9), 6) AS p90_tokens
        |FROM tc GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirrors TextAnalysis.vocabStats(exact = true); the operator's
+    * default is the HyperLogLog++ sketch (the mergeable 100 TB path),
+    * pinned within 2% of this exact count by PipelineSpec. */
+  val corpusVocab: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split($norm, ' ')) AS token
+       |  FROM documents WHERE trim(text) <> '')
+       |SELECT source,
+       |  CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens,
+       |  CAST(count(*) AS BIGINT) AS total_tokens
+       |FROM tok WHERE token <> '' GROUP BY source ORDER BY source""".stripMargin
 
   // ---- sampling / mixing / packing (Sampling.scala) -----------------------
   // Thresholds come from the SAME Scala helper the operators use

@@ -244,6 +244,29 @@ object TextAnalysis {
         round(p90.cast("double"), 6).as("p90_tokens"))
   }
 
+  /** Per-source vocabulary statistics: distinct whitespace tokens and
+    * total token occurrences — the vocabulary-size line of the data-card
+    * report ([[corpusStats]]).
+    *
+    * `exact = false` (the 100 TB path) estimates distinct tokens with
+    * `approx_count_distinct` (HyperLogLog++, one-pass mergeable sketch —
+    * the same map-side-combined shuffle shape as the count);
+    * `exact = true` runs the exact two-phase distinct (what the DuckDB
+    * oracle replays via count(DISTINCT)). PipelineSpec pins the sketch
+    * within 2% of exact. */
+  def vocabStats(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", exact: Boolean = false): DataFrame = {
+    val toks = df
+      .select(col(sourceCol), explode(tokensCol(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "") // blank docs tokenize to [""]
+    val distinctCol =
+      if (exact) count_distinct(col("tok"))
+      else approx_count_distinct(col("tok"), 0.01)
+    toks.groupBy(col(sourceCol))
+      .agg(distinctCol.cast("long").as("distinct_tokens"),
+        count(lit(1)).as("total_tokens"))
+  }
+
   /** Document fingerprinting:
     * - `fingerprint`: md5 of the whitespace-normalized lowercased text
     *   (cheap exact-dup key, oracle-checkable);

@@ -134,6 +134,20 @@ class PipelineSpec extends SparkSpec {
     assert(nd.filter(col("cosine") < 0.9).count() === 0)
   }
 
+  test("vocabStats: HLL sketch within 2% of the exact distinct count") {
+    val docsDF = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.vocabStats(docsDF, exact = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = TextAnalysis.vocabStats(docsDF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && exact.keySet === approx.keySet)
+    exact.foreach { case (src, (d, t)) =>
+      assert(d > 0 && d <= t, s"$src: $d distinct of $t total")
+      val a = approx(src)
+      assert(math.abs(a - d).toDouble / d <= 0.02, s"$src: sketch $a vs exact $d")
+    }
+  }
+
   test("language id picks the stopword-matching language") {
     val out = TextAnalysis.languageId(docsDF).collect()
       .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap

@@ -70,7 +70,19 @@ object ScaleCheck {
           graft.pipeline.Dedup.boilerplateScrub(docsR, bl, n = 3).count()
         },
         "dedup_simhash_pairs (pigeonhole)" -> time {
-          graft.pipeline.Dedup.simhashPairs(docsR, maxHamming = 3).count()
+          // the shared one-token replica mutation leaves replicas
+          // Hamming-NEAR, so cross-replica pair OUTPUT would grow
+          // quadratically by data construction — measuring the fixture,
+          // not the operator (same reasoning as dedup_clusters below).
+          // A 16-token replica-salted tail flips enough fingerprint bits
+          // to decorrelate replicas while keeping within-replica
+          // unrelated docs far apart.
+          val decorrelated = docsR.withColumn("text",
+            concat(col("text"), lit(" "), concat_ws(" ",
+              (0 until 16).map(j => concat(lit("r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"),
+                lit("x" + j))): _*)))
+          graft.pipeline.Dedup.simhashPairs(decorrelated, maxHamming = 3).count()
         },
         "dedup_clusters (pointer jump)" -> time {
           // synthetic 64-node chain segments, edges ∝ corpus rows:
