@@ -129,6 +129,37 @@ object Cli {
   def run(spark: SparkSession, o: Opts): Unit = {
     val sep = o.str("csv-separator").getOrElse(",")
 
+    // ---- standalone SQL mode (the graft_* SQL surface on the CLI) ----
+    // --sql "QUERY" [--sql-tables DIR] [--write-sql-result F]
+    // Every parquet under DIR becomes a view named by its file stem;
+    // GraftFunctions.install exposes the full curation vocabulary
+    // (graft_quality, graft_minhash, graft_cosine, ...) to the query.
+    o.str("sql").foreach { query =>
+      GraftFunctions.install(spark)
+      o.str("sql-tables").foreach { dir =>
+        val d = new java.io.File(dir)
+        val parts = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet"))
+        parts.foreach { f =>
+          // best-effort registration: one unreadable file (e.g. a parquet
+          // type Spark rejects) must not take down the whole SQL session
+          try spark.read.parquet(f.getPath)
+            .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            System.err.println(
+              s"[graft-sql] skipping ${f.getName}: ${e.getMessage.linesIterator.next()}")
+          }
+        }
+      }
+      val out = spark.sql(query)
+      o.str("write-sql-result") match {
+        case Some(f) => out.coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("header", "true").option("sep", sep).csv(f)
+        case None => out.show(100, truncate = false)
+      }
+      return
+    }
+
     // ---- corpus (Parse dispatcher) ----
     val docsOpt: Option[Dataset[Doc]] =
       o.str("read-vw-corpus").map(f => BatchIO.parse(spark, "vowpal_wabbit", f))

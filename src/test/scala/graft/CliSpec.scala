@@ -236,6 +236,25 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("standalone SQL mode: graft_* functions over parquet views, CSV out") {
+    val out = tmp("cli-sql-out")
+    Cli.run(spark, opts(
+      "sql" -> ("SELECT doc_id, graft_ws_tokens(text) AS ws_tokens, " +
+        "graft_quality(text) AS q FROM documents " +
+        "WHERE graft_sample_keep(doc_id, 'cli', 0.5) ORDER BY doc_id"),
+      "sql-tables" -> "/root/testdata/sf0.001",
+      "write-sql-result" -> out))
+    val got = spark.read.option("header", "true").csv(out)
+    assert(got.columns.toSeq === Seq("doc_id", "ws_tokens", "q"))
+    val n = got.count()
+    assert(n > 0 && n < 500) // the keep filter bites
+    // spot check against the DataFrame API
+    val api = graft.pipeline.Sampling.sampleHash(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", 0.5, salt = "cli").count()
+    assert(n === api)
+  }
+
   test("regularizer string parsing mirrors the reference syntax") {
     val s1 = Cli.parseRegularizer("0.5 SmoothPhi @c1,c2", 8)
     assert(s1.asInstanceOf[Cli.PhiSpec].tau === 0.5f)

@@ -184,6 +184,24 @@ class PipelineSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 0).count() === 4)
   }
 
+  test("multimodal -> ANN composition: stub features feed the similarity path") {
+    // the end-to-end media story: decode (stubbed) -> feature vector ->
+    // nearest-neighbor search, all on the engine's own operators
+    val media = Multimodal.fromStrings(docsDF.filter(length(trim(col("text"))) > 0),
+      "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+    val queries = feats.filter(col("media_id") < 3)
+    val nn = Ann.bruteForceTopK(feats, queries, k = 3,
+      idCol = "media_id", vecCol = "features")
+    val rows = nn.collect()
+    assert(rows.nonEmpty)
+    assert(nn.groupBy("query_id").count().collect().forall(_.getLong(1) === 3))
+    // identical payloads (docs 0 and 1 share text in the fixture) must be
+    // each other's top hit at cosine ~1
+    val top = rows.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
+    assert(top.getLong(2) === 1L && top.getDouble(3) > 0.999999)
+  }
+
   test("corpusStats: approx (scale path) agrees with exact on the fixture") {
     import spark.implicits._
     val docs = (0 until 60).map { i =>
