@@ -130,6 +130,13 @@ object GraftFunctions {
         val n = constInt("graft_minhash", exprs(1), 1)
         toExpr(Dedup.minhashSignature(toCol(exprs(0)), n))
       }),
+    ("graft_simhash",
+      "graft_simhash(text) - 64-bit SimHash fingerprint (native kernel; band with " +
+        "shiftrightunsigned(sig, b*16) & 0xffff for pigeonhole blocking)",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"graft_simhash expects 1 argument, got ${exprs.length}")
+        graft.functions.SimhashBands(exprs(0))
+      }),
     // ---- embeddings -----------------------------------------------------
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float vectors (native codegen)",
       (exprs: Seq[Expression]) => {

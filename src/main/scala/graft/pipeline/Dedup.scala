@@ -138,32 +138,14 @@ object Dedup {
     * `('0x' || substr(md5(token), 1, 16))::UBIGINT`). Ties (acc = 0) give
     * bit 0 on both sides. */
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val counts = new java.util.HashMap[String, Int]()
-        (if (text == null) "" else text).toLowerCase.trim.split("\\s+")
-          .filter(_.nonEmpty).foreach(t => counts.merge(t, 1, (a, b) => a + b))
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val acc = new Array[Long](64)
-        counts.forEach { (tok, n) =>
-          val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var h = 0L
-          var b = 0
-          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) acc(j) += n else acc(j) -= n
-            j += 1
-          }
-        }
-        var fp = 0L
-        var j = 0
-        while (j < 64) { if (acc(j) > 0) fp |= (1L << j); j += 1 }
-        (id, fp)
-      }.toDF("id", "simhash")
+    // native expression (graft.functions.SimhashBands — also the SQL
+    // surface's graft_simhash): same 64-accumulator kernel the previous
+    // typed map ran, minus the Dataset encoder boundary, so the scan →
+    // fingerprint projection stays inside whole-stage codegen
+    import org.apache.spark.sql.GraftColumnBridge
+    df.select(col(idCol).cast("long").as("id"),
+      GraftColumnBridge.column(graft.functions.SimhashBands(
+        GraftColumnBridge.expression(col(textCol).cast("string")))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit bands

@@ -149,6 +149,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(all === docsDF.count())
   }
 
+  test("graft_simhash: SQL == Dedup.simhash; banding identity holds") {
+    docsDF
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash(text) AS sig FROM sqlspec_docs
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Dedup.simhash(docsDF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaApi)
+    assert(viaSql.values.exists(_ != 0L))
+    // the documented SQL banding recipe reproduces simhashPairs' buckets
+    val bands = spark.sql(
+      """SELECT doc_id,
+        |  shiftrightunsigned(graft_simhash(text), 16) & 65535 AS b1
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaSql.foreach { case (id, sig) =>
+      assert(bands(id) === ((sig >>> 16) & 0xffffL))
+    }
+  }
+
   test("graft_shingles / graft_minhash: SQL == Dedup builders") {
     docsDF
     val viaSql = spark.sql(
