@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call training-data curation — the pipeline analogue of the
+  * `graft.Artm` facade: quality/language gating, PII and boilerplate
+  * scrubbing, exact + near-duplicate removal, deterministic source
+  * mixing, and sequence packing, composed from the individually
+  * oracle-verified operators in [[TextAnalysis]] / [[Dedup]] /
+  * [[Sampling]].
+  *
+  * Composition choices that matter at 100 TB:
+  *  - the narrow per-row gates (quality, language, PII) run FIRST, at
+  *    scan speed, so every shuffle downstream sees only survivors;
+  *  - the shingle table is computed ONCE and shared between minhash
+  *    LSH and any Jaccard verification (the CPU hot spot —
+  *    [[Dedup.shingleTable]]);
+  *  - near-dup removal keeps each cluster's canonical (minimum-id)
+  *    member via [[Dedup.duplicateClusters]] — pointer-jumping, raises
+  *    on non-convergence rather than emitting wrong survivors;
+  *  - mixing/packing are deterministic functions of the row keys
+  *    ([[Sampling]]), so the same config reproduces the same corpus on
+  *    any cluster.
+  *
+  * Each stage is optional through [[Curation.Config]]; disabled stages
+  * cost nothing (no plan nodes emitted). */
+object Curation {
+
+  /** Stage knobs; defaults give a reasonable mid-strictness pipeline.
+    *  - `languages`: empty = no language gate;
+    *  - `boilerplateMinDocs`: 0 = skip boilerplate scrubbing;
+    *  - `nearDupThreshold`: ≥ 1.0 = exact dedup only;
+    *  - `mixRates`: empty = keep all sources;
+    *  - `packBudget`: 0 = no packing. */
+  case class Config(
+      minQuality: Double = 0.3,
+      languages: Set[String] = Set.empty,
+      piiRedact: Boolean = true,
+      boilerplateN: Int = 5,
+      boilerplateMinDocs: Long = 0L,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      nearDupThreshold: Double = 0.8,
+      mixRates: Map[String, Double] = Map.empty,
+      salt: String = "curation",
+      packBudget: Long = 0L)
+
+  /** Run the configured pipeline. Returns the curated documents —
+    * original columns plus `quality` (and `lang_pred` when the language
+    * gate is on, `bin`/`cum_before` when packing is on), with `textCol`
+    * rewritten by the enabled scrub stages. */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+
+    // ---- 1. narrow per-row gates + scrubs (scan-speed, no shuffle) ----
+    var d = TextAnalysis.qualityScore(docs, textCol)
+      .filter(col("quality") >= cfg.minQuality)
+      .drop("n_chars_q", "n_tokens_q", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "repetition_ratio")
+    if (cfg.languages.nonEmpty)
+      d = d.withColumn("lang_pred", TextAnalysis.langPredCol(col(textCol)))
+        .filter(col("lang_pred").isin(cfg.languages.toSeq: _*))
+    if (cfg.piiRedact)
+      d = d.withColumn(textCol, TextAnalysis.piiScrubCol(col(textCol)))
+
+    // ---- 2. corpus-self boilerplate excision (optional) ----
+    if (cfg.boilerplateMinDocs > 0L) {
+      val bl = Dedup.boilerplateNgrams(d, cfg.boilerplateN,
+        cfg.boilerplateMinDocs, idCol, textCol)
+      val scrubbed = Dedup.boilerplateScrub(d, bl, cfg.boilerplateN, idCol, textCol)
+        .select(col("id"), col("scrubbed"))
+      d = d.join(scrubbed, d(idCol) === scrubbed("id"))
+        .drop("id").withColumn(textCol, col("scrubbed")).drop("scrubbed")
+    }
+
+    // ---- 3. exact dedup: keep each fingerprint group's canonical ----
+    val canon = Dedup.exact(d, idCol, textCol).select(col("canonical_id"))
+    d = d.join(canon, d(idCol) === canon("canonical_id"), "left_semi")
+
+    // ---- 4. near-dup removal (optional): LSH pairs -> clusters ->
+    //         keep the canonical (minimum-id) member of each cluster ----
+    if (cfg.nearDupThreshold < 1.0) {
+      val sh = Dedup.shingleTable(d, idCol, textCol, cfg.shingleK)
+      val pairs = Dedup.minhashLsh(d, idCol, textCol, cfg.shingleK,
+        cfg.numHashes, cfg.bands, cfg.nearDupThreshold, shinglesDf = Some(sh))
+      val drop = Dedup.duplicateClusters(pairs)
+        .filter(col("id") =!= col("cluster_id")) // non-canonical members
+        .select(col("id"))
+      d = d.join(drop, d(idCol) === drop("id"), "left_anti")
+      sh.unpersist(false)
+    }
+
+    // ---- 5. deterministic source mixing (optional) ----
+    if (cfg.mixRates.nonEmpty)
+      d = Sampling.mixSources(d, sourceCol, cfg.mixRates, idCol, cfg.salt)
+
+    // ---- 6. sequence packing (optional) ----
+    if (cfg.packBudget > 0L) {
+      val counted = TextAnalysis.tokenCounts(d, textCol).drop("bpeish_tokens")
+      d = Sampling.packSequences(counted, "ws_tokens", cfg.packBudget,
+        orderCol = idCol)
+    }
+    d
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** The Curation facade: one-call pipeline == the manually-chained
+  * operators, stage by stage, on a fixture exercising every gate. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val fixture = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "web"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "web"),  // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank soon", "web"),   // near dup of 0
+      (3L, "completely different text about spark structured streaming state stores", "books"),
+      (4L, "!!! ??? !!!", "web"),                                                            // garbage
+      (5L, "please contact me at alice@example.com about the meeting schedule tomorrow", "books"),
+      (6L, "please contact me at bob@example.com about the meeting schedule tomorrow", "books"), // same after PII redact
+      (7L, "der die das und ist nicht ein zu mit von heute morgen", "web"))                  // german
+    .toDF("doc_id", "text", "source")
+  }
+
+  test("full pipeline: gates, scrubs, dedup stages and packing compose") {
+    val cfg = Curation.Config(minQuality = 0.3, piiRedact = true,
+      nearDupThreshold = 0.7, packBudget = 32L)
+    val out = Curation.curate(fixture, cfg).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+
+    // garbage gone; exact dup keeps 0, drops 1; near dup 2 gone;
+    // PII twins collapse to the canonical 5 after redaction
+    assert(out.keySet === Set(0L, 3L, 5L, 7L))
+    // PII was redacted before dedup (that's WHY 6 collapsed into 5)
+    assert(out(5L).getString(out(5L).fieldIndex("text")).contains("<EMAIL>"))
+    // packing assigned bins over survivors in id order
+    val bins = out.values.map(r => r.getLong(r.fieldIndex("doc_id")) ->
+      r.getLong(r.fieldIndex("bin"))).toMap
+    assert(bins.values.forall(_ >= 0))
+    assert(bins(0L) <= bins(7L)) // cumulative bins are monotone in id order
+  }
+
+  test("language gate keeps only the requested languages") {
+    val cfg = Curation.Config(minQuality = 0.0, languages = Set("de"),
+      piiRedact = false, nearDupThreshold = 1.0)
+    val out = Curation.curate(fixture, cfg).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(7L))
+  }
+
+  test("facade == manual chain (composition check)") {
+    val cfg = Curation.Config(minQuality = 0.3, piiRedact = true,
+      nearDupThreshold = 0.7)
+    val facade = Curation.curate(fixture, cfg).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+
+    // the same stages chained by hand
+    var d = TextAnalysis.qualityScore(fixture).filter(col("quality") >= 0.3)
+    d = d.withColumn("text", TextAnalysis.piiScrubCol(col("text")))
+    val canon = Dedup.exact(d).select(col("canonical_id"))
+    d = d.join(canon, d("doc_id") === canon("canonical_id"), "left_semi")
+    val pairs = Dedup.minhashLsh(d, threshold = 0.7)
+    val drop = Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    d = d.join(drop, d("doc_id") === drop("id"), "left_anti")
+    val manual = d.collect().map(_.getAs[Long]("doc_id")).toSet
+
+    assert(facade === manual)
+  }
+
+  test("source mixing: allowlist semantics on the curated survivors") {
+    val cfg = Curation.Config(minQuality = 0.0, piiRedact = false,
+      nearDupThreshold = 1.0, mixRates = Map("books" -> 1.0))
+    val out = Curation.curate(fixture, cfg).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // only books survive (web absent from the allowlist); rate 1.0
+    // keeps every books doc that survived dedup
+    assert(out.nonEmpty)
+    assert(out.subsetOf(Set(3L, 5L, 6L)))
+  }
+}
