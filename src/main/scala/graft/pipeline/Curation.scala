@@ -76,6 +76,14 @@ object Curation {
         .drop("id").withColumn(textCol, col("scrubbed")).drop("scrubbed")
     }
 
+    // The gated/scrubbed corpus feeds several downstream branches (the
+    // canonical-survivor join consumes it twice; the near-dup stage
+    // shingles it and joins back) — persist once so the narrow gate
+    // lineage is not re-scanned per branch. Deliberately not unpersisted
+    // here: the returned plan still reads it lazily; callers drop it via
+    // clearCache()/unpersist when the curated output is materialized.
+    d = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // ---- 3. exact dedup: keep each fingerprint group's canonical ----
     val canon = Dedup.exact(d, idCol, textCol).select(col("canonical_id"))
     d = d.join(canon, d(idCol) === canon("canonical_id"), "left_semi")
