@@ -106,6 +106,14 @@ object GraftFunctions {
       colFn("graft_mean_token_len", 1)(cs => TextAnalysis.meanTokenLenCol(cs(0)))),
     ("graft_lang_id", "graft_lang_id(text) - stopword-argmax language prediction ('und' if none)",
       colFn("graft_lang_id", 1)(cs => TextAnalysis.langPredCol(cs(0)))),
+    ("graft_top_ngram_share",
+      "graft_top_ngram_share(text, n) - share of word n-grams taken by the most frequent one",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_top_ngram_share expects 2 arguments, got ${exprs.length}")
+        val n = constInt("graft_top_ngram_share", exprs(1), 1)
+        toExpr(TextAnalysis.topNgramShareCol(toCol(exprs(0)), n))
+      }),
     // ---- fingerprints / PII ---------------------------------------------
     ("graft_fingerprint", "graft_fingerprint(text) - md5 of the normal form",
       colFn("graft_fingerprint", 1)(cs => TextAnalysis.fingerprintCol(cs(0)))),

@@ -258,4 +258,38 @@ class FringeSpec extends SparkSpec {
     val avgRow = byTopic(-1)
     assert(!avgRow.isNullAt(1) && !avgRow.isNullAt(3))
   }
+
+  test("per-row top-ngram share == the groupBy formulation it replaced") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the original two-shuffle formulation, inlined as the reference
+    def viaGroupBy(n: Int) = {
+      val toks = graft.pipeline.TextAnalysis.tokensCol(col("text"))
+      val base = docs.withColumn("_toks",
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(toks))
+      val grams = transform(sequence(lit(0), size(col("_toks")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("_toks"), i + j + 1)): _*))
+      base.select(col("doc_id"), explode(
+        when(size(col("_toks")) >= n, grams)
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("share"))
+    }
+    Seq(2, 3).foreach { n =>
+      val old = viaGroupBy(n).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val neu = docs.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.topNgramShareCol(col("text"), n).as("share"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // docs absent from `old` had no n-grams -> 0.0 in the per-row form
+      neu.foreach { case (id, s) =>
+        assert(math.abs(s - old.getOrElse(id, 0.0)) < 1e-12, s"n=$n doc $id")
+      }
+    }
+    // and the rewrite is a pure narrow plan: zero exchanges
+    val plan = graft.pipeline.TextAnalysis.ngramRepetition(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition picked up a shuffle:\n$plan")
+  }
 }
