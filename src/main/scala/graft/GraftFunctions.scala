@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Ann, Dedup, Sampling, TextAnalysis}
 
@@ -104,6 +104,10 @@ object GraftFunctions {
       colFn("graft_repetition_ratio", 1)(cs => TextAnalysis.repetitionRatioCol(cs(0)))),
     ("graft_mean_token_len", "graft_mean_token_len(text) - mean token length in chars",
       colFn("graft_mean_token_len", 1)(cs => TextAnalysis.meanTokenLenCol(cs(0)))),
+    ("graft_stopword_ratio",
+      "graft_stopword_ratio(text) - share of tokens in the default stopword lists",
+      colFn("graft_stopword_ratio", 1)(cs => TextAnalysis.stopwordRatioCol(cs(0),
+        TextAnalysis.defaultStopwords.values.flatten.toSeq))),
     ("graft_lang_id", "graft_lang_id(text) - stopword-argmax language prediction ('und' if none)",
       colFn("graft_lang_id", 1)(cs => TextAnalysis.langPredCol(cs(0)))),
     ("graft_top_ngram_share",
@@ -137,6 +141,14 @@ object GraftFunctions {
         require(exprs.length == 2, s"graft_minhash expects 2 arguments, got ${exprs.length}")
         val n = constInt("graft_minhash", exprs(1), 1)
         toExpr(Dedup.minhashSignature(toCol(exprs(0)), n))
+      }),
+    ("graft_jaccard",
+      "graft_jaccard(sh_a, sh_b) - exact Jaccard similarity of two shingle sets " +
+        "(pair with graft_shingles for SQL-side near-dup verification)",
+      colFn("graft_jaccard", 2) { cs =>
+        val inter = size(org.apache.spark.sql.functions.array_intersect(cs(0), cs(1)))
+        val uni = size(org.apache.spark.sql.functions.array_union(cs(0), cs(1)))
+        when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0))
       }),
     ("graft_simhash",
       "graft_simhash(text) - 64-bit SimHash fingerprint (native kernel; band with " +

@@ -183,6 +183,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql === viaApi)
   }
 
+  test("graft_jaccard / graft_stopword_ratio / graft_top_ngram_share: SQL == operators") {
+    docsDF
+    // jaccard over shingle sets == Dedup.ngramJaccard on the same pair
+    val viaSql = spark.sql(
+      """SELECT graft_jaccard(graft_shingles(a.text, 3), graft_shingles(b.text, 3)) AS j
+        |FROM sqlspec_docs a JOIN sqlspec_docs b ON a.doc_id = 0 AND b.doc_id = 1""".stripMargin)
+      .collect()(0).getDouble(0)
+    import spark.implicits._
+    val viaOp = Dedup.ngramJaccard(docsDF, Seq((0L, 1L)).toDF("id_a", "id_b"))
+      .collect()(0).getDouble(2)
+    assert(viaSql === viaOp)
+    // stopword ratio and top-ngram share match their Column builders
+    val sw = TextAnalysis.defaultStopwords.values.flatten.toSeq
+    val both = spark.sql(
+      """SELECT doc_id, graft_stopword_ratio(text) AS r, graft_top_ngram_share(text, 2) AS s
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
+    val api = docsDF.select(col("doc_id"),
+      TextAnalysis.stopwordRatioCol(col("text"), sw).as("r"),
+      TextAnalysis.topNgramShareCol(col("text"), 2).as("s"))
+      .orderBy("doc_id").collect()
+    both.zip(api).foreach { case (x, y) => assert(x === y) }
+  }
+
   test("constant-argument validation rejects non-constant knobs") {
     docsDF
     val err = intercept[Exception] {
