@@ -158,4 +158,105 @@ object Sampling {
       }
     }
   }
+
+  /** Best-fit-decreasing WHOLE-document packing — the GPU-training
+    * "sample packing" layout: each bin holds complete documents summing
+    * to ≤ `budget` tokens (no document ever splits across a bin
+    * boundary, unlike [[packSequences]]' concat-and-chunk), and
+    * first-fit-decreasing keeps padding near the bin-packing optimum
+    * (FFD ≤ 11/9·OPT + 1 bins).
+    *
+    * Distributed determinism: documents are salted-hash-bucketed into
+    * `numGroups` independent packing groups (the parallel unit — each
+    * group packs alone, so bins never span groups); within a group the
+    * greedy runs in (token count DESC, id) order. The output is a pure
+    * function of (keys, numGroups, budget) — partition-count invariant
+    * like every operator here (asserted by SamplingSpec).
+    *
+    * Scale: one shuffle (repartition on the group id) + a per-group
+    * in-memory greedy over a capacity-sorted TreeMap — O(docs·log bins)
+    * per group, group state = its bins' residual capacities. Size
+    * `numGroups` so groups stay ~10⁵-10⁶ docs; padding cost of grouping
+    * is at most one underfull bin per group. Docs longer than `budget`
+    * get a bin of their own, flagged `oversize` (callers truncate or
+    * reject — silently splitting would corrupt attention boundaries).
+    * Returns the input plus [group, bin, bin_fill, oversize]; bin ids
+    * are (group, bin) pairs — globally unique as a composite. */
+  def packBestFit(df: DataFrame, tokenCountCol: String, budget: Long,
+      numGroups: Int = 0, idCol: String = "doc_id",
+      salt: String = "pack"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val g = if (numGroups > 0) numGroups
+      else spark.sessionState.conf.numShufflePartitions
+    val grouped = df.withColumn("group",
+      pmod(conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(g.toLong)))
+    val tokIdx = grouped.schema.fieldIndex(tokenCountCol)
+    val idIdx = grouped.schema.fieldIndex(idCol)
+    val groupIdx = grouped.schema.fieldIndex("group")
+    val outSchema = org.apache.spark.sql.types.StructType(grouped.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin_fill",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("oversize",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    grouped
+      .repartition(g, col("group"))
+      .toDF().mapPartitions { it =>
+        // a partition may carry several groups (hash collisions when
+        // numGroups > partitions is impossible here since we repartition
+        // on group, but several group values can land in one partition) —
+        // pack each group independently
+        it.toSeq.groupBy(_.getLong(groupIdx)).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy { r =>
+            (-r.getAs[Number](tokIdx).longValue(), r.getAs[Number](idIdx).longValue())
+          }
+          // residual capacity -> bin ids with that capacity (best fit =
+          // smallest residual that still fits; FFD uses first fit — we
+          // implement BEST-fit-decreasing: tighter and same guarantee)
+          val byResidual = new java.util.TreeMap[Long, java.util.ArrayDeque[Long]]()
+          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def place(bin: Long, residual: Long): Unit = {
+            val q = byResidual.computeIfAbsent(residual, _ => new java.util.ArrayDeque[Long]())
+            q.addLast(bin)
+          }
+          val out = sorted.map { r =>
+            val sz = r.getAs[Number](tokIdx).longValue()
+            if (sz >= budget) {
+              val bin = fills.length.toLong
+              fills += sz
+              Row.fromSeq(r.toSeq :+ bin :+ sz :+ (sz > budget))
+            } else {
+              val e = byResidual.ceilingEntry(sz)
+              val bin = if (e == null) {
+                // no open bin fits: open a new one (registered below
+                // under its post-placement residual)
+                val b = fills.length.toLong
+                fills += 0L
+                b
+              } else {
+                // tightest open bin that fits, polled out of its old
+                // residual bucket (re-registered below under the new one)
+                val q = e.getValue
+                val b = q.pollFirst()
+                if (q.isEmpty) byResidual.remove(e.getKey)
+                b
+              }
+              val newFill = fills(bin.toInt) + sz
+              fills(bin.toInt) = newFill
+              place(bin, budget - newFill)
+              Row.fromSeq(r.toSeq :+ bin :+ newFill :+ false)
+            }
+          }
+          // rewrite bin_fill to the bin's FINAL fill so every member row
+          // reports the same number
+          out.map { r =>
+            val bin = r.getLong(r.length - 3).toInt
+            Row.fromSeq(r.toSeq.updated(r.length - 2, fills(bin)))
+          }.iterator
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

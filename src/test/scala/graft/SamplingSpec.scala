@@ -137,4 +137,57 @@ class SamplingSpec extends SparkSpec {
     Sampling.unpersistPacked(d17)
     assert(p3 === p17)
   }
+
+  test("packBestFit: whole docs per bin, budget respected, padding beats naive") {
+    import spark.implicits._
+    // lengths with awkward shapes so naive sequential packing wastes space
+    val docs = (0L until 300L).map(i => (i, 30L + (i * 37 % 61)))
+      .toDF("doc_id", "n_tok")
+    val budget = 128L
+    val out = Sampling.packBestFit(docs, "n_tok", budget, numGroups = 4).collect()
+    assert(out.length === 300)
+    val byBin = out.groupBy(r => (r.getLong(r.fieldIndex("group")),
+      r.getLong(r.fieldIndex("bin"))))
+    byBin.foreach { case ((g, b), members) =>
+      val fill = members.map(_.getLong(members.head.fieldIndex("n_tok"))).sum
+      // every member reports the bin's FINAL fill, and it fits
+      members.foreach { m =>
+        assert(m.getLong(m.fieldIndex("bin_fill")) === fill, s"group $g bin $b")
+        assert(!m.getBoolean(m.fieldIndex("oversize")))
+      }
+      assert(fill <= budget, s"group $g bin $b overfilled: $fill")
+    }
+    // padding no worse than naive sequential whole-doc first-fit in id order
+    val naiveBins = {
+      var fill = 0L; var bins = 1L
+      docs.collect().sortBy(_.getLong(0)).foreach { r =>
+        val sz = r.getLong(1)
+        if (fill + sz > budget) { bins += 1; fill = sz } else fill += sz
+      }
+      bins
+    }
+    val bfdBins = byBin.size.toLong
+    info(s"bins: best-fit-decreasing $bfdBins vs naive sequential $naiveBins")
+    assert(bfdBins <= naiveBins)
+  }
+
+  test("packBestFit: oversize docs get flagged solo bins; partition-count invariant") {
+    import spark.implicits._
+    val docs = Seq((0L, 50L), (1L, 300L), (2L, 60L), (3L, 40L)).toDF("doc_id", "n_tok")
+    val out = Sampling.packBestFit(docs, "n_tok", 128L, numGroups = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(out(1L).fieldIndex("oversize")))
+    // the oversize doc shares its (group, bin) with nobody
+    val k1 = (out(1L).getLong(out(1L).fieldIndex("group")),
+      out(1L).getLong(out(1L).fieldIndex("bin")))
+    assert(out.values.count(r =>
+      (r.getLong(r.fieldIndex("group")), r.getLong(r.fieldIndex("bin"))) == k1) === 1)
+
+    val big = (0L until 500L).map(i => (i, 20L + i % 90)).toDF("doc_id", "n_tok")
+    def assignments(src: org.apache.spark.sql.DataFrame) =
+      Sampling.packBestFit(src, "n_tok", 256L, numGroups = 8).collect()
+        .map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getLong(r.fieldIndex("group")), r.getLong(r.fieldIndex("bin")))).toSet
+    assert(assignments(big.repartition(1)) === assignments(big.repartition(13)))
+  }
 }
