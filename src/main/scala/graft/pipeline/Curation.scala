@@ -45,11 +45,12 @@ object Curation {
       nearDupThreshold: Double = 0.8,
       mixRates: Map[String, Double] = Map.empty,
       salt: String = "curation",
-      packBudget: Long = 0L)
+      packBudget: Long = 0L,
+      packWholeDocs: Boolean = false)
 
   /** Run the configured pipeline. Returns the curated documents —
     * original columns plus `quality` (and `lang_pred` when the language
-    * gate is on, `bin`/`cum_before` when packing is on), with `textCol`
+    * gate is on, `bin`/`cum_before` when chunk packing is on, `group`/`bin`/`bin_fill`/`oversize` for whole-doc packing), with `textCol`
     * rewritten by the enabled scrub stages. */
   def curate(docs: DataFrame, cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
@@ -105,11 +106,17 @@ object Curation {
     if (cfg.mixRates.nonEmpty)
       d = Sampling.mixSources(d, sourceCol, cfg.mixRates, idCol, cfg.salt)
 
-    // ---- 6. sequence packing (optional) ----
+    // ---- 6. sequence packing (optional): concat-and-chunk by default,
+    //         whole-document best-fit when attention boundaries must not
+    //         cross documents ----
     if (cfg.packBudget > 0L) {
       val counted = TextAnalysis.tokenCounts(d, textCol).drop("bpeish_tokens")
-      d = Sampling.packSequences(counted, "ws_tokens", cfg.packBudget,
-        orderCol = idCol)
+      d = if (cfg.packWholeDocs)
+        Sampling.packBestFit(counted, "ws_tokens", cfg.packBudget,
+          idCol = idCol, salt = cfg.salt)
+      else
+        Sampling.packSequences(counted, "ws_tokens", cfg.packBudget,
+          orderCol = idCol)
     }
     d
   }

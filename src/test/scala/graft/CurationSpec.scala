@@ -39,6 +39,21 @@ class CurationSpec extends SparkSpec {
     assert(bins(0L) <= bins(7L)) // cumulative bins are monotone in id order
   }
 
+  test("whole-doc packing mode: bins respect the budget, no doc splits") {
+    val cfg = Curation.Config(minQuality = 0.0, piiRedact = false,
+      nearDupThreshold = 1.0, packBudget = 16L, packWholeDocs = true)
+    val out = Curation.curate(fixture, cfg).collect()
+    assert(out.nonEmpty)
+    out.groupBy(r => (r.getLong(r.fieldIndex("group")), r.getLong(r.fieldIndex("bin"))))
+      .foreach { case (_, members) =>
+        val fill = members.head.getLong(members.head.fieldIndex("bin_fill"))
+        val sum = members.map(m => m.getInt(m.fieldIndex("ws_tokens")).toLong).sum
+        assert(fill === sum)
+        assert(fill <= 16L || members.exists(_.getBoolean(
+          members.head.fieldIndex("oversize"))))
+      }
+  }
+
   test("language gate keeps only the requested languages") {
     val cfg = Curation.Config(minQuality = 0.0, languages = Set("de"),
       piiRedact = false, nearDupThreshold = 1.0)
