@@ -59,6 +59,11 @@ object ScaleCheck {
           packed.count()
           graft.pipeline.Sampling.unpersistPacked(packed)
         },
+        "pack_bestfit (per-group greedy)" -> time {
+          graft.pipeline.Sampling.packBestFit(
+            graft.pipeline.TextAnalysis.tokenCounts(docsR)
+              .select(col("doc_id"), col("ws_tokens")), "ws_tokens", 512L).count()
+        },
         "text_decontaminate (bcast pool)" -> time {
           // bench fixture shape: eval set = a slice of the corpus
           graft.pipeline.Dedup.decontaminate(
