@@ -120,4 +120,24 @@ object Curation {
     }
     d
   }
+
+  /** Write the curated corpus with an explicit file layout — the knobs
+    * that decide whether a 100 TB output is readable: `partitionBy`
+    * yields partition-pruned directories (a downstream mixture job
+    * reading one source touches one directory), `maxRecordsPerFile`
+    * bounds file size so no task writes a multi-GB file (Spark splits
+    * writer tasks at the limit — the standard guard against few-huge-
+    * file outputs that destroy downstream scan parallelism). Rows are
+    * clustered by `idCol` within each file, so range predicates on the
+    * id prune row groups via parquet min/max stats. */
+  def writeCurated(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Seq("source"),
+      maxRecordsPerFile: Long = 0L, idCol: String = "doc_id"): Unit = {
+    val cols = partitionBy.filter(df.columns.contains)
+    var w = df.sortWithinPartitions(idCol).write.mode("overwrite")
+    if (maxRecordsPerFile > 0L)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (cols.nonEmpty) w = w.partitionBy(cols: _*)
+    w.parquet(path)
+  }
 }

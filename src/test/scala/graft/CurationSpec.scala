@@ -82,6 +82,26 @@ class CurationSpec extends SparkSpec {
     assert(facade === manual)
   }
 
+  test("writeCurated: partitioned layout with bounded files round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val curated = Curation.curate(fixture,
+      Curation.Config(minQuality = 0.0, piiRedact = false, nearDupThreshold = 1.0))
+    Curation.writeCurated(curated, out, partitionBy = Seq("source"),
+      maxRecordsPerFile = 2L)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("source=web")))
+    assert(dirs.exists(_.startsWith("source=books")))
+    val back = spark.read.parquet(out)
+    assert(back.count() === curated.count())
+    // maxRecordsPerFile bounds every data file
+    val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 2L, f.getName)
+    }
+  }
+
   test("source mixing: allowlist semantics on the curated survivors") {
     val cfg = Curation.Config(minQuality = 0.0, piiRedact = false,
       nearDupThreshold = 1.0, mixRates = Map("books" -> 1.0))
