@@ -111,6 +111,13 @@ object SparkEntry {
   private val SqlKeepSalt = "sqlsurface"
   private val BoilerN = 3          // boilerplate n-gram width
   private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
+  private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
+  private val BpeMaxWordLen = 20
+  private val SemCells = 16        // semantic-dedup spherical cells
+  private val SemThreshold = 0.9
+  private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
+  private val PqCentroids = 16
+  private val AnnSample = 10000    // codebook training sample bound (IVF/PQ/semantic)
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -1035,6 +1042,40 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // LLM pipeline: SemDeDup — spherical cells (cosine argmax against the
+    // md5-seeded codebook) + intra-cell cosine pruning with min-id
+    // survivors. Same planted ×2-scaled duplicates as dedup_embedding:
+    // cosine cell assignment is scale-invariant, so each copy provably
+    // shares its original's cell and the oracle's recomputation is exact.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < NearDupPlants)
+        .select((col("vec_id") + NearDupIdOffset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.pipeline.Dedup.semanticDedup(emb.unionByName(planted),
+          numCells = SemCells, threshold = SemThreshold, iters = 0,
+          sampleSize = AnnSample)
+        .select(col("removed_id"), col("kept_id"),
+          col("cell").cast("long").as("cell"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("removed_id"))
+    }),
+    // LLM pipeline: product-quantization ANN — the corpus scanned as m
+    // code bytes per vector against a broadcast codebook (ADC), the 100 TB
+    // compressed-scan path (64x smaller corpus side at dim 64 / m 4).
+    // iters = 0 codebook (md5-ordered seed slices) puts encode, ADC and
+    // ranks under the full oracle; Lloyd refinement is covered by
+    // PipelineSpec recall assertions.
+    "ann_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.pqTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+          m = PqSubspaces, numCentroids = PqCentroids, iters = 0,
+          sampleSize = AnnSample)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // SQL surface: the registered graft_* functions driven entirely
     // through spark.sql — one per-doc report touching tokenization,
     // quality, language ID, fingerprints, PII counts and the
@@ -1058,6 +1099,18 @@ object SparkEntry {
           CAST(CASE WHEN graft_sample_keep(doc_id, '$SqlKeepSalt', $SqlKeepRate)
                THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM graft_documents ORDER BY doc_id""")
+    }),
+    // LLM pipeline: distributed BPE tokenizer training — word-count
+    // shuffle once, then per-round pair-count argmax over the Zipf-bounded
+    // vocab table. Fully self-contained oracle (PipelineSql.bpeTrain
+    // recomputes every round's argmax itself — no replayed literals).
+    "bpe_train" -> ((s, dir) => {
+      graft.pipeline.Bpe.train(docs(s, dir), numMerges = BpeMerges,
+          maxWordLen = BpeMaxWordLen)
+        .select(col("merge_rank").cast("long").as("merge_rank"),
+          col("lhs"), col("rhs"), col("merged"),
+          col("pair_count").cast("long").as("pair_count"))
+        .orderBy(col("merge_rank"))
     }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
@@ -1377,6 +1430,7 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "sql_surface" -> graft.pipeline.PipelineSql.sqlSurface(SqlKeepRate, SqlKeepSalt),
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
     "text_decontaminate" ->
@@ -1402,6 +1456,10 @@ object SparkEntry {
     "text_fingerprint" -> graft.pipeline.PipelineSql.textFingerprint,
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),
+    "dedup_semantic" -> graft.pipeline.PipelineSql.semanticDedup(
+      NearDupPlants, NearDupIdOffset, SemCells, SemThreshold, AnnSample),
+    "ann_pq" -> graft.pipeline.PipelineSql.annPq(
+      AnnQueries, AnnK, PqSubspaces, PqCentroids, AnnSample, dim = 64),
     "cooc_window" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -213,6 +213,185 @@ object Ann {
     cents
   }
 
+  /** Spherical variant of [[trainCentroids]]: same md5-ordered seed pick,
+    * but Lloyd assignment by COSINE argmax (ties to the lower index) —
+    * the clustering SemDeDup needs, because cosine assignment is
+    * scale-invariant (a ×2-scaled duplicate provably lands in its
+    * original's cell; see Dedup.semanticDedup). The mean update is left
+    * unnormalized: cosine(v, c) is invariant under positive scaling of
+    * c, so normalizing the centroid would not change any assignment. */
+  def trainCentroidsSpherical(emb: DataFrame, vecCol: String, numCentroids: Int,
+      iters: Int = 0, sampleSize: Int = 10000, idCol: String = "vec_id"): Array[Array[Float]] = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "empty embedding table")
+    val k = math.min(numCentroids, sample.length)
+    val cents = sample
+      .map { case (id, v) => (md5Hex(s"ivf $id"), id, v) }
+      .sortBy(t => (t._1, t._2))
+      .take(k).map(_._3.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](sample(0)._2.length))
+      val counts = new Array[Long](k)
+      sample.foreach { case (_, v) =>
+        val c = nearestCentroidCosine(v, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < cents(c).length) {
+            cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  // cosine accumulated in DOUBLE over double-widened floats, sequential
+  // order — the fold DuckDB's list_cosine_similarity performs, so argmax
+  // cell assignment agrees across engines (ties to the lower index)
+  private[pipeline] def nearestCentroidCosine(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val cc = cents(c)
+      while (i < v.length && i < cc.length) {
+        val a = v(i).toDouble
+        val b = cc(i).toDouble
+        dot += a * b; na += a * a; nb += b * b; i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization codebooks `cb(s)(c)(j)`: `numCentroids` seed
+    * vectors picked once in (md5("pq " + id), id) order from a bounded
+    * sample — the same determinism contract as [[trainCentroids]], so the
+    * iters = 0 codebook is SQL-expressible (PipelineSql.annPq) — and the
+    * codebook for subspace `s` is the s-th slice of each seed, optionally
+    * refined per-subspace by independent Lloyd iterations over the
+    * sample's slices (classic PQ training: the m quantizers are
+    * independent k-means problems). */
+  def trainPqCodebooks(emb: DataFrame, vecCol: String, m: Int, numCentroids: Int,
+      iters: Int = 0, sampleSize: Int = 10000,
+      idCol: String = "vec_id"): Array[Array[Array[Float]]] = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "empty embedding table")
+    val dim = sample(0)._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m = $m subspaces")
+    val sub = dim / m
+    val k = math.min(numCentroids, sample.length)
+    val seeds = sample
+      .map { case (id, v) => (md5Hex(s"pq $id"), id, v) }
+      .sortBy(t => (t._1, t._2))
+      .take(k).map(_._3)
+    val cbs = Array.tabulate(m, k)((s, c) => seeds(c).slice(s * sub, (s + 1) * sub))
+    var it = 0
+    while (it < iters) {
+      var s = 0
+      while (s < m) {
+        val cb = cbs(s)
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        sample.foreach { case (_, v) =>
+          val slice = v.slice(s * sub, (s + 1) * sub)
+          val c = nearestCentroid(slice, cb)
+          counts(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += slice(j); j += 1 }
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < sub) { cb(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+          }
+          c += 1
+        }
+        s += 1
+      }
+      it += 1
+    }
+    cbs
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the corpus is encoded once
+    * into m code bytes per vector (argmin L2 per subspace — a narrow pass
+    * over a broadcast codebook), then queries scan codes, not vectors —
+    * at 100 TB this is the whole point: a dim-64 float corpus (256 B/vec)
+    * becomes m = 4 codes (4 B/vec), a 64× smaller scan, with distances
+    * reconstructed per (query, code) against the broadcast codebook.
+    * ADC accumulates per-subspace partial distances in double and then
+    * sums the m partials left-to-right — the same associativity as the
+    * SQL oracle's `list_sum(sub0) + ... + list_sum(sub_{m-1})`, so ranks
+    * (ties broken by id; PQ ties are real, any two vectors sharing all m
+    * codes have equal ADC) agree across engines. At real scale PQ
+    * composes with IVF cells (IVF-PQ: route by cell, scan codes within)
+    * — the routing seam is [[ivfTopK]]'s; this operator is the
+    * code-scan stage. Returns [query_id, rank, id, adc]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4, numCentroids: Int = 16, iters: Int = 0,
+      sampleSize: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val cbs = trainPqCodebooks(corpus, vecCol, m, numCentroids, iters, sampleSize, idCol)
+    val bC = spark.sparkContext.broadcast(cbs)
+    val encodeU = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val cb = bC.value
+      val sub = arr.length / cb.length
+      Array.tabulate(cb.length) { s =>
+        nearestCentroid(arr.slice(s * sub, (s + 1) * sub), cb(s))
+      }
+    }
+    val adcU = udf { (codes: Seq[Int], q: Seq[Float]) =>
+      val cb = bC.value
+      val sub = q.length / cb.length
+      var tot = 0.0
+      var s = 0
+      while (s < cb.length) {
+        val cw = cb(s)(codes(s))
+        var sd = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = q(s * sub + j).toDouble - cw(j).toDouble; sd += x * x; j += 1
+        }
+        tot += sd
+        s += 1
+      }
+      tot
+    }
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      encodeU(col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc", adcU(col("codes"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("adc"))
+  }
+
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

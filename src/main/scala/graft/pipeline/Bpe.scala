@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training — the vocabulary-learning step of a
+  * training-data pipeline (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units").
+  *
+  * Spark-first shape: the ONLY corpus-proportional work is the single
+  * word-count shuffle ([[wordCounts]] — map-side-combined groupBy). Every
+  * merge round then runs over the *distinct-word* table, which is
+  * Zipf-bounded (a few million rows even at 100 TB of text), weighted by
+  * word frequency — exactly how reference BPE trainers (subword-nmt,
+  * SentencePiece) structure the computation. The merge table itself is
+  * `numMerges` rows, so the per-round `limit(1).collect()` argmax is a
+  * driver-side scalar, not a driver-side loop over data.
+  *
+  * Symbol sequences are kept as a DOUBLE-SPACE-joined string column
+  * (` a  b  c  </w> `): applying a merge (l, r) is then the codegen'd
+  * builtin `replace(seq, " l  r ", " lr ")`, whose left-to-right
+  * non-overlapping scan is exactly greedy BPE pair substitution, and whose
+  * single-space replacement boundary preserves the double-space invariant
+  * for consecutive matches (` a  b  a  b ` → ` ab  ab `). The same
+  * `replace` exists in any SQL engine, which is what puts the whole
+  * training loop — argmax pair selection included — under a fully
+  * self-contained DuckDB oracle (PipelineSql.bpeTrain: each round's top
+  * pair is a scalar subquery feeding the next round's replace; no replayed
+  * literals).
+  *
+  * Reference scope note: bigartm tokenizes upstream of the engine
+  * (src/artm/core/token.h treats tokens as opaque strings); subword
+  * vocabulary learning is a beyond-reference training-data operator.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every symbol sequence (keeps merges
+    * from crossing word boundaries and encodes word-final subwords,
+    * per the original BPE formulation). Must not contain spaces. */
+  val EndMarker = "</w>"
+
+  /** Lower-cased `[a-z]+` word frequencies — one map-side-combined shuffle
+    * over the corpus; everything downstream of this is vocabulary-sized. */
+  def wordCounts(docs: DataFrame, textCol: String = "text",
+      maxWordLen: Int = 20): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** ` c  h  a  r  s  </w> ` — leading/trailing single space, double-space
+    * separators (see object scaladoc for why doubles). */
+  private[pipeline] def initSeq(word: Column): Column =
+    concat(lit(" "),
+      array_join(concat(
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+        array(lit(EndMarker))), "  "),
+      lit(" "))
+
+  /** Adjacent symbol pairs of a sequence column as [l, r] structs.
+    * Sequences always hold >= 2 symbols (one char + [[EndMarker]]), so the
+    * `sequence(1, n-1)` bound never degenerates into Spark's descending
+    * range. */
+  private[pipeline] def pairsOf(seq: Column): Column = {
+    val t = split(trim(seq), "  ")
+    transform(sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r")))
+  }
+
+  /** Learned merge operations, most frequent first:
+    * [merge_rank, lhs, rhs, merged, pair_count]. Ties on count break
+    * lexicographically on (lhs, rhs) — deterministic and engine-portable
+    * (pure ASCII byte order on `[a-z</>]` symbols).
+    *
+    * Each round is one aggregation job over the persisted word table; the
+    * merge applications accumulate as a stack of codegen'd `replace`
+    * expressions over the persisted base (round k re-applies k-1 replaces
+    * — O(numMerges²) vocabulary-table string passes total, the standard
+    * trade against materializing a new table per round). */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      maxWordLen: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val words = wordCounts(docs, textCol, maxWordLen)
+      .select(col("cnt"), initSeq(col("word")).as("seq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var cur = words
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
+      val top = cur
+        .select(explode(pairsOf(col("seq"))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, l + r, pc))
+        cur = cur.withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+        round += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Tokenize text with a learned merge table: per-word symbol sequences
+    * seeded from characters, merges applied in rank order (same replace
+    * semantics as training), exploded back to one row per (doc, subword).
+    * A pure narrow map at corpus scale — the merge table rides along as
+    * `numMerges` stacked codegen'd replaces. Returns
+    * [<id col>, word_pos, sub_pos, subword]. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordLen: Int = 20): DataFrame = {
+    val seeded = docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "[^a-z]+"))
+        .as(Seq("word_pos", "word")))
+      .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+      .withColumn("seq", initSeq(col("word")))
+    val applied = merges.foldLeft(seeded) { case (df, (l, r)) =>
+      df.withColumn("seq", replace(col("seq"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+    }
+    applied.select(col(idCol), col("word_pos"),
+      posexplode(split(trim(col("seq")), "  ")).as(Seq("sub_pos", "subword")))
+  }
+}

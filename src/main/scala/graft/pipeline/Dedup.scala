@@ -378,4 +378,49 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space into `numCells` spherical cells (cosine argmax against a
+    * deterministic md5-seeded codebook — Ann.trainCentroidsSpherical),
+    * then prune within each cell: a vector is REMOVED when a lower-id
+    * vector in its cell sits above the cosine threshold; its kept
+    * representative is the smallest such id.
+    *
+    * Scale shape: the codebook is tiny and broadcast; assignment is one
+    * narrow pass; the candidate join is keyed on `cell`, so the quadratic
+    * blowup is bounded per cell (numCells is the knob — at 100 TB you run
+    * 10k–100k cells so each cell holds ~corpus/numCells vectors, and the
+    * cell key partitions the join; this is exactly the published
+    * formulation, k-means cells then intra-cell pairwise). Cosine cell
+    * assignment is scale-invariant, which is what makes the planted
+    * ×2-scaled duplicates of the dedup_semantic entry provably co-cell
+    * with their originals (power-of-two float scaling commutes exactly
+    * with the double cosine).
+    *
+    * Returns [removed_id, kept_id, cell, cosine(kept, removed)]. */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", numCells: Int = 16,
+      threshold: Double = 0.9, iters: Int = 0, sampleSize: Int = 10000,
+      seed: Int = 42): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = Ann.trainCentroidsSpherical(emb, vecCol, numCells, iters, sampleSize, idCol)
+    val bC = spark.sparkContext.broadcast(cents)
+    val assign = udf { (v: Seq[Float]) => Ann.nearestCentroidCosine(v.toArray, bC.value) }
+    val assigned = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assign(col("vec")))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("v_b"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Ann.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cosine"))
+    val rem = dup.groupBy(col("id_b").as("removed_id"))
+      .agg(min(col("id_a")).as("kept_id"))
+    rem.join(dup,
+        rem("removed_id") === dup("id_b") && rem("kept_id") === dup("id_a"))
+      .select(col("removed_id"), col("kept_id"), col("cell"), col("cosine"))
+  }
 }

@@ -270,6 +270,98 @@ object PipelineSql {
        |SELECT id_a, id_b, round(cosine, 6) AS cosine
        |FROM pairs WHERE cosine >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors Dedup.semanticDedup (SemDeDup) over embeddings ∪ the
+    * ×2-scaled planted copies: md5-ordered spherical codebook (iters = 0
+    * — the same seed pick as annIvf), cosine-argmax cell assignment
+    * (ties to the lower index), intra-cell pairs over the threshold,
+    * min-id survivor per removed id. */
+  def semanticDedup(plants: Int, idOffset: Long, numCells: Int,
+      threshold: Double, sampleSize: Int): String =
+    s"""WITH base0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planted AS (SELECT vec_id + $idOffset AS vec_id,
+       |                   [x * 2.0 for x in v] AS v
+       |            FROM base0 WHERE vec_id < $plants),
+       |base AS (SELECT * FROM base0 UNION ALL SELECT * FROM planted),
+       |samp AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $sampleSize),
+       |cents AS (SELECT c, cv FROM (
+       |  SELECT row_number() OVER (
+       |    ORDER BY md5('ivf ' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+       |    v AS cv FROM samp) WHERE c < $numCells),
+       |sim AS (SELECT b.vec_id, c.c,
+       |               list_cosine_similarity(b.v, c.cv) AS cs
+       |        FROM base b CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, c AS cell FROM (
+       |  SELECT vec_id, c, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cs DESC, c) AS rk FROM sim) WHERE rk = 1),
+       |dup AS (SELECT aa.cell, aa.vec_id AS id_a, bb.vec_id AS id_b,
+       |               list_cosine_similarity(a.v, b.v) AS cosine
+       |        FROM assign aa JOIN assign bb
+       |          ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+       |        JOIN base a ON a.vec_id = aa.vec_id
+       |        JOIN base b ON b.vec_id = bb.vec_id
+       |        WHERE list_cosine_similarity(a.v, b.v) >= $threshold),
+       |rem AS (SELECT id_b AS removed_id, min(id_a) AS kept_id
+       |        FROM dup GROUP BY id_b)
+       |SELECT r.removed_id, r.kept_id, CAST(d.cell AS BIGINT) AS cell,
+       |       round(d.cosine, 6) AS cosine
+       |FROM rem r JOIN dup d
+       |  ON d.id_b = r.removed_id AND d.id_a = r.kept_id
+       |ORDER BY removed_id""".stripMargin
+
+  /** Mirrors Ann.pqTopK with iters = 0: seed vectors in (md5('pq ' || id),
+    * id) order, per-subspace codebooks as seed slices, per-vector codes by
+    * argmin L2 within each subspace, ADC = the sum of the m per-subspace
+    * list_sum partials (the operator accumulates with the same
+    * associativity), ranks tie-broken by id — PQ ties are real: vectors
+    * sharing all m codes have identical ADC. */
+  def annPq(numQueries: Int, k: Int, m: Int, numCentroids: Int,
+      sampleSize: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val cbs = (0 until m).map { s =>
+      s"cb$s AS (SELECT c, cv[${s * sub + 1}:${(s + 1) * sub}] AS cw FROM seeds)"
+    }.mkString(",\n")
+    val codes = (0 until m).map { s =>
+      s"""dist$s AS (SELECT b.vec_id, cb.c,
+         |  list_sum([(b.v[i+${s * sub}+1] - cb.cw[i+1]) * (b.v[i+${s * sub}+1] - cb.cw[i+1])
+         |            for i in range(0, $sub)]) AS d
+         |  FROM base b CROSS JOIN cb$s cb),
+         |code$s AS (SELECT vec_id, c AS code FROM (
+         |  SELECT vec_id, c, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, c) AS rk FROM dist$s) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN code$s c$s ON c$s.vec_id = c0.vec_id").mkString("\n  ")
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN cb$s k$s ON k$s.c = c$s.code").mkString("\n  ")
+    val adc = (0 until m).map { s =>
+      s"""list_sum([(q.qv[i+${s * sub}+1] - k$s.cw[i+1]) * (q.qv[i+${s * sub}+1] - k$s.cw[i+1])
+         |            for i in range(0, $sub)])""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $sampleSize),
+       |seeds AS (SELECT c, cv FROM (
+       |  SELECT row_number() OVER (
+       |    ORDER BY md5('pq ' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+       |    v AS cv FROM samp) WHERE c < $numCentroids),
+       |$cbs,
+       |$codes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, c0.vec_id AS id,
+       |  $adc AS adc
+       |  FROM q CROSS JOIN code0 c0
+       |  $codeJoins
+       |  $cbJoins
+       |  WHERE c0.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, id, adc,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc, id) AS BIGINT) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, id, round(adc, 6) AS adc
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Mirrors TextAnalysis.qualityScore (same stopword list, same ratios). */
   /** The quality-metrics CTE body over a source exposing
     * (doc_id, text, toks) — shared by [[textQuality]] and the composed
@@ -672,5 +764,57 @@ object PipelineSql {
        |JOIN t ON t.doc_id = d.doc_id
        |JOIN f ON f.doc_id = d.doc_id
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors Bpe.train END TO END with no replayed literals: each round's
+    * argmax pair is computed by the SQL itself (`top_r`) and fed into the
+    * next round's sequence rewrite as scalar subqueries — so a wrong pair
+    * pick, a wrong count, or a drifting replace semantics on the Spark
+    * side all break the hash. The double-space sequence encoding and the
+    * left-to-right non-overlapping `replace` are engine-portable by
+    * construction (see Bpe scaladoc). */
+  def bpeTrain(numMerges: Int, maxWordLen: Int): String = {
+    def seqCte(r: Int): String =
+      // NB: no line in this builder may start with `|` after its own
+      // stripMargin — the enclosing template stripMargins the embedded
+      // text a second time and would eat one pipe of a leading `||`.
+      // AS MATERIALIZED: every top/seq CTE is referenced 2-3 times, and
+      // inlining would re-expand the whole chain per reference —
+      // exponential plan growth (and one parquet re-open per leaf copy).
+      if (r == 1)
+        s"""seq1 AS MATERIALIZED (SELECT cnt,
+           |  ' ' || array_to_string(list_append([word[i+1] for i in range(0, length(word))], '${Bpe.EndMarker}'), '  ') || ' ' AS seq
+           |  FROM words)""".stripMargin
+      else {
+        val t = s"(SELECT pl FROM top${r - 1})"
+        val u = s"(SELECT pr FROM top${r - 1})"
+        s"""seq$r AS MATERIALIZED (SELECT cnt,
+           |  replace(seq, ' ' || $t || '  ' || $u || ' ',
+           |               ' ' || $t || $u || ' ') AS seq
+           |  FROM seq${r - 1})""".stripMargin
+      }
+    def topCte(r: Int): String =
+      s"""pairs$r AS (
+         |  SELECT p[1] AS pl, p[2] AS pr, cnt FROM (
+         |    SELECT unnest([[t[i+1], t[i+2]] for i in range(0, len(t)-1)]) AS p, cnt
+         |    FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM seq$r))),
+         |top$r AS MATERIALIZED (SELECT pl, pr, pc FROM (
+         |  SELECT pl, pr, pc, row_number() OVER (ORDER BY pc DESC, pl, pr) AS rk
+         |  FROM (SELECT pl, pr, SUM(cnt) AS pc FROM pairs$r GROUP BY pl, pr))
+         |  WHERE rk = 1)""".stripMargin
+    val rounds = (1 to numMerges)
+      .map(r => s"${seqCte(r)},\n${topCte(r)}").mkString(",\n")
+    val out = (1 to numMerges)
+      .map(r => s"""SELECT CAST($r AS BIGINT) AS merge_rank, pl AS lhs, pr AS rhs,
+                   |  pl || pr AS merged, CAST(pc AS BIGINT) AS pair_count FROM top$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1 AND length(w) <= $maxWordLen GROUP BY w),
+       |$rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
   }
 }

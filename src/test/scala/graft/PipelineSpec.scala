@@ -134,6 +134,87 @@ class PipelineSpec extends SparkSpec {
     assert(nd.filter(col("cosine") < 0.9).count() === 0)
   }
 
+  test("SemDeDup: planted scaled copies removed, originals kept, none else") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val u = emb.unionByName(planted)
+    val out = Dedup.semanticDedup(u, numCells = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // exactly the 10 planted copies are removed (cosine assignment is
+    // scale-invariant -> copy shares its original's cell; corpus carries
+    // no natural pair above 0.9), each kept by its original, cosine 1
+    assert(out.length === 10)
+    out.foreach { case (removed, kept, cos) =>
+      assert(removed >= 5000L && kept === removed - 5000L)
+      assert(math.abs(cos - 1.0) < 1e-12)
+    }
+    // spherical Lloyd refinement (iters > 0) moves centroids but cannot
+    // split an exact-duplicate pair across cells
+    assert(Dedup.semanticDedup(u, numCells = 8, threshold = 0.9, iters = 2)
+      .count() === 10)
+  }
+
+  test("PQ ANN: k rows per query, ADC monotone with rank, useful L2 recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    // exact L2 top-10 as ground truth (ADC approximates L2, not cosine)
+    val c = emb.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val d2 = aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("id"))
+    val bf = c.crossJoin(broadcast(q)).filter(col("id") =!= col("query_id"))
+      .withColumn("d2", d2).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10).cache()
+
+    val pq = Ann.pqTopK(emb, queries, k = 10, m = 8, numCentroids = 64,
+      iters = 3).cache()
+    assert(pq.groupBy("query_id").count().collect().forall(_.getLong(1) === 10))
+    val adcs = pq.filter(col("query_id") === 0).orderBy(col("rank"))
+      .select(col("adc")).collect().map(_.getDouble(0))
+    assert(adcs.sameElements(adcs.sorted))
+    // ADC must approximate the true L2: median relative error of adc vs
+    // exact d2 over the returned pairs
+    val errs = pq.join(
+        c.select(col("id"), col("v")), Seq("id"))
+      .join(q, Seq("query_id"))
+      .withColumn("d2", d2)
+      .select((abs(col("adc") - col("d2")) / col("d2")).as("rel"))
+      .collect().map(_.getDouble(0)).sorted
+    val medianErr = errs(errs.length / 2)
+    info(s"PQ median relative ADC error (m=8, 64 centroids) = $medianErr")
+    // ~0.28 measured on this fixture: 8-dim subspaces x 64 centroids on
+    // near-uniform random data quantize coarsely; the bound pins against
+    // regression, not against the fixture's intrinsic error
+    assert(medianErr <= 0.35, s"ADC error too high: $medianErr")
+    // pure-ADC recall on this near-random fixture is bounded by the
+    // distance concentration (neighbor gaps ~ quantization error), so the
+    // floor is 'far better than random' (random = 10/499 ~= 0.02)
+    val recall = pq.join(bf, Seq("query_id", "id"), "left_semi").count().toDouble /
+      bf.count()
+    info(s"PQ recall@10 vs exact L2 (m=8, 64 centroids, iters=3) = $recall")
+    assert(recall >= 0.15, s"PQ recall@10 too low: $recall")
+    // the deployment shape: ADC shortlist (5k) -> exact rerank -> top-10
+    val short = Ann.pqTopK(emb, queries, k = 50, m = 8, numCentroids = 64,
+      iters = 3)
+    val rr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("id"))
+    val reranked = short.select(col("query_id"), col("id"))
+      .join(c, Seq("id")).join(q, Seq("query_id"))
+      .withColumn("d2", d2).withColumn("rank", row_number().over(rr))
+      .filter(col("rank") <= 10)
+    val recallRr = reranked.join(bf, Seq("query_id", "id"), "left_semi").count()
+      .toDouble / bf.count()
+    info(s"PQ shortlist(50)+exact-rerank recall@10 = $recallRr")
+    assert(recallRr >= 0.5, s"reranked PQ recall@10 too low: $recallRr")
+  }
+
   test("vocabStats: HLL sketch within 2% of the exact distinct count") {
     val docsDF = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextAnalysis.vocabStats(docsDF, exact = true).collect()
