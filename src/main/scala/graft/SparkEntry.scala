@@ -113,6 +113,7 @@ object SparkEntry {
   private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
+  private val BpeTopSubwords = 30  // bpe_encode report size
   private val SemCells = 16        // semantic-dedup spherical cells
   private val SemThreshold = 0.9
   private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
@@ -121,6 +122,15 @@ object SparkEntry {
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
+
+  /** Memoized learned BPE merge table (driver-local: BpeMerges rows) —
+    * shared by bpe_train and bpe_encode. */
+  private def bpeMerges(s: SparkSession, dir: String): Array[(Long, String, String, String, Long)] =
+    memoized(s, dir, "bpemerges") {
+      graft.pipeline.Bpe.train(docs(s, dir), BpeMerges, maxWordLen = BpeMaxWordLen)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    }
 
   /** Memoized MinHash-LSH pair table [id_a, id_b, est_jaccard] — shared
     * by dedup_minhash and dedup_clusters (driver-local: near-dup pairs
@@ -1105,12 +1115,21 @@ object SparkEntry {
     // vocab table. Fully self-contained oracle (PipelineSql.bpeTrain
     // recomputes every round's argmax itself — no replayed literals).
     "bpe_train" -> ((s, dir) => {
-      graft.pipeline.Bpe.train(docs(s, dir), numMerges = BpeMerges,
-          maxWordLen = BpeMaxWordLen)
-        .select(col("merge_rank").cast("long").as("merge_rank"),
-          col("lhs"), col("rhs"), col("merged"),
-          col("pair_count").cast("long").as("pair_count"))
+      import s.implicits._
+      bpeMerges(s, dir).toSeq
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("merge_rank"))
+    }),
+    // LLM pipeline: corpus encoded with the learned merge table — top
+    // subword frequencies. The oracle RE-LEARNS the merges in SQL
+    // (bpeTrain chain) and applies them, so this row pins training AND
+    // application against each other.
+    "bpe_encode" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).map(m => (m._2, m._3)).toSeq
+      graft.pipeline.Bpe.subwordCounts(docs(s, dir), merges,
+          maxWordLen = BpeMaxWordLen)
+        .orderBy(col("n_occ").desc, col("subword")).limit(BpeTopSubwords)
+        .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
     }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
@@ -1431,6 +1450,8 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
+    "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
+      BpeMerges, BpeMaxWordLen, BpeTopSubwords),
     "sql_surface" -> graft.pipeline.PipelineSql.sqlSurface(SqlKeepRate, SqlKeepSalt),
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
     "text_decontaminate" ->

@@ -129,4 +129,22 @@ object Bpe {
     applied.select(col(idCol), col("word_pos"),
       posexplode(split(trim(col("seq")), "  ")).as(Seq("sub_pos", "subword")))
   }
+
+  /** Corpus subword frequencies under a learned merge table, computed on
+    * the VOCABULARY: occurrences(subword) = Σ over distinct words of
+    * wordCount × (occurrences of the subword in that word's merged
+    * sequence) — so the corpus-proportional work stays the single
+    * word-count shuffle, and the merge/explode/re-aggregate all run on
+    * the Zipf-bounded word table. Returns [subword, n_occ]. */
+  def subwordCounts(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", maxWordLen: Int = 20): DataFrame = {
+    val words = wordCounts(docs, textCol, maxWordLen)
+      .select(col("cnt"), initSeq(col("word")).as("seq"))
+    val applied = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("seq", replace(col("seq"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+    }
+    applied
+      .select(explode(split(trim(col("seq")), "  ")).as("subword"), col("cnt"))
+      .groupBy(col("subword")).agg(sum(col("cnt")).as("n_occ"))
+  }
 }

@@ -774,6 +774,44 @@ object PipelineSql {
     * left-to-right non-overlapping `replace` are engine-portable by
     * construction (see Bpe scaladoc). */
   def bpeTrain(numMerges: Int, maxWordLen: Int): String = {
+    val rounds = bpeChain(numMerges, maxWordLen)
+    val out = (1 to numMerges)
+      .map(r => s"""SELECT CAST($r AS BIGINT) AS merge_rank, pl AS lhs, pr AS rhs,
+                   |  pl || pr AS merged, CAST(pc AS BIGINT) AS pair_count FROM top$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Mirrors the bpe_encode entry: the [[bpeTrain]] chain learns the
+    * merges in-SQL, one more rewrite applies the final merge, and the
+    * result sequences are exploded and re-aggregated into corpus subword
+    * frequencies (weighted by word count) — top `topK` by (n_occ DESC,
+    * subword). */
+  def bpeEncode(numMerges: Int, maxWordLen: Int, topK: Int): String = {
+    val rounds = bpeChain(numMerges, maxWordLen)
+    val t = s"(SELECT pl FROM top$numMerges)"
+    val u = s"(SELECT pr FROM top$numMerges)"
+    s"""WITH $rounds,
+       |seqF AS MATERIALIZED (SELECT cnt,
+       |  replace(seq, ' ' || $t || '  ' || $u || ' ',
+       |               ' ' || $t || $u || ' ') AS seq
+       |  FROM seq$numMerges),
+       |sub AS (SELECT unnest(string_split(trim(seq), '  ')) AS subword, cnt
+       |        FROM seqF),
+       |agg AS (SELECT subword, CAST(SUM(cnt) AS BIGINT) AS n_occ
+       |        FROM sub GROUP BY subword)
+       |SELECT subword, n_occ FROM (
+       |  SELECT subword, n_occ, row_number() OVER (ORDER BY n_occ DESC, subword) AS rk
+       |  FROM agg) WHERE rk <= $topK
+       |ORDER BY n_occ DESC, subword""".stripMargin
+  }
+
+  /** The shared CTE chain of [[bpeTrain]]/[[bpeEncode]]: word counts,
+    * then per-round (sequence rewrite, pair counts, argmax) CTEs —
+    * `words, seq1, pairs1, top1, ..., seq$n, pairs$n, top$n`. */
+  private def bpeChain(numMerges: Int, maxWordLen: Int): String = {
     def seqCte(r: Int): String =
       // NB: no line in this builder may start with `|` after its own
       // stripMargin — the enclosing template stripMargins the embedded
@@ -804,17 +842,11 @@ object PipelineSql {
          |  WHERE rk = 1)""".stripMargin
     val rounds = (1 to numMerges)
       .map(r => s"${seqCte(r)},\n${topCte(r)}").mkString(",\n")
-    val out = (1 to numMerges)
-      .map(r => s"""SELECT CAST($r AS BIGINT) AS merge_rank, pl AS lhs, pr AS rhs,
-                   |  pl || pr AS merged, CAST(pc AS BIGINT) AS pair_count FROM top$r""".stripMargin)
-      .mkString("\nUNION ALL ")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
        |    FROM documents)
        |  WHERE length(w) >= 1 AND length(w) <= $maxWordLen GROUP BY w),
-       |$rounds
-       |$out
-       |ORDER BY merge_rank""".stripMargin
+       |$rounds""".stripMargin
   }
 }

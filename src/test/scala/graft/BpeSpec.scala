@@ -44,6 +44,16 @@ class BpeSpec extends SparkSpec {
     assert(subs.toSeq === Seq("lowe", "r", "</w>"))
   }
 
+  test("subwordCounts weights by word frequency") {
+    val sc = Bpe.subwordCounts(fixture, Seq(("w", "e"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'we': lower x2 + newest x4; 'w' survives in low x3, widest, wider,
+    // new; every one of the 13 word instances ends with </w>
+    assert(sc("we") === 6L)
+    assert(sc("w") === 6L)
+    assert(sc("</w>") === 13L)
+  }
+
   test("word-boundary safety: a pair never matches across token boundaries") {
     // tokens [x a] [b]: the string ' x  a  b ... ' contains 'a  b' only as
     // whole tokens; merging (a,b) must not touch the 'a' inside 'xa'
