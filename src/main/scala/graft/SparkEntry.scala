@@ -1086,6 +1086,21 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // LLM pipeline: IVF-PQ composed ANN — cell routing + compressed code
+    // scan, the production 100 TB architecture. Both codebooks at
+    // iters = 0 (md5-ordered picks) put routing, encoding, ADC and ranks
+    // under the full oracle, which reuses the ivf-cell and pq-code CTE
+    // fragments of ann_ivf / ann_pq so the three rows cannot drift apart.
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+          numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
+          pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+          sampleSize = AnnSample)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // SQL surface: the registered graft_* functions driven entirely
     // through spark.sql — one per-doc report touching tokenization,
     // quality, language ID, fingerprints, PII counts and the
@@ -1481,6 +1496,9 @@ object SparkEntry {
       NearDupPlants, NearDupIdOffset, SemCells, SemThreshold, AnnSample),
     "ann_pq" -> graft.pipeline.PipelineSql.annPq(
       AnnQueries, AnnK, PqSubspaces, PqCentroids, AnnSample, dim = 64),
+    "ann_ivfpq" -> graft.pipeline.PipelineSql.annIvfPq(
+      AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64),
     "cooc_window" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -392,6 +392,67 @@ object Ann {
       .select(col("query_id"), col("rank"), col("id"), col("adc"))
   }
 
+  /** IVF-PQ: the production 100 TB ANN architecture — IVF cells route
+    * each query to `nprobe` partitions of the corpus, and within them the
+    * scan reads m code bytes per vector (ADC against the broadcast PQ
+    * codebook), never the raw vectors. One narrow encode pass produces
+    * (id, cell, codes); the candidate join is keyed on `cell`; the raw
+    * corpus vectors appear in no join at query time. Exact-rerank of the
+    * ADC shortlist (see PipelineSpec) is the optional refinement stage.
+    * Returns [query_id, rank, id, adc]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
+      pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
+      sampleSize: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, vecCol, numCentroids, iters, sampleSize,
+      idCol = idCol)
+    val cbs = trainPqCodebooks(corpus, vecCol, m, pqCentroids, pqIters,
+      sampleSize, idCol)
+    val bCells = spark.sparkContext.broadcast(cents)
+    val bCbs = spark.sparkContext.broadcast(cbs)
+    val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bCells.value) }
+    val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bCells.value, nprobe) }
+    val encodeU = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val cb = bCbs.value
+      val sub = arr.length / cb.length
+      Array.tabulate(cb.length) { s =>
+        nearestCentroid(arr.slice(s * sub, (s + 1) * sub), cb(s))
+      }
+    }
+    val adcU = udf { (codes: Seq[Int], q: Seq[Float]) =>
+      val cb = bCbs.value
+      val sub = q.length / cb.length
+      var tot = 0.0
+      var s = 0
+      while (s < cb.length) {
+        val cw = cb(s)(codes(s))
+        var sd = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = q(s * sub + j).toDouble - cw(j).toDouble; sd += x * x; j += 1
+        }
+        tot += sd
+        s += 1
+      }
+      tot
+    }
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      assign(col(vecCol)).as("cell"), encodeU(col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probes(col("qvec"))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc", adcU(col("codes"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("adc"))
+  }
+
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

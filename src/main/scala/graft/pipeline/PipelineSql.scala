@@ -219,9 +219,13 @@ object PipelineSql {
     * double-L2 argmin with index tiebreak (the operator's
     * nearestCentroid loop), probes the `nprobe` nearest cells, exact
     * cosine rerank inside them. */
-  def annIvf(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
+  /** The IVF cell CTE block shared by [[annIvf]] and [[annIvfPq]]:
+    * `base, samp, cents, dist, assign, qprobe` — md5-ordered codebook
+    * pick, double-L2 argmin assignment with index tiebreak, nprobe
+    * nearest cells per query. */
+  private def ivfCellCtes(numQueries: Int, numCentroids: Int, nprobe: Int,
       sampleSize: Int): String =
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |samp AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $sampleSize),
        |cents AS (SELECT c, cv FROM (
        |  SELECT row_number() OVER (
@@ -237,7 +241,11 @@ object PipelineSql {
        |qprobe AS (SELECT vec_id AS query_id, c AS cell FROM (
        |  SELECT vec_id, c, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY d, c) AS rk FROM dist
-       |  WHERE vec_id < $numQueries) WHERE rk <= $nprobe),
+       |  WHERE vec_id < $numQueries) WHERE rk <= $nprobe)""".stripMargin
+
+  def annIvf(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
+      sampleSize: Int): String =
+    s"""WITH ${ivfCellCtes(numQueries, numCentroids, nprobe, sampleSize)},
        |cand AS (SELECT q.query_id, a.vec_id AS id
        |         FROM qprobe q JOIN assign a ON a.cell = q.cell
        |         WHERE a.vec_id <> q.query_id),
@@ -314,10 +322,10 @@ object PipelineSql {
     * list_sum partials (the operator accumulates with the same
     * associativity), ranks tie-broken by id — PQ ties are real: vectors
     * sharing all m codes have identical ADC. */
-  def annPq(numQueries: Int, k: Int, m: Int, numCentroids: Int,
-      sampleSize: Int, dim: Int): String = {
-    require(dim % m == 0)
-    val sub = dim / m
+  /** The PQ codebook/code CTE block shared by [[annPq]] and [[annIvfPq]]:
+    * `seeds, cb$s, dist$s, code$s` for each subspace s (expects a `base`
+    * and `samp` CTE in scope). */
+  private def pqCodeCtes(m: Int, numCentroids: Int, sub: Int): String = {
     val cbs = (0 until m).map { s =>
       s"cb$s AS (SELECT c, cv[${s * sub + 1}:${(s + 1) * sub}] AS cw FROM seeds)"
     }.mkString(",\n")
@@ -330,6 +338,18 @@ object PipelineSql {
          |  SELECT vec_id, c, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY d, c) AS rk FROM dist$s) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
+    s"""seeds AS (SELECT c, cv FROM (
+       |  SELECT row_number() OVER (
+       |    ORDER BY md5('pq ' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+       |    v AS cv FROM samp) WHERE c < $numCentroids),
+       |$cbs,
+       |$codes""".stripMargin
+  }
+
+  /** The ADC expression + joins shared by [[annPq]] and [[annIvfPq]]:
+    * (codeJoins, cbJoins, adcExpr) for a query alias `q` and corpus code
+    * alias `c0..c{m-1}`. */
+  private def pqAdc(m: Int, sub: Int): (String, String, String) = {
     val codeJoins = (1 until m)
       .map(s => s"JOIN code$s c$s ON c$s.vec_id = c0.vec_id").mkString("\n  ")
     val cbJoins = (0 until m)
@@ -338,19 +358,50 @@ object PipelineSql {
       s"""list_sum([(q.qv[i+${s * sub}+1] - k$s.cw[i+1]) * (q.qv[i+${s * sub}+1] - k$s.cw[i+1])
          |            for i in range(0, $sub)])""".stripMargin
     }.mkString("\n  + ")
+    (codeJoins, cbJoins, adc)
+  }
+
+  def annPq(numQueries: Int, k: Int, m: Int, numCentroids: Int,
+      sampleSize: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val (codeJoins, cbJoins, adc) = pqAdc(m, sub)
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |samp AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $sampleSize),
-       |seeds AS (SELECT c, cv FROM (
-       |  SELECT row_number() OVER (
-       |    ORDER BY md5('pq ' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
-       |    v AS cv FROM samp) WHERE c < $numCentroids),
-       |$cbs,
-       |$codes,
+       |${pqCodeCtes(m, numCentroids, sub)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < $numQueries),
        |scored AS (
        |  SELECT q.query_id, c0.vec_id AS id,
        |  $adc AS adc
        |  FROM q CROSS JOIN code0 c0
+       |  $codeJoins
+       |  $cbJoins
+       |  WHERE c0.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, id, adc,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc, id) AS BIGINT) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, id, round(adc, 6) AS adc
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirrors Ann.ivfPqTopK: IVF cell routing ([[ivfCellCtes]]) composed
+    * with the PQ code scan ([[pqCodeCtes]]) — candidates are the corpus
+    * vectors in the query's nprobe nearest cells, scored by ADC. */
+  def annIvfPq(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
+      m: Int, pqCentroids: Int, sampleSize: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val (codeJoins, cbJoins, adc) = pqAdc(m, sub)
+    s"""WITH ${ivfCellCtes(numQueries, numCentroids, nprobe, sampleSize)},
+       |${pqCodeCtes(m, pqCentroids, sub)},
+       |q AS (SELECT qp.query_id, qp.cell, bq.v AS qv
+       |      FROM qprobe qp JOIN base bq ON bq.vec_id = qp.query_id),
+       |scored AS (
+       |  SELECT q.query_id, c0.vec_id AS id,
+       |  $adc AS adc
+       |  FROM q JOIN assign a ON a.cell = q.cell
+       |  JOIN code0 c0 ON c0.vec_id = a.vec_id
        |  $codeJoins
        |  $cbJoins
        |  WHERE c0.vec_id <> q.query_id),

@@ -157,6 +157,24 @@ class PipelineSpec extends SparkSpec {
       .count() === 10)
   }
 
+  test("IVF-PQ: cell-routed candidates carry the same ADC as the flat scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val flat = Ann.pqTopK(emb, queries, k = 200, m = 4, numCentroids = 16)
+    val routed = Ann.ivfPqTopK(emb, queries, k = 10, numCentroids = 8,
+      nprobe = 4, m = 4, pqCentroids = 16).cache()
+    assert(routed.groupBy("query_id").count().collect().forall(_.getLong(1) === 10))
+    // same (pq-seed) codebooks => identical ADC for every common pair:
+    // routing restricts the candidate set, never changes a distance
+    val d = routed.as("r").join(flat.as("f"), Seq("query_id", "id"))
+      .select(abs(col("r.adc") - col("f.adc")).as("d")).agg(max("d")).head()
+    assert(!d.isNullAt(0) && d.getDouble(0) === 0.0)
+    // routed ranks are monotone in adc
+    val a = routed.filter(col("query_id") === 1).orderBy(col("rank"))
+      .select(col("adc")).collect().map(_.getDouble(0))
+    assert(a.sameElements(a.sorted))
+  }
+
   test("PQ ANN: k rows per query, ADC monotone with rank, useful L2 recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val queries = emb.filter(col("vec_id") < 5)

@@ -26,6 +26,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     base.count() // warm scan machinery
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -40,6 +41,23 @@ object ScaleCheck {
         .repartition(32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = docsR.count()
+
+      // replicated embeddings: ids offset per replica, vectors perturbed by
+      // a deterministic per-(replica, position) cosine ripple so
+      // cross-replica cosines fall well below dedup thresholds — identical
+      // replicas would make semantic-dedup pair OUTPUT grow quadratically
+      // by construction (fixture, not plan; same reasoning as simhash)
+      val embR = (0 until r).map { i =>
+        embBase.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + lit(0.71f * i) *
+              cos(j.cast("double") * lit(1.7) + lit(i.toDouble)).cast("float"))
+              .cast("float")).as("embedding"))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEmb = embR.count()
 
       val results = Seq(
         "text_quality (columnar)" -> time {
@@ -100,6 +118,22 @@ object ScaleCheck {
             .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
           graft.pipeline.Dedup.duplicateClusters(pairs).count()
         },
+        "bpe_train 8 rounds (vocab argmax)" -> time {
+          // corpus-proportional work = the word-count shuffle; rounds run
+          // on the Zipf-bounded vocab table (grows ~r via rep/salt tokens)
+          graft.pipeline.Bpe.train(docsR, numMerges = 8).count()
+        },
+        "dedup_semantic (cells ∝ corpus)" -> time {
+          // SemDeDup's scaling contract: cell count grows with the corpus
+          // so per-cell candidate sets stay bounded — numCells = 16r here
+          graft.pipeline.Dedup.semanticDedup(embR, numCells = 16 * r,
+            threshold = 0.9, iters = 1).count()
+        },
+        "ann_pq (ADC code scan)" -> time {
+          graft.pipeline.Ann.pqTopK(embR,
+            embBase.filter(col("vec_id") < 5), k = 10,
+            m = 4, numCentroids = 16, iters = 1).count()
+        },
         "kernel_fit 2 passes (E/M-step)" -> time {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
@@ -124,6 +158,7 @@ object ScaleCheck {
         println(f"SCALE r=$r%2d rows=$n%7d  $name%-32s ${sec}%8.2f s  ${n / sec}%10.0f rows/s")
       }
       docsR.unpersist()
+      embR.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()
