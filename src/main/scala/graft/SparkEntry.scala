@@ -114,6 +114,8 @@ object SparkEntry {
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
   private val BpeTopSubwords = 30  // bpe_encode report size
+  private val TfidfTopK = 5
+  private val LmAddK = 0.1         // bigram LM add-k smoothing
   private val SemCells = 16        // semantic-dedup spherical cells
   private val SemThreshold = 0.9
   private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
@@ -1146,6 +1148,23 @@ object SparkEntry {
         .orderBy(col("n_occ").desc, col("subword")).limit(BpeTopSubwords)
         .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
     }),
+    // LLM pipeline: TF-IDF keyword extraction (top-5 terms per doc;
+    // rank-on-rounded-score so libm ln ulp differences cannot flip ranks)
+    "text_tfidf" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.tfidfTerms(docs(s, dir), topK = TfidfTopK)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("rank").cast("long").as("rank"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    // LLM pipeline: self-trained bigram LM perplexity — the CCNet-style
+    // model-based quality signal (complements artm_doc_perplexity's
+    // topic-model variant)
+    "text_lm_perplexity" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.lmPerplexity(docs(s, dir), addK = LmAddK)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"), col("ppl"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
@@ -1464,6 +1483,8 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
+    "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
       BpeMerges, BpeMaxWordLen, BpeTopSubwords),

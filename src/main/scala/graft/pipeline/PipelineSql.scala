@@ -817,6 +817,52 @@ object PipelineSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextAnalysis.tfidfTerms: same tokenizer, same smoothed idf,
+    * rank on the ROUNDED score with a term tiebreak. */
+  def textTfidf(topK: Int): String =
+    s"""WITH nb AS (SELECT doc_id, string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM nb),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_t
+       |        FROM tok GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM nb),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |  round(CAST(tf.tf AS DOUBLE) *
+       |        (ln((n.n_docs + 1.0) / (CAST(dft.df_t AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+       |  FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, score,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |       ORDER BY score DESC, term) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, rank, term, score
+       |FROM ranked WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
+
+  /** Mirrors TextAnalysis.lmPerplexity (self-trained add-k bigram LM). */
+  def lmPerplexity(addK: Double): String =
+    s"""WITH nb AS (SELECT doc_id, string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |bi AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT doc_id, unnest([[toks[i+1], toks[i+2]]
+       |                         for i in range(0, len(toks)-1)]) AS p
+       |  FROM nb WHERE len(toks) >= 2)),
+       |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |        FROM bi GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+       |       FROM bi GROUP BY w1),
+       |v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM (
+       |  SELECT unnest(toks) AS t FROM nb))
+       |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  round(exp(-SUM(ln((CAST(c12.c12 AS DOUBLE) + $addK) /
+       |                    (CAST(c1.c1 AS DOUBLE) + $addK * v.v))) / COUNT(*)), 6) AS ppl
+       |FROM bi b
+       |JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+       |JOIN c1 ON c1.w1 = b.w1
+       |CROSS JOIN v
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   /** Mirrors Bpe.train END TO END with no replayed literals: each round's
     * argmax pair is computed by the SQL itself (`top_r`) and fed into the
     * next round's sequence rewrite as scalar subqueries — so a wrong pair

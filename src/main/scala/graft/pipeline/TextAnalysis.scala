@@ -314,4 +314,80 @@ object TextAnalysis {
     * ([[PipelineSql.textFingerprint]]). */
   val RollingBase = 131L
   val RollingMod = 1125899906842597L
+
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * tf × (ln((N+1)/(df+1)) + 1) over the shared whitespace tokenizer,
+    * blank documents excluded from N, df, and the output.
+    *
+    * Shape at scale: term frequencies and document frequencies are two
+    * map-side-combined shuffles over the exploded token stream; the
+    * tf×df join is keyed on `term` (vocabulary-partitioned, never
+    * corpus×vocabulary); N rides along as a broadcast 1-row aggregate —
+    * no driver action in the plan. Ranking windows on the ROUNDED score
+    * (6 dp) with a term tiebreak, so cross-engine libm last-ulp ln
+    * differences cannot flip ranks (the established rank-on-rounded
+    * contract). Returns [<id>, rank, term, score]. */
+  def tfidfTerms(df: DataFrame, topK: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toks = nonBlank.select(col(idCol),
+      explode(tokensCol(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = toks.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df_t"))
+    val nDocs = nonBlank.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + 1.0) /
+             (col("df_t").cast("double") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  /** Self-trained bigram language-model perplexity — the CCNet-style
+    * LM quality signal re-expressed on the corpus itself: documents
+    * whose bigrams are rare under the corpus's own bigram distribution
+    * (boilerplate glue, shuffled tokens, foreign-language fragments)
+    * score high and can be gated out. Add-k smoothing:
+    * p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V) with c(w1) the count of
+    * bigrams starting at w1 and V the corpus distinct-token count;
+    * ppl(doc) = exp(−mean ln p) over the doc's bigrams. Documents with
+    * fewer than 2 tokens are excluded (no bigrams).
+    *
+    * Shape at scale: bigram and left-context counts are
+    * map-side-combined shuffles; scoring joins the doc-bigram stream to
+    * the count tables on their natural keys ((w1,w2) and w1 — both
+    * key-partitioned); V rides along as a broadcast 1-row aggregate.
+    * Self-scoring guarantees every scored bigram exists in the model,
+    * so the joins are inner; scoring held-out text against a frozen
+    * model would left-join with the smoothed unseen-pair fallback.
+    * Returns [<id>, n_bigrams, ppl]. */
+  def lmPerplexity(df: DataFrame, addK: Double = 0.1, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toks = tokensCol(col(textCol))
+    val bi = nonBlank.filter(size(toks) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = nonBlank.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log(
+        (col("c12").cast("double") + lit(addK)) /
+        (col("c1").cast("double") + lit(addK) * col("v").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("lnp")) / count(lit(1))), 6).as("ppl"))
+  }
 }

@@ -157,6 +157,30 @@ class PipelineSpec extends SparkSpec {
       .count() === 10)
   }
 
+  test("tfidf ranks the distinctive term first; lm perplexity flags rare bigrams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "cat sat on mat"),
+      (1L, "cat sat on mat"),
+      (2L, "cat sat on mat"),
+      (3L, "zyx qwv abc def"),
+      (4L, "dog sat on mat")).toDF("doc_id", "text")
+    val kw = TextAnalysis.tfidfTerms(corpus, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // the df-1 terms win their docs; in the template doc the df-3 'cat'
+    // beats the df-4 glue (all tf 1 — idf decides)
+    assert(kw((4L, 1)) === "dog")
+    assert(kw((3L, 1)) === "abc") // all df-1 -> score tie, term asc
+    assert(kw((0L, 1)) === "cat")
+
+    val ppl = TextAnalysis.lmPerplexity(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 3's bigrams occur once in the corpus; the template's occur 3-4
+    // times — rare-bigram docs score strictly higher, the gating signal
+    assert(ppl(3L) > ppl(4L) && ppl(4L) > ppl(0L))
+    assert(ppl.size === 5 && ppl.values.forall(_ > 0.0))
+  }
+
   test("IVF-PQ: cell-routed candidates carry the same ADC as the flat scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val queries = emb.filter(col("vec_id") < 5)
