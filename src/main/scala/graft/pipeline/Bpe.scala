@@ -57,14 +57,16 @@ object Bpe {
         array(lit(EndMarker))), "  "),
       lit(" "))
 
-  /** Adjacent symbol pairs of a sequence column as [l, r] structs.
-    * Sequences always hold >= 2 symbols (one char + [[EndMarker]]), so the
-    * `sequence(1, n-1)` bound never degenerates into Spark's descending
-    * range. */
+  /** Adjacent symbol pairs of a sequence column as [l, r] structs, via
+    * zip_with over two slices — a constant number of references to the
+    * split expression per row (a transform/element_at(i) formulation
+    * would re-inline the split into every element access after
+    * CollapseProject: O(symbols²) splits per word). Sequences always
+    * hold >= 2 symbols (one char + [[EndMarker]]). */
   private[pipeline] def pairsOf(seq: Column): Column = {
     val t = split(trim(seq), "  ")
-    transform(sequence(lit(1), size(t) - 1),
-      i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r")))
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
   }
 
   /** Learned merge operations, most frequent first:

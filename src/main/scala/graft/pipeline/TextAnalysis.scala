@@ -371,10 +371,15 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     val nonBlank = df.filter(length(trim(col(textCol))) > 0)
     val toks = tokensCol(col(textCol))
+    // bigrams via zip_with over two slices — a CONSTANT number of
+    // references to the token-split expression per row. The transform/
+    // element_at(i) formulation would re-inline the split into every
+    // element access after CollapseProject (O(tokens²) regex+split per
+    // document — measured 25 s instead of ~2 s at sf0.1).
     val bi = nonBlank.filter(size(toks) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
