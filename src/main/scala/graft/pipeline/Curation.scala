@@ -30,6 +30,7 @@ object Curation {
   /** Stage knobs; defaults give a reasonable mid-strictness pipeline.
     *  - `languages`: empty = no language gate;
     *  - `boilerplateMinDocs`: 0 = skip boilerplate scrubbing;
+    *  - `lmPerplexityMax`: 0 = skip the model-based LM gate;
     *  - `nearDupThreshold`: ≥ 1.0 = exact dedup only;
     *  - `mixRates`: empty = keep all sources;
     *  - `packBudget`: 0 = no packing. */
@@ -39,6 +40,8 @@ object Curation {
       piiRedact: Boolean = true,
       boilerplateN: Int = 5,
       boilerplateMinDocs: Long = 0L,
+      lmPerplexityMax: Double = 0.0,
+      lmAddK: Double = 0.1,
       shingleK: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
@@ -84,6 +87,17 @@ object Curation {
     // here: the returned plan still reads it lazily; callers drop it via
     // clearCache()/unpersist when the curated output is materialized.
     d = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 2b. model-based LM gate (optional): drop docs whose bigrams
+    //          are rare under the gated corpus's own distribution —
+    //          corpus-trained, so it runs on the persisted survivor set
+    //          (TextAnalysis.lmPerplexity scaladoc for the shapes) ----
+    if (cfg.lmPerplexityMax > 0.0) {
+      val drop = TextAnalysis.lmPerplexity(d, cfg.lmAddK, textCol, idCol)
+        .filter(col("ppl") > cfg.lmPerplexityMax)
+        .select(col(idCol).as("_lm_drop"))
+      d = d.join(drop, d(idCol) === col("_lm_drop"), "left_anti")
+    }
 
     // ---- 3. exact dedup: keep each fingerprint group's canonical ----
     val canon = Dedup.exact(d, idCol, textCol).select(col("canonical_id"))

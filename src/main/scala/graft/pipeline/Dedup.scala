@@ -32,11 +32,10 @@ object Dedup {
     * whitespace-tokenized) — the input to minhash / jaccard. */
   def shingles(textCol: Column, k: Int): Column = {
     val toks = split(regexp_replace(trim(lower(textCol)), "\\s+", " "), " ")
-    array_distinct(
-      filter(
-        transform(toks, (_, i) =>
-          when(i + k <= size(toks), array_join(slice(toks, i + lit(1), lit(k)), " "))),
-        x => x.isNotNull))
+    // zip_with-over-slices gram builder: constant tokenizer references
+    // per row (TextAnalysis.positionalGramsCol scaladoc — the
+    // transform/element_at shape re-evaluates the split per element)
+    array_distinct(TextAnalysis.positionalGramsCol(toks, k))
   }
 
   /** MinHash signature: for hash function i, the lexicographic minimum of
@@ -271,10 +270,8 @@ object Dedup {
     val grams = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("id"),
-        posexplode(transform(toksCol, (_, i) =>
-          when(i + lit(n) <= size(toksCol), array_join(slice(toksCol, i + lit(1), lit(n)), " "))))
+        posexplode(TextAnalysis.positionalGramsCol(toksCol, n))
           .as(Seq("p", "g")))
-      .filter(col("g").isNotNull)
     val covered = grams
       .join(broadcast(ngrams.select(col("g"))), Seq("g"))
       .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("j"))

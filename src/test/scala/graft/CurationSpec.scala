@@ -62,6 +62,24 @@ class CurationSpec extends SparkSpec {
     assert(out === Set(7L))
   }
 
+  test("LM gate drops the rare-bigram doc the threshold isolates") {
+    // no other gates: isolate the LM stage. The gated corpus is the
+    // fixture itself; pick the threshold between the max template ppl
+    // and the rare-bigram outlier so the gate's cut is unambiguous.
+    val base = Curation.Config(minQuality = 0.0, piiRedact = false,
+      nearDupThreshold = 1.0)
+    val ppl = TextAnalysis.lmPerplexity(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val worst = ppl.maxBy(_._2)
+    val threshold = ppl.values.toSeq.sorted.takeRight(2).sum / 2 // between top-2
+    val out = Curation.curate(fixture,
+        base.copy(lmPerplexityMax = threshold)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val manual = Curation.curate(fixture, base).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(out === manual - worst._1)
+  }
+
   test("facade == manual chain (composition check)") {
     val cfg = Curation.Config(minQuality = 0.3, piiRedact = true,
       nearDupThreshold = 0.7)
