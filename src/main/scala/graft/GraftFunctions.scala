@@ -118,6 +118,15 @@ object GraftFunctions {
         val n = constInt("graft_top_ngram_share", exprs(1), 1)
         toExpr(TextAnalysis.topNgramShareCol(toCol(exprs(0)), n))
       }),
+    ("graft_word_grams",
+      "graft_word_grams(text, k) - positional word k-gram array of the normal form",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_word_grams expects 2 arguments, got ${exprs.length}")
+        val k = constInt("graft_word_grams", exprs(1), 1)
+        toExpr(TextAnalysis.positionalGramsCol(
+          TextAnalysis.tokensCol(toCol(exprs(0))), k))
+      }),
     // ---- fingerprints / PII ---------------------------------------------
     ("graft_fingerprint", "graft_fingerprint(text) - md5 of the normal form",
       colFn("graft_fingerprint", 1)(cs => TextAnalysis.fingerprintCol(cs(0)))),

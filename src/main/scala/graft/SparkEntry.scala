@@ -116,6 +116,11 @@ object SparkEntry {
   private val BpeTopSubwords = 30  // bpe_encode report size
   private val TfidfTopK = 5
   private val LmAddK = 0.1         // bigram LM add-k smoothing
+  // curation_facade boilerplate floor: the synthetic word-salad corpus
+  // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
+  // nearly every gram boilerplate and scrub most text away — a floor of
+  // 50 keeps the excision selective (and the scrub's hit set small)
+  private val FacadeBoilerMinDocs = 50L
   private val SemCells = 16        // semantic-dedup spherical cells
   private val SemThreshold = 0.9
   private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
@@ -1103,6 +1108,25 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // LLM pipeline: the Curation facade ITSELF under the oracle — one
+    // hash row through quality gate → PII redaction → boilerplate
+    // excision → exact-dedup canonical → source mixing → packing, as
+    // wired by Curation.curate (CurationSpec pins facade == manual chain
+    // on a fixture; this row pins the facade's wiring on driver data).
+    "curation_facade" -> ((s, dir) => {
+      val cfg = graft.pipeline.Curation.Config(minQuality = 0.3,
+        piiRedact = true, boilerplateN = BoilerN,
+        boilerplateMinDocs = FacadeBoilerMinDocs, nearDupThreshold = 1.0,
+        mixRates = MixRates, salt = SampleSalt, packBudget = PackBudget)
+      graft.pipeline.Curation.curate(docs(s, dir), cfg)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          round(col("quality"), 6).as("quality"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("cum_before").cast("long").as("cum_before"),
+          col("bin").cast("long").as("bin"),
+          md5(col("text")).as("final_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // SQL surface: the registered graft_* functions driven entirely
     // through spark.sql — one per-doc report touching tokenization,
     // quality, language ID, fingerprints, PII counts and the
@@ -1498,6 +1522,9 @@ object SparkEntry {
       graft.pipeline.PipelineSql.textBoilerplateScrub(BoilerN, BoilerMinDocs),
     "curation_e2e" -> graft.pipeline.PipelineSql.curationE2e(
       PiiPlantMod, BoilerN, BoilerMinDocs,
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "curation_facade" -> graft.pipeline.PipelineSql.curationFacade(
+      0.3, BoilerN, FacadeBoilerMinDocs, MixRates, SampleSalt, PackBudget,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,

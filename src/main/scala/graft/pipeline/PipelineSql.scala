@@ -657,6 +657,57 @@ object PipelineSql {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Mirrors the `curation_facade` entry — the Curation.curate facade
+    * itself under the oracle: quality gate → PII redaction →
+    * corpus-self boilerplate excision (trained on the gated, scrubbed
+    * survivors) → exact-dedup canonical survivors → weighted source
+    * mixing → sequence packing, ONE hash row through six stage seams.
+    * CurationSpec pins facade == manually-chained operators on a
+    * fixture; this row pins the facade's own wiring on driver data.
+    * The gate compares the UNROUNDED quality expression (what the
+    * facade filters on) — both engines evaluate the identical double
+    * expression tree, so the boundary decision agrees bit-for-bit. */
+  def curationFacade(minQuality: Double, n: Int, minDocs: Long,
+      rates: Map[String, Double], salt: String, budget: Long,
+      stopwords: Seq[String]): String = {
+    val urlRe = TextAnalysis.UrlRe
+    val emailRe = TextAnalysis.EmailRe
+    val cases = rates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN '$src' THEN '${Sampling.rateThreshold(r)}'"
+    }.mkString(" ")
+    s"""WITH qb0 AS (
+       |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),
+       |m AS (${qualityMetricsSql("qb0", stopwords)}),
+       |gate AS (
+       |  SELECT d.doc_id, d.source, round($qualityExprSql, 6) AS quality,
+       |    regexp_replace(regexp_replace(d.text, '$urlRe', '<URL>', 'g'),
+       |                   '$emailRe', '<EMAIL>', 'g') AS text
+       |  FROM documents d JOIN m ON m.doc_id = d.doc_id
+       |  WHERE $qualityExprSql >= $minQuality),
+       |${boilerplateScrubCtes(n, minDocs, "gate")},
+       |scrub AS (
+       |  SELECT g.doc_id, g.source, g.quality, coalesce(scr.s, '') AS text
+       |  FROM gate g LEFT JOIN scr ON scr.doc_id = g.doc_id),
+       |fp AS (SELECT doc_id, source, quality, text, md5($norm) AS f FROM scrub),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |ded AS (SELECT f.* FROM fp f JOIN canon c ON c.doc_id = f.doc_id),
+       |mix AS (SELECT * FROM ded
+       |        WHERE ${hashPrefixSql(salt)} < CASE source $cases ELSE '00000000' END),
+       |tc AS (
+       |  SELECT doc_id, source, quality, text,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split($norm, ' ')) END AS BIGINT) AS ws_tokens
+       |  FROM mix),
+       |cum AS (
+       |  SELECT doc_id, source, quality, ws_tokens, md5(text) AS final_md5,
+       |    CAST(COALESCE(sum(ws_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM tc)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, source, quality, ws_tokens,
+       |  cum_before, CAST(floor(cum_before / $budget) AS BIGINT) AS bin, final_md5
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors TextAnalysis.piiScrub over the planted text (every
     * plantMod-th doc gets an email + URL appended in both engines). */
   def textPiiScrub(plantMod: Int): String = {

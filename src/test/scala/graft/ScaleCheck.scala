@@ -134,6 +134,12 @@ object ScaleCheck {
             embBase.filter(col("vec_id") < 5), k = 10,
             m = 4, numCentroids = 16, iters = 1).count()
         },
+        "text_tfidf (tf/df + vocab join)" -> time {
+          graft.pipeline.TextAnalysis.tfidfTerms(docsR, topK = 5).count()
+        },
+        "text_lm_perplexity (bigram LM)" -> time {
+          graft.pipeline.TextAnalysis.lmPerplexity(docsR).count()
+        },
         "kernel_fit 2 passes (E/M-step)" -> time {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)

@@ -204,6 +204,20 @@ class SqlSurfaceSpec extends SparkSpec {
       TextAnalysis.topNgramShareCol(col("text"), 2).as("s"))
       .orderBy("doc_id").collect()
     both.zip(api).foreach { case (x, y) => assert(x === y) }
+    // positional word grams match the shared builder (and shingles ==
+    // distinct of grams, the documented relationship)
+    val g = spark.sql(
+      """SELECT doc_id, graft_word_grams(text, 3) AS g3,
+        |       graft_shingles(text, 3) AS sh
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
+    val gApi = docsDF.select(col("doc_id"),
+      TextAnalysis.positionalGramsCol(
+        TextAnalysis.tokensCol(col("text")), 3).as("g3"))
+      .orderBy("doc_id").collect()
+    g.zip(gApi).foreach { case (x, y) =>
+      assert(x.getSeq[String](1) === y.getSeq[String](1))
+      assert(x.getSeq[String](2) === x.getSeq[String](1).distinct)
+    }
   }
 
   test("constant-argument validation rejects non-constant knobs") {
