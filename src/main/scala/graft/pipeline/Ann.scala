@@ -92,16 +92,25 @@ object Ann {
     val first = emb.select(col(vecCol)).limit(1).collect()
     require(first.nonEmpty, "empty embedding table")
     val dim = first(0).getSeq[Float](0).length
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      posexplode(signaturesCol(col(vecCol), dim, planes, seed, tables))
+        .as(Seq("table", "bucket")))
+  }
+
+  /** The per-table bucket-signature array column (native codegen
+    * expression over md5-derived hyperplanes) for a KNOWN dimension —
+    * the streaming path uses this directly because a streaming Dataset
+    * cannot be probed for `dim` with a collect. */
+  def signaturesCol(vec: Column, dim: Int, planes: Int, seed: Int,
+      tables: Int): Column = {
     // deterministic uniform[-0.5, 0.5) md5-derived hyperplanes; table t
     // shifts the seed so tables are independent
     val planeVecs: Array[Array[Array[Double]]] = Array.tabulate(tables, planes) { (t, p) =>
       Array.tabulate(dim)(i => planeComponent(seed + t, p, i))
     }
     import org.apache.spark.sql.GraftColumnBridge
-    val sigCol = GraftColumnBridge.column(graft.functions.HyperplaneSignature(
-      GraftColumnBridge.expression(col(vecCol)), planeVecs))
-    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-      posexplode(sigCol).as(Seq("table", "bucket")))
+    GraftColumnBridge.column(graft.functions.HyperplaneSignature(
+      GraftColumnBridge.expression(vec), planeVecs))
   }
 
   /** Multi-probe perturbation masks by increasing Hamming distance:

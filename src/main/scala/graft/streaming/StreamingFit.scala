@@ -169,7 +169,50 @@ object StreamingPipeline {
         }: _*)).as(Seq("band", "bucket")))
       .withWatermark("ts", watermark)
 
-    banded.select(col("band"), col("bucket"), col("id"), col("ts"))
+    bucketClaims(banded.select(col("band"), col("bucket"), col("id"), col("ts")),
+      stateGapSeconds)
+  }
+
+  /** Streaming embedding near-dup flagging — the streaming form of
+    * [[graft.pipeline.Dedup.embeddingNearDup]]'s candidate generation:
+    * each arriving vector's (table, bucket) hyperplane signatures use
+    * the SAME md5-derived planes as the batch operator
+    * (Ann.planeComponent), so streamed claims land in exactly the
+    * buckets batch LSH would co-join — a claim names the bucket's
+    * first (event-time order) earlier vector, and consumers
+    * cosine-verify claims exactly as they would batch bucket pairs.
+    * Same bounded bucket-claim state contract as [[nearDupStream]]
+    * (one long per seen (table, bucket), event-time expiry). `dim`
+    * must be given explicitly — a streaming Dataset cannot be probed
+    * with a collect. Returns [[DupClaim]]s with `band` = the LSH
+    * table index. */
+  def embeddingNearDupStream(stream: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tsCol: String = "ts", watermark: String = "1 hour",
+      stateGapSeconds: Long = 3600, planes: Int = 12, tables: Int = 2,
+      seed: Int = 42): Dataset[DupClaim] = {
+    val banded = stream.select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        posexplode(graft.pipeline.Ann.signaturesCol(col(vecCol), dim,
+          planes, seed, tables)).as(Seq("table", "bucket")))
+      .withWatermark("ts", watermark)
+    bucketClaims(banded.select(col("table"),
+      col("bucket").cast("string").as("bucket"), col("id"), col("ts")),
+      stateGapSeconds)
+  }
+
+  /** The shared bucket-claim state core of [[nearDupStream]] /
+    * [[embeddingNearDupStream]]: per (band, bucket) key, remember the
+    * first claimer (event-time order, ties by id; across micro-batches,
+    * arrival order) as ONE long of state, emit a [[DupClaim]] for every
+    * later doc, expire the key `stateGapSeconds` after its last
+    * activity. */
+  private def bucketClaims(banded: DataFrame,
+      stateGapSeconds: Long): Dataset[DupClaim] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
       .as[(Int, String, Long, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, DupClaim](

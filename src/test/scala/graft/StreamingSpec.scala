@@ -266,4 +266,50 @@ class StreamingSpec extends SparkSpec {
       assert(batchPairs.contains(p), s"stream claim $p not a batch candidate")
     }
   }
+
+  test("streaming embedding near-dup claims match batch hyperplane buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31 + i * 1.7).toFloat)
+    val base = vec(1)
+    val scaled = base.map(_ * 2.0f) // same hyperplane signs exactly
+    val other = vec(9)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    val claims = StreamingPipeline.embeddingNearDupStream(
+      stream.toDS().toDF("vec_id", "ts", "embedding"), dim = dim,
+      planes = 6, tables = 2, watermark = "10 minutes")
+    val query = claims.writeStream.format("memory").queryName("emb_claims")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), base), (4L, ts(1), other))
+      query.processAllAvailable()
+      stream.addData((7L, ts(2), scaled)) // later batch: claims against 1
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.sql("SELECT doc_id, dup_of FROM emb_claims").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the x2-scaled copy shares EVERY (table, bucket) with its original
+    // (power-of-two scaling preserves all sign bits), so it must claim 1
+    assert(got.contains((7L, 1L)), s"got $got")
+
+    // batch agreement: every streamed claim shares a batch (table, bucket)
+    val corpus = Seq((1L, base), (4L, other), (7L, scaled))
+      .toDF("vec_id", "embedding")
+    val sig = graft.pipeline.Ann.hyperplaneSignatures(corpus, "vec_id",
+      "embedding", planes = 6, seed = 42, tables = 2)
+    val batchPairs = sig.as("a").join(sig.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (d, of) =>
+      val p = (math.min(d, of), math.max(d, of))
+      assert(batchPairs.contains(p), s"stream claim $p not a batch bucket pair")
+    }
+  }
 }
