@@ -116,6 +116,13 @@ object SparkEntry {
   private val BpeTopSubwords = 30  // bpe_encode report size
   private val TfidfTopK = 5
   private val LmAddK = 0.1         // bigram LM add-k smoothing
+  // Temporal entry parameters (Temporal.scala operators over events)
+  private val SessionGapNs = 30 * graft.pipeline.Temporal.NsPerMinute
+  private val WindowWidthNs = graft.pipeline.Temporal.NsPerHour
+  private val HopSlideNs = 15 * graft.pipeline.Temporal.NsPerMinute
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+  private val FunnelHorizonNs = 7 * graft.pipeline.Temporal.NsPerDay
+  private val RetentionBucketNs = graft.pipeline.Temporal.NsPerWeek
   // curation_facade boilerplate floor: the synthetic word-salad corpus
   // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
   // nearly every gram boilerplate and scrub most text away — a floor of
@@ -1417,6 +1424,56 @@ object SparkEntry {
         .select(col("token"), col("tf").cast("double").as("tf"),
           col("df").cast("double").as("df"))
         .orderBy(col("token"))
+    }),
+    // Temporal analytics over the events log (ts = epoch-nanos long via
+    // nanosAsLong — all integer arithmetic; see Temporal class doc).
+    // Batch counterparts of streaming/StreamingFit's windows + sessions.
+    "events_sessionize" -> ((s, dir) => {
+      graft.pipeline.Temporal.sessionize(
+          graft.pipeline.Temporal.readEvents(s, dir), gapNs = SessionGapNs)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+    // as-of join: each purchase matched to the user's most recent prior
+    // view (single-shuffle union trick — no range/band join)
+    "events_asof" -> ((s, dir) => {
+      val e = graft.pipeline.Temporal.readEvents(s, dir)
+      val left = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = e.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      graft.pipeline.Temporal.asofJoin(left, right, "user_id", "ts",
+          "event_id", Seq("event_id", "ts"))
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+          coalesce(col("matched_event_id"), lit(-1L)).as("matched_event_id"),
+          coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"),
+          coalesce(col("ts") - col("matched_ts"), lit(-1L)).as("gap_ns"))
+        .orderBy(col("event_id"))
+    }),
+    // tumbling 1h windows per event_type
+    "events_window" -> ((s, dir) => {
+      graft.pipeline.Temporal.tumblingAgg(
+          graft.pipeline.Temporal.readEvents(s, dir), widthNs = WindowWidthNs)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    // hopping 1h windows sliding every 15min (each event in 4 windows)
+    "events_hopping" -> ((s, dir) => {
+      graft.pipeline.Temporal.hoppingAgg(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          widthNs = WindowWidthNs, slideNs = HopSlideNs)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    // ordered funnel signup→view→click→purchase within a 7-day horizon
+    "events_funnel" -> ((s, dir) => {
+      graft.pipeline.Temporal.funnel(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          steps = FunnelSteps, horizonNs = FunnelHorizonNs)
+        .orderBy(col("step"))
+    }),
+    // weekly cohort retention (first-event cohort × week offset)
+    "events_retention" -> ((s, dir) => {
+      graft.pipeline.Temporal.retention(
+          graft.pipeline.Temporal.readEvents(s, dir), bucketNs = RetentionBucketNs)
+        .orderBy(col("cohort_week"), col("week_offset"))
     })
   )
 
@@ -1675,6 +1732,12 @@ object SparkEntry {
         |), n AS (SELECT count(*) AS num_docs FROM documents)
         |SELECT token, tf, df FROM grouped, n
         |WHERE df >= 5.0 AND df < 0.8 * num_docs AND tf >= 10.0
-        |ORDER BY token""".stripMargin
+        |ORDER BY token""".stripMargin,
+    "events_sessionize" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
+    "events_asof" -> graft.pipeline.TemporalSql.asofPurchaseView,
+    "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
+    "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
+    "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
+    "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs)
   )
 }

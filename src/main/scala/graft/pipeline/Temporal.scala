@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / event-log analytics: sessionization, as-of join, tumbling
+  * and hopping window aggregation, ordered funnels, cohort retention —
+  * the batch counterparts of `graft.streaming`'s windowed/sessionized
+  * streams, over the driver's `events` table.
+  *
+  * Timestamps: the events parquet stores TIMESTAMP(NANOS), which Spark's
+  * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
+  * with `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as
+  * epoch-NANOS in a plain long — and every operator below does pure
+  * integer arithmetic on it (pmod for bucket floors, long compares for
+  * gaps). That is deliberate: no µs truncation, no timezone, and the
+  * DuckDB oracle reproduces each value exactly via `epoch_ns(ts)`.
+  * Nothing here divides a raw epoch-ns by anything in floating point —
+  * 1.7e18 exceeds a double's 2^53 integer range, so ts/width in double
+  * arithmetic is off-by-one territory; window starts are computed as
+  * `ts - pmod(ts, width)` (exact long ops only).
+  *
+  * Scale notes: every window below is partitioned by a natural key
+  * (user_id) — never a global window. Per-user history is bounded by
+  * user activity, so partition skew is bounded; the heavy shuffles are
+  * all map-side combined aggregations on (bucket, type)-shaped keys.
+  */
+object Temporal {
+
+  val NsPerSecond: Long = 1000L * 1000 * 1000
+  val NsPerMinute: Long = 60L * NsPerSecond
+  val NsPerHour: Long = 60L * NsPerMinute
+  val NsPerDay: Long = 24L * NsPerHour
+  val NsPerWeek: Long = 7L * NsPerDay
+
+  /** Events table with `ts` as epoch-nanos long (see class doc). The
+    * legacy conf is runtime-settable and only affects parquet columns
+    * whose physical type is TIMESTAMP(NANOS) — i.e. only `events.ts`.
+    *
+    * The sub-microsecond part is TRUNCATED away (`ts - ts mod 1000`):
+    * DuckDB's native TIMESTAMP is µs, so `read_parquet` truncates ns
+    * timestamps on ingest (verified: …549829 ns → …549000) and the
+    * driver's oracle can only ever see µs-truncated values. Keeping the
+    * values in ns units (but µs-granular) keeps every mirror statement a
+    * plain `epoch_ns(ts)`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+  }
+
+  /** Exact floor-to-bucket of an epoch-ns long column: `ts - (ts mod w)`.
+    * Integer ops only — see class doc for why not `floor(ts / w)`. */
+  private def bucketStart(ts: org.apache.spark.sql.Column, widthNs: Long) =
+    ts - pmod(ts, lit(widthNs))
+
+  /** Gaps-and-islands sessionization: a new session starts where the gap
+    * to the user's previous event exceeds `gapNs`. Output is one row per
+    * session: (user_id, session_idx, session_start, session_end,
+    * n_events, sum_value).
+    *
+    * Shape: one shuffle for the per-user window (lag + running sum over
+    * `Window.partitionBy(user)`), one map-side-combined aggregation for
+    * the per-session rollup. The window is never global; each user's
+    * history sorts inside its hash partition.
+    */
+  def sessionize(events: DataFrame, gapNs: Long = 30 * NsPerMinute): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = events
+      .withColumn("__prev", lag("ts", 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts") - col("__prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"))
+  }
+
+  /** As-of join: for each left row, the most recent right row of the same
+    * key with `right.ts <= left.ts` (ties included; among right rows with
+    * identical (key, ts) the one with the greatest `tieCol` wins).
+    *
+    * Implemented as the single-shuffle union trick — no join at all:
+    * stack both sides, sort each key's rows by (ts, side, tie) with right
+    * rows first at equal ts, and carry the last non-null right payload
+    * forward with `last(_, ignoreNulls)` over a running frame. At 100 TB
+    * this is ONE shuffle of left+right on the key — a band/range join
+    * formulation would explode, and a per-key sort-merge-join with a
+    * window afterwards would shuffle twice.
+    *
+    * `right` must contain `keyCol`, `tsCol`, `tieCol`, and the payload
+    * columns; payload columns are emitted with a `matched_` prefix.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val r2 = right.select(col(keyCol), col(tsCol), col(tieCol).as("__tie"),
+      payload.as("__p"), lit(0).as("__side"))
+    val l2 = left.withColumn("__tie", lit(Long.MaxValue))
+      .withColumn("__p", lit(null).cast(r2.schema("__p").dataType))
+      .withColumn("__side", lit(1))
+    val stacked = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = stacked
+      .withColumn("__m", last("__p", ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val out = left.columns.map(col) ++
+      payloadCols.map(c => col(s"__m.$c").as(s"matched_$c"))
+    matched.select(out: _*)
+  }
+
+  /** Tumbling-window aggregation: count + value sum per
+    * (window_start, event_type) for aligned windows of `widthNs`.
+    * One map-side-combined shuffle; the bucket floor is exact long math. */
+  def tumblingAgg(events: DataFrame, widthNs: Long = NsPerHour): DataFrame =
+    events
+      .groupBy(bucketStart(col("ts"), widthNs).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+
+  /** Hopping (sliding) window aggregation: windows of `widthNs` sliding
+    * every `slideNs` (width must be a multiple of slide). Each event
+    * lands in width/slide windows — generated with a bounded `sequence`
+    * + explode (the factor is a compile-time constant, typically 2–8),
+    * then the same map-side-combined aggregation as tumbling. */
+  def hoppingAgg(events: DataFrame, widthNs: Long = NsPerHour,
+                 slideNs: Long = 15 * NsPerMinute): DataFrame = {
+    require(widthNs % slideNs == 0, "width must be a multiple of slide")
+    val lastStart = bucketStart(col("ts"), slideNs)
+    val firstStart = lastStart - (widthNs - slideNs)
+    events
+      .withColumn("window_start",
+        explode(sequence(firstStart, lastStart, lit(slideNs))))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+  }
+
+  /** Ordered funnel: how many users completed step 1, then step 2 after
+    * it, … each within `horizonNs` of their step-1 time. Strictly
+    * increasing timestamps between steps; per-user first qualifying
+    * completion.
+    *
+    * Shape: ONE shuffle — per-user sorted event array (collect_list is
+    * bounded by per-user activity; the sort is in-memory per user), then
+    * a left-to-right fold over the step list computing each step's
+    * earliest qualifying timestamp with array `filter`/`array_min`. The
+    * chained-self-join formulation would be |steps| shuffles.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             horizonNs: Long = 7 * NsPerDay): DataFrame = {
+    require(steps.nonEmpty)
+    val perUser = events
+      .where(col("event_type").isin(steps: _*))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type").as("et"))))
+        .as("evs"))
+    // tK = min ts of step K events strictly after t(K-1), within horizon of t1
+    val withTimes = steps.zipWithIndex.foldLeft(perUser) { case (df, (step, i)) =>
+      val cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (i == 0) e => e("et") === step
+        else e => e("et") === step && e("ts") > col(s"__t${i - 1}") &&
+          e("ts") <= col("__t0") + horizonNs
+      df.withColumn(s"__t$i",
+        array_min(transform(filter(col("evs"), e => cond(e)), e => e("ts"))))
+    }
+    // n_users reaching each step (a user counts for step K iff __tK non-null)
+    val counts = steps.indices.map(i =>
+      sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i"))
+    val agg = withTimes.agg(counts.head, counts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).cast("long").as("step"), lit(step).as("event_type"),
+        col(s"__n$i").as("n_users"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the week of their first
+    * event; per (cohort_week, week_offset) distinct-user counts.
+    * Shape: per-user min (map-side combined), join events back on the
+    * natural key (both sides hash on user_id), then a distinct-count
+    * aggregation on (cohort, offset) — the classic two-shuffle retention
+    * plan. The offset division is exact: both operands are multiples of
+    * `bucketNs` and their difference is far below 2^53. */
+  def retention(events: DataFrame, bucketNs: Long = NsPerWeek): DataFrame = {
+    val firsts = events.groupBy("user_id")
+      .agg(min("ts").as("__first_ts"))
+      .select(col("user_id"), bucketStart(col("__first_ts"), bucketNs).as("cohort_week"))
+    events.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        ((bucketStart(col("ts"), bucketNs) - col("cohort_week")) / bucketNs)
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+/** DuckDB oracle SQL for the Temporal operators. Every statement works on
+  * `epoch_ns(ts)` (BIGINT) — the exact integers Spark sees through
+  * `nanosAsLong` — and mirrors the corresponding [[Temporal]] plan step
+  * by step: same bucket floors (`t - t % w`), same tie-breaks, same
+  * 6-decimal value rounding. Counts from `sum(...)` are CAST to BIGINT
+  * (DuckDB widens integer sums to HUGEINT, which pandas would surface as
+  * a different dtype than Spark's long). */
+object TemporalSql {
+
+  private val e = "SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type, value FROM events"
+
+  /** Mirrors [[Temporal.sessionize]]. */
+  def sessionize(gapNs: Long): String =
+    s"""WITH e AS ($e),
+       |f AS (SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+       |                       OR tsn - lag(tsn) OVER w > $gapNs
+       |                     THEN 1 ELSE 0 END AS newf
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+       |s AS (SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session_idx
+       |      FROM f)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |       min(tsn) AS session_start, max(tsn) AS session_end,
+       |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Mirrors [[Temporal.asofJoin]] for the purchase←view entry: the union
+    * trick spelled out in SQL (right rows sort before left at equal tsn;
+    * last_value IGNORE NULLS carries the match forward). */
+  def asofPurchaseView: String =
+    s"""WITH e AS ($e),
+       |st AS (
+       |  SELECT user_id, tsn, event_id AS l_event_id,
+       |         CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS BIGINT) AS r_tsn,
+       |         1 AS side, 9223372036854775807 AS tie
+       |  FROM e WHERE event_type = 'purchase'
+       |  UNION ALL
+       |  SELECT user_id, tsn, NULL, event_id, tsn, 0, event_id
+       |  FROM e WHERE event_type = 'view'),
+       |m AS (SELECT *,
+       |        last_value(r_event_id IGNORE NULLS) OVER w AS me,
+       |        last_value(r_tsn IGNORE NULLS) OVER w AS mt
+       |      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY tsn, side, tie
+       |                           ROWS UNBOUNDED PRECEDING))
+       |SELECT l_event_id AS event_id, user_id, tsn AS ts_ns,
+       |       coalesce(me, -1) AS matched_event_id,
+       |       coalesce(mt, -1) AS matched_ts,
+       |       coalesce(tsn - mt, -1) AS gap_ns
+       |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin
+
+  /** Mirrors [[Temporal.tumblingAgg]]. */
+  def tumbling(widthNs: Long): String =
+    s"""WITH e AS ($e)
+       |SELECT tsn - tsn % $widthNs AS window_start, event_type,
+       |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors [[Temporal.hoppingAgg]]. */
+  def hopping(widthNs: Long, slideNs: Long): String =
+    s"""WITH e AS ($e),
+       |x AS (SELECT unnest(generate_series(tsn - tsn % $slideNs - ${widthNs - slideNs},
+       |                                    tsn - tsn % $slideNs, $slideNs)) AS window_start,
+       |             event_type, value
+       |      FROM e)
+       |SELECT window_start, event_type,
+       |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors [[Temporal.funnel]]: chained per-step first-qualifying-time
+    * CTEs (tK = min ts of step K strictly after t(K-1) and within the
+    * horizon of t0). */
+  def funnel(steps: Seq[String], horizonNs: Long): String = {
+    val t0 = s"t0 AS (SELECT user_id, min(tsn) AS t0 FROM e WHERE event_type = '${steps.head}' GROUP BY user_id)"
+    val rest = steps.indices.tail.map { i =>
+      val joins = if (i == 1) "JOIN t0 USING (user_id)"
+        else s"JOIN t${i - 1} USING (user_id) JOIN t0 USING (user_id)"
+      s"""t$i AS (SELECT e.user_id, min(tsn) AS t$i
+         |  FROM e $joins
+         |  WHERE event_type = '${steps(i)}' AND tsn > t${i - 1}.t${i - 1}
+         |    AND tsn <= t0.t0 + $horizonNs
+         |  GROUP BY e.user_id)""".stripMargin
+    }
+    val selects = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$step' AS event_type, count(*) AS n_users FROM t$i"
+    }
+    (s"WITH e AS ($e),\n" + (t0 +: rest).mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
+  }
+
+  /** Mirrors [[Temporal.retention]]. */
+  def retention(bucketNs: Long): String =
+    s"""WITH e AS ($e),
+       |f AS (SELECT user_id, min(tsn) AS ft FROM e GROUP BY user_id),
+       |c AS (SELECT user_id, ft - ft % $bucketNs AS cohort_week FROM f)
+       |SELECT c.cohort_week,
+       |       (tsn - tsn % $bucketNs - c.cohort_week) // $bucketNs AS week_offset,
+       |       count(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN c USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Temporal
+
+/** Behavioral tests for the temporal/event-log operators on crafted
+  * fixtures with known answers (the DuckDB oracle covers the events
+  * table; these pin the semantics: gap boundaries, as-of tie-breaks,
+  * funnel ordering/horizon, hopping multiplicity, retention offsets). */
+class TemporalSpec extends SparkSpec {
+
+  private val S = Temporal.NsPerSecond
+
+  /** (event_id, user_id, ts, event_type, value) rows. */
+  private def ev(rows: (Long, Long, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  test("sessionize splits exactly at gap > threshold, not at gap == threshold") {
+    val gap = 100 * S
+    val e = ev(
+      (0L, 1L, 1000 * S, "a", 1.0),
+      (1L, 1L, 1100 * S, "a", 2.0),  // gap == 100s: SAME session
+      (2L, 1L, 1201 * S, "a", 3.0),  // gap 101s: NEW session
+      (3L, 2L, 5000 * S, "a", 4.0))  // other user: own session
+    val s = Temporal.sessionize(e, gapNs = gap)
+      .orderBy("user_id", "session_idx").collect()
+    assert(s.length === 3)
+    assert(s(0).getAs[Long]("user_id") === 1L)
+    assert(s(0).getAs[Long]("n_events") === 2L)
+    assert(s(0).getAs[Long]("session_start") === 1000 * S)
+    assert(s(0).getAs[Long]("session_end") === 1100 * S)
+    assert(s(0).getAs[Double]("sum_value") === 3.0)
+    assert(s(1).getAs[Long]("n_events") === 1L)
+    assert(s(1).getAs[Long]("session_idx") === 2L)
+    assert(s(2).getAs[Long]("user_id") === 2L)
+    assert(s(2).getAs[Long]("session_idx") === 1L)
+  }
+
+  test("sessionize is partitioning-invariant") {
+    val e = ev((0L until 50L).map(i =>
+      (i, i % 3, (1000 + 70 * i) * S, "a", 1.0)): _*)
+    val a = Temporal.sessionize(e, 100 * S).orderBy("user_id", "session_idx")
+      .collect().toSeq
+    val b = Temporal.sessionize(e.repartition(7), 100 * S)
+      .orderBy("user_id", "session_idx").collect().toSeq
+    assert(a === b)
+  }
+
+  test("asofJoin matches most recent right row at-or-before, max tie wins at equal ts") {
+    val left = ev(
+      (10L, 1L, 1000 * S, "l", 0.0),   // right rows at exactly 1000s: tie → included, max event_id wins
+      (11L, 1L, 999 * S, "l", 0.0),    // before every right row → no match
+      (12L, 2L, 5000 * S, "l", 0.0))   // matches user 2's latest earlier row
+      .select("event_id", "user_id", "ts")
+    val right = ev(
+      (1L, 1L, 1000 * S, "r", 0.0),
+      (2L, 1L, 1000 * S, "r", 0.0),    // same (user, ts): event_id 2 must win
+      (3L, 2L, 4000 * S, "r", 0.0),
+      (4L, 2L, 4500 * S, "r", 0.0),
+      (5L, 2L, 6000 * S, "r", 0.0))    // after left ts → excluded
+      .select("user_id", "ts", "event_id")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+        Seq("event_id", "ts"))
+      .orderBy("event_id").collect()
+    val byId = out.map(r => r.getAs[Long]("event_id") ->
+      Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)).toMap
+    assert(byId(10L) === Some(2L))
+    assert(byId(11L) === None)
+    assert(byId(12L) === Some(4L))
+  }
+
+  test("tumbling + hopping: hopping multiplicity = width/slide, tumbling bucket floors") {
+    val e = ev(
+      (0L, 1L, 3600 * S + 5, "a", 1.0),
+      (1L, 1L, 2 * 3600 * S - 1, "a", 2.0),
+      (2L, 1L, 2 * 3600 * S, "b", 3.0))
+    val t = Temporal.tumblingAgg(e, Temporal.NsPerHour)
+      .orderBy("window_start", "event_type").collect()
+    assert(t.map(r => (r.getAs[Long]("window_start"), r.getAs[String]("event_type"),
+      r.getAs[Long]("n_events"))).toSeq ===
+      Seq((3600 * S, "a", 2L), (2 * 3600 * S, "b", 1L)))
+    val h = Temporal.hoppingAgg(e, Temporal.NsPerHour, 15 * Temporal.NsPerMinute)
+    // each event appears in exactly width/slide = 4 windows
+    assert(h.agg(sum("n_events")).head.getLong(0) === 3L * 4)
+    // the event at exactly 2h lands in starts {75,90,105,120}min
+    val starts = h.where(col("event_type") === "b").select("window_start")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(starts === Seq(75, 90, 105, 120).map(_ * Temporal.NsPerMinute))
+  }
+
+  test("funnel: order matters, horizon enforced, strictly-after steps") {
+    val e = ev(
+      // user 1: full ordered funnel
+      (0L, 1L, 1000 * S, "s1", 0.0), (1L, 1L, 2000 * S, "s2", 0.0),
+      (2L, 1L, 3000 * S, "s3", 0.0),
+      // user 2: s2 BEFORE s1 — second step must not count
+      (3L, 2L, 1000 * S, "s2", 0.0), (4L, 2L, 2000 * S, "s1", 0.0),
+      // user 3: s2 beyond horizon of s1
+      (5L, 3L, 1000 * S, "s1", 0.0),
+      (6L, 3L, 1000 * S + 8 * Temporal.NsPerDay, "s2", 0.0),
+      // user 4: s1 and s2 at the SAME ts — "strictly after" excludes it
+      (7L, 4L, 1000 * S, "s1", 0.0), (8L, 4L, 1000 * S, "s2", 0.0))
+    val f = Temporal.funnel(e, Seq("s1", "s2", "s3"), 7 * Temporal.NsPerDay)
+      .orderBy("step").collect()
+    assert(f.map(r => (r.getAs[Long]("step"), r.getAs[String]("event_type"),
+      r.getAs[Long]("n_users"))).toSeq ===
+      Seq((1L, "s1", 4L), (2L, "s2", 1L), (3L, "s3", 1L)))
+  }
+
+  test("retention: cohort = first-event week, offsets count distinct users") {
+    val W = Temporal.NsPerWeek
+    val e = ev(
+      (0L, 1L, 1 * W + 5, "a", 0.0),  // cohort week 1
+      (1L, 1L, 2 * W + 5, "a", 0.0),  // offset 1
+      (2L, 1L, 2 * W + 9, "a", 0.0),  // same user+offset: counted once
+      (3L, 2L, 1 * W + 7, "a", 0.0),  // cohort week 1, never returns
+      (4L, 3L, 3 * W + 1, "a", 0.0))  // cohort week 3
+    val r = Temporal.retention(e, W).orderBy("cohort_week", "week_offset")
+      .collect().map(x => (x.getAs[Long]("cohort_week") / W,
+        x.getAs[Long]("week_offset"), x.getAs[Long]("n_users"))).toSeq
+    assert(r === Seq((1L, 0L, 2L), (1L, 1L, 1L), (3L, 0L, 1L)))
+  }
+
+  test("readEvents: ts is µs-truncated epoch-ns long (oracle-visible granularity)") {
+    val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
+    assert(e.schema("ts").dataType.typeName === "long")
+    assert(e.where(pmod(col("ts"), lit(1000L)) =!= 0L).count() === 0L)
+    assert(e.count() === 1000L)
+  }
+}
