@@ -1474,6 +1474,18 @@ object SparkEntry {
       graft.pipeline.Temporal.retention(
           graft.pipeline.Temporal.readEvents(s, dir), bucketNs = RetentionBucketNs)
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    // model-based classification: multinomial NB predicting `source`
+    // from tokens (closed-form counts, log-count trick — no dense grid)
+    "classify_nb" -> ((s, dir) => {
+      graft.pipeline.Classify.naiveBayes(docs(s, dir), labelCol = "source")
+        .orderBy(col("doc_id"))
+    }),
+    // CCNet-style head/middle/tail quality buckets by per-lang LM
+    // perplexity terciles
+    "text_ccnet_bucket" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.ccnetBuckets(docs(s, dir), addK = LmAddK)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1738,6 +1750,8 @@ object SparkEntry {
     "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
-    "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs)
+    "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),
+    "classify_nb" -> graft.pipeline.PipelineSql.naiveBayes("source"),
+    "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
   )
 }

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based document classification for training-data pipelines: a
+  * multinomial Naive Bayes classifier over the shared whitespace
+  * tokenizer, trained and applied in one declarative plan (closed-form
+  * counts — no SGD, no driver loop), plus the fastText-style usage:
+  * label = the corpus `source`/`lang` column, score every document.
+  *
+  * The add-1 smoothed log-likelihood is computed with the log-count
+  * trick, which keeps the plan sparse: for class s and doc d,
+  *
+  *   score_s(d) = ln P(s) − len_d·ln(c_s + V) + Σ_{t∈d} n_dt·ln(c_st + 1)
+  *
+  * — the Σ term is zero for (t,s) pairs the class never saw (ln 1 = 0),
+  * so the join only touches OBSERVED class-token pairs; the smoothing
+  * mass folds into the per-class constant ln(c_s + V) times doc length.
+  * No dense token×class grid is ever materialized: at 100 TB the heavy
+  * tables are (doc,token) counts and (class,token) counts, both
+  * map-side-combined natural-key aggregations, joined on the token key.
+  *
+  * Prediction is argmax on the 6-decimal-ROUNDED score with the label as
+  * tie-break (the text_tfidf pattern: libm last-ulp differences cannot
+  * flip ranks), so the whole operator sits under the DuckDB oracle.
+  */
+object Classify {
+
+  /** Train on `labelCol` and predict every non-blank document. Returns
+    * (idCol, labelCol, pred, margin) — `pred` the argmax class, `margin`
+    * the 3-decimal best-minus-runner-up score gap (a confidence signal
+    * for downstream filtering; also what certifies the argmax is far
+    * from any float boundary). */
+  def naiveBayes(df: DataFrame, labelCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    // (doc, token, n) — one map-side-combined shuffle on (doc, token)
+    val docTok = nonBlank
+      .select(col(idCol), col(labelCol).as("__lbl"), explode(toks).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col(idCol), col("__lbl"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    // (class, token, c_st) — vocabulary-sized
+    val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
+      .agg(sum("n").as("c_st"))
+    // per-class constants: ln prior, ln(c_s + V); a handful of rows
+    val v = classTok.select(countDistinct("t").as("v"))
+    val totalDocs = nonBlank.select(count(lit(1)).as("total"))
+    val classConst = classTok.groupBy("cls").agg(sum("c_st").as("c_s"))
+      .join(nonBlank.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_docs")), "cls")
+      .crossJoin(v).crossJoin(totalDocs)
+      .select(col("cls"),
+        (log(col("n_docs").cast("double")) -
+          log(col("total").cast("double"))).as("ln_prior"),
+        log(col("c_s").cast("double") + col("v").cast("double")).as("ln_denom"))
+    // Σ n_dt·ln(c_st+1) over observed (token, class) pairs only
+    val partial = docTok.join(classTok.withColumnRenamed("t", "t2"),
+        col("t") === col("t2"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("n").cast("double") * log(col("c_st").cast("double") + 1.0))
+        .as("hit_sum"))
+    val docLen = docTok.groupBy(col(idCol), col("__lbl"))
+      .agg(sum("n").as("len"))
+    // every doc × every class (classes are a broadcast handful)
+    val scored = docLen
+      .crossJoin(broadcast(classConst))
+      .join(partial, Seq(idCol, "cls"), "left")
+      .withColumn("score", col("ln_prior") -
+        col("len").cast("double") * col("ln_denom") +
+        coalesce(col("hit_sum"), lit(0.0)))
+    val w = Window.partitionBy(idCol)
+      .orderBy(round(col("score"), 6).desc, col("cls"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("margin",
+        round(col("score") - lead("score", 1).over(w), 3))
+      .where(col("rk") === 1)
+      .select(col(idCol), col("__lbl").as(labelCol), col("cls").as("pred"),
+        col("margin"))
+  }
+}

@@ -914,6 +914,65 @@ object PipelineSql {
        |CROSS JOIN v
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors Classify.naiveBayes: multinomial NB with add-1 smoothing via
+    * the log-count trick (Σ over OBSERVED class-token pairs only; the
+    * smoothing mass is len·ln(c_s+V)). Same ln composition as the Spark
+    * plan (ln(n)−ln(total), not ln(n/total) — keeps last-ulp behavior
+    * aligned), rank on the 6-decimal-rounded score with class tie-break,
+    * margin rounded to 3. */
+  def naiveBayes(labelCol: String): String =
+    s"""WITH nb AS (SELECT doc_id, $labelCol AS lbl, string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |dt AS (SELECT doc_id, lbl, t, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT doc_id, lbl, unnest(toks) AS t FROM nb)
+       |       WHERE t <> '' GROUP BY doc_id, lbl, t),
+       |ct AS (SELECT lbl AS cls, t, CAST(sum(n) AS BIGINT) AS c_st
+       |       FROM dt GROUP BY lbl, t),
+       |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM ct),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM nb),
+       |cc AS (SELECT cs.cls,
+       |         ln(nd.n_docs) - ln(tot.total) AS ln_prior,
+       |         ln(cs.c_s + v.v) AS ln_denom
+       |       FROM (SELECT cls, CAST(sum(c_st) AS DOUBLE) AS c_s
+       |             FROM ct GROUP BY cls) cs
+       |       JOIN (SELECT lbl AS cls, CAST(count(*) AS DOUBLE) AS n_docs
+       |             FROM nb GROUP BY lbl) nd USING (cls)
+       |       CROSS JOIN v CROSS JOIN tot),
+       |part AS (SELECT dt.doc_id, ct.cls,
+       |           sum(CAST(dt.n AS DOUBLE) * ln(CAST(ct.c_st AS DOUBLE) + 1.0)) AS hit_sum
+       |         FROM dt JOIN ct ON ct.t = dt.t GROUP BY dt.doc_id, ct.cls),
+       |dl AS (SELECT doc_id, lbl, CAST(sum(n) AS BIGINT) AS len
+       |       FROM dt GROUP BY doc_id, lbl),
+       |scored AS (SELECT dl.doc_id, dl.lbl, cc.cls,
+       |             cc.ln_prior - CAST(dl.len AS DOUBLE) * cc.ln_denom
+       |               + coalesce(part.hit_sum, 0.0) AS score
+       |           FROM dl CROSS JOIN cc
+       |           LEFT JOIN part ON part.doc_id = dl.doc_id AND part.cls = cc.cls),
+       |ranked AS (SELECT doc_id, lbl, cls, score,
+       |             row_number() OVER w AS rk, lead(score, 1) OVER w AS s2
+       |           FROM scored
+       |           WINDOW w AS (PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lbl AS $labelCol, cls AS pred,
+       |       round(score - s2, 3) AS margin
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Mirrors TextAnalysis.ccnetBuckets: the [[lmPerplexity]] statement as
+    * a CTE, per-lang tercile thresholds via quantile_cont (the same
+    * linear interpolation as Spark's exact `percentile`), buckets on the
+    * rounded ppl. */
+  def ccnetBucket(addK: Double): String =
+    s"""WITH ppl0 AS (${lmPerplexity(addK)}),
+       |wl AS (SELECT p.doc_id, d.lang, p.ppl
+       |       FROM ppl0 p JOIN documents d USING (doc_id)),
+       |th AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+       |              quantile_cont(ppl, 2.0/3) AS t2
+       |       FROM wl GROUP BY lang)
+       |SELECT wl.doc_id, wl.lang, wl.ppl,
+       |       CASE WHEN wl.ppl <= th.t1 THEN 'head'
+       |            WHEN wl.ppl <= th.t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM wl JOIN th USING (lang) ORDER BY doc_id""".stripMargin
+
   /** Mirrors Bpe.train END TO END with no replayed literals: each round's
     * argmax pair is computed by the SQL itself (`top_r`) and fed into the
     * next round's sequence rewrite as scalar subqueries — so a wrong pair

@@ -411,4 +411,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-sum(col("lnp")) / count(lit(1))), 6).as("ppl"))
   }
+
+  /** CCNet-style quality bucketing: per-language head/middle/tail by
+    * bigram-LM perplexity terciles. Builds on [[lmPerplexity]] (whose
+    * 6-decimal-rounded ppl is already engine-exact), computes per-lang
+    * tercile thresholds with the exact interpolating `percentile`
+    * aggregate (tiny result — one row per language, broadcast back), and
+    * buckets on `ppl <= t`. Thresholds compare safely across engines:
+    * interpolation between two equal-or-distinct ROUNDED ppl values
+    * cannot drift past a data point (adjacent distinct values differ by
+    * ≥1e-6 while interpolation noise is last-ulp).
+    *
+    * At 100 TB the threshold aggregate is the only extra shuffle, and
+    * the exact percentile would be swapped for `approx_percentile` (the
+    * corpus_stats pattern) — thresholds are gates, not reported values. */
+  def ccnetBuckets(df: DataFrame, addK: Double = 0.1, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val ppl = lmPerplexity(df, addK, textCol, idCol)
+      .join(df.select(col(idCol), col(langCol)), idCol)
+    val th = ppl.groupBy(langCol).agg(
+      percentile(col("ppl"), lit(1.0 / 3)).as("t1"),
+      percentile(col("ppl"), lit(2.0 / 3)).as("t2"))
+    ppl.join(broadcast(th), langCol)
+      .withColumn("bucket",
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("ppl"), col("bucket"))
+  }
 }
