@@ -123,6 +123,8 @@ object SparkEntry {
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
   private val FunnelHorizonNs = 7 * graft.pipeline.Temporal.NsPerDay
   private val RetentionBucketNs = graft.pipeline.Temporal.NsPerWeek
+  private val AnomalyLookback = 24 // trailing windows for the z baseline
+  private val AnomalyZ = 2.0       // |z| flag threshold
   // curation_facade boilerplate floor: the synthetic word-salad corpus
   // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
   // nearly every gram boilerplate and scrub most text away — a floor of
@@ -1475,6 +1477,20 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), bucketNs = RetentionBucketNs)
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+    // rolling z-score anomaly detection on the hourly per-type series
+    "events_anomaly" -> ((s, dir) => {
+      graft.pipeline.Temporal.anomalies(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          widthNs = WindowWidthNs, lookback = AnomalyLookback,
+          zThreshold = AnomalyZ)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    // per-(type, day) ROLLUP report with subtotal + grand-total rows
+    "events_rollup" -> ((s, dir) => {
+      graft.pipeline.Temporal.rollupReport(
+          graft.pipeline.Temporal.readEvents(s, dir))
+        .orderBy(col("event_type"), col("day"))
+    }),
     // model-based classification: multinomial NB predicting `source`
     // from tokens (closed-form counts, log-count trick — no dense grid)
     "classify_nb" -> ((s, dir) => {
@@ -1751,6 +1767,10 @@ object SparkEntry {
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
     "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),
+    "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
+      WindowWidthNs, AnomalyLookback, AnomalyZ),
+    "events_rollup" -> graft.pipeline.TemporalSql.rollup(
+      graft.pipeline.Temporal.NsPerDay),
     "classify_nb" -> graft.pipeline.PipelineSql.naiveBayes("source"),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
   )

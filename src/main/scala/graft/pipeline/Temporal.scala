@@ -178,6 +178,49 @@ object Temporal {
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Rolling z-score anomaly detection over the tumbling per-type count
+    * series: flag windows whose count deviates from the trailing
+    * `lookback`-window mean by more than `zThreshold` sample stddevs.
+    *
+    * The per-type window function runs on the PRE-AGGREGATED bucket
+    * series — one row per (type, bucket), thousands of rows where the
+    * raw log has billions — so partitioning by event_type alone is safe
+    * at any scale; the corpus-sized work is the map-side-combined
+    * tumbling aggregation. The trailing frame is over OBSERVED windows
+    * (empty buckets produce no row and are skipped, not zero-filled).
+    * z is rounded to 3 decimals and the flag compares the ROUNDED z, so
+    * the whole operator is engine-exact under the oracle. */
+  def anomalies(events: DataFrame, widthNs: Long = NsPerHour,
+                lookback: Int = 24, zThreshold: Double = 3.0): DataFrame = {
+    val counts = events
+      .groupBy(bucketStart(col("ts"), widthNs).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("mu", avg(col("n_events").cast("double")).over(w))
+      .withColumn("sd", stddev_samp(col("n_events").cast("double")).over(w))
+      .where(col("sd").isNotNull && col("sd") > 0)
+      .withColumn("z", round((col("n_events").cast("double") - col("mu")) / col("sd"), 3))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("z"), (abs(col("z")) > zThreshold).as("is_anomaly"))
+  }
+
+  /** Multi-level rollup report: per (event_type, day) counts and value
+    * sums with ROLLUP subtotals (per-type and grand-total rows). The
+    * grouping-null levels are surfaced as 'ALL' sentinels (the data has
+    * no real nulls, so the sentinel is unambiguous and keeps the result
+    * engine-portable). One shuffle; rollup rows are produced by Spark's
+    * Expand — map-side, no extra pass. */
+  def rollupReport(events: DataFrame, dayNs: Long = NsPerDay): DataFrame =
+    events
+      .withColumn("day", bucketStart(col("ts"), dayNs))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        col("n_events"), col("sum_value"))
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; per (cohort_week, week_offset) distinct-user counts.
     * Shape: per-user min (map-side combined), join events back on the

@@ -90,6 +90,33 @@ object TemporalSql {
       selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
   }
 
+  /** Mirrors [[Temporal.anomalies]]: trailing-frame mean/stddev over the
+    * observed bucket series, z on the rounded value, flag on rounded z. */
+  def anomalies(widthNs: Long, lookback: Int, zThreshold: Double): String =
+    s"""WITH e AS ($e),
+       |c AS (SELECT tsn - tsn % $widthNs AS window_start, event_type,
+       |             count(*) AS n_events
+       |      FROM e GROUP BY 1, 2),
+       |s AS (SELECT *, avg(CAST(n_events AS DOUBLE)) OVER w AS mu,
+       |             stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS sd
+       |      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+       |                          ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING))
+       |SELECT window_start, event_type, n_events,
+       |       round((CAST(n_events AS DOUBLE) - mu) / sd, 3) AS z,
+       |       abs(round((CAST(n_events AS DOUBLE) - mu) / sd, 3)) > $zThreshold AS is_anomaly
+       |FROM s WHERE sd IS NOT NULL AND sd > 0
+       |ORDER BY window_start, event_type""".stripMargin
+
+  /** Mirrors [[Temporal.rollupReport]]. */
+  def rollup(dayNs: Long): String =
+    s"""WITH e AS ($e),
+       |d AS (SELECT event_type, tsn - tsn % $dayNs AS day, value FROM e)
+       |SELECT coalesce(event_type, 'ALL') AS event_type,
+       |       coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+       |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM d GROUP BY ROLLUP (event_type, day)
+       |ORDER BY event_type, day""".stripMargin
+
   /** Mirrors [[Temporal.retention]]. */
   def retention(bucketNs: Long): String =
     s"""WITH e AS ($e),

@@ -59,6 +59,19 @@ object ScaleCheck {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nEmb = embR.count()
 
+      // replicated events: user_id + event_id offset per replica, so each
+      // replica adds fresh users (sessions/funnels/cohorts grow linearly,
+      // never merge across replicas); timestamps stay — denser windows
+      val evBase = graft.pipeline.Temporal.readEvents(spark, "/root/testdata/sf0.1")
+      val evR = (0 until r).map { i =>
+        evBase
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      evR.count()
+
       val results = Seq(
         "text_quality (columnar)" -> time {
           graft.pipeline.TextAnalysis.qualityScore(docsR).count()
@@ -140,6 +153,23 @@ object ScaleCheck {
         "text_lm_perplexity (bigram LM)" -> time {
           graft.pipeline.TextAnalysis.lmPerplexity(docsR).count()
         },
+        "events_sessionize (user window)" -> time {
+          graft.pipeline.Temporal.sessionize(evR).count()
+        },
+        "events_asof (union trick)" -> time {
+          graft.pipeline.Temporal.asofJoin(
+            evR.where(col("event_type") === "purchase")
+              .select("event_id", "user_id", "ts"),
+            evR.where(col("event_type") === "view")
+              .select("user_id", "ts", "event_id"),
+            "user_id", "ts", "event_id", Seq("event_id", "ts")).count()
+        },
+        "events_retention (cohorts)" -> time {
+          graft.pipeline.Temporal.retention(evR).count()
+        },
+        "classify_nb (NB train+predict)" -> time {
+          graft.pipeline.Classify.naiveBayes(docsR).count()
+        },
         "kernel_fit 2 passes (E/M-step)" -> time {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
@@ -165,6 +195,7 @@ object ScaleCheck {
       }
       docsR.unpersist()
       embR.unpersist()
+      evR.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

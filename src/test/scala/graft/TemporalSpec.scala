@@ -123,6 +123,41 @@ class TemporalSpec extends SparkSpec {
     assert(r === Seq((1L, 0L, 2L), (1L, 1L, 1L), (3L, 0L, 1L)))
   }
 
+  test("anomalies: spike over a varying baseline is flagged; empty/constant frames dropped") {
+    val H = Temporal.NsPerHour
+    // type 'a': alternating 4/6 counts for 12 hours, then a 50-count spike
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 4 else 6
+      (0 until n).map(j => (h.toLong * 100 + j, 1L, h * H + j * S, "a", 1.0))
+    } ++ (0 until 50).map(j => (1200L + j, 1L, 12 * H + j * S, "a", 1.0))
+    val out = Temporal.anomalies(ev(rows: _*), widthNs = H, lookback = 24,
+      zThreshold = 3.0).orderBy("window_start").collect()
+    // first bucket has an empty trailing frame (no row); second has a
+    // single-element frame (sd null) — both dropped
+    assert(out.head.getAs[Long]("window_start") === 2 * H)
+    val spike = out.last
+    assert(spike.getAs[Long]("n_events") === 50L)
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    assert(spike.getAs[Double]("z") > 10.0)
+    // the in-pattern buckets are not anomalous
+    assert(out.init.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("rollupReport: detail + per-type subtotal + grand total rows") {
+    val D = Temporal.NsPerDay
+    val e = ev(
+      (0L, 1L, 0 * D + 5, "a", 1.0), (1L, 1L, 0 * D + 6, "a", 2.0),
+      (2L, 1L, 1 * D + 5, "a", 4.0), (3L, 1L, 0 * D + 7, "b", 8.0))
+    val out = Temporal.rollupReport(e)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(out === Set(
+      ("a", "0", 2L, 3.0), ("a", (1 * D).toString, 1L, 4.0),
+      ("b", "0", 1L, 8.0),
+      ("a", "ALL", 3L, 7.0), ("b", "ALL", 1L, 8.0),
+      ("ALL", "ALL", 4L, 15.0)))
+  }
+
   test("readEvents: ts is µs-truncated epoch-ns long (oracle-visible granularity)") {
     val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType.typeName === "long")
