@@ -125,6 +125,7 @@ object SparkEntry {
   private val RetentionBucketNs = graft.pipeline.Temporal.NsPerWeek
   private val AnomalyLookback = 24 // trailing windows for the z baseline
   private val AnomalyZ = 2.0       // |z| flag threshold
+  private val RangeJoinWindowNs = 10 * graft.pipeline.Temporal.NsPerMinute
   // curation_facade boilerplate floor: the synthetic word-salad corpus
   // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
   // nearly every gram boilerplate and scrub most text away — a floor of
@@ -1477,6 +1478,19 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), bucketNs = RetentionBucketNs)
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+    // bucketized range join: click↔purchase pairs within ±10min, same
+    // user — equi-join on (user, bucket) + exact filter, no band join
+    "events_range_join" -> ((s, dir) => {
+      val e = graft.pipeline.Temporal.readEvents(s, dir)
+      graft.pipeline.Temporal.rangeJoin(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          "user_id", "ts", RangeJoinWindowNs,
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          col("delta_ns"))
+        .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+    }),
     // rolling z-score anomaly detection on the hourly per-type series
     "events_anomaly" -> ((s, dir) => {
       graft.pipeline.Temporal.anomalies(
@@ -1767,6 +1781,7 @@ object SparkEntry {
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
     "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),
+    "events_range_join" -> graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(

@@ -178,6 +178,39 @@ object Temporal {
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Range join without explosion: all (left, right) pairs of the same
+    * key whose timestamps lie within `windowNs` of each other. The
+    * right side is replicated into its own time bucket and both
+    * neighbors, the join runs on the pure EQUI key (key, bucket), and
+    * the exact `|Δt| ≤ w` predicate filters afterwards. Each qualifying
+    * pair matches exactly once: the left row keeps its single bucket
+    * and exactly one right replica lands in it.
+    *
+    * This is the scalable shape for interval joins — a range predicate
+    * in the join condition itself would fall back to a nested-loop /
+    * broadcast-nested-loop plan (quadratic per key); here the only
+    * overhead is the constant 3× right-side replication, and the join
+    * shuffles hash on (key, bucket) like any equi-join. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, windowNs: Long,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val lb = left.select(
+      (col(keyCol) +: col(tsCol).as("__lts") +:
+        leftCols.map(c => col(c).as(s"l_$c"))): _*)
+      .withColumn("__bucket", bucketStart(col("__lts"), windowNs))
+    val rBucket = bucketStart(col("__rts"), windowNs)
+    val rb = right.select(
+      (col(keyCol) +: col(tsCol).as("__rts") +:
+        rightCols.map(c => col(c).as(s"r_$c"))): _*)
+      .withColumn("__bucket", explode(array(
+        rBucket - windowNs, rBucket, rBucket + windowNs)))
+    lb.join(rb, Seq(keyCol, "__bucket"))
+      .where(abs(col("__lts") - col("__rts")) <= windowNs)
+      .select((col(keyCol) +: leftCols.map(c => col(s"l_$c"))) ++
+        rightCols.map(c => col(s"r_$c")) :+
+        (col("__rts") - col("__lts")).as("delta_ns"): _*)
+  }
+
   /** Rolling z-score anomaly detection over the tumbling per-type count
     * series: flag windows whose count deviates from the trailing
     * `lookback`-window mean by more than `zThreshold` sample stddevs.

@@ -90,6 +90,20 @@ object TemporalSql {
       selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
   }
 
+  /** Mirrors [[Temporal.rangeJoin]] for the click↔purchase entry — the
+    * oracle states the SEMANTICS directly (equi-key join + abs-delta
+    * predicate); the bucket replication is a Spark-side execution
+    * strategy that must not change the result. */
+  def rangeJoinClickPurchase(windowNs: Long): String =
+    s"""WITH e AS ($e),
+       |l AS (SELECT user_id, event_id AS l_event_id, tsn AS lts
+       |      FROM e WHERE event_type = 'click'),
+       |r AS (SELECT user_id, event_id AS r_event_id, tsn AS rts
+       |      FROM e WHERE event_type = 'purchase')
+       |SELECT l.user_id, l.l_event_id, r.r_event_id, r.rts - l.lts AS delta_ns
+       |FROM l JOIN r ON l.user_id = r.user_id AND abs(l.lts - r.rts) <= $windowNs
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Mirrors [[Temporal.anomalies]]: trailing-frame mean/stddev over the
     * observed bucket series, z on the rounded value, flag on rounded z. */
   def anomalies(widthNs: Long, lookback: Int, zThreshold: Double): String =

@@ -123,6 +123,27 @@ class TemporalSpec extends SparkSpec {
     assert(r === Seq((1L, 0L, 2L), (1L, 1L, 1L), (3L, 0L, 1L)))
   }
 
+  test("rangeJoin: boundary-inclusive, cross-bucket, exactly-once, per-key") {
+    val W = 100 * S
+    val left = ev(
+      (1L, 1L, 150 * S, "c", 0.0),
+      (2L, 2L, 150 * S, "c", 0.0)).select("user_id", "ts", "event_id")
+    val right = ev(
+      (10L, 1L, 250 * S, "p", 0.0),  // Δ = exactly W, crosses bucket → include
+      (11L, 1L, 251 * S, "p", 0.0),  // Δ = W+1s → exclude
+      (12L, 1L, 150 * S, "p", 0.0),  // Δ = 0, same bucket → include once
+      (13L, 2L, 160 * S, "p", 0.0),  // other user's window
+      (14L, 3L, 150 * S, "p", 0.0))  // user with no left rows
+      .select("user_id", "ts", "event_id")
+    val out = Temporal.rangeJoin(left, right, "user_id", "ts", W,
+        Seq("event_id"), Seq("event_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("l_event_id"),
+        r.getAs[Long]("r_event_id"), r.getAs[Long]("delta_ns"))).toSeq
+    assert(out.distinct.size === out.size, "each pair exactly once")
+    assert(out.toSet === Set(
+      (1L, 1L, 10L, 100 * S), (1L, 1L, 12L, 0L), (2L, 2L, 13L, 10 * S)))
+  }
+
   test("anomalies: spike over a varying baseline is flagged; empty/constant frames dropped") {
     val H = Temporal.NsPerHour
     // type 'a': alternating 4/6 counts for 12 hours, then a 50-count spike
