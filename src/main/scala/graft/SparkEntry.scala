@@ -126,6 +126,7 @@ object SparkEntry {
   private val AnomalyLookback = 24 // trailing windows for the z baseline
   private val AnomalyZ = 2.0       // |z| flag threshold
   private val RangeJoinWindowNs = 10 * graft.pipeline.Temporal.NsPerMinute
+  private val TopUsersK = 5
   // curation_facade boilerplate floor: the synthetic word-salad corpus
   // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
   // nearly every gram boilerplate and scrub most text away — a floor of
@@ -1478,6 +1479,18 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), bucketNs = RetentionBucketNs)
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+    // per-type top-k active users (two-phase WindowGroupLimit top-k)
+    "events_topk" -> ((s, dir) => {
+      graft.pipeline.Temporal.topUsers(
+          graft.pipeline.Temporal.readEvents(s, dir), k = TopUsersK)
+        .orderBy(col("event_type"), col("rk"))
+    }),
+    // daily active users (exact; approx_count_distinct is the scale path)
+    "events_dau" -> ((s, dir) => {
+      graft.pipeline.Temporal.activeUsers(
+          graft.pipeline.Temporal.readEvents(s, dir))
+        .orderBy(col("day"))
+    }),
     // bucketized range join: click↔purchase pairs within ±10min, same
     // user — equi-join on (user, bucket) + exact filter, no band join
     "events_range_join" -> ((s, dir) => {
@@ -1782,6 +1795,9 @@ object SparkEntry {
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
     "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),
     "events_range_join" -> graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
+    "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
+    "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
+      graft.pipeline.Temporal.NsPerDay),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(

@@ -254,6 +254,35 @@ object Temporal {
         coalesce(col("day").cast("string"), lit("ALL")).as("day"),
         col("n_events"), col("sum_value"))
 
+  /** Per-type top-k most active users: map-side-combined count, then a
+    * two-phase rank-filter top-k (Spark plans the `row_number <= k`
+    * filter as WindowGroupLimit — partial top-k per map partition before
+    * the per-type shuffle, so a hot event_type never gathers more than
+    * k·partitions rows). Deterministic (user_id tie-break). */
+  def topUsers(events: DataFrame, k: Int): DataFrame = {
+    val counts = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** Daily active users — exact distinct count per day bucket. This is
+    * the oracle-checked form; [[activeUsersApprox]] is the 100 TB path
+    * (HyperLogLog++ sketch, no exact-distinct shuffle expansion). */
+  def activeUsers(events: DataFrame, dayNs: Long = NsPerDay): DataFrame =
+    events.groupBy(bucketStart(col("ts"), dayNs).as("day"))
+      .agg(countDistinct("user_id").as("n_users"))
+
+  /** Sketch variant of [[activeUsers]]: approx_count_distinct keeps the
+    * aggregation single-pass map-side-combinable (a mergeable HLL per
+    * day) instead of the exact form's two-phase distinct expansion. */
+  def activeUsersApprox(events: DataFrame, dayNs: Long = NsPerDay,
+      rsd: Double = 0.02): DataFrame =
+    events.groupBy(bucketStart(col("ts"), dayNs).as("day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; per (cohort_week, week_offset) distinct-user counts.
     * Shape: per-user min (map-side combined), join events back on the

@@ -131,6 +131,23 @@ object TemporalSql {
        |FROM d GROUP BY ROLLUP (event_type, day)
        |ORDER BY event_type, day""".stripMargin
 
+  /** Mirrors [[Temporal.topUsers]]. */
+  def topUsers(k: Int): String =
+    s"""WITH e AS ($e),
+       |c AS (SELECT event_type, user_id, count(*) AS n_events
+       |      FROM e GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+       |        ORDER BY n_events DESC, user_id) AS BIGINT) AS rk FROM c)
+       |SELECT event_type, user_id, n_events, rk FROM r WHERE rk <= $k
+       |ORDER BY event_type, rk""".stripMargin
+
+  /** Mirrors [[Temporal.activeUsers]] (exact; the sketch variant is the
+    * scale path and is unit-tested against this). */
+  def activeUsers(dayNs: Long): String =
+    s"""WITH e AS ($e)
+       |SELECT tsn - tsn % $dayNs AS day, count(DISTINCT user_id) AS n_users
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mirrors [[Temporal.retention]]. */
   def retention(bucketNs: Long): String =
     s"""WITH e AS ($e),

@@ -179,6 +179,32 @@ class TemporalSpec extends SparkSpec {
       ("ALL", "ALL", 4L, 15.0)))
   }
 
+  test("topUsers: exact counts, deterministic user_id tie-break, k cutoff") {
+    val e = ev(
+      (0L, 1L, 1 * S, "a", 0.0), (1L, 1L, 2 * S, "a", 0.0),
+      (2L, 2L, 3 * S, "a", 0.0), (3L, 2L, 4 * S, "a", 0.0), // tie with user 1
+      (4L, 3L, 5 * S, "a", 0.0),                            // count 1 → cut at k=2
+      (5L, 9L, 6 * S, "b", 0.0))
+    val out = Temporal.topUsers(e, k = 2).orderBy("event_type", "rk")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("rk"))).toSeq
+    assert(out === Seq(("a", 1L, 2L, 1L), ("a", 2L, 2L, 2L), ("b", 9L, 1L, 1L)))
+  }
+
+  test("activeUsersApprox tracks exact DAU within rsd on the sf0.001 events") {
+    val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
+    val exact = Temporal.activeUsers(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Temporal.activeUsersApprox(e, rsd = 0.02).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (day, n) =>
+      assert(math.abs(approx(day) - n) <= math.max(2.0, 0.1 * n),
+        s"day=$day exact=$n approx=${approx(day)}")
+    }
+  }
+
   test("readEvents: ts is µs-truncated epoch-ns long (oracle-visible granularity)") {
     val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType.typeName === "long")
