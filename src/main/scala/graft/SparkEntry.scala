@@ -116,6 +116,15 @@ object SparkEntry {
   private val BpeTopSubwords = 30  // bpe_encode report size
   private val TfidfTopK = 5
   private val LmAddK = 0.1         // bigram LM add-k smoothing
+  // BM25 retrieval: fixed literal queries over the synthetic vocab
+  // (inlined as a VALUES list on the oracle side)
+  private val Bm25TopK = 10
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Queries = Seq(
+    (1L, "hash join merge"),
+    (2L, "window agg sort stream"),
+    (3L, "fast scan filter column table"))
   // Temporal entry parameters (Temporal.scala operators over events)
   private val SessionGapNs = 30 * graft.pipeline.Temporal.NsPerMinute
   private val WindowWidthNs = graft.pipeline.Temporal.NsPerHour
@@ -127,6 +136,7 @@ object SparkEntry {
   private val AnomalyZ = 2.0       // |z| flag threshold
   private val RangeJoinWindowNs = 10 * graft.pipeline.Temporal.NsPerMinute
   private val TopUsersK = 5
+  private val HeavyHitterFactor = 1.5 // × mean per-user count, scale-free
   // curation_facade boilerplate floor: the synthetic word-salad corpus
   // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
   // nearly every gram boilerplate and scrub most text away — a floor of
@@ -1191,6 +1201,17 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    // LLM pipeline: BM25 ranked retrieval — top-k docs per query
+    // (broadcast query side; rank-on-rounded-score, doc_id tiebreak)
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Bm25Queries.toDF("query_id", "query_text")
+      graft.pipeline.TextAnalysis.bm25Search(docs(s, dir), queries,
+          topK = Bm25TopK, k1 = Bm25K1, b = Bm25B)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("rank"), col("doc_id").cast("long").as("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // LLM pipeline: self-trained bigram LM perplexity — the CCNet-style
     // model-based quality signal (complements artm_doc_perplexity's
     // topic-model variant)
@@ -1491,6 +1512,13 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir))
         .orderBy(col("day"))
     }),
+    // per-type heavy hitters: scale-free skew detector (count-min
+    // sketch companion is the bounded-memory 100 TB path, unit-probed)
+    "events_heavy_hitters" -> ((s, dir) => {
+      graft.pipeline.Temporal.heavyHitters(
+          graft.pipeline.Temporal.readEvents(s, dir), factor = HeavyHitterFactor)
+        .orderBy(col("event_type"), col("user_id"))
+    }),
     // bucketized range join: click↔purchase pairs within ±10min, same
     // user — equi-join on (user, bucket) + exact filter, no band join
     "events_range_join" -> ((s, dir) => {
@@ -1620,6 +1648,8 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
+    "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
+      Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
@@ -1798,6 +1828,8 @@ object SparkEntry {
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
+    "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
+      HeavyHitterFactor),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(

@@ -890,6 +890,48 @@ object PipelineSql {
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, rank, term, score
        |FROM ranked WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
 
+  /** Mirrors TextAnalysis.bm25Search: same tokenizer, same idf floor,
+    * rank on the ROUNDED score with a doc_id tiebreak. The query table
+    * is inlined as a VALUES list (the entry pins the same literals on
+    * the Spark side). */
+  def textBm25(queries: Seq[(Long, String)], topK: Int, k1: Double,
+      b: Double): String = {
+    val values = queries
+      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH q(query_id, query_text) AS (VALUES $values),
+       |nb AS (SELECT doc_id, string_split($norm, ' ') AS toks
+       |       FROM documents WHERE length(trim(text)) > 0),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+       |              CAST(MIN(dl) AS DOUBLE) AS dl
+       |       FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |             FROM nb)
+       |       GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+       |        FROM tf GROUP BY term),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                 AVG(CAST(len(toks) AS BIGINT)) AS avgdl FROM nb),
+       |qt AS (SELECT q.query_id, t.term,
+       |  ln(1.0 + (stats.n_docs - dft.df_t + 0.5) /
+       |           (CAST(dft.df_t AS DOUBLE) + 0.5)) AS idf, stats.avgdl
+       |  FROM q, LATERAL (SELECT DISTINCT unnest(string_split(
+       |    regexp_replace(trim(lower(query_text)), '\\s+', ' ', 'g'),
+       |    ' ')) AS term) t
+       |  JOIN dft ON dft.term = t.term CROSS JOIN stats),
+       |scored AS (SELECT qt.query_id, tf.doc_id,
+       |  round(SUM(qt.idf * tf.tf * ($k1 + 1.0) /
+       |    (tf.tf + $k1 * (1.0 - $b + $b * tf.dl / qt.avgdl))), 6) AS score
+       |  FROM tf JOIN qt ON qt.term = tf.term
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+       |       CAST(doc_id AS BIGINT) AS doc_id, score
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Mirrors TextAnalysis.lmPerplexity (self-trained add-k bigram LM). */
   def lmPerplexity(addK: Double): String =
     s"""WITH nb AS (SELECT doc_id, string_split($norm, ' ') AS toks

@@ -283,6 +283,41 @@ object Temporal {
     events.groupBy(bucketStart(col("ts"), dayNs).as("day"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
 
+  /** Per-type heavy hitters: users whose event count is ≥ `factor` ×
+    * the type's mean per-user count (a scale-free skew detector — a
+    * fixed share threshold empties as the user population grows).
+    * Exact form: one map-side-combined (type, user) count shuffle, a
+    * per-type rollup of that table (types are few → broadcast back).
+    * The comparison n_events·n_users ≥ factor·total is kept in exact
+    * integer products (cast to double only for the factor multiply),
+    * so no cross-engine division drift. Returns
+    * [event_type, user_id, n_events, share]. */
+  def heavyHitters(events: DataFrame, factor: Double = 1.5): DataFrame = {
+    val counts = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_users"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .where((col("n_events") * col("n_users")).cast("double") >=
+        lit(factor) * col("total").cast("double"))
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Sketch companion to [[heavyHitters]]: one Count–Min sketch of
+    * user_id per event type (mergeable, fixed memory — the 100 TB path
+    * when per-(type,user) exact counts are too hot to shuffle). Probe
+    * the returned binary with
+    * `org.apache.spark.util.sketch.CountMinSketch.readFrom`; estimates
+    * never undercount and overshoot by ≤ eps·total at `confidence`.
+    * Returns [event_type, cms, total]. */
+  def userCountSketch(events: DataFrame, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(confidence),
+        lit(seed)).as("cms"), count(lit(1)).as("total"))
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; per (cohort_week, week_offset) distinct-user counts.
     * Shape: per-user min (map-side combined), join events back on the

@@ -148,6 +148,23 @@ object TemporalSql {
        |SELECT tsn - tsn % $dayNs AS day, count(DISTINCT user_id) AS n_users
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirrors [[Temporal.heavyHitters]] (the sketch companion is
+    * unit-probed against this exact form). */
+  def heavyHitters(factor: Double): String =
+    s"""WITH e AS ($e),
+       |c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+       |      FROM e GROUP BY 1, 2),
+       |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+       |             CAST(count(*) AS BIGINT) AS n_users
+       |      FROM c GROUP BY 1)
+       |SELECT c.event_type, c.user_id, c.n_events,
+       |       round(CAST(c.n_events AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+       |         AS share
+       |FROM c JOIN t USING (event_type)
+       |WHERE CAST(c.n_events * t.n_users AS DOUBLE) >=
+       |      $factor * CAST(t.total AS DOUBLE)
+       |ORDER BY event_type, user_id""".stripMargin
+
   /** Mirrors [[Temporal.retention]]. */
   def retention(bucketNs: Long): String =
     s"""WITH e AS ($e),

@@ -439,4 +439,59 @@ object TextAnalysis {
           .otherwise("tail"))
       .select(col(idCol), col(langCol), col("ppl"), col("bucket"))
   }
+
+  /** BM25 ranked retrieval: for each query in the (small) `queries`
+    * table ([query_id, query_text]) return the top-k corpus documents
+    * by Okapi BM25 (k1 term-frequency saturation, b length
+    * normalization, the Robertson-Sparck-Jones idf with the standard
+    * +1 floor so scores stay positive):
+    * score(q,d) = Σ_{t∈q} ln(1 + (N−df+0.5)/(df+0.5)) ·
+    *              tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Shape at scale: the corpus side is ONE map-side-combined
+    * (doc, term) count shuffle (doc length rides through the explode,
+    * so no separate doc-length join); document frequencies reduce the
+    * SAME (doc,term) table on `term`. The query side is tiny by
+    * contract — query terms join their per-term df and broadcast to
+    * the tf table, so candidate generation is a broadcast-hash
+    * semi-join (only documents containing a query term ever leave the
+    * scan). N and avgdl ride as a broadcast 1-row aggregate. The final
+    * per-query ranking is `row_number <= k` — Spark plans
+    * WindowGroupLimit, so each map partition pre-truncates to k before
+    * the per-query shuffle. Ranking windows on the ROUNDED score with
+    * a doc_id tiebreak (the established rank-on-rounded contract).
+    * Returns [query_id, rank, <id>, score]. */
+  def bm25Search(df: DataFrame, queries: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toksCol = tokensCol(col(textCol))
+    val tf = nonBlank
+      .select(col(idCol), size(toksCol).cast("double").as("dl"),
+        explode(toksCol).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val stats = nonBlank.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(tokensCol(col(textCol)))).as("avgdl"))
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(array_distinct(tokensCol(col("query_text")))).as("term"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) /
+          (col("df_t").cast("double") + 0.5)))
+    val scored = tf.join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))), 6)
+        .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
 }

@@ -181,6 +181,33 @@ class PipelineSpec extends SparkSpec {
     assert(ppl.size === 5 && ppl.values.forall(_ > 0.0))
   }
 
+  test("bm25: candidates need a query term; tf saturates; length normalizes; score exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "cat sat"),
+      (1L, "cat cat cat sat"),
+      (2L, "dog ran far away home"),
+      (3L, "bird bird"),
+      (4L, "dog x x x x x x x")).toDF("doc_id", "text")
+    val queries = Seq((1L, "cat"), (2L, "cat dog zzz")).toDF("query_id", "query_text")
+    val out = TextAnalysis.bm25Search(corpus, queries, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    // only docs containing at least one query term are candidates
+    assert(out.keySet === Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (2L, 2L), (2L, 4L)))
+    // exact score of (q1, doc0): idf(cat) = ln(1 + (5−2+0.5)/2.5), tf 1,
+    // dl 2, avgdl = 21/5
+    val avgdl = 21.0 / 5
+    val expected = math.log(1.0 + 3.5 / 2.5) * 1.0 * 2.2 /
+      (1.0 + 1.2 * (0.25 + 0.75 * 2 / avgdl))
+    assert(math.abs(out((1L, 0L))._2 - expected) < 1e-6)
+    // tf saturation still rewards tf 3 over tf 1 here: doc1 outranks doc0
+    assert(out((1L, 1L))._1 === 1L && out((1L, 0L))._1 === 2L)
+    // length normalization: same tf(dog)=1, shorter doc 2 beats doc 4
+    assert(out((2L, 2L))._2 > out((2L, 4L))._2)
+    // unknown query term 'zzz' is ignored, not an error (inner df join)
+  }
+
   test("IVF-PQ: cell-routed candidates carry the same ADC as the flat scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val queries = emb.filter(col("vec_id") < 5)

@@ -205,6 +205,35 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: scale-free factor threshold; CMS sketch brackets exact counts") {
+    // user 1 fires 6 of type a's 10 events (mean 10/3); user 9 is type
+    // b's only user (trivially ≥ factor × mean? no: n·u = 1·1 = total —
+    // below 1.5× — so b yields nothing)
+    val rows = (0 until 6).map(i => (i.toLong, 1L, (i * 10 + 1) * S, "a", 0.0)) ++
+      Seq((6L, 2L, 700 * S, "a", 0.0), (7L, 2L, 710 * S, "a", 0.0),
+        (8L, 3L, 720 * S, "a", 0.0), (9L, 3L, 730 * S, "a", 0.0),
+        (10L, 9L, 800 * S, "b", 0.0))
+    val e = ev(rows: _*)
+    val hh = Temporal.heavyHitters(e, factor = 1.5).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("share"))).toSeq
+    assert(hh === Seq(("a", 1L, 6L, 0.6)))
+
+    val sk = Temporal.userCountSketch(e, eps = 0.01).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))),
+         r.getAs[Long]("total"))).toMap
+    val (cmsA, totalA) = sk("a")
+    // CMS never undercounts; overshoot bounded by eps·total
+    Seq(1L -> 6L, 2L -> 2L, 3L -> 2L).foreach { case (u, exact) =>
+      val est = cmsA.estimateCount(u)
+      assert(est >= exact && est <= exact + math.ceil(0.01 * totalA).toLong,
+        s"user $u exact=$exact est=$est")
+    }
+    assert(sk("b")._1.estimateCount(9L) >= 1L)
+  }
+
   test("readEvents: ts is µs-truncated epoch-ns long (oracle-visible granularity)") {
     val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType.typeName === "long")
