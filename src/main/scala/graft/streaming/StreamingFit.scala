@@ -251,16 +251,25 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
 
   /** Session windows with custom state — flatMapGroupsWithState with an
-    * event-time timeout: a user's session closes after `gapSeconds` of
-    * silence (watermark-driven), emitting one UserSession row. The
-    * KeyValueGroupedDataset state machine the reference has no analogue
-    * for — pure Structured Streaming surface. */
+    * event-time timeout. A user's session closes either when a newer
+    * event arrives more than `gapSeconds` after the session's end (the
+    * closed session is emitted immediately — gap splitting happens at
+    * arrival, so micro-batch boundaries do not change the result) or
+    * when the watermark passes end+gap with no newer event (event-time
+    * timeout flushes the open session). For in-order-per-user arrival
+    * this matches batch [[graft.pipeline.Temporal.sessionize]] exactly
+    * (same `> gap` boundary; StreamingSpec pins the equivalence on a
+    * chunk-fed fixture); an out-of-order event landing inside an
+    * already-open session merges into it — with ts-ordered arrival per
+    * user the two surfaces cannot drift. The KeyValueGroupedDataset
+    * state machine the reference has no analogue for — pure Structured
+    * Streaming surface. */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800,
       watermark: String = "30 minutes"): Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+    val gapMs = gapSeconds * 1000L
     val typed = events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("value").cast("double"))
@@ -277,17 +286,29 @@ object StreamingPipeline {
             state.remove()
             Iterator.single(UserSession(user, start, end, n, v))
           } else {
-            val evs = rows.toArray
-            if (evs.isEmpty) Iterator.empty
+            val sorted = rows.toArray.sortBy(_._2.getTime)
+            if (sorted.isEmpty) Iterator.empty
             else {
-              val sorted = evs.sortBy(_._2.getTime)
-              val (start0, end0, n0, v0) = state.getOption
-                .getOrElse((sorted.head._2, sorted.head._2, 0L, 0.0))
-              val start = if (sorted.head._2.before(start0)) sorted.head._2 else start0
-              val end = if (sorted.last._2.after(end0)) sorted.last._2 else end0
-              state.update((start, end, n0 + evs.length, v0 + evs.map(_._3).sum))
-              state.setTimeoutTimestamp(end.getTime + gapSeconds * 1000)
-              Iterator.empty
+              val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+              var cur = state.getOption // (start, end, n, value) of the open session
+              sorted.foreach { case (_, ts, value) =>
+                cur match {
+                  case Some((start, end, n, v)) =>
+                    if (ts.getTime - end.getTime > gapMs) {
+                      closed += UserSession(user, start, end, n, v)
+                      cur = Some((ts, ts, 1L, value))
+                    } else {
+                      val s = if (ts.before(start)) ts else start
+                      val e = if (ts.after(end)) ts else end
+                      cur = Some((s, e, n + 1, v + value))
+                    }
+                  case None => cur = Some((ts, ts, 1L, value))
+                }
+              }
+              val (start, end, n, v) = cur.get
+              state.update((start, end, n, v))
+              state.setTimeoutTimestamp(end.getTime + gapMs)
+              closed.iterator
             }
           }
       }

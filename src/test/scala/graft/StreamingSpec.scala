@@ -154,6 +154,55 @@ class StreamingSpec extends SparkSpec {
     assert(sess.get(9L).contains((1L, 5.0)))
   }
 
+  test("streaming sessionize == batch sessionize on a chunk-fed in-order fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    val rnd = new scala.util.Random(7)
+    var t = base
+    // in-order event stream over 4 users; inter-event steps up to 400 s,
+    // so per-user gaps routinely cross the 600 s session boundary
+    val events = (0 until 150).map { i =>
+      t += rnd.nextInt(400000)
+      (i.toLong, new java.sql.Timestamp(t), 1L + rnd.nextInt(4), "e",
+        rnd.nextInt(100) / 4.0)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = stream.toDS().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingPipeline.sessionize(df, gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      // feed in 5 chunks — micro-batch boundaries fall mid-session
+      events.grouped(30).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinel user advances the watermark past every real timeout,
+      // then one more batch lets the timeouts fire
+      stream.addData((900L, new java.sql.Timestamp(t + 86400000L), 999L, "e", 0.0))
+      q.processAllAvailable()
+      stream.addData((901L, new java.sql.Timestamp(t + 86500000L), 999L, "e", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, session_start, session_end, events, total_value FROM sess_parity")
+      .where(col("user_id") =!= 999L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), math.rint(r.getDouble(4) * 1e6) / 1e6)).toSet
+
+    val batchIn = events.map { case (id, ts, u, et, v) =>
+      (id, u, ts.getTime * 1000000L, et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batch = graft.pipeline.Temporal.sessionize(batchIn, gapNs = 600L * 1000000000L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start") / 1000000L,
+        r.getAs[Long]("session_end") / 1000000L, r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(batch.nonEmpty && batch.exists(_._4 > 1))
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("streaming clean+dedup drops low-quality docs and duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
