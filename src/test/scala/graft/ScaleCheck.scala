@@ -167,6 +167,24 @@ object ScaleCheck {
         "events_retention (cohorts)" -> time {
           graft.pipeline.Temporal.retention(evR).count()
         },
+        "events_funnel (per-user fold)" -> time {
+          graft.pipeline.Temporal.funnel(evR,
+            Seq("view", "click", "purchase"),
+            horizonNs = 60L * graft.pipeline.Temporal.NsPerMinute).count()
+        },
+        "events_topk (WindowGroupLimit)" -> time {
+          // 5 event types total — a naive per-type window would funnel the
+          // whole log through 5 tasks; WindowGroupLimit's per-map-partition
+          // top-k pre-truncation is what this row proves out
+          graft.pipeline.Temporal.topUsers(evR, k = 5).count()
+        },
+        "text_bm25 (bcast query side)" -> time {
+          import spark.implicits._
+          val queries = Seq((1L, "hash join merge"),
+            (2L, "window agg sort stream"),
+            (3L, "fast scan filter column table")).toDF("query_id", "query_text")
+          graft.pipeline.TextAnalysis.bm25Search(docsR, queries).count()
+        },
         "classify_nb (NB train+predict)" -> time {
           graft.pipeline.Classify.naiveBayes(docsR).count()
         },
