@@ -1512,6 +1512,14 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir))
         .orderBy(col("day"))
     }),
+    // OHLC downsampling: first/last via min_by/max_by inside ONE
+    // map-side-combined aggregate — no per-bucket sort or window
+    "events_ohlc" -> ((s, dir) => {
+      graft.pipeline.Temporal.ohlc(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          bucketNs = graft.pipeline.Temporal.NsPerHour)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     // per-type heavy hitters: scale-free skew detector (count-min
     // sketch companion is the bounded-memory 100 TB path, unit-probed)
     "events_heavy_hitters" -> ((s, dir) => {
@@ -1830,6 +1838,8 @@ object SparkEntry {
       graft.pipeline.Temporal.NsPerDay),
     "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
       HeavyHitterFactor),
+    "events_ohlc" -> graft.pipeline.TemporalSql.ohlc(
+      graft.pipeline.Temporal.NsPerHour),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(

@@ -283,6 +283,31 @@ object Temporal {
     events.groupBy(bucketStart(col("ts"), dayNs).as("day"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
 
+  /** OHLC time-series downsampling: per (event_type, bucket) the first
+    * (open) and last (close) event value plus min/max/count/mean — the
+    * classic lossy downsample for dashboards and long-horizon models.
+    * One map-side-combined shuffle: `min_by`/`max_by` fold the
+    * first/last values inside the aggregate (no per-bucket sort, no
+    * window). Ordering ties on ts break by event_id, so the result is
+    * deterministic even with colliding timestamps (the synthetic log
+    * has none — which is also what lets the oracle mirror use DuckDB's
+    * scalar-keyed arg_min/arg_max). Returns
+    * [event_type, bucket, open, close, low, high, n_events, mean_value]. */
+  def ohlc(events: DataFrame, bucketNs: Long = NsPerHour): DataFrame =
+    events.groupBy(col("event_type"), bucketStart(col("ts"), bucketNs).as("bucket"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n_events"),
+        // mean via an exact DECIMAL sum: double summation is
+        // order-sensitive in the last ulp, and a bucket mean can land
+        // exactly on a round-half boundary (observed at sf0.1) — the
+        // decimal sum has no order sensitivity, so the one double
+        // division is bit-identical across engines
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_value"))
+
   /** Per-type heavy hitters: users whose event count is ≥ `factor` ×
     * the type's mean per-user count (a scale-free skew detector — a
     * fixed share threshold empties as the user population grows).

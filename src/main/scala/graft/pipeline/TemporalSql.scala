@@ -148,6 +148,20 @@ object TemporalSql {
        |SELECT tsn - tsn % $dayNs AS day, count(DISTINCT user_id) AS n_users
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mirrors [[Temporal.ohlc]]. Scalar-keyed arg_min/arg_max are exact
+    * mirrors of the struct-tie-break min_by/max_by because the log's
+    * (type, µs-ts) pairs are collision-free (asserted in TemporalSpec;
+    * with ties only the Spark side would stay deterministic). */
+  def ohlc(bucketNs: Long): String =
+    s"""WITH e AS ($e)
+       |SELECT event_type, tsn - tsn % $bucketNs AS bucket,
+       |       arg_min(value, tsn) AS open, arg_max(value, tsn) AS close,
+       |       min(value) AS low, max(value) AS high,
+       |       count(*) AS n_events,
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |             / count(*), 6) AS mean_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Mirrors [[Temporal.heavyHitters]] (the sketch companion is
     * unit-probed against this exact form). */
   def heavyHitters(factor: Double): String =

@@ -234,10 +234,35 @@ class TemporalSpec extends SparkSpec {
     assert(sk("b")._1.estimateCount(9L) >= 1L)
   }
 
-  test("readEvents: ts is µs-truncated epoch-ns long (oracle-visible granularity)") {
+  test("ohlc: open/close by (ts, event_id) tie-break, low/high/mean exact") {
+    val H = Temporal.NsPerHour
+    val e = ev(
+      (5L, 1L, 0 * H + 100, "a", 2.0),  // earliest ts → open
+      (1L, 1L, 0 * H + 100, "a", 4.0),  // same ts, lower event_id... no: id 1 < 5
+      (2L, 1L, 0 * H + 900, "a", 8.0),  // latest ts → close
+      (3L, 1L, 1 * H + 5, "a", 1.0),    // next bucket
+      (4L, 1L, 0 * H + 7, "b", 6.0))
+    val out = Temporal.ohlc(e, bucketNs = H).orderBy("event_type", "bucket")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Double]("open"), r.getAs[Double]("close"), r.getAs[Double]("low"),
+        r.getAs[Double]("high"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("mean_value"))).toSeq
+    // tie at ts=100: event_id 1 wins the open (struct tie-break)
+    assert(out === Seq(
+      ("a", 0L, 4.0, 8.0, 2.0, 8.0, 3L, round6(14.0 / 3)),
+      ("a", H, 1.0, 1.0, 1.0, 1.0, 1L, 1.0),
+      ("b", 0L, 6.0, 6.0, 6.0, 6.0, 1L, 6.0)))
+  }
+
+  test("readEvents: ts is µs-truncated epoch-ns long, (type, ts) collision-free") {
     val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType.typeName === "long")
     assert(e.where(pmod(col("ts"), lit(1000L)) =!= 0L).count() === 0L)
     assert(e.count() === 1000L)
+    // the ohlc oracle's scalar arg_min/arg_max mirror relies on this
+    assert(e.groupBy("event_type", "ts").count()
+      .where(col("count") > 1).count() === 0L)
   }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }
