@@ -250,6 +250,21 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
 
+  /** Watermarked active-users-per-window over the event stream: one
+    * mergeable HyperLogLog++ sketch per window — the streaming form of
+    * [[graft.pipeline.Temporal.activeUsersApprox]] (same rsd → same
+    * deterministic estimate as the batch aggregate on the same rows;
+    * StreamingSpec pins the equality). Exact distinct would need the
+    * full user-id set per open window in state; the sketch keeps state
+    * O(windows × sketch size). Returns [day, n_users]. */
+  def activeUsersStream(events: DataFrame, windowLength: String = "1 day",
+      watermark: String = "1 day", rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+      .select(col("window.start").as("day"), col("n_users"))
+
   /** Session windows with custom state — flatMapGroupsWithState with an
     * event-time timeout. A user's session closes either when a newer
     * event arrives more than `gapSeconds` after the session's end (the

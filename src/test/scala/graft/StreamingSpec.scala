@@ -154,6 +154,43 @@ class StreamingSpec extends SparkSpec {
     assert(sess.get(9L).contains((1L, 5.0)))
   }
 
+  test("streaming DAU sketch == batch approx_count_distinct on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L // ms
+    val rows = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + (i % 40) * 3600000L),
+        (i % 23).toLong, "e", 1.0)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = stream.toDS().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingPipeline.activeUsersStream(df, "1 day", "1 day")
+      .writeStream.format("memory").queryName("dau").outputMode("append").start()
+    try {
+      // feed in event-time order: the 1-day watermark admits any
+      // within-chunk disorder but a full day-0 replay in chunk 2 would
+      // be (correctly) dropped as late — that's watermark semantics,
+      // not a parity failure
+      rows.sortBy(_._2.getTime).grouped(100).foreach { c =>
+        stream.addData(c: _*); q.processAllAvailable()
+      }
+      stream.addData((999L, new java.sql.Timestamp(base + 30L * 86400000L), 999L, "e", 0.0))
+      q.processAllAvailable()
+      stream.addData((998L, new java.sql.Timestamp(base + 31L * 86400000L), 998L, "e", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT day, n_users FROM dau").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getLong(1))).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (day, n) =>
+      assert(streamed.get(day).contains(n), s"day=$day batch=$n stream=${streamed.get(day)}")
+    }
+  }
+
   test("streaming sessionize == batch sessionize on a chunk-fed in-order fixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
