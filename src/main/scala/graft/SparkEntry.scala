@@ -76,6 +76,8 @@ object SparkEntry {
   private val BgDelta = 0.15
   private val SnippetDocs = 10
   private val CoocWindow = 3
+  private val PageRankIters = 5
+  private val PageRankDamping = 0.85
   // Regularizer-mix fit (label balancing + improve-coherence +
   // specified-sparse keep-top-k per token row)
   private val LabelTau = 0.5
@@ -759,6 +761,17 @@ object SparkEntry {
       Cooc.ppmi(sym, "tf")
         .select(col("token_a"), col("token_b"), round(col("ppmi"), 6).as("ppmi"))
         .orderBy(col("token_a"), col("token_b"))
+    }),
+    // graph analytics: weighted PageRank over the symmetrized cooc
+    // graph (one edges join + one dst groupBy per power iteration,
+    // lineage cut per round)
+    "graph_pagerank" -> ((s, dir) => {
+      graft.pipeline.Graph.pageRank(
+          coocSym(s, dir).select(col("token_a").as("src"),
+            col("token_b").as("dst"), col("cooc_tf").as("weight")),
+          iters = PageRankIters, damping = PageRankDamping)
+        .select(col("vertex").as("token"), round(col("r"), 6).as("r"))
+        .orderBy(col("token"))
     }),
     // §2.7 PPMI df mode: n_u = the token's own document frequency, n =
     // total docs (reference GetTokenFreq → num_of_documents_token_
@@ -1658,6 +1671,8 @@ object SparkEntry {
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
+    "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(
+      CoocWindow, PageRankIters, PageRankDamping),
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(

@@ -1098,4 +1098,53 @@ object PipelineSql {
        |  WHERE length(w) >= 1 AND length(w) <= $maxWordLen GROUP BY w),
        |$rounds""".stripMargin
   }
+
+  /** Mirrors Graph.pageRank over the symmetrized windowed-cooc graph:
+    * the cooc_window/cooc_ppmi tok→pairs→cooc→sym CTE chain, then
+    * `iters` unrolled power iterations (each round MATERIALIZED — the
+    * bpe_train lesson: DuckDB re-inlines non-materialized CTE chains
+    * exponentially). Final ranks round to 6 dp; intermediates stay
+    * unrounded doubles on both engines (the RelationalEm contract —
+    * summation-order ulp differences are absorbed by the final round). */
+  def coocPageRank(window: Int, iters: Int, damping: Double): String = {
+    def round(k: Int): String =
+      s"""c$k AS MATERIALIZED (
+         |  SELECT norm.dst, sum(norm.p * r${k - 1}.r) AS rin
+         |  FROM norm JOIN r${k - 1} ON r${k - 1}.src = norm.src GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT v.src, (1.0 - $damping) / nn.n
+         |           + $damping * coalesce(c$k.rin, 0.0) AS r
+         |  FROM v CROSS JOIN nn LEFT JOIN c$k ON c$k.dst = v.src)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |pairs AS (
+       |  SELECT a.doc_id,
+       |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+       |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+       |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+       |  FROM tok a JOIN tok b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $window),
+       |cooc AS MATERIALIZED (
+       |  SELECT token_a, token_b, sum(tf) AS cooc_tf
+       |  FROM pairs GROUP BY token_a, token_b),
+       |sym AS MATERIALIZED (
+       |  SELECT token_a, token_b, cooc_tf FROM cooc
+       |  UNION ALL
+       |  SELECT token_b, token_a, cooc_tf FROM cooc WHERE token_a <> token_b),
+       |outw AS MATERIALIZED (
+       |  SELECT token_a AS src, sum(cooc_tf) AS outw FROM sym GROUP BY 1),
+       |norm AS MATERIALIZED (
+       |  SELECT s.token_a AS src, s.token_b AS dst,
+       |         CAST(sum(s.cooc_tf / o.outw) AS DOUBLE) AS p
+       |  FROM sym s JOIN outw o ON o.src = s.token_a GROUP BY 1, 2),
+       |v AS MATERIALIZED (SELECT DISTINCT src FROM norm),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |r0 AS MATERIALIZED (SELECT src, 1.0 / nn.n AS r FROM v CROSS JOIN nn),
+       |$rounds
+       |SELECT src AS token, round(r, 6) AS r FROM r$iters ORDER BY token""".stripMargin
+  }
 }

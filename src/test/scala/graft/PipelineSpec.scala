@@ -181,6 +181,33 @@ class PipelineSpec extends SparkSpec {
     assert(ppl.size === 5 && ppl.values.forall(_ > 0.0))
   }
 
+  test("pageRank: hand-computed path graph, mass conservation, parallel edges add") {
+    import spark.implicits._
+    // path a–b–c, symmetrized, unit weights
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0),
+      ("b", "c", 1.0), ("c", "b", 1.0)).toDF("src", "dst", "weight")
+    val r1 = graft.pipeline.Graph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // r1(a) = 0.05 + 0.85·(1/3·0.5); r1(b) = 0.05 + 0.85·(2/3)
+    assert(math.abs(r1("a") - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1("b") - (0.05 + 0.85 * 2 / 3)) < 1e-12)
+    assert(r1("c") === r1("a")) // path symmetry
+    val r5 = graft.pipeline.Graph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r5.values.sum - 1.0) < 1e-9) // no dangling loss
+    assert(r5("b") > r5("a") && r5("a") === r5("c"))
+    // parallel edges accumulate weight: (a,b,1)+(a,b,2) == (a,b,3)
+    val par = Seq(("a", "b", 1.0), ("a", "b", 2.0), ("b", "a", 3.0),
+      ("b", "c", 1.0), ("c", "b", 1.0)).toDF("src", "dst", "weight")
+    val merged = Seq(("a", "b", 3.0), ("b", "a", 3.0),
+      ("b", "c", 1.0), ("c", "b", 1.0)).toDF("src", "dst", "weight")
+    val a = graft.pipeline.Graph.pageRank(par, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = graft.pipeline.Graph.pageRank(merged, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a.keys == b.keys && a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
+  }
+
   test("bm25: candidates need a query term; tf saturates; length normalizes; score exact") {
     import spark.implicits._
     val corpus = Seq(
