@@ -1487,6 +1487,30 @@ object SparkEntry {
           coalesce(col("ts") - col("matched_ts"), lit(-1L)).as("gap_ns"))
         .orderBy(col("event_id"))
     }),
+    // composed temporal chain: each purchase annotated with BOTH the
+    // session containing it (sessionize output joined back on user +
+    // interval residual — per-user sessions are few, so the equi-join
+    // carries the between as a cheap filter) and its as-of prior view.
+    // Exercises the sessionize→join-back and asof→join boundaries no
+    // single-operator row touches.
+    "events_e2e" -> ((s, dir) => {
+      val T = graft.pipeline.Temporal
+      val e = T.readEvents(s, dir)
+      val sessions = T.sessionize(e, gapNs = SessionGapNs)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = e.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val asof = T.asofJoin(purchases, views, "user_id", "ts",
+        "event_id", Seq("event_id"))
+      asof.join(sessions,
+          asof("user_id") === sessions("user_id") &&
+            asof("ts").between(sessions("session_start"), sessions("session_end")))
+        .select(asof("event_id"), asof("user_id"), asof("ts").as("ts_ns"),
+          sessions("session_idx"), sessions("n_events").as("session_events"),
+          coalesce(col("matched_event_id"), lit(-1L)).as("view_event_id"))
+        .orderBy(col("event_id"))
+    }),
     // tumbling 1h windows per event_type
     "events_window" -> ((s, dir) => {
       graft.pipeline.Temporal.tumblingAgg(
@@ -1843,6 +1867,7 @@ object SparkEntry {
         |ORDER BY token""".stripMargin,
     "events_sessionize" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
     "events_asof" -> graft.pipeline.TemporalSql.asofPurchaseView,
+    "events_e2e" -> graft.pipeline.TemporalSql.sessionAsofE2e(SessionGapNs),
     "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),

@@ -51,6 +51,44 @@ object TemporalSql {
        |       coalesce(tsn - mt, -1) AS gap_ns
        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Mirrors the composed events_e2e entry: the sessionize CTEs and the
+    * asof union-trick CTEs, joined purchase→containing-session on
+    * (user, interval). */
+  def sessionAsofE2e(gapNs: Long): String =
+    s"""WITH e AS ($e),
+       |f AS (SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+       |                       OR tsn - lag(tsn) OVER w > $gapNs
+       |                     THEN 1 ELSE 0 END AS newf
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+       |s AS (SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session_idx
+       |      FROM f),
+       |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |                min(tsn) AS session_start, max(tsn) AS session_end,
+       |                count(*) AS n_events
+       |         FROM s GROUP BY user_id, session_idx),
+       |st AS (
+       |  SELECT user_id, tsn, event_id AS l_event_id,
+       |         CAST(NULL AS BIGINT) AS r_event_id,
+       |         1 AS side, 9223372036854775807 AS tie
+       |  FROM e WHERE event_type = 'purchase'
+       |  UNION ALL
+       |  SELECT user_id, tsn, NULL, event_id, 0, event_id
+       |  FROM e WHERE event_type = 'view'),
+       |m AS (SELECT *,
+       |        last_value(r_event_id IGNORE NULLS) OVER w AS me
+       |      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY tsn, side, tie
+       |                           ROWS UNBOUNDED PRECEDING)),
+       |av AS (SELECT l_event_id AS event_id, user_id, tsn, me
+       |       FROM m WHERE side = 1)
+       |SELECT a.event_id, a.user_id, a.tsn AS ts_ns,
+       |       x.session_idx, x.n_events AS session_events,
+       |       coalesce(a.me, -1) AS view_event_id
+       |FROM av a JOIN sess x
+       |  ON x.user_id = a.user_id
+       | AND a.tsn BETWEEN x.session_start AND x.session_end
+       |ORDER BY a.event_id""".stripMargin
+
   /** Mirrors [[Temporal.tumblingAgg]]. */
   def tumbling(widthNs: Long): String =
     s"""WITH e AS ($e)
