@@ -37,6 +37,22 @@ class PlanAssertSpec extends SparkSpec {
       s"stratified sample lost the pre-shuffle per-partition top-k:\n$p")
   }
 
+  test("topUsers and bm25 keep the two-phase WindowGroupLimit top-k") {
+    import spark.implicits._
+    val events = (0 until 50).map(i =>
+      (i.toLong, (i % 7).toLong, i.toLong * 1000000L, s"t${i % 2}", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val p1 = executedPlan(graft.pipeline.Temporal.topUsers(events, k = 3))
+    assert(p1.contains("WindowGroupLimit"),
+      s"topUsers lost the pre-shuffle per-partition top-k:\n$p1")
+    val queries = Seq((1L, "alpha beta")).toDF("query_id", "query_text")
+    val p2 = executedPlan(TextAnalysis.bm25Search(docsDF, queries, topK = 3))
+    assert(p2.contains("WindowGroupLimit"),
+      s"bm25 lost the pre-shuffle per-partition top-k:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"bm25 joins the corpus without broadcasting the query side:\n$p2")
+  }
+
   test("decontaminate broadcasts the benchmark n-gram pool") {
     val p = executedPlan(Dedup.decontaminate(
       docsDF.filter(col("doc_id") >= 10), docsDF.filter(col("doc_id") < 10), n = 3))
