@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and emits ONE compact JSON line on stdout.
+  *
+  * The driver captures only the LAST 2 KiB of stdout (BENCH_r4/r5 both
+  * had `parsed: null` because the full per-entry map is ~2.8 KB and the
+  * line got cut mid-map — and r5's untruncated error strings made it
+  * far worse). So the printed line is a per-FAMILY rollup plus the
+  * slowest individual entries and a capped, 80-char-truncated error map
+  * — asserted single-line and < 1900 bytes when errors are empty — and
+  * the full per-entry timing map goes to `BENCH_DETAILS.json` in the
+  * working directory (committed with the round, so per-entry history
+  * stays diffable).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,7 +37,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(80)
           false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
@@ -34,15 +48,43 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString } + "\""
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    def jmap(m: Iterable[(String, Any)]): String =
+      m.map { case (k, v) => jstr(k) + ":" + (v match {
+        case s: String => jstr(s); case x => x.toString })
+      }.mkString("{", ",", "}")
+
+    // full per-entry detail -> file (the tail can't hold ~110 entries)
+    val detail = jmap(Seq(
+      "sf" -> sfDir, "cpus" -> cpus,
+      "total" -> r3(results.map(_._2).filter(_ >= 0).sum))) stripSuffix "}"
+    val detailJson = detail + ",\"queries\":" +
+      jmap(results.map { case (k, v) => k -> r3(v) }) +
+      ",\"errors\":" + jmap(errors) + "}"
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+      detailJson.getBytes("UTF-8"))
+
+    // compact line: per-family rollup + slowest entries + capped errors
+    val families = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (f, rs) => f -> r3(rs.map(_._2).filter(_ >= 0).sum) }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => k -> r3(v) }
+    val errCapped = errors.take(5).toSeq
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val line = "{\"metric\":\"total\",\"value\":" + total +
+      ",\"unit\":\"sec\",\"n_queries\":" + results.size +
+      ",\"queries\":" + jmap(families) +
+      ",\"slowest\":" + jmap(slowest) +
+      ",\"errors\":" + jmap(errCapped) +
+      ",\"n_errors\":" + errors.size +
+      ",\"details\":\"BENCH_DETAILS.json\",\"sf\":" + jstr(sfDir) + "}"
+    require(!line.contains('\n'), "bench line must be a single line")
+    require(errors.nonEmpty || line.length < 1900,
+      s"bench line ${line.length}B exceeds the driver's 2 KiB tail capture")
+    println(line)
     spark.stop()
   }
 }

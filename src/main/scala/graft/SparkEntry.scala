@@ -1549,6 +1549,16 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir))
         .orderBy(col("day"))
     }),
+    // the STREAMING operators replayed over the same table and gated by
+    // the same oracle SQL as their batch twins (StreamReplay scaladoc)
+    "events_sessionize_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.sessionize(s, dir, gapNs = SessionGapNs)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+    "events_dau_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.activeUsers(s, dir)
+        .orderBy(col("day"))
+    }),
     // OHLC downsampling: first/last via min_by/max_by inside ONE
     // map-side-combined aggregate — no per-bucket sort or window
     "events_ohlc" -> ((s, dir) => {
@@ -1598,9 +1608,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // CCNet-style head/middle/tail quality buckets by per-lang LM
-    // perplexity terciles
+    // perplexity terciles — exact-percentile mode for cross-engine
+    // determinism (the default is the approx_percentile scale path)
     "text_ccnet_bucket" -> ((s, dir) => {
-      graft.pipeline.TextAnalysis.ccnetBuckets(docs(s, dir), addK = LmAddK)
+      graft.pipeline.TextAnalysis.ccnetBuckets(docs(s, dir), addK = LmAddK,
+          exact = true)
         .orderBy(col("doc_id"))
     })
   )
@@ -1875,6 +1887,10 @@ object SparkEntry {
     "events_range_join" -> graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
+      graft.pipeline.Temporal.NsPerDay),
+    // streaming replays are gated by the SAME oracle as their batch twins
+    "events_sessionize_stream" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
+    "events_dau_stream" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
     "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
       HeavyHitterFactor),

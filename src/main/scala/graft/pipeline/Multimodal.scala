@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed by per-partition batch UDFs.
   *
   * The Spark-side machinery here — schema, partition sizing, batch
-  * iteration, deterministic outputs — is real and tested. The actual
-  * codec calls are STUBBED (`decodeImageStub`): this container has no
-  * image/audio libraries, so decode produces a deterministic feature from
-  * the bytes themselves. Swapping in a real decoder changes only the
-  * function body, not the dataflow.
+  * iteration, deterministic outputs — is real and tested, and so is the
+  * decode for the formats a pure-JVM header walk can handle: uncompressed
+  * 24-bit BMP and binary PPM ([[decodeImage]] — no codec libraries in
+  * this container, so compressed formats fall back to a deterministic
+  * byte histogram; adding a JPEG/PNG codec changes only the
+  * [[decodeImage]] dispatch, not the dataflow).
   *
   * Scale notes: binary payloads dominate row size — `repartitionForMedia`
   * targets a payload budget per partition so a 100 TB scan does not
@@ -54,10 +55,107 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
-  /** STUB decoder ??? -> deterministic 16-dim feature: byte-value histogram
-    * (normalized). Replace the body with a real image decode + model; the
-    * signature (bytes -> float vector) and batching shape are the contract. */
-  def decodeImageStub(payload: Array[Byte]): Array[Float] = {
+  /** A decoded raster: interleaved RGB bytes, row-major, top-down. */
+  final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Pure-JVM image decode for the two formats a header walk can handle
+    * without codec libraries: uncompressed 24-bit BMP and binary PPM
+    * (P6, maxval <= 255). Anything else returns None and flows through
+    * the byte-histogram fallback in [[extractFeatures]] — so adding a
+    * real codec (JPEG/PNG) changes only this dispatch, not the dataflow. */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload == null || payload.length < 2) None
+    else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp24(payload)
+    else if (payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
+    else None
+  }
+
+  /** BMP header walk: BITMAPFILEHEADER (14 bytes: magic, size, reserved,
+    * pixel-data offset) + BITMAPINFOHEADER (width/height int32 LE at 18/22,
+    * bpp uint16 at 28, compression uint32 at 30). Only bpp=24,
+    * compression=BI_RGB; rows are 4-byte padded, stored bottom-up when
+    * height > 0 (top-down when negative), pixels BGR. */
+  private def decodeBmp24(b: Array[Byte]): Option[DecodedImage] = {
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    if (b.length < 54) return None
+    val dataOffset = i32(10)
+    val width = i32(18)
+    val rawHeight = i32(22)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0) return None
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + stride.toLong * height > b.length) return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOffset + (if (bottomUp) (height - 1 - y) else y) * stride
+      var x = 0
+      while (x < width) {
+        val s = srcRow + x * 3 // BGR on disk
+        val d = (y * width + x) * 3
+        rgb(d) = b(s + 2); rgb(d + 1) = b(s + 1); rgb(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(width, height, rgb))
+  }
+
+  /** PPM P6: ASCII header `P6 <w> <h> <maxval>` with `#` comments and
+    * arbitrary whitespace, one whitespace byte, then w*h*3 RGB bytes. */
+  private def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
+    var pos = 2 // past "P6"
+    def nextInt(): Int = {
+      // skip whitespace and # comments
+      var inComment = false
+      while (pos < b.length && {
+        val c = b(pos).toChar
+        if (inComment) { if (c == '\n') inComment = false; true }
+        else if (c == '#') { inComment = true; true }
+        else c.isWhitespace
+      }) pos += 1
+      var v = 0; var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    pos += 1 // the single whitespace after maxval
+    if (width <= 0 || height <= 0 || maxval <= 0 || maxval > 255) return None
+    val n = width * height * 3
+    if (pos + n > b.length) return None
+    Some(DecodedImage(width, height, java.util.Arrays.copyOfRange(b, pos, pos + n)))
+  }
+
+  /** 16-bin luminance histogram (normalized) of a decoded image —
+    * format-independent: the same pixels encoded as BMP or PPM produce
+    * bit-identical features. Luminance = integer BT.601
+    * (77 R + 150 G + 29 B) >> 8. */
+  def imageFeatures(img: DecodedImage): Array[Float] = {
+    val hist = new Array[Float](16)
+    val px = img.width * img.height
+    var i = 0
+    while (i < px) {
+      val o = i * 3
+      val lum = (77 * (img.rgb(o) & 0xff) + 150 * (img.rgb(o + 1) & 0xff) +
+        29 * (img.rgb(o + 2) & 0xff)) >> 8
+      hist(lum >>> 4) += 1.0f
+      i += 1
+    }
+    if (px > 0) { i = 0; while (i < 16) { hist(i) /= px; i += 1 } }
+    hist
+  }
+
+  /** Fallback feature for undecodable payloads: normalized byte-value
+    * histogram — deterministic, so fixtures without real image bytes
+    * still exercise the full dataflow. */
+  def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (payload == null || payload.isEmpty) return hist
     var i = 0
@@ -74,7 +172,9 @@ object Multimodal {
 
   /** Feature extraction: narrow mapPartitions over the media table,
     * batching `batchSize` payloads per decode call (the shape a GPU/
-    * vectorized decoder needs). Returns [media_id, features]. */
+    * vectorized decoder needs). Decodes BMP/PPM payloads for real
+    * (luminance histogram); other payloads get the byte-histogram
+    * fallback. Returns [media_id, features]. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -82,11 +182,44 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // batch boundary = where a real decoder would run one GPU call
-          batch.map { case (id, bytes) => (id, decodeImageStub(bytes)) }
+          // batch boundary = where a vectorized/GPU decoder would run once
+          batch.map { case (id, bytes) =>
+            (id, decodeImage(bytes).map(imageFeatures).getOrElse(byteHistogram(bytes)))
+          }
         }
       }
       .toDF("media_id", "features")
+  }
+
+  /** Typed per-image metadata from the real decode: dimensions and mean
+    * channel values, null for payloads no header walk can decode.
+    * Returns [media_id, decoded, width, height, mean_r, mean_g, mean_b]. */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val px = img.width * img.height
+              var r = 0L; var g = 0L; var bl = 0L; var i = 0
+              while (i < px) {
+                val o = i * 3
+                r += img.rgb(o) & 0xff; g += img.rgb(o + 1) & 0xff
+                bl += img.rgb(o + 2) & 0xff
+                i += 1
+              }
+              (id, true, Some(img.width), Some(img.height),
+                Some(math.rint(r * 1e6 / px) / 1e6),
+                Some(math.rint(g * 1e6 / px) / 1e6),
+                Some(math.rint(bl * 1e6 / px) / 1e6))
+            case None => (id, false, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
   /** Frame sampling stub: emits `n` evenly-spaced (frame_index, offset)

@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * the batch counterparts of `graft.streaming`'s windowed/sessionized
   * streams, over the driver's `events` table.
   *
-  * Timestamps: the events parquet stores TIMESTAMP(NANOS), which Spark's
-  * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
-  * with `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as
-  * epoch-NANOS in a plain long — and every operator below does pure
-  * integer arithmetic on it (pmod for bucket floors, long compares for
-  * gaps). That is deliberate: no µs truncation, no timezone, and the
-  * DuckDB oracle reproduces each value exactly via `epoch_ns(ts)`.
+  * Timestamps: [[readEvents]] normalizes `ts` to an epoch-NANOS plain
+  * long whichever way the parquet encodes it (`timestamp[us]` in the
+  * current testdata, TIMESTAMP(NANOS) historically — see its doc), and
+  * every operator below does pure integer arithmetic on it (pmod for
+  * bucket floors, long compares for gaps). That is deliberate: no
+  * timezone dependence, and the DuckDB oracle reproduces each value
+  * exactly via `epoch_ns(ts)`.
   * Nothing here divides a raw epoch-ns by anything in floating point —
   * 1.7e18 exceeds a double's 2^53 integer range, so ts/width in double
   * arithmetic is off-by-one territory; window starts are computed as
@@ -34,20 +34,43 @@ object Temporal {
   val NsPerDay: Long = 24L * NsPerHour
   val NsPerWeek: Long = 7L * NsPerDay
 
-  /** Events table with `ts` as epoch-nanos long (see class doc). The
-    * legacy conf is runtime-settable and only affects parquet columns
-    * whose physical type is TIMESTAMP(NANOS) — i.e. only `events.ts`.
+  /** Events table with `ts` as epoch-nanos long (see class doc),
+    * accepting either physical encoding the driver has shipped:
     *
-    * The sub-microsecond part is TRUNCATED away (`ts - ts mod 1000`):
-    * DuckDB's native TIMESTAMP is µs, so `read_parquet` truncates ns
-    * timestamps on ingest (verified: …549829 ns → …549000) and the
-    * driver's oracle can only ever see µs-truncated values. Keeping the
-    * values in ns units (but µs-granular) keeps every mirror statement a
-    * plain `epoch_ns(ts)`. */
+    *   - `timestamp[ns]` parquet: read via
+    *     `spark.sql.legacy.parquet.nanosAsLong` (Spark rejects NANOS
+    *     otherwise) as an epoch-ns long, then TRUNCATE the sub-µs part
+    *     (`ts - ts mod 1000`) — DuckDB's TIMESTAMP is µs-granular, so the
+    *     oracle can only ever see µs-truncated values.
+    *   - `timestamp[us]` parquet (current testdata): arrives as
+    *     TIMESTAMP_NTZ (naive wall clock). Converted to epoch-µs with the
+    *     wall clock interpreted as UTC — the session timezone is pinned
+    *     to UTC for the duration of the (eagerly analyzed) projection so
+    *     the NTZ→TIMESTAMP cast inside `unix_micros` is
+    *     machine-tz-independent — then ×1000 to epoch-ns. This matches
+    *     DuckDB's `epoch_ns(ts)` exactly (DuckDB's naive TIMESTAMP epoch
+    *     is UTC-interpreted too), and is already µs-granular so no
+    *     further truncation is needed.
+    *
+    * Either way downstream sees the same thing: a µs-granular epoch-ns
+    * long, all-integer arithmetic from here on. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      case _ => // TIMESTAMP_NTZ (or LTZ): pin tz, convert, restore.
+        val tzKey = "spark.sql.session.timeZone"
+        val prevTz = spark.conf.get(tzKey)
+        spark.conf.set(tzKey, "UTC")
+        try {
+          // Dataset creation analyzes eagerly, so the cast's zone id is
+          // captured HERE (under UTC), not at action time.
+          raw.withColumn("ts",
+            unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+        } finally spark.conf.set(tzKey, prevTz)
+    }
   }
 
   /** Exact floor-to-bucket of an epoch-ns long column: `ts - (ts mod w)`.

@@ -415,23 +415,38 @@ object TextAnalysis {
   /** CCNet-style quality bucketing: per-language head/middle/tail by
     * bigram-LM perplexity terciles. Builds on [[lmPerplexity]] (whose
     * 6-decimal-rounded ppl is already engine-exact), computes per-lang
-    * tercile thresholds with the exact interpolating `percentile`
-    * aggregate (tiny result — one row per language, broadcast back), and
-    * buckets on `ppl <= t`. Thresholds compare safely across engines:
-    * interpolation between two equal-or-distinct ROUNDED ppl values
-    * cannot drift past a data point (adjacent distinct values differ by
-    * ≥1e-6 while interpolation noise is last-ulp).
+    * tercile thresholds (tiny result — one row per language, broadcast
+    * back), and buckets on `ppl <= t`.
     *
-    * At 100 TB the threshold aggregate is the only extra shuffle, and
-    * the exact percentile would be swapped for `approx_percentile` (the
-    * corpus_stats pattern) — thresholds are gates, not reported values. */
+    * Threshold modes — thresholds are GATES, not reported values, so the
+    * scale path is sketch-based:
+    *
+    *   - `exact = false` (DEFAULT, the 100 TB path):
+    *     `approx_percentile` with `approxAccuracy` — a bounded-memory
+    *     quantile sketch that map-side-combines like any aggregate. An
+    *     exact percentile at scale materializes and interpolates each
+    *     language's full ppl multiset in one aggregation buffer per
+    *     language — a head language holding most of a 100 TB corpus
+    *     lands its entire ppl set on one task. The sketch holds the
+    *     bucket split within ±accuracy rank error, which only moves
+    *     documents whose ppl sits within noise of the tercile boundary —
+    *     exactly the documents whose bucket is arbitrary anyway.
+    *   - `exact = true` (the oracle/parity mode): the interpolating
+    *     `percentile` aggregate, bit-comparable against DuckDB's
+    *     `quantile_cont`. Interpolation between ROUNDED ppl values
+    *     cannot drift past a data point (adjacent distinct values differ
+    *     by ≥1e-6 while interpolation noise is last-ulp), so the bucket
+    *     assignment is cross-engine deterministic. */
   def ccnetBuckets(df: DataFrame, addK: Double = 0.1, textCol: String = "text",
-      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+      idCol: String = "doc_id", langCol: String = "lang",
+      exact: Boolean = false, approxAccuracy: Int = 10000): DataFrame = {
     val ppl = lmPerplexity(df, addK, textCol, idCol)
       .join(df.select(col(idCol), col(langCol)), idCol)
+    def tercile(p: Double) =
+      if (exact) percentile(col("ppl"), lit(p))
+      else approx_percentile(col("ppl"), lit(p), lit(approxAccuracy))
     val th = ppl.groupBy(langCol).agg(
-      percentile(col("ppl"), lit(1.0 / 3)).as("t1"),
-      percentile(col("ppl"), lit(2.0 / 3)).as("t2"))
+      tercile(1.0 / 3).as("t1"), tercile(2.0 / 3).as("t2"))
     ppl.join(broadcast(th), langCol)
       .withColumn("bucket",
         when(col("ppl") <= col("t1"), "head")

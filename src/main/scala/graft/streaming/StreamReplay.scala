@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Replay the driver's static `events` table THROUGH the Structured
+  * Streaming operators and hand back the (batch) result — the bridge
+  * that puts [[StreamingPipeline.sessionize]] and
+  * [[StreamingPipeline.activeUsersExactStream]] under the same DuckDB
+  * oracle rows as their batch twins.
+  *
+  * Mechanics: the parquet file is staged into a temp directory together
+  * with two far-future SENTINEL files (user_id −1), and streamed with
+  * `maxFilesPerTrigger=1` + `Trigger.AvailableNow` into a memory sink.
+  * File-source ordering is by modification time (set explicitly), so the
+  * real events form batch 1, sentinel A batch 2 (advances the watermark
+  * past every real timeout), and sentinel B batch 3 (the batch in which
+  * event-time timeouts and closed windows actually FLUSH — a watermark
+  * advanced in batch N emits in batch N+1). Sentinel rows are filtered
+  * from the output.
+  *
+  * The memory sink bounds this harness to oracle/driver scale by design:
+  * the production deployment writes the same query to a real sink
+  * (`writeStream.format("parquet"/"kafka")`) and never collects. Session
+  * timezone is pinned to UTC around the whole run — the parquet `ts` is
+  * TIMESTAMP_NTZ and both the NTZ→LTZ cast and the epoch extraction
+  * must be machine-tz-independent (same contract as
+  * [[graft.pipeline.Temporal.readEvents]]). */
+object StreamReplay {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `op` on a file-source replay of `$dir/events.parquet`, await
+    * completion, return the memory-sink contents as a local batch
+    * DataFrame (callers filter their own sentinel artifacts). */
+  private def replay(spark: SparkSession, dir: String)
+      (op: DataFrame => DataFrame): DataFrame = {
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try {
+      val stage = Files.createTempDirectory("graft_replay")
+      val src = Paths.get(s"$dir/events.parquet")
+      val staged = stage.resolve("00_events.parquet")
+      try Files.createSymbolicLink(staged, src)
+      catch { case _: Exception =>
+        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+
+      // sentinels 30/31 days past the max real ts: far beyond any
+      // watermark delay + session gap used here
+      val maxTs = spark.read.parquet(src.toString)
+        .agg(max(unix_micros(col("ts").cast(TimestampType)))).head.getLong(0)
+      def sentinel(name: String, offsetDays: Int, mtime: Long): Unit = {
+        val p = stage.resolve(name)
+        val one = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            -1L,
+            java.time.LocalDateTime.ofEpochSecond(
+              (maxTs / 1000000L) + offsetDays * 86400L, 0, java.time.ZoneOffset.UTC),
+            -1L, "sentinel", 0.0, "")),
+          eventSchema)
+        val tmpOut = stage.resolve(name + ".dir")
+        one.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        Files.move(part, p, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val base = System.currentTimeMillis()
+      Files.setLastModifiedTime(staged, java.nio.file.attribute.FileTime.fromMillis(base - 60000))
+      sentinel("01_sentinel_a.parquet", 30, base - 40000)
+      sentinel("02_sentinel_b.parquet", 31, base - 20000)
+
+      val stream = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val qname = s"graft_replay_${counter.incrementAndGet()}"
+      val q = op(stream).writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table(qname)
+      // materialize under the pinned tz, before the temp dir goes away
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally spark.conf.set(tzKey, prevTz)
+  }
+
+  /** Streamed sessionization of the driver's events table, shaped to the
+    * batch [[graft.pipeline.Temporal.sessionize]] contract
+    * [user_id, session_idx, session_start, session_end (epoch-ns longs),
+    * n_events, sum_value]. `session_idx` is recomputed over the closed
+    * sessions (1-based in start order per user — identical numbering to
+    * the batch running-sum since sessions are disjoint). */
+  def sessionize(spark: SparkSession, dir: String, gapNs: Long): DataFrame = {
+    val sess = replay(spark, dir) { ev =>
+      StreamingPipeline.sessionize(
+        ev, gapSeconds = gapNs / 1000000000L, watermark = "30 minutes").toDF()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    sess
+      .where(col("user_id") >= 0) // drop the sentinel user's sessions
+      .withColumn("session_idx", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_idx"),
+        (unix_micros(col("session_start")) * 1000L).as("session_start"),
+        (unix_micros(col("session_end")) * 1000L).as("session_end"),
+        col("events").as("n_events"),
+        round(col("total_value"), 6).as("sum_value"))
+  }
+
+  /** Streamed exact DAU of the driver's events table, shaped to the batch
+    * [[graft.pipeline.Temporal.activeUsers]] contract
+    * [day (epoch-ns long), n_users]. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
+      .agg(max("ts")).head.getLong(0)
+    val dau = replay(spark, dir) { ev =>
+      StreamingPipeline.activeUsersExactStream(
+        ev.withColumn("ts", col("ts").cast(TimestampType)),
+        windowLength = "1 day", watermark = "1 day")
+    }
+    dau.select((unix_micros(col("day")) * 1000L).as("day"), col("n_users"))
+      .where(col("day") <= maxNs) // drop any sentinel-day window
+  }
+}

@@ -265,6 +265,26 @@ object StreamingPipeline {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
       .select(col("window.start").as("day"), col("n_users"))
 
+  /** EXACT active-users-per-window over the event stream: two chained
+    * stateful operators — watermarked `dropDuplicates` on
+    * (user_id, window) so each user counts once per window (state = one
+    * row per distinct (user, window), expired by the watermark), then a
+    * plain windowed `count` (streaming forbids `count_distinct`, but
+    * after the dedup a count IS the distinct count). Matches batch
+    * [[graft.pipeline.Temporal.activeUsers]] exactly — this is the
+    * oracle-gated form; [[activeUsersStream]]'s HLL sketch is the
+    * unbounded-cardinality path (state O(windows × sketch) instead of
+    * O(windows × users)). Returns [day, n_users]. */
+  def activeUsersExactStream(events: DataFrame, windowLength: String = "1 day",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), window(col("ts"), windowLength).as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("day"), col("n_users"))
+
   /** Session windows with custom state — flatMapGroupsWithState with an
     * event-time timeout. A user's session closes either when a newer
     * event arrives more than `gapSeconds` after the session's end (the

@@ -60,4 +60,20 @@ class ClassifySpec extends SparkSpec {
     agg.foreach(r => assert(r.getAs[Double]("maxHead") <= r.getAs[Double]("minTail")))
     out.unpersist()
   }
+
+  test("ccnetBuckets: approx (default/scale) mode agrees with exact mode off-boundary") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val approx = TextAnalysis.ccnetBuckets(docs)
+      .select(col("doc_id"), col("bucket").as("b_approx"))
+    val exact = TextAnalysis.ccnetBuckets(docs, exact = true)
+      .select(col("doc_id"), col("bucket").as("b_exact"))
+    val joined = approx.join(exact, "doc_id").cache()
+    val n = joined.count()
+    val agree = joined.where(col("b_approx") === col("b_exact")).count()
+    // the sketch can only move documents sitting within rank-noise of a
+    // tercile boundary; at accuracy=10000 over ~500 docs that is at most
+    // a couple of rows per language boundary
+    assert(agree >= (n * 0.95).toLong, s"approx/exact bucket agreement $agree/$n")
+    joined.unpersist()
+  }
 }

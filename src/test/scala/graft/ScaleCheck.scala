@@ -216,6 +216,17 @@ object ScaleCheck {
       evR.unpersist()
       spark.catalog.clearCache()
     }
+
+    // BPE merge-count scaling at FIXED corpus: exact BPE is sequential in
+    // the merge count, so the per-merge cost must stay FLAT as numMerges
+    // grows (the replace stack is cut every `checkpointEvery` rounds —
+    // without that cut, round k re-runs k replaces and sec/merge grows
+    // linearly, the O(M²) trend the round-5 verdict flagged).
+    for (m <- Seq(8, 16, 32)) {
+      val sec = time { graft.pipeline.Bpe.train(base, numMerges = m).count() }
+      println(f"SCALE bpe_train merges=$m%3d  total ${sec}%8.2f s  ${sec / m}%8.3f s/merge")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

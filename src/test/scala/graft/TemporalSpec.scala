@@ -264,5 +264,27 @@ class TemporalSpec extends SparkSpec {
       .where(col("count") > 1).count() === 0L)
   }
 
+  test("readEvents is machine/session-timezone-independent and restores the tz conf") {
+    // The current testdata encodes ts as timestamp[us] (naive). readEvents
+    // must interpret the wall clock as UTC regardless of the ambient
+    // session timezone — a tz-dependent read would shift every epoch-ns
+    // long and diverge from the DuckDB oracle's epoch_ns(ts).
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ny = Temporal.readEvents(spark, "/root/testdata/sf0.001")
+        .agg(min("ts")).head.getLong(0)
+      assert(spark.conf.get(tzKey) === "America/New_York",
+        "readEvents must restore the session tz it pinned")
+      spark.conf.set(tzKey, "UTC")
+      val utc = Temporal.readEvents(spark, "/root/testdata/sf0.001")
+        .agg(min("ts")).head.getLong(0)
+      assert(ny === utc)
+      // 2024-01-01 00:09:58.778549 UTC, as DuckDB's epoch_ns(min(ts)) sees it
+      assert(utc === 1704067798778549000L)
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }
