@@ -138,6 +138,9 @@ object SparkEntry {
   private val AnomalyZ = 2.0       // |z| flag threshold
   private val RangeJoinWindowNs = 10 * graft.pipeline.Temporal.NsPerMinute
   private val TopUsersK = 5
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+  private val ChunkMinTokens = 8
   private val HeavyHitterFactor = 1.5 // × mean per-user count, scale-free
   // curation_facade boilerplate floor: the synthetic word-salad corpus
   // repeats 3-grams heavily, so the shared BoilerMinDocs=5 would mark
@@ -1242,6 +1245,14 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: RAG/training sliding token-window chunking (narrow
+    // map, no shuffle; overlap = chunk - stride)
+    "text_chunk" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.chunkDocuments(docs(s, dir),
+          chunkTokens = ChunkTokens, strideTokens = ChunkStride,
+          minTokens = ChunkMinTokens)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     // LLM pipeline: corpus-self boilerplate n-grams (word n-grams in
     // >= BoilerMinDocs distinct docs — the removal list built before
     // span-level cleaning)
@@ -1559,6 +1570,10 @@ object SparkEntry {
       graft.streaming.StreamReplay.activeUsers(s, dir)
         .orderBy(col("day"))
     }),
+    "events_window_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.windowCounts(s, dir, widthNs = WindowWidthNs)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // OHLC downsampling: first/last via min_by/max_by inside ONE
     // map-side-combined aggregate — no per-bucket sort or window
     "events_ohlc" -> ((s, dir) => {
@@ -1704,6 +1719,8 @@ object SparkEntry {
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "text_chunk" -> graft.pipeline.PipelineSql.chunkDocuments(
+      ChunkTokens, ChunkStride, ChunkMinTokens),
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
@@ -1892,6 +1909,7 @@ object SparkEntry {
     "events_sessionize_stream" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
     "events_dau_stream" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
+    "events_window_stream" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
       HeavyHitterFactor),
     "events_ohlc" -> graft.pipeline.TemporalSql.ohlc(

@@ -505,6 +505,27 @@ object PipelineSql {
        |  CAST(len(regexp_extract_all(lower(text), '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[TextAnalysis.chunkDocuments]]: same normalization/split,
+    * chunk starts at every `stride` multiple below the token count,
+    * `list_slice` (1-based inclusive, clamped) re-joined with spaces,
+    * trailing sub-`minTokens` chunks dropped unless chunk 0. */
+  def chunkDocuments(chunk: Int, stride: Int, minTokens: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS toks
+       |  FROM documents WHERE trim(text) <> ''),
+       |x AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, (len(toks) - 1) // $stride)) AS chunk_idx
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       array_to_string(list_slice(toks, chunk_idx * $stride + 1,
+       |                                  chunk_idx * $stride + $chunk), ' ') AS chunk_text,
+       |       CAST(least($chunk, len(toks) - chunk_idx * $stride) AS BIGINT) AS n_tokens
+       |FROM x
+       |WHERE least($chunk, len(toks) - chunk_idx * $stride) >= $minTokens
+       |   OR chunk_idx = 0
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Mirrors TextAnalysis.ngramRepetition for n = 2, 3: n-grams via
     * window lead over the positional token table, per-doc max/total
     * count share, 0 for docs with < n tokens. */

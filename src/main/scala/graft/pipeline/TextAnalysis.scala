@@ -249,6 +249,47 @@ object TextAnalysis {
       .withColumn("bpeish_tokens", bpeishTokensCol(text))
   }
 
+  /** RAG/training-style sliding-window chunking: each document is split
+    * into token windows of `chunkTokens` starting every `strideTokens`
+    * (overlap = chunk − stride), the shape retrieval indexes and
+    * fixed-context training pipelines both consume. Chunk starts are
+    * every stride multiple below the token count, so every token is
+    * covered and consecutive chunks share the overlap; a trailing chunk
+    * shorter than `minTokens` is dropped UNLESS it is the document's
+    * only chunk (its content would otherwise be entirely inside the
+    * previous chunk's window or the doc is just short). Blank documents
+    * produce no chunks.
+    *
+    * Scale shape: tokenize → bounded `sequence` explode (chunks per doc
+    * = ⌈tokens/stride⌉) → per-row `slice`+`array_join` — a NARROW map
+    * with no shuffle at all; output rows ∝ corpus tokens / stride. The
+    * token array is referenced a constant number of times per chunk row
+    * (slice on the exploded row), not per token — the HOF-lambda
+    * re-evaluation trap does not arise.
+    * Returns [<id>, chunk_idx, chunk_text, n_tokens]. */
+  def chunkDocuments(df: DataFrame, chunkTokens: Int = 64,
+      strideTokens: Int = 48, minTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "need 0 < stride <= chunk")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    nonBlank
+      .select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        // floor-div: Column./ is true division even on ints
+        explode(sequence(lit(0L),
+          floor((col("__n") - 1) / lit(strideTokens)))).as("chunk_idx"))
+      .withColumn("__start", col("chunk_idx") * strideTokens)
+      .withColumn("n_tokens",
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long"))
+      .where(col("n_tokens") >= minTokens || col("chunk_idx") === 0)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        col("n_tokens"))
+  }
+
   /** Per-source corpus statistics (the data-card report a training
     * mixture is audited with): doc count, total/mean whitespace tokens,
     * and token-count percentiles per source.

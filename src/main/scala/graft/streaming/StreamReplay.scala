@@ -38,15 +38,15 @@ object StreamReplay {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run `op` on a file-source replay of `$dir/events.parquet`, await
-    * completion, return the memory-sink contents as a local batch
-    * DataFrame (callers filter their own sentinel artifacts). */
-  private def replay(spark: SparkSession, dir: String)
-      (op: DataFrame => DataFrame): DataFrame = {
-    val tzKey = "spark.sql.session.timeZone"
-    val prevTz = spark.conf.get(tzKey)
-    spark.conf.set(tzKey, "UTC")
-    try {
+  /** Staged replay directories, one per (session, events dir) — the
+    * staging (symlink + sentinel writes + max-ts scan) is identical for
+    * every operator replayed over the same table, so the second and
+    * third replay entries in a Verify/Bench run skip it entirely. */
+  private val stages =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
+
+  private def stageDir(spark: SparkSession, dir: String): Path =
+    stages.computeIfAbsent((spark, dir), { _ =>
       val stage = Files.createTempDirectory("graft_replay")
       val src = Paths.get(s"$dir/events.parquet")
       val staged = stage.resolve("00_events.parquet")
@@ -78,7 +78,19 @@ object StreamReplay {
       Files.setLastModifiedTime(staged, java.nio.file.attribute.FileTime.fromMillis(base - 60000))
       sentinel("01_sentinel_a.parquet", 30, base - 40000)
       sentinel("02_sentinel_b.parquet", 31, base - 20000)
+      stage
+    })
 
+  /** Run `op` on a file-source replay of `$dir/events.parquet`, await
+    * completion, return the memory-sink contents as a local batch
+    * DataFrame (callers filter their own sentinel artifacts). */
+  private def replay(spark: SparkSession, dir: String)
+      (op: DataFrame => DataFrame): DataFrame = {
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try {
+      val stage = stageDir(spark, dir)
       val stream = spark.readStream.schema(eventSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
@@ -115,6 +127,28 @@ object StreamReplay {
         (unix_micros(col("session_end")) * 1000L).as("session_end"),
         col("events").as("n_events"),
         round(col("total_value"), 6).as("sum_value"))
+  }
+
+  /** Streamed tumbling-window aggregation of the driver's events table,
+    * shaped to the batch [[graft.pipeline.Temporal.tumblingAgg]] contract
+    * [window_start (epoch-ns long), event_type, n_events, sum_value].
+    * `widthNs` must be whole seconds (window duration strings are); epoch
+    * alignment matches the batch `ts - ts mod w` floor. */
+  def windowCounts(spark: SparkSession, dir: String, widthNs: Long): DataFrame = {
+    require(widthNs % 1000000000L == 0, "window width must be whole seconds")
+    val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
+      .agg(max("ts")).head.getLong(0)
+    val win = replay(spark, dir) { ev =>
+      StreamingPipeline.eventWindowCounts(
+        ev.withColumn("ts", col("ts").cast(TimestampType)),
+        windowLength = s"${widthNs / 1000000000L} seconds",
+        watermark = "30 minutes")
+    }
+    win.select(
+        (unix_micros(col("window.start")) * 1000L).as("window_start"),
+        col("event_type"), col("events").as("n_events"),
+        round(col("total_value"), 6).as("sum_value"))
+      .where(col("window_start") <= maxNs) // drop sentinel-day windows
   }
 
   /** Streamed exact DAU of the driver's events table, shaped to the batch

@@ -454,4 +454,27 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("chunkDocuments: overlap, trailing-chunk rule, blank docs, coverage") {
+    import spark.implicits._
+    // 10 tokens a0..a9; chunk 6 / stride 4 -> starts 0, 4, 8
+    val docs = Seq(
+      (0L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (1L, "one two three"), // single short chunk: kept (chunk 0)
+      (2L, "")               // blank: no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 6,
+      strideTokens = 4, minTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+
+    assert(out((0L, 0L)) === (("a0 a1 a2 a3 a4 a5", 6L)))
+    assert(out((0L, 1L)) === (("a4 a5 a6 a7 a8 a9", 6L))) // 2-token overlap
+    assert(!out.contains((0L, 2L)), "2-token tail < minTokens must drop")
+    assert(out((1L, 0L)) === (("one two three", 3L)))
+    assert(!out.keys.exists(_._1 == 2L))
+    // every token of doc 0 appears in some chunk
+    val covered = out.collect { case ((0L, _), (t, _)) => t.split(" ") }.flatten.toSet
+    assert(covered === (0 until 10).map(i => s"a$i").toSet)
+  }
 }

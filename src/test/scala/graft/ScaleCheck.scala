@@ -32,7 +32,10 @@ object ScaleCheck {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    for (r <- Seq(1, 4, 16)) {
+    // `sbt "Test/runMain graft.ScaleCheck bpe-only"` runs just the BPE
+    // merge-count scaling block (the replication suite is ~15 min)
+    val bpeOnly = args.contains("bpe-only")
+    for (r <- Seq(1, 4, 16) if !bpeOnly) {
       val docsR = (0 until r).map { i =>
         base
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
