@@ -1574,6 +1574,11 @@ object SparkEntry {
       graft.streaming.StreamReplay.windowCounts(s, dir, widthNs = WindowWidthNs)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "events_hopping_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.hoppingCounts(s, dir,
+          widthNs = WindowWidthNs, slideNs = HopSlideNs)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // OHLC downsampling: first/last via min_by/max_by inside ONE
     // map-side-combined aggregate — no per-bucket sort or window
     "events_ohlc" -> ((s, dir) => {
@@ -1910,6 +1915,8 @@ object SparkEntry {
     "events_dau_stream" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
     "events_window_stream" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
+    "events_hopping_stream" -> graft.pipeline.TemporalSql.hopping(
+      WindowWidthNs, HopSlideNs),
     "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
       HeavyHitterFactor),
     "events_ohlc" -> graft.pipeline.TemporalSql.ohlc(

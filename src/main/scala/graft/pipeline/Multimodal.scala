@@ -133,6 +133,106 @@ object Multimodal {
     Some(DecodedImage(width, height, java.util.Arrays.copyOfRange(b, pos, pos + n)))
   }
 
+  /** A decoded PCM clip: mono-mixed samples in [-1, 1]. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      samples: Array[Float])
+
+  /** Pure-JVM audio decode for canonical WAV: RIFF/WAVE container walk
+    * (chunk id + LE size pairs), `fmt ` must be PCM (audioFormat 1) with
+    * 8- or 16-bit samples; the `data` chunk is mixed down to mono floats.
+    * Non-PCM/compressed audio returns None — same fallback contract as
+    * [[decodeImage]]. */
+  def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
+    val b = payload
+    if (b == null || b.length < 44 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var pos = 12
+    var fmtOk = false; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val sz = i32(pos + 4)
+      if (sz < 0 || pos.toLong + 8 + sz > b.length) return None
+      id match {
+        case "fmt " if sz >= 16 =>
+          val audioFormat = u16(pos + 8)
+          channels = u16(pos + 10); rate = i32(pos + 12); bits = u16(pos + 22)
+          fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
+            channels >= 1 && rate > 0
+        case "data" => dataOff = pos + 8; dataLen = sz
+        case _ => ()
+      }
+      pos += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val frames = dataLen / (bytesPerSample * channels)
+    val mono = new Array[Float](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0f; var c = 0
+      while (c < channels) {
+        val o = dataOff + (f * channels + c) * bytesPerSample
+        acc += (if (bits == 16) ((b(o) & 0xff) | (b(o + 1) << 8)) / 32768.0f
+                else ((b(o) & 0xff) - 128) / 128.0f)
+        c += 1
+      }
+      mono(f) = acc / channels
+      f += 1
+    }
+    Some(DecodedAudio(rate, channels, mono))
+  }
+
+  /** Deterministic audio features: RMS energy, zero-crossing rate, and a
+    * 16-bin normalized |sample| histogram — the format-independent shape
+    * a real spectral frontend would replace. */
+  def audioFeatures(a: DecodedAudio): Array[Float] = {
+    val out = new Array[Float](18) // [rms, zcr, hist*16]
+    val n = a.samples.length
+    if (n == 0) return out
+    var sumSq = 0.0; var zc = 0; var i = 0
+    while (i < n) {
+      val s = a.samples(i)
+      sumSq += s.toDouble * s
+      if (i > 0 && (s >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+      val bin = math.min(15, (math.abs(s) * 16).toInt)
+      out(2 + bin) += 1.0f
+      i += 1
+    }
+    out(0) = math.sqrt(sumSq / n).toFloat
+    out(1) = zc.toFloat / n
+    i = 0
+    while (i < 16) { out(2 + i) /= n; i += 1 }
+    out
+  }
+
+  /** Typed per-clip metadata from the real WAV decode:
+    * [media_id, decoded, sample_rate, channels, duration_ms, rms (6dp)].
+    * Undecodable payloads get decoded=false and nulls. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes) match {
+            case Some(a) =>
+              val durMs = a.samples.length.toLong * 1000L / a.sampleRate
+              val rms = audioFeatures(a)(0)
+              (id, true, Some(a.sampleRate), Some(a.channels), Some(durMs),
+                Some(math.rint(rms * 1e6) / 1e6))
+            case None => (id, false, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "sample_rate", "channels", "duration_ms", "rms")
+  }
+
   /** 16-bin luminance histogram (normalized) of a decoded image —
     * format-independent: the same pixels encoded as BMP or PPM produce
     * bit-identical features. Luminance = integer BT.601
@@ -172,9 +272,9 @@ object Multimodal {
 
   /** Feature extraction: narrow mapPartitions over the media table,
     * batching `batchSize` payloads per decode call (the shape a GPU/
-    * vectorized decoder needs). Decodes BMP/PPM payloads for real
-    * (luminance histogram); other payloads get the byte-histogram
-    * fallback. Returns [media_id, features]. */
+    * vectorized decoder needs). Dispatches on magic bytes: BMP/PPM →
+    * luminance histogram, WAV → audio features; anything else gets the
+    * byte-histogram fallback. Returns [media_id, features]. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -184,7 +284,9 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a vectorized/GPU decoder would run once
           batch.map { case (id, bytes) =>
-            (id, decodeImage(bytes).map(imageFeatures).getOrElse(byteHistogram(bytes)))
+            (id, decodeImage(bytes).map(imageFeatures)
+              .orElse(decodeAudio(bytes).map(audioFeatures))
+              .getOrElse(byteHistogram(bytes)))
           }
         }
       }

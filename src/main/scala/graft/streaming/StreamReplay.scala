@@ -151,6 +151,29 @@ object StreamReplay {
       .where(col("window_start") <= maxNs) // drop sentinel-day windows
   }
 
+  /** Streamed hopping-window aggregation, shaped to the batch
+    * [[graft.pipeline.Temporal.hoppingAgg]] contract
+    * [window_start (epoch-ns long), event_type, n_events, sum_value]. */
+  def hoppingCounts(spark: SparkSession, dir: String, widthNs: Long,
+      slideNs: Long): DataFrame = {
+    require(widthNs % 1000000000L == 0 && slideNs % 1000000000L == 0,
+      "window width/slide must be whole seconds")
+    val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
+      .agg(max("ts")).head.getLong(0)
+    val win = replay(spark, dir) { ev =>
+      StreamingPipeline.eventHoppingCounts(
+        ev.withColumn("ts", col("ts").cast(TimestampType)),
+        windowLength = s"${widthNs / 1000000000L} seconds",
+        slide = s"${slideNs / 1000000000L} seconds",
+        watermark = "30 minutes")
+    }
+    win.select(
+        (unix_micros(col("window.start")) * 1000L).as("window_start"),
+        col("event_type"), col("events").as("n_events"),
+        round(col("total_value"), 6).as("sum_value"))
+      .where(col("window_start") <= maxNs)
+  }
+
   /** Streamed exact DAU of the driver's events table, shaped to the batch
     * [[graft.pipeline.Temporal.activeUsers]] contract
     * [day (epoch-ns long), n_users]. */

@@ -250,6 +250,18 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
 
+  /** Hopping (sliding) variant of [[eventWindowCounts]]: each event lands
+    * in windowLength/slide overlapping windows (Spark's `window` with a
+    * slide duration expands them — same bounded constant-factor explode
+    * as the batch [[graft.pipeline.Temporal.hoppingAgg]]); aggregation
+    * stays one watermarked map-side-combined shuffle. */
+  def eventHoppingCounts(events: DataFrame, windowLength: String,
+      slide: String, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
+
   /** Watermarked active-users-per-window over the event stream: one
     * mergeable HyperLogLog++ sketch per window — the streaming form of
     * [[graft.pipeline.Temporal.activeUsersApprox]] (same rsd → same

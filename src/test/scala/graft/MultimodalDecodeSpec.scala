@@ -78,6 +78,52 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeImage(b8).isEmpty)
   }
 
+  /** Canonical PCM16 mono WAV: RIFF header + fmt + data, `hz` sine at
+    * `rate` for `n` samples, amplitude 0.5. */
+  private def wavBytes(rate: Int = 8000, hz: Double = 440.0, n: Int = 800): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    def le16(v: Int): Unit = (0 until 2).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val dataLen = n * 2
+    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(rate)
+    le32(rate * 2); le16(2); le16(16) // byte rate, block align, bits
+    ascii("data"); le32(dataLen)
+    (0 until n).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+      le16(s & 0xffff)
+    }
+    out.toByteArray
+  }
+
+  test("decodeAudio: PCM16 WAV sine tone — rate, duration, RMS, ZCR") {
+    val a = Multimodal.decodeAudio(wavBytes()).get
+    assert(a.sampleRate === 8000 && a.channels === 1 && a.samples.length === 800)
+    val f = Multimodal.audioFeatures(a)
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ~ 0.3536
+    assert(math.abs(f(0) - 0.3536f) < 0.01f, s"rms ${f(0)}")
+    // 440 Hz at 8 kHz over 0.1 s: ~88 zero crossings -> zcr ~ 0.11
+    assert(math.abs(f(1) - 0.11f) < 0.01f, s"zcr ${f(1)}")
+    assert(Multimodal.decodeAudio("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(wavBytes().take(40)).isEmpty)
+    // non-PCM format code must be rejected
+    val b = wavBytes(); b(20) = 3
+    assert(Multimodal.decodeAudio(b).isEmpty)
+  }
+
+  test("audioMeta: typed WAV metadata through the Spark dataflow") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", wavBytes()), (2L, "audio", "noise".getBytes)
+    ).toDF("media_id", "kind", "payload")
+    val m = Multimodal.audioMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getBoolean(1) && m(1L).getInt(2) === 8000)
+    assert(m(1L).getLong(4) === 100L) // 800 samples @ 8 kHz = 100 ms
+    assert(!m(2L).getBoolean(1) && m(2L).isNullAt(2))
+  }
+
   test("imageMeta + extractFeatures: real decode through the Spark dataflow") {
     import spark.implicits._
     val media = Seq(
