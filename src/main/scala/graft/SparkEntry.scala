@@ -1579,6 +1579,14 @@ object SparkEntry {
           widthNs = WindowWidthNs, slideNs = HopSlideNs)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    // gap-filled resample: tumbling agg densified over the full bucket
+    // spine x type set, zero-filled (post-agg work is bounded by
+    // buckets x types, never corpus-sized)
+    "events_resample" -> ((s, dir) => {
+      graft.pipeline.Temporal.resample(
+          graft.pipeline.Temporal.readEvents(s, dir), bucketNs = WindowWidthNs)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // OHLC downsampling: first/last via min_by/max_by inside ONE
     // map-side-combined aggregate — no per-bucket sort or window
     "events_ohlc" -> ((s, dir) => {
@@ -1917,6 +1925,7 @@ object SparkEntry {
     "events_window_stream" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping_stream" -> graft.pipeline.TemporalSql.hopping(
       WindowWidthNs, HopSlideNs),
+    "events_resample" -> graft.pipeline.TemporalSql.resample(WindowWidthNs),
     "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
       HeavyHitterFactor),
     "events_ohlc" -> graft.pipeline.TemporalSql.ohlc(

@@ -162,6 +162,34 @@ object Temporal {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
   }
 
+  /** Gap-filled resample: the tumbling aggregation DENSIFIED — every
+    * (bucket, event_type) combination between the corpus' first and last
+    * bucket appears exactly once, zero-filled where no events landed.
+    * Downsampling that feeds charts/models must not silently skip empty
+    * buckets (a forecaster fed only non-empty buckets learns a biased
+    * series).
+    *
+    * Shape at scale: ONE corpus shuffle (the tumbling agg); everything
+    * after runs on the AGGREGATED table, which is bounded by
+    * buckets × types regardless of corpus size. The bucket spine is a
+    * `sequence` explode of a 1-row min/max aggregate, cross-joined with
+    * the distinct type set; the left join back to the agg is between two
+    * bounded tables (AQE broadcasts whichever fits). Zero rows never
+    * touch the corpus-sized path. */
+  def resample(events: DataFrame, bucketNs: Long = NsPerHour): DataFrame = {
+    val agg = tumblingAgg(events, bucketNs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = agg.agg(min("window_start").as("lo"), max("window_start").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(bucketNs))).as("window_start"))
+      .crossJoin(agg.select("event_type").distinct())
+    spine
+      .join(agg, Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   /** Ordered funnel: how many users completed step 1, then step 2 after
     * it, … each within `horizonNs` of their step-1 time. Strictly
     * increasing timestamps between steps; per-user first qualifying

@@ -96,6 +96,24 @@ object TemporalSql {
        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Mirrors [[Temporal.resample]]: tumbling agg densified over the
+    * generate_series bucket spine × distinct types, zero-filled. */
+  def resample(widthNs: Long): String =
+    s"""WITH e AS ($e),
+       |a AS (SELECT tsn - tsn % $widthNs AS window_start, event_type,
+       |             count(*) AS n, round(sum(value), 6) AS sv
+       |      FROM e GROUP BY 1, 2),
+       |b AS (SELECT unnest(generate_series((SELECT min(window_start) FROM a),
+       |                                    (SELECT max(window_start) FROM a),
+       |                                    $widthNs)) AS window_start),
+       |t AS (SELECT DISTINCT event_type FROM a)
+       |SELECT b.window_start, t.event_type,
+       |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+       |       coalesce(a.sv, 0.0) AS sum_value
+       |FROM b CROSS JOIN t
+       |LEFT JOIN a ON a.window_start = b.window_start AND a.event_type = t.event_type
+       |ORDER BY 1, 2""".stripMargin
+
   /** Mirrors [[Temporal.hoppingAgg]]. */
   def hopping(widthNs: Long, slideNs: Long): String =
     s"""WITH e AS ($e),

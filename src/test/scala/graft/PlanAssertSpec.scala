@@ -124,4 +124,11 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"),
       s"UDF appeared in the ANN rerank plan:\n$p")
   }
+
+  test("chunkDocuments is a pure narrow map — zero exchanges, no UDF") {
+    val p = executedPlan(TextAnalysis.chunkDocuments(docsDF,
+      chunkTokens = 4, strideTokens = 3, minTokens = 2))
+    assert(!p.contains("Exchange"), s"chunking plan has a shuffle:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF in chunking plan:\n$p")
+  }
 }

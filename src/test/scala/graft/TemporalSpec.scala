@@ -264,6 +264,24 @@ class TemporalSpec extends SparkSpec {
       .where(col("count") > 1).count() === 0L)
   }
 
+  test("resample: dense bucket spine, zero-filled gaps, agg values intact") {
+    val W = 100 * S
+    val e = ev(
+      (0L, 1L, 1000 * S, "a", 2.0),
+      (1L, 1L, 1450 * S, "a", 3.0),   // bucket 1400, leaves 1100-1300 empty
+      (2L, 2L, 1210 * S, "b", 5.0))
+    val out = Temporal.resample(e, bucketNs = W).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // spine: buckets 1000..1400 (5) x types {a, b} = 10 rows
+    assert(out.size === 10)
+    assert(out((1000 * S, "a")) === ((1L, 2.0)))
+    assert(out((1400 * S, "a")) === ((1L, 3.0)))
+    assert(out((1200 * S, "b")) === ((1L, 5.0)))
+    assert(out((1100 * S, "a")) === ((0L, 0.0)))   // gap zero-filled
+    assert(out((1400 * S, "b")) === ((0L, 0.0)))   // type hole zero-filled
+  }
+
   test("readEvents is machine/session-timezone-independent and restores the tz conf") {
     // The current testdata encodes ts as timestamp[us] (naive). readEvents
     // must interpret the wall clock as UTC regardless of the ambient
