@@ -102,6 +102,7 @@ object SparkEntry {
   private val DecontBenchDocs = 50 // doc_id < 50 = the "eval set" fixture
   private val DecontN = 5          // decontamination n-gram width
   private val PiiPlantMod = 5      // plant an email+URL on every 5th doc
+  private val DomainPlantMod = 3   // plant two URLs on every 3rd doc
   // Sampling / packing entry parameters (Sampling.scala operators)
   private val SampleRate = 0.25
   private val SampleSalt = "graft"
@@ -1328,6 +1329,20 @@ object SparkEntry {
           col("n_urls"), md5(col("scrubbed")).as("scrubbed_md5"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: per-domain URL stats over planted URLs (the table a
+    // web-corpus pass joins domain allow/block lists against)
+    "text_domains" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % DomainPlantMod === 0,
+          concat(col("text"),
+            lit(" see https://www.site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string"),
+            lit(" and http://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".assets.net:8080/x")))
+          .otherwise(col("text")))
+      graft.pipeline.TextAnalysis.domainStats(planted, "text2")
+        .orderBy(col("domain"))
+    }),
     // LLM pipeline: Gopher-style n-gram repetition signals (share of all
     // n-grams taken by the most frequent one — boilerplate filter)
     "text_repetition" -> ((s, dir) => {
@@ -1758,6 +1773,7 @@ object SparkEntry {
       0.3, BoilerN, FacadeBoilerMinDocs, MixRates, SampleSalt, PackBudget,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
+    "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),

@@ -751,6 +751,32 @@ object PipelineSql {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[TextAnalysis.domainStats]] over the planted-URL corpus:
+    * same plant concat, same URL/host regexes (lookaround-free — Java
+    * and RE2 agree), same www-strip + lowercase. */
+  def textDomains(plantMod: Int): String = {
+    val urlRe = raw"https?://[^\s]+"
+    val hostRe = raw"https?://([^/\s:?#]+)"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $plantMod = 0 THEN
+       |      text || ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+       |           || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+       |           || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+       |           || '.assets.net:8080/x'
+       |    ELSE text END AS text2
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(text2, '$urlRe')) AS url FROM t),
+       |d AS (SELECT doc_id,
+       |        regexp_replace(lower(regexp_extract(url, '$hostRe', 1)),
+       |                       '^www\\.', '') AS domain
+       |      FROM u)
+       |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_urls
+       |FROM d WHERE len(domain) > 0
+       |GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   /** Mirrors TextAnalysis.corpusStats(exact = true): DuckDB's
     * quantile_cont uses the same linear interpolation as Spark's exact
     * `percentile` aggregate. */

@@ -230,6 +230,30 @@ object TextAnalysis {
   def nUrlsCol(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long")
 
+  /** Host part of a URL match — scheme and leading `www.` stripped,
+    * lowercased, path/port/query cut at the first `/ : ? #`. Kept
+    * lookaround-free (same Java/RE2 contract as the PII patterns). */
+  val UrlHostRe = "https?://([^/\\s:?#]+)"
+
+  /** Per-domain corpus statistics over URLs found in document text —
+    * the table a web-corpus curation pass joins its domain allow/block
+    * lists against: [domain, n_docs (distinct docs mentioning it),
+    * n_urls (total mentions)]. One extract-explode (narrow, rows ∝ URL
+    * mentions) + one map-side-combined aggregate; nothing here is
+    * corpus-row-bound except the scan. */
+  def domainStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val host = lower(regexp_extract(col("__url"), UrlHostRe, 1))
+    df
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("__url"))
+      .withColumn("domain", regexp_replace(host, "^www\\.", ""))
+      .where(length(col("domain")) > 0)
+      .groupBy("domain")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+  }
+
   /** Email match count (URLs masked first — they can embed '@'). */
   def nEmailsCol(text: Column): Column =
     size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),

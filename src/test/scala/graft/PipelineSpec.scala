@@ -455,6 +455,21 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("domainStats: host extraction, www/port/path strip, per-doc distinct") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x https://www.Foo.COM/a/b y http://foo.com:8080/c z"),
+      (1L, "see https://foo.com?q=1 and https://bar.org/p"),
+      (2L, "no links here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.domainStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // foo.com: 3 mentions (www+port+query forms) across 2 docs
+    assert(out("foo.com") === ((2L, 3L)))
+    assert(out("bar.org") === ((1L, 1L)))
+    assert(out.size === 2)
+  }
+
   test("chunkDocuments: overlap, trailing-chunk rule, blank docs, coverage") {
     import spark.implicits._
     // 10 tokens a0..a9; chunk 6 / stride 4 -> starts 0, 4, 8
