@@ -1329,6 +1329,45 @@ object SparkEntry {
           col("n_urls"), md5(col("scrubbed")).as("scrubbed_md5"))
         .orderBy(col("doc_id"))
     }),
+    // Multimodal decode under the oracle: a 4x2 binary-PPM payload is
+    // ASSEMBLED in-engine from md5 bytes (header + unhex of two md5
+    // hex strings), then decoded by the REAL header-walk decoder
+    // (Multimodal.decodeImage via imageMeta); DuckDB recomputes the
+    // expected per-channel means directly from the same md5 hex — the
+    // full string->binary->parse->stats round-trip is hash-gated.
+    "multimodal_meta" -> ((s, dir) => {
+      val hexs = concat(
+        md5(concat(lit("imgA"), col("doc_id").cast("string"))),
+        md5(concat(lit("imgB"), col("doc_id").cast("string"))))
+      val payload = concat(
+        encode(lit("P6\n4 2\n255\n"), "UTF-8"),
+        unhex(substring(hexs, 1, 48)))
+      val media = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image").as("kind"), payload.as("payload"))
+      graft.pipeline.Multimodal.imageMeta(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+    // Audio twin of multimodal_meta: a 16-sample PCM8 mono WAV is
+    // assembled from a constant 44-byte header + md5 bytes, decoded by
+    // the real RIFF walker (audioMeta); DuckDB recomputes duration and
+    // double-precision RMS from the same md5 hex.
+    "multimodal_audio" -> ((s, dir) => {
+      val header = // RIFF/WAVE + fmt(PCM, mono, 8 kHz, 8-bit) + data(16)
+        "524946463400000057415645666d7420100000000100010040" +
+        "1f0000401f0000010008006461746110000000"
+      val payload = concat(unhex(lit(header)),
+        unhex(md5(concat(lit("wav"), col("doc_id").cast("string")))))
+      val media = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("audio").as("kind"), payload.as("payload"))
+      graft.pipeline.Multimodal.audioMeta(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("duration_ms"), col("rms"))
+        .orderBy(col("media_id"))
+    }),
     // LLM pipeline: per-domain URL stats over planted URLs (the table a
     // web-corpus pass joins domain allow/block lists against)
     "text_domains" -> ((s, dir) => {
@@ -1774,6 +1813,8 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
+    "multimodal_meta" -> graft.pipeline.PipelineSql.multimodalMeta,
+    "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),

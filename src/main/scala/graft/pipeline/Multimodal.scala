@@ -55,6 +55,14 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
+  /** 6-decimal HALF_UP round — matches SQL `round(x, 6)` (DuckDB and
+    * Spark SQL both round half AWAY from zero; `math.rint` is half-to-
+    * even and diverges on exact half-microdecimals — observed once at
+    * sf0.1: rms 0.6328125). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** A decoded raster: interleaved RGB bytes, row-major, top-down. */
   final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
 
@@ -223,9 +231,18 @@ object Multimodal {
           decodeAudio(bytes) match {
             case Some(a) =>
               val durMs = a.samples.length.toLong * 1000L / a.sampleRate
-              val rms = audioFeatures(a)(0)
+              // double-precision rms (not audioFeatures' float32): each
+              // sample value is exact in float, so double accumulation
+              // matches an all-double oracle to the last ulp and the
+              // 6-decimal round is cross-engine stable
+              var sumSq = 0.0; var i = 0
+              while (i < a.samples.length) {
+                val s = a.samples(i).toDouble; sumSq += s * s; i += 1
+              }
+              val rms = if (a.samples.isEmpty) 0.0
+                else math.sqrt(sumSq / a.samples.length)
               (id, true, Some(a.sampleRate), Some(a.channels), Some(durMs),
-                Some(math.rint(rms * 1e6) / 1e6))
+                Some(round6(rms)))
             case None => (id, false, None, None, None, None)
           }
         }
@@ -314,9 +331,8 @@ object Multimodal {
                 i += 1
               }
               (id, true, Some(img.width), Some(img.height),
-                Some(math.rint(r * 1e6 / px) / 1e6),
-                Some(math.rint(g * 1e6 / px) / 1e6),
-                Some(math.rint(bl * 1e6 / px) / 1e6))
+                Some(round6(r.toDouble / px)), Some(round6(g.toDouble / px)),
+                Some(round6(bl.toDouble / px)))
             case None => (id, false, None, None, None, None, None)
           }
         }

@@ -777,6 +777,48 @@ object PipelineSql {
        |GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  /** Mirrors the `multimodal_meta` entry WITHOUT parsing any binary:
+    * the Spark side assembles a 4x2 P6 payload from
+    * `md5('imgA'||id) || md5('imgB'||id)` bytes and runs the real
+    * decoder; this recomputes the expected width/height/channel means
+    * straight from the same md5 hex (byte i = hex pair 2i..2i+1;
+    * channel c holds bytes i % 3 = c; mean = round(sum/8, 6) over the
+    * 8 pixels) — so a decode bug (offset slip, BGR mixup, padding
+    * miscount) breaks the hash. */
+  val multimodalMeta: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         md5('imgA' || CAST(doc_id AS VARCHAR)) ||
+       |         md5('imgB' || CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, g.i,
+       |         ('0x' || substr(hx, 2 * g.i + 1, 2))::INT AS byte
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i) g)
+       |SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |       CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+       |       round(sum(CASE WHEN i % 3 = 0 THEN byte ELSE 0 END) / 8.0, 6) AS mean_r,
+       |       round(sum(CASE WHEN i % 3 = 1 THEN byte ELSE 0 END) / 8.0, 6) AS mean_g,
+       |       round(sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) / 8.0, 6) AS mean_b
+       |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** Mirrors the `multimodal_audio` entry: 16 PCM8 samples = the md5
+    * bytes; sample value (byte − 128)/128 (exact in binary), RMS in
+    * double, duration 16/8000 s = 2 ms. */
+  val multimodalAudio: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('wav' || CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(hx, 2 * g.i + 1, 2))::INT AS byte
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g)
+       |SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       |       CAST(2 AS BIGINT) AS duration_ms,
+       |       round(sqrt(sum(pow((byte - 128) / 128.0, 2)) / 16.0), 6) AS rms
+       |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** Mirrors TextAnalysis.corpusStats(exact = true): DuckDB's
     * quantile_cont uses the same linear interpolation as Spark's exact
     * `percentile` aggregate. */
