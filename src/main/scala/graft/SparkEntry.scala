@@ -777,6 +777,14 @@ object SparkEntry {
         .select(col("vertex").as("token"), round(col("r"), 6).as("r"))
         .orderBy(col("token"))
     }),
+    // per-vertex triangle counts via degree-ordered orientation (wedge
+    // work capped at m^1.5 — the hub-safe distributed algorithm)
+    "graph_triangles" -> ((s, dir) => {
+      graft.pipeline.Graph.triangles(
+          coocSym(s, dir).select(col("token_a").as("src"),
+            col("token_b").as("dst")))
+        .orderBy(col("vertex"))
+    }),
     // §2.7 PPMI df mode: n_u = the token's own document frequency, n =
     // total docs (reference GetTokenFreq → num_of_documents_token_
     // occurred_in_, cooccurrence_collector.cc:932-939)
@@ -1793,6 +1801,7 @@ object SparkEntry {
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(
       CoocWindow, PageRankIters, PageRankDamping),
+    "graph_triangles" -> graft.pipeline.PipelineSql.coocTriangles(CoocWindow),
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(

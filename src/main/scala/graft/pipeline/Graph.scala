@@ -61,4 +61,49 @@ object Graph {
     vertices.unpersist()
     r.select(col("src").as("vertex"), col("r"))
   }
+
+  /** Per-vertex triangle counts via DEGREE-ORDERED edge orientation —
+    * the distributed triangle algorithm: orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one, so each
+    * vertex's out-degree is O(√m) and the wedge (two-path) generation
+    * join — the only superlinear step — touches Σ outdeg² ≈ m^1.5
+    * candidates instead of the Σ deg² a naive formulation pays (a hub
+    * with degree 10⁶ would otherwise produce 10¹² wedges from one key).
+    * A wedge (u→v, u→w) closes iff the oriented edge v→w exists — the
+    * orientation is a total order, so each triangle is found exactly
+    * once, from its minimum vertex.
+    *
+    * Input may be directed/symmetrized/parallel — edges are canonicalized
+    * and de-duplicated first. Returns [vertex, n_triangles] for vertices
+    * in ≥1 triangle. Two shuffles on the edge table (distinct + degree),
+    * then the self-join pipeline on the oriented table, all
+    * key-partitioned; nothing is ever collected. */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("s"),
+        when(lower, col("b")).otherwise(col("a")).as("d"),
+        when(lower, col("db")).otherwise(col("da")).as("dd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
+    val e2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
+    val wedges = e1.join(e2, "s").where(col("dv") < col("dw") ||
+      (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("s").as("v"), col("d").as("w")), Seq("v", "w"))
+      .select(col("s"), col("v"), col("w"))
+    tri.select(explode(array(col("s"), col("v"), col("w"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
 }

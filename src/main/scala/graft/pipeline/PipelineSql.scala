@@ -1195,6 +1195,45 @@ object PipelineSql {
     * exponentially). Final ranks round to 6 dp; intermediates stay
     * unrounded doubles on both engines (the RelationalEm contract —
     * summation-order ulp differences are absorbed by the final round). */
+  /** Mirrors [[Graph.triangles]] over the windowed cooc graph: same
+    * canonical edge set, same (degree, token) orientation, same
+    * wedge-close join — each triangle found once from its minimum
+    * vertex, counted at all three corners. */
+  def coocTriangles(window: Int): String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS a,
+       |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS b
+       |  FROM tok a JOIN tok b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $window
+       |  WHERE a.token <> b.token),
+       |deg AS MATERIALIZED (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+       |ori AS MATERIALIZED (
+       |  SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS s,
+       |         CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS d,
+       |         CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u.a < u.b)
+       |              THEN y.deg ELSE x.deg END AS dd
+       |  FROM und u JOIN deg x ON x.v = u.a JOIN deg y ON y.v = u.b),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.s, e1.d AS v, e2.d AS w
+       |  FROM ori e1
+       |  JOIN ori e2 ON e2.s = e1.s
+       |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.d < e2.d))
+       |  JOIN ori e3 ON e3.s = e1.d AND e3.d = e2.d)
+       |SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT s AS vertex FROM tri UNION ALL
+       |      SELECT v FROM tri UNION ALL SELECT w FROM tri)
+       |GROUP BY vertex ORDER BY vertex""".stripMargin
+
   def coocPageRank(window: Int, iters: Int, damping: Double): String = {
     def round(k: Int): String =
       s"""c$k AS MATERIALIZED (

@@ -455,6 +455,22 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("triangles: degree-oriented count on a known graph, input canonicalization") {
+    import spark.implicits._
+    // square 1-2-4-3 with diagonal 2-3: triangles {1,2,3} and {2,3,4};
+    // fed with duplicates and reversed directions to test canonicalization
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (2L, 4L), (4L, 2L), (2L, 3L)
+    ).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // triangle-free graph: empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(path).count() === 0L)
+  }
+
   test("domainStats: host extraction, www/port/path strip, per-doc distinct") {
     import spark.implicits._
     val docs = Seq(
