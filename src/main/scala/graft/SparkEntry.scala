@@ -103,6 +103,7 @@ object SparkEntry {
   private val DecontN = 5          // decontamination n-gram width
   private val PiiPlantMod = 5      // plant an email+URL on every 5th doc
   private val DomainPlantMod = 3   // plant two URLs on every 3rd doc
+  private val CleanStreamMinQuality = 0.5
   // Sampling / packing entry parameters (Sampling.scala operators)
   private val SampleRate = 0.25
   private val SampleSalt = "graft"
@@ -1337,6 +1338,14 @@ object SparkEntry {
           col("n_urls"), md5(col("scrubbed")).as("scrubbed_md5"))
         .orderBy(col("doc_id"))
     }),
+    // Streaming text-clean replay: the stateless score+fingerprint+gate
+    // stage of the streaming cleaner over a streamed documents source
+    // (dedup stage is arrival-order semantics — unit-pinned, not hashed)
+    "text_clean_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.cleanDocuments(s, dir,
+          minQuality = CleanStreamMinQuality)
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal decode under the oracle: a 4x2 binary-PPM payload is
     // ASSEMBLED in-engine from md5 bytes (header + unhex of two md5
     // hex strings), then decoded by the REAL header-walk decoder
@@ -1791,6 +1800,9 @@ object SparkEntry {
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
+      CleanStreamMinQuality),
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,

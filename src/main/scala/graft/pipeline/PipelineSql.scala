@@ -459,6 +459,20 @@ object PipelineSql {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors the `text_clean_stream` replay (the stateless streaming
+    * clean stage): quality metrics + fingerprint + gate on the UNROUNDED
+    * quality (same threshold comparison as the Spark filter; the metric
+    * agrees across engines far below the 1e-6 reporting granularity). */
+  def textCleanStream(stopwords: Seq[String], minQuality: Double): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),
+       |m AS (
+       |  ${qualityMetricsSql("base", stopwords)})
+       |SELECT m.doc_id, round($qualityExprSql, 6) AS quality,
+       |       md5(regexp_replace(trim(lower(base.text)), '\\s+', ' ', 'g')) AS fingerprint
+       |FROM m JOIN base USING (doc_id)
+       |WHERE $qualityExprSql >= $minQuality ORDER BY doc_id""".stripMargin
+
   /** Mirrors TextAnalysis.languageId's fold (langs in sorted order, strict
     * `>` keeps the earlier language on ties, `und` when nothing hits). */
   def langId(stopwords: Map[String, Seq[String]]): String = {

@@ -106,6 +106,40 @@ object StreamReplay {
     } finally spark.conf.set(tzKey, prevTz)
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Replay the driver's documents table through the STATELESS streaming
+    * clean stage ([[StreamingPipeline.scoreAndGate]]) — no sentinels or
+    * watermark needed (no state), one AvailableNow pass into a memory
+    * sink. Returns [doc_id, quality (6dp), fingerprint]. */
+  def cleanDocuments(spark: SparkSession, dir: String,
+      minQuality: Double): DataFrame = {
+    // the file source's basePath must be a DIRECTORY — stage a symlink
+    val stage = stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
+      val d = Files.createTempDirectory("graft_replay_docs")
+      val staged = d.resolve("documents.parquet")
+      val src = Paths.get(s"$dir/documents.parquet")
+      try Files.createSymbolicLink(staged, src)
+      catch { case _: Exception =>
+        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+      d
+    })
+    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+    val qname = s"graft_replay_docs_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.scoreAndGate(stream, minQuality)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+        col("fingerprint"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed sessionization of the driver's events table, shaped to the
     * batch [[graft.pipeline.Temporal.sessionize]] contract
     * [user_id, session_idx, session_start, session_end (epoch-ns longs),

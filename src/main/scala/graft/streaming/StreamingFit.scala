@@ -116,12 +116,21 @@ object StreamingPipeline {
     * within the lateness window — at 100 TB/day unbounded dedup state is
     * not an option). Returns the filtered stream with quality columns +
     * fingerprint. */
-  def cleanDocuments(stream: DataFrame, minQuality: Double,
-      eventTimeCol: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
-    val scored = graft.pipeline.TextAnalysis.qualityScore(stream)
+  /** The deterministic stage of [[cleanDocuments]]: quality-score +
+    * fingerprint + gate — a stateless narrow map (no state store, no
+    * shuffle), so its streamed output is row-for-row the batch result
+    * and can sit under the DuckDB oracle (`text_clean_stream`). The
+    * dedup stage stays separate: keep-first-arrival is ARRIVAL-order
+    * semantics, meaningless to hash-gate. */
+  def scoreAndGate(stream: DataFrame, minQuality: Double): DataFrame =
+    graft.pipeline.TextAnalysis.qualityScore(stream)
       .withColumn("fingerprint",
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
       .filter(col("quality") >= minQuality)
+
+  def cleanDocuments(stream: DataFrame, minQuality: Double,
+      eventTimeCol: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
+    val scored = scoreAndGate(stream, minQuality)
     eventTimeCol match {
       case Some(ts) => scored.withWatermark(ts, watermark)
         .dropDuplicates("fingerprint", ts)

@@ -191,6 +191,18 @@ object ScaleCheck {
         "classify_nb (NB train+predict)" -> time {
           graft.pipeline.Classify.naiveBayes(docsR).count()
         },
+        "text_chunk (narrow slide-window)" -> time {
+          graft.pipeline.TextAnalysis.chunkDocuments(docsR).count()
+        },
+        "graph_triangles (deg-oriented)" -> time {
+          // replica tokens (rep$i) keep cross-replica cooc edges from
+          // merging, so the graph grows linearly in r
+          val corpus = graft.sources.Corpus.fromDocumentsTablePositional(docsR)
+          val sym = graft.pipeline.Cooc.symmetrize(
+            graft.pipeline.Cooc.gather(corpus, windowWidth = 3))
+          graft.pipeline.Graph.triangles(sym.select(
+            col("token_a").as("src"), col("token_b").as("dst"))).count()
+        },
         "kernel_fit 2 passes (E/M-step)" -> time {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
