@@ -1155,6 +1155,45 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // LLM pipeline: ordered-pair shingle CONTAINMENT near-dup — the
+    // asymmetric partial-copy detector Jaccard-based minhash misses
+    // when sizes differ (a quote fully embedded in a 10× longer doc has
+    // J ≈ 0.1 but C = 1.0). Inverted-index self-join with the
+    // maxDocFreq skew cut mirrored in the SQL; the driver corpus's
+    // near-exact duplicate groups surface naturally (no planting).
+    "dedup_containment" -> ((s, dir) => {
+      graft.pipeline.Dedup.containment(docs(s, dir), shingleSize = ShingleK,
+        threshold = 0.5, maxDocFreq = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // LLM pipeline: recall@k of the LSH index vs the brute-force truth
+    // — quality measurement as a first-class operator, and a composed
+    // row: BOTH top-k pipelines run end-to-end and their agreement is
+    // the hashed result, so a drift in either index (or in the recall
+    // join itself) breaks the row. Same index parameters as the
+    // ann_bruteforce / ann_lsh entries.
+    "ann_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < AnnQueries)
+      graft.pipeline.Ann.recallReport(
+        graft.pipeline.Ann.bruteForceTopK(emb, q, AnnK),
+        graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
+        .orderBy(col("query_id"))
+    }),
+    // LLM pipeline: pure-dataflow k-means over the embedding corpus —
+    // TWO REAL Lloyd iterations under the FULL oracle (not the iters = 0
+    // seed pick the ann_ivf row uses): the centroid table never leaves
+    // the cluster (broadcast assignment + map-side-combined positional
+    // means), and the DECIMAL(18,6)-sum mean (events_ohlc trick) makes
+    // every iteration's centroids bit-identical across engines, so the
+    // whole trajectory — init pick, two assignment/update rounds, final
+    // member counts — is one hash row (PipelineSql.embedKmeans unrolls
+    // the iterations as MATERIALIZED CTEs).
+    "embed_kmeans" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.kmeansReport(emb, k = 8, iters = 2)
+        .orderBy(col("cell"), col("pos"))
+    }),
     // LLM pipeline: the Curation facade ITSELF under the oracle — one
     // hash row through quality gate → PII redaction → boilerplate
     // excision → exact-dedup canonical → source mixing → packing, as
@@ -1798,6 +1837,11 @@ object SparkEntry {
       planes = 4, probes = 4, seed = 42, tables = 2),
     "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
+    "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
+    "ann_recall" -> graft.pipeline.PipelineSql.annRecall(AnnQueries, AnnK,
+      planes = 4, probes = 4, seed = 42, tables = 2),
+    "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
+      ShingleK, threshold = 0.5, maxDocFreq = 100),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(

@@ -562,4 +562,113 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }
+
+  /** Recall@k report — ANN quality measurement as a first-class
+    * operator: the fraction of the exact top-k (per query) that an
+    * approximate index recovered. Both inputs are [query_id, …, id]
+    * top-k tables (e.g. [[bruteForceTopK]] as truth vs [[lshTopK]] /
+    * [[ivfTopK]] / [[pqTopK]]); the join is on (query_id, id), sized by
+    * queries × k — never corpus-sized, so the report is as cheap as the
+    * indexes it grades. Queries the approximate index missed entirely
+    * still report (n_hits = 0). Returns [query_id, n_hits, recall]. */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val t = exact.select(col("query_id"), col("id"))
+    val a = approx.select(col("query_id"), col("id"))
+    val hits = t.join(a, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    t.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_true"), 6).as("recall"))
+  }
+
+  /** One L2 assignment pass of `base` [id, v: array<double>] against a
+    * centroid table `cents` [cell: long, cv: array<double>] — the
+    * centroid side is broadcast by construction (k rows), the corpus
+    * side streams: a narrow broadcast-nested-loop over k candidates per
+    * vector, then a map-side-combined argmin. Distance is the
+    * sequential double fold (zip_with + aggregate) the DuckDB mirror's
+    * list_sum comprehension performs, ties to the lower cell index.
+    * Returns [id, v, cell]. */
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(min_by(col("cell"), struct(col("d"), col("cell"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("cell"))
+
+  /** Pure-dataflow Lloyd k-means: unlike [[trainCentroids]] (bounded
+    * driver sample) and [[trainCentroidsDistributed]] (distributed
+    * passes but a driver-resident codebook), here the centroid table
+    * NEVER leaves the cluster — each iteration is one broadcast
+    * assignment pass plus one map-side-combined (cell, pos) mean, so
+    * the same code runs whether k is 8 or 10^5 (where a driver codebook
+    * array would be the bottleneck). The initial codebook is the
+    * md5-ordered pick of [[trainCentroids]] (a k-row
+    * TakeOrderedAndProject, no global sort); empty cells keep their
+    * previous centroid (standard Lloyd).
+    *
+    * Centroid means use the events_ohlc determinism trick: an exact
+    * DECIMAL(18,6) component sum (order-insensitive where a double sum
+    * is last-ulp order-sensitive) followed by ONE double division —
+    * bit-identical across engines and partitionings, which is what puts
+    * a REAL multi-iteration k-means (not just the iters = 0 seed pick)
+    * under the DuckDB oracle (PipelineSql.embedKmeans).
+    *
+    * Returns the final centroid table [cell, cv: array<double>]. */
+  def kmeansDataflow(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val base = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = base
+      .withColumn("h", md5(concat(lit("ivf "), col("id").cast("string"))))
+      .orderBy(col("h"), col("id")).limit(k)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("h"), col("id"))).cast("long") - 1)
+      .select(col("cell"), col("v").as("cv"))
+      .localCheckpoint(true) // k rows; cut lineage so iterations don't stack
+    for (_ <- 1 to iters) {
+      val means = assignCells(base, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      cents = cents.select(col("cell"), col("cv").as("prev"))
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cv"), col("prev")).as("cv"))
+        .localCheckpoint(true)
+    }
+    base.unpersist(false)
+    cents
+  }
+
+  /** Reporting form of [[kmeansDataflow]] for the correctness gate: the
+    * final centroids in long (cell, pos) layout with each cell's member
+    * count under the FINAL codebook (one extra assignment pass; empty
+    * cells report 0). Returns [cell, pos, c_val(6), n_vectors]. */
+  def kmeansReport(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansDataflow(emb, k, iters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val counts = assignCells(base, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    cents
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "cvv")))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        round(col("cvv"), 6).as("c_val"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+  }
 }

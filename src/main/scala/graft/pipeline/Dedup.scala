@@ -196,6 +196,56 @@ object Dedup {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** Shingle-containment near-duplicates: for an ORDERED pair (a → b),
+    * C(a→b) = |S(a) ∩ S(b)| / |S(a)| — the asymmetric measure that
+    * catches partial copies and quote inclusion, which symmetric Jaccard
+    * structurally misses when sizes differ (a doc fully embedded in one
+    * 10× longer has J ≈ 0.1 but C = 1.0). Returns every ordered pair
+    * with C ≥ `threshold` as [id_a, id_b, n_common, containment].
+    *
+    * Candidate generation is the inverted-index self-join: explode
+    * distinct shingles, join on the shingle key, count shared shingles
+    * per ordered pair — each shingle is its own bucket, so the join is
+    * key-partitioned and never all-pairs. The skew control: shingles in
+    * more than `maxDocFreq` documents are dropped from candidate
+    * generation AND from |S(a)| (a boilerplate 5-gram in 10^6 docs
+    * would otherwise emit 10^12 pairs from one key — the minhashLsh
+    * maxBucketSize rationale). Dropping them from both numerator and
+    * denominator keeps C a true containment over the INFORMATIVE
+    * shingle set; pairs sharing only ultra-common shingles are
+    * sacrificed, which is the wanted behavior (those are boilerplate
+    * matches, not copies). The same cut is mirrored literally in the
+    * DuckDB oracle (PipelineSql.dedupContainment). */
+  def containment(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      threshold: Double = 0.8, maxDocFreq: Long = 1000,
+      shinglesDf: Option[DataFrame] = None): DataFrame = {
+    val sh = shinglesDf.getOrElse(shingleTable(df, idCol, textCol, shingleSize))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = ex.groupBy(col("s"))
+      .agg(count(lit(1)).as("_df")) // shingles are distinct per doc
+      .filter(col("_df") <= maxDocFreq)
+      .select(col("s"))
+    // exr re-derives from the cached explode on each use (two uses);
+    // the join itself is the cheap step, the explode is the CPU one
+    val exr = ex.join(keep, Seq("s"))
+    val sizes = exr.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = exr.select(col("s"), col("id").as("id_a"))
+      .join(exr.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh")), Seq("id_a"))
+      .withColumn("containment", col("n_common").cast("double") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("containment"), 6).as("containment"))
+    out
+  }
+
   /** Benchmark decontamination: per corpus document, the number of
     * distinct word n-grams it shares with a benchmark/eval set's n-gram
     * pool (the standard pre-training screen against test-set leakage;

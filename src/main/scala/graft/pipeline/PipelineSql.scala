@@ -243,6 +243,95 @@ object PipelineSql {
        |    PARTITION BY vec_id ORDER BY d, c) AS rk FROM dist
        |  WHERE vec_id < $numQueries) WHERE rk <= $nprobe)""".stripMargin
 
+  /** Mirrors Dedup.containment: ordered-pair shingle containment over
+    * the inverted-index self-join, with the same maxDocFreq cut applied
+    * to both candidate generation and |S(a)|. */
+  def dedupContainment(k: Int, threshold: Double, maxDocFreq: Long): String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+       |shl AS (SELECT doc_id,
+       |  list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+       |                 for i in range(1, len(toks) - ${k - 2})]) AS sh
+       |  FROM docs2),
+       |good AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM good),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxDocFreq),
+       |exr AS MATERIALIZED (SELECT e.doc_id, e.s FROM ex e JOIN keep USING (s)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |       FROM exr GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                  CAST(count(*) AS BIGINT) AS n_common
+       |           FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, c.n_common,
+       |       round(CAST(c.n_common AS DOUBLE) / s.n_sh, 6) AS containment
+       |FROM common c JOIN sz s ON s.doc_id = c.id_a
+       |WHERE CAST(c.n_common AS DOUBLE) / s.n_sh >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirrors Ann.recallReport over the lshTopK / bruteForceTopK pair:
+    * both full top-k statements ride along as nested-WITH CTEs (their
+    * inner CTE names scope locally, so `base` etc. cannot collide), and
+    * the recall division is hits/k in double — exact for k ≤ 2^53. */
+  def annRecall(numQueries: Int, k: Int, planes: Int, probes: Int,
+      seed: Int, tables: Int): String =
+    s"""WITH bf AS MATERIALIZED (${annBruteForce(numQueries, k)}),
+       |ap AS MATERIALIZED (${annLsh(numQueries, k, planes, probes, seed, tables)}),
+       |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM bf b JOIN ap a ON a.query_id = b.query_id AND a.id = b.id
+       |         GROUP BY b.query_id),
+       |truth AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+       |          FROM bf GROUP BY query_id)
+       |SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM truth t LEFT JOIN hits h USING (query_id)
+       |ORDER BY t.query_id""".stripMargin
+
+  /** Mirrors Ann.kmeansReport: `iters` unrolled Lloyd iterations from
+    * the md5-ordered initial pick, each iteration = L2 argmin assignment
+    * (ties to the lower cell) + DECIMAL(18,6)-sum / double-division
+    * positional means (the events_ohlc order-insensitivity trick; empty
+    * cells keep their previous centroid via the LEFT JOIN coalesce),
+    * then one final assignment for the member counts. Every iteration
+    * CTE is MATERIALIZED — c{i} is referenced by both the next
+    * assignment and the empty-cell fallback, and an inlined CTE would
+    * re-evaluate the upstream chain exponentially. */
+  def embedKmeans(k: Int, iters: Int): String = {
+    def assignCte(name: String, centsCte: String): String =
+      s"""$name AS MATERIALIZED (SELECT id, v, cell FROM (
+         |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
+         |    ORDER BY list_sum([(b.v[j+1] - c.cv[j+1]) * (b.v[j+1] - c.cv[j+1])
+         |                       for j in range(0, len(b.v))]), c.cell) AS rk
+         |  FROM base b CROSS JOIN $centsCte c) WHERE rk = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |m$i AS (SELECT cell, pos,
+         |  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos
+         |        FROM a$i) GROUP BY cell, pos),
+         |c$i AS MATERIALIZED (SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv
+         |                              FROM m$i GROUP BY cell) n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    val sep = if (iters > 0) ",\n" else ""
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT cell, cv FROM (
+       |  SELECT row_number() OVER (
+       |    ORDER BY md5('ivf ' || CAST(id AS VARCHAR)), id) - 1 AS cell,
+       |    v AS cv FROM base) WHERE cell < $k),
+       |$rounds$sep
+       |${assignCte("afinal", s"c$iters")},
+       |counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+       |           FROM afinal GROUP BY cell),
+       |long AS (SELECT cell, unnest(range(len(cv))) AS pos, unnest(cv) AS cvv
+       |         FROM c$iters)
+       |SELECT l.cell, CAST(l.pos AS BIGINT) AS pos, round(l.cvv, 6) AS c_val,
+       |       coalesce(n.n_vectors, 0) AS n_vectors
+       |FROM long l LEFT JOIN counts n USING (cell)
+       |ORDER BY l.cell, l.pos""".stripMargin
+  }
+
   def annIvf(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
       sampleSize: Int): String =
     s"""WITH ${ivfCellCtes(numQueries, numCentroids, nprobe, sampleSize)},

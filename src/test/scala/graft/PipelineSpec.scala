@@ -508,4 +508,77 @@ class PipelineSpec extends SparkSpec {
     val covered = out.collect { case ((0L, _), (t, _)) => t.split(" ") }.flatten.toSet
     assert(covered === (0 until 10).map(i => s"a$i").toSet)
   }
+
+  test("kmeansDataflow: counts partition the corpus; partitioning-invariant; real update") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rpt = Ann.kmeansReport(emb, k = 4, iters = 2).cache()
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .first().getInt(0)
+    assert(rpt.count() === 4L * dim)
+    // each cell reports ONE count; counts partition the corpus exactly
+    val counts = rpt.groupBy("cell").agg(
+      org.apache.spark.sql.functions.first(col("n_vectors")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set(0L, 1L, 2L, 3L))
+    assert(counts.values.sum === emb.count())
+    // the two Lloyd iterations moved the centroids off the init pick
+    val rpt0 = Ann.kmeansReport(emb, k = 4, iters = 0)
+    val moved = rpt.select(col("cell"), col("pos"), col("c_val").as("a"))
+      .join(rpt0.select(col("cell"), col("pos"), col("c_val").as("b")),
+        Seq("cell", "pos"))
+      .filter(col("a") =!= col("b")).count()
+    assert(moved > 0, "iters = 2 must move centroids off the init pick")
+    // the decimal-sum mean is partitioning-invariant (bit-equal, not ~=)
+    val rptShuffled = Ann.kmeansReport(emb.repartition(13), k = 4, iters = 2)
+    assert(rpt.except(rptShuffled).isEmpty && rptShuffled.except(rpt).isEmpty)
+    rpt.unpersist()
+  }
+
+  test("kmeansDataflow: empty cell keeps its previous centroid, reports 0") {
+    import spark.implicits._
+    // 4 identical vectors: both init centroids coincide, every point ties
+    // to the lower cell -> cell 1 goes empty and must keep its centroid
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f)), (3L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val rpt = Ann.kmeansReport(emb, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(rpt((0L, 0L)) === ((1.0, 4L)) && rpt((0L, 1L)) === ((2.0, 4L)))
+    assert(rpt((1L, 0L)) === ((1.0, 0L)) && rpt((1L, 1L)) === ((2.0, 0L)))
+  }
+
+  test("recallReport: per-query hit fraction, zero-hit queries still report") {
+    import spark.implicits._
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (1L, 8L))
+      .toDF("query_id", "id")
+    val approx = Seq((0L, 2L), (0L, 3L), (0L, 9L)) // query 1 missed entirely
+      .toDF("query_id", "id")
+    val out = Ann.recallReport(exact, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) === ((2L, 0.666667)))
+    assert(out(1L) === ((0L, 0.0)))
+  }
+
+  test("containment: asymmetric — embedded doc scores 1.0 forward, < 1 backward") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, a),                                          // fully inside 1
+      (1L, a + " eta theta iota kappa lambda mu nu xi"),
+      (2L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    val out = Dedup.containment(docs, shingleSize = 3, threshold = 0.2,
+      maxDocFreq = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // S(0) = 4 shingles, all shared; S(1) = 12 shingles, 4 shared
+    assert(out((0L, 1L)) === ((4L, 1.0)))
+    assert(out((1L, 0L)) === ((4L, 0.333333)))
+    assert(!out.keys.exists { case (x, y) => x == 2L || y == 2L })
+    // the maxDocFreq cut removes corpus-wide shingles from BOTH sides
+    val none = Dedup.containment(docs, shingleSize = 3, threshold = 0.2,
+      maxDocFreq = 1)
+    assert(none.count() === 0L, "df-capped shingles must not generate pairs")
+  }
 }

@@ -198,8 +198,8 @@ object ScaleCheck {
           // replica tokens (rep$i) keep cross-replica cooc edges from
           // merging, so the graph grows linearly in r
           val corpus = graft.sources.Corpus.fromDocumentsTablePositional(docsR)
-          val sym = graft.pipeline.Cooc.symmetrize(
-            graft.pipeline.Cooc.gather(corpus, windowWidth = 3))
+          val sym = graft.operators.Cooc.symmetrize(
+            graft.operators.Cooc.gather(corpus, windowWidth = 3))
           graft.pipeline.Graph.triangles(sym.select(
             col("token_a").as("src"), col("token_b").as("dst"))).count()
         },
