@@ -1166,6 +1166,19 @@ object SparkEntry {
         threshold = 0.5, maxDocFreq = 100)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // graph analytics: generic connected components (pointer-jumping
+    // min-label propagation over ANY orderable vertex type — the
+    // duplicateClusters engine, now first-class in Graph) composed over
+    // the containment pair graph: copy FAMILIES, not just pairs — a doc
+    // chain a⊂b, b⊂c resolves into one component even though (a, c)
+    // itself may sit under the threshold.
+    "graph_cc" -> ((s, dir) => {
+      val pairs = graft.pipeline.Dedup.containment(docs(s, dir),
+        shingleSize = ShingleK, threshold = 0.5, maxDocFreq = 100)
+      graft.pipeline.Graph.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .orderBy(col("vertex"))
+    }),
     // LLM pipeline: recall@k of the LSH index vs the brute-force truth
     // — quality measurement as a first-class operator, and a composed
     // row: BOTH top-k pipelines run end-to-end and their agreement is
@@ -1689,6 +1702,15 @@ object SparkEntry {
           widthNs = WindowWidthNs, slideNs = HopSlideNs)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    // streaming OHLC replay: min_by/max_by + DECIMAL-sum mean inside a
+    // watermarked window aggregate — gated by the SAME TemporalSql.ohlc
+    // statement as the batch events_ohlc row (micro-batch boundaries are
+    // just another summation order; the decimal sum absorbs them)
+    "events_ohlc_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.ohlc(s, dir,
+          bucketNs = graft.pipeline.Temporal.NsPerHour)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     // gap-filled resample: tumbling agg densified over the full bucket
     // spine x type set, zero-filled (post-agg work is bounded by
     // buckets x types, never corpus-sized)
@@ -1696,6 +1718,15 @@ object SparkEntry {
       graft.pipeline.Temporal.resample(
           graft.pipeline.Temporal.readEvents(s, dir), bucketNs = WindowWidthNs)
         .orderBy(col("window_start"), col("event_type"))
+    }),
+    // running/cumulative window family: per-user lifetime event count +
+    // running value total at every event (LTV curve); one user_id
+    // shuffle, single ordered pass, DECIMAL running sum (association-
+    // order-proof across engines)
+    "events_cumulative" -> ((s, dir) => {
+      graft.pipeline.Temporal.cumulative(
+          graft.pipeline.Temporal.readEvents(s, dir))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
     // OHLC downsampling: first/last via min_by/max_by inside ONE
     // map-side-combined aggregate — no per-bucket sort or window
@@ -1842,6 +1873,8 @@ object SparkEntry {
       planes = 4, probes = 4, seed = 42, tables = 2),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
+    "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
+      ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(
@@ -2052,6 +2085,9 @@ object SparkEntry {
       HeavyHitterFactor),
     "events_ohlc" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),
+    "events_ohlc_stream" -> graft.pipeline.TemporalSql.ohlc(
+      graft.pipeline.Temporal.NsPerHour),
+    "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(

@@ -365,51 +365,15 @@ object Dedup {
     * default 30 rounds ≈ 2^30-node components — unreachable in
     * practice, so a raise means a bug, not a tuning problem). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
-    val e0 = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var round = 0
-    var changed = true
-    while (changed && round < maxRounds) {
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      // pointer jump: my label's current label (labels always hold node
-      // ids, so the join always matches; left join is belt-and-braces)
-      val viaJump = labels.select(col("id"), col("label").as("jid"))
-        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")), Seq("jid"), "left")
-        .select(col("id"), col("jlabel"))
-      val next = labels
-        .join(viaNeighbors, Seq("id"), "left")
-        .join(viaJump, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"),
-            coalesce(col("nlabel"), col("label")),
-            coalesce(col("jlabel"), col("label"))).as("newlabel"),
-          col("label").as("prev"))
-        .select(col("id"), col("newlabel").as("label"),
-          (col("newlabel") =!= col("prev")).cast("int").as("chg"))
-        .localCheckpoint(eager = false)
-      // the ONE action of the round: materializes the checkpoint AND
-      // reads the changed count off it
-      val row = next.agg(sum(col("chg"))).first()
-      changed = !row.isNullAt(0) && row.getLong(0) > 0L
-      labels = next.drop("chg")
-      round += 1
-    }
-    edges.unpersist(false)
-    if (changed)
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxRounds rounds — " +
-          "labels still moving; raise maxRounds (component deeper than " +
-          s"2^$maxRounds should be impossible: this indicates a bug or bad input)")
-    labels.select(col("id"), col("label").as("cluster_id"))
-  }
+      idB: String = "id_b", maxRounds: Int = 30): DataFrame =
+    // the generic pointer-jumping engine lives in Graph.connectedComponents
+    // (same loop, arbitrary vertex type); this wrapper fixes the long-id
+    // contract and the [id, cluster_id] output shape
+    Graph.connectedComponents(
+        pairs.select(col(idA).cast("long").as("src"),
+          col(idB).cast("long").as("dst")),
+        maxRounds = maxRounds)
+      .select(col("vertex").as("id"), col("component").as("cluster_id"))
 
   /** Embedding near-duplicates: pairs with cosine >= threshold, using the
     * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale. */

@@ -62,6 +62,66 @@ object Graph {
     r.select(col("src").as("vertex"), col("r"))
   }
 
+  /** Connected components by pointer-jumping min-label propagation over
+    * an arbitrary (orderable) vertex type — the generic form of
+    * [[Dedup.duplicateClusters]] (which delegates here after its long
+    * cast): per round each vertex takes the least of its own label, its
+    * neighbors' labels, and its label's label (the pointer jump that
+    * makes convergence O(log diameter) instead of O(diameter)). At
+    * fixpoint the label is the component's minimum vertex. Directed or
+    * undirected input — edges are symmetrized internally.
+    *
+    * Scale: each round is two node-sized joins + one edge-sized
+    * map-side-combined groupBy(min); ONE action per round reads the
+    * changed-count off the job that materializes the round's lazy
+    * localCheckpoint (plans never stack `maxRounds` joins deep).
+    * Raises instead of emitting non-converged labels (2^maxRounds-deep
+    * components are unreachable in practice, so a raise means bad input
+    * or a bug, not a tuning problem). Returns [vertex, component]. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 30): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val viaNeighbors = sym
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val viaJump = labels.select(col("id"), col("label").as("jid"))
+        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
+          Seq("jid"), "left")
+        .select(col("id"), col("jlabel"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaJump, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("newlabel"),
+          col("label").as("prev"))
+        .select(col("id"), col("newlabel").as("label"),
+          (col("newlabel") =!= col("prev")).cast("int").as("chg"))
+        .localCheckpoint(eager = false)
+      val row = next.agg(sum(col("chg"))).first()
+      changed = !row.isNullAt(0) && row.getLong(0) > 0L
+      labels = next.drop("chg")
+      round += 1
+    }
+    sym.unpersist(false)
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "labels still moving; raise maxRounds (component deeper than " +
+          s"2^$maxRounds should be impossible: this indicates a bug or bad input)")
+    labels.select(col("id").as("vertex"), col("label").as("component"))
+  }
+
   /** Per-vertex triangle counts via DEGREE-ORDERED edge orientation —
     * the distributed triangle algorithm: orient every undirected edge
     * from its lower-(degree, id) endpoint to the higher one, so each

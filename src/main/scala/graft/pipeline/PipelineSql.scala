@@ -269,6 +269,36 @@ object PipelineSql {
        |WHERE CAST(c.n_common AS DOUBLE) / s.n_sh >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors Graph.connectedComponents over the Dedup.containment pair
+    * graph (copy-family resolution): the containment statement rides
+    * along as a nested-WITH CTE, then `rounds` unrolled POINTER-JUMPING
+    * label-propagation rounds — each round takes
+    * least(own, min-neighbor, label-of-label), exactly the Spark loop,
+    * so `rounds` covers components up to 2^rounds deep (the plain
+    * dedupClusters unroll only covers `rounds` deep). */
+  def graphCcContainment(k: Int, threshold: Double, maxDocFreq: Long,
+      rounds: Int): String = {
+    val lp = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.id, least(l.label, coalesce(nb.m, l.label),
+         |                     coalesce(j.jl, l.label)) AS label
+         |  FROM l${i - 1} l
+         |  LEFT JOIN (SELECT e.dst AS id, min(lk.label) AS m
+         |             FROM e JOIN l${i - 1} lk ON lk.id = e.src
+         |             GROUP BY e.dst) nb USING (id)
+         |  LEFT JOIN (SELECT l1.id, l2.label AS jl
+         |             FROM l${i - 1} l1 JOIN l${i - 1} l2 ON l2.id = l1.label) j
+         |    USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cp
+       |                   UNION SELECT id_b, id_a FROM cp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
+       |$lp
+       |SELECT id AS vertex, label AS component
+       |FROM l$rounds ORDER BY vertex""".stripMargin
+  }
+
   /** Mirrors Ann.recallReport over the lshTopK / bruteForceTopK pair:
     * both full top-k statements ride along as nested-WITH CTEs (their
     * inner CTE names scope locally, so `base` etc. cannot collide), and

@@ -344,6 +344,28 @@ object Temporal {
     * has none — which is also what lets the oracle mirror use DuckDB's
     * scalar-keyed arg_min/arg_max). Returns
     * [event_type, bucket, open, close, low, high, n_events, mean_value]. */
+  /** Per-user running lifetime aggregates — the cumulative/running
+    * window family (LTV curves, quota tracking, "Nth event" triggers):
+    * for every event, how many events the user has produced up to and
+    * including it, and their running value total. One shuffle on
+    * user_id, then a single ordered pass per partition (running frame —
+    * no per-prefix re-aggregation). The running sum uses the exact
+    * DECIMAL(18,6) form: engines disagree on the association order of
+    * windowed double sums (running accumulation vs segment trees), and
+    * the decimal sum is exact under any order. Deterministic total
+    * order within a user via the (ts, event_id) tie-break. Returns
+    * [user_id, ts, event_id, event_type, n_events_so_far, cum_value]. */
+  def cumulative(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"),
+      row_number().over(ord).cast("long").as("n_events_so_far"),
+      round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double"), 6)
+        .as("cum_value"))
+  }
+
   def ohlc(events: DataFrame, bucketNs: Long = NsPerHour): DataFrame =
     events.groupBy(col("event_type"), bucketStart(col("ts"), bucketNs).as("bucket"))
       .agg(

@@ -208,6 +208,20 @@ object TemporalSql {
     * mirrors of the struct-tie-break min_by/max_by because the log's
     * (type, µs-ts) pairs are collision-free (asserted in TemporalSpec;
     * with ties only the Spark side would stay deterministic). */
+  /** Mirrors [[Temporal.cumulative]] — the DECIMAL running sum is exact
+    * under any association order (DuckDB's windowed double sums use
+    * segment trees; Spark accumulates), so the two engines agree to the
+    * bit before the one rounding. */
+  def cumulative: String =
+    s"""WITH e AS ($e)
+       |SELECT user_id, tsn AS ts, event_id, event_type,
+       |       CAST(row_number() OVER w AS BIGINT) AS n_events_so_far,
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+       |         PARTITION BY user_id ORDER BY tsn, event_id
+       |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_value
+       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+
   def ohlc(bucketNs: Long): String =
     s"""WITH e AS ($e)
        |SELECT event_type, tsn - tsn % $bucketNs AS bucket,

@@ -208,6 +208,27 @@ object StreamReplay {
       .where(col("window_start") <= maxNs)
   }
 
+  /** Streamed tumbling-window OHLC of the driver's events table, shaped
+    * to the batch [[graft.pipeline.Temporal.ohlc]] contract
+    * [event_type, bucket (epoch-ns long), open, close, low, high,
+    * n_events, mean_value]. */
+  def ohlc(spark: SparkSession, dir: String, bucketNs: Long): DataFrame = {
+    require(bucketNs % 1000000000L == 0, "bucket width must be whole seconds")
+    val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
+      .agg(max("ts")).head.getLong(0)
+    val out = replay(spark, dir) { ev =>
+      StreamingPipeline.ohlcStream(
+        ev.withColumn("ts", col("ts").cast(TimestampType)),
+        windowLength = s"${bucketNs / 1000000000L} seconds",
+        watermark = "30 minutes")
+    }
+    out.select(col("event_type"),
+        (unix_micros(col("window.start")) * 1000L).as("bucket"),
+        col("open"), col("close"), col("low"), col("high"),
+        col("n_events"), col("mean_value"))
+      .where(col("bucket") <= maxNs) // drop the sentinel-day windows
+  }
+
   /** Streamed exact DAU of the driver's events table, shaped to the batch
     * [[graft.pipeline.Temporal.activeUsers]] contract
     * [day (epoch-ns long), n_users]. */

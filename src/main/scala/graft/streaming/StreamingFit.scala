@@ -271,6 +271,28 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
       .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
 
+  /** Watermarked tumbling-window OHLC downsampling over the event
+    * stream — the streaming twin of [[graft.pipeline.Temporal.ohlc]]:
+    * open/close via min_by/max_by on the (ts, event_id) struct (ties
+    * identical to batch), mean via the exact DECIMAL(18,6) sum (the
+    * batch entry's order-insensitivity trick carries over unchanged —
+    * micro-batch boundaries are just another summation order, which the
+    * decimal sum makes irrelevant). State is one partial aggregate per
+    * open (type, window), expired by the watermark. Returns
+    * [event_type, window, open, close, low, high, n_events, mean_value]. */
+  def ohlcStream(events: DataFrame, windowLength: String,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), windowLength))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_value"))
+
   /** Watermarked active-users-per-window over the event stream: one
     * mergeable HyperLogLog++ sketch per window — the streaming form of
     * [[graft.pipeline.Temporal.activeUsersApprox]] (same rsd → same

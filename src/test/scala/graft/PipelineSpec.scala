@@ -509,6 +509,16 @@ class PipelineSpec extends SparkSpec {
     assert(covered === (0 until 10).map(i => s"a$i").toSet)
   }
 
+  test("connectedComponents: string vertices, chain resolves to min, components separate") {
+    import spark.implicits._
+    val edges = Seq(("b", "a"), ("b", "c"), ("d", "e"), ("f", "f"))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f"))
+  }
+
   test("kmeansDataflow: counts partition the corpus; partitioning-invariant; real update") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rpt = Ann.kmeansReport(emb, k = 4, iters = 2).cache()

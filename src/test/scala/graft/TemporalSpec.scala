@@ -254,6 +254,20 @@ class TemporalSpec extends SparkSpec {
       ("b", 0L, 6.0, 6.0, 6.0, 6.0, 1L, 6.0)))
   }
 
+  test("cumulative: running count/sum per user, (ts, event_id) order, users isolated") {
+    val e = ev(
+      (2L, 1L, 100L, "a", 1.5),
+      (1L, 1L, 100L, "a", 2.0), // same ts: event_id 1 orders first
+      (3L, 1L, 300L, "b", 0.25),
+      (4L, 2L, 50L, "a", 7.0))
+    val out = Temporal.cumulative(e).orderBy("user_id", "ts", "event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("n_events_so_far"), r.getAs[Double]("cum_value"))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 1L, 2.0), (1L, 2L, 2L, 3.5), (1L, 3L, 3L, 3.75),
+      (2L, 4L, 1L, 7.0)))
+  }
+
   test("readEvents: ts is µs-truncated epoch-ns long, (type, ts) collision-free") {
     val e = Temporal.readEvents(spark, "/root/testdata/sf0.001")
     assert(e.schema("ts").dataType.typeName === "long")
