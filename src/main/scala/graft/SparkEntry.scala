@@ -1193,6 +1193,19 @@ object SparkEntry {
         graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
         .orderBy(col("query_id"))
     }),
+    // LLM pipeline: power-iteration PCA over the embedding corpus — the
+    // spectral health report (top principal direction + explained-
+    // variance share). One corpus pass builds the centered DECIMAL-sum
+    // Gram table; 5 power iterations then run on it alone. The output
+    // is DEFINED as the 5-step trajectory from the md5 start (exactly
+    // replayable — the driver's embeddings are near-isotropic, so full
+    // eigen-convergence is a non-goal here; PcaSpec proves convergence
+    // on an anisotropic fixture).
+    "embed_pca" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Pca.topComponent(emb, iters = 5)
+        .orderBy(col("pos"))
+    }),
     // LLM pipeline: pure-dataflow k-means over the embedding corpus —
     // TWO REAL Lloyd iterations under the FULL oracle (not the iters = 0
     // seed pick the ann_ivf row uses): the centroid table never leaves
@@ -1869,6 +1882,7 @@ object SparkEntry {
     "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
+    "embed_pca" -> graft.pipeline.PipelineSql.embedPca(5),
     "ann_recall" -> graft.pipeline.PipelineSql.annRecall(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(

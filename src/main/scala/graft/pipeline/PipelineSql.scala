@@ -269,6 +269,45 @@ object PipelineSql {
        |WHERE CAST(c.n_common AS DOUBLE) / s.n_sh >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors Pca.topComponent: positional decimal means → centered
+    * values → DECIMAL-sum Gram table → `iters` unrolled power-iteration
+    * rounds (matrix-vector product = DECIMAL-sum join; norms/trace =
+    * sequential folds over position-ordered lists — the ivf distance
+    * pattern) → the long-format report. */
+  def embedPca(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT g.i,
+         |  CAST(sum(CAST(g.g * v.vv AS DECIMAL(28,8))) AS DOUBLE) AS w
+         |  FROM g JOIN v${t - 1} v ON v.i = g.j GROUP BY g.i),
+         |n$t AS MATERIALIZED (SELECT sqrt(list_sum([x*x for x in lw])) AS nrm
+         |  FROM (SELECT list(w ORDER BY i) AS lw FROM w$t)),
+         |v$t AS MATERIALIZED (SELECT i, w / (SELECT nrm FROM n$t) AS vv
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT id, unnest(range(len(v))) AS i, unnest(v) AS x FROM base),
+       |mean AS MATERIALIZED (SELECT i,
+       |  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM ex GROUP BY i),
+       |xc AS MATERIALIZED (SELECT e.id, e.i, e.x - m.m AS xc
+       |  FROM ex e JOIN mean m USING (i)),
+       |g AS MATERIALIZED (SELECT a.i, b.i AS j,
+       |  CAST(sum(CAST(a.xc * b.xc AS DECIMAL(28,8))) AS DOUBLE) AS g
+       |  FROM xc a JOIN xc b USING (id) GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (SELECT i,
+       |  ('0x' || substr(md5('pca ' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT
+       |    / 4294967296.0 - 0.5 AS vv FROM mean),
+       |$rounds,
+       |trace AS (SELECT list_sum(ld) AS tr
+       |  FROM (SELECT list(g ORDER BY i) AS ld FROM g WHERE i = j))
+       |SELECT CAST(v.i AS BIGINT) AS pos, round(v.vv, 6) AS component,
+       |       round((SELECT nrm FROM n$iters), 6) AS lambda,
+       |       round((SELECT nrm FROM n$iters) / (SELECT tr FROM trace), 6)
+       |         AS explained_var
+       |FROM v$iters v ORDER BY pos""".stripMargin
+  }
+
   /** Mirrors Graph.connectedComponents over the Dedup.containment pair
     * graph (copy-family resolution): the containment statement rides
     * along as a nested-WITH CTE, then `rounds` unrolled POINTER-JUMPING
