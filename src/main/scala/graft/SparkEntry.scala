@@ -1206,6 +1206,15 @@ object SparkEntry {
       graft.pipeline.Pca.topComponent(emb, iters = 5)
         .orderBy(col("pos"))
     }),
+    // LLM pipeline: embedding outlier screen — per-vector projection on
+    // the PCA top direction, k largest |scores| (batch artifacts and
+    // contamination live far out on the dominant axis). Composes the
+    // embed_pca trajectory; ONE narrow corpus pass + TakeOrdered top-k.
+    "embed_outliers" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Pca.topOutliers(emb, k = 20, iters = 5)
+        .orderBy(col("abs_score").desc, col("vec_id"))
+    }),
     // LLM pipeline: pure-dataflow k-means over the embedding corpus —
     // TWO REAL Lloyd iterations under the FULL oracle (not the iters = 0
     // seed pick the ann_ivf row uses): the centroid table never leaves
@@ -1883,6 +1892,7 @@ object SparkEntry {
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
     "embed_pca" -> graft.pipeline.PipelineSql.embedPca(5),
+    "embed_outliers" -> graft.pipeline.PipelineSql.embedOutliers(20, 5),
     "ann_recall" -> graft.pipeline.PipelineSql.annRecall(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(

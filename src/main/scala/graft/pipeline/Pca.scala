@@ -127,4 +127,43 @@ object Pca {
         round(col("lambda"), 6).as("lambda"),
         round(col("explained_var"), 6).as("explained_var"))
   }
+
+  /** Outliers along the top principal direction: per-vector projection
+    * score = (x − mean)·v (the standard embedding anomaly screen — the
+    * dominant axis of a healthy collection is shared structure; vectors
+    * far out on it are batch artifacts, duplicates-of-weird, or
+    * contamination). Composes [[topComponent]]: runs it at `iters`, then
+    * ONE narrow corpus pass computes every projection (mean and v ride
+    * as broadcast literal arrays; the dot product is the sequential
+    * zip_with + aggregate fold of the ivf distance pattern), and a
+    * top-k window on (|score| desc, id) keeps the report bounded.
+    * Returns [vec_id, score(6), abs_score(6)] — the k largest. */
+  def topOutliers(emb: DataFrame, k: Int = 20, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val comp = topComponent(emb, iters, idCol, vecCol)
+      .orderBy(col("pos")).collect() // d rounded components — bounded
+    val vArr = array(comp.map(r => lit(r.getDouble(1))): _*)
+    // the UNROUNDED mean must match topComponent's: recompute the same
+    // decimal positional means (cheap pass; parity with the SQL mirror
+    // matters more than saving one scan)
+    val ex = emb.select(col(idCol).cast("long").as("id"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("i", "x")))
+    val mean = ex.groupBy(col("i"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .orderBy(col("i")).collect()
+    val mArr = array(mean.map(r => lit(r.getDouble(1))): _*)
+    val scored = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("score", aggregate(
+        zip_with(zip_with(col("v"), mArr, (a, b) => a - b), vArr,
+          (c, w) => c * w),
+        lit(0.0), (acc, x) => acc + x))
+    scored
+      .orderBy(abs(round(col("score"), 6)).desc, col("id"))
+      .limit(k) // TakeOrderedAndProject: map-side top-k, no global sort
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+        abs(round(col("score"), 6)).as("abs_score"))
+  }
 }

@@ -308,6 +308,26 @@ object PipelineSql {
        |FROM v$iters v ORDER BY pos""".stripMargin
   }
 
+  /** Mirrors Pca.topOutliers: the embedPca statement rides along as a
+    * nested-WITH CTE; projections fold (x − mean)·v_rounded per vector
+    * (same sequential order as the Spark zip_with/aggregate), top-k by
+    * (|score| desc, vec_id). */
+  def embedOutliers(k: Int, iters: Int): String =
+    s"""WITH pca AS MATERIALIZED (${embedPca(iters)}),
+       |vl AS (SELECT list(component ORDER BY pos) AS v FROM pca),
+       |ml AS (SELECT list(m ORDER BY i) AS m FROM (
+       |  SELECT i, CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT unnest(range(len(embedding))) AS i,
+       |               unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+       |  GROUP BY i)),
+       |scored AS (SELECT b.vec_id, round(list_sum(
+       |    [(b.v[i+1] - ml.m[i+1]) * vl.v[i+1]
+       |     for i in range(0, len(b.v))]), 6) AS score
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b,
+       |       vl, ml)
+       |SELECT vec_id, score, abs(score) AS abs_score
+       |FROM scored ORDER BY abs(score) DESC, vec_id LIMIT $k""".stripMargin
+
   /** Mirrors Graph.connectedComponents over the Dedup.containment pair
     * graph (copy-family resolution): the containment statement rides
     * along as a nested-WITH CTE, then `rounds` unrolled POINTER-JUMPING

@@ -48,6 +48,21 @@ class PcaSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("topOutliers: extreme rows along the planted direction rank first") {
+    val emb = planted(n = 210, dim = 16) // t cycles -10..10; |t| = 10 rows extreme
+    val out = Pca.topOutliers(emb, k = 10, iters = 5).collect()
+    assert(out.length === 10)
+    // every reported outlier must be a |t| = 10 or |t| = 9 row (t = r%21-10:
+    // r%21 == 0 gives t=-10, r%21 == 20 gives t=10, 1/19 give ±9)
+    out.foreach { r =>
+      val m = r.getLong(0) % 21
+      assert(m <= 1 || m >= 19, s"vec ${r.getLong(0)} (t=${m - 10}) is not extreme")
+    }
+    // scores come back sorted by |score| desc
+    val a = out.map(_.getDouble(2))
+    assert(a.zip(a.tail).forall { case (x, y) => x >= y })
+  }
+
   test("self-consistency on real embeddings: S·v ≈ lambda·v at convergence-rate bound") {
     // near-isotropic driver data: no convergence claim, but the report
     // must still be internally consistent — lambda = |S·v_prev| within

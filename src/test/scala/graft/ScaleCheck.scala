@@ -203,6 +203,22 @@ object ScaleCheck {
           graft.pipeline.Graph.triangles(sym.select(
             col("token_a").as("src"), col("token_b").as("dst"))).count()
         },
+        "embed_kmeans (dataflow Lloyd)" -> time {
+          graft.pipeline.Ann.kmeansReport(embR, k = 8, iters = 2).count()
+        },
+        "embed_pca (Gram + power iter)" -> time {
+          graft.pipeline.Pca.topComponent(embR, iters = 5).count()
+        },
+        "dedup_containment (inv. index)" -> time {
+          // maxDocFreq scales with the corpus (the per-shingle bucket cap
+          // is a fraction, not an absolute — an absolute cap would empty
+          // candidate generation as df grows with replication)
+          graft.pipeline.Dedup.containment(docsR, shingleSize = 3,
+            threshold = 0.5, maxDocFreq = 100L * r).count()
+        },
+        "events_cumulative (running agg)" -> time {
+          graft.pipeline.Temporal.cumulative(evR).count()
+        },
         "kernel_fit 2 passes (E/M-step)" -> time {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
