@@ -1206,6 +1206,24 @@ object SparkEntry {
       graft.pipeline.Pca.topComponent(emb, iters = 5)
         .orderBy(col("pos"))
     }),
+    // embedding-family END-TO-END row: plant scaled copies → LSH-bucketed
+    // near-dup pairs → drop the higher id of each pair → k-means the
+    // survivors. The survivor set feeds the md5 init pick, so one
+    // wrongly-kept/dropped vector shifts the whole clustering — the row
+    // pins the dedup→clustering seam, like pipeline_e2e pins its stages.
+    "embed_e2e" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < NearDupPlants)
+        .select((col("vec_id") + NearDupIdOffset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val all = emb.unionByName(planted)
+      val dropped = graft.pipeline.Dedup.embeddingNearDup(all, threshold = 0.9)
+        .select(col("id_b").as("vec_id")).distinct()
+      val survivors = all.join(dropped, Seq("vec_id"), "left_anti")
+      graft.pipeline.Ann.kmeansReport(survivors, k = 8, iters = 1)
+        .orderBy(col("cell"), col("pos"))
+    }),
     // LLM pipeline: embedding outlier screen — per-vector projection on
     // the PCA top direction, k largest |scores| (batch artifacts and
     // contamination live far out on the dominant axis). Composes the
@@ -1893,6 +1911,8 @@ object SparkEntry {
     "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
     "embed_pca" -> graft.pipeline.PipelineSql.embedPca(5),
     "embed_outliers" -> graft.pipeline.PipelineSql.embedOutliers(20, 5),
+    "embed_e2e" -> graft.pipeline.PipelineSql.embedE2e(
+      NearDupPlants, NearDupIdOffset, threshold = 0.9, k = 8, iters = 1),
     "ann_recall" -> graft.pipeline.PipelineSql.annRecall(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(

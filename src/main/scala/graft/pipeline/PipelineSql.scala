@@ -308,6 +308,30 @@ object PipelineSql {
        |FROM v$iters v ORDER BY pos""".stripMargin
   }
 
+  /** The embedding-family end-to-end chain: plant ×2-scaled copies →
+    * brute-force cosine pairs ≥ threshold (sound for the bucketed Spark
+    * path — the dedupEmbedding argument) → drop the higher id of every
+    * pair → k-means the survivors. One hash row across the
+    * dedup→clustering boundary: the survivor set feeds the md5 init
+    * pick, so a single wrongly-kept/dropped vector shifts the whole
+    * clustering. */
+  def embedE2e(plants: Int, idOffset: Long, threshold: Double,
+      k: Int, iters: Int): String = {
+    val survivors =
+      s"""WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (SELECT vec_id + $idOffset AS vec_id,
+         |                   [x * 2.0 for x in v] AS v
+         |            FROM b0 WHERE vec_id < $plants),
+         |u AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT * FROM planted),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |          WHERE list_cosine_similarity(a.v, b.v) >= $threshold),
+         |dropped AS (SELECT DISTINCT id_b FROM pairs)
+         |SELECT u.vec_id AS id, u.v FROM u
+         |LEFT JOIN dropped d ON d.id_b = u.vec_id WHERE d.id_b IS NULL""".stripMargin
+    embedKmeansFrom(k, iters, survivors)
+  }
+
   /** Mirrors Pca.topOutliers: the embedPca statement rides along as a
     * nested-WITH CTE; projections fold (x − mean)·v_rounded per vector
     * (same sequential order as the Spark zip_with/aggregate), top-k by
@@ -385,7 +409,13 @@ object PipelineSql {
     * CTE is MATERIALIZED — c{i} is referenced by both the next
     * assignment and the empty-cell fallback, and an inlined CTE would
     * re-evaluate the upstream chain exponentially. */
-  def embedKmeans(k: Int, iters: Int): String = {
+  def embedKmeans(k: Int, iters: Int): String = embedKmeansFrom(k, iters,
+    "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings")
+
+  /** [[embedKmeans]] over an arbitrary base SELECT (must yield [id, v]);
+    * the base may itself be a nested-WITH chain — embedE2e feeds the
+    * near-dup survivor set through here. */
+  def embedKmeansFrom(k: Int, iters: Int, baseSelect: String): String = {
     def assignCte(name: String, centsCte: String): String =
       s"""$name AS MATERIALIZED (SELECT id, v, cell FROM (
          |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
@@ -403,8 +433,7 @@ object PipelineSql {
          |                              FROM m$i GROUP BY cell) n USING (cell))""".stripMargin
     }.mkString(",\n")
     val sep = if (iters > 0) ",\n" else ""
-    s"""WITH base AS MATERIALIZED (
-       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH base AS MATERIALIZED ($baseSelect),
        |c0 AS MATERIALIZED (SELECT cell, cv FROM (
        |  SELECT row_number() OVER (
        |    ORDER BY md5('ivf ' || CAST(id AS VARCHAR)), id) - 1 AS cell,
