@@ -1534,6 +1534,25 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: temperature-based source mixing (mT5/XLM-R α = 0.5
+    // square-root temperature) — rates are DATA-DERIVED, not literals:
+    // the oracle recomputes share → sqrt-flatten → name-ordered
+    // normalizer fold → Bernoulli thresholds from the same parquet, so
+    // the row pins the whole rate computation, not just the filter.
+    "sample_temperature" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rates = graft.pipeline.Sampling.temperatureRates(d, "source",
+        targetFrac = 0.5)
+      val kept = graft.pipeline.Sampling.mixSources(d, "source",
+          rates.map { case (src, _, r) => src -> r }.toMap, "doc_id", SampleSalt)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val rdf = { import s.implicits._
+        rates.toDF("source", "n_total", "rate") }
+      rdf.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), round(col("rate"), 6).as("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: stratified cap — ≤k docs per source by salted hash
     // order (two-phase WindowGroupLimit top-k per stratum, PLANS.md §5)
     "sample_stratified" -> ((s, dir) => {
@@ -1961,6 +1980,8 @@ object SparkEntry {
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
+    "sample_temperature" -> graft.pipeline.PipelineSql.sampleTemperature(
+      0.5, SampleSalt),
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(

@@ -1081,6 +1081,33 @@ object PipelineSql {
        |WHERE ${hashPrefixSql(salt)} < '${Sampling.rateThreshold(rate)}'
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors Sampling.temperatureRates + mixSources at α = 0.5: the
+    * oracle RECOMPUTES the rates from the data (sqrt is IEEE-exact; the
+    * q normalizer is a source-NAME-ordered list_sum fold, matching the
+    * Scala foldLeft), derives each threshold with the same
+    * truncate-to-2^32 hex encoding (lower(to_hex(floor(r·2^32)))), and
+    * replays the md5 keep decision. */
+  def sampleTemperature(targetFrac: Double, salt: String): String =
+    s"""WITH cnt AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
+       |wts AS (SELECT c.source, c.n, sqrt(CAST(c.n AS DOUBLE) / t.nn) AS w
+       |        FROM cnt c, tot t),
+       |z AS (SELECT list_sum(list(w ORDER BY source)) AS z FROM wts),
+       |thr AS MATERIALIZED (SELECT w.source, w.n,
+       |  least(1.0, w.w / z.z * $targetFrac * t.nn / w.n) AS r,
+       |  lower(lpad(to_hex(CAST(least(
+       |    floor(least(1.0, w.w / z.z * $targetFrac * t.nn / w.n)
+       |      * 4294967296.0), 4294967295.0) AS BIGINT)), 8, '0')) AS th
+       |  FROM wts w, z, tot t),
+       |kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS nk
+       |  FROM documents d JOIN thr ON thr.source = d.source
+       |  WHERE ${hashPrefixSql(salt)} < thr.th GROUP BY d.source)
+       |SELECT t.source, t.n AS n_total, round(t.r, 6) AS rate,
+       |       coalesce(k.nk, 0) AS n_kept
+       |FROM thr t LEFT JOIN kept k USING (source) ORDER BY t.source""".stripMargin
+
   def sampleMix(rates: Map[String, Double], salt: String): String = {
     val cases = rates.toSeq.sortBy(_._1).map { case (src, r) =>
       s"WHEN '$src' THEN '${Sampling.rateThreshold(r)}'"

@@ -57,6 +57,47 @@ object Sampling {
     df.filter(hashPrefix(col(keyCol), salt) < thr)
   }
 
+  /** Temperature-based source rates — the multilingual-LM sampling
+    * standard (mT5/XLM-R style): source share p_s = n_s/N is flattened
+    * to q_s ∝ p_s^α (α < 1 upsamples the tail; α = 1 is natural, α = 0
+    * uniform), then converted to per-source Bernoulli keep rates
+    * realizing an expected `targetFrac`·N sample:
+    * r_s = min(1, q_s·targetFrac·N / n_s).
+    *
+    * Determinism: with α = 0.5 (the common "T = 2" square-root
+    * temperature, and this engine's default) every step is IEEE-exact
+    * (sqrt is correctly rounded; the q normalizer folds in source-NAME
+    * order so engines agree on the summation) — which is what lets the
+    * DuckDB oracle recompute the rates from the data instead of
+    * replaying literals. Other α use libm pow (cross-engine last-ulp
+    * caveat — flips a decision only if the rate crosses a 1/2^32
+    * threshold boundary, documented rather than defended).
+    * Source counts collect to the driver — sources are few by contract
+    * (the codebook precedent). */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+      targetFrac: Double, alpha: Double = 0.5): Seq[(String, Long, Double)] = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // name order: the normalizer fold must match the SQL
+    val n = counts.map(_._2).sum
+    def pw(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val w = counts.map { case (_, ns) => pw(ns.toDouble / n) }
+    val z = w.foldLeft(0.0)(_ + _)
+    counts.zip(w).map { case ((src, ns), ws) =>
+      (src, ns, math.min(1.0, ws / z * targetFrac * n / ns))
+    }
+  }
+
+  /** [[mixSources]] with [[temperatureRates]]-derived rates. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      targetFrac: Double, alpha: Double = 0.5,
+      salt: String = ""): DataFrame =
+    mixSources(df, sourceCol,
+      temperatureRates(df, sourceCol, targetFrac, alpha)
+        .map { case (s, _, r) => s -> r }.toMap,
+      keyCol, salt)
+
   /** Stratified cap: at most `k` rows per stratum, chosen by salted hash
     * order (a deterministic uniform sample without replacement per
     * stratum). Rank window + filter ≤ k compiles to Spark 4's

@@ -190,4 +190,25 @@ class SamplingSpec extends SparkSpec {
           r.getLong(r.fieldIndex("group")), r.getLong(r.fieldIndex("bin")))).toSet
     assert(assignments(big.repartition(1)) === assignments(big.repartition(13)))
   }
+
+  test("temperatureRates: alpha=1 is natural (flat targetFrac), alpha=0.5 upsamples the tail") {
+    import spark.implicits._
+    val d = ((0 until 80).map(i => (i.toLong, "big")) ++
+      (80 until 95).map(i => (i.toLong, "mid")) ++
+      (95 until 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val natural = Sampling.temperatureRates(d, "source", targetFrac = 0.5,
+      alpha = 1.0).map { case (s, _, r) => s -> r }.toMap
+    natural.values.foreach(r => assert(math.abs(r - 0.5) < 1e-12))
+    val sqrtT = Sampling.temperatureRates(d, "source", targetFrac = 0.5,
+      alpha = 0.5).map { case (s, n, r) => s -> ((n, r)) }.toMap
+    // flattening: the small source's rate hits the min(1, ·) cap (its
+    // uncapped rate is ~1.49 — can't upsample a Bernoulli filter), mid
+    // beats big, and the kept mass loses exactly the capped excess
+    assert(sqrtT("small")._2 === 1.0)
+    assert(sqrtT("mid")._2 > sqrtT("big")._2)
+    val expKept = sqrtT.values.map { case (n, r) => n * r }.sum
+    assert(expKept < 50.0 && expKept > 45.0, s"expected kept mass $expKept")
+    sqrtT.values.foreach { case (_, r) => assert(r > 0.0 && r <= 1.0) }
+  }
 }
