@@ -1534,6 +1534,20 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // sources: JSONL ingest round-trip — the LLM corpus wire format
+    // (Pile/RedPajama/Dolma ship JSONL). The driver table is staged to
+    // JSONL once (memoized) and read back SCHEMA-PINNED (no inference
+    // scan); the oracle digests the ORIGINAL parquet, so any
+    // encode/decode loss (escapes, unicode, nulls, type drift) breaks
+    // the hash.
+    "ingest_jsonl" -> ((s, dir) => {
+      val path = graft.sources.JsonlIO.stageDocuments(s, dir)
+      graft.sources.JsonlIO.readDocuments(s, path)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: temperature-based source mixing (mT5/XLM-R α = 0.5
     // square-root temperature) — rates are DATA-DERIVED, not literals:
     // the oracle recomputes share → sqrt-flatten → name-ordered
@@ -1982,6 +1996,12 @@ object SparkEntry {
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_temperature" -> graft.pipeline.PipelineSql.sampleTemperature(
       0.5, SampleSalt),
+    // digest of the ORIGINAL parquet — the Spark side reads the staged
+    // JSONL, so equality IS the round-trip fidelity check
+    "ingest_jsonl" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JSONL (one JSON object per line) document I/O — the lingua franca of
+  * LLM corpus distribution (The Pile, RedPajama, Dolma all ship JSONL).
+  * Reading is SCHEMA-PINNED: `spark.read.schema(...).json` skips the
+  * whole-file inference pass (which at 100 TB would be a second full
+  * scan) and makes drift loud — a field that changes type comes back
+  * null instead of silently re-inferring the schema. Writes shard to one
+  * file per partition (plain `df.write.json`), the layout every JSONL
+  * consumer expects. */
+object JsonlIO {
+
+  /** The documents-table schema (TestdataSchemaSpec asserts the parquet
+    * side; this is its JSONL twin). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def writeDocuments(df: DataFrame, path: String): Unit =
+    df.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).json(path)
+
+  /** Memoized JSONL staging of a driver documents table — one write per
+    * (session, dir), shared by every entry that exercises the JSONL
+    * path (the StreamReplay staging pattern). */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def stageDocuments(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark, dir), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      writeDocuments(spark.read.parquet(s"$dir/documents.parquet"), out)
+      out
+    })
+}

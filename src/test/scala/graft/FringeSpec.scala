@@ -292,4 +292,23 @@ class FringeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"repetition picked up a shuffle:\n$plan")
   }
+
+  test("JSONL round-trip: hostile text (quotes, newlines, unicode, nulls) survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "plain text", "en", "src0", 10L),
+      (1L, "line\nbreak \"quoted\" back\\slash", "en", "src0", 29L),
+      (2L, "unicode: café 中文 😀 tab\there", "fr", "src1", 20L),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    graft.sources.JsonlIO.writeDocuments(docs, dir)
+    val back = graft.sources.JsonlIO.readDocuments(spark, dir)
+    assert(back.schema === graft.sources.JsonlIO.documentsSchema)
+    val a = docs.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      Option(r.getString(2)), r.getString(3), r.getLong(4))).toSet
+    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      Option(r.getString(2)), r.getString(3), r.getLong(4))).toSet
+    assert(a === b)
+  }
 }
