@@ -1792,6 +1792,13 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), bucketNs = WindowWidthNs)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    // session health report: the sessionize→aggregate seam as one row —
+    // durations floor-divided to exact whole seconds BEFORE any mean
+    // (epoch-ns-magnitude double means are last-ulp engine-dependent)
+    "events_session_stats" -> ((s, dir) => {
+      graft.pipeline.Temporal.sessionStats(
+        graft.pipeline.Temporal.readEvents(s, dir), gapNs = SessionGapNs)
+    }),
     // running/cumulative window family: per-user lifetime event count +
     // running value total at every event (LTV curve); one user_id
     // shuffle, single ordered pass, DECIMAL running sum (association-
@@ -2173,6 +2180,8 @@ object SparkEntry {
     "events_ohlc_stream" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
+    "events_session_stats" -> graft.pipeline.TemporalSql.sessionStats(
+      SessionGapNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(

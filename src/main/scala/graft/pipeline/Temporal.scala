@@ -102,6 +102,32 @@ object Temporal {
         round(sum("value"), 6).as("sum_value"))
   }
 
+  /** One-row session health report over [[sessionize]]'s output — the
+    * sessionize→aggregate seam as a single operator: session counts,
+    * per-session event-count stats, and duration stats. Durations are
+    * floor-divided to whole SECONDS first (exact integer arithmetic —
+    * the numerator is an exact multiple of 10⁹ ≤ 2^53, so the one
+    * double division is exact in any engine; a mean over raw epoch-ns
+    * magnitudes would be last-ulp engine-dependent), then means and
+    * exact interpolating percentiles run on small exact integers (the
+    * corpus_stats / quantile_cont precedent). Returns
+    * [n_sessions, n_users, mean_events, p50_events, mean_duration_s,
+    * p50_duration_s, p90_duration_s]. */
+  def sessionStats(events: DataFrame, gapNs: Long = 30 * NsPerMinute): DataFrame = {
+    val dur = col("session_end") - col("session_start")
+    val d = sessionize(events, gapNs).select(col("user_id"), col("n_events"),
+      ((dur - pmod(dur, lit(NsPerSecond))) / lit(NsPerSecond))
+        .cast("long").as("dur_s"))
+    d.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(avg(col("n_events")), 6).as("mean_events"),
+      round(expr("percentile(n_events, 0.5)").cast("double"), 6).as("p50_events"),
+      round(avg(col("dur_s")), 6).as("mean_duration_s"),
+      round(expr("percentile(dur_s, 0.5)").cast("double"), 6).as("p50_duration_s"),
+      round(expr("percentile(dur_s, 0.9)").cast("double"), 6).as("p90_duration_s"))
+  }
+
   /** As-of join: for each left row, the most recent right row of the same
     * key with `right.ts <= left.ts` (ties included; among right rows with
     * identical (key, ts) the one with the greatest `tieCol` wins).

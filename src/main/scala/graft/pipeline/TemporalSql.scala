@@ -208,6 +208,39 @@ object TemporalSql {
     * mirrors of the struct-tie-break min_by/max_by because the log's
     * (type, µs-ts) pairs are collision-free (asserted in TemporalSpec;
     * with ties only the Spark side would stay deterministic). */
+  /** Mirrors the events_session_stats entry: the sessionize CTEs
+    * aggregated to one report row. Durations are floor-divided to whole
+    * seconds FIRST (exact integer arithmetic; a double ns-scale mean
+    * would be last-ulp engine-dependent at 1e13 magnitudes), then
+    * mean/percentiles run on small exact integers — the corpus_stats
+    * quantile_cont precedent. */
+  def sessionStats(gapNs: Long): String =
+    s"""WITH e AS ($e),
+       |f AS (SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+       |                       OR tsn - lag(tsn) OVER w > $gapNs
+       |                     THEN 1 ELSE 0 END AS newf
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+       |s AS (SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session_idx
+       |      FROM f),
+       |sess AS (SELECT user_id, session_idx,
+       |                min(tsn) AS session_start, max(tsn) AS session_end,
+       |                count(*) AS n_events
+       |         FROM s GROUP BY user_id, session_idx),
+       |d AS (SELECT user_id, n_events,
+       |        ((session_end - session_start) -
+       |         (session_end - session_start) % 1000000000) // 1000000000
+       |          AS dur_s
+       |      FROM sess)
+       |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       round(avg(n_events), 6) AS mean_events,
+       |       round(quantile_cont(n_events, 0.5), 6) AS p50_events,
+       |       round(avg(dur_s), 6) AS mean_duration_s,
+       |       round(quantile_cont(dur_s, 0.5), 6) AS p50_duration_s,
+       |       round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s
+       |FROM d""".stripMargin
+
   /** Mirrors [[Temporal.cumulative]] — the DECIMAL running sum is exact
     * under any association order (DuckDB's windowed double sums use
     * segment trees; Spark accumulates), so the two engines agree to the
