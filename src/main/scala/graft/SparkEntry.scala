@@ -1040,6 +1040,17 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: char-n-gram PROFILE language ID (the other classic
+    // langid besides the stopword heuristic): per-language trigram
+    // profiles trained from the corpus's own lang labels, docs scored
+    // by smoothed multinomial log-likelihood — NB over char trigrams
+    // via the shared Classify core, rounded-argmax determinism.
+    "text_lang_ngram" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.languageIdNgram(docs(s, dir), n = 3)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("pred"), col("margin"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: stopword-hit language ID
     "text_lang_id" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.languageId(docs(s, dir))
@@ -2187,6 +2198,7 @@ object SparkEntry {
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(
       graft.pipeline.Temporal.NsPerDay),
     "classify_nb" -> graft.pipeline.PipelineSql.naiveBayes("source"),
+    "text_lang_ngram" -> graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
   )
 }

@@ -43,14 +43,26 @@ object Classify {
       .filter(col("t") =!= "")
       .groupBy(col(idCol), col("__lbl"), col("t"))
       .agg(count(lit(1)).as("n"))
+    nbFromDocTok(docTok, idCol)
+      .select(col(idCol), col("__lbl").as(labelCol), col("pred"), col("margin"))
+  }
+
+  /** The NB core over a pre-tokenized (doc, label, feature, count)
+    * table — any feature extractor (whitespace tokens, char n-grams …)
+    * plugs in above it. Doc counts/priors derive from the feature table
+    * itself (== the doc-level counts whenever every included doc has
+    * ≥ 1 feature, which each caller's filter guarantees). Returns
+    * [idCol, __lbl, pred, margin]. */
+  private[graft] def nbFromDocTok(docTok: DataFrame, idCol: String): DataFrame = {
     // (class, token, c_st) — vocabulary-sized
     val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
       .agg(sum("n").as("c_st"))
     // per-class constants: ln prior, ln(c_s + V); a handful of rows
     val v = classTok.select(countDistinct("t").as("v"))
-    val totalDocs = nonBlank.select(count(lit(1)).as("total"))
+    val totalDocs = docTok.select(countDistinct(col(idCol)).as("total"))
     val classConst = classTok.groupBy("cls").agg(sum("c_st").as("c_s"))
-      .join(nonBlank.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_docs")), "cls")
+      .join(docTok.groupBy(col("__lbl").as("cls"))
+        .agg(countDistinct(col(idCol)).as("n_docs")), "cls")
       .crossJoin(v).crossJoin(totalDocs)
       .select(col("cls"),
         (log(col("n_docs").cast("double")) -
@@ -78,7 +90,6 @@ object Classify {
       .withColumn("margin",
         round(col("score") - lead("score", 1).over(w), 3))
       .where(col("rk") === 1)
-      .select(col(idCol), col("__lbl").as(labelCol), col("cls").as("pred"),
-        col("margin"))
+      .select(col(idCol), col("__lbl"), col("cls").as("pred"), col("margin"))
   }
 }

@@ -1299,6 +1299,53 @@ object PipelineSql {
     * plan (ln(n)−ln(total), not ln(n/total) — keeps last-ulp behavior
     * aligned), rank on the 6-decimal-rounded score with class tie-break,
     * margin rounded to 3. */
+  /** The NB scoring core over a `dt` CTE [(doc_id, lbl, t, n)] — doc
+    * counts/priors derive from dt itself (== the doc-level counts since
+    * every included doc carries ≥ 1 feature). */
+  private def nbCoreSql(labelCol: String): String =
+    s"""ct AS (SELECT lbl AS cls, t, CAST(sum(n) AS BIGINT) AS c_st
+       |       FROM dt GROUP BY lbl, t),
+       |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM ct),
+       |tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS total FROM dt),
+       |cc AS (SELECT cs.cls,
+       |         ln(nd.n_docs) - ln(tot.total) AS ln_prior,
+       |         ln(cs.c_s + v.v) AS ln_denom
+       |       FROM (SELECT cls, CAST(sum(c_st) AS DOUBLE) AS c_s
+       |             FROM ct GROUP BY cls) cs
+       |       JOIN (SELECT lbl AS cls, CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+       |             FROM dt GROUP BY lbl) nd USING (cls)
+       |       CROSS JOIN v CROSS JOIN tot),
+       |part AS (SELECT dt.doc_id, ct.cls,
+       |           sum(CAST(dt.n AS DOUBLE) * ln(CAST(ct.c_st AS DOUBLE) + 1.0)) AS hit_sum
+       |         FROM dt JOIN ct ON ct.t = dt.t GROUP BY dt.doc_id, ct.cls),
+       |dl AS (SELECT doc_id, lbl, CAST(sum(n) AS BIGINT) AS len
+       |       FROM dt GROUP BY doc_id, lbl),
+       |scored AS (SELECT dl.doc_id, dl.lbl, cc.cls,
+       |             cc.ln_prior - CAST(dl.len AS DOUBLE) * cc.ln_denom
+       |               + coalesce(part.hit_sum, 0.0) AS score
+       |           FROM dl CROSS JOIN cc
+       |           LEFT JOIN part ON part.doc_id = dl.doc_id AND part.cls = cc.cls),
+       |ranked AS (SELECT doc_id, lbl, cls, score,
+       |             row_number() OVER w AS rk, lead(score, 1) OVER w AS s2
+       |           FROM scored
+       |           WINDOW w AS (PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lbl AS $labelCol, cls AS pred,
+       |       round(score - s2, 3) AS margin
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Mirrors TextAnalysis.languageIdNgram: char-n-gram NB over the same
+    * core — positions unnested by comprehension, identical substr spans. */
+  def naiveBayesCharNgram(labelCol: String, n: Int): String =
+    s"""WITH nb AS (SELECT doc_id, $labelCol AS lbl, $norm AS nt
+       |            FROM documents WHERE length($norm) >= $n),
+       |dt AS (SELECT doc_id, lbl, t, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT doc_id, lbl,
+       |               unnest([substr(nt, i, $n)
+       |                       for i in range(1, len(nt) - ${n - 2})]) AS t
+       |             FROM nb)
+       |       GROUP BY doc_id, lbl, t),
+       |${nbCoreSql(labelCol)}""".stripMargin
+
   def naiveBayes(labelCol: String): String =
     s"""WITH nb AS (SELECT doc_id, $labelCol AS lbl, string_split($norm, ' ') AS toks
        |            FROM documents WHERE length(trim(text)) > 0),

@@ -142,6 +142,38 @@ object TextAnalysis {
       .drop(langs.map(l => s"hits_$l"): _*)
   }
 
+  /** Char-n-gram language ID — the supervised n-gram-profile form (the
+    * other classic langid besides the stopword heuristic above): per-
+    * language character n-gram profiles are TRAINED from the corpus's
+    * own `labelCol` and every document is scored by smoothed multinomial
+    * log-likelihood — i.e. Naive Bayes over char n-grams, delegating to
+    * [[Classify.nbFromDocTok]] (same sparse log-count trick, same
+    * rounded-argmax determinism). Char n-grams beat word features on
+    * short/no-space text and need no stopword lists.
+    *
+    * The normalized text is MATERIALIZED (persist) before the
+    * position-sequence HOF — referencing the normalization expression
+    * inside the lambda would re-evaluate it per position (the §11
+    * HOF-lambda trap: O(len²) per row). Docs shorter than n normalized
+    * chars are excluded (they have no n-gram evidence). Returns
+    * [idCol, labelCol, pred, margin]. */
+  def languageIdNgram(df: DataFrame, n: Int = 3, labelCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val base = df
+      .select(col(idCol), col(labelCol).as("__lbl"), norm.as("nt"))
+      .filter(length(col("nt")) >= n)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.select(col(idCol), col("__lbl"),
+      explode(transform(sequence(lit(1), length(col("nt")) - (n - 1)),
+        i => col("nt").substr(i, lit(n)))).as("t"))
+    val docTok = grams.groupBy(col(idCol), col("__lbl"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    Classify.nbFromDocTok(docTok, idCol)
+      .select(col(idCol), col("__lbl").as(labelCol), col("pred"), col("margin"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length, repetition ratio (1 - distinct/total tokens); composite
     * `quality` in [0,1] combining the standard heuristics. */

@@ -76,4 +76,28 @@ class ClassifySpec extends SparkSpec {
     assert(agree >= (n * 0.95).toLong, s"approx/exact bucket agreement $agree/$n")
     joined.unpersist()
   }
+
+  test("languageIdNgram separates languages with distinct character statistics") {
+    import spark.implicits._
+    // two pseudo-languages with disjoint trigram inventories; short
+    // no-space text included (where the stopword heuristic is blind)
+    val docs = Seq(
+      (0L, "aaa bbb aab aba bab", "aa"),
+      (1L, "aab aaa bba abb", "aa"),
+      (2L, "zzz yyy zzy yzz", "zz"),
+      (3L, "zyz yzy zzz", "zz"),
+      (4L, "aababa", "aa"),     // no spaces at all
+      (5L, "zyzyzy", "zz"),
+      (6L, "ab", "aa"))         // < 3 chars: excluded, no evidence
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.languageIdNgram(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(!out.contains(6L), "sub-n doc must be excluded")
+    (0L to 5L).foreach { id =>
+      val (lang, pred, margin) = out(id)
+      assert(pred === lang, s"doc $id: pred $pred != $lang")
+      assert(margin > 0.5, s"doc $id margin $margin too tight")
+    }
+  }
 }

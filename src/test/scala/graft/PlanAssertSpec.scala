@@ -131,4 +131,51 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking plan has a shuffle:\n$p")
     assert(!p.toLowerCase.contains("scalaudf"), s"UDF in chunking plan:\n$p")
   }
+
+  test("kmeans assignment broadcasts the centroid side, never shuffles the corpus against it") {
+    import spark.implicits._
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i * 4 + j).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val p = executedPlan(Ann.kmeansReport(emb, k = 2, iters = 1))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"kmeans assignment pass lost the broadcast centroid side:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"kmeans assignment planned a shuffled cartesian product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF in kmeans plan:\n$p")
+  }
+
+  test("topOutliers plans the map-side TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i * 4 + j).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val p = executedPlan(Pca.topOutliers(emb, k = 5, iters = 1))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"outlier top-k lost TakeOrderedAndProject:\n$p")
+  }
+
+  test("cumulative is ONE exchange (the user_id shuffle) and nothing else") {
+    import spark.implicits._
+    val events = (0 until 50).map(i =>
+      (i.toLong, (i % 7).toLong, i.toLong * 1000000L, s"t${i % 2}", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val p = executedPlan(Temporal.cumulative(events))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // hashpartition + the local coalesce Spark may add
+      s"cumulative picked up extra shuffles ($exchanges):\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"cumulative lost the running window:\n$p")
+  }
+
+  test("containment candidate join is a shuffled equi-join on the shingle key, no BNLJ") {
+    val p = executedPlan(Dedup.containment(docsDF, shingleSize = 3,
+      threshold = 0.1, maxDocFreq = 50))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      s"containment planned an all-pairs join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"containment lost the keyed equi-join:\n$p")
+  }
 }

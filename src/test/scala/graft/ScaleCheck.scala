@@ -31,10 +31,18 @@ object ScaleCheck {
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // lazily-evaluated, name-filterable measurement row
+    var only: Option[String] = None
+    def entry(name: String)(f: => Any): Option[(String, Double)] =
+      if (only.forall(name.contains)) Some(name -> time(f)) else None
 
     // `sbt "Test/runMain graft.ScaleCheck bpe-only"` runs just the BPE
     // merge-count scaling block (the replication suite is ~15 min)
     val bpeOnly = args.contains("bpe-only")
+    // `only=<substring>` runs just the matching replication rows — the
+    // fast loop when re-measuring a single family's fixture
+    only = args.collectFirst { case a if a.startsWith("only=") =>
+      a.stripPrefix("only=") }
     for (r <- Seq(1, 4, 16) if !bpeOnly) {
       val docsR = (0 until r).map { i =>
         base
@@ -76,39 +84,39 @@ object ScaleCheck {
       evR.count()
 
       val results = Seq(
-        "text_quality (columnar)" -> time {
+        entry("text_quality (columnar)") {
           graft.pipeline.TextAnalysis.qualityScore(docsR).count()
         },
-        "dedup_exact (hash groupBy)" -> time {
+        entry("dedup_exact (hash groupBy)") {
           graft.pipeline.Dedup.exact(docsR).count()
         },
-        "dedup_minhash (banded LSH)" -> time {
+        entry("dedup_minhash (banded LSH)") {
           graft.pipeline.Dedup.minhashLsh(docsR, shingleSize = 3,
             numHashes = 8, bands = 4, threshold = 0.25).count()
         },
-        "pack_sequences (prefix sum)" -> time {
+        entry("pack_sequences (prefix sum)") {
           val packed = graft.pipeline.Sampling.packSequences(
             graft.pipeline.TextAnalysis.tokenCounts(docsR)
               .select(col("doc_id"), col("ws_tokens")), "ws_tokens", 512L)
           packed.count()
           graft.pipeline.Sampling.unpersistPacked(packed)
         },
-        "pack_bestfit (per-group greedy)" -> time {
+        entry("pack_bestfit (per-group greedy)") {
           graft.pipeline.Sampling.packBestFit(
             graft.pipeline.TextAnalysis.tokenCounts(docsR)
               .select(col("doc_id"), col("ws_tokens")), "ws_tokens", 512L).count()
         },
-        "text_decontaminate (bcast pool)" -> time {
+        entry("text_decontaminate (bcast pool)") {
           // bench fixture shape: eval set = a slice of the corpus
           graft.pipeline.Dedup.decontaminate(
             docsR.filter(col("doc_id") % 10000000L >= 50),
             docsR.filter(col("doc_id") % 10000000L < 50), n = 5).count()
         },
-        "text_boilerplate (+scrub)" -> time {
+        entry("text_boilerplate (+scrub)") {
           val bl = graft.pipeline.Dedup.boilerplateNgrams(docsR, n = 3, minDocs = 5)
           graft.pipeline.Dedup.boilerplateScrub(docsR, bl, n = 3).count()
         },
-        "dedup_simhash_pairs (pigeonhole)" -> time {
+        entry("dedup_simhash_pairs (pigeonhole)") {
           // the shared one-token replica mutation leaves replicas
           // Hamming-NEAR, so cross-replica pair OUTPUT would grow
           // quadratically by data construction — measuring the fixture,
@@ -123,7 +131,7 @@ object ScaleCheck {
                 lit("x" + j))): _*)))
           graft.pipeline.Dedup.simhashPairs(decorrelated, maxHamming = 3).count()
         },
-        "dedup_clusters (pointer jump)" -> time {
+        entry("dedup_clusters (pointer jump)") {
           // synthetic 64-node chain segments, edges ∝ corpus rows:
           // replica minhash pairs would grow quadratically BY DATA
           // CONSTRUCTION (every doc pairs with its replicas), which
@@ -134,32 +142,32 @@ object ScaleCheck {
             .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
           graft.pipeline.Dedup.duplicateClusters(pairs).count()
         },
-        "bpe_train 8 rounds (vocab argmax)" -> time {
+        entry("bpe_train 8 rounds (vocab argmax)") {
           // corpus-proportional work = the word-count shuffle; rounds run
           // on the Zipf-bounded vocab table (grows ~r via rep/salt tokens)
           graft.pipeline.Bpe.train(docsR, numMerges = 8).count()
         },
-        "dedup_semantic (cells ∝ corpus)" -> time {
+        entry("dedup_semantic (cells ∝ corpus)") {
           // SemDeDup's scaling contract: cell count grows with the corpus
           // so per-cell candidate sets stay bounded — numCells = 16r here
           graft.pipeline.Dedup.semanticDedup(embR, numCells = 16 * r,
             threshold = 0.9, iters = 1).count()
         },
-        "ann_pq (ADC code scan)" -> time {
+        entry("ann_pq (ADC code scan)") {
           graft.pipeline.Ann.pqTopK(embR,
             embBase.filter(col("vec_id") < 5), k = 10,
             m = 4, numCentroids = 16, iters = 1).count()
         },
-        "text_tfidf (tf/df + vocab join)" -> time {
+        entry("text_tfidf (tf/df + vocab join)") {
           graft.pipeline.TextAnalysis.tfidfTerms(docsR, topK = 5).count()
         },
-        "text_lm_perplexity (bigram LM)" -> time {
+        entry("text_lm_perplexity (bigram LM)") {
           graft.pipeline.TextAnalysis.lmPerplexity(docsR).count()
         },
-        "events_sessionize (user window)" -> time {
+        entry("events_sessionize (user window)") {
           graft.pipeline.Temporal.sessionize(evR).count()
         },
-        "events_asof (union trick)" -> time {
+        entry("events_asof (union trick)") {
           graft.pipeline.Temporal.asofJoin(
             evR.where(col("event_type") === "purchase")
               .select("event_id", "user_id", "ts"),
@@ -167,34 +175,34 @@ object ScaleCheck {
               .select("user_id", "ts", "event_id"),
             "user_id", "ts", "event_id", Seq("event_id", "ts")).count()
         },
-        "events_retention (cohorts)" -> time {
+        entry("events_retention (cohorts)") {
           graft.pipeline.Temporal.retention(evR).count()
         },
-        "events_funnel (per-user fold)" -> time {
+        entry("events_funnel (per-user fold)") {
           graft.pipeline.Temporal.funnel(evR,
             Seq("view", "click", "purchase"),
             horizonNs = 60L * graft.pipeline.Temporal.NsPerMinute).count()
         },
-        "events_topk (WindowGroupLimit)" -> time {
+        entry("events_topk (WindowGroupLimit)") {
           // 5 event types total — a naive per-type window would funnel the
           // whole log through 5 tasks; WindowGroupLimit's per-map-partition
           // top-k pre-truncation is what this row proves out
           graft.pipeline.Temporal.topUsers(evR, k = 5).count()
         },
-        "text_bm25 (bcast query side)" -> time {
+        entry("text_bm25 (bcast query side)") {
           import spark.implicits._
           val queries = Seq((1L, "hash join merge"),
             (2L, "window agg sort stream"),
             (3L, "fast scan filter column table")).toDF("query_id", "query_text")
           graft.pipeline.TextAnalysis.bm25Search(docsR, queries).count()
         },
-        "classify_nb (NB train+predict)" -> time {
+        entry("classify_nb (NB train+predict)") {
           graft.pipeline.Classify.naiveBayes(docsR).count()
         },
-        "text_chunk (narrow slide-window)" -> time {
+        entry("text_chunk (narrow slide-window)") {
           graft.pipeline.TextAnalysis.chunkDocuments(docsR).count()
         },
-        "graph_triangles (deg-oriented)" -> time {
+        entry("graph_triangles (deg-oriented)") {
           // replica tokens (rep$i) keep cross-replica cooc edges from
           // merging, so the graph grows linearly in r
           val corpus = graft.sources.Corpus.fromDocumentsTablePositional(docsR)
@@ -203,23 +211,30 @@ object ScaleCheck {
           graft.pipeline.Graph.triangles(sym.select(
             col("token_a").as("src"), col("token_b").as("dst"))).count()
         },
-        "embed_kmeans (dataflow Lloyd)" -> time {
+        entry("embed_kmeans (dataflow Lloyd)") {
           graft.pipeline.Ann.kmeansReport(embR, k = 8, iters = 2).count()
         },
-        "embed_pca (Gram + power iter)" -> time {
+        entry("embed_pca (Gram + power iter)") {
           graft.pipeline.Pca.topComponent(embR, iters = 5).count()
         },
-        "dedup_containment (inv. index)" -> time {
-          // maxDocFreq scales with the corpus (the per-shingle bucket cap
-          // is a fraction, not an absolute — an absolute cap would empty
-          // candidate generation as df grows with replication)
-          graft.pipeline.Dedup.containment(docsR, shingleSize = 3,
-            threshold = 0.5, maxDocFreq = 100L * r).count()
+        entry("dedup_containment (inv. index)") {
+          // replica shingle spaces must be DISJOINT (suffix every token
+          // with its replica id): the shared one-token-tail replication
+          // leaves replicas shingle-identical, so cross-replica pair
+          // OUTPUT grows r² by data construction — the simhash/clusters
+          // fixture reasoning. maxDocFreq stays an absolute cap over the
+          // now-decorrelated shingles (per-replica df is r-independent).
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          graft.pipeline.Dedup.containment(decorrelated, shingleSize = 3,
+            threshold = 0.5, maxDocFreq = 100L).count()
         },
-        "events_cumulative (running agg)" -> time {
+        entry("events_cumulative (running agg)") {
           graft.pipeline.Temporal.cumulative(evR).count()
         },
-        "kernel_fit 2 passes (E/M-step)" -> time {
+        entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
           val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
@@ -227,7 +242,7 @@ object ScaleCheck {
             Fit.Config(numTopics = 8, numCollectionPasses = 2,
               estep = EStepConfig(numDocumentPasses = 1))).pwt.count()
         },
-        "kernel_fit joinphi (dist. Phi)" -> time {
+        entry("kernel_fit joinphi (dist. Phi)") {
           // maxBroadcastRows = 0 forces the distributed-Phi E-step — the
           // path a 100 TB vocab actually takes
           val corpus = Corpus.fromDocumentsTable(docsR)
@@ -238,7 +253,7 @@ object ScaleCheck {
               estep = EStepConfig(numDocumentPasses = 1),
               maxBroadcastRows = 0L)).pwt.count()
         }
-      )
+      ).flatten
       results.foreach { case (name, sec) =>
         println(f"SCALE r=$r%2d rows=$n%7d  $name%-32s ${sec}%8.2f s  ${n / sec}%10.0f rows/s")
       }
