@@ -1867,6 +1867,15 @@ object SparkEntry {
       graft.pipeline.Classify.naiveBayes(docs(s, dir), labelCol = "source")
         .orderBy(col("doc_id"))
     }),
+    // streaming NB inference: the train-batch / score-stream serving
+    // shape — model broadcast as literals, stateless per-row fold (no
+    // state store), gated by the SAME SQL as the batch classify_nb row
+    "classify_nb_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.classifyDocs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("pred"), col("margin"))
+        .orderBy(col("doc_id"))
+    }),
     // CCNet-style head/middle/tail quality buckets by per-lang LM
     // perplexity terciles — exact-percentile mode for cross-engine
     // determinism (the default is the approx_percentile scale path)
@@ -2198,6 +2207,7 @@ object SparkEntry {
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(
       graft.pipeline.Temporal.NsPerDay),
     "classify_nb" -> graft.pipeline.PipelineSql.naiveBayes("source"),
+    "classify_nb_stream" -> graft.pipeline.PipelineSql.naiveBayes("source"),
     "text_lang_ngram" -> graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
   )

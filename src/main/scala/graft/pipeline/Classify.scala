@@ -92,4 +92,64 @@ object Classify {
       .where(col("rk") === 1)
       .select(col(idCol), col("__lbl"), col("cls").as("pred"), col("margin"))
   }
+
+  /** A broadcastable trained NB model: per-class constants + the
+    * ln(c_st + 1) table as a map. Vocabulary × classes sized — the
+    * serving contract (at 100 TB vocab, cap to the top-K discriminative
+    * tokens before broadcasting; unseen tokens contribute ln 1 = 0
+    * anyway, so capping only coarsens scores, never crashes). */
+  final case class NbClass(cls: String, lnPrior: Double, lnDenom: Double,
+    lnCounts: Map[String, Double])
+  final case class NbModel(classes: Seq[NbClass])
+
+  /** Train the broadcastable model (same counts as [[naiveBayes]]; the
+    * constants are computed driver-side with the same Math.log the
+    * codegen'd scoring uses). */
+  def trainNbModel(df: DataFrame, labelCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): NbModel = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val docTok = nonBlank
+      .select(col(idCol), col(labelCol).as("__lbl"),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col(idCol), col("__lbl"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
+      .agg(sum("n").as("c_st")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val v = classTok.map(_._2).distinct.length.toDouble
+    val nDocs = docTok.groupBy(col("__lbl"))
+      .agg(countDistinct(col(idCol)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = nDocs.values.sum.toDouble
+    val classes = classTok.groupBy(_._1).toSeq.sortBy(_._1).map { case (cls, rows) =>
+      val cS = rows.map(_._3).sum.toDouble
+      NbClass(cls,
+        lnPrior = math.log(nDocs(cls).toDouble) - math.log(total),
+        lnDenom = math.log(cS + v),
+        lnCounts = rows.map { case (_, t, c) => t -> math.log(c.toDouble + 1.0) }
+          .toMap)
+    }
+    NbModel(classes)
+  }
+
+  /** Per-row class-score array for a token-array column against a
+    * broadcast [[NbModel]] — STATELESS (no aggregation), which is what
+    * makes NB inference runnable on an unbounded stream in append mode:
+    * the per-doc token sum folds inside the row instead of a groupBy.
+    * Entries sort best-first by (6-dec-rounded score desc, class asc) —
+    * the batch argmax's exact order. Fold order differs from the batch
+    * grouped sum only in summation order (absorbed by the rounding, as
+    * everywhere). */
+  def nbScoreArray(toks: Column, model: NbModel): Column = {
+    val entries = model.classes.map { c =>
+      val m = typedLit(c.lnCounts)
+      val raw = lit(c.lnPrior) -
+        size(toks).cast("double") * lit(c.lnDenom) +
+        aggregate(transform(toks, t => coalesce(element_at(m, t), lit(0.0))),
+          lit(0.0), (acc, x) => acc + x)
+      struct((-round(raw, 6)).as("nr"), lit(c.cls).as("cls"), raw.as("raw"))
+    }
+    array_sort(array(entries: _*))
+  }
 }

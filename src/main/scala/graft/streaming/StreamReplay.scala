@@ -140,6 +140,34 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed NB classification of the driver's documents table: the
+    * model trains in BATCH on the same parquet, then the staged doc
+    * stream is scored statelessly ([[StreamingPipeline.classifyStream]])
+    * — gated by the SAME PipelineSql.naiveBayes statement as the batch
+    * classify_nb row. Returns [doc_id, source, pred, margin]. */
+  def classifyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.pipeline.Classify.trainNbModel(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val stage = stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
+      val d = Files.createTempDirectory("graft_replay_docs")
+      val staged = d.resolve("documents.parquet")
+      val src = Paths.get(s"$dir/documents.parquet")
+      try Files.createSymbolicLink(staged, src)
+      catch { case _: Exception =>
+        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+      d
+    })
+    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+    val qname = s"graft_replay_nb_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.classifyStream(stream, model)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed sessionization of the driver's events table, shaped to the
     * batch [[graft.pipeline.Temporal.sessionize]] contract
     * [user_id, session_idx, session_start, session_end (epoch-ns longs),

@@ -128,6 +128,28 @@ object StreamingPipeline {
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming NB inference — the train-batch / score-stream serving
+    * shape: a [[graft.pipeline.Classify.NbModel]] trained offline rides
+    * into the stream as broadcast literals (per-class constants + the
+    * ln-count map), and scoring is a STATELESS per-row fold
+    * ([[graft.pipeline.Classify.nbScoreArray]]) — no aggregation, no
+    * state store, append-mode-safe on an unbounded stream. Output is
+    * row-for-row the batch [[graft.pipeline.Classify.naiveBayes]]
+    * prediction (same rounded-argmax order), so it sits under the same
+    * oracle SQL. Returns [doc_id, labelCol, pred, margin]. */
+  def classifyStream(stream: DataFrame,
+      model: graft.pipeline.Classify.NbModel,
+      labelCol: String = "source"): DataFrame = {
+    val toks = filter(
+      graft.pipeline.TextAnalysis.tokensCol(col("text")), t => t =!= lit(""))
+    stream.filter(length(trim(col("text"))) > 0)
+      .withColumn("__sc", graft.pipeline.Classify.nbScoreArray(toks, model))
+      .select(col("doc_id"), col(labelCol),
+        element_at(col("__sc"), 1).getField("cls").as("pred"),
+        round(element_at(col("__sc"), 1).getField("raw") -
+          element_at(col("__sc"), 2).getField("raw"), 3).as("margin"))
+  }
+
   def cleanDocuments(stream: DataFrame, minQuality: Double,
       eventTimeCol: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
     val scored = scoreAndGate(stream, minQuality)

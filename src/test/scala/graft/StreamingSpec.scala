@@ -398,4 +398,22 @@ class StreamingSpec extends SparkSpec {
       assert(batchPairs.contains(p), s"stream claim $p not a batch bucket pair")
     }
   }
+
+  test("classifyStream == batch naiveBayes predictions (stateless fold == grouped sum)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.pipeline.Classify.trainNbModel(docs)
+    // the scoring stage is stateless, so running it on the batch frame
+    // IS the per-row stream semantics (same plan the memory-sink replay
+    // executes micro-batch by micro-batch)
+    val stream = StreamingPipeline.classifyStream(docs, model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+    val batch = graft.pipeline.Classify.naiveBayes(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+    assert(stream.keySet === batch.keySet)
+    stream.foreach { case (id, (pred, margin)) =>
+      assert(batch(id)._1 === pred, s"doc $id pred drifted")
+      assert(math.abs(batch(id)._2 - margin) <= 0.001, s"doc $id margin drifted")
+    }
+  }
 }
