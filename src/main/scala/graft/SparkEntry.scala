@@ -228,6 +228,17 @@ object SparkEntry {
   /** Shared symmetrized windowed-cooc table (production Cooc.gather —
     * integer-valued cooc_tf, so it is hash-safe against the DuckDB cooc
     * CTEs), memoized local: [class_id, token_a, token_b, cooc_tf, cooc_df]. */
+  /** Memoized containment pair table (small by construction — the
+    * thresholded near-dup pairs) shared by dedup_containment, graph_cc
+    * and graph_kcore; LocalRelation so clearCache() between entries
+    * can't evict it. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "containpairs") {
+      RelationalEm.collectLocal(graft.pipeline.Dedup.containment(
+        docs(s, dir), shingleSize = ShingleK, threshold = 0.5,
+        maxDocFreq = 100))
+    }
+
   private def coocSym(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "coocsym") {
       val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
@@ -1173,9 +1184,7 @@ object SparkEntry {
     // maxDocFreq skew cut mirrored in the SQL; the driver corpus's
     // near-exact duplicate groups surface naturally (no planting).
     "dedup_containment" -> ((s, dir) => {
-      graft.pipeline.Dedup.containment(docs(s, dir), shingleSize = ShingleK,
-        threshold = 0.5, maxDocFreq = 100)
-        .orderBy(col("id_a"), col("id_b"))
+      containmentPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
     // graph analytics: generic connected components (pointer-jumping
     // min-label propagation over ANY orderable vertex type — the
@@ -1184,10 +1193,20 @@ object SparkEntry {
     // chain a⊂b, b⊂c resolves into one component even though (a, c)
     // itself may sit under the threshold.
     "graph_cc" -> ((s, dir) => {
-      val pairs = graft.pipeline.Dedup.containment(docs(s, dir),
-        shingleSize = ShingleK, threshold = 0.5, maxDocFreq = 100)
       graft.pipeline.Graph.connectedComponents(
-          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          containmentPairs(s, dir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .orderBy(col("vertex"))
+    }),
+    // graph analytics: 2-core of the containment pair graph — the
+    // dense-subgraph screen separating genuine duplicate CLUSTERS
+    // (every member ≥ 2 surviving neighbors) from incidental pairwise
+    // chains; iterative peel, one degree count + two anti-joins per
+    // round, convergence raise past maxRounds
+    "graph_kcore" -> ((s, dir) => {
+      graft.pipeline.Graph.kCore(
+          containmentPairs(s, dir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")), k = 2)
         .orderBy(col("vertex"))
     }),
     // LLM pipeline: recall@k of the LSH index vs the brute-force truth
@@ -1979,6 +1998,8 @@ object SparkEntry {
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
+    "graph_kcore" -> graft.pipeline.PipelineSql.graphKcoreContainment(
+      ShingleK, threshold = 0.5, maxDocFreq = 100, coreK = 2, rounds = 4),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(

@@ -122,6 +122,48 @@ object Graph {
     labels.select(col("id").as("vertex"), col("label").as("component"))
   }
 
+  /** k-core decomposition (the k-core): iteratively peel vertices of
+    * degree < k until none remain — the standard dense-subgraph screen
+    * (a vertex in the k-core has ≥ k neighbors that ALSO survive; for
+    * copy-family graphs the 2-core separates genuine duplicate clusters
+    * from incidental pairwise chains). Each round is one map-side-
+    * combined degree count + two anti-joins on the (small, shrinking)
+    * dropped-vertex set; the edge table localCheckpoints per round so
+    * plans stay O(1) deep. Peel depth is bounded by the degeneracy
+    * ordering length — tiny in practice; raises past `maxRounds` rather
+    * than emitting a non-converged core. Input may be directed/parallel
+    * (canonicalized + deduplicated). Returns the surviving vertices
+    * with their core degree [vertex, degree]. */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 30): DataFrame = {
+    require(k >= 1)
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = e.groupBy(col("a")).agg(count(lit(1)).as("n"))
+      val drop = deg.filter(col("n") < k).select(col("a")).localCheckpoint(true)
+      if (drop.isEmpty) converged = true
+      else {
+        e = e.join(drop, Seq("a"), "left_anti")
+          .join(drop.select(col("a").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds peel rounds — degeneracy " +
+          "ordering deeper than expected; raise maxRounds")
+    e.groupBy(col("a").as("vertex")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-vertex triangle counts via DEGREE-ORDERED edge orientation —
     * the distributed triangle algorithm: orient every undirected edge
     * from its lower-(degree, id) endpoint to the higher one, so each

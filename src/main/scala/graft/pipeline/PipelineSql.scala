@@ -382,6 +382,29 @@ object PipelineSql {
        |FROM l$rounds ORDER BY vertex""".stripMargin
   }
 
+  /** Mirrors Graph.kCore over the containment pair graph: `rounds`
+    * unrolled peel rounds (degree count + both-endpoint survivor join);
+    * must cover the Spark fixpoint's peel depth (measured 1 on driver
+    * data; 4 gives margin — a deeper graph breaks the hash loudly). */
+  def graphKcoreContainment(k: Int, threshold: Double, maxDocFreq: Long,
+      coreK: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT a, CAST(count(*) AS BIGINT) AS n
+         |  FROM e${i - 1} GROUP BY a),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d$i da ON da.a = e.a AND da.n >= $coreK
+         |  JOIN d$i db ON db.a = e.b AND db.n >= $coreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
+       |und AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |        FROM cp WHERE id_a <> id_b),
+       |e0 AS MATERIALIZED (SELECT a, b FROM und
+       |                    UNION ALL SELECT b, a FROM und),
+       |$peel
+       |SELECT a AS vertex, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY a ORDER BY vertex""".stripMargin
+  }
+
   /** Mirrors Ann.recallReport over the lshTopK / bruteForceTopK pair:
     * both full top-k statements ride along as nested-WITH CTEs (their
     * inner CTE names scope locally, so `base` etc. cannot collide), and

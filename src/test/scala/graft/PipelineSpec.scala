@@ -519,6 +519,17 @@ class PipelineSpec extends SparkSpec {
       "d" -> "d", "e" -> "d", "f" -> "f"))
   }
 
+  test("kCore: triangle survives the 2-core, tails and chains peel away") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the densest structure empties the core
+    assert(Graph.kCore(edges, k = 3).count() === 0L)
+  }
+
   test("kmeansDataflow: counts partition the corpus; partitioning-invariant; real update") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rpt = Ann.kmeansReport(emb, k = 4, iters = 2).cache()
