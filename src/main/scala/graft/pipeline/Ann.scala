@@ -401,19 +401,22 @@ object Ann {
       .select(col("query_id"), col("rank"), col("id"), col("adc"))
   }
 
-  /** IVF-PQ: the production 100 TB ANN architecture — IVF cells route
-    * each query to `nprobe` partitions of the corpus, and within them the
-    * scan reads m code bytes per vector (ADC against the broadcast PQ
-    * codebook), never the raw vectors. One narrow encode pass produces
-    * (id, cell, codes); the candidate join is keyed on `cell`; the raw
-    * corpus vectors appear in no join at query time. Exact-rerank of the
-    * ADC shortlist (see PipelineSpec) is the optional refinement stage.
-    * Returns [query_id, rank, id, adc]. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** A built IVF-PQ index — the persistent serving artifact: the (tiny)
+    * routing centroids + PQ codebooks, and the encoded corpus as a
+    * DataFrame of (id, cell, m code bytes). Raw vectors appear nowhere:
+    * once built (or loaded — [[graft.sources.AnnIO]]), queries touch
+    * only this. */
+  final case class IvfPqIndex(cells: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], codes: DataFrame)
+
+  /** Build the IVF-PQ index: train both codebooks, then ONE narrow
+    * encode pass over the corpus (assign cell + m sub-quantizer codes
+    * per vector). */
+  def buildIvfPq(corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
+      numCentroids: Int = 16, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
-      sampleSize: Int = 10000): DataFrame = {
+      sampleSize: Int = 10000): IvfPqIndex = {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, vecCol, numCentroids, iters, sampleSize,
       idCol = idCol)
@@ -422,7 +425,6 @@ object Ann {
     val bCells = spark.sparkContext.broadcast(cents)
     val bCbs = spark.sparkContext.broadcast(cbs)
     val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bCells.value) }
-    val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bCells.value, nprobe) }
     val encodeU = udf { (v: Seq[Float]) =>
       val arr = v.toArray
       val cb = bCbs.value
@@ -431,6 +433,22 @@ object Ann {
         nearestCentroid(arr.slice(s * sub, (s + 1) * sub), cb(s))
       }
     }
+    IvfPqIndex(cents, cbs,
+      corpus.select(col(idCol).cast("long").as("id"),
+        assign(col(vecCol)).as("cell"), encodeU(col(vecCol)).as("codes")))
+  }
+
+  /** Query a built/loaded [[IvfPqIndex]]: route each query to `nprobe`
+    * cells, ADC-score the candidates\' codes against the broadcast
+    * codebook. The corpus side of the join is the CODES table — raw
+    * vectors appear in no query-time join. */
+  def queryIvfPq(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val bCells = spark.sparkContext.broadcast(index.cells)
+    val bCbs = spark.sparkContext.broadcast(index.codebooks)
+    val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bCells.value, nprobe) }
     val adcU = udf { (codes: Seq[Int], q: Seq[Float]) =>
       val cb = bCbs.value
       val sub = q.length / cb.length
@@ -448,12 +466,10 @@ object Ann {
       }
       tot
     }
-    val c = corpus.select(col(idCol).cast("long").as("id"),
-      assign(col(vecCol)).as("cell"), encodeU(col(vecCol)).as("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
       .withColumn("cell", explode(probes(col("qvec"))))
-    val scored = c.join(q, Seq("cell"))
+    val scored = index.codes.join(q, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc", adcU(col("codes"), col("qvec")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
@@ -461,6 +477,18 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("adc"))
   }
+
+  /** IVF-PQ: the production 100 TB ANN architecture as one call —
+    * [[buildIvfPq]] then [[queryIvfPq]]. See those for the plan shape. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
+      pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
+      sampleSize: Int = 10000): DataFrame =
+    queryIvfPq(
+      buildIvfPq(corpus, idCol, vecCol, numCentroids, m, pqCentroids,
+        iters, pqIters, sampleSize),
+      queries, k, nprobe, idCol, vecCol)
 
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Ann
+
+/** IVF-PQ index persistence — the ANN serving artifact as parquet (the
+  * ModelIO pattern for search indexes): the routing centroids and PQ
+  * codebooks in long layout (tiny — they reassemble to driver arrays on
+  * load), the encoded corpus as-is (the only corpus-sized part, and it
+  * is m code bytes + a cell id per vector — the ~64× compression that
+  * makes a 100 TB corpus servable). Build once with
+  * [[graft.pipeline.Ann.buildIvfPq]], `save`, then serve query traffic
+  * from `load` without ever touching raw vectors again. */
+object AnnIO {
+
+  def save(index: Ann.IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.cells.zipWithIndex
+      .flatMap { case (cv, c) => cv.zipWithIndex.map { case (v, p) => (c, p, v) } }
+      .toSeq.toDF("cell", "pos", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cells.parquet")
+    index.codebooks.zipWithIndex
+      .flatMap { case (cb, sub) => cb.zipWithIndex.flatMap { case (cw, code) =>
+        cw.zipWithIndex.map { case (v, p) => (sub, code, p, v) } } }
+      .toSeq.toDF("sub", "code", "pos", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks.parquet")
+    index.codes.write.mode(SaveMode.Overwrite).parquet(s"$path/codes.parquet")
+  }
+
+  def load(spark: SparkSession, path: String): Ann.IvfPqIndex = {
+    val cellRows = spark.read.parquet(s"$path/cells.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+    val nCells = cellRows.map(_._1).max + 1
+    val dim = cellRows.map(_._2).max + 1
+    val cells = Array.ofDim[Float](nCells, dim)
+    cellRows.foreach { case (c, p, v) => cells(c)(p) = v }
+    val cbRows = spark.read.parquet(s"$path/codebooks.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getFloat(3)))
+    val m = cbRows.map(_._1).max + 1
+    val codes = cbRows.map(_._2).max + 1
+    val sub = cbRows.map(_._3).max + 1
+    val cbs = Array.ofDim[Float](m, codes, sub)
+    cbRows.foreach { case (s, c, p, v) => cbs(s)(c)(p) = v }
+    Ann.IvfPqIndex(cells, cbs,
+      spark.read.parquet(s"$path/codes.parquet")
+        .select(col("id"), col("cell"), col("codes")))
+  }
+}

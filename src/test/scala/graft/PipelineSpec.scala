@@ -519,6 +519,28 @@ class PipelineSpec extends SparkSpec {
       "d" -> "d", "e" -> "d", "f" -> "f"))
   }
 
+  test("AnnIO: saved+loaded IVF-PQ index serves bit-identical results, raw vectors untouched") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val built = Ann.buildIvfPq(emb, numCentroids = 8, m = 4, pqCentroids = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    graft.sources.AnnIO.save(built, dir)
+    val loaded = graft.sources.AnnIO.load(spark, dir)
+    assert(loaded.cells.map(_.toSeq).toSeq === built.cells.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val a = Ann.queryIvfPq(built, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Ann.queryIvfPq(loaded, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "loaded index must serve the same ranked results")
+    // the one-call form still equals the split build/query form
+    val c = Ann.ivfPqTopK(emb, queries, k = 10, numCentroids = 8, m = 4,
+      pqCentroids = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(c === a)
+  }
+
   test("kCore: triangle survives the 2-core, tails and chains peel away") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
