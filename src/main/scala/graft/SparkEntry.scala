@@ -1549,6 +1549,18 @@ object SparkEntry {
         .select(col("source"), col("distinct_tokens"), col("total_tokens"))
         .orderBy(col("source"))
     }),
+    // per-source DATA CARD: the release report — corpus stats, vocab
+    // size, mean quality, dominant language — composed from four
+    // verified aggregates in one row per source (the seams between the
+    // component operators are what this row certifies)
+    "report_datacard" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.dataCard(docs(s, dir))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"), col("mean_tokens"), col("p50_tokens"),
+          col("p90_tokens"), col("distinct_tokens"), col("mean_quality"),
+          col("top_lang"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: deterministic Bernoulli sampling (salted md5 prefix
     // below the rate threshold — reproducible on any cluster size, narrow)
     "sample_hash" -> ((s, dir) => {
@@ -2040,6 +2052,9 @@ object SparkEntry {
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
+    "report_datacard" -> graft.pipeline.PipelineSql.dataCard(
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
+      graft.pipeline.TextAnalysis.defaultStopwords),
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_temperature" -> graft.pipeline.PipelineSql.sampleTemperature(

@@ -727,6 +727,33 @@ object PipelineSql {
        |SELECT doc_id, l$n AS lang_pred, b$n AS lang_hits FROM s$n ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors TextAnalysis.dataCard: the four verified per-source
+    * aggregates composed in one statement — the component statements
+    * ride along as nested-WITH CTEs joined on the source key. */
+  def dataCard(stopwords: Seq[String],
+      langStopwords: Map[String, Seq[String]]): String =
+    s"""WITH cs AS MATERIALIZED ($corpusStats),
+       |vv AS MATERIALIZED (
+       |  SELECT source, distinct_tokens FROM ($corpusVocab)),
+       |qd AS MATERIALIZED (${textQuality(stopwords)}),
+       |qs AS (SELECT d.source,
+       |         round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+       |               / count(*), 6) AS mean_quality
+       |       FROM qd q JOIN documents d USING (doc_id) GROUP BY d.source),
+       |lp AS MATERIALIZED (${langId(langStopwords)}),
+       |lc AS (SELECT d.source, l.lang_pred, count(*) AS cnt
+       |       FROM lp l JOIN documents d USING (doc_id)
+       |       GROUP BY d.source, l.lang_pred),
+       |tl AS (SELECT source, lang_pred AS top_lang FROM (
+       |         SELECT source, lang_pred, row_number() OVER (
+       |           PARTITION BY source ORDER BY cnt DESC, lang_pred) AS rk
+       |         FROM lc) WHERE rk = 1)
+       |SELECT cs.source, cs.n_docs, cs.total_tokens, cs.mean_tokens,
+       |       cs.p50_tokens, cs.p90_tokens, vv.distinct_tokens,
+       |       qs.mean_quality, tl.top_lang
+       |FROM cs JOIN vv USING (source) JOIN qs USING (source)
+       |JOIN tl USING (source) ORDER BY cs.source""".stripMargin
+
   /** Mirrors TextAnalysis.fingerprint: whole-doc md5 of the normalized
     * text + the order-sensitive 131-ary rolling hash over per-token
     * md5-prefix ints (same fold, same constants — BIGINT-safe in both

@@ -394,6 +394,38 @@ object TextAnalysis {
         count(lit(1)).as("total_tokens"))
   }
 
+  /** Per-source DATA CARD — the one-row-per-source release report
+    * composing the verified aggregate family: corpus stats (doc/token
+    * counts, mean + exact percentiles), vocabulary size, mean quality
+    * (DECIMAL sum over the 6-dec-rounded per-doc quality —
+    * order-insensitive), and the dominant predicted language (argmax
+    * count, name tie-break). Four map-side-combined aggregations joined
+    * on the handful of source keys — the seams between the component
+    * operators are exactly what the composed row certifies. Returns
+    * [source, n_docs, total_tokens, mean_tokens, p50_tokens, p90_tokens,
+    * distinct_tokens, mean_quality, top_lang]. */
+  def dataCard(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text",
+      stopwords: Map[String, Seq[String]] = defaultStopwords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = corpusStats(tokenCounts(df, textCol), sourceCol, exact = true)
+    val vs = vocabStats(df, sourceCol, textCol, exact = true)
+      .select(col(sourceCol), col("distinct_tokens"))
+    val q = qualityScore(df, textCol)
+      .groupBy(col(sourceCol))
+      .agg(round(
+        sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+    val lpc = languageId(df, textCol, stopwords)
+      .groupBy(col(sourceCol), col("lang_pred")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("cnt").desc, col("lang_pred"))
+    val top = lpc.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(sourceCol), col("lang_pred").as("top_lang"))
+    cs.join(vs, Seq(sourceCol)).join(q, Seq(sourceCol)).join(top, Seq(sourceCol))
+  }
+
   /** Document fingerprinting:
     * - `fingerprint`: md5 of the whitespace-normalized lowercased text
     *   (cheap exact-dup key, oracle-checkable);
