@@ -115,6 +115,8 @@ object SparkEntry {
   private val SqlKeepSalt = "sqlsurface"
   private val BoilerN = 3          // boilerplate n-gram width
   private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
+  private val LineWrapTokens = 8   // text_line_dedup planted line width
+  private val LineDedupHeader = "corpus shared header line"
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
   private val BpeTopSubwords = 30  // bpe_encode report size
@@ -154,6 +156,8 @@ object SparkEntry {
   private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
   private val PqCentroids = 16
   private val AnnSample = 10000    // codebook training sample bound (IVF/PQ/semantic)
+  private val SqLevels = 256       // embed_quantize int8 levels
+  private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -1277,6 +1281,14 @@ object SparkEntry {
       graft.pipeline.Ann.kmeansReport(emb, k = 8, iters = 2)
         .orderBy(col("cell"), col("pos"))
     }),
+    // LLM pipeline: int8 scalar quantization of the embedding corpus —
+    // per-dim [lo,hi] stats ride back as broadcast literals, codes
+    // pinned via md5, reconstruction MSE DECIMAL-summed
+    "embed_quantize" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.scalarQuantize(emb, levels = SqLevels)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: the Curation facade ITSELF under the oracle — one
     // hash row through quality gate → PII redaction → boilerplate
     // excision → exact-dedup canonical → source mixing → packing, as
@@ -1521,6 +1533,26 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.domainStats(planted, "text2")
         .orderBy(col("domain"))
     }),
+    // LLM pipeline: CCNet-style line-level corpus dedup over planted
+    // line structure (docs re-wrapped into fixed-width token lines plus
+    // a shared header line — the header dups corpus-wide, exact-copy
+    // docs dup line-by-line); keep = globally-first occurrence in
+    // (doc_id, line_idx) order, blank lines structural
+    "text_line_dedup" -> ((s, dir) => {
+      val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+      val body = array_join(
+        transform(sequence(lit(0),
+            floor((size(toks) - lit(1)) / lit(LineWrapTokens)).cast("int")),
+          i => array_join(
+            slice(toks, i * lit(LineWrapTokens) + lit(1), lit(LineWrapTokens)),
+            " ")), "\n")
+      val planted = docs(s, dir).withColumn("text2",
+        concat(lit(LineDedupHeader), lit("\n"), body))
+      graft.pipeline.Dedup.lineDedup(planted, textCol = "text2")
+        .select(col("id").as("doc_id"), col("n_removed"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: Gopher-style n-gram repetition signals (share of all
     // n-grams taken by the most frequent one — boilerplate filter)
     "text_repetition" -> ((s, dir) => {
@@ -1616,6 +1648,30 @@ object SparkEntry {
         StratCap, SampleSalt)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: deterministic sharded shuffle — (shard, shard_pos)
+    // coordinates from a salted md5; per-shard windows, never a global
+    // sort (the reproducible epoch-order step before packing)
+    "sample_shard" -> ((s, dir) => {
+      graft.pipeline.Sampling.shardShuffle(docs(s, dir), "doc_id",
+          ShuffleShards, SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("shard"),
+          col("shard_pos"))
+        .orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: corpus snapshot diff — v2 synthesized from the
+    // documents table (%10==0 removed, %10==1 edited, %10==2 cloned as
+    // additions); one id-keyed full-outer join over narrow hash
+    // projections
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val v2 = d.where(ten =!= 0)
+        .withColumn("text", when(ten === 1,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.pipeline.Snapshot.diff(d, v2).orderBy(col("id"))
     }),
     // LLM pipeline: concat-and-chunk sequence packing into PackBudget-token
     // bins over doc_id order — the distributed two-phase prefix sum (no
@@ -1850,6 +1906,13 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // event-type Markov transition matrix: one user-partitioned window
+    // pass -> map-side-combined (from, to) counts, broadcast totals
+    "events_markov" -> ((s, dir) => {
+      graft.pipeline.Temporal.markovTransitions(
+          graft.pipeline.Temporal.readEvents(s, dir))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     // OHLC downsampling: first/last via min_by/max_by inside ONE
     // map-side-combined aggregate — no per-bucket sort or window
     "events_ohlc" -> ((s, dir) => {
@@ -2000,6 +2063,7 @@ object SparkEntry {
     "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
+    "embed_quantize" -> graft.pipeline.PipelineSql.embedQuantize(SqLevels),
     "embed_pca" -> graft.pipeline.PipelineSql.embedPca(5),
     "embed_outliers" -> graft.pipeline.PipelineSql.embedOutliers(20, 5),
     "embed_e2e" -> graft.pipeline.PipelineSql.embedE2e(
@@ -2034,6 +2098,8 @@ object SparkEntry {
       BpeMerges, BpeMaxWordLen, BpeTopSubwords),
     "sql_surface" -> graft.pipeline.PipelineSql.sqlSurface(SqlKeepRate, SqlKeepSalt),
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
+    "text_line_dedup" -> graft.pipeline.PipelineSql.lineDedup(
+      LineWrapTokens, LineDedupHeader),
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_boilerplate" ->
@@ -2066,6 +2132,9 @@ object SparkEntry {
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
+    "sample_shard" -> graft.pipeline.PipelineSql.sampleShard(
+      ShuffleShards, SampleSalt),
+    "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(
       E2eMinTokens, MixRates, SampleSalt, PackBudget),
@@ -2236,6 +2305,7 @@ object SparkEntry {
     "events_ohlc_stream" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
+    "events_markov" -> graft.pipeline.TemporalSql.markovTransitions,
     "events_session_stats" -> graft.pipeline.TemporalSql.sessionStats(
       SessionGapNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(

@@ -680,6 +680,62 @@ object Ann {
     cents
   }
 
+  /** Per-dimension scalar quantization — the int8 "SQ" compression every
+    * vector store ships (FAISS SQ8, Lucene/Elastic int8_hnsw, pgvector
+    * halfvec cousins): one corpus pass learns per-dimension [lo, hi],
+    * every vector is re-encoded as `levels`-ary codes
+    * `floor((x-lo)/(hi-lo)·(levels-1))`, and the per-vector
+    * reconstruction MSE is reported alongside (the quality audit that
+    * decides whether SQ is safe for a corpus or PQ/float is needed).
+    * Returns [id, code_md5, mse] — the md5 of the comma-joined code
+    * array pins every code exactly; mse is a DECIMAL-summed (order-proof)
+    * mean of squared errors rounded to 9 decimals. Degenerate dimensions
+    * (hi == lo) encode 0 and reconstruct exactly.
+    *
+    * Shape at scale: the stats pass is one map-side-combined
+    * groupBy(pos) min/max over exploded dims (d keys); the d-row result
+    * rides back as broadcast literals (the driver only ever holds 2·d
+    * doubles — the codebook-collect pattern), so per-dim encoding needs
+    * no join. This reporting form then pays one id-keyed aggregation
+    * (bounded at d rows per key) to assemble codes + the DECIMAL-exact
+    * MSE; a production encode-only path is the same expressions as one
+    * narrow array transform, no shuffle at all. */
+  def scalarQuantize(emb: DataFrame, levels: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val stats = base
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos"))
+      .collect() // d rows — bounded by the embedding dim, not the corpus
+    val lo = typedLit(stats.map(_.getAs[Double]("lo")).toSeq)
+    val hi = typedLit(stats.map(_.getAs[Double]("hi")).toSeq)
+    val lmax = lit((levels - 1).toDouble)
+    val ex = base.select(col("id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("lo", element_at(lo, col("pos") + 1))
+      .withColumn("hi", element_at(hi, col("pos") + 1))
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(levels - 1),
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lmax)
+              .cast("int"))))
+      // identical association order to the oracle: lo + code/lmax*(hi-lo)
+      .withColumn("recon",
+        col("lo") + col("code").cast("double") / lmax * (col("hi") - col("lo")))
+      .withColumn("err2",
+        (col("x") - col("recon")) * (col("x") - col("recon")))
+    ex.groupBy(col("id"))
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("code")))),
+            s => s.getField("code").cast("string")), ",")).as("code_md5"),
+        round(sum(col("err2").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 9).as("mse"))
+  }
+
   /** Reporting form of [[kmeansDataflow]] for the correctness gate: the
     * final centroids in long (cell, pos) layout with each cell's member
     * count under the FINAL codebook (one extra assignment pass; empty

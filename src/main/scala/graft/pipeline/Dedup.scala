@@ -339,6 +339,52 @@ object Dedup {
         size(col("cov")).cast("long").as("n_removed"))
   }
 
+  /** CCNet-style line-level corpus dedup: every line whose normalized
+    * form (lowercased, whitespace-collapsed) already occurred earlier in
+    * the corpus — in (doc_id, line_idx) order, across documents AND
+    * within one — is excised; the globally-first occurrence survives.
+    * This is the shard-level line dedup CCNet/RefinedWeb run before
+    * document-level near-dup: navigation chrome, cookie banners and
+    * repeated headers vanish without touching unique prose. Blank lines
+    * are structural and always kept. Returns [id, scrubbed, n_removed].
+    *
+    * Shape at scale: lines explode in a narrow pass (repartition first —
+    * the CPU hot spot); the first-occurrence table is ONE
+    * map-side-combined min(struct) per line-hash; the decision join is
+    * keyed on the line hash (both sides hash-partition, no broadcast
+    * needed — the key table is corpus-sized); reassembly is one doc-keyed
+    * collect_list. Three shuffles total, all map-side combined, skew
+    * bounded by the hottest line's occurrence count (a groupBy-min, not
+    * a join explosion). */
+  def lineDedup(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("norm",
+        regexp_replace(trim(lower(col("line"))), "\\s+", " "))
+      .withColumn("blank", length(col("norm")) === 0)
+      .withColumn("key", md5(col("norm")))
+    val firsts = lines.where(!col("blank"))
+      .groupBy(col("key"))
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    lines
+      .join(firsts, Seq("key"), "left")
+      .withColumn("keep", col("blank") ||
+        (col("first").getField("id") === col("id") &&
+          col("first").getField("idx") === col("idx")))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        collect_list(struct(col("idx"), col("keep"), col("line"))).as("ls"))
+      .select(col("id"),
+        array_join(
+          transform(filter(array_sort(col("ls")), s => s.getField("keep")),
+            s => s.getField("line")), "\n").as("scrubbed"),
+        col("n_removed"))
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
     * between LSH pair output and actual removal (keep one doc per
     * component of the pair graph). Distributed min-label propagation

@@ -274,6 +274,30 @@ object PipelineSql {
     * rounds (matrix-vector product = DECIMAL-sum join; norms/trace =
     * sequential folds over position-ordered lists — the ivf distance
     * pattern) → the long-format report. */
+  /** Mirrors [[Ann.scalarQuantize]]: per-dimension [lo, hi] stats, the
+    * same floor/least code formula in the same double association order,
+    * codes pinned via md5 of the pos-ordered comma join, MSE via the
+    * order-proof DECIMAL(38,18) sum. */
+  def embedQuantize(levels: Int): String = {
+    val lmax = levels - 1
+    s"""WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |ex AS (SELECT id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM base),
+       |xd AS (SELECT id, pos, CAST(x AS DOUBLE) AS x FROM ex),
+       |st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM xd GROUP BY pos),
+       |c AS (SELECT d.id, d.pos, d.x, s.lo, s.hi,
+       |        CASE WHEN s.hi = s.lo THEN 0
+       |             ELSE least($lmax, CAST(floor((d.x - s.lo) / (s.hi - s.lo)
+       |                                          * $lmax.0) AS INT)) END AS code
+       |      FROM xd d JOIN st s USING (pos)),
+       |r AS (SELECT id, pos, code,
+       |        x - (lo + CAST(code AS DOUBLE) / $lmax.0 * (hi - lo)) AS e
+       |      FROM c)
+       |SELECT id, md5(array_to_string(list(code ORDER BY pos), ',')) AS code_md5,
+       |       round(CAST(sum(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE)
+       |             / count(*), 9) AS mse
+       |FROM r GROUP BY id ORDER BY id""".stripMargin
+  }
+
   def embedPca(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""w$t AS MATERIALIZED (SELECT g.i,
@@ -800,6 +824,35 @@ object PipelineSql {
   /** Mirrors TextAnalysis.ngramRepetition for n = 2, 3: n-grams via
     * window lead over the positional token table, per-doc max/total
     * count share, 0 for docs with < n tokens. */
+  /** Mirrors the text_line_dedup entry: the same planted line structure
+    * (header + fixed-width token wrap), then CCNet-style line dedup —
+    * keep iff blank or globally-first occurrence of the normalized line
+    * in (doc_id, idx) order (row_number over the line-hash partition ==
+    * Spark's min(struct(id, idx)) decision). */
+  def lineDedup(wrapTokens: Int, header: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |d2 AS (SELECT doc_id, '$header' || chr(10) ||
+       |         array_to_string(
+       |           [array_to_string(toks[i*$wrapTokens+1 : i*$wrapTokens+$wrapTokens], ' ')
+       |            for i in range(0, (len(toks)-1)//$wrapTokens + 1)], chr(10)) AS text2
+       |       FROM t),
+       |l AS (SELECT doc_id AS id, unnest(range(len(ls))) AS idx, unnest(ls) AS line
+       |      FROM (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM d2)),
+       |k AS (SELECT id, idx, line,
+       |             len(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')) = 0 AS blank,
+       |             md5(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')) AS key
+       |      FROM l),
+       |w AS (SELECT id, idx, line, blank,
+       |             row_number() OVER (PARTITION BY key ORDER BY id, idx) AS rn
+       |      FROM k),
+       |s AS (SELECT id, idx, line, (blank OR rn = 1) AS keep FROM w)
+       |SELECT id AS doc_id,
+       |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       |       md5(coalesce(array_to_string(list(line ORDER BY idx) FILTER (WHERE keep),
+       |                                    chr(10)), '')) AS scrubbed_md5
+       |FROM s GROUP BY id ORDER BY doc_id""".stripMargin
+
   val textRepetition: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
@@ -1125,6 +1178,40 @@ object PipelineSql {
 
   private def hashPrefixSql(salt: String): String =
     s"substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+  /** Mirrors [[Sampling.shardShuffle]]: shard = first-8-hex-chars bucket
+    * of the salted md5, position = hash rank within the shard. */
+  def sampleShard(nShards: Int, salt: String): String =
+    s"""WITH h AS (SELECT doc_id,
+       |             md5('$salt' || CAST(doc_id AS VARCHAR)) AS hh
+       |           FROM documents),
+       |s AS (SELECT doc_id, hh,
+       |        CAST(('0x' || substr(hh, 1, 8))::UBIGINT % $nShards AS INT) AS shard
+       |      FROM h)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+       |            AS BIGINT) AS shard_pos
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the corpus_diff entry: v2 synthesized from the documents
+    * table (doc_id%10==0 removed, %10==1 edited, %10==2 cloned at
+    * +1e6 as additions), then [[Snapshot.diff]]'s full-outer hash
+    * compare. */
+  val corpusDiff: String =
+    s"""WITH o AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+       |v2 AS (SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN text || ' edited' ELSE text END AS text
+       |       FROM documents WHERE doc_id % 10 <> 0
+       |       UNION ALL
+       |       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 2),
+       |n AS (SELECT doc_id AS id, md5(text) AS h FROM v2)
+       |SELECT coalesce(o.id, n.id) AS id,
+       |       CASE WHEN o.h IS NULL THEN 'added'
+       |            WHEN n.h IS NULL THEN 'removed'
+       |            WHEN o.h = n.h THEN 'unchanged'
+       |            ELSE 'changed' END AS status
+       |FROM o FULL OUTER JOIN n ON o.id = n.id
+       |ORDER BY id""".stripMargin
 
   def sampleHash(rate: Double, salt: String): String =
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents

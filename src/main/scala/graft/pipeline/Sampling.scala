@@ -98,6 +98,34 @@ object Sampling {
         .map { case (s, _, r) => s -> r }.toMap,
       keyCol, salt)
 
+  /** Deterministic sharded training-data shuffle: every row gets a
+    * (shard, shard_pos) coordinate from a salted md5 of its key — the
+    * reproducible "globally shuffle, then write N shards" step between
+    * curation and sequence packing. The shard is a uniform hash bucket;
+    * the position is the rank of the hash within the shard, so
+    * concatenating shards 0..N-1 in position order IS a uniform
+    * permutation of the corpus, identical on any cluster size or
+    * partitioning, and re-salting gives an independent epoch order.
+    *
+    * Shape at scale: a single GLOBAL sort is the wrong plan at 100 TB;
+    * with nShards ≫ executors this is one hash-partitioned window per
+    * shard — embarrassingly parallel, each task sorting ~corpus/nShards
+    * rows, which is exactly the unit a shard file writer wants
+    * (`partitionBy(shard) sortWithinPartitions(shard_pos)`). */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Stratified cap: at most `k` rows per stratum, chosen by salted hash
     * order (a deterministic uniform sample without replacement per
     * stratum). Rank window + filter ≤ k compiles to Spark 4's

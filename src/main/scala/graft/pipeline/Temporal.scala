@@ -392,6 +392,33 @@ object Temporal {
         .as("cum_value"))
   }
 
+  /** Event-type Markov transition matrix: per-user consecutive event
+    * pairs (ordered by ts, event_id) counted into a
+    * [from_type, to_type, n, prob] table — the user-journey model behind
+    * "what happens after a signup" questions and synthetic-session
+    * generators. `prob` is row-normalized over from_type.
+    *
+    * Shape at scale: ONE user_id-partitioned window pass builds the
+    * consecutive pairs (per-user history is activity-bounded, so skew is
+    * bounded), then a map-side-combined count on the tiny
+    * (from, to) key space; the per-from totals table is types²-sized and
+    * broadcast back. No corpus-sized join anywhere. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__total"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("prob"))
+  }
+
   def ohlc(events: DataFrame, bucketNs: Long = NsPerHour): DataFrame =
     events.groupBy(col("event_type"), bucketStart(col("ts"), bucketNs).as("bucket"))
       .agg(

@@ -255,6 +255,23 @@ object TemporalSql {
        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
        |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Mirrors [[Temporal.markovTransitions]]: per-user consecutive
+    * event-type pairs (lead over ts, event_id), counted and
+    * row-normalized over from_type. */
+  def markovTransitions: String =
+    s"""WITH e AS ($e),
+       |p AS (SELECT event_type AS from_type,
+       |             lead(event_type) OVER (PARTITION BY user_id
+       |                                    ORDER BY tsn, event_id) AS to_type
+       |      FROM e),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+       |SELECT c.from_type, c.to_type, c.n,
+       |       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS prob
+       |FROM c JOIN t USING (from_type)
+       |ORDER BY from_type, to_type""".stripMargin
+
   def ohlc(bucketNs: Long): String =
     s"""WITH e AS ($e)
        |SELECT event_type, tsn - tsn % $bucketNs AS bucket,

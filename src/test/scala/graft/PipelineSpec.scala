@@ -50,6 +50,32 @@ class PipelineSpec extends SparkSpec {
     assert(j((0L, 3L)) === 0.0)
   }
 
+  test("scalarQuantize: known codes, degenerate dim exact, mse bounded by cell width") {
+    import spark.implicits._
+    // dim 0 spans [0, 3]; dim 1 is degenerate (all 7.0)
+    val emb = Seq(
+      (0L, Array(0.0f, 7.0f)),
+      (1L, Array(1.5f, 7.0f)),
+      (2L, Array(3.0f, 7.0f))).toDF("vec_id", "embedding")
+    val r = Ann.scalarQuantize(emb, levels = 4)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("code_md5"), x.getAs[Double]("mse")))).toMap
+    // codes (levels=4, lo=0, hi=3): 0.0->0, 1.5->floor(1.5)=1, 3.0->3;
+    // degenerate dim always 0 with exact reconstruction
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0L)._1 === m("0,0"))
+    assert(r(1L)._1 === m("1,0"))
+    assert(r(2L)._1 === m("3,0"))
+    // exact endpoints reconstruct exactly; 1.5 reconstructs at 1.0 ->
+    // err^2 = 0.25 over 2 dims = 0.125
+    assert(r(0L)._2 === 0.0)
+    assert(r(2L)._2 === 0.0)
+    assert(r(1L)._2 === 0.125)
+    // mse never exceeds cell-width^2 (worst case per dim), here 1.0
+    assert(r.values.forall(_._2 <= 1.0))
+  }
+
   test("brute-force ANN: self-similar vectors rank first; LSH agrees on cosines") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
@@ -432,6 +458,35 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) === (("today", 4L)))
     assert(r(2L) === (("nothing listed here at all", 0L)))
     assert(r(3L) === (("", 0L)))
+  }
+
+  test("lineDedup keeps globally-first occurrence, dedups within-doc, keeps blanks") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Shared Header\nunique alpha line\nrepeat me\nrepeat me"),
+      (1L, "shared  header\nunique beta line\n\nrepeat ME"),
+      (2L, "totally unique text here")).toDF("doc_id", "text")
+    val r = graft.pipeline.Dedup.lineDedup(docs)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("scrubbed"), x.getAs[Long]("n_removed")))).toMap
+    // doc 0 is first everywhere: keeps all lines except the within-doc
+    // second "repeat me"
+    assert(r(0L) === (("Shared Header\nunique alpha line\nrepeat me", 1L)))
+    // doc 1: header dups doc 0's (case/whitespace-normalized), blank line
+    // kept, "repeat ME" dups doc 0's "repeat me"
+    assert(r(1L) === (("unique beta line\n", 2L)))
+    assert(r(2L) === (("totally unique text here", 0L)))
+  }
+
+  test("lineDedup is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"header line\nbody ${i % 7} text\ntail ${i % 3}")).toDF("doc_id", "text")
+    val a = graft.pipeline.Dedup.lineDedup(docs)
+      .orderBy("id").collect().toSeq
+    val b = graft.pipeline.Dedup.lineDedup(docs.repartition(11))
+      .orderBy("id").collect().toSeq
+    assert(a === b)
   }
 
   test("duplicateClusters: pointer jumping converges a 1000-node chain in O(log n) rounds") {

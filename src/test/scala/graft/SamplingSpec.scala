@@ -45,6 +45,43 @@ class SamplingSpec extends SparkSpec {
     assert(again === s1.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("shardShuffle: uniform permutation, partitioning-invariant, salt-independent epochs") {
+    val a = Sampling.shardShuffle(rows, "doc_id", 8, "epoch0")
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = Sampling.shardShuffle(rows.repartition(13), "doc_id", 8, "epoch0")
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq,
+      "coordinates identical on any partitioning")
+    // every row placed exactly once; positions within a shard are 1..n
+    assert(a.length === 400)
+    a.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // shards roughly balanced (400 over 8 ≈ 50 each)
+    assert(a.groupBy(_._2).values.map(_.size).forall(s => s > 20 && s < 80))
+    // a different salt gives a different epoch order
+    val c = Sampling.shardShuffle(rows, "doc_id", 8, "epoch1")
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq !== c.sortBy(_._1).toSeq)
+  }
+
+  test("Snapshot.diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val v1 = Seq((0L, "same"), (1L, "old text"), (2L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((0L, "same"), (1L, "new text"), (3L, "fresh")).toDF("doc_id", "text")
+    val d = graft.pipeline.Snapshot.diff(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "removed", 3L -> "added"))
+    val s = graft.pipeline.Snapshot.diffSummary(v1, v2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("packSequences matches a sequential reference packing") {
     val packedDf = Sampling.packSequences(rows, "n_tok", budget = 100L)
     val packed = packedDf

@@ -48,6 +48,26 @@ class TemporalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("markovTransitions counts per-user consecutive pairs, row-normalizes") {
+    val e = ev(
+      (0L, 1L, 1000 * S, "a", 0.0),
+      (1L, 1L, 2000 * S, "b", 0.0),
+      (2L, 1L, 3000 * S, "a", 0.0),
+      (3L, 1L, 4000 * S, "c", 0.0),
+      (4L, 2L, 1000 * S, "a", 0.0),
+      (5L, 2L, 2000 * S, "b", 0.0),
+      (6L, 3L, 9000 * S, "z", 0.0)) // singleton user: no transition
+    val r = Temporal.markovTransitions(e).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type")) ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("prob")))).toMap
+    // a -> b twice (users 1, 2), a -> c once; b -> a once
+    assert(r(("a", "b")) === ((2L, 0.666667)))
+    assert(r(("a", "c")) === ((1L, 0.333333)))
+    assert(r(("b", "a")) === ((1L, 1.0)))
+    assert(!r.keySet.exists(_._1 == "z")) // no cross-user transitions
+    assert(r.size === 3)
+  }
+
   test("asofJoin matches most recent right row at-or-before, max tie wins at equal ts") {
     val left = ev(
       (10L, 1L, 1000 * S, "l", 0.0),   // right rows at exactly 1000s: tie → included, max event_id wins
