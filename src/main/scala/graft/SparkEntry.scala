@@ -158,6 +158,9 @@ object SparkEntry {
   private val AnnSample = 10000    // codebook training sample bound (IVF/PQ/semantic)
   private val SqLevels = 256       // embed_quantize int8 levels
   private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
+  private val KnnGraphK = 3        // graph_bfs semantic k-NN graph degree
+  private val BfsSeeds = 5         // graph_bfs seed vectors (vec_id < BfsSeeds)
+  private val BfsMaxHops = 4
 
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
@@ -1213,6 +1216,18 @@ object SparkEntry {
             .select(col("id_a").as("src"), col("id_b").as("dst")), k = 2)
         .orderBy(col("vertex"))
     }),
+    // graph analytics: multi-source BFS hop distances over the semantic
+    // k-NN graph (contamination blast-radius audit: everything within
+    // BfsMaxHops of the seed vectors); frontier expansion, per-round
+    // work = frontier edges
+    "graph_bfs" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Graph.bfsDistances(
+          graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK),
+          emb.filter(col("vec_id") < BfsSeeds).select(col("vec_id").as("vertex")),
+          maxHops = BfsMaxHops)
+        .orderBy(col("vertex"))
+    }),
     // LLM pipeline: recall@k of the LSH index vs the brute-force truth
     // — quality measurement as a first-class operator, and a composed
     // row: BOTH top-k pipelines run end-to-end and their agreement is
@@ -1882,6 +1897,14 @@ object SparkEntry {
           bucketNs = graft.pipeline.Temporal.NsPerHour)
         .orderBy(col("event_type"), col("bucket"))
     }),
+    // streaming running/cumulative replay: per-user two-long state
+    // (count + exact micro-unit total) emitted at arrival — gated by the
+    // SAME TemporalSql.cumulative statement as the batch row (the
+    // integer state IS the batch DECIMAL sum in any ts-ordered chunking)
+    "events_cumulative_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.cumulative(s, dir)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
     // gap-filled resample: tumbling agg densified over the full bucket
     // spine x type set, zero-filled (post-agg work is bounded by
     // buckets x types, never corpus-sized)
@@ -2076,6 +2099,8 @@ object SparkEntry {
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
     "graph_kcore" -> graft.pipeline.PipelineSql.graphKcoreContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100, coreK = 2, rounds = 4),
+    "graph_bfs" -> graft.pipeline.PipelineSql.graphBfsKnn(
+      KnnGraphK, BfsSeeds, BfsMaxHops),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(
@@ -2306,6 +2331,7 @@ object SparkEntry {
       graft.pipeline.Temporal.NsPerHour),
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
     "events_markov" -> graft.pipeline.TemporalSql.markovTransitions,
+    "events_cumulative_stream" -> graft.pipeline.TemporalSql.cumulative,
     "events_session_stats" -> graft.pipeline.TemporalSql.sessionStats(
       SessionGapNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(

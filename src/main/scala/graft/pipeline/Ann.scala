@@ -680,6 +680,23 @@ object Ann {
     cents
   }
 
+  /** Symmetric k-NN edge table over the embedding corpus — the semantic
+    * graph that graph-based curation runs on (NN-descent-style dedup,
+    * label propagation, cluster discovery, [[Graph.bfsDistances]]
+    * seed-expansion). Directed top-k edges [src, dst]; symmetrize at the
+    * consumer (Graph ops do).
+    *
+    * This exact form is the QUADRATIC baseline (every vector scores
+    * every other — fine at audit scale, and the codegen'd cosine keeps
+    * it compute-bound); the 100 TB path is the same edge contract
+    * produced by routing each vector through the IVF-PQ index
+    * ([[queryIvfPq]] with the corpus as the query side): n·(n/cells)
+    * candidate pairs instead of n². */
+  def knnGraph(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(emb, emb, k, idCol, vecCol)
+      .select(col("query_id").as("src"), col("id").as("dst"))
+
   /** Per-dimension scalar quantization — the int8 "SQ" compression every
     * vector store ships (FAISS SQ8, Lucene/Elastic int8_hnsw, pgvector
     * halfvec cousins): one corpus pass learns per-dimension [lo, hi],

@@ -122,6 +122,51 @@ object Graph {
     labels.select(col("id").as("vertex"), col("label").as("component"))
   }
 
+  /** Multi-source BFS hop distances: for every vertex reachable within
+    * `maxHops` of the seed set (undirected), the minimum hop count — the
+    * link-distance primitive behind crawl-frontier prioritization,
+    * contamination blast-radius audits ("everything within 2 hops of a
+    * flagged document") and seed-expansion labeling over a k-NN graph.
+    * Unreached vertices are absent (maxHops is the contract, so the
+    * bounded loop needs no convergence raise). Returns [vertex, dist].
+    *
+    * Shape at scale: classic frontier expansion — round r joins only the
+    * FRONTIER (vertices first reached at r−1) against the edge table and
+    * anti-joins the visited set, so per-round work is frontier-edges,
+    * not graph-edges; each round localCheckpoints (plans stay O(1)
+    * deep) and the loop exits early on an empty frontier. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "vertex"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seedCol).as("vertex")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("vertex"))
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = sym
+        .join(frontier.select(col("vertex").as("src")), Seq("src"))
+        .select(col("dst").as("vertex")).distinct()
+        .join(visited.select("vertex"), Seq("vertex"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select(col("vertex"))
+      }
+    }
+    sym.unpersist(false)
+    visited
+  }
+
   /** k-core decomposition (the k-core): iteratively peel vertices of
     * degree < k until none remain — the standard dense-subgraph screen
     * (a vertex in the k-core has ≥ k neighbors that ALSO survive; for

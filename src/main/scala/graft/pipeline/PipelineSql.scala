@@ -274,6 +274,43 @@ object PipelineSql {
     * rounds (matrix-vector product = DECIMAL-sum join; norms/trace =
     * sequential folds over position-ordered lists — the ivf distance
     * pattern) → the long-format report. */
+  /** Mirrors the graph_bfs entry: the symmetric k-NN graph over the
+    * embeddings ([[Ann.knnGraph]]: row_number ≤ k on cosine desc, id
+    * tie-break — the ann_bruteforce ranking), then [[Graph.bfsDistances]]
+    * frontier expansion unrolled one CTE pair (frontier, visited) per
+    * hop. */
+  def graphBfsKnn(k: Int, numSeeds: Int, maxHops: Int): String = {
+    val hops = (1 to maxHops).map { h =>
+      val pv = s"v${h - 1}"
+      val pf = s"f${h - 1}"
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT s.dst AS vertex
+         |  FROM sym s JOIN $pf f ON s.src = f.vertex
+         |  ANTI JOIN $pv v ON s.dst = v.vertex),
+         |v$h AS MATERIALIZED (
+         |  SELECT * FROM $pv UNION ALL SELECT vertex, $h AS dist FROM f$h)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS src, e.vec_id AS dst,
+       |         list_cosine_similarity(e.embedding::DOUBLE[],
+       |                                q.embedding::DOUBLE[]) AS cosine
+       |  FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id <> q.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |           ORDER BY cosine DESC, dst) AS rk
+       |    FROM scored) WHERE rk <= $k),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+       |f0 AS (SELECT DISTINCT vec_id AS vertex FROM embeddings
+       |       WHERE vec_id < $numSeeds),
+       |v0 AS (SELECT vertex, 0 AS dist FROM f0),
+       |$hops
+       |SELECT vertex, dist FROM v$maxHops ORDER BY vertex""".stripMargin
+  }
+
   /** Mirrors [[Ann.scalarQuantize]]: per-dimension [lo, hi] stats, the
     * same floor/least code formula in the same double association order,
     * codes pinned via md5 of the pos-ordered comma join, MSE via the

@@ -271,4 +271,21 @@ object StreamReplay {
     dau.select((unix_micros(col("day")) * 1000L).as("day"), col("n_users"))
       .where(col("day") <= maxNs) // drop any sentinel-day window
   }
+
+  /** Streamed per-user running aggregates of the driver's events table,
+    * shaped to the batch [[graft.pipeline.Temporal.cumulative]] contract
+    * [user_id, ts (epoch-ns long), event_id, event_type,
+    * n_events_so_far, cum_value]. The micro-unit integer state makes the
+    * running sum bit-identical to the batch DECIMAL window sum. */
+  def cumulative(spark: SparkSession, dir: String): DataFrame = {
+    val out = replay(spark, dir) { ev =>
+      StreamingPipeline.cumulativeStream(
+        ev.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)).toDF()
+    }
+    out.where(col("user_id") >= 0) // drop the sentinel user
+      .select(col("user_id"), col("ts_ns").as("ts"), col("event_id"),
+        col("event_type"), col("n_events_so_far"),
+        round(col("cum_micro").cast("double") / lit(1e6), 6).as("cum_value"))
+  }
 }

@@ -85,6 +85,13 @@ final class StreamingOnlineFit(
   * `dup_of`. */
 case class DupClaim(doc_id: Long, band: Int, dup_of: Long)
 
+/** One running-aggregate row from [[StreamingPipeline.cumulativeStream]]:
+  * the user's lifetime event count and exact micro-unit value total AS OF
+  * this event (`cum_micro` = running sum of 6-decimal-quantized values —
+  * divide by 1e6 for the value). */
+case class UserRunning(user_id: Long, ts_ns: Long, event_id: Long,
+    event_type: String, n_events_so_far: Long, cum_micro: Long)
+
 /** One closed user session from [[StreamingPipeline.sessionize]]. */
 case class UserSession(
     user_id: Long, session_start: java.sql.Timestamp,
@@ -349,6 +356,50 @@ object StreamingPipeline {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("w.start").as("day"), col("n_users"))
+
+  /** Per-user running/cumulative aggregates over an event stream — the
+    * streaming twin of [[graft.pipeline.Temporal.cumulative]] (the LTV
+    * curve, emitted AT ARRIVAL: every event carries the user's lifetime
+    * count and value total so far). State per user is TWO LONGS: the
+    * event count and the running total in exact micro-units — each value
+    * is quantized to 6 decimals with the same HALF_UP rule as Spark's
+    * double→DECIMAL(18,6) cast before adding, so integer addition makes
+    * the stream's running sum bit-identical to the batch DECIMAL window
+    * sum under any micro-batch chunking that respects per-user ts order
+    * (within a batch, rows are processed in (ts_ns, event_id) order).
+    *
+    * Input columns: user_id, ts_ns (epoch-ns long), event_id,
+    * event_type, value. NoTimeout: state is 16 bytes per user and never
+    * expires — a production deployment with an unbounded key space pairs
+    * this with an inactivity timeout snapshotting closed users to the
+    * sink. */
+  def cumulativeStream(events: DataFrame): Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, micro) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).map {
+            case (_, tsNs, eventId, eventType, value) =>
+              n += 1
+              micro += java.math.BigDecimal.valueOf(value)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .movePointRight(6).longValueExact()
+              UserRunning(user, tsNs, eventId, eventType, n, micro)
+          }
+          state.update((n, micro))
+          out.iterator
+      }
+  }
 
   /** Session windows with custom state — flatMapGroupsWithState with an
     * event-time timeout. A user's session closes either when a newer

@@ -564,6 +564,29 @@ class PipelineSpec extends SparkSpec {
     assert(covered === (0 until 10).map(i => s"a$i").toSet)
   }
 
+  test("bfsDistances: min hop counts, maxHops cutoff, unreachable absent, multi-seed min") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus an isolated pair 10-11; directed input must
+    // be traversed symmetrically
+    val edges = Seq((1L, 0L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(0L, 4L).toDF("vertex")
+    val d = graft.pipeline.Graph.bfsDistances(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // min over both seeds: 2 is 2 hops from 0 but 2 from 4 too; 3 is 1
+    // hop from 4; 5 is 1 hop from 4
+    assert(d === Map(0L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1, 2L -> 2))
+    // maxHops cutoff: nothing beyond 2 hops; isolated pair never appears
+    val d4 = graft.pipeline.Graph.bfsDistances(edges, Seq(0L).toDF("vertex"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d4 === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+    // early exit on an exhausted frontier (hop budget larger than graph)
+    val d9 = graft.pipeline.Graph.bfsDistances(
+      Seq((0L, 1L)).toDF("src", "dst"), Seq(0L).toDF("vertex"), 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d9 === Map(0L -> 0, 1L -> 1))
+  }
+
   test("connectedComponents: string vertices, chain resolves to min, components separate") {
     import spark.implicits._
     val edges = Seq(("b", "a"), ("b", "c"), ("d", "e"), ("f", "f"))

@@ -191,6 +191,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cumulative == batch cumulative across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    var t = 1700000000000000000L // epoch ns
+    val events = (0 until 120).map { i =>
+      t += rnd.nextInt(400000) * 1000000L
+      (i.toLong, t, 1L + rnd.nextInt(4), s"e${rnd.nextInt(3)}",
+        rnd.nextInt(1000) / 8.0)
+    }
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = stream.toDS().toDF("event_id", "ts_ns", "user_id", "event_type", "value")
+    val q = StreamingPipeline.cumulativeStream(df)
+      .writeStream.format("memory").queryName("cum_parity")
+      .outputMode("append").start()
+    try {
+      // chunk boundaries fall mid-user-history; state must carry across
+      events.grouped(25).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, ts_ns, event_id, event_type, n_events_so_far, cum_micro FROM cum_parity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5) / 1e6)).toSet
+    val batchIn = events.map { case (id, ts, u, et, v) => (id, u, ts, et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batch = graft.pipeline.Temporal.cumulative(batchIn).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events_so_far"), r.getAs[Double]("cum_value"))).toSet
+    assert(batch.exists(_._5 > 10), "fixture exercises deep running state")
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("streaming sessionize == batch sessionize on a chunk-fed in-order fixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
