@@ -115,6 +115,8 @@ object SparkEntry {
   private val SqlKeepSalt = "sqlsurface"
   private val BoilerN = 3          // boilerplate n-gram width
   private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
+  private val WinnowK = 3          // winnowing k-gram width
+  private val WinnowW = 4          // winnowing window (hashes per window)
   private val LineWrapTokens = 8   // text_line_dedup planted line width
   private val LineDedupHeader = "corpus shared header line"
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
@@ -1548,6 +1550,15 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.domainStats(planted, "text2")
         .orderBy(col("domain"))
     }),
+    // LLM pipeline: winnowing (MOSS) fingerprints — density-guaranteed
+    // local-similarity selections (min k-gram hash per w-window,
+    // rightmost tie-break), one narrow projection + explode
+    "text_winnowing" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.winnowing(docs(s, dir),
+          k = WinnowK, w = WinnowW)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))
+    }),
     // LLM pipeline: CCNet-style line-level corpus dedup over planted
     // line structure (docs re-wrapped into fixed-width token lines plus
     // a shared header line — the header dups corpus-wide, exact-copy
@@ -1905,6 +1916,14 @@ object SparkEntry {
       graft.streaming.StreamReplay.cumulative(s, dir)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // streaming Markov replay: per-user last-event state emits one
+    // transition row per arrival; the batch transitionMatrix aggregation
+    // finishes the job — gated by the SAME TemporalSql.markovTransitions
+    // statement as the batch events_markov row
+    "events_markov_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.markov(s, dir)
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     // gap-filled resample: tumbling agg densified over the full bucket
     // spine x type set, zero-filled (post-agg work is bounded by
     // buckets x types, never corpus-sized)
@@ -2125,6 +2144,7 @@ object SparkEntry {
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,
     "text_line_dedup" -> graft.pipeline.PipelineSql.lineDedup(
       LineWrapTokens, LineDedupHeader),
+    "text_winnowing" -> graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_boilerplate" ->
@@ -2332,6 +2352,7 @@ object SparkEntry {
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
     "events_markov" -> graft.pipeline.TemporalSql.markovTransitions,
     "events_cumulative_stream" -> graft.pipeline.TemporalSql.cumulative,
+    "events_markov_stream" -> graft.pipeline.TemporalSql.markovTransitions,
     "events_session_stats" -> graft.pipeline.TemporalSql.sessionStats(
       SessionGapNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(

@@ -861,6 +861,38 @@ object PipelineSql {
   /** Mirrors TextAnalysis.ngramRepetition for n = 2, 3: n-grams via
     * window lead over the positional token table, per-doc max/total
     * count share, 0 for docs with < n tokens. */
+  /** Mirrors [[TextAnalysis.winnowing]]: k-gram md5-prefix hashes, w-wide
+    * sliding windows, min hash with RIGHTMOST tie-break (len − position
+    * of the min in the reversed window), distinct (pos, fp) selections
+    * exploded. */
+  def textWinnowing(k: Int, w: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |                  ELSE string_split($norm, ' ') END AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        [array_to_string(toks[i:i+${k - 1}], ' ')
+       |         for i in range(1, len(toks) - ${k - 2})] AS grams
+       |      FROM t),
+       |h AS (SELECT doc_id,
+       |        [CAST(('0x' || substr(md5(gg), 1, 8))::UBIGINT AS BIGINT)
+       |         for gg in grams] AS hs
+       |      FROM g),
+       |w AS (SELECT doc_id,
+       |        CASE WHEN len(hs) = 0 THEN []
+       |             ELSE [(CAST(i AS BIGINT)
+       |                    + len(hs[i+1:i+$w])
+       |                    - list_position(list_reverse(hs[i+1:i+$w]),
+       |                                    list_min(hs[i+1:i+$w])))
+       |                   * 4294967296 + list_min(hs[i+1:i+$w])
+       |                   for i in range(0, greatest(len(hs) - $w, 0) + 1)]
+       |        END AS sels
+       |      FROM h),
+       |sel AS (SELECT doc_id, unnest(list_distinct(sels)) AS c FROM w)
+       |SELECT doc_id, CAST(c >> 32 AS BIGINT) AS pos,
+       |       CAST(c % 4294967296 AS BIGINT) AS fp
+       |FROM sel ORDER BY doc_id, pos, fp""".stripMargin
+
   /** Mirrors the text_line_dedup entry: the same planted line structure
     * (header + fixed-width token wrap), then CCNet-style line dedup —
     * keep iff blank or globally-first occurrence of the normalized line

@@ -409,6 +409,15 @@ object Temporal {
       .select(col("event_type").as("from_type"),
         lead(col("event_type"), 1).over(w).as("to_type"))
       .where(col("to_type").isNotNull)
+    transitionMatrix(pairs)
+  }
+
+  /** The count/normalize half of [[markovTransitions]], over an already
+    * extracted [from_type, to_type] pair table — shared with the
+    * streaming pair extractor
+    * ([[graft.streaming.StreamingPipeline.markovStream]]), so the batch
+    * and stream rows aggregate through identical code. */
+  def transitionMatrix(pairs: DataFrame): DataFrame = {
     val counts = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy(col("from_type"))

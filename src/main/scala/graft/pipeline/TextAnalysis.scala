@@ -440,6 +440,60 @@ object TextAnalysis {
   /** md5 of the whitespace-normalized lowercased text. */
   def fingerprintCol(text: Column): Column = md5(normTextCol(text))
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): hash every word k-gram, slide a window of `w`
+    * consecutive hashes, and in each window select the minimum hash —
+    * rightmost occurrence on ties, the published rule — recording
+    * (position, hash). The selected set is the density-guaranteed
+    * fingerprint: any shared substring of length ≥ w+k−1 tokens between
+    * two documents yields at least one IDENTICAL selected (hash) pair,
+    * which is what makes winnowing the standard local-similarity /
+    * plagiarism screen where whole-doc hashes and minhash (global
+    * Jaccard) both miss partial overlap. Returns exploded
+    * [id, pos, fp] rows, distinct per doc, pos = 0-based k-gram start.
+    *
+    * Shape at scale: everything happens INSIDE one narrow projection —
+    * token split, k-gram build (zip_with over shifted slices — constant
+    * refs, no per-element re-evaluation), per-window argmin folds over
+    * materialized hash-array ATTRIBUTES (the lambda references a bound
+    * column, so nothing upstream re-evaluates), then one explode. No
+    * shuffle until the consumer aggregates; the fingerprint index join
+    * (who shares fingerprints with whom) is a (fp)-keyed exchange
+    * downstream, exactly like the minhash band join. Docs shorter than
+    * k + w − 1 tokens emit their single best window if they have ≥ k
+    * tokens, nothing otherwise. */
+  def winnowing(df: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>")).otherwise(toks).as("toks"))
+    val hashed = base.select(col("id"),
+      transform(positionalGramsCol(col("toks"), k),
+        g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("h"))
+    // windows 0..n-w (or the single truncated window when 0 < n < w);
+    // each selection is packed as pos·2^32 + fp (fp < 2^32 by
+    // construction) so the distinct runs on plain longs — portable to
+    // engines whose list-distinct can't hash structs
+    val sel = hashed.select(col("id"),
+      when(size(col("h")) === 0, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(0), greatest(size(col("h")) - lit(w), lit(0))),
+          i => {
+            val sub = slice(col("h"), i + lit(1), lit(w))
+            val m = array_min(sub)
+            // rightmost index of the min within the window (0-based)
+            val ri = aggregate(sequence(lit(0), size(sub) - lit(1)),
+              lit(0L), (acc, j) =>
+                when(element_at(sub, j.cast("int") + 1) === m,
+                  j.cast("long")).otherwise(acc))
+            (i.cast("long") + ri) * lit(4294967296L) + m
+          })).as("sels"))
+    sel.select(col("id"), explode(array_distinct(col("sels"))).as("c"))
+      .select(col("id"), shiftright(col("c"), 32).as("pos"),
+        pmod(col("c"), lit(4294967296L)).as("fp"))
+  }
+
   /** 131-ary rolling polynomial fingerprint: per-token 48-bit hash from
     * the md5 prefix (the same md5→int idiom the minhash/simhash kernels
     * use — deterministic across engines), folded left-to-right mod a

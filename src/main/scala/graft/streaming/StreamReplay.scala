@@ -272,6 +272,22 @@ object StreamReplay {
       .where(col("day") <= maxNs) // drop any sentinel-day window
   }
 
+  /** Streamed Markov transition matrix of the driver's events table,
+    * shaped to the batch [[graft.pipeline.Temporal.markovTransitions]]
+    * contract [from_type, to_type, n, prob]: the stateful pair extractor
+    * runs in the stream, then the SAME
+    * [[graft.pipeline.Temporal.transitionMatrix]] aggregation as batch. */
+  def markov(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = replay(spark, dir) { ev =>
+      StreamingPipeline.markovStream(
+        ev.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)).toDF()
+    }
+    graft.pipeline.Temporal.transitionMatrix(
+      pairs.where(col("user_id") >= 0) // drop the sentinel user
+        .select(col("from_type"), col("to_type")))
+  }
+
   /** Streamed per-user running aggregates of the driver's events table,
     * shaped to the batch [[graft.pipeline.Temporal.cumulative]] contract
     * [user_id, ts (epoch-ns long), event_id, event_type,

@@ -92,6 +92,11 @@ case class DupClaim(doc_id: Long, band: Int, dup_of: Long)
 case class UserRunning(user_id: Long, ts_ns: Long, event_id: Long,
     event_type: String, n_events_so_far: Long, cum_micro: Long)
 
+/** One observed event-type transition from
+  * [[StreamingPipeline.markovStream]]. */
+case class Transition(user_id: Long, from_type: String, to_type: String,
+    ts_ns: Long, event_id: Long)
+
 /** One closed user session from [[StreamingPipeline.sessionize]]. */
 case class UserSession(
     user_id: Long, session_start: java.sql.Timestamp,
@@ -397,6 +402,48 @@ object StreamingPipeline {
               UserRunning(user, tsNs, eventId, eventType, n, micro)
           }
           state.update((n, micro))
+          out.iterator
+      }
+  }
+
+  /** Event-type transition extraction over a stream — the stateful half
+    * of the Markov user-journey model: per user, state is just the LAST
+    * event's (ts_ns, event_id, type); every arriving event emits one
+    * [user_id, from_type, to_type, ts_ns, event_id] transition row
+    * (except a user's first). Downstream, the same
+    * [[graft.pipeline.Temporal.transitionMatrix]] aggregation the batch
+    * operator uses turns the transition stream into the count/prob
+    * matrix — so stream and batch provably share the normalization code.
+    *
+    * Input columns: user_id, ts_ns (epoch-ns long), event_id,
+    * event_type. Rows within a micro-batch are processed in
+    * (ts_ns, event_id) order; with per-user in-order arrival across
+    * batches the emitted pair multiset equals the batch window pass.
+    * State is three fields per user, NoTimeout (same boundedness note
+    * as [[cumulativeStream]]). */
+  def markovStream(events: DataFrame): Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          var prev = state.getOption
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, tsNs, eventId, eventType) =>
+              val t = prev.map { case (_, _, pType) =>
+                Transition(user, pType, eventType, tsNs, eventId)
+              }
+              prev = Some((tsNs, eventId, eventType))
+              t
+          }
+          prev.foreach(state.update)
           out.iterator
       }
   }

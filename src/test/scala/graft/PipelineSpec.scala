@@ -460,6 +460,36 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L) === (("", 0L)))
   }
 
+  test("winnowing: density guarantee, rightmost tie-break, short-doc windows") {
+    import spark.implicits._
+    // two docs sharing a 6-token run (>= w+k-1 = 6): the guarantee says
+    // they must share at least one selected fingerprint VALUE
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta unique tail here"),
+      (1L, "other prefix words alpha beta gamma delta epsilon zeta"),
+      (2L, "tiny doc"),           // < k tokens: no k-grams, no output
+      (3L, "one two three four")  // 2 grams < w: single truncated window
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.winnowing(docs, k = 3, w = 4)
+      .collect().map(x => (x.getAs[Long]("id"), x.getAs[Long]("pos"),
+        x.getAs[Long]("fp")))
+    val byDoc = r.groupBy(_._1)
+    assert((byDoc(0L).map(_._3).toSet intersect byDoc(1L).map(_._3).toSet).nonEmpty,
+      "shared >= w+k-1 token run must share a fingerprint")
+    assert(!byDoc.contains(2L))
+    // doc 3: 2 grams, one truncated window -> exactly one selection
+    assert(byDoc(3L).length === 1)
+    // same-content docs fingerprint identically (position-stable)
+    val dup = Seq((7L, "alpha beta gamma delta epsilon zeta unique tail here"))
+      .toDF("doc_id", "text")
+    val r7 = graft.pipeline.TextAnalysis.winnowing(dup, k = 3, w = 4)
+      .collect().map(x => (x.getAs[Long]("pos"), x.getAs[Long]("fp"))).toSet
+    assert(r7 === byDoc(0L).map(x => (x._2, x._3)).toSet)
+    // every selected fp is the min of SOME window containing its pos:
+    // selections per doc are strictly fewer than gram count (w > 1)
+    assert(byDoc(0L).length < 7)
+  }
+
   test("lineDedup keeps globally-first occurrence, dedups within-doc, keeps blanks") {
     import spark.implicits._
     val docs = Seq(
