@@ -117,6 +117,8 @@ object SparkEntry {
   private val BoilerMinDocs = 5L   // boilerplate doc-frequency floor
   private val WinnowK = 3          // winnowing k-gram width
   private val WinnowW = 4          // winnowing window (hashes per window)
+  private val WinnowMinShared = 2  // winnow-pair shared-fingerprint floor
+  private val WinnowMaxDf = 50     // winnow-pair fingerprint df cap
   private val LineWrapTokens = 8   // text_line_dedup planted line width
   private val LineDedupHeader = "corpus shared header line"
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
@@ -1559,6 +1561,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pos"), col("fp"))
         .orderBy(col("doc_id"), col("pos"), col("fp"))
     }),
+    // LLM pipeline: winnowing candidate pairs — the local-overlap
+    // near-dup detector (df-capped fp-keyed self-join, minhash-band
+    // shape)
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      graft.pipeline.Dedup.winnowingPairs(docs(s, dir),
+          k = WinnowK, w = WinnowW, minShared = WinnowMinShared,
+          maxDocFreq = WinnowMaxDf)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // LLM pipeline: CCNet-style line-level corpus dedup over planted
     // line structure (docs re-wrapped into fixed-width token lines plus
     // a shared header line — the header dups corpus-wide, exact-copy
@@ -2145,6 +2156,8 @@ object SparkEntry {
     "text_line_dedup" -> graft.pipeline.PipelineSql.lineDedup(
       LineWrapTokens, LineDedupHeader),
     "text_winnowing" -> graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
+    "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
+      WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_boilerplate" ->

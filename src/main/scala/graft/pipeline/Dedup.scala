@@ -385,6 +385,39 @@ object Dedup {
         col("n_removed"))
   }
 
+  /** Winnowing-based near-dup candidate pairs: documents sharing at
+    * least `minShared` distinct winnowing fingerprint VALUES
+    * ([[TextAnalysis.winnowing]]) — the LOCAL-overlap detector the
+    * minhash/simhash family misses (global Jaccard dilutes a copied
+    * paragraph inside a long document; winnowing's density guarantee
+    * fires on any shared run of ≥ w+k−1 tokens). Returns
+    * [id_a, id_b, n_shared], id_a < id_b.
+    *
+    * Shape at scale: identical to the minhash band join — the
+    * fingerprint table is fp-keyed; fingerprints in more than
+    * `maxDocFreq` docs are dropped BEFORE the self-join (the df cap
+    * that keeps a boilerplate fingerprint from exploding into a
+    * quadratic bucket), then one map-side-combined pair count. */
+  def winnowingPairs(corpus: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDocFreq: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = TextAnalysis.winnowing(corpus, k, w, idCol, textCol)
+      .select(col("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val kf = fps.join(keep, Seq("fp"))
+    val out = kf.as("a")
+      .join(kf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    out
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step
     * between LSH pair output and actual removal (keep one doc per
     * component of the pair graph). Distributed min-label propagation

@@ -865,8 +865,11 @@ object PipelineSql {
     * sliding windows, min hash with RIGHTMOST tie-break (len − position
     * of the min in the reversed window), distinct (pos, fp) selections
     * exploded. */
-  def textWinnowing(k: Int, w: Int): String =
-    s"""WITH t AS (SELECT doc_id,
+  /** The winnowing selection chain as reusable CTEs (`t`→`g`→`h`→`w`→
+    * `sel` with packed pos·2^32+fp longs in `sel.c`) — shared by
+    * [[textWinnowing]] and [[dedupWinnowPairs]]. */
+  private def winnowingCtes(k: Int, w: Int): String =
+    s"""t AS (SELECT doc_id,
        |             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
        |                  ELSE string_split($norm, ' ') END AS toks
        |           FROM documents),
@@ -888,10 +891,32 @@ object PipelineSql {
        |                   for i in range(0, greatest(len(hs) - $w, 0) + 1)]
        |        END AS sels
        |      FROM h),
-       |sel AS (SELECT doc_id, unnest(list_distinct(sels)) AS c FROM w)
+       |sel AS (SELECT doc_id, unnest(list_distinct(sels)) AS c FROM w)"""
+      .stripMargin
+
+  def textWinnowing(k: Int, w: Int): String =
+    s"""WITH ${winnowingCtes(k, w)}
        |SELECT doc_id, CAST(c >> 32 AS BIGINT) AS pos,
        |       CAST(c % 4294967296 AS BIGINT) AS fp
        |FROM sel ORDER BY doc_id, pos, fp""".stripMargin
+
+  /** Mirrors [[Dedup.winnowingPairs]]: distinct per-doc fingerprint
+    * VALUES, document-frequency cap, fp-keyed self-join, shared-count
+    * floor. */
+  def dedupWinnowPairs(k: Int, w: Int, minShared: Int, maxDocFreq: Int): String =
+    s"""WITH ${winnowingCtes(k, w)},
+       |fps AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS id, CAST(c % 4294967296 AS BIGINT) AS fp
+       |  FROM sel),
+       |keep AS MATERIALIZED (
+       |  SELECT fp FROM fps GROUP BY fp
+       |  HAVING count(*) <= $maxDocFreq),
+       |kf AS (SELECT f.id, f.fp FROM fps f JOIN keep USING (fp))
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kf a JOIN kf b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY a.id, b.id HAVING count(*) >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Mirrors the text_line_dedup entry: the same planted line structure
     * (header + fixed-width token wrap), then CCNet-style line dedup —

@@ -490,6 +490,28 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc(0L).length < 7)
   }
 
+  test("winnowingPairs: finds a copied paragraph inside a long doc; df cap prunes") {
+    import spark.implicits._
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fillerA = (0 until 80).map(i => s"wa$i").mkString(" ")
+    val fillerB = (0 until 80).map(i => s"wb$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$fillerA $para"),      // long doc with the paragraph at the end
+      (1L, s"$para $fillerB"),      // different long doc, same paragraph
+      (2L, "completely different content with no shared runs at all")
+    ).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.winnowingPairs(docs, k = 3, w = 4,
+      minShared = 2, maxDocFreq = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the 10-token shared run >= w+k-1 guarantees shared fingerprints;
+    // minShared=2 needs a run of some length, which 10 tokens provides
+    assert(pairs === Set((0L, 1L)))
+    // a df cap of 1 drops every shared fingerprint -> no pairs
+    val none = graft.pipeline.Dedup.winnowingPairs(docs, k = 3, w = 4,
+      minShared = 1, maxDocFreq = 1).count()
+    assert(none === 0L)
+  }
+
   test("lineDedup keeps globally-first occurrence, dedups within-doc, keeps blanks") {
     import spark.implicits._
     val docs = Seq(
