@@ -162,6 +162,7 @@ object SparkEntry {
   private val AnnSample = 10000    // codebook training sample bound (IVF/PQ/semantic)
   private val SqLevels = 256       // embed_quantize int8 levels
   private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
+  private val SplitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
   private val KnnGraphK = 3        // graph_bfs semantic k-NN graph degree
   private val BfsSeeds = 5         // graph_bfs seed vectors (vec_id < BfsSeeds)
   private val BfsMaxHops = 4
@@ -1686,6 +1687,14 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: deterministic train/valid/test split — cumulative
+    // hash bands, exhaustive + disjoint, stable under corpus growth
+    "sample_split" -> ((s, dir) => {
+      graft.pipeline.Sampling.hashSplit(docs(s, dir), "doc_id",
+          SplitFractions, SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: deterministic sharded shuffle — (shard, shard_pos)
     // coordinates from a salted md5; per-shard windows, never a global
     // sort (the reproducible epoch-order step before packing)
@@ -2192,6 +2201,8 @@ object SparkEntry {
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
     "sample_shard" -> graft.pipeline.PipelineSql.sampleShard(
       ShuffleShards, SampleSalt),
+    "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
+      SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(

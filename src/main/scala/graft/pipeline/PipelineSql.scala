@@ -1307,6 +1307,18 @@ object PipelineSql {
        |FROM o FULL OUTER JOIN n ON o.id = n.id
        |ORDER BY id""".stripMargin
 
+  /** Mirrors [[Sampling.hashSplit]]: cumulative-fraction hash bands
+    * replayed as literal hex thresholds (the [[sampleHash]] encoding). */
+  def sampleSplit(fractions: Seq[(String, Double)], salt: String): String = {
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val whens = fractions.init.zip(cum.init).map { case ((name, _), c) =>
+      s"WHEN ${hashPrefixSql(salt)} < '${Sampling.rateThreshold(c)}' THEN '$name'"
+    }.mkString(" ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CASE $whens ELSE '${fractions.last._1}' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def sampleHash(rate: Double, salt: String): String =
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
        |WHERE ${hashPrefixSql(salt)} < '${Sampling.rateThreshold(rate)}'

@@ -98,6 +98,28 @@ object Sampling {
         .map { case (s, _, r) => s -> r }.toMap,
       keyCol, salt)
 
+  /** Deterministic multi-way split (train/valid/test): every row is
+    * assigned exactly one label by which band of the salted-hash space
+    * it falls in (cumulative-fraction thresholds, the same hex
+    * comparison as [[sampleHash]]). Exhaustive and disjoint by
+    * construction, reproducible on any cluster, and stable under corpus
+    * growth: a doc's split never changes when other docs are added —
+    * the property row-number splits lack and leakage audits depend on.
+    * One narrow projection, no shuffle. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val h = hashPrefix(col(keyCol), salt)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val split = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), c), acc) =>
+      when(h < lit(rateThreshold(c)), name).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Deterministic sharded training-data shuffle: every row gets a
     * (shard, shard_pos) coordinate from a salted md5 of its key — the
     * reproducible "globally shuffle, then write N shards" step between

@@ -68,6 +68,26 @@ class SamplingSpec extends SparkSpec {
     assert(a.sortBy(_._1).toSeq !== c.sortBy(_._1).toSeq)
   }
 
+  test("hashSplit: exhaustive, disjoint, fraction-accurate, growth-stable") {
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val s = Sampling.hashSplit(rows, "doc_id", fr, "sp")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.size === 400, "every row labeled exactly once")
+    val sizes = s.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > 280 && sizes("train") < 360, s"got $sizes")
+    assert(sizes.getOrElse("valid", 0) > 10 && sizes.getOrElse("test", 0) > 10)
+    // growth stability: labeling a subset gives identical labels
+    val sub = Sampling.hashSplit(rows.filter(col("doc_id") < 100), "doc_id", fr, "sp")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => s(k) === v })
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(rows, "doc_id", Seq("a" -> 0.5, "b" -> 0.2), "sp")
+    }
+  }
+
   test("Snapshot.diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val v1 = Seq((0L, "same"), (1L, "old text"), (2L, "gone")).toDF("doc_id", "text")
