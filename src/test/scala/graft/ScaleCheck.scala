@@ -32,17 +32,17 @@ object ScaleCheck {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     // lazily-evaluated, name-filterable measurement row
-    var only: Option[String] = None
+    var only: Option[Seq[String]] = None
     def entry(name: String)(f: => Any): Option[(String, Double)] =
-      if (only.forall(name.contains)) Some(name -> time(f)) else None
+      if (only.forall(_.exists(name.contains))) Some(name -> time(f)) else None
 
     // `sbt "Test/runMain graft.ScaleCheck bpe-only"` runs just the BPE
     // merge-count scaling block (the replication suite is ~15 min)
     val bpeOnly = args.contains("bpe-only")
-    // `only=<substring>` runs just the matching replication rows — the
-    // fast loop when re-measuring a single family's fixture
+    // `only=<substr>[,<substr>...]` runs just the matching replication
+    // rows — the fast loop when re-measuring a family subset's fixtures
     only = args.collectFirst { case a if a.startsWith("only=") =>
-      a.stripPrefix("only=") }
+      a.stripPrefix("only=").split(',').toSeq }
     for (r <- Seq(1, 4, 16) if !bpeOnly) {
       val docsR = (0 until r).map { i =>
         base
@@ -233,6 +233,54 @@ object ScaleCheck {
         },
         entry("events_cumulative (running agg)") {
           graft.pipeline.Temporal.cumulative(evR).count()
+        },
+        entry("events_markov (transition matrix)") {
+          graft.pipeline.Temporal.markovTransitions(evR).count()
+        },
+        entry("text_line_dedup (first-occurrence)") {
+          // single-line docs: the line table == the doc table; the
+          // first-occurrence groupBy and decision join still carry
+          // corpus-proportional rows, which is what's measured
+          graft.pipeline.Dedup.lineDedup(docsR).count()
+        },
+        entry("text_winnowing (per-row windows)") {
+          graft.pipeline.TextAnalysis.winnowing(docsR).count()
+        },
+        entry("dedup_winnow_pairs (fp join)") {
+          // token-suffixed per replica (the containment reasoning):
+          // replicas differ by one trailing token, so raw replication
+          // leaves the long shared runs fingerprint-identical and pair
+          // OUTPUT would grow r² by data construction
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          graft.pipeline.Dedup.winnowingPairs(decorrelated,
+            minShared = 2, maxDocFreq = 100).count()
+        },
+        entry("embed_quantize (SQ stats+codes)") {
+          graft.pipeline.Ann.scalarQuantize(embR).count()
+        },
+        entry("sample_shard (per-shard windows)") {
+          graft.pipeline.Sampling.shardShuffle(docsR, "doc_id", 64).count()
+        },
+        entry("corpus_diff (hash full-outer)") {
+          graft.pipeline.Snapshot.diff(docsR,
+            docsR.withColumn("text",
+              when(col("doc_id") % 10 === 1, concat(col("text"), lit(" e")))
+                .otherwise(col("text")))).count()
+        },
+        entry("graph_bfs (frontier rounds)") {
+          // fixed-degree chain segments ∝ corpus rows with one seed per
+          // segment (the dedup_clusters fixture reasoning: a knn graph
+          // over replicated embeddings would change shape with r);
+          // frontier work stays ∝ segment count per hop
+          val pairs = spark.range(n)
+            .filter(col("id") % 64 =!= 63)
+            .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          val seeds = spark.range(n).filter(col("id") % 64 === 0)
+            .select(col("id").as("vertex"))
+          graft.pipeline.Graph.bfsDistances(pairs, seeds, maxHops = 4).count()
         },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)

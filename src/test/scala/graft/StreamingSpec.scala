@@ -228,6 +228,46 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
   }
 
+  test("streaming markov pairs == batch window pairs across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    var t = 1700000000000000000L
+    val events = (0 until 90).map { i =>
+      t += 1000000000L
+      (i.toLong, t, 1L + rnd.nextInt(3), s"t${rnd.nextInt(4)}")
+    }
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val df = stream.toDS().toDF("event_id", "ts_ns", "user_id", "event_type")
+    val q = StreamingPipeline.markovStream(df)
+      .writeStream.format("memory").queryName("mkv_parity")
+      .outputMode("append").start()
+    try {
+      events.grouped(20).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, from_type, to_type, ts_ns, event_id FROM mkv_parity")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // batch twin: lead over (ts, event_id) per user, keyed by the
+    // DESTINATION event (the arrival that observed the transition)
+    val batchIn = events.map { case (id, ts, u, et) => (id, u, ts, et) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = batchIn
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .select(col("user_id"), col("from_type"), col("event_type"),
+        col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(batch.size > 50)
+    assert(streamed === batch)
+  }
+
   test("streaming sessionize == batch sessionize on a chunk-fed in-order fixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
