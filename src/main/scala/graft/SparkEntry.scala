@@ -1476,6 +1476,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_hits").cast("long").as("n_hits"))
         .orderBy(col("doc_id"))
     }),
+    // the Bloom-prefiltered decontamination scale path (benchmark as a
+    // ~10-bit/n-gram filter + exact verify join) — same contract, same
+    // oracle SQL as text_decontaminate; only the plan differs
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Dedup.decontaminateBloom(
+        d.filter(col("doc_id") >= DecontBenchDocs),
+        d.filter(col("doc_id") < DecontBenchDocs), n = DecontN)
+        .select(col("id").as("doc_id"), col("n_hits").cast("long").as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: PII counting + redaction (emails / URLs planted on
     // every PiiPlantMod-th doc in BOTH engines, so counts and the
     // scrubbed-text md5 are a meaningful oracle, like dedup_embedding's
@@ -2168,6 +2179,8 @@ object SparkEntry {
     "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
     "text_decontaminate" ->
+      graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
+    "text_decontaminate_bloom" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_boilerplate" ->
       graft.pipeline.PipelineSql.textBoilerplate(BoilerN, BoilerMinDocs),

@@ -278,6 +278,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
   }
 
+  /** [[decontaminate]]'s 100 TB-benchmark shape: the benchmark n-gram
+    * pool rides as a BLOOM FILTER instead of a broadcast set — ~10 bits
+    * per n-gram at fpp=1% versus tens of bytes for the string set, so a
+    * 10⁸–10⁹-n-gram eval suite still fits executor memory where the
+    * exact set would not. The corpus stream takes a NARROW might-contain
+    * pre-filter (Spark's own runtime-filter machinery:
+    * `BloomFilterAggregate` builds the filter distributed + mergeable,
+    * `BloomFilterMightContain` probes it codegen'd over xxhash64 — the
+    * exact expressions AQE injects for runtime join pruning, wired
+    * through the same bridge as the native cosine kernel; zero UDFs),
+    * and only the surviving sliver pays the EXACT g-keyed verify join
+    * that removes bloom false positives. Output is IDENTICAL to
+    * [[decontaminate]] — same [id, n_hits] contract, same oracle SQL —
+    * only the plan shape differs. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val benchSh = benchmark
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = math.max(benchSh.count(), 1L) // also materializes the persist
+    val bloomBytes = benchSh
+      .agg(GraftColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            GraftColumnBridge.expression(xxhash64(col("g"))), nBench)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes),
+        GraftColumnBridge.expression(xxhash64(col("g")))))
+    val candidates = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .filter(mightContain)
+    val out = candidates.join(benchSh, Seq("g")) // exact verify: kills FPs
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+    out
+  }
+
   /** Corpus-self boilerplate n-grams: word n-grams appearing in at least
     * `minDocs` distinct documents (headers, footers, license blurbs,
     * navigation chrome — the removal list a curation pipeline builds

@@ -659,9 +659,20 @@ object TextAnalysis {
     * the per-query shuffle. Ranking windows on the ROUNDED score with
     * a doc_id tiebreak (the established rank-on-rounded contract).
     * Returns [query_id, rank, <id>, score]. */
-  def bm25Search(df: DataFrame, queries: DataFrame, topK: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** A built BM25 retrieval index: `postings` [idCol, term, tf, dl] (the
+    * only corpus-sized table), `termDf` [term, df_t], `stats` one row
+    * [n_docs, avgdl]. Build once ([[buildBm25Index]]), persist via
+    * `graft.sources.SearchIO`, serve with [[bm25Query]] — indexing a
+    * 100 TB corpus once and paying only the query-side joins per search
+    * is the operational shape; [[bm25Search]] is the one-call form. */
+  case class Bm25Index(postings: DataFrame, termDf: DataFrame,
+      stats: DataFrame, idCol: String)
+
+  /** One corpus pass → the three [[Bm25Index]] tables (one (doc, term)
+    * map-side-combined shuffle with doc length riding through; df and
+    * corpus stats derive from it / one scan). */
+  def buildBm25Index(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Bm25Index = {
     val nonBlank = df.filter(length(trim(col(textCol))) > 0)
     val toksCol = tokensCol(col(textCol))
     val tf = nonBlank
@@ -673,6 +684,18 @@ object TextAnalysis {
     val stats = nonBlank.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(tokensCol(col(textCol)))).as("avgdl"))
+    Bm25Index(tf, dfT, stats, idCol)
+  }
+
+  /** The query half of [[bm25Search]] over a (possibly loaded)
+    * [[Bm25Index]]: broadcast query×df side, postings-keyed term join,
+    * WindowGroupLimit top-k. */
+  def bm25Query(index: Bm25Index, queries: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idCol = index.idCol
+    val tf = index.postings
+    val dfT = index.termDf
+    val stats = index.stats
     val qTerms = queries
       .select(col("query_id"),
         explode(array_distinct(tokensCol(col("query_text")))).as("term"))
@@ -692,4 +715,9 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
+
+  def bm25Search(df: DataFrame, queries: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bm25Query(buildBm25Index(df, textCol, idCol), queries, topK, k1, b)
 }

@@ -671,6 +671,44 @@ class PipelineSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("SearchIO: saved+loaded BM25 index serves bit-identical rankings") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val queries = Seq((1L, "hash join merge"), (2L, "window agg sort stream"))
+      .toDF("query_id", "query_text")
+    val built = graft.pipeline.TextAnalysis.buildBm25Index(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    graft.sources.SearchIO.save(built, dir)
+    val loaded = graft.sources.SearchIO.load(spark, dir)
+    def run(ix: graft.pipeline.TextAnalysis.Bm25Index) =
+      graft.pipeline.TextAnalysis.bm25Query(ix, queries, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val a = run(built)
+    assert(a === run(loaded), "loaded index must serve the same rankings")
+    // one-call form == split form (text_bm25's oracle covers the math)
+    val c = graft.pipeline.TextAnalysis.bm25Search(corpus, queries, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(c === a)
+    assert(a.nonEmpty)
+  }
+
+  test("decontaminateBloom == decontaminate exactly (FPs killed by the verify join)") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.filter(col("doc_id") < 20)
+    val rest = corpus.filter(col("doc_id") >= 20)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_hits")).toMap
+    val exact = m(Dedup.decontaminate(rest, bench, n = 5))
+    // a deliberately high fpp floods the prefilter with false positives;
+    // the exact verify join must still reduce to the same answer
+    assert(m(Dedup.decontaminateBloom(rest, bench, n = 5, fpp = 0.5)) === exact)
+    assert(m(Dedup.decontaminateBloom(rest, bench, n = 5, fpp = 0.01)) === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("kCore: triangle survives the 2-core, tails and chains peel away") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
