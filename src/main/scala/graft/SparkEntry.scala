@@ -1476,6 +1476,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_hits").cast("long").as("n_hits"))
         .orderBy(col("doc_id"))
     }),
+    // streaming decontamination replay: stateless shingle +
+    // stream-static broadcast join emits per-hit rows; the per-doc
+    // rollup runs over the sink — same oracle SQL as text_decontaminate
+    "text_decontaminate_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.decontaminate(s, dir,
+          benchDocs = DecontBenchDocs, n = DecontN)
+        .orderBy(col("doc_id"))
+    }),
     // the Bloom-prefiltered decontamination scale path (benchmark as a
     // ~10-bit/n-gram filter + exact verify join) — same contract, same
     // oracle SQL as text_decontaminate; only the plan differs
@@ -1666,6 +1674,16 @@ object SparkEntry {
     "ingest_jsonl" -> ((s, dir) => {
       val path = graft.sources.JsonlIO.stageDocuments(s, dir)
       graft.sources.JsonlIO.readDocuments(s, path)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // CSV twin of ingest_jsonl: headered RFC-4180 staging, schema-pinned
+    // read, same original-parquet digest oracle
+    "ingest_csv" -> ((s, dir) => {
+      val path = graft.sources.CsvIO.stageDocuments(s, dir)
+      graft.sources.CsvIO.readDocuments(s, path)
         .select(col("doc_id").cast("long").as("doc_id"),
           md5(col("text")).as("text_md5"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"))
@@ -2182,6 +2200,8 @@ object SparkEntry {
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_decontaminate_bloom" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
+    "text_decontaminate_stream" ->
+      graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_boilerplate" ->
       graft.pipeline.PipelineSql.textBoilerplate(BoilerN, BoilerMinDocs),
     "text_boilerplate_scrub" ->
@@ -2208,6 +2228,10 @@ object SparkEntry {
     // digest of the ORIGINAL parquet — the Spark side reads the staged
     // JSONL, so equality IS the round-trip fidelity check
     "ingest_jsonl" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_csv" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

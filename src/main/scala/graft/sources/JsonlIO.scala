@@ -40,3 +40,31 @@ object JsonlIO {
       out
     })
 }
+
+/** CSV document I/O — the other interchange format corpora actually
+  * arrive in (Kaggle dumps, spreadsheet-era datasets, DB exports).
+  * Same contract as [[JsonlIO]]: SCHEMA-PINNED reads (no inference
+  * scan, loud type drift), headered RFC-4180 output with Spark's
+  * quoting so embedded commas/quotes round-trip. */
+object CsvIO {
+
+  val documentsSchema: StructType = JsonlIO.documentsSchema
+
+  def writeDocuments(df: DataFrame, path: String): Unit =
+    df.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.option("header", "true").option("quoteAll", "true")
+      .mode(SaveMode.Overwrite).csv(path)
+
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(documentsSchema).csv(path)
+
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def stageDocuments(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark, dir), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      writeDocuments(spark.read.parquet(s"$dir/documents.parquet"), out)
+      out
+    })
+}

@@ -272,6 +272,44 @@ object StreamReplay {
       .where(col("day") <= maxNs) // drop any sentinel-day window
   }
 
+  /** Streamed benchmark decontamination of the driver's documents table:
+    * the benchmark n-gram pool builds in BATCH from the same parquet
+    * (doc_id < benchDocs), the doc stream (doc_id >= benchDocs) runs the
+    * stateless shingle + stream-static join
+    * ([[StreamingPipeline.decontaminateHitsStream]]), and the per-doc
+    * rollup happens over the sink — gated by the SAME
+    * PipelineSql.textDecontaminate statement as the batch row.
+    * Returns [doc_id, n_hits]. */
+  def decontaminate(spark: SparkSession, dir: String, benchDocs: Long,
+      n: Int): DataFrame = {
+    val benchSh = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < benchDocs)
+      .select(explode(graft.pipeline.Dedup.shingles(col("text"), n)).as("g"))
+      .distinct()
+    val stage = stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
+      val d = Files.createTempDirectory("graft_replay_docs")
+      val staged = d.resolve("documents.parquet")
+      val src = Paths.get(s"$dir/documents.parquet")
+      try Files.createSymbolicLink(staged, src)
+      catch { case _: Exception =>
+        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+      d
+    })
+    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+      .filter(col("doc_id") >= benchDocs)
+    val qname = s"graft_replay_decont_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.decontaminateHitsStream(stream, benchSh, n)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val hits = spark.table(qname).collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(hits: _*), spark.table(qname).schema)
+    local.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("id").as("doc_id"), col("n_hits").cast("long").as("n_hits"))
+  }
+
   /** Streamed Markov transition matrix of the driver's events table,
     * shaped to the batch [[graft.pipeline.Temporal.markovTransitions]]
     * contract [from_type, to_type, n, prob]: the stateful pair extractor

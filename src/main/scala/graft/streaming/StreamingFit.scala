@@ -162,6 +162,24 @@ object StreamingPipeline {
           element_at(col("__sc"), 2).getField("raw"), 3).as("margin"))
   }
 
+  /** Streaming benchmark decontamination, the stateless half: shingle
+    * the incoming docs and stream-static INNER join against the
+    * benchmark n-gram pool (broadcast by hint — stream-static inner
+    * joins are stateless in Structured Streaming, so this is
+    * append-safe with no state store and no watermark). Emits one
+    * [id, g] row per benchmark hit; the per-doc rollup happens
+    * downstream of the sink (the Kappa shape: the stream pays the
+    * expensive scan — shingling + join — and a batch rollup over the
+    * sink table produces the same [id, n_hits] as
+    * [[graft.pipeline.Dedup.decontaminate]]). */
+  def decontaminateHitsStream(stream: DataFrame, benchShingles: DataFrame,
+      n: Int = 5): DataFrame =
+    stream
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").cast("long").as("id"),
+        explode(graft.pipeline.Dedup.shingles(col("text"), n)).as("g"))
+      .join(broadcast(benchShingles.select(col("g"))), Seq("g"))
+
   def cleanDocuments(stream: DataFrame, minQuality: Double,
       eventTimeCol: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
     val scored = scoreAndGate(stream, minQuality)

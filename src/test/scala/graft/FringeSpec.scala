@@ -311,4 +311,28 @@ class FringeSpec extends SparkSpec {
       Option(r.getString(2)), r.getString(3), r.getLong(4))).toSet
     assert(a === b)
   }
+
+  test("CSV round-trip: hostile text (commas, quotes, unicode, nulls) survives") {
+    import spark.implicits._
+    // NOTE no embedded newlines: RFC-4180 multiline fields need
+    // multiLine=true which makes files unsplittable — the schema-pinned
+    // reader deliberately stays splittable and the writer's quoting
+    // covers commas/quotes/escapes (driver corpora are newline-free;
+    // newline-bearing corpora belong in JSONL/parquet)
+    val docs = Seq(
+      (0L, "plain text", "en", "src0", 10L),
+      (1L, "comma, \"quoted\" back\\slash, more", "en", "src0", 32L),
+      (2L, "unicode: café 中文 😀 tab\there", "fr", "src1", 20L),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    graft.sources.CsvIO.writeDocuments(docs, dir)
+    val back = graft.sources.CsvIO.readDocuments(spark, dir)
+    assert(back.schema === graft.sources.CsvIO.documentsSchema)
+    val a = docs.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      Option(r.getString(2)), r.getString(3), r.getLong(4))).toSet
+    val b = back.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      Option(r.getString(2)), r.getString(3), r.getLong(4))).toSet
+    assert(a === b)
+  }
 }
