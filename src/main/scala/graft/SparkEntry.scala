@@ -1965,6 +1965,15 @@ object SparkEntry {
       graft.streaming.StreamReplay.cumulative(s, dir)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // streaming as-of replay: per-user last-view state enriches each
+    // purchase at arrival (two longs of state; batch union-trick tie
+    // order replicated in-batch) — gated by the SAME
+    // TemporalSql.asofPurchaseView statement as the batch events_asof
+    "events_asof_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.asof(s, dir,
+          leftType = "purchase", rightType = "view")
+        .orderBy(col("event_id"))
+    }),
     // streaming Markov replay: per-user last-event state emits one
     // transition row per arrival; the batch transitionMatrix aggregation
     // finishes the job — gated by the SAME TemporalSql.markovTransitions
@@ -2387,6 +2396,7 @@ object SparkEntry {
         |ORDER BY token""".stripMargin,
     "events_sessionize" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
     "events_asof" -> graft.pipeline.TemporalSql.asofPurchaseView,
+    "events_asof_stream" -> graft.pipeline.TemporalSql.asofPurchaseView,
     "events_e2e" -> graft.pipeline.TemporalSql.sessionAsofE2e(SessionGapNs),
     "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),

@@ -272,6 +272,23 @@ object StreamReplay {
       .where(col("day") <= maxNs) // drop any sentinel-day window
   }
 
+  /** Streamed as-of enrichment of the driver's events table
+    * (purchase ← most recent prior view), shaped to the batch
+    * [[graft.pipeline.Temporal.asofJoin]] entry contract
+    * [event_id, user_id, ts_ns, matched_event_id, matched_ts, gap_ns]. */
+  def asof(spark: SparkSession, dir: String, leftType: String,
+      rightType: String): DataFrame = {
+    val out = replay(spark, dir) { ev =>
+      StreamingPipeline.asofStream(
+        ev.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L),
+        leftType, rightType).toDF()
+    }
+    out.where(col("user_id") >= 0)
+      .select(col("event_id"), col("user_id"), col("ts_ns"),
+        col("matched_event_id"), col("matched_ts"), col("gap_ns"))
+  }
+
   /** Streamed benchmark decontamination of the driver's documents table:
     * the benchmark n-gram pool builds in BATCH from the same parquet
     * (doc_id < benchDocs), the doc stream (doc_id >= benchDocs) runs the

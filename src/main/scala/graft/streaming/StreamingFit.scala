@@ -97,6 +97,11 @@ case class UserRunning(user_id: Long, ts_ns: Long, event_id: Long,
 case class Transition(user_id: Long, from_type: String, to_type: String,
     ts_ns: Long, event_id: Long)
 
+/** One enriched left-side event from [[StreamingPipeline.asofStream]]
+  * (`matched_* = -1` when no right event preceded it). */
+case class AsofMatch(event_id: Long, user_id: Long, ts_ns: Long,
+    matched_event_id: Long, matched_ts: Long, gap_ns: Long)
+
 /** One closed user session from [[StreamingPipeline.sessionize]]. */
 case class UserSession(
     user_id: Long, session_start: java.sql.Timestamp,
@@ -420,6 +425,55 @@ object StreamingPipeline {
               UserRunning(user, tsNs, eventId, eventType, n, micro)
           }
           state.update((n, micro))
+          out.iterator
+      }
+  }
+
+  /** Streaming as-of enrichment — the classic stream join ("attach the
+    * most recent prior `rightType` event to every `leftType` event, per
+    * user") as per-key last-value state instead of a range join: state
+    * is the last right event's (ts_ns, event_id), two longs per user;
+    * every left arrival emits immediately with the current match (or
+    * −1s). Within a micro-batch rows are processed in
+    * (ts_ns, side, event_id) order with right BEFORE left at equal
+    * timestamps and ascending event_id — exactly the batch
+    * [[graft.pipeline.Temporal.asofJoin]] union-trick ordering, so an
+    * equal-ts right event is eligible and the max event_id wins ties,
+    * and with per-user in-order arrival the two surfaces are
+    * row-identical. NoTimeout (two-long state; same boundedness note as
+    * [[cumulativeStream]]).
+    *
+    * Input columns: user_id, ts_ns (epoch-ns long), event_id,
+    * event_type. Returns one [[AsofMatch]] per left event. */
+  def asofStream(events: DataFrame, leftType: String,
+      rightType: String): Dataset[AsofMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long)]) =>
+          var last = state.getOption // (ts_ns, event_id) of the last right
+          val out = rows.toArray
+            .sortBy { case (_, tsNs, eventId, et) =>
+              (tsNs, if (et == rightType) 0 else 1, eventId) }
+            .flatMap { case (_, tsNs, eventId, et) =>
+              if (et == rightType) { last = Some((tsNs, eventId)); None }
+              else last match {
+                case Some((rt, rid)) =>
+                  Some(AsofMatch(eventId, user, tsNs, rid, rt, tsNs - rt))
+                case None =>
+                  Some(AsofMatch(eventId, user, tsNs, -1L, -1L, -1L))
+              }
+            }
+          last.foreach(state.update)
           out.iterator
       }
   }

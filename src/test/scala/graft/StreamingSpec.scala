@@ -228,6 +228,42 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
   }
 
+  test("streaming asof == batch asof: cross-batch state, equal-ts tie rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val S = 1000000000L
+    // (event_id, ts_ns, user_id, event_type): view state must carry
+    // across the chunk boundary; equal-ts views tie-break by max id;
+    // a purchase before any view matches -1
+    val events = Seq(
+      (0L, 1000 * S, 1L, "purchase"),  // no prior view -> -1
+      (1L, 1100 * S, 1L, "view"),
+      (2L, 1100 * S, 1L, "view"),      // same ts: id 2 must win
+      (3L, 1100 * S, 1L, "purchase"),  // equal-ts view eligible -> 2
+      // --- chunk boundary falls here ---
+      (4L, 1500 * S, 1L, "purchase"),  // matches view 2 across batches
+      (5L, 1600 * S, 2L, "view"),
+      (6L, 1700 * S, 2L, "purchase")) // matches 5
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val df = stream.toDS().toDF("event_id", "ts_ns", "user_id", "event_type")
+    val q = StreamingPipeline.asofStream(df, "purchase", "view")
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      events.grouped(4).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT event_id, matched_event_id, gap_ns FROM asof_parity")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((-1L, -1L)),
+      3L -> ((2L, 0L)),
+      4L -> ((2L, 400 * S)),
+      6L -> ((5L, 100 * S))))
+  }
+
   test("streaming markov pairs == batch window pairs across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
