@@ -1965,6 +1965,14 @@ object SparkEntry {
       graft.streaming.StreamReplay.cumulative(s, dir)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // streaming funnel replay: per-user step-times state emits one
+    // advance row per (user, step); the rollup counts users per step —
+    // gated by the SAME TemporalSql.funnel statement as events_funnel
+    "events_funnel_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.funnel(s, dir,
+          steps = FunnelSteps, horizonNs = FunnelHorizonNs)
+        .orderBy(col("step"))
+    }),
     // streaming as-of replay: per-user last-view state enriches each
     // purchase at arrival (two longs of state; batch union-trick tie
     // order replicated in-batch) — gated by the SAME
@@ -2401,6 +2409,8 @@ object SparkEntry {
     "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
+    "events_funnel_stream" -> graft.pipeline.TemporalSql.funnel(
+      FunnelSteps, FunnelHorizonNs),
     "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),
     "events_range_join" -> graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),

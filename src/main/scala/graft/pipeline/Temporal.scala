@@ -478,6 +478,27 @@ object Temporal {
       .agg(count_min_sketch(col("user_id"), lit(eps), lit(confidence),
         lit(seed)).as("cms"), count(lit(1)).as("total"))
 
+  /** Per-bucket HLL user sketches — the MERGEABLE pre-aggregation a
+    * 100 TB event store keeps instead of raw distincts: one DataSketches
+    * HLL per (bucket) over user_id. Build once per day (this), roll up
+    * to any coarser window FOREVER without rescanning events
+    * ([[dauFromSketches]]) — union is associative and loss-bounded, so
+    * daily sketches answer weekly/monthly/lifetime DAU queries from
+    * buckets × lgK-bytes of state. Returns [bucket, sketch]. */
+  def dauSketchTable(events: DataFrame, bucketNs: Long = NsPerDay,
+      lgK: Int = 12): DataFrame =
+    events.groupBy(bucketStart(col("ts"), bucketNs).as("bucket"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"))
+
+  /** Roll a [[dauSketchTable]] up to coarser windows: merge the member
+    * sketches (`hll_union_agg`) and estimate — never touching the
+    * original events. The fine bucket width must divide the coarse one.
+    * Returns [window_start, est_users]. */
+  def dauFromSketches(sketches: DataFrame, windowNs: Long): DataFrame =
+    sketches.groupBy(bucketStart(col("bucket"), windowNs).as("window_start"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("est_users"))
+
   /** Weekly cohort retention: users bucketed by the week of their first
     * event; per (cohort_week, week_offset) distinct-user counts.
     * Shape: per-user min (map-side combined), join events back on the

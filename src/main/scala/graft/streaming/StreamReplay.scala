@@ -289,6 +289,31 @@ object StreamReplay {
         col("matched_event_id"), col("matched_ts"), col("gap_ns"))
   }
 
+  /** Streamed ordered-funnel of the driver's events table, shaped to the
+    * batch [[graft.pipeline.Temporal.funnel]] contract
+    * [step (1-based long), event_type, n_users]: the stream emits
+    * (user, step) advances, the rollup counts users per step with
+    * zero-filled rows for unreached steps. */
+  def funnel(spark: SparkSession, dir: String, steps: Seq[String],
+      horizonNs: Long): DataFrame = {
+    import spark.implicits._
+    val reached = replay(spark, dir) { ev =>
+      StreamingPipeline.funnelStream(
+        ev.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L),
+        steps, horizonNs).toDF()
+    }
+    val counts = reached.where(col("user_id") >= 0)
+      .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+    steps.zipWithIndex
+      .map { case (et, i) => (i + 1L, et, i) }
+      .toDF("step", "event_type", "__idx")
+      .join(counts.select(col("step").as("__idx"), col("n_users")),
+        Seq("__idx"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   /** Streamed benchmark decontamination of the driver's documents table:
     * the benchmark n-gram pool builds in BATCH from the same parquet
     * (doc_id < benchDocs), the doc stream (doc_id >= benchDocs) runs the

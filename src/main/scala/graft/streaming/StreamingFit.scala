@@ -102,6 +102,11 @@ case class Transition(user_id: Long, from_type: String, to_type: String,
 case class AsofMatch(event_id: Long, user_id: Long, ts_ns: Long,
     matched_event_id: Long, matched_ts: Long, gap_ns: Long)
 
+/** One funnel-step advance from [[StreamingPipeline.funnelStream]]:
+  * `user_id` first satisfied step index `step` (0-based) at `ts_ns`.
+  * Emitted at most once per (user, step). */
+case class StepReached(user_id: Long, step: Int, ts_ns: Long)
+
 /** One closed user session from [[StreamingPipeline.sessionize]]. */
 case class UserSession(
     user_id: Long, session_start: java.sql.Timestamp,
@@ -474,6 +479,54 @@ object StreamingPipeline {
               }
             }
           last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming ordered-funnel progress — the stateful twin of
+    * [[graft.pipeline.Temporal.funnel]]: per user, state is the step
+    * completion times t0..t(K−1) (−1 = unreached), and an arriving
+    * event satisfies step K iff it matches the step type, t(K−1) is
+    * set, ts is STRICTLY after t(K−1), and ts is within `horizonNs` of
+    * t0. The batch operator's tK = "min ts of step-K events after
+    * t(K−1) within horizon" is exactly what a greedy in-ts-order scan
+    * computes, and the strict inequalities make equal-ts processing
+    * order irrelevant — so with per-user in-order arrival, the emitted
+    * (user, step) set equals the batch non-null __tK set row for row
+    * (the downstream per-step distinct-user rollup then matches the
+    * batch counts). Emits one [[StepReached]] per (user, step), at the
+    * moment the step is first satisfied — the live funnel dashboard
+    * feed. State is |steps| longs per user, NoTimeout (same boundedness
+    * note as [[cumulativeStream]]). */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      horizonNs: Long): Dataset[StepReached] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], StepReached](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Array[Long]]) =>
+          val t = state.getOption.getOrElse(Array.fill(steps.size)(-1L))
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, tsNs, _, et) =>
+              val k = stepIdx(et)
+              val eligible =
+                if (k == 0) t(0) < 0
+                else t(k) < 0 && t(k - 1) >= 0 && tsNs > t(k - 1) &&
+                  tsNs <= t(0) + horizonNs
+              if (eligible) { t(k) = tsNs; Some(StepReached(user, k, tsNs)) }
+              else None
+          }
+          state.update(t)
           out.iterator
       }
   }

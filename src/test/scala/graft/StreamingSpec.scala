@@ -264,6 +264,44 @@ class StreamingSpec extends SparkSpec {
       6L -> ((5L, 100 * S))))
   }
 
+  test("streaming funnel == batch funnel: greedy step times across chunks, horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val S = 1000000000L
+    val steps = Seq("a", "b", "c")
+    // user 1 completes in order; user 2's step b precedes its a (never
+    // advances); user 3's c falls outside the horizon of its a
+    val events = Seq(
+      (0L, 1000 * S, 1L, "a"), (1L, 1100 * S, 1L, "b"),
+      (2L, 1200 * S, 1L, "c"),
+      (3L, 1000 * S, 2L, "b"), (4L, 1100 * S, 2L, "a"),
+      (5L, 1000 * S, 3L, "a"), (6L, 1050 * S, 3L, "b"),
+      (7L, 9000 * S, 3L, "c")) // > horizon from t0
+    val horizon = 500 * S
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val df = stream.toDS().toDF("event_id", "ts_ns", "user_id", "event_type")
+    val q = StreamingPipeline.funnelStream(df, steps, horizon)
+      .writeStream.format("memory").queryName("fun_parity")
+      .outputMode("append").start()
+    try {
+      events.grouped(3).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT user_id, step FROM fun_parity")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 0), (1L, 1), (1L, 2),
+      (2L, 0), (3L, 0), (3L, 1)))
+    // per-step distinct-user counts == batch funnel
+    val batchIn = events.map { case (id, ts, u, et) => (id, u, ts, et, 0.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batch = graft.pipeline.Temporal.funnel(batchIn, steps, horizon)
+      .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users")).toMap
+    val streamCounts = got.groupBy(_._2).map { case (k, v) => (k + 1L) -> v.size.toLong }
+    assert(steps.indices.forall(i =>
+      batch(i + 1L) === streamCounts.getOrElse(i + 1L, 0L)))
+  }
+
   test("streaming markov pairs == batch window pairs across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
