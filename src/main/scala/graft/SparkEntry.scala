@@ -1558,6 +1558,24 @@ object SparkEntry {
           col("duration_ms"), col("rms"))
         .orderBy(col("media_id"))
     }),
+    // multimodal VIDEO: 3 concatenated P6 frames (md5 rasters) through
+    // the REAL frame walker, sampling every 2nd frame — per-frame
+    // channel means vs DuckDB's hex math
+    "multimodal_video" -> ((s, dir) => {
+      val payload = concat((0 until 3).flatMap { f =>
+        Seq(encode(lit("P6\n2 2\n255\n"), "UTF-8"),
+          unhex(substring(
+            md5(concat(lit(s"vid$f"), col("doc_id").cast("string"))), 1, 24)))
+      }: _*)
+      val media = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("video").as("kind"), payload.as("payload"))
+      graft.pipeline.Multimodal.videoFrameMeta(media, step = 2)
+        .select(col("media_id"), col("frame_index"), col("n_frames"),
+          col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
     // LLM pipeline: per-domain URL stats over planted URLs (the table a
     // web-corpus pass joins domain allow/block lists against)
     "text_domains" -> ((s, dir) => {
@@ -2232,6 +2250,7 @@ object SparkEntry {
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
     "multimodal_meta" -> graft.pipeline.PipelineSql.multimodalMeta,
+    "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,

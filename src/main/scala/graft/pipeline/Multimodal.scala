@@ -350,4 +350,89 @@ object Multimodal {
       .select(col("media_id"), col("frame_index"),
         (col("frame_index").cast("long") * col("sz") / n).as("byte_offset"))
   }
+
+  /** REAL frame walk for the concatenated-P6 "video" container (the
+    * pure-JVM stand-in for an MJPEG-style frame stream — each frame is
+    * a complete binary PPM, frames back to back): parse each header
+    * (magic, width, height, maxval, one whitespace, then w·h·3 raster
+    * bytes), decode, advance. A malformed frame stops the walk — the
+    * frames decoded so far are returned (truncation tolerance, the
+    * media-pipeline norm). */
+  def decodeVideoFrames(payload: Array[Byte],
+      maxFrames: Int = 10000): Seq[DecodedImage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
+    if (payload == null) return out.toSeq
+    val len = payload.length
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    var off = 0
+    var halt = false
+    while (!halt && out.size < maxFrames && off + 2 <= len &&
+        payload(off) == 'P' && payload(off + 1) == '6') {
+      var p = off + 2
+      val ints = new Array[Int](3); var k = 0; var ok = true
+      while (k < 3 && ok) {
+        // skip whitespace and '#'-to-newline comments (P6 headers allow
+        // them; the raster after maxval may legitimately start with '#')
+        while (p < len && (isWs(payload(p)) || payload(p) == '#')) {
+          if (payload(p) == '#') {
+            while (p < len && payload(p) != '\n') p += 1
+          } else p += 1
+        }
+        var v = 0; val p0 = p
+        while (p < len && payload(p) >= '0' && payload(p) <= '9') {
+          v = v * 10 + (payload(p) - '0'); p += 1
+        }
+        if (p == p0) ok = false else { ints(k) = v; k += 1 }
+      }
+      if (!ok || p >= len || !isWs(payload(p)) || ints(2) > 255) halt = true
+      else {
+        p += 1 // the single whitespace separating maxval from the raster
+        val dataLen = ints(0) * ints(1) * 3
+        if (dataLen <= 0 || p + dataLen > len) halt = true
+        else {
+          out += DecodedImage(ints(0), ints(1),
+            java.util.Arrays.copyOfRange(payload, p, p + dataLen))
+          off = p + dataLen
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Frame-SAMPLED video metadata — the real form of [[sampleFrames]]:
+    * decode the frame stream, keep every `step`-th frame, report
+    * per-frame dimensions and channel means (the features a vision
+    * curation pass thresholds on). One narrow mapPartitions — frames
+    * never leave their partition; rows out = frames/step per video.
+    * Returns [media_id, frame_index, n_frames, width, height, mean_r,
+    * mean_g, mean_b]. */
+  def videoFrameMeta(media: DataFrame, step: Int = 2): DataFrame = {
+    require(step >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = decodeVideoFrames(bytes)
+          frames.zipWithIndex
+            .filter(_._2 % step == 0)
+            .map { case (img, idx) =>
+              val px = img.width * img.height
+              var r = 0L; var g = 0L; var bl = 0L; var i = 0
+              while (i < px) {
+                val o = i * 3
+                r += img.rgb(o) & 0xff; g += img.rgb(o + 1) & 0xff
+                bl += img.rgb(o + 2) & 0xff
+                i += 1
+              }
+              (id, idx, frames.size, img.width, img.height,
+                round6(r.toDouble / px), round6(g.toDouble / px),
+                round6(bl.toDouble / px))
+            }
+        }
+      }
+      .toDF("media_id", "frame_index", "n_frames", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+  }
 }

@@ -1220,6 +1220,29 @@ object PipelineSql {
        |       round(sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) / 8.0, 6) AS mean_b
        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Mirrors the `multimodal_video` entry: 3 concatenated 2×2 P6 frames
+    * whose rasters are the first 12 md5 bytes of 'vid<f><doc_id>'; the
+    * walker samples frames 0 and 2; channel means over 4 pixels. */
+  val multimodalVideo: String =
+    s"""WITH f AS (SELECT unnest([0, 2]) AS frame_index),
+       |h AS (
+       |  SELECT d.doc_id, f.frame_index,
+       |         md5('vid' || CAST(f.frame_index AS VARCHAR)
+       |                   || CAST(d.doc_id AS VARCHAR)) AS hx
+       |  FROM documents d CROSS JOIN f),
+       |b AS (
+       |  SELECT doc_id, frame_index, g.i,
+       |         ('0x' || substr(hx, 2 * g.i + 1, 2))::INT AS byte
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) g)
+       |SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |       CAST(frame_index AS INT) AS frame_index,
+       |       CAST(3 AS INT) AS n_frames,
+       |       CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+       |       round(sum(CASE WHEN i % 3 = 0 THEN byte ELSE 0 END) / 4.0, 6) AS mean_r,
+       |       round(sum(CASE WHEN i % 3 = 1 THEN byte ELSE 0 END) / 4.0, 6) AS mean_g,
+       |       round(sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) / 4.0, 6) AS mean_b
+       |FROM b GROUP BY doc_id, frame_index ORDER BY media_id, frame_index""".stripMargin
+
   /** Mirrors the `multimodal_audio` entry: 16 PCM8 samples = the md5
     * bytes; sample value (byte − 128)/128 (exact in binary), RMS in
     * double, duration 16/8000 s = 2 ms. */

@@ -67,6 +67,31 @@ class MultimodalDecodeSpec extends SparkSpec {
       Multimodal.imageFeatures(ppm.get).toSeq)
   }
 
+  test("decodeVideoFrames: walks concatenated P6 frames, truncation-tolerant") {
+    val two = ppmBytes ++ ppmBytes
+    val frames = Multimodal.decodeVideoFrames(two)
+    assert(frames.size === 2)
+    assert(frames(0).rgb.toSeq === frames(1).rgb.toSeq)
+    assert(frames(0).width === W && frames(0).height === H)
+    // single image == one-frame video
+    assert(Multimodal.decodeVideoFrames(ppmBytes).size === 1)
+    // truncated second frame: first survives, walk stops cleanly
+    val truncated = ppmBytes ++ ppmBytes.take(ppmBytes.length - 3)
+    assert(Multimodal.decodeVideoFrames(truncated).size === 1)
+    // junk and empty
+    assert(Multimodal.decodeVideoFrames("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoFrames(Array.emptyByteArray).isEmpty)
+    // videoFrameMeta samples every step-th frame through the dataflow
+    import spark.implicits._
+    val media = Seq((1L, two ++ ppmBytes)).toDF("media_id", "payload")
+    val meta = Multimodal.videoFrameMeta(media, step = 2)
+      .orderBy("frame_index").collect()
+    assert(meta.map(_.getAs[Int]("frame_index")).toSeq === Seq(0, 2))
+    assert(meta.forall(_.getAs[Int]("n_frames") === 3))
+    assert(meta.forall(r => r.getAs[Int]("width") === W &&
+      r.getAs[Int]("height") === H))
+  }
+
   test("decodeImage: rejects junk, truncated, and unsupported payloads") {
     assert(Multimodal.decodeImage(null).isEmpty)
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
