@@ -1983,6 +1983,14 @@ object SparkEntry {
       graft.streaming.StreamReplay.cumulative(s, dir)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // streaming retention replay: per-user (cohort, offsets-seen) state
+    // emits one first-activity row per (user, week-offset); the rollup
+    // counts pairs — gated by the SAME TemporalSql.retention statement
+    "events_retention_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.retention(s, dir,
+          bucketNs = RetentionBucketNs)
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
     // streaming funnel replay: per-user step-times state emits one
     // advance row per (user, step); the rollup counts users per step —
     // gated by the SAME TemporalSql.funnel statement as events_funnel
@@ -2431,6 +2439,8 @@ object SparkEntry {
     "events_funnel_stream" -> graft.pipeline.TemporalSql.funnel(
       FunnelSteps, FunnelHorizonNs),
     "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),
+    "events_retention_stream" -> graft.pipeline.TemporalSql.retention(
+      RetentionBucketNs),
     "events_range_join" -> graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(

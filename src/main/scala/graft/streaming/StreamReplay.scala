@@ -314,6 +314,23 @@ object StreamReplay {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Streamed cohort retention of the driver's events table, shaped to
+    * the batch [[graft.pipeline.Temporal.retention]] contract
+    * [cohort_week, week_offset, n_users]: the stream emits one
+    * (user, cohort, offset) first-activity row per pair, the rollup
+    * counts them. */
+  def retention(spark: SparkSession, dir: String, bucketNs: Long): DataFrame = {
+    val visits = replay(spark, dir) { ev =>
+      StreamingPipeline.retentionStream(
+        ev.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L),
+        bucketNs).toDF()
+    }
+    visits.where(col("user_id") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Streamed benchmark decontamination of the driver's documents table:
     * the benchmark n-gram pool builds in BATCH from the same parquet
     * (doc_id < benchDocs), the doc stream (doc_id >= benchDocs) runs the

@@ -102,6 +102,12 @@ case class Transition(user_id: Long, from_type: String, to_type: String,
 case class AsofMatch(event_id: Long, user_id: Long, ts_ns: Long,
     matched_event_id: Long, matched_ts: Long, gap_ns: Long)
 
+/** One first-activity-in-week observation from
+  * [[StreamingPipeline.retentionStream]]: `user_id` (whose cohort is
+  * `cohort_week`) was first seen in week `cohort_week + week_offset`.
+  * Emitted at most once per (user, offset). */
+case class CohortVisit(user_id: Long, cohort_week: Long, week_offset: Long)
+
 /** One funnel-step advance from [[StreamingPipeline.funnelStream]]:
   * `user_id` first satisfied step index `step` (0-based) at `ts_ns`.
   * Emitted at most once per (user, step). */
@@ -479,6 +485,45 @@ object StreamingPipeline {
               }
             }
           last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming cohort retention — the stateful twin of
+    * [[graft.pipeline.Temporal.retention]]: per user, state is the
+    * cohort week (set by the FIRST event — with in-order arrival that
+    * is the batch min-ts cohort) plus the set of week offsets already
+    * reported; each event's week emits one [[CohortVisit]] the first
+    * time that offset appears. The downstream rollup (count per
+    * (cohort, offset) — each pair arrives once per user by
+    * construction) equals the batch countDistinct table. State is one
+    * long + the user's active-week set (bounded by campaign length in
+    * weeks), NoTimeout (same boundedness note as [[cumulativeStream]]). */
+  def retentionStream(events: DataFrame,
+      bucketNs: Long): Dataset[CohortVisit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), CohortVisit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Seq[Long])]) =>
+          var (cohort, seen) = state.getOption.getOrElse((-1L, Seq.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CohortVisit]
+          rows.toArray.map(_._2).sorted.foreach { tsNs =>
+            val w = tsNs - math.floorMod(tsNs, bucketNs)
+            if (cohort < 0) cohort = w
+            val off = (w - cohort) / bucketNs
+            if (!seen.contains(off)) {
+              seen = seen :+ off
+              out += CohortVisit(user, cohort, off)
+            }
+          }
+          state.update((cohort, seen))
           out.iterator
       }
   }
