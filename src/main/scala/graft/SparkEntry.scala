@@ -1599,6 +1599,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pos"), col("fp"))
         .orderBy(col("doc_id"), col("pos"), col("fp"))
     }),
+    // LLM pipeline: incremental exact dedup — a synthesized ingest batch
+    // (corpus clones, unseen docs, within-batch twins) resolved against
+    // the v1 fingerprint INDEX (the corpus is never rescanned)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val index = graft.pipeline.Dedup.exact(d.where(ten =!= 2))
+        .select(col("fingerprint"), col("canonical_id"))
+      val batch = d.where(ten === 3)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      graft.pipeline.Dedup.incrementalExact(index, batch)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: winnowing candidate pairs — the local-overlap
     // near-dup detector (df-capped fp-keyed self-join, minhash-band
     // shape)
@@ -2239,6 +2256,7 @@ object SparkEntry {
     "text_winnowing" -> graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
     "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
+    "dedup_incremental" -> graft.pipeline.PipelineSql.dedupIncremental,
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_decontaminate_bloom" ->

@@ -278,6 +278,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
   }
 
+  /** Incremental exact dedup — the daily-ingest primitive: dedup a NEW
+    * batch against the historical fingerprint INDEX (one row per known
+    * content hash with its canonical doc) without rescanning the
+    * corpus, and within itself. Each batch doc is labeled
+    * `dup_of_corpus` (content already indexed — `dup_of` = the index's
+    * canonical id), `dup_in_batch` (first seen earlier IN THIS BATCH —
+    * `dup_of` = the batch-min id for the hash), or `new` (`dup_of` =
+    * −1; its fingerprint is what the caller appends to the index).
+    * Returns [id, fingerprint, status, dup_of].
+    *
+    * Shape at scale: the batch is a day's ingest — orders of magnitude
+    * smaller than the corpus — so the index join is the batch streamed
+    * against the (bucketed-by-fingerprint, ideally — see
+    * [[graft.sources.Bucketing]]) index table on the hash key; the
+    * within-batch resolution is one batch-sized groupBy-min. The corpus
+    * is never read, only its index. */
+  def incrementalExact(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val b = batch.select(col(idCol).cast("long").as("id"),
+      md5(norm).as("fingerprint"))
+    val firsts = b.groupBy(col("fingerprint"))
+      .agg(min(col("id")).as("__batch_first"))
+    b
+      .join(index.select(col("fingerprint"),
+        col("canonical_id").as("__corpus_canon")), Seq("fingerprint"), "left")
+      .join(firsts, Seq("fingerprint"))
+      .select(col("id"), col("fingerprint"),
+        when(col("__corpus_canon").isNotNull, "dup_of_corpus")
+          .when(col("__batch_first") < col("id"), "dup_in_batch")
+          .otherwise("new").as("status"),
+        when(col("__corpus_canon").isNotNull, col("__corpus_canon"))
+          .when(col("__batch_first") < col("id"), col("__batch_first"))
+          .otherwise(lit(-1L)).as("dup_of"))
+  }
+
   /** [[decontaminate]]'s 100 TB-benchmark shape: the benchmark n-gram
     * pool rides as a BLOOM FILTER instead of a broadcast set — ~10 bits
     * per n-gram at fpp=1% versus tens of bytes for the string set, so a

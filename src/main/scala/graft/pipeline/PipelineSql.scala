@@ -1310,6 +1310,33 @@ object PipelineSql {
        |            AS BIGINT) AS shard_pos
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the dedup_incremental entry: corpus v1 (doc_id%10<>2)
+    * builds the fingerprint index; the synthesized batch (corpus clones
+    * at +1e6, unseen-content docs at +2e6, their within-batch twins at
+    * +3e6) resolves against index-then-batch-first. */
+  val dedupIncremental: String =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
+       |idx AS (SELECT md5($norm) AS fingerprint,
+       |               min(doc_id) AS canonical_id
+       |        FROM v1 GROUP BY 1),
+       |batch AS (
+       |  SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 2),
+       |b AS (SELECT id, md5($norm) AS fingerprint FROM batch),
+       |f AS (SELECT fingerprint, min(id) AS bf FROM b GROUP BY 1)
+       |SELECT b.id, b.fingerprint,
+       |       CASE WHEN i.canonical_id IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN f.bf < b.id THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN i.canonical_id IS NOT NULL THEN i.canonical_id
+       |            WHEN f.bf < b.id THEN f.bf
+       |            ELSE -1 END AS dup_of
+       |FROM b LEFT JOIN idx i USING (fingerprint) JOIN f USING (fingerprint)
+       |ORDER BY id""".stripMargin
+
   /** Mirrors the corpus_diff entry: v2 synthesized from the documents
     * table (doc_id%10==0 removed, %10==1 edited, %10==2 cloned at
     * +1e6 as additions), then [[Snapshot.diff]]'s full-outer hash

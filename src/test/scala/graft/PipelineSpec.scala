@@ -490,6 +490,27 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc(0L).length < 7)
   }
 
+  test("incrementalExact: corpus-dup vs batch-dup vs new, index never rescanned") {
+    import spark.implicits._
+    val corpus = Seq((0L, "known content"), (1L, "other known"),
+      (5L, "known  CONTENT")).toDF("doc_id", "text") // 5 dups 0 after norm
+    val index = Dedup.exact(corpus).select("fingerprint", "canonical_id")
+    val batch = Seq(
+      (10L, "Known Content"),   // normalizes to corpus hash -> dup_of_corpus(0)
+      (11L, "fresh stuff"),     // new
+      (12L, "fresh  stuff"),    // dup_in_batch of 11 (normalized)
+      (13L, "fresh stuff"),     // dup_in_batch of 11
+      (14L, "also unseen")).toDF("doc_id", "text")
+    val r = Dedup.incrementalExact(index, batch)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("status"), x.getAs[Long]("dup_of")))).toMap
+    assert(r(10L) === (("dup_of_corpus", 0L)))
+    assert(r(11L) === (("new", -1L)))
+    assert(r(12L) === (("dup_in_batch", 11L)))
+    assert(r(13L) === (("dup_in_batch", 11L)))
+    assert(r(14L) === (("new", -1L)))
+  }
+
   test("winnowingPairs: finds a copied paragraph inside a long doc; df cap prunes") {
     import spark.implicits._
     val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
