@@ -1783,6 +1783,20 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       graft.pipeline.Snapshot.diff(d, v2).orderBy(col("id"))
     }),
+    // LLM pipeline: corpus drift — per-source token-distribution
+    // Jensen-Shannon divergence between v1 and the synthesized v2
+    // (release-gate monitoring; DECIMAL term sum, round(6) absorbs ln ulp)
+    "corpus_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val v2 = d.where(ten =!= 0)
+        .withColumn("text", when(ten === 1,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      graft.pipeline.Snapshot.drift(d, v2)
+        .select(col("source"),
+          coalesce(col("jsd"), lit(-1.0)).as("jsd")) // -1 = source absent
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: concat-and-chunk sequence packing into PackBudget-token
     // bins over doc_id order — the distributed two-phase prefix sum (no
     // global-order window; see Sampling.packSequences scaladoc)
@@ -2303,6 +2317,7 @@ object SparkEntry {
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,
+    "corpus_drift" -> graft.pipeline.PipelineSql.corpusDrift,
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(
       E2eMinTokens, MixRates, SampleSalt, PackBudget),

@@ -1337,6 +1337,43 @@ object PipelineSql {
        |FROM b LEFT JOIN idx i USING (fingerprint) JOIN f USING (fingerprint)
        |ORDER BY id""".stripMargin
 
+  /** Mirrors the corpus_drift entry: the same synthesized v2
+    * (deletions + ' edited' appendix), per-source token unigram
+    * distributions, Jensen–Shannon divergence with the identical term
+    * association order and the order-proof DECIMAL term sum. */
+  val corpusDrift: String =
+    s"""WITH v2 AS (SELECT CASE WHEN doc_id % 10 = 1 THEN text || ' edited'
+       |                        ELSE text END AS text, source
+       |            FROM documents WHERE doc_id % 10 <> 0),
+       |ca AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS na FROM (
+       |         SELECT source AS g, unnest(string_split($norm, ' ')) AS tok
+       |         FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+       |cb AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS nb FROM (
+       |         SELECT source AS g, unnest(string_split($norm, ' ')) AS tok
+       |         FROM v2) WHERE tok <> '' GROUP BY 1, 2),
+       |m AS (SELECT coalesce(ca.g, cb.g) AS g, coalesce(ca.tok, cb.tok) AS tok,
+       |             coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |      FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.tok = cb.tok),
+       |t AS (SELECT g, CAST(sum(na) AS BIGINT) AS ta,
+       |             CAST(sum(nb) AS BIGINT) AS tb FROM m GROUP BY g),
+       |valid AS (SELECT g, ta, tb FROM t WHERE ta > 0 AND tb > 0),
+       |terms AS (
+       |  SELECT m.g,
+       |         CASE WHEN p > 0 THEN p * ln(p / mm) / 2.0 ELSE 0 END +
+       |         CASE WHEN q > 0 THEN q * ln(q / mm) / 2.0 ELSE 0 END AS term
+       |  FROM (SELECT m.g,
+       |               CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+       |               CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q,
+       |               (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+       |                + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0 AS mm
+       |        FROM m JOIN valid USING (g)) m),
+       |j AS (SELECT g,
+       |             round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
+       |               AS jsd
+       |      FROM terms GROUP BY g)
+       |SELECT t.g AS source, coalesce(j.jsd, -1.0) AS jsd
+       |FROM t LEFT JOIN j USING (g) ORDER BY source""".stripMargin
+
   /** Mirrors the corpus_diff entry: v2 synthesized from the documents
     * table (doc_id%10==0 removed, %10==1 edited, %10==2 cloned at
     * +1e6 as additions), then [[Snapshot.diff]]'s full-outer hash

@@ -102,6 +102,27 @@ class SamplingSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("Snapshot.drift: zero on identical, ln2 on disjoint, null for absent sources") {
+    import spark.implicits._
+    val v1 = Seq((0L, "alpha beta alpha", "s1"), (1L, "gamma delta", "s2"),
+      (2L, "only here", "s3")).toDF("doc_id", "text", "source")
+    val same = Seq((0L, "alpha beta alpha", "s1"), (1L, "gamma delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val disjoint = Seq((0L, "zeta eta zeta", "s1"), (1L, "gamma delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val d1 = graft.pipeline.Snapshot.drift(v1, same)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(d1("s1") === Some(0.0) && d1("s2") === Some(0.0))
+    assert(d1("s3") === None, "source absent from v2 has no drift value")
+    val d2 = graft.pipeline.Snapshot.drift(v1, disjoint)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(math.abs(d2("s1").get - math.log(2.0)) < 1e-6,
+      s"disjoint vocabularies must reach ln 2, got ${d2("s1")}")
+    assert(d2("s2") === Some(0.0))
+  }
+
   test("packSequences matches a sequential reference packing") {
     val packedDf = Sampling.packSequences(rows, "n_tok", budget = 100L)
     val packed = packedDf
