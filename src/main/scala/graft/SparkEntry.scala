@@ -1783,6 +1783,36 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       graft.pipeline.Snapshot.diff(d, v2).orderBy(col("id"))
     }),
+    // LLM pipeline: per-source DEDUP audit report — exact-dup members +
+    // intra-source containment near-dup pairs in one row per source
+    // (composes the verified fingerprint grouping and the memoized
+    // containment pair table; the seams are what the row certifies)
+    "report_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = d.select(col("doc_id").cast("long").as("id"), col("source"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("fingerprint"))
+      val groups = fp.groupBy(col("fingerprint"))
+        .agg(min(col("id")).as("canon"), count(lit(1)).as("n"))
+      val ex = fp.join(groups, Seq("fingerprint"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 1 && col("id") =!= col("canon"), 1L)
+            .otherwise(0L)).as("n_exact_dups"))
+      val srcOf = d.select(col("doc_id").cast("long").as("pid"), col("source"))
+      val ps = containmentPairs(s, dir)
+        .join(srcOf.select(col("pid").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(srcOf.select(col("pid").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .where(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source"))
+        .agg(count(lit(1)).as("c"))
+      ex.join(ps, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_exact_dups"),
+          round(col("n_exact_dups").cast("double") /
+            col("n_docs").cast("double"), 6).as("exact_dup_ratio"),
+          coalesce(col("c"), lit(0L)).as("n_containment_pairs"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: corpus drift — per-source token-distribution
     // Jensen-Shannon divergence between v1 and the synthesized v2
     // (release-gate monitoring; DECIMAL term sum, round(6) absorbs ln ulp)
@@ -2318,6 +2348,8 @@ object SparkEntry {
       SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,
     "corpus_drift" -> graft.pipeline.PipelineSql.corpusDrift,
+    "report_dedup" -> graft.pipeline.PipelineSql.reportDedup(
+      ShingleK, threshold = 0.5, maxDocFreq = 100),
     "pack_sequences" -> graft.pipeline.PipelineSql.packSequences(PackBudget),
     "pipeline_e2e" -> graft.pipeline.PipelineSql.pipelineE2e(
       E2eMinTokens, MixRates, SampleSalt, PackBudget),

@@ -815,6 +815,34 @@ object PipelineSql {
        |FROM cs JOIN vv USING (source) JOIN qs USING (source)
        |JOIN tl USING (source) ORDER BY cs.source""".stripMargin
 
+  /** Mirrors the report_dedup entry: per-source duplication audit —
+    * exact-dup members (non-canonical docs of >1-sized hash groups) and
+    * intra-source containment near-dup pairs, composed from the same
+    * verified CTE builders. */
+  def reportDedup(k: Int, threshold: Double, maxDocFreq: Long): String =
+    s"""WITH fp AS (SELECT doc_id AS id, source, md5($norm) AS fingerprint
+       |            FROM documents),
+       |g AS (SELECT fingerprint, min(id) AS canon, count(*) AS n
+       |      FROM fp GROUP BY 1),
+       |ds AS (SELECT f.source, f.id,
+       |              (g.n > 1 AND f.id <> g.canon) AS isdup
+       |       FROM fp f JOIN g USING (fingerprint)),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+       |                AS n_exact_dups
+       |       FROM ds GROUP BY source),
+       |cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
+       |ps AS (SELECT da.source, CAST(count(*) AS BIGINT) AS c
+       |       FROM cp JOIN documents da ON da.doc_id = cp.id_a
+       |               JOIN documents db ON db.doc_id = cp.id_b
+       |       WHERE da.source = db.source GROUP BY da.source)
+       |SELECT ex.source, ex.n_docs, ex.n_exact_dups,
+       |       round(CAST(ex.n_exact_dups AS DOUBLE)
+       |             / CAST(ex.n_docs AS DOUBLE), 6) AS exact_dup_ratio,
+       |       coalesce(ps.c, 0) AS n_containment_pairs
+       |FROM ex LEFT JOIN ps ON ps.source = ex.source
+       |ORDER BY ex.source""".stripMargin
+
   /** Mirrors TextAnalysis.fingerprint: whole-doc md5 of the normalized
     * text + the order-sensitive 131-ary rolling hash over per-token
     * md5-prefix ints (same fold, same constants — BIGINT-safe in both
