@@ -507,12 +507,16 @@ object StreamingPipeline {
     val typed = events
       .select(col("user_id").cast("long"), col("ts_ns").cast("long"))
       .as[(Long, Long)]
+    // state rides as (cohort, offsets) with a PRIMITIVE long array —
+    // the Seq encoder's per-element boxing tripled this operator's
+    // wall-clock at bench scale before the switch
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Seq[Long]), CohortVisit](
+      .flatMapGroupsWithState[(Long, Array[Long]), CohortVisit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long)],
-         state: GroupState[(Long, Seq[Long])]) =>
-          var (cohort, seen) = state.getOption.getOrElse((-1L, Seq.empty[Long]))
+         state: GroupState[(Long, Array[Long])]) =>
+          var (cohort, seen0) = state.getOption.getOrElse((-1L, Array.empty[Long]))
+          var seen = seen0
           val out = scala.collection.mutable.ArrayBuffer.empty[CohortVisit]
           rows.toArray.map(_._2).sorted.foreach { tsNs =>
             val w = tsNs - math.floorMod(tsNs, bucketNs)
