@@ -337,11 +337,18 @@ object Dedup {
       .select(explode(shingles(col(textCol), n)).as("g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBench = math.max(benchSh.count(), 1L) // also materializes the persist
+    // size the filter from fpp explicitly — the (child, estimatedItems)
+    // constructor would silently use Spark's default 3% and leave the
+    // fpp knob dead
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nBench, fpp)
     val bloomBytes = benchSh
       .agg(GraftColumnBridge.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(
-            GraftColumnBridge.expression(xxhash64(col("g"))), nBench)
+            GraftColumnBridge.expression(xxhash64(col("g"))),
+            org.apache.spark.sql.catalyst.expressions.Literal(nBench),
+            org.apache.spark.sql.catalyst.expressions.Literal(numBits))
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
     val mightContain = GraftColumnBridge.column(

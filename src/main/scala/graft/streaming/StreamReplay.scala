@@ -111,14 +111,11 @@ object StreamReplay {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Replay the driver's documents table through the STATELESS streaming
-    * clean stage ([[StreamingPipeline.scoreAndGate]]) — no sentinels or
-    * watermark needed (no state), one AvailableNow pass into a memory
-    * sink. Returns [doc_id, quality (6dp), fingerprint]. */
-  def cleanDocuments(spark: SparkSession, dir: String,
-      minQuality: Double): DataFrame = {
-    // the file source's basePath must be a DIRECTORY — stage a symlink
-    val stage = stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
+  /** Memoized documents staging — the file source's basePath must be a
+    * DIRECTORY, so stage a symlink (copy fallback); one per
+    * (session, dir), shared by every documents replay. */
+  private def stageDocs(spark: SparkSession, dir: String): Path =
+    stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
       val d = Files.createTempDirectory("graft_replay_docs")
       val staged = d.resolve("documents.parquet")
       val src = Paths.get(s"$dir/documents.parquet")
@@ -127,7 +124,15 @@ object StreamReplay {
         Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
       d
     })
-    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+
+  /** Replay the driver's documents table through the STATELESS streaming
+    * clean stage ([[StreamingPipeline.scoreAndGate]]) — no sentinels or
+    * watermark needed (no state), one AvailableNow pass into a memory
+    * sink. Returns [doc_id, quality (6dp), fingerprint]. */
+  def cleanDocuments(spark: SparkSession, dir: String,
+      minQuality: Double): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
     val qname = s"graft_replay_docs_${counter.incrementAndGet()}"
     val q = StreamingPipeline.scoreAndGate(stream, minQuality)
       .select(col("doc_id"), round(col("quality"), 6).as("quality"),
@@ -148,16 +153,8 @@ object StreamReplay {
   def classifyDocs(spark: SparkSession, dir: String): DataFrame = {
     val model = graft.pipeline.Classify.trainNbModel(
       spark.read.parquet(s"$dir/documents.parquet"))
-    val stage = stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
-      val d = Files.createTempDirectory("graft_replay_docs")
-      val staged = d.resolve("documents.parquet")
-      val src = Paths.get(s"$dir/documents.parquet")
-      try Files.createSymbolicLink(staged, src)
-      catch { case _: Exception =>
-        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
-      d
-    })
-    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
     val qname = s"graft_replay_nb_${counter.incrementAndGet()}"
     val q = StreamingPipeline.classifyStream(stream, model)
       .writeStream.format("memory").queryName(qname)
@@ -345,16 +342,8 @@ object StreamReplay {
       .filter(col("doc_id") < benchDocs)
       .select(explode(graft.pipeline.Dedup.shingles(col("text"), n)).as("g"))
       .distinct()
-    val stage = stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
-      val d = Files.createTempDirectory("graft_replay_docs")
-      val staged = d.resolve("documents.parquet")
-      val src = Paths.get(s"$dir/documents.parquet")
-      try Files.createSymbolicLink(staged, src)
-      catch { case _: Exception =>
-        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
-      d
-    })
-    val stream = spark.readStream.schema(docSchema).parquet(stage.toString)
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
       .filter(col("doc_id") >= benchDocs)
     val qname = s"graft_replay_decont_${counter.incrementAndGet()}"
     val q = StreamingPipeline.decontaminateHitsStream(stream, benchSh, n)

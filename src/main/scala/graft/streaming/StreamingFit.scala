@@ -189,8 +189,11 @@ object StreamingPipeline {
       .mapPartitions { it =>
         val cls = bc.value.classes.toArray
         it.map { case (id, lbl, text) =>
-          val toks = text.trim.toLowerCase.replaceAll("\\s+", " ")
-            .split(" ").filter(_.nonEmpty)
+          // Locale.ROOT: locale-independent like Spark's lower() — a
+          // tr_TR-locale executor must not tokenize differently from
+          // the batch twin
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
           val scored = cls.map { c =>
             // token-order fold FIRST, then one add to the base — the
             // exact association order of the expression form
@@ -202,7 +205,12 @@ object StreamingPipeline {
             val raw = c.lnPrior - toks.length.toDouble * c.lnDenom + tokSum
             (-round6(raw), c.cls, raw)
           }.sortBy(t => (t._1, t._2, t._3))
-          (id, lbl, scored(0)._2, round3(scored(0)._3 - scored(1)._3))
+          // single-class model: no runner-up — null margin, like the
+          // batch form's missing second array element
+          val margin: java.lang.Double =
+            if (scored.length > 1) round3(scored(0)._3 - scored(1)._3)
+            else null
+          (id, lbl, scored(0)._2, margin)
         }
       }
       .toDF("doc_id", labelCol, "pred", "margin")
@@ -224,7 +232,9 @@ object StreamingPipeline {
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id").cast("long").as("id"),
         explode(graft.pipeline.Dedup.shingles(col("text"), n)).as("g"))
-      .join(broadcast(benchShingles.select(col("g"))), Seq("g"))
+      // distinct HERE, like the batch operators do internally — a
+      // caller-supplied non-deduplicated pool must not multiply hits
+      .join(broadcast(benchShingles.select(col("g")).distinct()), Seq("g"))
 
   def cleanDocuments(stream: DataFrame, minQuality: Double,
       eventTimeCol: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
@@ -460,6 +470,14 @@ object StreamingPipeline {
           val out = rows.toArray.sortBy(r => (r._2, r._3)).map {
             case (_, tsNs, eventId, eventType, value) =>
               n += 1
+              // non-finite or out-of-decimal(18,6)-range values fail the
+              // batch twin's ANSI decimal cast too — fail HERE with a
+              // named reason instead of an opaque NumberFormatException
+              // from the state machine
+              require(java.lang.Double.isFinite(value) &&
+                math.abs(value) < 1e12,
+                s"cumulativeStream: value $value (event $eventId) outside " +
+                  "decimal(18,6) range — the batch DECIMAL cast rejects it too")
               micro += java.math.BigDecimal.valueOf(value)
                 .setScale(6, java.math.RoundingMode.HALF_UP)
                 .movePointRight(6).longValueExact()
@@ -583,7 +601,7 @@ object StreamingPipeline {
     require(steps.nonEmpty)
     val spark = events.sparkSession
     import spark.implicits._
-    val stepIdx = steps.zipWithIndex.toMap
+    val stepsArr = steps.toArray
     val typed = events
       .filter(col("event_type").isin(steps: _*))
       .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
@@ -594,16 +612,21 @@ object StreamingPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, Long, String)],
          state: GroupState[Array[Long]]) =>
-          val t = state.getOption.getOrElse(Array.fill(steps.size)(-1L))
+          val t = state.getOption.getOrElse(Array.fill(stepsArr.length)(-1L))
           val out = rows.toArray.sortBy(r => (r._2, r._3)).flatMap {
             case (_, tsNs, _, et) =>
-              val k = stepIdx(et)
-              val eligible =
-                if (k == 0) t(0) < 0
-                else t(k) < 0 && t(k - 1) >= 0 && tsNs > t(k - 1) &&
-                  tsNs <= t(0) + horizonNs
-              if (eligible) { t(k) = tsNs; Some(StepReached(user, k, tsNs)) }
-              else None
+              // every step index of this type is tested — a funnel may
+              // legitimately repeat a type ("view" as step 0 AND 2),
+              // and one event can be the min for several such steps
+              // (each step's own predecessor/horizon bound applies)
+              stepsArr.indices.filter(stepsArr(_) == et).flatMap { k =>
+                val eligible =
+                  if (k == 0) t(0) < 0
+                  else t(k) < 0 && t(k - 1) >= 0 && tsNs > t(k - 1) &&
+                    tsNs <= t(0) + horizonNs
+                if (eligible) { t(k) = tsNs; Some(StepReached(user, k, tsNs)) }
+                else None
+              }
           }
           state.update(t)
           out.iterator

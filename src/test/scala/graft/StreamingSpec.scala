@@ -302,6 +302,55 @@ class StreamingSpec extends SparkSpec {
       batch(i + 1L) === streamCounts.getOrElse(i + 1L, 0L)))
   }
 
+  test("funnelStream handles a repeated step type == batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val S = 1000000000L
+    val steps = Seq("view", "click", "view") // view is step 0 AND step 2
+    val events = Seq(
+      (0L, 1000 * S, 1L, "view"),
+      (1L, 1100 * S, 1L, "click"),
+      (2L, 1200 * S, 1L, "view"),  // completes step 2
+      (3L, 1000 * S, 2L, "view"),
+      (4L, 1100 * S, 2L, "view"))  // no click yet: step 2 unreachable
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val df = stream.toDS().toDF("event_id", "ts_ns", "user_id", "event_type")
+    val q = StreamingPipeline.funnelStream(df, steps, 900 * S)
+      .writeStream.format("memory").queryName("fun_dup")
+      .outputMode("append").start()
+    try { stream.addData(events: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.sql("SELECT user_id, step FROM fun_dup")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    val batchIn = events.map { case (id, ts, u, et) => (id, u, ts, et, 0.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batch = graft.pipeline.Temporal.funnel(batchIn, steps, 900 * S)
+      .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users")).toMap
+    val sc = got.groupBy(_._2).map { case (k, v) => (k + 1L) -> v.size.toLong }
+    assert(steps.indices.forall(i => batch(i + 1L) === sc.getOrElse(i + 1L, 0L)))
+  }
+
+  test("classifyStream: single-class model emits null margins, does not crash") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta", "only"), (1L, "gamma", "only"))
+      .toDF("doc_id", "text", "source")
+    val model = graft.pipeline.Classify.trainNbModel(docs)
+    assert(model.classes.size === 1)
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDS().toDF("doc_id", "text", "source")
+    val q = StreamingPipeline.classifyStream(df, model)
+      .writeStream.format("memory").queryName("nb_single")
+      .outputMode("append").start()
+    try {
+      stream.addData((5L, "alpha", "only")); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT doc_id, pred, margin FROM nb_single").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(1) === "only")
+    assert(rows(0).isNullAt(2), "single-class margin must be null, not a crash")
+  }
+
   test("streaming markov pairs == batch window pairs across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
