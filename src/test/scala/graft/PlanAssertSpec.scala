@@ -31,6 +31,45 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"mixSources plan has a shuffle:\n$p2")
   }
 
+  test("hashSplit is a pure narrow projection — zero exchanges") {
+    val p = executedPlan(Sampling.hashSplit(docsDF, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), "s"))
+    assert(!p.contains("Exchange"), s"hashSplit plan has a shuffle:\n$p")
+  }
+
+  test("winnowing runs with zero exchanges — all selection work is per-row") {
+    val p = executedPlan(TextAnalysis.winnowing(docsDF))
+    assert(!p.contains("Exchange"), s"winnowing picked up a shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"winnowing has a UDF:\n$p")
+  }
+
+  test("shardShuffle plans per-shard windows, never a single-partition global sort") {
+    val p = executedPlan(Sampling.shardShuffle(docsDF, "doc_id", 8))
+    assert(!p.contains("SinglePartition"),
+      s"shardShuffle degenerated to a global window:\n$p")
+  }
+
+  test("corpus diff exchanges hashes on the key — payload column never shuffles") {
+    val p = executedPlan(Snapshot.diff(docsDF,
+      docsDF.withColumn("text", concat(col("text"), lit(" x")))))
+    // the exchange happens over the pre-hashed projection: the text
+    // column must not appear in any exchange's output schema
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"diff shuffles the payload column:\n$p")
+  }
+
+  test("markovTransitions: one user window pass + broadcast totals, no corpus-sized join") {
+    import spark.implicits._
+    val ev = (0 until 60).map(i =>
+      (i.toLong, 1700000000000000000L + i * 1000000000L, (i % 5).toLong, s"t${i % 3}"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val p = executedPlan(Temporal.markovTransitions(ev))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"markov totals join must broadcast:\n$p")
+  }
+
   test("stratifiedSample compiles to the two-phase WindowGroupLimit") {
     val p = executedPlan(Sampling.stratifiedSample(docsDF, "source", "doc_id", 3, "s"))
     assert(p.contains("WindowGroupLimit"),
