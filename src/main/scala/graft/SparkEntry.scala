@@ -2044,6 +2044,16 @@ object SparkEntry {
       graft.streaming.StreamReplay.cumulative(s, dir)
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // streaming anomaly replay: the watermarked tumbling agg runs in
+    // the stream, the rolling z-scoring over the bounded bucket table
+    // at the sink (the Kappa split, shared scoring code) — gated by the
+    // SAME TemporalSql.anomalies statement as the batch row
+    "events_anomaly_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.anomalies(s, dir,
+          widthNs = WindowWidthNs, lookback = AnomalyLookback,
+          zThreshold = AnomalyZ)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // streaming retention replay: per-user (cohort, offsets-seen) state
     // emits one first-activity row per (user, week-offset); the rollup
     // counts pairs — gated by the SAME TemporalSql.retention statement
@@ -2531,6 +2541,8 @@ object SparkEntry {
     "events_session_stats" -> graft.pipeline.TemporalSql.sessionStats(
       SessionGapNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
+      WindowWidthNs, AnomalyLookback, AnomalyZ),
+    "events_anomaly_stream" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(
       graft.pipeline.Temporal.NsPerDay),

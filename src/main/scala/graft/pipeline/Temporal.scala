@@ -301,10 +301,20 @@ object Temporal {
     * z is rounded to 3 decimals and the flag compares the ROUNDED z, so
     * the whole operator is engine-exact under the oracle. */
   def anomalies(events: DataFrame, widthNs: Long = NsPerHour,
-                lookback: Int = 24, zThreshold: Double = 3.0): DataFrame = {
-    val counts = events
-      .groupBy(bucketStart(col("ts"), widthNs).as("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+                lookback: Int = 24, zThreshold: Double = 3.0): DataFrame =
+    anomaliesFromCounts(
+      events.groupBy(bucketStart(col("ts"), widthNs).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      lookback, zThreshold)
+
+  /** The scoring half of [[anomalies]], over an already-built
+    * [window_start, event_type, n_events] bucket table — shared with the
+    * streaming replay (the stream pays the corpus-sized tumbling
+    * aggregation, this scores the bounded bucket series at the sink:
+    * the Kappa split). */
+  def anomaliesFromCounts(counts: DataFrame, lookback: Int = 24,
+      zThreshold: Double = 3.0): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("window_start")
       .rowsBetween(-lookback, -1)
     counts

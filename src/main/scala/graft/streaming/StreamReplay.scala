@@ -311,6 +311,20 @@ object StreamReplay {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Streamed rolling z-score anomaly detection: the WATERMARKED
+    * tumbling aggregation builds the per-type bucket series in the
+    * stream (the corpus-sized pass — [[windowCounts]]' machinery), and
+    * the shared [[graft.pipeline.Temporal.anomaliesFromCounts]] scoring
+    * runs over the bounded bucket table at the sink — the Kappa split,
+    * gated by the SAME TemporalSql.anomalies statement as the batch
+    * row. */
+  def anomalies(spark: SparkSession, dir: String, widthNs: Long,
+      lookback: Int, zThreshold: Double): DataFrame =
+    graft.pipeline.Temporal.anomaliesFromCounts(
+      windowCounts(spark, dir, widthNs)
+        .select(col("window_start"), col("event_type"), col("n_events")),
+      lookback, zThreshold)
+
   /** Streamed cohort retention of the driver's events table, shaped to
     * the batch [[graft.pipeline.Temporal.retention]] contract
     * [cohort_week, week_offset, n_users]: the stream emits one
