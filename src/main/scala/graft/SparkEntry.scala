@@ -1210,6 +1210,20 @@ object SparkEntry {
             .select(col("id_a").as("src"), col("id_b").as("dst")))
         .orderBy(col("vertex"))
     }),
+    // LLM pipeline: near-dup removal END TO END — containment pairs →
+    // pointer-jumped components → drop non-canonical members; the
+    // surviving id set in one hash row certifies the pairs→clusters→
+    // filter seam the standalone rows can't
+    "dedup_neardup_e2e" -> ((s, dir) => {
+      val comps = graft.pipeline.Graph.connectedComponents(
+        containmentPairs(s, dir)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      val dropped = comps.where(col("vertex") =!= col("component"))
+        .select(col("vertex").as("doc_id"))
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
     // graph analytics: 2-core of the containment pair graph — the
     // dense-subgraph screen separating genuine duplicate CLUSTERS
     // (every member ≥ 2 surviving neighbors) from incidental pairwise
@@ -2278,6 +2292,8 @@ object SparkEntry {
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
+      ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
+    "dedup_neardup_e2e" -> graft.pipeline.PipelineSql.dedupNeardupE2e(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
     "graph_kcore" -> graft.pipeline.PipelineSql.graphKcoreContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100, coreK = 2, rounds = 4),

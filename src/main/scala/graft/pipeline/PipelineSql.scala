@@ -420,7 +420,10 @@ object PipelineSql {
     * least(own, min-neighbor, label-of-label), exactly the Spark loop,
     * so `rounds` covers components up to 2^rounds deep (the plain
     * dedupClusters unroll only covers `rounds` deep). */
-  def graphCcContainment(k: Int, threshold: Double, maxDocFreq: Long,
+  /** The containment-pair CC chain as reusable CTEs (`cp`→`e`→`l0`…
+    * `l<rounds>`) — shared by [[graphCcContainment]] and
+    * [[dedupNeardupE2e]]. */
+  private def ccContainmentCtes(k: Int, threshold: Double, maxDocFreq: Long,
       rounds: Int): String = {
     val lp = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (
@@ -434,14 +437,30 @@ object PipelineSql {
          |             FROM l${i - 1} l1 JOIN l${i - 1} l2 ON l2.id = l1.label) j
          |    USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
+    s"""cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cp
        |                   UNION SELECT id_b, id_a FROM cp),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
-       |$lp
+       |$lp""".stripMargin
+  }
+
+  def graphCcContainment(k: Int, threshold: Double, maxDocFreq: Long,
+      rounds: Int): String =
+    s"""WITH ${ccContainmentCtes(k, threshold, maxDocFreq, rounds)}
        |SELECT id AS vertex, label AS component
        |FROM l$rounds ORDER BY vertex""".stripMargin
-  }
+
+  /** Mirrors the dedup_neardup_e2e entry: containment pairs → pointer-
+    * jumped components → drop every non-canonical member (id ≠
+    * component min); survivors = the rest of the corpus. */
+  def dedupNeardupE2e(k: Int, threshold: Double, maxDocFreq: Long,
+      rounds: Int): String =
+    s"""WITH ${ccContainmentCtes(k, threshold, maxDocFreq, rounds)}
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+       |FROM documents d
+       |ANTI JOIN (SELECT id FROM l$rounds WHERE id <> label) x
+       |  ON d.doc_id = x.id
+       |ORDER BY doc_id""".stripMargin
 
   /** Mirrors Graph.kCore over the containment pair graph: `rounds`
     * unrolled peel rounds (degree count + both-endpoint survivor join);
