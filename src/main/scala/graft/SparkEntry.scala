@@ -164,6 +164,7 @@ object SparkEntry {
   private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
   private val SplitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
   private val KnnGraphK = 3        // graph_bfs semantic k-NN graph degree
+  private val KnnRefine = 4        // graph_bfs_routed ADC-shortlist refine factor
   private val BfsSeeds = 5         // graph_bfs seed vectors (vec_id < BfsSeeds)
   private val BfsMaxHops = 4
 
@@ -1247,6 +1248,23 @@ object SparkEntry {
           maxHops = BfsMaxHops)
         .orderBy(col("vertex"))
     }),
+    // graph analytics: the SAME blast-radius BFS over the ROUTED k-NN
+    // graph (Ann.knnGraphRouted: IVF-PQ cell join with the corpus as the
+    // query stream — the 100 TB graph builder; nothing corpus-sized is
+    // broadcast and candidate work is n·(nprobe/cells)·n, not n²). Both
+    // codebooks at iters = 0 put routing, ADC ranks, the edge table and
+    // the BFS frontier under the full oracle.
+    "graph_bfs_routed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Graph.bfsDistances(
+          graft.pipeline.Ann.knnGraphRouted(emb, k = KnnGraphK,
+            numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
+            pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+            sampleSize = AnnSample, refine = KnnRefine),
+          emb.filter(col("vec_id") < BfsSeeds).select(col("vec_id").as("vertex")),
+          maxHops = BfsMaxHops)
+        .orderBy(col("vertex"))
+    }),
     // LLM pipeline: recall@k of the LSH index vs the brute-force truth
     // — quality measurement as a first-class operator, and a composed
     // row: BOTH top-k pipelines run end-to-end and their agreement is
@@ -2299,6 +2317,9 @@ object SparkEntry {
       ShingleK, threshold = 0.5, maxDocFreq = 100, coreK = 2, rounds = 4),
     "graph_bfs" -> graft.pipeline.PipelineSql.graphBfsKnn(
       KnnGraphK, BfsSeeds, BfsMaxHops),
+    "graph_bfs_routed" -> graft.pipeline.PipelineSql.graphBfsKnnRouted(
+      KnnGraphK, BfsSeeds, BfsMaxHops, SemCells, 4, PqSubspaces,
+      PqCentroids, AnnSample, dim = 64, refine = KnnRefine),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(

@@ -693,9 +693,59 @@ object Ann {
     * ([[queryIvfPq]] with the corpus as the query side): n·(n/cells)
     * candidate pairs instead of n². */
   def knnGraph(emb: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding",
+      maxBruteForceRows: Long = 1 << 16): DataFrame = {
+    // Hard size gate: the quadratic form broadcasts the WHOLE corpus as
+    // the query side, so past audit scale it is an executor-OOM + O(n²)
+    // trap. The limit-count below short-circuits (LocalLimit) instead of
+    // scanning the corpus; callers with a bigger corpus must go through
+    // [[knnGraphRouted]].
+    val cap = math.min(maxBruteForceRows, Int.MaxValue - 1L)
+    val n = emb.limit((cap + 1).toInt).count()
+    require(n <= cap,
+      s"knnGraph is the quadratic broadcast baseline and refuses corpora " +
+        s"over $cap vectors (got >= $n); use Ann.knnGraphRouted, which " +
+        s"routes the corpus through the IVF-PQ cell join instead")
     bruteForceTopK(emb, emb, k, idCol, vecCol)
       .select(col("query_id").as("src"), col("id").as("dst"))
+  }
+
+  /** The 100 TB k-NN graph: [[buildIvfPq]] over the corpus, then
+    * [[queryIvfPq]] with the corpus itself as the query stream — a
+    * cell-keyed shuffle join over the (id, cell, codes) table, so
+    * candidate work is n · (nprobe/numCentroids · n/cell) instead of n²
+    * and nothing corpus-sized is ever broadcast (the only broadcasts are
+    * the centroid table and the PQ codebooks, both O(numCentroids · d)).
+    * Same edge contract as [[knnGraph]]: directed top-k [src, dst],
+    * symmetrize at the consumer. Approximate by construction — recall
+    * grows with nprobe (AnnSpec pins recall@k ≥ 0.9 on the fixture). */
+  def knnGraphRouted(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
+      pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
+      sampleSize: Int = 10000, refine: Int = 4): DataFrame = {
+    val shortlist = queryIvfPq(
+      buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids,
+        iters, pqIters, sampleSize),
+      emb, k * refine, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("id"))
+    // Exact-refine (the FAISS "refine" stage): re-rank the ADC shortlist
+    // by true cosine. Raw vectors are fetched for the SHORTLIST only —
+    // two id-keyed equi-joins sized n·k·refine, never n² — so the
+    // quantization error that blurs ADC ranks (large on near-isotropic
+    // corpora where neighbor gaps are tiny) cannot cost edges the
+    // shortlist already contains.
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val reranked = shortlist
+      .join(vecs, Seq("id"))
+      .join(vecs.select(col("id").as("query_id"), col("vec").as("qvec")),
+        Seq("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("src"), col("id").as("dst"))
+  }
 
   /** Per-dimension scalar quantization — the int8 "SQ" compression every
     * vector store ships (FAISS SQ8, Lucene/Elastic int8_hnsw, pgvector

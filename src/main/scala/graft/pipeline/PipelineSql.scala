@@ -311,6 +311,64 @@ object PipelineSql {
        |SELECT vertex, dist FROM v$maxHops ORDER BY vertex""".stripMargin
   }
 
+  /** Mirrors the graph_bfs_routed entry: [[Ann.knnGraphRouted]] — the
+    * IVF-PQ cell-routed k-NN graph (every vector is a query against the
+    * code table, candidates = its nprobe nearest cells, ADC ranking with
+    * (adc, id) tiebreak — the annIvfPq CTE fragments verbatim, with the
+    * query gate removed so the corpus IS the query stream) — then the
+    * same sym + BFS frontier unroll as [[graphBfsKnn]]. */
+  def graphBfsKnnRouted(k: Int, numSeeds: Int, maxHops: Int,
+      numCentroids: Int, nprobe: Int, m: Int, pqCentroids: Int,
+      sampleSize: Int, dim: Int, refine: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val (codeJoins, cbJoins, adc) = pqAdc(m, sub)
+    val hops = (1 to maxHops).map { h =>
+      val pv = s"v${h - 1}"
+      val pf = s"f${h - 1}"
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT s.dst AS vertex
+         |  FROM sym s JOIN $pf f ON s.src = f.vertex
+         |  ANTI JOIN $pv v ON s.dst = v.vertex),
+         |v$h AS MATERIALIZED (
+         |  SELECT * FROM $pv UNION ALL SELECT vertex, $h AS dist FROM f$h)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfCellCtes(Int.MaxValue, numCentroids, nprobe, sampleSize)},
+       |${pqCodeCtes(m, pqCentroids, sub)},
+       |q AS (SELECT qp.query_id, qp.cell, bq.v AS qv
+       |      FROM qprobe qp JOIN base bq ON bq.vec_id = qp.query_id),
+       |scored AS (
+       |  SELECT q.query_id, c0.vec_id AS id,
+       |  $adc AS adc
+       |  FROM q JOIN assign a ON a.cell = q.cell
+       |  JOIN code0 c0 ON c0.vec_id = a.vec_id
+       |  $codeJoins
+       |  $cbJoins
+       |  WHERE c0.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, id FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, id) AS rk FROM scored)
+       |  WHERE rk <= ${k * refine}),
+       |rr AS (SELECT c.query_id AS src, c.id AS dst,
+       |         list_cosine_similarity(bc.v, bq.v) AS cosine
+       |       FROM cand c JOIN base bc ON bc.vec_id = c.id
+       |       JOIN base bq ON bq.vec_id = c.query_id),
+       |knn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |           ORDER BY cosine DESC, dst) AS rk
+       |    FROM rr) WHERE rk <= $k),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+       |f0 AS (SELECT DISTINCT vec_id AS vertex FROM embeddings
+       |       WHERE vec_id < $numSeeds),
+       |v0 AS (SELECT vertex, 0 AS dist FROM f0),
+       |$hops
+       |SELECT vertex, dist FROM v$maxHops ORDER BY vertex""".stripMargin
+  }
+
   /** Mirrors [[Ann.scalarQuantize]]: per-dimension [lo, hi] stats, the
     * same floor/least code formula in the same double association order,
     * codes pinned via md5 of the pos-ordered comma join, MSE via the

@@ -279,6 +279,37 @@ class PipelineSpec extends SparkSpec {
     assert(a.sameElements(a.sorted))
   }
 
+  test("routed k-NN graph: IVF-PQ cell join recovers >= 0.9 of the exact edges") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    // fixture vectors are unit-norm (checked below), so the routed ADC-L2
+    // ranking and the exact cosine ranking target the same neighbors
+    val nrm = emb.select(abs(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x) - 1.0).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(nrm < 1e-5, s"fixture no longer unit-norm (|v|^2 off by $nrm)")
+    val exact = Ann.knnGraph(emb, k = 10).cache()
+    // iters = 0 codebooks (the oracle-replayable pick) on this
+    // near-isotropic fixture are a worst case: the IVF routing ceiling at
+    // nprobe=6/8 is ~0.88, so hitting 0.9 needs 7/8 probes + the exact
+    // refine stage over the ADC shortlist
+    val routed = Ann.knnGraphRouted(emb, k = 10, numCentroids = 8, nprobe = 7,
+      m = 16, pqCentroids = 64, iters = 0, pqIters = 0, refine = 8).cache()
+    // every vector is a query: n rows of k edges each
+    assert(routed.groupBy("src").count().collect().forall(_.getLong(1) === 10))
+    val recall = routed.join(exact, Seq("src", "dst"), "left_semi").count().toDouble /
+      exact.count()
+    info(s"routed knn-graph edge recall@10 (nprobe=7/8, m=16, refine=8) = $recall")
+    assert(recall >= 0.9, s"routed knn-graph recall too low: $recall")
+  }
+
+  test("knnGraph refuses corpus-sized inputs and points at the routed form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Ann.knnGraph(emb, k = 3, maxBruteForceRows = 100)
+    }
+    assert(e.getMessage.contains("knnGraphRouted"))
+  }
+
   test("PQ ANN: k rows per query, ADC monotone with rank, useful L2 recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val queries = emb.filter(col("vec_id") < 5)

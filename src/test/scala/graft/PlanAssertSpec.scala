@@ -207,6 +207,24 @@ class PlanAssertSpec extends SparkSpec {
       s"cumulative lost the running window:\n$p")
   }
 
+  test("routed knn graph plans a cell-keyed equi-join — no cartesian, no corpus BNLJ") {
+    import spark.implicits._
+    val emb = (0 until 60).map { i =>
+      val raw = Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, raw.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val p = executedPlan(Ann.knnGraphRouted(emb, k = 2, numCentroids = 4,
+      nprobe = 2, m = 4, pqCentroids = 4, sampleSize = 100))
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"routed knn graph planned an all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"routed knn graph planned a nested-loop join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"routed knn graph lost the cell-keyed equi-join:\n$p")
+  }
+
   test("containment candidate join is a shuffled equi-join on the shingle key, no BNLJ") {
     val p = executedPlan(Dedup.containment(docsDF, shingleSize = 3,
       threshold = 0.1, maxDocFreq = 50))
