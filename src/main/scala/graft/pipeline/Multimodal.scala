@@ -387,12 +387,16 @@ object Multimodal {
       if (!ok || p >= len || !isWs(payload(p)) || ints(2) > 255) halt = true
       else {
         p += 1 // the single whitespace separating maxval from the raster
-        val dataLen = ints(0) * ints(1) * 3
+        // Long math: a hostile width*height overflows Int to a small
+        // positive value and would mis-frame the walk as garbage frames
+        // instead of halting cleanly
+        val dataLen = ints(0).toLong * ints(1) * 3
         if (dataLen <= 0 || p + dataLen > len) halt = true
         else {
+          val dl = dataLen.toInt
           out += DecodedImage(ints(0), ints(1),
-            java.util.Arrays.copyOfRange(payload, p, p + dataLen))
-          off = p + dataLen
+            java.util.Arrays.copyOfRange(payload, p, p + dl))
+          off = p + dl
         }
       }
     }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** JSONL (one JSON object per line) document I/O — the lingua franca of
@@ -51,12 +52,25 @@ object CsvIO {
   val documentsSchema: StructType = JsonlIO.documentsSchema
 
   def writeDocuments(df: DataFrame, path: String): Unit =
-    df.select("doc_id", "text", "lang", "source", "n_chars")
+    df.select(col("doc_id"),
+        // the reader is deliberately NOT multiLine (multiLine kills file
+        // splittability), so the single-line contract is enforced at the
+        // PRODUCER: a newline-bearing text fails the write loudly instead
+        // of silently mis-splitting on read
+        when(col("text").contains("\n") || col("text").contains("\r"),
+          raise_error(concat(lit("CsvIO.writeDocuments: embedded newline in "
+            + "text of doc_id "), col("doc_id").cast("string"),
+            lit(" — the non-multiLine CSV reader would mis-split it"))))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
       .write.option("header", "true").option("quoteAll", "true")
       .mode(SaveMode.Overwrite).csv(path)
 
   def readDocuments(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").schema(documentsSchema).csv(path)
+    // FAILFAST: malformed rows are a loud error, not silent nulls — the
+    // schema-pinned "loud type drift" contract the scaladoc promises
+    spark.read.option("header", "true").option("mode", "FAILFAST")
+      .schema(documentsSchema).csv(path)
 
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()

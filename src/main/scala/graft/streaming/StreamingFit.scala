@@ -189,10 +189,12 @@ object StreamingPipeline {
       .mapPartitions { it =>
         val cls = bc.value.classes.toArray
         it.map { case (id, lbl, text) =>
-          // Locale.ROOT: locale-independent like Spark's lower() — a
-          // tr_TR-locale executor must not tokenize differently from
-          // the batch twin
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          // lowercase through UTF8String — the EXACT code Spark's
+          // lower() runs (ASCII fast path; default-locale slow path for
+          // non-ASCII), so stream and batch tokenize identically even
+          // for non-ASCII text under a non-ROOT default locale
+          val toks = org.apache.spark.unsafe.types.UTF8String
+            .fromString(text.trim).toLowerCase.toString
             .replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
           val scored = cls.map { c =>
             // token-order fold FIRST, then one add to the base — the
@@ -478,9 +480,19 @@ object StreamingPipeline {
                 math.abs(value) < 1e12,
                 s"cumulativeStream: value $value (event $eventId) outside " +
                   "decimal(18,6) range — the batch DECIMAL cast rejects it too")
-              micro += java.math.BigDecimal.valueOf(value)
-                .setScale(6, java.math.RoundingMode.HALF_UP)
-                .movePointRight(6).longValueExact()
+              // addExact: a running total past ~9.2e18 micro-units must
+              // raise loudly (the batch DECIMAL(18,6) window sum does),
+              // never wrap silently
+              micro = try Math.addExact(micro,
+                java.math.BigDecimal.valueOf(value)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .movePointRight(6).longValueExact())
+              catch {
+                case _: ArithmeticException => throw new IllegalArgumentException(
+                  s"cumulativeStream: running micro-unit sum overflowed Long " +
+                    s"at event $eventId for user $user — the batch " +
+                    "DECIMAL(18,6) running sum fails loudly here too")
+              }
               UserRunning(user, tsNs, eventId, eventType, n, micro)
           }
           state.update((n, micro))
