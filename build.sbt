@@ -11,6 +11,24 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// GraftExtensionsConfigSpec must CREATE the SparkContext (static
+// spark.sql.extensions conf), so it runs alone in its own forked JVM;
+// everything else shares one forked JVM as before. Groups are
+// serialized (ForkedTestGroup limit) so two local Spark sessions never
+// contend for the machine.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value
+  val base = baseDirectory.value
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions(opts.toVector)
+    .withWorkingDirectory(base)
+  val (iso, rest) = tests.partition(_.name == "graft.GraftExtensionsConfigSpec")
+  Seq(
+    Tests.Group("graft-extensions-config", iso, Tests.SubProcess(forkOpts)),
+    Tests.Group("shared-session", rest, Tests.SubProcess(forkOpts)))
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 // Pass forked-run output through UNPREFIXED: sbt's default logger tags
 // every stdout line with "[info] ", which keeps the driver's bench
 // parser (expects a raw one-line {"metric":...} JSON) from matching.

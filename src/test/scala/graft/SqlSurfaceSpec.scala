@@ -246,42 +246,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(built != null)
   }
 
-  test("config-driven session: spark.sql.extensions resolves graft_* without install()") {
-    import org.apache.spark.sql.SparkSession
-    // spark.sql.extensions is a STATIC conf: the builder reads it from
-    // the SparkContext's conf, so the config-driven path only engages
-    // when this test CREATES the context (exactly like a real cluster,
-    // where it comes from spark-defaults / --conf at startup). Inside
-    // the shared-session suite another context is already running —
-    // cancel with the command that exercises it in isolation. The
-    // injection plumbing itself is covered unconditionally by the
-    // cloned-registry test above.
-    assume(org.apache.spark.SparkEnv.get == null,
-      "requires owning the SparkContext; run: testOnly graft.SqlSurfaceSpec -- -z config-driven")
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    try {
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      val s2 = SparkSession.builder()
-        .master("local[4]")
-        .appName("graft-ext-test")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.host", "localhost")
-        .getOrCreate()
-      val row = s2.sql(
-        "SELECT graft_ws_tokens('a b c') AS n, graft_lang_id('the of and is') AS l")
-        .collect()(0)
-      assert(row.getInt(0) === 3)
-      assert(row.getString(1) === "en")
-    } finally {
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
-  }
+  // the config-driven spark.sql.extensions path lives in
+  // GraftExtensionsConfigSpec (own forked JVM — it must create the
+  // SparkContext for the static conf to engage)
 
   test("SQL-surface plan stays codegen'd: no ScalaUDF anywhere") {
     docsDF
