@@ -171,6 +171,42 @@ object SparkEntry {
   private def relTok(s: SparkSession, dir: String): DataFrame =
     RelationalEm.tokens(docs(s, dir))
 
+  /** The documents table as a bag-of-words [[graft.core.Doc]] dataset
+    * (standard lowercased-whitespace tokenization, per-doc counts as
+    * token weights, title "d<doc_id>") — the staging source for the
+    * reference-format ingest round-trips (VW / UCI). */
+  private def bagDocs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.core.Doc] = {
+    import s.implicits._
+    relTok(s, dir)
+      .select(col("doc_id"), col("token"), col("n_dw"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val toks = it.toArray.sortBy(_._2).map { case (_, t, w) =>
+          graft.core.TokenEntry(graft.functions.Rng.DefaultClass, t, w.toFloat) }
+        graft.core.Doc(id, "d" + id, toks)
+      }
+  }
+
+  /** Memoized VW text staging of the documents table (one write per
+    * (session, dir) — the JsonlIO.stageDocuments pattern). */
+  private def vwStagePath(s: SparkSession, dir: String): String =
+    memoized(s, dir, "vwstage") {
+      val out = java.nio.file.Files.createTempDirectory("graft_vw").toString
+      graft.sources.VwReader.write(bagDocs(s, dir), out)
+      out
+    }
+
+  /** Memoized UCI docword + vocab staging of the documents table. */
+  private def uciStagePaths(s: SparkSession, dir: String): (String, String) =
+    memoized(s, dir, "ucistage") {
+      val base = java.nio.file.Files.createTempDirectory("graft_uci")
+      val dw = base.resolve("docword").toString
+      val vp = base.resolve("vocab.txt").toString
+      graft.sources.UciReader.write(bagDocs(s, dir), dw, vp)
+      (dw, vp)
+    }
+
   /** Memoized learned BPE merge table (driver-local: BpeMerges rows) —
     * shared by bpe_train and bpe_encode. */
   private def bpeMerges(s: SparkSession, dir: String): Array[(Long, String, String, String, Long)] =
@@ -1756,6 +1792,34 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // sources: the REFERENCE's primary ingestion surface under the
+    // driver oracle — the documents table staged as Vowpal-Wabbit text
+    // (VwReader.write, the reference CLI's --write-vw-corpus shape),
+    // parsed back by the distributed VwReader, and digested per
+    // (doc, token) against the ORIGINAL parquet. Doc identity rides the
+    // title ("d<id>"), never line order, so the round-trip is
+    // partitioning-independent.
+    "ingest_vw" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.VwReader.read(s, vwStagePath(s, dir))
+        .flatMap(d => d.tokens.iterator.map(t =>
+          (d.title.substring(1).toLong, t.token, t.weight.toDouble.toLong)))
+        .toDF("doc_id", "token", "tf")
+        .orderBy(col("doc_id"), col("token"))
+    }),
+    // sources: UCI bag-of-words twin — docword triples + order-bearing
+    // vocab staged by UciReader.write, read back through the broadcast-
+    // vocab triple scan (reference collection_parser.cc:99-372), same
+    // original-parquet digest
+    "ingest_uci" -> ((s, dir) => {
+      import s.implicits._
+      val (dw, vp) = uciStagePaths(s, dir)
+      graft.sources.UciReader.read(s, dw, vp)
+        .flatMap(d => d.tokens.iterator.map(t =>
+          (d.doc_id, t.token, t.weight.toDouble.toLong)))
+        .toDF("doc_id", "token", "tf")
+        .orderBy(col("doc_id"), col("token"))
+    }),
     // LLM pipeline: temperature-based source mixing (mT5/XLM-R α = 0.5
     // square-root temperature) — rates are DATA-DERIVED, not literals:
     // the oracle recomputes share → sqrt-flatten → name-ordered
@@ -2388,6 +2452,23 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-(doc, token) counts recomputed from the ORIGINAL parquet with
+    // the standard tokenization — the Spark side reads the staged VW/UCI
+    // text, so equality IS the stage→parse round-trip fidelity check
+    "ingest_vw" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, token""".stripMargin,
+    "ingest_uci" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, token""".stripMargin,
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
     "sample_shard" -> graft.pipeline.PipelineSql.sampleShard(
       ShuffleShards, SampleSalt),

@@ -40,6 +40,47 @@ object UciReader {
   def readMatrixMarket(spark: SparkSession, mmPath: String, vocabPath: String): Dataset[Doc] =
     readTriples(spark, mmPath, vocabPath, headerLines = 2, matrixMarket = true)
 
+  /** Write a corpus as UCI bag-of-words — the export twin of [[read]]
+    * (reference parses this format at collection_parser.cc:99-372; its
+    * CLI regenerates it via batch dumps). Per-doc repeated tokens are
+    * aggregated into one triple (the format is a bag). The vocab file is
+    * ORDER-BEARING (line number = 1-based word id) and tiny by format
+    * contract, so it is driver-held and written as one file; the triples
+    * stream through a single-partition text write with the D/W/NNZ
+    * header prepended in-partition (one file so [[read]]'s positional
+    * header drop sees the header first). */
+  def write(docs: Dataset[Doc], docwordDir: String, vocabPath: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val entries = docs
+      .flatMap(d => d.tokens.iterator.map(t =>
+        (d.doc_id, t.class_id, t.token, t.weight.toDouble)))
+      .toDF("doc_id", "class_id", "token", "w")
+      .groupBy("doc_id", "class_id", "token").agg(sum($"w").as("w"))
+      .persist()
+    val vocab = entries.select("token", "class_id").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy { case (t, c) => (c != Rng.DefaultClass, c, t) }
+    val wordId = vocab.zipWithIndex.map { case (tc, i) => tc -> (i + 1) }.toMap
+    val bWord = spark.sparkContext.broadcast(wordId)
+    val nDocs = entries.select("doc_id").distinct().count()
+    val nnz = entries.count()
+    val header = Seq(nDocs.toString, vocab.length.toString, nnz.toString)
+    entries.as[(Long, String, String, Double)]
+      .map { case (id, c, t, w) =>
+        val ws = if (w == w.toLong.toDouble) w.toLong.toString else w.toString
+        s"$id ${bWord.value((t, c))} $ws"
+      }
+      .coalesce(1)
+      .mapPartitions(it => header.iterator ++ it)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(docwordDir)
+    entries.unpersist()
+    val vocabLines = vocab.map { case (t, c) =>
+      if (c == Rng.DefaultClass) t else s"$t $c" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(vocabPath),
+      vocabLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def readTriples(spark: SparkSession, path: String, vocabPath: String,
       headerLines: Int, matrixMarket: Boolean): Dataset[Doc] = {
     import spark.implicits._

@@ -335,4 +335,52 @@ class FringeSpec extends SparkSpec {
       Option(r.getString(2)), r.getString(3), r.getLong(4))).toSet
     assert(a === b)
   }
+
+  test("CSV writer rejects newline-bearing text loudly (single-line contract)") {
+    import spark.implicits._
+    val docs = Seq((0L, "line\nbreak", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("csv_nl").toString
+    val e = intercept[Exception] {
+      graft.sources.CsvIO.writeDocuments(docs, dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("embedded newline")), s"got: $e")
+  }
+
+  test("UCI write -> read round-trips docs, classes and weights exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc(3L, "3", Array(TokenEntry("@default_class", "alpha", 2f),
+        TokenEntry("@default_class", "beta", 1f),
+        TokenEntry("author", "bob", 1.5f))),
+      Doc(7L, "7", Array(TokenEntry("@default_class", "beta", 4f))))
+    val base = java.nio.file.Files.createTempDirectory("uci_rt")
+    val dw = base.resolve("docword").toString
+    val vp = base.resolve("vocab.txt").toString
+    UciReader.write(spark.createDataset(docs), dw, vp)
+    val back = UciReader.read(spark, dw, vp).collect().sortBy(_.doc_id)
+    assert(back.map(_.doc_id).toSeq === Seq(3L, 7L))
+    def bag(d: Doc) = d.tokens.map(t => (t.class_id, t.token, t.weight)).toSet
+    assert(bag(back(0)) === bag(docs(0)))
+    assert(bag(back(1)) === bag(docs(1)))
+    // vocab is order-bearing and class-annotated for non-default classes
+    val vlines = new String(java.nio.file.Files.readAllBytes(base.resolve("vocab.txt")), "UTF-8")
+    assert(vlines.linesIterator.toSeq === Seq("alpha", "beta", "bob author"))
+  }
+
+  test("VW write -> read round-trips a bag corpus via titles, not line order") {
+    import spark.implicits._
+    val docs = Seq(
+      Doc(0L, "d0", Array(TokenEntry("@default_class", "x", 3f),
+        TokenEntry("@default_class", "y", 1f))),
+      Doc(9L, "d9", Array(TokenEntry("@default_class", "y", 2f))))
+    val dir = java.nio.file.Files.createTempDirectory("vw_rt").toString
+    VwReader.write(spark.createDataset(docs).repartition(3), dir)
+    val back = VwReader.read(spark, dir).collect()
+      .map(d => d.title -> d.tokens.map(t => (t.token, t.weight)).toSet).toMap
+    assert(back("d0") === Set(("x", 3f), ("y", 1f)))
+    assert(back("d9") === Set(("y", 2f)))
+  }
 }
