@@ -1061,6 +1061,36 @@ object SparkEntry {
     // not corpus-sized — so dedup_clusters reuses it instead of
     // re-shingling the corpus)
     "dedup_minhash" -> ((s, dir) => minhashPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
+    // streaming: MinHash near-dup CLAIMS — the stateful bucket-claim
+    // operator replayed over the staged documents stream (ts = doc_id
+    // seconds). Claims emit at arrival, so the single-writer replay is
+    // fully deterministic: every (band, bucket)'s first claimer is its
+    // min doc_id and each later member names it; the oracle recomputes
+    // exactly that from the SAME band-key CTEs as the batch
+    // dedup_minhash row, putting the streaming claim kernel (banded
+    // signature + flatMapGroupsWithState state machine) under the
+    // driver gate.
+    "dedup_minhash_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.nearDupDocs(s, dir,
+          shingleSize = ShingleK, numHashes = MinHashes, bands = MinBands)
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("dup_of"))
+        .orderBy(col("doc_id"), col("band"))
+    }),
+    // streaming: embedding near-dup CLAIMS — the hyperplane-bucket claim
+    // operator over the staged embeddings ∪ the dedup_embedding entry's
+    // planted ×2-scaled copies (sign bits scale-invariant → each copy
+    // provably collides with its original in every table); same
+    // deterministic first-claimer contract, oracle recomputes the
+    // md5-derived per-table buckets + min-id claims.
+    "dedup_embedding_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.nearDupEmbeddings(s, dir,
+          plants = NearDupPlants, idOffset = NearDupIdOffset, dim = 64,
+          planes = 12, tables = 2, seed = 42)
+        .select(col("doc_id").as("vec_id"), col("band").cast("long").as("band"),
+          col("dup_of"))
+        .orderBy(col("vec_id"), col("band"))
+    }),
     // LLM pipeline: near-dup pairs resolved into duplicate CLUSTERS
     // (distributed min-label propagation; cluster_id = component min id
     // = the canonical survivor) — the step between LSH pairs and removal
@@ -2355,6 +2385,10 @@ object SparkEntry {
     "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.PipelineSql.dedupSimhashPairs(3),
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
+    "dedup_minhash_stream" -> graft.pipeline.PipelineSql.dedupMinhashStream(
+      ShingleK, MinHashes, MinBands),
+    "dedup_embedding_stream" -> graft.pipeline.PipelineSql.dedupEmbeddingStream(
+      NearDupPlants, NearDupIdOffset, planes = 12, tables = 2, seed = 42),
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),
     "dedup_clusters" -> graft.pipeline.PipelineSql.dedupClusters(
       ShingleK, MinHashes, MinBands, MinhashThreshold, rounds = 8),

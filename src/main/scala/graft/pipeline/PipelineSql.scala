@@ -104,6 +104,22 @@ object PipelineSql {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Mirrors the dedup_minhash_stream replay
+    * ([[graft.streaming.StreamingPipeline.nearDupStream]] under
+    * single-writer AvailableNow order): the first claimer of every
+    * (band, bucket) is its min doc_id (arrival order = (ts, id) =
+    * doc_id), and every later member emits one claim naming it. Shares
+    * [[minhashCtes]] with the batch dedup_minhash row so the band keys
+    * cannot drift between the batch and streaming kernels. */
+  def dedupMinhashStream(k: Int, numHashes: Int, bands: Int): String =
+    s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)},
+       |cl AS (SELECT doc_id, b,
+       |         min(doc_id) OVER (PARTITION BY b, bucket) AS claimer
+       |       FROM bands)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(b AS BIGINT) AS band,
+       |       CAST(claimer AS BIGINT) AS dup_of
+       |FROM cl WHERE doc_id <> claimer ORDER BY doc_id, band""".stripMargin
+
   def dedupMinhash(k: Int, numHashes: Int, bands: Int, threshold: Double): String =
     s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)},
        |sigj AS (SELECT c.id_a, c.id_b, sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
@@ -645,6 +661,41 @@ object PipelineSql {
        |          FROM u a JOIN u b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, round(cosine, 6) AS cosine
        |FROM pairs WHERE cosine >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirrors the dedup_embedding_stream replay
+    * ([[graft.streaming.StreamingPipeline.embeddingNearDupStream]]):
+    * embeddings ∪ ×2-scaled planted copies, per-table hyperplane
+    * buckets (the annLsh md5-derived planes, seed shifted per table),
+    * min vec_id claims each (table, bucket), later members emit one
+    * claim per table naming it. */
+  def dedupEmbeddingStream(plants: Int, idOffset: Long, planes: Int,
+      tables: Int, seed: Int): String = {
+    def dot(t: Int, p: Int) =
+      s"""list_sum([v[i+1] * (('0x' || substr(md5('plane ${seed + t} $p ' || i::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 - 0.5) for i in range(0, len(v))])"""
+    def bucket(t: Int) = (0 until planes)
+      .map(p => s"(CASE WHEN ${dot(t, p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val sigCols = (0 until tables)
+      .map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n  ")
+    val sigUnion = (0 until tables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planted AS (SELECT vec_id + $idOffset AS vec_id,
+       |                   [x * 2.0 for x in v] AS v
+       |            FROM base0 WHERE vec_id < $plants),
+       |base AS (SELECT * FROM base0 UNION ALL SELECT * FROM planted),
+       |sig AS (SELECT vec_id,
+       |  $sigCols
+       |  FROM base),
+       |sigl AS ($sigUnion),
+       |cl AS (SELECT vec_id, tbl,
+       |         min(vec_id) OVER (PARTITION BY tbl, bucket) AS claimer
+       |       FROM sigl)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(tbl AS BIGINT) AS band,
+       |       CAST(claimer AS BIGINT) AS dup_of
+       |FROM cl WHERE vec_id <> claimer ORDER BY vec_id, band""".stripMargin
+  }
 
   /** Mirrors Dedup.semanticDedup (SemDeDup) over embeddings ∪ the
     * ×2-scaled planted copies: md5-ordered spherical codebook (iters = 0

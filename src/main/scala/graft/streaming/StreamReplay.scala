@@ -38,6 +38,13 @@ object StreamReplay {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Synthetic-ts base for id-ordered replays (seconds, ≈2001): an
+    * event time of EXACTLY epoch 0 sits at the stream's initial
+    * watermark and is silently dropped as late before the stateful
+    * operator — measured: vec 0's claims vanished from the near-dup
+    * replay until ts moved off zero. */
+  private val ReplayTsBase = 1000000000L
+
   /** Staged replay directories, one per (session, events dir) — the
     * staging (symlink + sentinel writes + max-ts scan) is identical for
     * every operator replayed over the same table, so the second and
@@ -137,6 +144,83 @@ object StreamReplay {
     val q = StreamingPipeline.scoreAndGate(stream, minQuality)
       .select(col("doc_id"), round(col("quality"), 6).as("quality"),
         col("fingerprint"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Streamed MinHash near-dup claims over the driver's documents table
+    * ([[StreamingPipeline.nearDupStream]]): ts = doc_id seconds, one
+    * AvailableNow micro-batch — claims emit AT ARRIVAL (the state
+    * machine's append output), so no sentinels are needed; the
+    * first-claimer of every (band, bucket) is the min doc_id under the
+    * single-writer (ts, id) order, which is exactly what the oracle
+    * recomputes. Returns [doc_id, band, dup_of]. */
+  def nearDupDocs(spark: SparkSession, dir: String, shingleSize: Int,
+      numHashes: Int, bands: Int): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+      .withColumn("ts", timestamp_seconds(col("doc_id") + lit(ReplayTsBase)))
+    val qname = s"graft_replay_neardup_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.nearDupStream(stream, "doc_id", "text", "ts",
+        shingleSize = shingleSize, numHashes = numHashes, bands = bands)
+      .toDF()
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Memoized embeddings staging WITH the planted ×2-scaled copies of
+    * the dedup_embedding entry (scaling preserves hyperplane sign bits
+    * exactly, so each copy provably collides with its original). */
+  private def stageEmb(spark: SparkSession, dir: String, plants: Int,
+      idOffset: Long): Path =
+    stages.computeIfAbsent((spark, s"$dir#emb$plants/$idOffset"), { _ =>
+      val d = Files.createTempDirectory("graft_replay_emb")
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+          col("label").cast("int").as("label"))
+      val planted = base.filter(col("vec_id") < plants)
+        .select((col("vec_id") + idOffset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label"))
+      val tmp = d.resolve("out")
+      base.unionByName(planted).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, d.resolve("embeddings.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      d
+    })
+
+  /** Streamed embedding near-dup claims
+    * ([[StreamingPipeline.embeddingNearDupStream]]) over the driver's
+    * embeddings ∪ planted scaled copies: same single-batch
+    * emit-at-arrival determinism as [[nearDupDocs]] (ts = vec_id
+    * seconds, min vec_id claims each (table, bucket)). Returns
+    * [vec_id, band, dup_of]. */
+  def nearDupEmbeddings(spark: SparkSession, dir: String, plants: Int,
+      idOffset: Long, dim: Int, planes: Int, tables: Int,
+      seed: Int): DataFrame = {
+    val stream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants, idOffset).toString)
+      .withColumn("ts", timestamp_seconds(col("vec_id") + lit(ReplayTsBase)))
+    val qname = s"graft_replay_nearemb_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.embeddingNearDupStream(stream, dim,
+        planes = planes, tables = tables, seed = seed)
+      .toDF()
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
