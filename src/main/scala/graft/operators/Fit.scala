@@ -110,6 +110,7 @@ object Fit {
     var theta: DataFrame = null
     var out: Dataset[EStepOut] = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+    val (regCtx, regRetained) = prepareRegCtx(spark, cfg)
 
     var pass = 0
     while (pass < cfg.numCollectionPasses) {
@@ -137,7 +138,7 @@ object Fit {
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
       theta = EStep.theta(out)
 
-      val rwt = regularize(pwt, nwt, cfg)
+      val rwt = regularize(pwt, nwt, cfg, regCtx)
       val newPwt = PhiOps.normalizeModel(nwt, rwt)
 
       pass += 1
@@ -153,7 +154,7 @@ object Fit {
       if (prevOut != null) prevOut.unpersist(false)
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out))
+    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out) ++ regRetained)
   }
 
   /** fit_offline with the join-based E-step: Phi stays a distributed
@@ -169,6 +170,7 @@ object Fit {
     var theta: DataFrame = null
     var out: Dataset[EStepOut] = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
+    val (regCtx, regRetained) = prepareRegCtx(docs.sparkSession, cfg)
     var pass = 0
     while (pass < cfg.numCollectionPasses) {
       val prevOut = out
@@ -177,14 +179,14 @@ object Fit {
       nwt = EStep.nwt(out)
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
       theta = EStep.theta(out)
-      val rwt = regularize(pwt, nwt, cfg)
+      val rwt = regularize(pwt, nwt, cfg, regCtx)
       val newPwt = PhiOps.normalizeModel(nwt, rwt).localCheckpoint(true)
       pwt.unpersist(false)
       pwt = newPwt
       if (prevOut != null) prevOut.unpersist(false)
       pass += 1
     }
-    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out, pwt))
+    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out, pwt) ++ regRetained)
   }
 
   /** fit_online — reference master_component.cc:1364-1385: for each chunk
@@ -205,6 +207,7 @@ object Fit {
 
     var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
     pwt = PhiOps.phiFromLocal(spark, phiLocal)
+    val (regCtx, regRetained) = prepareRegCtx(spark, cfg)
 
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val rho = math.pow(tau0 + i + 1, -kappa).toFloat
@@ -223,7 +226,7 @@ object Fit {
       if (nwt != null) nwt.unpersist()
       nwt = mergedP
 
-      val rwt = regularize(pwt, nwt, cfg)
+      val rwt = regularize(pwt, nwt, cfg, regCtx)
       val newPwt = PhiOps.normalizeModel(nwt, rwt)
       if (i < chunks.length - 1) {
         phiLocal = PhiOps.collectPhi(newPwt, cfg.numTopics, cfg.estep.useSparseComputation)
@@ -235,7 +238,8 @@ object Fit {
       }
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(lastOut, nwt))
+    FitResult(pwt, nwt, theta, scores.toSeq,
+      retained = Seq(lastOut, nwt) ++ regRetained)
   }
 
   /** fit_online with async pipelining — reference master_component.cc:
@@ -257,6 +261,7 @@ object Fit {
 
     var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics, cfg.estep.useSparseComputation)
     var pwt = PhiOps.phiFromLocal(spark, phiLocal)
+    val (regCtx, regRetained) = prepareRegCtx(spark, cfg)
     // in-flight E-steps: (chunk index, broadcast, persisted-out future)
     val inflight = scala.collection.mutable.Queue.empty[
       (Int, org.apache.spark.broadcast.Broadcast[PhiLocal], Future[Dataset[EStepOut]])]
@@ -287,7 +292,7 @@ object Fit {
       mergedP.count()
       if (nwt != null) nwt.unpersist()
       nwt = mergedP
-      val rwt = regularize(pwt, nwt, cfg)
+      val rwt = regularize(pwt, nwt, cfg, regCtx)
       val newPwt = PhiOps.normalizeModel(nwt, rwt)
       if (inflight.isEmpty && next >= chunks.length) {
         pwt = newPwt
@@ -300,7 +305,8 @@ object Fit {
       }
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(lastOut, nwt))
+    FitResult(pwt, nwt, theta, scores.toSeq,
+      retained = Seq(lastOut, nwt) ++ regRetained)
   }
 
   /** transform (inference) — reference master_component.cc:1145-1212: the
@@ -329,14 +335,33 @@ object Fit {
   }
 
   /** r_wt = Σ_i τ_i · R_i(p_wt, n_wt) — reference RegularizeModel. */
-  private def regularize(pwt: DataFrame, nwt: DataFrame, cfg: Config): Option[DataFrame] = {
+  private def regularize(pwt: DataFrame, nwt: DataFrame, cfg: Config,
+      ctx: RegContext): Option[DataFrame] = {
     if (cfg.phiRegularizers.isEmpty) return None
-    val ctx = RegContext(pwt.sparkSession, cfg.numTopics, cfg.resolvedTopicNames,
-      cfg.dictionary, cfg.cooc)
     val increments = cfg.phiRegularizers.map { case (reg, tau) =>
       (reg(pwt, nwt, ctx), tau)
     }
     Some(PhiOps.mergeModels(increments))
+  }
+
+  /** Build the per-fit [[RegContext]] ONCE: when phi regularizers are
+    * present, the cooc table (re-joined by biterms / improve-coherence /
+    * NetPLSA on EVERY pass) is persisted and materialized up front so
+    * each pass reads a cached table instead of re-running the upstream
+    * cooc chain per pass. Returns (ctx, retained) — the persisted cooc
+    * must outlive the fit's lazy outputs, so it rides
+    * [[FitResult.retained]] (empty when nothing was persisted). */
+  private def prepareRegCtx(spark: SparkSession, cfg: Config): (RegContext, Seq[Dataset[_]]) = {
+    val prepared =
+      if (cfg.phiRegularizers.isEmpty) cfg.cooc
+      else cfg.cooc.map { c =>
+        val p = c.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+    val retained = if (cfg.phiRegularizers.isEmpty) Nil else prepared.toSeq
+    (RegContext(spark, cfg.numTopics, cfg.resolvedTopicNames,
+      cfg.dictionary, prepared), retained)
   }
 
   /** Merge the per-document cumulative-score partials of one pass.
