@@ -216,6 +216,33 @@ object Temporal {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** Bounded earliest-N timestamp collector — the skew guard under
+    * [[funnel]]'s capped path: a typed Aggregator whose buffer holds AT
+    * MOST n longs (replace-the-max insertion, O(n) per row), so a bot
+    * key with 10⁶ events costs O(n) aggregation-buffer state instead of
+    * a collect_list materializing every event in one task. */
+  private final class EarliestN(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String, Long), Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.empty
+    private def insert(b: Array[Long], ts: Long): Array[Long] =
+      if (b.length < n) b :+ ts
+      else {
+        var mi = 0; var i = 1
+        while (i < b.length) { if (b(i) > b(mi)) mi = i; i += 1 }
+        if (ts < b(mi)) { val c = b.clone(); c(mi) = ts; c } else b
+      }
+    def reduce(b: Array[Long], a: (Long, String, Long)): Array[Long] =
+      insert(b, a._3)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      y.foldLeft(x)(insert)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Ordered funnel: how many users completed step 1, then step 2 after
     * it, … each within `horizonNs` of their step-1 time. Strictly
     * increasing timestamps between steps; per-user first qualifying
@@ -226,12 +253,39 @@ object Temporal {
     * a left-to-right fold over the step list computing each step's
     * earliest qualifying timestamp with array `filter`/`array_min`. The
     * chained-self-join formulation would be |steps| shuffles.
-    */
+    *
+    * Skew guard: the default (`maxEventsPerUser` = 0 = unbounded) is
+    * EXACT and collects every funnel-step event of a user into one
+    * task's aggregation buffer — fine while per-user activity is
+    * human-scale, but one 10⁶-event bot key serializes its task. A
+    * positive cap routes through a bounded [[EarliestN]]
+    * pre-aggregation per (user, step type): only the cap's earliest
+    * timestamps of each type survive to the per-user fold, so buffer
+    * state is O(cap · steps) per user no matter how hot the key.
+    * Results are exact for every user whose per-type event count is
+    * within the cap; a hotter user can only DROP later events (its
+    * funnel may under-complete — the conservative direction for a bot
+    * screen). ScaleCheck measures the 10⁶-event-user fixture. */
   def funnel(events: DataFrame, steps: Seq[String],
-             horizonNs: Long = 7 * NsPerDay): DataFrame = {
+             horizonNs: Long = 7 * NsPerDay,
+             maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty)
-    val perUser = events
-      .where(col("event_type").isin(steps: _*))
+    val stepEvents =
+      if (maxEventsPerUser <= 0)
+        events.where(col("event_type").isin(steps: _*))
+      else {
+        val spark = events.sparkSession
+        import spark.implicits._
+        val capped = events.where(col("event_type").isin(steps: _*))
+          .select(col("user_id").cast("long"), col("event_type"),
+            col("ts").cast("long"))
+          .as[(Long, String, Long)]
+          .groupByKey(r => (r._1, r._2))
+          .agg(new EarliestN(maxEventsPerUser).toColumn.name("tss"))
+        capped.flatMap { case ((u, et), tss) => tss.iterator.map(t => (u, et, t)) }
+          .toDF("user_id", "event_type", "ts")
+      }
+    val perUser = stepEvents
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("ts"), col("event_type").as("et"))))
         .as("evs"))

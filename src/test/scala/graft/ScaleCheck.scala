@@ -311,6 +311,41 @@ object ScaleCheck {
       spark.catalog.clearCache()
     }
 
+    // Funnel hot-key fixture: ONE bot user with 10^6 funnel-step events
+    // on top of 10^5 human rows. The exact path collects the bot's
+    // every event into one task's buffer; the capped path's EarliestN
+    // pre-aggregation bounds buffer state at O(cap) per (user, type) —
+    // the row proves the hot key doesn't serialize the stage (run via
+    // only=funnel_hotkey or in the default sweep).
+    if (!bpeOnly && only.forall(_.exists("funnel_hotkey".contains(_)))) {
+      import spark.implicits._
+      val S = graft.pipeline.Temporal.NsPerSecond
+      val human = spark.range(100000).select(
+        col("id").as("event_id"), (col("id") % 5000L).as("user_id"),
+        (lit(1000L) * S + col("id") * S).as("ts"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("id") % 3 + 1).cast("int")).as("event_type"),
+        lit(1.0).as("value"))
+      val bot = spark.range(1000000).select(
+        (col("id") + 10000000L).as("event_id"), lit(999999L).as("user_id"),
+        (lit(1000L) * S + col("id") * 1000L).as("ts"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("id") % 3 + 1).cast("int")).as("event_type"),
+        lit(1.0).as("value"))
+      val hot = human.unionByName(bot).repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = hot.count()
+      val steps = Seq("view", "click", "purchase")
+      val tExact = time { graft.pipeline.Temporal.funnel(hot, steps,
+        horizonNs = 60L * graft.pipeline.Temporal.NsPerMinute).count() }
+      val tCapped = time { graft.pipeline.Temporal.funnel(hot, steps,
+        horizonNs = 60L * graft.pipeline.Temporal.NsPerMinute,
+        maxEventsPerUser = 1024).count() }
+      println(f"SCALE funnel_hotkey rows=$n%8d  exact ${tExact}%8.2f s  capped(1024) ${tCapped}%8.2f s")
+      hot.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // BPE merge-count scaling at FIXED corpus: exact BPE is sequential in
     // the merge count, so the per-merge cost must stay FLAT as numMerges
     // grows (the replace stack is cut every `checkpointEvery` rounds —

@@ -156,6 +156,34 @@ class TemporalSpec extends SparkSpec {
       Seq((1L, "s1", 4L), (2L, "s2", 1L), (3L, "s3", 1L)))
   }
 
+  test("funnel skew cap: exact when within cap, bounded and conservative when hot") {
+    val e = ev(
+      (0L, 1L, 1000 * S, "s1", 0.0), (1L, 1L, 2000 * S, "s2", 0.0),
+      (2L, 1L, 3000 * S, "s3", 0.0),
+      (3L, 2L, 1000 * S, "s2", 0.0), (4L, 2L, 2000 * S, "s1", 0.0),
+      (5L, 3L, 1000 * S, "s1", 0.0),
+      (6L, 3L, 1000 * S + 8 * Temporal.NsPerDay, "s2", 0.0),
+      (7L, 4L, 1000 * S, "s1", 0.0), (8L, 4L, 1000 * S, "s2", 0.0))
+    val exact = Temporal.funnel(e, Seq("s1", "s2", "s3"), 7 * Temporal.NsPerDay)
+      .orderBy("step").collect().toSeq
+    // cap >= per-(user, type) activity: identical to the exact path
+    val capped = Temporal.funnel(e, Seq("s1", "s2", "s3"), 7 * Temporal.NsPerDay,
+      maxEventsPerUser = 8).orderBy("step").collect().toSeq
+    assert(capped === exact)
+    // a hot user whose qualifying s2 is BEYOND the cap's earliest-N of
+    // its type under-completes (conservative direction): 64 early s2
+    // events before its s1, the only qualifying s2 after them
+    val hot = ev(((0L until 64L).map(i => (100L + i, 9L, (10 + i) * S, "s2", 0.0)) ++
+      Seq((200L, 9L, 5000 * S, "s1", 0.0), (201L, 9L, 6000 * S, "s2", 0.0))): _*)
+    val hotExact = Temporal.funnel(hot, Seq("s1", "s2"), 7 * Temporal.NsPerDay)
+      .orderBy("step").collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(hotExact === Seq(1L, 1L))
+    val hotCapped = Temporal.funnel(hot, Seq("s1", "s2"), 7 * Temporal.NsPerDay,
+      maxEventsPerUser = 16).orderBy("step").collect()
+      .map(_.getAs[Long]("n_users")).toSeq
+    assert(hotCapped === Seq(1L, 0L)) // dropped, never invented
+  }
+
   test("retention: cohort = first-event week, offsets count distinct users") {
     val W = Temporal.NsPerWeek
     val e = ev(
