@@ -107,6 +107,10 @@ object SparkEntry {
   // Sampling / packing entry parameters (Sampling.scala operators)
   private val SampleRate = 0.25
   private val SampleSalt = "graft"
+  // sample_token_budget: per-source token floors (all < the per-source
+  // token mass at sf0.01, so the boundary doc is exercised at every SF)
+  private val TokenBudgets = Seq("src0" -> 600L, "src1" -> 300L,
+    "src2" -> 1000L, "src5" -> 200L)
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
   private val StratCap = 10        // per-source cap (stratified sample)
   private val PackBudget = 512L    // tokens per packed bin
@@ -1895,6 +1899,22 @@ object SparkEntry {
           col("shard_pos"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: per-source TOKEN-budget sampling — "take N tokens
+    // from each source", the unit training mixtures are actually specced
+    // in. Salted-hash order within source, keep while the running token
+    // total before the doc is under budget (boundary doc kept; absent
+    // sources drop). The operator runs the keyed two-phase prefix sum
+    // (never a per-source window task); the oracle recomputes it as a
+    // window.
+    "sample_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      graft.pipeline.Sampling.tokenBudget(d, "source", "n_tokens",
+          TokenBudgets.toMap, idCol = "doc_id", salt = SampleSalt)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: corpus snapshot diff — v2 synthesized from the
     // documents table (%10==0 removed, %10==1 edited, %10==2 cloned as
     // additions); one id-keyed full-outer join over narrow hash
@@ -2506,6 +2526,8 @@ object SparkEntry {
     "sample_stratified" -> graft.pipeline.PipelineSql.sampleStratified(StratCap, SampleSalt),
     "sample_shard" -> graft.pipeline.PipelineSql.sampleShard(
       ShuffleShards, SampleSalt),
+    "sample_token_budget" -> graft.pipeline.PipelineSql.sampleTokenBudget(
+      TokenBudgets, SampleSalt),
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,

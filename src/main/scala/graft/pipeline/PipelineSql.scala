@@ -1454,6 +1454,31 @@ object PipelineSql {
 
   /** Mirrors [[Sampling.shardShuffle]]: shard = first-8-hex-chars bucket
     * of the salted md5, position = hash rank within the shard. */
+  /** Mirrors Sampling.tokenBudget: per-source salted-hash order, keep
+    * while the running token total BEFORE the doc is under the source's
+    * budget (the boundary doc is kept — budgets are floors). The window
+    * here is the oracle's formulation; the operator computes the same
+    * keyed prefix sum with the two-phase offsets pass. */
+  def sampleTokenBudget(budgets: Seq[(String, Long)], salt: String): String = {
+    val srcs = budgets.map { case (s, _) => s"'$s'" }.mkString(", ")
+    val budgetCase = budgets.map { case (s, b) => s"WHEN '$s' THEN $b" }
+      .mkString("CASE source ", " ", " END")
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |         substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+       |  FROM documents WHERE source IN ($srcs)),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (
+       |           PARTITION BY source ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_before
+       |FROM c WHERE cum_before < $budgetCase ORDER BY doc_id""".stripMargin
+  }
+
   def sampleShard(nShards: Int, salt: String): String =
     s"""WITH h AS (SELECT doc_id,
        |             md5('$salt' || CAST(doc_id AS VARCHAR)) AS hh

@@ -182,6 +182,88 @@ object Sampling {
     * Output depends only on the data and `orderCol` — the partition count
     * only changes the execution shape (asserted by SamplingSpec). The
     * caller must release the pinned persist with `unpersistPacked`. */
+  /** Per-source TOKEN-budget sampling — the "take N tokens from each
+    * source" mixture spec (training mixtures are budgeted in tokens, not
+    * documents, so per-doc Bernoulli rates over- or under-shoot when
+    * sources have different length profiles). Documents are ordered
+    * within their source by a salted hash (a deterministic shuffle — the
+    * prefix is an unbiased sample) and kept while the source's RUNNING
+    * token total before them is under its budget; the one document
+    * crossing the boundary is kept (budgets are floors: every source
+    * reaches ≥ its budget if it has the tokens). Sources absent from
+    * `budgets` drop — the mixSources allowlist contract.
+    *
+    * Scale shape: the per-source running sum is the packSequences
+    * two-phase prefix sum GENERALIZED to keyed prefixes — range-
+    * partition on (source, hash), per-partition per-source partial sums
+    * (#partitions × #sources tiny rows to the driver), broadcast
+    * offsets back, one streaming second pass. NO
+    * `Window.partitionBy(source)`: a window would funnel each source
+    * through ONE task, and the hottest source IS the workload at
+    * 100 TB. Partition-count independent (same contract as
+    * packSequences; SamplingSpec asserts it). */
+  def tokenBudget(df: DataFrame, sourceCol: String, tokenCountCol: String,
+      budgets: Map[String, Long], idCol: String = "doc_id",
+      salt: String = "budget", numPartitions: Int = 0): DataFrame = {
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val allowed = budgets.keys.toSeq
+    val withH = df
+      .filter(col(sourceCol).isin(allowed: _*))
+      .withColumn("_h", hashPrefix(col(idCol), salt))
+    val ranged = withH
+      .repartitionByRange(n, col(sourceCol), col("_h"), col(idCol))
+      .sortWithinPartitions(sourceCol, "_h", idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcIdx = ranged.schema.fieldIndex(sourceCol)
+    val tokIdx = ranged.schema.fieldIndex(tokenCountCol)
+    import spark.implicits._
+    // pass 1: per-(partition, source) token sums — #partitions × #sources
+    // rows, the only driver traffic
+    val partSums = ranged.toDF().mapPartitions { it =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(srcIdx)
+        sums(s) = sums.getOrElse(s, 0L) + r.getAs[Number](tokIdx).longValue()
+      }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      sums.iterator.map { case (s, v) => (pid, s, v) }
+    }.collect()
+    val bySource = partSums.groupBy(_._2)
+    val offsets: Map[(Int, String), Long] = bySource.flatMap { case (s, rows) =>
+      val byPid = rows.map(r => r._1 -> r._3).toMap
+      (0 until n).scanLeft((0, 0L)) { case ((_, acc), pid) =>
+        (pid + 1, acc + byPid.getOrElse(pid, 0L))
+      }.init.zipWithIndex.map { case ((_, cumBefore), pid) =>
+        (pid, s) -> cumBefore
+      }
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val bBudget = spark.sparkContext.broadcast(budgets)
+    val outSchema = org.apache.spark.sql.types.StructType(ranged.schema.fields :+
+      org.apache.spark.sql.types.StructField("cum_before",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    // pass 2: streaming keyed prefix sum from the broadcast offsets; keep
+    // while the source's running total BEFORE this doc is under budget
+    val out = ranged.toDF().mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var cum = 0L
+      it.flatMap { r =>
+        val s = r.getString(srcIdx)
+        if (s != cur) { cur = s; cum = bOff.value.getOrElse((pid, s), 0L) }
+        val before = cum
+        cum += r.getAs[Number](tokIdx).longValue()
+        if (before < bBudget.value(s)) Some(Row.fromSeq(r.toSeq :+ before))
+        else None
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    pinnedByPack.put(out.queryExecution.analyzed, ranged)
+    out.drop("_h")
+  }
+
   def packSequences(df: DataFrame, tokenCountCol: String, budget: Long,
       orderCol: String = "doc_id", numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

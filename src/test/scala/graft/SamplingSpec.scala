@@ -289,4 +289,42 @@ class SamplingSpec extends SparkSpec {
     assert(expKept < 50.0 && expKept > 45.0, s"expected kept mass $expKept")
     sqrtT.values.foreach { case (_, r) => assert(r > 0.0 && r <= 1.0) }
   }
+
+  test("tokenBudget: window-exact, boundary doc kept, partition-count invariant") {
+    import spark.implicits._
+    val docs = (0L until 120L).map { i =>
+      (i, s"src${i % 3}", 10L + i % 7) // uneven token counts
+    }.toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("src0" -> 150L, "src1" -> 90L) // src2 dropped
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudget(df, "source", "n_tokens", budgets, numPartitions = 5)
+        .select("doc_id", "source", "n_tokens", "cum_before")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val got = run(docs)
+    // reference: per-source salted-hash order running sum (the window
+    // formulation the oracle uses)
+    val h = docs.select(col("doc_id"), col("source"), col("n_tokens"),
+        substring(md5(concat(lit("budget"), col("doc_id").cast("string"))), 1, 8).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = h.filter(r => budgets.contains(r._2)).groupBy(_._2).toSeq.flatMap {
+      case (src, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._4, r._1)).flatMap { r =>
+          val before = cum; cum += r._3
+          if (before < budgets(src)) Some((r._1, src, r._3, before)) else None
+        }
+    }.sortBy(_._1)
+    assert(got === expected)
+    // budget is a floor: each kept source reaches >= its budget
+    budgets.foreach { case (src, b) =>
+      val kept = got.filter(_._2 == src).map(_._3).sum
+      assert(kept >= b, s"$src kept only $kept of $b")
+    }
+    // dropped source absent entirely
+    assert(!got.exists(_._2 == "src2"))
+    // partition-count invariance
+    assert(run(docs.repartition(13)) === got)
+    assert(run(docs.coalesce(1)) === got)
+  }
 }
