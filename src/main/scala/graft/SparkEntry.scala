@@ -1519,6 +1519,34 @@ object SparkEntry {
           minTokens = ChunkMinTokens)
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    // streaming: the same RAG chunker over the staged document stream —
+    // chunking is a pure narrow map, so the streaming form is stateless
+    // and rides the batch row's exact oracle statement
+    "text_chunk_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.chunkDocs(s, dir,
+          chunkTokens = ChunkTokens, strideTokens = ChunkStride,
+          minTokens = ChunkMinTokens)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    // streaming: JSONL INGESTION as a stream — the staged JSONL corpus
+    // read back through readStream.json with the pinned schema (the
+    // JSON-lines pipeline entry point), digested against the original
+    // parquet like the batch ingest_jsonl row
+    "ingest_jsonl_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.ingestJsonl(s, dir)
+        .orderBy(col("doc_id"))
+    }),
+    // ML analytics: per-source closed-form OLS (chars-per-token line) —
+    // model fitting as ONE map-side-combined moment aggregation; exact
+    // DECIMAL moments + a fixed double expression tree make the fit
+    // bit-identical across engines and partitionings
+    "ml_linreg" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("x"),
+        col("n_chars").cast("long").as("y"))
+      graft.pipeline.Regression.olsByGroup(d, "source", "x", "y")
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: corpus-self boilerplate n-grams (word n-grams in
     // >= BoilerMinDocs distinct docs — the removal list built before
     // span-level cleaning)
@@ -2448,6 +2476,34 @@ object SparkEntry {
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "text_chunk" -> graft.pipeline.PipelineSql.chunkDocuments(
       ChunkTokens, ChunkStride, ChunkMinTokens),
+    "text_chunk_stream" -> graft.pipeline.PipelineSql.chunkDocuments(
+      ChunkTokens, ChunkStride, ChunkMinTokens),
+    "ingest_jsonl_stream" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ml_linreg" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS x,
+        |         CAST(n_chars AS BIGINT) AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, count(*) AS n_l,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x*y) AS DOUBLE) AS sxy, CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM t GROUP BY source)
+        |SELECT source, CAST(n_l AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |       ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |       ELSE round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 9) END AS intercept,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+        |       ELSE round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |                  / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) END AS r2
+        |FROM m ORDER BY source""".stripMargin,
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),

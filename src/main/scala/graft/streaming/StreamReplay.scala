@@ -229,6 +229,48 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed RAG chunking of the driver's documents table
+    * ([[graft.pipeline.TextAnalysis.chunkDocuments]] is a pure narrow
+    * map, so the streaming form is stateless — no watermark, no
+    * sentinels) — gated by the SAME PipelineSql.chunkDocuments oracle
+    * as the batch text_chunk row. */
+  def chunkDocs(spark: SparkSession, dir: String, chunkTokens: Int,
+      strideTokens: Int, minTokens: Int): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_chunk_${counter.incrementAndGet()}"
+    val q = graft.pipeline.TextAnalysis.chunkDocuments(stream,
+        chunkTokens = chunkTokens, strideTokens = strideTokens,
+        minTokens = minTokens)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Streamed JSONL ingestion — the staged JSONL corpus read back
+    * through readStream.json with the PINNED schema (the Kafka-era
+    * pipeline entry point: documents arrive as JSON lines), digested by
+    * the same original-parquet oracle as the batch ingest_jsonl row.
+    * Stateless; any encode/decode loss breaks the hash. */
+  def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.JsonlIO.stageDocuments(spark, dir)
+    val stream = spark.readStream
+      .schema(graft.sources.JsonlIO.documentsSchema).json(path)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("text_md5"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+    val qname = s"graft_replay_jsonl_${counter.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed NB classification of the driver's documents table: the
     * model trains in BATCH on the same parquet, then the staged doc
     * stream is scored statelessly ([[StreamingPipeline.classifyStream]])
