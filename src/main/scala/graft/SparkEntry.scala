@@ -1547,6 +1547,21 @@ object SparkEntry {
       graft.pipeline.Regression.olsByGroup(d, "source", "x", "y")
         .orderBy(col("source"))
     }),
+    // ML analytics: distributed binary logistic regression — REAL
+    // 3-iteration full-batch gradient descent under the oracle (per-row
+    // gradient terms DECIMAL-cast to absorb libm exp differences, exact
+    // sums, weights pinned to a 9-decimal grid each step; the contract
+    // is the deterministic trajectory, as with embed_pca). One corpus
+    // scan per iteration; driver state = 3 doubles.
+    "ml_logreg" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        when(col("source") === "src0", 1.0).otherwise(0.0).as("y"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("double").as("x1"),
+        col("n_chars").cast("double").as("x2"))
+      graft.pipeline.Regression.logisticGd(d, "y", Seq("x1", "x2"),
+          iters = 3, lr = 1e-5)
+        .orderBy(col("iter"), col("feature"))
+    }),
     // LLM pipeline: corpus-self boilerplate n-grams (word n-grams in
     // >= BoilerMinDocs distinct docs — the removal list built before
     // span-level cleaning)
@@ -2584,6 +2599,7 @@ object SparkEntry {
       ShuffleShards, SampleSalt),
     "sample_token_budget" -> graft.pipeline.PipelineSql.sampleTokenBudget(
       TokenBudgets, SampleSalt),
+    "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,

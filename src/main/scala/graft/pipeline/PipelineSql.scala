@@ -1479,6 +1479,47 @@ object PipelineSql {
        |FROM c WHERE cum_before < $budgetCase ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors Regression.logisticGd over (y = source=='src0',
+    * x1 = token count, x2 = n_chars): `iters` unrolled MATERIALIZED
+    * gradient CTEs; per-row terms cast to DECIMAL(28,10) (absorbing
+    * libm exp last-ulp differences) and summed exactly; weights
+    * rounded to the 9-decimal grid each step — the exact iteration
+    * arithmetic the operator's driver loop replays. */
+  def mlLogreg(iters: Int, lr: Double): String = {
+    def z(prev: String) =
+      s"(SELECT wi FROM $prev) + (SELECT w1 FROM $prev)*x1 + (SELECT w2 FROM $prev)*x2"
+    val steps = (1 to iters).map { k =>
+      val prev = s"w${k - 1}"
+      val sig = s"1.0/(1.0 + exp(-(${z(prev)})))"
+      s"""g$k AS MATERIALIZED (SELECT
+         |  CAST(sum(CAST(($sig - y) AS DECIMAL(28,10))) AS DOUBLE) AS s0,
+         |  CAST(sum(CAST(($sig - y) * x1 AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(($sig - y) * x2 AS DECIMAL(28,10))) AS DOUBLE) AS s2
+         |  FROM t),
+         |w$k AS MATERIALIZED (SELECT
+         |  round((SELECT wi FROM $prev) - $lr * s0 / (SELECT n FROM nn), 9) AS wi,
+         |  round((SELECT w1 FROM $prev) - $lr * s1 / (SELECT n FROM nn), 9) AS w1,
+         |  round((SELECT w2 FROM $prev) - $lr * s2 / (SELECT n FROM nn), 9) AS w2
+         |  FROM g$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).flatMap { k =>
+      Seq(s"SELECT $k AS iter, '_intercept' AS feature, wi AS weight FROM w$k",
+        s"SELECT $k AS iter, 'x1' AS feature, w1 AS weight FROM w$k",
+        s"SELECT $k AS iter, 'x2' AS feature, w2 AS weight FROM w$k")
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+       |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS x1,
+       |         CAST(n_chars AS DOUBLE) AS x2
+       |  FROM documents),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+       |w0 AS MATERIALIZED (SELECT 0.0 AS wi, 0.0 AS w1, 0.0 AS w2),
+       |$steps
+       |SELECT CAST(iter AS BIGINT) AS iter, feature, weight FROM (
+       |$out)
+       |ORDER BY iter, feature""".stripMargin
+  }
+
   def sampleShard(nShards: Int, salt: String): String =
     s"""WITH h AS (SELECT doc_id,
        |             md5('$salt' || CAST(doc_id AS VARCHAR)) AS hh

@@ -51,4 +51,53 @@ object Regression {
       when(denX === 0.0 || denY === 0.0, lit(null))
         .otherwise(round(num * num / (denX * denY), 9)).as("r2"))
   }
+
+  /** Distributed binary logistic regression by full-batch gradient
+    * descent — REAL multi-iteration model training under the oracle
+    * (the embed_kmeans / embed_pca determinism recipe applied to a
+    * classifier): each iteration is ONE map-side-combined aggregation
+    * of the per-feature gradient sums; per-row gradient terms
+    * (σ(w·x) − y)·x_k are cast to DECIMAL(28,10) — absorbing the
+    * engines' last-ulp exp() differences — and summed exactly, and the
+    * weight update w_k ← round(w_k − lr·S_k/n, 9) pins every iteration
+    * to a replayable 9-decimal grid. The weight vector (k+1 doubles)
+    * is the only driver state — the gradient pass streams the corpus,
+    * so the same loop runs at 100 TB (one scan per iteration).
+    *
+    * The contract is the deterministic ITERATION TRAJECTORY from the
+    * zero start (convergence at few iterations is a non-goal — the
+    * same contract as embed_pca's 5-step trajectory). Returns
+    * [iter, weights... ] long-format: one row per iteration with
+    * `feature` = "_intercept" or the feature column name. */
+  def logisticGd(df: DataFrame, labelCol: String,
+      featureCols: Seq[String], iters: Int, lr: Double): DataFrame = {
+    require(iters >= 1 && featureCols.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var w = Array.fill(featureCols.length + 1)(0.0)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    for (it <- 1 to iters) {
+      // z in the fixed left-fold order w0 + w1·x1 + … (the SQL mirror
+      // folds identically), all double ops — IEEE-exact across engines
+      val z = featureCols.zipWithIndex.foldLeft(lit(w(0))) {
+        case (acc, (f, i)) => acc + lit(w(i + 1)) * col(f).cast("double")
+      }
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val resid = sig - col(labelCol).cast("double")
+      val aggs = (resid +: featureCols.map(f => resid * col(f).cast("double")))
+        .zipWithIndex.map { case (t, i) =>
+          sum(t.cast("decimal(28,10)")).as(s"s$i") }
+      val row = df.agg(count(lit(1)).as("n"), aggs: _*).head()
+      val n = row.getLong(0).toDouble
+      w = w.indices.toArray.map { i =>
+        val s = row.getDecimal(i + 1).doubleValue()
+        BigDecimal(w(i) - lr * s / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      rows += ((it.toLong, "_intercept", w(0)))
+      featureCols.zipWithIndex.foreach { case (f, i) =>
+        rows += ((it.toLong, f, w(i + 1))) }
+    }
+    rows.toSeq.toDF("iter", "feature", "weight")
+  }
 }
