@@ -280,11 +280,19 @@ object StreamingPipeline {
         col(tsCol).cast("timestamp").as("ts"),
         graft.pipeline.Dedup.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0) // shingle-less docs claim nothing
-    val banded = sh.select(col("id"), col("ts"),
+    // Generate barrier: the signature must be COMPUTED ONCE per row —
+    // referencing the minhash expression inside every band projection
+    // would re-evaluate the whole shingles->minhash kernel x bands
+    // (CollapseProject inlines deterministic expressions; the batch
+    // operator uses a persist barrier for the same reason, measured 17 s
+    // vs 2 s there). explode(array(sig)) is a Generate operator, so the
+    // band keys below reference its OUTPUT attribute, not the kernel.
+    val sigOnce = sh.select(col("id"), col("ts"),
+      explode(array(
+        graft.pipeline.Dedup.minhashSignature(col("sh"), numHashes))).as("sig"))
+    val banded = sigOnce.select(col("id"), col("ts"),
         posexplode(array((0 until bands).map { b =>
-          md5(array_join(slice(
-            graft.pipeline.Dedup.minhashSignature(col("sh"), numHashes),
-            b * rows + 1, rows), "|"))
+          md5(array_join(slice(col("sig"), b * rows + 1, rows), "|"))
         }: _*)).as(Seq("band", "bucket")))
       .withWatermark("ts", watermark)
 
