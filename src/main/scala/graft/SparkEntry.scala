@@ -145,6 +145,7 @@ object SparkEntry {
   private val HopSlideNs = 15 * graft.pipeline.Temporal.NsPerMinute
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
   private val FunnelHorizonNs = 7 * graft.pipeline.Temporal.NsPerDay
+  private val FunnelCap = 4        // events_funnel_capped EarliestN bound
   private val RetentionBucketNs = graft.pipeline.Temporal.NsPerWeek
   private val AnomalyLookback = 24 // trailing windows for the z baseline
   private val AnomalyZ = 2.0       // |z| flag threshold
@@ -2179,6 +2180,17 @@ object SparkEntry {
           steps = FunnelSteps, horizonNs = FunnelHorizonNs)
         .orderBy(col("step"))
     }),
+    // the SAME funnel through the EarliestN skew cap (cap chosen to
+    // BITE on this corpus: per-(user, type) activity averages ~13) —
+    // puts the bounded-buffer aggregator itself under the driver gate,
+    // not just its units
+    "events_funnel_capped" -> ((s, dir) => {
+      graft.pipeline.Temporal.funnel(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          steps = FunnelSteps, horizonNs = FunnelHorizonNs,
+          maxEventsPerUser = FunnelCap)
+        .orderBy(col("step"))
+    }),
     // weekly cohort retention (first-event cohort × week offset)
     "events_retention" -> ((s, dir) => {
       graft.pipeline.Temporal.retention(
@@ -2757,6 +2769,8 @@ object SparkEntry {
     "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
+    "events_funnel_capped" -> graft.pipeline.TemporalSql.funnelCapped(
+      FunnelSteps, FunnelHorizonNs, FunnelCap),
     "events_funnel_stream" -> graft.pipeline.TemporalSql.funnel(
       FunnelSteps, FunnelHorizonNs),
     "events_retention" -> graft.pipeline.TemporalSql.retention(RetentionBucketNs),

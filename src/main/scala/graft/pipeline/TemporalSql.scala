@@ -128,7 +128,29 @@ object TemporalSql {
   /** Mirrors [[Temporal.funnel]]: chained per-step first-qualifying-time
     * CTEs (tK = min ts of step K strictly after t(K-1) and within the
     * horizon of t0). */
-  def funnel(steps: Seq[String], horizonNs: Long): String = {
+  def funnel(steps: Seq[String], horizonNs: Long): String =
+    funnelFrom(steps, horizonNs, s"e AS ($e)")
+
+  /** Mirrors [[Temporal.funnel]] with `maxEventsPerUser` > 0 (the
+    * EarliestN skew cap): only each (user, step type)'s `cap` earliest
+    * events survive to the fold. Ties at the cap boundary are
+    * interchangeable for the min-ts funnel math, so row_number here and
+    * the aggregator's replace-the-max buffer agree on RESULTS. */
+  def funnelCapped(steps: Seq[String], horizonNs: Long, cap: Int): String = {
+    val stepsIn = steps.map(s => s"'$s'").mkString(", ")
+    val eCte =
+      s"""e0 AS ($e),
+         |e AS (SELECT user_id, event_type, tsn FROM (
+         |  SELECT user_id, event_type, tsn,
+         |         row_number() OVER (PARTITION BY user_id, event_type
+         |                            ORDER BY tsn) AS _rn
+         |  FROM e0 WHERE event_type IN ($stepsIn)) WHERE _rn <= $cap)"""
+        .stripMargin
+    funnelFrom(steps, horizonNs, eCte)
+  }
+
+  private def funnelFrom(steps: Seq[String], horizonNs: Long,
+      eCte: String): String = {
     val t0 = s"t0 AS (SELECT user_id, min(tsn) AS t0 FROM e WHERE event_type = '${steps.head}' GROUP BY user_id)"
     val rest = steps.indices.tail.map { i =>
       val joins = if (i == 1) "JOIN t0 USING (user_id)"
@@ -142,7 +164,7 @@ object TemporalSql {
     val selects = steps.zipWithIndex.map { case (step, i) =>
       s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$step' AS event_type, count(*) AS n_users FROM t$i"
     }
-    (s"WITH e AS ($e),\n" + (t0 +: rest).mkString(",\n") + "\n" +
+    (s"WITH $eCte,\n" + (t0 +: rest).mkString(",\n") + "\n" +
       selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
   }
 
