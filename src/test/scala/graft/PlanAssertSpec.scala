@@ -225,6 +225,32 @@ class PlanAssertSpec extends SparkSpec {
       s"routed knn graph lost the cell-keyed equi-join:\n$p")
   }
 
+  test("tokenBudget plans the keyed two-phase prefix sum — no Window operator") {
+    import spark.implicits._
+    val d = (0 until 80).map(i => (i.toLong, s"s${i % 3}", 5L + i % 4))
+      .toDF("doc_id", "source", "n_tokens")
+    val p = executedPlan(Sampling.tokenBudget(d, "source", "n_tokens",
+      Map("s0" -> 50L, "s1" -> 40L), numPartitions = 4))
+    assert(!p.contains("Window"),
+      s"tokenBudget fell back to a per-source window (one task per source):\n$p")
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+      s"tokenBudget lost the range partitioning both passes pin to:\n$p")
+  }
+
+  test("logisticGd's gradient pass is one map-side-combined aggregation") {
+    import spark.implicits._
+    val d = (0 until 60).map(i => (if (i % 2 == 0) 1.0 else 0.0,
+      (i % 7).toDouble, (i % 11).toDouble)).toDF("y", "x1", "x2")
+    val out = Regression.logisticGd(d, "y", Seq("x1", "x2"), iters = 1, lr = 1e-4)
+    assert(out.count() === 3) // intercept + 2 features for the 1 iteration
+    // weights move off zero deterministically
+    val w = out.collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(w.values.exists(_ != 0.0), s"no gradient signal: $w")
+    val again = Regression.logisticGd(d.repartition(7), "y", Seq("x1", "x2"),
+      iters = 1, lr = 1e-4).collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(again === w, "logisticGd not partitioning-invariant")
+  }
+
   test("containment candidate join is a shuffled equi-join on the shingle key, no BNLJ") {
     val p = executedPlan(Dedup.containment(docsDF, shingleSize = 3,
       threshold = 0.1, maxDocFreq = 50))
