@@ -1476,6 +1476,17 @@ object SparkEntry {
         .orderBy(col("n_occ").desc, col("subword")).limit(BpeTopSubwords)
         .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
     }),
+    // streaming: BPE tokenizer APPLICATION as a stream — merges train in
+    // batch, the doc stream runs the narrow encode statelessly, the
+    // per-subword rollup happens at the sink (occurrence counting ≡ the
+    // batch vocabulary form), under the same oracle as bpe_encode
+    "bpe_encode_stream" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).map(m => (m._2, m._3)).toSeq
+      graft.streaming.StreamReplay.bpeSubwordCounts(s, dir, merges,
+          maxWordLen = BpeMaxWordLen)
+        .orderBy(col("n_occ").desc, col("subword")).limit(BpeTopSubwords)
+        .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
+    }),
     // LLM pipeline: TF-IDF keyword extraction (top-5 terms per doc;
     // rank-on-rounded-score so libm ln ulp differences cannot flip ranks)
     "text_tfidf" -> ((s, dir) => {
@@ -2540,6 +2551,8 @@ object SparkEntry {
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
+      BpeMerges, BpeMaxWordLen, BpeTopSubwords),
+    "bpe_encode_stream" -> graft.pipeline.PipelineSql.bpeEncode(
       BpeMerges, BpeMaxWordLen, BpeTopSubwords),
     "sql_surface" -> graft.pipeline.PipelineSql.sqlSurface(SqlKeepRate, SqlKeepSalt),
     "text_repetition" -> graft.pipeline.PipelineSql.textRepetition,

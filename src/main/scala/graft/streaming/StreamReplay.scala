@@ -271,6 +271,30 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed BPE tokenizer APPLICATION — the Kappa split for online
+    * ingestion: the merge table trains in BATCH (tiny, rides along as
+    * stacked codegen'd replaces), the doc stream runs the pure-narrow
+    * [[graft.pipeline.Bpe.encode]] statelessly (one row per subword
+    * occurrence), and the per-subword count rollup happens over the
+    * sink. Occurrence counting ≡ the batch vocabulary form
+    * (n_occ = Σ_words cnt·occ), so the row rides the same oracle as
+    * bpe_encode. Returns [subword, n_occ]. */
+  def bpeSubwordCounts(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)], maxWordLen: Int): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_bpe_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Bpe.encode(stream, merges, maxWordLen = maxWordLen)
+      .select(col("subword"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .groupBy(col("subword")).agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Streamed NB classification of the driver's documents table: the
     * model trains in BATCH on the same parquet, then the staged doc
     * stream is scored statelessly ([[StreamingPipeline.classifyStream]])
