@@ -1261,6 +1261,18 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // streaming: ONLINE ANN SERVING — the IVF-PQ index builds in batch,
+    // round-trips through AnnIO persistence, and the query stream runs
+    // the stateless cell-keyed stream-static join against the loaded
+    // codes table (per-query top-k ranked at the sink). Same oracle as
+    // ann_ivfpq, so the serve path, the persistence round-trip and the
+    // batch build are pinned together.
+    "ann_serve_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.annServe(s, dir, numQueries = AnnQueries,
+          k = AnnK, numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
+          pqCentroids = PqCentroids, sampleSize = AnnSample)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // LLM pipeline: ordered-pair shingle CONTAINMENT near-dup — the
     // asymmetric partial-copy detector Jaccard-based minhash misses
     // when sizes differ (a quote fully embedded in a 10× longer doc has
@@ -2644,6 +2656,9 @@ object SparkEntry {
     "ann_pq" -> graft.pipeline.PipelineSql.annPq(
       AnnQueries, AnnK, PqSubspaces, PqCentroids, AnnSample, dim = 64),
     "ann_ivfpq" -> graft.pipeline.PipelineSql.annIvfPq(
+      AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64),
+    "ann_serve_stream" -> graft.pipeline.PipelineSql.annIvfPq(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "cooc_window" ->

@@ -445,6 +445,22 @@ object Ann {
   def queryIvfPq(index: IvfPqIndex, queries: DataFrame, k: Int,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val scored = queryIvfPqCandidates(index, queries, nprobe, idCol, vecCol)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("adc"))
+  }
+
+  /** The candidate-scoring stage of [[queryIvfPq]] WITHOUT the top-k
+    * window: route each query to its `nprobe` cells and ADC-score the
+    * cell's codes. Split out because it is streamable — the cell join is
+    * a stream-static equi-join (stateless), so online ANN SERVING runs
+    * this in the stream and ranks per query at the sink (windows don't
+    * stream). Returns [query_id, id, adc]. */
+  def queryIvfPqCandidates(index: IvfPqIndex, queries: DataFrame,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val bCells = spark.sparkContext.broadcast(index.cells)
     val bCbs = spark.sparkContext.broadcast(index.codebooks)
@@ -469,13 +485,10 @@ object Ann {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
       .withColumn("cell", explode(probes(col("qvec"))))
-    val scored = index.codes.join(q, Seq("cell"))
+    q.join(index.codes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc", adcU(col("codes"), col("qvec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("adc"))
+      .select(col("query_id"), col("id"), col("adc"))
   }
 
   /** IVF-PQ: the production 100 TB ANN architecture as one call —

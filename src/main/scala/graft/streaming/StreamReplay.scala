@@ -271,6 +271,44 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** ONLINE ANN SERVING: the IVF-PQ index builds in batch, persists
+    * through [[graft.sources.AnnIO]] (save → load — the serving
+    * artifact round-trip is on the oracle path), and the QUERY stream
+    * runs [[graft.pipeline.Ann.queryIvfPqCandidates]] — probe explode +
+    * a stream-static equi-join on the cell key against the loaded CODES
+    * table (stateless; raw corpus vectors appear nowhere) — with the
+    * per-query top-k ranked at the sink (windows don't stream; the
+    * candidate set is nprobe/cells of the corpus per query, the same
+    * bound the batch rank pays). Same oracle as ann_ivfpq. */
+  def annServe(spark: SparkSession, dir: String, numQueries: Int, k: Int,
+      numCentroids: Int, nprobe: Int, m: Int, pqCentroids: Int,
+      sampleSize: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val built = graft.pipeline.Ann.buildIvfPq(emb,
+      numCentroids = numCentroids, m = m, pqCentroids = pqCentroids,
+      iters = 0, pqIters = 0, sampleSize = sampleSize)
+    val ixDir = Files.createTempDirectory("graft_ann_serve").toString
+    graft.sources.AnnIO.save(built, ixDir)
+    val index = graft.sources.AnnIO.load(spark, ixDir)
+    val qStream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+      .filter(col("vec_id") < numQueries)
+    val qname = s"graft_replay_annserve_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Ann.queryIvfPqCandidates(index, qStream, nprobe)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    val cand = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
+    cand.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+        round(col("adc"), 6).as("adc"))
+  }
+
   /** Streamed BPE tokenizer APPLICATION — the Kappa split for online
     * ingestion: the merge table trains in BATCH (tiny, rides along as
     * stacked codegen'd replaces), the doc stream runs the pure-narrow
