@@ -372,29 +372,12 @@ object Ann {
         nearestCentroid(arr.slice(s * sub, (s + 1) * sub), cb(s))
       }
     }
-    val adcU = udf { (codes: Seq[Int], q: Seq[Float]) =>
-      val cb = bC.value
-      val sub = q.length / cb.length
-      var tot = 0.0
-      var s = 0
-      while (s < cb.length) {
-        val cw = cb(s)(codes(s))
-        var sd = 0.0
-        var j = 0
-        while (j < sub) {
-          val x = q(s * sub + j).toDouble - cw(j).toDouble; sd += x * x; j += 1
-        }
-        tot += sd
-        s += 1
-      }
-      tot
-    }
     val c = corpus.select(col(idCol).cast("long").as("id"),
       encodeU(col(vecCol)).as("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adc", adcU(col("codes"), col("qvec")))
+      .withColumn("adc", adc(col("codes"), col("qvec"), cbs))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -463,32 +446,27 @@ object Ann {
       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val bCells = spark.sparkContext.broadcast(index.cells)
-    val bCbs = spark.sparkContext.broadcast(index.codebooks)
     val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bCells.value, nprobe) }
-    val adcU = udf { (codes: Seq[Int], q: Seq[Float]) =>
-      val cb = bCbs.value
-      val sub = q.length / cb.length
-      var tot = 0.0
-      var s = 0
-      while (s < cb.length) {
-        val cw = cb(s)(codes(s))
-        var sd = 0.0
-        var j = 0
-        while (j < sub) {
-          val x = q(s * sub + j).toDouble - cw(j).toDouble; sd += x * x; j += 1
-        }
-        tot += sd
-        s += 1
-      }
-      tot
-    }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
       .withColumn("cell", explode(probes(col("qvec"))))
     q.join(index.codes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adc", adcU(col("codes"), col("qvec")))
+      .withColumn("adc", adc(col("codes"), col("qvec"), index.codebooks))
       .select(col("query_id"), col("id"), col("adc"))
+  }
+
+  /** ADC distance as a native codegen'd expression
+    * ([[graft.functions.AdcDistance]]) — the per-candidate hot loop of
+    * every PQ scan; a UDF here pays boxing once per (query, candidate)
+    * pair, which dominated the routed knn-graph build (measured ~18 s of
+    * 20 s at 32k vectors). Same arithmetic as the UDF it replaced. */
+  private def adc(codes: Column, qvec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.AdcDistance(
+      GraftColumnBridge.expression(codes),
+      GraftColumnBridge.expression(qvec), codebooks))
   }
 
   /** IVF-PQ: the production 100 TB ANN architecture as one call —

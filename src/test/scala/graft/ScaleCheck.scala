@@ -94,6 +94,34 @@ object ScaleCheck {
           graft.pipeline.Dedup.minhashLsh(docsR, shingleSize = 3,
             numHashes = 8, bands = 4, threshold = 0.25).count()
         },
+        entry("sample_token_budget (keyed prefix)") {
+          graft.pipeline.Sampling.tokenBudget(
+            docsR.select(col("doc_id"), col("source"),
+              size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+                .as("n_tokens")),
+            "source", "n_tokens",
+            (0 until 20).map(i => s"src$i" -> 600L).toMap).count()
+        },
+        entry("ml_logreg (3-iter GD)") {
+          graft.pipeline.Regression.logisticGd(
+            docsR.select(
+              when(col("source") === "src0", 1.0).otherwise(0.0).as("y"),
+              size(split(trim(lower(col("text"))), "\\s+")).cast("double").as("x1"),
+              length(col("text")).cast("double").as("x2")),
+            "y", Seq("x1", "x2"), iters = 3, lr = 1e-5).count()
+        },
+        // routed knn graph: cells scale with the corpus (16·r) so the
+        // per-cell candidate count stays FLAT — the knob the 100 TB
+        // deployment turns; fixed cells would be n²/16 by construction.
+        // iters=3 Lloyd (the production codebook): iters=0's random-pick
+        // Voronoi cells are SKEWED, and hot cells inflate the candidate
+        // join superlinearly (measured 9010 -> 3453 rows/s at 16x;
+        // balanced cells are part of the plan, not a tuning nicety)
+        entry("graph_knn_routed (IVF-PQ cell join)") {
+          graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
+            numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
+            iters = 3, refine = 4).count()
+        },
         entry("pack_sequences (prefix sum)") {
           val packed = graft.pipeline.Sampling.packSequences(
             graft.pipeline.TextAnalysis.tokenCounts(docsR)
