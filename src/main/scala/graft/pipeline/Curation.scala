@@ -47,6 +47,11 @@ object Curation {
       bands: Int = 32,
       nearDupThreshold: Double = 0.8,
       mixRates: Map[String, Double] = Map.empty,
+      /** Per-source TOKEN budgets ([[Sampling.tokenBudget]]) — the way
+        * training mixtures are actually specced; applied after
+        * `mixRates` (use one or the other, or rates as a coarse gate
+        * then budgets as the exact floor). Empty = off. */
+      tokenBudgets: Map[String, Long] = Map.empty,
       salt: String = "curation",
       packBudget: Long = 0L,
       packWholeDocs: Boolean = false)
@@ -119,6 +124,17 @@ object Curation {
     // ---- 5. deterministic source mixing (optional) ----
     if (cfg.mixRates.nonEmpty)
       d = Sampling.mixSources(d, sourceCol, cfg.mixRates, idCol, cfg.salt)
+
+    // ---- 5b. per-source token budgets (optional): the exact-floor
+    //          mixture spec; keyed two-phase prefix sum, never a
+    //          per-source window ----
+    if (cfg.tokenBudgets.nonEmpty) {
+      val counted = d.withColumn("_tb_tokens",
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
+      d = Sampling.tokenBudget(counted, sourceCol, "_tb_tokens",
+          cfg.tokenBudgets, idCol, cfg.salt)
+        .drop("_tb_tokens", "cum_before")
+    }
 
     // ---- 6. sequence packing (optional): concat-and-chunk by default,
     //         whole-document best-fit when attention boundaries must not

@@ -130,4 +130,30 @@ class CurationSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.subsetOf(Set(3L, 5L, 6L)))
   }
+
+  test("token budgets: facade stage == standalone tokenBudget on the survivors") {
+    val base = Curation.Config(minQuality = 0.0, piiRedact = false,
+      nearDupThreshold = 1.0)
+    val survivors = Curation.curate(fixture, base)
+    val budgets = Map("web" -> 15L, "books" -> 9L)
+    val manual = Sampling.tokenBudget(
+        survivors.withColumn("_tb_tokens",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long")),
+        "source", "_tb_tokens", budgets, "doc_id", "curation")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val facade = Curation.curate(fixture, base.copy(tokenBudgets = budgets))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(facade === manual)
+    assert(facade.nonEmpty)
+    // the budget is a floor: kept token mass per source reaches it
+    val toks = survivors.withColumn("_t",
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("_t")))
+    budgets.foreach { case (src, b) =>
+      val kept = toks.filter(t => facade.contains(t._1) && t._2 == src).map(_._3).sum
+      val avail = toks.filter(_._2 == src).map(_._3).sum
+      assert(kept >= math.min(b, avail), s"$src kept $kept of floor $b")
+    }
+  }
 }
