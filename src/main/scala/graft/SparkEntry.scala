@@ -1921,6 +1921,33 @@ object SparkEntry {
         .toDF("doc_id", "token", "tf")
         .orderBy(col("doc_id"), col("token"))
     }),
+    // LLM pipeline: QUALITY-WEIGHTED importance sampling — the
+    // classifier-filter shape (keep probability rises with the quality
+    // score instead of one global rate): rate = 0.1 + 0.8·quality,
+    // kept iff uniform(md5(salt||id)) < rate; one narrow codegen'd
+    // filter, rates data-derived so the row pins score + rate + decision
+    "sample_quality" -> ((s, dir) => {
+      val scored = graft.pipeline.TextAnalysis.qualityScore(docs(s, dir))
+      graft.pipeline.Sampling.sampleByRate(scored,
+          lit(0.1) + lit(0.8) * col("quality"), "doc_id", SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // pipeline audit: achieved mixture report — per-source doc/token
+    // mass and token share (what a mixing stage actually delivered vs
+    // its spec); one map-side-combined aggregation
+    "report_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      val g = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      val tot = g.agg(sum(col("n_tokens")).cast("double").as("total"))
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: temperature-based source mixing (mT5/XLM-R α = 0.5
     // square-root temperature) — rates are DATA-DERIVED, not literals:
     // the oracle recomputes share → sqrt-flatten → name-ordered
@@ -2637,6 +2664,10 @@ object SparkEntry {
     "sample_token_budget" -> graft.pipeline.PipelineSql.sampleTokenBudget(
       TokenBudgets, SampleSalt),
     "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
+    "sample_quality" -> graft.pipeline.PipelineSql.sampleQualityWeighted(
+      0.1, 0.8, SampleSalt,
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "report_mixture" -> graft.pipeline.PipelineSql.reportMixture,
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,

@@ -864,6 +864,38 @@ object PipelineSql {
       |        - CASE WHEN n_tokens_q < 5 THEN 0.4 ELSE 0.0 END
       |        - repetition_ratio * 0.5))""".stripMargin
 
+  /** Mirrors the sample_quality entry: per-row keep rate
+    * minRate + span·quality (UNROUNDED quality — the text_clean_stream
+    * gate precedent), kept iff uniform(md5(salt || id)) < rate. */
+  def sampleQualityWeighted(minRate: Double, span: Double, salt: String,
+      stopwords: Seq[String]): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),
+       |m AS (
+       |  ${qualityMetricsSql("base", stopwords)}),
+       |q AS (SELECT doc_id, $qualityExprSql AS quality FROM m)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, round(quality, 6) AS quality
+       |FROM q
+       |WHERE ('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      < ($minRate + $span * quality) * 4294967296.0
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the report_mixture entry: per-source doc/token mass and
+    * the achieved token share — the post-mix audit. */
+  def reportMixture: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |      FROM t GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM g)
+       |SELECT source, n_docs, n_tokens,
+       |       round(CAST(n_tokens AS DOUBLE) / (SELECT total FROM tot), 6)
+       |         AS token_share
+       |FROM g ORDER BY source""".stripMargin
+
   def textQuality(stopwords: Seq[String]): String = {
     s"""WITH base AS (
        |  SELECT doc_id, text, string_split($norm, ' ') AS toks FROM documents),

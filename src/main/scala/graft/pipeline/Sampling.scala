@@ -45,6 +45,20 @@ object Sampling {
     if (rate >= 1.0) df
     else df.filter(hashPrefix(col(keyCol), salt) < lit(rateThreshold(rate)))
 
+  /** Deterministic Bernoulli sampling with a PER-ROW rate column —
+    * importance/quality-weighted sampling (the classifier-filter shape:
+    * keep probability rises with a model score instead of being one
+    * global rate). keep ⇔ uniform(md5(salt || key)) < rate, with the
+    * md5 prefix compared NUMERICALLY so the rate can be any computed
+    * double in [0, 1]. Same determinism contract as [[sampleHash]]
+    * (pure function of key + salt + rate, any cluster size); still one
+    * narrow codegen'd filter — no shuffle. */
+  def sampleByRate(df: DataFrame, rateCol: Column, keyCol: String,
+      salt: String = ""): DataFrame =
+    df.filter(
+      conv(hashPrefix(col(keyCol), salt), 16, 10).cast("double") <
+        rateCol * lit(4294967296.0))
+
   /** Weighted source mixing: per-source keep rates (sources absent from
     * the map are dropped — explicit allowlist, as in training-mixture
     * specs). One narrow filter; the hash makes the mixture exact in
