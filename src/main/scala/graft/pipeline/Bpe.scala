@@ -158,6 +158,25 @@ object Bpe {
       posexplode(split(trim(col("seq")), "  ")).as(Seq("sub_pos", "subword")))
   }
 
+  /** Per-document subword ARRAYS under a learned merge table — the same
+    * math as [[encode]] folded into one narrow projection (words and
+    * merges applied inside array lambdas, subwords flattened per doc):
+    * one output row per document instead of one per subword occurrence,
+    * which is the shape a STREAMING tokenizer stage wants (sink traffic
+    * = docs, not occurrences; the per-word merge chain runs exactly
+    * once either way). Returns [<id col>, subwords: array<string>]. */
+  def encodeDocSubwords(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordLen: Int = 20): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z]+"),
+      w => length(w) >= 1 && length(w) <= maxWordLen)
+    def merged(w: Column): Column = merges.foldLeft(initSeq(w)) {
+      case (c, (l, r)) => replace(c, lit(s" $l  $r "), lit(s" ${l + r} "))
+    }
+    docs.select(col(idCol),
+      flatten(transform(words, w => split(trim(merged(w)), "  "))).as("subwords"))
+  }
+
   /** Corpus subword frequencies under a learned merge table, computed on
     * the VOCABULARY: occurrences(subword) = Σ over distinct words of
     * wordCount × (occurrences of the subword in that word's merged

@@ -322,14 +322,18 @@ object StreamReplay {
     val stream = spark.readStream.schema(docSchema)
       .parquet(stageDocs(spark, dir).toString)
     val qname = s"graft_replay_bpe_${counter.incrementAndGet()}"
-    val q = graft.pipeline.Bpe.encode(stream, merges, maxWordLen = maxWordLen)
-      .select(col("subword"))
+    // one sink row per DOC (subword array), not per occurrence — sink
+    // traffic is docs-sized; the rollup explodes at the sink
+    val q = graft.pipeline.Bpe.encodeDocSubwords(stream, merges,
+        maxWordLen = maxWordLen)
+      .select(col("subwords"))
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val out = spark.table(qname)
     val rows = out.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .select(explode(col("subwords")).as("subword"))
       .groupBy(col("subword")).agg(count(lit(1)).as("n_occ"))
   }
 

@@ -63,4 +63,19 @@ class BpeSpec extends SparkSpec {
       .orderBy(col("sub_pos")).select(col("subword")).as[String].collect()
     assert(subs.toSeq === Seq("x", "ab", "</w>"))
   }
+
+  test("encodeDocSubwords == encode occurrence counts (the streaming shape)") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab cd! ab"), (1L, ""), (2L, "Cd cd 12 abab"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val viaRows = Bpe.encode(docs, merges).groupBy("subword").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaArrays = Bpe.encodeDocSubwords(docs, merges)
+      .select(explode(col("subwords")).as("subword"))
+      .groupBy("subword").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaArrays === viaRows)
+    assert(viaRows.nonEmpty)
+  }
 }
