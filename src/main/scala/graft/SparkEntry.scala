@@ -256,6 +256,32 @@ object SparkEntry {
     memoized(s, dir, "reltransform")(
       RelationalEm.emPassTheta(relTok(s, dir), relFit(s, dir).pwt, T))
 
+  /** The kernel-transform oracle projection shared by
+    * artm_transform_kernel and artm_transform_stream: per-doc argmax
+    * topic of the KERNEL theta, restricted to the docs whose MIRROR
+    * top1−top2 theta margin exceeds ArgmaxMargin (row set
+    * mirror-defined, argmax kernel-computed — margin ≫ the float32
+    * parity bound, so agreement is forced unless the kernel genuinely
+    * regresses). */
+  private def marginQualifiedArgmax(s: SparkSession, dir: String,
+      kTheta: DataFrame): DataFrame = {
+    val mir = relTransformTheta(s, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("th").desc, col("topic"))
+    val ranked = mir.withColumn("rn", row_number().over(w))
+    val qual = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("th").as("th1"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("th").as("th2")), Seq("doc_id"))
+      .filter(col("th1") - col("th2") > ArgmaxMargin)
+      .select(col("doc_id"))
+    kTheta
+      .select(col("doc_id"),
+        (expr("array_position(weights, array_max(weights))") - 1)
+          .cast("long").as("topic"))
+      .join(qual, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PRODUCTION kernel fit (float32 EStep/Fit) from the md5 init, same
     * schedule as the mirror; pwt collected to a LocalRelation and all fit
     * caches released. `regs` switches on the regularizer path;
@@ -574,24 +600,21 @@ object SparkEntry {
     // mirror-defined, argmax kernel-computed; margin ≫ 5e-4 parity bound
     // so agreement is forced unless the kernel genuinely regresses).
     "artm_transform_kernel" -> ((s, dir) => {
-      val mir = relTransformTheta(s, dir)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("th").desc, col("topic"))
-      val ranked = mir.withColumn("rn", row_number().over(w))
-      val qual = ranked.filter(col("rn") === 1)
-        .select(col("doc_id"), col("th").as("th1"))
-        .join(ranked.filter(col("rn") === 2)
-          .select(col("doc_id"), col("th").as("th2")), Seq("doc_id"))
-        .filter(col("th1") - col("th2") > ArgmaxMargin)
-        .select(col("doc_id"))
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
       val kTheta = Fit.transform(corpus, kernelFitLocal(s, dir, "kfit"), T,
         EStepConfig(numDocumentPasses = 1))
-      kTheta
-        .select(col("doc_id"),
-          (expr("array_position(weights, array_max(weights))") - 1)
-            .cast("long").as("topic"))
-        .join(qual, Seq("doc_id"))
-        .orderBy(col("doc_id"))
+      marginQualifiedArgmax(s, dir, kTheta)
+    }),
+    // §2.4 KERNEL transform as a STREAM: the stateless streaming
+    // inference operator (broadcast phi + narrow mapPartitions, no state
+    // store) replayed over the staged document stream with the SAME
+    // batch-trained kernel phi, gated by the SAME margin-certified
+    // argmax SQL as artm_transform_kernel — streamed topic inference
+    // under the driver gate.
+    "artm_transform_stream" -> ((s, dir) => {
+      val kTheta = graft.streaming.StreamReplay.transformDocs(s, dir,
+        kernelFitLocal(s, dir, "kfit"), T)
+      marginQualifiedArgmax(s, dir, kTheta)
     }),
     // §2.5 Regularizer-mix fit (mirror): LabelRegularizationPhi +
     // ImproveCoherencePhi (windowed-cooc pull) + SpecifiedSparsePhi
@@ -2491,6 +2514,8 @@ object SparkEntry {
     "artm_theta_snippet" -> RelationalEmSql.thetaSnippet(T, Passes, SnippetDocs),
     "artm_doc_perplexity" -> RelationalEmSql.docPerplexity(T, Passes),
     "artm_transform_kernel" ->
+      RelationalEmSql.transformKernelArgmax(T, Passes, ArgmaxMargin),
+    "artm_transform_stream" ->
       RelationalEmSql.transformKernelArgmax(T, Passes, ArgmaxMargin),
     "artm_hartm_psi" -> RelationalEmSql.hartmPsi(HartmT1, T, HartmW),
     "artm_hartm_kernel" ->

@@ -309,6 +309,27 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** Streamed TOPIC INFERENCE: the staged document stream through
+    * [[StreamingPipeline.transformStream]] with a fixed batch-trained
+    * phi — stateless (one phi broadcast + a narrow mapPartitions, no
+    * state store), so the streamed theta is row-for-row the batch
+    * `Fit.transform` result. Returns [doc_id, title, weights]. */
+  def transformDocs(spark: SparkSession, dir: String, pwt: DataFrame,
+      numTopics: Int): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val docsDs = graft.sources.Corpus.fromDocumentsTable(stream)
+    val qname = s"graft_replay_transform_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.transformStream(docsDs, pwt, numTopics,
+        graft.operators.EStepConfig(numDocumentPasses = 1))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed BPE tokenizer APPLICATION — the Kappa split for online
     * ingestion: the merge table trains in BATCH (tiny, rides along as
     * stacked codegen'd replaces), the doc stream runs the pure-narrow
