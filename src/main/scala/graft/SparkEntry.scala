@@ -482,6 +482,20 @@ object SparkEntry {
       }
       kernelTopTokens(pwt)
     }),
+    // §2.4/§7.5 ONLINE FIT AS A STREAM: the foreachBatch online EM
+    // (StreamingOnlineFit — each micro-batch is one decay-merge chunk)
+    // driven by the parity-split document stream, so the streamed model
+    // equals the batch kernel fit over the same two chunks; gated by
+    // the SAME rank-only top-tokens SQL as artm_fit_online_kernel.
+    "artm_fit_online_stream" -> ((s, dir) => {
+      val pwt = memoized(s, dir, "kfitonlinestream") {
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val fitted = graft.streaming.StreamReplay.fitOnline(s, dir, pwt0,
+          T, OnlineTau0, OnlineKappa)
+        PhiOps.phiFromLocal(s, PhiOps.collectPhi(fitted, T))
+      }
+      kernelTopTokens(pwt)
+    }),
     // §2.5 SmoothSparseTheta fit (mirror): the theta-side regularizer
     // (tau added to every topic's post-multiply theta, max(.,0) norm)
     // inside a 2-pass fit — exact hash on the resulting pwt
@@ -2474,6 +2488,8 @@ object SparkEntry {
       RelationalEmSql.topTokensRankOnly(T, Passes, TopK, Some(RegTaus)),
     "artm_fit_offline_joinphi" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
     "artm_fit_online_kernel" ->
+      RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),
+    "artm_fit_online_stream" ->
       RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),
     "artm_fit_online_async_kernel" ->
       RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),

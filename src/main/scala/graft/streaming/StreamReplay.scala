@@ -309,6 +309,52 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** Memoized PARITY-SPLIT documents staging: two single parquet files
+    * (doc_id even, then odd) with ascending mtimes, so a
+    * maxFilesPerTrigger=1 AvailableNow replay delivers exactly the two
+    * doc-parity chunks the batch fit_online entries train on, in
+    * order. */
+  private def stageDocsParity(spark: SparkSession, dir: String): Path =
+    stages.computeIfAbsent((spark, s"$dir#parity"), { _ =>
+      val d = Files.createTempDirectory("graft_replay_parity")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def one(name: String, parity: Int, mtime: Long): Unit = {
+        val tmp = d.resolve(name + ".dir")
+        docs.filter(col("doc_id") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, d.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(d.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val base = System.currentTimeMillis()
+      one("00_even.parquet", 0, base - 60000)
+      one("01_odd.parquet", 1, base - 30000)
+      d
+    })
+
+  /** Streamed ONLINE FIT: [[StreamingFit]]'s foreachBatch online EM
+    * driven by the parity-split document stream — each micro-batch is
+    * one online chunk, so the streamed model state equals the batch
+    * `Fit.fitOnline` over the same two chunks (same ρ schedule, same
+    * decay merge). Returns the final p_wt (driver-held local, like the
+    * reference master's Phi). */
+  def fitOnline(spark: SparkSession, dir: String, pwt0: DataFrame,
+      numTopics: Int, tau0: Double, kappa: Double): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDocsParity(spark, dir).toString)
+    val docsDs = graft.sources.Corpus.fromDocumentsTable(stream)
+    val fitter = new StreamingOnlineFit(pwt0,
+      graft.operators.Fit.Config(numTopics = numTopics,
+        estep = graft.operators.EStepConfig(numDocumentPasses = 1)),
+      tau0, kappa)
+    val q = fitter.writer(docsDs).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    fitter.currentPwt
+  }
+
   /** Streamed TOPIC INFERENCE: the staged document stream through
     * [[StreamingPipeline.transformStream]] with a fixed batch-trained
     * phi — stateless (one phi broadcast + a narrow mapPartitions, no
