@@ -2041,10 +2041,13 @@ object SparkEntry {
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
         col("source"),
         size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
-      graft.pipeline.Sampling.tokenBudget(d, "source", "n_tokens",
+      val kept = graft.pipeline.Sampling.tokenBudget(d, "source", "n_tokens",
           TokenBudgets.toMap, idCol = "doc_id", salt = SampleSalt)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
         .orderBy(col("doc_id"))
+      val out = RelationalEm.collectLocal(kept) // kept set is budget-bounded
+      graft.pipeline.Sampling.unpersistPacked(kept)
+      out
     }),
     // LLM pipeline: corpus snapshot diff — v2 synthesized from the
     // documents table (%10==0 removed, %10==1 edited, %10==2 cloned as

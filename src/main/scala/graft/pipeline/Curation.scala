@@ -50,7 +50,11 @@ object Curation {
       /** Per-source TOKEN budgets ([[Sampling.tokenBudget]]) — the way
         * training mixtures are actually specced; applied after
         * `mixRates` (use one or the other, or rates as a coarse gate
-        * then budgets as the exact floor). Empty = off. */
+        * then budgets as the exact floor). Empty = off. NOTE this stage
+        * pins a persist of the ranged survivor corpus (the two-pass
+        * prefix-sum layout); release it with
+        * [[Sampling.unpersistPacked]] on the curated output once
+        * materialized — the same contract as `packBudget`. */
       tokenBudgets: Map[String, Long] = Map.empty,
       salt: String = "curation",
       packBudget: Long = 0L,

@@ -177,25 +177,6 @@ object Sampling {
       .drop("_rk")
   }
 
-  /** Greedy concat-and-chunk sequence packing (the GPT-style training
-    * layout): documents in `orderCol` order are laid head-to-tail and cut
-    * into `budget`-token bins; a document's bin is
-    * floor(cum_tokens_before / budget). Emits the input plus
-    * [cum_before, bin].
-    *
-    * The global running sum is a distributed two-phase prefix sum:
-    *   1. range-partition + sort by `orderCol` (pinned by persist — the
-    *      ONLY shuffle);
-    *   2. per-partition token sums → driver (#partitions values, from a
-    *      narrow mapPartitions);
-    *   3. exclusive partition offsets captured into a second narrow
-    *      mapPartitions that emits each row's running total — no window,
-    *      no re-shuffle (a `Window.partitionBy(pid)` here would force a
-    *      redundant hash exchange: Spark cannot know the pid column
-    *      matches the physical layout).
-    * Output depends only on the data and `orderCol` — the partition count
-    * only changes the execution shape (asserted by SamplingSpec). The
-    * caller must release the pinned persist with `unpersistPacked`. */
   /** Per-source TOKEN-budget sampling — the "take N tokens from each
     * source" mixture spec (training mixtures are budgeted in tokens, not
     * documents, so per-doc Bernoulli rates over- or under-shoot when
@@ -215,7 +196,11 @@ object Sampling {
     * `Window.partitionBy(source)`: a window would funnel each source
     * through ONE task, and the hottest source IS the workload at
     * 100 TB. Partition-count independent (same contract as
-    * packSequences; SamplingSpec asserts it). */
+    * packSequences; SamplingSpec asserts it). Like packSequences, the
+    * two passes pin a persist of the ranged corpus — the caller must
+    * release it with [[unpersistPacked]] once the output is
+    * materialized. NULL token counts contribute 0 and keep their row
+    * (matching SQL window-sum NULL semantics). */
   def tokenBudget(df: DataFrame, sourceCol: String, tokenCountCol: String,
       budgets: Map[String, Long], idCol: String = "doc_id",
       salt: String = "budget", numPartitions: Int = 0): DataFrame = {
@@ -240,7 +225,9 @@ object Sampling {
       val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { r =>
         val s = r.getString(srcIdx)
-        sums(s) = sums.getOrElse(s, 0L) + r.getAs[Number](tokIdx).longValue()
+        // NULL token count contributes 0 (SQL window-sum NULL semantics)
+        val t = if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue()
+        sums(s) = sums.getOrElse(s, 0L) + t
       }
       val pid = org.apache.spark.TaskContext.getPartitionId()
       sums.iterator.map { case (s, v) => (pid, s, v) }
@@ -269,7 +256,7 @@ object Sampling {
         val s = r.getString(srcIdx)
         if (s != cur) { cur = s; cum = bOff.value.getOrElse((pid, s), 0L) }
         val before = cum
-        cum += r.getAs[Number](tokIdx).longValue()
+        cum += (if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue())
         if (before < bBudget.value(s)) Some(Row.fromSeq(r.toSeq :+ before))
         else None
       }
@@ -278,6 +265,25 @@ object Sampling {
     out.drop("_h")
   }
 
+  /** Greedy concat-and-chunk sequence packing (the GPT-style training
+    * layout): documents in `orderCol` order are laid head-to-tail and cut
+    * into `budget`-token bins; a document's bin is
+    * floor(cum_tokens_before / budget). Emits the input plus
+    * [cum_before, bin].
+    *
+    * The global running sum is a distributed two-phase prefix sum:
+    *   1. range-partition + sort by `orderCol` (pinned by persist — the
+    *      ONLY shuffle);
+    *   2. per-partition token sums → driver (#partitions values, from a
+    *      narrow mapPartitions);
+    *   3. exclusive partition offsets captured into a second narrow
+    *      mapPartitions that emits each row's running total — no window,
+    *      no re-shuffle (a `Window.partitionBy(pid)` here would force a
+    *      redundant hash exchange: Spark cannot know the pid column
+    *      matches the physical layout).
+    * Output depends only on the data and `orderCol` — the partition count
+    * only changes the execution shape (asserted by SamplingSpec). The
+    * caller must release the pinned persist with `unpersistPacked`. */
   def packSequences(df: DataFrame, tokenCountCol: String, budget: Long,
       orderCol: String = "doc_id", numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

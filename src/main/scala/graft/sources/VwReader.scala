@@ -102,6 +102,24 @@ object VwReader {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.map { d =>
+      // producer-side representability guard (the CsvIO newline-guard
+      // contract): the VW line format cannot carry these — a ':' inside
+      // a token would parse back as a weight separator, a leading '|' as
+      // a modality switch, whitespace as a token boundary — so fail
+      // LOUDLY at the producer instead of surfacing as a downstream
+      // parse divergence
+      def bad(what: String, v: String) = throw new IllegalArgumentException(
+        s"VwReader.write: $what '$v' (doc ${d.doc_id}) is not representable "
+          + "in VW line format")
+      if (d.title.isEmpty || d.title.exists(_.isWhitespace) ||
+        d.title.charAt(0) == '|') bad("title", d.title)
+      d.tokens.foreach { t =>
+        if (t.token.isEmpty || t.token.contains(':') ||
+          t.token.charAt(0) == '|' || t.token.exists(_.isWhitespace))
+          bad("token", t.token)
+        if (t.class_id.exists(_.isWhitespace) || t.class_id.contains(':'))
+          bad("class_id", t.class_id)
+      }
       val sb = new StringBuilder(d.title)
       var cur = Rng.DefaultClass
       val groups = d.tokens.groupBy(_.class_id).toSeq

@@ -352,7 +352,9 @@ object StreamReplay {
       tau0, kappa)
     val q = fitter.writer(docsDs).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    fitter.currentPwt
+    val pwt = fitter.currentPwt // driver-held local — survives close()
+    fitter.close()
+    pwt
   }
 
   /** Streamed TOPIC INFERENCE: the staged document stream through

@@ -34,6 +34,15 @@ final class StreamingOnlineFit(
     PhiOps.phiFromLocal(spark, phiLocal)
   }
 
+  /** Release the persisted running n_wt. `currentPwt` is driver-held
+    * (phiLocal) and stays valid; call this once the fit is finished —
+    * the batch twin's FitResult.unpersist contract. A later
+    * processChunk re-seeds the merge from scratch (decay restarts),
+    * so only close a FINISHED fit. */
+  def close(): Unit = synchronized {
+    if (nwtState != null) { nwtState.unpersist(false); nwtState = null }
+  }
+
   def scores: Seq[PassScores] = history.toSeq
 
   /** Attach to a streaming Dataset[Doc]; caller starts the returned

@@ -136,13 +136,15 @@ class CurationSpec extends SparkSpec {
       nearDupThreshold = 1.0)
     val survivors = Curation.curate(fixture, base)
     val budgets = Map("web" -> 15L, "books" -> 9L)
-    val manual = Sampling.tokenBudget(
-        survivors.withColumn("_tb_tokens",
-          size(split(trim(lower(col("text"))), "\\s+")).cast("long")),
-        "source", "_tb_tokens", budgets, "doc_id", "curation")
-      .collect().map(_.getAs[Long]("doc_id")).toSet
-    val facade = Curation.curate(fixture, base.copy(tokenBudgets = budgets))
-      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val manualDf = Sampling.tokenBudget(
+      survivors.withColumn("_tb_tokens",
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")),
+      "source", "_tb_tokens", budgets, "doc_id", "curation")
+    val manual = manualDf.collect().map(_.getAs[Long]("doc_id")).toSet
+    Sampling.unpersistPacked(manualDf)
+    val facadeDf = Curation.curate(fixture, base.copy(tokenBudgets = budgets))
+    val facade = facadeDf.collect().map(_.getAs[Long]("doc_id")).toSet
+    Sampling.unpersistPacked(facadeDf) // the tokenBudgets stage's pinned persist
     assert(facade === manual)
     assert(facade.nonEmpty)
     // the budget is a floor: kept token mass per source reaches it
