@@ -1746,6 +1746,25 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("media_id"))
     }),
+    // multimodal: decode → NEAREST-NEIGHBOR RESIZE → report, the
+    // thumbnail step of a multimodal training pipeline — integer index
+    // math (sx = x·sw/dw) makes the pixel selection engine-replayable,
+    // and the lowercase raster hex pins every byte of the resize
+    "multimodal_resize" -> ((s, dir) => {
+      val hexs = concat(
+        md5(concat(lit("imgA"), col("doc_id").cast("string"))),
+        md5(concat(lit("imgB"), col("doc_id").cast("string"))))
+      val payload = concat(
+        encode(lit("P6\n4 2\n255\n"), "UTF-8"),
+        unhex(substring(hexs, 1, 48)))
+      val media = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image").as("kind"), payload.as("payload"))
+      graft.pipeline.Multimodal.imageResize(media, dw = 2, dh = 1)
+        .select(col("media_id"), col("raster_hex"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"))
+    }),
     // Audio twin of multimodal_meta: a 16-sample PCM8 mono WAV is
     // assembled from a constant 44-byte header + md5 bytes, decoded by
     // the real RIFF walker (audioMeta); DuckDB recomputes duration and
@@ -2664,6 +2683,7 @@ object SparkEntry {
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
     "multimodal_meta" -> graft.pipeline.PipelineSql.multimodalMeta,
+    "multimodal_resize" -> graft.pipeline.PipelineSql.multimodalResize,
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,

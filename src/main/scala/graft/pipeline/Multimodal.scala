@@ -340,6 +340,65 @@ object Multimodal {
       .toDF("media_id", "decoded", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Nearest-neighbor raster resize: destination pixel (x, y) copies
+    * source pixel (x·sw/dw, y·sh/dh) — pure integer index math, so any
+    * engine can replay the pixel selection exactly (the property the
+    * oracle row leans on). The thumbnail/down-sample step every
+    * multimodal training pipeline runs before feature extraction. */
+  def resizeImage(img: DecodedImage, dw: Int, dh: Int): DecodedImage = {
+    require(dw > 0 && dh > 0, s"resize dims must be positive: ${dw}x$dh")
+    val out = new Array[Byte](dw * dh * 3)
+    var y = 0
+    while (y < dh) {
+      val sy = y * img.height / dh
+      var x = 0
+      while (x < dw) {
+        val sx = x * img.width / dw
+        val so = (sy * img.width + sx) * 3
+        val o = (y * dw + x) * 3
+        out(o) = img.rgb(so); out(o + 1) = img.rgb(so + 1)
+        out(o + 2) = img.rgb(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(dw, dh, out)
+  }
+
+  /** Decode → nearest-neighbor resize → report, one narrow
+    * mapPartitions (the same media-pipeline shape as [[imageMeta]]):
+    * per image the resized raster as lowercase hex (pins every byte of
+    * the resize exactly) plus the resized channel means. Undecodable
+    * payloads report decoded = false with nulls. */
+  def imageResize(media: DataFrame, dw: Int, dh: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val rz = resizeImage(img, dw, dh)
+              val px = dw * dh
+              var r = 0L; var g = 0L; var bl = 0L; var i = 0
+              while (i < px) {
+                val o = i * 3
+                r += rz.rgb(o) & 0xff; g += rz.rgb(o + 1) & 0xff
+                bl += rz.rgb(o + 2) & 0xff
+                i += 1
+              }
+              val hex = rz.rgb.map(b => f"${b & 0xff}%02x").mkString
+              (id, true, Some(hex),
+                Some(round6(r.toDouble / px)), Some(round6(g.toDouble / px)),
+                Some(round6(bl.toDouble / px)))
+            case None => (id, false, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "raster_hex", "mean_r", "mean_g", "mean_b")
+  }
+
   /** Frame sampling stub: emits `n` evenly-spaced (frame_index, offset)
     * rows per video payload — the row-explosion plumbing of a real frame
     * sampler, with the decode itself stubbed to byte offsets. */

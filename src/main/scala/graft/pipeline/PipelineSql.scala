@@ -1408,6 +1408,34 @@ object PipelineSql {
        |       round(sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) / 8.0, 6) AS mean_b
        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Mirrors the `multimodal_resize` entry: nearest-neighbor 4x2 → 2x1
+    * picks source pixels (0,0) and (2,0) — bytes 0-2 and 6-8 of the
+    * raster, i.e. hex chars 1-6 and 13-18 — so the resized raster hex
+    * and its channel means recompute straight from the md5 hex. An
+    * off-by-one in the resize index math (sx = x·sw/dw) lands on
+    * different hex chars and breaks the hash. */
+  val multimodalResize: String =
+    s"""WITH h AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |         md5('imgA' || CAST(doc_id AS VARCHAR)) ||
+       |         md5('imgB' || CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id,
+       |         substr(hx, 1, 6) || substr(hx, 13, 6) AS raster_hex,
+       |         ('0x' || substr(hx, 1, 2))::INT AS r0,
+       |         ('0x' || substr(hx, 3, 2))::INT AS g0,
+       |         ('0x' || substr(hx, 5, 2))::INT AS b0,
+       |         ('0x' || substr(hx, 13, 2))::INT AS r1,
+       |         ('0x' || substr(hx, 15, 2))::INT AS g1,
+       |         ('0x' || substr(hx, 17, 2))::INT AS b1
+       |  FROM h)
+       |SELECT media_id, raster_hex,
+       |       round((r0 + r1) / 2.0, 6) AS mean_r,
+       |       round((g0 + g1) / 2.0, 6) AS mean_g,
+       |       round((b0 + b1) / 2.0, 6) AS mean_b
+       |FROM px ORDER BY media_id""".stripMargin
+
   /** Mirrors the `multimodal_video` entry: 3 concatenated 2×2 P6 frames
     * whose rasters are the first 12 md5 bytes of 'vid<f><doc_id>'; the
     * walker samples frames 0 and 2; channel means over 4 pixels. */
