@@ -67,6 +67,30 @@ class MultimodalDecodeSpec extends SparkSpec {
       Multimodal.imageFeatures(ppm.get).toSeq)
   }
 
+  test("resizeImage: nearest-neighbor index math, hand-checked") {
+    // 4x2 raster with pixel (x, y) = (10x+y, 100+x, 200+y)
+    val rgb = new Array[Byte](4 * 2 * 3)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      rgb(o) = (10 * x + y).toByte; rgb(o + 1) = (100 + x).toByte
+      rgb(o + 2) = (200 + y).toByte
+    }
+    val img = Multimodal.DecodedImage(4, 2, rgb)
+    // 2x1: picks (0,0) and (2,0)
+    val r1 = Multimodal.resizeImage(img, 2, 1)
+    assert(r1.rgb.map(_ & 0xff).toSeq ===
+      Seq(0, 100, 200, 20, 102, 200))
+    // upscale 8x2: each source column repeats twice, rows repeat
+    val r2 = Multimodal.resizeImage(img, 8, 2)
+    assert(r2.width === 8 && r2.height === 2)
+    for (x <- 0 until 8) {
+      val o = x * 3
+      assert((r2.rgb(o) & 0xff) === 10 * (x / 2)) // sx = x*4/8 = x/2
+    }
+    // identity resize is a byte-exact copy
+    assert(Multimodal.resizeImage(img, 4, 2).rgb.toSeq === rgb.toSeq)
+  }
+
   test("decodeVideoFrames: walks concatenated P6 frames, truncation-tolerant") {
     val two = ppmBytes ++ ppmBytes
     val frames = Multimodal.decodeVideoFrames(two)
