@@ -24,7 +24,9 @@ import org.apache.spark.sql.types._
   * accumulate in DOUBLE over double-widened floats in sequential order,
   * then add across subspaces in subspace order — the exact loop of the
   * UDF it replaces and of the oracle's per-subspace `list_sum` chain.
-  * NULL on a code/codebook arity mismatch. */
+  * RAISES on a code/codebook arity mismatch (a NULL would sort NULLS
+  * FIRST under the ascending ADC rank — silent garbage neighbors);
+  * NULL inputs stay NULL like any binary expression. */
 case class AdcDistance(left: Expression, right: Expression,
     codebooks: Array[Array[Array[Float]]]) extends BinaryExpression {
 
@@ -41,7 +43,14 @@ case class AdcDistance(left: Expression, right: Expression,
     val codes = a.asInstanceOf[ArrayData]
     val q = b.asInstanceOf[ArrayData]
     val m = codebooks.length
-    if (codes.numElements() != m || q.numElements() % m != 0) null
+    // LOUD on arity mismatch (the UDF this replaced raised
+    // IndexOutOfBounds): a NULL here would sort NULLS FIRST under the
+    // ascending ADC rank and hand a malformed query arbitrary
+    // candidates as its silent nearest neighbors
+    if (codes.numElements() != m || q.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"graft_adc: ${codes.numElements()} codes / ${q.numElements()}-dim " +
+          s"query do not fit a $m-subspace codebook")
     else {
       val sub = q.numElements() / m
       var tot = 0.0
@@ -76,7 +85,10 @@ case class AdcDistance(left: Expression, right: Expression,
       s"""
         final int $m = $cb.length;
         if ($codes.numElements() != $m || $q.numElements() % $m != 0) {
-          ${ev.isNull} = true;
+          throw new IllegalArgumentException(
+            "graft_adc: " + $codes.numElements() + " codes / " +
+            $q.numElements() + "-dim query do not fit a " + $m +
+            "-subspace codebook");
         } else {
           final int $sub = $q.numElements() / $m;
           double $tot = 0.0;

@@ -50,7 +50,10 @@ object Curation {
       /** Per-source TOKEN budgets ([[Sampling.tokenBudget]]) — the way
         * training mixtures are actually specced; applied after
         * `mixRates` (use one or the other, or rates as a coarse gate
-        * then budgets as the exact floor). Empty = off. NOTE this stage
+        * then budgets as the exact floor). ALLOWLIST semantics, exactly
+        * like `mixRates`: sources absent from the map are DROPPED — to
+        * cap one source and keep the rest, list every source (unbounded
+        * ones with Long.MaxValue). Empty = off. NOTE this stage
         * pins a persist of the ranged survivor corpus (the two-pass
         * prefix-sum layout); release it with
         * [[Sampling.unpersistPacked]] on the curated output once

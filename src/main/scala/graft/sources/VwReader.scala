@@ -113,12 +113,18 @@ object VwReader {
           + "in VW line format")
       if (d.title.isEmpty || d.title.exists(_.isWhitespace) ||
         d.title.charAt(0) == '|') bad("title", d.title)
+      // a token-less doc writes a bare title line, which parseLine
+      // silently SKIPS on read — an unrepresentable doc, not an empty one
+      if (d.tokens.isEmpty) bad("token-less document", d.title)
       d.tokens.foreach { t =>
         if (t.token.isEmpty || t.token.contains(':') ||
           t.token.charAt(0) == '|' || t.token.exists(_.isWhitespace))
           bad("token", t.token)
-        if (t.class_id.exists(_.isWhitespace) || t.class_id.contains(':'))
+        if (t.class_id.isEmpty || t.class_id.charAt(0) == '|' ||
+          t.class_id.exists(_.isWhitespace) || t.class_id.contains(':'))
           bad("class_id", t.class_id)
+        // NaN writes 'tok:NaN', which the reader silently discards
+        if (t.weight.isNaN) bad(s"weight of token '${t.token}'", "NaN")
       }
       val sb = new StringBuilder(d.title)
       var cur = Rng.DefaultClass

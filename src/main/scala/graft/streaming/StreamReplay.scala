@@ -38,6 +38,24 @@ object StreamReplay {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Write `df` as ONE parquet file at `dest` with an explicit mtime —
+    * the file-source staging primitive every replay here builds on
+    * (file-source batch order is mtime order, and single files keep a
+    * staged chunk atomic). Closes the directory-listing stream. */
+  private def writeSingleParquet(df: DataFrame, dest: Path,
+      mtimeMillis: Long): Unit = {
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".dir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    try {
+      val part = listing
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    } finally listing.close()
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+  }
+
   /** Synthetic-ts base for id-ordered replays (seconds, ≈2001): an
     * event time of EXACTLY epoch 0 sits at the stream's initial
     * watermark and is silently dropped as late before the stateful
@@ -66,7 +84,6 @@ object StreamReplay {
       val maxTs = spark.read.parquet(src.toString)
         .agg(max(unix_micros(col("ts").cast(TimestampType)))).head.getLong(0)
       def sentinel(name: String, offsetDays: Int, mtime: Long): Unit = {
-        val p = stage.resolve(name)
         val one = spark.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row(
             -1L,
@@ -74,12 +91,7 @@ object StreamReplay {
               (maxTs / 1000000L) + offsetDays * 86400L, 0, java.time.ZoneOffset.UTC),
             -1L, "sentinel", 0.0, "")),
           eventSchema)
-        val tmpOut = stage.resolve(name + ".dir")
-        one.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst.get
-        Files.move(part, p, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+        writeSingleParquet(one, stage.resolve(name), mtime)
       }
       val base = System.currentTimeMillis()
       Files.setLastModifiedTime(staged, java.nio.file.attribute.FileTime.fromMillis(base - 60000))
@@ -195,13 +207,8 @@ object StreamReplay {
         .select((col("vec_id") + idOffset).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
           col("label"))
-      val tmp = d.resolve("out")
-      base.unionByName(planted).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
-      Files.move(part, d.resolve("embeddings.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      writeSingleParquet(base.unionByName(planted),
+        d.resolve("embeddings.parquet"), System.currentTimeMillis())
       d
     })
 
@@ -319,14 +326,15 @@ object StreamReplay {
       val d = Files.createTempDirectory("graft_replay_parity")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       def one(name: String, parity: Int, mtime: Long): Unit = {
-        val tmp = d.resolve(name + ".dir")
-        docs.filter(col("doc_id") % 2 === parity).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
-        Files.move(part, d.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(d.resolve(name),
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
+        val chunk = docs.filter(col("doc_id") % 2 === parity)
+        // an EMPTY parity file would diverge from the batch twin: the
+        // batch loop consumes (and decays by) rho_i for every listed
+        // chunk, while an empty micro-batch consumes no rho — refuse
+        // rather than silently fit with shifted merge weights
+        require(!chunk.isEmpty,
+          s"stageDocsParity: parity-$parity chunk is empty — the replay " +
+            "would consume different rho indices than the batch fit")
+        writeSingleParquet(chunk, d.resolve(name), mtime)
       }
       val base = System.currentTimeMillis()
       one("00_even.parquet", 0, base - 60000)

@@ -95,12 +95,14 @@ object ScaleCheck {
             numHashes = 8, bands = 4, threshold = 0.25).count()
         },
         entry("sample_token_budget (keyed prefix)") {
-          graft.pipeline.Sampling.tokenBudget(
+          val kept = graft.pipeline.Sampling.tokenBudget(
             docsR.select(col("doc_id"), col("source"),
               size(split(trim(lower(col("text"))), "\\s+")).cast("long")
                 .as("n_tokens")),
             "source", "n_tokens",
-            (0 until 20).map(i => s"src$i" -> 600L).toMap).count()
+            (0 until 20).map(i => s"src$i" -> 600L).toMap)
+          kept.count()
+          graft.pipeline.Sampling.unpersistPacked(kept)
         },
         entry("ml_logreg (3-iter GD)") {
           graft.pipeline.Regression.logisticGd(
