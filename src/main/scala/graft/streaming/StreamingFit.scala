@@ -21,12 +21,22 @@ final class StreamingOnlineFit(
     initialPwt: DataFrame,
     cfg: Fit.Config,
     tau0: Double = 1024.0,
-    kappa: Double = 0.7) extends Serializable {
+    kappa: Double = 0.7,
+    /** Resume point: a restarted fit (e.g. from a ModelIO-exported phi)
+      * must continue the ρ schedule where it stopped — restarting at 0
+      * would re-apply the largest learning rates to a mature model. The
+      * resumed fit's first merge seeds from the imported phi's mass
+      * (nwtState restarts empty), the same warm-start the reference's
+      * ImportModel + continued fit performs. */
+    startChunkIndex: Int = 0) extends Serializable {
 
   @volatile private var phiLocal = PhiOps.collectPhi(initialPwt, cfg.numTopics)
   @volatile private var nwtState: DataFrame = null
   private val history = scala.collection.mutable.ArrayBuffer.empty[PassScores]
-  private var chunkIndex = 0
+  private var chunkIndex = startChunkIndex
+
+  /** Chunks processed so far (pass to a resumed fit's startChunkIndex). */
+  def processedChunks: Int = chunkIndex
 
   /** Current p_wt as a DataFrame (driver-held state re-materialized). */
   def currentPwt: DataFrame = {

@@ -85,6 +85,56 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("streaming fit_online resumes from an exported model on the rho schedule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 40)
+      val corpus = Corpus.fromDocumentsTable(docsTable).cache()
+      val dict = DictionaryOps.gather(corpus)
+      val pwt0 = PhiOps.initializeModel(dict, 4, seed = 7)
+      val cfg = Fit.Config(numTopics = 4, estep = EStepConfig(numDocumentPasses = 2))
+      val chunkSeqs = corpus.collect().toSeq.sortBy(_.doc_id).grouped(20).toSeq
+
+      def drive(f: StreamingOnlineFit, cs: Seq[Seq[Doc]]): Unit = {
+        val stream = MemoryStream[Doc]
+        val q = f.writer(stream.toDS()).start()
+        try cs.foreach { c => stream.addData(c); q.processAllAvailable() }
+        finally q.stop()
+      }
+      // continuous: both chunks through one fitter
+      val cont = new StreamingOnlineFit(pwt0, cfg, tau0 = 64.0, kappa = 0.7)
+      drive(cont, chunkSeqs)
+      // interrupted: chunk 0, export/import the phi (ModelIO round-trip),
+      // resume a NEW fitter at processedChunks — chunk 1's rho matches.
+      // The resumed merge seeds from the imported phi's mass, not the
+      // carried n_wt, so parity is on the rho SCHEDULE + support (the
+      // warm-start contract), pinned by score equality on chunk 1's pass.
+      val first = new StreamingOnlineFit(pwt0, cfg, tau0 = 64.0, kappa = 0.7)
+      drive(first, chunkSeqs.take(1))
+      val dirp = java.nio.file.Files.createTempDirectory("resume_fit").toString
+      graft.sources.ModelIO.exportModel(first.currentPwt,
+        (0 until 4).map(i => s"topic_$i"), dirp)
+      first.close()
+      val resumed = new StreamingOnlineFit(
+        graft.sources.ModelIO.importModel(spark, dirp)._1, cfg,
+        tau0 = 64.0, kappa = 0.7, startChunkIndex = first.processedChunks)
+      drive(resumed, chunkSeqs.drop(1))
+      resumed.close()
+      assert(resumed.processedChunks === 2)
+      // the resumed pass scored chunk 1 with the SAME broadcast phi the
+      // continuous run used for its second chunk (phi after chunk 0 is a
+      // pure function of phi+chunk, and export/import is bit-exact), so
+      // the per-pass scores must agree exactly
+      assert(resumed.scores.map(_.perplexity) ===
+        Seq(cont.scores(1).perplexity))
+      cont.close()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("streaming transform matches batch transform exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
