@@ -1890,6 +1890,16 @@ object SparkEntry {
           col("p50_tokens"), col("p90_tokens"))
         .orderBy(col("source"))
     }),
+    // streaming: the data-card numbers as a stream (Kappa: per-doc token
+    // counting is a pure narrow map in the stream; the per-source rollup
+    // is the SAME corpusStats aggregation as batch, at the sink)
+    "corpus_stats_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.corpusStats(s, dir)
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"), col("mean_tokens"),
+          col("p50_tokens"), col("p90_tokens"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: per-source vocabulary statistics — exact distinct
     // for the oracle; the operator default is the HyperLogLog++ sketch
     // (mergeable one-pass 100 TB path, pinned within 2% by PipelineSpec)
@@ -2687,6 +2697,7 @@ object SparkEntry {
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
+    "corpus_stats_stream" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
     "report_datacard" -> graft.pipeline.PipelineSql.dataCard(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,

@@ -386,6 +386,27 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed corpus statistics — the Kappa split for the data-card
+    * numbers: the per-document token counting (a pure narrow map) runs
+    * in the stream, and the per-source rollup is the SAME
+    * [[graft.pipeline.TextAnalysis.corpusStats]] aggregation as the
+    * batch row, over the docs-sized sink table. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_cstats_${counter.incrementAndGet()}"
+    val q = graft.pipeline.TextAnalysis.tokenCounts(stream)
+      .select(col("source"), col("ws_tokens"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    graft.pipeline.TextAnalysis.corpusStats(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+      exact = true)
+  }
+
   /** Streamed BPE tokenizer APPLICATION — the Kappa split for online
     * ingestion: the merge table trains in BATCH (tiny, rides along as
     * stacked codegen'd replaces), the doc stream runs the pure-narrow
