@@ -1564,6 +1564,14 @@ object SparkEntry {
           col("n_bigrams").cast("long").as("n_bigrams"), col("ppl"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: the CCNet-style LM quality gate SERVED on a stream —
+    // the bigram LM trains in batch, the doc stream is scored by a
+    // stateless broadcast-model fold, under the batch row's oracle
+    "text_lm_perplexity_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.lmPerplexity(s, dir, addK = LmAddK)
+        .select(col("doc_id"), col("n_bigrams"), col("ppl"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
@@ -2661,6 +2669,7 @@ object SparkEntry {
       CoocWindow, PageRankIters, PageRankDamping),
     "graph_triangles" -> graft.pipeline.PipelineSql.coocTriangles(CoocWindow),
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
+    "text_lm_perplexity_stream" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
       BpeMerges, BpeMaxWordLen, BpeTopSubwords),

@@ -595,6 +595,31 @@ object TextAnalysis {
         round(exp(-sum(col("lnp")) / count(lit(1))), 6).as("ppl"))
   }
 
+  /** A trained add-k bigram LM as driver-held tables — the SERVING
+    * artifact of [[lmPerplexity]] (bigram/unigram counts + vocab size;
+    * vocab-bounded like the NB model, the broadcast-model contract). */
+  final case class LmModel(c12: Map[(String, String), Long],
+      c1: Map[String, Long], vocab: Long)
+
+  /** Train the [[lmPerplexity]] bigram LM from a corpus (the batch half
+    * of the train-batch / score-stream split). */
+  def trainLmModel(df: DataFrame, textCol: String = "text"): LmModel = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toks = tokensCol(col(textCol))
+    val bi = nonBlank.filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = nonBlank.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    LmModel(c12, c1, v)
+  }
+
   /** CCNet-style quality bucketing: per-language head/middle/tail by
     * bigram-LM perplexity terciles. Builds on [[lmPerplexity]] (whose
     * 6-decimal-rounded ppl is already engine-exact), computes per-lang

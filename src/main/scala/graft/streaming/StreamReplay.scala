@@ -386,6 +386,26 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed bigram-LM perplexity scoring: the LM trains in BATCH on
+    * the same parquet ([[graft.pipeline.TextAnalysis.trainLmModel]]),
+    * the staged doc stream is scored statelessly
+    * ([[StreamingPipeline.lmScoreStream]]) — gated by the SAME
+    * PipelineSql.lmPerplexity statement as the batch row. */
+  def lmPerplexity(spark: SparkSession, dir: String, addK: Double): DataFrame = {
+    val model = graft.pipeline.TextAnalysis.trainLmModel(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_lm_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.lmScoreStream(stream, model, addK)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed corpus statistics — the Kappa split for the data-card
     * numbers: the per-document token counting (a pure narrow map) runs
     * in the stream, and the per-source rollup is the SAME

@@ -158,6 +158,61 @@ object StreamingPipeline {
       graft.operators.EStep.run(docsStream, bPhi, estep.copy(computeNwt = false)))
   }
 
+  /** Streaming bigram-LM perplexity scoring — the CCNet-style quality
+    * gate served on a live feed (train-batch / score-stream, the
+    * [[classifyStream]] split): the [[graft.pipeline.TextAnalysis]]
+    * LmModel rides in as a broadcast, scoring is a STATELESS per-doc
+    * fold — no aggregation, no state store, append-safe. Tokenization
+    * replicates the batch normTextCol exactly (UTF8String lowercase =
+    * Spark lower(); Spark trim strips 0x20 only — NOT String.trim,
+    * which also strips control chars); per-bigram math is the batch
+    * expression tree term for term, and the 6-decimal rounding absorbs
+    * the fold-vs-shuffle summation-order ulp exactly as the batch row's
+    * oracle compare does. Returns [doc_id, n_bigrams, ppl]; docs with
+    * under 2 tokens emit nothing (the batch contract). */
+  def lmScoreStream(stream: DataFrame,
+      model: graft.pipeline.TextAnalysis.LmModel, addK: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    def sparkTrim(s: String): String = {
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    stream.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val kv = addK * m.vocab.toDouble
+        it.flatMap { case (id, text) =>
+          val norm = sparkTrim(org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString)
+            .replaceAll("\\s+", " ")
+          val toks = norm.split(" ")
+          if (toks.length < 2) None
+          else {
+            var s = 0.0
+            var i = 0
+            while (i < toks.length - 1) {
+              val c12 = m.c12.getOrElse((toks(i), toks(i + 1)), 0L).toDouble
+              val c1 = m.c1.getOrElse(toks(i), 0L).toDouble
+              s += math.log((c12 + addK) / (c1 + kv))
+              i += 1
+            }
+            val n = toks.length - 1
+            val ppl = java.math.BigDecimal.valueOf(math.exp(-s / n))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            Some((id, n.toLong, ppl))
+          }
+        }
+      }
+      .toDF(idCol, "n_bigrams", "ppl")
+  }
+
   /** `stream` must carry a `text` column; when `eventTimeCol` is given the
     * stream is watermarked so the dedup state is bounded (exact dedup
     * within the lateness window — at 100 TB/day unbounded dedup state is
