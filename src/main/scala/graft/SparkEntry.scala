@@ -852,6 +852,19 @@ object SparkEntry {
         col("df").cast("double").as("df"))
         .orderBy(col("token"))
     }),
+    // §2.3 dictionary gather AS A STREAM — the reference's
+    // collection-ingest → dictionary path on a live feed (Kappa: the
+    // stream emits one (class, token, weight) partial per doc narrowly,
+    // gatherFromPartials finishes tf/df/value at the sink with the
+    // batch operator's math); same dict_gather oracle
+    "dict_gather_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.dictGather(s, dir)
+        .select(col("token"),
+          round(col("value").cast("double"), 6).as("value"),
+          col("tf").cast("double").as("tf"),
+          col("df").cast("double").as("df"))
+        .orderBy(col("token"))
+    }),
     // §2.7 windowed co-occurrence gather
     "cooc_window" -> ((s, dir) => {
       val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
@@ -2883,6 +2896,17 @@ object SparkEntry {
         |WHERE cnt.n <= 20 OR df > thr.t
         |ORDER BY token""".stripMargin,
     "dict_gather" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), grouped AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |)
+        |SELECT token, round(tf / sum(tf) OVER (), 6) AS value, tf, df
+        |FROM grouped ORDER BY token""".stripMargin,
+    "dict_gather_stream" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents WHERE trim(text) <> ''

@@ -40,6 +40,27 @@ object DictionaryOps {
       .select($"class_id", $"token", $"value", $"tf", $"df")
   }
 
+  /** [[gather]] from PRE-AGGREGATED per-document partials — rows
+    * [class_id, token, w] with exactly ONE row per (doc, class, token)
+    * carrying that doc's summed token weight. The streaming gather's
+    * sink rollup (the stream emits the per-doc half narrowly; this
+    * finishes tf = Σw, df = row count, and the same broadcast
+    * class-normalizer as [[gather]]). Integer-valued weights keep the
+    * two-level summation exact, so the float tf/value match gather's
+    * single-level sum bit for bit. */
+  def gatherFromPartials(partials: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val grouped = partials
+      .groupBy(col("class_id"), col("token"))
+      .agg(sum(col("w")).cast("float").as("tf"),
+        count(lit(1)).cast("float").as("df"))
+    val classTotals = grouped.groupBy(col("class_id")).agg(sum(col("tf")).as("_class_tf"))
+    grouped
+      .join(broadcast(classTotals), Seq("class_id"))
+      .withColumn("value", (col("tf") / col("_class_tf")).cast("float"))
+      .select(col("class_id"), col("token"), col("value"), col("tf"), col("df"))
+  }
+
   /** Number of items in the collection (the dictionary's
     * num_items_in_collection companion scalar). */
   def numItems(docs: Dataset[Doc]): Long = docs.count()

@@ -406,6 +406,35 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed DICTIONARY GATHER — the reference's collection-ingest →
+    * dictionary path as a Kappa split: the stream emits one
+    * (class, token, weight-sum) partial per document (a narrow per-doc
+    * fold, no state), and [[graft.operators.DictionaryOps
+    * .gatherFromPartials]] finishes tf/df/value at the sink with the
+    * batch operator's exact math. Gated by the same dict_gather SQL. */
+  def dictGather(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val docsDs = graft.sources.Corpus.fromDocumentsTable(stream)
+    val perDoc = docsDs.flatMap { d =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
+      d.tokens.foreach { t =>
+        val k = (t.class_id, t.token)
+        m(k) = m.getOrElse(k, 0.0) + t.weight.toDouble
+      }
+      m.iterator.map { case ((c, tok), w) => (c, tok, w) }
+    }.toDF("class_id", "token", "w")
+    val qname = s"graft_replay_dict_${counter.incrementAndGet()}"
+    val q = perDoc.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    graft.operators.DictionaryOps.gatherFromPartials(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema))
+  }
+
   /** Streamed corpus statistics — the Kappa split for the data-card
     * numbers: the per-document token counting (a pure narrow map) runs
     * in the stream, and the per-source rollup is the SAME
