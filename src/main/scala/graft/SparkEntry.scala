@@ -1644,6 +1644,22 @@ object SparkEntry {
           iters = 3, lr = 1e-5)
         .orderBy(col("iter"), col("feature"))
     }),
+    // ML analytics: exact tie-aware ROC AUC of three integer scoring
+    // features against the src0 label — model EVALUATION as a
+    // two-phase aggregation (distinct-score rollup + prefix-sum window
+    // over the small distinct-value table; exact Mann-Whitney with
+    // half tie credit, one double division at the end)
+    "ml_auc" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        when(col("source") === "src0", 1L).otherwise(0L).as("y"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"),
+        size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+          .cast("long").as("n_distinct_tokens"))
+      graft.pipeline.Regression.auc(d, "y",
+          Seq("n_chars", "n_tokens", "n_distinct_tokens"))
+        .orderBy(col("metric"))
+    }),
     // LLM pipeline: corpus-self boilerplate n-grams (word n-grams in
     // >= BoilerMinDocs distinct docs — the removal list built before
     // span-level cleaning)
@@ -2675,6 +2691,30 @@ object SparkEntry {
         |       ELSE round((n*sxy - sx*sy) * (n*sxy - sx*sy)
         |                  / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) END AS r2
         |FROM m ORDER BY source""".stripMargin,
+    "ml_auc" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+        |         CAST(n_chars AS BIGINT) AS n_chars,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |  FROM documents),
+        |melted AS (
+        |  SELECT 'n_chars' AS metric, n_chars AS score, y FROM base
+        |  UNION ALL SELECT 'n_tokens', n_tokens, y FROM base
+        |  UNION ALL SELECT 'n_distinct_tokens', n_distinct_tokens, y FROM base),
+        |grouped AS (
+        |  SELECT metric, score, sum(y) AS pos, count(*) AS tot
+        |  FROM melted GROUP BY metric, score),
+        |cum AS (
+        |  SELECT metric, pos, tot - pos AS neg,
+        |         coalesce(sum(tot - pos) OVER (PARTITION BY metric ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+        |  FROM grouped)
+        |SELECT metric, CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+        |       ELSE round(CAST(sum(2 * cum_neg * pos + pos * neg) AS DOUBLE)
+        |                  / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+        |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),

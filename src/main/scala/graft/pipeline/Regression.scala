@@ -100,4 +100,47 @@ object Regression {
     }
     rows.toSeq.toDF("iter", "feature", "weight")
   }
+
+  /** Exact tie-aware ROC AUC (the Mann–Whitney U statistic) of each
+    * integer-valued score column against a binary label — model
+    * EVALUATION as a two-phase aggregation. Phase 1 reduces the corpus
+    * to distinct (metric, score) rows with pos/neg counts (map-side
+    * combined shuffle, output #distinct-score-values sized, NOT corpus
+    * sized); phase 2 runs a prefix-sum window over that small table.
+    * Ties get the standard half credit:
+    * 2·U = Σ_v (2·cumNeg(<v)·pos(v) + pos(v)·neg(v)), AUC = 2U / (2·P·N).
+    * Everything up to the single final division is exact DECIMAL
+    * integer arithmetic, so the result is bit-identical across engines
+    * and partitionings (the olsByGroup determinism recipe applied to a
+    * ranking metric). Degenerate labels (no positives or no negatives)
+    * yield null instead of a division error under ANSI.
+    *
+    * Scale shape: the window partitions by metric over DISTINCT score
+    * values — for discrete features (lengths, counts, quantized
+    * scores) that table is tiny; a continuous score at 100 TB should
+    * be quantized first (which is also what a tie-aware AUC on 6-decimal
+    * rounded scores means). */
+  def auc(df: DataFrame, labelCol: String, scoreCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val melted = scoreCols.map { sc =>
+      df.select(lit(sc).as("metric"), col(sc).cast("long").as("score"),
+        col(labelCol).cast("long").as("y"))
+    }.reduce(_ unionByName _)
+    val grouped = melted.groupBy(col("metric"), col("score"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("neg", col("tot") - col("pos"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grouped.withColumn("cum_neg",
+      coalesce(sum(col("neg")).over(w), lit(0L)))
+    val term = (col("cum_neg").cast("decimal(38,0)") * col("pos") * lit(2)
+      + col("pos").cast("decimal(38,0)") * col("neg"))
+    cum.groupBy(col("metric"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(term).as("num2"))
+      .select(col("metric"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(col("num2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
 }

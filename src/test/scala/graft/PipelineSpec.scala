@@ -844,4 +844,22 @@ class PipelineSpec extends SparkSpec {
       maxDocFreq = 1)
     assert(none.count() === 0L, "df-capped shingles must not generate pairs")
   }
+
+  test("Regression.auc: tie-aware Mann-Whitney, hand-checked") {
+    import spark.implicits._
+    // pos scores {3,5,5,9}, neg {1,5,7}: U = 1 + 1.5*2 + 3 = 7,
+    // AUC = 7/12 = 0.583333 (the two 5-vs-5 ties at half credit)
+    val d = Seq((1L, 3L), (1L, 5L), (1L, 5L), (1L, 9L),
+      (0L, 1L), (0L, 5L), (0L, 7L)).toDF("y", "s")
+    val r = Regression.auc(d, "y", Seq("s")).collect().head
+    assert(r.getAs[Long]("n_pos") === 4L)
+    assert(r.getAs[Long]("n_neg") === 3L)
+    assert(r.getAs[Double]("auc") === 0.583333)
+    // partitioning invariance: exact integer arithmetic to the last op
+    val again = Regression.auc(d.repartition(5), "y", Seq("s")).collect().head
+    assert(again.getAs[Double]("auc") === 0.583333)
+    // a single-class label yields null, not an ANSI division error
+    val deg = Regression.auc(d.filter($"y" === 1L), "y", Seq("s")).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("auc")))
+  }
 }
