@@ -130,6 +130,9 @@ object SparkEntry {
   private val BpeTopSubwords = 30  // bpe_encode report size
   private val TfidfTopK = 5
   private val LmAddK = 0.1         // bigram LM add-k smoothing
+  private val LmTriAlpha = 0.4     // stupid-backoff discount
+  private val LmTriTrainRate = 0.8 // held-out trigram LM train split
+  private val LmTriSalt = "tri"
   // BM25 retrieval: fixed literal queries over the synthetic vocab
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
@@ -1585,6 +1588,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("ppl"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: HELD-OUT trigram LM with stupid backoff — train
+    // n-gram counts on a salted-md5 corpus split, score the remainder,
+    // so unseen trigrams exercise the full backoff chain (a self-scored
+    // model never backs off); the web-scale LM quality gate one order
+    // above text_lm_perplexity
+    "text_lm_trigram" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.lmPerplexityTrigram(docs(s, dir),
+          addK = LmAddK, alpha = LmTriAlpha, trainRate = LmTriTrainRate,
+          salt = LmTriSalt)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_trigrams").cast("long").as("n_trigrams"),
+          col("n_backoff").cast("long").as("n_backoff"), col("ppl"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: whitespace + BPE-ish token counting
     "text_tokens" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.tokenCounts(docs(s, dir))
@@ -2722,6 +2739,8 @@ object SparkEntry {
       CoocWindow, PageRankIters, PageRankDamping),
     "graph_triangles" -> graft.pipeline.PipelineSql.coocTriangles(CoocWindow),
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
+    "text_lm_trigram" -> graft.pipeline.PipelineSql.lmTrigram(
+      LmAddK, LmTriAlpha, LmTriTrainRate, LmTriSalt),
     "text_lm_perplexity_stream" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(

@@ -1905,6 +1905,60 @@ object PipelineSql {
        |CROSS JOIN v
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[TextAnalysis.lmPerplexityTrigram]]: held-out stupid-backoff
+    * trigram scoring. The train/score split replays the Sampling salted-md5
+    * threshold as a literal hex compare; the backoff CASE keeps the Spark
+    * expression's association order (α·c/c, (α·α)·num/den). */
+  def lmTrigram(addK: Double, alpha: Double, trainRate: Double,
+      salt: String): String = {
+    val thr = Sampling.rateThreshold(trainRate)
+    s"""WITH nb AS (SELECT doc_id, string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |tr AS (SELECT * FROM nb
+       |       WHERE substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'),
+       |sc AS (SELECT * FROM nb
+       |       WHERE NOT (substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')),
+       |tri AS (SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM (
+       |  SELECT unnest([[toks[i+1], toks[i+2], toks[i+3]]
+       |                 for i in range(0, len(toks)-2)]) AS p
+       |  FROM tr WHERE len(toks) >= 3)),
+       |c123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+       |         FROM tri GROUP BY w1, w2, w3),
+       |bi AS (SELECT p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT unnest([[toks[i+1], toks[i+2]]
+       |                 for i in range(0, len(toks)-1)]) AS p
+       |  FROM tr WHERE len(toks) >= 2)),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM bi GROUP BY w1, w2),
+       |uni AS (SELECT unnest(toks) AS t FROM tr),
+       |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY t),
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens,
+       |              CAST(count(DISTINCT t) AS DOUBLE) AS v FROM uni),
+       |sg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM (
+       |  SELECT doc_id, unnest([[toks[i+1], toks[i+2], toks[i+3]]
+       |                         for i in range(0, len(toks)-2)]) AS p
+       |  FROM sc WHERE len(toks) >= 3))
+       |SELECT CAST(sg.doc_id AS BIGINT) AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(CASE WHEN c123.c123 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  round(exp(-sum(ln(
+       |    CASE WHEN c123.c123 IS NOT NULL
+       |           THEN CAST(c123.c123 AS DOUBLE) / CAST(p12.c12 AS DOUBLE)
+       |         WHEN s23.c12 IS NOT NULL
+       |           THEN $alpha * CAST(s23.c12 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+       |         ELSE ($alpha * $alpha) * (coalesce(CAST(u3.c1 AS DOUBLE), 0.0) + $addK)
+       |              / (nv.n_tokens + $addK * nv.v) END
+       |  )) / count(*)), 6) AS ppl
+       |FROM sg
+       |LEFT JOIN c123 ON c123.w1 = sg.w1 AND c123.w2 = sg.w2 AND c123.w3 = sg.w3
+       |LEFT JOIN c12 p12 ON p12.w1 = sg.w1 AND p12.w2 = sg.w2
+       |LEFT JOIN c12 s23 ON s23.w1 = sg.w2 AND s23.w2 = sg.w3
+       |LEFT JOIN c1 u2 ON u2.t = sg.w2
+       |LEFT JOIN c1 u3 ON u3.t = sg.w3
+       |CROSS JOIN nv
+       |GROUP BY sg.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors Classify.naiveBayes: multinomial NB with add-1 smoothing via
     * the log-count trick (Σ over OBSERVED class-token pairs only; the
     * smoothing mass is len·ln(c_s+V)). Same ln composition as the Spark

@@ -620,6 +620,94 @@ object TextAnalysis {
     LmModel(c12, c1, v)
   }
 
+  /** Held-out trigram language-model perplexity with STUPID BACKOFF
+    * (Brants et al. 2007, the published web-scale LM scoring scheme) —
+    * the CCNet-style quality gate upgraded one order: train n-gram
+    * counts on a deterministic hash split of the corpus, score the
+    * held-out remainder, so unseen trigrams genuinely exercise the
+    * backoff chain (a self-scored trigram model never backs off —
+    * every scored trigram is in its own training set):
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if the trigram is known
+    *               = α·c(w2w3)/c(w2)              else if the bigram is
+    *               = α²·(c(w3)+k)/(N+k·V)         else (add-k unigram
+    *                                               floor, OOV-safe)
+    *
+    * ppl(doc) = exp(−mean ln S) over the doc's trigrams; docs under 3
+    * tokens are excluded. The train/score split is the [[Sampling]]
+    * salted-md5 split, identical on any cluster size.
+    *
+    * Shape at scale: three map-side-combined count shuffles over the
+    * train split's n-gram streams; scoring left-joins the held-out
+    * trigram stream to the count tables on their natural n-gram keys
+    * (all key-partitioned, never corpus×vocab); the (N, V) scalars ride
+    * as a broadcast 1-row aggregate. A known trigram implies its prefix
+    * bigram is in c12 and a known (w2,w3) bigram implies w2 is in c1 —
+    * the guarded divisions can't hit null or zero. Returns
+    * [<id>, n_trigrams, n_backoff, ppl]. */
+  def lmPerplexityTrigram(df: DataFrame, addK: Double = 0.1,
+      alpha: Double = 0.4, trainRate: Double = 0.8, salt: String = "tri",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(trainRate > 0.0 && trainRate < 1.0,
+      s"trainRate must be in (0,1) so both splits are non-empty: $trainRate")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val isTrain = Sampling.hashPrefix(col(idCol), salt) <
+      lit(Sampling.rateThreshold(trainRate))
+    val toks = tokensCol(col(textCol))
+    // k-gram structs via zip_with folds over shifted slices — constant
+    // references to the split expression per row (the lmPerplexity
+    // lambda-reinlining trap)
+    def triCol(t: Column): Column = {
+      val n = greatest(size(t) - 2, lit(0))
+      zip_with(
+        zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), n),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3")))
+    }
+    def biCol(t: Column): Column = {
+      val n = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val train = nonBlank.filter(isTrain)
+    val c123 = train.select(explode(triCol(toks)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = train.select(explode(biCol(toks)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = train.select(explode(toks).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(count(lit(1)).cast("double").as("n_tokens"),
+      countDistinct(col("t")).cast("double").as("v"))
+    val sg = nonBlank.filter(!isTrain)
+      .select(col(idCol), explode(triCol(toks)).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val joined = sg
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c12.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("t").as("w2"), col("c1").as("c2")), Seq("w2"), "left")
+      .join(c1.select(col("t").as("w3"), col("c1").as("c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+    val s = when(col("c123").isNotNull,
+        col("c123").cast("double") / col("c12").cast("double"))
+      .when(col("c23").isNotNull,
+        lit(alpha) * col("c23").cast("double") / col("c2").cast("double"))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("c3").cast("double"), lit(0.0)) + lit(addK)) /
+        (col("n_tokens") + lit(addK) * col("v")))
+    joined.withColumn("lns", log(s))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c123").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        round(exp(-sum(col("lns")) / count(lit(1))), 6).as("ppl"))
+  }
+
   /** CCNet-style quality bucketing: per-language head/middle/tail by
     * bigram-LM perplexity terciles. Builds on [[lmPerplexity]] (whose
     * 6-decimal-rounded ppl is already engine-exact), computes per-lang

@@ -845,6 +845,48 @@ class PipelineSpec extends SparkSpec {
     assert(none.count() === 0L, "df-capped shingles must not generate pairs")
   }
 
+  test("trigram LM: stupid-backoff chain, hand-checked") {
+    import spark.implicits._
+    // salt "s3" at rate 0.5: doc 1 hashes below the threshold (train),
+    // doc 2 above (score) — verified md5 prefixes 136b904f / a860868d
+    val d = Seq((1L, "a b c a b d"), (2L, "a b c x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexityTrigram(d, addK = 0.1, alpha = 0.4,
+      trainRate = 0.5, salt = "s3").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") === 2L)
+    assert(r.getAs[Long]("n_trigrams") === 2L)
+    assert(r.getAs[Long]("n_backoff") === 1L)
+    // (a,b,c) known: c123/c12 = 1/2; (b,c,x): trigram AND (c,x) bigram
+    // AND unigram x all unseen -> alpha^2 * k / (N + k*V) with
+    // N=6 train tokens, V=4
+    val s1 = 1.0 / 2.0
+    val s2 = 0.4 * 0.4 * (0.0 + 0.1) / (6.0 + 0.1 * 4.0)
+    val exp6 = BigDecimal(math.exp(-(math.log(s1) + math.log(s2)) / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ppl") === exp6)
+    // middle rung: (c,a,x2) where (a,x2) unseen but... exercise the
+    // bigram backoff with a score doc whose trigram is new but whose
+    // suffix bigram (a,b) is trained: alpha * c23/c2 = 0.4 * 2/2
+    val d2 = Seq((1L, "a b c a b d"), (2L, "c a b"))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.lmPerplexityTrigram(d2, addK = 0.1, alpha = 0.4,
+      trainRate = 0.5, salt = "s3").collect().head
+    // (c,a,b) IS a trained trigram here, so use a doc where it isn't:
+    // "d a b" -> trigram (d,a,b) unseen (train has no 'd a'), suffix
+    // bigram (a,b) seen with c23=2, c2=c(a)=2
+    val d3 = Seq((1L, "a b c a b d"), (2L, "d a b")).toDF("doc_id", "text")
+    val r3 = TextAnalysis.lmPerplexityTrigram(d3, addK = 0.1, alpha = 0.4,
+      trainRate = 0.5, salt = "s3").collect().head
+    assert(r3.getAs[Long]("n_backoff") === 1L)
+    val sMid = 0.4 * 2.0 / 2.0
+    val expMid = BigDecimal(math.exp(-math.log(sMid) / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r3.getAs[Double]("ppl") === expMid)
+    assert(r2.getAs[Long]("n_backoff") === 0L, "c a b is a trained trigram")
+  }
+
   test("Regression.auc: tie-aware Mann-Whitney, hand-checked") {
     import spark.implicits._
     // pos scores {3,5,5,9}, neg {1,5,7}: U = 1 + 1.5*2 + 3 = 7,
