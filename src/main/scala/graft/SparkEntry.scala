@@ -123,6 +123,9 @@ object SparkEntry {
   private val WinnowW = 4          // winnowing window (hashes per window)
   private val WinnowMinShared = 2  // winnow-pair shared-fingerprint floor
   private val WinnowMaxDf = 50     // winnow-pair fingerprint df cap
+  private val SpanK = 8            // duplicated-span anchor gram width
+  private val SpanMinTokens = 12   // minimal reported shared span
+  private val SpanMaxDf = 8        // span-anchor doc-frequency cap
   private val LineWrapTokens = 8   // text_line_dedup planted line width
   private val LineDedupHeader = "corpus shared header line"
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
@@ -1904,6 +1907,15 @@ object SparkEntry {
           maxDocFreq = WinnowMaxDf)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // LLM pipeline: maximal duplicated token SPANS between doc pairs —
+    // the suffix-array exact-substring dedup stand-in (anchors on one
+    // alignment diagonal coalesce into the copied region + offsets,
+    // i.e. what a span-level scrub would cut)
+    "dedup_substring" -> ((s, dir) => {
+      graft.pipeline.Dedup.duplicatedSpans(docs(s, dir),
+          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    }),
     // LLM pipeline: CCNet-style line-level corpus dedup over planted
     // line structure (docs re-wrapped into fixed-width token lines plus
     // a shared header line — the header dups corpus-wide, exact-copy
@@ -2752,6 +2764,8 @@ object SparkEntry {
     "text_line_dedup" -> graft.pipeline.PipelineSql.lineDedup(
       LineWrapTokens, LineDedupHeader),
     "text_winnowing" -> graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
+    "dedup_substring" -> graft.pipeline.PipelineSql.dedupSubstring(
+      SpanK, SpanMinTokens, SpanMaxDf),
     "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
     "dedup_incremental" -> graft.pipeline.PipelineSql.dedupIncremental,

@@ -601,4 +601,58 @@ object Dedup {
         rem("removed_id") === dup("id_b") && rem("kept_id") === dup("id_a"))
       .select(col("removed_id"), col("kept_id"), col("cell"), col("cosine"))
   }
+
+  /** Maximal duplicated token SPANS between document pairs — the
+    * distributed stand-in for suffix-array exact-substring dedup (Lee
+    * et al. 2022 deduplicate long verbatim copies, not whole docs):
+    * where [[containment]] scores a pair and [[winnowingPairs]] counts
+    * shared fingerprints, this returns the actual copied regions
+    * (start offsets + length per side), i.e. what a span-level scrub
+    * would cut. Exact for spans ≥ `k` tokens: every shared span of S
+    * tokens contributes S−k+1 consecutive k-gram anchors on one
+    * alignment diagonal (posA − posB constant), so coalescing
+    * consecutive anchors per (pair, diagonal) reconstructs the maximal
+    * span; spans shorter than `k` are invisible by construction.
+    *
+    * Shape at scale: one positional-k-gram pass (narrow), a
+    * document-frequency cap that bars corpus-wide boilerplate grams
+    * from seeding candidates (the [[containment]] df cut), a
+    * hash-keyed inverted-index self-join (bucketed by gram hash, never
+    * all-pairs), and a run-coalescing window partitioned by
+    * (pair, diagonal) — span-local, no global sort. Gram keys travel
+    * as 16-hex md5 prefixes (64-bit), not gram text. Within-doc gram
+    * repetition multiplies anchors inside a bucket; upstream
+    * [[boilerplateNgrams]]/repetition gating bounds that in a curation
+    * chain. Returns [doc_a, doc_b, start_a, start_b, span_tokens]
+    * (0-based token offsets, doc_a < doc_b). */
+  def duplicatedSpans(df: DataFrame, k: Int = 8, minSpanTokens: Int = 12,
+      maxDocFreq: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= k, s"minSpanTokens ($minSpanTokens) must be >= k ($k)")
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    val grams = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(TextAnalysis.positionalGramsCol(toks, k)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        substring(md5(col("g")), 1, 16).as("h"))
+    val keep = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df_h"))
+      .filter(col("df_h") <= maxDocFreq).select(col("h"))
+    val kg = grams.join(keep, Seq("h"))
+    val cand = kg.as("a").join(kg.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    cand.withColumn("run", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+  }
 }

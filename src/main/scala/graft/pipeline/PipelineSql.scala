@@ -1106,6 +1106,40 @@ object PipelineSql {
        |GROUP BY a.id, b.id HAVING count(*) >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors [[Dedup.duplicatedSpans]]: positional k-gram anchors as
+    * 16-hex md5 keys, document-frequency cap, hash-keyed self-join,
+    * then run-coalescing per (pair, pos_a−pos_b diagonal) — consecutive
+    * anchors collapse to the maximal shared span via the
+    * pos − row_number() run-id trick. */
+  def dedupSubstring(k: Int, minSpanTokens: Int, maxDocFreq: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |                  ELSE string_split($norm, ' ') END AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id AS id, u['pos'] AS pos, u['h'] AS h FROM (
+       |  SELECT doc_id,
+       |         unnest([{'pos': CAST(i - 1 AS BIGINT),
+       |                  'h': substr(md5(array_to_string(toks[i:i+${k - 1}], ' ')), 1, 16)}
+       |                 for i in range(1, len(toks) - ${k - 2})]) AS u
+       |  FROM t)),
+       |keep AS MATERIALIZED (
+       |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT id) <= $maxDocFreq),
+       |kg AS MATERIALIZED (SELECT g.id, g.pos, g.h FROM g JOIN keep USING (h)),
+       |runs AS (
+       |  SELECT doc_a, doc_b, pos_a, pos_b, diag,
+       |         pos_a - row_number() OVER (
+       |           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run
+       |  FROM (SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pos_a,
+       |               b.pos AS pos_b, a.pos - b.pos AS diag
+       |        FROM kg a JOIN kg b ON a.h = b.h AND a.id < b.id))
+       |SELECT doc_a, doc_b,
+       |       CAST(min(pos_a) AS BIGINT) AS start_a,
+       |       CAST(min(pos_b) AS BIGINT) AS start_b,
+       |       CAST(count(*) + ${k - 1} AS BIGINT) AS span_tokens
+       |FROM runs GROUP BY doc_a, doc_b, diag, run
+       |HAVING count(*) + ${k - 1} >= $minSpanTokens
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
   /** Mirrors the text_line_dedup entry: the same planted line structure
     * (header + fixed-width token wrap), then CCNet-style line dedup —
     * keep iff blank or globally-first occurrence of the normalized line

@@ -845,6 +845,33 @@ class PipelineSpec extends SparkSpec {
     assert(none.count() === 0L, "df-capped shingles must not generate pairs")
   }
 
+  test("duplicatedSpans: planted copies resolve to exact offsets") {
+    import spark.implicits._
+    val aToks = (0 until 30).map(i => s"w$i")
+    val a = aToks.mkString(" ")
+    // B copies A[5..20] (16 tokens) at its own offset 3
+    val b = (Seq("x0", "x1", "x2") ++ aToks.slice(5, 21) ++ Seq("y0", "y1"))
+      .mkString(" ")
+    // C shares two DISJOINT 8-token spans of A (different diagonals)
+    val c = (aToks.slice(0, 8) ++ Seq("z0", "z1", "z2", "z3") ++
+      aToks.slice(20, 28)).mkString(" ")
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, k = 4, minSpanTokens = 4,
+      maxDocFreq = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out === Set((1L, 2L, 5L, 3L, 16L),
+      (1L, 3L, 0L, 0L, 8L), (1L, 3L, 20L, 12L, 8L)),
+      s"got $out")
+    // df cap: every anchor gram lives in 2 docs, cap at 1 bars them all
+    assert(Dedup.duplicatedSpans(d, k = 4, minSpanTokens = 4,
+      maxDocFreq = 1).count() === 0L)
+    // the span floor prunes the short pair but keeps the long one
+    val floored = Dedup.duplicatedSpans(d, k = 4, minSpanTokens = 10,
+      maxDocFreq = 10).collect()
+    assert(floored.map(_.getLong(4)).toSeq === Seq(16L))
+  }
+
   test("trigram LM: stupid-backoff chain, hand-checked") {
     import spark.implicits._
     // salt "s3" at rate 0.5: doc 1 hashes below the threshold (train),
