@@ -2532,6 +2532,15 @@ object SparkEntry {
           col("delta_ns"))
         .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
     }),
+    // streaming: the SAME interval join as a TRUE stream-stream join —
+    // both sides are streams (self-join of the event feed), watermarks
+    // bound the join state, the range condition rides in the join
+    // predicate; matches emit at arrival
+    "events_range_join_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.rangeJoin(s, dir, "click", "purchase",
+          RangeJoinWindowNs)
+        .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+    }),
     // rolling z-score anomaly detection on the hourly per-type series
     "events_anomaly" -> ((s, dir) => {
       graft.pipeline.Temporal.anomalies(
@@ -3017,6 +3026,8 @@ object SparkEntry {
     "events_retention_stream" -> graft.pipeline.TemporalSql.retention(
       RetentionBucketNs),
     "events_range_join" -> graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
+    "events_range_join_stream" ->
+      graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),

@@ -625,6 +625,42 @@ object StreamReplay {
         col("matched_event_id"), col("matched_ts"), col("gap_ns"))
   }
 
+  /** TRUE stream-stream interval join — both sides of the
+    * click→purchase range join arrive as STREAMS (a self-join of the
+    * staged event feed), with a watermark on each side and the
+    * event-time range condition in the join predicate: the canonical
+    * Structured Streaming interval-join shape, where Spark evicts a
+    * buffered row once the other side's watermark passes its
+    * ts + window, so join state is bounded at any corpus size (a batch
+    * interval join holds both relations). Inner join — matches emit at
+    * arrival; gated by the SAME TemporalSql statement as the batch
+    * events_range_join row. */
+  def rangeJoin(spark: SparkSession, dir: String, leftType: String,
+      rightType: String, windowNs: Long): DataFrame = {
+    require(windowNs % 1000000000L == 0, "join window must be whole seconds")
+    val wSec = windowNs / 1000000000L
+    val out = replay(spark, dir) { ev =>
+      val base = ev.withColumn("ets", col("ts").cast(TimestampType))
+      val l = base.where(col("event_type") === leftType)
+        .select(col("user_id").as("l_user"),
+          col("event_id").as("l_event_id"), col("ets").as("l_ts"))
+        .withWatermark("l_ts", "30 minutes")
+      val r = base.where(col("event_type") === rightType)
+        .select(col("user_id").as("r_user"),
+          col("event_id").as("r_event_id"), col("ets").as("r_ts"))
+        .withWatermark("r_ts", "30 minutes")
+      l.join(r, expr(
+        s"""l_user = r_user AND
+           |r_ts >= l_ts - INTERVAL $wSec SECONDS AND
+           |r_ts <= l_ts + INTERVAL $wSec SECONDS""".stripMargin))
+    }
+    out.where(col("l_user") >= 0)
+      .select(col("l_user").as("user_id"), col("l_event_id"),
+        col("r_event_id"),
+        ((unix_micros(col("r_ts")) - unix_micros(col("l_ts"))) * 1000L)
+          .as("delta_ns"))
+  }
+
   /** Streamed ordered-funnel of the driver's events table, shaped to the
     * batch [[graft.pipeline.Temporal.funnel]] contract
     * [step (1-based long), event_type, n_users]: the stream emits
