@@ -1472,6 +1472,14 @@ object SparkEntry {
       graft.pipeline.Ann.kmeansReport(emb, k = 8, iters = 2)
         .orderBy(col("cell"), col("pos"))
     }),
+    // LLM pipeline: centroid-based silhouette of the kmeans clustering —
+    // the O(n·k) clustering-quality audit (classic silhouette is O(n²));
+    // per-point s deterministic, per-cell mean DECIMAL-summed
+    "embed_silhouette" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.silhouetteReport(emb, k = 8, iters = 2)
+        .orderBy(col("cell"))
+    }),
     // LLM pipeline: int8 scalar quantization of the embedding corpus —
     // per-dim [lo,hi] stats ride back as broadcast literals, codes
     // pinned via md5, reconstruction MSE DECIMAL-summed
@@ -2671,6 +2679,7 @@ object SparkEntry {
     "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
+    "embed_silhouette" -> graft.pipeline.PipelineSql.embedSilhouette(8, 2),
     "embed_quantize" -> graft.pipeline.PipelineSql.embedQuantize(SqLevels),
     "embed_pca" -> graft.pipeline.PipelineSql.embedPca(5),
     "embed_outliers" -> graft.pipeline.PipelineSql.embedOutliers(20, 5),

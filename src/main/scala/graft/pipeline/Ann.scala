@@ -813,4 +813,43 @@ object Ann {
         round(col("cvv"), 6).as("c_val"),
         coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
   }
+
+  /** Centroid-based (simplified) silhouette of the [[kmeansDataflow]]
+    * clustering — the scalable clustering-quality audit: the classic
+    * silhouette's mean pairwise distances are O(n²), the centroid form
+    * (a = distance to own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b)) is one broadcast-centroid pass over
+    * the corpus, and is the variant large-scale libraries ship for
+    * exactly that reason.
+    *
+    * Determinism: per-point distances are the same sequential double
+    * fold as the assignment step (sqrt is IEEE-exact), so s is a pure
+    * deterministic per-row expression; the per-cell mean DECIMAL-sums
+    * s (order-insensitive) and divides once — the kmeans recipe, so
+    * the report is bit-identical across engines/partitionings. Empty
+    * cells have no members and therefore no row. Returns
+    * [cell, n_vectors, mean_silhouette(6)]. */
+  def silhouetteReport(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansDataflow(emb, k, iters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val ab = assignCells(base, cents)
+      .crossJoin(broadcast(cents.select(col("cell").as("c2"), col("cv"))))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)))
+      .groupBy(col("id"), col("cell"))
+      .agg(min(when(col("c2") === col("cell"), col("dist"))).as("a"),
+        min(when(col("c2") =!= col("cell"), col("dist"))).as("b"))
+    val s = when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+      .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.withColumn("s", s)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("s").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_silhouette"))
+      .select(col("cell"), col("n_vectors"), col("mean_silhouette"))
+  }
 }

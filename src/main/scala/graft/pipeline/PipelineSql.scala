@@ -592,7 +592,10 @@ object PipelineSql {
   /** [[embedKmeans]] over an arbitrary base SELECT (must yield [id, v]);
     * the base may itself be a nested-WITH chain — embedE2e feeds the
     * near-dup survivor set through here. */
-  def embedKmeansFrom(k: Int, iters: Int, baseSelect: String): String = {
+  /** The shared Lloyd chain: CTEs `base`, `c0..c$iters` (centroids) and
+    * `afinal` (final assignment). Both the kmeans report and the
+    * silhouette build on this prefix. */
+  private def kmeansChainCtes(k: Int, iters: Int, baseSelect: String): String = {
     def assignCte(name: String, centsCte: String): String =
       s"""$name AS MATERIALIZED (SELECT id, v, cell FROM (
          |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
@@ -610,13 +613,17 @@ object PipelineSql {
          |                              FROM m$i GROUP BY cell) n USING (cell))""".stripMargin
     }.mkString(",\n")
     val sep = if (iters > 0) ",\n" else ""
-    s"""WITH base AS MATERIALIZED ($baseSelect),
+    s"""base AS MATERIALIZED ($baseSelect),
        |c0 AS MATERIALIZED (SELECT cell, cv FROM (
        |  SELECT row_number() OVER (
        |    ORDER BY md5('ivf ' || CAST(id AS VARCHAR)), id) - 1 AS cell,
        |    v AS cv FROM base) WHERE cell < $k),
        |$rounds$sep
-       |${assignCte("afinal", s"c$iters")},
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
+  }
+
+  def embedKmeansFrom(k: Int, iters: Int, baseSelect: String): String =
+    s"""WITH ${kmeansChainCtes(k, iters, baseSelect)},
        |counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
        |           FROM afinal GROUP BY cell),
        |long AS (SELECT cell, unnest(range(len(cv))) AS pos, unnest(cv) AS cvv
@@ -625,7 +632,33 @@ object PipelineSql {
        |       coalesce(n.n_vectors, 0) AS n_vectors
        |FROM long l LEFT JOIN counts n USING (cell)
        |ORDER BY l.cell, l.pos""".stripMargin
-  }
+
+  /** Mirrors [[Ann.silhouetteReport]]: centroid-based (simplified)
+    * silhouette over the SAME Lloyd chain as embedKmeans — per-point
+    * a = dist to own centroid, b = min dist to another centroid,
+    * s = (b−a)/max(a,b); per-point s is a deterministic double
+    * expression, the per-cell mean DECIMAL-sums it (order-insensitive)
+    * before one double division. */
+  def embedSilhouette(k: Int, iters: Int): String =
+    s"""WITH ${kmeansChainCtes(k, iters,
+      "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings")},
+       |dists AS (
+       |  SELECT a.id, a.cell, c.cell AS c2,
+       |         sqrt(list_sum([(a.v[j+1] - c.cv[j+1]) * (a.v[j+1] - c.cv[j+1])
+       |                        for j in range(0, len(a.v))])) AS dist
+       |  FROM afinal a CROSS JOIN c$iters c),
+       |ab AS (SELECT id, cell,
+       |         min(CASE WHEN c2 = cell THEN dist END) AS a,
+       |         min(CASE WHEN c2 <> cell THEN dist END) AS b
+       |       FROM dists GROUP BY id, cell),
+       |sil AS (SELECT cell,
+       |          CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |               ELSE (b - a) / greatest(a, b) END AS s
+       |        FROM ab)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+       |    AS mean_silhouette
+       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
 
   def annIvf(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
       sampleSize: Int): String =

@@ -797,6 +797,27 @@ class PipelineSpec extends SparkSpec {
     rpt.unpersist()
   }
 
+  test("silhouetteReport: tight planted clusters score near 1, invariant") {
+    import spark.implicits._
+    // two far-apart tight blobs in 4-d; any 2-means split of them is
+    // near-perfect, so the centroid silhouette must be close to 1
+    val pts = (0 until 16).map { i =>
+      val c = if (i % 2 == 0) 0.0f else 100.0f
+      val eps = (i / 2) * 0.01f
+      (i.toLong, Array(c + eps, c - eps, c + eps, c))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val rpt = Ann.silhouetteReport(emb, k = 2, iters = 2).collect()
+    assert(rpt.map(_.getAs[Long]("n_vectors")).sum === 16L)
+    rpt.foreach { r =>
+      assert(r.getAs[Double]("mean_silhouette") > 0.99,
+        s"tight separated blobs must score ~1: $r") }
+    // partitioning invariance (the DECIMAL-sum mean): bit-equal
+    val again = Ann.silhouetteReport(emb.repartition(7), k = 2, iters = 2)
+      .collect().toSet
+    assert(again === rpt.toSet)
+  }
+
   test("kmeansDataflow: empty cell keeps its previous centroid, reports 0") {
     import spark.implicits._
     // 4 identical vectors: both init centroids coincide, every point ties
