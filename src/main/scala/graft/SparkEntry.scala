@@ -1924,6 +1924,14 @@ object SparkEntry {
           k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf)
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     }),
+    // LLM pipeline: the span-dedup ACTION — higher-id doc of each pair
+    // excises the copied region (merged intervals, token-order md5 of
+    // the survivor text)
+    "dedup_substring_scrub" -> ((s, dir) => {
+      graft.pipeline.Dedup.duplicatedSpanScrub(docs(s, dir),
+          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf)
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: CCNet-style line-level corpus dedup over planted
     // line structure (docs re-wrapped into fixed-width token lines plus
     // a shared header line — the header dups corpus-wide, exact-copy
@@ -2783,6 +2791,8 @@ object SparkEntry {
       LineWrapTokens, LineDedupHeader),
     "text_winnowing" -> graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
     "dedup_substring" -> graft.pipeline.PipelineSql.dedupSubstring(
+      SpanK, SpanMinTokens, SpanMaxDf),
+    "dedup_substring_scrub" -> graft.pipeline.PipelineSql.dedupSubstringScrub(
       SpanK, SpanMinTokens, SpanMaxDf),
     "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),

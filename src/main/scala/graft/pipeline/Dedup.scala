@@ -655,4 +655,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("span_tokens"))
   }
+
+  /** Span-level dedup ACTION over [[duplicatedSpans]] — the Lee et al.
+    * remove-the-copy step: the lower-id doc of every span pair keeps
+    * its text, the higher-id doc excises the copied region. Per doc,
+    * overlapping/adjacent intervals from different pairs merge first
+    * (running-max-end window — span-local, partitioned by doc), then
+    * the token positions inside any merged interval drop and the
+    * survivor text is digested in token order. Only docs that lose at
+    * least one span appear. Returns
+    * [doc_id, n_spans, n_removed, scrubbed_md5] (n_spans counts MERGED
+    * intervals; the md5 hash-checks every kept token and its order —
+    * the boilerplate-scrub contract).
+    *
+    * Shape at scale: intervals are pair-count sized (tiny next to the
+    * corpus); the only corpus-sized work is one positional-token pass
+    * over the AFFECTED docs (inner-joined down before exploding) and a
+    * per-doc re-assembly — both partitioned by doc id. */
+  def duplicatedSpanScrub(df: DataFrame, k: Int = 8, minSpanTokens: Int = 12,
+      maxDocFreq: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(df, k, minSpanTokens, maxDocFreq,
+      idCol, textCol)
+    val iv = spans.select(col("doc_b").as("id"), col("start_b").as("s"),
+      (col("start_b") + col("span_tokens") - lit(1L)).as("e"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val pm = max(col("e")).over(wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("ng", when(pm.isNull || col("s") > pm, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("ng")).over(wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("gid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val nSpans = merged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(TextAnalysis.tokensCol(col(textCol))).as(Seq("p", "tok")))
+      .select(col("id"), col("p").cast("long").as("pos"), col("tok"))
+    val marked = toks.join(merged, Seq("id"))
+      .groupBy(col("id"), col("pos"), col("tok"))
+      .agg(max(when(col("pos") >= col("s") && col("pos") <= col("e"), 1)
+        .otherwise(0)).as("hit"))
+    marked.groupBy(col("id"))
+      .agg(sum(col("hit")).cast("long").as("n_removed"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("hit") === 0, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("scrubbed_md5"))
+      .join(nSpans, Seq("id"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_removed"),
+        col("scrubbed_md5"))
+  }
 }

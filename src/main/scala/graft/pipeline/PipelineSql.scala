@@ -1144,11 +1144,15 @@ object PipelineSql {
     * then run-coalescing per (pair, pos_a−pos_b diagonal) — consecutive
     * anchors collapse to the maximal shared span via the
     * pos − row_number() run-id trick. */
-  def dedupSubstring(k: Int, minSpanTokens: Int, maxDocFreq: Int): String =
-    s"""WITH t AS (SELECT doc_id,
-       |             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-       |                  ELSE string_split($norm, ' ') END AS toks
-       |           FROM documents),
+  /** The shared duplicated-span chain: CTEs `t` (token arrays),
+    * `spans` [doc_a, doc_b, start_a, start_b, span_tokens]. Both the
+    * span report and the span scrub build on this prefix. */
+  private def substringSpanCtes(k: Int, minSpanTokens: Int,
+      maxDocFreq: Int): String =
+    s"""t AS (SELECT doc_id,
+       |        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |             ELSE string_split($norm, ' ') END AS toks
+       |      FROM documents),
        |g AS (SELECT doc_id AS id, u['pos'] AS pos, u['h'] AS h FROM (
        |  SELECT doc_id,
        |         unnest([{'pos': CAST(i - 1 AS BIGINT),
@@ -1164,14 +1168,61 @@ object PipelineSql {
        |           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run
        |  FROM (SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pos_a,
        |               b.pos AS pos_b, a.pos - b.pos AS diag
-       |        FROM kg a JOIN kg b ON a.h = b.h AND a.id < b.id))
-       |SELECT doc_a, doc_b,
-       |       CAST(min(pos_a) AS BIGINT) AS start_a,
-       |       CAST(min(pos_b) AS BIGINT) AS start_b,
-       |       CAST(count(*) + ${k - 1} AS BIGINT) AS span_tokens
-       |FROM runs GROUP BY doc_a, doc_b, diag, run
-       |HAVING count(*) + ${k - 1} >= $minSpanTokens
-       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+       |        FROM kg a JOIN kg b ON a.h = b.h AND a.id < b.id)),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |         CAST(min(pos_a) AS BIGINT) AS start_a,
+       |         CAST(min(pos_b) AS BIGINT) AS start_b,
+       |         CAST(count(*) + ${k - 1} AS BIGINT) AS span_tokens
+       |  FROM runs GROUP BY doc_a, doc_b, diag, run
+       |  HAVING count(*) + ${k - 1} >= $minSpanTokens)""".stripMargin
+
+  def dedupSubstring(k: Int, minSpanTokens: Int, maxDocFreq: Int): String =
+    s"""WITH ${substringSpanCtes(k, minSpanTokens, maxDocFreq)}
+       |SELECT doc_a, doc_b, start_a, start_b, span_tokens
+       |FROM spans ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
+  /** Mirrors [[Dedup.duplicatedSpanScrub]]: the higher-id doc of each
+    * span pair excises the copied region — intervals per doc merge via
+    * the running-max-end window trick, positions inside any merged
+    * interval drop, the survivor text is digested in token order. */
+  def dedupSubstringScrub(k: Int, minSpanTokens: Int,
+      maxDocFreq: Int): String =
+    s"""WITH ${substringSpanCtes(k, minSpanTokens, maxDocFreq)},
+       |iv AS (SELECT doc_b AS doc_id, start_b AS s,
+       |              start_b + span_tokens - 1 AS e
+       |       FROM spans),
+       |ord AS (SELECT doc_id, s, e,
+       |          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |        FROM iv),
+       |grp AS (SELECT doc_id, s, e,
+       |          sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY s, e
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+       |        FROM ord),
+       |mg AS MATERIALIZED (
+       |  SELECT doc_id, min(s) AS s, max(e) AS e
+       |  FROM grp GROUP BY doc_id, gid),
+       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM mg GROUP BY doc_id),
+       |toks2 AS (SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+       |  SELECT doc_id,
+       |         unnest([{'pos': CAST(i - 1 AS BIGINT), 'tok': toks[i]}
+       |                 for i in range(1, len(toks) + 1)]) AS u
+       |  FROM t WHERE doc_id IN (SELECT doc_id FROM mg))),
+       |marked AS (
+       |  SELECT t2.doc_id, t2.pos, t2.tok,
+       |         max(CASE WHEN t2.pos >= m.s AND t2.pos <= m.e
+       |                  THEN 1 ELSE 0 END) AS hit
+       |  FROM toks2 t2 JOIN mg m ON m.doc_id = t2.doc_id
+       |  GROUP BY t2.doc_id, t2.pos, t2.tok)
+       |SELECT marked.doc_id, ns.n_spans,
+       |  CAST(sum(hit) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+       |        FILTER (WHERE hit = 0), '')) AS scrubbed_md5
+       |FROM marked JOIN ns USING (doc_id)
+       |GROUP BY marked.doc_id, ns.n_spans
+       |ORDER BY doc_id""".stripMargin
 
   /** Mirrors the text_line_dedup entry: the same planted line structure
     * (header + fixed-width token wrap), then CCNet-style line dedup —

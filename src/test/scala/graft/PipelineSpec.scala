@@ -893,6 +893,29 @@ class PipelineSpec extends SparkSpec {
     assert(floored.map(_.getLong(4)).toSeq === Seq(16L))
   }
 
+  test("duplicatedSpanScrub: merges overlapping intervals, digests survivors") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val aToks = (0 until 30).map(i => s"w$i")
+    val a = aToks.mkString(" ")
+    // C shares A[0..7] and A[20..27] -> two DISJOINT excisions
+    val c = (aToks.slice(0, 8) ++ Seq("z0", "z1", "z2", "z3") ++
+      aToks.slice(20, 28)).mkString(" ")
+    // D copies A[0..16]; its (C,D) span [0..7] NESTS inside the (A,D)
+    // span [0..16] -> the two intervals must merge to ONE
+    val dTxt = (aToks.slice(0, 17) ++ Seq("q0", "q1", "q2", "q3")).mkString(" ")
+    val df = Seq((1L, a), (3L, c), (4L, dTxt)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanScrub(df, k = 4, minSpanTokens = 8,
+      maxDocFreq = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.keySet === Set(3L, 4L), s"got $out")
+    assert(out(3L) === ((2L, 16L, md5hex("z0 z1 z2 z3"))))
+    assert(out(4L) === ((1L, 17L, md5hex("q0 q1 q2 q3"))))
+  }
+
   test("trigram LM: stupid-backoff chain, hand-checked") {
     import spark.implicits._
     // salt "s3" at rate 0.5: doc 1 hashes below the threshold (train),
