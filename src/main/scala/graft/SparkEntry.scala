@@ -1350,6 +1350,16 @@ object SparkEntry {
             .select(col("id_a").as("src"), col("id_b").as("dst")))
         .orderBy(col("vertex"))
     }),
+    // LLM pipeline: label-propagation communities over the containment
+    // graph — the near-linear community finder with a deterministic
+    // smallest-label tie-break; 4 synchronous rounds are the contract
+    "graph_label_prop" -> ((s, dir) => {
+      graft.pipeline.Graph.labelPropagation(
+          containmentPairs(s, dir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")),
+          rounds = 4)
+        .orderBy(col("vertex"))
+    }),
     // LLM pipeline: near-dup removal END TO END — containment pairs →
     // pointer-jumped components → drop non-canonical members; the
     // surviving id set in one hash row certifies the pairs→clusters→
@@ -2699,6 +2709,8 @@ object SparkEntry {
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
+    "graph_label_prop" -> graft.pipeline.PipelineSql.graphLabelProp(
+      ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 4),
     "dedup_neardup_e2e" -> graft.pipeline.PipelineSql.dedupNeardupE2e(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
     "graph_kcore" -> graft.pipeline.PipelineSql.graphKcoreContainment(

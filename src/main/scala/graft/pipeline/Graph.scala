@@ -253,4 +253,46 @@ object Graph {
     tri.select(explode(array(col("s"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over the undirected graph — the near-linear community
+    * finder: every vertex starts as its own community and each round
+    * adopts the most frequent label among its neighbors, ties broken
+    * toward the SMALLEST label (the classic random tie-break replaced
+    * by a deterministic one, so the result is reproducible across
+    * engines, partitionings and reruns). A fixed round count is the
+    * contract (LPA has no monotone convergence guarantee — labels can
+    * oscillate on bipartite-ish structures, so "run to convergence" is
+    * not well-defined); `rounds` ≈ the label mixing diameter you want.
+    *
+    * Shape at scale: each round is one edge⋈labels shuffle keyed by
+    * vertex plus a (vertex, label) count — map-side combined; labels
+    * localCheckpoint every round so plans stay O(1) deep (the
+    * connectedComponents lineage-cut discipline). Isolated vertices
+    * don't occur (the vertex set comes from the edge list). Returns
+    * [vertex, community]. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl")))
+          .as("lbl"))
+        .select(col("src").as("v"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(false)
+    labels.select(col("v").as("vertex"), col("lbl").as("community"))
+  }
 }

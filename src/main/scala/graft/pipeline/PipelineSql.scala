@@ -524,6 +524,29 @@ object PipelineSql {
        |SELECT id AS vertex, label AS component
        |FROM l$rounds ORDER BY vertex""".stripMargin
 
+  /** Mirrors [[Graph.labelPropagation]] over the containment-pair graph:
+    * synchronous rounds unrolled as CTEs, per-round winner = most
+    * frequent neighbor label with smallest-label tie-break (row_number
+    * ORDER BY c DESC, lbl == Spark's min_by over (−c, lbl)). */
+  def graphLabelProp(k: Int, threshold: Double, maxDocFreq: Long,
+      rounds: Int): String = {
+    val lp = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT v, lbl FROM (
+         |  SELECT v, lbl, row_number() OVER (
+         |    PARTITION BY v ORDER BY c DESC, lbl) AS rk
+         |  FROM (SELECT e.src AS v, l.lbl, count(*) AS c
+         |        FROM e JOIN p${i - 1} l ON l.v = e.dst
+         |        GROUP BY e.src, l.lbl)) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cp
+       |                   UNION SELECT id_b, id_a FROM cp),
+       |p0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e),
+       |$lp
+       |SELECT v AS vertex, lbl AS community
+       |FROM p$rounds ORDER BY vertex""".stripMargin
+  }
+
   /** Mirrors the dedup_neardup_e2e entry: containment pairs → pointer-
     * jumped components → drop every non-canonical member (id ≠
     * component min); survivors = the rest of the corpus. */

@@ -772,6 +772,22 @@ class PipelineSpec extends SparkSpec {
     assert(Graph.kCore(edges, k = 3).count() === 0L)
   }
 
+  test("labelPropagation: bridge between dense communities does not merge them") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(out(1L), out(2L), out(3L)).size === 1, s"left triangle: $out")
+    assert(Set(out(4L), out(5L), out(6L)).size === 1, s"right triangle: $out")
+    assert(out(1L) !== out(4L), s"bridge must not merge communities: $out")
+    // deterministic under repartitioning
+    val again = Graph.labelPropagation(edges.repartition(5), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("kmeansDataflow: counts partition the corpus; partitioning-invariant; real update") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rpt = Ann.kmeansReport(emb, k = 4, iters = 2).cache()
