@@ -1209,6 +1209,14 @@ object SparkEntry {
           col("lang_pred"), col("lang_hits").cast("long").as("lang_hits"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: language ID at ingest — a pure per-row expression, so
+    // the stream runs the batch operator unchanged under the same SQL
+    "text_lang_id_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.langId(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("lang_pred"), col("lang_hits").cast("long").as("lang_hits"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: document fingerprints — whole-doc md5 + the
     // order-sensitive rolling polynomial hash (md5-prefix token ints,
     // pure HOF fold; same constants as the DuckDB mirror)
@@ -2726,6 +2734,8 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
       CleanStreamMinQuality),
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
+      graft.pipeline.TextAnalysis.defaultStopwords),
+    "text_lang_id_stream" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "text_chunk" -> graft.pipeline.PipelineSql.chunkDocuments(

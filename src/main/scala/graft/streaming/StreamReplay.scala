@@ -257,6 +257,23 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed language ID — the stopword-vote classifier as an
+    * ingest-time gate: a pure per-row expression (no state, no
+    * shuffle), so the streaming form IS the batch operator applied to
+    * the staged doc stream; gated by the same langId SQL. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_lang_${counter.incrementAndGet()}"
+    val q = graft.pipeline.TextAnalysis.languageId(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed JSONL ingestion — the staged JSONL corpus read back
     * through readStream.json with the PINNED schema (the Kafka-era
     * pipeline entry point: documents arrive as JSON lines), digested by
