@@ -2595,6 +2595,17 @@ object SparkEntry {
       graft.pipeline.Classify.naiveBayes(docs(s, dir), labelCol = "source")
         .orderBy(col("doc_id"))
     }),
+    // ML analytics: per-class precision/recall/F1 of the NB classifier
+    // vs the true source labels — the evaluation half of the classifier
+    // family (ml_auc covers threshold-free ranking); the confusion
+    // matrix is one map-side-combined (label, pred) count
+    "ml_confusion" -> ((s, dir) => {
+      graft.pipeline.Classify.confusionReport(
+          graft.pipeline.Classify.naiveBayes(docs(s, dir),
+            labelCol = "source"),
+          labelCol = "source")
+        .orderBy(col("label"))
+    }),
     // streaming NB inference: the train-batch / score-stream serving
     // shape — model broadcast as literals, stateless per-row fold (no
     // state store), gated by the SAME SQL as the batch classify_nb row
@@ -3099,6 +3110,7 @@ object SparkEntry {
     "events_rollup" -> graft.pipeline.TemporalSql.rollup(
       graft.pipeline.Temporal.NsPerDay),
     "classify_nb" -> graft.pipeline.PipelineSql.naiveBayes("source"),
+    "ml_confusion" -> graft.pipeline.PipelineSql.mlConfusion("source"),
     "classify_nb_stream" -> graft.pipeline.PipelineSql.naiveBayes("source"),
     "text_lang_ngram" -> graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)

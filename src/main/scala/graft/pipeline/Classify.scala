@@ -152,4 +152,39 @@ object Classify {
     }
     array_sort(array(entries: _*))
   }
+
+  /** Per-class precision/recall/F1 over a (true-label, prediction)
+    * table — the evaluation half of the classifier family (with
+    * [[graft.pipeline.Regression.auc]] covering threshold-free
+    * ranking). One row per ACTUAL class; a class the model never
+    * predicts reports n_predicted = 0 with null precision/F1 rather
+    * than a division error. F1 composes the UNROUNDED precision/recall
+    * (2pr/(p+r)) and rounds once — a fixed double expression tree, so
+    * the report is engine- and partitioning-deterministic.
+    *
+    * Shape at scale: the confusion matrix is one map-side-combined
+    * (label, pred) count — #classes² rows out of a corpus-sized input;
+    * everything after runs on that tiny table. */
+  def confusionReport(pred: DataFrame, labelCol: String,
+      predCol: String = "pred"): DataFrame = {
+    val cm = pred.groupBy(col(labelCol).as("label"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val act = cm.groupBy(col("label"))
+      .agg(sum(col("n")).as("n_actual"),
+        sum(when(col("p") === col("label"), col("n")).otherwise(0L))
+          .as("n_correct"))
+    val prd = cm.groupBy(col("p").as("label"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val j = act.join(prd, Seq("label"), "left")
+      .withColumn("n_predicted", coalesce(col("n_predicted"), lit(0L)))
+    val p = col("n_correct").cast("double") / col("n_predicted")
+    val r = col("n_correct").cast("double") / col("n_actual")
+    j.select(col("label"), col("n_actual"), col("n_predicted"),
+      col("n_correct"),
+      when(col("n_predicted") === 0L, lit(null))
+        .otherwise(round(p, 6)).as("prec"),
+      round(r, 6).as("rec"),
+      when(col("n_predicted") === 0L || col("n_correct") === 0L, lit(null))
+        .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
 }

@@ -2153,6 +2153,35 @@ object PipelineSql {
        |       GROUP BY doc_id, lbl, t),
        |${nbCoreSql(labelCol)}""".stripMargin
 
+  /** Mirrors [[Classify.confusionReport]] over the [[naiveBayes]]
+    * predictions: confusion counts, then per-class precision/recall/F1
+    * composed from the UNROUNDED ratios with the Spark expression's
+    * association order. */
+  def mlConfusion(labelCol: String): String =
+    s"""WITH nbout AS (${naiveBayes(labelCol)}),
+       |cm AS (SELECT $labelCol AS label, pred AS p, count(*) AS n
+       |       FROM nbout GROUP BY 1, 2),
+       |act AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_actual,
+       |          CAST(sum(CASE WHEN p = label THEN n ELSE 0 END) AS BIGINT)
+       |            AS n_correct
+       |        FROM cm GROUP BY label),
+       |prd AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_predicted
+       |        FROM cm GROUP BY p)
+       |SELECT a.label, a.n_actual,
+       |  coalesce(p.n_predicted, 0) AS n_predicted, a.n_correct,
+       |  CASE WHEN coalesce(p.n_predicted, 0) = 0 THEN NULL
+       |       ELSE round(CAST(a.n_correct AS DOUBLE) / p.n_predicted, 6)
+       |  END AS prec,
+       |  round(CAST(a.n_correct AS DOUBLE) / a.n_actual, 6) AS rec,
+       |  CASE WHEN coalesce(p.n_predicted, 0) = 0 OR a.n_correct = 0 THEN NULL
+       |       ELSE round(2.0 * (CAST(a.n_correct AS DOUBLE) / p.n_predicted)
+       |                      * (CAST(a.n_correct AS DOUBLE) / a.n_actual)
+       |                  / ((CAST(a.n_correct AS DOUBLE) / p.n_predicted)
+       |                     + (CAST(a.n_correct AS DOUBLE) / a.n_actual)), 6)
+       |  END AS f1
+       |FROM act a LEFT JOIN prd p USING (label)
+       |ORDER BY label""".stripMargin
+
   def naiveBayes(labelCol: String): String =
     s"""WITH nb AS (SELECT doc_id, $labelCol AS lbl, string_split($norm, ' ') AS toks
        |            FROM documents WHERE length(trim(text)) > 0),

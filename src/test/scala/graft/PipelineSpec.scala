@@ -974,6 +974,27 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_backoff") === 0L, "c a b is a trained trigram")
   }
 
+  test("confusionReport: hand-checked, never-predicted class is null-safe") {
+    import spark.implicits._
+    val preds = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a")).toDF("label", "pred")
+    val out = Classify.confusionReport(preds, "label").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, f: String): Any =
+      if (r.isNullAt(r.fieldIndex(f))) null else r.getAs[Double](f)
+    val a = out("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((3L, 3L, 2L)))
+    assert(d(a, "prec") === 0.666667 && d(a, "rec") === 0.666667
+      && d(a, "f1") === 0.666667)
+    val b = out("b")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) === ((2L, 3L, 2L)))
+    assert(d(b, "prec") === 0.666667 && d(b, "rec") === 1.0
+      && d(b, "f1") === 0.8)
+    val c = out("c")
+    assert((c.getLong(1), c.getLong(2), c.getLong(3)) === ((1L, 0L, 0L)))
+    assert(d(c, "prec") === null && d(c, "rec") === 0.0 && d(c, "f1") === null)
+  }
+
   test("Regression.auc: tie-aware Mann-Whitney, hand-checked") {
     import spark.implicits._
     // pos scores {3,5,5,9}, neg {1,5,7}: U = 1 + 1.5*2 + 3 = 7,
