@@ -1600,6 +1600,17 @@ object SparkEntry {
           col("rank"), col("doc_id").cast("long").as("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // streaming: BM25 retrieval SERVED on a query stream — index built
+    // in batch, persisted (save→load on the oracle path), query terms
+    // stream-static join the postings; sum+rank at the sink with the
+    // batch code, under the batch text_bm25 oracle
+    "text_bm25_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.bm25Serve(s, docs(s, dir), Bm25Queries,
+          topK = Bm25TopK, k1 = Bm25K1, b = Bm25B)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("rank"), col("doc_id").cast("long").as("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // LLM pipeline: self-trained bigram LM perplexity — the CCNet-style
     // model-based quality signal (complements artm_doc_perplexity's
     // topic-model variant)
@@ -2805,6 +2816,8 @@ object SparkEntry {
         |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
+      Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
+    "text_bm25_stream" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(
       CoocWindow, PageRankIters, PageRankDamping),

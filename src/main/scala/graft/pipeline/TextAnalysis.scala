@@ -800,33 +800,68 @@ object TextAnalysis {
     Bm25Index(tf, dfT, stats, idCol)
   }
 
-  /** The query half of [[bm25Search]] over a (possibly loaded)
-    * [[Bm25Index]]: broadcast query×df side, postings-keyed term join,
-    * WindowGroupLimit top-k. */
-  def bm25Query(index: Bm25Index, queries: DataFrame, topK: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val idCol = index.idCol
-    val tf = index.postings
-    val dfT = index.termDf
-    val stats = index.stats
-    val qTerms = queries
+  /** The per-(query, term) side of a BM25 query: distinct query terms
+    * joined to the term-df table, idf attached. `stats` ride as
+    * LITERALS (the broadcast-model contract), so the result works
+    * identically whether `queries` is a batch table or a stream —
+    * byte-for-byte the same idf doubles as the crossJoin(stats) form. */
+  private def bm25QTerms(index: Bm25Index, queries: DataFrame): DataFrame = {
+    val st = index.stats
+      .select(col("n_docs").cast("double"), col("avgdl")).head()
+    val nDocs = st.getDouble(0)
+    queries
       .select(col("query_id"),
         explode(array_distinct(tokensCol(col("query_text")))).as("term"))
-      .join(dfT, Seq("term"))
-      .crossJoin(broadcast(stats))
+      .join(index.termDf, Seq("term"))
       .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) /
+        log(lit(1.0) + (lit(nDocs) - col("df_t") + 0.5) /
           (col("df_t").cast("double") + 0.5)))
-    val scored = tf.join(broadcast(qTerms), Seq("term"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(round(sum(col("idf") * col("tf") * lit(k1 + 1.0) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))), 6)
-        .as("score"))
+  }
+
+  private def bm25ContribCol(k1: Double, b: Double, avgdl: Double): Column =
+    col("idf") * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+  /** STREAM-shaped BM25 scoring: per-(query, doc, term) contribution
+    * rows from a QUERY STREAM against the loaded index — the query side
+    * explodes to terms and stream-static joins the postings on the term
+    * key (stateless, no state store); [[bm25RankContrib]] finishes the
+    * per-(query, doc) sum + top-k at the sink with the batch math. */
+  def bm25Contributions(index: Bm25Index, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val avgdl = index.stats.select(col("avgdl")).head().getDouble(0)
+    bm25QTerms(index, queries).join(index.postings, Seq("term"))
+      .select(col("query_id"), col(index.idCol),
+        bm25ContribCol(k1, b, avgdl).as("contrib"))
+  }
+
+  /** The rank half shared by batch and stream: per-(query, doc) sum of
+    * contributions (round 6), WindowGroupLimit top-k. */
+  def bm25RankContrib(contrib: DataFrame, topK: Int,
+      idCol: String): DataFrame = {
+    val scored = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("contrib")), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** The query half of [[bm25Search]] over a (possibly loaded)
+    * [[Bm25Index]]: broadcast query×df side, postings-keyed term join,
+    * WindowGroupLimit top-k. The contribution expression and the rank
+    * stage are shared with the streaming serve path — only the join
+    * build side differs (batch broadcasts the tiny query side under the
+    * corpus-sized postings). */
+  def bm25Query(index: Bm25Index, queries: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val avgdl = index.stats.select(col("avgdl")).head().getDouble(0)
+    val contrib = index.postings
+      .join(broadcast(bm25QTerms(index, queries)), Seq("term"))
+      .select(col("query_id"), col(index.idCol),
+        bm25ContribCol(k1, b, avgdl).as("contrib"))
+    bm25RankContrib(contrib, topK, index.idCol)
   }
 
   def bm25Search(df: DataFrame, queries: DataFrame, topK: Int = 10,

@@ -274,6 +274,40 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** ONLINE BM25 SERVING: the inverted index builds in batch, persists
+    * through [[graft.sources.SearchIO]] (save → load — the serving
+    * artifact round-trip sits on the oracle path), and the QUERY stream
+    * explodes to terms and stream-static joins the loaded postings on
+    * the term key (stateless — the [[annServe]] shape for text
+    * retrieval); the per-(query, doc) sum + top-k rank run at the sink
+    * via the SAME [[graft.pipeline.TextAnalysis.bm25RankContrib]] the
+    * batch path uses. Gated by the batch text_bm25 oracle. */
+  def bm25Serve(spark: SparkSession, docsDf: DataFrame,
+      queries: Seq[(Long, String)], topK: Int, k1: Double,
+      b: Double): DataFrame = {
+    import spark.implicits._
+    val index = graft.pipeline.TextAnalysis.buildBm25Index(docsDf)
+    val ixDir = Files.createTempDirectory("graft_bm25_serve").toString
+    graft.sources.SearchIO.save(index, ixDir)
+    val loaded = graft.sources.SearchIO.load(spark, ixDir)
+    val qDf = queries.toDF("query_id", "query_text")
+    val qDir = Files.createTempDirectory("graft_bm25_q")
+    writeSingleParquet(qDf, qDir.resolve("00_queries.parquet"),
+      System.currentTimeMillis())
+    val qStream = spark.readStream.schema(qDf.schema).parquet(qDir.toString)
+    val contrib = graft.pipeline.TextAnalysis.bm25Contributions(
+      loaded, qStream, k1, b)
+    val qname = s"graft_replay_bm25_${counter.incrementAndGet()}"
+    val q = contrib.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    graft.pipeline.TextAnalysis.bm25RankContrib(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+      topK, loaded.idCol)
+  }
+
   /** Streamed JSONL ingestion — the staged JSONL corpus read back
     * through readStream.json with the PINNED schema (the Kafka-era
     * pipeline entry point: documents arrive as JSON lines), digested by
