@@ -2433,6 +2433,13 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), k = TopUsersK)
         .orderBy(col("event_type"), col("rk"))
     }),
+    // streaming: the per-type leaderboard as a Kappa split — watermarked
+    // daily (window, type, user) counts in-stream, window-sum + the
+    // batch rank at the sink; integer counts make the split exact
+    "events_topk_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.topUsers(s, dir, k = TopUsersK)
+        .orderBy(col("event_type"), col("rk"))
+    }),
     // daily active users (exact; approx_count_distinct is the scale path)
     "events_dau" -> ((s, dir) => {
       graft.pipeline.Temporal.activeUsers(
@@ -3094,6 +3101,7 @@ object SparkEntry {
     "events_range_join_stream" ->
       graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
+    "events_topk_stream" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
     // streaming replays are gated by the SAME oracle as their batch twins

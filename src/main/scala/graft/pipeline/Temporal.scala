@@ -400,9 +400,15 @@ object Temporal {
     * filter as WindowGroupLimit — partial top-k per map partition before
     * the per-type shuffle, so a hot event_type never gathers more than
     * k·partitions rows). Deterministic (user_id tie-break). */
-  def topUsers(events: DataFrame, k: Int): DataFrame = {
-    val counts = events.groupBy("event_type", "user_id")
-      .agg(count(lit(1)).as("n_events"))
+  def topUsers(events: DataFrame, k: Int): DataFrame =
+    topUsersFromCounts(events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events")), k)
+
+  /** The rank half of [[topUsers]] over a pre-aggregated
+    * [event_type, user_id, n_events] table — shared by the batch row
+    * and the streaming replay (which builds the counts as a watermarked
+    * windowed aggregation and sums windows at the sink). */
+  def topUsersFromCounts(counts: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("event_type")
       .orderBy(col("n_events").desc, col("user_id"))
     counts.withColumn("rk", row_number().over(w).cast("long"))

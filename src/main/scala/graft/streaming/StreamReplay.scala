@@ -737,6 +737,28 @@ object StreamReplay {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Streamed per-type top-k users — the Kappa split for a leaderboard:
+    * the corpus-sized counting runs IN the stream as a watermarked
+    * daily-window (window, type, user) aggregation (bounded state:
+    * windows expire past the watermark), and the sink sums a user's
+    * windows and ranks with the SAME
+    * [[graft.pipeline.Temporal.topUsersFromCounts]] as the batch row —
+    * integer counts, so the split is exact. Gated by the batch
+    * events_topk oracle. */
+  def topUsers(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val win = replay(spark, dir) { ev =>
+      ev.withColumn("ts", col("ts").cast(TimestampType))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+    }
+    graft.pipeline.Temporal.topUsersFromCounts(
+      win.where(col("user_id") >= 0)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("n")).as("n_events")), k)
+  }
+
   /** Streamed rolling z-score anomaly detection: the WATERMARKED
     * tumbling aggregation builds the per-type bucket series in the
     * stream (the corpus-sized pass — [[windowCounts]]' machinery), and
