@@ -1840,6 +1840,25 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("media_id"))
     }),
+    // streaming: image decode AT INGEST — the P6 decoder is a pure
+    // per-row JVM map, so the stream runs the batch operator unchanged
+    // over the staged feed (decode-on-arrival, the multimodal pipeline's
+    // entry point), under the batch multimodal_meta oracle
+    "multimodal_meta_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { stream =>
+        val hexs = concat(
+          md5(concat(lit("imgA"), col("doc_id").cast("string"))),
+          md5(concat(lit("imgB"), col("doc_id").cast("string"))))
+        val payload = concat(
+          encode(lit("P6\n4 2\n255\n"), "UTF-8"),
+          unhex(substring(hexs, 1, 48)))
+        graft.pipeline.Multimodal.imageMeta(stream.select(
+          col("doc_id").cast("long").as("media_id"), payload.as("payload")))
+      }
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"))
+    }),
     // multimodal: decode → NEAREST-NEIGHBOR RESIZE → report, the
     // thumbnail step of a multimodal training pipeline — integer index
     // math (sx = x·sw/dw) makes the pixel selection engine-replayable,
@@ -2869,6 +2888,7 @@ object SparkEntry {
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
     "multimodal_meta" -> graft.pipeline.PipelineSql.multimodalMeta,
+    "multimodal_meta_stream" -> graft.pipeline.PipelineSql.multimodalMeta,
     "multimodal_resize" -> graft.pipeline.PipelineSql.multimodalResize,
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,

@@ -257,6 +257,23 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Run a STATELESS op over the staged document stream and return the
+    * sink contents — the generic narrow-map replay for per-row gates
+    * (decode, classify, chunk): no watermark, no state store, the op
+    * must be expressible on an unbounded stream. */
+  def mapDocs(spark: SparkSession, dir: String)
+      (op: DataFrame => DataFrame): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_map_${counter.incrementAndGet()}"
+    val q = op(stream).writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed language ID — the stopword-vote classifier as an
     * ingest-time gate: a pure per-row expression (no state, no
     * shuffle), so the streaming form IS the batch operator applied to
