@@ -880,6 +880,16 @@ object SparkEntry {
           col("cooc_df").cast("double").as("cooc_df"))
         .orderBy(col("token_a"), col("token_b"))
     }),
+    // §2.7 the windowed cooc gather AS A STREAM (Kappa: the per-doc
+    // pair fold runs at arrival via the SAME docPairTfs as batch, the
+    // sink finishes tf/df; exact because in-doc tfs are small integers)
+    "cooc_window_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.coocGather(s, dir, windowWidth = 3)
+        .select(col("token_a"), col("token_b"),
+          col("cooc_tf").cast("double").as("cooc_tf"),
+          col("cooc_df").cast("double").as("cooc_df"))
+        .orderBy(col("token_a"), col("token_b"))
+    }),
     // §2.7 PPMI over the symmetrized cooc table (tf mode)
     "cooc_ppmi" -> ((s, dir) => {
       val corpus = Corpus.fromDocumentsTablePositional(docs(s, dir))
@@ -2964,6 +2974,23 @@ object SparkEntry {
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "cooc_window" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+        |         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents WHERE trim(text) <> ''
+        |), pairs AS (
+        |  SELECT a.doc_id,
+        |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+        |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+        |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |)
+        |SELECT token_a, token_b, CAST(sum(tf) AS DOUBLE) AS cooc_tf,
+        |       CAST(count(DISTINCT doc_id) AS DOUBLE) AS cooc_df
+        |FROM pairs GROUP BY token_a, token_b ORDER BY token_a, token_b""".stripMargin,
+    "cooc_window_stream" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,

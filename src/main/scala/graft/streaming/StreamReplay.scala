@@ -503,6 +503,36 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema))
   }
 
+  /** Streamed WINDOWED CO-OCCURRENCE GATHER — the reference's
+    * parse-time cooc collection (core/collection_parser.cc:658-725) as
+    * a Kappa split: each arriving doc emits its per-doc pair tfs (the
+    * SAME [[graft.operators.Cooc.docPairTfs]] fold the batch gather
+    * runs — a narrow stateless map), and the sink finishes
+    * cooc_tf = Σtf / cooc_df = doc-row count. In-doc tfs are small
+    * integers, so the two-level float sum is exact and the stream is
+    * gated by the batch cooc_window SQL. */
+  def coocGather(spark: SparkSession, dir: String,
+      windowWidth: Int): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val perDoc = graft.sources.Corpus.fromDocumentsTablePositional(stream)
+      .flatMap { doc =>
+        graft.operators.Cooc.docPairTfs(doc, windowWidth, symmetric = true)
+          .map { case ((c, a, b), tf) => (c, a, b, tf) }
+      }.toDF("class_id", "token_a", "token_b", "tf")
+    val qname = s"graft_replay_cooc_${counter.incrementAndGet()}"
+    val q = perDoc.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .groupBy(col("class_id"), col("token_a"), col("token_b"))
+      .agg(sum(col("tf")).cast("float").as("cooc_tf"),
+        count(lit(1)).cast("float").as("cooc_df"))
+  }
+
   /** Streamed corpus statistics — the Kappa split for the data-card
     * numbers: the per-document token counting (a pure narrow map) runs
     * in the stream, and the per-source rollup is the SAME
