@@ -1201,6 +1201,21 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: the quality gate at ingest — pure per-row ratios, the
+    // batch operator unchanged over the staged stream, same SQL
+    "text_quality_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(
+          graft.pipeline.TextAnalysis.qualityScore(_))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars_q").cast("long").as("n_chars_q"),
+          col("n_tokens_q").cast("long").as("n_tokens_q"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("repetition_ratio"), 6).as("repetition_ratio"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: char-n-gram PROFILE language ID (the other classic
     // langid besides the stopword heuristic): per-language trigram
     // profiles trained from the corpus's own lang labels, docs scored
@@ -2371,6 +2386,20 @@ object SparkEntry {
           col("df").cast("double").as("df"))
         .orderBy(col("token"))
     }),
+    // streaming: ingest → streamed gather → FILTER — the reference's
+    // dictionary-build chain on a live feed; the bounded dictionary
+    // table filters at the sink with the batch operator, the doc count
+    // scalar comes from a second narrow count of the same stream
+    "dict_filter_stream" -> ((s, dir) => {
+      val d = graft.streaming.StreamReplay.dictGather(s, dir)
+      val n = graft.streaming.StreamReplay.mapDocs(s, dir)(
+        _.select(col("doc_id"))).count()
+      DictionaryOps.filter(d, n, DictionaryOps.FilterArgs(
+          minDf = Some(5.0f), maxDfRate = Some(0.8f), minTf = Some(10.0f)))
+        .select(col("token"), col("tf").cast("double").as("tf"),
+          col("df").cast("double").as("df"))
+        .orderBy(col("token"))
+    }),
     // Temporal analytics over the events log (ts = epoch-nanos long via
     // nanosAsLong — all integer arithmetic; see Temporal class doc).
     // Batch counterparts of streaming/StreamingFit's windows + sessions.
@@ -2600,6 +2629,14 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), factor = HeavyHitterFactor)
         .orderBy(col("event_type"), col("user_id"))
     }),
+    // streaming: heavy hitters as the same Kappa split as the topk
+    // leaderboard — windowed counts in-stream, scale-free threshold at
+    // the sink via the shared batch code
+    "events_heavy_hitters_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.heavyHitters(s, dir,
+          factor = HeavyHitterFactor)
+        .orderBy(col("event_type"), col("user_id"))
+    }),
     // bucketized range join: click↔purchase pairs within ±10min, same
     // user — equi-join on (user, bucket) + exact filter, no band join
     "events_range_join" -> ((s, dir) => {
@@ -2787,6 +2824,8 @@ object SparkEntry {
       KnnGraphK, BfsSeeds, BfsMaxHops, SemCells, 4, PqSubspaces,
       PqCentroids, AnnSample, dim = 64, refine = KnnRefine),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "text_quality_stream" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_clean_stream" -> graft.pipeline.PipelineSql.textCleanStream(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
@@ -3130,6 +3169,18 @@ object SparkEntry {
         |SELECT token, tf, df FROM grouped, n
         |WHERE df >= 5.0 AND df < 0.8 * num_docs AND tf >= 10.0
         |ORDER BY token""".stripMargin,
+    "dict_filter_stream" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), grouped AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tok WHERE token <> '' GROUP BY token
+        |), n AS (SELECT count(*) AS num_docs FROM documents)
+        |SELECT token, tf, df FROM grouped, n
+        |WHERE df >= 5.0 AND df < 0.8 * num_docs AND tf >= 10.0
+        |ORDER BY token""".stripMargin,
     "events_sessionize" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
     "events_asof" -> graft.pipeline.TemporalSql.asofPurchaseView,
     "events_asof_stream" -> graft.pipeline.TemporalSql.asofPurchaseView,
@@ -3160,6 +3211,8 @@ object SparkEntry {
       WindowWidthNs, HopSlideNs),
     "events_resample" -> graft.pipeline.TemporalSql.resample(WindowWidthNs),
     "events_heavy_hitters" -> graft.pipeline.TemporalSql.heavyHitters(
+      HeavyHitterFactor),
+    "events_heavy_hitters_stream" -> graft.pipeline.TemporalSql.heavyHitters(
       HeavyHitterFactor),
     "events_ohlc" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),

@@ -522,9 +522,15 @@ object Temporal {
     * integer products (cast to double only for the factor multiply),
     * so no cross-engine division drift. Returns
     * [event_type, user_id, n_events, share]. */
-  def heavyHitters(events: DataFrame, factor: Double = 1.5): DataFrame = {
-    val counts = events.groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+  def heavyHitters(events: DataFrame, factor: Double = 1.5): DataFrame =
+    heavyHittersFromCounts(events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events")), factor)
+
+  /** The threshold half of [[heavyHitters]] over a pre-aggregated
+    * [event_type, user_id, n_events] table — shared by the batch row
+    * and the streaming replay ([[topUsersFromCounts]] pattern). */
+  def heavyHittersFromCounts(counts: DataFrame,
+      factor: Double): DataFrame = {
     val totals = counts.groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_users"))
     counts.join(broadcast(totals), Seq("event_type"))

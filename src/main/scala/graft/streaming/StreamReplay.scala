@@ -806,6 +806,27 @@ object StreamReplay {
         .agg(sum(col("n")).as("n_events")), k)
   }
 
+  /** Streamed heavy-hitter detection — the same Kappa split as
+    * [[topUsers]] (watermarked daily (window, type, user) counts
+    * in-stream, bounded state), with the sink summing windows and
+    * applying the SAME scale-free threshold
+    * ([[graft.pipeline.Temporal.heavyHittersFromCounts]]) as the batch
+    * row. Integer counts ⇒ the split is exact. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      factor: Double): DataFrame = {
+    val win = replay(spark, dir) { ev =>
+      ev.withColumn("ts", col("ts").cast(TimestampType))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+    }
+    graft.pipeline.Temporal.heavyHittersFromCounts(
+      win.where(col("user_id") >= 0)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("n")).as("n_events")), factor)
+  }
+
   /** Streamed rolling z-score anomaly detection: the WATERMARKED
     * tumbling aggregation builds the per-type bucket series in the
     * stream (the corpus-sized pass — [[windowCounts]]' machinery), and
