@@ -261,4 +261,31 @@ class PlanAssertSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"containment lost the keyed equi-join:\n$p")
   }
+
+  test("duplicatedSpans candidate join is keyed on the gram hash, no all-pairs") {
+    val p = executedPlan(Dedup.duplicatedSpans(docsDF, k = 3,
+      minSpanTokens = 3, maxDocFreq = 50))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      s"duplicatedSpans planned an all-pairs join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"duplicatedSpans lost the keyed equi-join:\n$p")
+  }
+
+  test("auc windows over the distinct-score table, never the corpus") {
+    // the only Window operator must sit ABOVE the (metric, score)
+    // aggregate — i.e. its input is the grouped table, not raw rows
+    val d = docsDF.select(
+      when(col("source") === "src0", 1L).otherwise(0L).as("y"),
+      col("doc_id").as("s1"))
+    val p = executedPlan(Regression.auc(d, "y", Seq("s1")))
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"auc lost its prefix-sum window:\n$p")
+    // children print below their parent: the window's input must contain
+    // the (metric, score) HashAggregate rollup
+    assert(lines.drop(wIdx + 1).exists(_.contains("HashAggregate")),
+      s"auc window runs over raw rows, not the distinct-score rollup:\n$p")
+  }
 }

@@ -291,6 +291,40 @@ object ScaleCheck {
         entry("embed_quantize (SQ stats+codes)") {
           graft.pipeline.Ann.scalarQuantize(embR).count()
         },
+        entry("dedup_substring (span coalesce)") {
+          // replica-decorrelated grams (the containment/winnow fixture
+          // reasoning): raw replication leaves replicas gram-identical
+          // and span-pair OUTPUT grows r² by data construction
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          graft.pipeline.Dedup.duplicatedSpans(decorrelated, k = 4,
+            minSpanTokens = 6, maxDocFreq = 8).count()
+        },
+        entry("text_lm_trigram (held-out backoff)") {
+          graft.pipeline.TextAnalysis.lmPerplexityTrigram(docsR).count()
+        },
+        entry("embed_silhouette (centroid pass)") {
+          graft.pipeline.Ann.silhouetteReport(embR, k = 8, iters = 1).count()
+        },
+        entry("ml_auc (distinct-score window)") {
+          graft.pipeline.Regression.auc(
+            docsR.select(
+              when(col("source") === "src0", 1L).otherwise(0L).as("y"),
+              col("n_chars").cast("long").as("n_chars"),
+              size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+                .as("n_tokens")),
+            "y", Seq("n_chars", "n_tokens")).count()
+        },
+        entry("graph_label_prop (4 sync rounds)") {
+          // synthetic 64-node chain segments, edges ∝ corpus rows (the
+          // dedup_clusters fixture): isolates the per-round shuffles
+          val edges = spark.range(n)
+            .filter(col("id") % 64 =!= 63)
+            .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          graft.pipeline.Graph.labelPropagation(edges, rounds = 4).count()
+        },
         entry("sample_shard (per-shard windows)") {
           graft.pipeline.Sampling.shardShuffle(docsR, "doc_id", 64).count()
         },
