@@ -1234,6 +1234,22 @@ object SparkEntry {
           col("lang_pred"), col("lang_hits").cast("long").as("lang_hits"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: PII redaction at ingest — narrow regex scrub over the
+    // planted stream, batch operator unchanged, same SQL
+    "text_pii_scrub_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { stream =>
+        val planted = stream.withColumn("text2",
+          when(col("doc_id") % PiiPlantMod === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or https://example.com/u/"),
+              col("doc_id").cast("string"), lit(" now")))
+            .otherwise(col("text")))
+        graft.pipeline.TextAnalysis.piiScrub(planted, "text2")
+      }
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_emails"),
+          col("n_urls"), md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // streaming: language ID at ingest — a pure per-row expression, so
     // the stream runs the batch operator unchanged under the same SQL
     "text_lang_id_stream" -> ((s, dir) => {
@@ -2090,6 +2106,15 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: deterministic source mixing AT INGEST — mixSources is
+    // a pure narrow hash filter, unchanged on the stream, same SQL
+    "sample_mix_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(
+          graft.pipeline.Sampling.mixSources(_, "source", MixRates,
+            "doc_id", SampleSalt))
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     // sources: JSONL ingest round-trip — the LLM corpus wire format
     // (Pile/RedPajama/Dolma ship JSONL). The driver table is staged to
     // JSONL once (memoized) and read back SCHEMA-PINNED (no inference
@@ -2935,6 +2960,7 @@ object SparkEntry {
       0.3, BoilerN, FacadeBoilerMinDocs, MixRates, SampleSalt, PackBudget,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_pii_scrub" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
+    "text_pii_scrub_stream" -> graft.pipeline.PipelineSql.textPiiScrub(PiiPlantMod),
     "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
     "multimodal_meta" -> graft.pipeline.PipelineSql.multimodalMeta,
     "multimodal_meta_stream" -> graft.pipeline.PipelineSql.multimodalMeta,
@@ -2949,6 +2975,7 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords),
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),
     "sample_mix" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
+    "sample_mix_stream" -> graft.pipeline.PipelineSql.sampleMix(MixRates, SampleSalt),
     "sample_temperature" -> graft.pipeline.PipelineSql.sampleTemperature(
       0.5, SampleSalt),
     // digest of the ORIGINAL parquet — the Spark side reads the staged
