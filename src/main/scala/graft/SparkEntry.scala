@@ -2129,6 +2129,22 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // sources: Hive-style PARTITIONED layout round-trip — write the
+    // corpus partitioned by source, read back with a partition filter
+    // (prunes at file-LISTING time: zero bytes from excluded
+    // partitions); digest of the surviving rows vs the original
+    "ingest_partitioned" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part").toString
+      graft.sources.Bucketing.writePartitioned(
+        s.read.parquet(s"$dir/documents.parquet"), path, "source")
+      graft.sources.Bucketing.readPartitioned(s, path)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // CSV twin of ingest_jsonl: headered RFC-4180 staging, schema-pinned
     // read, same original-parquet digest oracle
     "ingest_csv" -> ((s, dir) => {
@@ -2988,6 +3004,11 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_partitioned" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE source IN ('src0', 'src1')
+        |ORDER BY doc_id""".stripMargin,
     // per-(doc, token) counts recomputed from the ORIGINAL parquet with
     // the standard tokenization — the Spark side reads the staged VW/UCI
     // text, so equality IS the stage→parse round-trip fidelity check

@@ -33,4 +33,23 @@ object Bucketing {
     * partitioning — joins/aggs on `key` skip their Exchange). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-style PARTITIONED layout — the other storage-level pruning
+    * lever: one directory per partition value, so a filter on the
+    * partition column prunes at FILE LISTING time (the scan's
+    * PartitionFilters — zero bytes read from excluded partitions,
+    * where an ordinary column filter still scans every file's
+    * footers). The layout for the dominant access dimension of a
+    * 100 TB corpus store (source, date, language); combine with
+    * [[writeBucketed]] when the partition interior also joins on a
+    * key. Partition values ride in directory names, not data files —
+    * keep them low-cardinality and path-safe. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** The partitioned layout back; filters on the partition column
+    * prune directories before any file is opened. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

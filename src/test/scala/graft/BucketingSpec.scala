@@ -53,4 +53,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_scores")
     }
   }
+
+  test("partitioned layout prunes excluded partitions at listing time") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("partd").toString
+    val docsDf = (0L until 400L).map(i => (i, s"text $i", s"src${i % 8}"))
+      .toDF("doc_id", "text", "source")
+    Bucketing.writePartitioned(docsDf, path, "source")
+    val filtered = Bucketing.readPartitioned(spark, path)
+      .filter(col("source").isin("src0", "src1"))
+    assert(filtered.count() === 100L)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the plan"))
+    assert(scan.metadata("PartitionFilters").contains("source"),
+      s"filter did not reach PartitionFilters: ${scan.metadata}")
+    // the listing itself is pruned: 2 of 8 directories survive
+    val listed = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(listed.map(_.values).length === 2,
+      s"expected 2 pruned partitions, got ${listed.length}")
+    assert(listed.flatMap(_.files).forall { f =>
+      val p = f.getPath.toString
+      p.contains("source=src0") || p.contains("source=src1")
+    }, "pruned listing still contains excluded partitions")
+  }
 }
