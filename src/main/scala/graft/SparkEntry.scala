@@ -2639,6 +2639,18 @@ object SparkEntry {
       graft.pipeline.Temporal.sessionStats(
         graft.pipeline.Temporal.readEvents(s, dir), gapNs = SessionGapNs)
     }),
+    // streaming: resample as a Kappa split — watermarked tumbling agg
+    // in-stream, the spine/gap-fill over the bounded bucket table at
+    // the sink; per-window sums are the batch-rounded values
+    "events_resample_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.resample(s, dir, widthNs = WindowWidthNs)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    // streaming: session stats over the STREAMED sessions — the
+    // stateful sessionize replay feeds the shared batch aggregate
+    "events_session_stats_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.sessionStats(s, dir, gapNs = SessionGapNs)
+    }),
     // running/cumulative window family: per-user lifetime event count +
     // running value total at every event (LTV curve); one user_id
     // shuffle, single ordered pass, DECIMAL running sum (association-
@@ -3271,6 +3283,9 @@ object SparkEntry {
     "events_cumulative_stream" -> graft.pipeline.TemporalSql.cumulative,
     "events_markov_stream" -> graft.pipeline.TemporalSql.markovTransitions,
     "events_session_stats" -> graft.pipeline.TemporalSql.sessionStats(
+      SessionGapNs),
+    "events_resample_stream" -> graft.pipeline.TemporalSql.resample(WindowWidthNs),
+    "events_session_stats_stream" -> graft.pipeline.TemporalSql.sessionStats(
       SessionGapNs),
     "events_anomaly" -> graft.pipeline.TemporalSql.anomalies(
       WindowWidthNs, AnomalyLookback, AnomalyZ),

@@ -115,9 +115,17 @@ object Temporal {
     * p50_duration_s, p90_duration_s]. */
   def sessionStats(events: DataFrame, gapNs: Long = 30 * NsPerMinute): DataFrame = {
     val dur = col("session_end") - col("session_start")
-    val d = sessionize(events, gapNs).select(col("user_id"), col("n_events"),
-      ((dur - pmod(dur, lit(NsPerSecond))) / lit(NsPerSecond))
-        .cast("long").as("dur_s"))
+    sessionStatsFromSessions(
+      sessionize(events, gapNs).select(col("user_id"), col("n_events"),
+        ((dur - pmod(dur, lit(NsPerSecond))) / lit(NsPerSecond))
+          .cast("long").as("dur_s")))
+  }
+
+  /** The aggregate half of [[sessionStats]] over a per-session
+    * [user_id, n_events, dur_s] table — shared by the batch row and the
+    * streaming replay (whole-second integer durations keep every mean
+    * and percentile engine-exact). */
+  def sessionStatsFromSessions(d: DataFrame): DataFrame = {
     d.agg(
       count(lit(1)).as("n_sessions"),
       countDistinct(col("user_id")).as("n_users"),
@@ -202,8 +210,14 @@ object Temporal {
     * the distinct type set; the left join back to the agg is between two
     * bounded tables (AQE broadcasts whichever fits). Zero rows never
     * touch the corpus-sized path. */
-  def resample(events: DataFrame, bucketNs: Long = NsPerHour): DataFrame = {
-    val agg = tumblingAgg(events, bucketNs)
+  def resample(events: DataFrame, bucketNs: Long = NsPerHour): DataFrame =
+    resampleFromAgg(tumblingAgg(events, bucketNs), bucketNs)
+
+  /** The gap-fill half of [[resample]] over a pre-aggregated
+    * [window_start, event_type, n_events, sum_value] bucket table —
+    * shared by the batch row and the streaming replay. */
+  def resampleFromAgg(agg0: DataFrame, bucketNs: Long): DataFrame = {
+    val agg = agg0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = agg.agg(min("window_start").as("lo"), max("window_start").as("hi"))
     val spine = bounds

@@ -806,6 +806,31 @@ object StreamReplay {
         .agg(sum(col("n")).as("n_events")), k)
   }
 
+  /** Streamed gap-filled resample — the [[windowCounts]] watermarked
+    * tumbling aggregation in the stream, the
+    * [[graft.pipeline.Temporal.resampleFromAgg]] spine/gap-fill over
+    * the bounded bucket table at the sink (per-window sums are already
+    * the batch-rounded values, so the split is exact). */
+  def resample(spark: SparkSession, dir: String, widthNs: Long): DataFrame =
+    graft.pipeline.Temporal.resampleFromAgg(
+      windowCounts(spark, dir, widthNs), widthNs)
+
+  /** Streamed session health report — the stateful [[sessionize]]
+    * replay produces the closed sessions, and the sink runs the SAME
+    * [[graft.pipeline.Temporal.sessionStatsFromSessions]] aggregate as
+    * the batch row (whole-second integer durations keep every mean and
+    * percentile engine-exact). */
+  def sessionStats(spark: SparkSession, dir: String,
+      gapNs: Long): DataFrame = {
+    val sess = sessionize(spark, dir, gapNs)
+    val dur = col("session_end") - col("session_start")
+    graft.pipeline.Temporal.sessionStatsFromSessions(
+      sess.select(col("user_id"), col("n_events"),
+        ((dur - pmod(dur, lit(graft.pipeline.Temporal.NsPerSecond)))
+          / lit(graft.pipeline.Temporal.NsPerSecond))
+          .cast("long").as("dur_s")))
+  }
+
   /** Streamed heavy-hitter detection — the same Kappa split as
     * [[topUsers]] (watermarked daily (window, type, user) counts
     * in-stream, bounded state), with the sink summing windows and
