@@ -2743,6 +2743,16 @@ object SparkEntry {
           labelCol = "source")
         .orderBy(col("label"))
     }),
+    // streaming: classifier evaluation over the STREAMED predictions —
+    // the NB serve's output feeds the same confusionReport as the batch
+    // row (the monitoring loop: serve on a stream, score the served
+    // predictions), under the ml_confusion oracle
+    "ml_confusion_stream" -> ((s, dir) => {
+      graft.pipeline.Classify.confusionReport(
+          graft.streaming.StreamReplay.classifyDocs(s, dir),
+          labelCol = "source")
+        .orderBy(col("label"))
+    }),
     // streaming NB inference: the train-batch / score-stream serving
     // shape — model broadcast as literals, stateless per-row fold (no
     // state store), gated by the SAME SQL as the batch classify_nb row
@@ -3295,6 +3305,7 @@ object SparkEntry {
       graft.pipeline.Temporal.NsPerDay),
     "classify_nb" -> graft.pipeline.PipelineSql.naiveBayes("source"),
     "ml_confusion" -> graft.pipeline.PipelineSql.mlConfusion("source"),
+    "ml_confusion_stream" -> graft.pipeline.PipelineSql.mlConfusion("source"),
     "classify_nb_stream" -> graft.pipeline.PipelineSql.naiveBayes("source"),
     "text_lang_ngram" -> graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
