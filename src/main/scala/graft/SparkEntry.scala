@@ -1216,6 +1216,19 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: the data-card release report from a LIVE feed — the
+    // per-doc signal projection runs in the stream (narrow), the
+    // four-way rollup at the sink via the SHARED dataCardFromPerDoc
+    "report_datacard_stream" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.dataCardFromPerDoc(
+          graft.streaming.StreamReplay.mapDocs(s, dir)(
+            graft.pipeline.TextAnalysis.dataCardPerDoc(_)))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"), col("mean_tokens"), col("p50_tokens"),
+          col("p90_tokens"), col("distinct_tokens"), col("mean_quality"),
+          col("top_lang"))
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: char-n-gram PROFILE language ID (the other classic
     // langid besides the stopword heuristic): per-language trigram
     // profiles trained from the corpus's own lang labels, docs scored
@@ -3009,6 +3022,9 @@ object SparkEntry {
     "corpus_stats_stream" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,
     "report_datacard" -> graft.pipeline.PipelineSql.dataCard(
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
+      graft.pipeline.TextAnalysis.defaultStopwords),
+    "report_datacard_stream" -> graft.pipeline.PipelineSql.dataCard(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
       graft.pipeline.TextAnalysis.defaultStopwords),
     "sample_hash" -> graft.pipeline.PipelineSql.sampleHash(SampleRate, SampleSalt),

@@ -406,17 +406,42 @@ object TextAnalysis {
     * distinct_tokens, mean_quality, top_lang]. */
   def dataCard(df: DataFrame, sourceCol: String = "source",
       textCol: String = "text",
+      stopwords: Map[String, Seq[String]] = defaultStopwords): DataFrame =
+    dataCardFromPerDoc(dataCardPerDoc(df, sourceCol, textCol, stopwords),
+      sourceCol)
+
+  /** The per-DOCUMENT half of [[dataCard]] — one narrow projection per
+    * doc carrying every signal the rollup needs (token count, rounded
+    * quality, predicted language, the doc's distinct token set). Pure
+    * column-preserving chain, so the same code runs on a stream; the
+    * per-doc distinct token arrays make the vocabulary size computable
+    * at the sink (union of per-doc distincts = corpus distincts). */
+  def dataCardPerDoc(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text",
       stopwords: Map[String, Seq[String]] = defaultStopwords): DataFrame = {
+    val chained = languageId(
+      qualityScore(tokenCounts(df, textCol), textCol), textCol, stopwords)
+    chained.select(col(sourceCol), col("ws_tokens"),
+      round(col("quality"), 6).as("quality6"), col("lang_pred"),
+      filter(array_distinct(tokensCol(col(textCol))), t => t =!= "")
+        .as("dtoks"))
+  }
+
+  /** The rollup half of [[dataCard]] over the per-doc table — four
+    * map-side-combined aggregations joined on the source key, shared by
+    * the batch row and the streaming replay. */
+  def dataCardFromPerDoc(perDoc: DataFrame,
+      sourceCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cs = corpusStats(tokenCounts(df, textCol), sourceCol, exact = true)
-    val vs = vocabStats(df, sourceCol, textCol, exact = true)
-      .select(col(sourceCol), col("distinct_tokens"))
-    val q = qualityScore(df, textCol)
+    val cs = corpusStats(perDoc, sourceCol, exact = true)
+    val vs = perDoc.select(col(sourceCol), explode(col("dtoks")).as("tok"))
       .groupBy(col(sourceCol))
+      .agg(count_distinct(col("tok")).cast("long").as("distinct_tokens"))
+    val q = perDoc.groupBy(col(sourceCol))
       .agg(round(
-        sum(round(col("quality"), 6).cast("decimal(18,6)")).cast("double") /
+        sum(col("quality6").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("mean_quality"))
-    val lpc = languageId(df, textCol, stopwords)
+    val lpc = perDoc
       .groupBy(col(sourceCol), col("lang_pred")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("cnt").desc, col("lang_pred"))
