@@ -2183,6 +2183,13 @@ object SparkEntry {
         .toDF("doc_id", "token", "tf")
         .orderBy(col("doc_id"), col("token"))
     }),
+    // streaming: the reference's VW format ingested LIVE — the staged
+    // lines as a text stream through the SAME parseLine; legal because
+    // doc identity rides titles, never line order
+    "ingest_vw_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.ingestVw(s, vwStagePath(s, dir))
+        .orderBy(col("doc_id"), col("token"))
+    }),
     // sources: UCI bag-of-words twin — docword triples + order-bearing
     // vocab staged by UciReader.write, read back through the broadcast-
     // vocab triple scan (reference collection_parser.cc:99-372), same
@@ -3051,6 +3058,13 @@ object SparkEntry {
     // the standard tokenization — the Spark side reads the staged VW/UCI
     // text, so equality IS the stage→parse round-trip fidelity check
     "ingest_vw" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, token""".stripMargin,
+    "ingest_vw_stream" ->
       """WITH tok AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -325,6 +325,30 @@ object StreamReplay {
       topK, loaded.idCol)
   }
 
+  /** Streamed VW ingestion — the reference's primary text format read
+    * LIVE: staged VowpalWabbit lines arrive as a text stream and each
+    * parses through the SAME [[graft.sources.VwReader.parseLine]] as
+    * the batch reader (doc identity rides the title, never line order —
+    * which is also why the streaming form is legal: a file stream has
+    * no stable global line numbering). Returns the per-(doc, token)
+    * digest rows, gated by the batch ingest_vw oracle. */
+  def ingestVw(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val parsed = spark.readStream.text(path).as[String]
+      .map(l => graft.sources.VwReader.parseLine(l, -1L))
+      .filter(_ != null)
+      .flatMap(d => d.tokens.iterator.map(t =>
+        (d.title.substring(1).toLong, t.token, t.weight.toDouble.toLong)))
+      .toDF("doc_id", "token", "tf")
+    val qname = s"graft_replay_vw_${counter.incrementAndGet()}"
+    val q = parsed.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qname)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed JSONL ingestion — the staged JSONL corpus read back
     * through readStream.json with the PINNED schema (the Kafka-era
     * pipeline entry point: documents arrive as JSON lines), digested by
