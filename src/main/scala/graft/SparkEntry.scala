@@ -792,6 +792,25 @@ object SparkEntry {
         .select(col("group").as("topic"), round(col("coherence"), 6).as("coherence"))
         .orderBy(col("topic"))
     }),
+    // §2.6 coherence over a STREAMED cooc table — the dictionary/cooc
+    // half of the score arrives live (the Kappa cooc gather), the
+    // batch-trained top tokens and the same topicCoherence finish at
+    // the sink; same artm_coherence oracle
+    "artm_coherence_stream" -> ((s, dir) => {
+      val top = relFit(s, dir).pwt
+        .withColumn("p6", round(col("p"), 6))
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy(col("topic")).orderBy(col("p6").desc, col("token"))))
+        .filter(col("rank") <= TopK)
+        .select(lit(graft.functions.Rng.DefaultClass).as("class_id"),
+          col("topic").as("group"), col("token"))
+      val coocStream = Cooc.symmetrize(
+        graft.streaming.StreamReplay.coocGather(s, dir,
+          windowWidth = CoocWindow))
+      DictionaryOps.topicCoherence(top, coocStream)
+        .select(col("group").as("topic"), round(col("coherence"), 6).as("coherence"))
+        .orderBy(col("topic"))
+    }),
     // §2.6 ThetaSnippet — inference theta of the first docs (from the
     // shared memoized transform pass; zero extra fit cost)
     "artm_theta_snippet" -> ((s, dir) => {
@@ -2846,6 +2865,8 @@ object SparkEntry {
     "artm_topic_kernel_score" -> RelationalEmSql.topicKernelScore(T, Passes, KernelThreshold),
     "artm_background_tokens" -> RelationalEmSql.backgroundTokens(T, Passes, BgDelta),
     "artm_coherence" -> RelationalEmSql.topTokensCoherence(T, Passes, TopK, CoocWindow),
+    "artm_coherence_stream" ->
+      RelationalEmSql.topTokensCoherence(T, Passes, TopK, CoocWindow),
     "artm_theta_snippet" -> RelationalEmSql.thetaSnippet(T, Passes, SnippetDocs),
     "artm_doc_perplexity" -> RelationalEmSql.docPerplexity(T, Passes),
     "artm_transform_kernel" ->
