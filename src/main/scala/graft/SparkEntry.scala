@@ -1259,6 +1259,19 @@ object SparkEntry {
           col("pred"), col("margin"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: the n-gram-profile language ID SERVED — char-trigram
+    // NB model trains in batch (trainNbModelNgram), arriving docs score
+    // in one stateless broadcast-model pass; same SQL as the batch row
+    "text_lang_ngram_stream" -> ((s, dir) => {
+      val model = graft.pipeline.Classify.trainNbModelNgram(
+        docs(s, dir), n = 3, labelCol = "lang")
+      graft.streaming.StreamReplay.mapDocs(s, dir)(st =>
+          graft.streaming.StreamingPipeline.classifyNgramStream(
+            st, model, n = 3, labelCol = "lang"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("pred"), col("margin"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: stopword-hit language ID
     "text_lang_id" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.languageId(docs(s, dir))
@@ -3359,6 +3372,8 @@ object SparkEntry {
     "ml_confusion_stream" -> graft.pipeline.PipelineSql.mlConfusion("source"),
     "classify_nb_stream" -> graft.pipeline.PipelineSql.naiveBayes("source"),
     "text_lang_ngram" -> graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
+    "text_lang_ngram_stream" ->
+      graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
   )
 }

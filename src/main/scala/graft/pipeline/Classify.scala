@@ -114,6 +114,35 @@ object Classify {
       .filter(col("t") =!= "")
       .groupBy(col(idCol), col("__lbl"), col("t"))
       .agg(count(lit(1)).as("n"))
+    nbModelFromDocTok(docTok, idCol)
+  }
+
+  /** [[trainNbModel]] over CHAR N-GRAM features — the
+    * [[graft.pipeline.TextAnalysis.languageIdNgram]] feature space as a
+    * broadcastable serving artifact (the train-batch half of streamed
+    * n-gram language ID). Same normalization and substr gram spans as
+    * the batch scorer. */
+  def trainNbModelNgram(df: DataFrame, n: Int, labelCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id"): NbModel = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val base = df
+      .select(col(idCol), col(labelCol).as("__lbl"), norm.as("nt"))
+      .filter(length(col("nt")) >= n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.select(col(idCol), col("__lbl"),
+      explode(transform(sequence(lit(1), length(col("nt")) - (n - 1)),
+        i => col("nt").substr(i, lit(n)))).as("t"))
+    val docTok = grams.groupBy(col(idCol), col("__lbl"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val m = nbModelFromDocTok(docTok, idCol)
+    base.unpersist(false)
+    m
+  }
+
+  /** The driver-side model assembly shared by the word- and n-gram
+    * trainers (same counts as [[naiveBayes]]; constants use the same
+    * Math.log the codegen'd scoring uses). */
+  private def nbModelFromDocTok(docTok: DataFrame, idCol: String): NbModel = {
     val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
       .agg(sum("n").as("c_st")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -292,6 +292,67 @@ object StreamingPipeline {
       .toDF("doc_id", labelCol, "pred", "margin")
   }
 
+  /** Streaming CHAR-N-GRAM language ID — [[classifyStream]]'s serving
+    * split over the n-gram-profile model: the broadcast
+    * [[graft.pipeline.Classify.NbModel]] trained on char n-grams scores
+    * each arriving doc in one stateless pass. Normalization replicates
+    * the batch `regexp_replace(trim(lower(text)), "\s+", " ")` exactly
+    * (UTF8String lowercase, 0x20-only trim), and gram spans slice by
+    * CODE POINT — the semantics of Spark's `substr`/`length` on
+    * UTF8String, NOT Java's UTF-16 indexing, so astral-plane text grams
+    * identically to the batch scorer. Docs with fewer than n normalized
+    * chars emit nothing (the batch contract). Returns
+    * [doc_id, labelCol, pred, margin]. */
+  def classifyNgramStream(stream: DataFrame,
+      model: graft.pipeline.Classify.NbModel, n: Int,
+      labelCol: String = "lang"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round3(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+    def sparkTrim(s: String): String = {
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    stream
+      .select(col("doc_id").cast("long"), col(labelCol).cast("string"),
+        col("text").cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val cls = bc.value.classes.toArray
+        it.flatMap { case (id, lbl, text) =>
+          val norm = sparkTrim(org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString)
+            .replaceAll("\\s+", " ")
+          val cps = norm.codePoints().toArray
+          if (cps.length < n) None
+          else {
+            val nGrams = cps.length - n + 1
+            val scored = cls.map { c =>
+              var tokSum = 0.0
+              var i = 0
+              while (i < nGrams) {
+                tokSum += c.lnCounts.getOrElse(new String(cps, i, n), 0.0)
+                i += 1
+              }
+              val raw = c.lnPrior - nGrams.toDouble * c.lnDenom + tokSum
+              (-round6(raw), c.cls, raw)
+            }.sortBy(t => (t._1, t._2, t._3))
+            val margin: java.lang.Double =
+              if (scored.length > 1) round3(scored(0)._3 - scored(1)._3)
+              else null
+            Some((id, lbl, scored(0)._2, margin))
+          }
+        }
+      }
+      .toDF("doc_id", labelCol, "pred", "margin")
+  }
+
   /** Streaming benchmark decontamination, the stateless half: shingle
     * the incoming docs and stream-static INNER join against the
     * benchmark n-gram pool (broadcast by hint — stream-static inner
