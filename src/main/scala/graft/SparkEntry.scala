@@ -2584,6 +2584,15 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), k = TopUsersK)
         .orderBy(col("event_type"), col("rk"))
     }),
+    // ops diagnostic: join-key skew report over the event log's user
+    // key — hottest keys, table share, and the per-key salt factor a
+    // salted repartition would need (computed from data, not guessed);
+    // global top-k as TakeOrderedAndProject, never a single-task sort
+    "report_skew" -> ((s, dir) => {
+      graft.pipeline.Diagnostics.keySkew(
+          graft.pipeline.Temporal.readEvents(s, dir), "user_id", topK = 10)
+        .orderBy(col("rank"))
+    }),
     // streaming: the per-type leaderboard as a Kappa split — watermarked
     // daily (window, type, user) counts in-stream, window-sum + the
     // batch rank at the sink; integer counts make the split exact
@@ -3334,6 +3343,21 @@ object SparkEntry {
       graft.pipeline.TemporalSql.rangeJoinClickPurchase(RangeJoinWindowNs),
     "events_topk" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
     "events_topk_stream" -> graft.pipeline.TemporalSql.topUsers(TopUsersK),
+    "report_skew" ->
+      s"""WITH e AS (${graft.pipeline.TemporalSql.eventsCte}),
+         |c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+         |      FROM e GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+         |             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+         |r AS (SELECT key, n_rows,
+         |        row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+         |      FROM c)
+         |SELECT CAST(r.rank AS BIGINT) AS rank, r.key,
+         |  CAST(r.n_rows AS BIGINT) AS n_rows,
+         |  round(CAST(r.n_rows AS DOUBLE) / t.total, 6) AS share,
+         |  CAST(ceil(CAST(r.n_rows AS DOUBLE) * t.n_keys / t.total) AS BIGINT)
+         |    AS salt_factor
+         |FROM r CROSS JOIN t WHERE r.rank <= 10 ORDER BY rank""".stripMargin,
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
     // streaming replays are gated by the SAME oracle as their batch twins

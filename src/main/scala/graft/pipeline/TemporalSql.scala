@@ -11,6 +11,10 @@ object TemporalSql {
 
   private val e = "SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type, value FROM events"
 
+  /** The normalized events CTE body, for oracle statements composed
+    * outside this object (report_skew). */
+  def eventsCte: String = e
+
   /** Mirrors [[Temporal.sessionize]]. */
   def sessionize(gapNs: Long): String =
     s"""WITH e AS ($e),

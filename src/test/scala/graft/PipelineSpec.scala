@@ -974,6 +974,28 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_backoff") === 0L, "c a b is a trained trigram")
   }
 
+  test("keySkew: planted hot key tops the report with the right salt factor") {
+    import spark.implicits._
+    // 90 rows of key "hot", 10 distinct cold keys with 1 row each:
+    // total=100, n_keys=11, mean load ~9.09 -> hot salt = ceil(90/9.09)=10
+    val d = (Seq.fill(90)("hot") ++ (0 until 10).map(i => s"cold$i"))
+      .toDF("k")
+    val out = Diagnostics.keySkew(d, "k", topK = 3).collect()
+    assert(out.length === 3)
+    val top = out.head
+    assert(top.getAs[Long]("rank") === 1L)
+    assert(top.getAs[String]("key") === "hot")
+    assert(top.getAs[Long]("n_rows") === 90L)
+    assert(top.getAs[Double]("share") === 0.9)
+    assert(top.getAs[Long]("salt_factor") === 10L)
+    // cold keys report salt factor 1 (no salting needed)
+    assert(out(1).getAs[Long]("salt_factor") === 1L)
+    // deterministic under repartitioning (exact integer inputs)
+    val again = Diagnostics.keySkew(d.repartition(7), "k", topK = 3)
+      .collect().toSeq
+    assert(again === out.toSeq)
+  }
+
   test("confusionReport: hand-checked, never-predicted class is null-safe") {
     import spark.implicits._
     val preds = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),

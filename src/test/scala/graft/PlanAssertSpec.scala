@@ -273,6 +273,12 @@ class PlanAssertSpec extends SparkSpec {
       s"duplicatedSpans lost the keyed equi-join:\n$p")
   }
 
+  test("keySkew takes its global top-k as TakeOrderedAndProject, no single-task sort") {
+    val p = executedPlan(Diagnostics.keySkew(docsDF, "source", topK = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keySkew lost the map-side partial top-k:\n$p")
+  }
+
   test("auc windows over the distinct-score table, never the corpus") {
     // the only Window operator must sit ABOVE the (metric, score)
     // aggregate — i.e. its input is the grouped table, not raw rows
