@@ -131,6 +131,11 @@ object SparkEntry {
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
   private val BpeTopSubwords = 30  // bpe_encode report size
+  private val UniSeed = 200        // unigram tokenizer seed vocab (multi-char)
+  private val UniRounds = 2        // unigram hard-EM rounds
+  private val UniMaxWord = 12      // unigram word-length cap (DP unroll width)
+  private val UniMaxPiece = 4      // unigram max piece length
+  private val UniReportK = 50      // unigram report size
   private val TfidfTopK = 5
   private val LmAddK = 0.1         // bigram LM add-k smoothing
   private val LmTriAlpha = 0.4     // stupid-backoff discount
@@ -1635,6 +1640,18 @@ object SparkEntry {
                THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM graft_documents ORDER BY doc_id""")
     }),
+    // LLM pipeline: UNIGRAM-LM tokenizer training (SentencePiece's
+    // model family, hard-EM Viterbi) — the other production tokenizer
+    // beside BPE: seed substring vocab, per-round Viterbi segmentation
+    // of the word table under 9-decimal-grid lnps, add-1 M-step. The
+    // oracle unrolls the per-word DP as lateral-alias column chains
+    // and recomputes both EM rounds itself.
+    "unigram_train" -> ((s, dir) => {
+      graft.pipeline.Unigram.train(docs(s, dir), seedSize = UniSeed,
+          rounds = UniRounds, maxWordLen = UniMaxWord,
+          maxPieceLen = UniMaxPiece, reportK = UniReportK)
+        .orderBy(col("cnt").desc, col("piece"))
+    }),
     // LLM pipeline: distributed BPE tokenizer training — word-count
     // shuffle once, then per-round pair-count argmax over the Zipf-bounded
     // vocab table. Fully self-contained oracle (PipelineSql.bpeTrain
@@ -3028,6 +3045,8 @@ object SparkEntry {
       LmAddK, LmTriAlpha, LmTriTrainRate, LmTriSalt),
     "text_lm_perplexity_stream" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
+    "unigram_train" -> graft.pipeline.PipelineSql.unigramTrain(
+      UniSeed, UniRounds, UniMaxWord, UniMaxPiece, UniReportK),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
       BpeMerges, BpeMaxWordLen, BpeTopSubwords),
     "bpe_encode_stream" -> graft.pipeline.PipelineSql.bpeEncode(

@@ -2242,6 +2242,123 @@ object PipelineSql {
     * side all break the hash. The double-space sequence encoding and the
     * left-to-right non-overlapping `replace` are engine-portable by
     * construction (see Bpe scaladoc). */
+  /** Mirrors [[Unigram.train]]: the hard-EM Viterbi DP unrolled as
+    * lateral-alias column chains — per position j, the four candidate
+    * scores (negated, 1e300-padded), `least` for the best, a `<=` CASE
+    * chain for the chosen piece length (ties to the smallest k — the
+    * Scala loop's strict-< ascending iteration), then an unrolled
+    * backtrack walk emitting the pieces. Model lnps are rounded to the
+    * 9-decimal grid in both engines BEFORE the DP consumes them, so
+    * every comparison runs on identical doubles. */
+  def unigramTrain(seedSize: Int, rounds: Int, maxWordLen: Int,
+      maxPieceLen: Int, reportK: Int): String = {
+    val W = maxWordLen
+    val P = maxPieceLen
+    def dpRound(r: Int): String = {
+      // lnp lookups: DuckDB cannot lateral-reference an alias whose
+      // expression holds a subquery, and 42 per-(j,k) LEFT JOINs send
+      // the join-order optimizer into exponential search — so the
+      // candidate pieces unnest to rows, join the model ONCE, and pivot
+      // back to l{j}_{k} columns with MAX(CASE) per word
+      val jk = (1 to W).flatMap(j => (1 to math.min(P, j)).map(k => (j, k)))
+      val candList = jk.map { case (j, k) =>
+        s"{'j': $j, 'k': $k, 'piece': substr(word, ${j - k + 1}, $k)}"
+      }.mkString(",\n      ")
+      val lkSelect = jk.map { case (j, k) =>
+        s"MAX(CASE WHEN j = $j AND k = $k THEN lnp END) AS l${j}_$k"
+      }.mkString(",\n    ")
+      // ONE MATERIALIZED CTE LAYER PER POSITION: a lateral-alias chain
+      // through b1..bW macro-expands each b reference textually —
+      // expression trees grow as P^W (~16M nodes at 4^12) and the
+      // binder never returns. Materialized layers make each b_j a real
+      // column; within a layer only the (depth-1) n-candidates are
+      // lateral.
+      val dpLayers = (1 to W).map { j =>
+        val cands = (1 to P).map { k =>
+          if (k <= j)
+            s"coalesce(-(b${j - k} + l${j}_$k), 1e300) AS n${j}_$k"
+          else s"1e300 AS n${j}_$k"
+        }.mkString(",\n    ")
+        val le = (1 until P).map { k =>
+          val rest = (k + 1 to P).map(k2 => s"n${j}_$k <= n${j}_$k2")
+            .mkString(" AND ")
+          s"WHEN $rest THEN $k"
+        }.mkString(" ")
+        s"""da${r}_$j AS MATERIALIZED (
+           |  SELECT *,
+           |    $cands,
+           |    CASE $le ELSE $P END AS k$j,
+           |    -least(${(1 to P).map(k => s"n${j}_$k").mkString(", ")}) AS b$j
+           |  FROM da${r}_${j - 1})""".stripMargin
+      }.mkString(",\n")
+      val btLayers = (1 to W).map { t =>
+        val kcase = (1 to W).map(j => s"WHEN $j THEN k$j").mkString(" ")
+        s"""db${r}_$t AS MATERIALIZED (
+           |  SELECT *,
+           |    CASE pos${t - 1} $kcase ELSE 0 END AS kk$t,
+           |    CASE WHEN pos${t - 1} > 0
+           |         THEN substr(word, pos${t - 1} - kk$t + 1, kk$t) END AS pc$t,
+           |    CASE WHEN pos${t - 1} > 0 THEN pos${t - 1} - kk$t
+           |         ELSE pos${t - 1} END AS pos$t
+           |  FROM db${r}_${t - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""cand$r AS (
+         |  SELECT word, cnt, u['j'] AS j, u['k'] AS k, u['piece'] AS piece
+         |  FROM (SELECT word, cnt, unnest([
+         |      $candList]) AS u
+         |    FROM w)),
+         |lk$r AS MATERIALIZED (
+         |  SELECT c.word, any_value(c.cnt) AS cnt,
+         |    CAST(length(c.word) AS INTEGER) AS wl,
+         |    $lkSelect
+         |  FROM cand$r c LEFT JOIN p${r - 1} p ON p.piece = c.piece
+         |  GROUP BY c.word),
+         |da${r}_0 AS MATERIALIZED (
+         |  SELECT *, CAST(0.0 AS DOUBLE) AS b0 FROM lk$r),
+         |$dpLayers,
+         |db${r}_0 AS MATERIALIZED (SELECT *, wl AS pos0 FROM da${r}_$W),
+         |$btLayers,
+         |c$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest([${(1 to W).map(t => s"pc$t").mkString(", ")}]) AS piece, cnt
+         |    FROM db${r}_$W)
+         |  WHERE piece IS NOT NULL GROUP BY piece),
+         |p$r AS MATERIALIZED (
+         |  SELECT v.piece,
+         |    round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE))
+         |          - ln((SELECT CAST(sum(c) AS DOUBLE) FROM c$r) + tv.v), 9) AS lnp
+         |  FROM vocab v LEFT JOIN c$r c USING (piece) CROSS JOIN tv)""".stripMargin
+    }
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $W GROUP BY word),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT unnest(flatten([[substr(word, s, l)
+       |                            for s in range(1, length(word) - l + 2)]
+       |                           for l in range(1, ${P + 1})])) AS piece, cnt
+       |    FROM w)
+       |  GROUP BY piece),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, c FROM seed WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (SELECT piece, c FROM seed WHERE length(piece) >= 2
+       |                        ORDER BY c DESC, piece LIMIT $seedSize)),
+       |tv AS (SELECT CAST(sum(c) AS DOUBLE) AS t0, CAST(count(*) AS DOUBLE) AS v
+       |       FROM vocab),
+       |p0 AS MATERIALIZED (
+       |  SELECT piece, round(ln(CAST(c + 1 AS DOUBLE)) - ln(tv.t0 + tv.v), 9) AS lnp
+       |  FROM vocab CROSS JOIN tv),
+       |${(1 to rounds).map(dpRound).mkString(",\n")}
+       |SELECT piece, c AS cnt,
+       |  round(ln(CAST(c + 1 AS DOUBLE))
+       |        - ln((SELECT CAST(sum(c) AS DOUBLE) FROM c$rounds) + tv.v), 6) AS lnp
+       |FROM c$rounds CROSS JOIN tv
+       |ORDER BY cnt DESC, piece LIMIT $reportK""".stripMargin
+  }
+
   def bpeTrain(numMerges: Int, maxWordLen: Int): String = {
     val rounds = bpeChain(numMerges, maxWordLen)
     val out = (1 to numMerges)

@@ -932,6 +932,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === ((1L, 17L, md5hex("q0 q1 q2 q3"))))
   }
 
+  test("unigram tokenizer: Viterbi picks the best path, ties to shortest last piece") {
+    import graft.pipeline.Unigram
+    // multi-char piece strictly better: "ab" (-1.5) beats a+b (-2)
+    val m1 = Unigram.Model(Map("a" -> -1.0, "b" -> -1.0, "ab" -> -1.5), 4)
+    assert(Unigram.segment("ab", m1) === Seq("ab"))
+    assert(Unigram.segment("aab", m1) === Seq("a", "ab"))
+    // exact tie (a+b = -2 == ab = -2): smallest last-piece k wins
+    val m2 = Unigram.Model(Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0), 4)
+    assert(Unigram.segment("ab", m2) === Seq("a", "b"))
+    // training end-to-end: a frequent word becomes a whole piece
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i => (i.toLong, "spark sql " + s"w$i"))
+      .toDF("doc_id", "text")
+    val out = Unigram.train(docs, seedSize = 50, rounds = 2,
+      maxWordLen = 12, maxPieceLen = 4, reportK = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains("park") || out.contains("spar"),
+      s"frequent word should yield a long piece: $out")
+    // deterministic under repartitioning
+    val again = Unigram.train(docs.repartition(7), seedSize = 50, rounds = 2,
+      maxWordLen = 12, maxPieceLen = 4, reportK = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
   test("trigram LM: stupid-backoff chain, hand-checked") {
     import spark.implicits._
     // salt "s3" at rate 0.5: doc 1 hashes below the threshold (train),
