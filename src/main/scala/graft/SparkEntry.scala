@@ -1652,6 +1652,18 @@ object SparkEntry {
           maxPieceLen = UniMaxPiece, reportK = UniReportK)
         .orderBy(col("cnt").desc, col("piece"))
     }),
+    // streaming: the unigram tokenizer SERVED — model trains in batch,
+    // the doc stream Viterbi-segments statelessly, sink rolls up; one
+    // serve pass under the R-round model == the (R+1)-round train's
+    // final E-step, so the oracle is unigramTrain with rounds+1
+    "unigram_encode_stream" -> ((s, dir) => {
+      val model = graft.pipeline.Unigram.trainModel(docs(s, dir),
+        seedSize = UniSeed, rounds = UniRounds, maxWordLen = UniMaxWord,
+        maxPieceLen = UniMaxPiece)
+      graft.streaming.StreamReplay.unigramEncode(s, dir, model,
+          maxWordLen = UniMaxWord, reportK = UniReportK)
+        .orderBy(col("cnt").desc, col("piece"))
+    }),
     // LLM pipeline: distributed BPE tokenizer training — word-count
     // shuffle once, then per-round pair-count argmax over the Zipf-bounded
     // vocab table. Fully self-contained oracle (PipelineSql.bpeTrain
@@ -3047,6 +3059,8 @@ object SparkEntry {
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "unigram_train" -> graft.pipeline.PipelineSql.unigramTrain(
       UniSeed, UniRounds, UniMaxWord, UniMaxPiece, UniReportK),
+    "unigram_encode_stream" -> graft.pipeline.PipelineSql.unigramTrain(
+      UniSeed, UniRounds + 1, UniMaxWord, UniMaxPiece, UniReportK),
     "bpe_encode" -> graft.pipeline.PipelineSql.bpeEncode(
       BpeMerges, BpeMaxWordLen, BpeTopSubwords),
     "bpe_encode_stream" -> graft.pipeline.PipelineSql.bpeEncode(

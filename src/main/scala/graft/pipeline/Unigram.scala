@@ -123,15 +123,13 @@ object Unigram {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
   }
 
-  /** Train the unigram tokenizer; returns the top `reportK` pieces of
-    * the final E-step as [piece, cnt, lnp] (lnp from the final counts,
-    * rounded 6 for reporting). */
-  def train(docs: DataFrame, seedSize: Int = 200, rounds: Int = 2,
-      maxWordLen: Int = 12, maxPieceLen: Int = 4, reportK: Int = 50,
-      textCol: String = "text"): DataFrame = {
+  /** The shared EM core: seed vocab, `rounds` hard-EM iterations.
+    * Returns (vocab size, last E-step counts, final model — i.e. the
+    * model AFTER the last M-step, the serving artifact). */
+  private def emLoop(docs: DataFrame, seedSize: Int, rounds: Int,
+      maxWordLen: Int, maxPieceLen: Int,
+      textCol: String): (Int, Seq[(String, Long)], Model) = {
     require(rounds >= 1 && seedSize >= 0 && maxPieceLen >= 1)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val w = words(docs, textCol, maxWordLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     w.count()
@@ -158,13 +156,38 @@ object Unigram {
       }.toMap, maxPieceLen)
     }
     w.unpersist(false)
+    (vocab0.length, counts, model)
+  }
+
+  /** Train the serving [[Model]] (the artifact the streaming encode
+    * broadcasts — the model after the final M-step). */
+  def trainModel(docs: DataFrame, seedSize: Int = 200, rounds: Int = 2,
+      maxWordLen: Int = 12, maxPieceLen: Int = 4,
+      textCol: String = "text"): Model =
+    emLoop(docs, seedSize, rounds, maxWordLen, maxPieceLen, textCol)._3
+
+  /** Shape piece counts into the report [piece, cnt, lnp(6)]. */
+  private[graft] def report(spark: org.apache.spark.sql.SparkSession,
+      counts: Seq[(String, Long)], vocabSize: Int, reportK: Int): DataFrame = {
+    import spark.implicits._
     val t = counts.map(_._2).sum.toDouble
-    val v = vocab0.length.toDouble
+    val v = vocabSize.toDouble
     counts.sortBy { case (p, c) => (-c, p) }.take(reportK)
       .map { case (p, c) =>
         val lnp = BigDecimal(math.log(c.toDouble + 1.0) - math.log(t + v))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (p, c, lnp)
       }.toDF("piece", "cnt", "lnp")
+  }
+
+  /** Train the unigram tokenizer; returns the top `reportK` pieces of
+    * the final E-step as [piece, cnt, lnp] (lnp from the final counts,
+    * rounded 6 for reporting). */
+  def train(docs: DataFrame, seedSize: Int = 200, rounds: Int = 2,
+      maxWordLen: Int = 12, maxPieceLen: Int = 4, reportK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val (vocabSize, counts, _) =
+      emLoop(docs, seedSize, rounds, maxWordLen, maxPieceLen, textCol)
+    report(docs.sparkSession, counts, vocabSize, reportK)
   }
 }

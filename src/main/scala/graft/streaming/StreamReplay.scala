@@ -325,6 +325,33 @@ object StreamReplay {
       topK, loaded.idCol)
   }
 
+  /** UNIGRAM TOKENIZER APPLICATION on a stream — the serving split for
+    * the SentencePiece-family tokenizer (the bpe_encode_stream twin):
+    * the [[graft.pipeline.Unigram.Model]] trains in batch, arriving
+    * docs Viterbi-segment word by word in a stateless broadcast-model
+    * pass, and the sink rolls per-piece occurrence counts into the
+    * report. Occurrence counting ≡ the weighted word-count form, and
+    * one serve pass under the R-round model ≡ the (R+1)-round train's
+    * final E-step, so the row is gated by the unigramTrain oracle with
+    * rounds+1. */
+  def unigramEncode(spark: SparkSession, dir: String,
+      model: graft.pipeline.Unigram.Model, maxWordLen: Int,
+      reportK: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val pieces = mapDocs(spark, dir) { st =>
+      st.select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+        .as[String]
+        .flatMap(w => graft.pipeline.Unigram.segment(w, bc.value))
+        .toDF("piece")
+    }
+    val counts = pieces.groupBy(col("piece"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.pipeline.Unigram.report(spark, counts, model.lnp.size, reportK)
+  }
+
   /** Streamed VW ingestion — the reference's primary text format read
     * LIVE: staged VowpalWabbit lines arrive as a text stream and each
     * parses through the SAME [[graft.sources.VwReader.parseLine]] as
