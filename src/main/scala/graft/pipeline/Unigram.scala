@@ -95,6 +95,11 @@ object Unigram {
         }
         k += 1
       }
+      // OOV guard: a character outside the vocab (impossible when the
+      // model trained on this corpus, routine when SERVING new text)
+      // must advance as a single unknown-char piece — bestK = 0 would
+      // otherwise freeze the backtrack walk
+      if (bestK == 0) { bestK = 1; bestNs = 1e300 }
       b(j) = -bestNs
       kc(j) = bestK
       j += 1

@@ -941,6 +941,9 @@ class PipelineSpec extends SparkSpec {
     // exact tie (a+b = -2 == ab = -2): smallest last-piece k wins
     val m2 = Unigram.Model(Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0), 4)
     assert(Unigram.segment("ab", m2) === Seq("a", "b"))
+    // OOV char in SERVED text: advances as a single unknown piece
+    // instead of freezing the backtrack
+    assert(Unigram.segment("axb", m2) === Seq("a", "x", "b"))
     // training end-to-end: a frequent word becomes a whole piece
     import spark.implicits._
     val docs = Seq.tabulate(40)(i => (i.toLong, "spark sql " + s"w$i"))
