@@ -317,6 +317,17 @@ object ScaleCheck {
                 .as("n_tokens")),
             "y", Seq("n_chars", "n_tokens")).count()
         },
+        entry("unigram_train (hard-EM Viterbi)") {
+          // corpus-proportional work = the one word-count shuffle; EM
+          // rounds run on the Zipf-bounded word table (grows ~r via the
+          // rep$i replica tokens)
+          graft.pipeline.Unigram.train(docsR, seedSize = 100, rounds = 2,
+            maxWordLen = 12, maxPieceLen = 4, reportK = 20).count()
+        },
+        entry("report_skew (count + top-k)") {
+          graft.pipeline.Diagnostics.keySkew(docsR, "source", topK = 10)
+            .count()
+        },
         entry("graph_label_prop (4 sync rounds)") {
           // synthetic 64-node chain segments, edges ∝ corpus rows (the
           // dedup_clusters fixture): isolates the per-round shuffles
