@@ -2859,6 +2859,26 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.ccnetBuckets(docs(s, dir), addK = LmAddK,
           exact = true)
         .orderBy(col("doc_id"))
+    }),
+    // streaming: the CCNet quality-bucket GATE served live — per-lang
+    // tercile thresholds train in batch (the gate artifact), the doc
+    // stream scores ppl through the broadcast LM and carries lang in a
+    // second narrow pass, and the shared bucket-assignment half
+    // finishes at the sink; same SQL as the batch row
+    "text_ccnet_bucket_stream" -> ((s, dir) => {
+      import graft.pipeline.TextAnalysis
+      val d = docs(s, dir)
+      val batchPpl = TextAnalysis.lmPerplexity(d, addK = LmAddK)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      val th = TextAnalysis.ccnetThresholdsFromPpl(batchPpl, exact = true)
+      val pplStream = graft.streaming.StreamReplay.lmPerplexity(s, dir,
+        addK = LmAddK)
+      val langStream = graft.streaming.StreamReplay.mapDocs(s, dir)(
+        _.select(col("doc_id"), col("lang")))
+      TextAnalysis.bucketWithThresholds(
+          pplStream.select(col("doc_id"), col("ppl"))
+            .join(langStream, "doc_id"), th)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3431,6 +3451,7 @@ object SparkEntry {
     "text_lang_ngram" -> graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_lang_ngram_stream" ->
       graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
-    "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
+    "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK),
+    "text_ccnet_bucket_stream" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
   )
 }

@@ -763,18 +763,33 @@ object TextAnalysis {
       exact: Boolean = false, approxAccuracy: Int = 10000): DataFrame = {
     val ppl = lmPerplexity(df, addK, textCol, idCol)
       .join(df.select(col(idCol), col(langCol)), idCol)
+    bucketWithThresholds(ppl,
+      ccnetThresholdsFromPpl(ppl, langCol, exact, approxAccuracy),
+      idCol, langCol)
+  }
+
+  /** The per-language tercile table of a [doc, lang, ppl] frame — the
+    * trained GATE ARTIFACT of the CCNet bucketing (one row per
+    * language); the streaming serve broadcasts it. */
+  def ccnetThresholdsFromPpl(ppl: DataFrame, langCol: String = "lang",
+      exact: Boolean = false, approxAccuracy: Int = 10000): DataFrame = {
     def tercile(p: Double) =
       if (exact) percentile(col("ppl"), lit(p))
       else approx_percentile(col("ppl"), lit(p), lit(approxAccuracy))
-    val th = ppl.groupBy(langCol).agg(
+    ppl.groupBy(langCol).agg(
       tercile(1.0 / 3).as("t1"), tercile(2.0 / 3).as("t2"))
+  }
+
+  /** The bucket-assignment half shared by batch and stream: pure
+    * threshold comparisons against the broadcast tercile table. */
+  def bucketWithThresholds(ppl: DataFrame, th: DataFrame,
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame =
     ppl.join(broadcast(th), langCol)
       .withColumn("bucket",
         when(col("ppl") <= col("t1"), "head")
           .when(col("ppl") <= col("t2"), "middle")
           .otherwise("tail"))
       .select(col(idCol), col(langCol), col("ppl"), col("bucket"))
-  }
 
   /** BM25 ranked retrieval: for each query in the (small) `queries`
     * table ([query_id, query_text]) return the top-k corpus documents
