@@ -1317,6 +1317,15 @@ object SparkEntry {
           col("fingerprint"), col("rolling_fp"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: fingerprints at ingest (exact-dup md5 + the rolling
+    // polynomial hash) — pure narrow HOF folds, unchanged on the stream
+    "text_fingerprint_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(
+          graft.pipeline.TextAnalysis.fingerprint(_))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("fingerprint"), col("rolling_fp"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: LSH ANN top-k (hyperplane buckets, multi-probe,
     // 2 OR-ed tables) — under the FULL oracle: the hyperplane components
     // are md5-derived doubles (Ann.planeComponent — the initPhi trick),
@@ -2052,6 +2061,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pos"), col("fp"))
         .orderBy(col("doc_id"), col("pos"), col("fp"))
     }),
+    // streaming: MOSS winnowing fingerprints at ingest — per-row window
+    // selection (the zero-exchange plan), unchanged on the stream
+    "text_winnowing_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(
+          graft.pipeline.TextAnalysis.winnowing(_, k = WinnowK, w = WinnowW))
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))
+    }),
     // LLM pipeline: incremental exact dedup — a synthesized ingest batch
     // (corpus clones, unseen docs, within-batch twins) resolved against
     // the v1 fingerprint INDEX (the corpus is never rescanned)
@@ -2323,6 +2340,15 @@ object SparkEntry {
     "sample_split" -> ((s, dir) => {
       graft.pipeline.Sampling.hashSplit(docs(s, dir), "doc_id",
           SplitFractions, SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    // streaming: train/valid/test ROUTING at ingest — hashSplit is a
+    // pure narrow projection, unchanged on the stream, same SQL
+    "sample_split_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(
+          graft.pipeline.Sampling.hashSplit(_, "doc_id",
+            SplitFractions, SampleSalt))
         .select(col("doc_id").cast("long").as("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
@@ -3090,6 +3116,8 @@ object SparkEntry {
     "text_line_dedup" -> graft.pipeline.PipelineSql.lineDedup(
       LineWrapTokens, LineDedupHeader),
     "text_winnowing" -> graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
+    "text_winnowing_stream" ->
+      graft.pipeline.PipelineSql.textWinnowing(WinnowK, WinnowW),
     "dedup_substring" -> graft.pipeline.PipelineSql.dedupSubstring(
       SpanK, SpanMinTokens, SpanMaxDf),
     "dedup_substring_scrub" -> graft.pipeline.PipelineSql.dedupSubstringScrub(
@@ -3186,6 +3214,8 @@ object SparkEntry {
     "report_mixture" -> graft.pipeline.PipelineSql.reportMixture,
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),
+    "sample_split_stream" -> graft.pipeline.PipelineSql.sampleSplit(
+      SplitFractions, SampleSalt),
     "corpus_diff" -> graft.pipeline.PipelineSql.corpusDiff,
     "corpus_drift" -> graft.pipeline.PipelineSql.corpusDrift,
     "report_dedup" -> graft.pipeline.PipelineSql.reportDedup(
@@ -3196,6 +3226,7 @@ object SparkEntry {
     "artm_e2e" -> RelationalEmSql.topTokensDictFiltered(
       T, Passes, TopK, 5.0, 0.8, 10.0),
     "text_fingerprint" -> graft.pipeline.PipelineSql.textFingerprint,
+    "text_fingerprint_stream" -> graft.pipeline.PipelineSql.textFingerprint,
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),
     "dedup_semantic" -> graft.pipeline.PipelineSql.semanticDedup(
