@@ -9,11 +9,11 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery here — schema, partition sizing, batch
   * iteration, deterministic outputs — is real and tested, and so is the
-  * decode for the formats a pure-JVM header walk can handle: uncompressed
-  * 24-bit BMP and binary PPM ([[decodeImage]] — no codec libraries in
-  * this container, so compressed formats fall back to a deterministic
-  * byte histogram; adding a JPEG/PNG codec changes only the
-  * [[decodeImage]] dispatch, not the dataflow).
+  * decode: uncompressed 24-bit BMP and binary PPM via pure header walks,
+  * and PNG/JPEG/GIF — the formats real corpora actually hold — via the
+  * JDK's own `javax.imageio` codecs ([[decodeImage]]; no external
+  * dependency). Only payloads no JDK codec recognizes fall back to a
+  * deterministic byte histogram.
   *
   * Scale notes: binary payloads dominate row size — `repartitionForMedia`
   * targets a payload budget per partition so a 100 TB scan does not
@@ -66,16 +66,60 @@ object Multimodal {
   /** A decoded raster: interleaved RGB bytes, row-major, top-down. */
   final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
 
-  /** Pure-JVM image decode for the two formats a header walk can handle
-    * without codec libraries: uncompressed 24-bit BMP and binary PPM
-    * (P6, maxval <= 255). Anything else returns None and flows through
-    * the byte-histogram fallback in [[extractFeatures]] — so adding a
-    * real codec (JPEG/PNG) changes only this dispatch, not the dataflow. */
+  /** Pure-JVM image decode. Fast header walks handle uncompressed 24-bit
+    * BMP and binary PPM (P6, maxval <= 255); compressed formats the JDK
+    * ships codecs for — PNG, JPEG, GIF — dispatch on magic bytes to
+    * `javax.imageio` ([[decodeJdk]]). Anything else returns None and
+    * flows through the byte-histogram fallback in [[extractFeatures]].
+    * PNG/GIF are lossless: the same pixels as PPM or PNG decode to
+    * bit-identical rasters (unit-pinned in MultimodalDecodeSpec). */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
-    if (payload == null || payload.length < 2) None
+    if (payload == null || payload.length < 4) None
     else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp24(payload)
     else if (payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G') decodeJdk(payload)         // PNG
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff) decodeJdk(payload)                   // JPEG
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+      decodeJdk(payload)                                                // GIF
     else None
+  }
+
+  // ImageIO's disk cache would write temp files per decode on every
+  // executor — decode in memory instead (payloads are already heap-bound
+  // by repartitionForMedia's payload budget).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** JDK codec decode (PNG/JPEG/GIF via `javax.imageio` — public JDK API,
+    * no extra dependency). The BufferedImage is read out through
+    * `getRGB`, which converts to default-sRGB ARGB — exact for the
+    * 8-bit-per-channel images training corpora hold; alpha is dropped.
+    * Any codec failure returns None (fallback contract of
+    * [[decodeImage]]). */
+  private def decodeJdk(b: Array[Byte]): Option[DecodedImage] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 8) return None
+      val rgb = new Array[Byte](w * h * 3)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = row(x); val d = (y * w + x) * 3
+          rgb(d) = ((argb >>> 16) & 0xff).toByte
+          rgb(d + 1) = ((argb >>> 8) & 0xff).toByte
+          rgb(d + 2) = (argb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(w, h, rgb))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** BMP header walk: BITMAPFILEHEADER (14 bytes: magic, size, reserved,

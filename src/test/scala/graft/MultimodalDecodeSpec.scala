@@ -116,6 +116,59 @@ class MultimodalDecodeSpec extends SparkSpec {
       r.getAs[Int]("height") === H))
   }
 
+  /** Re-encode a decoded raster as PNG through the JDK encoder — PNG is
+    * lossless, so decode(encode(img)) must be byte-identical. */
+  private def pngBytes(img: Multimodal.DecodedImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.height; x <- 0 until img.width) {
+      val o = (y * img.width + x) * 3
+      bi.setRGB(x, y, ((img.rgb(o) & 0xff) << 16) |
+        ((img.rgb(o + 1) & 0xff) << 8) | (img.rgb(o + 2) & 0xff))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImage: PNG re-encode of the PPM fixture is bit-identical (lossless gate)") {
+    val ppm = Multimodal.decodeImage(ppmBytes).get
+    val png = pngBytes(ppm)
+    // really a PNG payload, and really the JDK-codec dispatch
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val viaPng = Multimodal.decodeImage(png)
+    assert(viaPng.isDefined, "PNG must decode via the javax.imageio dispatch")
+    assert(viaPng.get.width === W && viaPng.get.height === H)
+    assert(viaPng.get.rgb.toSeq === ppm.rgb.toSeq,
+      "PNG is lossless: decoded raster must be bit-identical to the PPM source")
+    // so are the features — the multimodal_meta gate property
+    assert(Multimodal.imageFeatures(viaPng.get).toSeq ===
+      Multimodal.imageFeatures(ppm).toSeq)
+  }
+
+  test("decodeImage: JPEG decode sanity — dimensions exact, pixels near-lossless on a flat image") {
+    // flat mid-gray 16x8: JPEG of a constant image reconstructs ~exactly
+    val w = 16; val h = 8
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", out)
+    val jpg = out.toByteArray
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
+    val dec = Multimodal.decodeImage(jpg)
+    assert(dec.isDefined, "JPEG must decode via the javax.imageio dispatch")
+    assert(dec.get.width === w && dec.get.height === h)
+    val worst = dec.get.rgb.map(b => math.abs((b & 0xff) - 0x80)).max
+    assert(worst <= 2, s"flat-gray JPEG roundtrip drifted by $worst levels")
+    // and imageMeta sees it as decoded through the Spark dataflow
+    import spark.implicits._
+    val media = Seq((7L, "image", jpg)).toDF("media_id", "kind", "payload")
+    val row = Multimodal.imageMeta(media).collect().head
+    assert(row.getBoolean(1) && row.getInt(2) === w && row.getInt(3) === h)
+    assert(math.abs(row.getDouble(4) - 128.0) < 2.5)
+  }
+
   test("decodeImage: rejects junk, truncated, and unsupported payloads") {
     assert(Multimodal.decodeImage(null).isEmpty)
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
