@@ -543,12 +543,25 @@ object Dedup {
       .select(col("vertex").as("id"), col("component").as("cluster_id"))
 
   /** Embedding near-duplicates: pairs with cosine >= threshold, using the
-    * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale. */
+    * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale.
+    *
+    * Skew guard (same as [[minhashLsh]]/[[simhashPairs]]): a degenerate
+    * bucket — near-zero vectors sign-tie onto one signature, templated
+    * embeddings collapse onto few — would self-join quadratically, so
+    * buckets over `maxBucketSize` are dropped via a map-side-combined
+    * count + semi join (never a window: a window would materialize the
+    * mega-bucket as one task before filtering). */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, planes: Int = 16, seed: Int = 42): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 16, seed: Int = 42,
+      maxBucketSize: Int = 10000): DataFrame = {
     val sig = Ann.hyperplaneSignature(emb, idCol, vecCol, planes, seed)
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
+    val okBuckets = sig.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") <= maxBucketSize)
+      .select(col("bucket"))
+    val bounded = sig.join(okBuckets, Seq("bucket"), "left_semi")
+    val a = bounded.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = bounded.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -608,11 +621,16 @@ object Dedup {
     * where [[containment]] scores a pair and [[winnowingPairs]] counts
     * shared fingerprints, this returns the actual copied regions
     * (start offsets + length per side), i.e. what a span-level scrub
-    * would cut. Exact for spans ≥ `k` tokens: every shared span of S
-    * tokens contributes S−k+1 consecutive k-gram anchors on one
-    * alignment diagonal (posA − posB constant), so coalescing
-    * consecutive anchors per (pair, diagonal) reconstructs the maximal
-    * span; spans shorter than `k` are invisible by construction.
+    * would cut. Exact for spans ≥ `k` tokens whose every k-gram anchor
+    * survives the `maxDocFreq` cap: a shared span of S tokens
+    * contributes S−k+1 consecutive k-gram anchors on one alignment
+    * diagonal (posA − posB constant), so coalescing consecutive anchors
+    * per (pair, diagonal) reconstructs the maximal span. Spans shorter
+    * than `k` are invisible by construction, and a span containing a
+    * corpus-wide-boilerplate k-gram in its interior (df > maxDocFreq)
+    * splits at the capped anchor into shorter runs that may fall under
+    * `minSpanTokens` — the df cap trades that recall for not seeding
+    * candidates from boilerplate.
     *
     * Shape at scale: one positional-k-gram pass (narrow), a
     * document-frequency cap that bars corpus-wide boilerplate grams
@@ -669,9 +687,10 @@ object Dedup {
     * the boilerplate-scrub contract).
     *
     * Shape at scale: intervals are pair-count sized (tiny next to the
-    * corpus); the only corpus-sized work is one positional-token pass
-    * over the AFFECTED docs (inner-joined down before exploding) and a
-    * per-doc re-assembly — both partitioned by doc id. */
+    * corpus) and ride as ONE array row per affected doc, joined once
+    * against the doc's token array — coverage is a per-token `exists`
+    * over that array, so a doc's tokens are scanned exactly once no
+    * matter how many intervals hit it (never tokens × intervals). */
   def duplicatedSpanScrub(df: DataFrame, k: Int = 8, minSpanTokens: Int = 12,
       maxDocFreq: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -689,23 +708,25 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("id"), col("gid"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-    val nSpans = merged.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"))
-    val toks = df.filter(length(trim(col(textCol))) > 0)
+    // one interval-ARRAY row per affected doc (interval counts are
+    // pair-bounded — tiny), joined ONCE against the unexploded token
+    // array; coverage is a narrow per-token exists() over the broadcast-
+    // sized array. The former shape (positional-token explode × interval
+    // rows) replayed a heavily-copied doc's whole token stream once per
+    // merged interval.
+    val ivArr = merged.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val docs = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("id"),
-        posexplode(TextAnalysis.tokensCol(col(textCol))).as(Seq("p", "tok")))
-      .select(col("id"), col("p").cast("long").as("pos"), col("tok"))
-    val marked = toks.join(merged, Seq("id"))
-      .groupBy(col("id"), col("pos"), col("tok"))
-      .agg(max(when(col("pos") >= col("s") && col("pos") <= col("e"), 1)
-        .otherwise(0)).as("hit"))
-    marked.groupBy(col("id"))
-      .agg(sum(col("hit")).cast("long").as("n_removed"),
-        md5(array_join(transform(array_sort(collect_list(
-          when(col("hit") === 0, struct(col("pos"), col("tok"))))),
-          x => x.getField("tok")), " ")).as("scrubbed_md5"))
-      .join(nSpans, Seq("id"))
-      .select(col("id").as(idCol), col("n_spans"), col("n_removed"),
-        col("scrubbed_md5"))
+        TextAnalysis.tokensCol(col(textCol)).as("toks"))
+    docs.join(ivArr, Seq("id"))
+      .withColumn("kept", filter(col("toks"), (t, p) =>
+        !exists(col("ivs"), iv =>
+          p.cast("long") >= iv.getField("s") &&
+            p.cast("long") <= iv.getField("e"))))
+      .select(col("id").as(idCol), col("n_spans"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("scrubbed_md5"))
   }
 }

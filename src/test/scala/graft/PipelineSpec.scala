@@ -160,6 +160,33 @@ class PipelineSpec extends SparkSpec {
     assert(nd.filter(col("cosine") < 0.9).count() === 0)
   }
 
+  test("embedding near-dup: degenerate bucket is capped, healthy buckets survive") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // a templated corpus: 50 identical vectors all sign-tie onto ONE
+    // bucket — uncapped, that's 50*49/2 quadratic candidates
+    val template = Array.tabulate(dim)(i => 1.0f + i * 0.001f)
+    val degenerate = spark.range(100000, 100050)
+      .select(col("id").as("vec_id"), typedlit(template).as("embedding"))
+    val u = emb.select(col("vec_id"), col("embedding")).unionByName(degenerate)
+    val baseline = Dedup.embeddingNearDup(emb, threshold = 0.9, planes = 6)
+      .count()
+    val capped = Dedup.embeddingNearDup(u, threshold = 0.9, planes = 6,
+      maxBucketSize = 40)
+    // none of the planted template pairs survive the cap...
+    assert(capped.filter(col("id_a") >= 100000L).count() === 0,
+      "degenerate bucket must be dropped by the cap")
+    // ...while with a roomy cap they all appear (the cap, not the plumbing,
+    // is what removed them)
+    val roomy = Dedup.embeddingNearDup(u, threshold = 0.9, planes = 6,
+      maxBucketSize = 10000)
+    assert(roomy.filter(col("id_a") >= 100000L).count() === 50L * 49 / 2)
+    // healthy buckets are unaffected by a cap sized above their population
+    val cappedNatural = capped.filter(col("id_b") < 100000L).count()
+    assert(cappedNatural <= baseline)
+  }
+
   test("SemDeDup: planted scaled copies removed, originals kept, none else") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -930,6 +957,29 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet === Set(3L, 4L), s"got $out")
     assert(out(3L) === ((2L, 16L, md5hex("z0 z1 z2 z3"))))
     assert(out(4L) === ((1L, 17L, md5hex("q0 q1 q2 q3"))))
+  }
+
+  test("duplicatedSpanScrub: many disjoint intervals per doc scan tokens once") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // a heavily-copied doc: B carries TEN disjoint 8-token spans of A,
+    // each followed by two unique filler tokens — the shape the former
+    // tokens × intervals join multiplied on
+    val aToks = (0 until 100).map(i => s"w$i")
+    val bToks = (0 until 10).flatMap(j =>
+      aToks.slice(10 * j, 10 * j + 8) ++ Seq(s"f${2 * j}", s"f${2 * j + 1}"))
+    val df = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanScrub(df, k = 4, minSpanTokens = 8,
+      maxDocFreq = 10).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 2L)
+    assert(out.head.getLong(1) === 10L, s"expected 10 merged intervals: $out")
+    assert(out.head.getLong(2) === 80L)
+    val fillers = (0 until 20).map(i => s"f$i").mkString(" ")
+    assert(out.head.getString(3) === md5hex(fillers),
+      "survivor digest must be the fillers in token order")
   }
 
   test("unigram tokenizer: Viterbi picks the best path, ties to shortest last piece") {

@@ -302,6 +302,17 @@ object ScaleCheck {
           graft.pipeline.Dedup.duplicatedSpans(decorrelated, k = 4,
             minSpanTokens = 6, maxDocFreq = 8).count()
         },
+        entry("dedup_substring_scrub (interval-array join)") {
+          // same decorrelated fixture as the detection row; the scrub
+          // adds the per-doc interval-array join + one-token-pass
+          // coverage, which must stay corpus-proportional
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          graft.pipeline.Dedup.duplicatedSpanScrub(decorrelated, k = 4,
+            minSpanTokens = 6, maxDocFreq = 8).count()
+        },
         entry("text_lm_trigram (held-out backoff)") {
           graft.pipeline.TextAnalysis.lmPerplexityTrigram(docsR).count()
         },
