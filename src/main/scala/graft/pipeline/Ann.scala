@@ -800,8 +800,10 @@ object Ann {
     * cells report 0). Returns [cell, pos, c_val(6), n_vectors]. */
   def kmeansReport(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // kmeansDataflow returns an eagerly localCheckpointed k-row frame —
+    // re-use downstream is already free, and an extra persist() would
+    // pin a cache entry nothing ever releases (cleaned by GC vs never)
     val cents = kmeansDataflow(emb, k, iters, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val counts = assignCells(base, cents)
@@ -831,8 +833,9 @@ object Ann {
     * [cell, n_vectors, mean_silhouette(6)]. */
   def silhouetteReport(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // no persist: the dataflow's k-row localCheckpoint is the barrier
+    // (see kmeansReport — persist here leaked a pinned cache entry)
     val cents = kmeansDataflow(emb, k, iters, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val ab = assignCells(base, cents)

@@ -89,6 +89,10 @@ object Regression {
           sum(t.cast("decimal(28,10)")).as(s"s$i") }
       val row = df.agg(count(lit(1)).as("n"), aggs: _*).head()
       val n = row.getLong(0).toDouble
+      // degenerate-input guard (the olsByGroup/auc null-guard contract):
+      // on an empty frame sum() is null and n = 0 would divide by zero —
+      // loud error beats an NPE out of getDecimal
+      require(n > 0, "logisticGd requires a non-empty input DataFrame")
       w = w.indices.toArray.map { i =>
         val s = row.getDecimal(i + 1).doubleValue()
         BigDecimal(w(i) - lr * s / n)

@@ -52,6 +52,12 @@ object StreamReplay {
         .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     } finally listing.close()
+    // drop the staging dir — the part file moved out, only _SUCCESS/.crc
+    // markers remain, and a long session stages many chunks
+    val leftovers = Files.list(tmp)
+    try leftovers.forEach(p => Files.deleteIfExists(p))
+    finally leftovers.close()
+    Files.deleteIfExists(tmp)
     Files.setLastModifiedTime(dest,
       java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
   }
@@ -69,6 +75,13 @@ object StreamReplay {
     * third replay entries in a Verify/Bench run skip it entirely. */
   private val stages =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
+
+  /** Memoized serve ARTIFACTS (saved indexes, staged query files) — the
+    * [[stages]] contract applied to bm25Serve/annServe: a long session
+    * re-invoking a serve entry reuses the persisted index and staged
+    * queries instead of creating fresh temp dirs per call. */
+  private val artifacts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   private def stageDir(spark: SparkSession, dir: String): Path =
     stages.computeIfAbsent((spark, dir), { _ =>
@@ -303,14 +316,24 @@ object StreamReplay {
       queries: Seq[(Long, String)], topK: Int, k1: Double,
       b: Double): DataFrame = {
     import spark.implicits._
-    val index = graft.pipeline.TextAnalysis.buildBm25Index(docsDf)
-    val ixDir = Files.createTempDirectory("graft_bm25_serve").toString
-    graft.sources.SearchIO.save(index, ixDir)
+    // memoized on the docs PLAN (semantic hash) — repeat invocations in
+    // one session reuse the saved index instead of re-building it
+    val ixDir = artifacts.computeIfAbsent(
+      (spark, s"bm25ix#${docsDf.queryExecution.logical.semanticHash()}"), { _ =>
+        val index = graft.pipeline.TextAnalysis.buildBm25Index(docsDf)
+        val d = Files.createTempDirectory("graft_bm25_serve").toString
+        graft.sources.SearchIO.save(index, d)
+        d
+      })
     val loaded = graft.sources.SearchIO.load(spark, ixDir)
     val qDf = queries.toDF("query_id", "query_text")
-    val qDir = Files.createTempDirectory("graft_bm25_q")
-    writeSingleParquet(qDf, qDir.resolve("00_queries.parquet"),
-      System.currentTimeMillis())
+    val qDir = Paths.get(artifacts.computeIfAbsent(
+      (spark, s"bm25q#${queries.hashCode()}"), { _ =>
+        val d = Files.createTempDirectory("graft_bm25_q")
+        writeSingleParquet(qDf, d.resolve("00_queries.parquet"),
+          System.currentTimeMillis())
+        d.toString
+      }))
     val qStream = spark.readStream.schema(qDf.schema).parquet(qDir.toString)
     val contrib = graft.pipeline.TextAnalysis.bm25Contributions(
       loaded, qStream, k1, b)
@@ -409,12 +432,16 @@ object StreamReplay {
   def annServe(spark: SparkSession, dir: String, numQueries: Int, k: Int,
       numCentroids: Int, nprobe: Int, m: Int, pqCentroids: Int,
       sampleSize: Int): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val built = graft.pipeline.Ann.buildIvfPq(emb,
-      numCentroids = numCentroids, m = m, pqCentroids = pqCentroids,
-      iters = 0, pqIters = 0, sampleSize = sampleSize)
-    val ixDir = Files.createTempDirectory("graft_ann_serve").toString
-    graft.sources.AnnIO.save(built, ixDir)
+    val ixDir = artifacts.computeIfAbsent(
+      (spark, s"$dir#annix$numCentroids/$m/$pqCentroids/$sampleSize"), { _ =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val built = graft.pipeline.Ann.buildIvfPq(emb,
+          numCentroids = numCentroids, m = m, pqCentroids = pqCentroids,
+          iters = 0, pqIters = 0, sampleSize = sampleSize)
+        val d = Files.createTempDirectory("graft_ann_serve").toString
+        graft.sources.AnnIO.save(built, d)
+        d
+      })
     val index = graft.sources.AnnIO.load(spark, ixDir)
     val qStream = spark.readStream.schema(embSchema)
       .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)

@@ -296,11 +296,15 @@ class SamplingSpec extends SparkSpec {
       (i, s"src${i % 3}", 10L + i % 7) // uneven token counts
     }.toDF("doc_id", "source", "n_tokens")
     val budgets = Map("src0" -> 150L, "src1" -> 90L) // src2 dropped
-    def run(df: org.apache.spark.sql.DataFrame) =
-      Sampling.tokenBudget(df, "source", "n_tokens", budgets, numPartitions = 5)
-        .select("doc_id", "source", "n_tokens", "cum_before")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val out = Sampling.tokenBudget(df, "source", "n_tokens", budgets,
+        numPartitions = 5)
+      val res = out.select("doc_id", "source", "n_tokens", "cum_before")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
+      Sampling.unpersistPacked(out) // release the pinned pack persist
+      res
+    }
     val got = run(docs)
     // reference: per-source salted-hash order running sum (the window
     // formulation the oracle uses)
