@@ -21,6 +21,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 213 entries generate far more than the default 100 cached
+      // codegen classes; with the default, later entries (measured on
+      // the dedup family) pay Janino recompiles for plans earlier
+      // entries already compiled
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

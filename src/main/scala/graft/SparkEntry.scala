@@ -2086,6 +2086,26 @@ object SparkEntry {
       graft.pipeline.Dedup.incrementalExact(index, batch)
         .orderBy(col("id"))
     }),
+    // LLM pipeline: incremental NEAR-dup — the same synthesized ingest
+    // batch resolved against the v1 minhash SIGNATURE index (band keys
+    // joined, estimated Jaccard verified; corpus match wins over
+    // within-batch, -1 sentinels for 'new')
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val index = graft.pipeline.Dedup.minhashIndex(d.where(ten =!= 2),
+        shingleSize = ShingleK, numHashes = MinHashes, bands = MinBands)
+      val batch = d.where(ten === 3)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      graft.pipeline.Dedup.incrementalMinhash(index, batch,
+          shingleSize = ShingleK, numHashes = MinHashes, bands = MinBands,
+          threshold = MinhashThreshold)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: winnowing candidate pairs — the local-overlap
     // near-dup detector (df-capped fp-keyed self-join, minhash-band
     // shape)
@@ -3125,6 +3145,8 @@ object SparkEntry {
     "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
     "dedup_incremental" -> graft.pipeline.PipelineSql.dedupIncremental,
+    "dedup_incremental_minhash" -> graft.pipeline.PipelineSql
+      .dedupIncrementalMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),
     "text_decontaminate_bloom" ->

@@ -314,6 +314,103 @@ object Dedup {
           .otherwise(lit(-1L)).as("dup_of"))
   }
 
+  /** The persisted-index half of incremental NEAR-dup: banded minhash
+    * signatures of the historical corpus — one row per (doc, band) with
+    * the band's bucket key and the doc's full signature:
+    * [id, sig, band, bucket]. Written once (ideally bucketed on
+    * `bucket` — [[graft.sources.Bucketing]]) and appended to as batches
+    * resolve; [[incrementalMinhash]] joins a new batch's band keys
+    * against it. Shares [[shingleTable]]/[[minhashSignature]] with
+    * [[minhashLsh]], so index and one-shot band keys cannot drift. */
+  def minhashIndex(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // same materialization barrier as minhashLsh: without it the
+    // signature expression inlines into every band projection (×bands)
+    val sig = shingleTable(df, idCol, textCol, shingleSize)
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        md5(array_join(slice(col("sig"), b * rows + 1, rows), "|"))): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Incremental NEAR-dup — [[incrementalExact]]'s minhash twin, the
+    * daily-ingest primitive for non-verbatim copies: resolve a NEW
+    * batch's band keys against the persisted signature index
+    * ([[minhashIndex]]) and against itself, without rescanning the
+    * corpus. Each batch doc is labeled `dup_of_corpus` (shares a band
+    * bucket with an indexed doc and estimated Jaccard >= `threshold` —
+    * `dup_of` = the smallest matching corpus id), `dup_in_batch` (no
+    * corpus match, but a SMALLER-id batch doc matches — `dup_of` = the
+    * smallest such id), or `new` (`dup_of` = −1, `est_jaccard` = −1
+    * sentinel; its index rows are what the caller appends). Returns
+    * [id, status, dup_of, est_jaccard].
+    *
+    * Shape at scale: the batch is a day's ingest, so the corpus-side
+    * work is the batch's band keys streamed against the bucketed index
+    * on (band, bucket) — the corpus itself is never read. Both joins
+    * carry the [[minhashLsh]] degenerate-bucket cap (applied to the
+    * index side and to the batch self-join). */
+  def incrementalMinhash(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    val bIdx = minhashIndex(batch, idCol, textCol, shingleSize, numHashes,
+        bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def estJ(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    // corpus resolution: batch band keys vs the index, capped on the
+    // INDEX bucket population (the corpus is where degenerate buckets
+    // accumulate over time)
+    val okIdx = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cCand = bIdx
+      .select(col("band"), col("bucket"), col("id").as("bid"), col("sig").as("bsig"))
+      .join(index.join(okIdx, Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("id").as("cid"), col("sig").as("csig")),
+        Seq("band", "bucket"))
+      .dropDuplicates("bid", "cid")
+      .withColumn("est", estJ(col("bsig"), col("csig")))
+      .filter(col("est") >= threshold)
+    val cRes = cCand.groupBy(col("bid"))
+      .agg(min_by(struct(col("cid"), col("est")), col("cid")).as("m"))
+      .select(col("bid"), col("m.cid").as("corpus_of"), col("m.est").as("corpus_est"))
+    // within-batch resolution: banded self-join, smaller id claims
+    val okB = bIdx.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = bIdx.join(okB, Seq("band", "bucket"), "left_semi")
+    val bCand = bounded
+      .select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sig").as("sig_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est", estJ(col("sig_a"), col("sig_b")))
+      .filter(col("est") >= threshold)
+    val bRes = bCand.groupBy(col("id_b").as("bid"))
+      .agg(min_by(struct(col("id_a"), col("est")), col("id_a")).as("m"))
+      .select(col("bid"), col("m.id_a").as("batch_of"), col("m.est").as("batch_est"))
+    batch.select(col(idCol).cast("long").as("id"))
+      .join(cRes, col("id") === cRes("bid"), "left").drop("bid")
+      .join(bRes, col("id") === bRes("bid"), "left").drop("bid")
+      .select(col("id"),
+        when(col("corpus_of").isNotNull, "dup_of_corpus")
+          .when(col("batch_of").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_of"), col("batch_of"), lit(-1L)).as("dup_of"),
+        round(coalesce(col("corpus_est"), col("batch_est"), lit(-1.0)), 6)
+          .as("est_jaccard"))
+  }
+
   /** [[decontaminate]]'s 100 TB-benchmark shape: the benchmark n-gram
     * pool rides as a BLOOM FILTER instead of a broadcast set — ~10 bits
     * per n-gram at fpp=1% versus tens of bytes for the string set, so a

@@ -1760,6 +1760,84 @@ object PipelineSql {
        |FROM b LEFT JOIN idx i USING (fingerprint) JOIN f USING (fingerprint)
        |ORDER BY id""".stripMargin
 
+  /** Banded-minhash signature CTEs over an arbitrary source CTE
+    * (columns doc_id, text) with a name prefix — the [[minhashCtes]]
+    * kernel generalized so the incremental mirror can signature the v1
+    * index corpus and the ingest batch with the SAME hash chain. */
+  private def minhashCtesFor(src: String, p: String, k: Int, numHashes: Int,
+      rows: Int): String =
+    s"""${p}toks AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM $src),
+       |${p}sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks) - ${k - 2})]) AS sh
+       |  FROM ${p}toks),
+       |${p}sigs AS MATERIALIZED (
+       |  SELECT doc_id, h, list_min([md5(h::VARCHAR || ' ' || s) for s in sh]) AS mh
+       |  FROM (SELECT doc_id, sh FROM ${p}sh WHERE len(sh) > 0)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${numHashes - 1})) AS h)),
+       |${p}bands AS MATERIALIZED (
+       |  SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY h)) AS bucket
+       |  FROM (SELECT doc_id, h, h // $rows AS b, mh FROM ${p}sigs)
+       |  GROUP BY doc_id, b)""".stripMargin
+
+  /** Mirrors the dedup_incremental_minhash entry: v1 corpus signatures
+    * as the index, the synthesized ingest batch's band keys joined
+    * against it (then against itself), estimated Jaccard = matching
+    * minhash fraction, corpus match (min cid) wins over within-batch
+    * (min smaller id), −1 sentinels for 'new'. */
+  def dedupIncrementalMinhash(k: Int, numHashes: Int, bands: Int,
+      threshold: Double): String = {
+    val rows = numHashes / bands
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
+       |batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 2),
+       |${minhashCtesFor("v1", "i", k, numHashes, rows)},
+       |${minhashCtesFor("batch", "q", k, numHashes, rows)},
+       |ccand AS (SELECT DISTINCT q.doc_id AS bid, i.doc_id AS cid
+       |          FROM qbands q JOIN ibands i ON q.b = i.b AND q.bucket = i.bucket),
+       |cm AS MATERIALIZED (
+       |  SELECT bid, cid, CAST(sum(CASE WHEN sq.mh = si.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / $numHashes AS est
+       |  FROM ccand JOIN qsigs sq ON sq.doc_id = bid
+       |  JOIN isigs si ON si.doc_id = cid AND si.h = sq.h
+       |  GROUP BY bid, cid
+       |  HAVING CAST(sum(CASE WHEN sq.mh = si.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / $numHashes >= $threshold),
+       |cres AS (SELECT cm.bid, cm.cid, cm.est
+       |         FROM cm JOIN (SELECT bid, min(cid) AS cid FROM cm GROUP BY bid) w
+       |         ON cm.bid = w.bid AND cm.cid = w.cid),
+       |bcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM qbands a JOIN qbands b
+       |          ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |bm AS MATERIALIZED (
+       |  SELECT id_a, id_b, CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / $numHashes AS est
+       |  FROM bcand JOIN qsigs sa ON sa.doc_id = id_a
+       |  JOIN qsigs sb ON sb.doc_id = id_b AND sb.h = sa.h
+       |  GROUP BY id_a, id_b
+       |  HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / $numHashes >= $threshold),
+       |bres AS (SELECT bm.id_b AS bid, bm.id_a, bm.est
+       |         FROM bm JOIN (SELECT id_b, min(id_a) AS id_a FROM bm GROUP BY id_b) w
+       |         ON bm.id_b = w.id_b AND bm.id_a = w.id_a)
+       |SELECT CAST(b.doc_id AS BIGINT) AS id,
+       |       CASE WHEN cres.cid IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN bres.id_a IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CAST(CASE WHEN cres.cid IS NOT NULL THEN cres.cid
+       |            WHEN bres.id_a IS NOT NULL THEN bres.id_a
+       |            ELSE -1 END AS BIGINT) AS dup_of,
+       |       round(CASE WHEN cres.cid IS NOT NULL THEN cres.est
+       |             WHEN bres.id_a IS NOT NULL THEN bres.est
+       |             ELSE -1.0 END, 6) AS est_jaccard
+       |FROM batch b LEFT JOIN cres ON cres.bid = b.doc_id
+       |LEFT JOIN bres ON bres.bid = b.doc_id
+       |ORDER BY id""".stripMargin
+  }
+
   /** Mirrors the corpus_drift entry: the same synthesized v2
     * (deletions + ' edited' appendix), per-source token unigram
     * distributions, Jensen–Shannon divergence with the identical term

@@ -130,12 +130,22 @@ object StreamReplay {
       val q = op(stream).writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val out = spark.table(qname)
       // materialize under the pinned tz, before the temp dir goes away
-      val rows = out.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      drainSink(spark, qname)
     } finally spark.conf.set(tzKey, prevTz)
+  }
+
+  /** Drain a memory sink into a driver-local DataFrame and DROP the
+    * backing temp view: the sink otherwise pins every replayed row in
+    * the driver for the rest of the session — with 40+ streaming
+    * entries in one Bench/Verify JVM that accumulation showed up as
+    * GC-pressure inflation of unrelated later entries. */
+  private def drainSink(spark: SparkSession, qname: String): DataFrame = {
+    val out = spark.table(qname)
+    val rows = out.collect()
+    val schema = out.schema
+    spark.catalog.dropTempView(qname)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   private val docSchema = StructType(Seq(
@@ -172,9 +182,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed MinHash near-dup claims over the driver's documents table
@@ -196,9 +204,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   private val embSchema = StructType(Seq(
@@ -244,9 +250,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed RAG chunking of the driver's documents table
@@ -265,9 +269,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Run a STATELESS op over the staged document stream and return the
@@ -282,9 +284,7 @@ object StreamReplay {
     val q = op(stream).writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed language ID — the stopword-vote classifier as an
@@ -299,9 +299,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** ONLINE BM25 SERVING: the inverted index builds in batch, persists
@@ -341,10 +339,8 @@ object StreamReplay {
     val q = contrib.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
     graft.pipeline.TextAnalysis.bm25RankContrib(
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+      drainSink(spark, qname),
       topK, loaded.idCol)
   }
 
@@ -394,9 +390,7 @@ object StreamReplay {
     val q = parsed.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed JSONL ingestion — the staged JSONL corpus read back
@@ -415,9 +409,7 @@ object StreamReplay {
     val q = stream.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** ONLINE ANN SERVING: the IVF-PQ index builds in batch, persists
@@ -451,9 +443,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    val cand = spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val cand = drainSink(spark, qname)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
     cand.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
@@ -527,9 +517,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed bigram-LM perplexity scoring: the LM trains in BATCH on
@@ -547,9 +535,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed DICTIONARY GATHER — the reference's collection-ingest →
@@ -575,10 +561,8 @@ object StreamReplay {
     val q = perDoc.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
     graft.operators.DictionaryOps.gatherFromPartials(
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema))
+      drainSink(spark, qname))
   }
 
   /** Streamed WINDOWED CO-OCCURRENCE GATHER — the reference's
@@ -603,9 +587,7 @@ object StreamReplay {
     val q = perDoc.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
       .groupBy(col("class_id"), col("token_a"), col("token_b"))
       .agg(sum(col("tf")).cast("float").as("cooc_tf"),
         count(lit(1)).cast("float").as("cooc_df"))
@@ -625,10 +607,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    graft.pipeline.TextAnalysis.corpusStats(
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema),
+    graft.pipeline.TextAnalysis.corpusStats(drainSink(spark, qname),
       exact = true)
   }
 
@@ -653,9 +632,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
       .select(explode(col("subwords")).as("subword"))
       .groupBy(col("subword")).agg(count(lit(1)).as("n_occ"))
   }
@@ -675,9 +652,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.table(qname)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    drainSink(spark, qname)
   }
 
   /** Streamed sessionization of the driver's events table, shaped to the
@@ -983,9 +958,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val hits = spark.table(qname).collect()
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(hits: _*), spark.table(qname).schema)
+    val local = drainSink(spark, qname)
     local.groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
       .select(col("id").as("doc_id"), col("n_hits").cast("long").as("n_hits"))

@@ -569,6 +569,38 @@ class PipelineSpec extends SparkSpec {
     assert(r(14L) === (("new", -1L)))
   }
 
+  test("incrementalMinhash: corpus near-dup vs batch near-dup vs new against the signature index") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((0L, base), (1L, "completely unrelated corpus words here"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, shingleSize = 3, numHashes = 8,
+      bands = 4)
+    val fresh = "one two three four five six seven eight nine ten"
+    val batch = Seq(
+      (10L, base + " lambda"),   // near-dup of corpus 0 (high shingle overlap)
+      (11L, fresh),              // new content
+      (12L, fresh + " eleven"),  // near-dup of 11 -> dup_in_batch
+      (13L, "short")             // shingle-less -> new (nothing to match on)
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalMinhash(index, batch, shingleSize = 3,
+        numHashes = 8, bands = 4, threshold = 0.25)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("status"), x.getAs[Long]("dup_of"),
+          x.getAs[Double]("est_jaccard")))).toMap
+    assert(r.keySet === Set(10L, 11L, 12L, 13L))
+    assert(r(10L)._1 === "dup_of_corpus" && r(10L)._2 === 0L && r(10L)._3 >= 0.25)
+    assert(r(11L)._1 === "new" && r(11L)._2 === -1L && r(11L)._3 === -1.0)
+    assert(r(12L)._1 === "dup_in_batch" && r(12L)._2 === 11L && r(12L)._3 >= 0.25)
+    assert(r(13L)._1 === "new" && r(13L)._2 === -1L)
+    // an exact clone of a corpus doc estimates Jaccard 1 against it
+    val clone = Seq((20L, base)).toDF("doc_id", "text")
+    val rc = Dedup.incrementalMinhash(index, clone, shingleSize = 3,
+      numHashes = 8, bands = 4, threshold = 0.25).collect().head
+    assert(rc.getAs[String]("status") === "dup_of_corpus" &&
+      rc.getAs[Double]("est_jaccard") === 1.0)
+  }
+
   test("winnowingPairs: finds a copied paragraph inside a long doc; df cap prunes") {
     import spark.implicits._
     val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
