@@ -268,7 +268,7 @@ object Ann {
   // cosine accumulated in DOUBLE over double-widened floats, sequential
   // order — the fold DuckDB's list_cosine_similarity performs, so argmax
   // cell assignment agrees across engines (ties to the lower index)
-  private[pipeline] def nearestCentroidCosine(v: Array[Float], cents: Array[Array[Float]]): Int = {
+  private[graft] def nearestCentroidCosine(v: Array[Float], cents: Array[Array[Float]]): Int = {
     var best = 0
     var bestS = Double.NegativeInfinity
     var c = 0

@@ -691,13 +691,18 @@ object Dedup {
       vecCol: String = "embedding", numCells: Int = 16,
       threshold: Double = 0.9, iters: Int = 0, sampleSize: Int = 10000,
       seed: Int = 42): DataFrame = {
-    val spark = emb.sparkSession
     val cents = Ann.trainCentroidsSpherical(emb, vecCol, numCells, iters, sampleSize, idCol)
-    val bC = spark.sparkContext.broadcast(cents)
-    val assign = udf { (v: Seq[Float]) => Ann.nearestCentroidCosine(v.toArray, bC.value) }
+    // native codegen argmax (graft.functions.CosineArgmax) — the cell
+    // assignment is once-per-corpus-vector, the exact shape where the
+    // boxed-Seq UDF this replaced dominated (the AdcDistance precedent);
+    // same double-fold loop as Ann.nearestCentroidCosine, so cells
+    // cannot drift from the trainer's own assignments
+    import org.apache.spark.sql.GraftColumnBridge
     val assigned = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", assign(col("vec")))
+      .withColumn("cell", GraftColumnBridge.column(
+        graft.functions.CosineArgmax(
+          GraftColumnBridge.expression(col("vec")), cents)))
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("v_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("v_b"))
     val dup = a.join(b, Seq("cell"))

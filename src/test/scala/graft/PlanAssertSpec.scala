@@ -146,6 +146,36 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup cell assignment is the native codegen argmax (no ScalaUDF)") {
+    import spark.implicits._
+    // parquet-backed input: a toy LocalRelation would be folded by
+    // ConvertToLocalRelation and hide the assignment projection entirely
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val out = graft.pipeline.Dedup.semanticDedup(emb, numCells = 4,
+      threshold = 0.99, iters = 0, sampleSize = 100)
+    val p = executedPlan(out)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"semanticDedup cell assignment fell back to a UDF:\n$p")
+    assert(p.contains("graft_cosine_argmax"),
+      s"native argmax missing from the assignment projection:\n$p")
+    // codegen and the driver trainer's own assignment loop agree exactly
+    // (the dedup_semantic oracle depends on cells not drifting)
+    val cents = Ann.trainCentroidsSpherical(emb, "embedding", 4,
+      iters = 0, sampleSize = 100)
+    import org.apache.spark.sql.GraftColumnBridge
+    val assigned = emb.select(col("vec_id"), GraftColumnBridge.column(
+        graft.functions.CosineArgmax(
+          GraftColumnBridge.expression(col("embedding")), cents)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    raw.foreach { case (id, v) =>
+      assert(assigned(id) === Ann.nearestCentroidCosine(v, cents),
+        s"cell drift for vec $id")
+    }
+  }
+
   test("ANN brute force keeps the two-phase top-k (no global sort of all scores)") {
     import spark.implicits._
     val emb = (0 until 30).map { i =>
