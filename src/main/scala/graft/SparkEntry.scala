@@ -1964,6 +1964,27 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("media_id"))
     }),
+    // multimodal: the COMPRESSED-codec path under the oracle — the same
+    // md5-assembled P6 payloads re-encoded as PNG (javax.imageio) and
+    // decoded back through the magic-byte dispatch; PNG is lossless, so
+    // the round-tripped stats equal the direct decode's and DuckDB
+    // gates them from the md5 hex with no image codec (any codec drift
+    // breaks the means or the roundtrip_exact flag)
+    "multimodal_png" -> ((s, dir) => {
+      val hexs = concat(
+        md5(concat(lit("imgA"), col("doc_id").cast("string"))),
+        md5(concat(lit("imgB"), col("doc_id").cast("string"))))
+      val payload = concat(
+        encode(lit("P6\n4 2\n255\n"), "UTF-8"),
+        unhex(substring(hexs, 1, 48)))
+      val media = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image").as("kind"), payload.as("payload"))
+      graft.pipeline.Multimodal.pngRoundTripMeta(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("roundtrip_exact"))
+        .orderBy(col("media_id"))
+    }),
     // streaming: image decode AT INGEST — the P6 decoder is a pure
     // per-row JVM map, so the stream runs the batch operator unchanged
     // over the staged feed (decode-on-arrival, the multimodal pipeline's
@@ -3168,6 +3189,7 @@ object SparkEntry {
     "text_domains" -> graft.pipeline.PipelineSql.textDomains(DomainPlantMod),
     "multimodal_meta" -> graft.pipeline.PipelineSql.multimodalMeta,
     "multimodal_meta_stream" -> graft.pipeline.PipelineSql.multimodalMeta,
+    "multimodal_png" -> graft.pipeline.PipelineSql.multimodalPng,
     "multimodal_resize" -> graft.pipeline.PipelineSql.multimodalResize,
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,

@@ -384,6 +384,70 @@ object Multimodal {
       .toDF("media_id", "decoded", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Encode a decoded raster as PNG through the JDK codec — the inverse
+    * of the [[decodeImage]] PNG dispatch. PNG is lossless, so
+    * decode(encodePng(img)) is byte-identical to img (the round-trip
+    * gate [[pngRoundTripMeta]] and MultimodalDecodeSpec pin). */
+  def encodePng(img: DecodedImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.rgb(o) & 0xff) << 16) |
+          ((img.rgb(o + 1) & 0xff) << 8) | (img.rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
+
+  /** PNG round-trip decode gate — [[imageMeta]] computed through a full
+    * compressed-codec cycle: decode the incoming payload, re-encode as
+    * PNG ([[encodePng]]), decode THAT through the `javax.imageio`
+    * dispatch of [[decodeImage]], and report the round-tripped raster's
+    * dimensions and channel means plus a byte-equality flag against the
+    * source raster. Because PNG is lossless the stats are provably
+    * identical to the direct decode's — which is what lets a SQL oracle
+    * with no image codec gate the compressed-format path: any codec
+    * drift (dropped row, channel swap, color-space surprise) breaks
+    * either the means or `roundtrip_exact`. One narrow mapPartitions,
+    * same media-pipeline shape as [[imageMeta]]. */
+  def pngRoundTripMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImage(bytes).flatMap { src =>
+            decodeImage(encodePng(src)).map { rt =>
+              val px = rt.width * rt.height
+              var r = 0L; var g = 0L; var bl = 0L; var i = 0
+              while (i < px) {
+                val o = i * 3
+                r += rt.rgb(o) & 0xff; g += rt.rgb(o + 1) & 0xff
+                bl += rt.rgb(o + 2) & 0xff
+                i += 1
+              }
+              (id, true, Some(rt.width), Some(rt.height),
+                Some(round6(r.toDouble / px)), Some(round6(g.toDouble / px)),
+                Some(round6(bl.toDouble / px)),
+                Some(rt.width == src.width && rt.height == src.height &&
+                  java.util.Arrays.equals(rt.rgb, src.rgb)))
+            }
+          }.getOrElse((id, false, None, None, None, None, None, None))
+        }
+      }
+      .toDF("media_id", "decoded", "width", "height", "mean_r", "mean_g",
+        "mean_b", "roundtrip_exact")
+  }
+
   /** Nearest-neighbor raster resize: destination pixel (x, y) copies
     * source pixel (x·sw/dw, y·sh/dh) — pure integer index math, so any
     * engine can replay the pixel selection exactly (the property the

@@ -1549,6 +1549,28 @@ object PipelineSql {
        |       round(sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) / 8.0, 6) AS mean_b
        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Mirrors the `multimodal_png` entry: PNG is lossless, so the
+    * round-tripped stats are the direct-decode stats — the same md5 hex
+    * math as [[multimodalMeta]] plus the roundtrip_exact gate column
+    * the Spark side computes by byte-comparing the rasters. */
+  val multimodalPng: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         md5('imgA' || CAST(doc_id AS VARCHAR)) ||
+       |         md5('imgB' || CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, g.i,
+       |         ('0x' || substr(hx, 2 * g.i + 1, 2))::INT AS byte
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i) g)
+       |SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |       CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+       |       round(sum(CASE WHEN i % 3 = 0 THEN byte ELSE 0 END) / 8.0, 6) AS mean_r,
+       |       round(sum(CASE WHEN i % 3 = 1 THEN byte ELSE 0 END) / 8.0, 6) AS mean_g,
+       |       round(sum(CASE WHEN i % 3 = 2 THEN byte ELSE 0 END) / 8.0, 6) AS mean_b,
+       |       TRUE AS roundtrip_exact
+       |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** Mirrors the `multimodal_resize` entry: nearest-neighbor 4x2 → 2x1
     * picks source pixels (0,0) and (2,0) — bytes 0-2 and 6-8 of the
     * raster, i.e. hex chars 1-6 and 13-18 — so the resized raster hex
