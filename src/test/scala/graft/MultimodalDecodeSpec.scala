@@ -116,24 +116,9 @@ class MultimodalDecodeSpec extends SparkSpec {
       r.getAs[Int]("height") === H))
   }
 
-  /** Re-encode a decoded raster as PNG through the JDK encoder — PNG is
-    * lossless, so decode(encode(img)) must be byte-identical. */
-  private def pngBytes(img: Multimodal.DecodedImage): Array[Byte] = {
-    val bi = new java.awt.image.BufferedImage(
-      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until img.height; x <- 0 until img.width) {
-      val o = (y * img.width + x) * 3
-      bi.setRGB(x, y, ((img.rgb(o) & 0xff) << 16) |
-        ((img.rgb(o + 1) & 0xff) << 8) | (img.rgb(o + 2) & 0xff))
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(bi, "png", out)
-    out.toByteArray
-  }
-
   test("decodeImage: PNG re-encode of the PPM fixture is bit-identical (lossless gate)") {
     val ppm = Multimodal.decodeImage(ppmBytes).get
-    val png = pngBytes(ppm)
+    val png = Multimodal.encodePng(ppm)
     // really a PNG payload, and really the JDK-codec dispatch
     assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
     val viaPng = Multimodal.decodeImage(png)
@@ -167,6 +152,27 @@ class MultimodalDecodeSpec extends SparkSpec {
     val row = Multimodal.imageMeta(media).collect().head
     assert(row.getBoolean(1) && row.getInt(2) === w && row.getInt(3) === h)
     assert(math.abs(row.getDouble(4) - 128.0) < 2.5)
+  }
+
+  test("pngRoundTripMeta: stats equal the direct decode, raster byte-equal") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", ppmBytes), (2L, "image", bmpBytes),
+      (3L, "image", "undecodable".getBytes)
+    ).toDF("media_id", "kind", "payload")
+    val direct = Multimodal.imageMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rt = Multimodal.pngRoundTripMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(rt(id).getBoolean(1) && rt(id).getAs[Boolean]("roundtrip_exact"),
+        s"PNG round trip must be exact for $id")
+      assert(rt(id).getInt(2) === direct(id).getInt(2))
+      assert(rt(id).getDouble(4) === direct(id).getDouble(4))
+      assert(rt(id).getDouble(5) === direct(id).getDouble(5))
+      assert(rt(id).getDouble(6) === direct(id).getDouble(6))
+    }
+    assert(!rt(3L).getBoolean(1) && rt(3L).isNullAt(7))
   }
 
   test("decodeImage: rejects junk, truncated, and unsupported payloads") {
