@@ -2127,6 +2127,16 @@ object SparkEntry {
           threshold = MinhashThreshold)
         .orderBy(col("id"))
     }),
+    // streaming: incremental NEAR-dup SERVED — the ingest batch arrives
+    // as a stream; per-doc banded signatures (the index delta) and the
+    // capped stream-static corpus probe run in-stream, statuses resolve
+    // at the sink with the batch code; same oracle as the batch row
+    "dedup_incremental_minhash_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.incrementalMinhashServe(s, dir,
+          shingleSize = ShingleK, numHashes = MinHashes, bands = MinBands,
+          threshold = MinhashThreshold)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: winnowing candidate pairs — the local-overlap
     // near-dup detector (df-capped fp-keyed self-join, minhash-band
     // shape)
@@ -3167,6 +3177,8 @@ object SparkEntry {
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
     "dedup_incremental" -> graft.pipeline.PipelineSql.dedupIncremental,
     "dedup_incremental_minhash" -> graft.pipeline.PipelineSql
+      .dedupIncrementalMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
+    "dedup_incremental_minhash_stream" -> graft.pipeline.PipelineSql
       .dedupIncrementalMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "text_decontaminate" ->
       graft.pipeline.PipelineSql.textDecontaminate(DecontBenchDocs, DecontN),

@@ -363,27 +363,60 @@ object Dedup {
     val bIdx = minhashIndex(batch, idCol, textCol, shingleSize, numHashes,
         bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def estJ(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    // corpus resolution: batch band keys vs the index, capped on the
-    // INDEX bucket population (the corpus is where degenerate buckets
-    // accumulate over time)
+    val cCand = corpusNearDupCandidates(bIdx,
+      cappedIndexSide(index, maxBucketSize), numHashes, threshold)
+    resolveIncrementalMinhash(batch.select(col(idCol).cast("long").as("id")),
+      cCand, bIdx, numHashes, threshold, maxBucketSize)
+  }
+
+  /** Estimated Jaccard between two equal-length minhash signatures —
+    * the matching-position fraction (shared by the batch operator and
+    * the streamed serve, so the verify arithmetic cannot drift). */
+  def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** The static join side of the incremental corpus probe: the
+    * signature index with over-populated (band, bucket) keys dropped —
+    * the corpus is where degenerate buckets accumulate over time, and
+    * capping the STATIC side keeps the stream-static join's per-key
+    * fan-out bounded too. */
+  def cappedIndexSide(index: DataFrame, maxBucketSize: Int): DataFrame = {
     val okIdx = index.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
       .select(col("band"), col("bucket"))
-    val cCand = bIdx
-      .select(col("band"), col("bucket"), col("id").as("bid"), col("sig").as("bsig"))
-      .join(index.join(okIdx, Seq("band", "bucket"), "left_semi")
-        .select(col("band"), col("bucket"), col("id").as("cid"), col("sig").as("csig")),
-        Seq("band", "bucket"))
+    index.join(okIdx, Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("cid"),
+        col("sig").as("csig"))
+  }
+
+  /** Corpus-match candidates of a batch's banded signatures against the
+    * (already capped) index side: band-key equi-join, per-(bid, cid)
+    * dedup, estimated-Jaccard verify. Stateless — the same projection
+    * runs as a stream-static join in the streamed serve. Returns
+    * [bid, cid, est]. */
+  def corpusNearDupCandidates(bIdx: DataFrame, cappedIndex: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame =
+    bIdx
+      .select(col("band"), col("bucket"), col("id").as("bid"),
+        col("sig").as("bsig"))
+      .join(cappedIndex, Seq("band", "bucket"))
       .dropDuplicates("bid", "cid")
-      .withColumn("est", estJ(col("bsig"), col("csig")))
+      .withColumn("est", estJaccard(col("bsig"), col("csig"), numHashes))
       .filter(col("est") >= threshold)
+      .select(col("bid"), col("cid"), col("est"))
+
+  /** Resolution stage shared by [[incrementalMinhash]] and the streamed
+    * serve: within-batch banded self-join (capped) + the status rules —
+    * corpus match (min cid) wins, then min smaller-id batch match, else
+    * 'new' with −1 sentinels. `ids` = one row per batch doc (docs with
+    * no shingles resolve to 'new' via the left joins). */
+  def resolveIncrementalMinhash(ids: DataFrame, cCand: DataFrame,
+      bIdx: DataFrame, numHashes: Int, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     val cRes = cCand.groupBy(col("bid"))
       .agg(min_by(struct(col("cid"), col("est")), col("cid")).as("m"))
       .select(col("bid"), col("m.cid").as("corpus_of"), col("m.est").as("corpus_est"))
-    // within-batch resolution: banded self-join, smaller id claims
     val okB = bIdx.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
       .select(col("band"), col("bucket"))
@@ -394,12 +427,12 @@ object Dedup {
         col("sig").as("sig_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("est", estJ(col("sig_a"), col("sig_b")))
+      .withColumn("est", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est") >= threshold)
     val bRes = bCand.groupBy(col("id_b").as("bid"))
       .agg(min_by(struct(col("id_a"), col("est")), col("id_a")).as("m"))
       .select(col("bid"), col("m.id_a").as("batch_of"), col("m.est").as("batch_est"))
-    batch.select(col(idCol).cast("long").as("id"))
+    ids
       .join(cRes, col("id") === cRes("bid"), "left").drop("bid")
       .join(bRes, col("id") === bRes("bid"), "left").drop("bid")
       .select(col("id"),

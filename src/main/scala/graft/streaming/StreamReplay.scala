@@ -287,6 +287,73 @@ object StreamReplay {
     drainSink(spark, qname)
   }
 
+  /** INCREMENTAL NEAR-DUP SERVED ON A STREAM — the daily-ingest
+    * near-dup loop live: the v1 corpus's signature index builds in
+    * batch ([[graft.pipeline.Dedup.minhashIndex]]), the synthesized
+    * ingest batch arrives as a file stream, and TWO stateless in-stream
+    * stages run per arriving doc — (1) its banded signature rows (the
+    * index DELTA the pipeline appends,
+    * [[StreamingPipeline.minhashIndexStream]]) and (2) the corpus probe
+    * (the same banded rows stream-static-joined against the capped
+    * static index with the estimated-Jaccard verify,
+    * [[graft.pipeline.Dedup.corpusNearDupCandidates]]). The sink
+    * resolves statuses over the drained (batch-sized) rows with the
+    * SAME [[graft.pipeline.Dedup.resolveIncrementalMinhash]] the batch
+    * operator uses — so the row is gated by the batch
+    * dedup_incremental_minhash SQL (the Kappa split: per-doc heavy work
+    * in-stream, batch-bounded resolution at the sink). */
+  def incrementalMinhashServe(spark: SparkSession, dir: String,
+      shingleSize: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val ten = pmod(col("doc_id"), lit(10))
+    val index = graft.pipeline.Dedup.minhashIndex(d.where(ten =!= 2),
+      shingleSize = shingleSize, numHashes = numHashes, bands = bands)
+    val capped = graft.pipeline.Dedup.cappedIndexSide(index, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = d.where(ten === 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(d.where(ten === 2)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      .unionByName(d.where(ten === 2)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      .select(col("doc_id"), col("text"))
+    val stageDir = Paths.get(artifacts.computeIfAbsent(
+      (spark, s"$dir#incbatch"), { _ =>
+        val sd = Files.createTempDirectory("graft_replay_incbatch")
+        writeSingleParquet(batch, sd.resolve("00_batch.parquet"),
+          System.currentTimeMillis())
+        sd.toString
+      }))
+    val batchSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream() = spark.readStream.schema(batchSchema)
+      .parquet(stageDir.toString)
+    // stage 1: the index delta (stateless narrow)
+    val q1 = s"graft_replay_incmh_idx_${counter.incrementAndGet()}"
+    val w1 = StreamingPipeline.minhashIndexStream(stream(),
+        shingleSize = shingleSize, numHashes = numHashes, bands = bands)
+      .writeStream.format("memory").queryName(q1)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // stage 2: the corpus probe (stream-static band join + est verify)
+    val q2 = s"graft_replay_incmh_cand_${counter.incrementAndGet()}"
+    val w2 = graft.pipeline.Dedup.corpusNearDupCandidates(
+        StreamingPipeline.minhashIndexStream(stream(),
+          shingleSize = shingleSize, numHashes = numHashes, bands = bands),
+        capped, numHashes, threshold)
+      .writeStream.format("memory").queryName(q2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    w1.awaitTermination(); w2.awaitTermination()
+    val bIdx = drainSink(spark, q1)
+    val cCand = drainSink(spark, q2)
+    val out = graft.pipeline.Dedup.resolveIncrementalMinhash(
+      batch.select(col("doc_id").cast("long").as("id")), cCand, bIdx,
+      numHashes, threshold, maxBucketSize)
+    val rows = out.collect()
+    capped.unpersist(false)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed language ID — the stopword-vote classifier as an
     * ingest-time gate: a pure per-row expression (no state, no
     * shuffle), so the streaming form IS the batch operator applied to

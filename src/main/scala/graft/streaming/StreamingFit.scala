@@ -435,6 +435,33 @@ object StreamingPipeline {
       stateGapSeconds)
   }
 
+  /** Streamed banded minhash signatures of an arriving doc stream — the
+    * INDEX DELTA of [[graft.pipeline.Dedup.minhashIndex]] computed at
+    * ingest: one [id, sig, band, bucket] row per (doc, band), the exact
+    * rows a daily near-dup pipeline appends to the persisted signature
+    * index, and the stream side of the stateless corpus probe
+    * ([[graft.pipeline.Dedup.corpusNearDupCandidates]] as a
+    * stream-static join). Pure narrow — no state, no watermark; the
+    * same Generate barrier as [[nearDupStream]] keeps the
+    * shingles→minhash kernel evaluated once per row instead of ×bands.
+    * Shingle-less docs emit nothing (the batch index contract). */
+  def minhashIndexStream(stream: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = stream.select(col(idCol).cast("long").as("id"),
+        graft.pipeline.Dedup.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigOnce = sh.select(col("id"),
+      explode(array(
+        graft.pipeline.Dedup.minhashSignature(col("sh"), numHashes))).as("sig"))
+    sigOnce.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        md5(array_join(slice(col("sig"), b * rows + 1, rows), "|"))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Streaming embedding near-dup flagging — the streaming form of
     * [[graft.pipeline.Dedup.embeddingNearDup]]'s candidate generation:
     * each arriving vector's (table, bucket) hyperplane signatures use

@@ -603,6 +603,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("minhashIndexStream == batch minhashIndex rows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about structured streaming state"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "x")) // shingle-less: must emit nothing, like the batch index
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.minhashIndexStream(
+        stream.toDS().toDF("doc_id", "text"),
+        shingleSize = 3, numHashes = 8, bands = 4)
+      .writeStream.format("memory").queryName("mh_idx_delta")
+      .outputMode("append").start()
+    try {
+      stream.addData(texts.take(2): _*); q.processAllAvailable()
+      stream.addData(texts.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT id, sig, band, bucket FROM mh_idx_delta")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2), r.getString(3)))
+      .toSet
+    val batch = graft.pipeline.Dedup.minhashIndex(
+        texts.toDF("doc_id", "text"),
+        shingleSize = 3, numHashes = 8, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got === batch, "streamed index delta must equal the batch index")
+    assert(!got.exists(_._1 == 4L), "shingle-less docs emit no index rows")
+  }
+
   test("streaming embedding near-dup claims match batch hyperplane buckets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
