@@ -1825,6 +1825,18 @@ object SparkEntry {
           iters = 3, lr = 1e-5)
         .orderBy(col("iter"), col("feature"))
     }),
+    // ML analytics: probability-calibration report — the reliability
+    // diagram over the logistic model's final weights (bins on the
+    // 6-decimal-rounded probability, exact counts, DECIMAL mean-p sums)
+    "ml_calibration" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        when(col("source") === "src0", 1.0).otherwise(0.0).as("y"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("double").as("x1"),
+        col("n_chars").cast("double").as("x2"))
+      graft.pipeline.Regression.calibrationReport(d, "y", Seq("x1", "x2"),
+          iters = 3, lr = 1e-5, bins = 10)
+        .orderBy(col("bin"))
+    }),
     // ML analytics: exact tie-aware ROC AUC of three integer scoring
     // features against the src0 label — model EVALUATION as a
     // two-phase aggregation (distinct-score rollup + prefix-sum window
@@ -2297,6 +2309,17 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // ORC twin: the Hive-era columnar lake format through Spark's
+    // native reader (pruning/pushdown reach the scan — OrcIOSpec), same
+    // original-parquet digest oracle
+    "ingest_orc" -> ((s, dir) => {
+      val path = graft.sources.OrcIO.stageDocuments(s, dir)
+      graft.sources.OrcIO.readDocuments(s, path)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // sources: the REFERENCE's primary ingestion surface under the
     // driver oracle — the documents table staged as Vowpal-Wabbit text
     // (VwReader.write, the reference CLI's --write-vw-corpus shape),
@@ -2606,6 +2629,22 @@ object SparkEntry {
       graft.pipeline.Temporal.sessionize(
           graft.pipeline.Temporal.readEvents(s, dir), gapNs = SessionGapNs)
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+    // exactly-once ingest: the table delivered TWICE (at-least-once
+    // replay), deduped by event id back to the single table
+    "events_dedup" -> ((s, dir) => {
+      val ev = graft.pipeline.Temporal.readEvents(s, dir)
+      graft.pipeline.Temporal.dedupEvents(ev.unionByName(ev))
+        .select(col("event_id"), col("ts").as("tsn"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+    // streaming: exactly-once ingest LIVE — every event arrives in two
+    // micro-batches (double-staged replay), the watermarked
+    // first-occurrence state emits each id once; same oracle
+    "events_dedup_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.eventsDedup(s, dir)
+        .orderBy(col("event_id"))
     }),
     // as-of join: each purchase matched to the user's most recent prior
     // view (single-shuffle union trick — no range/band join)
@@ -3229,6 +3268,10 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_orc" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ingest_partitioned" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
@@ -3264,6 +3307,8 @@ object SparkEntry {
     "sample_token_budget" -> graft.pipeline.PipelineSql.sampleTokenBudget(
       TokenBudgets, SampleSalt),
     "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
+    "ml_calibration" -> graft.pipeline.PipelineSql.mlCalibration(iters = 3,
+      lr = 1e-5, bins = 10),
     "sample_quality" -> graft.pipeline.PipelineSql.sampleQualityWeighted(
       0.1, 0.8, SampleSalt,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
@@ -3465,6 +3510,8 @@ object SparkEntry {
         |WHERE df >= 5.0 AND df < 0.8 * num_docs AND tf >= 10.0
         |ORDER BY token""".stripMargin,
     "events_sessionize" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
+    "events_dedup" -> graft.pipeline.TemporalSql.dedupEvents,
+    "events_dedup_stream" -> graft.pipeline.TemporalSql.dedupEvents,
     "events_asof" -> graft.pipeline.TemporalSql.asofPurchaseView,
     "events_asof_stream" -> graft.pipeline.TemporalSql.asofPurchaseView,
     "events_e2e" -> graft.pipeline.TemporalSql.sessionAsofE2e(SessionGapNs),

@@ -1708,7 +1708,10 @@ object PipelineSql {
     * libm exp last-ulp differences) and summed exactly; weights
     * rounded to the 9-decimal grid each step — the exact iteration
     * arithmetic the operator's driver loop replays. */
-  def mlLogreg(iters: Int, lr: Double): String = {
+  /** The shared logistic-GD CTE chain (t / nn / w0 / g1..w`iters`) —
+    * consumed by [[mlLogreg]] (the trajectory) and [[mlCalibration]]
+    * (the reliability diagram under the final weights). */
+  private def logregCtes(iters: Int, lr: Double): String = {
     def z(prev: String) =
       s"(SELECT wi FROM $prev) + (SELECT w1 FROM $prev)*x1 + (SELECT w2 FROM $prev)*x2"
     val steps = (1 to iters).map { k =>
@@ -1725,22 +1728,45 @@ object PipelineSql {
          |  round((SELECT w2 FROM $prev) - $lr * s2 / (SELECT n FROM nn), 9) AS w2
          |  FROM g$k)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to iters).flatMap { k =>
-      Seq(s"SELECT $k AS iter, '_intercept' AS feature, wi AS weight FROM w$k",
-        s"SELECT $k AS iter, 'x1' AS feature, w1 AS weight FROM w$k",
-        s"SELECT $k AS iter, 'x2' AS feature, w2 AS weight FROM w$k")
-    }.mkString("\nUNION ALL ")
-    s"""WITH t AS MATERIALIZED (
+    s"""t AS MATERIALIZED (
        |  SELECT CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
        |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS x1,
        |         CAST(n_chars AS DOUBLE) AS x2
        |  FROM documents),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
        |w0 AS MATERIALIZED (SELECT 0.0 AS wi, 0.0 AS w1, 0.0 AS w2),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def mlLogreg(iters: Int, lr: Double): String = {
+    val out = (1 to iters).flatMap { k =>
+      Seq(s"SELECT $k AS iter, '_intercept' AS feature, wi AS weight FROM w$k",
+        s"SELECT $k AS iter, 'x1' AS feature, w1 AS weight FROM w$k",
+        s"SELECT $k AS iter, 'x2' AS feature, w2 AS weight FROM w$k")
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${logregCtes(iters, lr)}
        |SELECT CAST(iter AS BIGINT) AS iter, feature, weight FROM (
        |$out)
        |ORDER BY iter, feature""".stripMargin
+  }
+
+  /** Mirrors Regression.calibrationReport: probabilities under the
+    * final GD weights (6-decimal grid — bins assigned on the ROUNDED
+    * value, the rank-on-rounded recipe), 10 equal-width reliability
+    * bins, exact counts, DECIMAL mean-probability sums. */
+  def mlCalibration(iters: Int, lr: Double, bins: Int): String = {
+    val w = s"w$iters"
+    s"""WITH ${logregCtes(iters, lr)},
+       |p AS (SELECT CAST(y AS BIGINT) AS y,
+       |        round(1.0/(1.0 + exp(-((SELECT wi FROM $w) +
+       |          (SELECT w1 FROM $w)*x1 + (SELECT w2 FROM $w)*x2))), 6) AS p
+       |      FROM t)
+       |SELECT CAST(least($bins - 1, floor(p * $bins)) AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+       |       round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+       |         AS mean_p
+       |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
   }
 
   def sampleShard(nShards: Int, salt: String): String =

@@ -105,6 +105,41 @@ object Regression {
     rows.toSeq.toDF("iter", "feature", "weight")
   }
 
+  /** Probability-calibration report (the reliability diagram, and the
+    * inputs to ECE): fit [[logisticGd]], score every row with the FINAL
+    * weights, round p to the 6-decimal grid (bins are assigned on the
+    * ROUNDED value — the rank-on-rounded recipe, so the bin edge cannot
+    * flip on a last-ulp exp difference between engines), and roll
+    * `bins` equal-width bins to [bin, n, frac_pos, mean_p]. A
+    * well-calibrated model has frac_pos ≈ mean_p per bin; the gap is
+    * what Platt/isotonic post-hoc calibration would correct.
+    *
+    * Shape at scale: one extra corpus scan after the fit (the scoring
+    * projection is narrow) into a `bins`-row map-side-combined
+    * aggregation; mean_p DECIMAL-sums so the report is bit-identical
+    * across engines and partitionings. */
+  def calibrationReport(df: DataFrame, labelCol: String,
+      featureCols: Seq[String], iters: Int, lr: Double,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "calibration needs at least 2 bins")
+    val traj = logisticGd(df, labelCol, featureCols, iters, lr)
+    val w = traj.filter(col("iter") === iters).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val z = featureCols.foldLeft(lit(w("_intercept"))) {
+      case (acc, f) => acc + lit(w(f)) * col(f).cast("double")
+    }
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    df.select(col(labelCol).cast("long").as("y"), p.as("p"))
+      .withColumn("bin",
+        least(lit((bins - 1).toLong), floor(col("p") * bins).cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("frac_pos"),
+        round(sum(col("p").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_p"))
+      .select(col("bin"), col("n"), col("frac_pos"), col("mean_p"))
+  }
+
   /** Exact tie-aware ROC AUC (the Mann–Whitney U statistic) of each
     * integer-valued score column against a binary label — model
     * EVALUATION as a two-phase aggregation. Phase 1 reduces the corpus

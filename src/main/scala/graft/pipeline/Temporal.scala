@@ -78,6 +78,15 @@ object Temporal {
   private def bucketStart(ts: org.apache.spark.sql.Column, widthNs: Long) =
     ts - pmod(ts, lit(widthNs))
 
+  /** Exactly-once event dedup — the idempotent-ingest primitive: one
+    * row per `idCol` (at-least-once delivery and replayed partitions
+    * produce EXACT copies, so any survivor is the same row; the
+    * streamed twin is [[graft.streaming.StreamingPipeline
+    * .dedupEventsStream]]'s watermarked first-occurrence state). One
+    * hash aggregation on the id key — map-side combined, no window. */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events.dropDuplicates(idCol)
+
   /** Gaps-and-islands sessionization: a new session starts where the gap
     * to the user's previous event exceeds `gapNs`. Output is one row per
     * session: (user_id, session_idx, session_start, session_end,

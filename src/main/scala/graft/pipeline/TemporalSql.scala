@@ -15,6 +15,15 @@ object TemporalSql {
     * outside this object (report_skew). */
   def eventsCte: String = e
 
+  /** Mirrors [[Temporal.dedupEvents]] over doubled delivery (and the
+    * streamed twin's double-staged replay): exactly-once == the single
+    * table. */
+  val dedupEvents: String =
+    s"""WITH e AS ($e)
+       |SELECT CAST(event_id AS BIGINT) AS event_id, tsn,
+       |       CAST(user_id AS BIGINT) AS user_id, event_type, value
+       |FROM e ORDER BY event_id""".stripMargin
+
   /** Mirrors [[Temporal.sessionize]]. */
   def sessionize(gapNs: Long): String =
     s"""WITH e AS ($e),

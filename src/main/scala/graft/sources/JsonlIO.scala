@@ -82,3 +82,34 @@ object CsvIO {
       out
     })
 }
+
+/** ORC document I/O — the OTHER columnar warehouse format (Hive-era
+  * lakes hold exabytes of it). Spark ships the reader/writer natively,
+  * and unlike the text formats it keeps the columnar contract: column
+  * pruning and predicate pushdown reach the scan (OrcIOSpec pins
+  * PushedFilters in the executed plan), so a 100 TB ORC corpus scans
+  * like parquet — no row-parse tax. Schema travels in the files;
+  * [[readDocuments]] still PINS it so type drift in a delivered corpus
+  * fails loudly instead of surfacing as a mis-typed column. */
+object OrcIO {
+
+  val documentsSchema: StructType = JsonlIO.documentsSchema
+
+  def writeDocuments(df: DataFrame, path: String): Unit =
+    df.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).orc(path)
+
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def stageDocuments(spark: SparkSession, dir: String): String =
+    staged.computeIfAbsent((spark, dir), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      writeDocuments(spark.read.parquet(s"$dir/documents.parquet"), out)
+      out
+    })
+}

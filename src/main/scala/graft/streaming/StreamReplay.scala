@@ -287,6 +287,51 @@ object StreamReplay {
     drainSink(spark, qname)
   }
 
+  /** EXACTLY-ONCE INGEST replay: the events table is staged TWICE (two
+    * files, ascending mtimes), so with maxFilesPerTrigger=1 every event
+    * arrives in two different micro-batches — the at-least-once
+    * delivery scenario — and the watermarked first-occurrence state of
+    * [[StreamingPipeline.dedupEventsStream]] must emit each id exactly
+    * once. Duplicates carry the SAME event time, so any watermark delay
+    * covers them; no flush sentinel is needed (first occurrences emit
+    * immediately in append mode). Gated by the batch dedup SQL over the
+    * single table. */
+  def eventsDedup(spark: SparkSession, dir: String,
+      watermark: String = "30 days"): DataFrame = {
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try {
+      val stage = stages.computeIfAbsent((spark, s"$dir#double"), { _ =>
+        val d = Files.createTempDirectory("graft_replay_double")
+        val src = Paths.get(s"$dir/events.parquet")
+        val base = System.currentTimeMillis()
+        Seq("00_events.parquet" -> 60000L, "01_events_again.parquet" -> 30000L)
+          .foreach { case (name, back) =>
+            val staged = d.resolve(name)
+            try Files.createSymbolicLink(staged, src)
+            catch { case _: Exception =>
+              Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+            Files.setLastModifiedTime(staged,
+              java.nio.file.attribute.FileTime.fromMillis(base - back))
+          }
+        d
+      })
+      val stream = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumn("ts", col("ts").cast(TimestampType))
+      val qname = s"graft_replay_evdedup_${counter.incrementAndGet()}"
+      val q = StreamingPipeline.dedupEventsStream(stream, watermark = watermark)
+        .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("tsn"),
+          col("user_id"), col("event_type"), col("value"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainSink(spark, qname)
+    } finally spark.conf.set(tzKey, prevTz)
+  }
+
   /** INCREMENTAL NEAR-DUP SERVED ON A STREAM — the daily-ingest
     * near-dup loop live: the v1 corpus's signature index builds in
     * batch ([[graft.pipeline.Dedup.minhashIndex]]), the synthesized

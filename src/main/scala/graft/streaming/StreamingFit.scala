@@ -435,6 +435,19 @@ object StreamingPipeline {
       stateGapSeconds)
   }
 
+  /** Exactly-once INGEST: watermarked first-occurrence dedup of an
+    * event stream by id — Spark's `dropDuplicatesWithinWatermark`
+    * (state = one entry per id inside the watermark horizon, evicted as
+    * event time passes id's first occurrence + delay), the production
+    * answer to at-least-once sources replaying rows. Each id's FIRST
+    * arrival is emitted immediately (no aggregation, no flush
+    * sentinel); copies arriving within `watermark` of it are dropped.
+    * The batch twin is [[graft.pipeline.Temporal.dedupEvents]]. */
+  def dedupEventsStream(stream: DataFrame, idCol: String = "event_id",
+      tsCol: String = "ts", watermark: String = "30 days"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Streamed banded minhash signatures of an arriving doc stream — the
     * INDEX DELTA of [[graft.pipeline.Dedup.minhashIndex]] computed at
     * ingest: one [id, sig, band, bucket] row per (doc, band), the exact

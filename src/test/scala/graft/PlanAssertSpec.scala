@@ -146,6 +146,25 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("ORC scan keeps the columnar contract: pushdown + pruning reach the scan") {
+    val dir = graft.sources.OrcIO.stageDocuments(spark, "/root/testdata/sf0.001")
+    val q = graft.sources.OrcIO.readDocuments(spark, dir)
+      .filter(col("doc_id") === 42L).select("doc_id", "lang")
+    val p = executedPlan(q)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(doc_id,42)"),
+      s"ORC scan lost predicate pushdown:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"ORC scan reads more than the projected columns:\n$p")
+    // and the round-trip is lossless vs the parquet original
+    val orig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "md5(text) m", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    val back = graft.sources.OrcIO.readDocuments(spark, dir)
+      .selectExpr("doc_id", "md5(text) m", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(back === orig, "ORC round-trip must be lossless")
+  }
+
   test("semanticDedup cell assignment is the native codegen argmax (no ScalaUDF)") {
     import spark.implicits._
     // parquet-backed input: a toy LocalRelation would be folded by
