@@ -2630,6 +2630,20 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), gapNs = SessionGapNs)
         .orderBy(col("user_id"), col("session_idx"))
     }),
+    // skew tooling as a first-class ACTION: the hot-key fact side
+    // salted over 16 pseudo-keys, the type dimension replicated and
+    // broadcast — output provably == the plain join (the oracle), plan
+    // = one narrow broadcast probe with NO fact-side shuffle
+    "events_salted_join" -> ((s, dir) => {
+      val ev = graft.pipeline.Temporal.readEvents(s, dir)
+        .select(col("event_id"), col("event_type"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_tag", substring(md5(col("event_type")), 1, 8))
+      graft.pipeline.Joins.saltedJoin(ev, dim, "event_type",
+          col("event_id"), salts = 16)
+        .select(col("event_id"), col("event_type"), col("type_tag"))
+        .orderBy(col("event_id"))
+    }),
     // exactly-once ingest: the table delivered TWICE (at-least-once
     // replay), deduped by event id back to the single table
     "events_dedup" -> ((s, dir) => {
@@ -3512,6 +3526,12 @@ object SparkEntry {
     "events_sessionize" -> graft.pipeline.TemporalSql.sessionize(SessionGapNs),
     "events_dedup" -> graft.pipeline.TemporalSql.dedupEvents,
     "events_dedup_stream" -> graft.pipeline.TemporalSql.dedupEvents,
+    "events_salted_join" ->
+      s"""WITH e AS (${graft.pipeline.TemporalSql.eventsCte}),
+         |d AS (SELECT DISTINCT event_type,
+         |        substr(md5(event_type), 1, 8) AS type_tag FROM e)
+         |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, d.type_tag
+         |FROM e JOIN d USING (event_type) ORDER BY event_id""".stripMargin,
     "events_asof" -> graft.pipeline.TemporalSql.asofPurchaseView,
     "events_asof_stream" -> graft.pipeline.TemporalSql.asofPurchaseView,
     "events_e2e" -> graft.pipeline.TemporalSql.sessionAsofE2e(SessionGapNs),

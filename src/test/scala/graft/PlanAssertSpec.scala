@@ -146,6 +146,42 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin: output == plain join, hot key spread over salts, no fact-side shuffle") {
+    import spark.implicits._
+    // 1000-row hot key + a long tail, parquet-backed to defeat
+    // ConvertToLocalRelation
+    val tmp = java.nio.file.Files.createTempDirectory("graft_salt").toString
+    ((0 until 1000).map(i => (i.toLong, "hot")) ++
+      (1000 until 1050).map(i => (i.toLong, s"cold${i % 7}")))
+      .toDF("event_id", "event_type").write.mode("overwrite").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // literal dim: keeps the plan assertion about the FACT side — a
+    // distinct()-built dim adds its own (legitimate) build-side shuffle
+    val dim = (Seq("hot") ++ (0 until 7).map(i => s"cold$i"))
+      .toDF("event_type")
+      .withColumn("type_tag", substring(md5(col("event_type")), 1, 8))
+    val salted = graft.pipeline.Joins.saltedJoin(fact, dim, "event_type",
+      col("event_id"), salts = 8)
+    val plain = fact.join(dim, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("type_tag"))
+    assert(salted.select("event_id", "event_type", "type_tag")
+      .collect().map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long]))
+      .toSeq === plain.collect().map(_.toSeq)
+      .sorted(Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long])).toSeq)
+    // the hot key really spreads across pseudo-keys
+    val hotSalts = fact.filter(col("event_type") === "hot")
+      .withColumn("_salt",
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 8).cast("int"))
+      .select(countDistinct(col("_salt"))).head().getLong(0)
+    assert(hotSalts >= 6, s"hot key only hit $hotSalts of 8 salts")
+    // plan: broadcast probe, the fact side never shuffles
+    val p = executedPlan(salted)
+    assert(p.contains("BroadcastHashJoin"), s"salted join lost the broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"salted join shuffled the fact side:\n$p")
+  }
+
   test("ORC scan keeps the columnar contract: pushdown + pruning reach the scan") {
     val dir = graft.sources.OrcIO.stageDocuments(spark, "/root/testdata/sf0.001")
     val q = graft.sources.OrcIO.readDocuments(spark, dir)

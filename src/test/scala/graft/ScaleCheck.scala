@@ -94,6 +94,25 @@ object ScaleCheck {
           graft.pipeline.Dedup.minhashLsh(docsR, shingleSize = 3,
             numHashes = 8, bands = 4, threshold = 0.25).count()
         },
+        entry("dedup_incremental_minhash (index resolve)") {
+          // decorrelated replicas (the containment reasoning): the index
+          // is the even-id half, the batch the odd-id half — corpus and
+          // batch both grow with r, pairs stay bucket-bounded
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          val idx = graft.pipeline.Dedup.minhashIndex(
+            decorrelated.where(pmod(col("doc_id"), lit(2)) === 0),
+            shingleSize = 3, numHashes = 8, bands = 4)
+          graft.pipeline.Dedup.incrementalMinhash(idx,
+            decorrelated.where(pmod(col("doc_id"), lit(2)) === 1),
+            shingleSize = 3, numHashes = 8, bands = 4,
+            threshold = 0.25).count()
+        },
+        entry("events_dedup (exactly-once agg)") {
+          graft.pipeline.Temporal.dedupEvents(evR.unionByName(evR)).count()
+        },
         entry("sample_token_budget (keyed prefix)") {
           val kept = graft.pipeline.Sampling.tokenBudget(
             docsR.select(col("doc_id"), col("source"),
