@@ -88,9 +88,15 @@ object StreamReplay {
       val stage = Files.createTempDirectory("graft_replay")
       val src = Paths.get(s"$dir/events.parquet")
       val staged = stage.resolve("00_events.parquet")
-      try Files.createSymbolicLink(staged, src)
-      catch { case _: Exception =>
-        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+      // COPY, never symlink: setLastModifiedTime FOLLOWS a symlink and
+      // would bump the mtime of the read-only source file itself (root
+      // bypasses the permission check) — a second staging of the same
+      // file then reorders THIS stage's already-built mtime sequence
+      // under it, the real events sort after the sentinels, and every
+      // later stateful replay crashes on past-watermark timeouts
+      // (observed: events_sessionize_stream after the events_dedup
+      // double-staging landed)
+      Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING)
 
       // sentinels 30/31 days past the max real ts: far beyond any
       // watermark delay + session gap used here
@@ -306,12 +312,13 @@ object StreamReplay {
         val d = Files.createTempDirectory("graft_replay_double")
         val src = Paths.get(s"$dir/events.parquet")
         val base = System.currentTimeMillis()
+        // COPY, never symlink — the stageDir mtime-through-symlink
+        // lesson (a symlinked mtime set mutates the shared source file
+        // and reorders every OTHER staging built from it)
         Seq("00_events.parquet" -> 60000L, "01_events_again.parquet" -> 30000L)
           .foreach { case (name, back) =>
             val staged = d.resolve(name)
-            try Files.createSymbolicLink(staged, src)
-            catch { case _: Exception =>
-              Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+            Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING)
             Files.setLastModifiedTime(staged,
               java.nio.file.attribute.FileTime.fromMillis(base - back))
           }
