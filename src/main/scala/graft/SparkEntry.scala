@@ -1713,6 +1713,15 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    // streaming: TF-IDF keyword serve — frozen df/N stats, arriving docs
+    // stream-static join the df table on term; tf+rank at the sink via
+    // the batch's own tfidfRankFromTf half (gated by the batch oracle)
+    "text_tfidf_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.tfidfServe(s, dir, topK = TfidfTopK)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("rank").cast("long").as("rank"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     // LLM pipeline: BM25 ranked retrieval — top-k docs per query
     // (broadcast query side; rank-on-rounded-score, doc_id tiebreak)
     "text_bm25" -> ((s, dir) => {
@@ -2752,6 +2761,11 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir), "user_id", topK = 10)
         .orderBy(col("rank"))
     }),
+    // pre-flight column profile: every per-column aggregate (exact
+    // distincts included) in ONE agg pass; stack-to-rows happens on the
+    // 1-row result, so column count never multiplies the corpus scans
+    "report_profile" -> ((s, dir) =>
+      graft.pipeline.Diagnostics.profile(docs(s, dir)).orderBy(col("column"))),
     // streaming: the per-type leaderboard as a Kappa split — watermarked
     // daily (window, type, user) counts in-stream, window-sum + the
     // batch rank at the sink; integer counts make the split exact
@@ -2870,6 +2884,13 @@ object SparkEntry {
     // stateful sessionize replay feeds the shared batch aggregate
     "events_session_stats_stream" -> ((s, dir) => {
       graft.streaming.StreamReplay.sessionStats(s, dir, gapNs = SessionGapNs)
+    }),
+    // inter-arrival profile: per-user consecutive-gap stats (churn/bot
+    // signal) — lag window + per-user agg share ONE user_id Exchange
+    "events_interarrival" -> ((s, dir) => {
+      graft.pipeline.Temporal.interarrival(
+          graft.pipeline.Temporal.readEvents(s, dir))
+        .orderBy(col("user_id"))
     }),
     // running/cumulative window family: per-user lifetime event count +
     // running value total at every event (LTV curve); one user_id
@@ -3195,6 +3216,7 @@ object SparkEntry {
         |                  / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
         |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
+    "text_tfidf_stream" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "text_bm25_stream" -> graft.pipeline.PipelineSql.textBm25(
@@ -3565,6 +3587,9 @@ object SparkEntry {
          |  CAST(ceil(CAST(r.n_rows AS DOUBLE) * t.n_keys / t.total) AS BIGINT)
          |    AS salt_factor
          |FROM r CROSS JOIN t WHERE r.rank <= 10 ORDER BY rank""".stripMargin,
+    "report_profile" -> graft.pipeline.PipelineSql.profile("documents",
+      stringCols = Seq("text", "lang", "source"),
+      numCols = Seq("doc_id", "n_chars")),
     "events_dau" -> graft.pipeline.TemporalSql.activeUsers(
       graft.pipeline.Temporal.NsPerDay),
     // streaming replays are gated by the SAME oracle as their batch twins
@@ -3583,6 +3608,7 @@ object SparkEntry {
       graft.pipeline.Temporal.NsPerHour),
     "events_ohlc_stream" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),
+    "events_interarrival" -> graft.pipeline.TemporalSql.interarrival,
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
     "events_markov" -> graft.pipeline.TemporalSql.markovTransitions,
     "events_cumulative_stream" -> graft.pipeline.TemporalSql.cumulative,

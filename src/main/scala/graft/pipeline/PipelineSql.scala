@@ -2649,4 +2649,31 @@ object PipelineSql {
        |$rounds
        |SELECT src AS token, round(r, 6) AS r FROM r$iters ORDER BY token""".stripMargin
   }
+
+  /** Mirrors [[graft.pipeline.Diagnostics.profile]] over `table`: ONE
+    * aggregate row (the same single-pass shape as the Spark plan), then
+    * a bounded UNION ALL stacking it to one row per column. String
+    * columns profile their code-point length (both engines' `length`),
+    * numerics their value — no string collation on the oracle path. */
+  def profile(table: String, stringCols: Seq[String],
+      numCols: Seq[String]): String = {
+    val cols = (stringCols.map(_ -> true) ++ numCols.map(_ -> false))
+      .sortBy(_._1)
+    val aggs = cols.flatMap { case (c, isStr) =>
+      val v = if (isStr) s"CAST(length($c) AS DOUBLE)" else s"CAST($c AS DOUBLE)"
+      Seq(s"CAST(count($c) AS BIGINT) AS nn_$c",
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c",
+        s"round(min($v), 6) AS mn_$c",
+        s"round(max($v), 6) AS mx_$c",
+        s"round(avg($v), 6) AS av_$c")
+    } :+ "CAST(count(*) AS BIGINT) AS n_all"
+    val stacked = cols.map { case (c, _) =>
+      s"""SELECT '$c' AS "column", n_all AS n_rows,
+         |  n_all - nn_$c AS n_null, nd_$c AS n_distinct,
+         |  mn_$c AS min_v, mx_$c AS max_v, av_$c AS mean_v FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS MATERIALIZED (SELECT ${aggs.mkString(",\n  ")} FROM $table)
+       |$stacked
+       |ORDER BY "column"""".stripMargin
+  }
 }

@@ -145,6 +145,36 @@ object Temporal {
       round(expr("percentile(dur_s, 0.9)").cast("double"), 6).as("p90_duration_s"))
   }
 
+  /** Per-user inter-arrival statistics — the gap/churn profile behind
+    * retention models and bot screens (machine traffic shows near-zero
+    * gaps; churning users show exploding ones). Consecutive-event deltas
+    * per user (ordered by (ts, event_id) — the sessionize tie-break),
+    * floor-divided to whole SECONDS first (the [[sessionStats]]
+    * exact-integer contract: means/percentiles over small exact longs,
+    * never over epoch-ns magnitudes), then aggregated per user:
+    * [user_id, n_gaps, mean_gap_s, p50_gap_s, p90_gap_s, max_gap_s].
+    * Users with a single event have no gaps and are absent.
+    *
+    * Shape at scale: ONE user_id shuffle — the lag window and the
+    * per-user aggregate share the same hash partitioning, so Catalyst
+    * plans a single Exchange; no join, no second pass. */
+  def interarrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = col("ts") - col("__prev")
+    events
+      .withColumn("__prev", lag("ts", 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("user_id"),
+        ((gap - pmod(gap, lit(NsPerSecond))) / lit(NsPerSecond))
+          .cast("long").as("gap_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_s")), 6).as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5)").cast("double"), 6).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)").cast("double"), 6).as("p90_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+  }
+
   /** As-of join: for each left row, the most recent right row of the same
     * key with `right.ts <= left.ts` (ties included; among right rows with
     * identical (key, ts) the one with the greatest `tieCol` wins).

@@ -276,6 +276,23 @@ object TemporalSql {
        |       round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s
        |FROM d""".stripMargin
 
+  /** Mirrors [[Temporal.interarrival]]: per-user consecutive gaps in
+    * whole seconds (exact integer floor-division before any mean —
+    * the sessionStats contract), aggregated per user. */
+  def interarrival: String =
+    s"""WITH e AS ($e),
+       |g AS (SELECT user_id,
+       |        ((tsn - lag(tsn) OVER w) - (tsn - lag(tsn) OVER w) % 1000000000)
+       |          // 1000000000 AS gap_s
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       |       round(avg(gap_s), 6) AS mean_gap_s,
+       |       round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       |       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+       |       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+       |FROM g WHERE gap_s IS NOT NULL
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Mirrors [[Temporal.cumulative]] — the DECIMAL running sum is exact
     * under any association order (DuckDB's windowed double sums use
     * segment trees; Spark accumulates), so the two engines agree to the

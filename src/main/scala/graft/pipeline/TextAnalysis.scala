@@ -561,8 +561,20 @@ object TextAnalysis {
     val dfT = toks.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df_t"))
     val nDocs = nonBlank.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfT, Seq("term"))
-      .crossJoin(broadcast(nDocs))
+    tfidfRankFromTf(
+      tf.join(dfT, Seq("term")).crossJoin(broadcast(nDocs)),
+      topK, idCol)
+  }
+
+  /** The score + rank half of [[tfidfTerms]] over a pre-joined
+    * [<id>, term, tf, df_t, n_docs] table — shared by the batch row and
+    * the streaming serve (which computes tf at the sink from streamed
+    * per-occurrence rows and freezes df_t/n_docs from the corpus
+    * snapshot). Rank-on-rounded with a term tiebreak, as the batch
+    * scaladoc requires. */
+  def tfidfRankFromTf(tfDf: DataFrame, topK: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = tfDf
       .withColumn("score", round(col("tf").cast("double") *
         (log((col("n_docs").cast("double") + 1.0) /
              (col("df_t").cast("double") + 1.0)) + 1.0), 6))

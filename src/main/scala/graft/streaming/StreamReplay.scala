@@ -463,6 +463,44 @@ object StreamReplay {
       topK, loaded.idCol)
   }
 
+  /** TF-IDF keyword extraction on a stream — the at-ingest twin of the
+    * text_tfidf row: corpus statistics (per-term document frequencies +
+    * the document count) FREEZE from the batch snapshot, arriving docs
+    * explode to per-occurrence (doc, term) rows and stream-static join
+    * the frozen df table on the term key (stateless — the bm25Serve
+    * shape pointed at documents instead of queries); the per-doc tf
+    * roll-up + score + top-k rank run at the sink via the SAME
+    * [[graft.pipeline.TextAnalysis.tfidfRankFromTf]] the batch path
+    * uses. Because the replayed docs ARE the frozen corpus, the result
+    * is gated by the batch text_tfidf oracle. */
+  def tfidfServe(spark: SparkSession, dir: String, topK: Int): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val nonBlank = docsDf.filter(length(trim(col("text"))) > 0)
+    val toks = nonBlank.select(col("doc_id"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+    val dfT = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df_t"))
+      .persist()
+    val nDocs = nonBlank.count()
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+      .join(broadcast(dfT), Seq("term"))
+    val qname = s"graft_replay_tfidf_${counter.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val tf = drainSink(spark, qname)
+      .groupBy(col("doc_id"), col("term"), col("df_t"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("n_docs", lit(nDocs))
+    dfT.unpersist(blocking = false)
+    TextAnalysis.tfidfRankFromTf(tf, topK)
+  }
+
   /** UNIGRAM TOKENIZER APPLICATION on a stream — the serving split for
     * the SentencePiece-family tokenizer (the bpe_encode_stream twin):
     * the [[graft.pipeline.Unigram.Model]] trains in batch, arriving

@@ -1106,6 +1106,38 @@ class PipelineSpec extends SparkSpec {
     assert(again === out.toSeq)
   }
 
+  test("profile: hand-checked per-column stats, nulls counted, strings by length") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("ab"), Some(10.0)),
+      (2L, Some("abcd"), None),
+      (3L, None, Some(30.0)),
+      (3L, Some("ab"), Some(10.0))).toDF("id", "s", "x")
+    val out = Diagnostics.profile(d).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(out.keySet === Set("id", "s", "x"))
+    val id = out("id")
+    assert(id.getAs[Long]("n_rows") === 4L)
+    assert(id.getAs[Long]("n_null") === 0L)
+    assert(id.getAs[Long]("n_distinct") === 3L)
+    assert(id.getAs[Double]("min_v") === 1.0)
+    assert(id.getAs[Double]("max_v") === 3.0)
+    assert(id.getAs[Double]("mean_v") === 2.25)
+    val s = out("s")
+    assert(s.getAs[Long]("n_null") === 1L)
+    assert(s.getAs[Long]("n_distinct") === 2L)         // "ab", "abcd"
+    assert(s.getAs[Double]("min_v") === 2.0)           // length view
+    assert(s.getAs[Double]("max_v") === 4.0)
+    assert(s.getAs[Double]("mean_v") === BigDecimal(8.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val x = out("x")
+    assert(x.getAs[Long]("n_null") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 2L)
+    // single aggregation pass: exactly one row-proportional scan
+    assert(Diagnostics.profile(d.repartition(5)).collect().toSet ===
+      out.values.toSet)
+  }
+
   test("confusionReport: hand-checked, never-predicted class is null-safe") {
     import spark.implicits._
     val preds = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),

@@ -38,6 +38,23 @@ class TemporalSpec extends SparkSpec {
     assert(s(2).getAs[Long]("session_idx") === 1L)
   }
 
+  test("interarrival: whole-second floor, single-event users absent, exact p50/p90") {
+    val e = ev(
+      (0L, 1L, 1000 * S, "a", 1.0),
+      (1L, 1L, 1010 * S, "a", 1.0),          // gap 10 s
+      (2L, 1L, 1030 * S, "a", 1.0),          // gap 20 s
+      (3L, 1L, 1030 * S + S / 2, "a", 1.0),  // gap 0.5 s -> floors to 0
+      (4L, 2L, 9999 * S, "a", 1.0))          // single event: no gaps
+    val r = Temporal.interarrival(e).orderBy("user_id").collect()
+    assert(r.length === 1)                    // user 2 absent
+    assert(r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[Long]("n_gaps") === 3L)
+    assert(r(0).getAs[Double]("mean_gap_s") === 10.0)      // (10+20+0)/3
+    assert(r(0).getAs[Double]("p50_gap_s") === 10.0)
+    assert(r(0).getAs[Double]("p90_gap_s") === 18.0)       // interp 10..20 at .8
+    assert(r(0).getAs[Long]("max_gap_s") === 20L)
+  }
+
   test("sessionize is partitioning-invariant") {
     val e = ev((0L until 50L).map(i =>
       (i, i % 3, (1000 + 70 * i) * S, "a", 1.0)): _*)
