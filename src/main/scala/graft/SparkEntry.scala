@@ -131,6 +131,11 @@ object SparkEntry {
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
   private val BpeTopSubwords = 30  // bpe_encode report size
+  private val WpMerges = 12        // WordPiece likelihood-merge rounds
+  private val WpMaxWord = 12       // WordPiece word-length cap (greedy unroll width)
+  private val WpMaxPiece = 8       // WordPiece bounded-longest-match cap
+  private val WpGrid = 1000000000L // WordPiece integer score grid
+  private val WpTopSubwords = 30   // wordpiece_encode report size
   private val UniSeed = 200        // unigram tokenizer seed vocab (multi-char)
   private val UniRounds = 2        // unigram hard-EM rounds
   private val UniMaxWord = 12      // unigram word-length cap (DP unroll width)
@@ -230,6 +235,17 @@ object SparkEntry {
       graft.pipeline.Bpe.train(docs(s, dir), BpeMerges, maxWordLen = BpeMaxWordLen)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    }
+
+  /** Memoized learned WordPiece merge table (driver-local: WpMerges
+    * rows) — shared by wordpiece_train and wordpiece_encode. */
+  private def wpMerges(s: SparkSession, dir: String): Array[(Long, String, String, String, Long, Long)] =
+    memoized(s, dir, "wpmerges") {
+      graft.pipeline.WordPiece.train(docs(s, dir), WpMerges,
+          maxWordLen = WpMaxWord, scoreGrid = WpGrid)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getLong(5)))
     }
 
   /** Memoized MinHash-LSH pair table [id_a, id_b, est_jaccard] — shared
@@ -1682,6 +1698,29 @@ object SparkEntry {
       bpeMerges(s, dir).toSeq
         .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("merge_rank"))
+    }),
+    // LLM pipeline: WordPiece (BERT-family) tokenizer training — the
+    // likelihood-gain merge rule pc/(c_l·c_r) argmax'd on a pure-BIGINT
+    // integer grid (engine-exact); SQL re-learns every round via scalar
+    // subqueries, no replayed literals
+    "wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      wpMerges(s, dir).toSeq
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "score_g")
+        .orderBy(col("merge_rank"))
+    }),
+    // LLM pipeline: greedy longest-match-first WordPiece encoding over
+    // the learned vocabulary (## continuations, [UNK] fallback), run
+    // entirely on the distinct-word table — the oracle RE-LEARNS the
+    // merges AND replays the greedy walk, pinning train + apply
+    "wordpiece_encode" -> ((s, dir) => {
+      val merged = wpMerges(s, dir).map(_._4).toSeq
+      val vocab = graft.pipeline.WordPiece.vocabulary(docs(s, dir), merged,
+        maxWordLen = WpMaxWord)
+      graft.pipeline.WordPiece.encodeCounts(docs(s, dir), vocab,
+          maxWordLen = WpMaxWord, maxPieceLen = WpMaxPiece)
+        .orderBy(col("n_occ").desc, col("subword")).limit(WpTopSubwords)
+        .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
     }),
     // LLM pipeline: corpus encoded with the learned merge table — top
     // subword frequencies. The oracle RE-LEARNS the merges in SQL
@@ -3229,6 +3268,10 @@ object SparkEntry {
       LmAddK, LmTriAlpha, LmTriTrainRate, LmTriSalt),
     "text_lm_perplexity_stream" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
+    "wordpiece_train" -> graft.pipeline.PipelineSql.wordpieceTrain(
+      WpMerges, WpMaxWord, WpGrid),
+    "wordpiece_encode" -> graft.pipeline.PipelineSql.wordpieceEncode(
+      WpMerges, WpMaxWord, WpGrid, WpMaxPiece, WpTopSubwords),
     "unigram_train" -> graft.pipeline.PipelineSql.unigramTrain(
       UniSeed, UniRounds, UniMaxWord, UniMaxPiece, UniReportK),
     "unigram_encode_stream" -> graft.pipeline.PipelineSql.unigramTrain(

@@ -2650,6 +2650,137 @@ object PipelineSql {
        |SELECT src AS token, round(r, 6) AS r FROM r$iters ORDER BY token""".stripMargin
   }
 
+  /** Mirrors the wordpiece_train entry: the [[wpChain]] likelihood-merge
+    * chain re-learned fully in SQL, each round's argmax a scalar
+    * subquery feeding the next round's rewrite — no replayed literals. */
+  def wordpieceTrain(numMerges: Int, maxWordLen: Int, grid: Long): String = {
+    val rounds = wpChain(numMerges, maxWordLen, grid)
+    val out = (1 to numMerges)
+      .map(r => s"""SELECT CAST($r AS BIGINT) AS merge_rank, pl AS lhs, pr AS rhs,
+                   |  pl || substr(pr, 3) AS merged, CAST(pc AS BIGINT) AS pair_count,
+                   |  CAST(sc AS BIGINT) AS score_g FROM top$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Mirrors the wordpiece_encode entry: the [[wpChain]] chain re-learns
+    * the merges, the implied vocabulary (initial symbols + merge
+    * outputs) materializes, and GREEDY LONGEST-MATCH-FIRST segmentation
+    * runs as a bounded candidate grid + ONE vocab join + max-length
+    * pivot + one MATERIALIZED walk layer per word position (the unigram
+    * DP-mirror shape — per-(pos,len) LEFT JOIN chains blow up DuckDB's
+    * join-order search). Output = top `topK` corpus piece frequencies
+    * weighted by word count, (n_occ DESC, subword) ranked. */
+  def wordpieceEncode(numMerges: Int, maxWordLen: Int, grid: Long,
+      maxPieceLen: Int, topK: Int): String = {
+    val rounds = wpChain(numMerges, maxWordLen, grid)
+    val mergedSel = (1 to numMerges)
+      .map(r => s"SELECT pl || substr(pr, 3) AS s FROM top$r")
+      .mkString("\n    UNION ALL ")
+    val layers = (1 to maxWordLen).map { r =>
+      s"""g${r + 1} AS MATERIALIZED (
+         |  SELECT g.word, g.cnt,
+         |    CASE WHEN g.failed OR g.pos > length(g.word) OR l.bl IS NULL
+         |         THEN g.pos ELSE g.pos + l.bl END AS pos,
+         |    CASE WHEN g.failed OR g.pos > length(g.word) OR l.bl IS NULL
+         |         THEN g.pieces
+         |         ELSE list_append(g.pieces,
+         |           CASE WHEN g.pos = 1 THEN substr(g.word, g.pos, l.bl)
+         |                ELSE '##' || substr(g.word, g.pos, l.bl) END)
+         |         END AS pieces,
+         |    CASE WHEN g.failed THEN true
+         |         WHEN g.pos <= length(g.word) AND l.bl IS NULL THEN true
+         |         ELSE false END AS failed
+         |  FROM g$r g LEFT JOIN lenat l ON l.word = g.word AND l.pos = g.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $rounds,
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest(string_split(trim(seq), '  ')) AS s FROM seq1
+       |    UNION ALL $mergedSel)),
+       |grid AS (
+       |  SELECT w.word, w.cnt, p.pos, l.len,
+       |    CASE WHEN p.pos = 1 THEN substr(w.word, p.pos, l.len)
+       |         ELSE '##' || substr(w.word, p.pos, l.len) END AS form
+       |  FROM words w,
+       |       (SELECT unnest(range(1, $maxWordLen + 1)) AS pos) p,
+       |       (SELECT unnest(range(1, $maxPieceLen + 1)) AS len) l
+       |  WHERE p.pos + l.len - 1 <= length(w.word)),
+       |lenat AS MATERIALIZED (
+       |  SELECT g.word, g.pos, max(g.len) AS bl
+       |  FROM grid g JOIN vocab v ON v.s = g.form
+       |  GROUP BY g.word, g.pos),
+       |g1 AS MATERIALIZED (
+       |  SELECT word, cnt, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+       |         false AS failed FROM words),
+       |$layers,
+       |enc AS (SELECT cnt, CASE WHEN failed THEN ['[UNK]'] ELSE pieces END
+       |          AS pieces FROM g${maxWordLen + 1}),
+       |sub AS (SELECT unnest(pieces) AS subword, cnt FROM enc),
+       |agg AS (SELECT subword, CAST(SUM(cnt) AS BIGINT) AS n_occ
+       |        FROM sub GROUP BY subword)
+       |SELECT subword, n_occ FROM (
+       |  SELECT subword, n_occ,
+       |         row_number() OVER (ORDER BY n_occ DESC, subword) AS rk
+       |  FROM agg) WHERE rk <= $topK
+       |ORDER BY n_occ DESC, subword""".stripMargin
+  }
+
+  /** The shared CTE chain of [[wordpieceTrain]]/[[wordpieceEncode]]:
+    * word counts, WordPiece-style initial sequences (first char bare,
+    * continuations `##`-prefixed), then per-round (rewrite, pair
+    * counts, symbol counts, grid-scored argmax) CTEs — the [[bpeChain]]
+    * skeleton with the likelihood score
+    * `(pc · grid) // (c_l · c_r)` (pure BIGINT, engine-exact) and
+    * `merged = pl || substr(pr, 3)`. */
+  private def wpChain(numMerges: Int, maxWordLen: Int, grid: Long): String = {
+    def seqCte(r: Int): String =
+      // NB: no line may start with `|` after this builder's stripMargin
+      // (the enclosing template stripMargins embedded text a second
+      // time — the bpeChain lesson).
+      if (r == 1)
+        s"""seq1 AS MATERIALIZED (SELECT cnt,
+           |  ' ' || array_to_string([CASE WHEN i = 0 THEN word[1]
+           |      ELSE '##' || word[i+1] END for i in range(0, length(word))], '  ') || ' ' AS seq
+           |  FROM words)""".stripMargin
+      else {
+        val t = s"(SELECT pl FROM top${r - 1})"
+        val u = s"(SELECT pr FROM top${r - 1})"
+        s"""seq$r AS MATERIALIZED (SELECT cnt,
+           |  replace(seq, ' ' || $t || '  ' || $u || ' ',
+           |               ' ' || $t || substr($u, 3) || ' ') AS seq
+           |  FROM seq${r - 1})""".stripMargin
+      }
+    def topCte(r: Int): String =
+      s"""pairs$r AS (
+         |  SELECT p[1] AS pl, p[2] AS pr, cnt FROM (
+         |    SELECT unnest([[t[i+1], t[i+2]] for i in range(0, len(t)-1)]) AS p, cnt
+         |    FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM seq$r))),
+         |syms$r AS MATERIALIZED (
+         |  SELECT s, SUM(cnt) AS c FROM (
+         |    SELECT unnest(string_split(trim(seq), '  ')) AS s, cnt FROM seq$r)
+         |  GROUP BY s),
+         |top$r AS MATERIALIZED (SELECT pl, pr, pc, sc FROM (
+         |  SELECT pl, pr, pc, sc,
+         |         row_number() OVER (ORDER BY sc DESC, pc DESC, pl, pr) AS rk
+         |  FROM (SELECT p.pl, p.pr, p.pc, (p.pc * $grid) // (cl.c * cr.c) AS sc
+         |        FROM (SELECT pl, pr, SUM(cnt) AS pc FROM pairs$r
+         |              GROUP BY pl, pr) p
+         |        JOIN syms$r cl ON cl.s = p.pl
+         |        JOIN syms$r cr ON cr.s = p.pr))
+         |  WHERE rk = 1)""".stripMargin
+    val rounds = (1 to numMerges)
+      .map(r => s"${seqCte(r)},\n${topCte(r)}").mkString(",\n")
+    s"""words AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1 AND length(w) <= $maxWordLen GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
   /** Mirrors [[graft.pipeline.Diagnostics.profile]] over `table`: ONE
     * aggregate row (the same single-pass shape as the Spark plan), then
     * a bounded UNION ALL stacking it to one row per column. String
