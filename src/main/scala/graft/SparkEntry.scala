@@ -1744,6 +1744,19 @@ object SparkEntry {
         .orderBy(col("n_occ").desc, col("subword")).limit(BpeTopSubwords)
         .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
     }),
+    // streaming: WordPiece tokenizer APPLICATION as a stream — vocab
+    // trains in batch, docs greedy-segment statelessly (one piece-array
+    // row per doc), per-piece rollup at the sink; same oracle as
+    // wordpiece_encode
+    "wordpiece_encode_stream" -> ((s, dir) => {
+      val merged = wpMerges(s, dir).map(_._4).toSeq
+      val vocab = graft.pipeline.WordPiece.vocabulary(docs(s, dir), merged,
+        maxWordLen = WpMaxWord)
+      graft.streaming.StreamReplay.wordpiecePieceCounts(s, dir, vocab,
+          maxWordLen = WpMaxWord, maxPieceLen = WpMaxPiece)
+        .orderBy(col("n_occ").desc, col("subword")).limit(WpTopSubwords)
+        .select(col("subword"), col("n_occ").cast("long").as("n_occ"))
+    }),
     // LLM pipeline: TF-IDF keyword extraction (top-5 terms per doc;
     // rank-on-rounded-score so libm ln ulp differences cannot flip ranks)
     "text_tfidf" -> ((s, dir) => {
@@ -3271,6 +3284,8 @@ object SparkEntry {
     "wordpiece_train" -> graft.pipeline.PipelineSql.wordpieceTrain(
       WpMerges, WpMaxWord, WpGrid),
     "wordpiece_encode" -> graft.pipeline.PipelineSql.wordpieceEncode(
+      WpMerges, WpMaxWord, WpGrid, WpMaxPiece, WpTopSubwords),
+    "wordpiece_encode_stream" -> graft.pipeline.PipelineSql.wordpieceEncode(
       WpMerges, WpMaxWord, WpGrid, WpMaxPiece, WpTopSubwords),
     "unigram_train" -> graft.pipeline.PipelineSql.unigramTrain(
       UniSeed, UniRounds, UniMaxWord, UniMaxPiece, UniReportK),

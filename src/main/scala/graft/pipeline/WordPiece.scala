@@ -164,15 +164,39 @@ object WordPiece {
     * (alphabet + merges — tens of entries). Returns [subword, n_occ]. */
   def encodeCounts(docs: DataFrame, vocab: Seq[String],
       textCol: String = "text", maxWordLen: Int = 12,
-      maxPieceLen: Int = 8): DataFrame = {
+      maxPieceLen: Int = 8): DataFrame =
+    Bpe.wordCounts(docs, textCol, maxWordLen)
+      .select(col("cnt"),
+        explode(greedyPieces(col("word"), vocab, maxWordLen, maxPieceLen))
+          .as("subword"))
+      .groupBy(col("subword")).agg(sum(col("cnt")).as("n_occ"))
+
+  /** Per-document piece ARRAYS under greedy longest-match encoding —
+    * the [[encodeCounts]] math applied per word of each document and
+    * flattened to one row per doc (the [[Bpe.encodeDocSubwords]]
+    * shape a STREAMING tokenizer stage wants: sink traffic = docs, not
+    * occurrences). Returns [<id col>, pieces: array<string>]. */
+  def encodeDocPieces(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordLen: Int = 12, maxPieceLen: Int = 8): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z]+"),
+      w => length(w) >= 1 && length(w) <= maxWordLen)
+    docs.select(col(idCol),
+      flatten(transform(words,
+        w => greedyPieces(w, vocab, maxWordLen, maxPieceLen))).as("pieces"))
+  }
+
+  /** The greedy longest-match-first walk of one word as a single
+    * column: ONE aggregate() HOF running `maxWordLen` steps over a
+    * (pos, pieces, failed) struct state at RUNTIME — never maxWordLen
+    * stacked projections, whose maxWordLen × maxPieceLen unrolled
+    * candidate whens (each embedding the vocabulary literal) blew past
+    * Janino's method limit and dropped the stage to interpreted
+    * fallback. `word` may be an outer column or a lambda variable. */
+  private def greedyPieces(word: Column, vocab: Seq[String],
+      maxWordLen: Int, maxPieceLen: Int): Column = {
     val vLit = typedlit(vocab)
-    // One aggregate() HOF per word: the greedy walk runs as a RUNTIME
-    // loop over `maxWordLen` steps with a (pos, pieces, failed) struct
-    // state — NOT as maxWordLen stacked projections, whose
-    // maxWordLen × maxPieceLen unrolled candidate whens (each embedding
-    // the vocabulary literal) blew past Janino's method limit and
-    // dropped the stage to interpreted fallback.
-    def step(st: Column, word: Column): Column = {
+    def step(st: Column): Column = {
       val pos = st.getField("pos")
       val pieces = st.getField("pieces")
       val failed = st.getField("failed")
@@ -196,13 +220,10 @@ object WordPiece {
     }
     val start = struct(lit(1).as("pos"),
       array().cast("array<string>").as("pieces"), lit(false).as("failed"))
-    val walked = aggregate(
+    aggregate(
       sequence(lit(1), lit(maxWordLen)), start,
-      (st, _) => step(st, col("word")),
+      (st, _) => step(st),
       st => when(st.getField("failed"), array(lit(UnkPiece)))
         .otherwise(st.getField("pieces")))
-    Bpe.wordCounts(docs, textCol, maxWordLen)
-      .select(col("cnt"), explode(walked).as("subword"))
-      .groupBy(col("subword")).agg(sum(col("cnt")).as("n_occ"))
   }
 }

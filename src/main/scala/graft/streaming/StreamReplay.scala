@@ -794,6 +794,28 @@ object StreamReplay {
       .groupBy(col("subword")).agg(count(lit(1)).as("n_occ"))
   }
 
+  /** WORDPIECE TOKENIZER APPLICATION on a stream — the
+    * [[bpeSubwordCounts]] twin for the greedy `##`-continuation
+    * encoder: vocabulary trains in batch, arriving docs greedy-segment
+    * word by word in a stateless narrow pass (one piece-array row per
+    * doc), and the sink rolls per-piece occurrence counts — gated by
+    * the batch wordpiece_encode oracle. */
+  def wordpiecePieceCounts(spark: SparkSession, dir: String,
+      vocab: Seq[String], maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_wp_${counter.incrementAndGet()}"
+    val q = graft.pipeline.WordPiece.encodeDocPieces(stream, vocab,
+        maxWordLen = maxWordLen, maxPieceLen = maxPieceLen)
+      .select(col("pieces"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(spark, qname)
+      .select(explode(col("pieces")).as("subword"))
+      .groupBy(col("subword")).agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Streamed NB classification of the driver's documents table: the
     * model trains in BATCH on the same parquet, then the staged doc
     * stream is scored statelessly ([[StreamingPipeline.classifyStream]])
