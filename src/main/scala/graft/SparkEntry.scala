@@ -131,6 +131,7 @@ object SparkEntry {
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
   private val BpeTopSubwords = 30  // bpe_encode report size
+  private val ZOrderBits = 4       // Morton-key bits per dimension
   private val WpMerges = 12        // WordPiece likelihood-merge rounds
   private val WpMaxWord = 12       // WordPiece word-length cap (greedy unroll width)
   private val WpMaxPiece = 8       // WordPiece bounded-longest-match cap
@@ -2348,6 +2349,21 @@ object SparkEntry {
     // corpus partitioned by source, read back with a partition filter
     // (prunes at file-LISTING time: zero bytes from excluded
     // partitions); digest of the surviving rows vs the original
+    // layout: Z-order (Morton) clustering key over (user, time) — the
+    // multi-column data-skipping sort key; range-scaled integer bucket
+    // ordinals + bit interleave, engine-exact (the write path and its
+    // 2-D footer-skipping property are pinned by ZOrderSpec)
+    "layout_zorder" -> ((s, dir) => {
+      graft.sources.ZOrder.zorderKey(
+          graft.pipeline.Temporal.readEvents(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts", bits = ZOrderBits)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("bucket_a").cast("long").as("bucket_a"),
+          col("bucket_b").cast("long").as("bucket_b"),
+          col("zkey").cast("long").as("zkey"))
+        .orderBy(col("event_id"))
+    }),
     "ingest_partitioned" -> ((s, dir) => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_part").toString
@@ -3667,6 +3683,7 @@ object SparkEntry {
     "events_ohlc_stream" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),
     "events_interarrival" -> graft.pipeline.TemporalSql.interarrival,
+    "layout_zorder" -> graft.pipeline.TemporalSql.zorder(ZOrderBits),
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
     "events_markov" -> graft.pipeline.TemporalSql.markovTransitions,
     "events_cumulative_stream" -> graft.pipeline.TemporalSql.cumulative,

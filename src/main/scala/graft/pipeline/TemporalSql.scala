@@ -276,6 +276,29 @@ object TemporalSql {
        |       round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s
        |FROM d""".stripMargin
 
+  /** Mirrors [[graft.sources.ZOrder.zorderKey]] over (user_id, tsn):
+    * range-scaled integer bucket ordinals + the bit-interleaved Morton
+    * key — pure BIGINT shifts/ands/divides, identical in any engine. */
+  def zorder(bits: Int): String = {
+    val nb = 1L << bits
+    val terms = (0 until bits).map { i =>
+      s"((bucket_a >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+        s"((bucket_b >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH e AS ($e),
+       |mm AS (SELECT min(user_id) AS mna, max(user_id) AS mxa,
+       |              min(tsn) AS mnb, max(tsn) AS mxb FROM e),
+       |b AS (SELECT e.event_id,
+       |        ((e.user_id - mm.mna) * $nb) // (mm.mxa - mm.mna + 1) AS bucket_a,
+       |        ((e.tsn - mm.mnb) * $nb) // (mm.mxb - mm.mnb + 1) AS bucket_b
+       |      FROM e CROSS JOIN mm)
+       |SELECT CAST(event_id AS BIGINT) AS event_id,
+       |       CAST(bucket_a AS BIGINT) AS bucket_a,
+       |       CAST(bucket_b AS BIGINT) AS bucket_b,
+       |       CAST($terms AS BIGINT) AS zkey
+       |FROM b ORDER BY event_id""".stripMargin
+  }
+
   /** Mirrors [[Temporal.interarrival]]: per-user consecutive gaps in
     * whole seconds (exact integer floor-division before any mean —
     * the sessionStats contract), aggregated per user. */
