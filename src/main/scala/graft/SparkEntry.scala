@@ -77,6 +77,7 @@ object SparkEntry {
   private val SnippetDocs = 10
   private val CoocWindow = 3
   private val PageRankIters = 5
+  private val PprSeeds = 2         // personalized-PageRank seed count (lexicographic min tokens)
   private val PageRankDamping = 0.85
   // Regularizer-mix fit (label balancing + improve-coherence +
   // specified-sparse keep-top-k per token row)
@@ -946,6 +947,21 @@ object SparkEntry {
       graft.pipeline.Graph.pageRank(
           coocSym(s, dir).select(col("token_a").as("src"),
             col("token_b").as("dst"), col("cooc_tf").as("weight")),
+          iters = PageRankIters, damping = PageRankDamping)
+        .select(col("vertex").as("token"), round(col("r"), 6).as("r"))
+        .orderBy(col("token"))
+    }),
+    // personalized PageRank: teleport mass pinned to a seed set (the
+    // query-expansion / related-item primitive) — seeds picked
+    // deterministically from the graph (lexicographic min tokens), so
+    // the oracle recomputes them with no replayed literals
+    "graph_ppr" -> ((s, dir) => {
+      val edges = coocSym(s, dir).select(col("token_a").as("src"),
+        col("token_b").as("dst"), col("cooc_tf").as("weight"))
+      val seeds = edges.select(col("src")).distinct()
+        .orderBy(col("src")).limit(PprSeeds)
+        .collect().map(_.getString(0)).toSeq
+      graft.pipeline.Graph.personalizedPageRank(edges, seeds,
           iters = PageRankIters, damping = PageRankDamping)
         .select(col("vertex").as("token"), round(col("r"), 6).as("r"))
         .orderBy(col("token"))
@@ -3291,6 +3307,8 @@ object SparkEntry {
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(
       CoocWindow, PageRankIters, PageRankDamping),
+    "graph_ppr" -> graft.pipeline.PipelineSql.coocPpr(
+      CoocWindow, PageRankIters, PageRankDamping, PprSeeds),
     "graph_triangles" -> graft.pipeline.PipelineSql.coocTriangles(CoocWindow),
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "text_lm_trigram" -> graft.pipeline.PipelineSql.lmTrigram(

@@ -62,6 +62,58 @@ object Graph {
     r.select(col("src").as("vertex"), col("r"))
   }
 
+  /** PERSONALIZED PageRank — relevance to a SEED SET instead of global
+    * importance (the related-item/expansion primitive: "tokens/docs
+    * near these seeds" for query expansion, related-document panels,
+    * topic neighborhoods): the teleport mass lands only on the seeds,
+    * r_{k+1}(v) = (1−d)·1{v∈S}/|S| + d·Σ_{(u,v)} r_k(u)·p(u,v),
+    * initialized with all mass on S. Same per-iteration shape as
+    * [[pageRank]] (ONE edge-to-rank join + ONE map-side-combined
+    * groupBy, localCheckpoint lineage cuts); the seed set rides as a
+    * literal predicate (bounded — tens of seeds, never data-sized).
+    * Every seed must be a graph vertex (raises otherwise — a silently
+    * absent seed would leak its teleport mass and the ranks would no
+    * longer sum to 1). Returns [vertex, r] (unrounded). */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Any],
+      iters: Int = 5, damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", wCol: String = "weight"): DataFrame = {
+    require(iters >= 0)
+    require(seeds.nonEmpty, "personalizedPageRank: empty seed set")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val norm = e.join(outw, Seq("src"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w") / col("outw")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vertices = norm.select(col("src")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isSeed = col("src").isin(seeds: _*)
+    val nSeeds = vertices.filter(isSeed).count()
+    require(nSeeds == seeds.distinct.size,
+      s"personalizedPageRank: ${seeds.distinct.size - nSeeds} seed(s) are" +
+        " not graph vertices — their teleport mass would silently leak")
+    val seedMass = 1.0 / seeds.distinct.size
+    // divide, don't multiply by seedMass: X/n is one rounding, matching
+    // any SQL mirror's `(1-d)/n.0` bit for bit at every seed count
+    val teleport = (1.0 - damping) / seeds.distinct.size
+    var r = vertices
+      .withColumn("r", when(isSeed, lit(seedMass)).otherwise(lit(0.0)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = norm.join(r, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("p") * col("r")).as("rin"))
+      r = vertices.join(contrib, vertices("src") === contrib("dst"), "left")
+        .select(col("src"),
+          (when(isSeed, lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("rin"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    norm.unpersist()
+    vertices.unpersist()
+    r.select(col("src").as("vertex"), col("r"))
+  }
+
   /** Connected components by pointer-jumping min-label propagation over
     * an arbitrary (orderable) vertex type — the generic form of
     * [[Dedup.duplicateClusters]] (which delegates here after its long

@@ -2650,6 +2650,59 @@ object PipelineSql {
        |SELECT src AS token, round(r, 6) AS r FROM r$iters ORDER BY token""".stripMargin
   }
 
+  /** Mirrors [[graft.pipeline.Graph.personalizedPageRank]] over the
+    * windowed-cooc graph: the [[coocPageRank]] CTE chain with teleport
+    * mass pinned to the `nSeeds` lexicographically-least vertices —
+    * the seed set recomputed IN-SQL (no replayed literals), initial
+    * rank 1/|S| on seeds, 0 elsewhere. */
+  def coocPpr(window: Int, iters: Int, damping: Double,
+      nSeeds: Int): String = {
+    def round(k: Int): String =
+      s"""c$k AS MATERIALIZED (
+         |  SELECT norm.dst, sum(norm.p * r${k - 1}.r) AS rin
+         |  FROM norm JOIN r${k - 1} ON r${k - 1}.src = norm.src GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT v.src, CASE WHEN sd.src IS NOT NULL
+         |                     THEN (1.0 - $damping) / $nSeeds.0 ELSE 0.0 END
+         |           + $damping * coalesce(c$k.rin, 0.0) AS r
+         |  FROM v LEFT JOIN seeds sd ON sd.src = v.src
+         |         LEFT JOIN c$k ON c$k.dst = v.src)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token,
+       |         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |pairs AS (
+       |  SELECT a.doc_id,
+       |         CASE WHEN a.token <= b.token THEN a.token ELSE b.token END AS token_a,
+       |         CASE WHEN a.token <= b.token THEN b.token ELSE a.token END AS token_b,
+       |         CASE WHEN a.token = b.token THEN 2.0 ELSE 1.0 END AS tf
+       |  FROM tok a JOIN tok b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + $window),
+       |cooc AS MATERIALIZED (
+       |  SELECT token_a, token_b, sum(tf) AS cooc_tf
+       |  FROM pairs GROUP BY token_a, token_b),
+       |sym AS MATERIALIZED (
+       |  SELECT token_a, token_b, cooc_tf FROM cooc
+       |  UNION ALL
+       |  SELECT token_b, token_a, cooc_tf FROM cooc WHERE token_a <> token_b),
+       |outw AS MATERIALIZED (
+       |  SELECT token_a AS src, sum(cooc_tf) AS outw FROM sym GROUP BY 1),
+       |norm AS MATERIALIZED (
+       |  SELECT s.token_a AS src, s.token_b AS dst,
+       |         CAST(sum(s.cooc_tf / o.outw) AS DOUBLE) AS p
+       |  FROM sym s JOIN outw o ON o.src = s.token_a GROUP BY 1, 2),
+       |v AS MATERIALIZED (SELECT DISTINCT src FROM norm),
+       |seeds AS MATERIALIZED (SELECT src FROM v ORDER BY src LIMIT $nSeeds),
+       |r0 AS MATERIALIZED (
+       |  SELECT v.src, CASE WHEN sd.src IS NOT NULL
+       |                     THEN 1.0 / $nSeeds.0 ELSE 0.0 END AS r
+       |  FROM v LEFT JOIN seeds sd ON sd.src = v.src),
+       |$rounds
+       |SELECT src AS token, round(r, 6) AS r FROM r$iters ORDER BY token""".stripMargin
+  }
+
   /** Mirrors the wordpiece_train entry: the [[wpChain]] likelihood-merge
     * chain re-learned fully in SQL, each round's argmax a scalar
     * subquery feeding the next round's rewrite — no replayed literals. */

@@ -261,6 +261,34 @@ class PipelineSpec extends SparkSpec {
     assert(a.keys == b.keys && a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
   }
 
+  test("personalizedPageRank: seed-pinned teleport, mass conservation, locality") {
+    import spark.implicits._
+    // path a–b–c–d, symmetrized, unit weights; seed = {a}
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).map { case (s, d) => (s, d, 1.0) }
+      .toDF("src", "dst", "weight")
+    val r = graft.pipeline.Graph.personalizedPageRank(edges, Seq("a"), iters = 8)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // teleport mass conserved
+    // relevance decays with distance WITHIN a bipartite class (a path
+    // graph oscillates between parity classes at finite iterations, so
+    // cross-parity hops are not monotone — compare like with like)
+    assert(r("a") > r("c") && r("b") > r("d"))
+    assert(r.values.max === r("a") && r.values.min === r("d"))
+    // one iteration, hand-checked: r0 = [1,0,0,0];
+    // r1(a) = 0.15 + 0.85·(r0(b)·½) = 0.15; r1(b) = 0.85·1 = 0.85
+    val r1 = graft.pipeline.Graph.personalizedPageRank(edges, Seq("a"), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r1("a") - 0.15) < 1e-12)
+    assert(math.abs(r1("b") - 0.85) < 1e-12)
+    assert(r1("c") === 0.0 && r1("d") === 0.0)
+    // a seed that is not a vertex raises instead of leaking mass
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Graph.personalizedPageRank(edges, Seq("a", "zz"), iters = 1)
+    }
+    assert(e.getMessage.contains("not graph vertices"))
+  }
+
   test("bm25: candidates need a query term; tf saturates; length normalizes; score exact") {
     import spark.implicits._
     val corpus = Seq(
