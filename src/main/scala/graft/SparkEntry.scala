@@ -2976,6 +2976,13 @@ object SparkEntry {
           graft.pipeline.Temporal.readEvents(s, dir))
         .orderBy(col("user_id"))
     }),
+    // streaming: inter-arrival gaps as a Kappa split — one-long-per-user
+    // last-ts state emits whole-second gaps at arrival, the batch
+    // aggregate half runs at the sink; gated by the batch SQL
+    "events_interarrival_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.interarrival(s, dir)
+        .orderBy(col("user_id"))
+    }),
     // running/cumulative window family: per-user lifetime event count +
     // running value total at every event (LTV curve); one user_id
     // shuffle, single ordered pass, DECIMAL running sum (association-
@@ -3701,6 +3708,7 @@ object SparkEntry {
     "events_ohlc_stream" -> graft.pipeline.TemporalSql.ohlc(
       graft.pipeline.Temporal.NsPerHour),
     "events_interarrival" -> graft.pipeline.TemporalSql.interarrival,
+    "events_interarrival_stream" -> graft.pipeline.TemporalSql.interarrival,
     "layout_zorder" -> graft.pipeline.TemporalSql.zorder(ZOrderBits),
     "events_cumulative" -> graft.pipeline.TemporalSql.cumulative,
     "events_markov" -> graft.pipeline.TemporalSql.markovTransitions,

@@ -161,19 +161,25 @@ object Temporal {
   def interarrival(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gap = col("ts") - col("__prev")
-    events
+    interarrivalFromGaps(events
       .withColumn("__prev", lag("ts", 1).over(w))
       .filter(col("__prev").isNotNull)
       .select(col("user_id"),
         ((gap - pmod(gap, lit(NsPerSecond))) / lit(NsPerSecond))
-          .cast("long").as("gap_s"))
-      .groupBy(col("user_id"))
+          .cast("long").as("gap_s")))
+  }
+
+  /** The aggregate half of [[interarrival]] over a per-gap
+    * [user_id, gap_s] table — shared by the batch row and the streaming
+    * replay (whose state machine emits one whole-second gap per
+    * consecutive-event pair at arrival). */
+  def interarrivalFromGaps(gaps: DataFrame): DataFrame =
+    gaps.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
         round(avg(col("gap_s")), 6).as("mean_gap_s"),
         round(expr("percentile(gap_s, 0.5)").cast("double"), 6).as("p50_gap_s"),
         round(expr("percentile(gap_s, 0.9)").cast("double"), 6).as("p90_gap_s"),
         max(col("gap_s")).as("max_gap_s"))
-  }
 
   /** As-of join: for each left row, the most recent right row of the same
     * key with `right.ts <= left.ts` (ties included; among right rows with

@@ -1164,6 +1164,20 @@ object StreamReplay {
     * [user_id, ts (epoch-ns long), event_id, event_type,
     * n_events_so_far, cum_value]. The micro-unit integer state makes the
     * running sum bit-identical to the batch DECIMAL window sum. */
+  /** Kappa inter-arrival stats: the stateful one-long-per-user gap
+    * extractor in-stream, the SAME
+    * [[graft.pipeline.Temporal.interarrivalFromGaps]] aggregate at the
+    * sink — gated by the batch events_interarrival SQL. */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = replay(spark, dir) { ev =>
+      StreamingPipeline.interarrivalStream(
+        ev.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)).toDF()
+    }
+    graft.pipeline.Temporal.interarrivalFromGaps(
+      gaps.where(col("user_id") >= 0)) // drop the sentinel user
+  }
+
   def cumulative(spark: SparkSession, dir: String): DataFrame = {
     val out = replay(spark, dir) { ev =>
       StreamingPipeline.cumulativeStream(

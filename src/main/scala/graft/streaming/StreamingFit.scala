@@ -111,6 +111,10 @@ case class DupClaim(doc_id: Long, band: Int, dup_of: Long)
 case class UserRunning(user_id: Long, ts_ns: Long, event_id: Long,
     event_type: String, n_events_so_far: Long, cum_micro: Long)
 
+/** One whole-second inter-event gap from
+  * [[StreamingPipeline.interarrivalStream]]. */
+case class UserGap(user_id: Long, gap_s: Long)
+
 /** One observed event-type transition from
   * [[StreamingPipeline.markovStream]]. */
 case class Transition(user_id: Long, from_type: String, to_type: String,
@@ -679,6 +683,46 @@ object StreamingPipeline {
               UserRunning(user, tsNs, eventId, eventType, n, micro)
           }
           state.update((n, micro))
+          out.iterator
+      }
+  }
+
+  /** Streaming inter-arrival gaps — the [[cumulativeStream]] sibling
+    * for the gap/churn profile: state is the user's LAST event
+    * timestamp (ONE long per user, sentinel −1 before the first
+    * event); every arrival after the first emits one whole-second gap
+    * (`(Δ − Δ mod 1e9) / 1e9`, the batch
+    * [[graft.pipeline.Temporal.interarrival]] floor) and advances the
+    * state. Within a micro-batch rows are processed in
+    * (ts_ns, event_id) order, so with per-user in-order arrival the
+    * emitted gap stream is row-identical to the batch lag window.
+    * NoTimeout (8-byte state; same boundedness note as
+    * [[cumulativeStream]]). Input columns: user_id, ts_ns, event_id. */
+  def interarrivalStream(events: DataFrame): Dataset[UserGap] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ns = graft.pipeline.Temporal.NsPerSecond
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, UserGap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(-1L)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, tsNs, _) =>
+              val gap = if (last >= 0) {
+                val d = tsNs - last
+                Some(UserGap(user, (d - d % ns) / ns))
+              } else None
+              last = tsNs
+              gap
+          }
+          state.update(last)
           out.iterator
       }
   }

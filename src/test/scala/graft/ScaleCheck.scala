@@ -286,6 +286,26 @@ object ScaleCheck {
         entry("events_markov (transition matrix)") {
           graft.pipeline.Temporal.markovTransitions(evR).count()
         },
+        entry("events_interarrival (lag + shared-Exchange agg)") {
+          graft.pipeline.Temporal.interarrival(evR).count()
+        },
+        entry("layout_zorder (key + range write order)") {
+          // the key projection + the range shuffle the write path pays
+          graft.sources.ZOrder.zorderKey(evR, "user_id", "ts", bits = 8)
+            .repartitionByRange(32, col("zkey"))
+            .sortWithinPartitions(col("zkey")).count()
+        },
+        entry("report_profile (single-pass profiler)") {
+          graft.pipeline.Diagnostics.profile(docsR).count()
+        },
+        entry("wordpiece_encode (greedy HOF walk)") {
+          // fixed 60-piece vocab: measures the per-corpus half (word
+          // count shuffle + vocab-bounded greedy), the serving shape
+          val vocab = (('a' to 'z').map(_.toString) ++
+            ('a' to 'z').map(c => s"##$c") ++
+            Seq("the", "##he", "##er", "##ing", "an", "##nd", "re", "##es"))
+          graft.pipeline.WordPiece.encodeCounts(docsR, vocab).count()
+        },
         entry("text_line_dedup (first-occurrence)") {
           // single-line docs: the line table == the doc table; the
           // first-occurrence groupBy and decision join still carry

@@ -278,6 +278,44 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
   }
 
+  test("streaming interarrival gaps == batch lag window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    var t = 1700000000000000000L // epoch ns
+    val events = (0 until 120).map { i =>
+      t += rnd.nextInt(400000) * 1000000L
+      (i.toLong, t, 1L + rnd.nextInt(4), s"e${rnd.nextInt(3)}",
+        rnd.nextInt(1000) / 8.0)
+    }
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = stream.toDS().toDF("event_id", "ts_ns", "user_id", "event_type", "value")
+    val q = StreamingPipeline.interarrivalStream(df)
+      .writeStream.format("memory").queryName("gap_parity")
+      .outputMode("append").start()
+    try {
+      // chunk boundaries fall mid-user-history; last-ts state must carry
+      events.grouped(25).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedGaps = spark.sql("SELECT user_id, gap_s FROM gap_parity")
+    val streamed = graft.pipeline.Temporal.interarrivalFromGaps(streamedGaps)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_gap_s"), r.getAs[Double]("p50_gap_s"),
+        r.getAs[Double]("p90_gap_s"), r.getAs[Long]("max_gap_s"))).toSet
+    val batchIn = events.map { case (id, ts, u, et, v) => (id, u, ts, et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batch = graft.pipeline.Temporal.interarrival(batchIn).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_gap_s"), r.getAs[Double]("p50_gap_s"),
+        r.getAs[Double]("p90_gap_s"), r.getAs[Long]("max_gap_s"))).toSet
+    assert(batch.exists(_._2 > 10), "fixture exercises deep per-user gap chains")
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("streaming asof == batch asof: cross-batch state, equal-ts tie rule") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
