@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
@@ -36,6 +36,20 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** 8×8 binary-PPM payload assembled from 12 md5s of the doc id (the
+    * multimodal_meta fixture recipe at phash size: 192 raster bytes). */
+  private def phashHexs(id: Column): Column =
+    concat((0 to 11).map(i =>
+      md5(concat(lit(s"phash$i"), id.cast("string")))): _*)
+  private def phashPayload(id: Column): Column =
+    concat(encode(lit("P6\n8 8\n255\n"), "UTF-8"), unhex(phashHexs(id)))
+  /** The near-dup twin: last raster pixel zeroed — flips at most dHash
+    * bit 63 (source pixel (7,7) feeds only the resized column-8 sample
+    * at row 7, the right operand of bit (7,7)). */
+  private def phashTwinPayload(id: Column): Column =
+    concat(encode(lit("P6\n8 8\n255\n"), "UTF-8"),
+      unhex(concat(substring(phashHexs(id), 1, 378), lit("000000"))))
 
   /** Flagship: a 5-pass ARTM fit over the documents corpus, returning the
     * per-pass perplexity trajectory. Smoke-checked rows>0 at sf0.001. */
@@ -97,8 +111,13 @@ object SparkEntry {
   private val MinhashThreshold = 0.25
   private val AnnQueries = 5
   private val AnnK = 10
+  private val KnnQueries = 50     // held-out kNN-classifier query split
+  private val KnnK = 5
   private val NearDupPlants = 20   // planted scaled-copy near-dups
   private val NearDupIdOffset = 1000000L
+  private val PhashPlants = 20     // planted last-pixel-tweaked image twins
+  private val PhashIdOffset = 2000000L
+  private val PhashMaxHamming = 4
   private val DictTopK = 20        // maxDictionarySize fixture
   private val DecontBenchDocs = 50 // doc_id < 50 = the "eval set" fixture
   private val DecontN = 5          // decontamination n-gram width
@@ -965,6 +984,22 @@ object SparkEntry {
           iters = PageRankIters, damping = PageRankDamping)
         .select(col("vertex").as("token"), round(col("r"), 6).as("r"))
         .orderBy(col("token"))
+    }),
+    // HITS hubs/authorities over the doc→token bipartite graph (edge
+    // weight = tf): hubs = docs covering the characteristic vocabulary,
+    // authorities = tokens characterizing the strong docs — the
+    // bipartite-ranking split PageRank conflates; per half-iteration
+    // one edges join + one map-side-combined groupBy + a broadcast
+    // 1-row L1 normalizer
+    "graph_hits" -> ((s, dir) => {
+      val d = docs(s, dir).filter(trim(col("text")) =!= "")
+      val edges = d.select(col("doc_id").cast("string").as("src"),
+          explode(graft.pipeline.TextAnalysis.tokensCol(col("text")))
+            .as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+      graft.pipeline.Graph.hits(edges, iters = PageRankIters)
+        .select(col("side"), col("vertex"), round(col("score"), 6).as("score"))
+        .orderBy(col("side"), col("vertex"))
     }),
     // per-vertex triangle counts via degree-ordered orientation (wedge
     // work capped at m^1.5 — the hub-safe distributed algorithm)
@@ -1931,6 +1966,37 @@ object SparkEntry {
           Seq("n_chars", "n_tokens", "n_distinct_tokens"))
         .orderBy(col("metric"))
     }),
+    // kNN majority-vote classifier over the labeled embeddings (label
+    // propagation from a curated seed set): held-out queries (vec_id <
+    // KnnQueries) classified by their KnnK nearest labeled train
+    // vectors — broadcast query side, one corpus-linear scan, the vote
+    // two map-side-combined aggregations
+    "ml_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.knnClassify(
+          emb.filter(col("vec_id") >= KnnQueries),
+          emb.filter(col("vec_id") < KnnQueries), k = KnnK)
+        .orderBy(col("query_id"))
+    }),
+    // streaming: ONLINE kNN classification — query vectors arrive on a
+    // stream, score against the broadcast labeled train split
+    // (stateless stream-static join), rank + majority vote at the sink
+    // via the batch's own knnVote half; gated by the ml_knn SQL
+    "ml_knn_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.knnServe(s, dir, KnnQueries, KnnK)
+        .orderBy(col("query_id"))
+    }),
+    // per-source embedding centroid similarity map — "which sources are
+    // embedding-redundant": DECIMAL-sum positional means per source
+    // (order-proof), then the bounded 20×20 broadcast cosine matrix
+    "embed_source_sim" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val joined = emb.join(docs(s, dir),
+        emb("vec_id") === col("doc_id"))
+      graft.pipeline.Ann.groupCentroidSim(joined, "source")
+        .select(col("g_a"), col("g_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("g_a"), col("g_b"))
+    }),
     // LLM pipeline: corpus-self boilerplate n-grams (word n-grams in
     // >= BoilerMinDocs distinct docs — the removal list built before
     // span-level cleaning)
@@ -2112,6 +2178,37 @@ object SparkEntry {
         .select(col("media_id"), col("raster_hex"),
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("media_id"))
+    }),
+    // multimodal: dHash PERCEPTUAL image fingerprint — decode (8x8
+    // md5-raster P6) → nearest 9x8 resize → integer luma → 64
+    // horizontal-gradient sign bits; DuckDB recomputes the whole hash
+    // from the md5 hex with no image codec, so any decode/resize/luma/
+    // bit-order drift breaks the hash
+    "multimodal_phash" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image").as("kind"), phashPayload(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.imagePhash(media)
+        .select(col("media_id"), col("phash_hex"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"))
+    }),
+    // multimodal: image NEAR-dup via banded Hamming over the dHash —
+    // planted twins (last raster pixel zeroed, <= 1 dHash bit flipped)
+    // must pair with their originals; candidates block on 16-bit band
+    // equality (pigeonhole), never all-pairs, with the minhashLsh
+    // bucket-size cap
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        phashPayload(col("doc_id")).as("payload"))
+      val twins = docs(s, dir).filter(col("doc_id") < PhashPlants)
+        .select((col("doc_id") + PhashIdOffset).cast("long").as("media_id"),
+          phashTwinPayload(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.phashPairs(
+          graft.pipeline.Multimodal.imagePhash(base.unionByName(twins)),
+          maxHamming = PhashMaxHamming)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     // Audio twin of multimodal_meta: a 16-sample PCM8 mono WAV is
     // assembled from a constant 44-byte header + md5 bytes, decoded by
@@ -3314,6 +3411,7 @@ object SparkEntry {
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(
       CoocWindow, PageRankIters, PageRankDamping),
+    "graph_hits" -> graft.pipeline.PipelineSql.docTokenHits(PageRankIters),
     "graph_ppr" -> graft.pipeline.PipelineSql.coocPpr(
       CoocWindow, PageRankIters, PageRankDamping, PprSeeds),
     "graph_triangles" -> graft.pipeline.PipelineSql.coocTriangles(CoocWindow),
@@ -3377,6 +3475,9 @@ object SparkEntry {
     "multimodal_meta_stream" -> graft.pipeline.PipelineSql.multimodalMeta,
     "multimodal_png" -> graft.pipeline.PipelineSql.multimodalPng,
     "multimodal_resize" -> graft.pipeline.PipelineSql.multimodalResize,
+    "multimodal_phash" -> graft.pipeline.PipelineSql.multimodalPhash,
+    "multimodal_phash_pairs" -> graft.pipeline.PipelineSql.multimodalPhashPairs(
+      PhashPlants, PhashIdOffset, PhashMaxHamming),
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
@@ -3441,6 +3542,9 @@ object SparkEntry {
       ShuffleShards, SampleSalt),
     "sample_token_budget" -> graft.pipeline.PipelineSql.sampleTokenBudget(
       TokenBudgets, SampleSalt),
+    "ml_knn" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
+    "ml_knn_stream" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
+    "embed_source_sim" -> graft.pipeline.PipelineSql.sourceCentroidSim,
     "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
     "ml_calibration" -> graft.pipeline.PipelineSql.mlCalibration(iters = 3,
       lr = 1e-5, bins = 10),

@@ -47,6 +47,99 @@ object Ann {
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** kNN majority-vote classifier over a labeled vector table — the
+    * classic embedding-space classifier (label propagation from a
+    * curated seed set: quality tiers, topical buckets, safety labels).
+    * For each query, the k nearest train vectors by cosine vote with
+    * equal weight; ties break by (votes DESC, label ASC) — the
+    * labelPropagation min_by tie rule. Train and query sets must be
+    * disjoint on id (the caller's split contract).
+    *
+    * Shape at scale: rides [[bruteForceTopK]] (query side broadcast,
+    * one corpus-linear scan, per-query bounded top-k) for the exact
+    * baseline; swap in [[queryIvfPq]] for the routed path when the
+    * query set is corpus-sized — the vote is the same two
+    * map-side-combined aggregations either way.
+    *
+    * Returns [query_id, predicted, votes, actual]. */
+  def knnClassify(train: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    knnVote(knnScore(train, queries, idCol, vecCol, labelCol), k)
+
+  /** The scoring half of [[knnClassify]] — one row per (query, train)
+    * pair, the query's own label carried through. The labeled train
+    * side is BROADCAST (it's the curated seed set — bounded by
+    * contract), so the query side streams through a stateless narrow
+    * join: this is what lets [[knnClassify]] serve on a Structured
+    * Streaming query stream unchanged (StreamReplay.knnServe). */
+  private[graft] def knnScore(train: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val t = train.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"), col(labelCol).cast("long").as("lbl"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"), col(labelCol).cast("long").as("actual"))
+    q.crossJoin(broadcast(t))
+      .select(col("query_id"), col("actual"), col("id"), col("lbl"),
+        cosine(col("vec"), col("qvec")).as("cosine"))
+  }
+
+  /** The vote half of [[knnClassify]]: per-query top-k by
+    * (cosine DESC, id) — the window is bounded by the train-set size
+    * per query — then the equal-weight majority vote. */
+  private[graft] def knnVote(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("actual"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("query_id"), col("actual"))
+      .agg(min_by(struct(col("lbl"), col("votes")),
+        struct((-col("votes")).as("nv"), col("lbl"))).as("p"))
+      .select(col("query_id"), col("p.lbl").as("predicted"),
+        col("p.votes").as("votes"), col("actual"))
+  }
+
+  /** Per-group centroid cosine map — "which sources are
+    * embedding-redundant": the source-similarity diagnostic a mixture
+    * designer reads before setting sampling rates (two sources with
+    * near-1 centroid cosine are candidates for merging or
+    * down-weighting). Centroids are positional DECIMAL(18,6)-sum means
+    * (the [[kmeansDataflow]] order-proof mean — bit-identical across
+    * engines and partitionings); the pairwise matrix is the bounded
+    * groups×groups broadcast self-join (group count is tens, never
+    * data-sized). Returns [g_a, g_b, cosine], g_a < g_b, unrounded. */
+  def groupCentroidSim(emb: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = emb.select(col(groupCol).cast("string").as("g"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("g"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    val a = cents.select(col("g").as("g_a"), col("cv").as("va"))
+    val b = cents.select(col("g").as("g_b"), col("cv").as("vb"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        cosineDouble(col("va"), col("vb")).as("cosine"))
+  }
+
+  /** Full-double cosine for DOUBLE-array columns (centroids) — the
+    * float32 [[cosine]] kernel would truncate the DECIMAL-mean inputs.
+    * Left-to-right HOF folds match DuckDB's sequential
+    * list_cosine_similarity on the same doubles. */
+  private[graft] def cosineDouble(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    def n2(v: Column) =
+      sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    dot / (n2(a) * n2(b))
+  }
+
   /** Random-hyperplane signature: `planes` sign bits of dot(v, r_i) packed
     * into a long bucket key. Hyperplanes are seeded-deterministic
     * (hash-derived, reproducible across runs/partitionings). */

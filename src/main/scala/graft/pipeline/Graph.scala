@@ -347,4 +347,59 @@ object Graph {
     sym.unpersist(false)
     labels.select(col("v").as("vertex"), col("lbl").as("community"))
   }
+
+  /** HITS hubs-and-authorities over a DIRECTED weighted edge table —
+    * the bipartite-ranking primitive PageRank can't express (PageRank
+    * conflates the two roles; on a doc→token graph HITS separates
+    * "documents that cover the characteristic vocabulary" (hubs) from
+    * "tokens that characterize the strong documents" (authorities)).
+    * Semantics (Kleinberg, L1-normalized):
+    * h_0(u) = 1/|H|;
+    * a_k'(v) = Σ_{(u,v)} w(u,v)·h_{k−1}(u),  a_k = a_k'/Σ a_k';
+    * h_k'(u) = Σ_{(u,v)} w(u,v)·a_k(v),      h_k = h_k'/Σ h_k'.
+    * L1 instead of the textbook L2 keeps the normalizer a plain sum
+    * (no sqrt) — the fixpoint directions are identical, only the
+    * constant differs.
+    *
+    * Shape at scale: the edge table is aggregated once per (src, dst)
+    * and persisted; each half-iteration is ONE join of edges to the
+    * current score vector on its key + ONE map-side-combined groupBy;
+    * the L1 normalizer is a 1-row aggregate broadcast back (the
+    * NormalizeModel pattern — never a window). Score lineage is cut
+    * with an eager localCheckpoint per iteration.
+    *
+    * Returns [side ('hub'|'auth'), vertex, score] (unrounded). */
+  def hits(edges: DataFrame, iters: Int = 5, srcCol: String = "src",
+      dstCol: String = "dst", wCol: String = "weight"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("double").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hubs = e.select(col("src")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nH = hubs.count()
+    def l1(df: DataFrame, vCol: String, sCol: String): DataFrame = {
+      val z = df.agg(sum(col(sCol)).as("_z"))
+      df.crossJoin(broadcast(z))
+        .select(col(vCol), (col(sCol) / col("_z")).as(sCol))
+    }
+    var h = hubs.withColumn("h", lit(1.0 / nH)).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = l1(
+        e.join(h, Seq("src")).groupBy(col("dst"))
+          .agg(sum(col("w") * col("h")).as("a")), "dst", "a")
+        .localCheckpoint(true)
+      h = l1(
+        e.join(a, Seq("dst")).groupBy(col("src"))
+          .agg(sum(col("w") * col("a")).as("h")), "src", "h")
+        .localCheckpoint(true)
+    }
+    e.unpersist(); hubs.unpersist()
+    h.select(lit("hub").as("side"), col("src").as("vertex"),
+        col("h").as("score"))
+      .union(a.select(lit("auth").as("side"), col("dst").as("vertex"),
+        col("a").as("score")))
+  }
 }

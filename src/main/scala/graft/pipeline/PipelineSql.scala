@@ -186,6 +186,56 @@ object PipelineSql {
        |SELECT query_id, rank, id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Ann.knnClassify]] on the AnnQueries-style
+    * id split: brute-force cosine top-k from the held-out queries into
+    * the labeled train side, equal-weight majority vote, ties by
+    * (votes DESC, label ASC). The rank rides UNROUNDED cosines — legal
+    * because the native CosineSimilarity expression is bit-identical
+    * to DuckDB's list_cosine_similarity (the annBruteForce gate). */
+  def knnClassify(numQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+       |                  CAST(label AS BIGINT) AS actual
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |t AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS lbl
+       |      FROM embeddings WHERE vec_id >= $numQueries),
+       |scored AS (SELECT q.query_id, t.vec_id AS id, t.lbl,
+       |                  list_cosine_similarity(t.embedding::DOUBLE[], q.qvec) AS cosine
+       |           FROM t CROSS JOIN q),
+       |ranked AS (SELECT query_id, lbl,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS rank
+       |           FROM scored),
+       |votes AS (SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS votes
+       |          FROM ranked WHERE rank <= $k GROUP BY 1, 2),
+       |pred AS (SELECT query_id, lbl AS predicted, votes,
+       |                row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY votes DESC, lbl) AS rn
+       |         FROM votes)
+       |SELECT p.query_id, p.predicted, p.votes, q.actual
+       |FROM pred p JOIN q USING (query_id) WHERE p.rn = 1
+       |ORDER BY p.query_id""".stripMargin
+
+  /** Mirrors [[graft.pipeline.Ann.groupCentroidSim]] over
+    * embeddings⋈documents on source: positional DECIMAL(18,6)-sum
+    * means (order-proof — bit-identical to Spark's), centroids
+    * assembled in position order, pairwise list_cosine_similarity
+    * (bit-identical to the native CosineSimilarity expression). */
+  def sourceCentroidSim: String =
+    s"""WITH e AS (
+       |  SELECT d.source AS g,
+       |         unnest(v.embedding::DOUBLE[]) AS x,
+       |         generate_subscripts(v.embedding, 1) AS pos
+       |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+       |means AS (
+       |  SELECT g, pos,
+       |         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM e GROUP BY 1, 2),
+       |cents AS (SELECT g, list(m ORDER BY pos) AS cv FROM means GROUP BY 1)
+       |SELECT a.g AS g_a, b.g AS g_b,
+       |       round(list_cosine_similarity(a.cv, b.cv), 6) AS cosine
+       |FROM cents a JOIN cents b ON a.g < b.g
+       |ORDER BY g_a, g_b""".stripMargin
+
   /** Mirrors Ann.lshTopK end to end: md5-derived hyperplane components
     * (`('0x' || substr(md5('plane <seed+t> <p> <i>'), 1, 8))::UBIGINT /
     * 2^32 - 0.5` — the exact doubles Ann.planeComponent computes), dot
@@ -1599,6 +1649,89 @@ object PipelineSql {
        |       round((b0 + b1) / 2.0, 6) AS mean_b
        |FROM px ORDER BY media_id""".stripMargin
 
+  /** 384-hex-char (= 8×8×3 byte) raster for the phash fixtures:
+    * 12 concatenated md5s keyed by doc_id. */
+  private def phashHx: String =
+    (0 to 11).map(i => s"md5('phash$i' || CAST(doc_id AS VARCHAR))")
+      .mkString(" ||\n         ")
+
+  /** Shared dHash CTE chain for the phash entries — recomputes
+    * [[graft.pipeline.Multimodal.dHashBits]] straight from the md5 hex
+    * with no image codec: the 8×8 luma grid ((77r + 150g + 29b) // 256,
+    * all integer), the nearest-neighbor 9×8 column map sx(x) = x·8/9
+    * as a VALUES table (xr compares resized cols xr and xr+1 → source
+    * cols xa, xb), one bit per (xr, y), bits packed into four 16-bit
+    * bands (bit 63 of a whole fingerprint would overflow BIGINT — the
+    * dedupSimhashPairs band recipe). `plants` > 0 appends the twin
+    * images (last raster pixel zeroed — flips at most dHash bit 63). */
+  private def phashCtes(plants: Int, idOffset: Long): String =
+    s"""imgs AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |         $phashHx AS hx
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + $idOffset AS BIGINT) AS media_id,
+       |         substr($phashHx, 1, 378) || '000000' AS hx
+       |  FROM documents WHERE doc_id < $plants),
+       |px AS (
+       |  SELECT media_id, g.p // 8 AS sy, g.p % 8 AS sx,
+       |         (77 * ('0x' || substr(hx, 6 * g.p + 1, 2))::INT
+       |        + 150 * ('0x' || substr(hx, 6 * g.p + 3, 2))::INT
+       |        + 29 * ('0x' || substr(hx, 6 * g.p + 5, 2))::INT) // 256 AS luma
+       |  FROM imgs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p) g),
+       |m AS (SELECT * FROM (VALUES (0, 0, 0), (1, 0, 1), (2, 1, 2),
+       |      (3, 2, 3), (4, 3, 4), (5, 4, 5), (6, 5, 6), (7, 6, 7))
+       |      t(xr, xa, xb)),
+       |bits AS (
+       |  SELECT la.media_id, la.sy AS y, m.xr,
+       |         CASE WHEN la.luma > lb.luma THEN 1 ELSE 0 END AS bit
+       |  FROM m
+       |  JOIN px la ON la.sx = m.xa
+       |  JOIN px lb ON lb.media_id = la.media_id AND lb.sy = la.sy
+       |            AND lb.sx = m.xb),
+       |bandv AS (
+       |  SELECT media_id, (y * 8 + xr) // 16 AS band,
+       |         CAST(sum(bit * (1::BIGINT << ((y * 8 + xr) % 16))) AS BIGINT) AS bv
+       |  FROM bits GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT media_id,
+       |         max(CASE WHEN band = 0 THEN bv END) AS b0,
+       |         max(CASE WHEN band = 1 THEN bv END) AS b1,
+       |         max(CASE WHEN band = 2 THEN bv END) AS b2,
+       |         max(CASE WHEN band = 3 THEN bv END) AS b3
+       |  FROM bandv GROUP BY 1)""".stripMargin
+
+  /** Mirrors the `multimodal_phash` entry: the dHash fingerprint table,
+    * hex presentation = MSB-first band concat (%016x of the long). */
+  val multimodalPhash: String =
+    s"""WITH ${phashCtes(0, 0L)}
+       |SELECT media_id,
+       |       lpad(lower(to_hex(b3)), 4, '0') || lpad(lower(to_hex(b2)), 4, '0')
+       |    || lpad(lower(to_hex(b1)), 4, '0') || lpad(lower(to_hex(b0)), 4, '0')
+       |       AS phash_hex,
+       |       b0, b1, b2, b3
+       |FROM fp ORDER BY media_id""".stripMargin
+
+  /** Mirrors the `multimodal_phash_pairs` entry: band-equality blocking
+    * (the dedupSimhashPairs recipe) + exact per-band popcount Hamming
+    * over the base + planted-twin image set. */
+  def multimodalPhashPairs(plants: Int, idOffset: Long,
+      maxHamming: Int): String =
+    s"""WITH ${phashCtes(plants, idOffset)},
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM fp a JOIN fp b
+       |    ON a.media_id < b.media_id
+       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |ham AS (
+       |  SELECT c.id_a, c.id_b,
+       |         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       |       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS hamming
+       |  FROM cand c JOIN fp fa ON fa.media_id = c.id_a
+       |              JOIN fp fb ON fb.media_id = c.id_b)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM ham WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
   /** Mirrors the `multimodal_video` entry: 3 concatenated 2×2 P6 frames
     * whose rasters are the first 12 md5 bytes of 'vid<f><doc_id>'; the
     * walker samples frames 0 and 2; channel means over 4 pixels. */
@@ -2701,6 +2834,46 @@ object PipelineSql {
        |  FROM v LEFT JOIN seeds sd ON sd.src = v.src),
        |$rounds
        |SELECT src AS token, round(r, 6) AS r FROM r$iters ORDER BY token""".stripMargin
+  }
+
+  /** Mirrors [[graft.pipeline.Graph.hits]] over the doc→token bipartite
+    * graph (edge weight = tf): unrolled L1-normalized power iterations
+    * as MATERIALIZED CTEs — each half-step one edge⋈score join + one
+    * groupBy + a 1-row normalizer, exactly the operator's dataflow.
+    * round(6) absorbs summation-order last-ulp drift (the
+    * [[coocPageRank]] precedent). */
+  def docTokenHits(iters: Int): String = {
+    def round(k: Int): String =
+      s"""ap$k AS MATERIALIZED (
+         |  SELECT e.dst, sum(e.w * h.h) AS a
+         |  FROM edges e JOIN h${k - 1} h ON h.src = e.src GROUP BY 1),
+         |az$k AS (SELECT sum(a) AS z FROM ap$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT dst, a / az$k.z AS a FROM ap$k CROSS JOIN az$k),
+         |hp$k AS MATERIALIZED (
+         |  SELECT e.src, sum(e.w * a.a) AS h
+         |  FROM edges e JOIN a$k a ON a.dst = e.dst GROUP BY 1),
+         |hz$k AS (SELECT sum(h) AS z FROM hp$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT src, h / hz$k.z AS h FROM hp$k CROSS JOIN hz$k)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents WHERE trim(text) <> ''),
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS VARCHAR) AS src, token AS dst,
+       |         CAST(count(*) AS DOUBLE) AS w
+       |  FROM tok GROUP BY 1, 2),
+       |hubs AS MATERIALIZED (SELECT DISTINCT src FROM edges),
+       |nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hubs),
+       |h0 AS MATERIALIZED (SELECT src, 1.0 / nh.n AS h FROM hubs CROSS JOIN nh),
+       |$rounds
+       |SELECT side, vertex, score FROM (
+       |  SELECT 'hub' AS side, src AS vertex, round(h, 6) AS score FROM h$iters
+       |  UNION ALL
+       |  SELECT 'auth' AS side, dst AS vertex, round(a, 6) AS score FROM a$iters)
+       |ORDER BY side, vertex""".stripMargin
   }
 
   /** Mirrors the wordpiece_train entry: the [[wpChain]] likelihood-merge

@@ -609,6 +609,27 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** ONLINE kNN classification — arriving query vectors classified
+    * against the static labeled train split: the scoring half
+    * (Ann.knnScore — broadcast train side, stateless stream-static
+    * join) runs in-stream, the rank + majority vote (Ann.knnVote) at
+    * the sink; gated by the batch ml_knn SQL. */
+  def knnServe(spark: SparkSession, dir: String, numQueries: Int,
+      k: Int): DataFrame = {
+    val train = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") >= numQueries)
+    val qStream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+      .filter(col("vec_id") < numQueries)
+    val qname = s"graft_replay_knnserve_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Ann
+      .knnScore(train, qStream, "vec_id", "embedding", "label")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.pipeline.Ann.knnVote(drainSink(spark, qname), k)
+  }
+
   /** Memoized PARITY-SPLIT documents staging: two single parquet files
     * (doc_id even, then odd) with ascending mtimes, so a
     * maxFilesPerTrigger=1 AvailableNow replay delivers exactly the two

@@ -1204,4 +1204,82 @@ class PipelineSpec extends SparkSpec {
     val deg = Regression.auc(d.filter($"y" === 1L), "y", Seq("s")).collect().head
     assert(deg.isNullAt(deg.fieldIndex("auc")))
   }
+
+  test("Graph.hits: hand-computed bipartite step, L1 norm, parallel edges add") {
+    import spark.implicits._
+    // docs d1 {t1:2, t2:1}, d2 {t2:1}; h0 = 1/2 each
+    // a1' = {t1: 2*.5 = 1, t2: .5 + .5 = 1} -> a1 = {.5, .5}
+    // h1' = {d1: 2*.5 + 1*.5 = 1.5, d2: .5} -> h1 = {.75, .25}
+    val edges = Seq(("d1", "t1", 2.0), ("d1", "t2", 1.0),
+      ("d2", "t2", 1.0)).toDF("src", "dst", "weight")
+    val r1 = Graph.hits(edges, iters = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(r1(("auth", "t1")) - 0.5) < 1e-12)
+    assert(math.abs(r1(("auth", "t2")) - 0.5) < 1e-12)
+    assert(math.abs(r1(("hub", "d1")) - 0.75) < 1e-12)
+    assert(math.abs(r1(("hub", "d2")) - 0.25) < 1e-12)
+    // each side stays L1-normalized after more iterations
+    val r3 = Graph.hits(edges, iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(r3.collect { case (("hub", _), v) => v }.sum - 1.0) < 1e-9)
+    assert(math.abs(r3.collect { case (("auth", _), v) => v }.sum - 1.0) < 1e-9)
+    // parallel edges accumulate weight before the iterations
+    val par = Seq(("d1", "t1", 1.0), ("d1", "t1", 1.0), ("d1", "t2", 1.0),
+      ("d2", "t2", 1.0)).toDF("src", "dst", "weight")
+    val rp = Graph.hits(par, iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val r2 = Graph.hits(edges, iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rp.keys == r2.keys &&
+      rp.forall { case (k, v) => math.abs(v - r2(k)) < 1e-12 })
+  }
+
+  test("Ann.knnClassify: majority vote, (votes DESC, label ASC) tie-break") {
+    import spark.implicits._
+    // train: labels 0 at x-axis-ish, 1 at y-axis-ish, 2 a far diagonal
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f), 0L), (11L, Array(0.9f, 0.1f), 0L),
+      (12L, Array(0.0f, 1.0f), 1L), (13L, Array(0.1f, 0.9f), 1L),
+      (14L, Array(0.7f, 0.7f), 2L)
+    ).toDF("vec_id", "embedding", "label")
+    // q0 near x-axis: k=3 nearest = {10, 11, 14} -> votes {0:2, 2:1} -> 0
+    // q1 at the exact diagonal: k=4 -> 2 + one each of {0,1} at k=5
+    val qs = Seq(
+      (0L, Array(1.0f, 0.05f), 9L),
+      (1L, Array(1.0f, 1.0f), 9L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.knnClassify(train, qs, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) === ((0L, 2L, 9L)))
+    // q1 k=3: nearest = 14 (cos 1), then 11 and 13 tie at the same
+    // float cosine (commutative operand sets) -> one vote per label
+    // {0,1,2} -> full tie -> min label 0 with 1 vote
+    assert(out(1L) === ((0L, 1L, 9L)))
+    // all-way vote tie at k=3 over three labels: (votes DESC, label ASC)
+    val t3 = Seq(
+      (20L, Array(1.0f, 0.0f), 5L), (21L, Array(0.0f, 1.0f), 3L),
+      (22L, Array(0.7f, 0.7f), 4L)
+    ).toDF("vec_id", "embedding", "label")
+    val qTie = Seq((2L, Array(0.5f, 0.5f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val tie = Ann.knnClassify(t3, qTie, k = 3).collect().head
+    assert(tie.getLong(1) === 3L && tie.getLong(2) === 1L) // min label wins
+  }
+
+  test("Ann.groupCentroidSim: identical groups cosine 1, orthogonal 0") {
+    import spark.implicits._
+    val emb = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 0.0f)),
+      ("b", Array(2.0f, 0.0f)),
+      ("c", Array(0.0f, 1.0f)), ("c", Array(0.0f, 5.0f))
+    ).toDF("g", "embedding")
+    val out = Ann.groupCentroidSim(emb, "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // ordered pairs only, g_a < g_b, no self-pairs
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(math.abs(out(("a", "b")) - 1.0) < 1e-12) // same direction
+    assert(math.abs(out(("a", "c"))) < 1e-12)       // orthogonal
+    assert(math.abs(out(("b", "c"))) < 1e-12)
+  }
 }
