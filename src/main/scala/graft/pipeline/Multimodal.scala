@@ -507,6 +507,111 @@ object Multimodal {
       .toDF("media_id", "decoded", "raster_hex", "mean_r", "mean_g", "mean_b")
   }
 
+  /** 64-bit dHash (difference hash) of a decoded raster — the standard
+    * perceptual image fingerprint for image NEAR-dup (crop-resistant
+    * where byte hashes are not): nearest-neighbor resize to
+    * (gw+1)×gh ([[resizeImage]] — integer index math, engine-
+    * replayable), integer luma per pixel (the [[imageFeatures]]
+    * (77·r + 150·g + 29·b) >> 8 weights), bit (x, y) set iff
+    * luma(x, y) > luma(x+1, y) on the resized grid. All-integer, so
+    * the hash is bit-identical across engines and partitionings. */
+  def dHashBits(img: DecodedImage, gw: Int = 8, gh: Int = 8): Long = {
+    require(gw >= 1 && gh >= 1 && gw * gh <= 64,
+      s"dHash grid must fit 64 bits: ${gw}x$gh")
+    val rz = resizeImage(img, gw + 1, gh)
+    def luma(x: Int, y: Int): Int = {
+      val o = (y * (gw + 1) + x) * 3
+      (77 * (rz.rgb(o) & 0xff) + 150 * (rz.rgb(o + 1) & 0xff) +
+        29 * (rz.rgb(o + 2) & 0xff)) >> 8
+    }
+    var hash = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        if (luma(x, y) > luma(x + 1, y)) hash |= 1L << (y * gw + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Perceptual-hash table over a media frame: decode → [[dHashBits]],
+    * one narrow mapPartitions (the [[imageMeta]] media-pipeline shape).
+    * The hash is surfaced BOTH as a 16-hex-char string (presentation /
+    * exact-grouping key) and as four 16-bit bands b0..b3 (b0 = least-
+    * significant 16 bits) — the band split is what [[phashPairs]]
+    * blocks on, and keeping bands ≤ 2^16 sidesteps BIGINT bit-63 sign
+    * traps in SQL mirrors. Undecodable payloads report decoded = false
+    * with nulls. Returns [media_id, decoded, phash_hex, b0, b1, b2, b3]. */
+  def imagePhash(media: DataFrame, gw: Int = 8, gh: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val h = dHashBits(img, gw, gh)
+              (id, true, Some(f"$h%016x"),
+                Some((h >>> 0) & 0xffffL), Some((h >>> 16) & 0xffffL),
+                Some((h >>> 32) & 0xffffL), Some((h >>> 48) & 0xffffL))
+            case None => (id, false, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "phash_hex", "b0", "b1", "b2", "b3")
+  }
+
+  /** Image near-dup pairs by banded Hamming distance over an
+    * [[imagePhash]] table — the simhashPairs recipe on the visual
+    * fingerprint: two images within `maxHamming` differing bits share
+    * at least one identical 16-bit band whenever maxHamming < 4... in
+    * practice near-dups differ in a handful of bits, so band-equality
+    * blocking finds them without an all-pairs scan. Candidates are
+    * generated per (band index, band value) bucket, capped at
+    * `maxBucketSize` via a map-side-combined count + left_semi (the
+    * minhashLsh guard — a degenerate bucket of flat-color images would
+    * otherwise go quadratic), then verified with the EXACT Hamming
+    * distance (per-band xor bit_count — never the long, bit 63 is a
+    * BIGINT sign trap in SQL mirrors). Returns [id_a, id_b, hamming]. */
+  def phashPairs(hashed: DataFrame, maxHamming: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bands = hashed.filter(col("decoded"))
+      .select(col("media_id").cast("long").as("id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("band"), col(s"b$i").as("bucket"))): _*))
+          .as("bb"))
+      .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // persisted: decode runs once; feeds the cap count + both join
+      // sides (released by the caller's clearCache, the simhashPairs
+      // lifetime contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = bands
+      .join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+      col("b3").as("a3"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+      col("b3").as("c3"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        ((0 to 3).map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"c$i"))))
+          .reduce(_ + _)).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling stub: emits `n` evenly-spaced (frame_index, offset)
     * rows per video payload — the row-explosion plumbing of a real frame
     * sampler, with the decode itself stubbed to byte offsets. */

@@ -256,4 +256,63 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(feats(1L)(0) > 0 && feats(1L)(15) > 0)
     assert(feats(3L).sum > 0)                  // fallback path still fires
   }
+
+  /** P6 payload from an explicit RGB raster (row-major top-down). */
+  private def p6(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n$w $h\n255\n".getBytes)
+    rgb.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("dHashBits: hand-computed gradient bits, format independence") {
+    // 2x1 source, gw=1, gh=1: resize to 2x1 is identity; bit 0 set iff
+    // luma(left) > luma(right)
+    val bright = p6(2, 1, Array(255, 255, 255, 0, 0, 0))
+    val dark = p6(2, 1, Array(0, 0, 0, 255, 255, 255))
+    val Some(b) = Multimodal.decodeImage(bright)
+    val Some(d) = Multimodal.decodeImage(dark)
+    assert(Multimodal.dHashBits(b, 1, 1) === 1L)
+    assert(Multimodal.dHashBits(d, 1, 1) === 0L)
+    // flat image: every gradient 0 -> hash 0 at any grid
+    val Some(flat) = Multimodal.decodeImage(
+      p6(4, 4, Array.fill(48)(100)))
+    assert(Multimodal.dHashBits(flat) === 0L)
+    // same pixels as BMP and PPM hash identically (decode independence)
+    val Some(fromBmp) = Multimodal.decodeImage(bmpBytes)
+    val Some(fromPpm) = Multimodal.decodeImage(ppmBytes)
+    assert(Multimodal.dHashBits(fromBmp) === Multimodal.dHashBits(fromPpm))
+    // and the PNG codec round-trip preserves the hash (lossless)
+    val Some(fromPng) = Multimodal.decodeImage(Multimodal.encodePng(fromPpm))
+    assert(Multimodal.dHashBits(fromPng) === Multimodal.dHashBits(fromPpm))
+  }
+
+  test("imagePhash + phashPairs: planted twin found, flat-bucket cap holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def noisy(): Array[Int] = Array.fill(8 * 8 * 3)(rnd.nextInt(256))
+    val base = noisy()
+    val twin = base.clone(); twin(base.length - 1) = 0; twin(base.length - 2) = 0
+    val media = (Seq(
+      (1L, p6(8, 8, base)), (2L, p6(8, 8, twin)),
+      (3L, "not an image".getBytes)) ++
+      (10L to 19L).map(i => (i, p6(8, 8, noisy())))
+    ).toDF("media_id", "payload")
+    val hashed = Multimodal.imagePhash(media)
+    val rows = hashed.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).getBoolean(1) === false && rows(3L).isNullAt(2))
+    // hex presentation == %016x of the band-reassembled long
+    val h1 = (0 to 3).map(i => rows(1L).getLong(3 + i) << (16 * i)).reduce(_ | _)
+    assert(rows(1L).getString(2) === f"$h1%016x")
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 4).collect()
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L
+      && r.getLong(2) <= 1L), "planted twin must pair with its original")
+    // degenerate flat-color corpus: every image hashes to 0 — the
+    // bucket cap must drop the bucket instead of going quadratic
+    val flat = (1L to 30L).map(i => (i, p6(8, 8, Array.fill(192)(50))))
+      .toDF("media_id", "payload")
+    val capped = Multimodal.phashPairs(
+      Multimodal.imagePhash(flat), maxHamming = 4, maxBucketSize = 10)
+    assert(capped.count() === 0L)
+  }
 }
