@@ -164,6 +164,8 @@ object SparkEntry {
   private val UniReportK = 50      // unigram report size
   private val TfidfTopK = 5
   private val LmAddK = 0.1         // bigram LM add-k smoothing
+  private val ImportanceTargetLang = "en" // DSIR target distribution
+  private val ImportanceTopK = 100
   private val LmTriAlpha = 0.4     // stupid-backoff discount
   private val LmTriTrainRate = 0.8 // held-out trigram LM train split
   private val LmTriSalt = "tri"
@@ -2558,6 +2560,15 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: DSIR importance selection — keep the ImportanceTopK
+    // docs whose bigram stream is most likely under the TARGET (lang =
+    // 'en') LM relative to the raw-corpus LM (Xie et al. 2023); four
+    // key-partitioned count shuffles + a TakeOrderedAndProject top-k
+    "sample_importance" -> ((s, dir) => {
+      graft.pipeline.Sampling.importanceSample(docs(s, dir),
+          col("lang") === ImportanceTargetLang, ImportanceTopK, LmAddK)
+        .orderBy(col("doc_id"))
+    }),
     // pipeline audit: achieved mixture report — per-source doc/token
     // mass and token share (what a mixing stage actually delivered vs
     // its spec); one map-side-combined aggregation
@@ -3551,6 +3562,8 @@ object SparkEntry {
     "sample_quality" -> graft.pipeline.PipelineSql.sampleQualityWeighted(
       0.1, 0.8, SampleSalt,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "sample_importance" -> graft.pipeline.PipelineSql.sampleImportance(
+      ImportanceTargetLang, ImportanceTopK, LmAddK),
     "report_mixture" -> graft.pipeline.PipelineSql.reportMixture,
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),

@@ -2305,6 +2305,49 @@ object PipelineSql {
        |CROSS JOIN v
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[Sampling.importanceSample]] with target = `lang = '<targetLang>'`:
+    * two add-k bigram LMs (target split / whole corpus), per-doc mean
+    * bigram log-likelihood ratio, rank on the ROUNDED score (ties by
+    * doc_id), top `topK`. The target joins are LEFT with the smoothed
+    * add-k fallback (coalesce 0) — exactly the operator's
+    * target-unseen-bigram floor. */
+  def sampleImportance(targetLang: String, topK: Int, addK: Double): String =
+    s"""WITH nb AS (SELECT doc_id, lang, string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |bi AS (SELECT doc_id, lang, p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT doc_id, lang, unnest([[toks[i+1], toks[i+2]]
+       |                               for i in range(0, len(toks)-1)]) AS p
+       |  FROM nb WHERE len(toks) >= 2)),
+       |c12r AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12r
+       |         FROM bi GROUP BY w1, w2),
+       |c1r AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1r FROM bi GROUP BY w1),
+       |c12t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12t
+       |         FROM bi WHERE lang = '$targetLang' GROUP BY w1, w2),
+       |c1t AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1t
+       |        FROM bi WHERE lang = '$targetLang' GROUP BY w1),
+       |vr AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vr FROM (
+       |  SELECT unnest(toks) AS t FROM nb)),
+       |vt AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vt FROM (
+       |  SELECT unnest(toks) AS t FROM nb WHERE lang = '$targetLang')),
+       |per AS (SELECT b.doc_id,
+       |    ln((CAST(coalesce(c12t.c12t, 0) AS DOUBLE) + $addK) /
+       |       (CAST(coalesce(c1t.c1t, 0) AS DOUBLE) + $addK * vt.vt))
+       |  - ln((CAST(c12r.c12r AS DOUBLE) + $addK) /
+       |       (CAST(c1r.c1r AS DOUBLE) + $addK * vr.vr)) AS d
+       |  FROM bi b
+       |  JOIN c12r ON c12r.w1 = b.w1 AND c12r.w2 = b.w2
+       |  JOIN c1r ON c1r.w1 = b.w1
+       |  LEFT JOIN c12t ON c12t.w1 = b.w1 AND c12t.w2 = b.w2
+       |  LEFT JOIN c1t ON c1t.w1 = b.w1
+       |  CROSS JOIN vr CROSS JOIN vt),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              round(sum(d) / count(*), 6) AS score
+       |       FROM per GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, n_bigrams, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, score
+       |FROM ranked WHERE rn <= $topK ORDER BY doc_id""".stripMargin
+
   /** Mirrors [[TextAnalysis.lmPerplexityTrigram]]: held-out stupid-backoff
     * trigram scoring. The train/score split replays the Sampling salted-md5
     * threshold as a literal hex compare; the backoff CASE keeps the Spark

@@ -452,4 +452,68 @@ object Sampling {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much more likely its text is under a TARGET language model
+    * than under the RAW-corpus model, and keep the `topK` most
+    * target-like docs — the published recipe for skimming a web crawl
+    * toward a curated distribution. Both models are the add-k bigram
+    * LM of [[TextAnalysis.lmPerplexity]]; the per-doc score is the mean
+    * bigram log-likelihood ratio
+    *   (1/n) Σ [ln p_target(w2|w1) − ln p_raw(w2|w1)],
+    * with the add-k floor standing in for target-unseen bigrams. The
+    * deterministic top-k (rank on the ROUNDED score, ties by id) is the
+    * auditable variant of the paper's Gumbel resampling.
+    *
+    * Shape at scale: the doc-bigram stream is persisted once and feeds
+    * four map-side-combined count shuffles plus the scoring join (all
+    * key-partitioned on their n-gram keys — never corpus×vocab); the
+    * two vocab scalars ride as broadcast 1-row aggregates; the raw
+    * joins are inner (self-trained — every bigram is in its own model),
+    * the target joins LEFT with the smoothed fallback; selection is a
+    * TakeOrderedAndProject, never a global window. The caller releases
+    * the persist via clearCache (the simhashPairs lifetime contract).
+    * Returns [<id>, n_bigrams, score] for the kept docs. */
+  def importanceSample(df: DataFrame, targetPred: Column, topK: Int,
+      addK: Double = 0.1, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    val bi = nonBlank.filter(size(toks) >= 2)
+      .select(col(idCol), targetPred.as("is_t"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col(idCol), col("is_t"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12r = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12r"))
+    val c1r = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1r"))
+    val tBi = bi.filter(col("is_t"))
+    val c12t = tBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12t"))
+    val c1t = tBi.groupBy(col("w1")).agg(count(lit(1)).as("c1t"))
+    val vr = nonBlank.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("vr"))
+    val vt = nonBlank.filter(targetPred).select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("vt"))
+    bi.join(c12r, Seq("w1", "w2"))
+      .join(c1r, Seq("w1"))
+      .join(c12t, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .crossJoin(broadcast(vr)).crossJoin(broadcast(vt))
+      .withColumn("lnt", log(
+        (coalesce(col("c12t"), lit(0L)).cast("double") + lit(addK)) /
+        (coalesce(col("c1t"), lit(0L)).cast("double") +
+          lit(addK) * col("vt").cast("double"))))
+      .withColumn("lnr", log(
+        (col("c12r").cast("double") + lit(addK)) /
+        (col("c1r").cast("double") + lit(addK) * col("vr").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lnt") - col("lnr")) / count(lit(1)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
 }

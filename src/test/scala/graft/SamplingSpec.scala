@@ -331,4 +331,38 @@ class SamplingSpec extends SparkSpec {
     assert(run(docs.repartition(13)) === got)
     assert(run(docs.coalesce(1)) === got)
   }
+
+  test("importanceSample: target docs outrank raw docs, hand-checked scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma", "t"), (1L, "alpha beta delta", "t"),
+      (10L, "alpha beta zeta", "r"), (11L, "omega psi chi", "r"),
+      (12L, "omega psi phi", "r"),
+      (13L, "  ", "r") // blank: excluded, never scored
+    ).toDF("doc_id", "text", "lang")
+    val out = Sampling.importanceSample(docs, col("lang") === "t", topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size === 5 && !out.contains(13L))
+    // target docs score highest of all
+    assert(Seq(10L, 11L, 12L).forall(r => out(0L) > out(r) && out(1L) > out(r)))
+    // hand-computed doc 10 (k=0.1, vt=4, vr=9):
+    //   (alpha,beta): ln(2.1/2.4) − ln(3.1/3.9); (beta,zeta):
+    //   ln(0.1/2.4) − ln(1.1/3.9); mean rounded = −0.908172.
+    // NOTE the add-k property this pins: a target-UNSEEN CONTEXT backs
+    // off to the uniform floor k/(k·vt) = 1/vt, so docs 11/12 (whole
+    // bigrams unseen) outrank doc 10, whose seen-context unseen bigram
+    // (beta,zeta) is penalized harder.
+    assert(out(10L) === -0.908172)
+    assert(out(11L) === -0.740207 && out(12L) === -0.740207)
+    // topK truncates on (score DESC, doc_id): {0, 1}, then the 11/12
+    // tie resolves to 11
+    val top3 = Sampling.importanceSample(docs, col("lang") === "t", topK = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(top3 === Set(0L, 1L, 11L))
+    // partition-count invariance (exact integer counts + rounded score)
+    val again = Sampling
+      .importanceSample(docs.repartition(7), col("lang") === "t", topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === out)
+  }
 }
