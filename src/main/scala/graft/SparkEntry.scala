@@ -166,6 +166,8 @@ object SparkEntry {
   private val LmAddK = 0.1         // bigram LM add-k smoothing
   private val ImportanceTargetLang = "en" // DSIR target distribution
   private val ImportanceTopK = 100
+  private val CollocMinCount = 5L  // PMI is unstable on hapax pairs
+  private val CollocTopK = 50
   private val LmTriAlpha = 0.4     // stupid-backoff discount
   private val LmTriTrainRate = 0.8 // held-out trigram LM train split
   private val LmTriSalt = "tri"
@@ -1889,6 +1891,15 @@ object SparkEntry {
           col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: PMI collocation extraction (Church & Hanks) —
+    // ADJACENT bigrams (contrast cooc_window's unordered window pairs),
+    // min-count cut, rank-on-rounded top-k; two map-side-combined
+    // count shuffles + a TakeOrderedAndProject
+    "text_collocation" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.collocations(docs(s, dir),
+          minCount = CollocMinCount, topK = CollocTopK)
+        .orderBy(col("w1"), col("w2"))
+    }),
     // LLM pipeline: RAG/training sliding token-window chunking (narrow
     // map, no shuffle; overlap = chunk - stride)
     "text_chunk" -> ((s, dir) => {
@@ -1996,6 +2007,15 @@ object SparkEntry {
       val joined = emb.join(docs(s, dir),
         emb("vec_id") === col("doc_id"))
       graft.pipeline.Ann.groupCentroidSim(joined, "source")
+        .select(col("g_a"), col("g_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+    // streaming: the same report computed AT INGEST — source resolved
+    // by a broadcast stream-static join, the narrow (g, pos, x)
+    // projection in-stream, the identical DECIMAL-mean aggregation at
+    // the sink; gated by the batch SQL
+    "embed_source_sim_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.sourceCentroidSim(s, dir)
         .select(col("g_a"), col("g_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("g_a"), col("g_b"))
     }),
@@ -3360,6 +3380,8 @@ object SparkEntry {
     "text_lang_id_stream" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
+    "text_collocation" -> graft.pipeline.PipelineSql.textCollocations(
+      CollocMinCount, CollocTopK),
     "text_chunk" -> graft.pipeline.PipelineSql.chunkDocuments(
       ChunkTokens, ChunkStride, ChunkMinTokens),
     "text_chunk_stream" -> graft.pipeline.PipelineSql.chunkDocuments(
@@ -3556,6 +3578,7 @@ object SparkEntry {
     "ml_knn" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
     "ml_knn_stream" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
     "embed_source_sim" -> graft.pipeline.PipelineSql.sourceCentroidSim,
+    "embed_source_sim_stream" -> graft.pipeline.PipelineSql.sourceCentroidSim,
     "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
     "ml_calibration" -> graft.pipeline.PipelineSql.mlCalibration(iters = 3,
       lr = 1e-5, bins = 10),

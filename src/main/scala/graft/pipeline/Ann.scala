@@ -111,10 +111,24 @@ object Ann {
     * groups×groups broadcast self-join (group count is tens, never
     * data-sized). Returns [g_a, g_b, cosine], g_a < g_b, unrounded. */
   def groupCentroidSim(emb: DataFrame, groupCol: String,
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = emb.select(col(groupCol).cast("string").as("g"),
-        posexplode(transform(col(vecCol), x => x.cast("double")))
-          .as(Seq("pos", "x")))
+      vecCol: String = "embedding"): DataFrame =
+    centroidSimFromPoints(groupPoints(emb, groupCol, vecCol))
+
+  /** The narrow per-row half of [[groupCentroidSim]]: one (g, pos, x)
+    * row per vector component — a stateless projection, so the stream
+    * twin runs it at ingest (StreamReplay.sourceCentroidSim) and feeds
+    * the SAME [[centroidSimFromPoints]] aggregation at the sink. */
+  private[graft] def groupPoints(emb: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol).cast("string").as("g"),
+      posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("pos", "x")))
+
+  /** The aggregation half of [[groupCentroidSim]]: DECIMAL-sum means
+    * (order-insensitive — micro-batch arrival order can't move them),
+    * position-ordered centroid assembly, bounded pairwise cosine. */
+  private[graft] def centroidSimFromPoints(points: DataFrame): DataFrame = {
+    val cents = points
       .groupBy(col("g"), col("pos"))
       .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
         count(lit(1))).as("m"))

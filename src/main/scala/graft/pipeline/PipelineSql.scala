@@ -2305,6 +2305,34 @@ object PipelineSql {
        |CROSS JOIN v
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[TextAnalysis.collocations]]: adjacent-bigram PMI with
+    * the min-count cut, rank on the ROUNDED pmi (ties (w1, w2)),
+    * identical division/multiplication association. */
+  def textCollocations(minCount: Long, topK: Int): String =
+    s"""WITH nb AS (SELECT string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |bi AS (SELECT p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT unnest([[toks[i+1], toks[i+2]]
+       |                 for i in range(0, len(toks)-1)]) AS p
+       |  FROM nb WHERE len(toks) >= 2)),
+       |uni AS (SELECT unnest(toks) AS t FROM nb),
+       |cu AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY t),
+       |n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM uni),
+       |n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM bi),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+       |       FROM bi GROUP BY w1, w2),
+       |sc AS (SELECT cb.w1, cb.w2, cb.n, a.cu AS c1, b.cu AS c2,
+       |    round(ln((CAST(cb.n AS DOUBLE) / n2.n2) /
+       |             ((CAST(a.cu AS DOUBLE) / n1.n1) *
+       |              (CAST(b.cu AS DOUBLE) / n1.n1))), 6) AS pmi
+       |  FROM cb JOIN cu a ON a.t = cb.w1 JOIN cu b ON b.t = cb.w2
+       |  CROSS JOIN n1 CROSS JOIN n2
+       |  WHERE cb.n >= $minCount),
+       |ranked AS (SELECT w1, w2, n, c1, c2, pmi,
+       |  row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM sc)
+       |SELECT w1, w2, n, c1, c2, pmi
+       |FROM ranked WHERE rn <= $topK ORDER BY w1, w2""".stripMargin
+
   /** Mirrors [[Sampling.importanceSample]] with target = `lang = '<targetLang>'`:
     * two add-k bigram LMs (target split / whole corpus), per-doc mean
     * bigram log-likelihood ratio, rank on the ROUNDED score (ties by

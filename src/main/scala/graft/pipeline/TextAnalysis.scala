@@ -346,6 +346,49 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** PMI-ranked adjacent-bigram collocations (Church & Hanks 1990) —
+    * the phrase-extraction pass of a tokenizer/vocab pipeline ("new
+    * york"-style units worth a single token) and a corpus-forensics
+    * report (template phrases rank by construction):
+    *   pmi(w1, w2) = ln( (c12/N2) / ((c1/N1) · (c2/N1)) ),
+    * over ADJACENT pairs (contrast cooc_window/cooc_ppmi: unordered
+    * window pairs), kept when c12 ≥ `minCount` (PMI is unstable on
+    * hapax pairs), ranked by (ROUNDED pmi DESC, w1, w2).
+    *
+    * Shape at scale: two map-side-combined count shuffles (bigrams +
+    * unigrams); the unigram table joins on its key from both endpoints;
+    * the two corpus totals ride as broadcast 1-row aggregates; the
+    * top-k is a TakeOrderedAndProject, never a global window. Returns
+    * [w1, w2, n, c1, c2, pmi]. */
+  def collocations(df: DataFrame, minCount: Long = 5, topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad args: $minCount/$topK")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val toks = tokensCol(col(textCol))
+    val bi = nonBlank.filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = nonBlank.select(explode(toks).as("t"))
+    val cu = uni.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val n1 = uni.agg(count(lit(1)).cast("double").as("n1"))
+    val n2 = bi.agg(count(lit(1)).cast("double").as("n2"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .join(cu.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(cu.select(col("t").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") / col("n2")) /
+        ((col("c1").cast("double") / col("n1")) *
+          (col("c2").cast("double") / col("n1")))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n"), col("c1"), col("c2"), col("pmi"))
+  }
+
   /** Per-source corpus statistics (the data-card report a training
     * mixture is audited with): doc count, total/mean whitespace tokens,
     * and token-count percentiles per source.

@@ -630,6 +630,27 @@ object StreamReplay {
     graft.pipeline.Ann.knnVote(drainSink(spark, qname), k)
   }
 
+  /** Streamed source-centroid similarity (the embed_source_sim twin):
+    * arriving embedding vectors resolve their source via a broadcast
+    * stream-static join and run the narrow (g, pos, x) projection
+    * (Ann.groupPoints) AT INGEST; the sink runs the SAME
+    * centroidSimFromPoints aggregation as the batch operator — the
+    * DECIMAL-sum means are order-insensitive, so micro-batch arrival
+    * order can't move the report. Gated by the batch SQL. */
+  def sourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("vec_id"), col("source"))
+    val stream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+    val qname = s"graft_replay_srcsim_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Ann
+      .groupPoints(stream.join(broadcast(src), Seq("vec_id")), "source")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.pipeline.Ann.centroidSimFromPoints(drainSink(spark, qname))
+  }
+
   /** Memoized PARITY-SPLIT documents staging: two single parquet files
     * (doc_id even, then odd) with ascending mtimes, so a
     * maxFilesPerTrigger=1 AvailableNow replay delivers exactly the two

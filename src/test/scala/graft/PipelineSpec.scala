@@ -1267,6 +1267,33 @@ class PipelineSpec extends SparkSpec {
     assert(tie.getLong(1) === 3L && tie.getLong(2) === 1L) // min label wins
   }
 
+  test("TextAnalysis.collocations: hand-computed PMI, min-count cut, top-k") {
+    import spark.implicits._
+    // "new york" always adjacent (3x); "the" frequent and promiscuous
+    val docs = Seq(
+      (0L, "new york the city"), (1L, "new york the bay"),
+      (2L, "new york"), (3L, "the city the bay")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // corpus: N1 = 14 tokens, N2 = 10 bigrams
+    // (new,york): c12=3, c(new)=3, c(york)=3 ->
+    //   pmi = ln((3/10)/((3/14)*(3/14))) = ln(0.3/0.0459...) = 1.8755
+    val (n, c1, c2, pmi) = out(("new", "york"))
+    assert(n === 3L && c1 === 3L && c2 === 3L)
+    val expected = BigDecimal(math.log((3.0 / 10.0) /
+      ((3.0 / 14.0) * (3.0 / 14.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi === expected)
+    // hapax pairs cut by minCount: (york,the) occurs twice -> kept;
+    // (the,city) twice -> kept; (city,the) once -> dropped
+    assert(out.contains(("york", "the")) && out.contains(("the", "city")))
+    assert(!out.contains(("city", "the")))
+    // the promiscuous "the" pairs score below the tight collocation
+    assert(out(("new", "york"))._4 > out(("the", "city"))._4)
+  }
+
   test("Ann.groupCentroidSim: identical groups cosine 1, orthogonal 0") {
     import spark.implicits._
     val emb = Seq(
