@@ -113,6 +113,8 @@ object SparkEntry {
   private val AnnK = 10
   private val KnnQueries = 50     // held-out kNN-classifier query split
   private val KnnK = 5
+  private val MmrK = 8             // MMR diversified top-k
+  private val MmrLambda = 0.7      // relevance/diversity trade-off
   private val NearDupPlants = 20   // planted scaled-copy near-dups
   private val NearDupIdOffset = 1000000L
   private val PhashPlants = 20     // planted last-pixel-tweaked image twins
@@ -1647,6 +1649,18 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Pca.topOutliers(emb, k = 20, iters = 5)
         .orderBy(col("abs_score").desc, col("vec_id"))
+    }),
+    // RAG retrieval: MMR diversified top-k against the vec-0 query —
+    // k greedy rounds, each ONE narrow running-max rescore pass + a
+    // rank-on-rounded argmax (O(k·n), never k×n×n); SQL unrolls the
+    // rounds with scalar-argmax CTEs
+    "embed_mmr" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.pipeline.Ann.mmrSelect(emb.filter(col("vec_id") =!= 0), qv,
+          k = MmrK, lambda = MmrLambda)
+        .orderBy(col("rank"))
     }),
     // LLM pipeline: pure-dataflow k-means over the embedding corpus —
     // TWO REAL Lloyd iterations under the FULL oracle (not the iters = 0
@@ -3345,6 +3359,7 @@ object SparkEntry {
     "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,
       numCentroids = 16, nprobe = 4, sampleSize = 10000),
     "embed_kmeans" -> graft.pipeline.PipelineSql.embedKmeans(8, 2),
+    "embed_mmr" -> graft.pipeline.PipelineSql.embedMmr(MmrK, MmrLambda),
     "embed_silhouette" -> graft.pipeline.PipelineSql.embedSilhouette(8, 2),
     "embed_quantize" -> graft.pipeline.PipelineSql.embedQuantize(SqLevels),
     "embed_pca" -> graft.pipeline.PipelineSql.embedPca(5),

@@ -101,6 +101,45 @@ object Ann {
         col("p.votes").as("votes"), col("actual"))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the RAG retrieval step that trades relevance
+    * against redundancy: greedily pick
+    *   argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s),
+    * where rel/sim are the float-kernel cosine (bit-identical to the
+    * DuckDB mirror — the annBruteForce gate). `maxsim` starts at −1
+    * (below any cosine), so round 1 is pure relevance; each selection
+    * folds into the per-candidate running max with one narrow pass —
+    * the O(k·n) published algorithm, never the k×n×n rescore. The
+    * argmax ranks on the ROUNDED score (ties by id); candidate lineage
+    * is cut per round (k bounded driver actions, the pointer-jumping
+    * loop shape). Returns [rank, id, score] for the k selected. */
+  def mmrSelect(emb: DataFrame, queryVec: Array[Float], k: Int,
+      lambda: Double = 0.7, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0, s"bad args: $k/$lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cand = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("rel", cosine(col("v"), typedlit(queryVec)))
+      .withColumn("maxsim", lit(-1.0))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (t <- 1 to k) {
+      val top = cand.withColumn("score", round(
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"), 6))
+        .orderBy(col("score").desc, col("id")).limit(1).collect()
+      require(top.nonEmpty, s"mmrSelect exhausted candidates at round $t")
+      val r = top.head
+      picked += ((t.toLong, r.getLong(0), r.getAs[Double]("score")))
+      val sv = r.getSeq[Float](1).toArray
+      cand = cand.filter(col("id") =!= r.getLong(0))
+        .withColumn("maxsim",
+          greatest(col("maxsim"), cosine(col("v"), typedlit(sv))))
+        .localCheckpoint(true)
+    }
+    picked.toSeq.toDF("rank", "id", "score")
+  }
+
   /** Per-group centroid cosine map — "which sources are
     * embedding-redundant": the source-similarity diagnostic a mixture
     * designer reads before setting sampling rates (two sources with

@@ -2305,6 +2305,40 @@ object PipelineSql {
        |CROSS JOIN v
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Ann.mmrSelect]] on the vec-0 query:
+    * the k greedy rounds unrolled as MATERIALIZED CTEs — each round a
+    * scalar argmax (ORDER BY rounded score DESC, id LIMIT 1, the
+    * bpe_train recipe) plus one running-max rescore pass against the
+    * selected vector; list_cosine_similarity on ::DOUBLE[] is
+    * bit-identical to the float-kernel cosine (the annBruteForce
+    * gate), and the λ arithmetic replays Scala's exact doubles. */
+  def embedMmr(k: Int, lambda: Double): String = {
+    val oneMinus = 1.0 - lambda
+    def rnd(t: Int): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT id, v, round($lambda * rel - $oneMinus * maxsim, 6) AS score
+         |  FROM c${t - 1} ORDER BY score DESC, id LIMIT 1),
+         |c$t AS MATERIALIZED (
+         |  SELECT c.id, c.v, c.rel,
+         |         greatest(c.maxsim, list_cosine_similarity(c.v, s$t.v)) AS maxsim
+         |  FROM c${t - 1} c CROSS JOIN s$t WHERE c.id <> s$t.id)""".stripMargin
+    val rounds = (1 to k).map(rnd).mkString(",\n")
+    val sel = (1 to k).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, CAST(id AS BIGINT) AS id, score FROM s$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |         list_cosine_similarity(embedding::DOUBLE[], q.qv) AS rel,
+       |         -1.0 AS maxsim
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+       |$rounds
+       |SELECT rank, id, score FROM (
+       |  $sel)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Mirrors [[TextAnalysis.collocations]]: adjacent-bigram PMI with
     * the min-count cut, rank on the ROUNDED pmi (ties (w1, w2)),
     * identical division/multiplication association. */

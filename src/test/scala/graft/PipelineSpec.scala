@@ -1294,6 +1294,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(("new", "york"))._4 > out(("the", "city"))._4)
   }
 
+  test("Ann.mmrSelect: redundancy penalized, pure-relevance round 1") {
+    import spark.implicits._
+    val q = Array(1.0f, 0.0f)
+    // a and b are identical (rel ~.95); c is less relevant (~.9) but
+    // diverse; d nearly irrelevant
+    val emb = Seq(
+      (1L, Array(0.95f, 0.312f)), (2L, Array(0.95f, 0.312f)),
+      (3L, Array(0.9f, -0.436f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.mmrSelect(emb, q, k = 3, lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: best relevance, tie (1 == 2) broken by id -> 1
+    assert(out(1L) === 1L)
+    // round 2: the exact duplicate 2 has maxsim 1 -> score .5(rel-1) < 0;
+    // diverse 3 scores .5(rel - sim(3,1)) > 0 -> 3 before 2
+    assert(out(2L) === 3L && out(3L) === 2L)
+    // a greedy pass over fewer candidates than k must fail loudly
+    intercept[IllegalArgumentException] {
+      Ann.mmrSelect(emb, q, k = 5, lambda = 0.5).collect()
+    }
+  }
+
   test("Ann.groupCentroidSim: identical groups cosine 1, orthogonal 0") {
     import spark.implicits._
     val emb = Seq(
