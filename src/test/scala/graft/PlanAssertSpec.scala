@@ -379,4 +379,60 @@ class PlanAssertSpec extends SparkSpec {
     assert(lines.drop(wIdx + 1).exists(_.contains("HashAggregate")),
       s"auc window runs over raw rows, not the distinct-score rollup:\n$p")
   }
+
+  private lazy val embDF = {
+    import spark.implicits._
+    (0 until 40).map(i => (i.toLong,
+      Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, 0.5f),
+      (i % 4).toLong)).toDF("vec_id", "embedding", "label")
+  }
+
+  test("knnClassify broadcasts the train seed set — the corpus never shuffles against it") {
+    val p = executedPlan(Ann.knnClassify(
+      embDF.filter(col("vec_id") < 10), embDF.filter(col("vec_id") >= 10), k = 3))
+    assert(p.contains("BroadcastExchange"),
+      s"knn train side is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"knn scoring shuffles or goes cartesian:\n$p")
+  }
+
+  test("phashPairs candidate join is band-keyed — no cartesian, no BNLJ") {
+    import spark.implicits._
+    val media = (0 until 30).map { i =>
+      val raster = Array.tabulate(8 * 8 * 3)(j => ((i * 131 + j * 17) % 256))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("P6\n8 8\n255\n".getBytes); raster.foreach(out.write)
+      (i.toLong, out.toByteArray)
+    }.toDF("media_id", "payload")
+    val p = executedPlan(Multimodal.phashPairs(
+      Multimodal.imagePhash(media), maxHamming = 4))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"phash pair generation is all-pairs:\n$p")
+  }
+
+  test("hits iterations never window — scores normalize via a broadcast 1-row aggregate") {
+    import spark.implicits._
+    val edges = (0 until 30).map(i =>
+      (s"d${i % 5}", s"t${i % 7}", 1.0)).toDF("src", "dst", "weight")
+    val p = executedPlan(Graph.hits(edges, iters = 2))
+    assert(!p.contains("Window"), s"hits picked up a window:\n$p")
+  }
+
+  test("collocations and importanceSample take their top-k as TakeOrderedAndProject") {
+    val p1 = executedPlan(TextAnalysis.collocations(docsDF, minCount = 1,
+      topK = 5))
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"collocations lost the two-phase top-k:\n$p1")
+    assert(!p1.contains("Window"), s"collocations picked up a window:\n$p1")
+    import spark.implicits._
+    val d = docsDF.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val p2 = executedPlan(Sampling.importanceSample(d, col("lang") === "en",
+      topK = 5))
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"importanceSample lost the two-phase top-k:\n$p2")
+    assert(!p2.contains("Window"), s"importanceSample picked up a window:\n$p2")
+    spark.catalog.clearCache() // release importanceSample's bigram persist
+  }
 }

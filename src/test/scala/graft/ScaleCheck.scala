@@ -407,6 +407,54 @@ object ScaleCheck {
             .select(col("id").as("vertex"))
           graft.pipeline.Graph.bfsDistances(pairs, seeds, maxHops = 4).count()
         },
+        entry("multimodal_phash (decode + band pairs)") {
+          // md5 payloads keyed by the replica-offset doc_id, so replica
+          // rasters are independent — pair output stays bucket-bounded
+          val hexs = concat((0 to 11).map(i =>
+            md5(concat(lit(s"phash$i"), col("doc_id").cast("string")))): _*)
+          val media = docsR.select(col("doc_id").cast("long").as("media_id"),
+            concat(encode(lit("P6\n8 8\n255\n"), "UTF-8"), unhex(hexs))
+              .as("payload"))
+          graft.pipeline.Multimodal.phashPairs(
+            graft.pipeline.Multimodal.imagePhash(media), maxHamming = 4).count()
+        },
+        entry("graph_hits (bipartite L1 iters)") {
+          // rep$i tokens keep replica vocabularies overlapping but doc
+          // sets disjoint: edges ∝ corpus rows, 5 L1 iterations
+          val edges = docsR.filter(trim(col("text")) =!= "")
+            .select(col("doc_id").cast("string").as("src"),
+              explode(graft.pipeline.TextAnalysis.tokensCol(col("text")))
+                .as("dst"))
+            .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+          graft.pipeline.Graph.hits(edges, iters = 5).count()
+        },
+        entry("sample_importance (two-LM ratio)") {
+          graft.pipeline.Sampling.importanceSample(docsR,
+            col("lang") === "en", topK = 100).count()
+        },
+        entry("text_collocation (PMI top-k)") {
+          graft.pipeline.TextAnalysis.collocations(docsR).count()
+        },
+        entry("ml_knn (bcast train scan)") {
+          // train side FIXED (the curated-seed contract); the query
+          // corpus grows with r — one corpus-linear scan + bounded top-k
+          graft.pipeline.Ann.knnClassify(
+            embBase.filter(col("vec_id") < 500),
+            embR.withColumn("label",
+              pmod(col("vec_id"), lit(8)).cast("long")), k = 5).count()
+        },
+        entry("embed_mmr (k greedy passes)") {
+          val qv = embBase.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0).toArray
+          graft.pipeline.Ann.mmrSelect(embR.filter(col("vec_id") =!= 0),
+            qv, k = 8).count()
+        },
+        entry("embed_source_sim (centroid pass)") {
+          // groups = replicas (grow with r); points ∝ corpus rows
+          graft.pipeline.Ann.groupCentroidSim(
+            embR.withColumn("g", (col("vec_id") / 10000000L).cast("long")),
+            "g").count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
