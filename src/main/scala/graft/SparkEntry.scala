@@ -1914,6 +1914,17 @@ object SparkEntry {
           minCount = CollocMinCount, topK = CollocTopK)
         .orderBy(col("w1"), col("w2"))
     }),
+    // streaming: the collocation report from a live feed — the narrow
+    // per-doc gram projection at ingest, the SAME count/PMI/top-k
+    // aggregation at the sink (pure counts: micro-batch order can't
+    // move it); gated by the batch SQL
+    "text_collocation_stream" -> ((s, dir) => {
+      val grams = graft.streaming.StreamReplay.mapDocs(s, dir)(
+        graft.pipeline.TextAnalysis.collocGrams(_))
+      graft.pipeline.TextAnalysis.collocationsFromGrams(grams,
+          CollocMinCount, CollocTopK)
+        .orderBy(col("w1"), col("w2"))
+    }),
     // LLM pipeline: RAG/training sliding token-window chunking (narrow
     // map, no shuffle; overlap = chunk - stride)
     "text_chunk" -> ((s, dir) => {
@@ -2225,6 +2236,20 @@ object SparkEntry {
         col("doc_id").cast("long").as("media_id"),
         lit("image").as("kind"), phashPayload(col("doc_id")).as("payload"))
       graft.pipeline.Multimodal.imagePhash(media)
+        .select(col("media_id"), col("phash_hex"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"))
+    }),
+    // streaming: the perceptual hash AT INGEST — decode → dHash is a
+    // pure per-row map, so the stream runs the batch operator unchanged
+    // over the staged feed (the multimodal_meta_stream shape), under
+    // the batch multimodal_phash oracle
+    "multimodal_phash_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { stream =>
+        graft.pipeline.Multimodal.imagePhash(stream.select(
+          col("doc_id").cast("long").as("media_id"),
+          phashPayload(col("doc_id")).as("payload")))
+      }
         .select(col("media_id"), col("phash_hex"),
           col("b0"), col("b1"), col("b2"), col("b3"))
         .orderBy(col("media_id"))
@@ -3397,6 +3422,8 @@ object SparkEntry {
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "text_collocation" -> graft.pipeline.PipelineSql.textCollocations(
       CollocMinCount, CollocTopK),
+    "text_collocation_stream" -> graft.pipeline.PipelineSql.textCollocations(
+      CollocMinCount, CollocTopK),
     "text_chunk" -> graft.pipeline.PipelineSql.chunkDocuments(
       ChunkTokens, ChunkStride, ChunkMinTokens),
     "text_chunk_stream" -> graft.pipeline.PipelineSql.chunkDocuments(
@@ -3524,6 +3551,7 @@ object SparkEntry {
     "multimodal_png" -> graft.pipeline.PipelineSql.multimodalPng,
     "multimodal_resize" -> graft.pipeline.PipelineSql.multimodalResize,
     "multimodal_phash" -> graft.pipeline.PipelineSql.multimodalPhash,
+    "multimodal_phash_stream" -> graft.pipeline.PipelineSql.multimodalPhash,
     "multimodal_phash_pairs" -> graft.pipeline.PipelineSql.multimodalPhashPairs(
       PhashPlants, PhashIdOffset, PhashMaxHamming),
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,

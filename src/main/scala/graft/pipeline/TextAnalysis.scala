@@ -361,17 +361,37 @@ object TextAnalysis {
     * top-k is a TakeOrderedAndProject, never a global window. Returns
     * [w1, w2, n, c1, c2, pmi]. */
   def collocations(df: DataFrame, minCount: Long = 5, topK: Int = 50,
+      textCol: String = "text"): DataFrame =
+    collocationsFromGrams(collocGrams(df, textCol), minCount, topK)
+
+  /** The narrow per-doc half of [[collocations]]: one row per adjacent
+    * bigram (a, b) plus one row per unigram (a, null) — a stateless
+    * projection, so the stream twin runs it at ingest and feeds the
+    * SAME [[collocationsFromGrams]] aggregation at the sink. */
+  private[graft] def collocGrams(df: DataFrame,
       textCol: String = "text"): DataFrame = {
-    require(minCount >= 1 && topK >= 1, s"bad args: $minCount/$topK")
     val nonBlank = df.filter(length(trim(col(textCol))) > 0)
     val toks = tokensCol(col(textCol))
     val bi = nonBlank.filter(size(toks) >= 2)
       .select(explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val uni = nonBlank.select(explode(toks).as("t"))
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("a"), col("p.w2").as("b"))
+    val uni = nonBlank.select(explode(toks).as("a"),
+      lit(null).cast("string").as("b"))
+    bi.unionByName(uni)
+  }
+
+  /** The aggregation half of [[collocations]] (sink side of the stream
+    * twin): pure counts of the gram rows, so micro-batch arrival order
+    * can't move the report. */
+  private[graft] def collocationsFromGrams(grams: DataFrame,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad args: $minCount/$topK")
+    val bi = grams.filter(col("b").isNotNull)
+      .select(col("a").as("w1"), col("b").as("w2"))
+    val uni = grams.filter(col("b").isNull).select(col("a").as("t"))
     val cu = uni.groupBy(col("t")).agg(count(lit(1)).as("cu"))
     val n1 = uni.agg(count(lit(1)).cast("double").as("n1"))
     val n2 = bi.agg(count(lit(1)).cast("double").as("n2"))
