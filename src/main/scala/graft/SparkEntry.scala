@@ -170,6 +170,9 @@ object SparkEntry {
   private val ImportanceTopK = 100
   private val CollocMinCount = 5L  // PMI is unstable on hapax pairs
   private val CollocTopK = 50
+  private val GopherMinWords = 20L // Gopher bounds scaled to the corpus
+  private val GopherMaxWords = 1000L
+  private val GopherMinStop = 1
   private val LmTriAlpha = 0.4     // stupid-backoff discount
   private val LmTriTrainRate = 0.8 // held-out trigram LM train split
   private val LmTriSalt = "tri"
@@ -1914,6 +1917,35 @@ object SparkEntry {
           minCount = CollocMinCount, topK = CollocTopK)
         .orderBy(col("w1"), col("w2"))
     }),
+    // LLM pipeline: the Gopher rule battery (Rae et al. 2021) — the
+    // published pre-filter a crawl passes before any learned gate,
+    // each rule its own boolean so the row is a rejection audit; one
+    // narrow HOF projection, no shuffle
+    "text_gopher_rules" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.gopherRules(docs(s, dir),
+          minWords = GopherMinWords, maxWords = GopherMaxWords,
+          minStopwords = GopherMinStop)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_ratio"), col("n_stop"),
+          col("rule_words"), col("rule_word_len"), col("rule_symbol"),
+          col("rule_alpha"), col("rule_stop"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    // streaming: the same rule battery AT INGEST (a pure per-row map —
+    // the gate runs where the data arrives), under the batch SQL
+    "text_gopher_rules_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { stream =>
+        graft.pipeline.TextAnalysis.gopherRules(stream,
+          minWords = GopherMinWords, maxWords = GopherMaxWords,
+          minStopwords = GopherMinStop)
+          .select(col("doc_id").cast("long").as("doc_id"), col("n_words"),
+            col("mean_word_len"), col("symbol_ratio"), col("alpha_ratio"),
+            col("n_stop"), col("rule_words"), col("rule_word_len"),
+            col("rule_symbol"), col("rule_alpha"), col("rule_stop"),
+            col("keep"))
+      }
+        .orderBy(col("doc_id"))
+    }),
     // streaming: the collocation report from a live feed — the narrow
     // per-doc gram projection at ingest, the SAME count/PMI/top-k
     // aggregation at the sink (pure counts: micro-batch order can't
@@ -3422,6 +3454,12 @@ object SparkEntry {
     "text_tokens" -> graft.pipeline.PipelineSql.tokenCounts,
     "text_collocation" -> graft.pipeline.PipelineSql.textCollocations(
       CollocMinCount, CollocTopK),
+    "text_gopher_rules" -> graft.pipeline.PipelineSql.textGopherRules(
+      GopherMinWords, GopherMaxWords, 3.0, 10.0, 0.1, 0.8, GopherMinStop,
+      graft.pipeline.TextAnalysis.defaultStopwords("en")),
+    "text_gopher_rules_stream" -> graft.pipeline.PipelineSql.textGopherRules(
+      GopherMinWords, GopherMaxWords, 3.0, 10.0, 0.1, 0.8, GopherMinStop,
+      graft.pipeline.TextAnalysis.defaultStopwords("en")),
     "text_collocation_stream" -> graft.pipeline.PipelineSql.textCollocations(
       CollocMinCount, CollocTopK),
     "text_chunk" -> graft.pipeline.PipelineSql.chunkDocuments(

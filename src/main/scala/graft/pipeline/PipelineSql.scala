@@ -2339,6 +2339,59 @@ object PipelineSql {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Mirrors [[TextAnalysis.gopherRules]]: the same per-rule booleans
+    * from the same narrow expressions (code-point lengths, greedy '...'
+    * runs, distinct-stopword intersect — list_distinct + list_contains
+    * pins the distinct semantics Spark's array_intersect has). */
+  def textGopherRules(minWords: Long, maxWords: Long,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, minAlphaRatio: Double, minStopwords: Int,
+      stopwords: Seq[String]): String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                     t -> t <> '') AS toks,
+       |         length(text) - length(regexp_replace(text, '#', '', 'g'))
+       |           AS hashes,
+       |         (length(text) -
+       |          length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+       |           AS ellipses
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CASE WHEN len(toks) > 0 THEN round(
+       |      CAST(list_sum(list_transform(toks,
+       |        t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(toks) > 0 THEN round(
+       |      CAST(hashes + ellipses AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+       |    CASE WHEN len(toks) > 0 THEN round(
+       |      CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+       |        AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+       |      ELSE 0.0 END AS alpha_ratio,
+       |    CAST(len(list_filter(list_distinct(toks),
+       |      t -> list_contains($stopList, t))) AS BIGINT) AS n_stop
+       |  FROM base)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, mean_word_len,
+       |       symbol_ratio, alpha_ratio, n_stop,
+       |       (n_words >= $minWords AND n_words <= $maxWords) AS rule_words,
+       |       (mean_word_len >= $minMeanWordLen
+       |        AND mean_word_len <= $maxMeanWordLen) AS rule_word_len,
+       |       (symbol_ratio <= $maxSymbolRatio) AS rule_symbol,
+       |       (alpha_ratio >= $minAlphaRatio) AS rule_alpha,
+       |       (n_stop >= $minStopwords) AS rule_stop,
+       |       ((n_words >= $minWords AND n_words <= $maxWords)
+       |        AND (mean_word_len >= $minMeanWordLen
+       |             AND mean_word_len <= $maxMeanWordLen)
+       |        AND (symbol_ratio <= $maxSymbolRatio)
+       |        AND (alpha_ratio >= $minAlphaRatio)
+       |        AND (n_stop >= $minStopwords)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[TextAnalysis.collocations]]: adjacent-bigram PMI with
     * the min-count cut, rank on the ROUNDED pmi (ties (w1, w2)),
     * identical division/multiplication association. */

@@ -196,6 +196,58 @@ object TextAnalysis {
             - col("repetition_ratio") * 0.5)))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, the published
+    * quality-rule battery a crawl is gated with before any learned
+    * filter): per-doc word count bounds, mean-word-length bounds,
+    * symbol-to-word ratio ('#' chars + '...' runs), alphabetic-word
+    * ratio, and the distinct-stopword requirement — each surfaced as
+    * its own rule boolean plus the conjunctive `keep`, so the report
+    * doubles as a per-rule rejection audit. One narrow HOF projection,
+    * no shuffle — runs at scan speed (and unchanged on a stream).
+    * Blank docs report n_words = 0, zero ratios, keep = false. */
+  def gopherRules(df: DataFrame, minWords: Long = 50,
+      maxWords: Long = 100000, minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8, minStopwords: Int = 2,
+      textCol: String = "text",
+      stopwords: Seq[String] = defaultStopwords("en")): DataFrame = {
+    val text = col(textCol)
+    val toks = filter(tokensCol(text), t => t =!= "")
+    val n = size(toks).cast("long")
+    val nD = n.cast("double")
+    val meanLen = when(n > 0, round(
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") / nD, 6))
+      .otherwise(lit(0.0))
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(n > 0,
+      round((hashes + ellipses).cast("double") / nD, 6)).otherwise(lit(0.0))
+    val alphaRatio = when(n > 0, round(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nD, 6))
+      .otherwise(lit(0.0))
+    val nStop = size(array_intersect(toks,
+      typedlit(stopwords))).cast("long")
+    df
+      .withColumn("n_words", n)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("n_stop", nStop)
+      .withColumn("rule_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("rule_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("rule_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("rule_stop", col("n_stop") >= minStopwords)
+      .withColumn("keep",
+        col("rule_words") && col("rule_word_len") && col("rule_symbol") &&
+        col("rule_alpha") && col("rule_stop"))
+  }
+
   /** Gopher-style n-gram repetition signals: for each n in `ns`, the
     * share of all n-grams taken by the single most frequent one
     * (`top_{n}gram_share` — high values flag boilerplate / repeated

@@ -1294,6 +1294,42 @@ class PipelineSpec extends SparkSpec {
     assert(out(("new", "york"))._4 > out(("the", "city"))._4)
   }
 
+  test("TextAnalysis.gopherRules: per-rule booleans, hand-checked metrics") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, all alphabetic, 2 distinct stopwords, no symbols
+      (0L, "the cat sat in the mat"),
+      // symbol-heavy: 2 hashes + one '...' run over 4 words -> 0.75
+      (1L, "alpha ## beta ... gamma"),
+      // numeric tokens: alpha ratio 1/3
+      (2L, "123 456 the"),
+      (3L, "   ") // blank
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 3, maxWords = 10,
+        minStopwords = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_words") === 6L)
+    // mean word len: (3+3+3+2+3+3)/6 = 2.833333
+    assert(d0.getAs[Double]("mean_word_len") === 2.833333)
+    assert(d0.getAs[Long]("n_stop") === 2L) // 'the' counted ONCE, 'in'
+    assert(d0.getAs[Boolean]("rule_stop") && d0.getAs[Boolean]("rule_alpha"))
+    assert(!d0.getAs[Boolean]("rule_word_len")) // 2.83 < 3.0
+    assert(!d0.getAs[Boolean]("keep"))
+    val d1 = out(1L)
+    // 5 tokens (##, ... are tokens too); 2 hashes + 1 ellipsis over 5
+    assert(d1.getAs[Long]("n_words") === 5L)
+    assert(d1.getAs[Double]("symbol_ratio") === 0.6)
+    assert(!d1.getAs[Boolean]("rule_symbol"))
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("alpha_ratio") === 0.333333)
+    assert(!d2.getAs[Boolean]("rule_alpha"))
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_words") === 0L &&
+      d3.getAs[Double]("mean_word_len") === 0.0 &&
+      !d3.getAs[Boolean]("keep"))
+  }
+
   test("Ann.mmrSelect: redundancy penalized, pure-relevance round 1") {
     import spark.implicits._
     val q = Array(1.0f, 0.0f)
