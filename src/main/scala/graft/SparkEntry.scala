@@ -2660,6 +2660,14 @@ object SparkEntry {
           col("lang") === ImportanceTargetLang, ImportanceTopK, LmAddK)
         .orderBy(col("doc_id"))
     }),
+    // streaming: the DSIR gate SERVED — LMs frozen batch-side, arriving
+    // docs score statelessly against the broadcast model pair, top-k at
+    // the sink; gated by the batch SQL
+    "sample_importance_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.importanceSample(s, dir,
+          ImportanceTargetLang, ImportanceTopK, LmAddK)
+        .orderBy(col("doc_id"))
+    }),
     // pipeline audit: achieved mixture report — per-source doc/token
     // mass and token share (what a mixing stage actually delivered vs
     // its spec); one map-side-combined aggregation
@@ -3667,6 +3675,8 @@ object SparkEntry {
       0.1, 0.8, SampleSalt,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "sample_importance" -> graft.pipeline.PipelineSql.sampleImportance(
+      ImportanceTargetLang, ImportanceTopK, LmAddK),
+    "sample_importance_stream" -> graft.pipeline.PipelineSql.sampleImportance(
       ImportanceTargetLang, ImportanceTopK, LmAddK),
     "report_mixture" -> graft.pipeline.PipelineSql.reportMixture,
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(

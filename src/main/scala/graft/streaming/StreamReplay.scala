@@ -737,6 +737,31 @@ object StreamReplay {
     drainSink(spark, qname)
   }
 
+  /** Streamed DSIR gate — the daily-ingest shape of
+    * [[graft.pipeline.Sampling.importanceSample]]: both bigram LMs are
+    * trained batch-side (the frozen selection model), every arriving
+    * doc scores statelessly in-stream
+    * ([[StreamingPipeline.importanceScoreStream]]), the deterministic
+    * top-k ranks at the sink. Gated by the batch sample_importance
+    * SQL. */
+  def importanceSample(spark: SparkSession, dir: String,
+      targetLang: String, topK: Int, addK: Double): DataFrame = {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val target = graft.pipeline.TextAnalysis.trainLmModel(
+      docsDf.filter(col("lang") === targetLang))
+    val raw = graft.pipeline.TextAnalysis.trainLmModel(docsDf)
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_dsir_${counter.incrementAndGet()}"
+    val q = StreamingPipeline
+      .importanceScoreStream(stream, target, raw, addK)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(spark, qname)
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+  }
+
   /** Streamed DICTIONARY GATHER — the reference's collection-ingest →
     * dictionary path as a Kappa split: the stream emits one
     * (class, token, weight-sum) partial per document (a narrow per-doc

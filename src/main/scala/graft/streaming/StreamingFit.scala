@@ -217,6 +217,66 @@ object StreamingPipeline {
       .toDF(idCol, "n_bigrams", "ppl")
   }
 
+  /** DSIR importance scoring as a stream (the serving half of
+    * [[graft.pipeline.Sampling.importanceSample]]): both frozen bigram
+    * LMs ride as ONE broadcast pair, every arriving doc scores in a
+    * stateless per-row fold — the [[lmScoreStream]] recipe with the
+    * target/raw log-ratio in the loop. Per-bigram ln args are the exact
+    * doubles the batch joins produce (getOrElse(0) == the LEFT-join
+    * coalesce floor); the per-doc sum order differs from the batch hash
+    * aggregate's, absorbed by the same round(6) the batch row rides.
+    * Returns [<id>, n_bigrams, score] for every scorable doc — the
+    * top-k selection happens wherever the consumer ranks. */
+  def importanceScoreStream(stream: DataFrame,
+      target: graft.pipeline.TextAnalysis.LmModel,
+      raw: graft.pipeline.TextAnalysis.LmModel, addK: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((target, raw))
+    def sparkTrim(s: String): String = {
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    stream.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (t, r) = bc.value
+        val kvT = addK * t.vocab.toDouble
+        val kvR = addK * r.vocab.toDouble
+        it.flatMap { case (id, text) =>
+          val norm = sparkTrim(org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString)
+            .replaceAll("\\s+", " ")
+          val toks = norm.split(" ")
+          if (toks.length < 2) None
+          else {
+            var s = 0.0
+            var i = 0
+            while (i < toks.length - 1) {
+              val bg = (toks(i), toks(i + 1))
+              val lnT = math.log(
+                (t.c12.getOrElse(bg, 0L).toDouble + addK) /
+                (t.c1.getOrElse(toks(i), 0L).toDouble + kvT))
+              val lnR = math.log(
+                (r.c12.getOrElse(bg, 0L).toDouble + addK) /
+                (r.c1.getOrElse(toks(i), 0L).toDouble + kvR))
+              s += lnT - lnR
+              i += 1
+            }
+            val n = toks.length - 1
+            val score = java.math.BigDecimal.valueOf(s / n)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            Some((id, n.toLong, score))
+          }
+        }
+      }
+      .toDF(idCol, "n_bigrams", "score")
+  }
+
   /** `stream` must carry a `text` column; when `eventTimeCol` is given the
     * stream is watermarked so the dedup state is bounded (exact dedup
     * within the lateness window — at 100 TB/day unbounded dedup state is
