@@ -2036,6 +2036,26 @@ object SparkEntry {
           Seq("n_chars", "n_tokens", "n_distinct_tokens"))
         .orderBy(col("metric"))
     }),
+    // ML analytics: the exact precision/recall curve over the same
+    // fixture — one point per distinct score ("positive iff score >=
+    // t"); distinct-score rollup + a suffix-sum window over the SMALL
+    // distinct table (the auc two-phase shape)
+    "ml_pr" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        when(col("source") === "src0", 1L).otherwise(0L).as("y"),
+        col("n_chars").cast("long").as("n_chars"))
+      graft.pipeline.Regression.prCurve(d, "y", "n_chars")
+        .orderBy(col("score"))
+    }),
+    // event analytics: two-proportion A/B z-test — users hash-split
+    // 50/50 (deterministic salted-md5 half-space), conversion = any
+    // purchase event; integer counts to the last step, one fixed-order
+    // double expression rounded once
+    "ml_abtest" -> ((s, dir) => {
+      val ev = graft.pipeline.Temporal.readEvents(s, dir)
+      graft.pipeline.Regression.abTest(ev, "user_id",
+        col("event_type") === "purchase" && col("value") > 99.0)
+    }),
     // kNN majority-vote classifier over the labeled embeddings (label
     // propagation from a curated seed set): held-out queries (vec_id <
     // KnnQueries) classified by their KnnK nearest labeled train
@@ -3524,6 +3544,60 @@ object SparkEntry {
         |       ELSE round(CAST(sum(2 * cum_neg * pos + pos * neg) AS DOUBLE)
         |                  / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
         |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
+    "ml_pr" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+        |         CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |grouped AS (
+        |  SELECT score, sum(y) AS pos, count(*) AS tot
+        |  FROM base GROUP BY score),
+        |cum AS (
+        |  SELECT score,
+        |         sum(pos) OVER (ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |         sum(tot - pos) OVER (ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |  FROM grouped),
+        |p AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM base)
+        |SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+        |       CASE WHEN p.p = 0 THEN NULL
+        |            ELSE round(CAST(tp AS DOUBLE) / p.p, 6) END AS rec
+        |FROM cum CROSS JOIN p ORDER BY score""".stripMargin,
+    "ml_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id AS u,
+        |         CAST(max(CASE WHEN event_type = 'purchase' AND value > 99.0
+        |                       THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT CASE WHEN substr(md5('ab' || CAST(u AS VARCHAR)), 1, 8)
+        |                   < '80000000' THEN 'a' ELSE 'b' END AS variant,
+        |         converted
+        |  FROM u),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(converted) AS BIGINT) AS conv
+        |      FROM v GROUP BY 1),
+        |piv AS (
+        |  SELECT max(CASE WHEN variant = 'a' THEN n END) AS n_a,
+        |         max(CASE WHEN variant = 'a' THEN conv END) AS conv_a,
+        |         max(CASE WHEN variant = 'b' THEN n END) AS n_b,
+        |         max(CASE WHEN variant = 'b' THEN conv END) AS conv_b
+        |  FROM g)
+        |SELECT n_a, conv_a, round(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+        |       n_b, conv_b, round(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+        |       CASE WHEN n_a IS NULL OR n_b IS NULL
+        |              OR CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) = 0.0
+        |              OR CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) = 1.0
+        |            THEN NULL
+        |            ELSE round((CAST(conv_a AS DOUBLE) / n_a
+        |                        - CAST(conv_b AS DOUBLE) / n_b)
+        |              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |                * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+        |FROM piv""".stripMargin,
     "text_tfidf" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_tfidf_stream" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(

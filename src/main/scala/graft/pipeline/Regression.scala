@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Closed-form regression analytics over grouped data — model fitting
@@ -181,5 +181,79 @@ object Regression {
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
           .otherwise(round(col("num2").cast("double")
             / (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** Exact precision/recall curve — the [[auc]] companion a threshold
+    * is actually picked with: one point per DISTINCT score t for the
+    * classifier "positive iff score ≥ t". Same scale shape as auc:
+    * the corpus collapses to a (score → pos/neg counts) rollup via one
+    * map-side-combined aggregation, and the suffix-sum window runs over
+    * the DISTINCT-SCORE table only (bounded by score cardinality, never
+    * the corpus). Counts are exact integers; precision/recall are each
+    * ONE division rounded to 6 — engine-exact. Returns
+    * [score, tp, fp, prec, rec]. */
+  def prCurve(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df
+      .select(col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("neg", col("tot") - col("pos"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the single-partition window is over the DISTINCT-SCORE table —
+    // bounded by score cardinality (the auc reasoning), not the corpus
+    val cum = grouped
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+    val p = grouped.agg(sum(col("pos"))).head().getLong(0)
+    cum.select(col("score"), col("tp"), col("fp"),
+      round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+        .as("prec"),
+      when(lit(p) === 0L, lit(null))
+        .otherwise(round(col("tp").cast("double") / lit(p), 6)).as("rec"))
+  }
+
+  /** Two-proportion z-test over a deterministic 50/50 user split — the
+    * A/B readout an event pipeline ships: users assign to variants by
+    * salted-md5 half-space (the [[Sampling.hashPrefix]] split — same
+    * user, same variant, on any cluster size), convert iff any of their
+    * events matches `conv`, and the one-row report carries counts,
+    * rates, and z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    *
+    * Shape at scale: one map-side-combined per-user aggregation, one
+    * 2-row variant rollup, one final 1-row pivot — integer counts to
+    * the last step, then a fixed-order double expression rounded once
+    * (engine-exact). A missing variant yields null z, never a division
+    * error. */
+  def abTest(df: DataFrame, userCol: String, conv: Column,
+      salt: String = "ab"): DataFrame = {
+    val users = df.groupBy(col(userCol).as("u"))
+      .agg(max(when(conv, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(Sampling.hashPrefix(col("u"), salt) < lit("80000000"), "a")
+          .otherwise("b"))
+    val piv = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      .agg(
+        max(when(col("variant") === "a", col("n"))).as("n_a"),
+        max(when(col("variant") === "a", col("conv"))).as("conv_a"),
+        max(when(col("variant") === "b", col("n"))).as("n_b"),
+        max(when(col("variant") === "b", col("conv"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    piv.select(col("n_a"), col("conv_a"), round(pa, 6).as("p_a"),
+      col("n_b"), col("conv_b"), round(pb, 6).as("p_b"),
+      // degenerate pooled rate (everyone / no one converts) has zero
+      // variance: null z, never an ANSI division error
+      when(col("n_a").isNull || col("n_b").isNull ||
+          pp === 0.0 || pp === 1.0, lit(null))
+        .otherwise(round((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)).as("z"))
   }
 }

@@ -1294,6 +1294,39 @@ class PipelineSpec extends SparkSpec {
     assert(out(("new", "york"))._4 > out(("the", "city"))._4)
   }
 
+  test("Regression.prCurve: hand-checked points; abTest invariants") {
+    import spark.implicits._
+    // scores: 5 -> (1 pos, 1 neg), 3 -> (1 pos), 1 -> (1 neg); P = 2
+    val d = Seq((5L, 1L), (5L, 0L), (3L, 1L), (1L, 0L)).toDF("s", "y")
+    val pr = Regression.prCurve(d, "y", "s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(pr(5L) === ((1L, 1L, 0.5, 0.5)))
+    assert(pr(3L) === ((2L, 1L, 0.666667, 1.0)))
+    assert(pr(1L) === ((2L, 2L, 0.5, 1.0)))
+    // abTest: 40 users, conversion iff user id is a multiple of 4
+    val ev = (0L until 40L).map(u => (u, if (u % 4 == 0) 100.0 else 1.0))
+      .toDF("user_id", "value")
+    val ab = Regression.abTest(ev, "user_id", col("value") > 50.0)
+      .collect().head
+    val (na, ca, nb, cb) = (ab.getLong(0), ab.getLong(1),
+      ab.getLong(3), ab.getLong(4))
+    assert(na + nb === 40L && ca + cb === 10L)
+    assert(ab.getDouble(2) > 0.0 && ab.getDouble(5) > 0.0) // p_a, p_b
+    assert(!ab.isNullAt(6)) // mixed conversion -> real z
+    // degenerate pooled rates give null z, never a division error
+    val all = Regression.abTest(ev, "user_id", col("value") > 0.0)
+      .collect().head
+    assert(all.isNullAt(6))
+    val none = Regression.abTest(ev, "user_id", col("value") > 1e9)
+      .collect().head
+    assert(none.isNullAt(6))
+    // deterministic under repartitioning
+    val again = Regression.abTest(ev.repartition(7), "user_id",
+      col("value") > 50.0).collect().head
+    assert(again.toSeq === ab.toSeq)
+  }
+
   test("TextAnalysis.gopherRules: per-rule booleans, hand-checked metrics") {
     import spark.implicits._
     val docs = Seq(
