@@ -1545,6 +1545,23 @@ object SparkEntry {
           rounds = 4)
         .orderBy(col("vertex"))
     }),
+    // graph analytics: Newman modularity of the LPA communities — the
+    // quality audit a community detector is judged with, emitted
+    // per-community (integer w_in/k_tot + the rounded contribution;
+    // never an engine-ordered cross-community double sum)
+    "graph_modularity" -> ((s, dir) => {
+      val pairs = containmentPairs(s, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // containment pairs are ORDERED (both directions can occur) —
+      // distinct after symmetrizing, or every mutual pair counts twice
+      val sym = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .withColumn("weight", lit(1L))
+      graft.pipeline.Graph.modularity(sym,
+          graft.pipeline.Graph.labelPropagation(pairs, rounds = 4))
+        .orderBy(col("community"))
+    }),
     // LLM pipeline: near-dup removal END TO END — containment pairs →
     // pointer-jumped components → drop non-canonical members; the
     // surviving id set in one hash row certifies the pairs→clusters→
@@ -3458,6 +3475,8 @@ object SparkEntry {
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),
     "graph_label_prop" -> graft.pipeline.PipelineSql.graphLabelProp(
+      ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 4),
+    "graph_modularity" -> graft.pipeline.PipelineSql.graphModularity(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 4),
     "dedup_neardup_e2e" -> graft.pipeline.PipelineSql.dedupNeardupE2e(
       ShingleK, threshold = 0.5, maxDocFreq = 100, rounds = 6),

@@ -348,6 +348,47 @@ object Graph {
     labels.select(col("v").as("vertex"), col("lbl").as("community"))
   }
 
+  /** Newman modularity report of a community assignment over a
+    * directed-SYMMETRIC weighted edge table (both directions present,
+    * the cooc/containment graph convention) — the quality audit a
+    * community detector (LPA, CC) is judged with:
+    *   Q = Σ_c [ w_in(c)/m2 − (k(c)/m2)² ],
+    * m2 = total (directed) weight = 2m, k(c) = total degree-weight of
+    * c's vertices, w_in(c) = weight of edges with BOTH endpoints in c.
+    * Emitted PER COMMUNITY — integer-exact w_in/k_tot plus the rounded
+    * contribution — so no cross-community double sum ever happens in an
+    * engine-dependent order (sum the column for Q).
+    *
+    * Shape at scale: degree and community sizes are map-side-combined
+    * aggregations; w_in joins the edge table to the vertex→community
+    * map on each endpoint key; m2 rides as a broadcast 1-row
+    * aggregate. Returns [community, n_vertices, w_in, k_tot,
+    * contribution]. */
+  def modularity(edges: DataFrame, communities: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "weight"): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"),
+      col(wCol).cast("long").as("w"))
+    val lbl = communities.select(col("vertex").as("v"), col("community").as("c"))
+    val m2 = e.agg(sum(col("w")).cast("double").as("m2"))
+    val deg = e.groupBy(col("s")).agg(sum(col("w")).as("k_v"))
+    val kc = deg.join(lbl, deg("s") === lbl("v"))
+      .groupBy(col("c")).agg(sum(col("k_v")).as("k_tot"))
+    val nv = lbl.groupBy(col("c")).agg(count(lit(1)).as("n_vertices"))
+    val win = e
+      .join(lbl.select(col("v").as("s"), col("c").as("ca")), Seq("s"))
+      .join(lbl.select(col("v").as("d"), col("c").as("cb")), Seq("d"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(sum(col("w")).as("w_in"))
+    val kOverM = col("k_tot").cast("double") / col("m2")
+    nv.join(kc, Seq("c")).join(win, Seq("c"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("c").as("community"), col("n_vertices"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"), col("k_tot"),
+        round(coalesce(col("w_in"), lit(0L)).cast("double") / col("m2")
+          - kOverM * kOverM, 6).as("contribution"))
+  }
+
   /** HITS hubs-and-authorities over a DIRECTED weighted edge table —
     * the bipartite-ranking primitive PageRank can't express (PageRank
     * conflates the two roles; on a doc→token graph HITS separates

@@ -579,6 +579,13 @@ object PipelineSql {
     * frequent neighbor label with smallest-label tie-break (row_number
     * ORDER BY c DESC, lbl == Spark's min_by over (−c, lbl)). */
   def graphLabelProp(k: Int, threshold: Double, maxDocFreq: Long,
+      rounds: Int): String =
+    s"""WITH ${labelPropCtes(k, threshold, maxDocFreq, rounds)}
+       |SELECT v AS vertex, lbl AS community
+       |FROM p$rounds ORDER BY vertex""".stripMargin
+
+  /** The LPA CTE chain shared by graphLabelProp and graphModularity. */
+  private def labelPropCtes(k: Int, threshold: Double, maxDocFreq: Long,
       rounds: Int): String = {
     val lp = (1 to rounds).map { i =>
       s"""p$i AS MATERIALIZED (SELECT v, lbl FROM (
@@ -588,14 +595,38 @@ object PipelineSql {
          |        FROM e JOIN p${i - 1} l ON l.v = e.dst
          |        GROUP BY e.src, l.lbl)) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
+    s"""cp AS MATERIALIZED (${dedupContainment(k, threshold, maxDocFreq)}),
        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cp
        |                   UNION SELECT id_b, id_a FROM cp),
        |p0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e),
-       |$lp
-       |SELECT v AS vertex, lbl AS community
-       |FROM p$rounds ORDER BY vertex""".stripMargin
+       |$lp""".stripMargin
   }
+
+  /** Mirrors [[Graph.modularity]] over the LPA communities of the
+    * containment graph: unit directed-symmetric weights, per-community
+    * integer w_in/k_tot and the fixed-order contribution expression
+    * (w_in/m2 − (k/m2)·(k/m2), never pow). */
+  def graphModularity(k: Int, threshold: Double, maxDocFreq: Long,
+      rounds: Int): String =
+    s"""WITH ${labelPropCtes(k, threshold, maxDocFreq, rounds)},
+       |m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS k_v
+       |        FROM e GROUP BY src),
+       |kc AS (SELECT l.lbl AS c, CAST(sum(d.k_v) AS BIGINT) AS k_tot
+       |       FROM deg d JOIN p$rounds l ON l.v = d.src GROUP BY 1),
+       |nv AS (SELECT lbl AS c, CAST(count(*) AS BIGINT) AS n_vertices
+       |       FROM p$rounds GROUP BY 1),
+       |win AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS w_in
+       |        FROM e JOIN p$rounds la ON la.v = e.src
+       |               JOIN p$rounds lb ON lb.v = e.dst
+       |        WHERE la.lbl = lb.lbl GROUP BY 1)
+       |SELECT nv.c AS community, nv.n_vertices,
+       |       coalesce(win.w_in, 0) AS w_in, kc.k_tot,
+       |       round(CAST(coalesce(win.w_in, 0) AS DOUBLE) / m2.m2
+       |             - (CAST(kc.k_tot AS DOUBLE) / m2.m2)
+       |               * (CAST(kc.k_tot AS DOUBLE) / m2.m2), 6) AS contribution
+       |FROM nv JOIN kc ON kc.c = nv.c LEFT JOIN win ON win.c = nv.c
+       |CROSS JOIN m2 ORDER BY community""".stripMargin
 
   /** Mirrors the dedup_neardup_e2e entry: containment pairs → pointer-
     * jumped components → drop every non-canonical member (id ≠

@@ -1294,6 +1294,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(("new", "york"))._4 > out(("the", "city"))._4)
   }
 
+  test("Graph.modularity: two triangles + bridge, hand-computed") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7, m2 = 14;
+    // per community: w_in = 6, k = 2+2+3 = 7 ->
+    // contribution = 6/14 - (7/14)^2 = 0.178571
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+      .withColumn("weight", lit(1L))
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("vertex", "community")
+    val out = Graph.modularity(sym, comm).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (c <- Seq(1L, 4L)) {
+      assert(out(c).getLong(1) === 3L)          // n_vertices
+      assert(out(c).getLong(2) === 6L)          // w_in (directed count)
+      assert(out(c).getLong(3) === 7L)          // k_tot
+      assert(out(c).getDouble(4) === 0.178571)
+    }
+    // a deliberately bad split (everything one community) scores lower
+    val one = comm.select(col("vertex"), lit(1L).as("community"))
+    val bad = Graph.modularity(sym, one).collect().head
+    assert(bad.getDouble(4) === 0.0) // w_in/m2 = 1, (k/m2)^2 = 1
+  }
+
   test("Regression.prCurve: hand-checked points; abTest invariants") {
     import spark.implicits._
     // scores: 5 -> (1 pos, 1 neg), 3 -> (1 pos), 1 -> (1 neg); P = 2
