@@ -50,6 +50,12 @@ object SparkEntry {
   private def phashTwinPayload(id: Column): Column =
     concat(encode(lit("P6\n8 8\n255\n"), "UTF-8"),
       unhex(concat(substring(phashHexs(id), 1, 378), lit("000000"))))
+  /** A FRESH raster (different md5 salt) — the not-in-corpus halves of
+    * the incremental-phash batch. */
+  private def phashNewPayload(id: Column): Column =
+    concat(encode(lit("P6\n8 8\n255\n"), "UTF-8"),
+      unhex(concat((0 to 11).map(i =>
+        md5(concat(lit(s"phnew$i"), id.cast("string")))): _*)))
 
   /** Flagship: a 5-pass ARTM fit over the documents corpus, returning the
     * per-pass perplexity trajectory. Smoke-checked rows>0 at sf0.001. */
@@ -2323,6 +2329,28 @@ object SparkEntry {
           col("b0"), col("b1"), col("b2"), col("b3"))
         .orderBy(col("media_id"))
     }),
+    // multimodal: the daily IMAGE-ingest loop — a new batch (corpus
+    // twins + a duplicated fresh raster + unique fresh rasters)
+    // resolves against the persisted phash index: nearest corpus match
+    // first, then within-batch, statuses dup_of_corpus/dup_in_batch/new
+    "dedup_incremental_phash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val index = graft.pipeline.Multimodal.imagePhash(
+        d.select(col("doc_id").cast("long").as("media_id"),
+          phashPayload(col("doc_id")).as("payload")))
+      def part(pred: Column, off: Long, pay: Column => Column) =
+        d.where(pred).select(
+          (col("doc_id") + off).cast("long").as("media_id"),
+          pay(col("doc_id")).as("payload"))
+      val batch = part(ten === 3, 1000000L, phashTwinPayload)
+        .unionByName(part(ten === 2, 2000000L, phashNewPayload))
+        .unionByName(part(ten === 2, 3000000L, phashNewPayload))
+        .unionByName(part(ten === 1, 4000000L, phashNewPayload))
+      graft.pipeline.Multimodal.incrementalPhash(index, batch,
+          maxHamming = PhashMaxHamming)
+        .orderBy(col("media_id"))
+    }),
     // multimodal: image NEAR-dup via banded Hamming over the dHash —
     // planted twins (last raster pixel zeroed, <= 1 dHash bit flipped)
     // must pair with their originals; candidates block on 16-bit band
@@ -3693,6 +3721,8 @@ object SparkEntry {
     "multimodal_phash_stream" -> graft.pipeline.PipelineSql.multimodalPhash,
     "multimodal_phash_pairs" -> graft.pipeline.PipelineSql.multimodalPhashPairs(
       PhashPlants, PhashIdOffset, PhashMaxHamming),
+    "dedup_incremental_phash" -> graft.pipeline.PipelineSql
+      .dedupIncrementalPhash(PhashMaxHamming),
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -577,9 +577,11 @@ object Multimodal {
     * otherwise go quadratic), then verified with the EXACT Hamming
     * distance (per-band xor bit_count — never the long, bit 63 is a
     * BIGINT sign trap in SQL mirrors). Returns [id_a, id_b, hamming]. */
-  def phashPairs(hashed: DataFrame, maxHamming: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val bands = hashed.filter(col("decoded"))
+  /** One (id, b0..b3, band, bucket) row per 16-bit band of an
+    * [[imagePhash]] table — the blocking key layout [[phashPairs]] and
+    * [[incrementalPhash]] join on. */
+  private def phashBands(hashed: DataFrame): DataFrame =
+    hashed.filter(col("decoded"))
       .select(col("media_id").cast("long").as("id"),
         col("b0"), col("b1"), col("b2"), col("b3"),
         explode(array((0 to 3).map(i =>
@@ -587,6 +589,15 @@ object Multimodal {
           .as("bb"))
       .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Per-band exact Hamming between the a0..a3 and c0..c3 band sets. */
+  private def bandHamming(pre1: String, pre2: String): Column =
+    ((0 to 3).map(i => bit_count(col(s"$pre1$i").bitwiseXOR(col(s"$pre2$i"))))
+      .reduce(_ + _)).cast("long")
+
+  def phashPairs(hashed: DataFrame, maxHamming: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bands = phashBands(hashed)
       // persisted: decode runs once; feeds the cap count + both join
       // sides (released by the caller's clearCache, the simhashPairs
       // lifetime contract)
@@ -606,10 +617,80 @@ object Multimodal {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        ((0 to 3).map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"c$i"))))
-          .reduce(_ + _)).cast("long").as("hamming"))
+      .select(col("id_a"), col("id_b"), bandHamming("a", "c").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persisted-index IMAGE near-dup resolve — the daily multimodal
+    * ingest loop (the Dedup.incrementalMinhash twin on the visual
+    * fingerprint): every decoded batch image resolves against the
+    * historical [[imagePhash]] index first (nearest corpus match by
+    * (hamming, id) within `maxHamming`), then against its own batch
+    * (id_a < id_b), and reports one row per image:
+    * `dup_of_corpus` / `dup_in_batch` / `new`, with the matched id and
+    * distance (−1 sentinels for `new`). The corpus never rescans — the
+    * index is the only historical state, and the STATIC side is where
+    * degenerate buckets accumulate over time, so the bucket-size cap
+    * applies there as well as in-batch (the cappedIndexSide reasoning).
+    * Returns [media_id, status, dup_of, hamming]. */
+  def incrementalPhash(index: DataFrame, batch: DataFrame,
+      maxHamming: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    // both band tables persist: each feeds its cap count plus every
+    // join side below, and an unpersisted lineage re-runs the DECODE
+    // mapPartitions once per subplan (measured ~2× wall on the entry)
+    val bBands = phashBands(imagePhash(batch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iBands = phashBands(index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okIdx = iBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val iB = iBands.join(okIdx, Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("cid"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+        col("b3").as("c3"))
+    val cRes = bBands
+      .select(col("band"), col("bucket"), col("id"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+        col("b3").as("a3"))
+      .join(iB, Seq("band", "bucket"))
+      .dropDuplicates("id", "cid")
+      .withColumn("ham", bandHamming("a", "c"))
+      .filter(col("ham") <= maxHamming)
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("ham")),
+        struct(col("ham"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("corpus_of"),
+        col("m.ham").as("corpus_ham"))
+    val okB = bBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = bBands.join(okB, Seq("band", "bucket"), "left_semi")
+    val bRes = bounded
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+        col("b3").as("a3"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+        col("b3").as("c3")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("ham", bandHamming("a", "c"))
+      .filter(col("ham") <= maxHamming)
+      .groupBy(col("id_b").as("id"))
+      .agg(min_by(struct(col("id_a"), col("ham")),
+        struct(col("ham"), col("id_a"))).as("m"))
+      .select(col("id"), col("m.id_a").as("batch_of"),
+        col("m.ham").as("batch_ham"))
+    bBands.select(col("id")).distinct() // decoded batch ids, no re-decode
+      .join(cRes, Seq("id"), "left")
+      .join(bRes, Seq("id"), "left")
+      .select(col("id").as("media_id"),
+        when(col("corpus_of").isNotNull, "dup_of_corpus")
+          .when(col("batch_of").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_of"), col("batch_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("corpus_ham"), col("batch_ham"), lit(-1L)).as("hamming"))
   }
 
   /** Frame sampling stub: emits `n` evenly-spaced (frame_index, offset)

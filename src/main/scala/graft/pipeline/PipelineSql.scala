@@ -1696,14 +1696,20 @@ object PipelineSql {
     * dedupSimhashPairs band recipe). `plants` > 0 appends the twin
     * images (last raster pixel zeroed — flips at most dHash bit 63). */
   private def phashCtes(plants: Int, idOffset: Long): String =
-    s"""imgs AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+    phashFpCtes(s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
        |         $phashHx AS hx
        |  FROM documents
        |  UNION ALL
        |  SELECT CAST(doc_id + $idOffset AS BIGINT) AS media_id,
        |         substr($phashHx, 1, 378) || '000000' AS hx
-       |  FROM documents WHERE doc_id < $plants),
+       |  FROM documents WHERE doc_id < $plants""".stripMargin)
+
+  /** The md5-hex → dHash-band chain over an arbitrary `imgs`
+    * (media_id, hx) body — shared by the phash, phash-pairs, and
+    * incremental-phash mirrors. */
+  private def phashFpCtes(imgsBody: String): String =
+    s"""imgs AS (
+       |  $imgsBody),
        |px AS (
        |  SELECT media_id, g.p // 8 AS sy, g.p % 8 AS sx,
        |         (77 * ('0x' || substr(hx, 6 * g.p + 1, 2))::INT
@@ -1762,6 +1768,77 @@ object PipelineSql {
        |              JOIN fp fb ON fb.media_id = c.id_b)
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
        |FROM ham WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
+  /** 384-hex-char raster keyed by a custom salt (the fresh-image halves
+    * of the incremental-phash fixture). */
+  private def phashHxSalted(salt: String): String =
+    (0 to 11).map(i => s"md5('$salt$i' || CAST(doc_id AS VARCHAR))")
+      .mkString(" ||\n         ")
+
+  /** Mirrors the `dedup_incremental_phash` entry: corpus fp + batch fp
+    * from one shared dHash chain (batch = corpus-twin images at +1e6,
+    * a duplicated fresh raster at +2e6/+3e6, unique fresh rasters at
+    * +4e6); resolution = nearest corpus match by (hamming, id) within
+    * `maxHamming` (pigeonhole any-band-equal candidates, the
+    * dedupSimhashPairs blocking), then the within-batch (id_a < id_b)
+    * pass, statuses dup_of_corpus / dup_in_batch / new with −1
+    * sentinels. */
+  def dedupIncrementalPhash(maxHamming: Int): String = {
+    val imgs =
+      s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |         $phashHx AS hx
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 1000000 AS BIGINT),
+         |         substr($phashHx, 1, 378) || '000000'
+         |  FROM documents WHERE doc_id % 10 = 3
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 2000000 AS BIGINT), ${phashHxSalted("phnew")}
+         |  FROM documents WHERE doc_id % 10 = 2
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 3000000 AS BIGINT), ${phashHxSalted("phnew")}
+         |  FROM documents WHERE doc_id % 10 = 2
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 4000000 AS BIGINT), ${phashHxSalted("phnew")}
+         |  FROM documents WHERE doc_id % 10 = 1""".stripMargin
+    s"""WITH ${phashFpCtes(imgs)},
+       |fpc AS (SELECT * FROM fp WHERE media_id < 1000000),
+       |fpb AS (SELECT * FROM fp WHERE media_id >= 1000000),
+       |cc AS (
+       |  SELECT b.media_id AS bid, c.media_id AS cid,
+       |         bit_count(xor(b.b0, c.b0)) + bit_count(xor(b.b1, c.b1))
+       |       + bit_count(xor(b.b2, c.b2)) + bit_count(xor(b.b3, c.b3)) AS ham
+       |  FROM fpb b JOIN fpc c
+       |    ON (b.b0 = c.b0 OR b.b1 = c.b1 OR b.b2 = c.b2 OR b.b3 = c.b3)),
+       |cres AS (
+       |  SELECT bid, cid AS corpus_of, ham AS corpus_ham FROM (
+       |    SELECT bid, cid, ham, row_number() OVER (
+       |      PARTITION BY bid ORDER BY ham, cid) AS rn
+       |    FROM cc WHERE ham <= $maxHamming) WHERE rn = 1),
+       |bc AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS ham
+       |  FROM fpb a JOIN fpb b
+       |    ON a.media_id < b.media_id
+       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |bres AS (
+       |  SELECT id_b AS bid, id_a AS batch_of, ham AS batch_ham FROM (
+       |    SELECT id_a, id_b, ham, row_number() OVER (
+       |      PARTITION BY id_b ORDER BY ham, id_a) AS rn
+       |    FROM bc WHERE ham <= $maxHamming) WHERE rn = 1)
+       |SELECT f.media_id,
+       |       CASE WHEN cres.corpus_of IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN bres.batch_of IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       coalesce(cres.corpus_of, bres.batch_of, -1) AS dup_of,
+       |       CAST(coalesce(cres.corpus_ham, bres.batch_ham, -1) AS BIGINT)
+       |         AS hamming
+       |FROM fpb f
+       |LEFT JOIN cres ON cres.bid = f.media_id
+       |LEFT JOIN bres ON bres.bid = f.media_id
+       |ORDER BY f.media_id""".stripMargin
+  }
 
   /** Mirrors the `multimodal_video` entry: 3 concatenated 2×2 P6 frames
     * whose rasters are the first 12 md5 bytes of 'vid<f><doc_id>'; the

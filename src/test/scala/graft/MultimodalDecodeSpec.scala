@@ -315,4 +315,28 @@ class MultimodalDecodeSpec extends SparkSpec {
       Multimodal.imagePhash(flat), maxHamming = 4, maxBucketSize = 10)
     assert(capped.count() === 0L)
   }
+
+  test("incrementalPhash: dup_of_corpus / dup_in_batch / new statuses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def noisy(): Array[Int] = Array.fill(8 * 8 * 3)(rnd.nextInt(256))
+    val a = noisy(); val b = noisy(); val x = noisy()
+    val aTwin = a.clone(); aTwin(a.length - 1) = 0; aTwin(a.length - 2) = 0
+    val index = Multimodal.imagePhash(
+      Seq((1L, p6(8, 8, a)), (2L, p6(8, 8, b))).toDF("media_id", "payload"))
+    val batch = Seq(
+      (10L, p6(8, 8, aTwin)),        // near the corpus image 1
+      (11L, p6(8, 8, x)),            // fresh -> new
+      (12L, p6(8, 8, x)),            // same fresh raster -> dup of 11
+      (13L, "junk".getBytes)         // undecodable: excluded
+    ).toDF("media_id", "payload")
+    val out = Multimodal.incrementalPhash(index, batch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(out(10L)._1 === "dup_of_corpus" && out(10L)._2 === 1L
+      && out(10L)._3 <= 1L)
+    assert(out(11L) === (("new", -1L, -1L)))
+    assert(out(12L) === (("dup_in_batch", 11L, 0L)))
+  }
 }
