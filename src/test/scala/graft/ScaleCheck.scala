@@ -455,6 +455,40 @@ object ScaleCheck {
             embR.withColumn("g", (col("vec_id") / 10000000L).cast("long")),
             "g").count()
         },
+        entry("text_gopher_rules (narrow rule battery)") {
+          graft.pipeline.TextAnalysis.gopherRules(docsR).count()
+        },
+        entry("ml_abtest (per-user agg + pivot)") {
+          graft.pipeline.Regression.abTest(
+            evR.withColumnRenamed("value", "v"), "user_id",
+            col("event_type") === "purchase" && col("v") > 99.0).count()
+        },
+        entry("graph_modularity (per-community audit)") {
+          // chain-segment communities over the dedup_clusters fixture:
+          // edges and communities both ∝ corpus rows
+          val und = spark.range(n).filter(col("id") % 64 =!= 63)
+            .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          val sym = und.unionByName(
+              und.select(col("dst").as("src"), col("src").as("dst")))
+            .withColumn("weight", lit(1L))
+          val comm = spark.range(n)
+            .select(col("id").as("vertex"),
+              (col("id") - pmod(col("id"), lit(64))).as("community"))
+          graft.pipeline.Graph.modularity(sym, comm).count()
+        },
+        entry("dedup_incremental_phash (index resolve)") {
+          // per-replica md5 rasters (ids offset) — index = even ids,
+          // batch = odd ids; both grow with r, matches stay bounded
+          val hexs = concat((0 to 11).map(i =>
+            md5(concat(lit(s"phash$i"), col("doc_id").cast("string")))): _*)
+          val media = docsR.select(col("doc_id").cast("long").as("media_id"),
+            concat(encode(lit("P6\n8 8\n255\n"), "UTF-8"), unhex(hexs))
+              .as("payload"))
+          val idx = graft.pipeline.Multimodal.imagePhash(
+            media.where(pmod(col("media_id"), lit(2)) === 0))
+          graft.pipeline.Multimodal.incrementalPhash(idx,
+            media.where(pmod(col("media_id"), lit(2)) === 1)).count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
