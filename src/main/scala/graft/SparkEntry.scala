@@ -2082,13 +2082,15 @@ object SparkEntry {
     // kNN majority-vote classifier over the labeled embeddings (label
     // propagation from a curated seed set): held-out queries (vec_id <
     // KnnQueries) classified by their KnnK nearest labeled train
-    // vectors — broadcast query side, one corpus-linear scan, the vote
-    // two map-side-combined aggregations
+    // vectors — broadcast query side (the bounded held-out set), one
+    // corpus-linear scan over the labeled table, the vote two
+    // map-side-combined aggregations
     "ml_knn" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Ann.knnClassify(
           emb.filter(col("vec_id") >= KnnQueries),
-          emb.filter(col("vec_id") < KnnQueries), k = KnnK)
+          emb.filter(col("vec_id") < KnnQueries), k = KnnK,
+          broadcastTrain = false)
         .orderBy(col("query_id"))
     }),
     // streaming: ONLINE kNN classification — query vectors arrive on a

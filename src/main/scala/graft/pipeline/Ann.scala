@@ -64,22 +64,35 @@ object Ann {
     * Returns [query_id, predicted, votes, actual]. */
   def knnClassify(train: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame =
-    knnVote(knnScore(train, queries, idCol, vecCol, labelCol), k)
+      labelCol: String = "label", broadcastTrain: Boolean = true): DataFrame =
+    knnVote(knnScore(train, queries, idCol, vecCol, labelCol,
+      broadcastTrain), k)
 
   /** The scoring half of [[knnClassify]] — one row per (query, train)
-    * pair, the query's own label carried through. The labeled train
-    * side is BROADCAST (it's the curated seed set — bounded by
-    * contract), so the query side streams through a stateless narrow
-    * join: this is what lets [[knnClassify]] serve on a Structured
-    * Streaming query stream unchanged (StreamReplay.knnServe). */
+    * pair, the query's own label carried through. The caller declares
+    * which side is the BOUNDED one via `broadcastTrain`:
+    *   - `true` (default): the labeled train side is the curated seed
+    *     set, broadcast, and the query side streams through a
+    *     stateless narrow join — the shape that lets [[knnClassify]]
+    *     serve on a Structured Streaming query stream unchanged
+    *     (StreamReplay.knnServe, where the stream IS the query side).
+    *   - `false`: the QUERY side is the bounded one (a small held-out
+    *     evaluation set against a corpus-sized labeled table) — the
+    *     queries broadcast and the corpus does one linear scan, never
+    *     materializing corpus-sized state on any executor.
+    * Either way the output is one (query, train) row with identical
+    * columns; downstream knnVote is order-insensitive. */
   private[graft] def knnScore(train: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+      idCol: String, vecCol: String, labelCol: String,
+      broadcastTrain: Boolean = true): DataFrame = {
     val t = train.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"), col(labelCol).cast("long").as("lbl"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qvec"), col(labelCol).cast("long").as("actual"))
-    q.crossJoin(broadcast(t))
+    val joined =
+      if (broadcastTrain) q.crossJoin(broadcast(t))
+      else t.crossJoin(broadcast(q))
+    joined
       .select(col("query_id"), col("actual"), col("id"), col("lbl"),
         cosine(col("vec"), col("qvec")).as("cosine"))
   }

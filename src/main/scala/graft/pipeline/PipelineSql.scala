@@ -1749,17 +1749,39 @@ object PipelineSql {
        |       b0, b1, b2, b3
        |FROM fp ORDER BY media_id""".stripMargin
 
+  /** One (media_id, band, bucket) row per 16-bit band of a `fp`-shaped
+    * table, its per-(band, bucket) count cap, and the capped band table
+    * — the SQL twin of Multimodal.phashBands + the maxBucketSize
+    * left_semi guard (buckets larger than `cap` are dropped before any
+    * candidate pair is generated, exactly as the Spark operator does). */
+  private def phashBandCapCtes(fpName: String, bandsName: String,
+      okName: String, bndName: String, cap: Int): String =
+    s"""$bandsName AS (
+       |  SELECT f.media_id, g.band,
+       |         CASE g.band WHEN 0 THEN f.b0 WHEN 1 THEN f.b1
+       |              WHEN 2 THEN f.b2 ELSE f.b3 END AS bucket
+       |  FROM $fpName f
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g),
+       |$okName AS (
+       |  SELECT band, bucket FROM $bandsName GROUP BY 1, 2
+       |  HAVING count(*) <= $cap),
+       |$bndName AS (
+       |  SELECT b.* FROM $bandsName b JOIN $okName o
+       |    ON b.band = o.band AND b.bucket = o.bucket)""".stripMargin
+
   /** Mirrors the `multimodal_phash_pairs` entry: band-equality blocking
-    * (the dedupSimhashPairs recipe) + exact per-band popcount Hamming
-    * over the base + planted-twin image set. */
+    * (the dedupSimhashPairs recipe, with the SAME per-(band, value)
+    * bucket-size cap the Spark operator applies) + exact per-band
+    * popcount Hamming over the base + planted-twin image set. */
   def multimodalPhashPairs(plants: Int, idOffset: Long,
-      maxHamming: Int): String =
+      maxHamming: Int, maxBucketSize: Int = 1000): String =
     s"""WITH ${phashCtes(plants, idOffset)},
+       |${phashBandCapCtes("fp", "bands", "okb", "bnd", maxBucketSize)},
        |cand AS (
        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-       |  FROM fp a JOIN fp b
-       |    ON a.media_id < b.media_id
-       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.media_id < b.media_id),
        |ham AS (
        |  SELECT c.id_a, c.id_b,
        |         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
@@ -1783,7 +1805,8 @@ object PipelineSql {
     * dedupSimhashPairs blocking), then the within-batch (id_a < id_b)
     * pass, statuses dup_of_corpus / dup_in_batch / new with −1
     * sentinels. */
-  def dedupIncrementalPhash(maxHamming: Int): String = {
+  def dedupIncrementalPhash(maxHamming: Int,
+      maxBucketSize: Int = 1000): String = {
     val imgs =
       s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
          |         $phashHx AS hx
@@ -1804,24 +1827,34 @@ object PipelineSql {
     s"""WITH ${phashFpCtes(imgs)},
        |fpc AS (SELECT * FROM fp WHERE media_id < 1000000),
        |fpb AS (SELECT * FROM fp WHERE media_id >= 1000000),
+       |${phashBandCapCtes("fpc", "cbv", "okcb", "cbnd", maxBucketSize)},
+       |${phashBandCapCtes("fpb", "bbv", "okbb", "bbnd", maxBucketSize)},
+       |ccand AS (
+       |  SELECT DISTINCT b.media_id AS bid, c.media_id AS cid
+       |  FROM bbv b JOIN cbnd c
+       |    ON b.band = c.band AND b.bucket = c.bucket),
        |cc AS (
-       |  SELECT b.media_id AS bid, c.media_id AS cid,
-       |         bit_count(xor(b.b0, c.b0)) + bit_count(xor(b.b1, c.b1))
-       |       + bit_count(xor(b.b2, c.b2)) + bit_count(xor(b.b3, c.b3)) AS ham
-       |  FROM fpb b JOIN fpc c
-       |    ON (b.b0 = c.b0 OR b.b1 = c.b1 OR b.b2 = c.b2 OR b.b3 = c.b3)),
+       |  SELECT x.bid, x.cid,
+       |         bit_count(xor(fb.b0, fc.b0)) + bit_count(xor(fb.b1, fc.b1))
+       |       + bit_count(xor(fb.b2, fc.b2)) + bit_count(xor(fb.b3, fc.b3)) AS ham
+       |  FROM ccand x JOIN fpb fb ON fb.media_id = x.bid
+       |               JOIN fpc fc ON fc.media_id = x.cid),
        |cres AS (
        |  SELECT bid, cid AS corpus_of, ham AS corpus_ham FROM (
        |    SELECT bid, cid, ham, row_number() OVER (
        |      PARTITION BY bid ORDER BY ham, cid) AS rn
        |    FROM cc WHERE ham <= $maxHamming) WHERE rn = 1),
+       |bcand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM bbnd a JOIN bbnd b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.media_id < b.media_id),
        |bc AS (
-       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
-       |         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-       |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS ham
-       |  FROM fpb a JOIN fpb b
-       |    ON a.media_id < b.media_id
-       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |  SELECT x.id_a, x.id_b,
+       |         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       |       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS ham
+       |  FROM bcand x JOIN fpb fa ON fa.media_id = x.id_a
+       |               JOIN fpb fb ON fb.media_id = x.id_b),
        |bres AS (
        |  SELECT id_b AS bid, id_a AS batch_of, ham AS batch_ham FROM (
        |    SELECT id_a, id_b, ham, row_number() OVER (

@@ -185,7 +185,12 @@ object Regression {
 
   /** Exact precision/recall curve — the [[auc]] companion a threshold
     * is actually picked with: one point per DISTINCT score t for the
-    * classifier "positive iff score ≥ t". Same scale shape as auc:
+    * classifier "positive iff score ≥ t". Scores must be
+    * INTEGER-VALUED (the [[auc]] contract — `scoreCol` is cast to
+    * long, so fractional scores collapse onto their truncated integer
+    * and the curve loses those thresholds; pre-scale real-valued
+    * scores to a fixed-point grid first, as the calibration report
+    * does). Same scale shape as auc:
     * the corpus collapses to a (score → pos/neg counts) rollup via one
     * map-side-combined aggregation, and the suffix-sum window runs over
     * the DISTINCT-SCORE table only (bounded by score cardinality, never

@@ -38,6 +38,11 @@ object ZOrder {
       max(col(colA).cast("long")).as("_mxa"),
       min(col(colB).cast("long")).as("_mnb"),
       max(col(colB).cast("long")).as("_mxb")).head()
+    // min/max of an empty (or all-null) input are null — fail with a
+    // clear contract message instead of an NPE in getLong
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      s"zorderKey: no non-null rows in ($colA, $colB) — " +
+        "cannot derive the bucket grid from an empty input")
     val (mna, mxa, mnb, mxb) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
     require(mxa - mna <= Long.MaxValue / nb && mxb - mnb <= Long.MaxValue / nb,

@@ -396,6 +396,26 @@ class PlanAssertSpec extends SparkSpec {
       s"knn scoring shuffles or goes cartesian:\n$p")
   }
 
+  test("knnClassify(broadcastTrain=false) broadcasts the bounded query side " +
+      "and the corpus-sized train table only scans") {
+    // the ml_knn entry direction: held-out queries are the small side
+    val p = executedPlan(Ann.knnClassify(
+      embDF.filter(col("vec_id") >= 10), embDF.filter(col("vec_id") < 10),
+      k = 3, broadcastTrain = false))
+    assert(p.contains("BroadcastExchange"),
+      s"knn query side is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"knn scoring shuffles or goes cartesian:\n$p")
+    // both directions produce identical votes
+    val a = Ann.knnClassify(embDF.filter(col("vec_id") >= 10),
+      embDF.filter(col("vec_id") < 10), k = 3, broadcastTrain = false)
+      .orderBy(col("query_id")).collect().toSeq
+    val b = Ann.knnClassify(embDF.filter(col("vec_id") >= 10),
+      embDF.filter(col("vec_id") < 10), k = 3, broadcastTrain = true)
+      .orderBy(col("query_id")).collect().toSeq
+    assert(a == b, s"broadcast direction changed the votes:\n$a\nvs\n$b")
+  }
+
   test("phashPairs candidate join is band-keyed — no cartesian, no BNLJ") {
     import spark.implicits._
     val media = (0 until 30).map { i =>

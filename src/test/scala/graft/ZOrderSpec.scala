@@ -67,4 +67,13 @@ class ZOrderSpec extends SparkSpec {
     // round-trip preserves content
     assert(spark.read.parquet(zDir).count() === 64L * 64L)
   }
+
+  test("zorderKey on an empty input fails with a clear contract message") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zorderKey(empty, "x", "y")
+    }
+    assert(e.getMessage.contains("no non-null rows"),
+      s"expected the empty-input contract message, got: ${e.getMessage}")
+  }
 }
