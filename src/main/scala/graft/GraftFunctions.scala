@@ -89,6 +89,14 @@ object GraftFunctions {
     // ---- text normal form / tokenization --------------------------------
     ("graft_norm_text", "graft_norm_text(text) - whitespace-normalized lowercased text",
       colFn("graft_norm_text", 1)(cs => TextAnalysis.normTextCol(cs(0)))),
+    ("graft_unicode_normalize",
+      "graft_unicode_normalize(text, form) - Unicode NFC/NFD/NFKC/NFKD normalization",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_unicode_normalize expects 2 arguments, got ${exprs.length}")
+        val form = constString("graft_unicode_normalize", exprs(1), 1)
+        toExpr(TextAnalysis.unicodeNormCol(toCol(exprs(0)), form))
+      }),
     ("graft_tokens", "graft_tokens(text) - whitespace token array of the normal form",
       colFn("graft_tokens", 1)(cs => TextAnalysis.tokensCol(cs(0)))),
     ("graft_ws_tokens", "graft_ws_tokens(text) - whitespace token count (0 for blank)",

@@ -126,6 +126,8 @@ object SparkEntry {
   private val PhashPlants = 20     // planted last-pixel-tweaked image twins
   private val PhashIdOffset = 2000000L
   private val PhashMaxHamming = 4
+  private val NfcPlants = 25       // planted NFD-decomposed text twins
+  private val NfcIdOffset = 3000000L
   private val DictTopK = 20        // maxDictionarySize fixture
   private val DecontBenchDocs = 50 // doc_id < 50 = the "eval set" fixture
   private val DecontN = 5          // decontamination n-gram width
@@ -1214,6 +1216,40 @@ object SparkEntry {
         .select(col("fingerprint"), col("canonical_id"), col("dup_count"),
           array_join(col("dup_ids"), ",").as("dup_ids"))
         .orderBy(col("fingerprint"))
+    }),
+    // LLM pipeline: exact dedup with the opt-in NFC Unicode pass — every
+    // base doc carries a composed cafe-with-U+00E9 suffix, NFD twins at
+    // +NfcIdOffset carry the decomposed form (e + U+0301); byte-keyed
+    // md5 treats them as distinct, the NFC stage MUST collapse each
+    // twin into its original's group (the multilingual-crawl dedup gap)
+    "dedup_exact_nfc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").cast("long").as("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val twins = d.filter(col("doc_id") < NfcPlants)
+        .select((col("doc_id") + NfcIdOffset).cast("long").as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text"))
+      graft.pipeline.Dedup.exact(base.unionByName(twins),
+          unicodeForm = Some("NFC"))
+        .select(col("fingerprint"), col("canonical_id"), col("dup_count"),
+          array_join(col("dup_ids"), ",").as("dup_ids"))
+        .orderBy(col("fingerprint"))
+    }),
+    // LLM pipeline: document fingerprints through the same opt-in NFC
+    // stage — the NFD twin's md5 AND rolling fp must equal its
+    // original's (both engines normalize independently, so a silent
+    // no-op on either side hash-mismatches)
+    "text_fingerprint_nfc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").cast("long").as("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val twins = d.filter(col("doc_id") < NfcPlants)
+        .select((col("doc_id") + NfcIdOffset).cast("long").as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text"))
+      graft.pipeline.TextAnalysis.fingerprint(base.unionByName(twins),
+          unicodeForm = Some("NFC"))
+        .select(col("doc_id"), col("fingerprint"), col("rolling_fp"))
+        .orderBy(col("doc_id"))
     }),
     // LLM pipeline: SimHash fingerprints (md5-bit kernel), emitted as four
     // 16-bit bands — the same bands simhashPairs blocks on
@@ -3475,6 +3511,10 @@ object SparkEntry {
     "artm_ptdw_kernel" ->
       RelationalEmSql.ptdwKernelArgmax(T, "doc_id < 20", ArgmaxMargin),
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
+    "dedup_exact_nfc" -> graft.pipeline.PipelineSql.dedupExactNfc(
+      NfcPlants, NfcIdOffset),
+    "text_fingerprint_nfc" -> graft.pipeline.PipelineSql.textFingerprintNfc(
+      NfcPlants, NfcIdOffset),
     "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.PipelineSql.dedupSimhashPairs(3),
     "dedup_minhash" -> graft.pipeline.PipelineSql.dedupMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),

@@ -19,8 +19,14 @@ object Dedup {
   /** Exact dedup: group identical `textCol` bodies (after whitespace
     * normalization) by md5; keep the smallest id as canonical. Returns
     * [fingerprint, canonical_id, dup_count, dup_ids]. */
-  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      unicodeForm: Option[String] = None): DataFrame = {
+    // opt-in Unicode canonicalization BEFORE the byte-keyed hash — NFD
+    // twins of the same sentence must land in one group on a real
+    // multilingual crawl (TextAnalysis.unicodeNormCol; default off, so
+    // the long-standing fingerprint contract is untouched)
+    val base = TextAnalysis.maybeUnicodeNorm(col(textCol), unicodeForm)
+    val norm = regexp_replace(trim(lower(base)), "\\s+", " ")
     df.select(col(idCol).cast("long").as("id"), md5(norm).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("id")).as("canonical_id"),

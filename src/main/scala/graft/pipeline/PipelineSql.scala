@@ -16,6 +16,34 @@ object PipelineSql {
        |       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
        |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
 
+  /** Doc normalization with the opt-in Unicode NFC stage ahead of it —
+    * mirrors TextAnalysis.maybeUnicodeNorm(…, Some("NFC")) feeding the
+    * shared normal form (DuckDB's nfc_normalize IS java.text.Normalizer
+    * NFC: both implement UAX #15 canonical composition). */
+  private val normNfc =
+    raw"regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')"
+
+  /** The NFC-fixture doc table: every base doc suffixed with the
+    * COMPOSED cafe-with-U+00E9 (chr(233)), twins at +idOffset with the
+    * DECOMPOSED e + U+0301 (chr(769)) — canonically equivalent,
+    * byte-distinct. */
+  private def nfcPlantedDocs(plants: Int, idOffset: Long): String =
+    s"""SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $idOffset, text || ' cafe' || chr(769)
+       |  FROM documents WHERE doc_id < $plants""".stripMargin
+
+  /** Mirrors the `dedup_exact_nfc` entry: exact dedup over the planted
+    * composed/decomposed twins with the NFC stage ON — each NFD twin
+    * MUST land in its original's fingerprint group. */
+  def dedupExactNfc(plants: Int, idOffset: Long): String =
+    s"""WITH documents2 AS (
+       |  ${nfcPlantedDocs(plants, idOffset)}),
+       |f AS (SELECT doc_id, md5($normNfc) AS fingerprint FROM documents2)
+       |SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS dup_count,
+       |       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+       |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
+
   /** Mirrors Dedup.simhash: md5-derived 64-bit token hash (first 8 bytes
     * big-endian = first 16 hex chars), bit j of the fingerprint = sign of
     * Σ count·(±1), emitted as four 16-bit bands (b0..b3 — BIGINT-safe in
@@ -1154,6 +1182,23 @@ object PipelineSql {
        |         (a, b) -> (a * ${TextAnalysis.RollingBase} + b) % ${TextAnalysis.RollingMod})
        |  END AS rolling_fp
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mirrors the `text_fingerprint_nfc` entry: the [[textFingerprint]]
+    * chain (md5 + 131-ary rolling hash) over the planted
+    * composed/decomposed twins with the NFC stage ON — twin fps MUST
+    * equal their originals' on both engines independently. */
+  def textFingerprintNfc(plants: Int, idOffset: Long): String =
+    s"""WITH documents2 AS (
+       |  ${nfcPlantedDocs(plants, idOffset)})
+       |SELECT doc_id, md5($normNfc) AS fingerprint,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE list_reduce(
+       |         list_prepend(0::BIGINT,
+       |           [('0x' || substr(md5(t), 1, 12))::BIGINT
+       |            for t in string_split($normNfc, ' ')]),
+       |         (a, b) -> (a * ${TextAnalysis.RollingBase} + b) % ${TextAnalysis.RollingMod})
+       |  END AS rolling_fp
+       |FROM documents2 ORDER BY doc_id""".stripMargin
 
   val tokenCounts: String =
     s"""SELECT doc_id,

@@ -28,6 +28,27 @@ object TextAnalysis {
   def normTextCol(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Unicode normalization (NFC / NFD / NFKC / NFKD) — the opt-in
+    * canonical-form pass a multilingual crawl runs AHEAD of every
+    * hash-keyed operator (exact dedup, fingerprints, minhash shingles,
+    * line dedup): the same sentence arrives composed and decomposed
+    * ("é" = U+00E9 vs e + U+0301) and byte-keyed hashing treats them as
+    * distinct unless this pass folds them. Native codegen expression
+    * ([[graft.functions.UnicodeNormalize]] — quick-check fast path, no
+    * UDF); default OFF everywhere so existing hash contracts are
+    * untouched. NFC for byte-canonical equivalence (lossless); NFKC
+    * additionally folds compatibility forms (ﬁ→fi, full-width→ASCII). */
+  def unicodeNormCol(text: Column, form: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.UnicodeNormalize(
+      GraftColumnBridge.expression(text.cast("string")), form))
+  }
+
+  /** `text` normalized through `unicodeForm` when set — the shared
+    * opt-in seam ([[unicodeNormCol]] scaladoc). */
+  def maybeUnicodeNorm(text: Column, unicodeForm: Option[String]): Column =
+    unicodeForm.fold(text)(f => unicodeNormCol(text, f))
+
   /** Whitespace token array over the normal form — the shared tokenizer. */
   def tokensCol(text: Column): Column = split(normTextCol(text), " ")
 
@@ -572,10 +593,13 @@ object TextAnalysis {
     * - `rolling_fp`: 64-bit polynomial rolling hash over tokens
     *   (h = h·1000003 + murmur(token), wrap-around), robust to whitespace
     *   layout, usable for shift-tolerant chunk fingerprints. */
-  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+  def fingerprint(df: DataFrame, textCol: String = "text",
+      unicodeForm: Option[String] = None): DataFrame = {
+    val t = maybeUnicodeNorm(col(textCol), unicodeForm)
     df
-      .withColumn("fingerprint", fingerprintCol(col(textCol)))
-      .withColumn("rolling_fp", rollingFpCol(col(textCol)))
+      .withColumn("fingerprint", fingerprintCol(t))
+      .withColumn("rolling_fp", rollingFpCol(t))
+  }
 
   /** md5 of the whitespace-normalized lowercased text. */
   def fingerprintCol(text: Column): Column = md5(normTextCol(text))
