@@ -267,12 +267,20 @@ object SparkEntry {
     }
 
   /** Memoized learned BPE merge table (driver-local: BpeMerges rows) —
-    * shared by bpe_train and bpe_encode. */
+    * shared by bpe_train and bpe_encode. The table round-trips through
+    * [[graft.sources.TokenizerIO]] (save → load), so EVERY BPE oracle
+    * row certifies the persisted deployment artifact, not just the
+    * in-memory train output (the SearchIO-on-the-oracle-path recipe). */
   private def bpeMerges(s: SparkSession, dir: String): Array[(Long, String, String, String, Long)] =
     memoized(s, dir, "bpemerges") {
-      graft.pipeline.Bpe.train(docs(s, dir), BpeMerges, maxWordLen = BpeMaxWordLen)
+      val trained = graft.pipeline.Bpe.train(docs(s, dir), BpeMerges,
+          maxWordLen = BpeMaxWordLen)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      val p = java.nio.file.Files.createTempDirectory("graft_bpe_io")
+        .resolve("merges.parquet").toString
+      graft.sources.TokenizerIO.saveBpe(s, trained.toSeq, p)
+      graft.sources.TokenizerIO.loadBpe(s, p).toArray
     }
 
   /** Memoized learned WordPiece merge table (driver-local: WpMerges
@@ -284,6 +292,21 @@ object SparkEntry {
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4), r.getLong(5)))
+    }
+
+  /** Memoized WordPiece vocabulary, round-tripped through
+    * [[graft.sources.TokenizerIO]] (save → load) so both encode rows
+    * certify the persisted artifact — shared by wordpiece_encode and
+    * wordpiece_encode_stream. */
+  private def wpVocab(s: SparkSession, dir: String): Seq[String] =
+    memoized(s, dir, "wpvocab") {
+      val merged = wpMerges(s, dir).map(_._4).toSeq
+      val vocab = graft.pipeline.WordPiece.vocabulary(docs(s, dir), merged,
+        maxWordLen = WpMaxWord)
+      val p = java.nio.file.Files.createTempDirectory("graft_wp_io")
+        .resolve("vocab.parquet").toString
+      graft.sources.TokenizerIO.saveWordPiece(s, vocab, p)
+      graft.sources.TokenizerIO.loadWordPiece(s, p)
     }
 
   /** Memoized MinHash-LSH pair table [id_a, id_b, est_jaccard] — shared
@@ -1814,9 +1837,15 @@ object SparkEntry {
     // serve pass under the R-round model == the (R+1)-round train's
     // final E-step, so the oracle is unigramTrain with rounds+1
     "unigram_encode_stream" -> ((s, dir) => {
-      val model = graft.pipeline.Unigram.trainModel(docs(s, dir),
+      val trained = graft.pipeline.Unigram.trainModel(docs(s, dir),
         seedSize = UniSeed, rounds = UniRounds, maxWordLen = UniMaxWord,
         maxPieceLen = UniMaxPiece)
+      // TokenizerIO save→load: the stream serves the PERSISTED model
+      // (exact IEEE doubles round-trip through parquet), so this oracle
+      // row certifies the deployment artifact too
+      val p = java.nio.file.Files.createTempDirectory("graft_uni_io").toString
+      graft.sources.TokenizerIO.saveUnigram(s, trained, p)
+      val model = graft.sources.TokenizerIO.loadUnigram(s, p)
       graft.streaming.StreamReplay.unigramEncode(s, dir, model,
           maxWordLen = UniMaxWord, reportK = UniReportK)
         .orderBy(col("cnt").desc, col("piece"))
@@ -1846,9 +1875,7 @@ object SparkEntry {
     // entirely on the distinct-word table — the oracle RE-LEARNS the
     // merges AND replays the greedy walk, pinning train + apply
     "wordpiece_encode" -> ((s, dir) => {
-      val merged = wpMerges(s, dir).map(_._4).toSeq
-      val vocab = graft.pipeline.WordPiece.vocabulary(docs(s, dir), merged,
-        maxWordLen = WpMaxWord)
+      val vocab = wpVocab(s, dir) // TokenizerIO save→load on the oracle path
       graft.pipeline.WordPiece.encodeCounts(docs(s, dir), vocab,
           maxWordLen = WpMaxWord, maxPieceLen = WpMaxPiece)
         .orderBy(col("n_occ").desc, col("subword")).limit(WpTopSubwords)
@@ -1881,9 +1908,7 @@ object SparkEntry {
     // row per doc), per-piece rollup at the sink; same oracle as
     // wordpiece_encode
     "wordpiece_encode_stream" -> ((s, dir) => {
-      val merged = wpMerges(s, dir).map(_._4).toSeq
-      val vocab = graft.pipeline.WordPiece.vocabulary(docs(s, dir), merged,
-        maxWordLen = WpMaxWord)
+      val vocab = wpVocab(s, dir) // TokenizerIO save→load on the oracle path
       graft.streaming.StreamReplay.wordpiecePieceCounts(s, dir, vocab,
           maxWordLen = WpMaxWord, maxPieceLen = WpMaxPiece)
         .orderBy(col("n_occ").desc, col("subword")).limit(WpTopSubwords)
