@@ -140,6 +140,9 @@ object GraftFunctions {
       colFn("graft_fingerprint", 1)(cs => TextAnalysis.fingerprintCol(cs(0)))),
     ("graft_rolling_fp", "graft_rolling_fp(text) - 131-ary rolling polynomial fingerprint",
       colFn("graft_rolling_fp", 1)(cs => TextAnalysis.rollingFpCol(cs(0)))),
+    ("graft_canonical_url",
+      "graft_canonical_url(url) - canonical URL form (case/www/port/slash/tracking-param folds)",
+      colFn("graft_canonical_url", 1)(cs => TextAnalysis.canonicalUrlCol(cs(0)))),
     ("graft_pii_scrub", "graft_pii_scrub(text) - text with URLs then emails redacted",
       colFn("graft_pii_scrub", 1)(cs => TextAnalysis.piiScrubCol(cs(0)))),
     ("graft_n_urls", "graft_n_urls(text) - URL match count",

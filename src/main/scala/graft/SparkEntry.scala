@@ -128,6 +128,8 @@ object SparkEntry {
   private val PhashMaxHamming = 4
   private val NfcPlants = 25       // planted NFD-decomposed text twins
   private val NfcIdOffset = 3000000L
+  private val UrlPlants = 30       // planted messy-variant URL twins
+  private val UrlIdOffset = 4000000L
   private val DictTopK = 20        // maxDictionarySize fixture
   private val DecontBenchDocs = 50 // doc_id < 50 = the "eval set" fixture
   private val DecontN = 5          // decontamination n-gram width
@@ -1257,6 +1259,27 @@ object SparkEntry {
         .select(col("fingerprint"), col("canonical_id"), col("dup_count"),
           array_join(col("dup_ids"), ",").as("dup_ids"))
         .orderBy(col("fingerprint"))
+    }),
+    // LLM pipeline: URL-keyed exact dedup on the canonical URL form —
+    // every doc gets a clean base URL, twins at +UrlIdOffset arrive as
+    // the messy crawl variant (upper-case scheme/host, no www vs www,
+    // explicit :443, trailing slash, shuffled params + utm noise +
+    // fragment); canonicalization MUST collapse each twin into its
+    // base's group. The cheapest first-pass crawl dedup signal.
+    "dedup_url" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").cast("long").as("doc_id"),
+        concat(lit("https://www.shop"), pmod(col("doc_id"), lit(20)),
+          lit(".com/item/"), col("doc_id"), lit("?a=1&b=2")).as("url"))
+      val twins = d.filter(col("doc_id") < UrlPlants)
+        .select((col("doc_id") + UrlIdOffset).cast("long").as("doc_id"),
+          concat(lit("HTTPS://Shop"), pmod(col("doc_id"), lit(20)),
+            lit(".COM:443/item/"), col("doc_id"),
+            lit("/?b=2&utm_source=feed&a=1#frag")).as("url"))
+      graft.pipeline.Dedup.urlExact(base.unionByName(twins))
+        .select(col("canonical_url"), col("canonical_id"), col("dup_count"),
+          array_join(col("dup_ids"), ",").as("dup_ids"))
+        .orderBy(col("canonical_url"))
     }),
     // LLM pipeline: document fingerprints through the same opt-in NFC
     // stage — the NFD twin's md5 AND rolling fp must equal its
@@ -3538,6 +3561,8 @@ object SparkEntry {
     "dedup_exact" -> graft.pipeline.PipelineSql.dedupExact,
     "dedup_exact_nfc" -> graft.pipeline.PipelineSql.dedupExactNfc(
       NfcPlants, NfcIdOffset),
+    "dedup_url" -> graft.pipeline.PipelineSql.dedupUrl(
+      UrlPlants, UrlIdOffset),
     "text_fingerprint_nfc" -> graft.pipeline.PipelineSql.textFingerprintNfc(
       NfcPlants, NfcIdOffset),
     "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,

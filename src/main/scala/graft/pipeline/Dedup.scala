@@ -34,6 +34,23 @@ object Dedup {
         sort_array(collect_list(col("id"))).as("dup_ids"))
   }
 
+  /** URL-keyed exact dedup — the cheapest first-pass dedup signal a
+    * crawl pipeline has, run BEFORE any content fetch/hash: group on
+    * the canonical URL form ([[TextAnalysis.canonicalUrlCol]] — scheme/
+    * host case, www, default ports, trailing slashes, tracking params
+    * and param order all folded), keep the minimum id as canonical.
+    * Same scale shape as [[exact]]: ONE hash-groupBy on a short key,
+    * map-side combined. Returns
+    * [canonical_url, canonical_id, dup_count, dup_ids]. */
+  def urlExact(df: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.canonicalUrlCol(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("id")).as("canonical_id"),
+        count(lit(1)).as("dup_count"),
+        sort_array(collect_list(col("id"))).as("dup_ids"))
+
   /** Word k-gram shingle set of a text column (distinct, lowercased,
     * whitespace-tokenized) — the input to minhash / jaccard. */
   def shingles(textCol: Column, k: Int): Column = {

@@ -1183,6 +1183,62 @@ object PipelineSql {
        |  END AS rolling_fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the `dedup_url` entry: the canonical-URL fold
+    * (TextAnalysis.canonicalUrlCol — fragment, scheme/host case, www,
+    * default port, trailing slash, tracking params, param order) staged
+    * CTE by CTE over the clean-base + messy-twin fixture, then the
+    * exact-dedup group. */
+  def dedupUrl(plants: Int, idOffset: Long): String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         'https://www.shop' || (doc_id % 20) || '.com/item/'
+       |           || doc_id || '?a=1&b=2' AS url
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $idOffset,
+       |         'HTTPS://Shop' || (doc_id % 20) || '.COM:443/item/'
+       |           || doc_id || '/?b=2&utm_source=feed&a=1#frag'
+       |  FROM documents WHERE doc_id < $plants),
+       |c0 AS (
+       |  SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS nf FROM u),
+       |c1 AS (
+       |  SELECT doc_id, nf,
+       |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |           AS scheme,
+       |         regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM c0),
+       |c2 AS (
+       |  SELECT doc_id, nf, scheme,
+       |         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+       |           '^www\\.', '') AS hostport,
+       |         regexp_replace(rest, '^[^/?]+', '') AS pq
+       |  FROM c1),
+       |c3 AS (
+       |  SELECT doc_id, nf, scheme,
+       |         CASE WHEN scheme = 'http'
+       |                THEN regexp_replace(hostport, ':80$$', '')
+       |              WHEN scheme = 'https'
+       |                THEN regexp_replace(hostport, ':443$$', '')
+       |              ELSE hostport END AS host,
+       |         regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$$', '')
+       |           AS path,
+       |         array_to_string(list_sort(list_filter(
+       |           string_split(regexp_extract(pq, '\\?(.*)$$', 1), '&'),
+       |           x -> x <> '' AND NOT regexp_matches(x,
+       |             '${TextAnalysis.TrackingParamRe}'))), '&') AS qcanon
+       |  FROM c2),
+       |c AS (
+       |  SELECT doc_id,
+       |         CASE WHEN regexp_matches(nf, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |              THEN scheme || '://' || host || path ||
+       |                   CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END
+       |              ELSE lower(trim(nf)) END AS canonical_url
+       |  FROM c3)
+       |SELECT canonical_url, min(doc_id) AS canonical_id,
+       |       count(*) AS dup_count,
+       |       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+       |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   /** Mirrors the `text_fingerprint_nfc` entry: the [[textFingerprint]]
     * chain (md5 + 131-ary rolling hash) over the planted
     * composed/decomposed twins with the NFC stage ON — twin fps MUST

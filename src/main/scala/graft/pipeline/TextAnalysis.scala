@@ -340,6 +340,45 @@ object TextAnalysis {
     * lookaround-free (same Java/RE2 contract as the PII patterns). */
   val UrlHostRe = "https?://([^/\\s:?#]+)"
 
+  /** Tracking-parameter prefixes dropped by [[canonicalUrlCol]] — the
+    * standard click-identifier noise (utm_* campaign tags, Facebook/
+    * Google/Microsoft click ids) that makes byte-keyed URL dedup miss
+    * the same page arriving via different referral paths. */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+  /** Canonical URL form — the cheapest first-pass dedup signal a crawl
+    * pipeline has: the same page arrives as `HTTPS://WWW.Shop.COM:443/
+    * item/7/?b=2&utm_source=feed&a=1#frag` and
+    * `https://shop.com/item/7?a=1&b=2`, and byte-keyed hashing treats
+    * them as distinct. Folds, in order: fragment dropped; scheme and
+    * host lowercased (path/query case is significant per RFC 3986 and
+    * kept); leading `www.` stripped; default port stripped (`:80` for
+    * http, `:443` for https); trailing path slashes trimmed; tracking
+    * params ([[TrackingParamRe]]) dropped; surviving query params
+    * SORTED byte-wise and rejoined. Pure regexp/array expressions —
+    * narrow, codegen'd, replayed verbatim by the DuckDB mirror.
+    * Strings without a `scheme://` pass through as lower(trim). */
+  def canonicalUrlCol(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]+)", 1)), "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pq = regexp_replace(rest, "^[^/?]+", "")
+    val path = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamRe))
+    val qcanon = array_join(array_sort(params), "&")
+    when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        concat(scheme, lit("://"), host, path,
+          when(qcanon === "", lit("")).otherwise(concat(lit("?"), qcanon))))
+      .otherwise(lower(u))
+  }
+
   /** Per-domain corpus statistics over URLs found in document text —
     * the table a web-corpus curation pass joins its domain allow/block
     * lists against: [domain, n_docs (distinct docs mentioning it),
