@@ -183,6 +183,8 @@ object SparkEntry {
   private val GopherMinWords = 20L // Gopher bounds scaled to the corpus
   private val GopherMaxWords = 1000L
   private val GopherMinStop = 1
+  // composed ingest gate: CCNet-style per-bucket keep rates
+  private val CurationRates = Map("head" -> 0.9, "middle" -> 0.5, "tail" -> 0.1)
   private val LmTriAlpha = 0.4     // stupid-backoff discount
   private val LmTriTrainRate = 0.8 // held-out trigram LM train split
   private val LmTriSalt = "tri"
@@ -3479,6 +3481,32 @@ object SparkEntry {
           pplStream.select(col("doc_id"), col("ppl"))
             .join(langStream, "doc_id"), th)
         .orderBy(col("doc_id"))
+    }),
+    // streaming: the COMPOSED ingest-time curation front door as ONE
+    // entry — every arriving doc runs gopherRules -> broadcast-LM ppl
+    // (lang carried, single stream pass) -> per-lang CCNet bucket vs
+    // the batch-trained tercile artifact -> deterministic bucket-rate
+    // keep (head 0.9 / middle 0.5 / tail 0.1). Thresholds train on the
+    // gopher-PASSING corpus under the same LM the stream serves; the
+    // oracle recomputes the whole chain from scratch.
+    "curation_ingest_stream" -> ((s, dir) => {
+      import graft.pipeline.TextAnalysis
+      val d = docs(s, dir)
+      val model = TextAnalysis.trainLmModel(d)
+      val passing = TextAnalysis.gopherRules(d, minWords = GopherMinWords,
+          maxWords = GopherMaxWords, minStopwords = GopherMinStop)
+        .filter(col("keep"))
+      val batchPpl = TextAnalysis.lmPerplexity(d, addK = LmAddK)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .join(passing.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val th = TextAnalysis.ccnetThresholdsFromPpl(batchPpl, exact = true)
+      graft.streaming.StreamReplay.curationIngest(s, dir, model, th,
+          addK = LmAddK, minWords = GopherMinWords,
+          maxWords = GopherMaxWords, minStop = GopherMinStop,
+          rates = CurationRates, salt = SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("ppl"), col("bucket"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4179,6 +4207,11 @@ object SparkEntry {
     "text_lang_ngram_stream" ->
       graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK),
-    "text_ccnet_bucket_stream" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK)
+    "text_ccnet_bucket_stream" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK),
+    "curation_ingest_stream" -> graft.pipeline.PipelineSql.curationIngest(
+      GopherMinWords, GopherMaxWords, 3.0, 10.0, 0.1, 0.8, GopherMinStop,
+      graft.pipeline.TextAnalysis.defaultStopwords("en"), LmAddK,
+      CurationRates("head"), CurationRates("middle"), CurationRates("tail"),
+      SampleSalt)
   )
 }

@@ -2894,6 +2894,44 @@ object PipelineSql {
        |            ELSE 'tail' END AS bucket
        |FROM wl JOIN th USING (lang) ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the `curation_ingest_stream` entry — the COMPOSED
+    * ingest-time curation chain recomputed from scratch: bigram-LM ppl
+    * over all docs ([[lmPerplexity]], the frozen model), the Gopher
+    * keep set ([[textGopherRules]] nested as a subquery), per-lang
+    * terciles over the PASSING docs only (the gate artifact), the
+    * bucket assignment, and the deterministic bucket-rate keep (the
+    * [[sampleQualityWeighted]] hash threshold with a per-bucket CASE
+    * rate). */
+  def curationIngest(minWords: Long, maxWords: Long,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, minAlphaRatio: Double, minStopwords: Int,
+      stopwords: Seq[String], addK: Double,
+      rHead: Double, rMiddle: Double, rTail: Double, salt: String): String =
+    s"""WITH ppl0 AS (${lmPerplexity(addK)}),
+       |gop AS (
+       |  SELECT doc_id FROM (
+       |    ${textGopherRules(minWords, maxWords, minMeanWordLen,
+              maxMeanWordLen, maxSymbolRatio, minAlphaRatio, minStopwords,
+              stopwords)}
+       |  ) WHERE keep),
+       |wl AS (SELECT p.doc_id, d.lang, p.ppl
+       |       FROM ppl0 p JOIN documents d USING (doc_id)
+       |       JOIN gop USING (doc_id)),
+       |th AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+       |              quantile_cont(ppl, 2.0/3) AS t2
+       |       FROM wl GROUP BY lang),
+       |b AS (SELECT wl.doc_id, wl.lang, wl.ppl,
+       |             CASE WHEN wl.ppl <= th.t1 THEN 'head'
+       |                  WHEN wl.ppl <= th.t2 THEN 'middle'
+       |                  ELSE 'tail' END AS bucket
+       |      FROM wl JOIN th USING (lang))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, ppl, bucket FROM b
+       |WHERE ('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      < CASE bucket WHEN 'head' THEN $rHead
+       |             WHEN 'middle' THEN $rMiddle
+       |             ELSE $rTail END * 4294967296.0
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors Bpe.train END TO END with no replayed literals: each round's
     * argmax pair is computed by the SQL itself (`top_r`) and fed into the
     * next round's sequence rewrite as scalar subqueries — so a wrong pair

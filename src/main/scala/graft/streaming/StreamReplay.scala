@@ -293,6 +293,46 @@ object StreamReplay {
     drainSink(spark, qname)
   }
 
+  /** The COMPOSED at-ingest curation front door as ONE streaming pass —
+    * the full ingest-time gate a crawl pipeline runs on every arriving
+    * document: (1) the Gopher rule battery (pure per-row expressions),
+    * (2) the CCNet bigram-LM perplexity score through the BROADCAST
+    * batch-trained model ([[StreamingPipeline.lmScoreLangStream]] —
+    * lang carried, no second pass, no sink join), then at the sink
+    * (3) the per-lang tercile bucket against the batch-trained gate
+    * artifact `th` and (4) the deterministic bucket-rate keep
+    * ([[graft.pipeline.Sampling.sampleByRate]] — same doc, same
+    * decision, any cluster size). Everything data-arrival-side is
+    * stateless and narrow; the only batch state is the frozen LM +
+    * 1-row-per-lang thresholds, both broadcastable at any corpus size.
+    * Returns the KEPT docs [doc_id, lang, ppl, bucket]. */
+  def curationIngest(spark: SparkSession, dir: String,
+      model: graft.pipeline.TextAnalysis.LmModel,
+      th: org.apache.spark.sql.DataFrame, addK: Double,
+      minWords: Long, maxWords: Long, minStop: Int,
+      rates: Map[String, Double], salt: String): DataFrame = {
+    import graft.pipeline.{Sampling, TextAnalysis}
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val gated = TextAnalysis.gopherRules(stream, minWords = minWords,
+        maxWords = maxWords, minStopwords = minStop)
+      .filter(col("keep"))
+    val scored = StreamingPipeline.lmScoreLangStream(gated, model, addK)
+    val qname = s"graft_replay_curation_${counter.incrementAndGet()}"
+    val q = scored.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = drainSink(spark, qname)
+    val bucketed = TextAnalysis.bucketWithThresholds(
+      drained.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("ppl")), th)
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (b, r)) =>
+      when(col("bucket") === b, lit(r)).otherwise(acc)
+    }
+    Sampling.sampleByRate(bucketed, rate, "doc_id", salt)
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+  }
+
   /** EXACTLY-ONCE INGEST replay: the events table is staged TWICE (two
     * files, ascending mtimes), so with maxFilesPerTrigger=1 every event
     * arrives in two different micro-batches — the at-least-once

@@ -180,12 +180,6 @@ object StreamingPipeline {
     val spark = stream.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    def sparkTrim(s: String): String = {
-      var i = 0; var j = s.length
-      while (i < j && s.charAt(i) == ' ') i += 1
-      while (j > i && s.charAt(j - 1) == ' ') j -= 1
-      s.substring(i, j)
-    }
     stream.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
@@ -193,28 +187,70 @@ object StreamingPipeline {
         val m = bc.value
         val kv = addK * m.vocab.toDouble
         it.flatMap { case (id, text) =>
-          val norm = sparkTrim(org.apache.spark.unsafe.types.UTF8String
-            .fromString(text).toLowerCase.toString)
-            .replaceAll("\\s+", " ")
-          val toks = norm.split(" ")
-          if (toks.length < 2) None
-          else {
-            var s = 0.0
-            var i = 0
-            while (i < toks.length - 1) {
-              val c12 = m.c12.getOrElse((toks(i), toks(i + 1)), 0L).toDouble
-              val c1 = m.c1.getOrElse(toks(i), 0L).toDouble
-              s += math.log((c12 + addK) / (c1 + kv))
-              i += 1
-            }
-            val n = toks.length - 1
-            val ppl = java.math.BigDecimal.valueOf(math.exp(-s / n))
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            Some((id, n.toLong, ppl))
-          }
+          lmDocScore(m, addK, kv, text).map { case (n, ppl) => (id, n, ppl) }
         }
       }
       .toDF(idCol, "n_bigrams", "ppl")
+  }
+
+  /** [[lmScoreStream]] with a carried language column — the composed
+    * at-ingest curation gate (StreamReplay.curationIngest) needs lang
+    * downstream for the per-lang CCNet bucket without a second stream
+    * pass or a sink-side join. Identical scoring kernel. Returns
+    * [doc_id, lang, n_bigrams, ppl]. */
+  def lmScoreLangStream(stream: DataFrame,
+      model: graft.pipeline.TextAnalysis.LmModel, addK: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    stream.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long"), col(langCol).cast("string"),
+        col(textCol).cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val kv = addK * m.vocab.toDouble
+        it.flatMap { case (id, lang, text) =>
+          lmDocScore(m, addK, kv, text).map { case (n, ppl) =>
+            (id, lang, n, ppl) }
+        }
+      }
+      .toDF(idCol, langCol, "n_bigrams", "ppl")
+  }
+
+  /** The per-doc bigram-LM scoring kernel shared by [[lmScoreStream]]
+    * and [[lmScoreLangStream]]: batch-exact normalization (UTF8String
+    * lowercase, 0x20-only trim) + the batch expression's per-bigram
+    * math, 6-decimal rounded. None for docs with under 2 tokens. */
+  private def lmDocScore(m: graft.pipeline.TextAnalysis.LmModel,
+      addK: Double, kv: Double, text: String): Option[(Long, Double)] = {
+    def sparkTrim(s: String): String = {
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    val norm = sparkTrim(org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString)
+      .replaceAll("\\s+", " ")
+    val toks = norm.split(" ")
+    if (toks.length < 2) None
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < toks.length - 1) {
+        val c12 = m.c12.getOrElse((toks(i), toks(i + 1)), 0L).toDouble
+        val c1 = m.c1.getOrElse(toks(i), 0L).toDouble
+        s += math.log((c12 + addK) / (c1 + kv))
+        i += 1
+      }
+      val n = toks.length - 1
+      val ppl = java.math.BigDecimal.valueOf(math.exp(-s / n))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      Some((n.toLong, ppl))
+    }
   }
 
   /** DSIR importance scoring as a stream (the serving half of
