@@ -298,6 +298,41 @@ object SparkEntry {
           r.getString(3), r.getLong(4), r.getLong(5)))
     }
 
+  /** The clean/messy URL fixture builders shared by the url-dedup
+    * entries (PipelineSql mirrors build the same strings from doc_id). */
+  private def urlBaseCol(id: Column): Column =
+    concat(lit("https://www.shop"), pmod(id, lit(20)), lit(".com/item/"),
+      id, lit("?a=1&b=2"))
+  private def urlMessyCol(id: Column): Column =
+    concat(lit("HTTPS://Shop"), pmod(id, lit(20)), lit(".COM:443/item/"),
+      id, lit("/?b=2&utm_source=feed&a=1#frag"))
+  private def urlFreshCol(id: Column): Column =
+    concat(lit("https://fresh.site/page/"), id, lit("?x=1"))
+  private def urlFreshMessyCol(id: Column): Column =
+    concat(lit("HTTPS://WWW.Fresh.SITE:443/page/"), id,
+      lit("/?utm_campaign=z&x=1"))
+
+  /** The (v1 canonical-URL index, crawl-frontier batch) fixture of the
+    * incremental URL entries: index over docs with doc_id % 10 != 2
+    * (clean base URLs); batch = messy corpus twins (+1e6), fresh clean
+    * URLs (+2e6), their messy within-batch duplicates (+3e6). */
+  private def urlIncrementalFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val ten = pmod(col("doc_id"), lit(10))
+    val index = graft.pipeline.Dedup.urlExact(
+        d.where(ten =!= 2).select(col("doc_id").cast("long").as("doc_id"),
+          urlBaseCol(col("doc_id")).as("url")))
+      .select(col("canonical_url"), col("canonical_id"))
+    def part(pred: Column, off: Long, mk: Column => Column) =
+      d.where(pred).select((col("doc_id") + off).cast("long").as("doc_id"),
+        mk(col("doc_id")).as("url"))
+    val batch = part(ten === 3, 1000000L, urlMessyCol)
+      .unionByName(part(ten === 2, 2000000L, urlFreshCol))
+      .unionByName(part(ten === 2, 3000000L, urlFreshMessyCol))
+    (index, batch)
+  }
+
   /** Memoized WordPiece vocabulary, round-tripped through
     * [[graft.sources.TokenizerIO]] (save → load) so both encode rows
     * certify the persisted artifact — shared by wordpiece_encode and
@@ -1262,6 +1297,48 @@ object SparkEntry {
           array_join(col("dup_ids"), ",").as("dup_ids"))
         .orderBy(col("fingerprint"))
     }),
+    // LLM pipeline: incremental URL-keyed dedup — a crawl-frontier
+    // batch (messy corpus twins + fresh URLs + their messy duplicates)
+    // resolves against the v1 canonical-URL index BEFORE any content
+    // is fetched (the cheapest possible skip); statuses
+    // dup_of_corpus / dup_in_batch / new, -1 sentinels
+    "dedup_url_incremental" -> ((s, dir) => {
+      val (index, batch) = urlIncrementalFixture(s, dir)
+      graft.pipeline.Dedup.incrementalUrl(index, batch)
+        .orderBy(col("id"))
+    }),
+    // streaming: the URL dedup gate AT INGEST — arriving frontier URLs
+    // canonicalize and resolve against the BROADCAST index in-stream
+    // (stateless stream-static left join); the within-batch half (the
+    // batch-min claim) runs at the sink via the batch's own
+    // resolveIncrementalJoined. Same oracle as dedup_url_incremental.
+    "dedup_url_stream" -> ((s, dir) => {
+      val (index, _) = urlIncrementalFixture(s, dir)
+      val bcIdx = broadcast(index.select(col("canonical_url"),
+        col("canonical_id").as("__corpus_canon")))
+      val ingested = graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        val ten = pmod(col("doc_id"), lit(10))
+        val parts = st.select(col("doc_id"), explode(array(
+            struct(lit(3L).as("sel"),
+              (col("doc_id") + 1000000L).cast("long").as("id"),
+              urlMessyCol(col("doc_id")).as("url")),
+            struct(lit(2L).as("sel"),
+              (col("doc_id") + 2000000L).cast("long").as("id"),
+              urlFreshCol(col("doc_id")).as("url")),
+            struct(lit(2L).as("sel"),
+              (col("doc_id") + 3000000L).cast("long").as("id"),
+              urlFreshMessyCol(col("doc_id")).as("url")))).as("p"))
+          .filter(ten === col("p.sel"))
+          .select(col("p.id").as("id"), graft.pipeline.TextAnalysis
+            .canonicalUrlCol(col("p.url")).as("canonical_url"))
+        parts.join(bcIdx, Seq("canonical_url"), "left")
+      }
+      val firsts = ingested.groupBy(col("canonical_url"))
+        .agg(min(col("id")).as("__batch_first"))
+      graft.pipeline.Dedup.resolveIncrementalJoined(
+          ingested.join(firsts, Seq("canonical_url")), "canonical_url")
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: URL-keyed exact dedup on the canonical URL form —
     // every doc gets a clean base URL, twins at +UrlIdOffset arrive as
     // the messy crawl variant (upper-case scheme/host, no www vs www,
@@ -1271,13 +1348,10 @@ object SparkEntry {
     "dedup_url" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id").cast("long").as("doc_id"),
-        concat(lit("https://www.shop"), pmod(col("doc_id"), lit(20)),
-          lit(".com/item/"), col("doc_id"), lit("?a=1&b=2")).as("url"))
+        urlBaseCol(col("doc_id")).as("url"))
       val twins = d.filter(col("doc_id") < UrlPlants)
         .select((col("doc_id") + UrlIdOffset).cast("long").as("doc_id"),
-          concat(lit("HTTPS://Shop"), pmod(col("doc_id"), lit(20)),
-            lit(".COM:443/item/"), col("doc_id"),
-            lit("/?b=2&utm_source=feed&a=1#frag")).as("url"))
+          urlMessyCol(col("doc_id")).as("url"))
       graft.pipeline.Dedup.urlExact(base.unionByName(twins))
         .select(col("canonical_url"), col("canonical_id"), col("dup_count"),
           array_join(col("dup_ids"), ",").as("dup_ids"))
@@ -3591,6 +3665,8 @@ object SparkEntry {
       NfcPlants, NfcIdOffset),
     "dedup_url" -> graft.pipeline.PipelineSql.dedupUrl(
       UrlPlants, UrlIdOffset),
+    "dedup_url_incremental" -> graft.pipeline.PipelineSql.dedupUrlIncremental,
+    "dedup_url_stream" -> graft.pipeline.PipelineSql.dedupUrlIncremental,
     "text_fingerprint_nfc" -> graft.pipeline.PipelineSql.textFingerprintNfc(
       NfcPlants, NfcIdOffset),
     "dedup_simhash" -> graft.pipeline.PipelineSql.dedupSimhash,

@@ -320,22 +320,54 @@ object Dedup {
   def incrementalExact(index: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val b = batch.select(col(idCol).cast("long").as("id"),
-      md5(norm).as("fingerprint"))
-    val firsts = b.groupBy(col("fingerprint"))
-      .agg(min(col("id")).as("__batch_first"))
-    b
-      .join(index.select(col("fingerprint"),
-        col("canonical_id").as("__corpus_canon")), Seq("fingerprint"), "left")
-      .join(firsts, Seq("fingerprint"))
-      .select(col("id"), col("fingerprint"),
-        when(col("__corpus_canon").isNotNull, "dup_of_corpus")
-          .when(col("__batch_first") < col("id"), "dup_in_batch")
-          .otherwise("new").as("status"),
-        when(col("__corpus_canon").isNotNull, col("__corpus_canon"))
-          .when(col("__batch_first") < col("id"), col("__batch_first"))
-          .otherwise(lit(-1L)).as("dup_of"))
+    incrementalByKey(index.select(col("fingerprint"), col("canonical_id")),
+      batch.select(col(idCol).cast("long").as("id"),
+        md5(norm).as("fingerprint")),
+      "fingerprint")
   }
+
+  /** Incremental URL-keyed dedup — [[incrementalExact]] on the
+    * canonical URL form ([[TextAnalysis.canonicalUrlCol]]): a day's
+    * crawl frontier resolves against the historical canonical-URL
+    * index (built by [[urlExact]]) BEFORE any content is fetched — the
+    * cheapest possible skip. Same statuses/sentinels as the content
+    * form. Returns [id, canonical_url, status, dup_of]. */
+  def incrementalUrl(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", urlCol: String = "url"): DataFrame =
+    incrementalByKey(
+      index.select(col("canonical_url"), col("canonical_id")),
+      batch.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.canonicalUrlCol(col(urlCol)).as("canonical_url")),
+      "canonical_url")
+
+  /** The shared keyed resolution of the incremental-exact family:
+    * `index` = [key, canonical_id], `batch` = [id, key]. The batch is
+    * a day's ingest — orders of magnitude smaller than the corpus — so
+    * the index join streams the batch against the key-bucketed index
+    * and the within-batch half is one batch-sized groupBy-min. */
+  private[graft] def incrementalByKey(index: DataFrame, batch: DataFrame,
+      keyName: String): DataFrame = {
+    val firsts = batch.groupBy(col(keyName))
+      .agg(min(col("id")).as("__batch_first"))
+    resolveIncrementalJoined(
+      batch.join(index.select(col(keyName),
+          col("canonical_id").as("__corpus_canon")), Seq(keyName), "left")
+        .join(firsts, Seq(keyName)), keyName)
+  }
+
+  /** The status half of [[incrementalByKey]] over a pre-joined
+    * [id, key, __corpus_canon, __batch_first] frame — split out so the
+    * streamed URL twin can run the corpus join AT INGEST and this
+    * resolution at the sink. */
+  private[graft] def resolveIncrementalJoined(joined: DataFrame,
+      keyName: String): DataFrame =
+    joined.select(col("id"), col(keyName),
+      when(col("__corpus_canon").isNotNull, "dup_of_corpus")
+        .when(col("__batch_first") < col("id"), "dup_in_batch")
+        .otherwise("new").as("status"),
+      when(col("__corpus_canon").isNotNull, col("__corpus_canon"))
+        .when(col("__batch_first") < col("id"), col("__batch_first"))
+        .otherwise(lit(-1L)).as("dup_of"))
 
   /** The persisted-index half of incremental NEAR-dup: banded minhash
     * signatures of the historical corpus — one row per (doc, band) with

@@ -1188,17 +1188,24 @@ object PipelineSql {
     * default port, trailing slash, tracking params, param order) staged
     * CTE by CTE over the clean-base + messy-twin fixture, then the
     * exact-dedup group. */
-  def dedupUrl(plants: Int, idOffset: Long): String =
-    s"""WITH u AS (
-       |  SELECT doc_id,
-       |         'https://www.shop' || (doc_id % 20) || '.com/item/'
-       |           || doc_id || '?a=1&b=2' AS url
-       |  FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + $idOffset,
-       |         'HTTPS://Shop' || (doc_id % 20) || '.COM:443/item/'
-       |           || doc_id || '/?b=2&utm_source=feed&a=1#frag'
-       |  FROM documents WHERE doc_id < $plants),
+  /** The clean/messy URL fixture expressions shared by the url-dedup
+    * mirrors (Spark builds the same strings from doc_id). */
+  private val urlBase =
+    "'https://www.shop' || (doc_id % 20) || '.com/item/' || doc_id || '?a=1&b=2'"
+  private val urlMessy =
+    "'HTTPS://Shop' || (doc_id % 20) || '.COM:443/item/' || doc_id || " +
+      "'/?b=2&utm_source=feed&a=1#frag'"
+  private val urlFresh = "'https://fresh.site/page/' || doc_id || '?x=1'"
+  private val urlFreshMessy =
+    "'HTTPS://WWW.Fresh.SITE:443/page/' || doc_id || '/?utm_campaign=z&x=1'"
+
+  /** The canonical-URL fold (TextAnalysis.canonicalUrlCol) staged CTE
+    * by CTE over an arbitrary (doc_id, url) body — ends in CTE `c` =
+    * (doc_id, canonical_url). Shared by [[dedupUrl]] and
+    * [[dedupUrlIncremental]]. */
+  private def canonicalUrlCtes(urlsBody: String): String =
+    s"""u AS (
+       |  $urlsBody),
        |c0 AS (
        |  SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS nf FROM u),
        |c1 AS (
@@ -1233,11 +1240,55 @@ object PipelineSql {
        |              THEN scheme || '://' || host || path ||
        |                   CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END
        |              ELSE lower(trim(nf)) END AS canonical_url
-       |  FROM c3)
+       |  FROM c3)""".stripMargin
+
+  /** Mirrors the `dedup_url` entry: the canonical-URL fold over the
+    * clean-base + messy-twin fixture, then the exact-dedup group. */
+  def dedupUrl(plants: Int, idOffset: Long): String =
+    s"""WITH ${canonicalUrlCtes(
+      s"""SELECT doc_id, $urlBase AS url FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $idOffset, $urlMessy
+         |  FROM documents WHERE doc_id < $plants""".stripMargin)}
        |SELECT canonical_url, min(doc_id) AS canonical_id,
        |       count(*) AS dup_count,
        |       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
+  /** Mirrors the `dedup_url_incremental` AND `dedup_url_stream`
+    * entries: the v1 canonical-URL index over docs with
+    * doc_id % 10 <> 2 (clean base URLs), a crawl-frontier batch of
+    * messy corpus twins (+1e6), fresh clean URLs (+2e6) and their
+    * messy within-batch duplicates (+3e6), resolved to
+    * dup_of_corpus / dup_in_batch / new with −1 sentinels — the
+    * [[dedupIncremental]] resolution on the canonical key. */
+  def dedupUrlIncremental: String =
+    s"""WITH ${canonicalUrlCtes(
+      s"""SELECT doc_id, $urlBase AS url FROM documents
+         |  WHERE doc_id % 10 <> 2
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, $urlMessy
+         |  FROM documents WHERE doc_id % 10 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, $urlFresh
+         |  FROM documents WHERE doc_id % 10 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, $urlFreshMessy
+         |  FROM documents WHERE doc_id % 10 = 2""".stripMargin)},
+       |idx AS (SELECT canonical_url, min(doc_id) AS canonical_id
+       |        FROM c WHERE doc_id < 1000000 GROUP BY 1),
+       |b AS (SELECT doc_id AS id, canonical_url FROM c
+       |      WHERE doc_id >= 1000000),
+       |f AS (SELECT canonical_url, min(id) AS bf FROM b GROUP BY 1)
+       |SELECT b.id, b.canonical_url,
+       |       CASE WHEN i.canonical_id IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN f.bf < b.id THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CASE WHEN i.canonical_id IS NOT NULL THEN i.canonical_id
+       |            WHEN f.bf < b.id THEN f.bf
+       |            ELSE -1 END AS dup_of
+       |FROM b LEFT JOIN idx i USING (canonical_url) JOIN f USING (canonical_url)
+       |ORDER BY id""".stripMargin
 
   /** Mirrors the `text_fingerprint_nfc` entry: the [[textFingerprint]]
     * chain (md5 + 131-ary rolling hash) over the planted
