@@ -35,6 +35,13 @@ object Curation {
     *  - `mixRates`: empty = keep all sources;
     *  - `packBudget`: 0 = no packing. */
   case class Config(
+      /** Unicode normalization form ("NFC"/"NFKC"/…) applied to the
+        * text column BEFORE any gate or hash — the canonical-form pass
+        * a multilingual crawl needs so composed/decomposed twins of
+        * the same sentence collapse under exact/near dedup
+        * ([[TextAnalysis.unicodeNormCol]]). None = off (default;
+        * existing hash contracts unchanged). */
+      unicodeForm: Option[String] = None,
       minQuality: Double = 0.3,
       languages: Set[String] = Set.empty,
       piiRedact: Boolean = true,
@@ -71,8 +78,13 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
 
+    // ---- 0. opt-in Unicode canonical form (narrow, codegen'd) — runs
+    //         before every gate/hash so NFD twins collapse downstream ----
+    val input = cfg.unicodeForm.fold(docs)(f =>
+      docs.withColumn(textCol, TextAnalysis.unicodeNormCol(col(textCol), f)))
+
     // ---- 1. narrow per-row gates + scrubs (scan-speed, no shuffle) ----
-    var d = TextAnalysis.qualityScore(docs, textCol)
+    var d = TextAnalysis.qualityScore(input, textCol)
       .filter(col("quality") >= cfg.minQuality)
       .drop("n_chars_q", "n_tokens_q", "punct_ratio", "stopword_ratio",
         "mean_token_len", "repetition_ratio")

@@ -387,6 +387,38 @@ class PlanAssertSpec extends SparkSpec {
       (i % 4).toLong)).toDF("vec_id", "embedding", "label")
   }
 
+  test("canonicalUrlCol + urlExact: one hash-groupBy, no UDF, no window, no join") {
+    import spark.implicits._
+    val urls = (0 until 30).map(i =>
+      (i.toLong, s"HTTPS://WWW.Site$i.COM:443/p/$i/?utm_source=x&a=1"))
+      .toDF("doc_id", "url")
+    val p = executedPlan(Dedup.urlExact(urls))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"canonical URL fold fell out of codegen into a UDF:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"urlExact should be a single keyed aggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"urlExact lost map-side combine:\n$p")
+  }
+
+  test("incrementalUrl: key-equi joins only — no cartesian, no window") {
+    import spark.implicits._
+    val idx = (0 until 20).map(i =>
+      (s"https://site$i.com/p", i.toLong)).toDF("canonical_url", "canonical_id")
+    val batch = (0 until 15).map(i =>
+      (100L + i, s"https://www.site$i.com/p/")).toDF("doc_id", "url")
+    val p = executedPlan(Dedup.incrementalUrl(idx, batch))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"incrementalUrl planned an all-pairs join:\n$p")
+    assert(!p.contains("Window"), s"incrementalUrl uses a window:\n$p")
+  }
+
+  test("UnicodeNormalize stays inside codegen — no UDF in the NFC dedup plan") {
+    val p = executedPlan(Dedup.exact(docsDF, unicodeForm = Some("NFC")))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"unicode normalization fell out of codegen:\n$p")
+    assert(p.contains("HashAggregate"), s"exact dedup lost map-side combine:\n$p")
+  }
+
   test("knnClassify broadcasts the train seed set — the corpus never shuffles against it") {
     val p = executedPlan(Ann.knnClassify(
       embDF.filter(col("vec_id") < 10), embDF.filter(col("vec_id") >= 10), k = 3))

@@ -489,6 +489,30 @@ object ScaleCheck {
           graft.pipeline.Multimodal.incrementalPhash(idx,
             media.where(pmod(col("media_id"), lit(2)) === 1)).count()
         },
+        entry("dedup_url_incremental (canonical-key resolve)") {
+          // index = even ids' clean URLs, batch = odd ids: half messy
+          // twins of indexed URLs, half fresh — all sides grow with r
+          def clean(id: org.apache.spark.sql.Column) =
+            concat(lit("https://www.s"), pmod(id, lit(50)),
+              lit(".com/i/"), id, lit("?a=1&b=2"))
+          def messy(id: org.apache.spark.sql.Column) =
+            concat(lit("HTTPS://S"), pmod(id, lit(50)),
+              lit(".COM:443/i/"), id, lit("/?b=2&utm_source=x&a=1#f"))
+          val idx = graft.pipeline.Dedup.urlExact(
+            docsR.where(pmod(col("doc_id"), lit(2)) === 0)
+              .select(col("doc_id"), clean(col("doc_id")).as("url")))
+            .select(col("canonical_url"), col("canonical_id"))
+          val batch = docsR.where(pmod(col("doc_id"), lit(2)) === 1)
+            .select((col("doc_id") + 100000000L).as("doc_id"),
+              when(pmod(col("doc_id"), lit(4)) === 1,
+                  messy(col("doc_id") - 1))
+                .otherwise(clean(col("doc_id") + 7)).as("url"))
+          graft.pipeline.Dedup.incrementalUrl(idx, batch).count()
+        },
+        entry("dedup_exact_nfc (codegen unicode + groupBy)") {
+          graft.pipeline.Dedup.exact(docsR,
+            unicodeForm = Some("NFC")).count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)

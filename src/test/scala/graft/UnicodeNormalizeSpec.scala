@@ -64,6 +64,28 @@ class UnicodeNormalizeSpec extends SparkSpec {
     assert(r == "caf\u00e9")
   }
 
+  test("Curation facade: unicodeForm collapses NFD twins under exact dedup") {
+    val long = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "going for a while longer today ") * 2
+    val docs = Seq(
+      (1L, long + composed, "src0"),
+      (2L, long + decomposed, "src0"),
+      (3L, long + "another body entirely distinct", "src0"))
+      .toDF("doc_id", "text", "source")
+    val cfg = graft.pipeline.Curation.Config(
+      unicodeForm = Some("NFC"), minQuality = 0.0, piiRedact = false,
+      nearDupThreshold = 1.0)
+    val out = graft.pipeline.Curation.curate(docs, cfg)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L),
+      s"NFD twin must dedup away under the facade's NFC stage: $out")
+    val offCfg = cfg.copy(unicodeForm = None)
+    val off = graft.pipeline.Curation.curate(docs, offCfg)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(off == Seq(1L, 2L, 3L),
+      s"default-off must keep byte-distinct twins: $off")
+  }
+
   test("null and already-normalized inputs pass through") {
     val out = Seq(Some(composed), None).toDF("t")
       .select(TextAnalysis.unicodeNormCol(col("t"), "NFC").as("n"))
