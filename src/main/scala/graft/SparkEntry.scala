@@ -1617,6 +1617,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // LLM pipeline: incremental EMBEDDING near-dup — the daily ingest
+    // loop on the semantic fingerprint: a batch of scaled corpus twins
+    // (x2 of indexed vectors -> dup_of_corpus), fresh directions (x2 of
+    // UNindexed vectors -> new) and their within-batch duplicates (x4 of
+    // the same -> dup_in_batch) resolves against the persisted
+    // hyperplane-signature index; power-of-two scaling commutes exactly
+    // with the double cosine, so every above-threshold pair provably
+    // shares its bucket and the oracle's all-pairs recompute is exact
+    "dedup_incremental_embedding" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ten = pmod(col("vec_id"), lit(10))
+      val index = graft.pipeline.Dedup.embeddingIndex(emb.where(ten =!= 2))
+      def scaled(pred: Column, off: Long, f: Float) = emb.where(pred)
+        .select((col("vec_id") + off).cast("long").as("vec_id"),
+          transform(col("embedding"), x => x * lit(f)).as("embedding"))
+      val batch = scaled(ten === 3, 1000000L, 2.0f)
+        .unionByName(scaled(ten === 2, 2000000L, 2.0f))
+        .unionByName(scaled(ten === 2, 3000000L, 4.0f))
+      graft.pipeline.Dedup.incrementalEmbedding(index, batch,
+          threshold = 0.9)
+        .orderBy(col("vec_id"))
+    }),
     // LLM pipeline: SemDeDup — spherical cells (cosine argmax against the
     // md5-seeded codebook) + intra-cell cosine pruning with min-id
     // survivors. Same planted ×2-scaled duplicates as dedup_embedding:
@@ -4015,6 +4038,8 @@ object SparkEntry {
     "text_fingerprint_stream" -> graft.pipeline.PipelineSql.textFingerprint,
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),
+    "dedup_incremental_embedding" ->
+      graft.pipeline.PipelineSql.dedupIncrementalEmbedding(0.9),
     "dedup_semantic" -> graft.pipeline.PipelineSql.semanticDedup(
       NearDupPlants, NearDupIdOffset, SemCells, SemThreshold, AnnSample),
     "ann_pq" -> graft.pipeline.PipelineSql.annPq(

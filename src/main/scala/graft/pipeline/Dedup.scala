@@ -755,6 +755,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** The persisted-index artifact of [[incrementalEmbedding]]: one
+    * (id, bucket, vec) row per corpus vector — the random-hyperplane
+    * signature table ([[Ann.hyperplaneSignature]], deterministic md5
+    * planes so any engine/day recomputes the same buckets). Store it
+    * bucketed on `bucket` for an exchange-light daily probe. */
+  def embeddingIndex(emb: DataFrame, planes: Int = 16, seed: Int = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Ann.hyperplaneSignature(emb, idCol, vecCol, planes, seed)
+
+  /** Persisted-index incremental EMBEDDING near-dup — the daily ingest
+    * loop on the semantic fingerprint (the [[incrementalMinhash]] twin
+    * for vectors): every batch vector signatures with the SAME planes
+    * as the index, resolves its nearest corpus match (bucket-keyed
+    * candidates, exact-cosine verify ≥ `threshold`, best by rounded
+    * cosine DESC then id — the rank-on-rounded recipe), then the
+    * within-batch (id_a < id_b) pass; statuses dup_of_corpus /
+    * dup_in_batch / new with −1 sentinels and the matched cosine.
+    * Bucket caps apply on BOTH sides (degenerate buckets accumulate in
+    * the static index over time — the cappedIndexSide reasoning).
+    * The corpus is never rescanned; the signature index is the only
+    * historical state. Returns [vec_id, status, dup_of, cosine]. */
+  def incrementalEmbedding(index: DataFrame, batch: DataFrame,
+      threshold: Double = 0.9, planes: Int = 16, seed: Int = 42,
+      maxBucketSize: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // persisted: the signature pass feeds its cap count plus every join
+    // side (the incrementalPhash lifetime contract — released by the
+    // caller's clearCache)
+    val bSig = Ann.hyperplaneSignature(batch, idCol, vecCol, planes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okIdx = index.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize).select(col("bucket"))
+    val iB = index.join(okIdx, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("id").as("cid"), col("vec").as("cv"))
+    val cRes = bSig.select(col("bucket"), col("id"), col("vec"))
+      .join(iB, Seq("bucket"))
+      .dropDuplicates("id", "cid")
+      .withColumn("cos", round(Ann.cosine(col("vec"), col("cv")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("cos")),
+        struct((-col("cos")).as("nc"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("corpus_of"),
+        col("m.cos").as("corpus_cos"))
+    val okB = bSig.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize).select(col("bucket"))
+    val bounded = bSig.join(okB, Seq("bucket"), "left_semi")
+    val bRes = bounded
+      .select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+      .join(bounded.select(col("bucket"), col("id").as("id_b"),
+        col("vec").as("vb")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(Ann.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min_by(struct(col("id_a"), col("cos")),
+        struct((-col("cos")).as("nc"), col("id_a"))).as("m"))
+      .select(col("id"), col("m.id_a").as("batch_of"),
+        col("m.cos").as("batch_cos"))
+    bSig.select(col("id")).distinct()
+      .join(cRes, Seq("id"), "left")
+      .join(bRes, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        when(col("corpus_of").isNotNull, "dup_of_corpus")
+          .when(col("batch_of").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_of"), col("batch_of"), lit(-1L)).as("dup_of"),
+        when(col("corpus_of").isNotNull, col("corpus_cos"))
+          .when(col("batch_of").isNotNull, col("batch_cos"))
+          .otherwise(lit(-1.0)).as("cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space into `numCells` spherical cells (cosine argmax against a

@@ -827,6 +827,56 @@ object PipelineSql {
        |SELECT id_a, id_b, round(cosine, 6) AS cosine
        |FROM pairs WHERE cosine >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors the `dedup_incremental_embedding` entry: index corpus =
+    * vectors with vec_id % 10 <> 2; batch = ×2-scaled corpus twins
+    * (+1e6), ×2-scaled UNindexed directions (+2e6) and their ×4-scaled
+    * within-batch duplicates (+3e6). The resolve is the all-pairs
+    * cosine — sound because every above-threshold pair is an exact
+    * scaled copy (power-of-two scaling commutes with the double
+    * cosine), so it provably shares the operator's hyperplane bucket
+    * and the candidate sets agree; best match per batch vector by
+    * (rounded cosine DESC, id), then the within-batch (id_a < id_b)
+    * pass — the dedupIncremental status CASE. */
+  def dedupIncrementalEmbedding(threshold: Double): String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |fpc AS (SELECT vec_id, v FROM base WHERE vec_id % 10 <> 2),
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS id, [x * 2.0 for x in v] AS v
+       |  FROM base WHERE vec_id % 10 = 3
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, [x * 2.0 for x in v]
+       |  FROM base WHERE vec_id % 10 = 2
+       |  UNION ALL
+       |  SELECT vec_id + 3000000, [x * 4.0 for x in v]
+       |  FROM base WHERE vec_id % 10 = 2),
+       |cc AS (SELECT b.id AS bid, c.vec_id AS cid,
+       |              round(list_cosine_similarity(b.v, c.v), 6) AS cos
+       |       FROM batch b, fpc c),
+       |cres AS (SELECT bid, cid AS corpus_of, cos AS corpus_cos FROM (
+       |  SELECT bid, cid, cos, row_number() OVER (
+       |    PARTITION BY bid ORDER BY cos DESC, cid) AS rn
+       |  FROM cc WHERE cos >= $threshold) WHERE rn = 1),
+       |bc AS (SELECT a.id AS id_a, b.id AS id_b,
+       |              round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |       FROM batch a JOIN batch b ON a.id < b.id),
+       |bres AS (SELECT id_b AS bid, id_a AS batch_of, cos AS batch_cos FROM (
+       |  SELECT id_a, id_b, cos, row_number() OVER (
+       |    PARTITION BY id_b ORDER BY cos DESC, id_a) AS rn
+       |  FROM bc WHERE cos >= $threshold) WHERE rn = 1)
+       |SELECT b.id AS vec_id,
+       |       CASE WHEN cres.corpus_of IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN bres.batch_of IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CAST(coalesce(cres.corpus_of, bres.batch_of, -1) AS BIGINT)
+       |         AS dup_of,
+       |       CASE WHEN cres.corpus_of IS NOT NULL THEN cres.corpus_cos
+       |            WHEN bres.batch_of IS NOT NULL THEN bres.batch_cos
+       |            ELSE -1.0 END AS cosine
+       |FROM batch b
+       |LEFT JOIN cres ON cres.bid = b.id
+       |LEFT JOIN bres ON bres.bid = b.id
+       |ORDER BY vec_id""".stripMargin
+
   /** Mirrors the dedup_embedding_stream replay
     * ([[graft.streaming.StreamingPipeline.embeddingNearDupStream]]):
     * embeddings ∪ ×2-scaled planted copies, per-table hyperplane

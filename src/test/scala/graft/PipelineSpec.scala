@@ -629,6 +629,33 @@ class PipelineSpec extends SparkSpec {
       rc.getAs[Double]("est_jaccard") === 1.0)
   }
 
+  test("incrementalEmbedding: corpus twin vs batch twin vs new against the signature index") {
+    import spark.implicits._
+    // orthogonal-ish fixed directions: e1, e2, e3 in R^3
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val index = Dedup.embeddingIndex(corpus, planes = 8, seed = 7)
+    val batch = Seq(
+      (10L, Array(2.0f, 0.1f, 0.0f)),   // x2 of corpus 0 -> dup_of_corpus
+      (11L, Array(0.05f, 0.0f, 1.0f)),  // fresh direction -> new
+      (12L, Array(0.2f, 0.0f, 4.0f)),   // x4 of 11 -> dup_in_batch
+      (13L, Array(-1.0f, 0.9f, 0.1f))   // another fresh -> new
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.incrementalEmbedding(index, batch, threshold = 0.95,
+        planes = 8, seed = 7)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[String]("status"), x.getAs[Long]("dup_of"),
+          x.getAs[Double]("cosine")))).toMap
+    assert(r.keySet === Set(10L, 11L, 12L, 13L))
+    assert(r(10L)._1 === "dup_of_corpus" && r(10L)._2 === 0L
+      && r(10L)._3 === 1.0)
+    assert(r(11L)._1 === "new" && r(11L)._2 === -1L && r(11L)._3 === -1.0)
+    assert(r(12L)._1 === "dup_in_batch" && r(12L)._2 === 11L
+      && r(12L)._3 === 1.0)
+    assert(r(13L)._1 === "new" && r(13L)._2 === -1L)
+  }
+
   test("winnowingPairs: finds a copied paragraph inside a long doc; df cap prunes") {
     import spark.implicits._
     val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
