@@ -191,6 +191,8 @@ object SparkEntry {
   // BM25 retrieval: fixed literal queries over the synthetic vocab
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
+  private val HybridPrfM = 3       // PRF centroid from the top-3 candidates
+  private val HybridLambda = 0.5   // lexical/semantic blend weight
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   private val Bm25Queries = Seq(
@@ -2064,6 +2066,23 @@ object SparkEntry {
           col("rank"), col("doc_id").cast("long").as("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // LLM pipeline: HYBRID retrieval — BM25 candidates + vector-PRF
+    // rerank (the RAG serving pattern: lexical recall, semantic
+    // reorder). The pseudo-relevance centroid is the DECIMAL-mean of
+    // the top-3 candidates' embeddings; blend = λ·bm25/max + (1−λ)·cos,
+    // rank on the rounded blend
+    "text_hybrid_search" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Bm25Queries.toDF("query_id", "query_text")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.hybridSearch(docs(s, dir), emb, queries,
+          topK = Bm25TopK, prfM = HybridPrfM, lambda = HybridLambda,
+          k1 = Bm25K1, b = Bm25B)
+        .select(col("query_id").cast("long").as("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"), col("score"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // streaming: BM25 retrieval SERVED on a query stream — index built
     // in batch, persisted (save→load on the oracle path), query terms
     // stream-static join the postings; sum+rank at the sink with the
@@ -3868,6 +3887,8 @@ object SparkEntry {
     "text_tfidf_stream" -> graft.pipeline.PipelineSql.textTfidf(TfidfTopK),
     "text_bm25" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
+    "text_hybrid_search" -> graft.pipeline.PipelineSql.textHybrid(
+      Bm25Queries, Bm25TopK, HybridPrfM, HybridLambda, Bm25K1, Bm25B),
     "text_bm25_stream" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(

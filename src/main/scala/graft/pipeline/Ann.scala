@@ -194,6 +194,60 @@ object Ann {
         cosineDouble(col("va"), col("vb")).as("cosine"))
   }
 
+  /** Hybrid retrieval: BM25 candidate generation + vector-PRF rerank —
+    * the production RAG serving pattern where lexical recall feeds a
+    * semantic reorder. No external query vector is needed: the query's
+    * pseudo-relevance centroid is the positional DECIMAL-sum mean of
+    * its top-`prfM` BM25 candidates' embeddings (the ColBERT-PRF /
+    * vector-PRF idea — engine-exact, order-proof), and every candidate
+    * reranks by
+    *   blend = λ·(bm25 / per-query max bm25) + (1−λ)·cosine(v, prf).
+    * Rank runs on the ROUNDED blend (ties by doc id) so a last-ulp
+    * libm difference cannot flip an order between engines.
+    *
+    * Shape at scale: BM25 candidates are queries×topK rows (tiny) —
+    * every join below broadcasts against the corpus-sized embedding
+    * table's key lookup; the PRF centroid and the max-normalizer are
+    * per-query bounded aggregations. One postings-keyed candidate pass
+    * (the bm25Query shape), one embedding key-join, no corpus-wide
+    * window. Returns [query_id, rank, doc_id, score, cosine]. */
+  def hybridSearch(docsDf: DataFrame, emb: DataFrame, queries: DataFrame,
+      topK: Int = 10, prfM: Int = 3, lambda: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(prfM >= 1 && prfM <= topK && lambda >= 0.0 && lambda <= 1.0,
+      s"hybridSearch: bad prfM/lambda ($prfM/$lambda)")
+    // candidates persist: they feed the PRF centroid, the normalizer
+    // and the rerank (≤ queries×topK rows — bounded by contract)
+    val bm = TextAnalysis.bm25Search(docsDf, queries, topK, k1, b,
+        textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = emb.select(col(vecIdCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cent = bm.filter(col("rank") <= prfM)
+      .join(e, idCol)
+      .select(col("query_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("query_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("query_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    val mx = bm.groupBy(col("query_id")).agg(max(col("score")).as("ms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("blend").desc, col(idCol))
+    bm.join(e, idCol)
+      .join(broadcast(cent), "query_id")
+      .join(broadcast(mx), "query_id")
+      .withColumn("cos", round(cosineDouble(col("v"), col("cv")), 6))
+      .withColumn("blend", round(lit(lambda) * col("score") / col("ms")
+        + lit(1.0 - lambda) * col("cos"), 6))
+      .withColumn("hrank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("hrank").as("rank"), col(idCol),
+        col("blend").as("score"), col("cos").as("cosine"))
+  }
+
   /** Full-double cosine for DOUBLE-array columns (centroids) — the
     * float32 [[cosine]] kernel would truncate the DECIMAL-mean inputs.
     * Left-to-right HOF folds match DuckDB's sequential

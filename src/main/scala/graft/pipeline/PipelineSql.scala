@@ -2735,6 +2735,45 @@ object PipelineSql {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors the `text_hybrid_search` entry: the [[textBm25]] statement
+    * nested as the candidate CTE, the vector-PRF centroid as positional
+    * DECIMAL-sum means of the top-prfM candidates' embeddings (the
+    * groupCentroidSim mean recipe), cosine via list_cosine_similarity
+    * on the same doubles, blend = λ·score/max + (1−λ)·cos with the
+    * exact association the Spark expression uses, rank on the ROUNDED
+    * blend (ties doc_id). */
+  def textHybrid(queries: Seq[(Long, String)], topK: Int, prfM: Int,
+      lambda: Double, k1: Double, b: Double): String =
+    s"""WITH bm AS (SELECT * FROM (${textBm25(queries, topK, k1, b)})),
+       |e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+       |      FROM embeddings),
+       |pts AS (SELECT bm.query_id,
+       |               unnest(e.v) AS x,
+       |               generate_subscripts(e.v, 1) AS pos
+       |        FROM bm JOIN e ON e.doc_id = bm.doc_id
+       |        WHERE bm.rank <= $prfM),
+       |cm AS (SELECT query_id, pos,
+       |              CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |                / count(*) AS m
+       |        FROM pts GROUP BY 1, 2),
+       |cent AS (SELECT query_id, list(m ORDER BY pos) AS cv
+       |         FROM cm GROUP BY 1),
+       |mx AS (SELECT query_id, max(score) AS ms FROM bm GROUP BY 1),
+       |sc AS (SELECT bm.query_id, bm.doc_id, bm.score,
+       |              round(list_cosine_similarity(e.v, c.cv), 6) AS cos
+       |       FROM bm JOIN e ON e.doc_id = bm.doc_id
+       |       JOIN cent c ON c.query_id = bm.query_id),
+       |bl AS (SELECT sc.query_id, sc.doc_id,
+       |              round($lambda * sc.score / mx.ms
+       |                    + ${1.0 - lambda} * sc.cos, 6) AS score,
+       |              sc.cos AS cosine
+       |       FROM sc JOIN mx ON mx.query_id = sc.query_id)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |       CAST(doc_id AS BIGINT) AS doc_id, score, cosine
+       |FROM bl ORDER BY query_id, rank""".stripMargin
+
   /** Mirrors [[TextAnalysis.collocations]]: adjacent-bigram PMI with
     * the min-count cut, rank on the ROUNDED pmi (ties (w1, w2)),
     * identical division/multiplication association. */
