@@ -57,6 +57,24 @@ object SparkEntry {
       unhex(concat((0 to 11).map(i =>
         md5(concat(lit(s"phnew$i"), id.cast("string")))): _*)))
 
+  /** 520-sample PCM8 mono 8 kHz WAV: 44-byte canonical header + 65
+    * windows × the first 8 md5 bytes of 'afp<w><doc_id>' — the audio
+    * fingerprint fixture (audioDHash needs 65 windows for 64 bits). */
+  private val AudioFpHeader = // RIFF(556)/WAVE fmt(PCM,1ch,8kHz,8-bit) data(520)
+    "524946462c02000057415645666d7420100000000100010040" +
+    "1f0000401f000001000800" + "6461746108020000"
+  private def audioFpHexs(id: Column): Column =
+    concat((0 to 64).map(w =>
+      substring(md5(concat(lit(s"afp$w"), id.cast("string"))), 1, 16)): _*)
+  private def audioFpPayload(id: Column): Column =
+    concat(unhex(lit(AudioFpHeader)), unhex(audioFpHexs(id)))
+  /** The near-dup twin: the LAST window's samples forced to 0x80
+    * (centered zero → zero energy) — flips at most fingerprint bit 63
+    * (only the E(64) > E(63) comparison sees window 64). */
+  private def audioFpTwinPayload(id: Column): Column =
+    concat(unhex(lit(AudioFpHeader)),
+      unhex(concat(substring(audioFpHexs(id), 1, 64 * 16), lit("80" * 8))))
+
   /** Flagship: a 5-pass ARTM fit over the documents corpus, returning the
     * per-pass perplexity trajectory. Smoke-checked rows>0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2572,6 +2590,37 @@ object SparkEntry {
           maxHamming = PhashMaxHamming)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // multimodal: AUDIO fingerprint — the dHash idea on the time axis:
+    // 65 window energies (EXACT integer sums — PCM values are dyadic,
+    // no float accumulation anywhere), 64 gradient-sign bits, the same
+    // 16-bit band layout as the image phash; decoded by the real RIFF
+    // walker from a 520-sample assembled WAV
+    "multimodal_audio_fp" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        audioFpPayload(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.audioFingerprint(base)
+        .select(col("media_id"), col("afp_hex"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"))
+    }),
+    // multimodal: audio NEAR-dup pairs — planted last-window-silenced
+    // twins (<= 1 fingerprint bit flipped) pair with their originals
+    // through the SAME banded-Hamming machinery as the image phash
+    // (phashPairs runs unchanged on the audio fingerprint table)
+    "multimodal_audio_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        audioFpPayload(col("doc_id")).as("payload"))
+      val twins = docs(s, dir).filter(col("doc_id") < PhashPlants)
+        .select((col("doc_id") + PhashIdOffset).cast("long").as("media_id"),
+          audioFpTwinPayload(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.phashPairs(
+          graft.pipeline.Multimodal.audioFingerprint(
+            base.unionByName(twins)),
+          maxHamming = PhashMaxHamming)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // Audio twin of multimodal_meta: a 16-sample PCM8 mono WAV is
     // assembled from a constant 44-byte header + md5 bytes, decoded by
     // the real RIFF walker (audioMeta); DuckDB recomputes duration and
@@ -3965,6 +4014,9 @@ object SparkEntry {
       .dedupIncrementalPhash(PhashMaxHamming),
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
+    "multimodal_audio_fp" -> graft.pipeline.PipelineSql.multimodalAudioFp,
+    "multimodal_audio_pairs" -> graft.pipeline.PipelineSql
+      .multimodalAudioPairs(PhashPlants, PhashIdOffset, PhashMaxHamming),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_stats_stream" -> graft.pipeline.PipelineSql.corpusStats,
     "corpus_vocab" -> graft.pipeline.PipelineSql.corpusVocab,

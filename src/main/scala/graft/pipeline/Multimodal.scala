@@ -294,6 +294,67 @@ object Multimodal {
       .toDF("media_id", "decoded", "sample_rate", "channels", "duration_ms", "rms")
   }
 
+  /** 64-bit audio energy dHash — the [[dHashBits]] idea on the time
+    * axis: split the mono sample stream into `windows` (= 65) equal
+    * windows, compute each window's energy, and emit bit w = 1 iff
+    * E(w+1) > E(w) — a gradient-sign fingerprint robust to uniform
+    * gain changes (energy scales monotonically) and replayable by any
+    * engine because the energies are EXACT INTEGERS: PCM sample values
+    * are dyadic rationals, so sample·32768 is an integral float for
+    * both 8- and 16-bit sources and the per-window Σ(c·…)² sums in
+    * Long (order-free — no float accumulation anywhere). Trailing
+    * samples beyond windows·⌊n/windows⌋ are ignored (the mirror does
+    * the same). None when the clip has fewer samples than windows.
+    * Multi-channel clips mix down in [[decodeAudio]] (float division —
+    * exact for 1/2/4 channels; document-level caveat for 3). */
+  def audioDHash(a: DecodedAudio, windows: Int = 65): Option[Long] = {
+    val n = a.samples.length
+    val win = n / windows
+    if (win < 1) return None
+    val e = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var s = 0L
+      var i = 0
+      while (i < win) {
+        val c = math.round(a.samples(w * win + i) * 32768f).toLong
+        s += c * c
+        i += 1
+      }
+      e(w) = s
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) h |= (1L << b); b += 1 }
+    Some(h)
+  }
+
+  /** Audio fingerprint table: decode → [[audioDHash]], one narrow
+    * mapPartitions — the [[imagePhash]] twin for audio, emitting the
+    * SAME 16-bit band layout (b0 = least-significant), so
+    * [[phashPairs]] runs unchanged on the output for banded-Hamming
+    * audio near-dup pairs. Undecodable/too-short clips report
+    * decoded = false. Returns [media_id, decoded, afp_hex, b0..b3]. */
+  def audioFingerprint(media: DataFrame, windows: Int = 65): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes).flatMap(audioDHash(_, windows)) match {
+            case Some(h) =>
+              (id, true, Some(f"$h%016x"),
+                Some((h >>> 0) & 0xffffL), Some((h >>> 16) & 0xffffL),
+                Some((h >>> 32) & 0xffffL), Some((h >>> 48) & 0xffffL))
+            case None => (id, false, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "afp_hex", "b0", "b1", "b2", "b3")
+  }
+
   /** 16-bin luminance histogram (normalized) of a decoded image —
     * format-independent: the same pixels encoded as BMP or PPM produce
     * bit-identical features. Luminance = integer BT.601

@@ -2075,6 +2075,84 @@ object PipelineSql {
        |ORDER BY f.media_id""".stripMargin
   }
 
+  /** Energy→bit→band CTE chain of the audio fingerprint fixture
+    * (Multimodal.audioDHash over 65 windows × 8 md5 bytes): v =
+    * PCM8 byte, scaled sample c·256 = (v−128)·256 — EXACT integers, so
+    * window energies sum in BIGINT with no float anywhere; bit w =
+    * E(w+1) > E(w); 16-bit bands (the phash layout). Twin rows
+    * (media_id ≥ idOffset) force window 64 to centered zero. Ends in
+    * CTE `fp` = (media_id, b0..b3). */
+  private def audioFpCtes(plants: Int, idOffset: Long): String =
+    s"""w AS (
+       |  SELECT doc_id AS media_id, doc_id AS base_id, FALSE AS twin
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $idOffset, doc_id, TRUE
+       |  FROM documents WHERE doc_id < $plants),
+       |g AS (
+       |  SELECT media_id, gw.w,
+       |         CASE WHEN twin AND gw.w = 64 THEN 128
+       |              ELSE ('0x' || substr(
+       |                md5('afp' || gw.w || CAST(base_id AS VARCHAR)),
+       |                2 * gi.i + 1, 2))::INT END AS v
+       |  FROM w
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) gw
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gi),
+       |e AS (
+       |  SELECT media_id, w,
+       |         CAST(sum(((v - 128) * 256) * ((v - 128) * 256)) AS BIGINT)
+       |           AS e
+       |  FROM g GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT a.media_id, a.w AS b,
+       |         CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM e a JOIN e n ON n.media_id = a.media_id AND n.w = a.w + 1
+       |  WHERE a.w < 64),
+       |bandv AS (
+       |  SELECT media_id, b // 16 AS band,
+       |         CAST(sum(bit * (1::BIGINT << (b % 16))) AS BIGINT) AS bv
+       |  FROM bits GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT media_id,
+       |         max(CASE WHEN band = 0 THEN bv END) AS b0,
+       |         max(CASE WHEN band = 1 THEN bv END) AS b1,
+       |         max(CASE WHEN band = 2 THEN bv END) AS b2,
+       |         max(CASE WHEN band = 3 THEN bv END) AS b3
+       |  FROM bandv GROUP BY 1)""".stripMargin
+
+  /** Mirrors the `multimodal_audio_fp` entry: the fingerprint table,
+    * hex = MSB-first band concat (the multimodalPhash presentation). */
+  val multimodalAudioFp: String =
+    s"""WITH ${audioFpCtes(0, 0L)}
+       |SELECT media_id,
+       |       lpad(lower(to_hex(b3)), 4, '0') || lpad(lower(to_hex(b2)), 4, '0')
+       |    || lpad(lower(to_hex(b1)), 4, '0') || lpad(lower(to_hex(b0)), 4, '0')
+       |       AS afp_hex,
+       |       b0, b1, b2, b3
+       |FROM fp ORDER BY media_id""".stripMargin
+
+  /** Mirrors the `multimodal_audio_pairs` entry: band-equality blocking
+    * with the SAME bucket cap as the operator + exact per-band popcount
+    * Hamming over base + silenced-last-window twins. */
+  def multimodalAudioPairs(plants: Int, idOffset: Long,
+      maxHamming: Int, maxBucketSize: Int = 1000): String =
+    s"""WITH ${audioFpCtes(plants, idOffset)},
+       |${phashBandCapCtes("fp", "bands", "okb", "bnd", maxBucketSize)},
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.media_id < b.media_id),
+       |ham AS (
+       |  SELECT c.id_a, c.id_b,
+       |         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       |       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
+       |           AS hamming
+       |  FROM cand c JOIN fp fa ON fa.media_id = c.id_a
+       |              JOIN fp fb ON fb.media_id = c.id_b)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM ham WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
   /** Mirrors the `multimodal_video` entry: 3 concatenated 2×2 P6 frames
     * whose rasters are the first 12 md5 bytes of 'vid<f><doc_id>'; the
     * walker samples frames 0 and 2; channel means over 4 pixels. */

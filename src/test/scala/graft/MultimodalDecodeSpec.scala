@@ -220,6 +220,77 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(b).isEmpty)
   }
 
+  test("audioDHash: hand-checked energy gradient bits; twin flips <= 1 bit") {
+    // PCM8 mono WAV whose 65 windows have strictly RISING energy ->
+    // every E(w+1) > E(w) bit set -> fingerprint = all-ones
+    def pcm8Wav(sampleAt: Int => Int, n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+      def le16(v: Int): Unit =
+        (0 until 2).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      ascii("RIFF"); le32(36 + n); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(1); le32(8000)
+      le32(8000); le16(1); le16(8)
+      ascii("data"); le32(n)
+      (0 until n).foreach(i => out.write(sampleAt(i) & 0xff))
+      out.toByteArray
+    }
+    val n = 65 * 8
+    // window w samples = 128 + w (monotone energy (w*256)^2 * 8)
+    val rising = pcm8Wav(i => 128 + (i / 8), n)
+    val a = Multimodal.decodeAudio(rising).get
+    assert(Multimodal.audioDHash(a) === Some(-1L), "all-ones expected")
+    // flat -> no strict rise -> all-zero fingerprint
+    val flat = pcm8Wav(_ => 200, n)
+    assert(Multimodal.audioDHash(Multimodal.decodeAudio(flat).get)
+      === Some(0L))
+    // twin: silence ONLY the last window of the rising clip -> exactly
+    // bit 63 flips (E(64)=0 is no longer > E(63))
+    val twin = pcm8Wav(i => if (i >= 64 * 8) 128 else 128 + (i / 8), n)
+    val ht = Multimodal.audioDHash(Multimodal.decodeAudio(twin).get).get
+    assert(java.lang.Long.bitCount(ht ^ -1L) === 1 &&
+      (ht >>> 63) === 0L, f"twin drifted: $ht%016x")
+    // too short for 65 windows -> None
+    val short = pcm8Wav(_ => 128, 64)
+    assert(Multimodal.audioDHash(Multimodal.decodeAudio(short).get).isEmpty)
+  }
+
+  test("audioFingerprint + phashPairs: banded audio near-dup recovery") {
+    import spark.implicits._
+    val n = 65 * 8
+    def clip(seed: Int, lastSilent: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+      def le16(v: Int): Unit =
+        (0 until 2).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      ascii("RIFF"); le32(36 + n); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(1); le32(8000)
+      le32(8000); le16(1); le16(8)
+      ascii("data"); le32(n)
+      (0 until n).foreach { i =>
+        val v = if (lastSilent && i >= 64 * 8) 128
+          else 128 + ((i / 8 * 31 + seed * 17) % 97)
+        out.write(v & 0xff)
+      }
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, clip(1, lastSilent = false)),
+      (2L, clip(2, lastSilent = false)),
+      (101L, clip(1, lastSilent = true))) // twin of 1
+      .toDF("media_id", "payload")
+    val fp = Multimodal.audioFingerprint(media)
+    assert(fp.filter(col("decoded")).count() === 3)
+    val pairs = Multimodal.phashPairs(fp, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 101L)), s"twin pair missing: $pairs")
+    assert(!pairs.contains((1L, 2L)), s"unrelated clips paired: $pairs")
+  }
+
   test("audioMeta: typed WAV metadata through the Spark dataflow") {
     import spark.implicits._
     val media = Seq(
