@@ -179,11 +179,56 @@ object WordPiece {
   def encodeDocPieces(docs: DataFrame, vocab: Seq[String],
       textCol: String = "text", idCol: String = "doc_id",
       maxWordLen: Int = 12, maxPieceLen: Int = 8): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "[^a-z]+"),
-      w => length(w) >= 1 && length(w) <= maxWordLen)
-    docs.select(col(idCol),
-      flatten(transform(words,
-        w => greedyPieces(w, vocab, maxWordLen, maxPieceLen))).as("pieces"))
+    // broadcast-HashSet mapPartitions, NOT the greedyPieces expression:
+    // array_contains over a typedlit vocab is a LINEAR scan per
+    // candidate lookup (the classify_nb_stream lesson), and the per-DOC
+    // encode runs it words × steps × lengths times per row — measured
+    // ~29 s at sf0.1 on the streamed entry vs ~3 s for this form. The
+    // walk below replicates [[greedyPieces]] exactly (same split, same
+    // longest-match order, same ## bookkeeping, whole-word [UNK] on
+    // any failed position), pinned by a parity unit.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (id, text) =>
+          // UTF8String lowercase = Spark lower() (not String.toLowerCase)
+          val lowered = org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString
+          val pieces = lowered.split("[^a-z]+").iterator
+            .filter(w => w.nonEmpty && w.length <= maxWordLen)
+            .flatMap(w => greedyWord(w, v, maxPieceLen))
+            .toArray
+          (id, pieces)
+        }
+      }
+      .toDF(idCol, "pieces")
+  }
+
+  /** The driver/executor-side twin of [[greedyPieces]]: greedy
+    * longest-match-first over a HashSet vocab — identical output by
+    * construction (parity unit in WordPieceSpec). */
+  private[graft] def greedyWord(w: String, vocab: Set[String],
+      maxPieceLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      var found: String = null
+      var l = math.min(maxPieceLen, w.length - pos)
+      while (l >= 1 && found == null) {
+        val sub = w.substring(pos, pos + l)
+        val form = if (pos == 0) sub else ContMarker + sub
+        if (vocab.contains(form)) found = form
+        l -= 1
+      }
+      if (found == null) return Seq(UnkPiece) // whole-word fallback
+      out += found
+      pos += found.length - (if (pos == 0) 0 else ContMarker.length)
+    }
+    out.toSeq
   }
 
   /** The greedy longest-match-first walk of one word as a single
@@ -193,7 +238,7 @@ object WordPiece {
     * candidate whens (each embedding the vocabulary literal) blew past
     * Janino's method limit and dropped the stage to interpreted
     * fallback. `word` may be an outer column or a lambda variable. */
-  private def greedyPieces(word: Column, vocab: Seq[String],
+  private[graft] def greedyPieces(word: Column, vocab: Seq[String],
       maxWordLen: Int, maxPieceLen: Int): Column = {
     val vLit = typedlit(vocab)
     def step(st: Column): Column = {

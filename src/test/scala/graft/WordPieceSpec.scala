@@ -81,6 +81,38 @@ class WordPieceSpec extends SparkSpec {
     assert(encChars === rawChars)
   }
 
+  test("encodeDocPieces (broadcast-set walk) == the greedyPieces expression form") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "The CATS sat; cats-sat cat!"),
+      (2L, "zzz qqq catsat"),
+      (3L, ""),
+      (4L, "supercalifragilistic cat")).toDF("doc_id", "text")
+    val vocab = Seq("cat", "##s", "##sat", "sat", "s", "##a", "##t",
+      "c", "##c", "z", "##z")
+    val fast = WordPiece.encodeDocPieces(docs, vocab,
+        maxWordLen = 12, maxPieceLen = 5)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+    // the expression form (the pre-optimization path), inline
+    val words = filter(split(lower(col("text")), "[^a-z]+"),
+      w => length(w) >= 1 && length(w) <= 12)
+    val expr = docs.select(col("doc_id"),
+      flatten(transform(words,
+        w => WordPiece.greedyPieces(w, vocab, 12, 5))).as("pieces"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+    assert(fast == expr, s"fast walk drifted from the expression form:\n$fast\nvs\n$expr")
+    // spot semantics: "cats" = cat + ##s; "the" has no word-initial
+    // match -> whole-word [UNK]
+    val d1 = fast.find(_._1 == 1L).get._2
+    assert(d1.contains("cat") && d1.contains("##s")
+      && d1.contains(WordPiece.UnkPiece), d1.toString)
+    // a word with an unmatchable position collapses to [UNK]
+    val d2 = fast.find(_._1 == 2L).get._2
+    assert(d2.contains(WordPiece.UnkPiece), d2.toString)
+  }
+
   test("train refuses corpora that overflow the integer score grid") {
     val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
