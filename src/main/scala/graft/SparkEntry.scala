@@ -2190,13 +2190,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // streaming: the collocation report from a live feed — the narrow
-    // per-doc gram projection at ingest, the SAME count/PMI/top-k
-    // aggregation at the sink (pure counts: micro-batch order can't
-    // move it); gated by the batch SQL
+    // per-doc gram projection at ingest PACKED one-row-per-doc (the
+    // bpe_encode_stream sink-traffic trick), re-exploded at the sink
+    // into the SAME count/PMI/top-k aggregation (pure counts:
+    // micro-batch order can't move it); gated by the batch SQL
     "text_collocation_stream" -> ((s, dir) => {
-      val grams = graft.streaming.StreamReplay.mapDocs(s, dir)(
-        graft.pipeline.TextAnalysis.collocGrams(_))
-      graft.pipeline.TextAnalysis.collocationsFromGrams(grams,
+      val packed = graft.streaming.StreamReplay.mapDocs(s, dir)(
+        graft.pipeline.TextAnalysis.collocGramsPacked(_))
+      graft.pipeline.TextAnalysis.collocationsFromGrams(
+          graft.pipeline.TextAnalysis.gramsFromPacked(packed),
           CollocMinCount, CollocTopK)
         .orderBy(col("w1"), col("w2"))
     }),

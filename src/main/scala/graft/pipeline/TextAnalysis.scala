@@ -495,6 +495,34 @@ object TextAnalysis {
     bi.unionByName(uni)
   }
 
+  /** Per-DOC packed gram arrays — the bpe_encode_stream sink-traffic
+    * trick for the streamed twin: the memory-sink replay pays per-ROW
+    * overhead, and [[collocGrams]] emits tokens×2 rows per doc; this
+    * form emits ONE row per doc (bigram-struct array + unigram array)
+    * and [[gramsFromPacked]] re-explodes at the sink into the exact
+    * [[collocGrams]] layout. */
+  private[graft] def collocGramsPacked(df: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(
+        when(size(toks) >= 2, zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("a"), b.as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+          .as("bis"),
+        toks.as("unis"))
+  }
+
+  /** Sink half of the packed form: re-explode to the [[collocGrams]]
+    * row layout so [[collocationsFromGrams]] runs unchanged. */
+  private[graft] def gramsFromPacked(packed: DataFrame): DataFrame =
+    packed.select(explode(col("bis")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .unionByName(packed.select(explode(col("unis")).as("a"),
+        lit(null).cast("string").as("b")))
+
   /** The aggregation half of [[collocations]] (sink side of the stream
     * twin): pure counts of the gram rows, so micro-batch arrival order
     * can't move the report. */
