@@ -842,16 +842,23 @@ object StreamReplay {
     import spark.implicits._
     val stream = spark.readStream.schema(docSchema)
       .parquet(stageDocs(spark, dir).toString)
+    // ONE packed row per doc to the memory sink (the bpe_encode_stream
+    // sink-traffic trick — the sink pays per-ROW overhead and the
+    // flatMap form shipped docs×pairs rows), re-exploded at the sink
+    // into the identical aggregation
     val perDoc = graft.sources.Corpus.fromDocumentsTablePositional(stream)
-      .flatMap { doc =>
+      .map { doc =>
         graft.operators.Cooc.docPairTfs(doc, windowWidth, symmetric = true)
-          .map { case ((c, a, b), tf) => (c, a, b, tf) }
-      }.toDF("class_id", "token_a", "token_b", "tf")
+          .map { case ((c, a, b), tf) => (c, a, b, tf) }.toSeq
+      }.toDF("pairs")
     val qname = s"graft_replay_cooc_${counter.incrementAndGet()}"
     val q = perDoc.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     drainSink(spark, qname)
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p._1").as("class_id"), col("p._2").as("token_a"),
+        col("p._3").as("token_b"), col("p._4").as("tf"))
       .groupBy(col("class_id"), col("token_a"), col("token_b"))
       .agg(sum(col("tf")).cast("float").as("cooc_tf"),
         count(lit(1)).cast("float").as("cooc_df"))
