@@ -75,6 +75,24 @@ object SparkEntry {
     concat(unhex(lit(AudioFpHeader)),
       unhex(concat(substring(audioFpHexs(id), 1, 64 * 16), lit("80" * 8))))
 
+  /** 3-frame 8×8 P6 video: frame f raster = 12 md5s of
+    * 'vph<f>-<i>-<doc_id>' (the videoPhash fixture). */
+  private def videoFpFrameHexs(id: Column, f: Int): Column =
+    concat((0 to 11).map(i =>
+      md5(concat(lit(s"vph$f-$i-"), id.cast("string")))): _*)
+  private def videoFpPayload(id: Column): Column =
+    concat((0 to 2).flatMap(f => Seq(
+      encode(lit("P6\n8 8\n255\n"), "UTF-8"),
+      unhex(videoFpFrameHexs(id, f)))): _*)
+  /** The near-dup twin: frames 0/1 identical, frame 2's last pixel
+    * zeroed — all 3 frames match within Hamming 1. */
+  private def videoFpTwinPayload(id: Column): Column =
+    concat(
+      encode(lit("P6\n8 8\n255\n"), "UTF-8"), unhex(videoFpFrameHexs(id, 0)),
+      encode(lit("P6\n8 8\n255\n"), "UTF-8"), unhex(videoFpFrameHexs(id, 1)),
+      encode(lit("P6\n8 8\n255\n"), "UTF-8"),
+      unhex(concat(substring(videoFpFrameHexs(id, 2), 1, 378), lit("000000"))))
+
   /** Flagship: a 5-pass ARTM fit over the documents corpus, returning the
     * per-pass perplexity trajectory. Smoke-checked rows>0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2592,6 +2610,33 @@ object SparkEntry {
           maxHamming = PhashMaxHamming)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // multimodal: per-frame VIDEO perceptual hashes — the image dHash
+    // extended along the frame axis through the real P6 frame walker
+    "multimodal_video_fp" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        videoFpPayload(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.videoPhash(base)
+        .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+          col("phash_hex"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
+    // multimodal: VIDEO near-dup pairs — same-index frames block on
+    // (frame, band, bucket) with the bucket cap, exact per-frame
+    // Hamming verify, per-pair rollup (matched frames + min distance);
+    // planted twins (frame 2's last pixel zeroed) match on all 3 frames
+    "multimodal_video_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id").cast("long").as("media_id"),
+        videoFpPayload(col("doc_id")).as("payload"))
+      val twins = docs(s, dir).filter(col("doc_id") < PhashPlants)
+        .select((col("doc_id") + PhashIdOffset).cast("long").as("media_id"),
+          videoFpTwinPayload(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.videoPhashPairs(
+          graft.pipeline.Multimodal.videoPhash(base.unionByName(twins)),
+          maxHamming = PhashMaxHamming)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // multimodal: AUDIO fingerprint — the dHash idea on the time axis:
     // 65 window energies (EXACT integer sums — PCM values are dyadic,
     // no float accumulation anywhere), 64 gradient-sign bits, the same
@@ -4016,6 +4061,9 @@ object SparkEntry {
       .dedupIncrementalPhash(PhashMaxHamming),
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
+    "multimodal_video_fp" -> graft.pipeline.PipelineSql.multimodalVideoFp,
+    "multimodal_video_pairs" -> graft.pipeline.PipelineSql
+      .multimodalVideoPairs(PhashPlants, PhashIdOffset, PhashMaxHamming),
     "multimodal_audio_fp" -> graft.pipeline.PipelineSql.multimodalAudioFp,
     "multimodal_audio_pairs" -> graft.pipeline.PipelineSql
       .multimodalAudioPairs(PhashPlants, PhashIdOffset, PhashMaxHamming),

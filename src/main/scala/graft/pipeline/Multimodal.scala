@@ -754,6 +754,67 @@ object Multimodal {
         coalesce(col("corpus_ham"), col("batch_ham"), lit(-1L)).as("hamming"))
   }
 
+  /** Per-frame perceptual hashes of a video — [[imagePhash]] extended
+    * along the frame axis: decode → one [[dHashBits]] per frame, the
+    * same 16-bit band layout. One narrow mapPartitions; rows ∝ frames.
+    * Returns [media_id, frame_index, phash_hex, b0..b3]. */
+  def videoPhash(media: DataFrame, gw: Int = 8, gh: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeVideoFrames(bytes).zipWithIndex.map { case (img, idx) =>
+            val h = dHashBits(img, gw, gh)
+            (id, idx, f"$h%016x", (h >>> 0) & 0xffffL, (h >>> 16) & 0xffffL,
+              (h >>> 32) & 0xffffL, (h >>> 48) & 0xffffL)
+          }
+        }
+      }
+      .toDF("media_id", "frame_index", "phash_hex", "b0", "b1", "b2", "b3")
+  }
+
+  /** Video near-dup pairs over a [[videoPhash]] table: two videos are
+    * near-dups when their SAME-INDEX frames match within `maxHamming`
+    * on at least `minFrames` frames — the re-encode/container-change
+    * detector (same cut, new codec settings). Blocking is per
+    * (frame_index, band, bucket) with the [[phashPairs]] bucket cap, so
+    * candidates never go all-pairs; verification is the exact per-band
+    * popcount on the matched frame. Returns
+    * [id_a, id_b, n_frames, min_hamming] (id_a < id_b). */
+  def videoPhashPairs(framesFp: DataFrame, maxHamming: Int = 4,
+      minFrames: Int = 1, maxBucketSize: Int = 1000): DataFrame = {
+    val bands = framesFp
+      .select(col("media_id").cast("long").as("id"),
+        col("frame_index").cast("long").as("frame"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("band"), col(s"b$i").as("bucket"))): _*))
+          .as("bb"))
+      .select(col("id"), col("frame"), col("b0"), col("b1"), col("b2"),
+        col("b3"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = bands.groupBy(col("frame"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("frame"), col("band"), col("bucket"))
+    val bounded = bands.join(ok, Seq("frame", "band", "bucket"), "left_semi")
+    val a = bounded.select(col("frame"), col("band"), col("bucket"),
+      col("id").as("id_a"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val b = bounded.select(col("frame"), col("band"), col("bucket"),
+      col("id").as("id_b"), col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    a.join(b, Seq("frame", "band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b", "frame")
+      .withColumn("hamming", bandHamming("a", "c"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"), min(col("hamming")).as("min_hamming"))
+      .filter(col("n_frames") >= minFrames)
+  }
+
   /** Frame sampling stub: emits `n` evenly-spaced (frame_index, offset)
     * rows per video payload — the row-explosion plumbing of a real frame
     * sampler, with the decode itself stubbed to byte offsets. */

@@ -2153,6 +2153,79 @@ object PipelineSql {
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
        |FROM ham WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
 
+  /** The (media_key, hx) body of the video-phash fixture: 3 frames per
+    * doc, frame f raster = 12 md5s of 'vph<f>-<i>-<doc_id>'; the frame
+    * rides inside the key (mk = id·4 + f) so [[phashFpCtes]] runs
+    * unchanged. Twin rows (+idOffset) zero frame 2's last pixel. */
+  private def videoFpImgs(plants: Int, idOffset: Long): String = {
+    def hexFor(fExpr: String) = (0 to 11).map(i =>
+      s"md5('vph' || $fExpr || '-$i-' || CAST(doc_id AS VARCHAR))")
+      .mkString(" ||\n         ")
+    s"""SELECT doc_id * 4 + g.f AS media_id,
+       |         ${hexFor("g.f")} AS hx
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) g
+       |  UNION ALL
+       |  SELECT (doc_id + $idOffset) * 4 + g.f,
+       |         CASE WHEN g.f = 2
+       |              THEN substr(${hexFor("g.f")}, 1, 378) || '000000'
+       |              ELSE ${hexFor("g.f")} END
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) g
+       |  WHERE doc_id < $plants""".stripMargin
+  }
+
+  /** Mirrors the `multimodal_video_fp` entry: per-(video, frame) dHash
+    * table through the shared md5→luma→bit chain. */
+  val multimodalVideoFp: String =
+    s"""WITH ${phashFpCtes(videoFpImgs(0, 0L))}
+       |SELECT media_id // 4 AS media_id,
+       |       CAST(media_id % 4 AS BIGINT) AS frame_index,
+       |       lpad(lower(to_hex(b3)), 4, '0') || lpad(lower(to_hex(b2)), 4, '0')
+       |    || lpad(lower(to_hex(b1)), 4, '0') || lpad(lower(to_hex(b0)), 4, '0')
+       |       AS phash_hex,
+       |       b0, b1, b2, b3
+       |FROM fp ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors the `multimodal_video_pairs` entry: same-frame-index
+    * banded blocking (with the operator's per-(frame, band, value)
+    * bucket cap), exact per-frame Hamming, per-pair rollup. */
+  def multimodalVideoPairs(plants: Int, idOffset: Long, maxHamming: Int,
+      minFrames: Int = 1, maxBucketSize: Int = 1000): String =
+    s"""WITH ${phashFpCtes(videoFpImgs(plants, idOffset))},
+       |f2 AS (SELECT media_id // 4 AS vid, media_id % 4 AS frame,
+       |              b0, b1, b2, b3 FROM fp),
+       |vbands AS (
+       |  SELECT f.vid, f.frame, g.band,
+       |         CASE g.band WHEN 0 THEN f.b0 WHEN 1 THEN f.b1
+       |              WHEN 2 THEN f.b2 ELSE f.b3 END AS bucket
+       |  FROM f2 f
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g),
+       |okv AS (
+       |  SELECT frame, band, bucket FROM vbands GROUP BY 1, 2, 3
+       |  HAVING count(*) <= $maxBucketSize),
+       |vbnd AS (
+       |  SELECT b.* FROM vbands b JOIN okv o
+       |    ON b.frame = o.frame AND b.band = o.band AND b.bucket = o.bucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b, a.frame
+       |  FROM vbnd a JOIN vbnd b
+       |    ON a.frame = b.frame AND a.band = b.band AND a.bucket = b.bucket
+       |   AND a.vid < b.vid),
+       |fham AS (
+       |  SELECT c.id_a, c.id_b, c.frame,
+       |         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       |       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
+       |           AS hamming
+       |  FROM cand c
+       |  JOIN f2 fa ON fa.vid = c.id_a AND fa.frame = c.frame
+       |  JOIN f2 fb ON fb.vid = c.id_b AND fb.frame = c.frame)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames,
+       |       CAST(min(hamming) AS BIGINT) AS min_hamming
+       |FROM fham WHERE hamming <= $maxHamming
+       |GROUP BY id_a, id_b HAVING count(*) >= $minFrames
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Mirrors the `multimodal_video` entry: 3 concatenated 2×2 P6 frames
     * whose rasters are the first 12 md5 bytes of 'vid<f><doc_id>'; the
     * walker samples frames 0 and 2; channel means over 4 pixels. */

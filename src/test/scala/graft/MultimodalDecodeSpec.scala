@@ -291,6 +291,35 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)), s"unrelated clips paired: $pairs")
   }
 
+  test("videoPhash + videoPhashPairs: same-index frame match, twin recovery") {
+    import spark.implicits._
+    def p6(seed: Int, zeroLast: Boolean): Array[Byte] = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      val raster = Array.tabulate(192)(i =>
+        if (zeroLast && i >= 189) 0.toByte
+        else ((i * 31 + seed * 17) % 251).toByte)
+      header ++ raster
+    }
+    def video(seed: Int, twin: Boolean): Array[Byte] =
+      p6(seed, zeroLast = false) ++ p6(seed + 1, zeroLast = false) ++
+        p6(seed + 2, zeroLast = twin)
+    val media = Seq(
+      (1L, video(1, twin = false)),
+      (2L, video(50, twin = false)),
+      (101L, video(1, twin = true))).toDF("media_id", "payload")
+    val fp = Multimodal.videoPhash(media)
+    assert(fp.count() === 9, "3 videos x 3 frames")
+    val pairs = Multimodal.videoPhashPairs(fp, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val twin = pairs.find(p => p._1 == 1L && p._2 == 101L)
+    assert(twin.isDefined, s"twin pair missing: ${pairs.toSeq}")
+    assert(twin.get._3 === 3L, s"all 3 frames must match: ${twin.get}")
+    assert(twin.get._4 === 0L, "frames 0/1 are identical -> min hamming 0")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"unrelated videos paired: ${pairs.toSeq}")
+  }
+
   test("audioMeta: typed WAV metadata through the Spark dataflow") {
     import spark.implicits._
     val media = Seq(
