@@ -2341,6 +2341,26 @@ object SparkEntry {
       graft.streaming.StreamReplay.knnServe(s, dir, KnnQueries, KnnK)
         .orderBy(col("query_id"))
     }),
+    // embedding DRIFT between snapshots — the release gate in embedding
+    // space: v2 perturbs even-digit sources' first component (float
+    // arithmetic replayed exactly by the oracle) and drops source
+    // 'src1'; per-source centroid cosine v1 vs v2, -1 sentinel for
+    // one-sided groups (the corpus_drift convention)
+    "embed_drift" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val joined = emb.join(docs(s, dir).select(col("doc_id"), col("source")),
+        emb("vec_id") === col("doc_id"))
+      val v2 = joined.filter(!col("source").rlike("^src1$"))
+        .withColumn("embedding",
+          when(col("source").rlike("[02468]$"),
+            concat(array(element_at(col("embedding"), 1) + lit(0.5f)),
+              slice(col("embedding"), 2, 1000000)))
+            .otherwise(col("embedding")))
+      graft.pipeline.Ann.groupCentroidDrift(joined, v2, "source")
+        .select(col("g").as("source"),
+          coalesce(round(col("cosine"), 6), lit(-1.0)).as("cosine"))
+        .orderBy(col("source"))
+    }),
     // per-source embedding centroid similarity map — "which sources are
     // embedding-redundant": DECIMAL-sum positional means per source
     // (order-proof), then the bounded 20×20 broadcast cosine matrix
@@ -2667,6 +2687,18 @@ object SparkEntry {
             base.unionByName(twins)),
           maxHamming = PhashMaxHamming)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // streaming: the audio fingerprint AT INGEST — decode → integer
+    // energy dHash is a pure per-row map, unchanged on the stream
+    // (the multimodal_phash_stream shape), under the batch SQL
+    "multimodal_audio_fp_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        graft.pipeline.Multimodal.audioFingerprint(st.select(
+            col("doc_id").cast("long").as("media_id"),
+            audioFpPayload(col("doc_id")).as("payload")))
+          .select(col("media_id"), col("afp_hex"),
+            col("b0"), col("b1"), col("b2"), col("b3"))
+      }.orderBy(col("media_id"))
     }),
     // Audio twin of multimodal_meta: a 16-sample PCM8 mono WAV is
     // assembled from a constant 44-byte header + md5 bytes, decoded by
@@ -4065,6 +4097,8 @@ object SparkEntry {
     "multimodal_video_pairs" -> graft.pipeline.PipelineSql
       .multimodalVideoPairs(PhashPlants, PhashIdOffset, PhashMaxHamming),
     "multimodal_audio_fp" -> graft.pipeline.PipelineSql.multimodalAudioFp,
+    "multimodal_audio_fp_stream" ->
+      graft.pipeline.PipelineSql.multimodalAudioFp,
     "multimodal_audio_pairs" -> graft.pipeline.PipelineSql
       .multimodalAudioPairs(PhashPlants, PhashIdOffset, PhashMaxHamming),
     "corpus_stats" -> graft.pipeline.PipelineSql.corpusStats,
@@ -4132,6 +4166,7 @@ object SparkEntry {
     "ml_knn" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
     "ml_knn_stream" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
     "embed_source_sim" -> graft.pipeline.PipelineSql.sourceCentroidSim,
+    "embed_drift" -> graft.pipeline.PipelineSql.embedDrift,
     "embed_source_sim_stream" -> graft.pipeline.PipelineSql.sourceCentroidSim,
     "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
     "ml_calibration" -> graft.pipeline.PipelineSql.mlCalibration(iters = 3,

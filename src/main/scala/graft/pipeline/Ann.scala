@@ -194,6 +194,36 @@ object Ann {
         cosineDouble(col("va"), col("vb")).as("cosine"))
   }
 
+  /** Per-group embedding drift between two snapshots — the
+    * release-gate sibling of [[graft.pipeline.Snapshot.drift]] in
+    * embedding space: for each group (source), the cosine between its
+    * v1 and v2 centroids. A cosine well below 1 means the source's
+    * semantic center MOVED between crawls (new topics, template churn,
+    * a scraper change) — the signal a mixture designer re-weights on.
+    * Centroids are positional DECIMAL-sum means (order-proof,
+    * engine-exact — the [[groupCentroidSim]] mean); the final cosine is
+    * the full-double [[cosineDouble]] fold. Groups present in only one
+    * snapshot report null. Shape at scale: two narrow (g, pos, x)
+    * projections + two map-side-combined mean aggregations + a
+    * groups-sized join — no corpus-wide shuffle beyond the means.
+    * Returns [g, cosine]. */
+  def groupCentroidDrift(embA: DataFrame, embB: DataFrame,
+      groupCol: String, vecCol: String = "embedding"): DataFrame = {
+    def cents(e: DataFrame): DataFrame =
+      groupPoints(e, groupCol, vecCol)
+        .groupBy(col("g"), col("pos"))
+        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("g"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("g"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    cents(embA).withColumnRenamed("cv", "va")
+      .join(cents(embB).withColumnRenamed("cv", "vb"), Seq("g"), "full_outer")
+      .select(col("g"),
+        when(col("va").isNotNull && col("vb").isNotNull,
+          cosineDouble(col("va"), col("vb"))).as("cosine"))
+  }
+
   /** Hybrid retrieval: BM25 candidate generation + vector-PRF rerank —
     * the production RAG serving pattern where lexical recall feeds a
     * semantic reorder. No external query vector is needed: the query's

@@ -264,6 +264,43 @@ object PipelineSql {
        |FROM cents a JOIN cents b ON a.g < b.g
        |ORDER BY g_a, g_b""".stripMargin
 
+  /** Mirrors the `embed_drift` entry: v2 perturbs even-digit sources'
+    * first component with FLOAT arithmetic ((v[1] + 0.5)::FLOAT — the
+    * exact IEEE rounding Spark's `+ lit(0.5f)` performs) and drops
+    * source 'src1'; per-source DECIMAL-mean centroids per snapshot,
+    * cosine v1-vs-v2, −1 sentinel for one-sided groups. */
+  val embedDrift: String =
+    s"""WITH j AS (
+       |  SELECT d.source, v.embedding::DOUBLE[] AS v
+       |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+       |j2 AS (
+       |  SELECT source,
+       |         CASE WHEN regexp_matches(source, '[02468]$$')
+       |              THEN list_prepend(
+       |                CAST((v[1] + 0.5)::FLOAT AS DOUBLE), v[2:])
+       |              ELSE v END AS v
+       |  FROM j WHERE NOT regexp_matches(source, '^src1$$')),
+       |p1 AS (SELECT source AS g, unnest(v) AS x,
+       |              generate_subscripts(v, 1) AS pos FROM j),
+       |m1 AS (SELECT g, pos,
+       |              CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |                / count(*) AS m
+       |       FROM p1 GROUP BY 1, 2),
+       |c1 AS (SELECT g, list(m ORDER BY pos) AS va FROM m1 GROUP BY 1),
+       |p2 AS (SELECT source AS g, unnest(v) AS x,
+       |              generate_subscripts(v, 1) AS pos FROM j2),
+       |m2 AS (SELECT g, pos,
+       |              CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |                / count(*) AS m
+       |       FROM p2 GROUP BY 1, 2),
+       |c2 AS (SELECT g, list(m ORDER BY pos) AS vb FROM m2 GROUP BY 1)
+       |SELECT c1.g AS source,
+       |       CASE WHEN c2.vb IS NULL THEN -1.0
+       |            ELSE round(list_cosine_similarity(c1.va, c2.vb), 6)
+       |       END AS cosine
+       |FROM c1 LEFT JOIN c2 ON c2.g = c1.g
+       |ORDER BY source""".stripMargin
+
   /** Mirrors Ann.lshTopK end to end: md5-derived hyperplane components
     * (`('0x' || substr(md5('plane <seed+t> <p> <i>'), 1, 8))::UBIGINT /
     * 2^32 - 0.5` — the exact doubles Ann.planeComponent computes), dot
