@@ -1678,6 +1678,20 @@ object SparkEntry {
           threshold = 0.9)
         .orderBy(col("vec_id"))
     }),
+    // streaming: the embedding daily-ingest loop SERVED — arriving
+    // vectors build the batch parts, signature + broadcast-index probe
+    // + exact cosine run AT INGEST (stateless), the sink runs the SAME
+    // batch-bounded resolution as the batch operator; same oracle
+    "dedup_incremental_embedding_stream" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val ten = pmod(col("vec_id"), lit(10))
+      val index = graft.pipeline.Dedup.embeddingIndex(emb.where(ten =!= 2))
+      val dim = emb.select(col("embedding")).limit(1).collect()(0)
+        .getSeq[Float](0).length
+      graft.streaming.StreamReplay.embeddingDedupServe(s, dir, index,
+          threshold = 0.9, planes = 16, seed = 42, dim = dim)
+        .orderBy(col("vec_id"))
+    }),
     // LLM pipeline: SemDeDup — spherical cells (cosine argmax against the
     // md5-seeded codebook) + intra-cell cosine pruning with min-id
     // survivors. Same planted ×2-scaled duplicates as dedup_embedding:
@@ -4197,6 +4211,8 @@ object SparkEntry {
     "dedup_embedding" -> graft.pipeline.PipelineSql.dedupEmbedding(
       NearDupPlants, NearDupIdOffset, 0.9),
     "dedup_incremental_embedding" ->
+      graft.pipeline.PipelineSql.dedupIncrementalEmbedding(0.9),
+    "dedup_incremental_embedding_stream" ->
       graft.pipeline.PipelineSql.dedupIncrementalEmbedding(0.9),
     "dedup_semantic" -> graft.pipeline.PipelineSql.semanticDedup(
       NearDupPlants, NearDupIdOffset, SemCells, SemThreshold, AnnSample),

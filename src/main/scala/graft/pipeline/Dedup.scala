@@ -789,10 +789,25 @@ object Dedup {
       .filter(col("_n") <= maxBucketSize).select(col("bucket"))
     val iB = index.join(okIdx, Seq("bucket"), "left_semi")
       .select(col("bucket"), col("id").as("cid"), col("vec").as("cv"))
-    val cRes = bSig.select(col("bucket"), col("id"), col("vec"))
+    val scored = bSig.select(col("bucket"), col("id"), col("vec"))
       .join(iB, Seq("bucket"))
-      .dropDuplicates("id", "cid")
       .withColumn("cos", round(Ann.cosine(col("vec"), col("cv")), 6))
+      .select(col("id"), col("cid"), col("cos"))
+    resolveIncrementalEmbedding(bSig, scored, threshold, maxBucketSize)
+  }
+
+  /** The resolution half of [[incrementalEmbedding]] over a
+    * pre-computed signature table (`bSig` = [id, bucket, vec]) and
+    * scored corpus candidates (`corpusScored` = [id, cid, cos], one
+    * row per bucket-keyed candidate, cos ROUNDED 6) — split out so the
+    * streamed twin (StreamReplay.embeddingDedupServe) can run the
+    * signature + broadcast-index probe + cosine AT INGEST and this
+    * batch-bounded resolution at the sink. */
+  private[graft] def resolveIncrementalEmbedding(bSig: DataFrame,
+      corpusScored: DataFrame, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val cRes = corpusScored
+      .dropDuplicates("id", "cid")
       .filter(col("cos") >= threshold)
       .groupBy(col("id"))
       .agg(min_by(struct(col("cid"), col("cos")),

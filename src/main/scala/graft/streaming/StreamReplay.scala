@@ -446,6 +446,59 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed incremental EMBEDDING dedup — the daily vector-ingest
+    * loop served live (the dedup_url_stream shape on the semantic
+    * fingerprint): each arriving vector builds the incremental
+    * fixture's batch parts, signatures through the KNOWN-dim
+    * [[graft.pipeline.Ann.signaturesCol]] (a streaming Dataset cannot
+    * be probed for dim), probes the BROADCAST capped signature index
+    * and verifies the exact cosine — all AT INGEST, stateless; the
+    * sink runs the SAME batch-bounded resolution as the batch operator
+    * ([[graft.pipeline.Dedup.resolveIncrementalEmbedding]]). Gated by
+    * the batch dedup_incremental_embedding SQL. */
+  def embeddingDedupServe(spark: SparkSession, dir: String,
+      index: DataFrame, threshold: Double, planes: Int, seed: Int,
+      dim: Int, maxBucketSize: Int = 10000): DataFrame = {
+    import graft.pipeline.{Ann, Dedup}
+    val stream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+    val okIdx = index.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize).select(col("bucket"))
+    val iB = broadcast(index.join(okIdx, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("id").as("cid"), col("vec").as("cv")))
+    val ten = pmod(col("vec_id"), lit(10))
+    val parts = stream.select(col("vec_id"), explode(array(
+        struct(lit(3L).as("sel"), (col("vec_id") + 1000000L).as("id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("vec")),
+        struct(lit(2L).as("sel"), (col("vec_id") + 2000000L).as("id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("vec")),
+        struct(lit(2L).as("sel"), (col("vec_id") + 3000000L).as("id"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("vec"))))
+        .as("p"))
+      .filter(ten === col("p.sel"))
+      .select(col("p.id").as("id"), col("p.vec").as("vec"))
+    val ingested = parts
+      .select(col("id"), col("vec"),
+        posexplode(Ann.signaturesCol(col("vec"), dim, planes, seed, 1))
+          .as(Seq("tbl", "bucket")))
+      .select(col("id"), col("vec"), col("bucket"))
+      .join(iB, Seq("bucket"), "left")
+      .select(col("id"), col("vec"), col("bucket"), col("cid"),
+        when(col("cid").isNotNull,
+          round(Ann.cosine(col("vec"), col("cv")), 6)).as("cos"))
+    val qname = s"graft_replay_embdedup_${counter.incrementAndGet()}"
+    val q = ingested.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = drainSink(spark, qname)
+    Dedup.resolveIncrementalEmbedding(
+      drained.select(col("id"), col("bucket"), col("vec"))
+        .dropDuplicates("id", "bucket"),
+      drained.filter(col("cid").isNotNull)
+        .select(col("id"), col("cid"), col("cos")),
+      threshold, maxBucketSize)
+  }
+
   /** Streamed language ID — the stopword-vote classifier as an
     * ingest-time gate: a pure per-row expression (no state, no
     * shuffle), so the streaming form IS the batch operator applied to
