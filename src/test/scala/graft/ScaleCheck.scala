@@ -513,6 +513,38 @@ object ScaleCheck {
           graft.pipeline.Dedup.exact(docsR,
             unicodeForm = Some("NFC")).count()
         },
+        entry("multimodal_audio_pairs (integer-energy fp + bands)") {
+          // per-replica md5 WAVs; twins = every 8th doc with the last
+          // window silenced — pairs stay bounded, decode grows with r
+          val header = // RIFF(556)/WAVE fmt(PCM,1ch,8k,8b) data(520)
+            "524946462c02000057415645666d7420100000000100010040" +
+            "1f0000401f000001000800" + "6461746108020000"
+          val hexs = concat((0 to 64).map(w =>
+            substring(md5(concat(lit(s"afp$w"),
+              col("doc_id").cast("string"))), 1, 16)): _*)
+          val base = docsR.select(col("doc_id").cast("long").as("media_id"),
+            concat(unhex(lit(header)), unhex(hexs)).as("payload"))
+          val twins = docsR.where(pmod(col("doc_id"), lit(8)) === 0)
+            .select((col("doc_id") + 500000000L).as("media_id"),
+              concat(unhex(lit(header)),
+                unhex(concat(substring(hexs, 1, 64 * 16),
+                  lit("80" * 8)))).as("payload"))
+          graft.pipeline.Multimodal.phashPairs(
+            graft.pipeline.Multimodal.audioFingerprint(
+              base.unionByName(twins)), maxHamming = 4).count()
+        },
+        entry("dedup_incremental_embedding (sig index resolve)") {
+          // index = even ids, batch = odd ids' scaled twins of even
+          // neighbors + fresh directions — both sides grow with r
+          val idx = graft.pipeline.Dedup.embeddingIndex(
+            embR.where(pmod(col("vec_id"), lit(2)) === 0))
+          val batch = embR.where(pmod(col("vec_id"), lit(2)) === 1)
+            .select((col("vec_id") + 500000000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f))
+                .as("embedding"))
+          graft.pipeline.Dedup.incrementalEmbedding(idx, batch,
+            threshold = 0.9).count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
