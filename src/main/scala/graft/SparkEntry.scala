@@ -3431,6 +3431,16 @@ object SparkEntry {
           steps = FunnelSteps, horizonNs = FunnelHorizonNs)
         .orderBy(col("step"))
     }),
+    // event analytics: funnel STEP TIMING — median/p90/mean
+    // whole-second deltas per completed transition (the "how long do
+    // conversions take" half of the funnel report); same one per-user
+    // fold, steps-sized aggregation, integer floor-div before any stat
+    "events_funnel_timing" -> ((s, dir) => {
+      graft.pipeline.Temporal.funnelTiming(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          steps = FunnelSteps, horizonNs = FunnelHorizonNs)
+        .orderBy(col("step_from"))
+    }),
     // the SAME funnel through the EarliestN skew cap (cap chosen to
     // BITE on this corpus: per-(user, type) activity averages ~13) —
     // puts the bounded-buffer aggregator itself under the driver gate,
@@ -4408,6 +4418,8 @@ object SparkEntry {
     "events_window" -> graft.pipeline.TemporalSql.tumbling(WindowWidthNs),
     "events_hopping" -> graft.pipeline.TemporalSql.hopping(WindowWidthNs, HopSlideNs),
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
+    "events_funnel_timing" -> graft.pipeline.TemporalSql.funnelTiming(
+      FunnelSteps, FunnelHorizonNs),
     "events_funnel_capped" -> graft.pipeline.TemporalSql.funnelCapped(
       FunnelSteps, FunnelHorizonNs, FunnelCap),
     "events_funnel_stream" -> graft.pipeline.TemporalSql.funnel(

@@ -344,19 +344,7 @@ object Temporal {
         capped.flatMap { case ((u, et), tss) => tss.iterator.map(t => (u, et, t)) }
           .toDF("user_id", "event_type", "ts")
       }
-    val perUser = stepEvents
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_type").as("et"))))
-        .as("evs"))
-    // tK = min ts of step K events strictly after t(K-1), within horizon of t1
-    val withTimes = steps.zipWithIndex.foldLeft(perUser) { case (df, (step, i)) =>
-      val cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        if (i == 0) e => e("et") === step
-        else e => e("et") === step && e("ts") > col(s"__t${i - 1}") &&
-          e("ts") <= col("__t0") + horizonNs
-      df.withColumn(s"__t$i",
-        array_min(transform(filter(col("evs"), e => cond(e)), e => e("ts"))))
-    }
+    val withTimes = funnelTimesFrom(stepEvents, steps, horizonNs)
     // n_users reaching each step (a user counts for step K iff __tK non-null)
     val counts = steps.indices.map(i =>
       sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i"))
@@ -366,6 +354,61 @@ object Temporal {
         col(s"__n$i").as("n_users"))
     }
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** The per-user step-time table shared by [[funnel]] and
+    * [[funnelTiming]]: one row per user with `__tK` = min ts of step K
+    * events strictly after t(K−1), within horizon of t0. */
+  private def funnelTimesFrom(stepEvents: DataFrame, steps: Seq[String],
+      horizonNs: Long): DataFrame = {
+    val perUser = stepEvents
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type").as("et"))))
+        .as("evs"))
+    steps.zipWithIndex.foldLeft(perUser) { case (df, (step, i)) =>
+      val cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (i == 0) e => e("et") === step
+        else e => e("et") === step && e("ts") > col(s"__t${i - 1}") &&
+          e("ts") <= col("__t0") + horizonNs
+      df.withColumn(s"__t$i",
+        array_min(transform(filter(col("evs"), e => cond(e)), e => e("ts"))))
+    }
+  }
+
+  /** Funnel STEP-TIMING report — the "how long do conversions take"
+    * half the [[funnel]] counts leave out: for each adjacent
+    * transition K→K+1, over the users who completed BOTH steps, the
+    * count plus median / p90 / mean of the whole-second delta
+    * t(K+1) − t(K). Deltas FLOOR-DIVIDE to whole seconds via integer
+    * `div` before any statistic (the session_stats exactness trick —
+    * epoch-ns-scale double math is last-ulp engine-dependent, small-int
+    * percentiles/means are exact; interpolated quantiles on ints yield
+    * exact halves, safe under round 6).
+    *
+    * Shape at scale: the same ONE per-user fold as [[funnel]], then an
+    * explode to (transition, delta) rows and a steps-sized
+    * map-side-combined aggregation — no window, no second corpus scan.
+    * Returns [step_from, step_to, n_users, median_s, p90_s, mean_s]. */
+  def funnelTiming(events: DataFrame, steps: Seq[String],
+      horizonNs: Long = 7 * NsPerDay): DataFrame = {
+    require(steps.length >= 2, "funnelTiming needs at least 2 steps")
+    val stepEvents = events.where(col("event_type").isin(steps: _*))
+    val wt = funnelTimesFrom(stepEvents, steps, horizonNs)
+    val trans = (1 until steps.length).map { i =>
+      struct(lit(i).cast("long").as("step_from"),
+        expr(s"CAST((__t$i - __t${i - 1}) DIV 1000000000 AS BIGINT)")
+          .as("delta_s"))
+    }
+    wt.select(explode(array(trans: _*)).as("tr"))
+      .select(col("tr.step_from"), col("tr.delta_s"))
+      .filter(col("delta_s").isNotNull)
+      .groupBy(col("step_from"))
+      .agg(count(lit(1)).as("n_users"),
+        round(percentile(col("delta_s"), lit(0.5)), 6).as("median_s"),
+        round(percentile(col("delta_s"), lit(0.9)), 6).as("p90_s"),
+        round(avg(col("delta_s")), 6).as("mean_s"))
+      .select(col("step_from"), (col("step_from") + 1L).as("step_to"),
+        col("n_users"), col("median_s"), col("p90_s"), col("mean_s"))
   }
 
   /** Range join without explosion: all (left, right) pairs of the same

@@ -162,7 +162,9 @@ object TemporalSql {
     funnelFrom(steps, horizonNs, eCte)
   }
 
-  private def funnelFrom(steps: Seq[String], horizonNs: Long,
+  /** The per-step min-ts CTE chain (`t0..tN`) shared by the funnel
+    * count and timing mirrors. */
+  private def funnelTimeCtes(steps: Seq[String], horizonNs: Long,
       eCte: String): String = {
     val t0 = s"t0 AS (SELECT user_id, min(tsn) AS t0 FROM e WHERE event_type = '${steps.head}' GROUP BY user_id)"
     val rest = steps.indices.tail.map { i =>
@@ -174,11 +176,38 @@ object TemporalSql {
          |    AND tsn <= t0.t0 + $horizonNs
          |  GROUP BY e.user_id)""".stripMargin
     }
+    s"$eCte,\n" + (t0 +: rest).mkString(",\n")
+  }
+
+  private def funnelFrom(steps: Seq[String], horizonNs: Long,
+      eCte: String): String = {
     val selects = steps.zipWithIndex.map { case (step, i) =>
       s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$step' AS event_type, count(*) AS n_users FROM t$i"
     }
-    (s"WITH $eCte,\n" + (t0 +: rest).mkString(",\n") + "\n" +
+    (s"WITH ${funnelTimeCtes(steps, horizonNs, eCte)}\n" +
       selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
+  }
+
+  /** Mirrors [[Temporal.funnelTiming]]: the same t0..tN chain, one
+    * delta row per completed transition (whole-second integer `//`
+    * floor-div BEFORE any statistic), quantile_cont interpolation on
+    * the small ints (exact halves — Spark's percentile uses the same
+    * linear-interpolation formula), avg as double sum/count. */
+  def funnelTiming(steps: Seq[String], horizonNs: Long): String = {
+    val deltas = (1 until steps.length).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step_from,
+         |         CAST((t$i.t$i - t${i - 1}.t${i - 1}) // 1000000000 AS BIGINT)
+         |           AS delta_s
+         |  FROM t$i JOIN t${i - 1} USING (user_id)""".stripMargin
+    }
+    s"""WITH ${funnelTimeCtes(steps, horizonNs, s"e AS ($e)")},
+       |d AS (
+       |  ${deltas.mkString("\n  UNION ALL\n  ")})
+       |SELECT step_from, step_from + 1 AS step_to, count(*) AS n_users,
+       |       round(quantile_cont(delta_s, 0.5), 6) AS median_s,
+       |       round(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+       |       round(avg(delta_s), 6) AS mean_s
+       |FROM d GROUP BY step_from ORDER BY step_from""".stripMargin
   }
 
   /** Mirrors [[Temporal.rangeJoin]] for the click↔purchase entry — the
