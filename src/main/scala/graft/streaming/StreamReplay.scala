@@ -451,11 +451,17 @@ object StreamReplay {
     * fingerprint): each arriving vector builds the incremental
     * fixture's batch parts, signatures through the KNOWN-dim
     * [[graft.pipeline.Ann.signaturesCol]] (a streaming Dataset cannot
-    * be probed for dim), probes the BROADCAST capped signature index
-    * and verifies the exact cosine — all AT INGEST, stateless; the
-    * sink runs the SAME batch-bounded resolution as the batch operator
-    * ([[graft.pipeline.Dedup.resolveIncrementalEmbedding]]). Gated by
-    * the batch dedup_incremental_embedding SQL. */
+    * be probed for dim), probes the capped signature index on the
+    * bucket key and verifies the exact cosine — all AT INGEST,
+    * stateless; the sink runs the SAME batch-bounded resolution as the
+    * batch operator
+    * ([[graft.pipeline.Dedup.resolveIncrementalEmbedding]]). The index
+    * side is NOT force-broadcast — it is corpus-sized by definition
+    * (the ml_knn broadcast-direction lesson): the join is a plain
+    * bucket-keyed stream-static equi-join, at scale stored bucketed on
+    * `bucket` (sources.Bucketing) for an exchange-light probe; the
+    * planner broadcasts it on its own when small. Gated by the batch
+    * dedup_incremental_embedding SQL. */
   def embeddingDedupServe(spark: SparkSession, dir: String,
       index: DataFrame, threshold: Double, planes: Int, seed: Int,
       dim: Int, maxBucketSize: Int = 10000): DataFrame = {
@@ -464,8 +470,8 @@ object StreamReplay {
       .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
     val okIdx = index.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucketSize).select(col("bucket"))
-    val iB = broadcast(index.join(okIdx, Seq("bucket"), "left_semi")
-      .select(col("bucket"), col("id").as("cid"), col("vec").as("cv")))
+    val iB = index.join(okIdx, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("id").as("cid"), col("vec").as("cv"))
     val ten = pmod(col("vec_id"), lit(10))
     val parts = stream.select(col("vec_id"), explode(array(
         struct(lit(3L).as("sel"), (col("vec_id") + 1000000L).as("id"),
