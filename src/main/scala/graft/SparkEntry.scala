@@ -3062,6 +3062,15 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: SOFT dedup — duplicate-count-weighted sampling
+    // (keep prob = 1/n per exact-dup group: one expected survivor per
+    // group, no privileged copy — the unbiased alternative to
+    // canonical-keep when duplicates carry independent metadata)
+    "sample_dedup_weighted" -> ((s, dir) => {
+      graft.pipeline.Sampling.softDedup(docs(s, dir), salt = SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: DSIR importance selection — keep the ImportanceTopK
     // docs whose bigram stream is most likely under the TARGET (lang =
     // 'en') LM relative to the raw-corpus LM (Xie et al. 2023); four
@@ -3750,6 +3759,30 @@ object SparkEntry {
             .join(langStream, "doc_id"), th)
         .orderBy(col("doc_id"))
     }),
+    // the SAME composed curation front door as a BATCH pass (gopher ->
+    // LM ppl -> per-lang tercile bucket over the passing set ->
+    // deterministic bucket-rate keep) — one statement, same oracle as
+    // the streamed twin below
+    "curation_ingest" -> ((s, dir) => {
+      import graft.pipeline.{Sampling, TextAnalysis}
+      val d = docs(s, dir)
+      val passing = TextAnalysis.gopherRules(d, minWords = GopherMinWords,
+          maxWords = GopherMaxWords, minStopwords = GopherMinStop)
+        .filter(col("keep"))
+      val ppl = TextAnalysis.lmPerplexity(d, addK = LmAddK)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .join(passing.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val th = TextAnalysis.ccnetThresholdsFromPpl(ppl, exact = true)
+      val bucketed = TextAnalysis.bucketWithThresholds(
+        ppl.select(col("doc_id"), col("lang"), col("ppl")), th)
+      val rate = CurationRates.foldLeft(lit(0.0)) { case (acc, (b, r)) =>
+        when(col("bucket") === b, lit(r)).otherwise(acc)
+      }
+      Sampling.sampleByRate(bucketed, rate, "doc_id", SampleSalt)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("ppl"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // streaming: the COMPOSED ingest-time curation front door as ONE
     // entry — every arriving doc runs gopherRules -> broadcast-LM ppl
     // (lang carried, single stream pass) -> per-lang CCNet bucket vs
@@ -4198,6 +4231,8 @@ object SparkEntry {
     "sample_quality" -> graft.pipeline.PipelineSql.sampleQualityWeighted(
       0.1, 0.8, SampleSalt,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "sample_dedup_weighted" ->
+      graft.pipeline.PipelineSql.sampleDedupWeighted(SampleSalt),
     "sample_importance" -> graft.pipeline.PipelineSql.sampleImportance(
       ImportanceTargetLang, ImportanceTopK, LmAddK),
     "sample_importance_stream" -> graft.pipeline.PipelineSql.sampleImportance(
@@ -4495,6 +4530,11 @@ object SparkEntry {
       graft.pipeline.PipelineSql.naiveBayesCharNgram("lang", 3),
     "text_ccnet_bucket" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK),
     "text_ccnet_bucket_stream" -> graft.pipeline.PipelineSql.ccnetBucket(LmAddK),
+    "curation_ingest" -> graft.pipeline.PipelineSql.curationIngest(
+      GopherMinWords, GopherMaxWords, 3.0, 10.0, 0.1, 0.8, GopherMinStop,
+      graft.pipeline.TextAnalysis.defaultStopwords("en"), LmAddK,
+      CurationRates("head"), CurationRates("middle"), CurationRates("tail"),
+      SampleSalt),
     "curation_ingest_stream" -> graft.pipeline.PipelineSql.curationIngest(
       GopherMinWords, GopherMaxWords, 3.0, 10.0, 0.1, 0.8, GopherMinStop,
       graft.pipeline.TextAnalysis.defaultStopwords("en"), LmAddK,

@@ -1132,6 +1132,18 @@ object PipelineSql {
        |      < ($minRate + $span * quality) * 4294967296.0
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors the sample_dedup_weighted entry: per-fingerprint group
+    * counts, keep iff uniform(md5(salt || id)) < 1/n — the softDedup
+    * weighted-survival rule. */
+  def sampleDedupWeighted(salt: String): String =
+    s"""WITH f AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+       |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS dup_count
+       |FROM f JOIN c USING (fp)
+       |WHERE ('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      < (1.0 / n) * 4294967296.0
+       |ORDER BY doc_id""".stripMargin
+
   /** Mirrors the report_mixture entry: per-source doc/token mass and
     * the achieved token share — the post-mix audit. */
   def reportMixture: String =

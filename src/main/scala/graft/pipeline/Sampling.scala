@@ -59,6 +59,31 @@ object Sampling {
       conv(hashPrefix(col(keyCol), salt), 16, 10).cast("double") <
         rateCol * lit(4294967296.0))
 
+  /** SOFT deduplication — duplicate-count-weighted sampling: every doc
+    * keeps with probability 1/n over its exact-duplicate group
+    * (fingerprint of the normalized text), so each group survives with
+    * ONE expected copy but no copy is privileged — the unbiased
+    * alternative to hard canonical-keep when duplicates carry
+    * independent metadata (different crawl dates, sources, labels)
+    * that a min-id winner would systematically skew. Deterministic:
+    * the same doc makes the same keep decision on any cluster size
+    * ([[sampleByRate]]'s salted-hash contract).
+    *
+    * Shape at scale: one hash-groupBy on the short fingerprint key
+    * (map-side combined), one key join back, one narrow filter — the
+    * [[graft.pipeline.Dedup.exact]] cost plus a join, never a window.
+    * Returns the kept docs' [idCol, dup_count]. */
+  def softDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", salt: String = ""): DataFrame = {
+    val withFp = df.select(col(idCol),
+      TextAnalysis.fingerprintCol(col(textCol)).as("__fp"))
+    val counts = withFp.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("dup_count"))
+    sampleByRate(withFp.join(counts, Seq("__fp")),
+        lit(1.0) / col("dup_count"), idCol, salt)
+      .select(col(idCol), col("dup_count"))
+  }
+
   /** Weighted source mixing: per-source keep rates (sources absent from
     * the map are dropped — explicit allowlist, as in training-mixture
     * specs). One narrow filter; the hash makes the mixture exact in
