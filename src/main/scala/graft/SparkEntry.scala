@@ -3062,6 +3062,16 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: Flesch-style readability — sentences from [.!?]+
+    // runs, syllables as vowel groups (min 1/word), one fixed-order
+    // double expression rounded 6; -1000 sentinel for blank docs
+    "text_readability" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.readability(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_sentences"), col("n_words"), col("n_syllables"),
+          coalesce(col("flesch"), lit(-1000.0)).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: SOFT dedup — duplicate-count-weighted sampling
     // (keep prob = 1/n per exact-dup group: one expected survivor per
     // group, no privileged copy — the unbiased alternative to
@@ -3938,6 +3948,7 @@ object SparkEntry {
     "graph_bfs_routed" -> graft.pipeline.PipelineSql.graphBfsKnnRouted(
       KnnGraphK, BfsSeeds, BfsMaxHops, SemCells, 4, PqSubspaces,
       PqCentroids, AnnSample, dim = 64, refine = KnnRefine),
+    "text_readability" -> graft.pipeline.PipelineSql.textReadability,
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_quality_stream" -> graft.pipeline.PipelineSql.textQuality(

@@ -1132,6 +1132,34 @@ object PipelineSql {
        |      < ($minRate + $span * quality) * 4294967296.0
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[TextAnalysis.readability]]: exact integer counts
+    * (sentence runs on RAW text, vowel groups per normalized token,
+    * min 1), the same fixed-order double expression, −1000 sentinel
+    * for blank docs. */
+  val textReadability: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split($norm, ' ')) END AS BIGINT)
+       |      AS n_words,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+       |      AS BIGINT) AS sent0,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE list_sum(
+       |                [greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+       |                 for w in string_split($norm, ' ')]) END AS BIGINT)
+       |      AS n_syllables
+       |  FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CASE WHEN n_words = 0 THEN 0 ELSE sent0 END AS n_sentences,
+       |       n_words, n_syllables,
+       |       CASE WHEN n_words = 0 THEN -1000.0
+       |            ELSE round(206.835
+       |                 - 1.015 * (n_words::DOUBLE / sent0::DOUBLE)
+       |                 - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+       |       END AS flesch
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** Mirrors the sample_dedup_weighted entry: per-fingerprint group
     * counts, keep iff uniform(md5(salt || id)) < 1/n — the softDedup
     * weighted-survival rule. */

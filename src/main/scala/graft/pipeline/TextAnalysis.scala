@@ -195,6 +195,47 @@ object TextAnalysis {
       .select(col(idCol), col("__lbl").as(labelCol), col("pred"), col("margin"))
   }
 
+  /** Flesch-style readability per document — the classic
+    * reading-ease heuristic a curation pass gates on alongside the
+    * Gopher rules: sentences = maximal [.!?]+ runs (min 1 so
+    * fragment-only docs don't divide by zero), words = the shared
+    * whitespace tokens, syllables approximated as VOWEL GROUPS
+    * (maximal [aeiouy]+ runs, min 1 per word — the standard
+    * dictionary-free approximation), and
+    *   flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words).
+    * All three counts are exact integers from regexp matches (narrow,
+    * codegen'd, engine-replayable); the score is one fixed-order
+    * double expression rounded to 6. Blank docs report zeros and a
+    * null score. Returns
+    * df + [n_sentences, n_words, n_syllables, flesch]. */
+  def readability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = tokensCol(text)
+    val nWords = when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val nSent = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    // vowel groups per word, min 1 — summed via one corpus-wide extract
+    val syl = when(nWords === 0L, lit(0L)).otherwise(
+      aggregate(toks, lit(0L), (acc, w) =>
+        acc + greatest(
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"),
+          lit(1L))))
+    df
+      .withColumn("n_sentences", when(nWords === 0L, lit(0L)).otherwise(nSent))
+      .withColumn("n_words", nWords)
+      .withColumn("n_syllables", syl)
+      .withColumn("flesch",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double")
+                / col("n_sentences").cast("double"))
+              - lit(84.6) * (col("n_syllables").cast("double")
+                / col("n_words").cast("double")), 6)))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length, repetition ratio (1 - distinct/total tokens); composite
     * `quality` in [0,1] combining the standard heuristics. */
