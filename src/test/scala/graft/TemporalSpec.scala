@@ -173,6 +173,34 @@ class TemporalSpec extends SparkSpec {
       Seq((1L, "s1", 4L), (2L, "s2", 1L), (3L, "s3", 1L)))
   }
 
+  test("funnelTiming: hand-computed whole-second deltas, median/p90/mean") {
+    val e = ev(
+      // user 1: s1 -> s2 in 100 s, s2 -> s3 in 50 s
+      (0L, 1L, 1000 * S, "s1", 0.0), (1L, 1L, 1100 * S, "s2", 0.0),
+      (2L, 1L, 1150 * S, "s3", 0.0),
+      // user 2: s1 -> s2 in 300 s, never s3
+      (3L, 2L, 1000 * S, "s1", 0.0), (4L, 2L, 1300 * S, "s2", 0.0),
+      // user 3: s1 -> s2 in 200 s
+      (5L, 3L, 1000 * S, "s1", 0.0), (6L, 3L, 1200 * S, "s2", 0.0),
+      // user 4: s1 only — contributes to no transition
+      (7L, 4L, 1000 * S, "s1", 0.0))
+    val t = Temporal.funnelTiming(e, Seq("s1", "s2", "s3"),
+        7 * Temporal.NsPerDay)
+      .orderBy("step_from").collect()
+    assert(t.length === 2)
+    val t12 = t(0)
+    assert(t12.getAs[Long]("step_from") === 1L &&
+      t12.getAs[Long]("step_to") === 2L &&
+      t12.getAs[Long]("n_users") === 3L)
+    // deltas {100, 200, 300}: median 200, p90 interpolated 280, mean 200
+    assert(t12.getAs[Double]("median_s") === 200.0)
+    assert(t12.getAs[Double]("p90_s") === 280.0)
+    assert(t12.getAs[Double]("mean_s") === 200.0)
+    val t23 = t(1)
+    assert(t23.getAs[Long]("n_users") === 1L &&
+      t23.getAs[Double]("median_s") === 50.0)
+  }
+
   test("funnel skew cap: exact when within cap, bounded and conservative when hot") {
     val e = ev(
       (0L, 1L, 1000 * S, "s1", 0.0), (1L, 1L, 2000 * S, "s2", 0.0),
