@@ -3072,6 +3072,16 @@ object SparkEntry {
           coalesce(col("flesch"), lit(-1000.0)).as("flesch"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: readability AT INGEST — a pure per-row projection,
+    // unchanged on the stream, under the batch SQL
+    "text_readability_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        graft.pipeline.TextAnalysis.readability(st)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_sentences"), col("n_words"), col("n_syllables"),
+            coalesce(col("flesch"), lit(-1000.0)).as("flesch"))
+      }.orderBy(col("doc_id"))
+    }),
     // LLM pipeline: SOFT dedup — duplicate-count-weighted sampling
     // (keep prob = 1/n per exact-dup group: one expected survivor per
     // group, no privileged copy — the unbiased alternative to
@@ -3949,6 +3959,7 @@ object SparkEntry {
       KnnGraphK, BfsSeeds, BfsMaxHops, SemCells, 4, PqSubspaces,
       PqCentroids, AnnSample, dim = 64, refine = KnnRefine),
     "text_readability" -> graft.pipeline.PipelineSql.textReadability,
+    "text_readability_stream" -> graft.pipeline.PipelineSql.textReadability,
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_quality_stream" -> graft.pipeline.PipelineSql.textQuality(
