@@ -3460,6 +3460,18 @@ object SparkEntry {
           steps = FunnelSteps, horizonNs = FunnelHorizonNs)
         .orderBy(col("step"))
     }),
+    // event analytics: RFM segmentation — per-user recency/frequency/
+    // monetary scored 1-3 by fixed business-rule cuts (never an ntile
+    // global sort), 3-digit segment code; one per-user aggregation
+    "events_rfm" -> ((s, dir) => {
+      graft.pipeline.Temporal.rfm(
+          graft.pipeline.Temporal.readEvents(s, dir),
+          col("event_type") === "purchase")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("recency_days"), col("frequency"), col("monetary"),
+          col("r"), col("f"), col("m"), col("segment"))
+        .orderBy(col("user_id"))
+    }),
     // event analytics: funnel STEP TIMING — median/p90/mean
     // whole-second deltas per completed transition (the "how long do
     // conversions take" half of the funnel report); same one per-user
@@ -4477,6 +4489,8 @@ object SparkEntry {
     "events_funnel" -> graft.pipeline.TemporalSql.funnel(FunnelSteps, FunnelHorizonNs),
     "events_funnel_timing" -> graft.pipeline.TemporalSql.funnelTiming(
       FunnelSteps, FunnelHorizonNs),
+    "events_rfm" -> graft.pipeline.TemporalSql.rfm(
+      "purchase", 30L, 90L, 3L, 10L, 100.0, 1000.0),
     "events_funnel_capped" -> graft.pipeline.TemporalSql.funnelCapped(
       FunnelSteps, FunnelHorizonNs, FunnelCap),
     "events_funnel_stream" -> graft.pipeline.TemporalSql.funnel(

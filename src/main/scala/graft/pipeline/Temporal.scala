@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -409,6 +409,47 @@ object Temporal {
         round(avg(col("delta_s")), 6).as("mean_s"))
       .select(col("step_from"), (col("step_from") + 1L).as("step_to"),
         col("n_users"), col("median_s"), col("p90_s"), col("mean_s"))
+  }
+
+  /** RFM segmentation — the classic event-analytics customer split:
+    * per user over the `conv` events, Recency (whole days since last,
+    * integer floor-div against the corpus max ts — the "now" of the
+    * snapshot), Frequency (count) and Monetary (DECIMAL-exact value
+    * sum, rounded 6), each scored 1–3 by fixed business-rule cuts
+    * (fixed thresholds, NOT corpus quantiles — an ntile over every
+    * user is a global sort, the anti-pattern; rule cuts are also what
+    * production RFM actually ships), composed into the 3-digit
+    * `segment` code (333 = champion). ONE map-side-combined per-user
+    * aggregation + a broadcast 1-row max; scores are narrow CASEs on
+    * exact integers / the ROUNDED monetary. Returns
+    * [user_id, recency_days, frequency, monetary, r, f, m, segment]. */
+  def rfm(events: DataFrame, conv: Column,
+      recencyCuts: (Long, Long) = (30L, 90L),
+      freqCuts: (Long, Long) = (3L, 10L),
+      monCuts: (Double, Double) = (100.0, 1000.0)): DataFrame = {
+    val purch = events.filter(conv)
+    val now = purch.agg(max(col("ts"))).head().getLong(0)
+    val base = purch.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("monetary"))
+      .select(col("user_id"),
+        expr(s"CAST(($now - __last) DIV $NsPerDay AS BIGINT)")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+    base
+      .withColumn("r",
+        when(col("recency_days") <= recencyCuts._1, 3L)
+          .when(col("recency_days") <= recencyCuts._2, 2L).otherwise(1L))
+      .withColumn("f",
+        when(col("frequency") >= freqCuts._2, 3L)
+          .when(col("frequency") >= freqCuts._1, 2L).otherwise(1L))
+      .withColumn("m",
+        when(col("monetary") >= monCuts._2, 3L)
+          .when(col("monetary") >= monCuts._1, 2L).otherwise(1L))
+      .withColumn("segment",
+        col("r") * 100L + col("f") * 10L + col("m"))
   }
 
   /** Range join without explosion: all (left, right) pairs of the same

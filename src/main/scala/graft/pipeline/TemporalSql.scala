@@ -188,6 +188,40 @@ object TemporalSql {
       selects.mkString("\nUNION ALL\n") + "\nORDER BY step")
   }
 
+  /** Mirrors [[Temporal.rfm]]: per-user recency (integer `//` days vs
+    * the scalar-subquery corpus max), count, DECIMAL-exact monetary
+    * (rounded 6 BEFORE the cut comparisons — the rank-on-rounded
+    * recipe), fixed business-rule score cuts, 3-digit segment code. */
+  def rfm(convType: String, r1: Long, r2: Long, f1: Long, f2: Long,
+      m1: Double, m2: Double): String =
+    s"""WITH e0 AS ($e),
+       |p AS (SELECT user_id, tsn, value FROM e0
+       |      WHERE event_type = '$convType'),
+       |u AS (SELECT user_id, max(tsn) AS last_ts,
+       |             CAST(count(*) AS BIGINT) AS frequency,
+       |             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |               AS monetary
+       |      FROM p GROUP BY 1),
+       |s AS (SELECT user_id,
+       |             CAST(((SELECT max(tsn) FROM p) - last_ts)
+       |               // 86400000000000 AS BIGINT) AS recency_days,
+       |             frequency, monetary
+       |      FROM u),
+       |sc AS (SELECT user_id, recency_days, frequency, monetary,
+       |         CAST(CASE WHEN recency_days <= $r1 THEN 3
+       |                   WHEN recency_days <= $r2 THEN 2
+       |                   ELSE 1 END AS BIGINT) AS r,
+       |         CAST(CASE WHEN frequency >= $f2 THEN 3
+       |                   WHEN frequency >= $f1 THEN 2
+       |                   ELSE 1 END AS BIGINT) AS f,
+       |         CAST(CASE WHEN monetary >= $m2 THEN 3
+       |                   WHEN monetary >= $m1 THEN 2
+       |                   ELSE 1 END AS BIGINT) AS m
+       |       FROM s)
+       |SELECT CAST(user_id AS BIGINT) AS user_id, recency_days, frequency,
+       |       monetary, r, f, m, r * 100 + f * 10 + m AS segment
+       |FROM sc ORDER BY user_id""".stripMargin
+
   /** Mirrors [[Temporal.funnelTiming]]: the same t0..tN chain, one
     * delta row per completed transition (whole-second integer `//`
     * floor-div BEFORE any statistic), quantile_cont interpolation on
