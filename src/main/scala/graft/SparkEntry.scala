@@ -2655,6 +2655,18 @@ object SparkEntry {
           col("phash_hex"), col("b0"), col("b1"), col("b2"), col("b3"))
         .orderBy(col("media_id"), col("frame_index"))
     }),
+    // streaming: per-frame video hashes AT INGEST — decode + per-frame
+    // dHash is a pure per-row flatMap, unchanged on the stream
+    "multimodal_video_fp_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        graft.pipeline.Multimodal.videoPhash(st.select(
+            col("doc_id").cast("long").as("media_id"),
+            videoFpPayload(col("doc_id")).as("payload")))
+          .select(col("media_id"),
+            col("frame_index").cast("long").as("frame_index"),
+            col("phash_hex"), col("b0"), col("b1"), col("b2"), col("b3"))
+      }.orderBy(col("media_id"), col("frame_index"))
+    }),
     // multimodal: VIDEO near-dup pairs — same-index frames block on
     // (frame, band, bucket) with the bucket cap, exact per-frame
     // Hamming verify, per-pair rollup (matched frames + min distance);
@@ -4185,6 +4197,8 @@ object SparkEntry {
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,
     "multimodal_video_fp" -> graft.pipeline.PipelineSql.multimodalVideoFp,
+    "multimodal_video_fp_stream" ->
+      graft.pipeline.PipelineSql.multimodalVideoFp,
     "multimodal_video_pairs" -> graft.pipeline.PipelineSql
       .multimodalVideoPairs(PhashPlants, PhashIdOffset, PhashMaxHamming),
     "multimodal_audio_fp" -> graft.pipeline.PipelineSql.multimodalAudioFp,

@@ -419,6 +419,30 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"exact dedup lost map-side combine:\n$p")
   }
 
+  test("softDedup: hash-agg + key join + narrow filter — no window, no cartesian") {
+    val p = executedPlan(Sampling.softDedup(docsDF, salt = "s"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"softDedup picked a window/cartesian plan:\n$p")
+    assert(p.contains("HashAggregate"), s"softDedup lost map-side combine:\n$p")
+  }
+
+  test("readability is one narrow codegen projection — zero exchanges, no UDF") {
+    val p = executedPlan(TextAnalysis.readability(docsDF))
+    assert(!p.contains("Exchange"), s"readability plan shuffles:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"readability fell out of codegen:\n$p")
+  }
+
+  test("rfm: single keyed aggregate, fixed-rule scores — no window, no ntile") {
+    import spark.implicits._
+    val ev = (0 until 60).map(i => (i.toLong % 7, "purchase",
+      1000000000000000L + i.toLong * 86400000000000L, 10.0 + i))
+      .toDF("user_id", "event_type", "ts", "value")
+    val p = executedPlan(Temporal.rfm(ev, col("event_type") === "purchase"))
+    assert(!p.contains("Window"), s"rfm plan uses a window:\n$p")
+    assert(p.contains("HashAggregate"), s"rfm lost map-side combine:\n$p")
+  }
+
   test("knnClassify broadcasts the train seed set — the corpus never shuffles against it") {
     val p = executedPlan(Ann.knnClassify(
       embDF.filter(col("vec_id") < 10), embDF.filter(col("vec_id") >= 10), k = 3))
