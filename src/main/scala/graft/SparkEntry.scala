@@ -2375,6 +2375,15 @@ object SparkEntry {
           coalesce(round(col("cosine"), 6), lit(-1.0)).as("cosine"))
         .orderBy(col("source"))
     }),
+    // streaming: the drift gate LIVE — v1 centroids are the batch
+    // artifact, arriving v2 vectors perturb + project at ingest, the
+    // sink runs the same centroid/cosine compare; same oracle
+    "embed_drift_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.embedDriftServe(s, dir)
+        .select(col("g").as("source"),
+          coalesce(round(col("cosine"), 6), lit(-1.0)).as("cosine"))
+        .orderBy(col("source"))
+    }),
     // per-source embedding centroid similarity map — "which sources are
     // embedding-redundant": DECIMAL-sum positional means per source
     // (order-proof), then the bounded 20×20 broadcast cosine matrix
@@ -4272,6 +4281,7 @@ object SparkEntry {
     "ml_knn_stream" -> graft.pipeline.PipelineSql.knnClassify(KnnQueries, KnnK),
     "embed_source_sim" -> graft.pipeline.PipelineSql.sourceCentroidSim,
     "embed_drift" -> graft.pipeline.PipelineSql.embedDrift,
+    "embed_drift_stream" -> graft.pipeline.PipelineSql.embedDrift,
     "embed_source_sim_stream" -> graft.pipeline.PipelineSql.sourceCentroidSim,
     "ml_logreg" -> graft.pipeline.PipelineSql.mlLogreg(iters = 3, lr = 1e-5),
     "ml_calibration" -> graft.pipeline.PipelineSql.mlCalibration(iters = 3,

@@ -208,21 +208,34 @@ object Ann {
     * groups-sized join — no corpus-wide shuffle beyond the means.
     * Returns [g, cosine]. */
   def groupCentroidDrift(embA: DataFrame, embB: DataFrame,
-      groupCol: String, vecCol: String = "embedding"): DataFrame = {
-    def cents(e: DataFrame): DataFrame =
-      groupPoints(e, groupCol, vecCol)
-        .groupBy(col("g"), col("pos"))
-        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy(col("g"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("g"), transform(col("pm"), p => p.getField("m")).as("cv"))
-    cents(embA).withColumnRenamed("cv", "va")
-      .join(cents(embB).withColumnRenamed("cv", "vb"), Seq("g"), "full_outer")
+      groupCol: String, vecCol: String = "embedding"): DataFrame =
+    driftFromCentroids(
+      centroidsOf(groupPoints(embA, groupCol, vecCol)),
+      centroidsOf(groupPoints(embB, groupCol, vecCol)))
+
+  /** DECIMAL-mean centroid assembly over a (g, pos, x) points table —
+    * the aggregation half shared by [[groupCentroidDrift]] and the
+    * streamed twin (StreamReplay.embedDriftServe, which runs the
+    * narrow [[groupPoints]] projection at ingest and this at the
+    * sink). Returns [g, cv]. */
+  private[graft] def centroidsOf(points: DataFrame): DataFrame =
+    points
+      .groupBy(col("g"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("g"), transform(col("pm"), p => p.getField("m")).as("cv"))
+
+  /** The compare half of [[groupCentroidDrift]]: full-outer on the
+    * group key, full-double cosine, null for one-sided groups. */
+  private[graft] def driftFromCentroids(ca: DataFrame,
+      cb: DataFrame): DataFrame =
+    ca.withColumnRenamed("cv", "va")
+      .join(cb.withColumnRenamed("cv", "vb"), Seq("g"), "full_outer")
       .select(col("g"),
         when(col("va").isNotNull && col("vb").isNotNull,
           cosineDouble(col("va"), col("vb"))).as("cosine"))
-  }
 
   /** Hybrid retrieval: BM25 candidate generation + vector-PRF rerank —
     * the production RAG serving pattern where lexical recall feeds a

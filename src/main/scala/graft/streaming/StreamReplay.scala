@@ -505,6 +505,37 @@ object StreamReplay {
       threshold, maxBucketSize)
   }
 
+  /** Streamed embedding drift (the embed_drift twin): v1 centroids are
+    * the BATCH artifact (groups-sized — broadcastable at any corpus
+    * size); arriving v2 vectors resolve their source, apply the
+    * fixture perturbation and run the narrow (g, pos, x) projection
+    * ([[graft.pipeline.Ann.groupPoints]]) AT INGEST; the sink runs the
+    * SAME DECIMAL-mean centroid assembly + full-double cosine compare
+    * as the batch operator. Gated by the batch embed_drift SQL. */
+  def embedDriftServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Ann
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("vec_id"), col("source"))
+    val v1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(src, Seq("vec_id"))
+    val c1 = Ann.centroidsOf(Ann.groupPoints(v1, "source"))
+    val stream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+    val v2 = stream.join(broadcast(src), Seq("vec_id"))
+      .filter(!col("source").rlike("^src1$"))
+      .withColumn("embedding",
+        when(col("source").rlike("[02468]$"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.5f)),
+            slice(col("embedding"), 2, 1000000)))
+          .otherwise(col("embedding")))
+    val qname = s"graft_replay_embdrift_${counter.incrementAndGet()}"
+    val q = Ann.groupPoints(v2, "source")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Ann.driftFromCentroids(c1, Ann.centroidsOf(drainSink(spark, qname)))
+  }
+
   /** Streamed language ID — the stopword-vote classifier as an
     * ingest-time gate: a pure per-row expression (no state, no
     * shuffle), so the streaming form IS the batch operator applied to
