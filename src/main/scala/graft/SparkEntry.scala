@@ -3112,6 +3112,25 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("dup_count"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: soft dedup AT INGEST — the per-fingerprint group
+    // counts are the batch-side index (the incrementalExact artifact
+    // shape: corpus-sized, plain stream-static equi-join on the hash
+    // key, never force-broadcast); the 1/n keep decision is a pure
+    // per-row filter at arrival. Same oracle as the batch row.
+    "sample_dedup_weighted_stream" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(graft.pipeline.TextAnalysis.fingerprintCol(col("text"))
+          .as("__fp"))
+        .groupBy(col("__fp")).agg(count(lit(1)).as("dup_count"))
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        val keyed = st.select(col("doc_id").cast("long").as("doc_id"),
+          graft.pipeline.TextAnalysis.fingerprintCol(col("text")).as("__fp"))
+        graft.pipeline.Sampling.sampleByRate(
+            keyed.join(counts, Seq("__fp")),
+            lit(1.0) / col("dup_count"), "doc_id", SampleSalt)
+          .select(col("doc_id"), col("dup_count"))
+      }.orderBy(col("doc_id"))
+    }),
     // LLM pipeline: DSIR importance selection — keep the ImportanceTopK
     // docs whose bigram stream is most likely under the TARGET (lang =
     // 'en') LM relative to the raw-corpus LM (Xie et al. 2023); four
@@ -4290,6 +4309,8 @@ object SparkEntry {
       0.1, 0.8, SampleSalt,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "sample_dedup_weighted" ->
+      graft.pipeline.PipelineSql.sampleDedupWeighted(SampleSalt),
+    "sample_dedup_weighted_stream" ->
       graft.pipeline.PipelineSql.sampleDedupWeighted(SampleSalt),
     "sample_importance" -> graft.pipeline.PipelineSql.sampleImportance(
       ImportanceTargetLang, ImportanceTopK, LmAddK),
