@@ -1346,14 +1346,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     // streaming: the URL dedup gate AT INGEST — arriving frontier URLs
-    // canonicalize and resolve against the BROADCAST index in-stream
-    // (stateless stream-static left join); the within-batch half (the
-    // batch-min claim) runs at the sink via the batch's own
-    // resolveIncrementalJoined. Same oracle as dedup_url_incremental.
+    // canonicalize and resolve against the v1 index in-stream
+    // (stateless stream-static left equi-join; the index is
+    // corpus-sized, so it is NOT force-broadcast — the planner
+    // broadcasts only when it fits, the embeddingDedupServe rule); the
+    // within-batch half (the batch-min claim) runs at the sink via the
+    // batch's own resolveIncrementalJoined. Same oracle as
+    // dedup_url_incremental.
     "dedup_url_stream" -> ((s, dir) => {
       val (index, _) = urlIncrementalFixture(s, dir)
-      val bcIdx = broadcast(index.select(col("canonical_url"),
-        col("canonical_id").as("__corpus_canon")))
+      val v1Idx = index.select(col("canonical_url"),
+        col("canonical_id").as("__corpus_canon"))
       val ingested = graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
         val ten = pmod(col("doc_id"), lit(10))
         val parts = st.select(col("doc_id"), explode(array(
@@ -1369,7 +1372,7 @@ object SparkEntry {
           .filter(ten === col("p.sel"))
           .select(col("p.id").as("id"), graft.pipeline.TextAnalysis
             .canonicalUrlCol(col("p.url")).as("canonical_url"))
-        parts.join(bcIdx, Seq("canonical_url"), "left")
+        parts.join(v1Idx, Seq("canonical_url"), "left")
       }
       val firsts = ingested.groupBy(col("canonical_url"))
         .agg(min(col("id")).as("__batch_first"))

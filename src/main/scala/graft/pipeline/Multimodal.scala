@@ -308,6 +308,9 @@ object Multimodal {
     * Multi-channel clips mix down in [[decodeAudio]] (float division —
     * exact for 1/2/4 channels; document-level caveat for 3). */
   def audioDHash(a: DecodedAudio, windows: Int = 65): Option[Long] = {
+    require(windows >= 65,
+      s"audioDHash: windows=$windows but the 64-bit gradient hash reads " +
+        "energy pairs (w, w+1) for w < 64, so windows must be >= 65")
     val n = a.samples.length
     val win = n / windows
     if (win < 1) return None
@@ -337,6 +340,9 @@ object Multimodal {
     * audio near-dup pairs. Undecodable/too-short clips report
     * decoded = false. Returns [media_id, decoded, afp_hex, b0..b3]. */
   def audioFingerprint(media: DataFrame, windows: Int = 65): DataFrame = {
+    require(windows >= 65,
+      s"audioFingerprint: windows=$windows — audioDHash needs >= 65 " +
+        "windows (64 energy-gradient bits read pairs (w, w+1))")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
@@ -815,15 +821,35 @@ object Multimodal {
       .filter(col("n_frames") >= minFrames)
   }
 
-  /** Frame sampling stub: emits `n` evenly-spaced (frame_index, offset)
-    * rows per video payload — the row-explosion plumbing of a real frame
-    * sampler, with the decode itself stubbed to byte offsets. */
+  /** REAL evenly-spaced frame sampling over the concatenated-P6 video
+    * container: walk the actual frame stream ([[decodeVideoFrames]] —
+    * no byte-offset guessing), keep the `n` frames at indices
+    * ⌊i·F/n⌋ (deduplicated when the clip has fewer than `n` frames),
+    * and report each kept frame's real dimensions. One narrow
+    * mapPartitions — decoded rasters never leave their partition; a
+    * payload that decodes to zero frames emits zero rows (undecodable
+    * media is invisible to downstream, the media-pipeline norm).
+    * Returns [media_id, frame_index, n_frames, width, height]. */
   def sampleFrames(media: DataFrame, n: Int = 4): DataFrame = {
+    require(n >= 1, s"sampleFrames: n=$n must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
     media.filter(col("kind") === "video" || col("kind") === "image")
-      .select(col("media_id"), length(col("payload")).as("sz"),
-        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("_i", "frame_index")))
-      .select(col("media_id"), col("frame_index"),
-        (col("frame_index").cast("long") * col("sz") / n).as("byte_offset"))
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames = decodeVideoFrames(bytes)
+          val f = frames.size
+          if (f == 0) Iterator.empty
+          else (0 until n).map(i => (i.toLong * f / n).toInt).distinct
+            .map { idx =>
+              val img = frames(idx)
+              (id, idx, f, img.width, img.height)
+            }
+        }
+      }
+      .toDF("media_id", "frame_index", "n_frames", "width", "height")
   }
 
   /** REAL frame walk for the concatenated-P6 "video" container (the

@@ -294,11 +294,11 @@ object PipelineSql {
        |                / count(*) AS m
        |       FROM p2 GROUP BY 1, 2),
        |c2 AS (SELECT g, list(m ORDER BY pos) AS vb FROM m2 GROUP BY 1)
-       |SELECT c1.g AS source,
-       |       CASE WHEN c2.vb IS NULL THEN -1.0
+       |SELECT coalesce(c1.g, c2.g) AS source,
+       |       CASE WHEN c1.va IS NULL OR c2.vb IS NULL THEN -1.0
        |            ELSE round(list_cosine_similarity(c1.va, c2.vb), 6)
        |       END AS cosine
-       |FROM c1 LEFT JOIN c2 ON c2.g = c1.g
+       |FROM c1 FULL OUTER JOIN c2 ON c2.g = c1.g
        |ORDER BY source""".stripMargin
 
   /** Mirrors Ann.lshTopK end to end: md5-derived hyperplane components

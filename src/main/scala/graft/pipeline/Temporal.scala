@@ -428,7 +428,10 @@ object Temporal {
       freqCuts: (Long, Long) = (3L, 10L),
       monCuts: (Double, Double) = (100.0, 1000.0)): DataFrame = {
     val purch = events.filter(conv)
-    val now = purch.agg(max(col("ts"))).head().getLong(0)
+    val nowRow = purch.agg(max(col("ts"))).head()
+    require(!nowRow.isNullAt(0),
+      "rfm: no conversion events match the predicate — recency is undefined")
+    val now = nowRow.getLong(0)
     val base = purch.groupBy(col("user_id"))
       .agg(max(col("ts")).as("__last"),
         count(lit(1)).as("frequency"),

@@ -469,8 +469,31 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(feats(0L).sum - 1.0f) < 1e-5)
     assert(feats(5L).sum === 0.0f)            // empty payload
 
-    val frames = Multimodal.sampleFrames(media.withColumn("kind", lit("video")), n = 4)
-    assert(frames.filter(col("media_id") === 0).count() === 4)
+    // real frame sampling: an 8-frame concatenated-P6 clip sampled at
+    // n=4 keeps exactly frames {0, 2, 4, 6} with their true dimensions
+    val ppm = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("P6\n2 1\n255\n".getBytes("US-ASCII"))
+      out.write(Array[Byte](10, 20, 30, 40, 50, 60))
+      out.toByteArray
+    }
+    val clip = Array.fill(8)(ppm).reduce(_ ++ _)
+    val vids = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L, clip, "video")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType))))
+    val frames = Multimodal.sampleFrames(vids, n = 4).collect()
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2, 4, 6))
+    assert(frames.forall(r => r.getInt(2) == 8 && r.getInt(3) == 2
+      && r.getInt(4) == 1))
+    // text payloads aren't P6 — zero frames, zero rows, no crash
+    assert(Multimodal.sampleFrames(
+      media.withColumn("kind", lit("video")), n = 4).count() === 0)
   }
 
   test("multimodal -> ANN composition: stub features feed the similarity path") {
