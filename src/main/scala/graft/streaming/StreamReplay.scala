@@ -121,8 +121,23 @@ object StreamReplay {
 
   /** Run `op` on a file-source replay of `$dir/events.parquet`, await
     * completion, return the memory-sink contents as a local batch
-    * DataFrame (callers filter their own sentinel artifacts). */
-  private def replay(spark: SparkSession, dir: String)
+    * DataFrame (callers filter their own sentinel artifacts).
+    *
+    * `filesPerTrigger` controls micro-batch granularity. The default 1
+    * delivers events, sentinel A, and sentinel B in three separate
+    * batches — required by ARRIVAL-ORDER-SENSITIVE operators (the
+    * sessionize gap-split, flatMapGroupsWithState machines) whose
+    * within-batch behavior differs from across-batch. Operators whose
+    * output is chunking-INDEPENDENT — watermarked window aggregations
+    * (the no-data batch after the last file advances the watermark and
+    * flushes every closed window) and stream-stream inner joins
+    * (matches emit at match time) — pass a value covering all staged
+    * files and pay ONE micro-batch of machinery instead of three
+    * (events_range_join_stream measured 10.7 s → the join plan's real
+    * cost; the oracle gate is unchanged, so the equivalence is
+    * certified, not assumed). */
+  private def replay(spark: SparkSession, dir: String,
+      filesPerTrigger: Int = 1)
       (op: DataFrame => DataFrame): DataFrame = {
     val tzKey = "spark.sql.session.timeZone"
     val prevTz = spark.conf.get(tzKey)
@@ -130,7 +145,7 @@ object StreamReplay {
     try {
       val stage = stageDir(spark, dir)
       val stream = spark.readStream.schema(eventSchema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(stage.toString)
       val qname = s"graft_replay_${counter.incrementAndGet()}"
       val q = op(stream).writeStream.format("memory").queryName(qname)
@@ -1070,7 +1085,7 @@ object StreamReplay {
     require(widthNs % 1000000000L == 0, "window width must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val win = replay(spark, dir) { ev =>
+    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
       StreamingPipeline.eventWindowCounts(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${widthNs / 1000000000L} seconds",
@@ -1092,7 +1107,7 @@ object StreamReplay {
       "window width/slide must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val win = replay(spark, dir) { ev =>
+    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
       StreamingPipeline.eventHoppingCounts(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${widthNs / 1000000000L} seconds",
@@ -1114,7 +1129,7 @@ object StreamReplay {
     require(bucketNs % 1000000000L == 0, "bucket width must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val out = replay(spark, dir) { ev =>
+    val out = replay(spark, dir, filesPerTrigger = 3) { ev =>
       StreamingPipeline.ohlcStream(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${bucketNs / 1000000000L} seconds",
@@ -1133,7 +1148,7 @@ object StreamReplay {
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val dau = replay(spark, dir) { ev =>
+    val dau = replay(spark, dir, filesPerTrigger = 3) { ev =>
       StreamingPipeline.activeUsersExactStream(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = "1 day", watermark = "1 day")
@@ -1173,7 +1188,7 @@ object StreamReplay {
       rightType: String, windowNs: Long): DataFrame = {
     require(windowNs % 1000000000L == 0, "join window must be whole seconds")
     val wSec = windowNs / 1000000000L
-    val out = replay(spark, dir) { ev =>
+    val out = replay(spark, dir, filesPerTrigger = 3) { ev =>
       val base = ev.withColumn("ets", col("ts").cast(TimestampType))
       val l = base.where(col("event_type") === leftType)
         .select(col("user_id").as("l_user"),
@@ -1229,7 +1244,7 @@ object StreamReplay {
     * integer counts, so the split is exact. Gated by the batch
     * events_topk oracle. */
   def topUsers(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val win = replay(spark, dir) { ev =>
+    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
       ev.withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
@@ -1275,7 +1290,7 @@ object StreamReplay {
     * row. Integer counts ⇒ the split is exact. */
   def heavyHitters(spark: SparkSession, dir: String,
       factor: Double): DataFrame = {
-    val win = replay(spark, dir) { ev =>
+    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
       ev.withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
