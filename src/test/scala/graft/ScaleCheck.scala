@@ -43,7 +43,14 @@ object ScaleCheck {
     // rows — the fast loop when re-measuring a family subset's fixtures
     only = args.collectFirst { case a if a.startsWith("only=") =>
       a.stripPrefix("only=").split(',').toSeq }
-    for (r <- Seq(1, 4, 16) if !bpeOnly) {
+    // `reps=16,64,256` overrides the replication ladder — the 64×–256×
+    // certification runs (1.28M docs / 25.6M events at 256×) pair this
+    // with only= so one sweep measures the headline families, not the
+    // whole 60-entry suite; bump SPARK_DRIVER_MEM for 256×
+    val reps = args.collectFirst { case a if a.startsWith("reps=") =>
+      a.stripPrefix("reps=").split(',').toSeq.map(_.trim.toInt) }
+      .getOrElse(Seq(1, 4, 16))
+    for (r <- reps if !bpeOnly) {
       val docsR = (0 until r).map { i =>
         base
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
@@ -545,6 +552,42 @@ object ScaleCheck {
           graft.pipeline.Dedup.incrementalEmbedding(idx, batch,
             threshold = 0.9).count()
         },
+        entry("wordpiece_train 8 rounds (likelihood argmax)") {
+          // same scaling contract as bpe_train: ONE corpus-proportional
+          // word-count shuffle, rounds on the Zipf-bounded word table
+          graft.pipeline.WordPiece.train(docsR, numMerges = 8).count()
+        },
+        entry("ann_ivfpq_serve (fixed queries, growing index)") {
+          // the serving shape: index BUILD grows with the corpus, the
+          // query fan-out is fixed — per-query work must stay bounded
+          // because cells scale with the corpus (16·r keeps cell size
+          // flat, the graph_knn_routed contract)
+          graft.pipeline.Ann.ivfPqTopK(embR,
+            embBase.filter(col("vec_id") < 50), k = 10,
+            numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
+            iters = 3).count()
+        },
+        entry("curation_ingest (composed gate)") {
+          // the curation_ingest entry's chain on the replicated corpus:
+          // gopher rules -> corpus-trained LM ppl -> per-lang CCNet
+          // terciles -> deterministic bucket-rate keep; every stage is
+          // one narrow projection or one map-side-combined shuffle
+          import graft.pipeline.{Sampling, TextAnalysis}
+          val passing = TextAnalysis.gopherRules(docsR, minWords = 5,
+              maxWords = 200, minStopwords = 1)
+            .filter(col("keep"))
+          val ppl = TextAnalysis.lmPerplexity(docsR)
+            .join(docsR.select(col("doc_id"), col("lang")), "doc_id")
+            .join(passing.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          val th = TextAnalysis.ccnetThresholdsFromPpl(ppl)
+          val bucketed = TextAnalysis.bucketWithThresholds(
+            ppl.select(col("doc_id"), col("lang"), col("ppl")), th)
+          val rate = Seq("head" -> 0.9, "middle" -> 0.5, "tail" -> 0.1)
+            .foldLeft(lit(0.0)) { case (acc, (b, rr)) =>
+              when(col("bucket") === b, lit(rr)).otherwise(acc)
+            }
+          Sampling.sampleByRate(bucketed, rate, "doc_id", "scale").count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
@@ -614,11 +657,12 @@ object ScaleCheck {
     // grows (the replace stack is cut every `checkpointEvery` rounds —
     // without that cut, round k re-runs k replaces and sec/merge grows
     // linearly, the O(M²) trend the round-5 verdict flagged).
-    for (m <- Seq(8, 16, 32)) {
-      val sec = time { graft.pipeline.Bpe.train(base, numMerges = m).count() }
-      println(f"SCALE bpe_train merges=$m%3d  total ${sec}%8.2f s  ${sec / m}%8.3f s/merge")
-      spark.catalog.clearCache()
-    }
+    if (bpeOnly || only.forall(_.exists("bpe_merges".contains(_))))
+      for (m <- Seq(8, 16, 32)) {
+        val sec = time { graft.pipeline.Bpe.train(base, numMerges = m).count() }
+        println(f"SCALE bpe_train merges=$m%3d  total ${sec}%8.2f s  ${sec / m}%8.3f s/merge")
+        spark.catalog.clearCache()
+      }
     spark.stop()
   }
 }
