@@ -1,0 +1,293 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for IVF cell routing — the assignment /
+  * probe / PQ-encode inner loops that every IVF(-PQ) build and query
+  * pass runs once per corpus or query vector.
+  *
+  * These replace Scala UDFs over boxed Seq[Float]: with cells scaling
+  * proportionally to the corpus (the flat-cell-size contract of
+  * [[graft.pipeline.Ann.knnGraphRouted]]), the exact-assignment pass is
+  * n·numCentroids·dim multiply-adds — the dominant super-linear term of
+  * the routed build — and the UDF boxing multiplied its constant by ~6×
+  * (the [[AdcDistance]] lesson; ScaleCheck measured graph_knn_routed
+  * FALLING from 1982 to 1319 rows/s between 16× and 64× replication
+  * with the UDF, rising after this replacement). The generated code
+  * reads floats straight out of columnar ArrayData against a referenced
+  * float[][] codebook and stays inside whole-stage codegen.
+  *
+  * Arithmetic contract (every `ann_*` / `graph_bfs_routed` /
+  * `dedup_semantic`-family oracle row depends on it): per-centroid
+  * squared-L2 partials accumulate in DOUBLE over double-widened floats
+  * in index order, the loop bound is min(vector, centroid) length, and
+  * ties resolve to the LOWER centroid index — the exact loops of the
+  * driver-side `Ann.nearestCentroid` / `Ann.centroidsByDistance` these
+  * mirror, so assignment cannot drift between training and serving. */
+object CellRouting {
+  /** Shared interpreted L2 between an ArrayData float vector (from
+    * `off`, `len` elements) and a centroid, the engine's sequential
+    * double-widened fold. */
+  private[functions] def l2(v: ArrayData, off: Int, len: Int,
+      cc: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    val lim = math.min(len, cc.length)
+    while (i < lim) {
+      val x = v.getFloat(off + i).toDouble - cc(i).toDouble
+      d += x * x
+      i += 1
+    }
+    d
+  }
+}
+
+/** Index of the L2-nearest centroid (ties → lower index) — the IVF cell
+  * assignment of [[graft.pipeline.Ann.buildIvfPq]] / `ivfTopK` /
+  * `trainCentroidsDistributed`. */
+case class NearestCell(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell requires array<float>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = CellRouting.l2(v, 0, n, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cellCents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val x = ctx.freshName("x")
+      s"""
+        final int $n = $v.numElements();
+        int $best = 0;
+        double $bestD = Double.MAX_VALUE;
+        for (int $c = 0; $c < $cb.length; $c++) {
+          final float[] $cc = $cb[$c];
+          final int $lim = Math.min($n, $cc.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $lim; $i++) {
+            final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+            $d += $x * $x;
+          }
+          if ($d < $bestD) { $bestD = $d; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** Indices of the `nprobe` L2-nearest centroids ordered by
+  * (distance, index) — the multi-cell probe routing of
+  * [[graft.pipeline.Ann.queryIvfPqCandidates]] / `ivfTopK`. The
+  * (distance, index) order replicates the stable `sortBy(_._2).take(n)`
+  * of the driver-side `Ann.centroidsByDistance` exactly: equal
+  * distances keep ascending index order, and an insertion tied with the
+  * current worst of a full shortlist is rejected (the earlier index is
+  * already ranked ahead of it). */
+case class CentroidProbes(child: Expression, cents: Array[Array[Float]],
+    nprobe: Int) extends UnaryExpression {
+
+  require(nprobe >= 1, s"graft_centroid_probes: nprobe=$nprobe must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_centroid_probes requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_centroid_probes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val cap = math.min(nprobe, cents.length)
+    val bd = new Array[Double](cap)
+    val bi = new Array[Int](cap)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val d = CellRouting.l2(v, 0, n, cents(c))
+      if (filled < cap || d < bd(filled - 1)) {
+        var j = if (filled < cap) filled else cap - 1
+        while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bd(j) = d; bi(j) = c
+        if (filled < cap) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("probeCents", cents, "float[][]")
+    val cap = math.min(nprobe, cents.length)
+    val bd = ctx.addMutableState("double[]", "probeBd",
+      v => s"$v = new double[$cap];")
+    val bi = ctx.addMutableState("int[]", "probeBi",
+      v => s"$v = new int[$cap];")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      s"""
+        final int $n = $v.numElements();
+        int $filled = 0;
+        for (int $c = 0; $c < $cb.length; $c++) {
+          final float[] $cc = $cb[$c];
+          final int $lim = Math.min($n, $cc.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $lim; $i++) {
+            final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+            $d += $x * $x;
+          }
+          if ($filled < $cap || $d < $bd[$filled - 1]) {
+            int $j = ($filled < $cap) ? $filled : $cap - 1;
+            while ($j > 0 && $d < $bd[$j - 1]) {
+              $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+            }
+            $bd[$j] = $d; $bi[$j] = $c;
+            if ($filled < $cap) $filled++;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
+    copy(child = newChild)
+}
+
+/** PQ encode: per-subspace index of the L2-nearest sub-codebook entry
+  * (ties → lower index) — the corpus-encode pass of
+  * [[graft.pipeline.Ann.buildIvfPq]]. Subspace width = ⌊dim / m⌋ with
+  * the UDF's exact slice semantics (a trailing remainder is ignored,
+  * slices past the vector end compare over the empty prefix). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = codebooks.length
+    val sub = n / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        // slice length is min(sub, remaining) — Array.slice semantics of
+        // the UDF this replaces (never reads past the vector end)
+        val len = math.min(sub, math.max(0, n - s * sub))
+        val d = CellRouting.l2(v, s * sub, len, cb(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    val m = codebooks.length
+    val out = ctx.addMutableState("int[]", "pqOut",
+      v => s"$v = new int[$m];")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val sub = ctx.freshName("sub")
+      val s = ctx.freshName("s")
+      val scb = ctx.freshName("scb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val cc = ctx.freshName("cc")
+      val len = ctx.freshName("len")
+      val lim = ctx.freshName("lim")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+        final int $n = $v.numElements();
+        final int $sub = $n / $m;
+        for (int $s = 0; $s < $m; $s++) {
+          final float[][] $scb = $cb[$s];
+          int $best = 0;
+          double $bestD = Double.MAX_VALUE;
+          final int $len = Math.min($sub, Math.max(0, $n - $s * $sub));
+          for (int $c = 0; $c < $scb.length; $c++) {
+            final float[] $cc = $scb[$c];
+            final int $lim = Math.min($len, $cc.length);
+            double $d = 0.0;
+            for (int $i = 0; $i < $lim; $i++) {
+              final double $x = (double) $v.getFloat($s * $sub + $i) - (double) $cc[$i];
+              $d += $x * $x;
+            }
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $out[$s] = $best;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($out, $m));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}

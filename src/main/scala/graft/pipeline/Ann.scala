@@ -452,10 +452,8 @@ object Ann {
     var cents = initRows.map(_.getSeq[Float](0).toArray)
     var it = 0
     while (it < iters) {
-      val bC = spark.sparkContext.broadcast(cents)
-      val assignU = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bC.value) }
       val agg = emb
-        .select(assignU(col(vecCol)).as("cell"),
+        .select(nearestCell(col(vecCol), cents).as("cell"),
           transform(col(vecCol), x => x.cast("double")).as("dv"))
         .groupBy(col("cell"))
         .agg(graft.functions.VectorOps.doubleVectorSum(col("dv")).as("s"),
@@ -471,7 +469,6 @@ object Ann {
           next(cell)(i) = (s(i) / n).toFloat; i += 1
         }
       }
-      bC.unpersist(blocking = false)
       cents = next
       it += 1
     }
@@ -617,19 +614,9 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 4, numCentroids: Int = 16, iters: Int = 0,
       sampleSize: Int = 10000): DataFrame = {
-    val spark = corpus.sparkSession
     val cbs = trainPqCodebooks(corpus, vecCol, m, numCentroids, iters, sampleSize, idCol)
-    val bC = spark.sparkContext.broadcast(cbs)
-    val encodeU = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val cb = bC.value
-      val sub = arr.length / cb.length
-      Array.tabulate(cb.length) { s =>
-        nearestCentroid(arr.slice(s * sub, (s + 1) * sub), cb(s))
-      }
-    }
     val c = corpus.select(col(idCol).cast("long").as("id"),
-      encodeU(col(vecCol)).as("codes"))
+      pqEncode(col(vecCol), cbs).as("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
@@ -661,20 +648,17 @@ object Ann {
       idCol = idCol)
     val cbs = trainPqCodebooks(corpus, vecCol, m, pqCentroids, pqIters,
       sampleSize, idCol)
-    val bCells = spark.sparkContext.broadcast(cents)
-    val bCbs = spark.sparkContext.broadcast(cbs)
-    val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bCells.value) }
-    val encodeU = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val cb = bCbs.value
-      val sub = arr.length / cb.length
-      Array.tabulate(cb.length) { s =>
-        nearestCentroid(arr.slice(s * sub, (s + 1) * sub), cb(s))
-      }
-    }
+    // cell assignment + PQ encode as native codegen expressions — the
+    // build pass runs both once per corpus vector, and with cells ∝
+    // corpus (the flat-cell-size contract) the n·numCentroids·dim
+    // assignment is the build's dominant term; the boxed-Seq UDFs these
+    // replaced multiplied its constant ~6× (the AdcDistance lesson,
+    // re-measured on graph_knn_routed at 64×). Same arithmetic, ties to
+    // the lower index — every ann_* oracle row is unchanged.
     IvfPqIndex(cents, cbs,
       corpus.select(col(idCol).cast("long").as("id"),
-        assign(col(vecCol)).as("cell"), encodeU(col(vecCol)).as("codes")))
+        nearestCell(col(vecCol), cents).as("cell"),
+        pqEncode(col(vecCol), cbs).as("codes")))
   }
 
   /** Query a built/loaded [[IvfPqIndex]]: route each query to `nprobe`
@@ -700,12 +684,9 @@ object Ann {
   def queryIvfPqCandidates(index: IvfPqIndex, queries: DataFrame,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
-    val bCells = spark.sparkContext.broadcast(index.cells)
-    val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bCells.value, nprobe) }
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
-      .withColumn("cell", explode(probes(col("qvec"))))
+      .withColumn("cell", explode(centroidProbes(col("qvec"), index.cells, nprobe)))
     q.join(index.codes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc", adc(col("codes"), col("qvec"), index.codebooks))
@@ -723,6 +704,40 @@ object Ann {
     GraftColumnBridge.column(graft.functions.AdcDistance(
       GraftColumnBridge.expression(codes),
       GraftColumnBridge.expression(qvec), codebooks))
+  }
+
+  /** IVF cell assignment as a native codegen expression
+    * ([[graft.functions.NearestCell]]) — the n·numCentroids·dim pass
+    * every IVF build/Lloyd iteration runs per corpus vector; the
+    * boxed-Seq UDF it replaced multiplied the constant ~6× and made the
+    * routed knn-graph build SUBLINEAR in throughput at 64× replication.
+    * Same double-widened sequential L2, ties to the lower index. */
+  private[graft] def nearestCell(vec: Column,
+      cents: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.NearestCell(
+      GraftColumnBridge.expression(vec), cents))
+  }
+
+  /** Multi-probe routing as a native codegen expression
+    * ([[graft.functions.CentroidProbes]]): the query's nprobe nearest
+    * cells ordered by (distance, index) — exactly the stable
+    * [[centroidsByDistance]] order. */
+  private[graft] def centroidProbes(vec: Column, cents: Array[Array[Float]],
+      nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.CentroidProbes(
+      GraftColumnBridge.expression(vec), cents, nprobe))
+  }
+
+  /** PQ corpus encode as a native codegen expression
+    * ([[graft.functions.PqEncode]]): per-subspace L2 argmin with the
+    * exact slice semantics of the UDF it replaced. */
+  private[graft] def pqEncode(vec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(vec), codebooks))
   }
 
   /** IVF-PQ: the production 100 TB ANN architecture as one call —
@@ -790,14 +805,10 @@ object Ann {
         trainCentroidsDistributed(corpus, vecCol, numCentroids, iters, seed, idCol)
       else
         trainCentroids(corpus, vecCol, numCentroids, iters, idCol = idCol, seed = seed)
-    val bC = spark.sparkContext.broadcast(cents)
-    val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bC.value) }
-    val probes = udf { (v: Seq[Float]) => centroidsByDistance(v.toArray, bC.value, nprobe) }
-
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", assign(col("vec")))
+      .withColumn("cell", nearestCell(col("vec"), cents))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("cell", explode(probes(col("qvec"))))
+      .withColumn("cell", explode(centroidProbes(col("qvec"), cents, nprobe)))
 
     val scored = c.join(q, Seq("cell"))
       .filter(col("id") =!= col("query_id"))

@@ -308,6 +308,11 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"),
       s"routed knn graph lost the cell-keyed equi-join:\n$p")
+    // cell assignment / probe routing / PQ encode are native codegen
+    // expressions — a boxed-Seq UDF here made the build throughput FALL
+    // between 16x and 64x replication (ScaleCheck, round 10)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"routed knn graph routing fell back to a UDF:\n$p")
   }
 
   test("tokenBudget plans the keyed two-phase prefix sum — no Window operator") {

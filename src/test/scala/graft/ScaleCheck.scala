@@ -22,6 +22,12 @@ object ScaleCheck {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // shuffle files are only deleted when the driver GCs their RDD
+      // references (ContextCleaner); with a large heap the JVM never
+      // GCs on its own and a 256×-replication sweep fills the local
+      // disk with dead shuffle from earlier blocks (observed: 79 GB
+      // exhausted in the r=256 block). Default periodicGC is 30min.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
