@@ -122,6 +122,8 @@ object SparkEntry {
   private val ArgmaxMargin = 0.002 // mirror top1−top2 margin ≫ parity bound
   private val MmWeights = Map(graft.functions.Rng.DefaultClass -> 1.0, "@lang" -> 2.0)
   private val ThetaTau = -0.5 // SmoothSparseTheta τ (sparsifying)
+  private val LdaAlpha = 0.1 // graft.Lda theta-smoothing hyperparameter
+  private val LdaBeta = 0.05 // graft.Lda phi-smoothing hyperparameter
   private val HartmMargin = 0.005 // mirror psi top1−top2 margin (measured ≥0.01)
   private val TxnK = 3             // k-token transaction fixture size
   private val TxnTypenames = 2
@@ -684,6 +686,22 @@ object SparkEntry {
         val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
         fit.unpersist()
         local
+      })),
+    // §2.4 LDA sugar facade under the oracle: graft.Lda(alpha, beta) with
+    // the reference lda_model.py semantics it mirrors — reuse_theta
+    // FORCED true, SmoothSparseTheta(alpha) + SmoothSparsePhi(beta) —
+    // fit 2 passes from the mirror's md5 init THROUGH THE FACADE (the
+    // user-visible API is what's on the gate); rank-only top tokens vs
+    // the double reuse+regularized DuckDB chain
+    "artm_lda" -> ((s, dir) =>
+      kernelTopTokens(memoized(s, dir, "klda") {
+        val corpus = Corpus.fromDocumentsTable(docs(s, dir))
+        val pwt0 = RelationalEm.toPhiRows(RelationalEm.initPhi(relTok(s, dir), T))
+        val lda = new graft.Lda(s, T, alpha = LdaAlpha.toFloat,
+          beta = LdaBeta.toFloat, numDocumentPasses = 1)
+        lda.internal.restore(pwt0, Nil, None)
+        lda.fitOffline(corpus, Passes)
+        PhiOps.phiFromLocal(s, PhiOps.collectPhi(lda.phi, T))
       })),
     // §2.4 MULTIMODAL class-weighted fit (mirror): text + the lang column
     // as a "@lang" modality at weight 2, per-(class, topic) normalization
@@ -3912,6 +3930,8 @@ object SparkEntry {
       RelationalEmSql.fitOffline(T, Passes, thetaTau = Some(ThetaTau)),
     "artm_fit_smooth_theta_kernel" ->
       RelationalEmSql.topTokensRankOnly(T, Passes, TopK, thetaTau = Some(ThetaTau)),
+    "artm_lda" ->
+      RelationalEmSql.topTokensLdaRankOnly(T, TopK, LdaAlpha, LdaBeta),
     "artm_fit_multimodal" -> RelationalEmSql.fitOfflineMm(T, Passes, MmWeights),
     "artm_sparsity_phi" -> RelationalEmSql.sparsityPhi(T, Passes, RegTaus),
     "artm_predict_class" -> RelationalEmSql.predictClass(T, Passes, MmWeights),

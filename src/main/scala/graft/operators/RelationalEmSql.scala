@@ -906,6 +906,55 @@ object RelationalEmSql {
        |         GROUP BY tpt.doc_id, tpt.topic),
        |thetaR AS (SELECT doc_id, topic, n_td / sum(n_td) OVER (PARTITION BY doc_id) AS th FROM ntdR)""".stripMargin
 
+  /** LDA-facade oracle (graft.Lda ≡ reference python/artm/lda_model.py
+    * semantics: reuse_theta FORCED true + SmoothSparseTheta(alpha) +
+    * SmoothSparsePhi(beta)): a 2-pass fit where pass 1 runs the
+    * regularized offline chain and pass 2's theta initializes from pass
+    * 1's CACHED theta (the [[reuseChain]] structure) with the same
+    * alpha smoothing, phi normalized with the beta smoothing both
+    * passes. Rank-only top-k of the final phi — the float32 kernel
+    * driven through the Lda facade ranks against this double mirror. */
+  def topTokensLdaRankOnly(t: Int, k: Int, alpha: Double,
+      beta: Double): String =
+    s"""WITH ${tokCte()},
+       |${offlineChain("tok", t, 1, Some((beta, 0.0)), Some(alpha))},
+       |tptL AS (
+       |  SELECT t.doc_id, t.token, t.n_dw, t.w, f.topic, f.p, h.th
+       |  FROM tok t JOIN phi1 f ON f.token = t.token
+       |  JOIN theta1 h ON h.doc_id = t.doc_id AND h.topic = f.topic),
+       |pdwaL AS (SELECT doc_id, token, n_dw, sum(p * th) AS p_dw
+       |          FROM tptL GROUP BY doc_id, token, n_dw),
+       |ntdL AS (SELECT tptL.doc_id, tptL.topic,
+       |                sum(tptL.n_dw * tptL.p * tptL.th / r.p_dw) AS n_td
+       |         FROM tptL JOIN pdwaL r
+       |           ON r.doc_id = tptL.doc_id AND r.token = tptL.token
+       |         GROUP BY tptL.doc_id, tptL.topic),
+       |thetaL AS (SELECT doc_id, topic,
+       |                  thr / sum(thr) OVER (PARTITION BY doc_id) AS th
+       |           FROM (SELECT doc_id, topic,
+       |                        greatest(n_td + ($alpha), 0.0) AS thr
+       |                 FROM ntdL)),
+       |pdwbL AS (
+       |  SELECT t.doc_id, t.token, t.n_dw, t.w, sum(f.p * h.th) AS p_dw
+       |  FROM tok t JOIN phi1 f ON f.token = t.token
+       |  JOIN thetaL h ON h.doc_id = t.doc_id AND h.topic = f.topic
+       |  GROUP BY t.doc_id, t.token, t.n_dw, t.w),
+       |nwtL AS (
+       |  SELECT t.token, f.topic, sum(t.w * t.n_dw * f.p * h.th / b.p_dw) AS n_wt
+       |  FROM tok t JOIN phi1 f ON f.token = t.token
+       |  JOIN thetaL h ON h.doc_id = t.doc_id AND h.topic = f.topic
+       |  JOIN pdwbL b ON b.doc_id = t.doc_id AND b.token = t.token
+       |  GROUP BY t.token, f.topic),
+       |phiL AS (
+       |  SELECT token, topic, adj / sum(adj) OVER (PARTITION BY topic) AS p
+       |  FROM (SELECT token, topic, greatest(n_wt + ($beta), 0.0) AS adj
+       |        FROM nwtL)),
+       |ranked AS (
+       |  SELECT topic, token,
+       |         CAST(row_number() OVER (PARTITION BY topic ORDER BY p DESC, token) AS BIGINT) AS rank
+       |  FROM phiL WHERE p > 0)
+       |SELECT topic, rank, token FROM ranked WHERE rank <= $k ORDER BY topic, rank""".stripMargin
+
   /** reuse_theta oracle (mirror of RelationalEm.emPassReuse):
     * [doc_id, topic, theta(6)]. */
   def reuseTheta(t: Int): String =

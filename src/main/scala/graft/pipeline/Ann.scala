@@ -642,10 +642,26 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
-      sampleSize: Int = 10000): IvfPqIndex = {
+      sampleSize: Int = 10000,
+      trainDistributed: Boolean = false): IvfPqIndex = {
+    // CELL BALANCE IS A SCALE CONTRACT: routing cells grow with the
+    // corpus (the flat-cell-size knob), so the training sample must
+    // keep >= ~40 points per centroid or Lloyd leaves most cells
+    // ill-fit and assignment SKEWS — hot cells inflate every
+    // cell-keyed candidate join superlinearly (ScaleCheck measured the
+    // routed knn build falling 5396 -> 1513 rows/s between 16x and 64x
+    // with 1024 cells on a fixed 10k driver sample). Past the point
+    // where the driver sample can grow, train distributed: each Lloyd
+    // iteration is one narrow native-expression assignment pass + a
+    // k-row shuffle over the WHOLE corpus.
     val spark = corpus.sparkSession
-    val cents = trainCentroids(corpus, vecCol, numCentroids, iters, sampleSize,
-      idCol = idCol)
+    val cents =
+      if (trainDistributed)
+        trainCentroidsDistributed(corpus, vecCol, numCentroids, iters,
+          idCol = idCol)
+      else
+        trainCentroids(corpus, vecCol, numCentroids, iters, sampleSize,
+          idCol = idCol)
     val cbs = trainPqCodebooks(corpus, vecCol, m, pqCentroids, pqIters,
       sampleSize, idCol)
     // cell assignment + PQ encode as native codegen expressions — the
@@ -746,10 +762,10 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
-      sampleSize: Int = 10000): DataFrame =
+      sampleSize: Int = 10000, trainDistributed: Boolean = false): DataFrame =
     queryIvfPq(
       buildIvfPq(corpus, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize),
+        iters, pqIters, sampleSize, trainDistributed),
       queries, k, nprobe, idCol, vecCol)
 
   private def md5Hex(s: String): String = {
@@ -981,10 +997,11 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
-      sampleSize: Int = 10000, refine: Int = 4): DataFrame = {
+      sampleSize: Int = 10000, refine: Int = 4,
+      trainDistributed: Boolean = false): DataFrame = {
     val shortlist = queryIvfPq(
       buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize),
+        iters, pqIters, sampleSize, trainDistributed),
       emb, k * refine, nprobe, idCol, vecCol)
       .select(col("query_id"), col("id"))
     // Exact-refine (the FAISS "refine" stage): re-rank the ADC shortlist

@@ -104,7 +104,18 @@ object ScaleCheck {
           graft.pipeline.Dedup.exact(docsR).count()
         },
         entry("dedup_minhash (banded LSH)") {
-          graft.pipeline.Dedup.minhashLsh(docsR, shingleSize = 3,
+          // decorrelated replicas (the containment/simhash reasoning):
+          // raw replication differs only by a trailing rep$i token, so
+          // replica copies share ~98% of shingles and every doc
+          // near-dup-pairs with ALL r−1 replicas — r² pair OUTPUT by
+          // data construction (the 256× run's disk blowout), measuring
+          // the fixture, not the plan. Per-replica token suffixes keep
+          // within-replica natural dups (pairs ∝ r) and nothing else.
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          graft.pipeline.Dedup.minhashLsh(decorrelated, shingleSize = 3,
             numHashes = 8, bands = 4, threshold = 0.25).count()
         },
         entry("dedup_incremental_minhash (index resolve)") {
@@ -152,9 +163,14 @@ object ScaleCheck {
         // join superlinearly (measured 9010 -> 3453 rows/s at 16x;
         // balanced cells are part of the plan, not a tuning nicety)
         entry("graph_knn_routed (IVF-PQ cell join)") {
+          // trainDistributed: with cells ∝ corpus, a FIXED driver
+          // sample leaves ~10 points per centroid and assignment skews
+          // (hot cells made the candidate join superlinear — measured
+          // 5396 -> 1513 rows/s, 16x -> 64x); full-corpus Lloyd keeps
+          // cells balanced at one native-expression pass per iteration
           graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
             numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
-            iters = 3, refine = 4).count()
+            iters = 3, refine = 4, trainDistributed = true).count()
         },
         entry("pack_sequences (prefix sum)") {
           val packed = graft.pipeline.Sampling.packSequences(
@@ -571,7 +587,7 @@ object ScaleCheck {
           graft.pipeline.Ann.ivfPqTopK(embR,
             embBase.filter(col("vec_id") < 50), k = 10,
             numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
-            iters = 3).count()
+            iters = 3, trainDistributed = true).count()
         },
         entry("curation_ingest (composed gate)") {
           // the curation_ingest entry's chain on the replicated corpus:
