@@ -291,3 +291,158 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 }
+
+/** Hierarchically-routed probe selection — the IMI/coarse-quantizer
+  * trick that removes the n·numCentroids assignment term: centroids are
+  * pre-clustered into ~√c parent groups (driver-side, deterministic —
+  * [[graft.pipeline.Ann]] buildRouter), a vector first picks its
+  * `parentProbes` nearest parents (√c distances), then ranks ONLY their
+  * children (membership gate is an int compare per centroid; distances
+  * are computed for ~parentProbes·c/√c children). Per-vector cost falls
+  * from c·dim to ~(√c·dim + c + parentProbes·√c·dim) — 16× fewer
+  * multiply-adds at c = 4096 — which is what keeps cell assignment
+  * LINEAR in the corpus when cells scale with it.
+  *
+  * APPROXIMATE BY CONSTRUCTION: a vector near a parent boundary can
+  * miss the true nearest cell when that cell's parent wasn't probed
+  * (recall is pinned by unit test, and grows with `parentProbes`).
+  * Within the probed children the order is the exact
+  * [[CentroidProbes]] (distance, index) order. Opt-in — the
+  * oracle-gated exact entries never route through this. */
+case class HierarchicalProbes(child: Expression,
+    cents: Array[Array[Float]], parents: Array[Array[Float]],
+    parentOf: Array[Int], nprobe: Int, parentProbes: Int)
+    extends UnaryExpression {
+
+  require(nprobe >= 1 && parentProbes >= 1,
+    s"graft_hier_probes: nprobe=$nprobe / parentProbes=$parentProbes must be >= 1")
+  require(parentOf.length == cents.length,
+    s"graft_hier_probes: parentOf(${parentOf.length}) != cents(${cents.length})")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hier_probes requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hier_probes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val pcap = math.min(parentProbes, parents.length)
+    val pd = new Array[Double](pcap)
+    val pi = new Array[Int](pcap)
+    var pf = 0
+    var p = 0
+    while (p < parents.length) {
+      val d = CellRouting.l2(v, 0, n, parents(p))
+      if (pf < pcap || d < pd(pf - 1)) {
+        var j = if (pf < pcap) pf else pcap - 1
+        while (j > 0 && d < pd(j - 1)) { pd(j) = pd(j - 1); pi(j) = pi(j - 1); j -= 1 }
+        pd(j) = d; pi(j) = p
+        if (pf < pcap) pf += 1
+      }
+      p += 1
+    }
+    val cap = math.min(nprobe, cents.length)
+    val bd = new Array[Double](cap)
+    val bi = new Array[Int](cap)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      var hit = false
+      var t = 0
+      while (t < pf && !hit) { hit = pi(t) == parentOf(c); t += 1 }
+      if (hit) {
+        val d = CellRouting.l2(v, 0, n, cents(c))
+        if (filled < cap || d < bd(filled - 1)) {
+          var j = if (filled < cap) filled else cap - 1
+          while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+          bd(j) = d; bi(j) = c
+          if (filled < cap) filled += 1
+        }
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("hierCents", cents, "float[][]")
+    val pb = ctx.addReferenceObj("hierParents", parents, "float[][]")
+    val po = ctx.addReferenceObj("hierParentOf", parentOf, "int[]")
+    val pcap = math.min(parentProbes, parents.length)
+    val cap = math.min(nprobe, cents.length)
+    val pd = ctx.addMutableState("double[]", "hierPd", v => s"$v = new double[$pcap];")
+    val pi = ctx.addMutableState("int[]", "hierPi", v => s"$v = new int[$pcap];")
+    val bd = ctx.addMutableState("double[]", "hierBd", v => s"$v = new double[$cap];")
+    val bi = ctx.addMutableState("int[]", "hierBi", v => s"$v = new int[$cap];")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val pf = ctx.freshName("pf")
+      val p = ctx.freshName("p")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c")
+      val hit = ctx.freshName("hit")
+      val t = ctx.freshName("t")
+      s"""
+        final int $n = $v.numElements();
+        int $pf = 0;
+        for (int $p = 0; $p < $pb.length; $p++) {
+          final float[] $cc = $pb[$p];
+          final int $lim = Math.min($n, $cc.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $lim; $i++) {
+            final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+            $d += $x * $x;
+          }
+          if ($pf < $pcap || $d < $pd[$pf - 1]) {
+            int $j = ($pf < $pcap) ? $pf : $pcap - 1;
+            while ($j > 0 && $d < $pd[$j - 1]) {
+              $pd[$j] = $pd[$j - 1]; $pi[$j] = $pi[$j - 1]; $j--;
+            }
+            $pd[$j] = $d; $pi[$j] = $p;
+            if ($pf < $pcap) $pf++;
+          }
+        }
+        int $filled = 0;
+        for (int $c = 0; $c < $cb.length; $c++) {
+          boolean $hit = false;
+          for (int $t = 0; $t < $pf && !$hit; $t++) {
+            $hit = $pi[$t] == $po[$c];
+          }
+          if ($hit) {
+            final float[] $cc = $cb[$c];
+            final int $lim = Math.min($n, $cc.length);
+            double $d = 0.0;
+            for (int $i = 0; $i < $lim; $i++) {
+              final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+              $d += $x * $x;
+            }
+            if ($filled < $cap || $d < $bd[$filled - 1]) {
+              int $j = ($filled < $cap) ? $filled : $cap - 1;
+              while ($j > 0 && $d < $bd[$j - 1]) {
+                $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+              }
+              $bd[$j] = $d; $bi[$j] = $c;
+              if ($filled < $cap) $filled++;
+            }
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierarchicalProbes =
+    copy(child = newChild)
+}

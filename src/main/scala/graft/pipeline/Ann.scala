@@ -440,7 +440,13 @@ object Ann {
     * interchangeable knobs on one contract. */
   def trainCentroidsDistributed(emb: DataFrame, vecCol: String,
       numCentroids: Int, iters: Int = 5, seed: Int = 42,
-      idCol: String = "vec_id"): Array[Array[Float]] = {
+      idCol: String = "vec_id",
+      /** route each Lloyd assignment through the ⌈√c⌉-parent coarse
+        * router (rebuilt per iteration from the moving centroids —
+        * driver-side over c points, trivial): approximate Lloyd, the
+        * standard big-c recipe, turning the n·c·dim iteration cost
+        * into ~n·√c·dim. Off = exact assignment. */
+      hierarchical: Boolean = false): Array[Array[Float]] = {
     val spark = emb.sparkSession
     val initRows = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -452,8 +458,11 @@ object Ann {
     var cents = initRows.map(_.getSeq[Float](0).toArray)
     var it = 0
     while (it < iters) {
+      val assignCol =
+        if (hierarchical) element_at(hierProbes(col(vecCol), cents, 1), 1)
+        else nearestCell(col(vecCol), cents)
       val agg = emb
-        .select(nearestCell(col(vecCol), cents).as("cell"),
+        .select(assignCol.as("cell"),
           transform(col(vecCol), x => x.cast("double")).as("dv"))
         .groupBy(col("cell"))
         .agg(graft.functions.VectorOps.doubleVectorSum(col("dv")).as("s"),
@@ -633,7 +642,67 @@ object Ann {
     * once built (or loaded — [[graft.sources.AnnIO]]), queries touch
     * only this. */
   final case class IvfPqIndex(cells: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]], codes: DataFrame)
+      codebooks: Array[Array[Array[Float]]], codes: DataFrame,
+      /** true = the index was built with hierarchically-routed
+        * assignment ([[graft.functions.HierarchicalProbes]]) and
+        * queries MUST route the same way — router state is rebuilt
+        * deterministically from `cells`, so it needs no persistence
+        * (AnnIO round-trips exact-routing indexes; a hierarchical
+        * caller re-flags after load). */
+      hierarchical: Boolean = false)
+
+  /** Deterministic coarse router over a cell codebook: ⌈√c⌉ parent
+    * centroids from a driver-side Lloyd over the c cell vectors (md5
+    * seed order, the trainCentroids contract — c points, trivially
+    * driver-sized), plus each cell's parent assignment. Rebuilt from
+    * the cells on demand; never persisted. */
+  private[graft] def buildRouter(
+      cents: Array[Array[Float]]): (Array[Array[Float]], Array[Int]) = {
+    val g = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    var parents = cents.zipWithIndex
+      .map { case (v, i) => (md5Hex(s"router $i"), i, v) }
+      .sortBy(t => (t._1, t._2))
+      .take(g).map(_._3.clone())
+    var it = 0
+    while (it < 3) {
+      val sums = Array.fill(parents.length)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](parents.length)
+      cents.foreach { v =>
+        val p = nearestCentroid(v, parents)
+        counts(p) += 1
+        var i = 0
+        while (i < v.length) { sums(p)(i) += v(i); i += 1 }
+      }
+      parents = Array.tabulate(parents.length) { p =>
+        if (counts(p) == 0) parents(p)
+        else Array.tabulate(sums(p).length)(i => (sums(p)(i) / counts(p)).toFloat)
+      }
+      it += 1
+    }
+    val parentOf = cents.map(v => nearestCentroid(v, parents))
+    (parents, parentOf)
+  }
+
+  /** Hierarchically-routed probe selection as a native expression —
+    * see [[graft.functions.HierarchicalProbes]]. `nprobe = 1` is cell
+    * assignment. */
+  private[graft] def hierProbes(vec: Column, cents: Array[Array[Float]],
+      nprobe: Int, parentProbes: Int = 2): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val (parents, parentOf) = buildRouter(cents)
+    // parentProbes is a FLOOR: to have a chance of covering the true
+    // nprobe nearest cells, probe enough parents that their expected
+    // child count is ~2× nprobe (at production shape c=4096/g=64/
+    // nprobe=4 this stays at the floor 2; at degenerate small-c shapes
+    // where nprobe is a large fraction of c it expands toward all
+    // parents, converging to exact routing)
+    val g = parents.length
+    val pp = math.min(g, math.max(parentProbes,
+      math.ceil(2.0 * nprobe * g / cents.length).toInt))
+    GraftColumnBridge.column(graft.functions.HierarchicalProbes(
+      GraftColumnBridge.expression(vec), cents, parents, parentOf,
+      nprobe, pp))
+  }
 
   /** Build the IVF-PQ index: train both codebooks, then ONE narrow
     * encode pass over the corpus (assign cell + m sub-quantizer codes
@@ -643,7 +712,8 @@ object Ann {
       numCentroids: Int = 16, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
       sampleSize: Int = 10000,
-      trainDistributed: Boolean = false): IvfPqIndex = {
+      trainDistributed: Boolean = false,
+      hierarchicalRouting: Boolean = false): IvfPqIndex = {
     // CELL BALANCE IS A SCALE CONTRACT: routing cells grow with the
     // corpus (the flat-cell-size knob), so the training sample must
     // keep >= ~40 points per centroid or Lloyd leaves most cells
@@ -658,7 +728,7 @@ object Ann {
     val cents =
       if (trainDistributed)
         trainCentroidsDistributed(corpus, vecCol, numCentroids, iters,
-          idCol = idCol)
+          idCol = idCol, hierarchical = hierarchicalRouting)
       else
         trainCentroids(corpus, vecCol, numCentroids, iters, sampleSize,
           idCol = idCol)
@@ -671,10 +741,21 @@ object Ann {
     // replaced multiplied its constant ~6× (the AdcDistance lesson,
     // re-measured on graph_knn_routed at 64×). Same arithmetic, ties to
     // the lower index — every ann_* oracle row is unchanged.
+    // hierarchicalRouting removes even the linear-in-c assignment cost:
+    // route via ⌈√c⌉ coarse parents, compute distances only for the
+    // probed parents' children (graft.functions.HierarchicalProbes) —
+    // the 100 TB shape where c itself is corpus-proportional and the
+    // exact n·c pass is the build's superlinear leg (ScaleCheck: the
+    // 256× ann rows' Lloyd+assignment dominated at 4096 cells).
+    val assignCol =
+      if (hierarchicalRouting)
+        element_at(hierProbes(col(vecCol), cents, 1), 1)
+      else nearestCell(col(vecCol), cents)
     IvfPqIndex(cents, cbs,
       corpus.select(col(idCol).cast("long").as("id"),
-        nearestCell(col(vecCol), cents).as("cell"),
-        pqEncode(col(vecCol), cbs).as("codes")))
+        assignCol.as("cell"),
+        pqEncode(col(vecCol), cbs).as("codes")),
+      hierarchical = hierarchicalRouting)
   }
 
   /** Query a built/loaded [[IvfPqIndex]]: route each query to `nprobe`
@@ -700,9 +781,12 @@ object Ann {
   def queryIvfPqCandidates(index: IvfPqIndex, queries: DataFrame,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val probesCol =
+      if (index.hierarchical) hierProbes(col("qvec"), index.cells, nprobe)
+      else centroidProbes(col("qvec"), index.cells, nprobe)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
-      .withColumn("cell", explode(centroidProbes(col("qvec"), index.cells, nprobe)))
+      .withColumn("cell", explode(probesCol))
     q.join(index.codes, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc", adc(col("codes"), col("qvec"), index.codebooks))
@@ -762,10 +846,11 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
-      sampleSize: Int = 10000, trainDistributed: Boolean = false): DataFrame =
+      sampleSize: Int = 10000, trainDistributed: Boolean = false,
+      hierarchicalRouting: Boolean = false): DataFrame =
     queryIvfPq(
       buildIvfPq(corpus, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize, trainDistributed),
+        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting),
       queries, k, nprobe, idCol, vecCol)
 
   private def md5Hex(s: String): String = {
@@ -998,10 +1083,11 @@ object Ann {
       numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
       sampleSize: Int = 10000, refine: Int = 4,
-      trainDistributed: Boolean = false): DataFrame = {
+      trainDistributed: Boolean = false,
+      hierarchicalRouting: Boolean = false): DataFrame = {
     val shortlist = queryIvfPq(
       buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize, trainDistributed),
+        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting),
       emb, k * refine, nprobe, idCol, vecCol)
       .select(col("query_id"), col("id"))
     // Exact-refine (the FAISS "refine" stage): re-rank the ADC shortlist

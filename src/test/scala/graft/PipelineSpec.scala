@@ -357,6 +357,36 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"routed knn-graph recall too low: $recall")
   }
 
+  test("hierarchical routing: assignment covered, recall within 0.05 of exact routing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val exact = Ann.knnGraph(emb, k = 10).cache()
+    // same parameters as the exact-routing recall test above, Lloyd'd
+    // cells (iters=3) so the coarse router has real structure to split
+    val flat = Ann.knnGraphRouted(emb, k = 10, numCentroids = 8, nprobe = 7,
+      m = 16, pqCentroids = 64, iters = 3, pqIters = 0, refine = 8,
+      trainDistributed = true).cache()
+    val hier = Ann.knnGraphRouted(emb, k = 10, numCentroids = 8, nprobe = 7,
+      m = 16, pqCentroids = 64, iters = 3, pqIters = 0, refine = 8,
+      trainDistributed = true, hierarchicalRouting = true).cache()
+    assert(hier.groupBy("src").count().collect().forall(_.getLong(1) === 10))
+    val rFlat = flat.join(exact, Seq("src", "dst"), "left_semi").count().toDouble /
+      exact.count()
+    val rHier = hier.join(exact, Seq("src", "dst"), "left_semi").count().toDouble /
+      exact.count()
+    info(s"knn-graph recall: exact routing $rFlat, hierarchical $rHier")
+    // the coarse router may lose boundary cells — bounded loss, not free
+    assert(rHier >= rFlat - 0.05,
+      s"hierarchical routing lost too much recall: $rHier vs $rFlat")
+    // the routers agree on the vast majority of single-cell assignments
+    val cents = Ann.trainCentroidsDistributed(emb, "embedding", 8, iters = 3)
+    val exactAssign = Ann.nearestCell(col("embedding"), cents)
+    val hierAssign = element_at(Ann.hierProbes(col("embedding"), cents, 1), 1)
+    val agree = emb.select((exactAssign === hierAssign).cast("long").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    info(s"hierarchical assignment agreement = $agree")
+    assert(agree >= 0.8, s"hierarchical assignment diverged: $agree")
+  }
+
   test("knnGraph refuses corpus-sized inputs and points at the routed form") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {

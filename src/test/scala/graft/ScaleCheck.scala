@@ -170,7 +170,8 @@ object ScaleCheck {
           // cells balanced at one native-expression pass per iteration
           graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
             numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
-            iters = 3, refine = 4, trainDistributed = true).count()
+            iters = 3, refine = 4, trainDistributed = true,
+            hierarchicalRouting = true).count()
         },
         entry("pack_sequences (prefix sum)") {
           val packed = graft.pipeline.Sampling.packSequences(
@@ -587,7 +588,8 @@ object ScaleCheck {
           graft.pipeline.Ann.ivfPqTopK(embR,
             embBase.filter(col("vec_id") < 50), k = 10,
             numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
-            iters = 3, trainDistributed = true).count()
+            iters = 3, trainDistributed = true,
+            hierarchicalRouting = true).count()
         },
         entry("curation_ingest (composed gate)") {
           // the curation_ingest entry's chain on the replicated corpus:
