@@ -21,13 +21,20 @@ import json, statistics, sys
 def load(path):
     with open(path) as f:
         txt = f.read()
+    try:
+        j = json.loads(txt)
+        if "queries" in j:
+            return j
+        # driver wrapper (BENCH_r{N}.json): the bench line under "parsed",
+        # or raw in the captured "tail"
+        if isinstance(j.get("parsed"), dict) and "queries" in j["parsed"]:
+            return j["parsed"]
+        txt = j.get("tail", txt)
+    except (json.JSONDecodeError, AttributeError):
+        pass
     for line in txt.splitlines():
         if '"metric"' in line:
-            j = json.loads(line[line.index('{'):])
-            return j
-    j = json.loads(txt)
-    if "queries" in j:
-        return j
+            return json.loads(line[line.index('{'):])
     raise SystemExit(f"no bench JSON found in {path}")
 
 
@@ -97,4 +104,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `| head` closed the pipe — not an error
+        pass
