@@ -17,6 +17,13 @@ object AnnIO {
   def save(index: Ann.IvfPqIndex, path: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
+    // routing mode rides with the artifact: a hierarchically-assigned
+    // codes table served with exact probe routing would silently lose
+    // boundary-cell recall (the flag is one row; the router itself is
+    // rebuilt deterministically from the cells on use)
+    Seq(("hierarchical", if (index.hierarchical) 1L else 0L))
+      .toDF("key", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta.parquet")
     index.cells.zipWithIndex
       .flatMap { case (cv, c) => cv.zipWithIndex.map { case (v, p) => (c, p, v) } }
       .toSeq.toDF("cell", "pos", "v")
@@ -43,8 +50,16 @@ object AnnIO {
     val sub = cbRows.map(_._3).max + 1
     val cbs = Array.ofDim[Float](m, codes, sub)
     cbRows.foreach { case (s, c, p, v) => cbs(s)(c)(p) = v }
+    // pre-round-10 artifacts have no meta file: exact routing (the only
+    // mode that existed when they were written)
+    val hier =
+      try spark.read.parquet(s"$path/meta.parquet")
+        .filter(col("key") === "hierarchical")
+        .head().getLong(1) == 1L
+      catch { case _: Exception => false }
     Ann.IvfPqIndex(cells, cbs,
       spark.read.parquet(s"$path/codes.parquet")
-        .select(col("id"), col("cell"), col("codes")))
+        .select(col("id"), col("cell"), col("codes")),
+      hierarchical = hier)
   }
 }

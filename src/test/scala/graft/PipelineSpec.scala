@@ -888,6 +888,21 @@ class PipelineSpec extends SparkSpec {
       pqCentroids = 16).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(c === a)
+    // routing mode survives persistence: a hierarchical index must not
+    // silently serve with exact probe routing after load
+    assert(!loaded.hierarchical)
+    val hBuilt = Ann.buildIvfPq(emb, numCentroids = 8, m = 4,
+      pqCentroids = 16, iters = 3, trainDistributed = true,
+      hierarchicalRouting = true)
+    val hDir = java.nio.file.Files.createTempDirectory("ann_idx_h").toString
+    graft.sources.AnnIO.save(hBuilt, hDir)
+    val hLoaded = graft.sources.AnnIO.load(spark, hDir)
+    assert(hLoaded.hierarchical, "hierarchical flag lost in persistence")
+    val ha = Ann.queryIvfPq(hBuilt, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val hb = Ann.queryIvfPq(hLoaded, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ha === hb, "loaded hierarchical index must serve identically")
   }
 
   test("SearchIO: saved+loaded BM25 index serves bit-identical rankings") {
