@@ -350,21 +350,32 @@ case class HierarchicalProbes(child: Expression,
     val bd = new Array[Double](cap)
     val bi = new Array[Int](cap)
     var filled = 0
-    var c = 0
-    while (c < cents.length) {
-      var hit = false
-      var t = 0
-      while (t < pf && !hit) { hit = pi(t) == parentOf(c); t += 1 }
-      if (hit) {
-        val d = CellRouting.l2(v, 0, n, cents(c))
-        if (filled < cap || d < bd(filled - 1)) {
-          var j = if (filled < cap) filled else cap - 1
-          while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
-          bd(j) = d; bi(j) = c
-          if (filled < cap) filled += 1
+    // two passes at most: the gated children-only pass, then — ONLY if
+    // every probed parent turned out childless (possible when Lloyd's
+    // mean update leaves a parent that is no cell's nearest; a silently
+    // empty probe list would DROP the query row after explode) — the
+    // exact ungated pass as fallback
+    var gated = true
+    var done = false
+    while (!done) {
+      var c = 0
+      while (c < cents.length) {
+        var hit = !gated
+        var t = 0
+        while (t < pf && !hit) { hit = pi(t) == parentOf(c); t += 1 }
+        if (hit) {
+          val d = CellRouting.l2(v, 0, n, cents(c))
+          if (filled < cap || d < bd(filled - 1)) {
+            var j = if (filled < cap) filled else cap - 1
+            while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+            bd(j) = d; bi(j) = c
+            if (filled < cap) filled += 1
+          }
         }
+        c += 1
       }
-      c += 1
+      done = filled > 0 || !gated
+      gated = false
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
   }
@@ -414,28 +425,37 @@ case class HierarchicalProbes(child: Expression,
           }
         }
         int $filled = 0;
-        for (int $c = 0; $c < $cb.length; $c++) {
-          boolean $hit = false;
-          for (int $t = 0; $t < $pf && !$hit; $t++) {
-            $hit = $pi[$t] == $po[$c];
-          }
-          if ($hit) {
-            final float[] $cc = $cb[$c];
-            final int $lim = Math.min($n, $cc.length);
-            double $d = 0.0;
-            for (int $i = 0; $i < $lim; $i++) {
-              final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
-              $d += $x * $x;
+        // gated pass first; if every probed parent is childless (a
+        // Lloyd-orphaned parent — an empty probe list would DROP the
+        // query row after explode), one exact ungated fallback pass
+        boolean gated$filled = true;
+        boolean done$filled = false;
+        while (!done$filled) {
+          for (int $c = 0; $c < $cb.length; $c++) {
+            boolean $hit = !gated$filled;
+            for (int $t = 0; $t < $pf && !$hit; $t++) {
+              $hit = $pi[$t] == $po[$c];
             }
-            if ($filled < $cap || $d < $bd[$filled - 1]) {
-              int $j = ($filled < $cap) ? $filled : $cap - 1;
-              while ($j > 0 && $d < $bd[$j - 1]) {
-                $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+            if ($hit) {
+              final float[] $cc = $cb[$c];
+              final int $lim = Math.min($n, $cc.length);
+              double $d = 0.0;
+              for (int $i = 0; $i < $lim; $i++) {
+                final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+                $d += $x * $x;
               }
-              $bd[$j] = $d; $bi[$j] = $c;
-              if ($filled < $cap) $filled++;
+              if ($filled < $cap || $d < $bd[$filled - 1]) {
+                int $j = ($filled < $cap) ? $filled : $cap - 1;
+                while ($j > 0 && $d < $bd[$j - 1]) {
+                  $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+                }
+                $bd[$j] = $d; $bi[$j] = $c;
+                if ($filled < $cap) $filled++;
+              }
             }
           }
+          done$filled = $filled > 0 || !gated$filled;
+          gated$filled = false;
         }
         ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
           .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
