@@ -201,6 +201,10 @@ object SparkEntry {
   private val BpeMerges = 12       // BPE training rounds (oracle unrolls one CTE chain per round)
   private val BpeMaxWordLen = 20
   private val BpeTopSubwords = 30  // bpe_encode report size
+  private val FuzzyMaxDist = 32    // dedup_fuzzy_edit Levenshtein bound
+  private val FuzzyPrefix = 256    // dedup_fuzzy_edit comparison-window cap
+  private val OverlapShingleK = 3  // corpus_overlap word-shingle width
+  private val OverlapSketchK = 64  // corpus_overlap bottom-k sketch size
   private val ZOrderBits = 4       // Morton-key bits per dimension
   private val WpMerges = 12        // WordPiece likelihood-merge rounds
   private val WpMaxWord = 12       // WordPiece word-length cap (greedy unroll width)
@@ -3124,6 +3128,51 @@ object SparkEntry {
             coalesce(col("flesch"), lit(-1000.0)).as("flesch"))
       }.orderBy(col("doc_id"))
     }),
+    // LLM pipeline: character-level Shannon entropy — the cheap
+    // gibberish/base64/template screen; a pure per-row nested-HOF fold
+    // (zero shuffles, scan speed at any corpus size)
+    "text_entropy" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.charEntropy(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars_norm"), col("n_distinct_chars"), col("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+    // streaming: the same entropy projection AT INGEST — stateless
+    // narrow map on the doc stream, under the batch SQL
+    "text_entropy_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        graft.pipeline.TextAnalysis.charEntropy(st)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_chars_norm"), col("n_distinct_chars"), col("entropy"))
+      }.orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: edit-distance near-dup pairs — SimHash band
+    // blocking + free length prefilter + thresholded Levenshtein over
+    // the 256-char normalized prefix (the character-level verifier for
+    // OCR noise / small in-place edits that shingle Jaccard misses)
+    "dedup_fuzzy_edit" -> ((s, dir) => {
+      graft.pipeline.Dedup.fuzzyEditPairs(docs(s, dir),
+          maxDist = FuzzyMaxDist, prefixLen = FuzzyPrefix)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // LLM pipeline: cross-source shingle overlap — exact pairwise
+    // Jaccard AND the bottom-k sketch estimate side by side (the
+    // mixture-planning audit; the row self-certifies the sketch)
+    "corpus_overlap" -> ((s, dir) => {
+      graft.pipeline.Dedup.sourceOverlap(docs(s, dir),
+          shingleK = OverlapShingleK, sketchK = OverlapSketchK)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    // LLM pipeline: tokenizer fertility per source (subwords/word,
+    // chars/subword under the learned BPE merges) — the vocabulary-
+    // health audit token-budgeted mixing depends on; oracle re-learns
+    // the merges AND re-encodes the vocabulary in SQL
+    "text_fertility" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).map(m => (m._2, m._3)).toSeq
+      graft.pipeline.Bpe.fertilityBySource(docs(s, dir), merges,
+          maxWordLen = BpeMaxWordLen)
+        .orderBy(col("source"))
+    }),
     // LLM pipeline: SOFT dedup — duplicate-count-weighted sampling
     // (keep prob = 1/n per exact-dup group: one expected survivor per
     // group, no privileged copy — the unbiased alternative to
@@ -4035,6 +4084,14 @@ object SparkEntry {
       PqCentroids, AnnSample, dim = 64, refine = KnnRefine),
     "text_readability" -> graft.pipeline.PipelineSql.textReadability,
     "text_readability_stream" -> graft.pipeline.PipelineSql.textReadability,
+    "text_entropy" -> graft.pipeline.PipelineSql.textEntropy,
+    "text_entropy_stream" -> graft.pipeline.PipelineSql.textEntropy,
+    "dedup_fuzzy_edit" -> graft.pipeline.PipelineSql.dedupFuzzyEdit(
+      FuzzyMaxDist, FuzzyPrefix),
+    "corpus_overlap" -> graft.pipeline.PipelineSql.corpusOverlap(
+      OverlapShingleK, OverlapSketchK),
+    "text_fertility" -> graft.pipeline.PipelineSql.bpeFertility(
+      BpeMerges, BpeMaxWordLen),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_quality_stream" -> graft.pipeline.PipelineSql.textQuality(

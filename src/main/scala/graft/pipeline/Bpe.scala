@@ -194,4 +194,47 @@ object Bpe {
       .select(explode(split(trim(col("seq")), "  ")).as("subword"), col("cnt"))
       .groupBy(col("subword")).agg(sum(col("cnt")).as("n_occ"))
   }
+
+  /** Tokenizer FERTILITY report per source — the health metric a
+    * tokenizer is actually judged by in an LLM pipeline (subwords per
+    * word / chars per subword): a mixture source whose fertility is far
+    * above the corpus norm is under-served by the learned vocabulary
+    * (its token budget buys fewer words), which skews every
+    * token-budgeted mixing decision downstream.
+    *
+    * Scale shape mirrors [[subwordCounts]]: the corpus-proportional
+    * work is ONE map-side-combined (source, word) count shuffle; the
+    * merge chain then runs once per DISTINCT word (Zipf-bounded), and
+    * piece counts join back on the word key. Piece count includes an
+    * unmerged [[EndMarker]] element, consistent with [[encode]]'s
+    * subword stream. All five aggregates are exact-integer sums with
+    * ratios computed once at the end — no order-sensitive double
+    * accumulation. Returns [source, n_words, n_tokens, n_az_chars,
+    * fertility, chars_per_token] (one row per source with ≥1 word). */
+  def fertilityBySource(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", sourceCol: String = "source",
+      maxWordLen: Int = 20): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("occ"))
+    val vocab = sw.select(col("word")).distinct()
+      .withColumn("seq", initSeq(col("word")))
+    val applied = merges.foldLeft(vocab) { case (d, (l, r)) =>
+      d.withColumn("seq", replace(col("seq"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+    }
+    val pieces = applied.select(col("word"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("pieces"))
+    sw.join(pieces, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("pieces")).as("n_tokens"),
+        sum(col("occ") * length(col("word"))).as("n_az_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_az_chars"),
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_az_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+  }
 }

@@ -200,6 +200,147 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the
+    * character-level verifier that catches what token-set measures
+    * structurally miss (small in-place edits, OCR noise, version bumps:
+    * Jaccard over shingles drops fast with scattered single-char edits
+    * while edit distance counts exactly k).
+    *
+    * NEVER all-pairs: candidates come from the [[simhashPairs]]
+    * pigeonhole blocking (docs sharing one of the four 16-bit SimHash
+    * bands; low-edit-distance pairs perturb few token hashes, so their
+    * fingerprints collide on a band), buckets are capped at
+    * `maxBucketSize` (same skew guard), and a FREE length prefilter
+    * (edit distance ≥ |len_a − len_b|) drops hopeless candidates before
+    * any DP runs. Verification is the codegen'd builtin
+    * `levenshtein(a, b, threshold)` — the thresholded form is
+    * O(maxDist·len), not O(len²), and returns −1 past the bound.
+    *
+    * The 100 TB contract: distance is computed over the first
+    * `prefixLen` chars of the normalized text — you do not Levenshtein
+    * megabyte documents; cap the comparison window and let the shingle/
+    * containment family own long-body near-dup. Two empty-prefix docs
+    * pair at distance 0 / similarity 1. Returns
+    * [id_a, id_b, edit_dist, edit_sim] with id_a < id_b,
+    * edit_dist ≤ maxDist, edit_sim = 1 − dist/max(len). */
+  def fuzzyEditPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDist: Int = 32, prefixLen: Int = 256,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0, "maxDist >= 0, prefixLen > 0")
+    // fingerprint AND comparison prefix in ONE corpus projection; the
+    // prefix rides THROUGH the band self-join (the simhashPairs shape —
+    // post-join id→text lookups would add two more corpus joins and
+    // their exchanges, measured 8.5 s vs ~2 s warm at sf0.1)
+    import org.apache.spark.sql.GraftColumnBridge
+    val base = df.select(col(idCol).cast("long").as("id"),
+      GraftColumnBridge.column(graft.functions.SimhashBands(
+        GraftColumnBridge.expression(col(textCol).cast("string")))).as("simhash"),
+      substring(TextAnalysis.normTextCol(col(textCol)), 1, prefixLen).as("p"))
+    val banded = base.select(col("id"), col("p"), length(col("p")).as("l"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = banded.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    bounded.select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("p").as("p_a"), col("l").as("l_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("p").as("p_b"), col("l").as("l_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("p_a"), col("p_b"),
+        col("l_a"), col("l_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(abs(col("l_a") - col("l_b")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("p_a"), col("p_b"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0L)
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        when(greatest(col("l_a"), col("l_b")) === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - col("edit_dist").cast("double")
+            / greatest(col("l_a"), col("l_b")).cast("double"), 6))
+          .as("edit_sim"))
+  }
+
+  /** Cross-SOURCE shingle overlap — the mixture-planning audit run
+    * before weighting corpora into a training mix ("how much of C4 is
+    * already inside CommonCrawl?"): for every source pair, the exact
+    * Jaccard overlap of their distinct word-3-gram shingle sets AND the
+    * bottom-k sketch estimate of the same quantity, side by side — the
+    * row self-certifies the sketch against the exact answer, which is
+    * exactly how you validate the sketch before trusting it alone at
+    * 100 TB (where only the sketch path is affordable).
+    *
+    * Scale shape: the ONLY corpus-proportional work is one distinct
+    * (source, shingle-hash) shuffle (map-side combined). The exact
+    * intersection is a key-partitioned self-join on the shingle hash —
+    * per-key fanout is bounded by #sources² (sources are tens, not
+    * millions), never corpus×corpus. The bottom-k sketch is a
+    * rank-window per source (Spark plans row_number ≤ k as
+    * WindowGroupLimit: each task keeps k rows before the shuffle), and
+    * everything pairwise downstream is #sources²-sized. MD5 hex hashing
+    * keeps the sketch engine-replayable. Returns
+    * [src_a, src_b, n_inter, jaccard, sketch_jaccard] for all source
+    * pairs (src_a < src_b). */
+  def sourceOverlap(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text", shingleK: Int = 3,
+      sketchK: Int = 64): DataFrame = {
+    require(sketchK > 0, "sketchK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = df
+      .select(col(groupCol).as("source"),
+        // hash BEFORE the distinct: the one corpus-proportional shuffle
+        // moves fixed-width digests, never raw shingle strings
+        explode(transform(shingles(col(textCol), shingleK), s => md5(s)))
+          .as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val inter = h.select(col("source").as("src_a"), col("h"))
+      .join(h.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
+    // bottom-k sketch per source (k smallest md5 values of the shingle
+    // set); the pairwise estimate is the k-minimum-values form: of the
+    // k smallest hashes in the UNION of the two sketches, the fraction
+    // present in BOTH estimates J(A, B)
+    val sk = h.withColumn("_rk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("_rk") <= sketchK)
+      .select(col("source"), col("h"))
+    val u = pairs.select(col("src_a"), col("src_b"))
+      .join(sk.select(col("source").as("src_a"), col("h"), lit(1).as("in_a"),
+        lit(0).as("in_b")), Seq("src_a"))
+      .unionByName(pairs.select(col("src_a"), col("src_b"))
+        .join(sk.select(col("source").as("src_b"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"), col("in_a"), col("in_b")))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val est = u.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .filter(col("_rk") <= sketchK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg((sum(col("in_a") * col("in_b")).cast("double")
+        / count(lit(1)).cast("double")).as("_est"))
+    pairs
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(est, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b")
+            - coalesce(col("n_inter"), lit(0L))).cast("double"), 6)
+          .as("jaccard"),
+        round(coalesce(col("_est"), lit(0.0)), 6).as("sketch_jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for a given candidate-pair table
     * [id_a, id_b] (from LSH, blocking, or any generator). */
   def ngramJaccard(df: DataFrame, candidates: DataFrame,

@@ -116,6 +116,54 @@ object PipelineSql {
        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
        |FROM ham WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors Dedup.fuzzyEditPairs: the dedupSimhashPairs band blocking,
+    * the free |len_a − len_b| ≤ maxDist prefilter, then exact
+    * Levenshtein over the `prefixLen`-char normalized prefix. The Spark
+    * side's 10000 bucket cap is not mirrored for the same reason
+    * dedupSimhashPairs omits it: it cannot bind below 10k docs per
+    * bucket and the driver corpora are smaller in total. */
+  def dedupFuzzyEdit(maxDist: Int, prefixLen: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents WHERE trim(text) <> '')
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |h AS (SELECT doc_id, n, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM tok),
+       |bits AS (
+       |  SELECT t.doc_id, j.j,
+       |         sum(CASE WHEN (t.h >> j.j) & 1 = 1 THEN t.n ELSE -t.n END) AS s
+       |  FROM h t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+       |  GROUP BY t.doc_id, j.j),
+       |bands AS (
+       |  SELECT doc_id, j // 16 AS band,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % 16)) ELSE 0 END) AS bv
+       |  FROM bits GROUP BY doc_id, j // 16),
+       |fp AS (
+       |  SELECT d.doc_id,
+       |    coalesce(CAST(max(CASE WHEN band = 0 THEN bv END) AS BIGINT), 0) AS b0,
+       |    coalesce(CAST(max(CASE WHEN band = 1 THEN bv END) AS BIGINT), 0) AS b1,
+       |    coalesce(CAST(max(CASE WHEN band = 2 THEN bv END) AS BIGINT), 0) AS b2,
+       |    coalesce(CAST(max(CASE WHEN band = 3 THEN bv END) AS BIGINT), 0) AS b3
+       |  FROM documents d LEFT JOIN bands b ON b.doc_id = d.doc_id
+       |  GROUP BY d.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fp a JOIN fp b
+       |    ON a.doc_id < b.doc_id
+       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |nt AS (SELECT doc_id, substr($norm, 1, $prefixLen) AS p FROM documents),
+       |v AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(levenshtein(x.p, y.p) AS BIGINT) AS edit_dist,
+       |         greatest(length(x.p), length(y.p)) AS mx
+       |  FROM cand c JOIN nt x ON x.doc_id = c.id_a
+       |              JOIN nt y ON y.doc_id = c.id_b
+       |  WHERE abs(length(x.p) - length(y.p)) <= $maxDist)
+       |SELECT id_a, id_b, edit_dist,
+       |       CASE WHEN mx = 0 THEN 1.0
+       |            ELSE round(1.0 - edit_dist::DOUBLE / mx, 6) END AS edit_sim
+       |FROM v WHERE edit_dist <= $maxDist ORDER BY id_a, id_b""".stripMargin
+
   /** Shingle/signature CTEs shared by minhash + jaccard oracles.
     * k = shingle size, numHashes minhash functions, rows hashes per band. */
   private def minhashCtes(k: Int, numHashes: Int, rows: Int): String =
@@ -399,6 +447,49 @@ object PipelineSql {
        |FROM common c JOIN sz s ON s.doc_id = c.id_a
        |WHERE CAST(c.n_common AS DOUBLE) / s.n_sh >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirrors Dedup.sourceOverlap: distinct (source, md5(shingle))
+    * table, per-source sizes, exact pairwise intersection on the hash
+    * key, bottom-`sketchK` sketch per source, and the k-minimum-values
+    * estimate (of the k smallest hashes in the union of two sketches,
+    * the fraction present in both — divided by the ACTUAL bottom-k
+    * size, min(k, |union|), exactly as the Spark count(*) does). */
+  def corpusOverlap(k: Int, sketchK: Int): String =
+    s"""WITH docs2 AS (
+       |  SELECT source, string_split($norm, ' ') AS toks FROM documents),
+       |shl AS (SELECT source,
+       |  list_distinct([array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks) - ${k - 2})]) AS sh
+       |  FROM docs2),
+       |ex AS MATERIALIZED (SELECT DISTINCT source, md5(s) AS h
+       |      FROM (SELECT source, unnest(sh) AS s FROM shl WHERE len(sh) > 0)),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |          FROM ex GROUP BY source),
+       |pairs AS (SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+       |          FROM sizes a JOIN sizes b ON a.source < b.source),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+       |                 CAST(count(*) AS BIGINT) AS n_inter
+       |          FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+       |          GROUP BY 1, 2),
+       |sk AS MATERIALIZED (SELECT source, h FROM (
+       |       SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |       FROM ex) WHERE rk <= $sketchK),
+       |u AS (SELECT p.src_a, p.src_b, s.h,
+       |             max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+       |             max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+       |      FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+       |      GROUP BY 1, 2, 3),
+       |est AS (SELECT src_a, src_b,
+       |               sum(in_a * in_b)::DOUBLE / count(*) AS e
+       |        FROM (SELECT u.*, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+       |              FROM u)
+       |        WHERE rk <= $sketchK GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |       coalesce(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+       |       round(coalesce(i.n_inter, 0)::DOUBLE / (p.n_a + p.n_b - coalesce(i.n_inter, 0)), 6) AS jaccard,
+       |       round(coalesce(e.e, 0.0), 6) AS sketch_jaccard
+       |FROM pairs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       |             LEFT JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
 
   /** Mirrors Pca.topComponent: positional decimal means → centered
     * values → DECIMAL-sum Gram table → `iters` unrolled power-iteration
@@ -1159,6 +1250,29 @@ object PipelineSql {
        |                 - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
        |       END AS flesch
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Mirrors TextAnalysis.charEntropy: per-doc character Shannon entropy
+    * of the normalized text, H = ln N − (Σ n_c ln n_c)/N. The GROUP BY
+    * sums doubles in a different order than the Spark per-row fold —
+    * round(6) absorbs the last-ulp difference (repo-wide convention).
+    * Blank docs: zeros + −1.0 sentinel via the LEFT JOIN. */
+  val textEntropy: String =
+    s"""WITH nt AS (SELECT doc_id, $norm AS t FROM documents),
+       |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT doc_id, unnest(string_split(t, '')) AS c
+       |             FROM nt WHERE length(t) > 0)
+       |       GROUP BY doc_id, c),
+       |e AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nc,
+       |             CAST(count(*) AS BIGINT) AS nd,
+       |             round(ln(CAST(sum(n) AS DOUBLE))
+       |                   - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 6) AS entropy
+       |      FROM cc GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       coalesce(e.nc, CAST(0 AS BIGINT)) AS n_chars_norm,
+       |       coalesce(e.nd, CAST(0 AS BIGINT)) AS n_distinct_chars,
+       |       coalesce(e.entropy, -1.0) AS entropy
+       |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Mirrors the sample_dedup_weighted entry: per-fingerprint group
     * counts, keep iff uniform(md5(salt || id)) < 1/n — the softDedup
@@ -3457,6 +3571,47 @@ object PipelineSql {
        |  SELECT subword, n_occ, row_number() OVER (ORDER BY n_occ DESC, subword) AS rk
        |  FROM agg) WHERE rk <= $topK
        |ORDER BY n_occ DESC, subword""".stripMargin
+  }
+
+  /** Mirrors Bpe.fertilityBySource: the bpeTrain chain RE-LEARNS the
+    * merges, an `fseq0..fseqN` side chain re-encodes the DISTINCT word
+    * vocabulary (carrying the word key, which the training chain drops),
+    * per-(source, word) occurrence counts join to the per-word piece
+    * count, and all ratios are computed from exact-integer sums. */
+  def bpeFertility(numMerges: Int, maxWordLen: Int): String = {
+    val rounds = bpeChain(numMerges, maxWordLen)
+    val fseq0 =
+      s"""fseq0 AS (SELECT word,
+         |  ' ' || array_to_string(list_append([word[i+1] for i in range(0, length(word))], '${Bpe.EndMarker}'), '  ') || ' ' AS seq
+         |  FROM words)""".stripMargin
+    val fseqs = (1 to numMerges).map { r =>
+      val t = s"(SELECT pl FROM top$r)"
+      val u = s"(SELECT pr FROM top$r)"
+      s"""fseq$r AS MATERIALIZED (SELECT word,
+         |  replace(seq, ' ' || $t || '  ' || $u || ' ',
+         |               ' ' || $t || $u || ' ') AS seq
+         |  FROM fseq${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $rounds,
+       |$fseq0,
+       |$fseqs,
+       |swords AS (
+       |  SELECT source, w AS word, CAST(count(*) AS BIGINT) AS occ FROM (
+       |    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1 AND length(w) <= $maxWordLen GROUP BY source, w),
+       |pieces AS (SELECT word,
+       |  CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS pieces
+       |  FROM fseq$numMerges),
+       |g AS (SELECT s.source,
+       |        CAST(sum(s.occ) AS BIGINT) AS n_words,
+       |        CAST(sum(s.occ * p.pieces) AS BIGINT) AS n_tokens,
+       |        CAST(sum(s.occ * length(s.word)) AS BIGINT) AS n_az_chars
+       |      FROM swords s JOIN pieces p ON p.word = s.word GROUP BY s.source)
+       |SELECT source, n_words, n_tokens, n_az_chars,
+       |       round(n_tokens::DOUBLE / n_words, 6) AS fertility,
+       |       round(n_az_chars::DOUBLE / n_tokens, 6) AS chars_per_token
+       |FROM g ORDER BY source""".stripMargin
   }
 
   /** The shared CTE chain of [[bpeTrain]]/[[bpeEncode]]: word counts,

@@ -236,6 +236,49 @@ object TextAnalysis {
                 / col("n_words").cast("double")), 6)))
   }
 
+  /** Character-level Shannon entropy per document — the cheap
+    * gibberish/boilerplate screen a curation pass runs beside the Gopher
+    * rules: encrypted blobs and base64 runs score HIGH (near-uniform
+    * characters), template/repeat spam scores LOW, and natural language
+    * sits in a narrow band (~2.4-3.2 nats for English), so both tails
+    * gate.  H = ln N − (Σ_c n_c ln n_c)/N over the characters of the
+    * shared normal form ([[normTextCol]]).
+    *
+    * Spark-first shape: a PURE per-row projection — the char array is
+    * materialized once as its own projected column (CollapseProject
+    * keeps multi-referenced non-trivial projections, so the O(len)
+    * build is not re-inlined per lambda reference), then the count of
+    * each distinct char is an O(d·len) nested-HOF fold (d = distinct
+    * chars, ≤ alphabet size). Zero shuffles, streams statelessly, runs
+    * at scan speed at any corpus size. Summation order of the double
+    * fold differs from a SQL GROUP BY mirror only in last-ulp terms —
+    * round(6) absorbs it (the repo-wide libm convention). Blank docs
+    * report zeros and a −1.0 sentinel. Returns
+    * [idCol, n_chars_norm, n_distinct_chars, entropy]. */
+  def charEntropy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nt = col("__nt")
+    val cs = col("__cs")
+    val n = length(nt).cast("double")
+    val sumNLnN = aggregate(array_distinct(cs), lit(0.0), (acc, c) => {
+      val cnt = size(filter(cs, x => x === c)).cast("double")
+      acc + cnt * log(cnt)
+    })
+    df.withColumn("__nt", normTextCol(col(textCol)))
+      // sequence() flips to a descending step when start > stop, so the
+      // empty-text row is pinned to one harmless '' element instead
+      .withColumn("__cs",
+        transform(sequence(lit(1), greatest(length(nt), lit(1))),
+          i => nt.substr(i, lit(1))))
+      .select(col(idCol),
+        length(nt).cast("long").as("n_chars_norm"),
+        when(length(nt) === 0, lit(0L))
+          .otherwise(size(array_distinct(cs)).cast("long"))
+          .as("n_distinct_chars"),
+        when(length(nt) === 0, lit(-1.0))
+          .otherwise(round(log(n) - sumNLnN / n, 6)).as("entropy"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length, repetition ratio (1 - distinct/total tokens); composite
     * `quality` in [0,1] combining the standard heuristics. */

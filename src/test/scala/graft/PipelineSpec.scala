@@ -1520,4 +1520,86 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(("a", "c"))) < 1e-12)       // orthogonal
     assert(math.abs(out(("b", "c"))) < 1e-12)
   }
+
+  test("TextAnalysis.charEntropy: uniform ln d, constant 0, blank sentinel") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "abcd"),        // 4 distinct chars once each -> H = ln 4
+      (1L, "aaaa"),        // one char -> H = 0
+      (2L, "AA  aa"),      // normalizes to "aa aa": n_a=4, n_sp=1, N=5
+      (3L, "")             // blank -> zeros + sentinel
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((4L, 4L, math.rint(math.log(4) * 1e6) / 1e6)))
+    assert(out(1L) === ((4L, 1L, 0.0)))
+    val h2 = math.log(5) - (4 * math.log(4)) / 5
+    assert(out(2L)._1 === 5L && out(2L)._2 === 2L)
+    assert(math.abs(out(2L)._3 - h2) < 1e-6)
+    assert(out(3L) === ((0L, 0L, -1.0)))
+  }
+
+  test("Dedup.fuzzyEditPairs: exact dist 0, near dup small, threshold drops") {
+    val pairs = Dedup.fuzzyEditPairs(docsDF, maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(pairs((0L, 1L)) === ((0L, 1.0)))
+    // "jumps" -> "jumped": substitute s->e, insert d = distance 2
+    assert(pairs((0L, 2L))._1 === 2L && pairs((1L, 2L))._1 === 2L)
+    assert(pairs((0L, 2L))._2 > 0.9)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // tightening the threshold drops the distance-2 pair, keeps exact
+    val tight = Dedup.fuzzyEditPairs(docsDF, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((0L, 1L)) && !tight.contains((0L, 2L)))
+  }
+
+  test("Dedup.fuzzyEditPairs: prefix cap bounds the comparison window") {
+    import spark.implicits._
+    // identical 40-char prefix, one token differing past the cap (so the
+    // full-text simhash bands still collide): distance 0 WITHIN the cap,
+    // nonzero without it
+    val base = "aaaa bbbb cccc dddd aaaa bbbb cccc dddd "
+    val df = Seq(
+      (0L, base + "eeee ffff gggg hhhh eeee ffff zzz"),
+      (1L, base + "eeee ffff gggg hhhh eeee ffff yyy")).toDF("doc_id", "text")
+    val capped = Dedup.fuzzyEditPairs(df, maxDist = 4, prefixLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.get((0L, 1L)).contains(0L))
+    val uncapped = Dedup.fuzzyEditPairs(df, maxDist = 4, prefixLen = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(uncapped((0L, 1L)) === 3L)
+  }
+
+  test("Bpe.fertilityBySource: exact integer counts, merge shrinks fertility") {
+    import spark.implicits._
+    val df = Seq(("s1", "ab ab"), ("s2", "abc")).toDF("source", "text")
+    // no merges: every word splits to chars + </w>
+    val plain = Bpe.fertilityBySource(df, Seq.empty)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(plain("s1") === ((2L, 6L, 4L, 3.0)))  // 2x "ab" -> (a,b,</w>)
+    assert(plain("s2") === ((1L, 4L, 3L, 4.0)))  // "abc" -> (a,b,c,</w>)
+    // one merge (a,b): "ab" -> (ab, </w>) = 2 pieces, "abc" -> (ab, c, </w>)
+    val merged = Bpe.fertilityBySource(df, Seq(("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(merged("s1") === ((2L, 4L, 2.0, 1.0)))
+    assert(merged("s2") === ((1L, 3L, 3.0, 1.0)))
+  }
+
+  test("Dedup.sourceOverlap: identical 1.0, disjoint 0.0, sketch==exact at full k") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "w x y z w x"), ("b", "w x y z w x"),   // identical shingle sets
+      ("c", "p q r s t u v")                        // disjoint
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, sketchK = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b"))._2 === 1.0 && out(("a", "b"))._3 === 1.0)
+    assert(out(("a", "c")) === ((0L, 0.0, 0.0)))
+    // sketchK >= |union| makes the KMV estimate exact by construction
+    assert(out.values.forall(v => v._2 === v._3))
+  }
 }

@@ -516,4 +516,36 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p2.contains("Window"), s"importanceSample picked up a window:\n$p2")
     spark.catalog.clearCache() // release importanceSample's bigram persist
   }
+
+  test("charEntropy is a pure narrow projection — zero exchanges, no UDF") {
+    val p = executedPlan(TextAnalysis.charEntropy(docsDF))
+    assert(!p.contains("Exchange"), s"charEntropy picked up a shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"charEntropy has a UDF:\n$p")
+  }
+
+  test("fuzzyEditPairs: band-keyed equi-joins only — no cartesian, no BNLJ") {
+    val p = executedPlan(Dedup.fuzzyEditPairs(docsDF, maxDist = 8))
+    assert(!p.contains("CartesianProduct"), s"fuzzyEditPairs cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzyEditPairs all-pairs join:\n$p")
+    // the prefix rides through the band join: no post-candidate corpus
+    // lookup joins (3 joins total: cap semi-join + the pair self-join)
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins <= 6, s"fuzzyEditPairs re-joins the corpus after blocking:\n$p")
+    spark.catalog.clearCache() // release the banded persist
+  }
+
+  test("sourceOverlap: corpus work is keyed — cross products only over the group frame") {
+    val p = executedPlan(Dedup.sourceOverlap(docsDF))
+    // the group-pair frame (sources × sources) is legitimately unkeyed;
+    // the corpus-sized work must stay keyed: no cartesian (the pair
+    // frame uses BNLJ over two 1-row-per-source aggregates), and the
+    // per-source sketch window must not degenerate to a single task
+    assert(!p.contains("CartesianProduct"), s"sourceOverlap cartesian:\n$p")
+    // the one corpus shuffle carries digests, not raw text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"sourceOverlap shuffles raw text:\n$p")
+    spark.catalog.clearCache() // release the hash-table persist
+  }
 }
