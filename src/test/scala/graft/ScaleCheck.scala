@@ -612,6 +612,36 @@ object ScaleCheck {
             }
           Sampling.sampleByRate(bucketed, rate, "doc_id", "scale").count()
         },
+        entry("text_entropy (narrow HOF fold)") {
+          graft.pipeline.TextAnalysis.charEntropy(docsR).count()
+        },
+        entry("text_fertility (vocab-bound merges)") {
+          // 8 merges: corpus work = the (source, word) count shuffle;
+          // the merge chain runs on the distinct-vocab table only
+          val merges = graft.pipeline.Bpe.train(docsR, numMerges = 8)
+            .orderBy("merge_rank").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          graft.pipeline.Bpe.fertilityBySource(docsR, merges).count()
+        },
+        entry("dedup_fuzzy_edit (banded leven)") {
+          // per-TOKEN replica salt (the minhash decorrelation): replicas
+          // of one doc differ in every token, so cross-replica edit
+          // distance blows past maxDist and pair output stays ∝ r —
+          // tail-only salting would leave the 256-char PREFIXES
+          // identical and every doc would pair with its r−1 replicas
+          // (quadratic by fixture, not plan)
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          graft.pipeline.Dedup.fuzzyEditPairs(decorrelated).count()
+        },
+        entry("corpus_overlap (digest distinct + KMV)") {
+          // sources stay 20 at every r: the pair frame is constant and
+          // the measured work is the corpus-proportional distinct
+          // (source, digest) shuffle + the digest-keyed intersection
+          graft.pipeline.Dedup.sourceOverlap(docsR).count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
