@@ -205,6 +205,8 @@ object SparkEntry {
   private val FuzzyPrefix = 256    // dedup_fuzzy_edit comparison-window cap
   private val OverlapShingleK = 3  // corpus_overlap word-shingle width
   private val OverlapSketchK = 64  // corpus_overlap bottom-k sketch size
+  private val FilteredLabels = Seq(1, 2) // ann_filtered metadata slice
+  private val QuantilePs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
   private val ZOrderBits = 4       // Morton-key bits per dimension
   private val WpMerges = 12        // WordPiece likelihood-merge rounds
   private val WpMaxWord = 12       // WordPiece word-length cap (greedy unroll width)
@@ -3173,6 +3175,50 @@ object SparkEntry {
           maxWordLen = BpeMaxWordLen)
         .orderBy(col("source"))
     }),
+    // streaming: fertility AT INGEST — per-doc counters fold in one
+    // narrow projection on the stream (merge chain in the lambda, one
+    // integer row per doc to the sink), the per-source rollup at the
+    // sink is the SAME aggregation as the batch form; same oracle
+    "text_fertility_stream" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).map(m => (m._2, m._3)).toSeq
+      graft.pipeline.Bpe.fertilityFromPerDoc(
+          graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+            graft.pipeline.Bpe.fertilityPerDoc(st, merges,
+              maxWordLen = BpeMaxWordLen)
+          })
+        .orderBy(col("source"))
+    }),
+    // LLM pipeline: n-gram novelty score vs the benchmark pool — the
+    // SCORED decontaminate (contamination severity / crawl redundancy
+    // ranking, not just a binary hit list); corpus never shuffles
+    "text_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Dedup.noveltyScore(
+          d.filter(col("doc_id") >= DecontBenchDocs),
+          d.filter(col("doc_id") < DecontBenchDocs), n = DecontN)
+        .orderBy(col("id"))
+    }),
+    // LLM pipeline: FILTERED vector search — top-k under a metadata
+    // predicate, ranked inside the slice (post-filtering under-fills
+    // k); the predicate reaches the parquet scan as a PushedFilter
+    "ann_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.filteredTopK(emb,
+          emb.filter(col("vec_id") < AnnQueries), AnnK,
+          col("label").isin(FilteredLabels: _*))
+        .orderBy(col("query_id"), col("rank"))
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+    // data-quality report: exact per-event-type value quantiles
+    // (p25..p99) — the distribution report behind data cards; Spark
+    // percentile == DuckDB quantile_cont (linear interpolation)
+    "report_quantiles" -> ((s, dir) => {
+      graft.pipeline.Diagnostics.quantiles(
+          s.read.parquet(s"$dir/events.parquet"), "value", "event_type",
+          QuantilePs)
+        .orderBy(col("event_type"))
+    }),
     // LLM pipeline: SOFT dedup — duplicate-count-weighted sampling
     // (keep prob = 1/n per exact-dup group: one expected survivor per
     // group, no privileged copy — the unbiased alternative to
@@ -4092,6 +4138,13 @@ object SparkEntry {
       OverlapShingleK, OverlapSketchK),
     "text_fertility" -> graft.pipeline.PipelineSql.bpeFertility(
       BpeMerges, BpeMaxWordLen),
+    "text_fertility_stream" -> graft.pipeline.PipelineSql.bpeFertility(
+      BpeMerges, BpeMaxWordLen),
+    "text_novelty" -> graft.pipeline.PipelineSql.textNovelty(
+      DecontBenchDocs, DecontN),
+    "ann_filtered" -> graft.pipeline.PipelineSql.annFiltered(
+      AnnQueries, AnnK, FilteredLabels),
+    "report_quantiles" -> graft.pipeline.PipelineSql.reportQuantiles(QuantilePs),
     "text_quality" -> graft.pipeline.PipelineSql.textQuality(
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "text_quality_stream" -> graft.pipeline.PipelineSql.textQuality(

@@ -47,6 +47,22 @@ object Ann {
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate (the
+    * vector-DB serving pattern: "nearest docs WHERE lang = 'en' AND
+    * source IN (...)"). Post-filtering a plain top-k under-fills k when
+    * the predicate is selective; the correct form filters the corpus
+    * FIRST and ranks inside the slice — which in Spark is exactly a
+    * predicate ahead of [[bruteForceTopK]], and Catalyst pushes it to
+    * the parquet scan (PushedFilters — the slice never leaves storage;
+    * asserted in PlanAssertSpec). The routed twin is the same
+    * composition over [[queryIvfPqCandidates]] with the filter applied
+    * to the candidate join's corpus side. Returns
+    * [query_id, rank, id, cosine]. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      predicate: Column, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, k, idCol, vecCol)
+
   /** kNN majority-vote classifier over a labeled vector table — the
     * classic embedding-space classifier (label propagation from a
     * curated seed set: quality tiers, topical buckets, safety labels).

@@ -237,4 +237,46 @@ object Bpe {
         round(col("n_az_chars").cast("double") / col("n_tokens").cast("double"), 6)
           .as("chars_per_token"))
   }
+
+  /** Per-document fertility counters as ONE narrow projection — the
+    * STREAMING shape of [[fertilityBySource]]: word/subword/char counts
+    * fold per row inside array lambdas (the [[encodeDocSubwords]]
+    * merge-chain-in-a-lambda pattern), so an unbounded doc stream
+    * carries one small integer row per document to the sink and the
+    * per-source rollup ([[fertilityFromPerDoc]]) runs there. The per-
+    * word merge work runs once per occurrence instead of once per
+    * distinct word — the price of statelessness; the batch form stays
+    * the vocab-bound default. Returns
+    * [source, n_words, n_tokens, n_az_chars]. */
+  def fertilityPerDoc(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", sourceCol: String = "source",
+      maxWordLen: Int = 20): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z]+"),
+      w => length(w) >= 1 && length(w) <= maxWordLen)
+    def merged(w: Column): Column = merges.foldLeft(initSeq(w)) {
+      case (c, (l, r)) => replace(c, lit(s" $l  $r "), lit(s" ${l + r} "))
+    }
+    docs.select(col(sourceCol).as("source"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + size(split(trim(merged(w)), "  ")).cast("long")).as("n_tokens"),
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + length(w).cast("long")).as("n_az_chars"))
+  }
+
+  /** The per-source rollup over [[fertilityPerDoc]] rows — exact
+    * integer sums, ratios computed once (identical aggregation to
+    * [[fertilityBySource]]'s, so stream == batch is structural).
+    * Sources with zero qualifying words drop (no 0/0 row). */
+  def fertilityFromPerDoc(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_az_chars")).as("n_az_chars"))
+      .filter(col("n_words") > 0L)
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_az_chars"),
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_az_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
 }

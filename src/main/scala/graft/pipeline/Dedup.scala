@@ -442,6 +442,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
   }
 
+  /** Per-document n-gram NOVELTY score against a benchmark/reference
+    * pool — the scored generalization of [[decontaminate]]: instead of
+    * a binary hit list, every corpus document reports what fraction of
+    * its distinct word n-grams is UNSEEN in the pool
+    * (novelty = 1 − hits/grams). Used two ways in a training pipeline:
+    * pool = eval benchmarks → a contamination SEVERITY ranking (0.4 is
+    * a different decision than 0.999); pool = the existing training
+    * corpus → a redundancy score for prioritizing genuinely new
+    * content from a fresh crawl.
+    *
+    * Same scale shape as [[decontaminate]] (one narrow shingle pass per
+    * side, pool aggregated distinct and BROADCAST by hint, per-doc
+    * counts map-side combined) plus one narrow per-row distinct-gram
+    * count — the corpus never shuffles. Docs with no n-grams (< n
+    * tokens) report zeros and a −1.0 sentinel. Returns
+    * [id, n_grams, n_hits, novelty]. */
+  def noveltyScore(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusSh = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+    val benchSh = benchmark
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    val hits = corpusSh.join(broadcast(benchSh), Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_grams") === 0L, lit(-1.0))
+          .otherwise(round(lit(1.0)
+            - coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_grams").cast("double"), 6)).as("novelty"))
+  }
+
   /** Incremental exact dedup — the daily-ingest primitive: dedup a NEW
     * batch against the historical fingerprint INDEX (one row per known
     * content hash with its canonical doc) without rescanning the

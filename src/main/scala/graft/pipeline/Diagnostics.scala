@@ -96,4 +96,32 @@ object Diagnostics {
         col(s"av_$c").as("mean_v"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Exact per-group quantiles of a value column — the distribution
+    * report behind data cards and drift alerts (min/mean/max hide the
+    * shape; p50/p95/p99 are what a release review actually reads).
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    * linear-interpolation definition (the funnelTiming precedent), so
+    * the report is oracle-exact under round(6).
+    *
+    * Scale note: exact percentile buffers each group's values in one
+    * aggregation buffer — correct for grouped telemetry where groups
+    * are bounded (event types, sources, langs); for an UNGROUPED
+    * 100 TB column swap in `approx_percentile` (t-digest, mergeable,
+    * bounded state) and keep this as the oracle baseline at test SFs.
+    * NULL values are ignored by both engines. Returns
+    * [<groupCol>, n_values, p<nn>...]. */
+  def quantiles(df: DataFrame, valueCol: String, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "ps must be fractions in [0, 1]")
+    val qs = df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n_values"),
+        percentile(col(valueCol), typedLit(ps)).as("_qs"))
+    qs.select(col(groupCol) +: col("n_values") +:
+      ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("_qs"), i + 1), 6)
+          .as(s"p${math.round(p * 100)}")
+      }: _*)
+  }
 }

@@ -262,6 +262,36 @@ object PipelineSql {
        |SELECT query_id, rank, id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors Ann.filteredTopK: the annBruteForce statement with the
+    * metadata predicate applied to the corpus side BEFORE ranking —
+    * rank positions are computed inside the filtered slice. */
+  def annFiltered(numQueries: Int, k: Int, labels: Seq[Int]): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |scored AS (SELECT q.query_id, e.vec_id AS id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cosine
+       |           FROM embeddings e CROSS JOIN q
+       |           WHERE e.vec_id <> q.query_id
+       |             AND e.label IN (${labels.mkString(", ")})),
+       |ranked AS (SELECT query_id, id, cosine,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS BIGINT) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Mirrors Diagnostics.quantiles over the events value column:
+    * DuckDB quantile_cont == Spark percentile (both the linear-
+    * interpolation definition — the funnelTiming precedent). */
+  def reportQuantiles(ps: Seq[Double]): String = {
+    val cols = ps.map(p =>
+      s"round(quantile_cont(value, $p), 6) AS p${math.round(p * 100)}")
+      .mkString(",\n       ")
+    s"""SELECT event_type, CAST(count(value) AS BIGINT) AS n_values,
+       |       $cols
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** Mirrors [[graft.pipeline.Ann.knnClassify]] on the AnnQueries-style
     * id split: brute-force cosine top-k from the held-out queries into
     * the labeled train side, equal-weight majority vote, ties by
@@ -1791,6 +1821,37 @@ object PipelineSql {
        |       CAST(count(*) AS BIGINT) AS n_hits
        |FROM gg JOIN bench USING (g) WHERE gg.doc_id >= $benchDocs
        |GROUP BY gg.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors Dedup.noveltyScore on the decontaminate fixture split:
+    * the textDecontaminate gram CTEs, per-doc distinct-gram counts, and
+    * novelty = 1 − hits/grams with the −1.0 no-gram sentinel. */
+  def textNovelty(benchDocs: Int, n: Int): String = {
+    val leads = (1 until n)
+      .map(i => s"|| ' ' || lead(token, $i) OVER w").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token,
+       |         generate_subscripts(string_split($norm, ' '), 1) AS pos
+       |  FROM documents WHERE trim(text) <> ''),
+       |g AS (SELECT doc_id, token $leads AS g
+       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |gg AS (SELECT DISTINCT doc_id, g FROM g WHERE g IS NOT NULL),
+       |bench AS (SELECT DISTINCT g FROM gg WHERE doc_id < $benchDocs),
+       |hits AS (SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM gg JOIN bench USING (g) WHERE gg.doc_id >= $benchDocs
+       |         GROUP BY gg.doc_id),
+       |grams AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |          FROM gg WHERE doc_id >= $benchDocs GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS id,
+       |       coalesce(gr.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |       CASE WHEN coalesce(gr.n_grams, 0) = 0 THEN -1.0
+       |            ELSE round(1.0 - coalesce(h.n_hits, 0)::DOUBLE / gr.n_grams, 6)
+       |       END AS novelty
+       |FROM documents d LEFT JOIN grams gr ON gr.doc_id = d.doc_id
+       |                 LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id >= $benchDocs
+       |ORDER BY id""".stripMargin
   }
 
   /** Mirrors Dedup.boilerplateNgrams: distinct word n-grams per doc via

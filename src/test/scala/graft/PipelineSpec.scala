@@ -1602,4 +1602,55 @@ class PipelineSpec extends SparkSpec {
     // sketchK >= |union| makes the KMV estimate exact by construction
     assert(out.values.forall(v => v._2 === v._3))
   }
+
+  test("Dedup.noveltyScore: full-copy 0, disjoint 1, short-doc sentinel") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // every 5-gram in pool
+      (1L, "one two three four five six seven"),   // fully novel
+      (2L, "tiny doc")                             // < n tokens -> sentinel
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(corpus, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((2L, 2L, 0.0)))
+    assert(out(1L) === ((3L, 0L, 1.0)))
+    assert(out(2L) === ((0L, 0L, -1.0)))
+  }
+
+  test("Ann.filteredTopK ranks inside the slice, not post-filters") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(1.0f, 0.0f), 9),   // nearest overall but filtered OUT
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.filteredTopK(emb, emb.filter(col("vec_id") === 0L), k = 2,
+        col("label") === 1)
+      .collect().map(r => r.getInt(1).toLong -> r.getLong(2)).toMap
+    // rank 1 must be vec 2 (the filtered slice's best), never vec 1
+    assert(out(1L) === 2L && out(2L) === 3L)
+  }
+
+  test("Diagnostics.quantiles: exact interpolated percentiles per group") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "value")
+    val out = Diagnostics.quantiles(df, "value", "g", Seq(0.5, 0.75))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("a") === ((4L, 2.5, 3.25))) // linear interpolation
+    assert(out("b") === ((1L, 10.0, 10.0)))
+  }
+
+  test("Bpe.fertilityPerDoc rollup == fertilityBySource (stream==batch structural)") {
+    import spark.implicits._
+    val df = Seq(("s1", "ab ab xyz"), ("s2", "abc q"), ("s3", "")).toDF("source", "text")
+    val merges = Seq(("a", "b"), ("ab", Bpe.EndMarker))
+    val batch = Bpe.fertilityBySource(df, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = Bpe.fertilityFromPerDoc(Bpe.fertilityPerDoc(df, merges)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch === streamed && batch.size === 2) // s3 has no words
+  }
 }

@@ -548,4 +548,31 @@ class PlanAssertSpec extends SparkSpec {
       s"sourceOverlap shuffles raw text:\n$p")
     spark.catalog.clearCache() // release the hash-table persist
   }
+
+  test("filteredTopK pushes the metadata predicate to the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annf").toString
+    (0 until 20).map(i => (i.toLong, Array(i.toFloat, 1.0f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir)
+    val df = Ann.filteredTopK(emb, emb.filter(col("vec_id") < 2), k = 3,
+      col("label") === 1)
+    val p = executedPlan(df)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,1)"),
+      s"filteredTopK's predicate did not reach the scan:\n$p")
+  }
+
+  test("noveltyScore broadcasts the benchmark pool — the gram join is never sort-merge") {
+    val p = executedPlan(Dedup.noveltyScore(
+      docsDF.filter(col("doc_id") >= 3), docsDF.filter(col("doc_id") < 3), n = 3))
+    // the pool side may shuffle for its own distinct (pool-sized); the
+    // corpus gram stream must meet it through a broadcast join — a
+    // sort-merge join on g would mean the exploded corpus stream was
+    // written as a shuffle map stage (the decontaminate rationale)
+    assert(p.contains("BroadcastHashJoin"),
+      s"noveltyScore lost the broadcast pool join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"noveltyScore sort-merges the gram stream:\n$p")
+  }
 }
