@@ -3157,6 +3157,34 @@ object SparkEntry {
           maxDist = FuzzyMaxDist, prefixLen = FuzzyPrefix)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // LLM pipeline: incremental EDIT-DISTANCE dedup — the daily-ingest
+    // loop at the character level: a new batch resolves against the
+    // persisted prefix index (band probe + capped buckets + thresholded
+    // Levenshtein) and against itself; the corpus is never rescanned
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val index = graft.pipeline.Dedup.fuzzyEditIndex(d.where(ten =!= 2),
+        prefixLen = FuzzyPrefix)
+      val batch = d.where(ten === 3)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+        .unionByName(d.where(ten === 2)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      graft.pipeline.Dedup.incrementalFuzzyEdit(index, batch,
+          maxDist = FuzzyMaxDist, prefixLen = FuzzyPrefix)
+        .orderBy(col("id"))
+    }),
+    // streaming: the incremental edit-distance loop served AT INGEST —
+    // stateless band+prefix projection per arriving doc, stream-static
+    // capped index probe with in-stream Levenshtein, batch-bounded
+    // status resolution at the sink; same oracle as the batch twin
+    "dedup_incremental_fuzzy_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.incrementalFuzzyServe(s, dir,
+          maxDist = FuzzyMaxDist, prefixLen = FuzzyPrefix)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: cross-source shingle overlap — exact pairwise
     // Jaccard AND the bottom-k sketch estimate side by side (the
     // mixture-planning audit; the row self-certifies the sketch)
@@ -4134,6 +4162,10 @@ object SparkEntry {
     "text_entropy_stream" -> graft.pipeline.PipelineSql.textEntropy,
     "dedup_fuzzy_edit" -> graft.pipeline.PipelineSql.dedupFuzzyEdit(
       FuzzyMaxDist, FuzzyPrefix),
+    "dedup_incremental_fuzzy" -> graft.pipeline.PipelineSql
+      .dedupIncrementalFuzzy(FuzzyMaxDist, FuzzyPrefix),
+    "dedup_incremental_fuzzy_stream" -> graft.pipeline.PipelineSql
+      .dedupIncrementalFuzzy(FuzzyMaxDist, FuzzyPrefix),
     "corpus_overlap" -> graft.pipeline.PipelineSql.corpusOverlap(
       OverlapShingleK, OverlapSketchK),
     "text_fertility" -> graft.pipeline.PipelineSql.bpeFertility(

@@ -678,6 +678,110 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** The persisted-index half of incremental EDIT-DISTANCE near-dup —
+    * [[fuzzyEditPairs]]'s daily-ingest form: one row per (doc, SimHash
+    * 16-bit band) carrying the doc's comparison prefix, so a new
+    * batch's band keys can probe it without touching the corpus text.
+    * Pure narrow projection (works unchanged on an unbounded stream).
+    * Returns [id, p, l, band, bucket]. */
+  def fuzzyEditIndex(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", prefixLen: Int = 256): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    df.select(col(idCol).cast("long").as("id"),
+        GraftColumnBridge.column(graft.functions.SimhashBands(
+          GraftColumnBridge.expression(col(textCol).cast("string"))))
+          .as("simhash"),
+        substring(TextAnalysis.normTextCol(col(textCol)), 1, prefixLen).as("p"))
+      .select(col("id"), col("p"), length(col("p")).as("l"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** The static side of the incremental fuzzy probe: the prefix index
+    * with over-populated (band, bucket) keys dropped (the
+    * [[cappedIndexSide]] rationale — degenerate buckets accumulate on
+    * the corpus side over time). */
+  def cappedFuzzyIndexSide(index: DataFrame, maxBucketSize: Int): DataFrame = {
+    val ok = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    index.join(ok, Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("cid"),
+        col("p").as("cp"), col("l").as("cl"))
+  }
+
+  /** Corpus-match candidates of a batch's banded prefixes against the
+    * (already capped) index side: band equi-join, per-(bid, cid) dedup,
+    * length prefilter, thresholded-Levenshtein verify. Stateless — runs
+    * as a stream-static join in the streamed serve. Returns
+    * [bid, cid, d]. */
+  def corpusFuzzyCandidates(bIdx: DataFrame, cappedIndex: DataFrame,
+      maxDist: Int): DataFrame =
+    bIdx.select(col("band"), col("bucket"), col("id").as("bid"),
+        col("p").as("bp"), col("l").as("bl"))
+      .join(cappedIndex, Seq("band", "bucket"))
+      .dropDuplicates("bid", "cid")
+      .filter(abs(col("bl") - col("cl")) <= maxDist)
+      .withColumn("d", levenshtein(col("bp"), col("cp"), maxDist).cast("long"))
+      .filter(col("d") >= 0L)
+      .select(col("bid"), col("cid"), col("d"))
+
+  /** Incremental EDIT-DISTANCE near-dup — the [[incrementalMinhash]]
+    * twin at the character level (the crawl-frontier dedup for OCR
+    * noise / version bumps): resolve a NEW batch against the persisted
+    * prefix index ([[fuzzyEditIndex]]) and against itself, without
+    * rescanning the corpus. Status rules and sentinels mirror
+    * incrementalMinhash (`dup_of_corpus` → min matching corpus id,
+    * `dup_in_batch` → min smaller batch id, else `new` with −1s).
+    * Returns [id, status, dup_of, edit_dist]. */
+  def incrementalFuzzyEdit(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", maxDist: Int = 32,
+      prefixLen: Int = 256, maxBucketSize: Int = 10000): DataFrame = {
+    val bIdx = fuzzyEditIndex(batch, idCol, textCol, prefixLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cCand = corpusFuzzyCandidates(bIdx,
+      cappedFuzzyIndexSide(index, maxBucketSize), maxDist)
+    resolveIncrementalFuzzy(batch.select(col(idCol).cast("long").as("id")),
+      cCand, bIdx, maxDist, maxBucketSize)
+  }
+
+  /** Resolution stage shared by [[incrementalFuzzyEdit]] and the
+    * streamed serve — the [[resolveIncrementalMinhash]] rules over
+    * edit distance. */
+  def resolveIncrementalFuzzy(ids: DataFrame, cCand: DataFrame,
+      bIdx: DataFrame, maxDist: Int, maxBucketSize: Int): DataFrame = {
+    val cRes = cCand.groupBy(col("bid"))
+      .agg(min_by(struct(col("cid"), col("d")), col("cid")).as("m"))
+      .select(col("bid"), col("m.cid").as("corpus_of"), col("m.d").as("corpus_d"))
+    val okB = bIdx.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = bIdx.join(okB, Seq("band", "bucket"), "left_semi")
+    val bCand = bounded
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("p").as("p_a"), col("l").as("l_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("p").as("p_b"), col("l").as("l_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(abs(col("l_a") - col("l_b")) <= maxDist)
+      .withColumn("d", levenshtein(col("p_a"), col("p_b"), maxDist).cast("long"))
+      .filter(col("d") >= 0L)
+    val bRes = bCand.groupBy(col("id_b").as("bid"))
+      .agg(min_by(struct(col("id_a"), col("d")), col("id_a")).as("m"))
+      .select(col("bid"), col("m.id_a").as("batch_of"), col("m.d").as("batch_d"))
+    ids
+      .join(cRes, col("id") === cRes("bid"), "left").drop("bid")
+      .join(bRes, col("id") === bRes("bid"), "left").drop("bid")
+      .select(col("id"),
+        when(col("corpus_of").isNotNull, "dup_of_corpus")
+          .when(col("batch_of").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_of"), col("batch_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("corpus_d"), col("batch_d"), lit(-1L)).as("edit_dist"))
+  }
+
   /** [[decontaminate]]'s 100 TB-benchmark shape: the benchmark n-gram
     * pool rides as a BLOOM FILTER instead of a broadcast set — ~10 bits
     * per n-gram at fpp=1% versus tens of bytes for the string set, so a

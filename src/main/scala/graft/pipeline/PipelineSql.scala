@@ -164,6 +164,89 @@ object PipelineSql {
        |            ELSE round(1.0 - edit_dist::DOUBLE / mx, 6) END AS edit_sim
        |FROM v WHERE edit_dist <= $maxDist ORDER BY id_a, id_b""".stripMargin
 
+  /** The dedupSimhash band-fingerprint CTE chain for an arbitrary doc
+    * table `src`, CTE names prefixed `p` (→ ${p}tok … ${p}fp) — the
+    * same md5-bit arithmetic as dedupSimhash/dedupFuzzyEdit, reusable
+    * against a derived table (the incremental fixtures). */
+  private def simhashFpCtesFor(src: String, p: String): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM $src WHERE trim(text) <> '')
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |${p}h AS (SELECT doc_id, n, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM ${p}tok),
+       |${p}bits AS (
+       |  SELECT t.doc_id, j.j,
+       |         sum(CASE WHEN (t.h >> j.j) & 1 = 1 THEN t.n ELSE -t.n END) AS s
+       |  FROM ${p}h t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+       |  GROUP BY t.doc_id, j.j),
+       |${p}bands AS (
+       |  SELECT doc_id, j // 16 AS band,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % 16)) ELSE 0 END) AS bv
+       |  FROM ${p}bits GROUP BY doc_id, j // 16),
+       |${p}fp AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    coalesce(CAST(max(CASE WHEN band = 0 THEN bv END) AS BIGINT), 0) AS b0,
+       |    coalesce(CAST(max(CASE WHEN band = 1 THEN bv END) AS BIGINT), 0) AS b1,
+       |    coalesce(CAST(max(CASE WHEN band = 2 THEN bv END) AS BIGINT), 0) AS b2,
+       |    coalesce(CAST(max(CASE WHEN band = 3 THEN bv END) AS BIGINT), 0) AS b3
+       |  FROM $src d LEFT JOIN ${p}bands b ON b.doc_id = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Mirrors Dedup.incrementalFuzzyEdit on the shared incremental
+    * fixture split (index = doc_id%10≠2, batch = +1M copies of %10=3
+    * and two +2M/+3M copies of %10=2): band blocking each side, length
+    * prefilter + exact Levenshtein over the capped normalized prefix,
+    * then the incrementalMinhash status rules with min-id tie-breaks. */
+  def dedupIncrementalFuzzy(maxDist: Int, prefixLen: Int): String =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
+       |batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 2),
+       |${simhashFpCtesFor("v1", "i")},
+       |${simhashFpCtesFor("batch", "q")},
+       |inx AS (SELECT doc_id, substr($norm, 1, $prefixLen) AS p FROM v1),
+       |qnt AS (SELECT doc_id, substr($norm, 1, $prefixLen) AS p FROM batch),
+       |ccand AS (SELECT DISTINCT q.doc_id AS bid, i.doc_id AS cid
+       |          FROM qfp q JOIN ifp i
+       |            ON (q.b0 = i.b0 OR q.b1 = i.b1 OR q.b2 = i.b2 OR q.b3 = i.b3)),
+       |cm AS MATERIALIZED (
+       |  SELECT bid, cid, CAST(levenshtein(x.p, y.p) AS BIGINT) AS d
+       |  FROM ccand JOIN qnt x ON x.doc_id = bid JOIN inx y ON y.doc_id = cid
+       |  WHERE abs(length(x.p) - length(y.p)) <= $maxDist
+       |    AND levenshtein(x.p, y.p) <= $maxDist),
+       |cres AS (SELECT cm.bid, cm.cid, cm.d
+       |         FROM cm JOIN (SELECT bid, min(cid) AS cid FROM cm GROUP BY bid) w
+       |           ON cm.bid = w.bid AND cm.cid = w.cid),
+       |bcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM qfp a JOIN qfp b
+       |            ON a.doc_id < b.doc_id
+       |           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+       |bm AS MATERIALIZED (
+       |  SELECT id_a, id_b, CAST(levenshtein(x.p, y.p) AS BIGINT) AS d
+       |  FROM bcand JOIN qnt x ON x.doc_id = id_a JOIN qnt y ON y.doc_id = id_b
+       |  WHERE abs(length(x.p) - length(y.p)) <= $maxDist
+       |    AND levenshtein(x.p, y.p) <= $maxDist),
+       |bres AS (SELECT bm.id_b AS bid, bm.id_a, bm.d
+       |         FROM bm JOIN (SELECT id_b, min(id_a) AS id_a FROM bm GROUP BY id_b) w
+       |           ON bm.id_b = w.id_b AND bm.id_a = w.id_a)
+       |SELECT CAST(b.doc_id AS BIGINT) AS id,
+       |       CASE WHEN cres.cid IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN bres.id_a IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'new' END AS status,
+       |       CAST(CASE WHEN cres.cid IS NOT NULL THEN cres.cid
+       |            WHEN bres.id_a IS NOT NULL THEN bres.id_a
+       |            ELSE -1 END AS BIGINT) AS dup_of,
+       |       CAST(CASE WHEN cres.cid IS NOT NULL THEN cres.d
+       |            WHEN bres.id_a IS NOT NULL THEN bres.d
+       |            ELSE -1 END AS BIGINT) AS edit_dist
+       |FROM batch b LEFT JOIN cres ON cres.bid = b.doc_id
+       |LEFT JOIN bres ON bres.bid = b.doc_id
+       |ORDER BY id""".stripMargin
+
   /** Shingle/signature CTEs shared by minhash + jaccard oracles.
     * k = shingle size, numHashes minhash functions, rows hashes per band. */
   private def minhashCtes(k: Int, numHashes: Int, rows: Int): String =

@@ -461,6 +461,67 @@ object StreamReplay {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Streamed incremental EDIT-DISTANCE dedup — the crawl-frontier
+    * character-level dedup served live (the incrementalMinhashServe
+    * shape over the SAME staged ingest batch): per arriving doc the
+    * stateless [[graft.pipeline.Dedup.fuzzyEditIndex]] projection
+    * (SimHash bands + comparison prefix — a pure narrow map, no
+    * StreamingPipeline adapter needed) emits (1) the index delta and
+    * (2) the corpus probe ([[graft.pipeline.Dedup.corpusFuzzyCandidates]]
+    * stream-static band join + thresholded Levenshtein AT INGEST); the
+    * sink resolves statuses with the batch operator's own
+    * [[graft.pipeline.Dedup.resolveIncrementalFuzzy]]. The index side
+    * is never force-broadcast (corpus-sized by definition). Gated by
+    * the batch dedup_incremental_fuzzy SQL. */
+  def incrementalFuzzyServe(spark: SparkSession, dir: String,
+      maxDist: Int, prefixLen: Int, maxBucketSize: Int = 10000): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val ten = pmod(col("doc_id"), lit(10))
+    val index = graft.pipeline.Dedup.fuzzyEditIndex(d.where(ten =!= 2),
+      prefixLen = prefixLen)
+    val capped = graft.pipeline.Dedup.cappedFuzzyIndexSide(index, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = d.where(ten === 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(d.where(ten === 2)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      .unionByName(d.where(ten === 2)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      .select(col("doc_id"), col("text"))
+    // the staged ingest batch is IDENTICAL to incrementalMinhashServe's
+    // — share the artifact key so the fixture stages once per session
+    val stageDir = Paths.get(artifacts.computeIfAbsent(
+      (spark, s"$dir#incbatch"), { _ =>
+        val sd = Files.createTempDirectory("graft_replay_incbatch")
+        writeSingleParquet(batch, sd.resolve("00_batch.parquet"),
+          System.currentTimeMillis())
+        sd.toString
+      }))
+    val batchSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream() = spark.readStream.schema(batchSchema)
+      .parquet(stageDir.toString)
+    val q1 = s"graft_replay_incfz_idx_${counter.incrementAndGet()}"
+    val w1 = graft.pipeline.Dedup.fuzzyEditIndex(stream(), prefixLen = prefixLen)
+      .writeStream.format("memory").queryName(q1)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q2 = s"graft_replay_incfz_cand_${counter.incrementAndGet()}"
+    val w2 = graft.pipeline.Dedup.corpusFuzzyCandidates(
+        graft.pipeline.Dedup.fuzzyEditIndex(stream(), prefixLen = prefixLen),
+        capped, maxDist)
+      .writeStream.format("memory").queryName(q2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    w1.awaitTermination(); w2.awaitTermination()
+    val bIdx = drainSink(spark, q1)
+    val cCand = drainSink(spark, q2)
+    val out = graft.pipeline.Dedup.resolveIncrementalFuzzy(
+      batch.select(col("doc_id").cast("long").as("id")), cCand, bIdx,
+      maxDist, maxBucketSize)
+    val rows = out.collect()
+    capped.unpersist(false)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Streamed incremental EMBEDDING dedup — the daily vector-ingest
     * loop served live (the dedup_url_stream shape on the semantic
     * fingerprint): each arriving vector builds the incremental

@@ -1603,6 +1603,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.forall(v => v._2 === v._3))
   }
 
+  test("Dedup.incrementalFuzzyEdit: corpus dup, batch dup, new — with distances") {
+    import spark.implicits._
+    val index = Dedup.fuzzyEditIndex(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")
+    ).toDF("doc_id", "text"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumped over the lazy dog"), // near corpus 0
+      (11L, "la vie est belle et la mer est calme"),          // new
+      (12L, "la vie est belle et la mer est calme"),          // dup of 11 in batch
+      (13L, "zz yy xx ww vv uu tt ss rr qq pp oo")            // new, unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalFuzzyEdit(index, batch, maxDist = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) === (("dup_of_corpus", 0L, 2L))) // jumps -> jumped = 2 edits
+    assert(out(11L) === (("new", -1L, -1L)))
+    assert(out(12L) === (("dup_in_batch", 11L, 0L)))
+    assert(out(13L) === (("new", -1L, -1L)))
+  }
+
   test("Dedup.noveltyScore: full-copy 0, disjoint 1, short-doc sentinel") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
