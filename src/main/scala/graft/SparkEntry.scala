@@ -3238,6 +3238,22 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("id"),
           round(col("cosine"), 6).as("cosine"))
     }),
+    // LLM pipeline: FILTERED search on the ROUTED path — the 100 TB
+    // serving twin of ann_filtered: nprobe cell join, predicate as a
+    // candidate semi-join before ranking, over-probed (6 vs 4) because
+    // the filter thins each probed cell (the over-fetch rule)
+    "ann_filtered_routed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.filteredIvfPqTopK(emb,
+          emb.filter(col("vec_id") < AnnQueries), AnnK,
+          col("label").isin(FilteredLabels: _*),
+          numCentroids = SemCells, nprobe = 6, m = PqSubspaces,
+          pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+          sampleSize = AnnSample)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), round(col("adc"), 6).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // data-quality report: exact per-event-type value quantiles
     // (p25..p99) — the distribution report behind data cards; Spark
     // percentile == DuckDB quantile_cont (linear interpolation)
@@ -4510,6 +4526,11 @@ object SparkEntry {
     "ann_ivfpq" -> graft.pipeline.PipelineSql.annIvfPq(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
+    "ann_filtered_routed" -> graft.pipeline.PipelineSql.annIvfPq(
+      AnnQueries, AnnK, SemCells, 6, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64, extraWhere = s"""
+   AND c0.vec_id IN (SELECT vec_id FROM embeddings
+                     WHERE label IN (${FilteredLabels.mkString(", ")}))"""),
     "ann_serve_stream" -> graft.pipeline.PipelineSql.annIvfPq(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),

@@ -856,6 +856,35 @@ object Ann {
       GraftColumnBridge.expression(vec), codebooks))
   }
 
+  /** FILTERED routed search — [[filteredTopK]]'s 100 TB twin over the
+    * IVF-PQ index: candidates come from the nprobe cell join
+    * ([[queryIvfPqCandidates]], never a corpus scan), the metadata
+    * predicate lands as a SEMI-JOIN on candidate ids BEFORE ranking
+    * (rank inside the filtered slice — the filteredTopK contract), and
+    * k fills from the probed cells' filtered survivors. A selective
+    * predicate thins each probed cell, so callers raise `nprobe` to
+    * hold recall — the over-fetch rule every filtered-ANN serving
+    * stack documents (this entry probes 6 cells where plain ann_ivfpq
+    * probes 4). The filter side is an id projection of the predicate
+    * rows — broadcastable when the slice is small, a key-partitioned
+    * semi-join otherwise; the planner picks. */
+  def filteredIvfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column, idCol: String = "vec_id",
+      vecCol: String = "embedding", numCentroids: Int = 16, nprobe: Int = 6,
+      m: Int = 4, pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
+      sampleSize: Int = 10000): DataFrame = {
+    val idx = buildIvfPq(corpus, idCol, vecCol, numCentroids, m,
+      pqCentroids, iters, pqIters, sampleSize)
+    val keep = corpus.filter(predicate)
+      .select(col(idCol).cast("long").as("id"))
+    val scored = queryIvfPqCandidates(idx, queries, nprobe, idCol, vecCol)
+      .join(keep, Seq("id"), "left_semi")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("adc"))
+  }
+
   /** IVF-PQ: the production 100 TB ANN architecture as one call —
     * [[buildIvfPq]] then [[queryIvfPq]]. See those for the plan shape. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -30,6 +30,7 @@ object Curation {
   /** Stage knobs; defaults give a reasonable mid-strictness pipeline.
     *  - `languages`: empty = no language gate;
     *  - `boilerplateMinDocs`: 0 = skip boilerplate scrubbing;
+    *  - `entropyMax`: 0 = skip the char-entropy band gate;
     *  - `lmPerplexityMax`: 0 = skip the model-based LM gate;
     *  - `nearDupThreshold`: ≥ 1.0 = exact dedup only;
     *  - `mixRates`: empty = keep all sources;
@@ -43,6 +44,14 @@ object Curation {
         * existing hash contracts unchanged). */
       unicodeForm: Option[String] = None,
       minQuality: Double = 0.3,
+      /** Character-entropy band gate ([[TextAnalysis.charEntropy]]):
+        * docs whose char Shannon entropy falls OUTSIDE
+        * [entropyMin, entropyMax] drop — low tail = template/repeat
+        * spam, high tail = base64/encrypted blobs. Both 0 = off
+        * (default). A narrow per-row gate, so it runs in stage 1 at
+        * scan speed with the quality score. */
+      entropyMin: Double = 0.0,
+      entropyMax: Double = 0.0,
       languages: Set[String] = Set.empty,
       piiRedact: Boolean = true,
       boilerplateN: Int = 5,
@@ -88,6 +97,9 @@ object Curation {
       .filter(col("quality") >= cfg.minQuality)
       .drop("n_chars_q", "n_tokens_q", "punct_ratio", "stopword_ratio",
         "mean_token_len", "repetition_ratio")
+    if (cfg.entropyMax > 0.0)
+      d = TextAnalysis.charEntropyGate(d, textCol, cfg.entropyMin,
+        cfg.entropyMax)
     if (cfg.languages.nonEmpty)
       d = d.withColumn("lang_pred", TextAnalysis.langPredCol(col(textCol)))
         .filter(col("lang_pred").isin(cfg.languages.toSeq: _*))

@@ -1264,7 +1264,8 @@ object PipelineSql {
     * with the PQ code scan ([[pqCodeCtes]]) — candidates are the corpus
     * vectors in the query's nprobe nearest cells, scored by ADC. */
   def annIvfPq(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
-      m: Int, pqCentroids: Int, sampleSize: Int, dim: Int): String = {
+      m: Int, pqCentroids: Int, sampleSize: Int, dim: Int,
+      extraWhere: String = ""): String = {
     require(dim % m == 0)
     val sub = dim / m
     val (codeJoins, cbJoins, adc) = pqAdc(m, sub)
@@ -1279,7 +1280,7 @@ object PipelineSql {
        |  JOIN code0 c0 ON c0.vec_id = a.vec_id
        |  $codeJoins
        |  $cbJoins
-       |  WHERE c0.vec_id <> q.query_id),
+       |  WHERE c0.vec_id <> q.query_id$extraWhere),
        |ranked AS (SELECT query_id, id, adc,
        |                  CAST(row_number() OVER (PARTITION BY query_id
        |                       ORDER BY adc, id) AS BIGINT) AS rank

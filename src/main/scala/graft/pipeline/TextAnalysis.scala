@@ -279,6 +279,34 @@ object TextAnalysis {
           .otherwise(round(log(n) - sumNLnN / n, 6)).as("entropy"))
   }
 
+  /** The GATE form of [[charEntropy]]: keep rows whose character
+    * entropy lies in [lo, hi] (blank docs drop — their sentinel −1.0 is
+    * below any real lo). Same two-projection shape (the char array
+    * materializes once — rebuilding it per distinct-char lookup would
+    * be O(d·len²) per row) and the same round(6) value, so a gate
+    * decision here always agrees with the text_entropy report. Adds no
+    * output columns. */
+  def charEntropyGate(df: DataFrame, textCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(hi > lo, s"entropy gate needs hi > lo: [$lo, $hi]")
+    val nt = col("__entnt")
+    val cs = col("__entcs")
+    val n = length(nt).cast("double")
+    val sumNLnN = aggregate(array_distinct(cs), lit(0.0), (acc, c) => {
+      val cnt = size(filter(cs, x => x === c)).cast("double")
+      acc + cnt * log(cnt)
+    })
+    df.withColumn("__entnt", normTextCol(col(textCol)))
+      .withColumn("__entcs",
+        transform(sequence(lit(1), greatest(length(nt), lit(1))),
+          i => nt.substr(i, lit(1))))
+      .withColumn("__ent",
+        when(length(nt) === 0, lit(-1.0))
+          .otherwise(round(log(n) - sumNLnN / n, 6)))
+      .filter(col("__ent") >= lo && col("__ent") <= hi)
+      .drop("__entnt", "__entcs", "__ent")
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length, repetition ratio (1 - distinct/total tokens); composite
     * `quality` in [0,1] combining the standard heuristics. */

@@ -54,6 +54,26 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("entropy gate: facade band == standalone charEntropy decisions") {
+    import spark.implicits._
+    // a repeat-spam doc (low entropy) planted alongside the fixture
+    val planted = fixture.unionByName(
+      Seq((8L, "spam spam spam spam spam spam spam spam spam spam", "web"))
+        .toDF("doc_id", "text", "source"))
+    val cfg = Curation.Config(minQuality = 0.0, piiRedact = false,
+      entropyMin = 2.0, entropyMax = 5.0, nearDupThreshold = 1.1)
+    val kept = Curation.curate(planted, cfg).collect()
+      .map(_.getLong(0)).toSet
+    // the standalone report's decisions, replayed manually (minus doc 1,
+    // which the always-on exact-dedup stage collapses into canonical 0)
+    val expected = TextAnalysis.charEntropy(planted).collect()
+      .filter(r => r.getDouble(3) >= 2.0 && r.getDouble(3) <= 5.0)
+      .map(_.getLong(0)).toSet - 1L
+    assert(kept === expected)
+    assert(!kept.contains(8L) && !kept.contains(4L)) // spam + garbage low-entropy
+    assert(kept.contains(0L))
+  }
+
   test("language gate keeps only the requested languages") {
     val cfg = Curation.Config(minQuality = 0.0, languages = Set("de"),
       piiRedact = false, nearDupThreshold = 1.0)

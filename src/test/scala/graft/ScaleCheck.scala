@@ -636,6 +636,19 @@ object ScaleCheck {
                 (col("doc_id") / 10000000L).cast("long").cast("string"))))
           graft.pipeline.Dedup.fuzzyEditPairs(decorrelated).count()
         },
+        entry("dedup_incremental_fuzzy (prefix-index resolve)") {
+          // per-token replica salt (the fuzzy_edit reasoning): index =
+          // even half, batch = odd half, both grow with r, cross-replica
+          // prefixes diverge past maxDist so candidates stay ∝ r
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          val idx = graft.pipeline.Dedup.fuzzyEditIndex(
+            decorrelated.where(pmod(col("doc_id"), lit(2)) === 0))
+          graft.pipeline.Dedup.incrementalFuzzyEdit(idx,
+            decorrelated.where(pmod(col("doc_id"), lit(2)) === 1)).count()
+        },
         entry("corpus_overlap (digest distinct + KMV)") {
           // sources stay 20 at every r: the pair frame is constant and
           // the measured work is the corpus-proportional distinct
