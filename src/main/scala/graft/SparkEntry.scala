@@ -236,6 +236,7 @@ object SparkEntry {
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
   private val HybridPrfM = 3       // PRF centroid from the top-3 candidates
+  private val RrfK = 60            // reciprocal-rank-fusion constant (Cormack 2009)
   private val HybridLambda = 0.5   // lexical/semantic blend weight
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
@@ -2158,6 +2159,21 @@ object SparkEntry {
         .select(col("query_id").cast("long").as("query_id"), col("rank"),
           col("doc_id").cast("long").as("doc_id"), col("score"),
           col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // LLM pipeline: reciprocal-rank fusion over the same candidates —
+    // the normalization-free lexical+semantic fusion (rrf = Σ 1/(60+r));
+    // rank-based, so the two retrievers need no comparable scores
+    "text_rrf_search" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Bm25Queries.toDF("query_id", "query_text")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.rrfSearch(docs(s, dir), emb, queries,
+          topK = Bm25TopK, kRrf = RrfK, prfM = HybridPrfM,
+          k1 = Bm25K1, b = Bm25B)
+        .select(col("query_id").cast("long").as("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"), col("rrf"),
+          col("bm25_rank"), col("cos_rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
     // streaming: BM25 retrieval SERVED on a query stream — index built
@@ -4329,6 +4345,8 @@ object SparkEntry {
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "text_hybrid_search" -> graft.pipeline.PipelineSql.textHybrid(
       Bm25Queries, Bm25TopK, HybridPrfM, HybridLambda, Bm25K1, Bm25B),
+    "text_rrf_search" -> graft.pipeline.PipelineSql.textRrf(
+      Bm25Queries, Bm25TopK, RrfK, HybridPrfM, Bm25K1, Bm25B),
     "text_bm25_stream" -> graft.pipeline.PipelineSql.textBm25(
       Bm25Queries, Bm25TopK, Bm25K1, Bm25B),
     "graph_pagerank" -> graft.pipeline.PipelineSql.coocPageRank(

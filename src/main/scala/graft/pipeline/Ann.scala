@@ -307,6 +307,58 @@ object Ann {
         col("blend").as("score"), col("cos").as("cosine"))
   }
 
+  /** Reciprocal-rank fusion over the hybrid candidate set — the OTHER
+    * standard lexical+semantic fusion beside [[hybridSearch]]'s score
+    * blend: rrf = 1/(k+rank_bm25) + 1/(k+rank_cosine), k = 60 by
+    * convention (Cormack et al. 2009). Rank-based fusion needs NO score
+    * normalization (BM25 and cosine live on incomparable scales — the
+    * blend's λ·score/max step is exactly the normalization RRF
+    * sidesteps), which is why serving stacks default to it when the
+    * two retrievers evolve independently. The fused value is a sum of
+    * two exact rationals of small integers — bit-identical in any
+    * engine, so the final rank rides the UNROUNDED rrf (id tiebreak).
+    * Candidates, PRF centroid and per-query ranks are all
+    * queries×topK-bounded, same scale shape as hybridSearch. Returns
+    * [query_id, rank, <idCol>, rrf, bm25_rank, cos_rank]. */
+  def rrfSearch(docsDf: DataFrame, emb: DataFrame, queries: DataFrame,
+      topK: Int = 10, kRrf: Int = 60, prfM: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(prfM >= 1 && prfM <= topK && kRrf >= 1,
+      s"rrfSearch: bad prfM/kRrf ($prfM/$kRrf)")
+    val bm = TextAnalysis.bm25Search(docsDf, queries, topK, k1, b,
+        textCol, idCol)
+      .withColumnRenamed("rank", "bm25_rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = emb.select(col(vecIdCol).cast("long").as(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cent = bm.filter(col("bm25_rank") <= prfM)
+      .join(e, idCol)
+      .select(col("query_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("query_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("query_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    val cand = bm.join(e, idCol)
+      .join(broadcast(cent), "query_id")
+      .withColumn("cos", round(cosineDouble(col("v"), col("cv")), 6))
+      .withColumn("cos_rank", row_number().over(wc).cast("long"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(kRrf.toDouble) + col("bm25_rank"))
+          + lit(1.0) / (lit(kRrf.toDouble) + col("cos_rank")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col(idCol))
+    cand.withColumn("frank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("frank").as("rank"), col(idCol),
+        round(col("rrf"), 6).as("rrf"),
+        col("bm25_rank").cast("long").as("bm25_rank"), col("cos_rank"))
+  }
+
   /** Full-double cosine for DOUBLE-array columns (centroids) — the
     * float32 [[cosine]] kernel would truncate the DECIMAL-mean inputs.
     * Left-to-right HOF folds match DuckDB's sequential

@@ -3261,6 +3261,47 @@ object PipelineSql {
        |       CAST(doc_id AS BIGINT) AS doc_id, score, cosine
        |FROM bl ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors Ann.rrfSearch: the textHybrid candidate/centroid CTEs,
+    * the per-query cosine rank (rounded cos, id tiebreak), and
+    * rrf = 1/(k+bm25_rank) + 1/(k+cos_rank) ranked UNROUNDED — the
+    * value is a sum of two exact small-integer rationals, bit-identical
+    * across engines. */
+  def textRrf(queries: Seq[(Long, String)], topK: Int, kRrf: Int,
+      prfM: Int, k1: Double, b: Double): String =
+    s"""WITH bm AS (SELECT * FROM (${textBm25(queries, topK, k1, b)})),
+       |e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+       |      FROM embeddings),
+       |pts AS (SELECT bm.query_id,
+       |               unnest(e.v) AS x,
+       |               generate_subscripts(e.v, 1) AS pos
+       |        FROM bm JOIN e ON e.doc_id = bm.doc_id
+       |        WHERE bm.rank <= $prfM),
+       |cm AS (SELECT query_id, pos,
+       |              CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |                / count(*) AS m
+       |        FROM pts GROUP BY 1, 2),
+       |cent AS (SELECT query_id, list(m ORDER BY pos) AS cv
+       |         FROM cm GROUP BY 1),
+       |sc AS (SELECT bm.query_id, bm.doc_id, bm.rank AS brank,
+       |              round(list_cosine_similarity(e.v, c.cv), 6) AS cos
+       |       FROM bm JOIN e ON e.doc_id = bm.doc_id
+       |       JOIN cent c ON c.query_id = bm.query_id),
+       |cr AS (SELECT query_id, doc_id, brank,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY cos DESC, doc_id) AS crank
+       |       FROM sc),
+       |rr AS (SELECT query_id, doc_id, brank, crank,
+       |              1.0 / ($kRrf + brank) + 1.0 / ($kRrf + crank) AS rrf
+       |       FROM cr)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |       CAST(doc_id AS BIGINT) AS doc_id,
+       |       round(rrf, 6) AS rrf,
+       |       CAST(brank AS BIGINT) AS bm25_rank,
+       |       CAST(crank AS BIGINT) AS cos_rank
+       |FROM rr ORDER BY query_id, rank""".stripMargin
+
   /** Mirrors [[TextAnalysis.collocations]]: adjacent-bigram PMI with
     * the min-count cut, rank on the ROUNDED pmi (ties (w1, w2)),
     * identical division/multiplication association. */
