@@ -258,25 +258,48 @@ object TextAnalysis {
   def charEntropy(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val nt = col("__nt")
-    val cs = col("__cs")
     val n = length(nt).cast("double")
-    val sumNLnN = aggregate(array_distinct(cs), lit(0.0), (acc, c) => {
-      val cnt = size(filter(cs, x => x === c)).cast("double")
-      acc + cnt * log(cnt)
-    })
+    val folded = col("__fold")
     df.withColumn("__nt", normTextCol(col(textCol)))
       // sequence() flips to a descending step when start > stop, so the
       // empty-text row is pinned to one harmless '' element instead
       .withColumn("__cs",
         transform(sequence(lit(1), greatest(length(nt), lit(1))),
           i => nt.substr(i, lit(1))))
+      .withColumn("__fold", charRunsFold(col("__cs")))
       .select(col(idCol),
         length(nt).cast("long").as("n_chars_norm"),
         when(length(nt) === 0, lit(0L))
-          .otherwise(size(array_distinct(cs)).cast("long"))
-          .as("n_distinct_chars"),
+          .otherwise(folded.getField("d")).as("n_distinct_chars"),
         when(length(nt) === 0, lit(-1.0))
-          .otherwise(round(log(n) - sumNLnN / n, 6)).as("entropy"))
+          .otherwise(round(log(n) - folded.getField("s") / n, 6)).as("entropy"))
+  }
+
+  /** The single-pass entropy fold over a char array: sort, then one
+    * run-detecting aggregate accumulating (prev char, run length,
+    * Σ n_c·ln n_c, distinct count) — O(len log len) per row instead of
+    * one full-array filter scan PER DISTINCT CHAR (O(d·len); HOFs are
+    * interpreted, so the constant matters: the nested form measured
+    * ~5× slower on the single-task streamed replay). Returns a struct
+    * [s: Σ n ln n, d: distinct count]. */
+  private def charRunsFold(cs: Column): Column = {
+    def runTerm(r: Column): Column =
+      when(r > 0.0, r * log(r)).otherwise(lit(0.0))
+    aggregate(array_sort(cs),
+      struct(lit("").as("p"), lit(0.0).as("r"), lit(0.0).as("s"),
+        lit(0L).as("d")),
+      (acc, c) => {
+        val same = acc.getField("p") === c
+        struct(c.as("p"),
+          when(same, acc.getField("r") + 1.0).otherwise(lit(1.0)).as("r"),
+          when(same, acc.getField("s"))
+            .otherwise(acc.getField("s") + runTerm(acc.getField("r"))).as("s"),
+          when(same, acc.getField("d"))
+            .otherwise(acc.getField("d") + 1L).as("d"))
+      },
+      acc => struct(
+        (acc.getField("s") + runTerm(acc.getField("r"))).as("s"),
+        acc.getField("d").as("d")))
   }
 
   /** The GATE form of [[charEntropy]]: keep rows whose character
@@ -290,19 +313,15 @@ object TextAnalysis {
       lo: Double, hi: Double): DataFrame = {
     require(hi > lo, s"entropy gate needs hi > lo: [$lo, $hi]")
     val nt = col("__entnt")
-    val cs = col("__entcs")
     val n = length(nt).cast("double")
-    val sumNLnN = aggregate(array_distinct(cs), lit(0.0), (acc, c) => {
-      val cnt = size(filter(cs, x => x === c)).cast("double")
-      acc + cnt * log(cnt)
-    })
     df.withColumn("__entnt", normTextCol(col(textCol)))
       .withColumn("__entcs",
         transform(sequence(lit(1), greatest(length(nt), lit(1))),
           i => nt.substr(i, lit(1))))
       .withColumn("__ent",
         when(length(nt) === 0, lit(-1.0))
-          .otherwise(round(log(n) - sumNLnN / n, 6)))
+          .otherwise(round(log(n)
+            - charRunsFold(col("__entcs")).getField("s") / n, 6)))
       .filter(col("__ent") >= lo && col("__ent") <= hi)
       .drop("__entnt", "__entcs", "__ent")
   }
