@@ -3067,6 +3067,25 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // wiki-dump XML twin: one <doc …>…</doc> element per line, escaped,
+    // parsed by per-line codegen'd regexps — same digest oracle
+    "ingest_xml" -> ((s, dir) => {
+      val path = graft.sources.XmlIO.stageDocuments(s, dir)
+      graft.sources.XmlIO.readDocuments(s, path)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // WARC twin (the CommonCrawl shape): multi-line records split
+    // distributedly on the record delimiter via lineSep, headers +
+    // Content-Length verified in-plan — same digest oracle
+    "ingest_warc" -> ((s, dir) => {
+      val path = graft.sources.WarcIO.stageDocuments(s, dir)
+      graft.sources.WarcIO.readDocuments(s, path)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // ORC twin: the Hive-era columnar lake format through Spark's
     // native reader (pruning/pushdown reach the scan — OrcIOSpec), same
     // original-parquet digest oracle
@@ -4454,6 +4473,14 @@ object SparkEntry {
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ingest_csv" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_xml" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_warc" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
