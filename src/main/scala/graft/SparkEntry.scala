@@ -174,6 +174,15 @@ object SparkEntry {
   private val PiiPlantMod = 5      // plant an email+URL on every 5th doc
   private val DomainPlantMod = 3   // plant two URLs on every 3rd doc
   private val CleanStreamMinQuality = 0.5
+  // C4 line-cleaning plant: which doc ids get which planted line
+  private val C4JsMod = 7          // javascript-boilerplate line
+  private val C4ExtraMod = 11      // second good line (kept-count swing)
+  private val C4LoremMod = 13      // page-level lorem-ipsum drop
+  private val C4BraceMod = 17      // page-level code-brace drop
+  private val C4MinWords = 3       // per-line token floor
+  private val C4MinKept = 2        // per-page surviving-line floor
+  private val DomainCapMod = 23    // planted domain count (domain cap)
+  private val DomainCapK = 5       // max docs kept per domain
   // Sampling / packing entry parameters (Sampling.scala operators)
   private val SampleRate = 0.25
   private val SampleSalt = "graft"
@@ -353,6 +362,22 @@ object SparkEntry {
   private def urlMessyCol(id: Column): Column =
     concat(lit("HTTPS://Shop"), pmod(id, lit(20)), lit(".COM:443/item/"),
       id, lit("/?b=2&utm_source=feed&a=1#frag"))
+  /** Multi-line plant for the C4 cleaning entries: two text-derived
+    * lines (one with a terminal period, one without), a too-short line,
+    * and four modulo-gated planted lines exercising every rule — the
+    * javascript boilerplate drop, the kept-count swing, and the two
+    * page-level (lorem ipsum / code brace) drops. concat_ws skips the
+    * NULL branches on both engines. */
+  private def c4PlantCol: Column = concat_ws("\n",
+    concat(col("text").substr(1, 40), lit(" end.")),
+    col("text").substr(41, 30),
+    lit("ok fine."),
+    when(col("doc_id") % C4JsMod === 0,
+      lit("Please enable javascript to continue.")),
+    when(col("doc_id") % C4ExtraMod === 0, lit("trailing words here!")),
+    when(col("doc_id") % C4LoremMod === 0, lit("lorem ipsum dolor sit.")),
+    when(col("doc_id") % C4BraceMod === 0, lit("config { x }.")))
+
   private def urlFreshCol(id: Column): Column =
     concat(lit("https://fresh.site/page/"), id, lit("?x=1"))
   private def urlFreshMessyCol(id: Column): Column =
@@ -3183,6 +3208,45 @@ object SparkEntry {
             col("n_chars_norm"), col("n_distinct_chars"), col("entropy"))
       }.orderBy(col("doc_id"))
     }),
+    // LLM pipeline: C4-style line cleaning (Raffel et al. 2020 §2.2) —
+    // per-line terminal-punct / min-words / javascript rules plus the
+    // page-level lorem-ipsum and code-brace drops, over a planted
+    // multi-line corpus; surviving bytes certified by md5 digest
+    "text_c4_clean" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text2", c4PlantCol)
+      graft.pipeline.TextAnalysis.c4Clean(planted, "text2",
+          minWordsPerLine = C4MinWords, minKeptLines = C4MinKept)
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_lines"),
+          col("n_kept"), col("has_lorem"), col("has_brace"), col("kept"),
+          col("clean_digest"))
+        .orderBy(col("doc_id"))
+    }),
+    // streaming: the same C4 rule battery AT INGEST — stateless narrow
+    // map on the doc stream, under the batch SQL
+    "text_c4_clean_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        graft.pipeline.TextAnalysis.c4Clean(
+            st.withColumn("text2", c4PlantCol), "text2",
+            minWordsPerLine = C4MinWords, minKeptLines = C4MinKept)
+          .select(col("doc_id").cast("long").as("doc_id"), col("n_lines"),
+            col("n_kept"), col("has_lorem"), col("has_brace"),
+            col("kept"), col("clean_digest"))
+      }.orderBy(col("doc_id"))
+    }),
+    // LLM pipeline: per-domain document cap (the FineWeb "at most k
+    // pages per domain, keep the best" rule) — WindowGroupLimit top-k
+    // per planted domain, preferring longer docs, doc_id tie-break
+    "sample_domain_cap" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        concat(lit("site"), (col("doc_id") % DomainCapMod).cast("string"),
+          lit(".example.org")).as("domain"),
+        col("n_chars").cast("long").as("n_chars"))
+      graft.pipeline.Sampling.domainCap(planted, "domain", "n_chars",
+          DomainCapK)
+        .select(col("domain"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("domain"), col("rk"))
+    }),
     // LLM pipeline: edit-distance near-dup pairs — SimHash band
     // blocking + free length prefilter + thresholded Levenshtein over
     // the 256-char normalized prefix (the character-level verifier for
@@ -4211,6 +4275,12 @@ object SparkEntry {
     "text_readability_stream" -> graft.pipeline.PipelineSql.textReadability,
     "text_entropy" -> graft.pipeline.PipelineSql.textEntropy,
     "text_entropy_stream" -> graft.pipeline.PipelineSql.textEntropy,
+    "text_c4_clean" -> graft.pipeline.PipelineSql.textC4Clean(
+      C4JsMod, C4ExtraMod, C4LoremMod, C4BraceMod, C4MinWords, C4MinKept),
+    "text_c4_clean_stream" -> graft.pipeline.PipelineSql.textC4Clean(
+      C4JsMod, C4ExtraMod, C4LoremMod, C4BraceMod, C4MinWords, C4MinKept),
+    "sample_domain_cap" -> graft.pipeline.PipelineSql.sampleDomainCap(
+      DomainCapMod, DomainCapK),
     "dedup_fuzzy_edit" -> graft.pipeline.PipelineSql.dedupFuzzyEdit(
       FuzzyMaxDist, FuzzyPrefix),
     "dedup_incremental_fuzzy" -> graft.pipeline.PipelineSql

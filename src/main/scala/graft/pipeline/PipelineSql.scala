@@ -2143,6 +2143,72 @@ object PipelineSql {
        |GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  /** Mirrors [[TextAnalysis.c4Clean]] over the planted multi-line
+    * corpus: same concat_ws plant (NULL branches vanish on both
+    * engines), same per-line predicate (`\S+` token count, terminal
+    * [.!?"] after rtrim, no "javascript"), same page flags, same md5
+    * of the newline-joined survivors. */
+  def textC4Clean(jsMod: Int, extraMod: Int, loremMod: Int, braceMod: Int,
+      minWords: Int, minKept: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    concat_ws(chr(10),
+       |      substr(text, 1, 40) || ' end.',
+       |      substr(text, 41, 30),
+       |      'ok fine.',
+       |      CASE WHEN doc_id % $jsMod = 0
+       |           THEN 'Please enable javascript to continue.' END,
+       |      CASE WHEN doc_id % $extraMod = 0
+       |           THEN 'trailing words here!' END,
+       |      CASE WHEN doc_id % $loremMod = 0
+       |           THEN 'lorem ipsum dolor sit.' END,
+       |      CASE WHEN doc_id % $braceMod = 0
+       |           THEN 'config { x }.' END) AS text2
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    len(string_split(text2, chr(10))) AS n_lines,
+       |    list_filter(string_split(text2, chr(10)),
+       |      l -> len(regexp_extract_all(l, '\\S+')) >= $minWords
+       |           AND regexp_matches(rtrim(l), '[.!?"]$$')
+       |           AND NOT contains(lower(l), 'javascript')) AS keptls,
+       |    contains(lower(text2), 'lorem ipsum') AS has_lorem,
+       |    contains(text2, '{') AS has_brace
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, n_lines, len(keptls) AS n_kept, has_lorem,
+       |         has_brace,
+       |         (NOT has_lorem AND NOT has_brace
+       |          AND len(keptls) >= $minKept) AS kept,
+       |         array_to_string(keptls, chr(10)) AS cleaned
+       |  FROM f)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(n_lines AS BIGINT) AS n_lines,
+       |       CAST(n_kept AS BIGINT) AS n_kept,
+       |       has_lorem, has_brace, kept,
+       |       CASE WHEN kept THEN md5(cleaned) END AS clean_digest
+       |FROM k ORDER BY doc_id""".stripMargin
+
+  /** Mirrors [[Sampling.domainCap]] over the planted-domain corpus:
+    * same modulo plant, rank by (n_chars DESC, doc_id) per domain,
+    * keep rank <= k. */
+  def sampleDomainCap(domainMod: Int, k: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(doc_id % $domainMod AS VARCHAR)
+       |           || '.example.org' AS domain,
+       |    n_chars
+       |  FROM documents),
+       |r AS (
+       |  SELECT domain, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY domain
+       |      ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM d)
+       |SELECT domain, CAST(rk AS BIGINT) AS rk,
+       |       CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(n_chars AS BIGINT) AS n_chars
+       |FROM r WHERE rk <= $k ORDER BY domain, rk""".stripMargin
+
   /** Mirrors the `multimodal_meta` entry WITHOUT parsing any binary:
     * the Spark side assembles a 4x2 P6 payload from
     * `md5('imgA'||id) || md5('imgB'||id)` bytes and runs the real

@@ -202,6 +202,28 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Per-domain document cap — the FineWeb/RefinedWeb web-corpus rule
+    * "keep at most k documents per registered domain, preferring the
+    * best": rank rows within each domain by `orderCol` DESCENDING
+    * (quality score, length — bigger is better) with the id as the
+    * deterministic tie-break, keep rank ≤ k. Unlike
+    * [[stratifiedSample]]'s hash order this is a PREFERENCE cap: the
+    * survivors are the domain's top-k by merit, not a uniform draw.
+    *
+    * Scale shape: same WindowGroupLimit compilation as
+    * stratifiedSample — each map partition keeps only its local top-k
+    * per domain before the domain shuffle, so a crawl where one domain
+    * holds a billion pages ships k·#partitions rows for it, never the
+    * domain. Returns df + [rk] filtered to rk ≤ k. */
+  def domainCap(df: DataFrame, domainCol: String, orderCol: String,
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"domainCap: k must be >= 1: $k")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Per-source TOKEN-budget sampling — the "take N tokens from each
     * source" mixture spec (training mixtures are budgeted in tokens, not
     * documents, so per-doc Bernoulli rates over- or under-shoot when

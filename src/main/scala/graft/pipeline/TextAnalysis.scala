@@ -326,6 +326,75 @@ object TextAnalysis {
       .drop("__entnt", "__entcs", "__ent")
   }
 
+  /** C4-style line-level cleaning report — the per-line rule battery of
+    * the C4 corpus build (Raffel et al. 2020, §2.2; reference
+    * counterpart: the curation gates around
+    * `python/artm/batches_utils.py`-era corpus prep live OUTSIDE the
+    * reference engine, so this is a beyond-reference pipeline operator):
+    * a line survives iff it (1) has at least `minWordsPerLine`
+    * whitespace tokens, (2) ends in a terminal punctuation mark
+    * (`. ! ? "` after right-trim), and (3) does not mention
+    * "javascript" (the cookie/JS-warning boilerplate marker); the PAGE
+    * drops wholesale if it contains "lorem ipsum" (placeholder text) or
+    * a `{` (code), or if fewer than `minKeptLines` lines survive.
+    *
+    * Spark-first shape: ONE narrow projection — `split` on newline,
+    * one `filter` HOF whose per-line predicate is regexp/contains
+    * expressions (all codegen'd), page-level flags as plain `contains`
+    * on the raw text. Zero shuffles; streams statelessly at ingest;
+    * at 100 TB this runs at parquet scan speed. The cleaned text is
+    * reported as an md5 digest (`clean_digest`, null for dropped pages)
+    * so a gate decision AND the exact surviving byte content are both
+    * certified by the oracle hash without shipping full text twice.
+    * Returns [idCol, n_lines, n_kept, has_lorem, has_brace, kept,
+    * clean_digest]. [[c4CleanGate]] is the filtering form. */
+  def c4Clean(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWordsPerLine: Int = 3,
+      minKeptLines: Int = 2): DataFrame = {
+    require(minWordsPerLine >= 1 && minKeptLines >= 1,
+      s"c4Clean: thresholds must be >= 1 " +
+        s"(minWordsPerLine=$minWordsPerLine, minKeptLines=$minKeptLines)")
+    val text = col(textCol)
+    val kept = filter(split(text, "\n"), l => c4LineKeep(l, minWordsPerLine))
+    df
+      .withColumn("n_lines", size(split(text, "\n")).cast("long"))
+      .withColumn("__keptls", kept)
+      .withColumn("n_kept", size(col("__keptls")).cast("long"))
+      .withColumn("has_lorem", contains(lower(text), lit("lorem ipsum")))
+      .withColumn("has_brace", contains(text, lit("{")))
+      .withColumn("kept",
+        !col("has_lorem") && !col("has_brace")
+          && col("n_kept") >= minKeptLines)
+      .withColumn("clean_digest",
+        when(col("kept"), md5(array_join(col("__keptls"), "\n"))))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        col("has_lorem"), col("has_brace"), col("kept"),
+        col("clean_digest"))
+  }
+
+  /** The GATE form of [[c4Clean]]: surviving pages only, with `textCol`
+    * REWRITTEN to the surviving lines (newline-joined) — what a
+    * curation pass feeds downstream. Same predicate expressions as the
+    * report, so gate and report never disagree. Schema-preserving. */
+  def c4CleanGate(df: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 3, minKeptLines: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val kept = filter(split(text, "\n"), l => c4LineKeep(l, minWordsPerLine))
+    df
+      .withColumn("__c4kept", kept)
+      .filter(!contains(lower(text), lit("lorem ipsum"))
+        && !contains(text, lit("{"))
+        && size(col("__c4kept")) >= minKeptLines)
+      .withColumn(textCol, array_join(col("__c4kept"), "\n"))
+      .drop("__c4kept")
+  }
+
+  /** The per-line C4 keep predicate shared by report and gate. */
+  private def c4LineKeep(l: Column, minWords: Int): Column =
+    size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWords &&
+      rtrim(l).rlike("[.!?\"]$") &&
+      !contains(lower(l), lit("javascript"))
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length, repetition ratio (1 - distinct/total tokens); composite
     * `quality` in [0,1] combining the standard heuristics. */
