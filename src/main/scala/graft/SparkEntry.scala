@@ -183,6 +183,10 @@ object SparkEntry {
   private val C4MinKept = 2        // per-page surviving-line floor
   private val DomainCapMod = 23    // planted domain count (domain cap)
   private val DomainCapK = 5       // max docs kept per domain
+  // sample_epochs: per-source epoch counts (fractional = partial pass)
+  private val EpochMix = Seq("src0" -> 2.5, "src1" -> 1.0,
+    "src2" -> 0.25, "src5" -> 3.0)
+  private val EpochSalt = "epoch"
   // Sampling / packing entry parameters (Sampling.scala operators)
   private val SampleRate = 0.25
   private val SampleSalt = "graft"
@@ -3233,6 +3237,36 @@ object SparkEntry {
             col("kept"), col("clean_digest"))
       }.orderBy(col("doc_id"))
     }),
+    // LLM pipeline: epoch-based source mixing — "source S sees E_S
+    // epochs" with fractional epochs as a deterministic hash subset;
+    // every copy carries its epoch index
+    "sample_epochs" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"), col("source"))
+      graft.pipeline.Sampling.epochMix(base, "source", EpochMix.toMap,
+          "doc_id", EpochSalt)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+    // streaming: the same epoch replication AT INGEST — stateless
+    // filter + flatMap on the doc stream, under the batch SQL
+    "sample_epochs_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir) { st =>
+        graft.pipeline.Sampling.epochMix(
+            st.select(col("doc_id").cast("long").as("doc_id"),
+              col("source")),
+            "source", EpochMix.toMap, "doc_id", EpochSalt)
+          .select(col("doc_id"), col("source"), col("epoch"))
+      }.orderBy(col("doc_id"), col("epoch"))
+    }),
+    // LLM pipeline: per-dimension embedding profile — the pre-indexing
+    // sanity report (dead dims, scale blow-ups); d-keyed map-side
+    // combine, shuffle rows = d x partitions
+    "embed_dim_stats" -> ((s, dir) => {
+      graft.pipeline.Diagnostics.embedDimStats(
+          s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy(col("dim"))
+    }),
     // LLM pipeline: per-domain document cap (the FineWeb "at most k
     // pages per domain, keep the best" rule) — WindowGroupLimit top-k
     // per planted domain, preferring longer docs, doc_id tie-break
@@ -4281,6 +4315,11 @@ object SparkEntry {
       C4JsMod, C4ExtraMod, C4LoremMod, C4BraceMod, C4MinWords, C4MinKept),
     "sample_domain_cap" -> graft.pipeline.PipelineSql.sampleDomainCap(
       DomainCapMod, DomainCapK),
+    "sample_epochs" -> graft.pipeline.PipelineSql.sampleEpochs(
+      EpochMix, EpochSalt),
+    "sample_epochs_stream" -> graft.pipeline.PipelineSql.sampleEpochs(
+      EpochMix, EpochSalt),
+    "embed_dim_stats" -> graft.pipeline.PipelineSql.embedDimStats,
     "dedup_fuzzy_edit" -> graft.pipeline.PipelineSql.dedupFuzzyEdit(
       FuzzyMaxDist, FuzzyPrefix),
     "dedup_incremental_fuzzy" -> graft.pipeline.PipelineSql

@@ -124,4 +124,28 @@ object Diagnostics {
           .as(s"p${math.round(p * 100)}")
       }: _*)
   }
+
+  /** Per-dimension embedding profile — the sanity report an embedding
+    * pipeline runs before indexing a new model's vectors (a dead
+    * dimension, a scale blow-up, or a shifted mean each break ANN
+    * recall silently): for every vector position, count, mean, min,
+    * max. The mean uses the repo's DECIMAL(18,6)-sum form so it is
+    * bit-identical under any aggregation order (the embed_kmeans
+    * precedent); min/max over float32 are exact in double.
+    *
+    * Scale shape: ONE posexplode + one map-side-combined groupBy on
+    * the d-sized dimension key — shuffle rows = d × #partitions, never
+    * corpus-sized. Returns [dim, n, mean, min_x, max_x] (dim 0-based). */
+  def embedDimStats(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("dim"), col("__x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+  }
 }

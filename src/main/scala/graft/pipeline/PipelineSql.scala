@@ -2189,6 +2189,42 @@ object PipelineSql {
        |       CASE WHEN kept THEN md5(cleaned) END AS clean_digest
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[Sampling.epochMix]]: the per-source (full copies,
+    * fractional-rate hex threshold) pairs replayed as a VALUES list,
+    * copies via inclusive generate_series (== Spark sequence), the
+    * fractional copy decided by the same salted-md5 prefix compare. */
+  def sampleEpochs(epochs: Seq[(String, Double)], salt: String): String = {
+    val rows = epochs.map { case (src, e) =>
+      s"('$src', ${math.floor(e).toInt}, " +
+        s"'${Sampling.rateThreshold(e - math.floor(e))}')"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT * FROM (VALUES $rows) AS t(source, fullc, thr)),
+       |d AS (SELECT doc_id, source, fullc, thr
+       |      FROM documents JOIN e USING (source)),
+       |x AS (SELECT doc_id, source, fullc, thr,
+       |        unnest(generate_series(0, fullc)) AS epoch
+       |      FROM d)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |       CAST(epoch AS BIGINT) AS epoch
+       |FROM x
+       |WHERE epoch < fullc OR ${hashPrefixSql(salt)} < thr
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
+  /** Mirrors [[Diagnostics.embedDimStats]]: parallel unnest of the
+    * 0-based position range and the double-cast vector, DECIMAL(18,6)
+    * sum for the order-proof mean, exact float min/max in double. */
+  val embedDimStats: String =
+    s"""WITH ex AS (
+       |  SELECT unnest(range(len(embedding))) AS dim,
+       |         unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings)
+       |SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+       |             / count(*), 6) AS mean,
+       |       min(x) AS min_x, max(x) AS max_x
+       |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
+
   /** Mirrors [[Sampling.domainCap]] over the planted-domain corpus:
     * same modulo plant, rank by (n_chars DESC, doc_id) per domain,
     * keep rank <= k. */

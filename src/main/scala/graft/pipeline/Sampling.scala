@@ -96,6 +96,43 @@ object Sampling {
     df.filter(hashPrefix(col(keyCol), salt) < thr)
   }
 
+  /** Epoch-based source mixing — the "source S sees E_S epochs"
+    * training-mixture recipe (LLM data recipes weight high-quality
+    * sources by REPEATING them, with fractional epochs allowed:
+    * E = 2.5 means two full passes plus a uniform half): every row of
+    * source s is replicated floor(E_s) times (epoch index
+    * 0..floor−1), plus one more copy (index floor) kept iff the
+    * salted key hash falls under the fractional rate — the
+    * [[sampleHash]] decision, so the partial epoch is an unbiased,
+    * deterministic subset on any cluster size. Each copy carries its
+    * `epoch` index for downstream shard shuffling. Sources absent
+    * from the map drop (the [[mixSources]] allowlist contract).
+    *
+    * Scale shape: one narrow filter + one explode(sequence) flatMap —
+    * zero shuffles, streams statelessly; output rows ≈ Σ E_s·n_s by
+    * construction. E_s = 0.25 degenerates to Bernoulli sampling,
+    * E_s = 3.0 to plain replication. Returns df + [epoch]. */
+  def epochMix(df: DataFrame, sourceCol: String,
+      epochs: Map[String, Double], keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(_ > 0.0),
+      "epochMix: epochs must be positive")
+    val full = epochs.foldLeft(lit(0)) { case (acc, (src, e)) =>
+      when(col(sourceCol) === src, lit(math.floor(e).toInt)).otherwise(acc)
+    }
+    val fracThr = epochs.foldLeft(lit("00000000")) { case (acc, (src, e)) =>
+      when(col(sourceCol) === src,
+        lit(rateThreshold(e - math.floor(e)))).otherwise(acc)
+    }
+    df.filter(col(sourceCol).isin(epochs.keys.toSeq: _*))
+      .withColumn("__full", full)
+      .withColumn("__epoch", explode(sequence(lit(0), col("__full"))))
+      .filter(col("__epoch") < col("__full")
+        || hashPrefix(col(keyCol), salt) < fracThr)
+      .withColumn("epoch", col("__epoch").cast("long"))
+      .drop("__full", "__epoch")
+  }
+
   /** Temperature-based source rates — the multilingual-LM sampling
     * standard (mT5/XLM-R style): source share p_s = n_s/N is flattened
     * to q_s ∝ p_s^α (α < 1 upsamples the tail; α = 1 is natural, α = 0

@@ -45,6 +45,41 @@ class SamplingSpec extends SparkSpec {
     assert(again === s1.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("epochMix replicates whole epochs and hash-samples the fraction") {
+    val m = Sampling.epochMix(rows, "source",
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), "doc_id", "e")
+    val bySrcEpoch = m.groupBy("source", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // src0: epochs 0,1 complete (100 each); epoch 2 ~ half
+    assert(bySrcEpoch(("src0", 0L)) === 100L)
+    assert(bySrcEpoch(("src0", 1L)) === 100L)
+    val frac0 = bySrcEpoch(("src0", 2L))
+    assert(frac0 > 30L && frac0 < 70L, s"~50 of 100 expected, got $frac0")
+    // src1: exactly one complete epoch, no fractional copy
+    assert(bySrcEpoch(("src1", 0L)) === 100L)
+    assert(!bySrcEpoch.contains(("src1", 1L)))
+    // src2: pure Bernoulli at 0.25
+    val frac2 = bySrcEpoch(("src2", 0L))
+    assert(frac2 > 10L && frac2 < 45L, s"~25 of 100 expected, got $frac2")
+    // src3 unlisted -> dropped entirely
+    assert(m.filter(col("source") === "src3").count() === 0L)
+    // deterministic on any partitioning
+    val again = Sampling.epochMix(rows.repartition(13), "source",
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), "doc_id", "e")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = m.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === first)
+    // the fractional-epoch subset nests with sampleHash's decision
+    val keptFrac = m.filter(col("source") === "src0" && col("epoch") === 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hashKept = Sampling.sampleHash(
+      rows.filter(col("source") === "src0"), "doc_id", 0.5, "e")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptFrac === hashKept, "fraction == sampleHash at the same salt")
+  }
+
   test("shardShuffle: uniform permutation, partitioning-invariant, salt-independent epochs") {
     val a = Sampling.shardShuffle(rows, "doc_id", 8, "epoch0")
       .select("doc_id", "shard", "shard_pos").collect()
