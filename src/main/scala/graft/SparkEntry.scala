@@ -3055,6 +3055,17 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // sources: the COMPRESSED delivery path — gzip JSONL shards (how
+    // public corpora actually ship); the .gz read is one task per
+    // shard (gzip is unsplittable), so parallelism = shard count
+    "ingest_jsonl_gz" -> ((s, dir) => {
+      val path = graft.sources.JsonlIO.stageDocumentsGz(s, dir)
+      graft.sources.JsonlIO.readDocuments(s, path)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("text_md5"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // sources: Hive-style PARTITIONED layout round-trip — write the
     // corpus partitioned by source, read back with a partition filter
     // (prunes at file-LISTING time: zero bytes from excluded
@@ -4578,6 +4589,10 @@ object SparkEntry {
     // digest of the ORIGINAL parquet — the Spark side reads the staged
     // JSONL, so equality IS the round-trip fidelity check
     "ingest_jsonl" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_jsonl_gz" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_md5,
         |       lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

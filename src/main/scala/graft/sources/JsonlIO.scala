@@ -40,6 +40,30 @@ object JsonlIO {
       writeDocuments(spark.read.parquet(s"$dir/documents.parquet"), out)
       out
     })
+
+  /** GZIP-compressed JSONL — how public corpora actually ship
+    * (The Pile, RedPajama, Dolma all distribute `.jsonl.gz`/`.zst`
+    * shards). Reading needs NO separate API: Hadoop's codec factory
+    * dispatches on the `.gz` extension inside the same
+    * `spark.read.json`. The 100 TB caveat is SPLITTABILITY: a gzip
+    * member can only be decompressed front-to-back, so each file is
+    * ONE task regardless of size — parallelism = shard count, which is
+    * why this writer keeps the one-file-per-partition layout (a
+    * corpus delivered as a single 100 GB .gz would serialize on one
+    * core; re-shard it once on arrival). */
+  def writeDocumentsGz(df: DataFrame, path: String): Unit =
+    df.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.option("compression", "gzip").mode(SaveMode.Overwrite).json(path)
+
+  private val stagedGz =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def stageDocumentsGz(spark: SparkSession, dir: String): String =
+    stagedGz.computeIfAbsent((spark, dir), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+      writeDocumentsGz(spark.read.parquet(s"$dir/documents.parquet"), out)
+      out
+    })
 }
 
 /** CSV document I/O — the other interchange format corpora actually

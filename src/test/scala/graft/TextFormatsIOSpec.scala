@@ -28,6 +28,19 @@ class TextFormatsIOSpec extends SparkSpec {
     assert(back.map(_.toSeq.toList).toList === orig.map(_.toSeq.toList).toList)
   }
 
+  test("JsonlIO gzip: shards carry .gz, read-back is bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz_spec").toString
+    graft.sources.JsonlIO.writeDocumentsGz(fixture.repartition(3), dir)
+    val parts = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".json.gz")),
+      s"expected gzip shards, got ${parts.toList}")
+    val back = graft.sources.JsonlIO.readDocuments(spark, dir)
+      .orderBy("doc_id").collect()
+    val orig = fixture.orderBy("doc_id").collect()
+    assert(back.map(_.toSeq.toList).toList === orig.map(_.toSeq.toList).toList)
+  }
+
   test("XmlIO: malformed line raises, never silently drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml_bad").toString
     java.nio.file.Files.writeString(
