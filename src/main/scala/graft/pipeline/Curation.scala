@@ -43,6 +43,16 @@ object Curation {
         * ([[TextAnalysis.unicodeNormCol]]). None = off (default;
         * existing hash contracts unchanged). */
       unicodeForm: Option[String] = None,
+      /** C4 line-level cleaning ([[TextAnalysis.c4CleanGate]]): each
+        * line must carry `c4MinWordsPerLine` tokens, end in terminal
+        * punctuation, and not mention "javascript"; pages containing
+        * "lorem ipsum" or a code brace drop, as do pages with fewer
+        * than `c4MinKeptLines` surviving lines. The text column is
+        * REWRITTEN to the survivors. 0 = off (default). Runs before
+        * the quality score (a narrow per-row stage) so downstream
+        * gates see the cleaned body. */
+      c4MinWordsPerLine: Int = 0,
+      c4MinKeptLines: Int = 2,
       minQuality: Double = 0.3,
       /** Character-entropy band gate ([[TextAnalysis.charEntropy]]):
         * docs whose char Shannon entropy falls OUTSIDE
@@ -92,8 +102,16 @@ object Curation {
     val input = cfg.unicodeForm.fold(docs)(f =>
       docs.withColumn(textCol, TextAnalysis.unicodeNormCol(col(textCol), f)))
 
+    // ---- 0b. opt-in C4 line-level clean (narrow, zero-shuffle) — the
+    //          text column is rewritten to the surviving lines so every
+    //          downstream gate/hash sees the cleaned body ----
+    val cleaned = if (cfg.c4MinWordsPerLine > 0)
+      TextAnalysis.c4CleanGate(input, textCol, cfg.c4MinWordsPerLine,
+        cfg.c4MinKeptLines)
+    else input
+
     // ---- 1. narrow per-row gates + scrubs (scan-speed, no shuffle) ----
-    var d = TextAnalysis.qualityScore(input, textCol)
+    var d = TextAnalysis.qualityScore(cleaned, textCol)
       .filter(col("quality") >= cfg.minQuality)
       .drop("n_chars_q", "n_tokens_q", "punct_ratio", "stopword_ratio",
         "mean_token_len", "repetition_ratio")

@@ -74,6 +74,29 @@ class CurationSpec extends SparkSpec {
     assert(kept.contains(0L))
   }
 
+  test("c4 clean stage: facade rewrite == standalone c4CleanGate") {
+    import spark.implicits._
+    // one page whose second line fails the terminal-punctuation rule and
+    // one page killed by the brace rule
+    val planted = Seq(
+      (0L, "A good first sentence stands here today fine.\nno punct tail line\nAnother complete sentence survives the gate now.", "web"),
+      (1L, "This page has code { inside } so it dies.\nEven with a fine second sentence right here.", "web"),
+      (2L, "Only one surviving line lives on this page now.\nshort", "web"))
+      .toDF("doc_id", "text", "source")
+    val cfg = Curation.Config(c4MinWordsPerLine = 3, c4MinKeptLines = 2,
+      minQuality = 0.0, piiRedact = false, nearDupThreshold = 1.1)
+    val out = Curation.curate(planted, cfg).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    // page 1 dies (brace), page 2 dies (one kept line < 2); page 0
+    // survives with the unpunctuated middle line excised
+    assert(out.keySet === Set(0L))
+    val standalone = TextAnalysis.c4CleanGate(planted, minWordsPerLine = 3,
+      minKeptLines = 2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === standalone(0L))
+    assert(!out(0L).contains("no punct tail line"))
+  }
+
   test("language gate keeps only the requested languages") {
     val cfg = Curation.Config(minQuality = 0.0, languages = Set("de"),
       piiRedact = false, nearDupThreshold = 1.0)

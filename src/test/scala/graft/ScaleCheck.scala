@@ -655,6 +655,32 @@ object ScaleCheck {
           // (source, digest) shuffle + the digest-keyed intersection
           graft.pipeline.Dedup.sourceOverlap(docsR).count()
         },
+        entry("text_c4_clean (split + filter HOF)") {
+          // pure projection over a planted multi-line body — scan speed
+          val planted = docsR.withColumn("text",
+            concat_ws("\n", concat(col("text").substr(1, 40), lit(" end.")),
+              col("text").substr(41, 30), lit("trailing words here!")))
+          graft.pipeline.TextAnalysis.c4Clean(planted).count()
+        },
+        entry("sample_domain_cap (hot-domain WindowGroupLimit)") {
+          // ONE domain holds half the corpus — the skew case the
+          // WindowGroupLimit partial top-k must keep bounded: map
+          // partitions each ship at most k rows for the hot key
+          val planted = docsR.withColumn("domain",
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("hot.example.org"))
+              .otherwise(concat(lit("site"),
+                pmod(col("doc_id"), lit(977)).cast("string"))))
+          graft.pipeline.Sampling.domainCap(planted, "domain", "n_chars",
+            5).count()
+        },
+        entry("sample_epochs (explode + hash filter)") {
+          graft.pipeline.Sampling.epochMix(docsR, "source",
+            Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25,
+              "src5" -> 3.0), "doc_id", "scale").count()
+        },
+        entry("embed_dim_stats (d-keyed combine)") {
+          graft.pipeline.Diagnostics.embedDimStats(embR).count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
