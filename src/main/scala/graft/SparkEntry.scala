@@ -285,6 +285,7 @@ object SparkEntry {
   private val AnnSample = 10000    // codebook training sample bound (IVF/PQ/semantic)
   private val SqLevels = 256       // embed_quantize int8 levels
   private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
+  private val ZipfTopN = 100       // corpus_zipf rank-frequency fit depth
   private val SplitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
   private val KnnGraphK = 3        // graph_bfs semantic k-NN graph degree
   private val KnnRefine = 4        // graph_bfs_routed ADC-shortlist refine factor
@@ -1528,6 +1529,15 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       graft.pipeline.Dedup.duplicateClusters(minhashPairs(s, dir))
         .orderBy(col("id"))),
+    // LLM pipeline: quality-aware survivor election over the same
+    // clusters — keep the LONGEST member of each near-dup family (the
+    // curation practice: boilerplate-stripped mirrors carry more body
+    // than the min-id canonical). Length is an integer, so the election
+    // is engine-exact; ties fall to the smallest id.
+    "dedup_keep_best" -> ((s, dir) =>
+      graft.pipeline.Dedup.keepBest(docs(s, dir), minhashPairs(s, dir),
+          length(col("text")))
+        .orderBy(col("id"))),
     // LLM pipeline: exact n-gram jaccard over the LSH candidate pairs
     // (one shared shingle table feeds both the LSH and the exact verify)
     "ngram_jaccard" -> ((s, dir) => {
@@ -1887,6 +1897,17 @@ object SparkEntry {
     // k-NN graph (contamination blast-radius audit: everything within
     // BfsMaxHops of the seed vectors); frontier expansion, per-round
     // work = frontier edges
+    // graph analytics: Adamic–Adar link prediction over the semantic
+    // k-NN graph — "which non-adjacent document pairs SHOULD be linked"
+    // (related-doc recommendation from common neighbors). Bounded-degree
+    // wedge join (|V|·deg², never |V|²); per-pair 1/ln(deg) sum is
+    // DECIMAL-summed, rank-on-rounded discipline at the consumer.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Graph.adamicAdar(
+          graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
+        .orderBy(col("u"), col("v"))
+    }),
     "graph_bfs" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Graph.bfsDistances(
@@ -2007,6 +2028,19 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Ann.scalarQuantize(emb, levels = SqLevels)
         .orderBy(col("id"))
+    }),
+    // LLM pipeline: top-k search OVER the int8 codes — integer dot
+    // product ranking (BIGINT-exact on both engines, zero float tie
+    // risk), the 4×-less-memory-bandwidth serving path every vector
+    // store ships once SQ is certified safe by embed_quantize's MSE
+    "ann_sq8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codes = graft.pipeline.Ann.sq8Encode(emb, levels = SqLevels)
+      graft.pipeline.Ann.sq8TopK(codes,
+          codes.filter(col("id") < AnnQueries), AnnK)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), col("dot"))
+        .orderBy(col("query_id"), col("rank"))
     }),
     // LLM pipeline: the Curation facade ITSELF under the oracle — one
     // hash row through quality gate → PII redaction → boilerplate
@@ -3005,6 +3039,15 @@ object SparkEntry {
         .select(col("source"), col("distinct_tokens"), col("total_tokens"))
         .orderBy(col("source"))
     }),
+    // LLM pipeline: per-source Zipf slope — the rank-frequency power-law
+    // fit that flags synthetic/template-heavy sources on the data card
+    // (natural language sits near slope −1). DECIMAL-summed moments,
+    // double OLS, round(6).
+    "corpus_zipf" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.zipfSlope(docs(s, dir), topN = ZipfTopN)
+        .select(col("source"), col("n_ranks"), col("slope"),
+          col("intercept"))
+        .orderBy(col("source"))),
     // per-source DATA CARD: the release report — corpus stats, vocab
     // size, mean quality, dominant language — composed from four
     // verified aggregates in one row per source (the seams between the
@@ -3520,6 +3563,15 @@ object SparkEntry {
           col("shard_pos"))
         .orderBy(col("doc_id"))
     }),
+    // LLM pipeline: shard MANIFEST — per-shard doc/token counts + a
+    // shard_pos-ordered content digest, the release artifact a consumer
+    // verifies delivered shards against without re-reading the catalog
+    "export_manifest" -> ((s, dir) =>
+      graft.pipeline.Sampling.shardManifest(docs(s, dir), "doc_id", "text",
+          ShuffleShards, SampleSalt)
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("content_md5"))
+        .orderBy(col("shard"))),
     // LLM pipeline: per-source TOKEN-budget sampling — "take N tokens
     // from each source", the unit training mixtures are actually specced
     // in. Salted-hash order within source, keep while the running token
@@ -4284,6 +4336,13 @@ object SparkEntry {
     "ngram_jaccard" -> graft.pipeline.PipelineSql.ngramJaccard(ShingleK, MinHashes, MinBands),
     "dedup_clusters" -> graft.pipeline.PipelineSql.dedupClusters(
       ShingleK, MinHashes, MinBands, MinhashThreshold, rounds = 8),
+    "dedup_keep_best" -> graft.pipeline.PipelineSql.dedupKeepBest(
+      ShingleK, MinHashes, MinBands, MinhashThreshold, rounds = 8),
+    "ann_sq8" -> graft.pipeline.PipelineSql.annSq8(AnnQueries, AnnK, SqLevels),
+    "graph_adamic_adar" -> graft.pipeline.PipelineSql.graphAdamicAdar(KnnGraphK),
+    "corpus_zipf" -> graft.pipeline.PipelineSql.corpusZipf(ZipfTopN),
+    "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(
+      ShuffleShards, SampleSalt),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),
     "ann_lsh" -> graft.pipeline.PipelineSql.annLsh(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),

@@ -1261,6 +1261,64 @@ object Ann {
           count(lit(1)), 9).as("mse"))
   }
 
+  /** Encode-only form of [[scalarQuantize]]: the per-dim [lo, hi] stats
+    * pass, then ONE narrow array transform producing the int code
+    * vector — no explode, no shuffle (the production path
+    * scalarQuantize's scaladoc promises). Returns [id, codes]. */
+  def sq8Encode(emb: DataFrame, levels: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val stats = base
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos"))
+      .collect() // d rows — bounded by the embedding dim, not the corpus
+    val lo = typedLit(stats.map(_.getAs[Double]("lo")).toSeq)
+    val hi = typedLit(stats.map(_.getAs[Double]("hi")).toSeq)
+    val lmax = lit((levels - 1).toDouble)
+    base.select(col("id"),
+      transform(col("v"), (x, i) => {
+        val l = element_at(lo, i + 1)
+        val h = element_at(hi, i + 1)
+        when(h === l, lit(0)).otherwise(least(lit(levels - 1),
+          floor((x - l) / (h - l) * lmax).cast("int")))
+      }).as("codes"))
+  }
+
+  /** Quantized brute-force top-k — search over [[sq8Encode]] int8 codes
+    * by INTEGER dot product (the FAISS SQ8 / Lucene int8 serving form).
+    * The ranking key is a sum of int products — BIGINT-exact on every
+    * engine, so ranks carry no float tie risk at all (unlike cosine
+    * ranks, which need round-then-rank care). Ties break by id.
+    *
+    * Shape at scale: codes are 4× smaller than float32 vectors, so the
+    * corpus scan moves 4× less memory bandwidth — THE reason serving
+    * fleets quantize; the plan is [[bruteForceTopK]]'s (broadcast
+    * queries, one corpus-linear narrow scan, per-query bounded top-k
+    * window), with the dot product a codegen'd zip_with/aggregate fold
+    * over int arrays. Queries must be drawn from the same quantizer
+    * (encode corpus and queries together, then split — the caller's
+    * contract; mixed codebooks silently skew ranks).
+    * Returns [query_id, rank, id, dot]. */
+  def sq8TopK(codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = codes.select(col("id"), col("codes"))
+    val q = queries.select(col("id").as("query_id"), col("codes").as("qcodes"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("codes"), col("qcodes"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dot"))
+  }
+
   /** Reporting form of [[kmeansDataflow]] for the correctness gate: the
     * final centroids in long (cell, pos) layout with each cell's member
     * count under the FINAL codebook (one extra assignment pass; empty

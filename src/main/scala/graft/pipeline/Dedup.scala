@@ -1010,6 +1010,36 @@ object Dedup {
         maxRounds = maxRounds)
       .select(col("vertex").as("id"), col("component").as("cluster_id"))
 
+  /** Quality-aware survivor selection over near-dup clusters: instead of
+    * the min-id canonical [[duplicateClusters]] keeps, each cluster
+    * elects the member maximizing `scoreCol` (ties → smallest id) — the
+    * curation practice of keeping the LONGEST / highest-quality copy of
+    * a duplicated page rather than an arbitrary one (boilerplate-stripped
+    * mirrors often carry more body text than the canonical URL). Input:
+    * the near-dup pair table; output one row per clustered doc
+    * [id, cluster_id, keep_id, kept] — docs outside any cluster are
+    * implicitly their own survivors and don't appear.
+    *
+    * Shape at scale: pointer-jumping CC (O(log n) rounds) + ONE
+    * cluster-keyed max_by aggregation over the duplicate-sized member
+    * table (never corpus-sized) joined back to members — no windows.
+    * `scoreCol` must be integer-typed for engine-exact election
+    * (lengths, token counts); float scores should be pre-rounded. */
+  def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
+      idCol: String = "doc_id", idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val clusters = duplicateClusters(pairs, idA, idB)
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      scoreCol.cast("long").as("__score"))
+    val members = clusters.join(scored, "id")
+    val winners = members.groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("__score"), -col("id")))
+        .as("keep_id"))
+    members.join(winners, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("keep_id"),
+        (col("id") === col("keep_id")).as("kept"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold, using the
     * ANN LSH bucketing (random-hyperplane) to avoid all-pairs at scale.
     *

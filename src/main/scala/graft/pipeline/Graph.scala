@@ -306,6 +306,47 @@ object Graph {
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Adamic–Adar link prediction over the undirected graph: for every
+    * non-adjacent vertex pair (u, v) sharing at least one neighbor,
+    * score = Σ_z 1/ln(deg(z)) over common neighbors z — the classic
+    * "who should be linked" signal (dataset use: recommending related
+    * documents from a kNN graph, finding missing edges in citation or
+    * co-occurrence graphs). Degree-1 common neighbors (ln 1 = 0) are
+    * excluded per the standard definition. The per-pair sum runs in
+    * DECIMAL(28,12) so it is summation-order-proof; callers rank on the
+    * ROUNDED score (6 dp) with (u, v) tiebreak — the text_tfidf rank
+    * discipline. Returns [u, v, aa_score] with u < v.
+    *
+    * Shape at scale: two-hop wedge join keyed on the shared neighbor —
+    * on a bounded-degree graph (a kNN graph has deg ≤ 2k) the wedge
+    * table is |V|·deg², never |V|²; existing edges drop via one
+    * left_anti on the canonical pair. No windows, no driver state. */
+  def adamicAdar(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    // wedges through z: every unordered neighbor pair of z, weighted by
+    // z's 1/ln(deg) contribution (deg >= 2 by construction of a wedge,
+    // but ln guards the deg == 1 convention anyway)
+    val nb = sym.join(deg, "z").filter(col("deg") >= 2)
+    val wedges = nb.select(col("z"), col("n").as("u"), col("deg"))
+      .join(nb.select(col("z"), col("n").as("v")), "z")
+      .where(col("u") < col("v"))
+      .select(col("u"), col("v"),
+        (lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(28,12)").as("w"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(round(sum(col("w")).cast("double"), 6).as("aa_score"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) over the undirected graph — the near-linear community
     * finder: every vertex starts as its own community and each round

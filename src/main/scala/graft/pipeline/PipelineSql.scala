@@ -296,8 +296,11 @@ object PipelineSql {
     * member within `rounds` hops — near-dup clusters are shallow dup
     * groups, so 8 is ample (the Spark side stops at fixpoint and would
     * expose a deeper-than-rounds chain as a hash mismatch, loudly). */
-  def dedupClusters(k: Int, numHashes: Int, bands: Int, threshold: Double,
-      rounds: Int): String = {
+  /** The shared minhash-pairs → min-label-propagation CTE chain of
+    * [[dedupClusters]] / [[dedupKeepBest]]; the final label table is
+    * `l<rounds>` with columns (id, label). */
+  private def dedupClusterCtes(k: Int, numHashes: Int, bands: Int,
+      threshold: Double, rounds: Int): String = {
     // every CTE here is MATERIALIZED: each round references the previous
     // label table twice, and an inlined (default) CTE would re-evaluate
     // the whole upstream chain 2^rounds times
@@ -308,7 +311,7 @@ object PipelineSql {
          |    SELECT e.dst AS id, min(lk.label) AS m
          |    FROM e JOIN l$i lk ON lk.id = e.src GROUP BY e.dst) nb USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${minhashCtes(k, numHashes, numHashes / bands)},
+    s"""${minhashCtes(k, numHashes, numHashes / bands)},
        |sigj AS (SELECT c.id_a, c.id_b, sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
        |         FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
        |         JOIN sigs sb ON sb.doc_id = c.id_b AND sb.h = sa.h
@@ -316,10 +319,34 @@ object PipelineSql {
        |mp AS MATERIALIZED (SELECT id_a, id_b FROM sigj WHERE CAST(m AS DOUBLE) / $numHashes >= $threshold),
        |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mp UNION ALL SELECT id_b, id_a FROM mp),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
-       |$lp
+       |$lp""".stripMargin
+  }
+
+  def dedupClusters(k: Int, numHashes: Int, bands: Int, threshold: Double,
+      rounds: Int): String =
+    s"""WITH ${dedupClusterCtes(k, numHashes, bands, threshold, rounds)}
        |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS cluster_id
        |FROM l$rounds ORDER BY id""".stripMargin
-  }
+
+  /** Mirrors [[graft.pipeline.Dedup.keepBest]] over the minhash cluster
+    * chain: each cluster elects the member with the greatest text
+    * length (character count — integer, engine-exact), ties to the
+    * smallest id; the window rank rule here == the Spark side's
+    * max_by(id, struct(score, -id)). */
+  def dedupKeepBest(k: Int, numHashes: Int, bands: Int, threshold: Double,
+      rounds: Int): String =
+    s"""WITH ${dedupClusterCtes(k, numHashes, bands, threshold, rounds)},
+       |members AS (
+       |  SELECT CAST(l.id AS BIGINT) AS id, CAST(l.label AS BIGINT) AS cluster_id,
+       |         CAST(length(d.text) AS BIGINT) AS score
+       |  FROM l$rounds l JOIN documents d ON d.doc_id = l.id),
+       |win AS (
+       |  SELECT cluster_id, id AS keep_id FROM (
+       |    SELECT cluster_id, id, row_number() OVER (
+       |      PARTITION BY cluster_id ORDER BY score DESC, id) AS rk
+       |    FROM members) WHERE rk = 1)
+       |SELECT m.id, m.cluster_id, w.keep_id, m.id = w.keep_id AS kept
+       |FROM members m JOIN win w USING (cluster_id) ORDER BY m.id""".stripMargin
 
   /** Exact n-gram jaccard over the minhash candidate pairs. */
   def ngramJaccard(k: Int, numHashes: Int, bands: Int): String =
@@ -727,6 +754,67 @@ object PipelineSql {
        |             / count(*), 9) AS mse
        |FROM r GROUP BY id ORDER BY id""".stripMargin
   }
+
+  /** Mirrors [[graft.pipeline.Ann.sq8Encode]] + [[Ann.sq8TopK]]: the
+    * embedQuantize code CTE, queries = the first `numQueries` ids, and
+    * ranking on the INTEGER code dot product (BIGINT-exact — no float
+    * rank risk at all). */
+  def annSq8(numQueries: Int, k: Int, levels: Int): String = {
+    val lmax = levels - 1
+    s"""WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |ex AS (SELECT id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM base),
+       |xd AS (SELECT id, pos, CAST(x AS DOUBLE) AS x FROM ex),
+       |st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM xd GROUP BY pos),
+       |c AS MATERIALIZED (SELECT d.id, d.pos,
+       |        CASE WHEN s.hi = s.lo THEN 0
+       |             ELSE least($lmax, CAST(floor((d.x - s.lo) / (s.hi - s.lo)
+       |                                          * $lmax.0) AS INT)) END AS code
+       |      FROM xd d JOIN st s USING (pos)),
+       |q AS (SELECT id AS query_id, pos, code FROM c WHERE id < $numQueries),
+       |dots AS (SELECT q.query_id, c.id,
+       |           sum(CAST(q.code AS BIGINT) * CAST(c.code AS BIGINT)) AS dot
+       |         FROM c JOIN q ON c.pos = q.pos AND c.id <> q.query_id
+       |         GROUP BY q.query_id, c.id),
+       |ranked AS (SELECT query_id, id, CAST(dot AS BIGINT) AS dot,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY dot DESC, id) AS BIGINT) AS rank
+       |           FROM dots)
+       |SELECT query_id, rank, id, dot
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirrors [[graft.pipeline.Graph.adamicAdar]] over the brute-force
+    * k-NN graph (the graphBfsKnn scored/knn/sym CTEs): wedges through
+    * each shared neighbor z weighted 1/ln(deg z), DECIMAL(28,12)-summed
+    * per pair (order-proof), existing edges anti-joined away. */
+  def graphAdamicAdar(k: Int): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS src, e.vec_id AS dst,
+       |         list_cosine_similarity(e.embedding::DOUBLE[],
+       |                                q.embedding::DOUBLE[]) AS cosine
+       |  FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id <> q.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |           ORDER BY cosine DESC, dst) AS rk
+       |    FROM scored) WHERE rk <= $k),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM knn WHERE src <> dst),
+       |sym AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |degs AS (SELECT z, count(*) AS deg FROM sym GROUP BY z),
+       |nb AS MATERIALIZED (
+       |  SELECT s.z, s.n, d.deg FROM sym s JOIN degs d USING (z)
+       |  WHERE d.deg >= 2),
+       |wedges AS (
+       |  SELECT n2.n AS u, n1.n AS v,
+       |         CAST(1.0 / ln(CAST(n1.deg AS DOUBLE)) AS DECIMAL(28,12)) AS w
+       |  FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n2.n < n1.n),
+       |agg AS (SELECT u, v, round(CAST(sum(w) AS DOUBLE), 6) AS aa_score
+       |        FROM wedges GROUP BY u, v)
+       |SELECT CAST(g.u AS BIGINT) AS u, CAST(g.v AS BIGINT) AS v, g.aa_score
+       |FROM agg g ANTI JOIN und e ON e.a = g.u AND e.b = g.v
+       |ORDER BY u, v""".stripMargin
 
   def embedPca(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
@@ -2186,7 +2274,7 @@ object PipelineSql {
        |       CAST(n_lines AS BIGINT) AS n_lines,
        |       CAST(n_kept AS BIGINT) AS n_kept,
        |       has_lorem, has_brace, kept,
-       |       CASE WHEN kept THEN md5(cleaned) END AS clean_digest
+       |       CASE WHEN kept THEN md5(cleaned) ELSE '' END AS clean_digest
        |FROM k ORDER BY doc_id""".stripMargin
 
   /** Mirrors [[Sampling.epochMix]]: the per-source (full copies,
@@ -2731,6 +2819,61 @@ object PipelineSql {
        |  CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens,
        |  CAST(count(*) AS BIGINT) AS total_tokens
        |FROM tok WHERE token <> '' GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirrors [[graft.pipeline.TextAnalysis.zipfSlope]]: per-source
+    * rank-frequency OLS in log-log space over the top-N tokens.
+    * Moments are DECIMAL(28,12)-summed then cast to double; the OLS
+    * itself runs in IEEE doubles on both engines (identical inputs,
+    * identical operation order — no decimal promotion rules in play);
+    * ln last-ulp noise dies in round(6). */
+  def corpusZipf(topN: Int): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split($norm, ' ')) AS token
+       |  FROM documents WHERE trim(text) <> ''),
+       |cnt AS (
+       |  SELECT source, token, count(*) AS freq
+       |  FROM tok WHERE token <> '' GROUP BY source, token),
+       |rk AS (
+       |  SELECT source, freq, row_number() OVER (
+       |    PARTITION BY source ORDER BY freq DESC, token) AS rank
+       |  FROM cnt),
+       |pts AS (
+       |  SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+       |         ln(CAST(freq AS DOUBLE)) AS y
+       |  FROM rk WHERE rank <= $topN),
+       |mo AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+       |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+       |  FROM pts GROUP BY source)
+       |SELECT source, n_ranks,
+       |  round((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+       |        / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       |  round((sy - ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+       |               / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)) * sx)
+       |        / CAST(n_ranks AS DOUBLE), 6) AS intercept
+       |FROM mo ORDER BY source""".stripMargin
+
+  /** Mirrors [[graft.pipeline.Sampling.shardManifest]]: the sampleShard
+    * assignment rolled up per shard with the shard_pos-ordered content
+    * digest. */
+  def shardManifest(nShards: Int, salt: String): String =
+    s"""WITH h AS (SELECT doc_id, text,
+       |             md5('$salt' || CAST(doc_id AS VARCHAR)) AS hh
+       |           FROM documents),
+       |s AS (SELECT doc_id, text, hh,
+       |        CAST(('0x' || substr(hh, 1, 8))::UBIGINT % $nShards AS INT) AS shard
+       |      FROM h),
+       |p AS (SELECT shard, hh, doc_id, md5(text) AS dmd5,
+       |        CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+       |          AS toks
+       |      FROM s)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(list(dmd5 ORDER BY hh, doc_id), ',')) AS content_md5
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---- sampling / mixing / packing (Sampling.scala) -----------------------
   // Thresholds come from the SAME Scala helper the operators use

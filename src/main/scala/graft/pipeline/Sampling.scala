@@ -224,6 +224,33 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Shard MANIFEST over [[shardShuffle]]'s assignment — the release
+    * artifact a training run actually consumes: per shard, the doc
+    * count, total whitespace tokens, and a content digest (md5 of the
+    * shard_pos-ordered per-doc text md5s) so a consumer can verify a
+    * delivered shard byte-for-byte without re-reading the corpus
+    * catalog. Returns [shard, n_docs, n_tokens, content_md5].
+    *
+    * Shape at scale: rides shardShuffle's one shard-keyed shuffle; the
+    * digest aggregation collects one 32-char hash per doc per shard —
+    * at 100 TB with nShards sized to ~1 GB shards that is ~thousands of
+    * hashes per group, bounded by design (the shard size IS the knob).
+    * Output is nShards rows. */
+  def shardManifest(df: DataFrame, keyCol: String, textCol: String,
+      nShards: Int, salt: String = ""): DataFrame = {
+    val sharded = shardShuffle(df, keyCol, nShards, salt)
+      .withColumn("__doc_md5", md5(col(textCol)))
+      .withColumn("__toks",
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("shard_pos"),
+            col("__doc_md5")))), s => s.getField("__doc_md5")), ","))
+          .as("content_md5"))
+  }
+
   /** Stratified cap: at most `k` rows per stratum, chosen by salted hash
     * order (a deterministic uniform sample without replacement per
     * stratum). Rank window + filter ≤ k compiles to Spark 4's

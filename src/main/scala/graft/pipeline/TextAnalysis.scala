@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -343,7 +344,7 @@ object TextAnalysis {
     * expressions (all codegen'd), page-level flags as plain `contains`
     * on the raw text. Zero shuffles; streams statelessly at ingest;
     * at 100 TB this runs at parquet scan speed. The cleaned text is
-    * reported as an md5 digest (`clean_digest`, null for dropped pages)
+    * reported as an md5 digest (`clean_digest`, '' for dropped pages)
     * so a gate decision AND the exact surviving byte content are both
     * certified by the oracle hash without shipping full text twice.
     * Returns [idCol, n_lines, n_kept, has_lorem, has_brace, kept,
@@ -365,8 +366,12 @@ object TextAnalysis {
       .withColumn("kept",
         !col("has_lorem") && !col("has_brace")
           && col("n_kept") >= minKeptLines)
+      // '' (not NULL) for dropped pages: a digest column mixing NULL and
+      // strings cannot be row-sorted by the driver compare (the
+      // corpus_drift -1-sentinel rule, string edition)
       .withColumn("clean_digest",
-        when(col("kept"), md5(array_join(col("__keptls"), "\n"))))
+        when(col("kept"), md5(array_join(col("__keptls"), "\n")))
+          .otherwise(lit("")))
       .select(col(idCol), col("n_lines"), col("n_kept"),
         col("has_lorem"), col("has_brace"), col("kept"),
         col("clean_digest"))
@@ -795,6 +800,56 @@ object TextAnalysis {
     toks.groupBy(col(sourceCol))
       .agg(distinctCol.cast("long").as("distinct_tokens"),
         count(lit(1)).as("total_tokens"))
+  }
+
+  /** Per-source Zipf slope — the rank-frequency power-law fit
+    * (Zipf 1949: freq ∝ rank^s with s ≈ −1 for natural language). OLS
+    * over (ln rank, ln freq) on each source's `topN` most frequent
+    * tokens; the slope is the data-card line that flags synthetic or
+    * template-heavy sources (|s| far from 1 = unnatural token
+    * distribution — the corpus-level cousin of the per-doc entropy
+    * gate). Ranks break frequency ties by token (engine-exact), and the
+    * four OLS moments are DECIMAL-summed so the fit is
+    * summation-order-proof; ln last-ulp noise dies in round(6) (the
+    * PPMI precedent). Returns [source, n_ranks, slope, intercept].
+    *
+    * Shape at scale: one map-side-combined (source, token) count (the
+    * vocabStats shuffle), a per-source top-N that compiles to Spark 4's
+    * WindowGroupLimit (each map partition ships at most N rows per
+    * source — never the vocabulary), then a sources-sized moment
+    * aggregation. */
+  def zipfSlope(df: DataFrame, topN: Int = 200,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(topN >= 2, s"zipfSlope: topN must be >= 2, got $topN")
+    val counts = df
+      .select(col(sourceCol), explode(tokensCol(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sourceCol), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("freq").desc, col("tok"))
+    val ranked = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("freq").cast("double")))
+    // moments are DECIMAL-summed (order-proof), then cast to double and
+    // the OLS runs entirely in IEEE doubles — both engines see identical
+    // inputs and identical operation order, so no decimal-promotion
+    // rules are in play
+    val moments = ranked.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(28,12)"))
+          .cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(28,12)"))
+          .cast("double").as("sxy"))
+    val n = col("n_ranks").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    moments.select(col(sourceCol), col("n_ranks"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
   }
 
   /** Per-source DATA CARD — the one-row-per-source release report

@@ -36,10 +36,11 @@ class C4CleanSpec extends SparkSpec {
     assert(byId(4L) === ((2L, 1L, false, false, false)), "minKeptLines floor")
     assert(byId(5L) === ((2L, 2L, false, false, true)),
       "quote-terminal + rtrim both count")
-    // digest present iff kept
+    // digest non-empty iff kept ('' sentinel, never NULL — a mixed
+    // NULL/string column cannot be row-sorted by the driver compare)
     r.foreach { x =>
-      assert((x.get(6) != null) === x.getBoolean(5),
-        s"digest nullability for doc ${x.getLong(0)}")
+      assert(x.getString(6).nonEmpty === x.getBoolean(5),
+        s"digest presence for doc ${x.getLong(0)}")
     }
   }
 
