@@ -1820,6 +1820,17 @@ object SparkEntry {
           pqCentroids = PqCentroids, sampleSize = AnnSample)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // streaming: the SQ8 quantized serving path AT INGEST — arriving
+    // query vectors encoded against the frozen 2·d codebook (stateless
+    // narrow map), int-dot scored against the static code table
+    // in-stream, ranked at the sink; gated by the batch annSq8 SQL
+    "ann_sq8_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.sq8Serve(s, dir,
+          numQueries = AnnQueries, k = AnnK, levels = SqLevels)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), col("dot"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // LLM pipeline: ordered-pair shingle CONTAINMENT near-dup — the
     // asymmetric partial-copy detector Jaccard-based minhash misses
     // when sizes differ (a quote fully embedded in a 10× longer doc has
@@ -3572,6 +3583,15 @@ object SparkEntry {
         .select(col("shard"), col("n_docs"), col("n_tokens"),
           col("content_md5"))
         .orderBy(col("shard"))),
+    // streaming: the manifest built AT INGEST — shard/digest/tokens as
+    // a stateless per-row projection on the arriving docs, the rollup
+    // (same aggregation code, order key rides each row) at the sink
+    "export_manifest_stream" -> ((s, dir) =>
+      graft.streaming.StreamReplay.manifestIngest(s, dir, ShuffleShards,
+          SampleSalt)
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("content_md5"))
+        .orderBy(col("shard"))),
     // LLM pipeline: per-source TOKEN-budget sampling — "take N tokens
     // from each source", the unit training mixtures are actually specced
     // in. Salted-hash order within source, keep while the running token
@@ -4339,6 +4359,10 @@ object SparkEntry {
     "dedup_keep_best" -> graft.pipeline.PipelineSql.dedupKeepBest(
       ShingleK, MinHashes, MinBands, MinhashThreshold, rounds = 8),
     "ann_sq8" -> graft.pipeline.PipelineSql.annSq8(AnnQueries, AnnK, SqLevels),
+    "ann_sq8_stream" -> graft.pipeline.PipelineSql.annSq8(AnnQueries, AnnK,
+      SqLevels),
+    "export_manifest_stream" -> graft.pipeline.PipelineSql.shardManifest(
+      ShuffleShards, SampleSalt),
     "graph_adamic_adar" -> graft.pipeline.PipelineSql.graphAdamicAdar(KnnGraphK),
     "corpus_zipf" -> graft.pipeline.PipelineSql.corpusZipf(ZipfTopN),
     "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(

@@ -1267,20 +1267,39 @@ object Ann {
     * scalarQuantize's scaladoc promises). Returns [id, codes]. */
   def sq8Encode(emb: DataFrame, levels: Int = 256,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(levels >= 2, s"levels must be >= 2, got $levels")
-    val base = emb.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val stats = base
-      .select(posexplode(col("v")).as(Seq("pos", "x")))
+    val (lo, hi) = sq8Stats(emb, vecCol)
+    sq8EncodeWith(emb, lo, hi, levels, idCol, vecCol)
+  }
+
+  /** The SQ codebook artifact: per-dimension [lo, hi] of the corpus —
+    * 2·d doubles, the entire serving state a quantized index needs
+    * beyond the code table (ships as broadcast literals). */
+  private[graft] def sq8Stats(emb: DataFrame,
+      vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    val stats = emb
+      .select(posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .orderBy(col("pos"))
       .collect() // d rows — bounded by the embedding dim, not the corpus
-    val lo = typedLit(stats.map(_.getAs[Double]("lo")).toSeq)
-    val hi = typedLit(stats.map(_.getAs[Double]("hi")).toSeq)
+    (stats.map(_.getAs[Double]("lo")).toSeq,
+      stats.map(_.getAs[Double]("hi")).toSeq)
+  }
+
+  /** Encode against a FIXED codebook — one narrow array transform, no
+    * shuffle, no state: the form that runs unchanged on an arriving
+    * query stream (the at-ingest half of the quantized serving path). */
+  private[graft] def sq8EncodeWith(df: DataFrame, loS: Seq[Double],
+      hiS: Seq[Double], levels: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val lo = typedLit(loS)
+    val hi = typedLit(hiS)
     val lmax = lit((levels - 1).toDouble)
-    base.select(col("id"),
-      transform(col("v"), (x, i) => {
+    df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), (x0, i) => {
+        val x = x0.cast("double")
         val l = element_at(lo, i + 1)
         val h = element_at(hi, i + 1)
         when(h === l, lit(0)).otherwise(least(lit(levels - 1),
@@ -1303,15 +1322,35 @@ object Ann {
     * (encode corpus and queries together, then split — the caller's
     * contract; mixed codebooks silently skew ranks).
     * Returns [query_id, rank, id, dot]. */
-  def sq8TopK(codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def sq8TopK(codes: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    sq8Rank(sq8Score(codes, queries), k)
+
+  /** The scoring half of [[sq8TopK]] — stateless, so it runs on an
+    * arriving query stream against the static code table.
+    * `broadcastQueries = false` puts the stream on the left and does
+    * NOT force-broadcast the corpus-sized code side — a cross join has
+    * no equi key, so the planner broadcasts the static side only at
+    * the size it accepts (the dedup_url_stream rule: never force a
+    * corpus-sized broadcast). */
+  private[graft] def sq8Score(codes: DataFrame, queries: DataFrame,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = codes.select(col("id"), col("codes"))
     val q = queries.select(col("id").as("query_id"), col("codes").as("qcodes"))
-    val scored = c.crossJoin(broadcast(q))
+    val joined =
+      if (broadcastQueries) c.crossJoin(broadcast(q))
+      else q.crossJoin(c)
+    joined
       .filter(col("id") =!= col("query_id"))
       .withColumn("dot",
         aggregate(zip_with(col("codes"), col("qcodes"),
             (a, b) => a.cast("long") * b.cast("long")),
           lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("id"), col("dot"))
+  }
+
+  /** The rank half of [[sq8TopK]] — per-query bounded top-k window
+    * (runs at the sink on the streamed path). */
+  private[graft] def sq8Rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -237,19 +237,41 @@ object Sampling {
     * hashes per group, bounded by design (the shard size IS the knob).
     * Output is nShards rows. */
   def shardManifest(df: DataFrame, keyCol: String, textCol: String,
-      nShards: Int, salt: String = ""): DataFrame = {
-    val sharded = shardShuffle(df, keyCol, nShards, salt)
-      .withColumn("__doc_md5", md5(col(textCol)))
-      .withColumn("__toks",
-        size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
-    sharded.groupBy(col("shard"))
+      nShards: Int, salt: String = ""): DataFrame =
+    shardManifestFromPerDoc(shardManifestPerDoc(df, keyCol, textCol,
+      nShards, salt))
+
+  /** The per-DOCUMENT half of [[shardManifest]] — shard assignment,
+    * text digest and token count as one stateless narrow projection
+    * (runs unchanged on an arriving doc stream; the rollup half then
+    * runs at the sink). The full salted hash `__h` rides along: it IS
+    * the shard_pos order key, so the sink can reconstruct the exact
+    * batch digest order without a window. */
+  private[graft] def shardManifestPerDoc(df: DataFrame, keyCol: String,
+      textCol: String, nShards: Int, salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    df.select(col(keyCol).cast("long").as("__key"),
+        md5(col(textCol)).as("__doc_md5"),
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+          .as("__toks"), h.as("__h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+  }
+
+  /** The rollup half of [[shardManifest]]: per-shard counts + the
+    * (hash, key)-ordered content digest — (hash, key) is exactly the
+    * shard_pos order of [[shardShuffle]], recomputed without a window
+    * so the same code runs on sink-collected per-doc rows. */
+  private[graft] def shardManifestFromPerDoc(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__toks")).as("n_tokens"),
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("shard_pos"),
+          transform(array_sort(collect_list(struct(col("__h"), col("__key"),
             col("__doc_md5")))), s => s.getField("__doc_md5")), ","))
           .as("content_md5"))
-  }
 
   /** Stratified cap: at most `k` rows per stratum, chosen by salted hash
     * order (a deterministic uniform sample without replacement per

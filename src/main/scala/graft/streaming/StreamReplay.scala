@@ -815,6 +815,50 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** Quantized (SQ8) vector serving AT INGEST — arriving query vectors
+    * are encoded against the FROZEN per-dim [lo, hi] codebook (2·d
+    * broadcast doubles, [[graft.pipeline.Ann.sq8Stats]]) as a stateless
+    * narrow map, scored against the static int8 code table in-stream
+    * ([[graft.pipeline.Ann.sq8Score]] — planner-sized static side,
+    * never force-broadcast), and ranked at the sink. Gated by the SAME
+    * annSq8 batch SQL. */
+  def sq8Serve(spark: SparkSession, dir: String, numQueries: Int, k: Int,
+      levels: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (lo, hi) = graft.pipeline.Ann.sq8Stats(emb)
+    val codes = graft.pipeline.Ann.sq8EncodeWith(emb, lo, hi, levels)
+    val qStream = graft.pipeline.Ann.sq8EncodeWith(
+      spark.readStream.schema(embSchema)
+        .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+        .filter(col("vec_id") < numQueries), lo, hi, levels)
+    val qname = s"graft_replay_sq8serve_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Ann.sq8Score(codes, qStream,
+        broadcastQueries = false)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.pipeline.Ann.sq8Rank(drainSink(spark, qname), k)
+  }
+
+  /** Shard MANIFEST at ingest — every arriving document is assigned its
+    * shard, digest and token count as one stateless narrow projection
+    * ([[graft.pipeline.Sampling.shardManifestPerDoc]]); the per-shard
+    * rollup (counts + the (hash, key)-ordered content digest — no
+    * window, the order key rides each row) runs at the sink through the
+    * SAME aggregation code as the batch twin. */
+  def manifestIngest(spark: SparkSession, dir: String, nShards: Int,
+      salt: String): DataFrame = {
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+    val qname = s"graft_replay_manifest_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Sampling
+      .shardManifestPerDoc(stream, "doc_id", "text", nShards, salt)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.pipeline.Sampling.shardManifestFromPerDoc(drainSink(spark, qname))
+  }
+
   /** ONLINE kNN classification — arriving query vectors classified
     * against the static labeled train split: the scoring half
     * (Ann.knnScore — broadcast train side, stateless stream-static

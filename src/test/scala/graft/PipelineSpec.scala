@@ -579,6 +579,97 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("keepBest elects the longest cluster member, ties to smallest id") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 is longest; cluster {10,11}: equal lengths ->
+    // min id 10; doc 99 is unclustered and must not appear
+    val d = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "medium txt"),
+      (10L, "same len"), (11L, "same len"), (99L, "alone")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBest(d, pairs, length(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got === Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false), (10L, 10L, 10L, true), (11L, 10L, 10L, false)))
+  }
+
+  test("adamicAdar: hand-computed wedge scores, adjacent pairs excluded") {
+    import spark.implicits._
+    // path 1-2-3 plus 3-4: non-adjacent pairs (1,3) via z=2 (deg 2),
+    // (2,4) via z=3 (deg 2), (1,4) share nothing; all adjacent pairs
+    // excluded. Expected score 1/ln(2) for both wedge pairs.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.adamicAdar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val w = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((1L, 3L) -> w, (2L, 4L) -> w))
+    // triangle 5-6-7 + tail 7-8: (5,8) via z=7 whose deg is 3 -> 1/ln 3
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L)).toDF("src", "dst")
+    val got2 = Graph.adamicAdar(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val w3 = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2((5L, 8L)) === w3)
+    assert(got2((6L, 8L)) === w3)
+    assert(!got2.contains((5L, 6L)), "adjacent pair must be excluded")
+  }
+
+  test("sq8: codes in range, search ranks match float brute force on a spread fixture") {
+    import spark.implicits._
+    // well-separated directions so quantization cannot flip ranks
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.5f)),
+      (4L, Array(0.1f, 0.0f, 0.9f, 0.4f))).toDF("vec_id", "embedding")
+    val codes = Ann.sq8Encode(vecs)
+    val all = codes.select(explode(col("codes")).as("c")).collect().map(_.getInt(0))
+    assert(all.forall(c => c >= 0 && c <= 255))
+    val top = Ann.sq8TopK(codes, codes.filter(col("id") === 0L), k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(2))
+    assert(top.head === 1L, "nearest direction wins under int dot product")
+    val brute = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), 2)
+      .orderBy(col("rank")).collect().map(_.getLong(2))
+    assert(top.head === brute.head)
+  }
+
+  test("zipfSlope: exact planted power law recovers slope -1") {
+    import spark.implicits._
+    // freq(rank) = 840 / rank exactly for ranks 1..8 -> ln-ln slope -1
+    val freqs = (1 to 8).map(r => (f"w$r%02d", 840 / r))
+    val text = freqs.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val df = Seq((0L, "zipf", text)).toDF("doc_id", "source", "text")
+    val row = TextAnalysis.zipfSlope(df, topN = 8).collect().head
+    assert(row.getLong(1) === 8L)
+    assert(math.abs(row.getDouble(2) + 1.0) < 1e-9, s"slope ${row.getDouble(2)}")
+    val c = BigDecimal(math.log(840.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(3) - c) < 1e-6, s"intercept ${row.getDouble(3)}")
+  }
+
+  test("shardManifest: counts exact, digest = md5 of shard_pos-ordered doc md5s") {
+    import spark.implicits._
+    val d = (0L until 20L).map(i => (i, s"doc $i body with five tokens"))
+      .toDF("doc_id", "text")
+    val m = Sampling.shardManifest(d, "doc_id", "text", nShards = 4, salt = "s")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(m.values.map(_._1).sum === 20L)
+    assert(m.values.map(_._2).sum === 20L * 6)
+    // replay one shard's digest from the assignment
+    val sh = Sampling.shardShuffle(d, "doc_id", 4, "s")
+      .withColumn("dmd5", md5(col("text")))
+      .filter(col("shard") === 0).orderBy(col("shard_pos"))
+      .collect().map(_.getAs[String]("dmd5"))
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(sh.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(m(0)._3 === expect)
+  }
+
   test("boilerplateScrub excises listed n-gram spans, unions overlaps") {
     import spark.implicits._
     val docs = Seq(

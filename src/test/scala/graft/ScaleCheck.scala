@@ -681,6 +681,42 @@ object ScaleCheck {
         entry("embed_dim_stats (d-keyed combine)") {
           graft.pipeline.Diagnostics.embedDimStats(embR).count()
         },
+        entry("dedup_keep_best (cluster election)") {
+          // decorrelated replicas (the dedup_minhash reasoning) so pair
+          // output stays ∝ r; election adds one cluster-keyed max_by
+          // over the duplicate-sized member table
+          val decorrelated = docsR.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"),
+                (col("doc_id") / 10000000L).cast("long").cast("string"))))
+          val pairs = graft.pipeline.Dedup.minhashLsh(decorrelated,
+            shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.25)
+          graft.pipeline.Dedup.keepBest(decorrelated, pairs,
+            length(col("text"))).count()
+        },
+        entry("ann_sq8 (encode + int-dot top-k)") {
+          // stats pass (d-keyed combine) + narrow encode + broadcast-
+          // query linear scan: per-row work is constant in the corpus
+          val codes = graft.pipeline.Ann.sq8Encode(embR)
+          graft.pipeline.Ann.sq8TopK(codes,
+            codes.filter(col("id") < 8), k = 10).count()
+        },
+        entry("graph_adamic_adar (bounded-degree wedges)") {
+          // wedge join over the ROUTED kNN graph: deg <= 2k after
+          // symmetrization, so wedges = |V|·deg², never |V|²
+          val edges = graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
+            numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
+            iters = 3, refine = 4, trainDistributed = true,
+            hierarchicalRouting = true)
+          graft.pipeline.Graph.adamicAdar(edges).count()
+        },
+        entry("corpus_zipf (top-N WindowGroupLimit)") {
+          graft.pipeline.TextAnalysis.zipfSlope(docsR, topN = 200).count()
+        },
+        entry("export_manifest (shard digest rollup)") {
+          graft.pipeline.Sampling.shardManifest(docsR, "doc_id", "text",
+            nShards = 32 * r, salt = "scale").count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
