@@ -286,6 +286,8 @@ object SparkEntry {
   private val SqLevels = 256       // embed_quantize int8 levels
   private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
   private val ZipfTopN = 100       // corpus_zipf rank-frequency fit depth
+  private val HardNegCeiling = 0.9 // ml_hard_negatives near-dup ceiling
+  private val TruncDims = Seq(8, 16, 32) // embed_truncate_recall budgets
   private val SplitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
   private val KnnGraphK = 3        // graph_bfs semantic k-NN graph degree
   private val KnnRefine = 4        // graph_bfs_routed ADC-shortlist refine factor
@@ -1549,6 +1551,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       graft.pipeline.Dedup.ngramJaccard(d, cands, n = ShingleK, shinglesDf = Some(sh))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // LLM pipeline: hard-negative mining for contrastive training —
+    // per query, the k most similar vectors strictly BELOW the near-dup
+    // ceiling (informative negatives, not unlabeled positives)
+    "ml_hard_negatives" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.hardNegatives(emb,
+          emb.filter(col("vec_id") < AnnQueries), AnnK,
+          maxCosine = HardNegCeiling)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // LLM pipeline: truncation-recall audit — retrieval quality kept by
+    // the first d' dims (the matryoshka dimension-budget question);
+    // integer hits, one exact division per d'
+    "embed_truncate_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.truncateRecall(emb, TruncDims, AnnQueries, AnnK)
+        .orderBy(col("dim_kept"))
     }),
     // LLM pipeline: brute-force cosine top-k (the ANN oracle baseline)
     "ann_bruteforce" -> ((s, dir) => {
@@ -4368,6 +4390,10 @@ object SparkEntry {
     "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(
       ShuffleShards, SampleSalt),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),
+    "ml_hard_negatives" -> graft.pipeline.PipelineSql.annHardNegatives(
+      AnnQueries, AnnK, HardNegCeiling),
+    "embed_truncate_recall" -> graft.pipeline.PipelineSql.embedTruncateRecall(
+      TruncDims, AnnQueries, AnnK),
     "ann_lsh" -> graft.pipeline.PipelineSql.annLsh(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
     "ann_ivf" -> graft.pipeline.PipelineSql.annIvf(AnnQueries, AnnK,

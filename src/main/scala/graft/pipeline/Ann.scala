@@ -63,6 +63,72 @@ object Ann {
       vecCol: String = "embedding"): DataFrame =
     bruteForceTopK(corpus.filter(predicate), queries, k, idCol, vecCol)
 
+  /** Hard-negative mining for contrastive training — per query, the k
+    * MOST similar corpus vectors strictly below a near-duplicate
+    * ceiling: similar enough to be informative negatives, not so
+    * similar they are unlabeled positives (the embedding-model training
+    * recipe; the ceiling is typically the corpus's near-dup threshold).
+    * Same plan as [[bruteForceTopK]] (broadcast queries, one
+    * corpus-linear scan, bounded top-k window) with the ceiling applied
+    * before ranking so k always fills from true negatives. The
+    * cosine expression is the shared native [[cosine]] — bit-identical
+    * across engines, so the raw-value ceiling compare is deterministic.
+    * Returns [query_id, rank, id, cosine]. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+      .filter(col("cosine") < maxCosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** Truncation-recall audit — how much retrieval quality survives
+    * keeping only the first d' dimensions of each embedding (the
+    * matryoshka / dimension-budget question: can the index store d'=16
+    * instead of 64?). For each d' in `dims`: brute-force top-k under
+    * truncated cosine vs the full-dimension top-k, recall aggregated
+    * over the query set. Hits and totals are integers, so the mean
+    * recall is one exact division. Returns
+    * [dim_kept, n_queries, n_hits, mean_recall].
+    *
+    * Shape at scale: |dims| independent broadcast-query scans (each the
+    * bruteForceTopK plan over a NARROWER projection — the truncation
+    * happens before the scan, so memory bandwidth drops with d');
+    * swap the exact scans for routed ones past audit scale. */
+  def truncateRecall(emb: DataFrame, dims: Seq[Int], numQueries: Int,
+      k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"truncateRecall: dims must be positive, got $dims")
+    val full = bruteForceTopK(emb, emb.filter(col(idCol) < numQueries), k,
+      idCol, vecCol).select(col("query_id"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = full.groupBy()
+      .agg(count_distinct(col("query_id")).as("n_queries"))
+    dims.map { d =>
+      val tr = emb.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val topT = bruteForceTopK(tr, tr.filter(col(idCol) < numQueries), k,
+        idCol, vecCol).select(col("query_id"), col("id"))
+      full.join(topT, Seq("query_id", "id"))
+        .groupBy().agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth)
+        .select(lit(d).cast("long").as("dim_kept"), col("n_queries"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") /
+            (col("n_queries") * lit(k.toLong)).cast("double"), 6)
+            .as("mean_recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** kNN majority-vote classifier over a labeled vector table — the
     * classic embedding-space classifier (label propagation from a
     * curated seed set: quality tiers, topical buckets, safety labels).

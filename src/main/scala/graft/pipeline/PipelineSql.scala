@@ -390,6 +390,61 @@ object PipelineSql {
        |SELECT query_id, rank, id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Ann.hardNegatives]]: the annBruteForce
+    * statement with the near-duplicate ceiling applied BEFORE ranking
+    * (k fills from true negatives). Raw-value compare is legal: the
+    * cosine is bit-identical across engines (ann_bruteforce rank
+    * equality is the standing proof). */
+  def annHardNegatives(numQueries: Int, k: Int, maxCos: Double): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |scored AS (SELECT q.query_id, e.vec_id AS id,
+       |                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cosine
+       |           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, id, cosine,
+       |                  CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS BIGINT) AS rank
+       |           FROM scored WHERE cosine < $maxCos)
+       |SELECT query_id, rank, id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Mirrors [[graft.pipeline.Ann.truncateRecall]]: the full-dimension
+    * top-k once, a truncated top-k per d' (list slicing BEFORE the
+    * cosine), integer hit counts, one exact division. */
+  def embedTruncateRecall(dims: Seq[Int], numQueries: Int, k: Int): String = {
+    val perDim = dims.map { d =>
+      s"""sc$d AS (SELECT q.query_id, e.vec_id AS id,
+         |    list_cosine_similarity((e.embedding::DOUBLE[])[1:$d],
+         |                           q.qvec[1:$d]) AS cosine
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r$d AS MATERIALIZED (SELECT query_id, id FROM (
+         |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, id) AS rk FROM sc$d) WHERE rk <= $k),
+         |h$d AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |        FROM fullr f JOIN r$d t
+         |          ON t.query_id = f.query_id AND t.id = f.id)""".stripMargin
+    }.mkString(",\n")
+    val rows = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim_kept, t.n_queries, h.n_hits,
+         |  round(CAST(h.n_hits AS DOUBLE)
+         |        / CAST(t.n_queries * $k AS DOUBLE), 6) AS mean_recall
+         |FROM h$d h CROSS JOIN truth t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |fullsc AS (SELECT q.query_id, e.vec_id AS id,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |fullr AS MATERIALIZED (SELECT query_id, id FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, id) AS rk FROM fullsc) WHERE rk <= $k),
+       |truth AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+       |          FROM fullr),
+       |$perDim
+       |$rows
+       |ORDER BY dim_kept""".stripMargin
+  }
+
   /** Mirrors Diagnostics.quantiles over the events value column:
     * DuckDB quantile_cont == Spark percentile (both the linear-
     * interpolation definition — the funnelTiming precedent). */

@@ -579,6 +579,37 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("hardNegatives: near-dup above ceiling excluded, k fills from below") {
+    import spark.implicits._
+    // vec 1 is a scaled copy of query 0 (cosine 1.0 — an unlabeled
+    // positive); 2 and 3 are informative negatives; 4 is orthogonal
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Ann.hardNegatives(vecs, vecs.filter(col("vec_id") === 0L),
+        k = 2, maxCosine = 0.95)
+      .orderBy(col("rank")).collect().map(_.getLong(2))
+    assert(got === Array(2L, 3L), "the scaled copy must not appear")
+  }
+
+  test("truncateRecall: full-width recall is 1, rows are per-dim exact fractions") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 1.3 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Ann.truncateRecall(vecs, Seq(2, 8), numQueries = 3, k = 4)
+      .orderBy(col("dim_kept")).collect()
+    assert(got.length === 2)
+    val full = got.find(_.getLong(0) === 8L).get
+    assert(full.getLong(1) === 3L && full.getLong(2) === 12L)
+    assert(full.getDouble(3) === 1.0, "keeping every dim must recall 1.0")
+    val trunc = got.find(_.getLong(0) === 2L).get
+    assert(trunc.getDouble(3) <= 1.0 && trunc.getDouble(3) >= 0.0)
+  }
+
   test("keepBest elects the longest cluster member, ties to smallest id") {
     import spark.implicits._
     // cluster {1,2,3}: 2 is longest; cluster {10,11}: equal lengths ->
