@@ -563,6 +563,55 @@ class PlanAssertSpec extends SparkSpec {
       s"filteredTopK's predicate did not reach the scan:\n$p")
   }
 
+  test("zipfSlope keeps the per-source top-N as WindowGroupLimit") {
+    val p = executedPlan(TextAnalysis.zipfSlope(docsDF, topN = 5))
+    assert(p.contains("WindowGroupLimit"),
+      s"zipfSlope lost the partial top-N:\n$p")
+  }
+
+  test("sq8 encode is narrow; search has no UDF and broadcasts the query side") {
+    val codes = Ann.sq8Encode(embDF)
+    val pEnc = executedPlan(codes)
+    assert(!pEnc.contains("ScalaUDF"), s"sq8Encode has a UDF:\n$pEnc")
+    val pTop = executedPlan(Ann.sq8TopK(codes,
+      codes.filter(col("id") < 2), k = 3))
+    assert(!pTop.contains("ScalaUDF"), s"sq8TopK has a UDF:\n$pTop")
+    assert(pTop.contains("WindowGroupLimit"),
+      s"sq8TopK lost the two-phase top-k:\n$pTop")
+    assert(pTop.contains("Broadcast"),
+      s"sq8TopK does not broadcast the query side:\n$pTop")
+  }
+
+  test("adamicAdar wedges are keyed equi-joins — no cartesian, no BNLJ") {
+    import spark.implicits._
+    val edges = (0 until 30).map(i => (i.toLong, ((i + 1) % 30).toLong))
+      .toDF("src", "dst")
+    val p = executedPlan(Graph.adamicAdar(edges))
+    assert(!p.contains("CartesianProduct"),
+      s"adamicAdar plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"adamicAdar plans a BNLJ:\n$p")
+  }
+
+  test("shardManifest: per-doc half is narrow, rollup never a single-task window") {
+    val pd = executedPlan(
+      Sampling.shardManifestPerDoc(docsDF, "doc_id", "text", 8, "s"))
+    assert(!pd.contains("Exchange"),
+      s"manifest per-doc half picked up a shuffle:\n$pd")
+    val pm = executedPlan(
+      Sampling.shardManifest(docsDF, "doc_id", "text", 8, "s"))
+    assert(!pm.contains("SinglePartition") && !pm.contains("Window"),
+      s"manifest rollup degenerated to a window/global sort:\n$pm")
+  }
+
+  test("hardNegatives keeps the two-phase top-k under the ceiling filter") {
+    val p = executedPlan(Ann.hardNegatives(embDF,
+      embDF.filter(col("vec_id") < 2), k = 3, maxCosine = 0.99))
+    assert(p.contains("WindowGroupLimit"),
+      s"hardNegatives lost the partial top-k:\n$p")
+    assert(!p.contains("ScalaUDF"), s"hardNegatives has a UDF:\n$p")
+  }
+
   test("noveltyScore broadcasts the benchmark pool — the gram join is never sort-merge") {
     val p = executedPlan(Dedup.noveltyScore(
       docsDF.filter(col("doc_id") >= 3), docsDF.filter(col("doc_id") < 3), n = 3))
