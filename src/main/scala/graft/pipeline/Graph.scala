@@ -317,12 +317,21 @@ object Graph {
     * ROUNDED score (6 dp) with (u, v) tiebreak — the text_tfidf rank
     * discipline. Returns [u, v, aa_score] with u < v.
     *
-    * Shape at scale: two-hop wedge join keyed on the shared neighbor —
-    * on a bounded-degree graph (a kNN graph has deg ≤ 2k) the wedge
-    * table is |V|·deg², never |V|²; existing edges drop via one
-    * left_anti on the canonical pair. No windows, no driver state. */
+    * Shape at scale: two-hop wedge join keyed on the shared neighbor.
+    * A kNN graph bounds OUT-degree at k, but symmetrization leaves
+    * IN-degree unbounded — a hub vector near everything fans the
+    * deg²-per-z wedge table quadratically (measured: 6,012 → 2,444
+    * rows/s from 64× to 256× replication on the routed kNN graph, 87%
+    * of wall in the hub wedges). `maxDegree` is the standard
+    * frequent-neighbor pruning: wedges THROUGH a z with deg > maxDegree
+    * are dropped — each such wedge contributes only 1/ln(deg) ≈ nothing
+    * to its pair's score while costing deg² to enumerate, which is why
+    * every production Adamic–Adar (and the common-neighbor literature)
+    * caps it. Default unbounded = exact (the oracle path); at 100 TB
+    * set it to a small multiple of k. */
   def adamicAdar(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst", maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -334,7 +343,8 @@ object Graph {
     // wedges through z: every unordered neighbor pair of z, weighted by
     // z's 1/ln(deg) contribution (deg >= 2 by construction of a wedge,
     // but ln guards the deg == 1 convention anyway)
-    val nb = sym.join(deg, "z").filter(col("deg") >= 2)
+    val nb = sym.join(deg, "z")
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
     val wedges = nb.select(col("z"), col("n").as("u"), col("deg"))
       .join(nb.select(col("z"), col("n").as("v")), "z")
       .where(col("u") < col("v"))

@@ -645,6 +645,11 @@ class PipelineSpec extends SparkSpec {
     assert(got2((5L, 8L)) === w3)
     assert(got2((6L, 8L)) === w3)
     assert(!got2.contains((5L, 6L)), "adjacent pair must be excluded")
+    // frequent-neighbor pruning: a star hub 100-{101..105} has deg 5 —
+    // with maxDegree 4 no wedge may pass through it
+    val star = (101L to 105L).map(l => (100L, l)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star).count() === 10L) // C(5,2) leaf pairs
+    assert(Graph.adamicAdar(star, maxDegree = 4).count() === 0L)
   }
 
   test("sq8: codes in range, search ranks match float brute force on a spread fixture") {
