@@ -62,4 +62,33 @@ object AnnIO {
         .select(col("id"), col("cell"), col("codes")),
       hierarchical = hier)
   }
+
+  /** SQ8 index persistence — the quantized-serving artifact: the int
+    * code table (corpus-sized, 4× smaller than float32 — the point of
+    * SQ) plus the per-dimension [lo, hi] codebook (2·d doubles — the
+    * ENTIRE state needed to encode future queries identically, so a
+    * serving fleet can load yesterday's index and quantize today's
+    * traffic against the same grid). */
+  def saveSq8(codes: org.apache.spark.sql.DataFrame, lo: Seq[Double],
+      hi: Seq[Double], path: String): Unit = {
+    require(lo.length == hi.length && lo.nonEmpty,
+      s"saveSq8: lo/hi must be equal-length and non-empty " +
+        s"(${lo.length}/${hi.length})")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    lo.indices.map(i => (i, lo(i), hi(i))).toDF("pos", "lo", "hi")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats.parquet")
+    codes.select(col("id"), col("codes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes.parquet")
+  }
+
+  /** Load the [[saveSq8]] artifact: (codes table, lo, hi). */
+  def loadSq8(spark: SparkSession,
+      path: String): (org.apache.spark.sql.DataFrame, Seq[Double], Seq[Double]) = {
+    val stats = spark.read.parquet(s"$path/stats.parquet")
+      .orderBy(col("pos")).collect() // d rows
+    (spark.read.parquet(s"$path/codes.parquet").select(col("id"), col("codes")),
+      stats.map(_.getAs[Double]("lo")).toSeq,
+      stats.map(_.getAs[Double]("hi")).toSeq)
+  }
 }

@@ -1032,6 +1032,23 @@ class PipelineSpec extends SparkSpec {
     assert(ha === hb, "loaded hierarchical index must serve identically")
   }
 
+  test("AnnIO SQ8: saved+loaded codes+codebook serve bit-identical ranks, new queries encode on the same grid") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (lo, hi) = Ann.sq8Stats(emb)
+    val codes = Ann.sq8EncodeWith(emb, lo, hi)
+    val dir = java.nio.file.Files.createTempDirectory("sq8_idx").toString
+    graft.sources.AnnIO.saveSq8(codes, lo, hi, dir)
+    val (lCodes, lLo, lHi) = graft.sources.AnnIO.loadSq8(spark, dir)
+    assert(lLo === lo && lHi === hi, "codebook must round-trip exactly")
+    val q = codes.filter(col("id") < 3)
+    val a = Ann.sq8TopK(codes, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Ann.sq8TopK(lCodes, Ann.sq8EncodeWith(
+        emb.filter(col("vec_id") < 3), lLo, lHi), k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b, "loaded index + re-encoded queries must serve identically")
+  }
+
   test("SearchIO: saved+loaded BM25 index serves bit-identical rankings") {
     import spark.implicits._
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
