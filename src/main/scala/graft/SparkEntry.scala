@@ -283,6 +283,8 @@ object SparkEntry {
   private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
   private val PqCentroids = 16
   private val AnnSample = 10000    // codebook training sample bound (IVF/PQ/semantic)
+  private val AnnRerankOverfetch = 30 // ADC shortlist size for the exact-rerank refine (3·k)
+  private val IncAnnMod = 8        // vec_id % 8 == 0 plays the arriving batch for ann_incremental
   private val SqLevels = 256       // embed_quantize int8 levels
   private val ShuffleShards = 8    // sample_shard deterministic shuffle shards
   private val ZipfTopN = 100       // corpus_zipf rank-frequency fit depth
@@ -1830,6 +1832,41 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // incremental index add — the daily-ingest ANN lifecycle: the index
+    // trains on the pre-existing corpus only (vec_id % 8 <> 0), the
+    // "arriving" batch is encoded against the FROZEN centroids/codebooks
+    // (one narrow pass, no retraining, no corpus rescan) and unioned
+    // into the codes table; the serve sees old + new uniformly
+    "ann_incremental" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = graft.pipeline.Ann.buildIvfPq(
+        emb.filter(col("vec_id") % IncAnnMod =!= 0),
+        numCentroids = SemCells, m = PqSubspaces, pqCentroids = PqCentroids,
+        iters = 0, pqIters = 0, sampleSize = AnnSample)
+      val grown = graft.pipeline.Ann.addToIvfPq(idx,
+        emb.filter(col("vec_id") % IncAnnMod === 0))
+      graft.pipeline.Ann.queryIvfPq(grown,
+          emb.filter(col("vec_id") < AnnQueries), AnnK, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // two-stage refine — IVF-PQ over-fetches 3·k candidates in the
+    // compressed domain, only those ids pay a raw-vector lookup + exact
+    // cosine, final rank by the exact score (the production serving
+    // pattern: ADC recall at brute-force ordering for ~overfetch/corpus
+    // of the exact cost)
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.ivfPqRerank(emb,
+          emb.filter(col("vec_id") < AnnQueries), AnnK,
+          overfetch = AnnRerankOverfetch, numCentroids = SemCells, nprobe = 4,
+          m = PqSubspaces, pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+          sampleSize = AnnSample)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // streaming: ONLINE ANN SERVING — the IVF-PQ index builds in batch,
     // round-trips through AnnIO persistence, and the query stream runs
     // the stateless cell-keyed stream-static join against the loaded
@@ -1941,6 +1978,15 @@ object SparkEntry {
           graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
         .orderBy(col("u"), col("v"))
     }),
+    // neighbor-set Jaccard — adamic-adar's unweighted sibling over the
+    // same kNN graph: integer wedge counts + exact degrees, one final
+    // division; the second classic link-prediction / related-docs score
+    "graph_jaccard" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Graph.jaccardSimilarity(
+          graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
+        .orderBy(col("u"), col("v"))
+    }),
     "graph_bfs" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Graph.bfsDistances(
@@ -1976,6 +2022,17 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") < AnnQueries)
       graft.pipeline.Ann.recallReport(
+        graft.pipeline.Ann.bruteForceTopK(emb, q, AnnK),
+        graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
+        .orderBy(col("query_id"))
+    }),
+    // position-aware retrieval audit — nDCG@k of the LSH path vs the
+    // brute-force truth (recall counts hits; nDCG also penalizes
+    // ranking them low); the eval every ANN rollout gates on
+    "ml_ndcg" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < AnnQueries)
+      graft.pipeline.Ann.ndcgReport(
         graft.pipeline.Ann.bruteForceTopK(emb, q, AnnK),
         graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
         .orderBy(col("query_id"))
@@ -4386,6 +4443,7 @@ object SparkEntry {
     "export_manifest_stream" -> graft.pipeline.PipelineSql.shardManifest(
       ShuffleShards, SampleSalt),
     "graph_adamic_adar" -> graft.pipeline.PipelineSql.graphAdamicAdar(KnnGraphK),
+    "graph_jaccard" -> graft.pipeline.PipelineSql.graphJaccard(KnnGraphK),
     "corpus_zipf" -> graft.pipeline.PipelineSql.corpusZipf(ZipfTopN),
     "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(
       ShuffleShards, SampleSalt),
@@ -4407,6 +4465,8 @@ object SparkEntry {
     "embed_e2e" -> graft.pipeline.PipelineSql.embedE2e(
       NearDupPlants, NearDupIdOffset, threshold = 0.9, k = 8, iters = 1),
     "ann_recall" -> graft.pipeline.PipelineSql.annRecall(AnnQueries, AnnK,
+      planes = 4, probes = 4, seed = 42, tables = 2),
+    "ml_ndcg" -> graft.pipeline.PipelineSql.annNdcg(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
@@ -4804,6 +4864,12 @@ object SparkEntry {
     "ann_ivfpq" -> graft.pipeline.PipelineSql.annIvfPq(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
+    "ann_incremental" -> graft.pipeline.PipelineSql.annIvfPqIncremental(
+      AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64, mod = IncAnnMod),
+    "ann_ivfpq_rerank" -> graft.pipeline.PipelineSql.annIvfPqRerank(
+      AnnQueries, AnnK, AnnRerankOverfetch, SemCells, 4, PqSubspaces,
+      PqCentroids, AnnSample, dim = 64),
     "ann_filtered_routed" -> graft.pipeline.PipelineSql.annIvfPq(
       AnnQueries, AnnK, SemCells, 6, PqSubspaces, PqCentroids, AnnSample,
       dim = 64, extraWhere = s"""

@@ -1016,6 +1016,73 @@ object Ann {
         iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting),
       queries, k, nprobe, idCol, vecCol)
 
+  /** INCREMENTAL index add — the daily-ingest ANN lifecycle (the
+    * dedup_incremental_* pattern for vectors): a new batch is encoded
+    * against the FROZEN centroids and codebooks (one narrow native-
+    * expression pass over the batch — cell assignment + PQ encode, no
+    * retraining, no rescan of the existing corpus) and its code rows are
+    * unioned into the index's codes table. At 100 TB this is the only
+    * shape that works: the standing index is a parquet codes table
+    * (AnnIO), the arriving batch is the only thing that pays compute,
+    * and serving sees old + new uniformly because ADC scoring depends
+    * only on (cell, codes). Centroid drift is the operator's documented
+    * trade — callers re-train when the batch distribution shifts, as
+    * every production IVF deployment does. */
+  def addToIvfPq(index: IvfPqIndex, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    val assignCol =
+      if (index.hierarchical)
+        element_at(hierProbes(col(vecCol), index.cells, 1), 1)
+      else nearestCell(col(vecCol), index.cells)
+    val newCodes = batch.select(col(idCol).cast("long").as("id"),
+      assignCol.as("cell"),
+      pqEncode(col(vecCol), index.codebooks).as("codes"))
+    index.copy(codes = index.codes.unionByName(newCodes))
+  }
+
+  /** RERANK refine — the production two-stage serving pattern: IVF-PQ
+    * candidate generation (cheap, compressed-domain ADC over the probed
+    * cells) over-fetches `overfetch` candidates per query, then ONLY
+    * those ids pay a raw-vector lookup + exact cosine, and the final
+    * top-k ranks by the exact score. ADC error moves items a few
+    * positions, so an R = a-few-times-k refine recovers brute-force
+    * ordering at (R / corpus) of the exact cost; the raw-vector join is
+    * an id-keyed equi-join against the candidate set — the corpus
+    * vector table is never scanned at query time. Returns
+    * [query_id, rank, id, cosine]. */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
+      pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
+      sampleSize: Int = 10000): DataFrame = {
+    require(overfetch >= k, s"overfetch $overfetch must be >= k $k")
+    val idx = buildIvfPq(corpus, idCol, vecCol, numCentroids, m,
+      pqCentroids, iters, pqIters, sampleSize)
+    queryIvfPqRerank(idx, corpus, queries, k, overfetch, nprobe, idCol, vecCol)
+  }
+
+  /** The serve half of [[ivfPqRerank]] over a built/loaded index —
+    * split out so persistence round-trips and incremental adds compose
+    * with the refine stage. `vectors` supplies the raw embeddings for
+    * the exact stage (id-keyed join on candidate ids only). */
+  def queryIvfPqRerank(index: IvfPqIndex, vectors: DataFrame,
+      queries: DataFrame, k: Int, overfetch: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = queryIvfPqCandidates(index, queries, nprobe, idCol, vecCol)
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("id"))
+    val shortlist = cand.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= overfetch)
+      .select(col("query_id"), col("id"))
+    val raw = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+    val exact = shortlist.join(raw, Seq("id")).join(q, Seq("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1132,6 +1199,32 @@ object Ann {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)).cast("double") /
           col("n_true"), 6).as("recall"))
+  }
+
+  /** nDCG@k of an approximate result list against the exact top-k
+    * (binary relevance: a returned id is relevant iff it appears in the
+    * exact list) — [[recallReport]]'s position-aware sibling: recall
+    * counts hits, nDCG also penalizes putting them LOW. Discount is the
+    * standard 1/log2(rank+1), written as ln(2)/ln(rank+1) so both
+    * engines compose the same two ln calls (a native log2 may round
+    * differently); per-query sums run in DECIMAL(28,12) — the
+    * adamicAdar order-proof-sum discipline. IDCG is the exact list's
+    * own DCG, so ndcg = 1.0 means brute-force ordering was recovered.
+    * Returns [query_id, dcg, ndcg]. */
+  def ndcgReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def disc(rank: Column): Column =
+      (lit(math.log(2.0)) / log(rank.cast("double") + lit(1.0)))
+        .cast("decimal(28,12)")
+    val hits = approx.select(col("query_id"), col("id"), col("rank"))
+      .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))
+    val dcg = hits.groupBy(col("query_id"))
+      .agg(sum(disc(col("rank"))).as("dcg_d"))
+    exact.groupBy(col("query_id")).agg(sum(disc(col("rank"))).as("idcg_d"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg_d"), lit(0)).cast("double"), 6).as("dcg"),
+        round(coalesce(col("dcg_d"), lit(0)).cast("double") /
+          col("idcg_d").cast("double"), 6).as("ndcg"))
   }
 
   /** One L2 assignment pass of `base` [id, v: array<double>] against a

@@ -357,6 +357,46 @@ object Graph {
         Seq("u", "v"), "left_anti")
   }
 
+  /** Neighbor-set Jaccard similarity — [[adamicAdar]]'s unweighted
+    * sibling and the other classic link-prediction score:
+    * J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| for non-adjacent pairs
+    * sharing at least one neighbor. The intersection comes from the
+    * same shared-neighbor wedge join (never a pairwise set compare);
+    * the union is deg(u) + deg(v) − common, so the whole score is
+    * integer arithmetic until one final division — deterministic
+    * across engines and partitionings with no DECIMAL machinery.
+    * `maxDegree` is the same frequent-neighbor pruning knob (wedges
+    * through hubs cost deg² to enumerate); degrees in the DENOMINATOR
+    * stay exact regardless of the cap. Returns
+    * [u, v, n_common, jaccard] with u < v. */
+  def jaccardSimilarity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val nb = sym.join(deg, "z")
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
+    val common = nb.select(col("z"), col("n").as("u"))
+      .join(nb.select(col("z"), col("n").as("v")), "z")
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("z").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("z").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("deg_u") + col("deg_v") - col("n_common")), 6).as("jaccard"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) over the undirected graph — the near-linear community
     * finder: every vertex starts as its own community and each round

@@ -598,9 +598,9 @@ object PipelineSql {
     * pick, double-L2 argmin assignment with index tiebreak, nprobe
     * nearest cells per query. */
   private def ivfCellCtes(numQueries: Int, numCentroids: Int, nprobe: Int,
-      sampleSize: Int): String =
+      sampleSize: Int, sampWhere: String = ""): String =
     s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |samp AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT $sampleSize),
+       |samp AS (SELECT vec_id, v FROM base $sampWhere ORDER BY vec_id LIMIT $sampleSize),
        |cents AS (SELECT c, cv FROM (
        |  SELECT row_number() OVER (
        |    ORDER BY md5('ivf ' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
@@ -871,6 +871,41 @@ object PipelineSql {
        |FROM agg g ANTI JOIN und e ON e.a = g.u AND e.b = g.v
        |ORDER BY u, v""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Graph.jaccardSimilarity]] over the same
+    * brute-force kNN graph as [[graphAdamicAdar]]: integer wedge counts
+    * + exact degrees, one final double division — no DECIMAL needed. */
+  def graphJaccard(k: Int): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS src, e.vec_id AS dst,
+       |         list_cosine_similarity(e.embedding::DOUBLE[],
+       |                                q.embedding::DOUBLE[]) AS cosine
+       |  FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id <> q.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |           ORDER BY cosine DESC, dst) AS rk
+       |    FROM scored) WHERE rk <= $k),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM knn WHERE src <> dst),
+       |sym AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |degs AS (SELECT z, count(*) AS deg FROM sym GROUP BY z),
+       |nb AS MATERIALIZED (
+       |  SELECT s.z, s.n FROM sym s JOIN degs d USING (z) WHERE d.deg >= 2),
+       |common AS (
+       |  SELECT n2.n AS u, n1.n AS v, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM nb n1 JOIN nb n2 ON n1.z = n2.z AND n2.n < n1.n
+       |  GROUP BY 1, 2),
+       |j AS (SELECT c.u, c.v, c.n_common,
+       |             round(CAST(c.n_common AS DOUBLE)
+       |                   / (du.deg + dv.deg - c.n_common), 6) AS jaccard
+       |      FROM common c JOIN degs du ON du.z = c.u
+       |      JOIN degs dv ON dv.z = c.v)
+       |SELECT CAST(j.u AS BIGINT) AS u, CAST(j.v AS BIGINT) AS v,
+       |       j.n_common, j.jaccard
+       |FROM j ANTI JOIN und e ON e.a = j.u AND e.b = j.v
+       |ORDER BY u, v""".stripMargin
+
   def embedPca(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""w$t AS MATERIALIZED (SELECT g.i,
@@ -1092,6 +1127,27 @@ object PipelineSql {
        |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
        |FROM truth t LEFT JOIN hits h USING (query_id)
        |ORDER BY t.query_id""".stripMargin
+
+  /** Mirrors [[graft.pipeline.Ann.ndcgReport]] over the brute-force
+    * truth and the LSH approximate list: binary relevance, discount
+    * written as ln(2)/ln(rank+1) on BOTH engines (never a native log2 —
+    * its rounding is not pinned), per-query sums in DECIMAL(28,12). */
+  def annNdcg(numQueries: Int, k: Int, planes: Int, probes: Int,
+      seed: Int, tables: Int): String = {
+    val disc = "CAST(ln(2) / ln(CAST(rank + 1 AS DOUBLE)) AS DECIMAL(28,12))"
+    s"""WITH bf AS MATERIALIZED (${annBruteForce(numQueries, k)}),
+       |ap AS MATERIALIZED (${annLsh(numQueries, k, planes, probes, seed, tables)}),
+       |h AS (SELECT a.query_id, a.rank FROM ap a
+       |      JOIN bf b ON b.query_id = a.query_id AND b.id = a.id),
+       |dcg AS (SELECT query_id, sum($disc) AS dcg_d FROM h GROUP BY query_id),
+       |ideal AS (SELECT query_id, sum($disc) AS idcg_d FROM bf GROUP BY query_id)
+       |SELECT i.query_id,
+       |       round(CAST(coalesce(d.dcg_d, 0) AS DOUBLE), 6) AS dcg,
+       |       round(CAST(coalesce(d.dcg_d, 0) AS DOUBLE)
+       |             / CAST(i.idcg_d AS DOUBLE), 6) AS ndcg
+       |FROM ideal i LEFT JOIN dcg d USING (query_id)
+       |ORDER BY i.query_id""".stripMargin
+  }
 
   /** Mirrors Ann.kmeansReport: `iters` unrolled Lloyd iterations from
     * the md5-ordered initial pick, each iteration = L2 argmin assignment
@@ -1408,11 +1464,11 @@ object PipelineSql {
     * vectors in the query's nprobe nearest cells, scored by ADC. */
   def annIvfPq(numQueries: Int, k: Int, numCentroids: Int, nprobe: Int,
       m: Int, pqCentroids: Int, sampleSize: Int, dim: Int,
-      extraWhere: String = ""): String = {
+      extraWhere: String = "", sampWhere: String = ""): String = {
     require(dim % m == 0)
     val sub = dim / m
     val (codeJoins, cbJoins, adc) = pqAdc(m, sub)
-    s"""WITH ${ivfCellCtes(numQueries, numCentroids, nprobe, sampleSize)},
+    s"""WITH ${ivfCellCtes(numQueries, numCentroids, nprobe, sampleSize, sampWhere)},
        |${pqCodeCtes(m, pqCentroids, sub)},
        |q AS (SELECT qp.query_id, qp.cell, bq.v AS qv
        |      FROM qprobe qp JOIN base bq ON bq.vec_id = qp.query_id),
@@ -1430,6 +1486,61 @@ object PipelineSql {
        |           FROM scored)
        |SELECT query_id, rank, id, round(adc, 6) AS adc
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirrors [[graft.pipeline.Ann.addToIvfPq]] composed with the plain
+    * serve: the annIvfPq statement with the TRAINING SAMPLE restricted
+    * to the pre-existing corpus (`vec_id % mod <> 0`) while assignment
+    * and encoding cover every vector — exactly "new batch encoded
+    * against frozen centroids/codebooks, codes unioned in". The only
+    * delta vs annIvfPq is the samp WHERE, which is the operator's whole
+    * semantics: new vectors never influence the trained artifacts. */
+  def annIvfPqIncremental(numQueries: Int, k: Int, numCentroids: Int,
+      nprobe: Int, m: Int, pqCentroids: Int, sampleSize: Int, dim: Int,
+      mod: Int): String =
+    annIvfPq(numQueries, k, numCentroids, nprobe, m, pqCentroids,
+      sampleSize, dim, sampWhere = s"WHERE vec_id % $mod <> 0")
+
+  /** Mirrors [[graft.pipeline.Ann.ivfPqRerank]]: the annIvfPq CTE chain
+    * shortlists `overfetch` candidates per query by (adc, id), then ONLY
+    * those ids join back to the raw vectors for an exact
+    * list_cosine_similarity rerank — final rank by (cosine DESC, id).
+    * Both orderings are bit-identical across engines (ann_ivfpq proves
+    * the adc, ann_bruteforce the cosine), so the shortlist membership
+    * and the final ranks agree exactly. */
+  def annIvfPqRerank(numQueries: Int, k: Int, overfetch: Int,
+      numCentroids: Int, nprobe: Int, m: Int, pqCentroids: Int,
+      sampleSize: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val (codeJoins, cbJoins, adc) = pqAdc(m, sub)
+    s"""WITH ${ivfCellCtes(numQueries, numCentroids, nprobe, sampleSize)},
+       |${pqCodeCtes(m, pqCentroids, sub)},
+       |q AS (SELECT qp.query_id, qp.cell, bq.v AS qv
+       |      FROM qprobe qp JOIN base bq ON bq.vec_id = qp.query_id),
+       |scored AS (
+       |  SELECT q.query_id, c0.vec_id AS id,
+       |  $adc AS adc
+       |  FROM q JOIN assign a ON a.cell = q.cell
+       |  JOIN code0 c0 ON c0.vec_id = a.vec_id
+       |  $codeJoins
+       |  $cbJoins
+       |  WHERE c0.vec_id <> q.query_id),
+       |shortlist AS (SELECT query_id, id FROM (
+       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, id) AS arank FROM scored) WHERE arank <= $overfetch),
+       |qv AS (SELECT vec_id AS query_id, v AS qv FROM base
+       |       WHERE vec_id < $numQueries),
+       |exact AS (SELECT s.query_id, s.id,
+       |                 list_cosine_similarity(b.v, qv.qv) AS cosine
+       |          FROM shortlist s JOIN base b ON b.vec_id = s.id
+       |          JOIN qv ON qv.query_id = s.query_id),
+       |rr AS (SELECT query_id, id, cosine,
+       |              CAST(row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY cosine DESC, id) AS BIGINT) AS rank
+       |       FROM exact)
+       |SELECT query_id, rank, id, round(cosine, 6) AS cosine
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Mirrors TextAnalysis.qualityScore (same stopword list, same ratios). */

@@ -652,6 +652,100 @@ class PipelineSpec extends SparkSpec {
     assert(Graph.adamicAdar(star, maxDegree = 4).count() === 0L)
   }
 
+  test("jaccardSimilarity: hand-computed scores, adjacent pairs excluded, hub pruned") {
+    import spark.implicits._
+    // path 1-2-3 plus 3-4: (1,3) share z=2 -> 1/(deg1 + deg3 - 1) =
+    // 1/(1+2-1) = 0.5; (2,4) share z=3 -> 1/(2+1-1) = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.jaccardSimilarity(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map((1L, 3L) -> ((1L, 0.5)), (2L, 4L) -> ((1L, 0.5))))
+    // triangle 5-6-7 + tail 7-8: (5,8) via z=7 -> common 1, degs 2 and 1
+    // -> 1/2; adjacent (5,6) excluded even though they share z=7
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L)).toDF("src", "dst")
+    val got2 = Graph.jaccardSimilarity(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got2((5L, 8L)) === 0.5)
+    assert(got2((6L, 8L)) === 0.5)
+    assert(!got2.contains((5L, 6L)), "adjacent pair must be excluded")
+    // frequent-neighbor pruning: hub 100-{101..105} (deg 5) blocks all
+    // wedges under maxDegree 4; denominators stay exact degrees
+    val star = (101L to 105L).map(l => (100L, l)).toDF("src", "dst")
+    assert(Graph.jaccardSimilarity(star).count() === 10L)
+    assert(Graph.jaccardSimilarity(star, maxDegree = 4).count() === 0L)
+  }
+
+  test("ndcgReport: perfect order -> 1.0, miss at the top costs more than at the tail") {
+    import spark.implicits._
+    def disc(r: Int): BigDecimal =
+      BigDecimal(math.log(2.0) / math.log(r + 1.0))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+      .toDF("query_id", "rank", "id")
+    // perfect: same ids any order ranked 1..3 -> dcg == idcg
+    val perfect = Ann.ndcgReport(exact, exact).collect().head
+    assert(perfect.getDouble(2) === 1.0)
+    // id 99 (irrelevant) at rank 1 pushes both hits down
+    val worse = Seq((0L, 1, 99L), (0L, 2, 10L), (0L, 3, 11L))
+      .toDF("query_id", "rank", "id")
+    val idcg = disc(1) + disc(2) + disc(3)
+    val dcgW = disc(2) + disc(3)
+    val rowW = Ann.ndcgReport(exact, worse).collect().head
+    def r6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rowW.getDouble(1) === r6(dcgW))
+    assert(rowW.getDouble(2) === r6(dcgW / idcg))
+    // no hits at all -> 0.0 via the left join
+    val none = Seq((0L, 1, 98L)).toDF("query_id", "rank", "id")
+    val rowN = Ann.ndcgReport(exact, none).collect().head
+    assert(rowN.getDouble(1) === 0.0 && rowN.getDouble(2) === 0.0)
+  }
+
+  test("addToIvfPq: frozen-centroid encode, grown index serves old + new uniformly") {
+    import spark.implicits._
+    // old corpus: two tight axis clusters; new batch: one near-dup per
+    // cluster. With iters = 0 the centroids/codebooks depend only on
+    // the OLD rows, so the add is a pure encode.
+    val old = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 0.0f, 0.99f, 0.01f))).toDF("vec_id", "embedding")
+    val idx = Ann.buildIvfPq(old, numCentroids = 2, m = 2, pqCentroids = 4,
+      iters = 0, pqIters = 0, sampleSize = 100)
+    val grown = Ann.addToIvfPq(idx, fresh)
+    assert(grown.codes.count() === 6L)
+    // the new near-dup of vector 0 lands in 0's cell and wins its top-1
+    val top = Ann.queryIvfPq(grown, old.filter(col("vec_id") === 0L),
+      k = 1, nprobe = 1).collect().head
+    assert(top.getLong(2) === 10L, s"expected the added near-dup, got $top")
+    // centroids and codebooks are untouched by the add
+    assert(grown.cells.map(_.toSeq) === idx.cells.map(_.toSeq))
+  }
+
+  test("ivfPqRerank: full probe + full overfetch recovers brute-force order") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map { i =>
+      val a = (i % 4).toInt; val v = new Array[Float](4)
+      v(a) = 1.0f; v((a + 1) % 4) = 0.1f * (i / 4 + 1)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 2)
+    val rerank = Ann.ivfPqRerank(vecs, q, k = 5, overfetch = 50,
+        numCentroids = 2, nprobe = 2, m = 2, pqCentroids = 4,
+        iters = 0, pqIters = 0, sampleSize = 100)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Ann.bruteForceTopK(vecs, q, k = 5)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rerank === brute,
+      "probing every cell with overfetch >= corpus must equal brute force")
+  }
+
   test("sq8: codes in range, search ranks match float brute force on a spread fixture") {
     import spark.implicits._
     // well-separated directions so quantization cannot flip ranks
