@@ -245,6 +245,8 @@ object SparkEntry {
   private val LmTriAlpha = 0.4     // stupid-backoff discount
   private val LmTriTrainRate = 0.8 // held-out trigram LM train split
   private val LmTriSalt = "tri"
+  private val KnDiscount = 0.75    // Kneser-Ney absolute discount D
+  private val KnSalt = "kn"        // KN train/score split salt
   // BM25 retrieval: fixed literal queries over the synthetic vocab
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
@@ -1851,6 +1853,17 @@ object SparkEntry {
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // streaming: INDEX MAINTENANCE AT INGEST — arriving new vectors are
+    // encoded against the frozen centroids/codebooks in-stream (pure
+    // narrow projection) and the sink serve unions old + streamed codes
+    // through the same queryIvfPq; gated by the batch incremental SQL
+    "ann_incremental_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.annIncrementalIngest(s, dir,
+          numQueries = AnnQueries, k = AnnK, numCentroids = SemCells,
+          nprobe = 4, m = PqSubspaces, pqCentroids = PqCentroids,
+          sampleSize = AnnSample, mod = IncAnnMod)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // two-stage refine — IVF-PQ over-fetches 3·k candidates in the
     // compressed domain, only those ids pay a raw-vector lookup + exact
     // cosine, final rank by the exact score (the production serving
@@ -2369,6 +2382,18 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_trigrams").cast("long").as("n_trigrams"),
           col("n_backoff").cast("long").as("n_backoff"), col("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+    // interpolated Kneser-Ney bigram LM — the smoother real CCNet/KenLM
+    // gates run; held-out scoring over the same salted-md5 split so
+    // unseen contexts genuinely exercise the continuation fallback
+    "text_lm_kn" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.lmPerplexityKneserNey(docs(s, dir),
+          discount = KnDiscount, addK = LmAddK, trainRate = LmTriTrainRate,
+          salt = KnSalt)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          col("n_unseen_ctx").cast("long").as("n_unseen_ctx"), col("ppl"))
         .orderBy(col("doc_id"))
     }),
     // LLM pipeline: whitespace + BPE-ish token counting
@@ -3585,6 +3610,13 @@ object SparkEntry {
           ImportanceTargetLang, ImportanceTopK, LmAddK)
         .orderBy(col("doc_id"))
     }),
+    // DoReMi-lite domain reweighting — per-source mean LM perplexity →
+    // sqrt-tempered normalized weights (the mixing spec for the next
+    // training pass; hard domains upweighted, Σ weight = 1)
+    "sample_doremi" -> ((s, dir) => {
+      graft.pipeline.Sampling.doremiWeights(docs(s, dir), addK = LmAddK)
+        .orderBy(col("source"))
+    }),
     // pipeline audit: achieved mixture report — per-source doc/token
     // mass and token share (what a mixing stage actually delivered vs
     // its spec); one map-side-combined aggregation
@@ -4666,6 +4698,8 @@ object SparkEntry {
     "text_lm_perplexity" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "text_lm_trigram" -> graft.pipeline.PipelineSql.lmTrigram(
       LmAddK, LmTriAlpha, LmTriTrainRate, LmTriSalt),
+    "text_lm_kn" -> graft.pipeline.PipelineSql.lmKneserNey(
+      KnDiscount, LmAddK, LmTriTrainRate, KnSalt),
     "text_lm_perplexity_stream" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),
     "wordpiece_train" -> graft.pipeline.PipelineSql.wordpieceTrain(
@@ -4835,6 +4869,7 @@ object SparkEntry {
       ImportanceTargetLang, ImportanceTopK, LmAddK),
     "sample_importance_stream" -> graft.pipeline.PipelineSql.sampleImportance(
       ImportanceTargetLang, ImportanceTopK, LmAddK),
+    "sample_doremi" -> graft.pipeline.PipelineSql.sampleDoremi(LmAddK),
     "report_mixture" -> graft.pipeline.PipelineSql.reportMixture,
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),
@@ -4865,6 +4900,9 @@ object SparkEntry {
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "ann_incremental" -> graft.pipeline.PipelineSql.annIvfPqIncremental(
+      AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64, mod = IncAnnMod),
+    "ann_incremental_stream" -> graft.pipeline.PipelineSql.annIvfPqIncremental(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64, mod = IncAnnMod),
     "ann_ivfpq_rerank" -> graft.pipeline.PipelineSql.annIvfPqRerank(

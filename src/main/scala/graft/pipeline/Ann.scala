@@ -1029,15 +1029,24 @@ object Ann {
     * trade — callers re-train when the batch distribution shifts, as
     * every production IVF deployment does. */
   def addToIvfPq(index: IvfPqIndex, batch: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeIntoIndex(index, batch, idCol, vecCol)))
+
+  /** The encode projection of [[addToIvfPq]] alone — (id, cell, codes)
+    * for a batch against FROZEN centroids/codebooks. A pure stateless
+    * narrow map (two native codegen expressions over broadcast
+    * artifacts), so it also runs INSIDE a stream: index maintenance at
+    * ingest is this projection writing to the codes store. */
+  def encodeIntoIndex(index: IvfPqIndex, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assignCol =
       if (index.hierarchical)
         element_at(hierProbes(col(vecCol), index.cells, 1), 1)
       else nearestCell(col(vecCol), index.cells)
-    val newCodes = batch.select(col(idCol).cast("long").as("id"),
+    batch.select(col(idCol).cast("long").as("id"),
       assignCol.as("cell"),
       pqEncode(col(vecCol), index.codebooks).as("codes"))
-    index.copy(codes = index.codes.unionByName(newCodes))
   }
 
   /** RERANK refine — the production two-stage serving pattern: IVF-PQ

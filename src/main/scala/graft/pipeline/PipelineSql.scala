@@ -3546,6 +3546,25 @@ object PipelineSql {
        |CROSS JOIN v
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Sampling.doremiWeights]]: the lmPerplexity
+    * statement nested as the per-doc scorer, DECIMAL(18,6)-summed
+    * per-source means, sqrt temperature, DECIMAL(28,12) normalizer. */
+  def sampleDoremi(addK: Double): String =
+    s"""WITH p AS MATERIALIZED (${lmPerplexity(addK)}),
+       |m AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(CAST(p.ppl AS DECIMAL(18,6))) AS DOUBLE)
+       |               / count(*) AS mean_ppl
+       |      FROM p JOIN documents d USING (doc_id) GROUP BY d.source),
+       |mn AS (SELECT min(mean_ppl) AS min_ppl FROM m),
+       |w AS (SELECT m.source, m.n_docs, m.mean_ppl,
+       |             sqrt(m.mean_ppl / mn.min_ppl) AS wr
+       |      FROM m CROSS JOIN mn),
+       |tot AS (SELECT CAST(sum(CAST(wr AS DECIMAL(28,12))) AS DOUBLE) AS t
+       |        FROM w)
+       |SELECT w.source, w.n_docs, round(w.mean_ppl, 6) AS mean_ppl,
+       |       round(w.wr / tot.t, 6) AS weight
+       |FROM w CROSS JOIN tot ORDER BY w.source""".stripMargin
+
   /** Mirrors [[graft.pipeline.Ann.mmrSelect]] on the vec-0 query:
     * the k greedy rounds unrolled as MATERIALIZED CTEs — each round a
     * scalar argmax (ORDER BY rounded score DESC, id LIMIT 1, the
@@ -3835,6 +3854,61 @@ object PipelineSql {
        |LEFT JOIN c1 u2 ON u2.t = sg.w2
        |LEFT JOIN c1 u3 ON u3.t = sg.w3
        |CROSS JOIN nv
+       |GROUP BY sg.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors [[graft.pipeline.TextAnalysis.lmPerplexityKneserNey]]:
+    * the same salted-md5 split, count tables rolled up from the bigram
+    * type table, and the interpolated-KN expression composed in the
+    * identical operation order (max-discount term + lambda·continuation,
+    * add-k floored continuation, unseen context → continuation only). */
+  def lmKneserNey(discount: Double, addK: Double, trainRate: Double,
+      salt: String): String = {
+    val thr = Sampling.rateThreshold(trainRate)
+    s"""WITH nb AS (SELECT doc_id, string_split($norm, ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |tr AS (SELECT * FROM nb
+       |       WHERE substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'),
+       |sc AS (SELECT * FROM nb
+       |       WHERE NOT (substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')),
+       |bi AS (SELECT p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT unnest([[toks[i+1], toks[i+2]]
+       |                 for i in range(0, len(toks)-1)]) AS p
+       |  FROM tr WHERE len(toks) >= 2)),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM bi GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1b,
+       |               CAST(count(*) AS BIGINT) AS n_after
+       |        FROM c12 GROUP BY w1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_before
+       |         FROM c12 GROUP BY w2),
+       |bv AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM c12) AS b,
+       |              (SELECT CAST(count(DISTINCT t) AS DOUBLE)
+       |               FROM (SELECT unnest(toks) AS t FROM tr)) AS v),
+       |sg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT doc_id, unnest([[toks[i+1], toks[i+2]]
+       |                         for i in range(0, len(toks)-1)]) AS p
+       |  FROM sc WHERE len(toks) >= 2))
+       |SELECT CAST(sg.doc_id AS BIGINT) AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN ctx.c1b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unseen_ctx,
+       |  round(exp(-sum(ln(
+       |    CASE WHEN ctx.c1b IS NOT NULL
+       |      THEN greatest(coalesce(CAST(c12.c12 AS DOUBLE), 0.0) - $discount,
+       |                    0.0) / CAST(ctx.c1b AS DOUBLE)
+       |           + ($discount * CAST(ctx.n_after AS DOUBLE)
+       |              / CAST(ctx.c1b AS DOUBLE))
+       |             * ((coalesce(CAST(cont.n_before AS DOUBLE), 0.0) + $addK)
+       |                / (bv.b + $addK * bv.v))
+       |      ELSE (coalesce(CAST(cont.n_before AS DOUBLE), 0.0) + $addK)
+       |           / (bv.b + $addK * bv.v) END
+       |  )) / count(*)), 6) AS ppl
+       |FROM sg
+       |LEFT JOIN c12 ON c12.w1 = sg.w1 AND c12.w2 = sg.w2
+       |LEFT JOIN ctx ON ctx.w1 = sg.w1
+       |LEFT JOIN cont ON cont.w2 = sg.w2
+       |CROSS JOIN bv
        |GROUP BY sg.doc_id ORDER BY doc_id""".stripMargin
   }
 

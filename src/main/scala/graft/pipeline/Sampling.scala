@@ -649,4 +649,44 @@ object Sampling {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    * the deterministic lite form: domains where the corpus LM is most
+    * surprised (highest mean perplexity) get upweighted for the next
+    * mixing pass. Here the proxy model is the self-scored add-k bigram
+    * LM ([[TextAnalysis.lmPerplexity]] — the published method trains a
+    * small reference LM, the same seam), and the weight is
+    *
+    *   w_s ∝ sqrt(mean_ppl_s / min_t mean_ppl_t)
+    *
+    * — a temperature-2 softening in log space, sqrt because it is
+    * IEEE-exact across engines (the sample_temperature precedent; pow
+    * with a fractional exponent is not pinned). Per-source means sum
+    * the 6-decimal-rounded per-doc ppl in DECIMAL(18,6) and the weight
+    * normalizer sums in DECIMAL(28,12) — both order-proof — so the
+    * report is bit-stable at any partitioning. Returns
+    * [<source>, n_docs, mean_ppl, weight] with Σ weight = 1.
+    *
+    * Shape at scale: the LM pass is the dominant term (two n-gram count
+    * shuffles + the scoring join); everything after is a
+    * |sources|-sized aggregate with two broadcast scalar joins. */
+  def doremiWeights(df: DataFrame, addK: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val ppl = TextAnalysis.lmPerplexity(df, addK, textCol, idCol)
+    val m = ppl.join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("ppl").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_ppl"))
+    val mn = m.agg(min(col("mean_ppl")).as("min_ppl"))
+    val w = m.crossJoin(broadcast(mn))
+      .withColumn("wr", sqrt(col("mean_ppl") / col("min_ppl")))
+    val tot = w.agg(sum(col("wr").cast("decimal(28,12)")).cast("double").as("t"))
+    w.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("mean_ppl"), 6).as("mean_ppl"),
+        round(col("wr") / col("t"), 6).as("weight"))
+  }
 }

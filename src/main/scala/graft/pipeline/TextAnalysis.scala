@@ -1206,6 +1206,79 @@ object TextAnalysis {
         round(exp(-sum(col("lns")) / count(lit(1))), 6).as("ppl"))
   }
 
+  /** Held-out bigram perplexity under INTERPOLATED KNESER-NEY smoothing
+    * (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.17) — the smoother
+    * the real CCNet/KenLM quality gates run, where [[lmPerplexity]] is
+    * the add-k classroom baseline and [[lmPerplexityTrigram]] the
+    * stupid-backoff web-scale one:
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + (D·N₁₊(v·)/c(v)) · Pc(w)
+    *   Pc(w)  = (N₁₊(·w) + k) / (B + k·V)      (continuation prob; the
+    *            add-k floor keeps OOV words scoreable — plain KN gives
+    *            unseen words zero mass and the ln blows up)
+    *   P(w|v) = Pc(w)                           if context v unseen
+    *
+    * with c(v) = Σ_w c(vw) (bigram-based context mass), N₁₊(v·)/N₁₊(·w)
+    * the right/left distinct-neighbor counts, B the bigram type count
+    * and V the train vocab. Train/score is the same salted-md5 split as
+    * the trigram entry. ppl(doc) = exp(−mean ln P); docs under 2 tokens
+    * excluded.
+    *
+    * Shape at scale: one bigram count shuffle over the train split, two
+    * k-sized rollups of the COUNT TABLE (never the corpus) for the
+    * context/continuation tables, (B, V) as a broadcast 1-row
+    * aggregate; scoring left-joins the held-out bigram stream on its
+    * natural keys. Returns [<id>, n_bigrams, n_unseen_ctx, ppl]. */
+  def lmPerplexityKneserNey(df: DataFrame, discount: Double = 0.75,
+      addK: Double = 0.1, trainRate: Double = 0.8, salt: String = "kn",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(trainRate > 0.0 && trainRate < 1.0,
+      s"trainRate must be in (0,1) so both splits are non-empty: $trainRate")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1): $discount")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val isTrain = Sampling.hashPrefix(col(idCol), salt) <
+      lit(Sampling.rateThreshold(trainRate))
+    val toks = tokensCol(col(textCol))
+    def biCol(t: Column): Column = {
+      val n = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val train = nonBlank.filter(isTrain)
+    val c12 = train.select(explode(biCol(toks)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context mass + right-neighbor types: a |bigram types|-sized rollup
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1b"), count(lit(1)).as("n_after"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+    val bv = c12.agg(count(lit(1)).cast("double").as("b"))
+      .crossJoin(train.select(explode(toks).as("t"))
+        .agg(countDistinct(col("t")).cast("double").as("v")))
+    val sg = nonBlank.filter(!isTrain)
+      .select(col(idCol), explode(biCol(toks)).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val joined = sg
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(bv))
+    val pc = (coalesce(col("n_before").cast("double"), lit(0.0)) + lit(addK)) /
+      (col("b") + lit(addK) * col("v"))
+    val p = when(col("c1b").isNotNull,
+        greatest(coalesce(col("c12").cast("double"), lit(0.0)) - lit(discount),
+          lit(0.0)) / col("c1b").cast("double") +
+        (lit(discount) * col("n_after").cast("double") /
+          col("c1b").cast("double")) * pc)
+      .otherwise(pc)
+    joined.withColumn("lnp", log(p))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c1b").isNull, 1L).otherwise(0L)).as("n_unseen_ctx"),
+        round(exp(-sum(col("lnp")) / count(lit(1))), 6).as("ppl"))
+  }
+
   /** CCNet-style quality bucketing: per-language head/middle/tail by
     * bigram-LM perplexity terciles. Builds on [[lmPerplexity]] (whose
     * 6-decimal-rounded ppl is already engine-exact), computes per-lang

@@ -815,6 +815,40 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** INDEX MAINTENANCE at ingest — the ann_incremental lifecycle with
+    * the arriving batch as a STREAM: the index trains on the
+    * pre-existing corpus only (vec_id % mod <> 0), each arriving new
+    * vector is encoded against the FROZEN centroids/codebooks as one
+    * stateless narrow projection ([[graft.pipeline.Ann.encodeIntoIndex]]
+    * — two native codegen expressions over broadcast artifacts, exactly
+    * what a 100 TB ingest pipeline appends to the codes store), and the
+    * serve at the sink unions old + streamed codes through the SAME
+    * [[graft.pipeline.Ann.queryIvfPq]] as the batch twin. Gated by the
+    * annIvfPqIncremental SQL. */
+  def annIncrementalIngest(spark: SparkSession, dir: String,
+      numQueries: Int, k: Int, numCentroids: Int, nprobe: Int, m: Int,
+      pqCentroids: Int, sampleSize: Int, mod: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = graft.pipeline.Ann.buildIvfPq(
+      emb.filter(col("vec_id") % mod =!= 0),
+      numCentroids = numCentroids, m = m, pqCentroids = pqCentroids,
+      iters = 0, pqIters = 0, sampleSize = sampleSize)
+    val batchStream = spark.readStream.schema(embSchema)
+      .parquet(stageEmb(spark, dir, plants = 0, idOffset = 0L).toString)
+      .filter(col("vec_id") % mod === 0)
+    val qname = s"graft_replay_annincr_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Ann.encodeIntoIndex(index, batchStream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val grown = index.copy(codes =
+      index.codes.unionByName(drainSink(spark, qname)))
+    graft.pipeline.Ann.queryIvfPq(grown,
+        emb.filter(col("vec_id") < numQueries), k, nprobe)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** Quantized (SQ8) vector serving AT INGEST — arriving query vectors
     * are encoded against the FROZEN per-dim [lo, hi] codebook (2·d
     * broadcast doubles, [[graft.pipeline.Ann.sq8Stats]]) as a stateless

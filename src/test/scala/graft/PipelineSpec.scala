@@ -1445,6 +1445,51 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_backoff") === 0L, "c a b is a trained trigram")
   }
 
+  test("Kneser-Ney LM: interpolated discount + continuation, hand-checked") {
+    import spark.implicits._
+    // same salt/id trick as the trigram test: doc 1 trains, doc 2 scores
+    // train "a b c a b d": c12 (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1, B=4, V=4
+    // ctx a:(2,1) b:(2,2) c:(1,1); cont b=1 c=1 a=1 d=1
+    val d = Seq((1L, "a b c a b d"), (2L, "a b c x")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmPerplexityKneserNey(d, discount = 0.75,
+      addK = 0.1, trainRate = 0.5, salt = "s3").collect().head
+    assert(r.getAs[Long]("doc_id") === 2L)
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    assert(r.getAs[Long]("n_unseen_ctx") === 0L)
+    def pc(nBefore: Double) = (nBefore + 0.1) / (4.0 + 0.1 * 4.0)
+    val p1 = math.max(2.0 - 0.75, 0.0) / 2.0 + (0.75 * 1.0 / 2.0) * pc(1.0)
+    val p2 = math.max(1.0 - 0.75, 0.0) / 2.0 + (0.75 * 2.0 / 2.0) * pc(1.0)
+    val p3 = math.max(0.0 - 0.75, 0.0) / 1.0 + (0.75 * 1.0 / 1.0) * pc(0.0)
+    val exp6 = BigDecimal(math.exp(
+        -(math.log(p1) + math.log(p2) + math.log(p3)) / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ppl") === exp6)
+    // unseen context: 'd' never starts a train bigram -> pure
+    // continuation Pc(a) = 1.1/4.4 = 0.25 exactly -> ppl 4.0
+    val d2 = Seq((1L, "a b c a b d"), (2L, "d a")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.lmPerplexityKneserNey(d2, discount = 0.75,
+      addK = 0.1, trainRate = 0.5, salt = "s3").collect().head
+    assert(r2.getAs[Long]("n_unseen_ctx") === 1L)
+    assert(r2.getAs[Double]("ppl") === 4.0)
+  }
+
+  test("doremiWeights: hard domain upweighted, weights normalized, partition-stable") {
+    import spark.implicits._
+    val easy = (0L until 8L).map(i => (i, "easy", "the cat sat on the mat again and again"))
+    val hard = (8L until 16L).map(i =>
+      (i, "hard", s"unique${i}a varied${i}b tokens${i}c every${i}d time${i}e word${i}f"))
+    val d = (easy ++ hard).toDF("doc_id", "source", "text")
+    val rows = Sampling.doremiWeights(d, addK = 0.1).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows("hard")._1 > rows("easy")._1, s"hard ppl must exceed easy: $rows")
+    assert(rows("hard")._2 > rows("easy")._2, s"hard weight must exceed easy: $rows")
+    val tot = rows.values.map(_._2).sum
+    assert(math.abs(tot - 1.0) < 1e-5, s"weights must normalize: $tot")
+    val again = Sampling.doremiWeights(d.repartition(7), addK = 0.1).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(again === rows, "report must be partitioning-independent")
+  }
+
   test("keySkew: planted hot key tops the report with the right salt factor") {
     import spark.implicits._
     // 90 rows of key "hot", 10 distinct cold keys with 1 row each:
