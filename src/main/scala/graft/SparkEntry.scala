@@ -3163,6 +3163,12 @@ object SparkEntry {
         .select(col("source"), col("n_ranks"), col("slope"),
           col("intercept"))
         .orderBy(col("source"))),
+    // cross-source token burstiness — variance-to-mean of per-source
+    // counts for the frequent vocabulary: evenly-spread language ≈
+    // Poisson, single-source template tokens disperse far above it
+    "corpus_burstiness" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.burstiness(docs(s, dir), topN = ZipfTopN)
+        .orderBy(col("total").desc, col("token"))),
     // per-source DATA CARD: the release report — corpus stats, vocab
     // size, mean quality, dominant language — composed from four
     // verified aggregates in one row per source (the seams between the
@@ -4477,6 +4483,8 @@ object SparkEntry {
     "graph_adamic_adar" -> graft.pipeline.PipelineSql.graphAdamicAdar(KnnGraphK),
     "graph_jaccard" -> graft.pipeline.PipelineSql.graphJaccard(KnnGraphK),
     "corpus_zipf" -> graft.pipeline.PipelineSql.corpusZipf(ZipfTopN),
+    "corpus_burstiness" ->
+      graft.pipeline.PipelineSql.corpusBurstiness(ZipfTopN),
     "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(
       ShuffleShards, SampleSalt),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),

@@ -3022,6 +3022,30 @@ object PipelineSql {
        |        / CAST(n_ranks AS DOUBLE), 6) AS intercept
        |FROM mo ORDER BY source""".stripMargin
 
+  /** Mirrors [[graft.pipeline.TextAnalysis.burstiness]]: integer moments
+    * (Σn, Σn²) per token over the per-source count table, top-N by
+    * (total, token), the same fixed-order double composition for the
+    * variance-to-mean ratio. S counts ALL sources. */
+  def corpusBurstiness(topN: Int): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split($norm, ' ')) AS token
+       |  FROM documents WHERE trim(text) <> ''),
+       |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+       |        FROM tok WHERE token <> '' GROUP BY source, token),
+       |sv AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS s
+       |       FROM documents),
+       |m AS (SELECT token, CAST(sum(n) AS BIGINT) AS total,
+       |             CAST(sum(n * n) AS BIGINT) AS sumsq,
+       |             CAST(count(*) AS BIGINT) AS n_sources
+       |      FROM cnt GROUP BY token
+       |      ORDER BY total DESC, token LIMIT $topN)
+       |SELECT m.token, m.total, m.n_sources,
+       |  round((CAST(m.sumsq AS DOUBLE) / sv.s
+       |         - (CAST(m.total AS DOUBLE) / sv.s)
+       |           * (CAST(m.total AS DOUBLE) / sv.s))
+       |        / (CAST(m.total AS DOUBLE) / sv.s), 6) AS dispersion
+       |FROM m CROSS JOIN sv ORDER BY m.total DESC, m.token""".stripMargin
+
   /** Mirrors [[graft.pipeline.Sampling.shardManifest]]: the sampleShard
     * assignment rolled up per shard with the shard_pos-ordered content
     * digest. */

@@ -852,6 +852,43 @@ object TextAnalysis {
       round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
   }
 
+  /** Cross-source token BURSTINESS — the variance-to-mean ratio (index
+    * of dispersion) of each frequent token's per-source counts. A token
+    * spread evenly across sources disperses ≈ its mean's Poisson rate;
+    * a templated/boilerplate token concentrated in one source disperses
+    * far above it — the corpus-analysis signal for "this n-gram is a
+    * site template, not language". Counts stay integers through both
+    * moment sums (Σn, Σn²), so the only doubles are the final fixed-
+    * order mean/variance/ratio composition — engine-exact with no
+    * DECIMAL machinery. Sources with zero occurrences of a token count
+    * toward S (the mean is over ALL sources).
+    *
+    * Shape at scale: one (token, source) count shuffle, a token-keyed
+    * rollup of that count table, then a global top-N by total — a
+    * TakeOrdered over the vocabulary-sized moment table, never a sort
+    * of the corpus. Returns [token, total, n_sources, dispersion],
+    * top `topN` tokens by (total, token). */
+  def burstiness(df: DataFrame, topN: Int = 100,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(topN >= 1, s"burstiness: topN must be >= 1, got $topN")
+    val s = df.agg(countDistinct(col(sourceCol)).cast("double").as("s"))
+    val c = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(sourceCol), explode(tokensCol(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sourceCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val m = c.groupBy(col("tok"))
+      .agg(sum(col("n")).as("total"),
+        sum(col("n") * col("n")).as("sumsq"),
+        count(lit(1)).as("n_sources"))
+      .orderBy(col("total").desc, col("tok")).limit(topN)
+    val mean = col("total").cast("double") / col("s")
+    m.crossJoin(broadcast(s))
+      .select(col("tok").as("token"), col("total"), col("n_sources"),
+        round((col("sumsq").cast("double") / col("s") - mean * mean) / mean,
+          6).as("dispersion"))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source release report
     * composing the verified aggregate family: corpus stats (doc/token
     * counts, mean + exact percentiles), vocabulary size, mean quality

@@ -1473,6 +1473,23 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getAs[Double]("ppl") === 4.0)
   }
 
+  test("burstiness: even token disperses 0, single-source template disperses high") {
+    import spark.implicits._
+    // "the": 3 per source -> mean 3, var 0, dispersion 0
+    // "tmpl": 6 in src a only -> per-source counts {6, 0}, mean 3,
+    // var = 36/2 - 9 = 9, dispersion 3
+    val d = Seq(
+      (0L, "a", "the x the y the tmpl tmpl tmpl tmpl tmpl tmpl"),
+      (1L, "b", "the u the v the w")).toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.burstiness(d, topN = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows("the") === ((6L, 2L, 0.0)))
+    assert(rows("tmpl") === ((6L, 1L, 3.0)))
+    // top-N by total: only the two planted heavy tokens survive topN=2
+    assert(rows.size === 2)
+  }
+
   test("doremiWeights: hard domain upweighted, weights normalized, partition-stable") {
     import spark.implicits._
     val easy = (0L until 8L).map(i => (i, "easy", "the cat sat on the mat again and again"))

@@ -593,6 +593,53 @@ class PlanAssertSpec extends SparkSpec {
       s"adamicAdar plans a BNLJ:\n$p")
   }
 
+  test("jaccardSimilarity wedges are keyed equi-joins — no cartesian, no BNLJ") {
+    import spark.implicits._
+    val edges = (0 until 30).map(i => (i.toLong, ((i + 1) % 30).toLong))
+      .toDF("src", "dst")
+    val p = executedPlan(Graph.jaccardSimilarity(edges))
+    assert(!p.contains("CartesianProduct"),
+      s"jaccardSimilarity plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"jaccardSimilarity plans a BNLJ:\n$p")
+  }
+
+  private lazy val emb4DF = {
+    import spark.implicits._
+    (0 until 40).map(i => (i.toLong,
+      Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat,
+        math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("encodeIntoIndex is a pure narrow projection — zero exchanges, no UDF") {
+    val idx = Ann.buildIvfPq(emb4DF, numCentroids = 4, m = 2,
+      pqCentroids = 4, iters = 0, pqIters = 0, sampleSize = 100)
+    val p = executedPlan(Ann.encodeIntoIndex(idx, emb4DF))
+    assert(!p.contains("Exchange"),
+      s"incremental encode picked up a shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"incremental encode has a UDF:\n$p")
+  }
+
+  test("ivfPqRerank: both rank stages keep the partial top-k, raw join is keyed") {
+    val p = executedPlan(Ann.ivfPqRerank(emb4DF,
+      emb4DF.filter(col("vec_id") < 2), k = 3, overfetch = 9,
+      numCentroids = 4, nprobe = 2, m = 2, pqCentroids = 4,
+      iters = 0, pqIters = 0, sampleSize = 100))
+    assert(p.contains("WindowGroupLimit"),
+      s"rerank lost the partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rerank raw-vector stage plans a cartesian:\n$p")
+    assert(!p.contains("ScalaUDF"), s"rerank has a UDF:\n$p")
+  }
+
+  test("Kneser-Ney LM scoring joins stay keyed — no cartesian") {
+    val p = executedPlan(
+      TextAnalysis.lmPerplexityKneserNey(docsDF, trainRate = 0.5))
+    assert(!p.contains("CartesianProduct"),
+      s"KN scoring plans a cartesian:\n$p")
+  }
+
   test("shardManifest: per-doc half is narrow, rollup never a single-task window") {
     val pd = executedPlan(
       Sampling.shardManifestPerDoc(docsDF, "doc_id", "text", 8, "s"))

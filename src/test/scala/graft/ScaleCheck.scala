@@ -721,6 +721,52 @@ object ScaleCheck {
           graft.pipeline.Sampling.shardManifest(docsR, "doc_id", "text",
             nShards = 32 * r, salt = "scale").count()
         },
+        entry("ann_incremental (frozen-centroid add + serve)") {
+          // the daily-ingest ANN lifecycle: index trains on the even-id
+          // half, the odd-id "arriving" half pays ONLY the narrow encode
+          // (no retraining, no corpus rescan); serve = plain cell-keyed
+          // probe over the union. Cells ∝ corpus keeps cell size flat.
+          val idx = graft.pipeline.Ann.buildIvfPq(
+            embR.where(pmod(col("vec_id"), lit(2)) === 0),
+            numCentroids = 16 * r, m = 4, pqCentroids = 16,
+            iters = 3, sampleSize = 10000, trainDistributed = true,
+            hierarchicalRouting = true)
+          val grown = graft.pipeline.Ann.addToIvfPq(idx,
+            embR.where(pmod(col("vec_id"), lit(2)) === 1))
+          graft.pipeline.Ann.queryIvfPq(grown,
+            embBase.filter(col("vec_id") < 50), k = 10, nprobe = 4).count()
+        },
+        entry("ann_ivfpq_rerank (ADC shortlist + exact refine)") {
+          // two-stage serving: the exact-cosine stage touches ONLY the
+          // overfetch·|queries| shortlist ids — its cost must stay flat
+          // while the candidate-generation stage scales like ivfpq_serve
+          val idx = graft.pipeline.Ann.buildIvfPq(embR,
+            numCentroids = 16 * r, m = 4, pqCentroids = 16,
+            iters = 3, sampleSize = 10000, trainDistributed = true,
+            hierarchicalRouting = true)
+          graft.pipeline.Ann.queryIvfPqRerank(idx, embR,
+            embBase.filter(col("vec_id") < 50), k = 10, overfetch = 30,
+            nprobe = 4).count()
+        },
+        entry("graph_jaccard (capped wedges)") {
+          // the adamic_adar wedge shape with integer counts; same
+          // frequent-neighbor cap bounds the hub deg² fan
+          val edges = graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
+            numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
+            iters = 3, refine = 4, trainDistributed = true,
+            hierarchicalRouting = true)
+          graft.pipeline.Graph.jaccardSimilarity(edges, maxDegree = 64).count()
+        },
+        entry("text_lm_kn (count-table joins)") {
+          // train-split bigram counts + two count-table rollups; the
+          // scoring join is keyed on the bigram, never corpus x vocab
+          graft.pipeline.TextAnalysis.lmPerplexityKneserNey(docsR).count()
+        },
+        entry("sample_doremi (LM + source rollup)") {
+          // per-doc LM pass dominates; everything after is a
+          // |sources|-sized aggregate with broadcast scalars
+          graft.pipeline.Sampling.doremiWeights(docsR).count()
+        },
         entry("kernel_fit 2 passes (E/M-step)") {
           val corpus = Corpus.fromDocumentsTable(docsR)
           val dict = DictionaryOps.gather(corpus)
