@@ -2039,6 +2039,17 @@ object SparkEntry {
         graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
         .orderBy(col("query_id"))
     }),
+    // first-hit retrieval audit — reciprocal rank of the first true
+    // neighbor in the LSH list (the metric when only the top slot is
+    // consumed); integer min + one double division
+    "ml_mrr" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < AnnQueries)
+      graft.pipeline.Ann.mrrReport(
+        graft.pipeline.Ann.bruteForceTopK(emb, q, AnnK),
+        graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
+        .orderBy(col("query_id"))
+    }),
     // position-aware retrieval audit — nDCG@k of the LSH path vs the
     // brute-force truth (recall counts hits; nDCG also penalizes
     // ranking them low); the eval every ANN rollout gates on
@@ -2382,6 +2393,18 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_trigrams").cast("long").as("n_trigrams"),
           col("n_backoff").cast("long").as("n_backoff"), col("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+    // streaming: KN QUALITY GATE SERVED — count tables frozen batch-side
+    // on the same train split, arriving docs split-filtered and scored
+    // statelessly against the broadcast model; gated by the batch SQL
+    "text_lm_kn_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.lmKneserNey(s, dir,
+          discount = KnDiscount, addK = LmAddK, trainRate = LmTriTrainRate,
+          salt = KnSalt)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          col("n_unseen_ctx").cast("long").as("n_unseen_ctx"), col("ppl"))
         .orderBy(col("doc_id"))
     }),
     // interpolated Kneser-Ney bigram LM — the smoother real CCNet/KenLM
@@ -4508,6 +4531,8 @@ object SparkEntry {
       planes = 4, probes = 4, seed = 42, tables = 2),
     "ml_ndcg" -> graft.pipeline.PipelineSql.annNdcg(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
+    "ml_mrr" -> graft.pipeline.PipelineSql.annMrr(AnnQueries, AnnK,
+      planes = 4, probes = 4, seed = 42, tables = 2),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
@@ -4707,6 +4732,8 @@ object SparkEntry {
     "text_lm_trigram" -> graft.pipeline.PipelineSql.lmTrigram(
       LmAddK, LmTriAlpha, LmTriTrainRate, LmTriSalt),
     "text_lm_kn" -> graft.pipeline.PipelineSql.lmKneserNey(
+      KnDiscount, LmAddK, LmTriTrainRate, KnSalt),
+    "text_lm_kn_stream" -> graft.pipeline.PipelineSql.lmKneserNey(
       KnDiscount, LmAddK, LmTriTrainRate, KnSalt),
     "text_lm_perplexity_stream" -> graft.pipeline.PipelineSql.lmPerplexity(LmAddK),
     "bpe_train" -> graft.pipeline.PipelineSql.bpeTrain(BpeMerges, BpeMaxWordLen),

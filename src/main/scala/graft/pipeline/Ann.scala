@@ -1210,6 +1210,26 @@ object Ann {
           col("n_true"), 6).as("recall"))
   }
 
+  /** Reciprocal rank of the FIRST relevant hit per query (relevant =
+    * present in the exact top-k) — the third standard retrieval audit
+    * next to [[recallReport]] and [[ndcgReport]], the one that matters
+    * when only the top result is consumed (RAG context slot 1). No
+    * transcendentals: first_rank is an integer min, rr one double
+    * division. Queries with no hit report (0, 0.0). Returns
+    * [query_id, first_rank, rr]. */
+  def mrrReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = approx.select(col("query_id"), col("id"), col("rank"))
+      .join(exact.select(col("query_id"), col("id")), Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_rank"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rank").cast("long"), lit(0L)).as("first_rank"),
+        round(when(col("first_rank").isNotNull,
+          lit(1.0) / col("first_rank").cast("double"))
+          .otherwise(lit(0.0)), 6).as("rr"))
+  }
+
   /** nDCG@k of an approximate result list against the exact top-k
     * (binary relevance: a returned id is relevant iff it appears in the
     * exact list) — [[recallReport]]'s position-aware sibling: recall

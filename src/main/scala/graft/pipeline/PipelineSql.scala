@@ -1128,6 +1128,25 @@ object PipelineSql {
        |FROM truth t LEFT JOIN hits h USING (query_id)
        |ORDER BY t.query_id""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Ann.mrrReport]] over the brute-force
+    * truth and the LSH list: integer first-hit rank, one double
+    * division (1.0::DOUBLE — never a DECIMAL literal in the formula,
+    * the corpus_zipf rule). */
+  def annMrr(numQueries: Int, k: Int, planes: Int, probes: Int,
+      seed: Int, tables: Int): String =
+    s"""WITH bf AS MATERIALIZED (${annBruteForce(numQueries, k)}),
+       |ap AS MATERIALIZED (${annLsh(numQueries, k, planes, probes, seed, tables)}),
+       |h AS (SELECT a.query_id, CAST(min(a.rank) AS BIGINT) AS first_rank
+       |      FROM ap a JOIN bf b ON b.query_id = a.query_id AND b.id = a.id
+       |      GROUP BY a.query_id),
+       |q AS (SELECT DISTINCT query_id FROM bf)
+       |SELECT q.query_id, coalesce(h.first_rank, 0) AS first_rank,
+       |       round(CASE WHEN h.first_rank IS NOT NULL
+       |             THEN 1.0::DOUBLE / CAST(h.first_rank AS DOUBLE)
+       |             ELSE 0.0 END, 6) AS rr
+       |FROM q LEFT JOIN h USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+
   /** Mirrors [[graft.pipeline.Ann.ndcgReport]] over the brute-force
     * truth and the LSH approximate list: binary relevance, discount
     * written as ln(2)/ln(rank+1) on BOTH engines (never a native log2 —

@@ -1155,6 +1155,43 @@ object TextAnalysis {
     LmModel(c12, c1, v)
   }
 
+  /** A trained Kneser-Ney bigram LM as driver-held tables — the SERVING
+    * artifact of [[lmPerplexityKneserNey]] (bigram counts + the two
+    * count-table rollups + the (B, V) scalars; bigram-type-bounded like
+    * [[LmModel]], the broadcast-model contract). `ctx` maps a context
+    * word to (c(v), N₁₊(v·)); `cont` maps a word to N₁₊(·w). */
+  final case class KnModel(c12: Map[(String, String), Long],
+      ctx: Map[String, (Long, Long)], cont: Map[String, Long],
+      b: Double, v: Double)
+
+  /** Train the [[lmPerplexityKneserNey]] model from the SAME salted-md5
+    * train split the batch entry uses (the batch half of the
+    * train-batch / score-stream seam). */
+  def trainKnModel(df: DataFrame, trainRate: Double = 0.8,
+      salt: String = "kn", textCol: String = "text",
+      idCol: String = "doc_id"): KnModel = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val isTrain = Sampling.hashPrefix(col(idCol), salt) <
+      lit(Sampling.rateThreshold(trainRate))
+    val toks = tokensCol(col(textCol))
+    val n = greatest(size(toks) - 1, lit(0))
+    val train = nonBlank.filter(isTrain)
+    val c12 = train.select(explode(zip_with(
+        slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ctx = c12.toSeq.groupBy(_._1._1)
+      .map { case (w1, g) => w1 -> ((g.map(_._2).sum, g.size.toLong)) }
+    val cont = c12.toSeq.groupBy(_._1._2)
+      .map { case (w2, g) => w2 -> g.size.toLong }
+    val v = train.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    KnModel(c12, ctx, cont, c12.size.toDouble, v.toDouble)
+  }
+
   /** Held-out trigram language-model perplexity with STUPID BACKOFF
     * (Brants et al. 2007, the published web-scale LM scoring scheme) —
     * the CCNet-style quality gate upgraded one order: train n-gram

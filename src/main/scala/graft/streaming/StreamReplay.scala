@@ -1021,6 +1021,29 @@ object StreamReplay {
     drainSink(spark, qname)
   }
 
+  /** Streamed Kneser-Ney scoring: the KN count tables train in BATCH on
+    * the same salted-md5 train split as the batch entry
+    * ([[graft.pipeline.TextAnalysis.trainKnModel]]), arriving docs are
+    * split-filtered in-stream by the same md5 prefix expression and
+    * scored statelessly against the broadcast model
+    * ([[StreamingPipeline.knScoreStream]]) — gated by the SAME
+    * PipelineSql.lmKneserNey statement as the batch row. */
+  def lmKneserNey(spark: SparkSession, dir: String, discount: Double,
+      addK: Double, trainRate: Double, salt: String): DataFrame = {
+    val model = graft.pipeline.TextAnalysis.trainKnModel(
+      spark.read.parquet(s"$dir/documents.parquet"), trainRate, salt)
+    val heldOut = spark.readStream.schema(docSchema)
+      .parquet(stageDocs(spark, dir).toString)
+      .filter(!(graft.pipeline.Sampling.hashPrefix(col("doc_id"), salt) <
+        lit(graft.pipeline.Sampling.rateThreshold(trainRate))))
+    val qname = s"graft_replay_kn_${counter.incrementAndGet()}"
+    val q = StreamingPipeline.knScoreStream(heldOut, model, discount, addK)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(spark, qname)
+  }
+
   /** Streamed DSIR gate — the daily-ingest shape of
     * [[graft.pipeline.Sampling.importanceSample]]: both bigram LMs are
     * trained batch-side (the frozen selection model), every arriving

@@ -220,6 +220,72 @@ object StreamingPipeline {
       .toDF(idCol, langCol, "n_bigrams", "ppl")
   }
 
+  /** Kneser-Ney perplexity SERVING — arriving docs score statelessly
+    * against the broadcast [[graft.pipeline.TextAnalysis.KnModel]]
+    * (bigram-type-bounded, the LmModel contract). Per-bigram math is
+    * the batch lmPerplexityKneserNey expression term for term
+    * (max-discount + lambda·continuation, add-k floored continuation,
+    * unseen context → continuation only); 6-decimal rounding absorbs
+    * the fold-vs-shuffle summation ulp exactly as the batch oracle
+    * compare does. Caller applies the held-out split filter. Returns
+    * [doc_id, n_bigrams, n_unseen_ctx, ppl]. */
+  def knScoreStream(stream: DataFrame,
+      model: graft.pipeline.TextAnalysis.KnModel, discount: Double,
+      addK: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    stream.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val denom = m.b + addK * m.v
+        it.flatMap { case (id, text) =>
+          val toks = normSplit(text)
+          if (toks.length < 2) None
+          else {
+            var s = 0.0
+            var unseen = 0L
+            var i = 0
+            while (i < toks.length - 1) {
+              val pc = (m.cont.getOrElse(toks(i + 1), 0L).toDouble + addK) /
+                denom
+              val p = m.ctx.get(toks(i)) match {
+                case Some((c1b, nAfter)) =>
+                  val c = m.c12.getOrElse((toks(i), toks(i + 1)), 0L).toDouble
+                  math.max(c - discount, 0.0) / c1b.toDouble +
+                    (discount * nAfter.toDouble / c1b.toDouble) * pc
+                case None => unseen += 1; pc
+              }
+              s += math.log(p)
+              i += 1
+            }
+            val n = toks.length - 1
+            val ppl = java.math.BigDecimal.valueOf(math.exp(-s / n))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            Some((id, n.toLong, unseen, ppl))
+          }
+        }
+      }
+      .toDF(idCol, "n_bigrams", "n_unseen_ctx", "ppl")
+  }
+
+  /** Batch-exact normalization + split shared by the LM scorers:
+    * UTF8String lowercase, 0x20-only trim, whitespace collapse. */
+  private def normSplit(text: String): Array[String] = {
+    def sparkTrim(s: String): String = {
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    sparkTrim(org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString)
+      .replaceAll("\\s+", " ").split(" ")
+  }
+
   /** The per-doc bigram-LM scoring kernel shared by [[lmScoreStream]]
     * and [[lmScoreLangStream]]: batch-exact normalization (UTF8String
     * lowercase, 0x20-only trim) + the batch expression's per-bigram

@@ -1490,6 +1490,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows.size === 2)
   }
 
+  test("knScoreStream kernel == batch lmPerplexityKneserNey on a mixed fixture") {
+    import spark.implicits._
+    val d = (0L until 40L).map { i =>
+      (i, if (i % 3 == 0) "a b c a b d x y" else s"a b tok$i c d a b e$i")
+    }.toDF("doc_id", "text")
+    val batch = TextAnalysis.lmPerplexityKneserNey(d, trainRate = 0.5,
+        salt = "knp").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val model = TextAnalysis.trainKnModel(d, trainRate = 0.5, salt = "knp")
+    val heldOut = d.filter(!(Sampling.hashPrefix(col("doc_id"), "knp") <
+      lit(Sampling.rateThreshold(0.5))))
+    val served = graft.streaming.StreamingPipeline
+      .knScoreStream(heldOut, model, discount = 0.75, addK = 0.1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(served === batch, "serving kernel must replay the batch plan exactly")
+    assert(batch.nonEmpty && served.values.exists(_._2 > 0),
+      "fixture must exercise the unseen-context branch")
+  }
+
+  test("mrrReport: first-hit rank, no-hit sentinel") {
+    import spark.implicits._
+    val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L))
+      .toDF("query_id", "rank", "id")
+    // q0: first relevant at approx rank 2; q1: no relevant hits
+    val approx = Seq((0L, 1, 99L), (0L, 2, 11L), (0L, 3, 10L), (1L, 1, 98L))
+      .toDF("query_id", "rank", "id")
+    val rows = Ann.mrrReport(exact, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(0L) === ((2L, 0.5)))
+    assert(rows(1L) === ((0L, 0.0)))
+  }
+
   test("doremiWeights: hard domain upweighted, weights normalized, partition-stable") {
     import spark.implicits._
     val easy = (0L until 8L).map(i => (i, "easy", "the cat sat on the mat again and again"))
