@@ -247,6 +247,7 @@ object SparkEntry {
   private val LmTriSalt = "tri"
   private val KnDiscount = 0.75    // Kneser-Ney absolute discount D
   private val KnSalt = "kn"        // KN train/score split salt
+  private val KcenterK = 8         // farthest-point diversity picks
   // BM25 retrieval: fixed literal queries over the synthetic vocab
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
@@ -2039,6 +2040,19 @@ object SparkEntry {
         graft.pipeline.Ann.lshTopK(emb, q, AnnK, planes = 4, probes = 4, tables = 2))
         .orderBy(col("query_id"))
     }),
+    // recall@k of the ROUTED production path (IVF-PQ) vs brute force —
+    // the audit that actually gates an IVF-PQ rollout (ann_recall
+    // audits only the LSH path)
+    "ann_recall_routed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < AnnQueries)
+      graft.pipeline.Ann.recallReport(
+        graft.pipeline.Ann.bruteForceTopK(emb, q, AnnK),
+        graft.pipeline.Ann.ivfPqTopK(emb, q, AnnK, numCentroids = SemCells,
+          nprobe = 4, m = PqSubspaces, pqCentroids = PqCentroids,
+          iters = 0, pqIters = 0, sampleSize = AnnSample))
+        .orderBy(col("query_id"))
+    }),
     // first-hit retrieval audit — reciprocal rank of the first true
     // neighbor in the LSH list (the metric when only the top slot is
     // consumed); integer min + one double division
@@ -3639,6 +3653,14 @@ object SparkEntry {
           ImportanceTargetLang, ImportanceTopK, LmAddK)
         .orderBy(col("doc_id"))
     }),
+    // farthest-point (k-center) diversity selection — the coreset
+    // sampler: k greedy picks covering the embedding space's extremes
+    // (labeling-budget seeding, eval-set picking, crawl thinning)
+    "sample_kcenter" -> ((s, dir) => {
+      graft.pipeline.Ann.kcenterSelect(
+          s.read.parquet(s"$dir/embeddings.parquet"), k = KcenterK)
+        .orderBy(col("rank"))
+    }),
     // DoReMi-lite domain reweighting — per-source mean LM perplexity →
     // sqrt-tempered normalized weights (the mixing spec for the next
     // training pass; hard domains upweighted, Σ weight = 1)
@@ -4533,6 +4555,9 @@ object SparkEntry {
       planes = 4, probes = 4, seed = 42, tables = 2),
     "ml_mrr" -> graft.pipeline.PipelineSql.annMrr(AnnQueries, AnnK,
       planes = 4, probes = 4, seed = 42, tables = 2),
+    "ann_recall_routed" -> graft.pipeline.PipelineSql.annRecallRouted(
+      AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(
@@ -4905,6 +4930,8 @@ object SparkEntry {
     "sample_importance_stream" -> graft.pipeline.PipelineSql.sampleImportance(
       ImportanceTargetLang, ImportanceTopK, LmAddK),
     "sample_doremi" -> graft.pipeline.PipelineSql.sampleDoremi(LmAddK),
+    "sample_kcenter" -> graft.pipeline.PipelineSql.sampleKcenter(
+      KcenterK, "kc"),
     "report_mixture" -> graft.pipeline.PipelineSql.reportMixture,
     "sample_split" -> graft.pipeline.PipelineSql.sampleSplit(
       SplitFractions, SampleSalt),

@@ -235,6 +235,51 @@ object Ann {
     picked.toSeq.toDF("rank", "id", "score")
   }
 
+  /** Farthest-point (k-center / Gonzalez 1985) DIVERSITY SELECTION —
+    * the coreset sampler: greedily pick the vector FARTHEST (lowest max
+    * cosine) from everything already selected, so k picks cover the
+    * embedding space's extremes instead of its density modes. The
+    * training-data use is diversity sampling — seed a labeling budget,
+    * pick prompts for eval sets, thin a redundant crawl. Round 1 is the
+    * md5-ordered pick (the IVF codebook discipline — deterministic, no
+    * RNG); each later round is one narrow running-max fold + a rounded
+    * argmin (ties by id), the [[mmrSelect]] O(k·n) loop with relevance
+    * dropped. Candidate lineage is cut per round. Returns
+    * [rank, id, score] (score = max cosine to the prior picks; −1
+    * sentinel for the seed row).
+    *
+    * Shape at scale: k bounded driver actions, each a narrow pass over
+    * the candidates plus a global top-1 (TakeOrdered, never a sort). */
+  def kcenterSelect(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", salt: String = "kc"): DataFrame = {
+    require(k >= 1, s"kcenterSelect: k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cand = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("maxsim", lit(-1.0))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (t <- 1 to k) {
+      val top =
+        if (t == 1)
+          cand.orderBy(md5(concat(lit(s"$salt "), col("id").cast("string"))),
+            col("id")).limit(1)
+            .withColumn("score", lit(-1.0)).collect()
+        else
+          cand.withColumn("score", round(col("maxsim"), 6))
+            .orderBy(col("score").asc, col("id")).limit(1).collect()
+      require(top.nonEmpty, s"kcenterSelect exhausted candidates at round $t")
+      val r = top.head
+      picked += ((t.toLong, r.getLong(0), r.getAs[Double]("score")))
+      val sv = r.getSeq[Float](1).toArray
+      cand = cand.filter(col("id") =!= r.getLong(0))
+        .withColumn("maxsim",
+          greatest(col("maxsim"), cosine(col("v"), typedlit(sv))))
+        .localCheckpoint(true)
+    }
+    picked.toSeq.toDF("rank", "id", "score")
+  }
+
   /** Per-group centroid cosine map — "which sources are
     * embedding-redundant": the source-similarity diagnostic a mixture
     * designer reads before setting sampling rates (two sources with

@@ -1128,6 +1128,26 @@ object PipelineSql {
        |FROM truth t LEFT JOIN hits h USING (query_id)
        |ORDER BY t.query_id""".stripMargin
 
+  /** [[annRecall]] for the ROUTED path: recall@k of IVF-PQ (the
+    * production serving index) against brute force — the audit that
+    * actually gates an IVF-PQ rollout. Same hits/truth join over the
+    * annIvfPq statement. */
+  def annRecallRouted(numQueries: Int, k: Int, numCentroids: Int,
+      nprobe: Int, m: Int, pqCentroids: Int, sampleSize: Int,
+      dim: Int): String =
+    s"""WITH bf AS MATERIALIZED (${annBruteForce(numQueries, k)}),
+       |ap AS MATERIALIZED (${annIvfPq(numQueries, k, numCentroids, nprobe,
+          m, pqCentroids, sampleSize, dim)}),
+       |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM bf b JOIN ap a ON a.query_id = b.query_id AND a.id = b.id
+       |         GROUP BY b.query_id),
+       |truth AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+       |          FROM bf GROUP BY query_id)
+       |SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM truth t LEFT JOIN hits h USING (query_id)
+       |ORDER BY t.query_id""".stripMargin
+
   /** Mirrors [[graft.pipeline.Ann.mrrReport]] over the brute-force
     * truth and the LSH list: integer first-hit rank, one double
     * division (1.0::DOUBLE — never a DECIMAL literal in the formula,
@@ -3636,6 +3656,39 @@ object PipelineSql {
        |         list_cosine_similarity(embedding::DOUBLE[], q.qv) AS rel,
        |         -1.0 AS maxsim
        |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+       |$rounds
+       |SELECT rank, id, score FROM (
+       |  $sel)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Mirrors [[graft.pipeline.Ann.kcenterSelect]]: the embedMmr unrolled
+    * greedy with relevance dropped — md5-ordered seed (the IVF codebook
+    * pick), then per-round rounded ARGMIN of the running max-cosine. */
+  def sampleKcenter(k: Int, salt: String): String = {
+    def rnd(t: Int): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT id, v, round(maxsim, 6) AS score
+         |  FROM c${t - 1} ORDER BY score ASC, id LIMIT 1),
+         |c$t AS MATERIALIZED (
+         |  SELECT c.id, c.v,
+         |         greatest(c.maxsim, list_cosine_similarity(c.v, s$t.v)) AS maxsim
+         |  FROM c${t - 1} c CROSS JOIN s$t WHERE c.id <> s$t.id)""".stripMargin
+    val rounds = (2 to k).map(rnd).mkString(",\n")
+    val sel = (1 to k).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, CAST(id AS BIGINT) AS id, score FROM s$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |         CAST(-1.0 AS DOUBLE) AS maxsim
+       |  FROM embeddings),
+       |s1 AS MATERIALIZED (
+       |  SELECT id, v, CAST(-1.0 AS DOUBLE) AS score FROM c0
+       |  ORDER BY md5('$salt ' || CAST(id AS VARCHAR)), id LIMIT 1),
+       |c1 AS MATERIALIZED (
+       |  SELECT c.id, c.v,
+       |         greatest(c.maxsim, list_cosine_similarity(c.v, s1.v)) AS maxsim
+       |  FROM c0 c CROSS JOIN s1 WHERE c.id <> s1.id),
        |$rounds
        |SELECT rank, id, score FROM (
        |  $sel)

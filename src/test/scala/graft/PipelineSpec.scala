@@ -1511,6 +1511,30 @@ class PipelineSpec extends SparkSpec {
       "fixture must exercise the unseen-context branch")
   }
 
+  test("kcenterSelect: picks cover orthogonal extremes, partition-stable") {
+    import spark.implicits._
+    // a dense cluster on axis 0 plus singletons on axes 1..3: after the
+    // seed, farthest-point must visit each remaining axis before any
+    // same-axis near-duplicate (cosine to a picked axis ~1 >> 0)
+    val cluster = (0L until 10L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0.0f, 0.0f)))
+    val axes = Seq(
+      (100L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+    val emb = (cluster ++ axes).toDF("vec_id", "embedding")
+    val picks = Ann.kcenterSelect(emb, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(picks.head._3 === -1.0, "seed carries the sentinel score")
+    val ids = picks.map(_._2).toSet
+    assert(Set(100L, 101L, 102L).subsetOf(ids - picks.head._2) ||
+      Set(100L, 101L, 102L).subsetOf(ids),
+      s"orthogonal extremes must be picked before cluster dups: ${picks.toSeq}")
+    val again = Ann.kcenterSelect(emb.repartition(7), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === picks.toSeq, "selection must be partitioning-independent")
+  }
+
   test("mrrReport: first-hit rank, no-hit sentinel") {
     import spark.implicits._
     val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L))
