@@ -2894,6 +2894,29 @@ object SparkEntry {
           maxHamming = PhashMaxHamming)
         .orderBy(col("media_id"))
     }),
+    // streaming: the image daily-ingest loop SERVED — each arriving
+    // image pays decode + dHash in-stream (the expensive stage), the
+    // sink resolves the drained fingerprints against the historical
+    // index + the batch itself through the same joins; gated by the
+    // batch incremental-phash SQL
+    "dedup_incremental_phash_stream" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ten = pmod(col("doc_id"), lit(10))
+      val index = graft.pipeline.Multimodal.imagePhash(
+        d.select(col("doc_id").cast("long").as("media_id"),
+          phashPayload(col("doc_id")).as("payload")))
+      def part(pred: Column, off: Long, pay: Column => Column) =
+        d.where(pred).select(
+          (col("doc_id") + off).cast("long").as("media_id"),
+          pay(col("doc_id")).as("payload"))
+      val batch = part(ten === 3, 1000000L, phashTwinPayload)
+        .unionByName(part(ten === 2, 2000000L, phashNewPayload))
+        .unionByName(part(ten === 2, 3000000L, phashNewPayload))
+        .unionByName(part(ten === 1, 4000000L, phashNewPayload))
+      graft.streaming.StreamReplay.incrementalPhashServe(s,
+          s"$dir#phashbatch", index, batch, maxHamming = PhashMaxHamming)
+        .orderBy(col("media_id"))
+    }),
     // multimodal: image NEAR-dup via banded Hamming over the dHash —
     // planted twins (last raster pixel zeroed, <= 1 dHash bit flipped)
     // must pair with their originals; candidates block on 16-bit band
@@ -4822,6 +4845,8 @@ object SparkEntry {
     "multimodal_phash_pairs" -> graft.pipeline.PipelineSql.multimodalPhashPairs(
       PhashPlants, PhashIdOffset, PhashMaxHamming),
     "dedup_incremental_phash" -> graft.pipeline.PipelineSql
+      .dedupIncrementalPhash(PhashMaxHamming),
+    "dedup_incremental_phash_stream" -> graft.pipeline.PipelineSql
       .dedupIncrementalPhash(PhashMaxHamming),
     "multimodal_video" -> graft.pipeline.PipelineSql.multimodalVideo,
     "multimodal_audio" -> graft.pipeline.PipelineSql.multimodalAudio,

@@ -701,11 +701,22 @@ object Multimodal {
     * applies there as well as in-batch (the cappedIndexSide reasoning).
     * Returns [media_id, status, dup_of, hamming]. */
   def incrementalPhash(index: DataFrame, batch: DataFrame,
+      maxHamming: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    incrementalPhashFromFps(index, imagePhash(batch), maxHamming,
+      maxBucketSize)
+
+  /** The resolve half of [[incrementalPhash]] over already-computed
+    * batch FINGERPRINTS — split out because [[imagePhash]] (the decode,
+    * the expensive narrow stage) is stateless and therefore streamable:
+    * the at-ingest twin hashes each arriving image in-stream and this
+    * half resolves the drained fingerprint table at the sink through
+    * the SAME joins as the batch row. */
+  def incrementalPhashFromFps(index: DataFrame, batchFps: DataFrame,
       maxHamming: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     // both band tables persist: each feeds its cap count plus every
     // join side below, and an unpersisted lineage re-runs the DECODE
     // mapPartitions once per subplan (measured ~2× wall on the entry)
-    val bBands = phashBands(imagePhash(batch))
+    val bBands = phashBands(batchFps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val iBands = phashBands(index)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

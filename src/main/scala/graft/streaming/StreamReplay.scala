@@ -815,6 +815,37 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** Incremental IMAGE dedup served at ingest — the phash daily-ingest
+    * loop with the arriving media batch as a STREAM: each arriving
+    * image pays the decode + dHash in-stream
+    * ([[graft.pipeline.Multimodal.imagePhash]], a stateless narrow
+    * mapPartitions — the expensive stage), and the drained fingerprint
+    * table resolves at the sink against the historical index + its own
+    * batch through the SAME joins as the batch row
+    * ([[graft.pipeline.Multimodal.incrementalPhashFromFps]]). Gated by
+    * the batch dedup_incremental_phash SQL. `key` memoizes the staged
+    * media parquet per (session, sfDir). */
+  def incrementalPhashServe(spark: SparkSession, key: String,
+      index: DataFrame, batch: DataFrame, maxHamming: Int): DataFrame = {
+    val stageDir = Paths.get(artifacts.computeIfAbsent((spark, key), { _ =>
+      val sd = Files.createTempDirectory("graft_replay_phashbatch")
+      writeSingleParquet(batch, sd.resolve("00_media.parquet"),
+        System.currentTimeMillis())
+      sd.toString
+    }))
+    val mediaSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val stream = spark.readStream.schema(mediaSchema)
+      .parquet(stageDir.toString)
+    val qname = s"graft_replay_incph_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Multimodal.imagePhash(stream)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.pipeline.Multimodal.incrementalPhashFromFps(index,
+      drainSink(spark, qname), maxHamming)
+  }
+
   /** INDEX MAINTENANCE at ingest — the ann_incremental lifecycle with
     * the arriving batch as a STREAM: the index trains on the
     * pre-existing corpus only (vec_id % mod <> 0), each arriving new
