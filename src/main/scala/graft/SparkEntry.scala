@@ -3100,6 +3100,14 @@ object SparkEntry {
       graft.pipeline.Dedup.incrementalExact(index, batch)
         .orderBy(col("id"))
     }),
+    // streaming: the exact daily-ingest loop SERVED — arriving docs
+    // fingerprint + probe the historical index at ingest (stream-static
+    // left join, stateless), within-batch min + status rules at the
+    // sink via the same resolution as the batch row
+    "dedup_incremental_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.incrementalExactServe(s, dir)
+        .orderBy(col("id"))
+    }),
     // LLM pipeline: incremental NEAR-dup — the same synthesized ingest
     // batch resolved against the v1 minhash SIGNATURE index (band keys
     // joined, estimated Jaccard verified; corpus match wins over
@@ -3409,6 +3417,19 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // streaming: the quality-weighted keep gate AT INGEST — score +
+    // per-row Bernoulli rate are one stateless narrow chain, so the
+    // whole gate runs in-stream via the generic mapDocs runner; gated
+    // by the batch sample_quality SQL
+    "sample_quality_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(stream =>
+        graft.pipeline.Sampling.sampleByRate(
+          graft.pipeline.TextAnalysis.qualityScore(stream),
+          lit(0.1) + lit(0.8) * col("quality"), "doc_id", SampleSalt))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // LLM pipeline: Flesch-style readability — sentences from [.!?]+
     // runs, syllables as vowel groups (min 1/word), one fixed-order
     // double expression rounded 6; -1000 sentinel for blank docs
@@ -3592,6 +3613,18 @@ object SparkEntry {
       graft.pipeline.Dedup.noveltyScore(
           d.filter(col("doc_id") >= DecontBenchDocs),
           d.filter(col("doc_id") < DecontBenchDocs), n = DecontN)
+        .orderBy(col("id"))
+    }),
+    // streaming: the novelty scorer SERVED — the benchmark gram pool
+    // freezes batch-side (eval-suite-sized broadcast set), arriving
+    // docs gram via the same shingles expression and count membership
+    // in one stateless fold; gated by the batch text_novelty SQL
+    "text_novelty_stream" -> ((s, dir) => {
+      val pool = graft.pipeline.Dedup.collectGramPool(
+        docs(s, dir).filter(col("doc_id") < DecontBenchDocs), DecontN)
+      graft.streaming.StreamReplay.mapDocs(s, dir)(stream =>
+        graft.pipeline.Dedup.noveltyScoreStream(
+          stream.filter(col("doc_id") >= DecontBenchDocs), pool, DecontN))
         .orderBy(col("id"))
     }),
     // LLM pipeline: FILTERED vector search — top-k under a metadata
@@ -4627,6 +4660,8 @@ object SparkEntry {
       BpeMerges, BpeMaxWordLen),
     "text_novelty" -> graft.pipeline.PipelineSql.textNovelty(
       DecontBenchDocs, DecontN),
+    "text_novelty_stream" -> graft.pipeline.PipelineSql.textNovelty(
+      DecontBenchDocs, DecontN),
     "ann_filtered" -> graft.pipeline.PipelineSql.annFiltered(
       AnnQueries, AnnK, FilteredLabels),
     "report_quantiles" -> graft.pipeline.PipelineSql.reportQuantiles(QuantilePs),
@@ -4813,6 +4848,7 @@ object SparkEntry {
     "dedup_winnow_pairs" -> graft.pipeline.PipelineSql.dedupWinnowPairs(
       WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf),
     "dedup_incremental" -> graft.pipeline.PipelineSql.dedupIncremental,
+    "dedup_incremental_stream" -> graft.pipeline.PipelineSql.dedupIncremental,
     "dedup_incremental_minhash" -> graft.pipeline.PipelineSql
       .dedupIncrementalMinhash(ShingleK, MinHashes, MinBands, MinhashThreshold),
     "dedup_incremental_minhash_stream" -> graft.pipeline.PipelineSql
@@ -4944,6 +4980,9 @@ object SparkEntry {
     "ml_calibration" -> graft.pipeline.PipelineSql.mlCalibration(iters = 3,
       lr = 1e-5, bins = 10),
     "sample_quality" -> graft.pipeline.PipelineSql.sampleQualityWeighted(
+      0.1, 0.8, SampleSalt,
+      graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
+    "sample_quality_stream" -> graft.pipeline.PipelineSql.sampleQualityWeighted(
       0.1, 0.8, SampleSalt,
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct),
     "sample_dedup_weighted" ->

@@ -480,6 +480,45 @@ object Dedup {
             / col("n_grams").cast("double"), 6)).as("novelty"))
   }
 
+  /** The benchmark pool as a driver-held gram set — the broadcast
+    * artifact of the [[noveltyScore]] serve (benchmark pools are
+    * eval-suite-sized by contract, orders below the corpus). */
+  def collectGramPool(benchmark: DataFrame, n: Int,
+      textCol: String = "text"): Set[String] =
+    benchmark.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** [[noveltyScore]] SERVED — arriving docs score statelessly against
+    * the broadcast gram pool: the gram array comes from the SAME
+    * [[shingles]] column expression as the batch plan (zero
+    * tokenization-parity risk), only the pool membership count moves
+    * into a broadcast-HashSet fold (the classify_nb_stream lesson — a
+    * typedlit pool would scan linearly per lookup). Rounding replays
+    * the batch round(1 − hits/grams, 6); gram-less docs keep the −1.0
+    * sentinel. Returns [id, n_grams, n_hits, novelty]. */
+  def noveltyScoreStream(stream: DataFrame, pool: Set[String], n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pool)
+    stream.select(col(idCol).cast("long"), shingles(col(textCol), n).as("gs"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val p = bc.value
+        it.map { case (id, gs) =>
+          val nG = gs.length.toLong
+          val nH = gs.count(p.contains).toLong
+          val nov =
+            if (nG == 0L) -1.0
+            else java.math.BigDecimal
+              .valueOf(1.0 - nH.toDouble / nG.toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (id, nG, nH, nov)
+        }
+      }
+      .toDF("id", "n_grams", "n_hits", "novelty")
+  }
+
   /** Incremental exact dedup — the daily-ingest primitive: dedup a NEW
     * batch against the historical fingerprint INDEX (one row per known
     * content hash with its canonical doc) without rescanning the

@@ -815,6 +815,54 @@ object StreamReplay {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** Streamed incremental EXACT dedup — the simplest daily-ingest loop
+    * served live: each arriving doc fingerprints (md5 of the normalized
+    * text — the [[graft.pipeline.Dedup.exact]] key) and LEFT-joins the
+    * historical fingerprint index AT INGEST (stream-static, stateless;
+    * the index side is never force-broadcast — the dedup_url_stream
+    * rule); the sink runs the batch-bounded within-batch min + the SAME
+    * [[graft.pipeline.Dedup.resolveIncrementalJoined]] status rules as
+    * the batch row. Gated by the batch dedup_incremental SQL. */
+  def incrementalExactServe(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val ten = pmod(col("doc_id"), lit(10))
+    val index = graft.pipeline.Dedup.exact(d.where(ten =!= 2))
+      .select(col("fingerprint"), col("canonical_id").as("__corpus_canon"))
+    val batch = d.where(ten === 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(d.where(ten === 2)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      .unionByName(d.where(ten === 2)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      .select(col("doc_id"), col("text"))
+    // the staged ingest batch is IDENTICAL to incrementalMinhashServe's
+    // — share the artifact key so the fixture stages once per session
+    val stageDir = Paths.get(artifacts.computeIfAbsent(
+      (spark, s"$dir#incbatch"), { _ =>
+        val sd = Files.createTempDirectory("graft_replay_incbatch")
+        writeSingleParquet(batch, sd.resolve("00_batch.parquet"),
+          System.currentTimeMillis())
+        sd.toString
+      }))
+    val batchSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(batchSchema)
+      .parquet(stageDir.toString)
+    val fps = stream.select(col("doc_id").cast("long").as("id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .as("fingerprint"))
+    val qname = s"graft_replay_incex_${counter.incrementAndGet()}"
+    val q = fps.join(index, Seq("fingerprint"), "left")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val joined = drainSink(spark, qname)
+    val firsts = joined.groupBy(col("fingerprint"))
+      .agg(min(col("id")).as("__batch_first"))
+    graft.pipeline.Dedup.resolveIncrementalJoined(
+      joined.join(firsts, Seq("fingerprint")), "fingerprint")
+  }
+
   /** Incremental IMAGE dedup served at ingest — the phash daily-ingest
     * loop with the arriving media batch as a STREAM: each arriving
     * image pays the decode + dHash in-stream
