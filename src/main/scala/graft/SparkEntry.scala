@@ -248,6 +248,7 @@ object SparkEntry {
   private val KnDiscount = 0.75    // Kneser-Ney absolute discount D
   private val KnSalt = "kn"        // KN train/score split salt
   private val KcenterK = 8         // farthest-point diversity picks
+  private val HashEmbedDims = 16   // feature-hashing embedding width
   // BM25 retrieval: fixed literal queries over the synthetic vocab
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
@@ -1992,6 +1993,14 @@ object SparkEntry {
           graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
         .orderBy(col("u"), col("v"))
     }),
+    // degree assortativity — the one-number corpus-structure audit over
+    // the kNN similarity graph (hubs-link-hubs vs template-hub shape);
+    // integer moments, one fixed-order Pearson close
+    "graph_assortativity" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Graph.assortativity(
+        graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
+    }),
     // neighbor-set Jaccard — adamic-adar's unweighted sibling over the
     // same kNN graph: integer wedge counts + exact degrees, one final
     // division; the second classic link-prediction / related-docs score
@@ -3231,6 +3240,12 @@ object SparkEntry {
         .select(col("source"), col("n_ranks"), col("slope"),
           col("intercept"))
         .orderBy(col("source"))),
+    // feature-hashing document embedding — the vocabulary-free dense
+    // vectorizer (hashing trick): md5 bucket + sign, integer sums,
+    // L2-normalized; the model-free baseline under the ANN/cluster ops
+    "text_hash_embed" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.hashEmbed(docs(s, dir), dims = HashEmbedDims)
+        .orderBy(col("doc_id"), col("pos"))),
     // cross-source token burstiness — variance-to-mean of per-source
     // counts for the frequent vocabulary: evenly-spread language ≈
     // Poisson, single-source template tokens disperse far above it
@@ -4583,9 +4598,13 @@ object SparkEntry {
       ShuffleShards, SampleSalt),
     "graph_adamic_adar" -> graft.pipeline.PipelineSql.graphAdamicAdar(KnnGraphK),
     "graph_jaccard" -> graft.pipeline.PipelineSql.graphJaccard(KnnGraphK),
+    "graph_assortativity" ->
+      graft.pipeline.PipelineSql.graphAssortativity(KnnGraphK),
     "corpus_zipf" -> graft.pipeline.PipelineSql.corpusZipf(ZipfTopN),
     "corpus_burstiness" ->
       graft.pipeline.PipelineSql.corpusBurstiness(ZipfTopN),
+    "text_hash_embed" ->
+      graft.pipeline.PipelineSql.textHashEmbed(HashEmbedDims),
     "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(
       ShuffleShards, SampleSalt),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),

@@ -397,6 +397,50 @@ object Graph {
         Seq("u", "v"), "left_anti")
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list: positive = hubs
+    * link to hubs (social-graph shape), negative = hubs link to leaves
+    * (star/spam shape). On a kNN document graph this is a one-number
+    * corpus-structure audit — a crawl whose similarity graph turns
+    * strongly disassortative is template-hub-dominated. Degrees and all
+    * five moments (Σx, Σy, Σxy, Σx², Σy²) stay INTEGERS (BIGINT-exact
+    * on both engines); the closing Pearson formula is the only double
+    * arithmetic — fixed operation order, no DECIMAL machinery. Both
+    * edge orientations count, per the standard definition. Returns one
+    * row [n_edges, assortativity] (n_edges = directed count = 2·|E|;
+    * NaN-free: degenerate zero-variance graphs report 0.0).
+    *
+    * Shape at scale: one degree shuffle + two degree-lookup joins on
+    * the edge keys + one scalar aggregate. */
+  def assortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val xy = sym
+      .join(deg.select(col("z"), col("deg").as("x")), Seq("z"))
+      .join(deg.select(col("z").as("n"), col("deg").as("y")), Seq("n"))
+    val m = xy.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val md = col("m").cast("double")
+    val num = md * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varx = md * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = md * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("m").as("n_edges"),
+      when(varx * vary <= 0.0, lit(0.0))
+        .otherwise(round(num / sqrt(varx * vary), 6)).as("assortativity"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) over the undirected graph — the near-linear community
     * finder: every vertex starts as its own community and each round

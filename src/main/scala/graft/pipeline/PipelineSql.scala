@@ -871,6 +871,49 @@ object PipelineSql {
        |FROM agg g ANTI JOIN und e ON e.a = g.u AND e.b = g.v
        |ORDER BY u, v""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Graph.assortativity]] over the same
+    * brute-force kNN graph: BIGINT moments over both edge orientations,
+    * the same fixed-order Pearson close, zero-variance → 0.0. */
+  def graphAssortativity(k: Int): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS src, e.vec_id AS dst,
+       |         list_cosine_similarity(e.embedding::DOUBLE[],
+       |                                q.embedding::DOUBLE[]) AS cosine
+       |  FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id <> q.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |           ORDER BY cosine DESC, dst) AS rk
+       |    FROM scored) WHERE rk <= $k),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM knn WHERE src <> dst),
+       |sym AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |degs AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY z),
+       |xy AS (SELECT dx.deg AS x, dy.deg AS y
+       |       FROM sym s JOIN degs dx ON dx.z = s.z
+       |       JOIN degs dy ON dy.z = s.n),
+       |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |              CAST(sum(x * y) AS BIGINT) AS sxy,
+       |              CAST(sum(x * x) AS BIGINT) AS sxx,
+       |              CAST(sum(y * y) AS BIGINT) AS syy
+       |       FROM xy)
+       |SELECT m AS n_edges,
+       |  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0
+       |       THEN 0.0
+       |       ELSE round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |            / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                   * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |  END AS assortativity
+       |FROM mo""".stripMargin
+
   /** Mirrors [[graft.pipeline.Graph.jaccardSimilarity]] over the same
     * brute-force kNN graph as [[graphAdamicAdar]]: integer wedge counts
     * + exact degrees, one final double division — no DECIMAL needed. */
@@ -3060,6 +3103,27 @@ object PipelineSql {
        |               / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)) * sx)
        |        / CAST(n_ranks AS DOUBLE), 6) AS intercept
        |FROM mo ORDER BY source""".stripMargin
+
+  /** Mirrors [[graft.pipeline.TextAnalysis.hashEmbed]]: the same md5
+    * bucket/sign derivation, BIGINT sums and squared norm, one sqrt +
+    * one division per component, zero-norm docs excluded. */
+  def textHashEmbed(dims: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS t
+       |           FROM documents WHERE trim(text) <> ''),
+       |h AS (SELECT doc_id, md5(t) AS h FROM t WHERE t <> ''),
+       |s AS (SELECT doc_id,
+       |        CAST(('0x' || substr(h, 1, 8))::UBIGINT % $dims AS INT) AS pos,
+       |        CASE WHEN ('0x' || substr(h, 9, 1))::UBIGINT % 2 = 0
+       |             THEN 1 ELSE -1 END AS sgn
+       |      FROM h),
+       |v AS (SELECT doc_id, pos, CAST(sum(sgn) AS BIGINT) AS v
+       |      FROM s GROUP BY doc_id, pos),
+       |nm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm
+       |       FROM v GROUP BY doc_id HAVING sum(v * v) > 0)
+       |SELECT CAST(v.doc_id AS BIGINT) AS doc_id, v.pos,
+       |       round(CAST(v.v AS DOUBLE) / nm.norm, 6) AS val
+       |FROM v JOIN nm USING (doc_id)
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** Mirrors [[graft.pipeline.TextAnalysis.burstiness]]: integer moments
     * (Σn, Σn²) per token over the per-source count table, top-N by

@@ -889,6 +889,43 @@ object TextAnalysis {
           6).as("dispersion"))
   }
 
+  /** Feature-hashing document embedding (the hashing trick — Weinberger
+    * et al. 2009): every token hashes to one of `dims` buckets with a
+    * ±1 sign from a second hash bit, per-doc bucket sums are
+    * L2-normalized — a model-free, vocabulary-free dense vector that
+    * feeds clustering/ANN/dedup when no learned encoder exists, and
+    * the standard baseline those encoders are audited against. Bucket
+    * index and sign come from md5 (engine-replayable, no JVM hash);
+    * sums and the squared norm stay INTEGERS, so the only doubles are
+    * one sqrt and one division per emitted component. All-cancelled
+    * docs (zero norm) are excluded like blank docs. Long format
+    * [<id>, pos, val] — only occupied buckets emit.
+    *
+    * Shape at scale: one (doc, bucket) count shuffle + a doc-keyed
+    * norm rollup of that table; narrow hashing, no vocabulary state. */
+  def hashEmbed(df: DataFrame, dims: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dims >= 2, s"hashEmbed: dims must be >= 2, got $dims")
+    val t = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as(idCol),
+        explode(tokensCol(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("h", md5(col("t")))
+    val signed = t.select(col(idCol),
+      pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+        lit(dims.toLong)).cast("int").as("pos"),
+      when(pmod(conv(substring(col("h"), 9, 1), 16, 10).cast("long"),
+        lit(2L)) === 0L, 1L).otherwise(-1L).as("sgn"))
+    val v = signed.groupBy(col(idCol), col("pos"))
+      .agg(sum(col("sgn")).as("v"))
+    val nm = v.groupBy(col(idCol)).agg(sum(col("v") * col("v")).as("ss"))
+      .filter(col("ss") > 0L)
+      .select(col(idCol), sqrt(col("ss").cast("double")).as("norm"))
+    v.join(nm, Seq(idCol))
+      .select(col(idCol), col("pos"),
+        round(col("v").cast("double") / col("norm"), 6).as("val"))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source release report
     * composing the verified aggregate family: corpus stats (doc/token
     * counts, mean + exact percentiles), vocabulary size, mean quality

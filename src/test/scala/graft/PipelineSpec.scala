@@ -1473,6 +1473,39 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getAs[Double]("ppl") === 4.0)
   }
 
+  test("assortativity: star -1, zero-variance triangle 0, integer moments") {
+    import spark.implicits._
+    // star: hub deg 5 vs leaf deg 1 on every edge -> perfect
+    // disassortativity
+    val star = (101L to 105L).map(l => (100L, l)).toDF("src", "dst")
+    val s = Graph.assortativity(star).collect().head
+    assert(s.getLong(0) === 10L) // both orientations
+    assert(s.getDouble(1) === -1.0)
+    // triangle: every endpoint deg 2 -> zero variance -> guarded 0.0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativity(tri).collect().head.getDouble(1) === 0.0)
+  }
+
+  test("hashEmbed: unit norm, single-token doc, partition-stable") {
+    import spark.implicits._
+    val d = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashEmbed(d, dims = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(!rows.exists(_._1 == 2L), "blank doc must be excluded")
+    val norms = rows.groupBy(_._1).view.mapValues(
+      _.map(v => v._3 * v._3).sum).toMap
+    norms.foreach { case (id, n2) =>
+      assert(math.abs(n2 - 1.0) < 1e-4, s"doc $id norm^2 $n2") }
+    val solo = rows.filter(_._1 == 1L)
+    assert(solo.length === 1 && math.abs(solo.head._3.abs - 1.0) < 1e-9,
+      s"single-token doc is a unit one-hot: ${solo.toSeq}")
+    val again = TextAnalysis.hashEmbed(d.repartition(5), dims = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq ===
+      rows.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("burstiness: even token disperses 0, single-source template disperses high") {
     import spark.implicits._
     // "the": 3 per source -> mean 3, var 0, dispersion 0
