@@ -2062,6 +2062,19 @@ object SparkEntry {
           iters = 0, pqIters = 0, sampleSize = AnnSample))
         .orderBy(col("query_id"))
     }),
+    // two-sample Kolmogorov-Smirnov — the distribution-drift pager:
+    // did src1's doc-length distribution move vs the src0 reference?
+    // integer CDFs over the distinct-value table, exact divisions
+    "ml_ks" -> ((s, dir) => {
+      val d = docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(graft.pipeline.TextAnalysis.tokensCol(col("text")))
+            .cast("long").as("n_tokens"))
+      graft.pipeline.Regression.ksTest(
+        d.filter(col("source") === "src0").select(col("n_tokens")),
+        d.filter(col("source") === "src1").select(col("n_tokens")),
+        "n_tokens")
+    }),
     // first-hit retrieval audit — reciprocal rank of the first true
     // neighbor in the LSH list (the metric when only the top slot is
     // consumed); integer min + one double division
@@ -4633,6 +4646,7 @@ object SparkEntry {
     "ann_recall_routed" -> graft.pipeline.PipelineSql.annRecallRouted(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
+    "ml_ks" -> graft.pipeline.PipelineSql.mlKs("src0", "src1"),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(

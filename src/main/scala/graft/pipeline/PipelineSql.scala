@@ -3104,6 +3104,39 @@ object PipelineSql {
        |        / CAST(n_ranks AS DOUBLE), 6) AS intercept
        |FROM mo ORDER BY source""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Regression.ksTest]] over the per-doc
+    * token counts of two sources: integer value rollups, full-outer
+    * merge, cumulative sums over distinct values, exact divisions,
+    * argmax on the raw double gap (engine-exact), ties to the smallest
+    * value. */
+  def mlKs(sourceA: String, sourceB: String): String =
+    s"""WITH va AS (SELECT CAST(len(string_split($norm, ' ')) AS BIGINT) AS v
+       |            FROM documents
+       |            WHERE source = '$sourceA' AND trim(text) <> ''),
+       |vb AS (SELECT CAST(len(string_split($norm, ' ')) AS BIGINT) AS v
+       |       FROM documents
+       |       WHERE source = '$sourceB' AND trim(text) <> ''),
+       |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS na FROM va GROUP BY v),
+       |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS nb FROM vb GROUP BY v),
+       |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+       |             coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+       |      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+       |c AS (SELECT v,
+       |        CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS cna,
+       |        CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cnb
+       |      FROM m),
+       |t AS (SELECT CAST((SELECT sum(na) FROM m) AS BIGINT) AS ta,
+       |             CAST((SELECT sum(nb) FROM m) AS BIGINT) AS tb)
+       |SELECT t.ta AS n_a, t.tb AS n_b,
+       |       round(abs(CAST(c.cna AS DOUBLE) / CAST(t.ta AS DOUBLE)
+       |                 - CAST(c.cnb AS DOUBLE) / CAST(t.tb AS DOUBLE)), 6)
+       |         AS ks_stat,
+       |       c.v AS at_value
+       |FROM c CROSS JOIN t
+       |ORDER BY abs(CAST(c.cna AS DOUBLE) / CAST(t.ta AS DOUBLE)
+       |             - CAST(c.cnb AS DOUBLE) / CAST(t.tb AS DOUBLE)) DESC, c.v
+       |LIMIT 1""".stripMargin
+
   /** Mirrors [[graft.pipeline.TextAnalysis.hashEmbed]]: the same md5
     * bucket/sign derivation, BIGINT sums and squared norm, one sqrt +
     * one division per component, zero-norm docs excluded. */

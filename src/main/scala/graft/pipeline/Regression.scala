@@ -221,6 +221,45 @@ object Regression {
         .otherwise(round(col("tp").cast("double") / lit(p), 6)).as("rec"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over INTEGER-valued
+    * samples — the distribution-drift test a data pipeline pages on:
+    * did this source's (length / quality / score) distribution move vs
+    * the reference slice? D = max over distinct values of
+    * |F_a(v) − F_b(v)|, reported with the value where the gap peaks
+    * (ties to the smallest value). Counts stay integers through both
+    * cumulative sums; each CDF point is one exact division, so the
+    * raw-double argmax compare is engine-exact (the ml_auc reasoning).
+    *
+    * Shape at scale: two map-side-combined value rollups, a full-outer
+    * merge on the value key, and a cumulative window over the
+    * DISTINCT-VALUE table only — bounded by the value domain (the
+    * prCurve single-partition caveat), never the corpus. Returns one
+    * row [n_a, n_b, ks_stat, at_value]. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("na"))
+    val cb = b.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("nb"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = merged.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    merged
+      .withColumn("cna", sum(col("na")).over(w))
+      .withColumn("cnb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(
+        col("cna").cast("double") / col("ta").cast("double") -
+        col("cnb").cast("double") / col("tb").cast("double")))
+      .orderBy(col("diff").desc, col("v"))
+      .limit(1)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        round(col("diff"), 6).as("ks_stat"), col("v").as("at_value"))
+  }
+
   /** Two-proportion z-test over a deterministic 50/50 user split — the
     * A/B readout an event pipeline ships: users assign to variants by
     * salted-md5 half-space (the [[Sampling.hashPrefix]] split — same

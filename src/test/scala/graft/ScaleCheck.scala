@@ -757,6 +757,16 @@ object ScaleCheck {
             hierarchicalRouting = true)
           graft.pipeline.Graph.jaccardSimilarity(edges, maxDegree = 64).count()
         },
+        entry("text_hash_embed (narrow hash + keyed rollup)") {
+          graft.pipeline.TextAnalysis.hashEmbed(docsR, dims = 16).count()
+        },
+        entry("graph_assortativity (degree moments)") {
+          val edges = graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
+            numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
+            iters = 3, refine = 4, trainDistributed = true,
+            hierarchicalRouting = true)
+          graft.pipeline.Graph.assortativity(edges).count()
+        },
         entry("text_lm_kn (count-table joins)") {
           // train-split bigram counts + two count-table rollups; the
           // scoring join is keyed on the bigram, never corpus x vocab
