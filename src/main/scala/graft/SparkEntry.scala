@@ -443,6 +443,17 @@ object SparkEntry {
           numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold))
     }
 
+  /** The brute-force kNN edge list shared by the graph_adamic_adar /
+    * graph_jaccard / graph_assortativity / graph_bfs rows — the same
+    * graph on the same k, built once per (session, dir). Edge count is
+    * |V|·k (bounded), so the LocalRelation memoization contract holds;
+    * the four entries used to pay the |V|² cosine scan each. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "knnedges") {
+      RelationalEm.collectLocal(graft.pipeline.Ann.knnGraph(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK))
+    }
+
   // ---- memoized shared fits (driver-local outputs only) ----
 
   private val memo = scala.collection.mutable.HashMap.empty[(Int, String, String), Any]
@@ -1988,32 +1999,24 @@ object SparkEntry {
     // wedge join (|V|·deg², never |V|²); per-pair 1/ln(deg) sum is
     // DECIMAL-summed, rank-on-rounded discipline at the consumer.
     "graph_adamic_adar" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Graph.adamicAdar(
-          graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
+      graft.pipeline.Graph.adamicAdar(knnEdges(s, dir))
         .orderBy(col("u"), col("v"))
     }),
     // degree assortativity — the one-number corpus-structure audit over
     // the kNN similarity graph (hubs-link-hubs vs template-hub shape);
     // integer moments, one fixed-order Pearson close
-    "graph_assortativity" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Graph.assortativity(
-        graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
-    }),
+    "graph_assortativity" -> ((s, dir) =>
+      graft.pipeline.Graph.assortativity(knnEdges(s, dir))),
     // neighbor-set Jaccard — adamic-adar's unweighted sibling over the
     // same kNN graph: integer wedge counts + exact degrees, one final
     // division; the second classic link-prediction / related-docs score
     "graph_jaccard" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Graph.jaccardSimilarity(
-          graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK))
+      graft.pipeline.Graph.jaccardSimilarity(knnEdges(s, dir))
         .orderBy(col("u"), col("v"))
     }),
     "graph_bfs" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Graph.bfsDistances(
-          graft.pipeline.Ann.knnGraph(emb, k = KnnGraphK),
+      graft.pipeline.Graph.bfsDistances(knnEdges(s, dir),
           emb.filter(col("vec_id") < BfsSeeds).select(col("vec_id").as("vertex")),
           maxHops = BfsMaxHops)
         .orderBy(col("vertex"))
