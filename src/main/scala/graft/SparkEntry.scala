@@ -249,6 +249,7 @@ object SparkEntry {
   private val KnSalt = "kn"        // KN train/score split salt
   private val KcenterK = 8         // farthest-point diversity picks
   private val HashEmbedDims = 16   // feature-hashing embedding width
+  private val PsiBinWidth = 10L    // ml_psi doc-length bin width
   // BM25 retrieval: fixed literal queries over the synthetic vocab
   // (inlined as a VALUES list on the oracle side)
   private val Bm25TopK = 10
@@ -2078,6 +2079,19 @@ object SparkEntry {
         d.filter(col("source") === "src1").select(col("n_tokens")),
         "n_tokens")
     }),
+    // population stability index — the binned drift alarm dashboards
+    // page on (ml_ks's sibling): fixed-width doc-length bins,
+    // epsilon-floored proportions, DECIMAL-summed (p-q)ln(p/q)
+    "ml_psi" -> ((s, dir) => {
+      val d = docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(graft.pipeline.TextAnalysis.tokensCol(col("text")))
+            .cast("long").as("n_tokens"))
+      graft.pipeline.Regression.psi(
+        d.filter(col("source") === "src0").select(col("n_tokens")),
+        d.filter(col("source") === "src1").select(col("n_tokens")),
+        "n_tokens", binWidth = PsiBinWidth)
+    }),
     // first-hit retrieval audit — reciprocal rank of the first true
     // neighbor in the LSH list (the metric when only the top slot is
     // consumed); integer min + one double division
@@ -3262,6 +3276,32 @@ object SparkEntry {
     "text_hash_embed" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.hashEmbed(docs(s, dir), dims = HashEmbedDims)
         .orderBy(col("doc_id"), col("pos"))),
+    // streaming: EMBEDDING AT INGEST — each arriving doc's whole hash
+    // vector computes in one stateless fold (no (doc, bucket) shuffle);
+    // gated by the batch hash-embed SQL
+    "text_hash_embed_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.mapDocs(s, dir)(stream =>
+        graft.streaming.StreamingPipeline.hashEmbedStream(stream,
+          dims = HashEmbedDims))
+        .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+          col("val"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+    // streaming: the KS drift pager on a live feed — the per-doc
+    // (source, length) projection is stateless in-stream, the CDF
+    // compare runs at the sink through the SAME ksTest code
+    "ml_ks_stream" -> ((s, dir) => {
+      val perDoc = graft.streaming.StreamReplay.mapDocs(s, dir)(stream =>
+        stream.filter(length(trim(col("text"))) > 0)
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"),
+            size(graft.pipeline.TextAnalysis.tokensCol(col("text")))
+              .cast("long").as("n_tokens")))
+      graft.pipeline.Regression.ksTest(
+        perDoc.filter(col("source") === "src0").select(col("n_tokens")),
+        perDoc.filter(col("source") === "src1").select(col("n_tokens")),
+        "n_tokens")
+    }),
     // cross-source token burstiness — variance-to-mean of per-source
     // counts for the frequent vocabulary: evenly-spread language ≈
     // Poisson, single-source template tokens disperse far above it
@@ -4621,6 +4661,9 @@ object SparkEntry {
       graft.pipeline.PipelineSql.corpusBurstiness(ZipfTopN),
     "text_hash_embed" ->
       graft.pipeline.PipelineSql.textHashEmbed(HashEmbedDims),
+    "text_hash_embed_stream" ->
+      graft.pipeline.PipelineSql.textHashEmbed(HashEmbedDims),
+    "ml_ks_stream" -> graft.pipeline.PipelineSql.mlKs("src0", "src1"),
     "export_manifest" -> graft.pipeline.PipelineSql.shardManifest(
       ShuffleShards, SampleSalt),
     "ann_bruteforce" -> graft.pipeline.PipelineSql.annBruteForce(AnnQueries, AnnK),
@@ -4650,6 +4693,8 @@ object SparkEntry {
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "ml_ks" -> graft.pipeline.PipelineSql.mlKs("src0", "src1"),
+    "ml_psi" -> graft.pipeline.PipelineSql.mlPsi("src0", "src1",
+      PsiBinWidth, 1e-4),
     "dedup_containment" -> graft.pipeline.PipelineSql.dedupContainment(
       ShingleK, threshold = 0.5, maxDocFreq = 100),
     "graph_cc" -> graft.pipeline.PipelineSql.graphCcContainment(

@@ -3137,6 +3137,40 @@ object PipelineSql {
        |             - CAST(c.cnb AS DOUBLE) / CAST(t.tb AS DOUBLE)) DESC, c.v
        |LIMIT 1""".stripMargin
 
+  /** Mirrors [[graft.pipeline.Regression.psi]] over the same two
+    * sources' token counts as [[mlKs]]: fixed-width integer bins via
+    * floor(double/w), ε-floored proportions, DECIMAL(28,12)-summed
+    * terms. */
+  def mlPsi(sourceA: String, sourceB: String, binWidth: Long,
+      epsilon: Double): String =
+    s"""WITH va AS (SELECT CAST(len(string_split($norm, ' ')) AS BIGINT) AS v
+       |            FROM documents
+       |            WHERE source = '$sourceA' AND trim(text) <> ''),
+       |vb AS (SELECT CAST(len(string_split($norm, ' ')) AS BIGINT) AS v
+       |       FROM documents
+       |       WHERE source = '$sourceB' AND trim(text) <> ''),
+       |ca AS (SELECT CAST(floor(CAST(v AS DOUBLE) / $binWidth) AS BIGINT)
+       |               AS bin, CAST(count(*) AS BIGINT) AS na
+       |       FROM va GROUP BY 1),
+       |cb AS (SELECT CAST(floor(CAST(v AS DOUBLE) / $binWidth) AS BIGINT)
+       |               AS bin, CAST(count(*) AS BIGINT) AS nb
+       |       FROM vb GROUP BY 1),
+       |m AS (SELECT coalesce(ca.bin, cb.bin) AS bin,
+       |             coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+       |      FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+       |t AS (SELECT CAST((SELECT sum(na) FROM m) AS BIGINT) AS ta,
+       |             CAST((SELECT sum(nb) FROM m) AS BIGINT) AS tb),
+       |terms AS (SELECT t.ta, t.tb,
+       |  CAST((greatest(CAST(m.na AS DOUBLE) / CAST(t.ta AS DOUBLE), $epsilon)
+       |        - greatest(CAST(m.nb AS DOUBLE) / CAST(t.tb AS DOUBLE), $epsilon))
+       |       * ln(greatest(CAST(m.na AS DOUBLE) / CAST(t.ta AS DOUBLE), $epsilon)
+       |            / greatest(CAST(m.nb AS DOUBLE) / CAST(t.tb AS DOUBLE), $epsilon))
+       |       AS DECIMAL(28,12)) AS term
+       |  FROM m CROSS JOIN t)
+       |SELECT ta AS n_a, tb AS n_b, CAST(count(*) AS BIGINT) AS n_bins,
+       |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+       |FROM terms GROUP BY ta, tb""".stripMargin
+
   /** Mirrors [[graft.pipeline.TextAnalysis.hashEmbed]]: the same md5
     * bucket/sign derivation, BIGINT sums and squared norm, one sqrt +
     * one division per component, zero-norm docs excluded. */

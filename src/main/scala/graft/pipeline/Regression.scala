@@ -260,6 +260,44 @@ object Regression {
         round(col("diff"), 6).as("ks_stat"), col("v").as("at_value"))
   }
 
+  /** Population Stability Index — [[ksTest]]'s binned sibling and the
+    * drift metric model-monitoring dashboards actually alarm on:
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over fixed-width integer
+    * bins (rule of thumb: <0.1 stable, >0.25 shifted). Zero-count bins
+    * take the standard ε floor on BOTH sides before the ratio so the
+    * ln never blows up. Bin counts stay integers; each term is a fixed
+    * double expression DECIMAL(28,12)-cast before the order-proof sum
+    * (the adamicAdar discipline — ln agreement across engines is
+    * pinned by the ppmi/adamic rows). Returns one row
+    * [n_a, n_b, n_bins, psi]. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Long, epsilon: Double = 1e-4): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    def bins(df: DataFrame, cnt: String) =
+      // floor(double / w): Spark's `/` is fractional on integers (and
+      // DuckDB's is too) — the explicit double-divide-floor is the form
+      // both engines compute identically; values are far below 2^53
+      df.select(floor(col(valueCol).cast("double") / lit(binWidth.toDouble))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    val merged = bins(a, "na").join(bins(b, "nb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = merged.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val p = greatest(col("na").cast("double") / col("ta").cast("double"),
+      lit(epsilon))
+    val q = greatest(col("nb").cast("double") / col("tb").cast("double"),
+      lit(epsilon))
+    merged.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"),
+        ((p - q) * log(p / q)).cast("decimal(28,12)").as("term"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("n_bins"), col("psi"))
+  }
+
   /** Two-proportion z-test over a deterministic 50/50 user split — the
     * A/B readout an event pipeline ships: users assign to variants by
     * salted-md5 half-space (the [[Sampling.hashPrefix]] split — same

@@ -272,6 +272,57 @@ object StreamingPipeline {
       .toDF(idCol, "n_bigrams", "n_unseen_ctx", "ppl")
   }
 
+  /** Feature-hash embedding AT INGEST — each arriving doc's whole
+    * vector is computable in one stateless fold (every bucket of a doc
+    * depends only on that doc's tokens), so the hashing-trick
+    * vectorizer serves without the batch plan's (doc, bucket) shuffle.
+    * Arithmetic replays [[graft.pipeline.TextAnalysis.hashEmbed]] term
+    * for term: md5 bucket + sign-bit parity, integer bucket sums,
+    * sqrt of the integer squared norm, one division per TOUCHED bucket
+    * (sign-cancelled buckets emit 0.0 exactly like the batch groupBy
+    * row), all-cancelled and blank docs excluded. Returns
+    * [id, pos, val]. */
+  def hashEmbedStream(stream: DataFrame, dims: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val v = new Array[Long](dims)
+          val touched = new Array[Boolean](dims)
+          normSplit(text).foreach { t =>
+            if (t.nonEmpty) {
+              md.reset()
+              val h = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map(b => f"${b & 0xff}%02x").mkString
+              val pos = (java.lang.Long.parseLong(h.substring(0, 8), 16) %
+                dims).toInt
+              val sgn = if (java.lang.Long.parseLong(h.substring(8, 9), 16)
+                % 2 == 0) 1L else -1L
+              v(pos) += sgn
+              touched(pos) = true
+            }
+          }
+          var ss = 0L
+          var i = 0
+          while (i < dims) { ss += v(i) * v(i); i += 1 }
+          if (ss == 0L) Iterator.empty
+          else {
+            val norm = math.sqrt(ss.toDouble)
+            (0 until dims).iterator.filter(touched).map { p =>
+              (id, p, java.math.BigDecimal.valueOf(v(p).toDouble / norm)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            }
+          }
+        }
+      }
+      .toDF(idCol, "pos", "val")
+  }
+
   /** Batch-exact normalization + split shared by the LM scorers:
     * UTF8String lowercase, 0x20-only trim, whitespace collapse. */
   private def normSplit(text: String): Array[String] = {

@@ -1568,6 +1568,24 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq === picks.toSeq, "selection must be partitioning-independent")
   }
 
+  test("psi: hand-computed two-bin shift, identical distributions -> 0") {
+    import spark.implicits._
+    // a = {bin0: 2, bin1: 1}, b = {bin0: 1, bin1: 2} with width 10 ->
+    // psi = (2/3-1/3)ln2 + (1/3-2/3)ln(1/2) = (2/3)ln2
+    val a = Seq(5L, 5L, 15L).toDF("v")
+    val b = Seq(5L, 15L, 15L).toDF("v")
+    val r = Regression.psi(a, b, "v", binWidth = 10L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 2L)))
+    def term(p: Double, q: Double): BigDecimal =
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val exp = (term(2.0 / 3.0, 1.0 / 3.0) + term(1.0 / 3.0, 2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === exp)
+    assert(Regression.psi(a, a, "v", binWidth = 10L)
+      .collect().head.getDouble(3) === 0.0)
+  }
+
   test("mrrReport: first-hit rank, no-hit sentinel") {
     import spark.implicits._
     val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L))
