@@ -1670,6 +1670,24 @@ object SparkEntry {
           col("lang_pred"), col("lang_hits").cast("long").as("lang_hits"))
         .orderBy(col("doc_id"))
     }),
+    // langid QUALITY audit — confusion of the stopword language
+    // identifier against the table's truth labels, with per-truth
+    // recall shares: the accuracy report a lang-gated pipeline reads
+    // before trusting its per-lang buckets
+    "text_lid_confusion" -> ((s, dir) => {
+      val pred = graft.pipeline.TextAnalysis.languageId(docs(s, dir))
+        .select(col("doc_id"), col("lang_pred"))
+      val c = pred.join(docs(s, dir)
+          .select(col("doc_id"), col("lang").as("lang_true")), Seq("doc_id"))
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("lang_true")).agg(sum(col("n")).as("tot"))
+      c.join(t, Seq("lang_true"))
+        .select(col("lang_true"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("lang_true"), col("lang_pred"))
+    }),
     // streaming: PII redaction at ingest — narrow regex scrub over the
     // planted stream, batch operator unchanged, same SQL
     "text_pii_scrub_stream" -> ((s, dir) => {
@@ -4754,6 +4772,8 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.defaultStopwords.values.flatten.toSeq.distinct,
       CleanStreamMinQuality),
     "text_lang_id" -> graft.pipeline.PipelineSql.langId(
+      graft.pipeline.TextAnalysis.defaultStopwords),
+    "text_lid_confusion" -> graft.pipeline.PipelineSql.lidConfusion(
       graft.pipeline.TextAnalysis.defaultStopwords),
     "text_lang_id_stream" -> graft.pipeline.PipelineSql.langId(
       graft.pipeline.TextAnalysis.defaultStopwords),

@@ -1804,6 +1804,20 @@ object PipelineSql {
        |SELECT doc_id, l$n AS lang_pred, b$n AS lang_hits FROM s$n ORDER BY doc_id""".stripMargin
   }
 
+  /** The [[langId]] statement audited against the table's truth labels:
+    * (truth, predicted) confusion counts + per-truth recall shares. */
+  def lidConfusion(stopwords: Map[String, Seq[String]]): String =
+    s"""WITH lp AS MATERIALIZED (${langId(stopwords)}),
+       |c AS (SELECT d.lang AS lang_true, lp.lang_pred,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM lp JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |t AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tot
+       |      FROM c GROUP BY lang_true)
+       |SELECT c.lang_true, c.lang_pred, c.n,
+       |       round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+       |FROM c JOIN t USING (lang_true)
+       |ORDER BY c.lang_true, c.lang_pred""".stripMargin
+
   /** Mirrors TextAnalysis.dataCard: the four verified per-source
     * aggregates composed in one statement — the component statements
     * ride along as nested-WITH CTEs joined on the source key. */

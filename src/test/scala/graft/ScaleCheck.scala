@@ -767,6 +767,17 @@ object ScaleCheck {
             hierarchicalRouting = true)
           graft.pipeline.Graph.assortativity(edges).count()
         },
+        entry("ml_ks_psi (distribution drift pair)") {
+          // two value rollups + distinct-value CDF/bin tables — the
+          // corpus only pays the narrow length projection
+          val d = docsR.where(length(trim(col("text"))) > 0)
+            .select(col("source"), size(split(trim(lower(col("text"))),
+              "\\s+")).cast("long").as("n_tokens"))
+          val a = d.where(col("source") === "src0").select(col("n_tokens"))
+          val b = d.where(col("source") === "src1").select(col("n_tokens"))
+          graft.pipeline.Regression.ksTest(a, b, "n_tokens").count()
+          graft.pipeline.Regression.psi(a, b, "n_tokens", 10L).count()
+        },
         entry("text_lm_kn (count-table joins)") {
           // train-split bigram counts + two count-table rollups; the
           // scoring join is keyed on the bigram, never corpus x vocab
