@@ -3725,8 +3725,8 @@ object SparkEntry {
           emb.filter(col("vec_id") < AnnQueries), AnnK,
           col("label").isin(FilteredLabels: _*))
         .orderBy(col("query_id"), col("rank"))
-        .select(col("query_id"), col("rank"), col("id"),
-          round(col("cosine"), 6).as("cosine"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), round(col("cosine"), 6).as("cosine"))
     }),
     // LLM pipeline: FILTERED search on the ROUTED path — the 100 TB
     // serving twin of ann_filtered: nprobe cell join, predicate as a
