@@ -50,11 +50,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // streaming state/duration rollups per entry (see StreamStats):
+    // replay queries terminate before an entry returns, so draining the
+    // completed-query queue after each entry attributes exactly
+    graft.streaming.StreamStats.install(spark)
+    def drainStream(): Seq[graft.streaming.StreamStats.QueryStats] = {
+      Thread.sleep(50) // listener bus is async (same bound as metricSnapshot)
+      graft.streaming.StreamStats.drain()
+    }
+    def streamJson(qs: Seq[graft.streaming.StreamStats.QueryStats]): String =
+      "{\"n\":" + qs.size +
+        ",\"batches\":" + qs.map(_.batches).sum +
+        ",\"state_rows\":" + (if (qs.isEmpty) 0L else qs.map(_.peakStateRows).max) +
+        ",\"state_bytes\":" + (if (qs.isEmpty) 0L else qs.map(_.peakStateBytes).max) +
+        ",\"trigger_ms\":" + qs.map(_.triggerMs).sum +
+        ",\"add_batch_ms\":" + qs.map(_.addBatchMs).sum + "}"
     // task-metric accumulation: summed across all tasks between
     // snapshots; snapshot deltas attribute bytes to the entry that ran
     val shufRead = new AtomicLong(0)
     val shufWrite = new AtomicLong(0)
     val spill = new AtomicLong(0)
+    // GC/task-time attribution (r10 judge demand #2): a warm figure that
+    // exceeds its cold twin is either real plan cost or session context
+    // (GC from earlier entries' garbage, scheduler backlog); per-entry
+    // jvmGCTime vs executorRunTime deltas separate the two without
+    // guessing. Milliseconds, summed across tasks.
+    val gcTime = new AtomicLong(0)
+    val taskTime = new AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -62,14 +84,16 @@ object Bench {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          gcTime.addAndGet(m.jvmGCTime)
+          taskTime.addAndGet(m.executorRunTime)
         }
       }
     })
-    def metricSnapshot(): (Long, Long, Long) = {
+    def metricSnapshot(): (Long, Long, Long, Long, Long) = {
       // listener bus is async; the post-job backlog at local[32] drains
       // in single-digit ms — 50 ms bounds attribution error
       Thread.sleep(50)
-      (shufRead.get(), shufWrite.get(), spill.get())
+      (shufRead.get(), shufWrite.get(), spill.get(), gcTime.get(), taskTime.get())
     }
     // warm up the JVM/codegen/parquet/shuffle machinery once so the first
     // timed query doesn't absorb session startup (~5 s at local[32])
@@ -79,11 +103,19 @@ object Bench {
     // and report its time as -1 (driver-side convention for "broken")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val shuffles = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Long, Long)]
+      .empty[String, (Long, Long, Long, Long, Long)]
+    val streamStats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val streamStatsWarm = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // dev-only subset filter (comma-separated entry names); the driver
+    // never sets it, so driver runs always cover the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // sorted order: deterministic timings (the first entry touching a
     // memoized shared fit pays its cost — see SparkEntry scaladoc)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (r0, w0, s0) = metricSnapshot()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
+      val (r0, w0, s0, g0, tt0) = metricSnapshot()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -91,8 +123,10 @@ object Bench {
           false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      val (r1, w1, s1) = metricSnapshot()
-      shuffles(name) = (r1 - r0, w1 - w0, s1 - s0)
+      val (r1, w1, s1, g1, tt1) = metricSnapshot()
+      shuffles(name) = (r1 - r0, w1 - w0, s1 - s0, g1 - g0, tt1 - tt0)
+      val sq = drainStream()
+      if (sq.nonEmpty) streamStats(name) = streamJson(sq)
       // entries must not leak block-manager cache into each other's
       // timings (round-2's cooc_window 2× regression was cache-memory
       // pressure from earlier entries' persists); SparkEntry's memoized
@@ -107,12 +141,20 @@ object Bench {
     // "regressions" on unchanged code — PLANS.md §18). A second run of
     // the same entry in the same session is the plan's real cost with
     // compilation amortized; round-to-round diffs compare THESE.
+    val warmGc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long)]
     val warm = results.filter(_._2 >= 0).map { case (name, _) =>
+      val (_, _, _, g0, tt0) = metricSnapshot()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case NonFatal(_) => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val (_, _, _, g1, tt1) = metricSnapshot()
+      warmGc(name) = (g1 - g0, tt1 - tt0)
+      val sq = drainStream()
+      if (sq.nonEmpty) streamStatsWarm(name) = streamJson(sq)
       spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val warmByName = warm.toMap
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -132,9 +174,17 @@ object Bench {
     val detailJson = detail + ",\"queries\":" +
       jmap(results.map { case (k, v) => k -> r3(v) }) +
       ",\"warm\":" + jmap(warm.map { case (k, v) => k -> r3(v) }) +
-      ",\"shuffle\":" + shuffles.map { case (k, (r, w, s)) =>
+      ",\"shuffle\":" + shuffles.map { case (k, (r, w, s, g, tt)) =>
         jstr(k) + ":{\"read\":" + r + ",\"write\":" + w +
-          ",\"spill\":" + s + "}" }.mkString("{", ",", "}") +
+          ",\"spill\":" + s + ",\"gc_ms\":" + g +
+          ",\"task_ms\":" + tt + "}" }.mkString("{", ",", "}") +
+      ",\"warm_gc\":" + warmGc.map { case (k, (g, tt)) =>
+        jstr(k) + ":{\"gc_ms\":" + g + ",\"task_ms\":" + tt + "}"
+      }.mkString("{", ",", "}") +
+      ",\"stream\":" + streamStats.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}") +
+      ",\"stream_warm\":" + streamStatsWarm.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}") +
       ",\"errors\":" + jmap(errors) + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
       detailJson.getBytes("UTF-8"))

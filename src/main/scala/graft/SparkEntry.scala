@@ -455,6 +455,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK))
     }
 
+  /** The ROUTED kNN edge list (IVF-PQ cell join + refine) behind
+    * graph_bfs_routed, memoized like its brute twin above: the r10 bench
+    * recorded a 19.3 s "warm" figure for the entry because every run
+    * rebuilt the index from scratch (train + encode + probe) while every
+    * other graph row reused its memoized edges. Same |V|·k bound, same
+    * deterministic iters=0 build, so the LocalRelation contract holds
+    * and the oracle hash is unchanged. */
+  private def knnEdgesRouted(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "knnedgesrouted") {
+      RelationalEm.collectLocal(graft.pipeline.Ann.knnGraphRouted(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK,
+        numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
+        pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+        sampleSize = AnnSample, refine = KnnRefine))
+    }
+
   // ---- memoized shared fits (driver-local outputs only) ----
 
   private val memo = scala.collection.mutable.HashMap.empty[(Int, String, String), Any]
@@ -2048,11 +2064,7 @@ object SparkEntry {
     // the BFS frontier under the full oracle.
     "graph_bfs_routed" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Graph.bfsDistances(
-          graft.pipeline.Ann.knnGraphRouted(emb, k = KnnGraphK,
-            numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
-            pqCentroids = PqCentroids, iters = 0, pqIters = 0,
-            sampleSize = AnnSample, refine = KnnRefine),
+      graft.pipeline.Graph.bfsDistances(knnEdgesRouted(s, dir),
           emb.filter(col("vec_id") < BfsSeeds).select(col("vec_id").as("vertex")),
           maxHops = BfsMaxHops)
         .orderBy(col("vertex"))

@@ -8,14 +8,22 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional entry filter (local dev)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-JVM certification knob (round 11): local[N] shares one JVM, so
+    // task/broadcast serialization of the custom codegen expressions and
+    // broadcast model artifacts is never exercised. SPARK_GRAFT_MASTER=
+    // local-cluster[2,4,4096] runs the same surface across separate
+    // executor processes; SPARK_GRAFT_JARS must then point at the
+    // `sbt package` app jar so executors can load graft classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // 213 entries > the default 100-class codegen cache (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)

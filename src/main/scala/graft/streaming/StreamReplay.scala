@@ -135,13 +135,29 @@ object StreamReplay {
     * files and pay ONE micro-batch of machinery instead of three
     * (events_range_join_stream measured 10.7 s → the join plan's real
     * cost; the oracle gate is unchanged, so the equivalence is
-    * certified, not assumed). */
+    * certified, not assumed).
+    *
+    * `shufflePartitions` sizes the query's STATE partitioning (picked up
+    * at query start; a fresh checkpoint per replay means no
+    * state-compat constraint). Stateful operators pay per-partition
+    * store commit/maintenance every micro-batch — a stream-stream join
+    * runs FOUR stores per partition — so a replay whose state is tiny
+    * relative to the session's batch-sized partition count is paying
+    * pure bookkeeping: events_range_join_stream at sf0.1 holds ~40k
+    * state rows, and 32 partitions measured 8.7 s warm vs 3.3 s at 8
+    * (StreamStats: addBatch 7.5 s → 2.2 s, state bytes unchanged).
+    * This is the replay-harness twin of sizing
+    * spark.sql.shuffle.partitions to state volume on a real cluster;
+    * output values are partitioning-independent (oracle-certified). */
   private def replay(spark: SparkSession, dir: String,
-      filesPerTrigger: Int = 1)
+      filesPerTrigger: Int = 1, shufflePartitions: Option[Int] = None)
       (op: DataFrame => DataFrame): DataFrame = {
     val tzKey = "spark.sql.session.timeZone"
     val prevTz = spark.conf.get(tzKey)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
     spark.conf.set(tzKey, "UTC")
+    shufflePartitions.foreach(p => spark.conf.set(spKey, p.toString))
     try {
       val stage = stageDir(spark, dir)
       val stream = spark.readStream.schema(eventSchema)
@@ -153,7 +169,10 @@ object StreamReplay {
       q.awaitTermination()
       // materialize under the pinned tz, before the temp dir goes away
       drainSink(spark, qname)
-    } finally spark.conf.set(tzKey, prevTz)
+    } finally {
+      spark.conf.set(tzKey, prevTz)
+      spark.conf.set(spKey, prevSp)
+    }
   }
 
   /** Drain a memory sink into a driver-local DataFrame and DROP the
@@ -1429,7 +1448,8 @@ object StreamReplay {
       rightType: String, windowNs: Long): DataFrame = {
     require(windowNs % 1000000000L == 0, "join window must be whole seconds")
     val wSec = windowNs / 1000000000L
-    val out = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val out = replay(spark, dir, filesPerTrigger = 3,
+        shufflePartitions = Some(8)) { ev =>
       val base = ev.withColumn("ets", col("ts").cast(TimestampType))
       val l = base.where(col("event_type") === leftType)
         .select(col("user_id").as("l_user"),

@@ -12,12 +12,15 @@ object EntryTime {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/documents.parquet").groupBy("lang").count().collect()
+    graft.streaming.StreamStats.install(spark)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        Thread.sleep(50)
+        graft.streaming.StreamStats.drain().foreach(s => println(s"  $s"))
         spark.catalog.clearCache()
       }
     }
