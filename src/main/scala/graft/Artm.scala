@@ -118,7 +118,9 @@ class Artm(
           graft.regularizers.TopicSelectionTheta(tau, tv))))
       update(res)
       val nt = res.nwt
-        .agg(graft.functions.VectorOps.vectorSum(col("weights")).as("nt"))
+        .agg(graft.functions.VectorOps.orderedVectorSum(
+          org.apache.spark.sql.functions.concat_ws("\u0001", col("class_id"), col("token")),
+          col("weights")).as("nt"))
         .head.getSeq[Float](0).toArray
       tv = graft.regularizers.TopicSelectionTheta.topicValues(nt)
     }

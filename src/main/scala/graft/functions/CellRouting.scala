@@ -466,3 +466,227 @@ case class HierarchicalProbes(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): HierarchicalProbes =
     copy(child = newChild)
 }
+
+/** TWO-level hierarchically-routed probe selection — the log-depth IMI
+  * rung past [[HierarchicalProbes]] (PLANS §22b): at ~10M+ vectors per
+  * executor with the flat-cell-size contract, even the √c parent scan
+  * becomes the per-vector bottleneck, so the parents get their own
+  * coarse layer. A vector first ranks the ~c^(1/4) GRANDPARENTS
+  * (`grandProbes` kept), then only parents whose grandparent was probed
+  * (`parentProbes` kept), then only cells whose parent was probed
+  * (`nprobe` kept). Per-vector multiply-adds fall from c·dim (exact) /
+  * ~√c·dim (1-level) to ~c^(1/4)·dim·const.
+  *
+  * Same arithmetic contract as every CellRouting expression (double-
+  * widened sequential L2, ties to the lower index), and the same
+  * orphan fallback: if the gated chain produces ZERO cells (possible
+  * when Lloyd's mean update orphans every probed branch — an empty
+  * probe list would DROP the query row after explode), one exact
+  * ungated pass runs instead. Opt-in — the oracle-gated exact entries
+  * never route through this. */
+case class TreeProbes(child: Expression,
+    cents: Array[Array[Float]], parents: Array[Array[Float]],
+    parentOf: Array[Int], grands: Array[Array[Float]], grandOf: Array[Int],
+    nprobe: Int, parentProbes: Int, grandProbes: Int)
+    extends UnaryExpression {
+
+  require(nprobe >= 1 && parentProbes >= 1 && grandProbes >= 1,
+    s"graft_tree_probes: nprobe=$nprobe / parentProbes=$parentProbes / " +
+      s"grandProbes=$grandProbes must be >= 1")
+  require(parentOf.length == cents.length,
+    s"graft_tree_probes: parentOf(${parentOf.length}) != cents(${cents.length})")
+  require(grandOf.length == parents.length,
+    s"graft_tree_probes: grandOf(${grandOf.length}) != parents(${parents.length})")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_tree_probes requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tree_probes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    // stage 1: grandProbes nearest grandparents (exact scan of the tiny top)
+    val gcap = math.min(grandProbes, grands.length)
+    val gd = new Array[Double](gcap)
+    val gi = new Array[Int](gcap)
+    var gf = 0
+    var g = 0
+    while (g < grands.length) {
+      val d = CellRouting.l2(v, 0, n, grands(g))
+      if (gf < gcap || d < gd(gf - 1)) {
+        var j = if (gf < gcap) gf else gcap - 1
+        while (j > 0 && d < gd(j - 1)) { gd(j) = gd(j - 1); gi(j) = gi(j - 1); j -= 1 }
+        gd(j) = d; gi(j) = g
+        if (gf < gcap) gf += 1
+      }
+      g += 1
+    }
+    // stage 2: parentProbes nearest parents among the probed grandparents'
+    val pcap = math.min(parentProbes, parents.length)
+    val pd = new Array[Double](pcap)
+    val pi = new Array[Int](pcap)
+    var pf = 0
+    var p = 0
+    while (p < parents.length) {
+      var hit = false
+      var t = 0
+      while (t < gf && !hit) { hit = gi(t) == grandOf(p); t += 1 }
+      if (hit) {
+        val d = CellRouting.l2(v, 0, n, parents(p))
+        if (pf < pcap || d < pd(pf - 1)) {
+          var j = if (pf < pcap) pf else pcap - 1
+          while (j > 0 && d < pd(j - 1)) { pd(j) = pd(j - 1); pi(j) = pi(j - 1); j -= 1 }
+          pd(j) = d; pi(j) = p
+          if (pf < pcap) pf += 1
+        }
+      }
+      p += 1
+    }
+    // stage 3: nprobe nearest cells among the probed parents' children;
+    // empty gated result → exact ungated fallback pass
+    val cap = math.min(nprobe, cents.length)
+    val bd = new Array[Double](cap)
+    val bi = new Array[Int](cap)
+    var filled = 0
+    var gated = true
+    var done = false
+    while (!done) {
+      var c = 0
+      while (c < cents.length) {
+        var hit = !gated
+        var t = 0
+        while (t < pf && !hit) { hit = pi(t) == parentOf(c); t += 1 }
+        if (hit) {
+          val d = CellRouting.l2(v, 0, n, cents(c))
+          if (filled < cap || d < bd(filled - 1)) {
+            var j = if (filled < cap) filled else cap - 1
+            while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+            bd(j) = d; bi(j) = c
+            if (filled < cap) filled += 1
+          }
+        }
+        c += 1
+      }
+      done = filled > 0 || !gated
+      gated = false
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("treeCents", cents, "float[][]")
+    val pb = ctx.addReferenceObj("treeParents", parents, "float[][]")
+    val po = ctx.addReferenceObj("treeParentOf", parentOf, "int[]")
+    val gb = ctx.addReferenceObj("treeGrands", grands, "float[][]")
+    val go = ctx.addReferenceObj("treeGrandOf", grandOf, "int[]")
+    val gcap = math.min(grandProbes, grands.length)
+    val pcap = math.min(parentProbes, parents.length)
+    val cap = math.min(nprobe, cents.length)
+    val gd = ctx.addMutableState("double[]", "treeGd", v => s"$v = new double[$gcap];")
+    val gi = ctx.addMutableState("int[]", "treeGi", v => s"$v = new int[$gcap];")
+    val pd = ctx.addMutableState("double[]", "treePd", v => s"$v = new double[$pcap];")
+    val pi = ctx.addMutableState("int[]", "treePi", v => s"$v = new int[$pcap];")
+    val bd = ctx.addMutableState("double[]", "treeBd", v => s"$v = new double[$cap];")
+    val bi = ctx.addMutableState("int[]", "treeBi", v => s"$v = new int[$cap];")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val gf = ctx.freshName("gf")
+      val pf = ctx.freshName("pf")
+      val idx = ctx.freshName("idx")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      val filled = ctx.freshName("filled")
+      val hit = ctx.freshName("hit")
+      val t = ctx.freshName("t")
+      s"""
+        final int $n = $v.numElements();
+        int $gf = 0;
+        for (int $idx = 0; $idx < $gb.length; $idx++) {
+          final float[] $cc = $gb[$idx];
+          final int $lim = Math.min($n, $cc.length);
+          double $d = 0.0;
+          for (int $i = 0; $i < $lim; $i++) {
+            final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+            $d += $x * $x;
+          }
+          if ($gf < $gcap || $d < $gd[$gf - 1]) {
+            int $j = ($gf < $gcap) ? $gf : $gcap - 1;
+            while ($j > 0 && $d < $gd[$j - 1]) {
+              $gd[$j] = $gd[$j - 1]; $gi[$j] = $gi[$j - 1]; $j--;
+            }
+            $gd[$j] = $d; $gi[$j] = $idx;
+            if ($gf < $gcap) $gf++;
+          }
+        }
+        int $pf = 0;
+        for (int $idx = 0; $idx < $pb.length; $idx++) {
+          boolean $hit = false;
+          for (int $t = 0; $t < $gf && !$hit; $t++) {
+            $hit = $gi[$t] == $go[$idx];
+          }
+          if ($hit) {
+            final float[] $cc = $pb[$idx];
+            final int $lim = Math.min($n, $cc.length);
+            double $d = 0.0;
+            for (int $i = 0; $i < $lim; $i++) {
+              final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+              $d += $x * $x;
+            }
+            if ($pf < $pcap || $d < $pd[$pf - 1]) {
+              int $j = ($pf < $pcap) ? $pf : $pcap - 1;
+              while ($j > 0 && $d < $pd[$j - 1]) {
+                $pd[$j] = $pd[$j - 1]; $pi[$j] = $pi[$j - 1]; $j--;
+              }
+              $pd[$j] = $d; $pi[$j] = $idx;
+              if ($pf < $pcap) $pf++;
+            }
+          }
+        }
+        int $filled = 0;
+        boolean gated$filled = true;
+        boolean done$filled = false;
+        while (!done$filled) {
+          for (int $idx = 0; $idx < $cb.length; $idx++) {
+            boolean $hit = !gated$filled;
+            for (int $t = 0; $t < $pf && !$hit; $t++) {
+              $hit = $pi[$t] == $po[$idx];
+            }
+            if ($hit) {
+              final float[] $cc = $cb[$idx];
+              final int $lim = Math.min($n, $cc.length);
+              double $d = 0.0;
+              for (int $i = 0; $i < $lim; $i++) {
+                final double $x = (double) $v.getFloat($i) - (double) $cc[$i];
+                $d += $x * $x;
+              }
+              if ($filled < $cap || $d < $bd[$filled - 1]) {
+                int $j = ($filled < $cap) ? $filled : $cap - 1;
+                while ($j > 0 && $d < $bd[$j - 1]) {
+                  $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+                }
+                $bd[$j] = $d; $bi[$j] = $idx;
+                if ($filled < $cap) $filled++;
+              }
+            }
+          }
+          done$filled = $filled > 0 || !gated$filled;
+          gated$filled = false;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TreeProbes =
+    copy(child = newChild)
+}

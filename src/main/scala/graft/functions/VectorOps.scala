@@ -91,6 +91,101 @@ object VectorOps {
     fn(c)
   }
 
+  /** Order-keyed elementwise float-vector sum: buffers (key, vec) pairs
+    * and folds them in SORTED-KEY order at finish, so the float32
+    * result is independent of shuffle-merge order.
+    *
+    * Why this exists (round 11, found by the local-cluster
+    * certification): a plain float32 reduce merges partials in task-
+    * completion order. In one JVM that order happens to be stable, but
+    * across executor processes it races — and because the race's
+    * wiggle is at float32 ulp scale, i.e. exactly the rounding grid,
+    * refitting the SAME model under local-cluster[2,4] changed 22 of
+    * 31 phi rows run-to-run. The reference's own repeatability test
+    * pins num_processors=1 (artm_tests/repeatable_result_test.cc:27) —
+    * its multicore adds race the same way under spinlocks — so a
+    * deterministic fold EXCEEDS the reference: fits are bit-reproducible
+    * at any executor count, which is what a 1000-executor training run
+    * actually wants from "fixed seed" determinism.
+    *
+    * Cost: the reduce state holds one (key, vec) pair per map-side
+    * partial instead of a running sum. Callers key by bounded sets
+    * (E-step partition ordinals; dictionary-capped vocab for the
+    * per-topic normalizers), so the buffer is partitions- or
+    * vocab-sized — never corpus-sized. */
+  def orderedVectorSum(key: Column, vec: Column): Column = {
+    val fn = udaf(OrderedVectorSumAgg)
+    fn(key, vec)
+  }
+
+  private[graft] val orderedBufEncoder: Encoder[Seq[(String, Array[Float])]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Array[Float])]]()
+
+  private object OrderedVectorSumAgg
+      extends Aggregator[(String, Array[Float]), Seq[(String, Array[Float])], Array[Float]] {
+    def zero: Seq[(String, Array[Float])] = Nil
+    def reduce(b: Seq[(String, Array[Float])],
+        a: (String, Array[Float])): Seq[(String, Array[Float])] =
+      if (a == null || a._2 == null) b else b :+ (a._1 -> a._2)
+    def merge(x: Seq[(String, Array[Float])],
+        y: Seq[(String, Array[Float])]): Seq[(String, Array[Float])] = x ++ y
+    def finish(b: Seq[(String, Array[Float])]): Array[Float] = {
+      if (b.isEmpty) return null
+      // duplicate keys would reintroduce merge-order dependence between
+      // their rows — the keying contract is per-group uniqueness
+      val sorted = b.sortBy(_._1)
+      val out = sorted.head._2.clone()
+      var r = 1
+      while (r < sorted.length) {
+        val v = sorted(r)._2
+        var i = 0
+        while (i < out.length && i < v.length) { out(i) += v(i); i += 1 }
+        r += 1
+      }
+      out
+    }
+    def bufferEncoder: Encoder[Seq[(String, Array[Float])]] = orderedBufEncoder
+    def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
+  }
+
+  /** Order-keyed weighted float-vector sum: Σ w_i·vec_i folded in
+    * sorted-key order — MergeModel's deterministic twin (same rationale
+    * as [[orderedVectorSum]]; callers key by a source ordinal, so the
+    * buffer holds one entry per merged source). */
+  def orderedWeightedVectorSum(key: Column, vec: Column, w: Column): Column = {
+    val fn = udaf(OrderedWeightedVectorSumAgg)
+    fn(key, vec, w)
+  }
+
+  private[graft] val orderedWBufEncoder: Encoder[Seq[(String, Array[Float], Float)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Array[Float], Float)]]()
+
+  private object OrderedWeightedVectorSumAgg
+      extends Aggregator[(String, Array[Float], Float),
+        Seq[(String, Array[Float], Float)], Array[Float]] {
+    def zero: Seq[(String, Array[Float], Float)] = Nil
+    def reduce(b: Seq[(String, Array[Float], Float)],
+        a: (String, Array[Float], Float)): Seq[(String, Array[Float], Float)] =
+      if (a == null || a._2 == null) b else b :+ a
+    def merge(x: Seq[(String, Array[Float], Float)],
+        y: Seq[(String, Array[Float], Float)]): Seq[(String, Array[Float], Float)] = x ++ y
+    def finish(b: Seq[(String, Array[Float], Float)]): Array[Float] = {
+      if (b.isEmpty) return null
+      val sorted = b.sortBy(_._1)
+      val out = new Array[Float](sorted.head._2.length)
+      var r = 0
+      while (r < sorted.length) {
+        val (_, v, w) = sorted(r)
+        var i = 0
+        while (i < out.length && i < v.length) { out(i) += v(i) * w; i += 1 }
+        r += 1
+      }
+      out
+    }
+    def bufferEncoder: Encoder[Seq[(String, Array[Float], Float)]] = orderedWBufEncoder
+    def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
+  }
+
   /** double_vector_sum(col): groupBy-able elementwise double-vector sum. */
   def doubleVectorSum(c: Column): Column = {
     val fn = udaf(DoubleVectorSumAgg)

@@ -260,9 +260,18 @@ object EStep {
           while (k < T) { out(k) *= cfg.batchWeight; k += 1 }
           e.getKey -> out
         }
-        (pre ++ raw).map { case (row, out) =>
+        // kind-0 rows carry a deterministic fold key in `position`:
+        // 2·partitionId for the dense pre-combined partial, 2·pid+1 for
+        // the raw (ptdw/transaction) one — unique per (token, partition),
+        // so EStep.nwt can sum partials in a shuffle-order-independent
+        // order (see VectorOps.orderedVectorSum)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        pre.map { case (row, out) =>
           EStepOut(0, phi.classIds(row), phi.tokens(row), out,
-            -1L, null, -1, 0.0, 0.0, 0L, 0L, 0L)
+            -1L, null, 2 * pid, 0.0, 0.0, 0L, 0L, 0L)
+        } ++ raw.map { case (row, out) =>
+          EStepOut(0, phi.classIds(row), phi.tokens(row), out,
+            -1L, null, 2 * pid + 1, 0.0, 0.0, 0L, 0L, 0L)
         }
       }
 
@@ -597,11 +606,15 @@ object EStep {
             raw, normalizer, zeroWords, thetaZeros, idxs(d).length.toLong)
           d += 1
         }
+        // joint-batch partials get their own fold-key range (offset past
+        // any plausible partition count) so a union with the per-doc
+        // kernel's output keeps every (token, partial) key unique
+        val jpid = 1 << 20 | org.apache.spark.TaskContext.getPartitionId()
         acc.forEach { (row, a) =>
           var k = 0
           while (k < T) { a(k) *= cfg.batchWeight; k += 1 }
           out += EStepOut(0, phi.classIds(row), phi.tokens(row), a,
-            -1L, null, -1, 0.0, 0.0, 0L, 0L, 0L)
+            -1L, null, jpid, 0.0, 0.0, 0L, 0L, 0L)
         }
         out.iterator
       }
@@ -683,11 +696,30 @@ object EStep {
   }
 
   /** Split an E-step output into (n_wt, theta) DataFrames. Callers should
-    * persist `out` first — both branches scan it once. */
-  def nwt(out: Dataset[EStepOut]): DataFrame =
-    out.filter(col("kind") === 0)
-      .groupBy(col("class_id"), col("token"))
-      .agg(VectorOps.vectorSum(col("vec")).as("weights"))
+    * persist `out` first — both branches scan it once.
+    *
+    * `ordered = true` (the broadcast-kernel paths) folds the per-partition
+    * partials in their `position` fold-key order, making the float32 sum
+    * independent of shuffle-merge order — the fit is then bit-reproducible
+    * at ANY executor count (found under local-cluster[2,4]: task-completion
+    * racing flipped 22/31 phi rows between identical runs; the reference's
+    * own repeatable_result_test pins num_processors=1). The join-based
+    * E-step emits per-DOCUMENT partials — an ordered fold there would
+    * buffer df(token) rows per group, corpus-sized — so that path passes
+    * `ordered = false` and keeps the reference's weaker per-topology
+    * determinism. */
+  def nwt(out: Dataset[EStepOut], ordered: Boolean = true): DataFrame = {
+    val partials = out.filter(col("kind") === 0)
+    if (ordered)
+      partials
+        .groupBy(col("class_id"), col("token"))
+        .agg(VectorOps.orderedVectorSum(
+          lpad(col("position").cast("string"), 8, "0"), col("vec")).as("weights"))
+    else
+      partials
+        .groupBy(col("class_id"), col("token"))
+        .agg(VectorOps.vectorSum(col("vec")).as("weights"))
+  }
 
   def theta(out: Dataset[EStepOut]): DataFrame =
     out.filter(col("kind") === 1)

@@ -176,11 +176,15 @@ object Fit {
       val prevOut = out
       out = EStep.runJoinBased(docs, pwt, cfg.numTopics, cfg.estep)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      nwt = EStep.nwt(out)
+      // per-document partials: the ordered fold would buffer df(token)
+      // rows per group — this path keeps the streaming (raced) sum and
+      // the reference's per-topology determinism (see EStep.nwt)
+      nwt = EStep.nwt(out, ordered = false)
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
       theta = EStep.theta(out)
       val rwt = regularize(pwt, nwt, cfg, regCtx)
-      val newPwt = PhiOps.normalizeModel(nwt, rwt).localCheckpoint(true)
+      val newPwt = PhiOps.normalizeModel(nwt, rwt, ordered = false)
+        .localCheckpoint(true)
       pwt.unpersist(false)
       pwt = newPwt
       if (prevOut != null) prevOut.unpersist(false)

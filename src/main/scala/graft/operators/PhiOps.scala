@@ -71,7 +71,8 @@ object PhiOps {
     * Plan shape: one groupBy(class_id) vector-sum (few rows out — one per
     * modality) broadcast-joined back; the division is a codegen'd
     * higher-order zip_with. No second shuffle. */
-  def normalizeModel(nwt: DataFrame, rwt: Option[DataFrame] = None): DataFrame = {
+  def normalizeModel(nwt: DataFrame, rwt: Option[DataFrame] = None,
+      ordered: Boolean = true): DataFrame = {
     val spark = nwt.sparkSession
     import spark.implicits._
 
@@ -86,11 +87,22 @@ object PhiOps {
               .as("weights"))
     }
 
-    // positive part only feeds the normalizer (reference FindNormalizersImpl)
-    val positive = adjusted.select($"class_id",
+    // positive part only feeds the normalizer (reference FindNormalizersImpl).
+    // ordered: fold token rows in token order so the float32 per-topic
+    // normalizer is shuffle-merge-order-independent (the nwt fold's
+    // determinism is useless if the divisor still races — see
+    // EStep.nwt); buffer is vocab-sized, the same bound as the broadcast
+    // Phi this path already carries. The join-phi (huge-vocab) fit
+    // passes ordered=false with its unordered nwt.
+    val positive = adjusted.select($"class_id", $"token",
       transform($"weights", w => when(w > 0f, w).otherwise(lit(0f))).as("pos"))
-    val normalizers = positive.groupBy($"class_id")
-      .agg(VectorOps.vectorSum($"pos").as("n_t"))
+    val normalizers =
+      if (ordered)
+        positive.groupBy($"class_id")
+          .agg(VectorOps.orderedVectorSum($"token", $"pos").as("n_t"))
+      else
+        positive.groupBy($"class_id")
+          .agg(VectorOps.vectorSum($"pos").as("n_t"))
 
     adjusted
       .join(broadcast(normalizers), Seq("class_id"))
@@ -109,11 +121,17 @@ object PhiOps {
     * master_component.cc:937-1013). One union + one groupBy shuffle. */
   def mergeModels(sources: Seq[(DataFrame, Float)]): DataFrame = {
     require(sources.nonEmpty, "mergeModels needs at least one source")
-    val weighted = sources.map { case (df, w) =>
-      df.select(col("class_id"), col("token"), col("weights"), lit(w).as("w"))
+    // source-ordinal fold key: the per-token weighted sum runs in source
+    // order regardless of union-branch completion order (the float32
+    // determinism contract — see VectorOps.orderedVectorSum); buffer =
+    // one entry per source
+    val weighted = sources.zipWithIndex.map { case ((df, w), i) =>
+      df.select(col("class_id"), col("token"), col("weights"),
+        lit(w).as("w"), lit(f"$i%04d").as("src"))
     }.reduce(_ unionByName _)
     weighted.groupBy(col("class_id"), col("token"))
-      .agg(VectorOps.weightedVectorSum(col("weights"), col("w")).as("weights"))
+      .agg(VectorOps.orderedWeightedVectorSum(
+        col("src"), col("weights"), col("w")).as("weights"))
   }
 
   /** Retrieval (get_phi dense/sparse) — reference

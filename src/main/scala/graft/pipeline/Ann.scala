@@ -625,7 +625,9 @@ object Ann {
         * driver-side over c points, trivial): approximate Lloyd, the
         * standard big-c recipe, turning the n·c·dim iteration cost
         * into ~n·√c·dim. Off = exact assignment. */
-      hierarchical: Boolean = false): Array[Array[Float]] = {
+      hierarchical: Boolean = false,
+      /** router depth when `hierarchical` (2 = IMI parent tree). */
+      routerLevels: Int = 1): Array[Array[Float]] = {
     val spark = emb.sparkSession
     val initRows = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -638,7 +640,8 @@ object Ann {
     var it = 0
     while (it < iters) {
       val assignCol =
-        if (hierarchical) element_at(hierProbes(col(vecCol), cents, 1), 1)
+        if (hierarchical)
+          element_at(hierProbes(col(vecCol), cents, 1, levels = routerLevels), 1)
         else nearestCell(col(vecCol), cents)
       val agg = emb
         .select(assignCol.as("cell"),
@@ -828,7 +831,14 @@ object Ann {
         * deterministically from `cells`, so it needs no persistence
         * (AnnIO round-trips exact-routing indexes; a hierarchical
         * caller re-flags after load). */
-      hierarchical: Boolean = false)
+      hierarchical: Boolean = false,
+      /** router depth when `hierarchical`: 1 = the √c parent layer
+        * ([[graft.functions.HierarchicalProbes]]), 2 = the IMI parent
+        * TREE ([[graft.functions.TreeProbes]] — grandparents over
+        * parents, the rung past ~10M vectors/executor where even the
+        * √c scan dominates). Persisted by AnnIO like `hierarchical`:
+        * serving must route exactly as the build assigned. */
+      routerLevels: Int = 1)
 
   /** Deterministic coarse router over a cell codebook: ⌈√c⌉ parent
     * centroids from a driver-side Lloyd over the c cell vectors (md5
@@ -863,10 +873,11 @@ object Ann {
   }
 
   /** Hierarchically-routed probe selection as a native expression —
-    * see [[graft.functions.HierarchicalProbes]]. `nprobe = 1` is cell
-    * assignment. */
+    * see [[graft.functions.HierarchicalProbes]] (levels = 1) and
+    * [[graft.functions.TreeProbes]] (levels = 2, the IMI parent tree).
+    * `nprobe = 1` is cell assignment. */
   private[graft] def hierProbes(vec: Column, cents: Array[Array[Float]],
-      nprobe: Int, parentProbes: Int = 2): Column = {
+      nprobe: Int, parentProbes: Int = 2, levels: Int = 1): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     val (parents, parentOf) = buildRouter(cents)
     // parentProbes is a FLOOR: to have a chance of covering the true
@@ -878,9 +889,21 @@ object Ann {
     val g = parents.length
     val pp = math.min(g, math.max(parentProbes,
       math.ceil(2.0 * nprobe * g / cents.length).toInt))
-    GraftColumnBridge.column(graft.functions.HierarchicalProbes(
-      GraftColumnBridge.expression(vec), cents, parents, parentOf,
-      nprobe, pp))
+    if (levels >= 2) {
+      // the parent layer gets its own coarse layer (same Lloyd, same
+      // md5 seed order); the grand-probe floor follows the same
+      // expected-coverage rule one level up
+      val (grands, grandOf) = buildRouter(parents)
+      val g2 = grands.length
+      val gp = math.min(g2, math.max(2,
+        math.ceil(2.0 * pp * g2 / g).toInt))
+      GraftColumnBridge.column(graft.functions.TreeProbes(
+        GraftColumnBridge.expression(vec), cents, parents, parentOf,
+        grands, grandOf, nprobe, pp, gp))
+    } else
+      GraftColumnBridge.column(graft.functions.HierarchicalProbes(
+        GraftColumnBridge.expression(vec), cents, parents, parentOf,
+        nprobe, pp))
   }
 
   /** Build the IVF-PQ index: train both codebooks, then ONE narrow
@@ -892,7 +915,8 @@ object Ann {
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
       sampleSize: Int = 10000,
       trainDistributed: Boolean = false,
-      hierarchicalRouting: Boolean = false): IvfPqIndex = {
+      hierarchicalRouting: Boolean = false,
+      routerLevels: Int = 1): IvfPqIndex = {
     // CELL BALANCE IS A SCALE CONTRACT: routing cells grow with the
     // corpus (the flat-cell-size knob), so the training sample must
     // keep >= ~40 points per centroid or Lloyd leaves most cells
@@ -907,7 +931,8 @@ object Ann {
     val cents =
       if (trainDistributed)
         trainCentroidsDistributed(corpus, vecCol, numCentroids, iters,
-          idCol = idCol, hierarchical = hierarchicalRouting)
+          idCol = idCol, hierarchical = hierarchicalRouting,
+          routerLevels = routerLevels)
       else
         trainCentroids(corpus, vecCol, numCentroids, iters, sampleSize,
           idCol = idCol)
@@ -928,13 +953,14 @@ object Ann {
     // 256× ann rows' Lloyd+assignment dominated at 4096 cells).
     val assignCol =
       if (hierarchicalRouting)
-        element_at(hierProbes(col(vecCol), cents, 1), 1)
+        element_at(hierProbes(col(vecCol), cents, 1, levels = routerLevels), 1)
       else nearestCell(col(vecCol), cents)
     IvfPqIndex(cents, cbs,
       corpus.select(col(idCol).cast("long").as("id"),
         assignCol.as("cell"),
         pqEncode(col(vecCol), cbs).as("codes")),
-      hierarchical = hierarchicalRouting)
+      hierarchical = hierarchicalRouting,
+      routerLevels = if (hierarchicalRouting) routerLevels else 1)
   }
 
   /** Query a built/loaded [[IvfPqIndex]]: route each query to `nprobe`
@@ -961,7 +987,8 @@ object Ann {
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val probesCol =
-      if (index.hierarchical) hierProbes(col("qvec"), index.cells, nprobe)
+      if (index.hierarchical)
+        hierProbes(col("qvec"), index.cells, nprobe, levels = index.routerLevels)
       else centroidProbes(col("qvec"), index.cells, nprobe)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("qvec"))
@@ -1414,10 +1441,12 @@ object Ann {
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
       sampleSize: Int = 10000, refine: Int = 4,
       trainDistributed: Boolean = false,
-      hierarchicalRouting: Boolean = false): DataFrame = {
+      hierarchicalRouting: Boolean = false,
+      routerLevels: Int = 1): DataFrame = {
     val shortlist = queryIvfPq(
       buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting),
+        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting,
+        routerLevels),
       emb, k * refine, nprobe, idCol, vecCol)
       .select(col("query_id"), col("id"))
     // Exact-refine (the FAISS "refine" stage): re-rank the ADC shortlist

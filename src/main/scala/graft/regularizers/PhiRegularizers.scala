@@ -221,8 +221,12 @@ case class BitermsPhi(
     val cooc = ctx.cooc.getOrElse(
       throw new IllegalArgumentException(s"$name: cooc table required"))
     val mask = RegUtil.topicMask(ctx.topicNames, topicNames)
-    // n_t per topic over the whole n_wt (reference sums all classes)
-    val nt = nwt.agg(VectorOps.vectorSum(col("weights")).as("n_t"))
+    // n_t per topic over the whole n_wt (reference sums all classes);
+    // token-keyed ordered fold: this feeds r_wt, so it shares the fit's
+    // shuffle-order-independence contract (VectorOps.orderedVectorSum)
+    val nt = nwt.agg(VectorOps.orderedVectorSum(
+      concat_ws("\u0001", col("class_id"), col("token")),
+      col("weights")).as("n_t"))
     val pw = pwt.select(col("class_id"), col("token").as("token_a"), col("weights").as("p_w"))
     val pu = pwt.select(col("class_id"), col("token").as("token_b"), col("weights").as("p_u"))
     cooc.filter(RegUtil.classFilter(classIds))
@@ -292,8 +296,9 @@ case class NetPlsaPhi(
   def apply(pwt: DataFrame, nwt: DataFrame, ctx: RegContext): DataFrame = {
     val mask = RegUtil.topicMask(ctx.topicNames, topicNames)
     val nt = nwt.filter(col("class_id") === classId)
-      .select(transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
-      .agg(VectorOps.vectorSum(col("pos")).as("n_t"))
+      .select(col("token"),
+        transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
+      .agg(VectorOps.orderedVectorSum(col("token"), col("pos")).as("n_t"))
 
     val phiC = pwt.filter(col("class_id") === classId)
     def vw(alias: String, vcol: String) = vertexWeights match {

@@ -63,8 +63,9 @@ object Scores {
   def topicKernel(pwt: DataFrame, nwt: DataFrame, threshold: Double = 0.1,
       classId: String = graft.functions.Rng.DefaultClass): DataFrame = {
     val nt = nwt.filter(col("class_id") === classId)
-      .select(transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
-      .agg(VectorOps.vectorSum(col("pos")).as("n_t"))
+      .select(col("token"),
+        transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
+      .agg(VectorOps.orderedVectorSum(col("token"), col("pos")).as("n_t"))
     val cells = pwt.filter(col("class_id") === classId)
       .crossJoin(broadcast(nt))
       .withColumn("pt_w_raw", zip_with(col("weights"), col("n_t"), (p, n) => p * n))
@@ -96,8 +97,9 @@ object Scores {
       case Some(c) =>
         // kernel token sets per topic → pairwise average cooc value
         val nt = nwt.filter(col("class_id") === classId)
-          .select(transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
-          .agg(VectorOps.vectorSum(col("pos")).as("n_t"))
+          .select(col("token"),
+            transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
+          .agg(VectorOps.orderedVectorSum(col("token"), col("pos")).as("n_t"))
         val kernelTokens = pwt.filter(col("class_id") === classId)
           .crossJoin(broadcast(nt))
           .withColumn("raw", zip_with(col("weights"), col("n_t"), (p, n) => p * n))
@@ -123,7 +125,7 @@ object Scores {
     * topic of a class (+ ratio to the total mass). */
   def topicMassPhi(nwt: DataFrame, classId: String = graft.functions.Rng.DefaultClass): DataFrame = {
     val nt = nwt.filter(col("class_id") === classId)
-      .agg(VectorOps.vectorSum(col("weights")).as("n_t"))
+      .agg(VectorOps.orderedVectorSum(col("token"), col("weights")).as("n_t"))
     // total from the same aggregated row (array fold) — no empty-partition
     // window, which would plan a single-task WindowExec
     nt.select(posexplode(col("n_t")).as(Seq("topic", "mass")),
@@ -140,8 +142,9 @@ object Scores {
       classId: String = graft.functions.Rng.DefaultClass,
       returnTokens: Boolean = false): DataFrame = {
     val nt = nwt.filter(col("class_id") === classId)
-      .select(transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
-      .agg(VectorOps.vectorSum(col("pos")).as("n_t"))
+      .select(col("token"),
+        transform(col("weights"), x => when(x > 0f, x).otherwise(0f)).as("pos"))
+      .agg(VectorOps.orderedVectorSum(col("token"), col("pos")).as("n_t"))
     val scored = pwt.filter(col("class_id") === classId)
       .crossJoin(broadcast(nt))
       .withColumn("ptw_raw", zip_with(col("weights"), col("n_t"), (p, n) => p * n))

@@ -21,7 +21,8 @@ object AnnIO {
     // codes table served with exact probe routing would silently lose
     // boundary-cell recall (the flag is one row; the router itself is
     // rebuilt deterministically from the cells on use)
-    Seq(("hierarchical", if (index.hierarchical) 1L else 0L))
+    Seq(("hierarchical", if (index.hierarchical) 1L else 0L),
+        ("router_levels", index.routerLevels.toLong))
       .toDF("key", "value")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta.parquet")
     index.cells.zipWithIndex
@@ -51,16 +52,17 @@ object AnnIO {
     val cbs = Array.ofDim[Float](m, codes, sub)
     cbRows.foreach { case (s, c, p, v) => cbs(s)(c)(p) = v }
     // pre-round-10 artifacts have no meta file: exact routing (the only
-    // mode that existed when they were written)
-    val hier =
+    // mode that existed when they were written); pre-round-11 metas
+    // have no router_levels key: depth 1 (ditto)
+    val meta: Map[String, Long] =
       try spark.read.parquet(s"$path/meta.parquet")
-        .filter(col("key") === "hierarchical")
-        .head().getLong(1) == 1L
-      catch { case _: Exception => false }
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      catch { case _: Exception => Map.empty }
     Ann.IvfPqIndex(cells, cbs,
       spark.read.parquet(s"$path/codes.parquet")
         .select(col("id"), col("cell"), col("codes")),
-      hierarchical = hier)
+      hierarchical = meta.getOrElse("hierarchical", 0L) == 1L,
+      routerLevels = meta.getOrElse("router_levels", 1L).toInt)
   }
 
   /** SQ8 index persistence — the quantized-serving artifact: the int

@@ -387,6 +387,75 @@ class PipelineSpec extends SparkSpec {
     assert(agree >= 0.8, s"hierarchical assignment diverged: $agree")
   }
 
+  test("2-level IMI router: recall parity with the 1-level router, codegen == interpreted") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val exact = Ann.knnGraph(emb, k = 10).cache()
+    // larger cell count than the 1-level test so the grand layer has
+    // real structure (c=64 → 8 parents → 3 grandparents on this fixture)
+    def routed(levels: Int) = Ann.knnGraphRouted(emb, k = 10,
+      numCentroids = 64, nprobe = 24, m = 16, pqCentroids = 64, iters = 3,
+      pqIters = 0, refine = 8, trainDistributed = true,
+      hierarchicalRouting = true, routerLevels = levels).cache()
+    val one = routed(1)
+    val two = routed(2)
+    assert(two.groupBy("src").count().collect().forall(_.getLong(1) === 10))
+    val r1 = one.join(exact, Seq("src", "dst"), "left_semi").count().toDouble /
+      exact.count()
+    val r2 = two.join(exact, Seq("src", "dst"), "left_semi").count().toDouble /
+      exact.count()
+    info(s"knn-graph recall: 1-level router $r1, 2-level router $r2")
+    assert(r2 >= r1 - 0.05,
+      s"2-level router lost too much recall: $r2 vs $r1")
+
+    // codegen (DataFrame path) == interpreted (nullSafeEval) on the
+    // same TreeProbes instance — both paths ship to executors on a
+    // real cluster, so they must agree cell-for-cell
+    val cents = Ann.trainCentroidsDistributed(emb, "embedding", 64, iters = 3)
+    val assignCol = element_at(
+      Ann.hierProbes(col("embedding"), cents, 1, levels = 2), 1)
+    val fromDf = emb.orderBy("vec_id")
+      .select(col("vec_id"), assignCol.as("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (parents, parentOf) = Ann.buildRouter(cents)
+    val (grands, grandOf) = Ann.buildRouter(parents)
+    val expr = graft.functions.TreeProbes(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+      cents, parents, parentOf, grands, grandOf,
+      nprobe = 1, parentProbes = 2, grandProbes = 2)
+    emb.orderBy("vec_id").select(col("vec_id"), col("embedding")).collect()
+      .foreach { r =>
+        val v = org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(r.getSeq[Float](1).toArray)
+        val got = expr.nullSafeEval(v)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        // interpreted floors may differ from hierProbes' auto-expanded
+        // ones; assert only when the parameters match what hierProbes
+        // picked — here they do for this shape (pp=2, gp=2)
+        assert(got.numElements() >= 1)
+        assert(got.getInt(0) === fromDf(r.getLong(0)),
+          s"vec ${r.getLong(0)}: interpreted ${got.getInt(0)} != codegen ${fromDf(r.getLong(0))}")
+      }
+  }
+
+  test("AnnIO round-trips the router depth; 2-level index serves identically after load") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val built = Ann.buildIvfPq(emb, numCentroids = 64, m = 4,
+      pqCentroids = 16, iters = 3, trainDistributed = true,
+      hierarchicalRouting = true, routerLevels = 2)
+    assert(built.routerLevels === 2)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_tree").toString
+    graft.sources.AnnIO.save(built, dir)
+    val loaded = graft.sources.AnnIO.load(spark, dir)
+    assert(loaded.hierarchical && loaded.routerLevels === 2,
+      "router depth lost in persistence")
+    val a = Ann.queryIvfPq(built, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Ann.queryIvfPq(loaded, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "loaded 2-level index must serve the same ranked results")
+  }
+
   test("knnGraph refuses corpus-sized inputs and points at the routed form") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {

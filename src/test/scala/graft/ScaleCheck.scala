@@ -173,6 +173,17 @@ object ScaleCheck {
             iters = 3, refine = 4, trainDistributed = true,
             hierarchicalRouting = true).count()
         },
+        entry("graph_knn_routed_tree (2-level IMI router)") {
+          // the log-depth rung (PLANS §22b): same build as
+          // graph_knn_routed but routed through the grandparent tree
+          // (TreeProbes) — assignment cost per vector ~c^(1/4)·dim·const
+          // instead of √c·dim, the shape for cells past ~10M
+          // vectors/executor where even the parent scan dominates
+          graft.pipeline.Ann.knnGraphRouted(embR, k = 3,
+            numCentroids = 16 * r, nprobe = 4, m = 4, pqCentroids = 16,
+            iters = 3, refine = 4, trainDistributed = true,
+            hierarchicalRouting = true, routerLevels = 2).count()
+        },
         entry("pack_sequences (prefix sum)") {
           val packed = graft.pipeline.Sampling.packSequences(
             graft.pipeline.TextAnalysis.tokenCounts(docsR)

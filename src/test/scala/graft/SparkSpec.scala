@@ -12,14 +12,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // Multi-JVM suite knob (round 11): SPARK_GRAFT_TEST_MASTER=
+    // local-cluster[2,4,4096] runs every spec across separate executor
+    // processes, exercising task/broadcast serialization that local[4]
+    // never does. Executors then need the app AND test classes —
+    // SPARK_GRAFT_TEST_JARS must list both `sbt package` jars
+    // (bigartmspark_*.jar,bigartmspark_*-tests.jar), and the launcher
+    // needs SPARK_SCALA_VERSION=2.13 (spark-submit normally sets it).
+    val master = sys.env.getOrElse("SPARK_GRAFT_TEST_MASTER", "local[4]")
+    val b = SparkSession.builder()
+      .master(master)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_TEST_JARS").foreach(j => b.config("spark.jars", j))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
