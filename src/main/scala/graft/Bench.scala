@@ -45,8 +45,13 @@ object Bench {
       // 273 entries generate far more than the default 100 cached
       // codegen classes; with the default, later entries (measured on
       // the dedup family) pay Janino recompiles for plans earlier
-      // entries already compiled
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // entries already compiled. Round 11: 2000 stopped covering the
+      // 328-entry double sweep — the warm pass's STATEFUL stream
+      // entries ran 4-9x their isolated time with identical state/
+      // shuffle bytes and moderate GC but 9x task-time (the new
+      // attribution columns), i.e. per-task Janino recompiles after
+      // cache eviction; 10000 re-covers two full sweeps
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +61,14 @@ object Bench {
     graft.streaming.StreamStats.install(spark)
     def drainStream(): Seq[graft.streaming.StreamStats.QueryStats] = {
       Thread.sleep(50) // listener bus is async (same bound as metricSnapshot)
-      graft.streaming.StreamStats.drain()
+      val qs = graft.streaming.StreamStats.drain()
+      // unload the finished queries' state-store providers: accumulated
+      // providers from hundreds of replays inflate later STATEFUL
+      // entries' task CPU (identical state + near-zero GC but multi-×
+      // executorRunTime — bookkeeping, not plan; the clearCache() twin
+      // for streaming state)
+      if (qs.nonEmpty) org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
+      qs
     }
     def streamJson(qs: Seq[graft.streaming.StreamStats.QueryStats]): String =
       "{\"n\":" + qs.size +

@@ -11,6 +11,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Unload every loaded state-store provider on this JVM (local-mode
+    * executor side). A bench/verify session that replays hundreds of
+    * streaming queries leaves each query's HDFSBacked providers loaded
+    * until the maintenance cycle notices the query is gone; in a
+    * 656-query sweep the accumulated provider set inflates later
+    * STATEFUL entries' task CPU (round-11 measurement: identical state
+    * rows/bytes and near-zero GC but multi-x executorRunTime — provider
+    * bookkeeping, not the plan). Spark scopes StateStore private[sql],
+    * hence this bridge. Safe between queries: the next stateful query
+    * reloads its providers from the checkpoint. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Eager Column → Catalyst conversion for FunctionRegistry builders
     * (GraftFunctions): `expression` returns a LAZY ColumnNodeExpression
     * wrapper that only DataFrame API boundaries unwrap — inside SQL
