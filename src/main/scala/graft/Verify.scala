@@ -18,8 +18,10 @@ object Verify {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
-      // 213 entries > the default 100-class codegen cache (see Bench)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // 328 entries > the default 100-class codegen cache; 10000 covers
+      // the full sweep (2000 measured short in Bench's double sweep —
+      // evicted plans recompile inside tasks, PLANS §26f)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
@@ -35,6 +37,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // no cross-entry cache leakage
+      // the streaming twin of clearCache: drop accumulated state-store
+      // providers from replayed queries (they tax later stateful
+      // entries' task time — PLANS §26f)
+      org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
     }
     writeOracleJson(outDir)
     spark.stop()
