@@ -109,31 +109,71 @@ object VectorOps {
     * actually wants from "fixed seed" determinism.
     *
     * Cost: the reduce state holds one (key, vec) pair per map-side
-    * partial instead of a running sum. Callers key by bounded sets
-    * (E-step partition ordinals; dictionary-capped vocab for the
-    * per-topic normalizers), so the buffer is partitions- or
-    * vocab-sized — never corpus-sized. */
+    * partial instead of a running sum — the per-group buffer is
+    * LINEAR IN THE KEY SET (appends are O(1) prepends, the one sort
+    * runs at finish). Callers key by bounded sets: the per-topic
+    * normalizers by the dictionary-capped vocab (the same bound as the
+    * broadcast Phi that path already carries), MergeModel by source
+    * ordinals, and the n_wt path by E-step partition ordinals — which
+    * grows with the fit's partition count, so EStep.nwt caps keys per
+    * group at [[graft.operators.EStep.FoldWidth]] via a multi-level
+    * tree of these folds (flat memory per group at ANY partition
+    * count). Never corpus-sized. Keys MUST be unique per group
+    * (asserted at finish). */
   def orderedVectorSum(key: Column, vec: Column): Column = {
     val fn = udaf(OrderedVectorSumAgg)
     fn(key, vec)
   }
 
-  private[graft] val orderedBufEncoder: Encoder[Seq[(String, Array[Float])]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Array[Float])]]()
+  private[graft] val orderedBufEncoder: Encoder[List[(String, Array[Float])]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Array[Float])]]()
+
+  /** Test-only instrumentation: when enabled, the ordered aggregators
+    * record the largest buffer they folded at finish — the ScaleCheck
+    * flat-memory-per-group certification reads it. Off in production
+    * (one volatile read per finish call). Local-mode only: the probe is
+    * a JVM static, invisible across executor processes. */
+  @volatile private[graft] var bufferProbeEnabled: Boolean = false
+  private[graft] val maxOrderedBuffer = new java.util.concurrent.atomic.AtomicLong(0)
+  private def probeBuffer(n: Int): Unit = if (bufferProbeEnabled) {
+    var cur = maxOrderedBuffer.get()
+    while (n > cur && !maxOrderedBuffer.compareAndSet(cur, n)) cur = maxOrderedBuffer.get()
+  }
+
+  // duplicate fold keys would reintroduce merge-order dependence between
+  // their rows — the keying contract is per-group uniqueness; checked
+  // after the sort (adjacent-equal) so a miskeyed caller (e.g. the
+  // join-based E-step's constant position=-1 partials) fails loudly
+  // instead of silently racing
+  private def assertUniqueKeys(sortedKeys: IndexedSeq[String]): Unit = {
+    var r = 1
+    while (r < sortedKeys.length) {
+      if (sortedKeys(r) == sortedKeys(r - 1))
+        throw new IllegalStateException(
+          s"ordered vector fold saw duplicate key '${sortedKeys(r)}' — " +
+            "the determinism contract requires one partial per key per group " +
+            "(see VectorOps.orderedVectorSum); a caller whose partials are not " +
+            "uniquely keyed must use the unordered sum instead")
+      r += 1
+    }
+  }
 
   private object OrderedVectorSumAgg
-      extends Aggregator[(String, Array[Float]), Seq[(String, Array[Float])], Array[Float]] {
-    def zero: Seq[(String, Array[Float])] = Nil
-    def reduce(b: Seq[(String, Array[Float])],
-        a: (String, Array[Float])): Seq[(String, Array[Float])] =
-      if (a == null || a._2 == null) b else b :+ (a._1 -> a._2)
-    def merge(x: Seq[(String, Array[Float])],
-        y: Seq[(String, Array[Float])]): Seq[(String, Array[Float])] = x ++ y
-    def finish(b: Seq[(String, Array[Float])]): Array[Float] = {
+      extends Aggregator[(String, Array[Float]), List[(String, Array[Float])], Array[Float]] {
+    def zero: List[(String, Array[Float])] = Nil
+    // O(1) prepend — finish sorts anyway, so buffer order is free; an
+    // append on an immutable Seq is O(n) per row = O(n²) per group,
+    // quadratic in vocab on the normalizer path (r11 ADVICE)
+    def reduce(b: List[(String, Array[Float])],
+        a: (String, Array[Float])): List[(String, Array[Float])] =
+      if (a == null || a._2 == null) b else (a._1 -> a._2) :: b
+    def merge(x: List[(String, Array[Float])],
+        y: List[(String, Array[Float])]): List[(String, Array[Float])] = x ::: y
+    def finish(b: List[(String, Array[Float])]): Array[Float] = {
       if (b.isEmpty) return null
-      // duplicate keys would reintroduce merge-order dependence between
-      // their rows — the keying contract is per-group uniqueness
-      val sorted = b.sortBy(_._1)
+      val sorted = b.sortBy(_._1).toIndexedSeq
+      assertUniqueKeys(sorted.map(_._1))
+      probeBuffer(sorted.length)
       val out = sorted.head._2.clone()
       var r = 1
       while (r < sorted.length) {
@@ -144,7 +184,7 @@ object VectorOps {
       }
       out
     }
-    def bufferEncoder: Encoder[Seq[(String, Array[Float])]] = orderedBufEncoder
+    def bufferEncoder: Encoder[List[(String, Array[Float])]] = orderedBufEncoder
     def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
   }
 
@@ -157,21 +197,23 @@ object VectorOps {
     fn(key, vec, w)
   }
 
-  private[graft] val orderedWBufEncoder: Encoder[Seq[(String, Array[Float], Float)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Array[Float], Float)]]()
+  private[graft] val orderedWBufEncoder: Encoder[List[(String, Array[Float], Float)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Array[Float], Float)]]()
 
   private object OrderedWeightedVectorSumAgg
       extends Aggregator[(String, Array[Float], Float),
-        Seq[(String, Array[Float], Float)], Array[Float]] {
-    def zero: Seq[(String, Array[Float], Float)] = Nil
-    def reduce(b: Seq[(String, Array[Float], Float)],
-        a: (String, Array[Float], Float)): Seq[(String, Array[Float], Float)] =
-      if (a == null || a._2 == null) b else b :+ a
-    def merge(x: Seq[(String, Array[Float], Float)],
-        y: Seq[(String, Array[Float], Float)]): Seq[(String, Array[Float], Float)] = x ++ y
-    def finish(b: Seq[(String, Array[Float], Float)]): Array[Float] = {
+        List[(String, Array[Float], Float)], Array[Float]] {
+    def zero: List[(String, Array[Float], Float)] = Nil
+    def reduce(b: List[(String, Array[Float], Float)],
+        a: (String, Array[Float], Float)): List[(String, Array[Float], Float)] =
+      if (a == null || a._2 == null) b else a :: b
+    def merge(x: List[(String, Array[Float], Float)],
+        y: List[(String, Array[Float], Float)]): List[(String, Array[Float], Float)] = x ::: y
+    def finish(b: List[(String, Array[Float], Float)]): Array[Float] = {
       if (b.isEmpty) return null
-      val sorted = b.sortBy(_._1)
+      val sorted = b.sortBy(_._1).toIndexedSeq
+      assertUniqueKeys(sorted.map(_._1))
+      probeBuffer(sorted.length)
       val out = new Array[Float](sorted.head._2.length)
       var r = 0
       while (r < sorted.length) {
@@ -182,7 +224,7 @@ object VectorOps {
       }
       out
     }
-    def bufferEncoder: Encoder[Seq[(String, Array[Float], Float)]] = orderedWBufEncoder
+    def bufferEncoder: Encoder[List[(String, Array[Float], Float)]] = orderedWBufEncoder
     def outputEncoder: Encoder[Array[Float]] = VectorOps.floatArrayEncoder
   }
 

@@ -707,18 +707,59 @@ object EStep {
     * E-step emits per-DOCUMENT partials — an ordered fold there would
     * buffer df(token) rows per group, corpus-sized — so that path passes
     * `ordered = false` and keeps the reference's weaker per-topology
-    * determinism. */
+    * determinism.
+    *
+    * MEMORY BOUND (round 12): a single ordered fold buffers one partial
+    * per fold key per (class, token) group — ~2 × #E-step-partitions for
+    * a token appearing everywhere, GB-scale at a 100k-partition fit. So
+    * when the key span exceeds [[FoldWidth]], the fold runs as a TREE:
+    * group by (class, token, ⌊key/W⌋) folding ≤ W partials in key order
+    * per range, then fold the range sums by range ordinal, recursing
+    * until one group remains — per-group buffer ≤ W at EVERY level and
+    * ⌈log_W(2p)⌉ levels (one extra shuffle each; p ≤ 128 stays
+    * single-level, byte-identical to the round-11 plan). The tree is a
+    * pure function of the key set, so the result is still deterministic
+    * at any executor count / shuffle-partition setting — it differs from
+    * the flat fold only in float32 association, which every consumer
+    * already absorbs (the flat fold's own association changes with p). */
   def nwt(out: Dataset[EStepOut], ordered: Boolean = true): DataFrame = {
     val partials = out.filter(col("kind") === 0)
-    if (ordered)
-      partials
-        .groupBy(col("class_id"), col("token"))
-        .agg(VectorOps.orderedVectorSum(
-          lpad(col("position").cast("string"), 8, "0"), col("vec")).as("weights"))
-    else
+    if (ordered) {
+      // kind-0 fold keys are 2·pid / 2·pid+1 — span = 2 × #partitions
+      val keySpan = 2L * out.rdd.getNumPartitions
+      orderedTreeFold(partials.select(col("class_id"), col("token"),
+        col("position").cast("long").as("fk"), col("vec")), keySpan)
+    } else
       partials
         .groupBy(col("class_id"), col("token"))
         .agg(VectorOps.vectorSum(col("vec")).as("weights"))
+  }
+
+  /** Max partials folded per ordered-fold level (see [[nwt]]): per-group
+    * buffer stays ≤ this at any partition count. 256 keeps every
+    * certified topology (≤ 128 E-step partitions) on the round-11
+    * single-level plan. */
+  val FoldWidth = 256
+
+  /** Multi-level deterministic fold of uniquely-keyed partials
+    * [class_id, token, fk, vec] (0 ≤ fk < keySpan) into
+    * [class_id, token, weights]. See [[nwt]] for the contract. */
+  private[graft] def orderedTreeFold(partials: DataFrame, keySpan: Long): DataFrame = {
+    var df = partials
+    var span = keySpan
+    while (span > FoldWidth) {
+      df = df
+        .groupBy(col("class_id"), col("token"),
+          floor(col("fk") / FoldWidth).cast("long").as("range"))
+        .agg(VectorOps.orderedVectorSum(
+          lpad(pmod(col("fk"), lit(FoldWidth.toLong)).cast("string"), 8, "0"),
+          col("vec")).as("vec"))
+        .withColumnRenamed("range", "fk")
+      span = (span + FoldWidth - 1) / FoldWidth
+    }
+    df.groupBy(col("class_id"), col("token"))
+      .agg(VectorOps.orderedVectorSum(
+        lpad(col("fk").cast("string"), 8, "0"), col("vec")).as("weights"))
   }
 
   def theta(out: Dataset[EStepOut]): DataFrame =

@@ -45,4 +45,80 @@ class DeterminismSpec extends SparkSpec {
     // the tracker reproduces too (double score sums over the same model)
     assert(a.scores.map(_.perplexity) === b.scores.map(_.perplexity))
   }
+
+  test("refit is bit-identical at a second shuffle-partition setting") {
+    // the ordered folds key by data (partition ordinals / tokens), so the
+    // reduce-side partition COUNT must not matter; run the same
+    // refit-twice certification at a deliberately odd setting
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try {
+      val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val corpus = graft.sources.Corpus.fromDocumentsTable(docsTable).cache()
+      val dict = DictionaryOps.gather(corpus).cache()
+      val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 3)
+      val cfg = Fit.Config(numTopics = 8, numCollectionPasses = 2,
+        estep = EStepConfig(numDocumentPasses = 2),
+        phiRegularizers = Seq((graft.regularizers.SmoothSparsePhi(), -0.05f)))
+      val a = Fit.fitOffline(corpus, pwt0, cfg)
+      val b = Fit.fitOffline(corpus, pwt0, cfg)
+      def key2(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("class_id"), col("token"), col("weights"))
+      val diff = key2(a.pwt).unionByName(key2(b.pwt))
+        .groupBy(col("class_id"), col("token"), col("weights"))
+        .count().filter(col("count") =!= 2).count()
+      assert(diff === 0L, s"refit at 5 shuffle partitions changed $diff phi rows")
+      assert(a.scores.map(_.perplexity) === b.scores.map(_.perplexity))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("orderedTreeFold: partitioning-independent bits, buffer <= FoldWidth per group") {
+    import spark.implicits._
+    val T = 4
+    val span = 1000L // > FoldWidth -> two levels
+    val rows = (0L until span).map { k =>
+      ("c", "tok", k, Array.tabulate(T)(t => ((k * 31 + t) % 97).toFloat / 7f))
+    }
+    val df = rows.toDF("class_id", "token", "fk", "vec")
+    def run(parts: Int): Array[Float] = {
+      graft.functions.VectorOps.maxOrderedBuffer.set(0)
+      EStep.orderedTreeFold(df.repartition(parts), span)
+        .collect().head.getSeq[Float](2).toArray
+    }
+    graft.functions.VectorOps.bufferProbeEnabled = true
+    try {
+      val a = run(3)
+      assert(graft.functions.VectorOps.maxOrderedBuffer.get() <= EStep.FoldWidth,
+        "a tree-fold level buffered more than FoldWidth partials")
+      val b = run(17)
+      assert(java.util.Arrays.equals(a, b),
+        "tree fold bits changed with input partitioning")
+      // expected: the same tree computed locally — ranges of FoldWidth
+      // folded in key order, then range sums folded in range order
+      val expected = (0L until span).grouped(EStep.FoldWidth).map { range =>
+        val vs = range.map(k =>
+          Array.tabulate(T)(t => ((k * 31 + t) % 97).toFloat / 7f))
+        vs.reduce { (x, y) =>
+          val o = x.clone(); var i = 0
+          while (i < T) { o(i) += y(i); i += 1 }; o
+        }
+      }.reduce { (x, y) =>
+        val o = x.clone(); var i = 0
+        while (i < T) { o(i) += y(i); i += 1 }; o
+      }
+      assert(java.util.Arrays.equals(a, expected),
+        "tree fold disagrees with the locally-computed key-ordered tree")
+    } finally graft.functions.VectorOps.bufferProbeEnabled = false
+  }
+
+  test("ordered fold rejects duplicate fold keys loudly") {
+    import spark.implicits._
+    val df = Seq(("c", "t", 0L, Array(1f)), ("c", "t", 0L, Array(2f)))
+      .toDF("class_id", "token", "fk", "vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      EStep.orderedTreeFold(df, 2L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -863,6 +863,42 @@ object ScaleCheck {
       spark.catalog.clearCache()
     }
 
+    // Ordered-fold partition ladder (round 12): the n_wt determinism
+    // contract buffers one partial per E-step partition per (class,
+    // token) group; past FoldWidth the fold runs as a TREE
+    // (EStep.orderedTreeFold), so the per-group buffer must stay <=
+    // FoldWidth — FLAT — as the partition count grows, and wall time
+    // near-linear in total partials. Synthesizes kind-0-shaped partials
+    // (vocab tokens x 2 partials/partition) at rising p; the probe in
+    // VectorOps records the largest buffer any fold level held.
+    if (!bpeOnly && only.forall(_.exists("nwt_fold".contains(_)))) {
+      val vocab = 100L
+      val T = 8
+      for (p <- Seq(64L, 512L, 4096L, 32768L)) {
+        val span = 2L * p
+        val partials = spark.range(0L, vocab * span).select(
+          lit("@default_class").as("class_id"),
+          concat(lit("tok"), (col("id") % vocab).cast("string")).as("token"),
+          (col("id") / vocab).cast("long").as("fk"),
+          transform(sequence(lit(0), lit(T - 1)),
+            t => ((pmod(col("id") * 31 + t, lit(97))).cast("float") / lit(7f))
+              .cast("float")).as("vec"))
+        graft.functions.VectorOps.bufferProbeEnabled = true
+        graft.functions.VectorOps.maxOrderedBuffer.set(0)
+        // consume the folded vectors (a bare count() would let Catalyst
+        // prune the aggregate expression away)
+        val sec = time {
+          graft.operators.EStep.orderedTreeFold(partials, span)
+            .select(sum(element_at(col("weights"), 1))).head
+        }
+        val buf = graft.functions.VectorOps.maxOrderedBuffer.get()
+        graft.functions.VectorOps.bufferProbeEnabled = false
+        val rows = vocab * span
+        println(f"SCALE nwt_fold parts=$p%6d rows=$rows%9d  ${sec}%8.2f s  ${rows / sec}%11.0f rows/s  maxGroupBuffer=$buf%4d")
+        spark.catalog.clearCache()
+      }
+    }
+
     // BPE merge-count scaling at FIXED corpus: exact BPE is sequential in
     // the merge count, so the per-merge cost must stay FLAT as numMerges
     // grows (the replace stack is cut every `checkpointEvery` rounds —
