@@ -149,6 +149,46 @@ object StreamReplay {
     * This is the replay-harness twin of sizing
     * spark.sql.shuffle.partitions to state volume on a real cluster;
     * output values are partitioning-independent (oracle-certified). */
+  /** State partitioning for the PER-KEY STATE MACHINE replays
+    * (sessionize, asof, funnel, retention, markov, interarrival,
+    * cumulative — flatMapGroupsWithState over ~user-count state, ~1.5k
+    * rows at sf0.1): their per-event work is a cheap state update, so
+    * with 32 state partitions the micro-batch cost is per-partition
+    * store commit/maintenance — addBatch ≫ compute (round-11 driver
+    * record: asof 7.3 s addBatch over 3 micro-batches holding 1,500
+    * rows). Sizing state partitions to state volume is the §26g rule
+    * the range join already applies; measured ladder on this family in
+    * PLANS §27. NOT applied to the watermarked window aggregations
+    * (windowCounts/dau/topUsers/heavyHitters/...): those shuffle the
+    * FULL feed through the aggregation, and 8 tasks on 32 cores
+    * starves the compute-bound stage (measured 3-5× slower, §26g).
+    * Dev A/B override: SPARK_GRAFT_STATE_PARTS=off|<n> (the ladder in
+    * PLANS §27 was measured through this; the driver never sets it). */
+  private val StateMachinePartitions: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS") match {
+      case Some("off") => None
+      case Some(n) => Some(n.toInt)
+      case None => Some(8)
+    }
+
+  /** State-store provider A/B knob (SPARK_GRAFT_STATESTORE=rocksdb):
+    * Spark ships RocksDBStateStoreProvider for exactly the
+    * per-partition-bookkeeping tax the HDFSBacked default pays on these
+    * replays. Measured on this harness (PLANS §27b): RocksDB is
+    * uniformly 1.4-7× SLOWER per entry (asof 2.6→4.7 s, range join
+    * 2.6→19.1 s, dau 4.1→21.3 s isolated-warm) — each replay opens
+    * FRESH stores for 2-4 micro-batches, so RocksDB pays per-partition
+    * instance open + SST/compaction cost without ever amortizing it
+    * over a long-running query, and the 4-stores-per-partition join /
+    * full-feed dedup shapes multiply it. Negative result recorded
+    * §26g-style; a real deployment with days-long queries and
+    * larger-than-heap state is where RocksDB wins, so the knob stays. */
+  private val StateStoreProviderClass: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATESTORE").collect {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
+
   private def replay(spark: SparkSession, dir: String,
       filesPerTrigger: Int = 1, shufflePartitions: Option[Int] = None)
       (op: DataFrame => DataFrame): DataFrame = {
@@ -156,8 +196,11 @@ object StreamReplay {
     val prevTz = spark.conf.get(tzKey)
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = spark.conf.get(spKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
     spark.conf.set(tzKey, "UTC")
     shufflePartitions.foreach(p => spark.conf.set(spKey, p.toString))
+    StateStoreProviderClass.foreach(c => spark.conf.set(provKey, c))
     try {
       val stage = stageDir(spark, dir)
       val stream = spark.readStream.schema(eventSchema)
@@ -172,6 +215,10 @@ object StreamReplay {
     } finally {
       spark.conf.set(tzKey, prevTz)
       spark.conf.set(spKey, prevSp)
+      if (StateStoreProviderClass.isDefined) prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
     }
   }
 
@@ -1320,7 +1367,7 @@ object StreamReplay {
     * sessions (1-based in start order per user — identical numbering to
     * the batch running-sum since sessions are disjoint). */
   def sessionize(spark: SparkSession, dir: String, gapNs: Long): DataFrame = {
-    val sess = replay(spark, dir) { ev =>
+    val sess = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.sessionize(
         ev, gapSeconds = gapNs / 1000000000L, watermark = "30 minutes").toDF()
     }
@@ -1423,7 +1470,7 @@ object StreamReplay {
     * [event_id, user_id, ts_ns, matched_event_id, matched_ts, gap_ns]. */
   def asof(spark: SparkSession, dir: String, leftType: String,
       rightType: String): DataFrame = {
-    val out = replay(spark, dir) { ev =>
+    val out = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.asofStream(
         ev.withColumn("ts_ns",
           unix_micros(col("ts").cast(TimestampType)) * 1000L),
@@ -1479,7 +1526,7 @@ object StreamReplay {
   def funnel(spark: SparkSession, dir: String, steps: Seq[String],
       horizonNs: Long): DataFrame = {
     import spark.implicits._
-    val reached = replay(spark, dir) { ev =>
+    val reached = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.funnelStream(
         ev.withColumn("ts_ns",
           unix_micros(col("ts").cast(TimestampType)) * 1000L),
@@ -1584,7 +1631,7 @@ object StreamReplay {
     * (user, cohort, offset) first-activity row per pair, the rollup
     * counts them. */
   def retention(spark: SparkSession, dir: String, bucketNs: Long): DataFrame = {
-    val visits = replay(spark, dir) { ev =>
+    val visits = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.retentionStream(
         ev.withColumn("ts_ns",
           unix_micros(col("ts").cast(TimestampType)) * 1000L),
@@ -1629,7 +1676,7 @@ object StreamReplay {
     * runs in the stream, then the SAME
     * [[graft.pipeline.Temporal.transitionMatrix]] aggregation as batch. */
   def markov(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = replay(spark, dir) { ev =>
+    val pairs = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.markovStream(
         ev.withColumn("ts_ns",
           unix_micros(col("ts").cast(TimestampType)) * 1000L)).toDF()
@@ -1649,7 +1696,7 @@ object StreamReplay {
     * [[graft.pipeline.Temporal.interarrivalFromGaps]] aggregate at the
     * sink — gated by the batch events_interarrival SQL. */
   def interarrival(spark: SparkSession, dir: String): DataFrame = {
-    val gaps = replay(spark, dir) { ev =>
+    val gaps = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.interarrivalStream(
         ev.withColumn("ts_ns",
           unix_micros(col("ts").cast(TimestampType)) * 1000L)).toDF()
@@ -1659,7 +1706,7 @@ object StreamReplay {
   }
 
   def cumulative(spark: SparkSession, dir: String): DataFrame = {
-    val out = replay(spark, dir) { ev =>
+    val out = replay(spark, dir, shufflePartitions = StateMachinePartitions) { ev =>
       StreamingPipeline.cumulativeStream(
         ev.withColumn("ts_ns",
           unix_micros(col("ts").cast(TimestampType)) * 1000L)).toDF()
