@@ -284,6 +284,11 @@ object SparkEntry {
   // 50 keeps the excision selective (and the scrub's hit set small)
   private val FacadeBoilerMinDocs = 50L
   private val SemCells = 16        // semantic-dedup spherical cells
+  private val TreeCells = 64       // ann_ivfpq_tree cell count: at 64 the
+                                   // IMI tree's gates are REAL (3 grands
+                                   // probe 2, 8 parents probe 2) — 16
+                                   // would make every floor cover the
+                                   // whole layer (probe-everything)
   private val SemThreshold = 0.9
   private val PqSubspaces = 4      // product-quantization subspaces (dim 64 -> 16 each)
   private val PqCentroids = 16
@@ -1878,6 +1883,27 @@ object SparkEntry {
           numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
           pqCentroids = PqCentroids, iters = 0, pqIters = 0,
           sampleSize = AnnSample)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // the IMI TREE ROUTER on the oracle path (round-12): the same
+    // IVF-PQ serve as ann_ivfpq but BOTH the corpus cell assignment and
+    // the query probes route through the 2-level gated tree
+    // (graft.functions.TreeProbes — grandparents over parents over
+    // cells), at 64 cells so the gates actually prune (3 grandparents
+    // probe 2, 8 parents probe 2). The oracle replays buildRouter's two
+    // Lloyd levels and the gated probe chain (+ the empty-gate exact
+    // fallback) in SQL, so routing, gating, assignment, ADC and ranks
+    // are all hash-pinned — the log-depth 100 TB router is certified by
+    // the same gate as the flat one.
+    "ann_ivfpq_tree" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.pipeline.Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+          numCentroids = TreeCells, nprobe = 4, m = PqSubspaces,
+          pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+          sampleSize = AnnSample, hierarchicalRouting = true,
+          routerLevels = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
@@ -5137,6 +5163,9 @@ object SparkEntry {
       AnnQueries, AnnK, PqSubspaces, PqCentroids, AnnSample, dim = 64),
     "ann_ivfpq" -> graft.pipeline.PipelineSql.annIvfPq(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64),
+    "ann_ivfpq_tree" -> graft.pipeline.PipelineSql.annIvfPqTree(
+      AnnQueries, AnnK, TreeCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "ann_incremental" -> graft.pipeline.PipelineSql.annIvfPqIncremental(
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,

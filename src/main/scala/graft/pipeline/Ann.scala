@@ -1082,10 +1082,11 @@ object Ann {
       numCentroids: Int = 16, nprobe: Int = 4, m: Int = 4,
       pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
       sampleSize: Int = 10000, trainDistributed: Boolean = false,
-      hierarchicalRouting: Boolean = false): DataFrame =
+      hierarchicalRouting: Boolean = false, routerLevels: Int = 1): DataFrame =
     queryIvfPq(
       buildIvfPq(corpus, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting),
+        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting,
+        routerLevels),
       queries, k, nprobe, idCol, vecCol)
 
   /** INCREMENTAL index add — the daily-ingest ANN lifecycle (the
