@@ -37,6 +37,13 @@ import scala.util.control.NonFatal
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // child mode: time the named entries in a FRESH JVM (the isolated
+    // tie-breaker that separates session context from plan cost —
+    // previously dev lore via graft.EntryTime, now part of the bench
+    // record). Prints one "ISOWARM <name> <warm-sec>" line per entry.
+    if (args.length >= 2 && args(0) == "--isolated") {
+      isolatedMain(args(1).split(",").toSeq); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -52,6 +59,13 @@ object Bench {
       // attribution columns), i.e. per-task Janino recompiles after
       // cache eviction; 10000 re-covers two full sweeps
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // a 656-query double sweep generates heap garbage (drained sink
+      // rows, plan trees, provider state) that the JVM never collects
+      // on its own under a big -Xmx; uncollected driver garbage showed
+      // up as gc_ms inflation of UNRELATED late entries (r11:
+      // embed_outliers 6.8 s warm with 8.5 s gc). Same knob ScaleCheck
+      // has carried since the 79 GB shuffle-file lesson (PLANS §22).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,9 +73,17 @@ object Bench {
     // replay queries terminate before an entry returns, so draining the
     // completed-query queue after each entry attributes exactly
     graft.streaming.StreamStats.install(spark)
+    // drain ONLY when this entry actually started a streaming query —
+    // a fixed post-entry sleep across ~600 non-streaming entries is
+    // ~30+ s of dead time per sweep, and a fixed sleep can misattribute
+    // a slow-arriving event; drainAwait waits for the exact termination
+    // count instead
+    var streamSeen = 0L
     def drainStream(): Seq[graft.streaming.StreamStats.QueryStats] = {
-      Thread.sleep(50) // listener bus is async (same bound as metricSnapshot)
-      val qs = graft.streaming.StreamStats.drain()
+      val started = graft.streaming.StreamStats.started
+      if (started == streamSeen) return Nil
+      streamSeen = started
+      val qs = graft.streaming.StreamStats.drainAwait()
       // unload the finished queries' state-store providers: accumulated
       // providers from hundreds of replays inflate later STATEFUL
       // entries' task CPU (identical state + near-zero GC but multi-×
@@ -169,6 +191,13 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }
     val warmByName = warm.toMap
+    // isolated-warm for the slowest-10 warm entries: a fresh JVM running
+    // the same entries (one subprocess, EntryTime semantics) — when an
+    // in-session warm figure exceeds its isolated twin, the excess is
+    // session context (GC, codegen-cache pressure, provider state), not
+    // the plan; recording both makes the tie-breaker data, not lore
+    val slowWarmNames = warm.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val isoWarm = runIsolated(slowWarmNames, sfDir, cpus)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -197,6 +226,8 @@ object Bench {
         .mkString("{", ",", "}") +
       ",\"stream_warm\":" + streamStatsWarm.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}") +
+      ",\"iso_warm\":" + jmap(slowWarmNames.map(n =>
+        n -> r3(isoWarm.getOrElse(n, -1.0)))) +
       ",\"errors\":" + jmap(errors) + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
       detailJson.getBytes("UTF-8"))
@@ -227,5 +258,70 @@ object Bench {
       s"bench line ${line.length}B exceeds the driver's 2 KiB tail capture")
     println(line)
     spark.stop()
+  }
+
+  /** `--isolated` child body: same session shape as the sweep, each
+    * entry run twice, second (warm) figure printed. */
+  private def isolatedMain(names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+    names.foreach { name =>
+      try {
+        val fn = SparkEntry.queries(name)
+        var warm = -1.0
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          warm = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
+        }
+        println(f"ISOWARM $name $warm%.3f")
+      } catch { case NonFatal(_) => println(s"ISOWARM $name -1.0") }
+    }
+    spark.stop()
+  }
+
+  /** Spawn the `--isolated` child JVM (same jvm binary, same
+    * --add-opens/-Xmx/-D options, same classpath) and parse its ISOWARM
+    * lines. Any child failure degrades to an empty map — the isolated
+    * column is triage data, never a reason to fail the bench. */
+  private def runIsolated(names: Seq[String], sfDir: String,
+      cpus: String): Map[String, Double] = {
+    if (names.isEmpty) return Map.empty
+    try {
+      import scala.jdk.CollectionConverters._
+      val jvm = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(jvm) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "--isolated", names.mkString(","))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().filter(_.startsWith("ISOWARM ")).toList
+      val finished = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) p.destroyForcibly()
+      out.flatMap { l =>
+        l.split(" ") match {
+          case Array(_, n, v) => scala.util.Try(n -> v.toDouble).toOption
+          case _ => None
+        }
+      }.toMap
+    } catch { case NonFatal(_) => Map.empty }
   }
 }

@@ -22,6 +22,10 @@ object Verify {
       // the full sweep (2000 measured short in Bench's double sweep —
       // evicted plans recompile inside tasks, PLANS §26f)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // periodic driver GC: a 328-entry dump accumulates heap garbage a
+      // big -Xmx JVM never collects on its own, inflating late entries
+      // (the Bench/ScaleCheck lesson, PLANS §22/§27c)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
@@ -39,8 +43,9 @@ object Verify {
       spark.catalog.clearCache() // no cross-entry cache leakage
       // the streaming twin of clearCache: drop accumulated state-store
       // providers from replayed queries (they tax later stateful
-      // entries' task time — PLANS §26f)
-      org.apache.spark.sql.GraftColumnBridge.unloadStateStores()
+      // entries' task time — PLANS §26f); the spark-arg form also
+      // reaches executor JVMs under SPARK_GRAFT_MASTER=local-cluster
+      org.apache.spark.sql.GraftColumnBridge.unloadStateStores(spark)
     }
     writeOracleJson(outDir)
     spark.stop()

@@ -44,15 +44,29 @@ object StreamStats {
 
   private val live = new ConcurrentHashMap[java.util.UUID, Acc]()
   private val done = new ConcurrentLinkedQueue[QueryStats]()
-  private val sessions =
-    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // WEAK keys: a strong SparkSession reference here would pin every
+  // installed-on session (and its SparkContext state) for the process
+  // lifetime; the listener lives ON the session, so the session's own
+  // lifecycle owns it. install() is synchronized, covering the
+  // non-thread-safe WeakHashMap.
+  private val sessions = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+  // started/terminated counters: a synchronous-enough signal for callers
+  // to (a) skip draining entirely when an entry ran no streaming query
+  // and (b) wait for the async listener bus to deliver exactly the
+  // terminations it owes before attributing stats to an entry
+  private val startedN = new java.util.concurrent.atomic.AtomicLong(0)
+  private val terminatedN = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Queries the listener has seen start since process boot. */
+  def started: Long = startedN.get()
 
   /** Register the listener on this session (idempotent per session). */
   def install(spark: SparkSession): Unit = synchronized {
-    if (sessions.add(spark)) {
+    if (sessions.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.streams.addListener(new StreamingQueryListener {
         override def onQueryStarted(
-            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+            e: StreamingQueryListener.QueryStartedEvent): Unit =
+          startedN.incrementAndGet()
         override def onQueryProgress(
             e: StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
@@ -76,18 +90,31 @@ object StreamStats {
             done.add(QueryStats(acc.name, acc.batches, acc.peakRows,
               acc.peakBytes, acc.triggerMs, acc.addBatchMs))
           }
+          terminatedN.incrementAndGet()
         }
       })
     }
   }
 
   /** Queries completed since the last drain. Listener delivery is async;
-    * callers that need exact attribution sleep briefly first (the Bench
-    * metricSnapshot convention). */
+    * callers that need exact attribution use [[drainAwait]] (or sleep
+    * briefly first — the old Bench metricSnapshot convention). */
   def drain(): Seq[QueryStats] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[QueryStats]
     var s = done.poll()
     while (s != null) { out += s; s = done.poll() }
     out.toSeq
+  }
+
+  /** [[drain]] after waiting (≤ maxWaitMs) for the listener bus to
+    * deliver a termination event for every started query — replay
+    * queries terminate before their entry returns, so once terminated
+    * catches up to started, attribution to the just-finished entry is
+    * exact rather than a fixed-sleep guess. */
+  def drainAwait(maxWaitMs: Long = 2000): Seq[QueryStats] = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    while (terminatedN.get() < startedN.get() && System.nanoTime() < deadline)
+      Thread.sleep(5)
+    drain()
   }
 }

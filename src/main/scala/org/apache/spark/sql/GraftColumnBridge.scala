@@ -11,18 +11,40 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Unload every loaded state-store provider on this JVM (local-mode
-    * executor side). A bench/verify session that replays hundreds of
-    * streaming queries leaves each query's HDFSBacked providers loaded
-    * until the maintenance cycle notices the query is gone; in a
-    * 656-query sweep the accumulated provider set inflates later
-    * STATEFUL entries' task CPU (round-11 measurement: identical state
-    * rows/bytes and near-zero GC but multi-x executorRunTime — provider
-    * bookkeeping, not the plan). Spark scopes StateStore private[sql],
-    * hence this bridge. Safe between queries: the next stateful query
-    * reloads its providers from the checkpoint. */
+  /** Unload every loaded state-store provider on THIS JVM. A
+    * bench/verify session that replays hundreds of streaming queries
+    * leaves each query's HDFSBacked providers loaded until the
+    * maintenance cycle notices the query is gone; in a 656-query sweep
+    * the accumulated provider set inflates later STATEFUL entries' task
+    * CPU (round-11 measurement: identical state rows/bytes and
+    * near-zero GC but multi-x executorRunTime — provider bookkeeping,
+    * not the plan). Spark scopes StateStore private[sql], hence this
+    * bridge. Safe between queries: the next stateful query reloads its
+    * providers from the checkpoint.
+    *
+    * SCOPE: local-mode only — under local-cluster / a real cluster the
+    * providers live in executor processes this call never reaches; use
+    * [[unloadStateStores(spark*]] there. */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
+  /** [[unloadStateStores()]] on the driver AND (best-effort) on every
+    * executor JVM — the multi-JVM certification mode
+    * (SPARK_GRAFT_MASTER=local-cluster) keeps providers in executor
+    * processes, where the no-arg form silently no-ops. One short task
+    * per executor slot ×2 statistically covers every executor; a missed
+    * one just keeps paying the bookkeeping it already paid, so
+    * best-effort is sound. */
+  def unloadStateStores(spark: SparkSession): Unit = {
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+    val sc = spark.sparkContext
+    if (!sc.isLocal) {
+      val slots = math.max(1, sc.defaultParallelism * 2)
+      sc.parallelize(0 until slots, slots).foreach { _ =>
+        org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+      }
+    }
+  }
 
   /** Eager Column → Catalyst conversion for FunctionRegistry builders
     * (GraftFunctions): `expression` returns a LAZY ColumnNodeExpression
