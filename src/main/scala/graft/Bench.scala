@@ -46,8 +46,13 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // multi-JVM cost measurement (round 12, PLANS §27d): the same knob
+    // Verify carries — SPARK_GRAFT_MASTER=local-cluster[e,c,m] runs the
+    // sweep across executor processes (real task/broadcast
+    // serialization costs); SPARK_GRAFT_JARS must then list the app jar
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // 273 entries generate far more than the default 100 cached
       // codegen classes; with the default, later entries (measured on
@@ -67,7 +72,8 @@ object Bench {
       // has carried since the 79 GB shuffle-file lesson (PLANS §22).
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // streaming state/duration rollups per entry (see StreamStats):
     // replay queries terminate before an entry returns, so draining the
