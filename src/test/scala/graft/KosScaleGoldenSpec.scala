@@ -40,18 +40,12 @@ class KosScaleGoldenSpec extends SparkSpec {
   private def opts(pairs: (String, String)*): Cli.Opts =
     Cli.Opts(pairs.groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap)
 
-  test("BASELINE row-1 config at kos scale: CLI UCI ingest + regularized fit golden") {
-    val base = Files.createTempDirectory("kos-scale")
-    val docword = base.resolve("docword").toString
-    val vocabPath = base.resolve("vocab.txt").toString
-    val scoresOut = base.resolve("scores").toString
-    val modelDir = base.resolve("model").toString
-
-    // kos shape: 3430 docs, ~6.9k Zipf-distributed types with latent
-    // topic structure (see scaladoc): each doc belongs to one of 15
-    // planted themes; 60% of its occurrences draw their variant from
-    // the theme's band, the rest from the global Zipf — so the EM has
-    // real structure to recover, like a real collection
+  /** The kos-shaped synthetic corpus (see class scaladoc): 3430 docs,
+    * ~6.9k Zipf-distributed types with 15 planted themes; each doc
+    * belongs to one theme, 60% of its occurrences draw their variant
+    * from the theme's band, the rest from the global Zipf — so the EM
+    * has real structure to recover, like a real collection. */
+  private def synthDocs(): org.apache.spark.sql.Dataset[graft.core.Doc] = {
     import spark.implicits._
     val Themes = 15
     val Band = 15
@@ -64,7 +58,7 @@ class KosScaleGoldenSpec extends SparkSpec {
       val k = math.pow(1.0 - u * (1.0 - 1.0 / math.sqrt(n + 1.0)), -2.0) - 1.0
       math.max(0, math.min(n - 1, k.toInt))
     }
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .orderBy("doc_id").limit(3430)
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
@@ -86,6 +80,16 @@ class KosScaleGoldenSpec extends SparkSpec {
             graft.functions.Rng.DefaultClass, t, g.length.toFloat) }
         graft.core.Doc(id, s"doc$id", bag, Array.empty[graft.core.Txn])
       }
+  }
+
+  test("BASELINE row-1 config at kos scale: CLI UCI ingest + regularized fit golden") {
+    val base = Files.createTempDirectory("kos-scale")
+    val docword = base.resolve("docword").toString
+    val vocabPath = base.resolve("vocab.txt").toString
+    val scoresOut = base.resolve("scores").toString
+    val modelDir = base.resolve("model").toString
+
+    val docs = synthDocs()
     graft.sources.UciReader.write(docs, docword, vocabPath)
 
     Cli.run(spark, opts(
@@ -144,5 +148,59 @@ class KosScaleGoldenSpec extends SparkSpec {
     // sparsifies further) — SmoothSparsePhi τ<0 clips (n_wt + r_wt) < 0
     // cells to exact zeros, so this certifies the clip path end-to-end
     assert(math.abs(sPhi - 0.848039) < 0.002)
+  }
+
+  /** hARTM at kos scale (round-12 stretch): the reference
+    * hierarchy_utils.py workflow — a 5-topic root, then a 15-topic
+    * child fit on corpus + the parent PSEUDO-BATCH (one pseudo-doc per
+    * parent topic carrying the parent's p_wt column, reference
+    * ConvertTopicModelToPseudoBatch) — so the parent-pseudo-batch path
+    * gets the same end-to-end trajectory pin the flat fit has. Psi =
+    * p(child topic | parent topic) from the pseudo-docs' theta rows. */
+  test("hARTM 2-level hierarchy at kos scale: child trajectory + Psi golden") {
+    import graft.operators._
+    val docs = synthDocs().cache()
+    val dict = DictionaryOps.gather(docs).cache()
+    val levels = Seq(
+      Fit.Config(numTopics = 5, numCollectionPasses = 8,
+        estep = EStepConfig(numDocumentPasses = 1)),
+      Fit.Config(numTopics = 15, numCollectionPasses = 8,
+        estep = EStepConfig(numDocumentPasses = 1),
+        phiRegularizers = Seq((graft.regularizers.SmoothSparsePhi(), -0.1f))))
+    val res = Hartm.fit(docs, dict, levels, parentWeight = 1.0f, seed = 42)
+
+    val perpRoot = res(0).fit.scores.map(_.perplexity)
+    val perpChild = res(1).fit.scores.map(_.perplexity)
+    info(s"root perplexity:  ${perpRoot.map(p => f"$p%.3f").mkString(", ")}")
+    info(s"child perplexity: ${perpChild.map(p => f"$p%.3f").mkString(", ")}")
+
+    // shape: both levels descend; the child (more topics + the parent
+    // batch) ends below the root
+    assert(perpRoot.length === 8 && perpChild.length === 8)
+    assert(perpRoot.last < perpRoot.head)
+    assert(perpChild.last < perpRoot.last)
+
+    // Psi: one row per parent topic, a distribution over 15 child topics
+    val psi = res(1).psi.orderBy(col("parent_topic")).collect()
+    assert(psi.length === 5)
+    psi.foreach { r =>
+      val w = r.getSeq[Float](1)
+      assert(w.length === 15)
+      assert(math.abs(w.map(_.toDouble).sum - 1.0) < 1e-3,
+        s"Psi row ${r.getString(0)} must be a distribution, got sum ${w.sum}")
+      assert(w.forall(x => x >= 0f && x <= 1f))
+    }
+
+    // GOLDEN (pinned from the first certified run; ordered folds make
+    // refits bit-identical at fixed topology, eps absorbs topology
+    // changes of the test session only)
+    val goldenChild = Seq(
+      6755.355, 2540.501, 2519.633, 2491.399,
+      2430.322, 2296.714, 2049.034, 1726.362)
+    perpChild.zip(goldenChild).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1.0,
+        f"child perplexity pass $i: got $got%.3f want $want%.3f")
+    }
+    docs.unpersist(); dict.unpersist()
   }
 }
