@@ -535,7 +535,8 @@ object SparkEntry {
       regs: Seq[(PhiRegularizer, Float)] = Nil,
       maxBroadcastRows: Long = 5000000L,
       useSparseComputation: Boolean = false,
-      cooc: Option[DataFrame] = None): DataFrame =
+      cooc: Option[DataFrame] = None,
+      orderedJoinPhi: Boolean = false): DataFrame =
     memoized(s, dir, key) {
       val tok = relTok(s, dir)
       val corpus = Corpus.fromDocumentsTable(docs(s, dir))
@@ -544,7 +545,8 @@ object SparkEntry {
         numTopics = T, numCollectionPasses = Passes,
         estep = EStepConfig(numDocumentPasses = 1,
           useSparseComputation = useSparseComputation),
-        phiRegularizers = regs, cooc = cooc, maxBroadcastRows = maxBroadcastRows))
+        phiRegularizers = regs, cooc = cooc, maxBroadcastRows = maxBroadcastRows,
+        orderedJoinPhi = orderedJoinPhi))
       val local = PhiOps.phiFromLocal(s, PhiOps.collectPhi(fit.pwt, T))
       fit.unpersist()
       local
@@ -710,6 +712,14 @@ object SparkEntry {
     // path now has both a correctness row and a tracked bench wall-time.
     "artm_fit_offline_joinphi" -> ((s, dir) =>
       kernelTopTokens(kernelFitLocal(s, dir, "kfitjoin", maxBroadcastRows = 0L))),
+    // §2.4 the JOIN-BASED path with the round-12 DETERMINISTIC folds
+    // (Config.orderedJoinPhi: doc-keyed tree fold for n_wt, hash-ranged
+    // tree for the normalizers) — the huge-vocab path's bit-reproducible
+    // variant under the same rank-only oracle; differs from the default
+    // joinphi row only in float32 association, which rank-only absorbs.
+    "artm_fit_joinphi_ordered" -> ((s, dir) =>
+      kernelTopTokens(kernelFitLocal(s, dir, "kfitjoinord",
+        maxBroadcastRows = 0L, orderedJoinPhi = true))),
     // §2.4 KERNEL fit_online under the oracle (rank-only): the decay-merge
     // loop (Fit.fitOnline) on the two doc-parity chunks vs the online
     // mirror chain
@@ -4618,6 +4628,7 @@ object SparkEntry {
     "artm_fit_regularized_kernel" ->
       RelationalEmSql.topTokensRankOnly(T, Passes, TopK, Some(RegTaus)),
     "artm_fit_offline_joinphi" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
+    "artm_fit_joinphi_ordered" -> RelationalEmSql.topTokensRankOnly(T, Passes, TopK),
     "artm_fit_online_kernel" ->
       RelationalEmSql.topTokensOnlineRankOnly(T, OnlineTau0, OnlineKappa, TopK),
     "artm_fit_online_stream" ->

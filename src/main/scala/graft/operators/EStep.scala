@@ -160,7 +160,15 @@ object EStep {
         i += 1
       }
       val miniPhi = new PhiLocal(classIds, toks, flat, numTopics)
-      dIt.flatMap(doc => kernel(Iterator((doc, null)), miniPhi, cfg))
+      // kind-0 partials here are PER DOCUMENT (one kernel call per doc), so
+      // tag them with the doc id — [[nwtOrderedByDoc]] derives a unique
+      // deterministic fold key from (doc_id, pre/raw parity), giving the
+      // huge-vocab path the same any-executor-count bit-reproducibility as
+      // the broadcast path (opt-in via Fit.Config.orderedJoinPhi). The
+      // unordered sum ignores the tag, so the default path is unchanged.
+      dIt.flatMap(doc => kernel(Iterator((doc, null)), miniPhi, cfg).map { o =>
+        if (o.kind == 0) o.copy(doc_id = doc.doc_id) else o
+      })
     }
   }
 
@@ -740,6 +748,28 @@ object EStep {
     * certified topology (≤ 128 E-step partitions) on the round-11
     * single-level plan. */
   val FoldWidth = 256
+
+  /** Deterministic n_wt for the JOIN-BASED E-step (opt-in via
+    * Fit.Config.orderedJoinPhi): its kind-0 partials are per DOCUMENT
+    * (doc-tagged by [[runJoinBased]]), so the fold key is
+    * 2·(doc_id − minDocId) + pre/raw parity — unique per (class, token)
+    * group — and the multi-level tree bounds every level's buffer at
+    * [[FoldWidth]] even though the key span is CORPUS-sized (⌈log_W
+    * span⌉ grouping levels; most (class, token, range) groups are
+    * sparse, so level-0 state is ∝ the partials themselves, spillable
+    * hash-agg state — never one corpus-sized group). This EXCEEDS the
+    * round-11 contract, which kept the join path on the raced sum
+    * because a single-level ordered fold would have buffered df(token)
+    * rows per group. */
+  def nwtOrderedByDoc(out: Dataset[EStepOut], minDocId: Long,
+      maxDocId: Long): DataFrame = {
+    val partials = out.filter(col("kind") === 0)
+    val span = 2L * (maxDocId - minDocId + 1L)
+    orderedTreeFold(partials.select(col("class_id"), col("token"),
+      ((col("doc_id") - lit(minDocId)) * 2L +
+        pmod(col("position"), lit(2)).cast("long")).as("fk"),
+      col("vec")), span)
+  }
 
   /** Multi-level deterministic fold of uniquely-keyed partials
     * [class_id, token, fk, vec] (0 ≤ fk < keySpan) into

@@ -80,7 +80,17 @@ object Fit {
         * E-step (EStep.runJoinBased): Phi stays distributed instead of
         * being collected + broadcast — the scale path when vocab × topics
         * exceeds one executor. */
-      maxBroadcastRows: Long = 5000000L) {
+      maxBroadcastRows: Long = 5000000L,
+      /** Opt-in determinism for the join-based path: fold its
+        * per-document n_wt partials in (doc, pre/raw) order through the
+        * multi-level tree (EStep.nwtOrderedByDoc) and the per-topic
+        * normalizers through a hash-ranged tree (PhiOps.normalizeModel
+        * vocabRanges) — the fit is then bit-reproducible at any executor
+        * count, like the broadcast path. Costs ⌈log_256(2·docSpan)⌉
+        * grouping levels per pass instead of one and ~FoldWidth× larger
+        * (spillable) aggregation state; off = the reference's
+        * per-topology determinism with the lean streaming sum. */
+      orderedJoinPhi: Boolean = false) {
     def resolvedTopicNames: Seq[String] =
       if (topicNames.nonEmpty) topicNames else (0 until numTopics).map(i => s"topic_$i")
   }
@@ -171,20 +181,34 @@ object Fit {
     var out: Dataset[EStepOut] = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
     val (regCtx, regRetained) = prepareRegCtx(docs.sparkSession, cfg)
+    // ordered mode needs the doc-id span for the tree-fold keys — one
+    // cheap narrow job per fit (ids don't change across passes)
+    val docSpan = if (cfg.orderedJoinPhi) {
+      val r = docs.toDF().agg(min(col("doc_id")), max(col("doc_id"))).head()
+      Some((r.getLong(0), r.getLong(1)))
+    } else None
     var pass = 0
     while (pass < cfg.numCollectionPasses) {
       val prevOut = out
       out = EStep.runJoinBased(docs, pwt, cfg.numTopics, cfg.estep)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // per-document partials: the ordered fold would buffer df(token)
-      // rows per group — this path keeps the streaming (raced) sum and
-      // the reference's per-topology determinism (see EStep.nwt)
-      nwt = EStep.nwt(out, ordered = false)
+      // default: per-document partials through the streaming (raced) sum
+      // — the reference's per-topology determinism with minimal state.
+      // orderedJoinPhi: the doc-keyed multi-level tree fold + hash-ranged
+      // normalizer fold — bit-reproducible at any executor count (see
+      // EStep.nwtOrderedByDoc / Config.orderedJoinPhi for the trade).
+      nwt = docSpan match {
+        case Some((lo, hi)) => EStep.nwtOrderedByDoc(out, lo, hi)
+        case None => EStep.nwt(out, ordered = false)
+      }
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
       theta = EStep.theta(out)
       val rwt = regularize(pwt, nwt, cfg, regCtx)
-      val newPwt = PhiOps.normalizeModel(nwt, rwt, ordered = false)
-        .localCheckpoint(true)
+      val newPwt = (docSpan match {
+        case Some(_) => PhiOps.normalizeModel(nwt, rwt, ordered = true,
+          vocabRanges = PhiOps.HugeVocabNormalizerRanges)
+        case None => PhiOps.normalizeModel(nwt, rwt, ordered = false)
+      }).localCheckpoint(true)
       pwt.unpersist(false)
       pwt = newPwt
       if (prevOut != null) prevOut.unpersist(false)

@@ -71,8 +71,25 @@ object PhiOps {
     * Plan shape: one groupBy(class_id) vector-sum (few rows out — one per
     * modality) broadcast-joined back; the division is a codegen'd
     * higher-order zip_with. No second shuffle. */
+  /** Hash-range count for the huge-vocab ordered normalizer fold (see
+    * [[normalizeModel]] vocabRanges): per-(class, range) buffer ≈
+    * vocab / 4096, and the cross-range tree adds ⌈log_256(4096)⌉ = 2
+    * levels — flat per-group memory without the broadcast-vocab bound. */
+  val HugeVocabNormalizerRanges = 4096
+
   def normalizeModel(nwt: DataFrame, rwt: Option[DataFrame] = None,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      /** > 0 (with ordered): fold each class's normalizer as a TREE —
+        * tokens hash into this many ranges, each range folds in token
+        * order, range sums fold by range ordinal (EStep.orderedTreeFold)
+        * — so no group ever buffers the whole vocabulary. For the
+        * join-phi huge-vocab path, where the single-level token-ordered
+        * fold's vocab-sized buffer is exactly the bound that path
+        * exists to avoid. 0 = single-level fold (the broadcast-Phi
+        * paths; ≤ vocab-sized buffer, the bound the broadcast already
+        * carries). Both are deterministic; they differ in float32
+        * association, so a fit must pick one and stay with it. */
+      vocabRanges: Int = 0): DataFrame = {
     val spark = nwt.sparkSession
     import spark.implicits._
 
@@ -97,7 +114,19 @@ object PhiOps {
     val positive = adjusted.select($"class_id", $"token",
       transform($"weights", w => when(w > 0f, w).otherwise(lit(0f))).as("pos"))
     val normalizers =
-      if (ordered)
+      if (ordered && vocabRanges > 0)
+        // two-level: token-ordered fold within each hash range, then the
+        // range sums through the ordinal tree (constant token column —
+        // orderedTreeFold groups on (class_id, token), so lit("") makes
+        // the group per class)
+        EStep.orderedTreeFold(
+          positive.groupBy($"class_id",
+              pmod(hash($"token"), lit(vocabRanges)).cast("long").as("fk"))
+            .agg(VectorOps.orderedVectorSum($"token", $"pos").as("vec"))
+            .withColumn("token", lit("")),
+          vocabRanges.toLong)
+          .select($"class_id", $"weights".as("n_t"))
+      else if (ordered)
         positive.groupBy($"class_id")
           .agg(VectorOps.orderedVectorSum($"token", $"pos").as("n_t"))
       else

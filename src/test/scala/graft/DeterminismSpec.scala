@@ -73,6 +73,31 @@ class DeterminismSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("join-phi refit with orderedJoinPhi is bit-identical (the huge-vocab path)") {
+    // round 12: the join-based (distributed-Phi) path kept the raced
+    // streaming sum through round 11 because a single-level ordered fold
+    // would buffer df(token) rows per group; the doc-keyed TREE fold +
+    // hash-ranged normalizer close that — certify refit bit-equality
+    // with the joint path forced (maxBroadcastRows = 0)
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = graft.sources.Corpus.fromDocumentsTable(docsTable).cache()
+    val dict = DictionaryOps.gather(corpus).cache()
+    val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 3)
+    val cfg = Fit.Config(numTopics = 8, numCollectionPasses = 2,
+      estep = EStepConfig(numDocumentPasses = 2),
+      phiRegularizers = Seq((graft.regularizers.SmoothSparsePhi(), -0.05f)),
+      maxBroadcastRows = 0L, orderedJoinPhi = true)
+    val a = Fit.fitOffline(corpus, pwt0, cfg)
+    val b = Fit.fitOffline(corpus, pwt0, cfg)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("class_id"), col("token"), col("weights"))
+    val diff = key(a.pwt).unionByName(key(b.pwt))
+      .groupBy(col("class_id"), col("token"), col("weights"))
+      .count().filter(col("count") =!= 2).count()
+    assert(diff === 0L, s"ordered join-phi refit changed $diff phi rows")
+    assert(a.scores.map(_.perplexity) === b.scores.map(_.perplexity))
+  }
+
   test("orderedTreeFold: partitioning-independent bits, buffer <= FoldWidth per group") {
     import spark.implicits._
     val T = 4
