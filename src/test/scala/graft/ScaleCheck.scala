@@ -817,6 +817,19 @@ object ScaleCheck {
             Fit.Config(numTopics = 8, numCollectionPasses = 2,
               estep = EStepConfig(numDocumentPasses = 1),
               maxBroadcastRows = 0L)).pwt.count()
+        },
+        entry("kernel_fit joinphi ORDERED fold") {
+          // round 12: the deterministic doc-keyed tree fold + hash-ranged
+          // normalizer on the same join-phi fit — the ladder certifies
+          // the determinism premium stays a bounded constant factor as
+          // the corpus (and so the fold-key span) grows
+          val corpus = Corpus.fromDocumentsTable(docsR)
+          val dict = DictionaryOps.gather(corpus)
+          val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 42)
+          Fit.fitOffline(corpus, pwt0,
+            Fit.Config(numTopics = 8, numCollectionPasses = 2,
+              estep = EStepConfig(numDocumentPasses = 1),
+              maxBroadcastRows = 0L, orderedJoinPhi = true)).pwt.count()
         }
       ).flatten
       results.foreach { case (name, sec) =>
