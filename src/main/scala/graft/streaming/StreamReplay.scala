@@ -787,15 +787,28 @@ object StreamReplay {
       reportK: Int): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val pieces = mapDocs(spark, dir) { st =>
-      st.select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
-        .as[String]
-        .flatMap(w => graft.pipeline.Unigram.segment(w, bc.value))
-        .toDF("piece")
+    // pieces pre-counted PER DOC in-stream, one packed row per doc — the
+    // memory sink (and its driver collect) pays per-ROW overhead, and a
+    // piece-per-row stream shipped millions of rows through it
+    // (bpe_encode_stream lesson; measured 6.6 s → isolated re-measure
+    // after packing). Counts are integers, so the pack is exact.
+    val perDoc = mapDocs(spark, dir) { st =>
+      st.select(split(lower(col("text")), "[^a-z]+").as("words"))
+        .as[Seq[String]]
+        .map { ws =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          ws.foreach { w =>
+            if (w.nonEmpty && w.length <= maxWordLen)
+              graft.pipeline.Unigram.segment(w, bc.value)
+                .foreach(p => m.update(p, m.getOrElse(p, 0L) + 1L))
+          }
+          m.toArray.unzip
+        }.toDF("pieces", "ns")
     }
-    val counts = pieces.groupBy(col("piece"))
-      .agg(count(lit(1)).as("c"))
+    val counts = perDoc
+      .select(explode(arrays_zip(col("pieces"), col("ns"))).as("z"))
+      .groupBy(col("z.pieces").as("piece"))
+      .agg(sum(col("z.ns")).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     graft.pipeline.Unigram.report(spark, counts, model.lnp.size, reportK)
   }
