@@ -398,10 +398,20 @@ object Fit {
   def cumulativeScores(pass: Int, out: Dataset[EStepOut], numTopics: Int): PassScores = {
     val spark = out.sparkSession
     import spark.implicits._
+    // DECIMAL(38,18) sums: the per-item raw/normalizer partials are
+    // doubles, and a plain double sum associates in shuffle-merge order —
+    // stable within one topology but racing at the last couple of ulps
+    // across executor processes (caught by DeterminismSpec's join-phi leg
+    // under local-cluster: pass-0 perplexity differed in the 15th digit
+    // between identical refits). Fixed-scale decimal addition is exact,
+    // hence order-free; the per-row cast quantizes at 1e-18 (~5e-13
+    // absolute over a million docs — far below every consumer's
+    // tolerance), and the tracker becomes deterministic at any executor
+    // count on BOTH fit paths, matching the model folds.
     val row = out.filter($"kind" === 1)
       .agg(
-        sum($"raw").as("raw"),
-        sum($"normalizer").as("normalizer"),
+        sum($"raw".cast("decimal(38,18)")).cast("double").as("raw"),
+        sum($"normalizer".cast("decimal(38,18)")).cast("double").as("normalizer"),
         sum($"zero_words").as("zero_words"),
         sum($"theta_zeros").as("theta_zeros"),
         count(lit(1)).as("items"),

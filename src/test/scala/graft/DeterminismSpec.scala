@@ -73,6 +73,28 @@ class DeterminismSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("refit is bit-identical when the tree fold engages (>128 E-step partitions)") {
+    // 160 corpus partitions -> 320 fold keys > FoldWidth=256: the n_wt
+    // fold runs TWO tree levels in a real fit (not just the synthetic
+    // orderedTreeFold probe) — certify refit bit-equality there too
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = graft.sources.Corpus.fromDocumentsTable(docsTable)
+      .repartition(160).cache()
+    val dict = DictionaryOps.gather(corpus).cache()
+    val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 3)
+    val cfg = Fit.Config(numTopics = 8, numCollectionPasses = 2,
+      estep = EStepConfig(numDocumentPasses = 1))
+    val a = Fit.fitOffline(corpus, pwt0, cfg)
+    val b = Fit.fitOffline(corpus, pwt0, cfg)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("class_id"), col("token"), col("weights"))
+    val diff = key(a.pwt).unionByName(key(b.pwt))
+      .groupBy(col("class_id"), col("token"), col("weights"))
+      .count().filter(col("count") =!= 2).count()
+    assert(diff === 0L, s"tree-fold refit changed $diff phi rows")
+    corpus.unpersist(); dict.unpersist()
+  }
+
   test("join-phi refit with orderedJoinPhi is bit-identical (the huge-vocab path)") {
     // round 12: the join-based (distributed-Phi) path kept the raced
     // streaming sum through round 11 because a single-level ordered fold
