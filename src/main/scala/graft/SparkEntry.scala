@@ -1976,6 +1976,19 @@ object SparkEntry {
           pqCentroids = PqCentroids, sampleSize = AnnSample)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // streaming: the TREE-ROUTED online serve — the 2-level IMI index
+    // builds in batch (TreeProbes assignment), round-trips through AnnIO
+    // (router_levels persisted, so the loaded index serves with exactly
+    // the router that assigned it), and the query stream routes through
+    // the SAME gated tree in-stream; gated by the ann_ivfpq_tree SQL, so
+    // build, persistence, streamed routing and ranks are pinned together.
+    "ann_serve_tree_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.annServe(s, dir, numQueries = AnnQueries,
+          k = AnnK, numCentroids = TreeCells, nprobe = 4, m = PqSubspaces,
+          pqCentroids = PqCentroids, sampleSize = AnnSample,
+          hierarchicalRouting = true, routerLevels = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // streaming: the SQ8 quantized serving path AT INGEST — arriving
     // query vectors encoded against the frozen 2·d codebook (stateless
     // narrow map), int-dot scored against the static code table
@@ -5176,6 +5189,9 @@ object SparkEntry {
       AnnQueries, AnnK, SemCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "ann_ivfpq_tree" -> graft.pipeline.PipelineSql.annIvfPqTree(
+      AnnQueries, AnnK, TreeCells, 4, PqSubspaces, PqCentroids, AnnSample,
+      dim = 64),
+    "ann_serve_tree_stream" -> graft.pipeline.PipelineSql.annIvfPqTree(
       AnnQueries, AnnK, TreeCells, 4, PqSubspaces, PqCentroids, AnnSample,
       dim = 64),
     "ann_incremental" -> graft.pipeline.PipelineSql.annIvfPqIncremental(

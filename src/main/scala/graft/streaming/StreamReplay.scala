@@ -865,13 +865,21 @@ object StreamReplay {
     * bound the batch rank pays). Same oracle as ann_ivfpq. */
   def annServe(spark: SparkSession, dir: String, numQueries: Int, k: Int,
       numCentroids: Int, nprobe: Int, m: Int, pqCentroids: Int,
-      sampleSize: Int): DataFrame = {
+      sampleSize: Int,
+      /** route build assignment AND the in-stream query probes through
+        * the hierarchical router (levels = 2 -> the IMI TreeProbes
+        * tree); AnnIO persists router_levels, so the loaded index
+        * serves with exactly the router that assigned it. */
+      hierarchicalRouting: Boolean = false, routerLevels: Int = 1): DataFrame = {
     val ixDir = artifacts.computeIfAbsent(
-      (spark, s"$dir#annix$numCentroids/$m/$pqCentroids/$sampleSize"), { _ =>
+      (spark, s"$dir#annix$numCentroids/$m/$pqCentroids/$sampleSize/" +
+        s"$hierarchicalRouting/$routerLevels"), { _ =>
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val built = graft.pipeline.Ann.buildIvfPq(emb,
           numCentroids = numCentroids, m = m, pqCentroids = pqCentroids,
-          iters = 0, pqIters = 0, sampleSize = sampleSize)
+          iters = 0, pqIters = 0, sampleSize = sampleSize,
+          hierarchicalRouting = hierarchicalRouting,
+          routerLevels = routerLevels)
         val d = Files.createTempDirectory("graft_ann_serve").toString
         graft.sources.AnnIO.save(built, d)
         d
