@@ -163,7 +163,12 @@ object DictionaryOps {
     pairs
       .join(cooc, Seq("class_id", "token_a", "token_b"), "left")
       .groupBy("class_id", "group")
-      .agg(sum(coalesce(col(valueCol), lit(0.0))).as("pair_sum"))
+      // coherence is surfaced unrounded by the facade (topTokensCoherence /
+      // topicKernelFull): DECIMAL sum so the pair reduction is order-free
+      // across executor topologies (§28 audit; cooc values are float32 or
+      // exact tf counts — 1e-18 quantization is far below either)
+      .agg(sum(coalesce(col(valueCol), lit(0.0)).cast("decimal(38,18)"))
+        .cast("double").as("pair_sum"))
       .join(k, Seq("class_id", "group"))
       .select(col("class_id"), col("group"),
         when(col("k") > 1, col("pair_sum") / (col("k") * (col("k") - 1.0)))

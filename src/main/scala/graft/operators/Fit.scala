@@ -185,6 +185,10 @@ object Fit {
     // cheap narrow job per fit (ids don't change across passes)
     val docSpan = if (cfg.orderedJoinPhi) {
       val r = docs.toDF().agg(min(col("doc_id")), max(col("doc_id"))).head()
+      // min/max over zero rows is a null row; fail with the real cause
+      // instead of an opaque NPE from getLong (r12 ADVICE)
+      require(!r.isNullAt(0),
+        "orderedJoinPhi requires a non-empty corpus (no doc_id span to key the ordered fold)")
       Some((r.getLong(0), r.getLong(1)))
     } else None
     var pass = 0
@@ -408,6 +412,14 @@ object Fit {
     // absolute over a million docs — far below every consumer's
     // tolerance), and the tracker becomes deterministic at any executor
     // count on BOTH fit paths, matching the model folds.
+    // the DECIMAL cast turns non-finite partials into NULL, which a
+    // plain sum would silently drop — a numerically diverged fit would
+    // then report a finite-looking perplexity where the old double sum
+    // propagated NaN and made the divergence visible (r12 ADVICE).
+    // Count non-finite partials explicitly and propagate NaN when any
+    // exist: divergence stays loud, determinism stays exact.
+    def nonFinite(c: org.apache.spark.sql.Column) =
+      isnan(c) || c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity)
     val row = out.filter($"kind" === 1)
       .agg(
         sum($"raw".cast("decimal(38,18)")).cast("double").as("raw"),
@@ -415,14 +427,20 @@ object Fit {
         sum($"zero_words").as("zero_words"),
         sum($"theta_zeros").as("theta_zeros"),
         count(lit(1)).as("items"),
-        sum($"doc_len").as("doc_len"))
+        sum($"doc_len").as("doc_len"),
+        sum(when(nonFinite($"raw") || nonFinite($"normalizer"), 1L)
+          .otherwise(0L)).as("non_finite"))
       .head()
-    val raw = row.getDouble(0)
-    val norm = row.getDouble(1)
-    val zw = row.getLong(2)
-    val tz = row.getLong(3)
     val items = row.getLong(4)
-    val perp = if (norm > 0) math.exp(-raw / norm) else 0.0
+    val bad = if (row.isNullAt(6)) 0L else row.getLong(6)
+    val raw = if (bad > 0) Double.NaN
+      else if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val norm = if (bad > 0) Double.NaN
+      else if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    val zw = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val tz = if (row.isNullAt(3)) 0L else row.getLong(3)
+    val perp = if (bad > 0) Double.NaN
+      else if (norm > 0) math.exp(-raw / norm) else 0.0
     val spTheta = if (items > 0) tz.toDouble / (items.toDouble * numTopics) else 0.0
     PassScores(pass, perp, raw, norm, zw, spTheta, items, norm)
   }

@@ -76,11 +76,19 @@ object Scores {
           .as(Seq("topic", "ptw")))
       .withColumn("pwt", element_at(col("weights"), col("topic") + 1))
       .drop("weights")
+    // purity/contrast are REPORTED metrics (facade/tracker surface them
+    // unrounded): a plain double sum/avg associates in shuffle-merge
+    // order and races at ulp scale across executor processes — the
+    // r11/r12 certification-catch pattern (§27h/§28 rule). Fixed-scale
+    // DECIMAL addition is exact, hence order-free; contrast = decimal
+    // sum / count replaces avg (same null semantics: ptw is never null
+    // past the filter).
     cells.filter(col("ptw") > threshold)
       .groupBy(col("topic"))
       .agg(count(lit(1)).as("size"),
-        sum(col("pwt")).as("purity"),
-        avg(col("ptw")).as("contrast"))
+        sum(col("pwt").cast("decimal(38,18)")).cast("double").as("purity"),
+        (sum(col("ptw").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("contrast"))
       .select(col("topic"), col("size"), col("purity"), col("contrast"))
   }
 
@@ -114,9 +122,14 @@ object Scores {
           .select(col("group").as("topic"), col("coherence"))
         base.join(coh, Seq("topic"), "left")
     }
+    // summary row: decimal-sum/count instead of avg — same order-free
+    // rationale as topicKernel's purity/contrast (sum skips nulls and
+    // count(col) matches avg's null semantics for coherence)
+    def davg(c: org.apache.spark.sql.Column) =
+      (sum(c.cast("decimal(38,18)")) / count(c)).cast("double")
     val averages = withCoh.agg(
-      avg(col("size")).as("size"), avg(col("purity")).as("purity"),
-      avg(col("contrast")).as("contrast"), avg(col("coherence")).as("coherence"))
+      davg(col("size")).as("size"), davg(col("purity")).as("purity"),
+      davg(col("contrast")).as("contrast"), davg(col("coherence")).as("coherence"))
       .select(lit(-1).as("topic"), col("size"), col("purity"), col("contrast"), col("coherence"))
     withCoh.unionByName(averages).orderBy(col("topic"))
   }

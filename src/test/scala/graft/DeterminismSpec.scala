@@ -159,6 +159,54 @@ class DeterminismSpec extends SparkSpec {
     } finally graft.functions.VectorOps.bufferProbeEnabled = false
   }
 
+  test("topicKernel/coherence scores are bit-identical across shuffle topologies (§28 audit)") {
+    // round-13 audit representative for the "instant score" family:
+    // purity/contrast (topicKernel), the topicKernelFull averages row,
+    // and topicCoherence's pair sum were plain double reductions — the
+    // only remaining order-dependent-and-surfaced class after the
+    // r11 (model float folds) and r12 (tracker double sums) catches.
+    // With DECIMAL sums the values must be bit-equal at ANY reduce
+    // topology; changing spark.sql.shuffle.partitions forces a
+    // different merge order, so pre-fix this comparison flips last ulps
+    // (and under local-cluster masters the race is real scheduling).
+    val docsTable = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = Corpus.fromDocumentsTable(docsTable).cache()
+    val dict = DictionaryOps.gather(corpus).cache()
+    val pwt0 = PhiOps.initializeModel(dict, numTopics = 8, seed = 3)
+    val cfg = Fit.Config(numTopics = 8, numCollectionPasses = 2,
+      estep = EStepConfig(numDocumentPasses = 1))
+    val f = Fit.fitOffline(corpus, pwt0, cfg)
+    val pwt = f.pwt.cache(); val nwt = f.nwt.cache()
+    pwt.count(); nwt.count()
+    val cooc = Cooc.gather(corpus, windowWidth = 5).cache()
+    cooc.count()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def scoresAt(parts: String): (Seq[String], Seq[String]) = {
+      spark.conf.set(key, parts)
+      val kern = graft.scores.Scores.topicKernelFull(pwt, nwt, cooc = Some(cooc))
+        .collect().map(r => Seq(r.getInt(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          if (r.isNullAt(4)) "null"
+          else java.lang.Double.doubleToLongBits(r.getDouble(4))).mkString(","))
+        .sorted.toSeq
+      val coh = graft.scores.Scores.topTokensCoherence(pwt, cooc, k = 10)
+        .collect().map(r => r.getInt(0) + "," +
+          java.lang.Double.doubleToLongBits(r.getDouble(1))).sorted.toSeq
+      (kern, coh)
+    }
+    try {
+      val (k5, c5) = scoresAt("5")
+      val (k31, c31) = scoresAt("31")
+      assert(k5 === k31, "topicKernelFull bits changed with reduce topology")
+      assert(c5 === c31, "topTokensCoherence bits changed with reduce topology")
+    } finally spark.conf.set(key, prev)
+    pwt.unpersist(); nwt.unpersist(); cooc.unpersist()
+    corpus.unpersist(); dict.unpersist()
+  }
+
   test("ordered fold rejects duplicate fold keys loudly") {
     import spark.implicits._
     val df = Seq(("c", "t", 0L, Array(1f)), ("c", "t", 0L, Array(2f)))
