@@ -753,7 +753,10 @@ object EStep {
     * Fit.Config.orderedJoinPhi): its kind-0 partials are per DOCUMENT
     * (doc-tagged by [[runJoinBased]]), so the fold key is
     * 2·(doc_id − minDocId) + pre/raw parity — unique per (class, token)
-    * group — and the multi-level tree bounds every level's buffer at
+    * group. Round 13: the fit re-keys the corpus with DENSE doc ranks
+    * before the E-step (Fit.fitOfflineJoinPhi denseCtx), so the span
+    * here is exactly 2·numDocs — sparse original ids no longer inflate
+    * the tree depth. The multi-level tree bounds every level's buffer at
     * [[FoldWidth]] even though the key span is CORPUS-sized (⌈log_W
     * span⌉ grouping levels; most (class, token, range) groups are
     * sparse, so level-0 state is ∝ the partials themselves, spillable

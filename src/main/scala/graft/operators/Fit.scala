@@ -181,34 +181,60 @@ object Fit {
     var out: Dataset[EStepOut] = null
     val scores = scala.collection.mutable.ArrayBuffer.empty[PassScores]
     val (regCtx, regRetained) = prepareRegCtx(docs.sparkSession, cfg)
-    // ordered mode needs the doc-id span for the tree-fold keys — one
-    // cheap narrow job per fit (ids don't change across passes)
-    val docSpan = if (cfg.orderedJoinPhi) {
-      val r = docs.toDF().agg(min(col("doc_id")), max(col("doc_id"))).head()
-      // min/max over zero rows is a null row; fail with the real cause
-      // instead of an opaque NPE from getLong (r12 ADVICE)
-      require(!r.isNullAt(0),
-        "orderedJoinPhi requires a non-empty corpus (no doc_id span to key the ordered fold)")
-      Some((r.getLong(0), r.getLong(1)))
+    // ordered mode: DENSE doc ranks for the tree-fold keys (round 13).
+    // r12 keyed folds by raw (doc_id − min), so sparse ids inflated the
+    // key span ~19× on the §27g ladder (3×10⁸ keys for 1.6×10⁷ docs at
+    // the 16× rung — 1-2 extra grouping levels, each an extra shuffle
+    // per pass). The dense rank — sorted distinct ids zipped with their
+    // global ordinal, a pure function of the id SET (zipWithIndex on a
+    // globally sorted RDD assigns sort ranks regardless of partition
+    // boundaries) — makes the span exactly 2·numDocs. Computed once per
+    // fit (one docs-sized sort), the corpus is re-keyed once and reused
+    // across passes; theta remaps back to the original ids lazily.
+    val denseCtx = if (cfg.orderedJoinPhi) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val mapDF = docs.toDF().select(col("doc_id")).distinct()
+        .orderBy(col("doc_id")).rdd.map(_.getLong(0)).zipWithIndex()
+        .toDF("orig_doc_id", "dense_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = mapDF.count()
+      require(n > 0,
+        "orderedJoinPhi requires a non-empty corpus (no doc ids to key the ordered fold)")
+      val dense = docs.toDF()
+        .join(mapDF.withColumnRenamed("orig_doc_id", "doc_id"), "doc_id")
+        .select(col("dense_id").as("doc_id"), col("title"),
+          col("tokens"), col("txns"))
+        .as[Doc]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dense.count()
+      Some((dense, mapDF, n))
     } else None
+    val fitDocs = denseCtx.map(_._1).getOrElse(docs)
     var pass = 0
     while (pass < cfg.numCollectionPasses) {
       val prevOut = out
-      out = EStep.runJoinBased(docs, pwt, cfg.numTopics, cfg.estep)
+      out = EStep.runJoinBased(fitDocs, pwt, cfg.numTopics, cfg.estep)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // default: per-document partials through the streaming (raced) sum
       // — the reference's per-topology determinism with minimal state.
       // orderedJoinPhi: the doc-keyed multi-level tree fold + hash-ranged
       // normalizer fold — bit-reproducible at any executor count (see
       // EStep.nwtOrderedByDoc / Config.orderedJoinPhi for the trade).
-      nwt = docSpan match {
-        case Some((lo, hi)) => EStep.nwtOrderedByDoc(out, lo, hi)
+      nwt = denseCtx match {
+        case Some((_, _, n)) => EStep.nwtOrderedByDoc(out, 0L, n - 1L)
         case None => EStep.nwt(out, ordered = false)
       }
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
-      theta = EStep.theta(out)
+      theta = denseCtx match {
+        case Some((_, mapDF, _)) =>
+          EStep.theta(out).withColumnRenamed("doc_id", "dense_id")
+            .join(mapDF, "dense_id")
+            .select(col("orig_doc_id").as("doc_id"), col("title"), col("weights"))
+        case None => EStep.theta(out)
+      }
       val rwt = regularize(pwt, nwt, cfg, regCtx)
-      val newPwt = (docSpan match {
+      val newPwt = (denseCtx match {
         case Some(_) => PhiOps.normalizeModel(nwt, rwt, ordered = true,
           vocabRanges = PhiOps.HugeVocabNormalizerRanges)
         case None => PhiOps.normalizeModel(nwt, rwt, ordered = false)
@@ -218,7 +244,9 @@ object Fit {
       if (prevOut != null) prevOut.unpersist(false)
       pass += 1
     }
-    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out, pwt) ++ regRetained)
+    FitResult(pwt, nwt, theta, scores.toSeq,
+      retained = Seq(out, pwt) ++
+        denseCtx.toSeq.flatMap(c => Seq[Dataset[_]](c._1, c._2)) ++ regRetained)
   }
 
   /** fit_online — reference master_component.cc:1364-1385: for each chunk
