@@ -130,8 +130,7 @@ object Classify {
       .filter(length(col("nt")) >= n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col(idCol), col("__lbl"),
-      explode(transform(sequence(lit(1), length(col("nt")) - (n - 1)),
-        i => col("nt").substr(i, lit(n)))).as("t"))
+      explode(TextAnalysis.charNgramsCol(col("nt"), n)).as("t"))
     val docTok = grams.groupBy(col(idCol), col("__lbl"), col("t"))
       .agg(count(lit(1)).as("n"))
     val m = nbModelFromDocTok(docTok, idCol)

@@ -45,6 +45,19 @@ object TextAnalysis {
       GraftColumnBridge.expression(text.cast("string")), form))
   }
 
+  /** All code-point n-grams of a string column in one pass
+    * ([[graft.functions.CharNgrams]]) — same output as the
+    * `transform(sequence(1, length−(n−1)), i => substr(i, n))` HOF shape
+    * but O(len) instead of O(len²) byte traversals per row (each
+    * positional substr re-scans from the string start to locate its
+    * code point). Strings shorter than n code points yield an empty
+    * array; callers pin their own empty-text edge. */
+  def charNgramsCol(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.CharNgrams(
+      GraftColumnBridge.expression(text.cast("string")), n))
+  }
+
   /** `text` normalized through `unicodeForm` when set — the shared
     * opt-in seam ([[unicodeNormCol]] scaladoc). */
   def maybeUnicodeNorm(text: Column, unicodeForm: Option[String]): Column =
@@ -188,8 +201,7 @@ object TextAnalysis {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col(idCol), col("__lbl"),
-      explode(transform(sequence(lit(1), length(col("nt")) - (n - 1)),
-        i => col("nt").substr(i, lit(n)))).as("t"))
+      explode(charNgramsCol(col("nt"), n)).as("t"))
     val docTok = grams.groupBy(col(idCol), col("__lbl"), col("t"))
       .agg(count(lit(1)).as("n"))
     Classify.nbFromDocTok(docTok, idCol)
@@ -262,11 +274,12 @@ object TextAnalysis {
     val n = length(nt).cast("double")
     val folded = col("__fold")
     df.withColumn("__nt", normTextCol(col(textCol)))
-      // sequence() flips to a descending step when start > stop, so the
-      // empty-text row is pinned to one harmless '' element instead
+      // empty-text rows pin to one harmless '' element (the sequence()
+      // edge the HOF form guarded with greatest()); non-empty rows take
+      // the one-pass native char split
       .withColumn("__cs",
-        transform(sequence(lit(1), greatest(length(nt), lit(1))),
-          i => nt.substr(i, lit(1))))
+        when(length(nt) === 0, array(lit("")))
+          .otherwise(charNgramsCol(nt, 1)))
       .withColumn("__fold", charRunsFold(col("__cs")))
       .select(col(idCol),
         length(nt).cast("long").as("n_chars_norm"),
@@ -316,9 +329,9 @@ object TextAnalysis {
     val nt = col("__entnt")
     val n = length(nt).cast("double")
     df.withColumn("__entnt", normTextCol(col(textCol)))
-      .withColumn("__entcs",
-        transform(sequence(lit(1), greatest(length(nt), lit(1))),
-          i => nt.substr(i, lit(1))))
+      // one-pass native split; empty text yields an empty array, whose
+      // fold is never consumed (the length===0 branch pins −1.0 below)
+      .withColumn("__entcs", charNgramsCol(nt, 1))
       .withColumn("__ent",
         when(length(nt) === 0, lit(-1.0))
           .otherwise(round(log(n)

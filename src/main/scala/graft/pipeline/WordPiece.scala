@@ -164,12 +164,31 @@ object WordPiece {
     * (alphabet + merges — tens of entries). Returns [subword, n_occ]. */
   def encodeCounts(docs: DataFrame, vocab: Seq[String],
       textCol: String = "text", maxWordLen: Int = 12,
-      maxPieceLen: Int = 8): DataFrame =
+      maxPieceLen: Int = 8): DataFrame = {
+    // broadcast-HashSet walk over the distinct-word table, NOT the
+    // greedyPieces expression: the expression's candidate lookup is an
+    // array_contains LINEAR scan of the vocabulary literal, run
+    // words × maxWordLen steps × maxPieceLen lengths times through an
+    // interpreted aggregate() HOF (and its unrolled whens are a large
+    // codegen compile on first run). greedyWord replicates the walk
+    // exactly (same longest-match order, same ## bookkeeping,
+    // whole-word [UNK] on failure — the WordPieceSpec parity unit), so
+    // the per-word cost drops to hash lookups. Same shape
+    // encodeDocPieces already uses for the per-doc form.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
     Bpe.wordCounts(docs, textCol, maxWordLen)
-      .select(col("cnt"),
-        explode(greedyPieces(col("word"), vocab, maxWordLen, maxPieceLen))
-          .as("subword"))
+      .select(col("word").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { case (w, cnt) =>
+          greedyWord(w, v, maxPieceLen).map(p => (p, cnt)) }
+      }
+      .toDF("subword", "cnt")
       .groupBy(col("subword")).agg(sum(col("cnt")).as("n_occ"))
+  }
 
   /** Per-document piece ARRAYS under greedy longest-match encoding —
     * the [[encodeCounts]] math applied per word of each document and
