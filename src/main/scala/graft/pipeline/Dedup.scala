@@ -64,11 +64,18 @@ object Dedup {
   /** MinHash signature: for hash function i, the lexicographic minimum of
     * md5(i || ' ' || shingle). String-min MD5 is deterministic across
     * engines and partitionings (and matches the DuckDB oracle); the min of
-    * a uniformly-hashed set is the standard permutation approximation. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => md5(concat(lit(i.toString), lit(" "), s))))
-    }: _*)
+    * a uniformly-hashed set is the standard permutation approximation.
+    *
+    * Runs as the fused native kernel
+    * ([[graft.functions.MinhashSignature]] — value-identical to the
+    * previous `array(array_min(transform(…md5…)))` form, whose
+    * numHashes interpreted HOF lambdas and per-(shingle, i) hex-string
+    * allocations were the dominant task CPU of the minhash family). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.MinhashSignature(
+      GraftColumnBridge.expression(shingleCol), numHashes))
+  }
 
   /** Persisted per-doc shingle table [id, sh] — the shared CPU-heavy input
     * of minhashLsh and ngramJaccard. Computing it once and passing it to
