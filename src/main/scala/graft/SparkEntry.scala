@@ -449,6 +449,33 @@ object SparkEntry {
           numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold))
     }
 
+  /** Memoized duplicated-span table — shared by dedup_substring and
+    * dedup_substring_scrub, which each rebuilt the positional k-gram
+    * inverted index + diagonal coalescing before r13 (spans are
+    * pair-count sized, LocalRelation-safe). */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "dupspans") {
+      RelationalEm.collectLocal(
+        graft.pipeline.Dedup.duplicatedSpans(docs(s, dir),
+          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf))
+    }
+
+  /** Memoized BM25 candidate table [query_id, rank, doc_id, score] for
+    * the fixed Bm25Queries — shared by text_bm25 / text_hybrid_search /
+    * text_rrf_search, which each rebuilt the full postings index from
+    * the corpus before this round (r13: three index builds → one;
+    * queries×topK rows, trivially LocalRelation-sized). The hybrid/rrf
+    * rerank math is unchanged — they consume the identical candidate
+    * rows bm25Search handed them before. */
+  private def bm25Cands(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "bm25cands") {
+      import s.implicits._
+      RelationalEm.collectLocal(
+        graft.pipeline.TextAnalysis.bm25Search(docs(s, dir),
+          Bm25Queries.toDF("query_id", "query_text"),
+          topK = Bm25TopK, k1 = Bm25K1, b = Bm25B))
+    }
+
   /** The brute-force kNN edge list shared by the graph_adamic_adar /
     * graph_jaccard / graph_assortativity / graph_bfs rows — the same
     * graph on the same k, built once per (session, dir). Edge count is
@@ -2445,10 +2472,7 @@ object SparkEntry {
     // LLM pipeline: BM25 ranked retrieval — top-k docs per query
     // (broadcast query side; rank-on-rounded-score, doc_id tiebreak)
     "text_bm25" -> ((s, dir) => {
-      import s.implicits._
-      val queries = Bm25Queries.toDF("query_id", "query_text")
-      graft.pipeline.TextAnalysis.bm25Search(docs(s, dir), queries,
-          topK = Bm25TopK, k1 = Bm25K1, b = Bm25B)
+      bm25Cands(s, dir)
         .select(col("query_id").cast("long").as("query_id"),
           col("rank"), col("doc_id").cast("long").as("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rank"))
@@ -2464,7 +2488,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Ann.hybridSearch(docs(s, dir), emb, queries,
           topK = Bm25TopK, prfM = HybridPrfM, lambda = HybridLambda,
-          k1 = Bm25K1, b = Bm25B)
+          k1 = Bm25K1, b = Bm25B, bm25Df = Some(bm25Cands(s, dir)))
         .select(col("query_id").cast("long").as("query_id"), col("rank"),
           col("doc_id").cast("long").as("doc_id"), col("score"),
           col("cosine"))
@@ -2479,7 +2503,7 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.pipeline.Ann.rrfSearch(docs(s, dir), emb, queries,
           topK = Bm25TopK, kRrf = RrfK, prfM = HybridPrfM,
-          k1 = Bm25K1, b = Bm25B)
+          k1 = Bm25K1, b = Bm25B, bm25Df = Some(bm25Cands(s, dir)))
         .select(col("query_id").cast("long").as("query_id"), col("rank"),
           col("doc_id").cast("long").as("doc_id"), col("rrf"),
           col("bm25_rank"), col("cos_rank"))
@@ -3269,17 +3293,17 @@ object SparkEntry {
     // the suffix-array exact-substring dedup stand-in (anchors on one
     // alignment diagonal coalesce into the copied region + offsets,
     // i.e. what a span-level scrub would cut)
-    "dedup_substring" -> ((s, dir) => {
-      graft.pipeline.Dedup.duplicatedSpans(docs(s, dir),
-          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf)
-        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
-    }),
+    "dedup_substring" -> ((s, dir) =>
+      dupSpans(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
     // LLM pipeline: the span-dedup ACTION — higher-id doc of each pair
     // excises the copied region (merged intervals, token-order md5 of
-    // the survivor text)
+    // the survivor text); consumes the memoized span table (r13 — the
+    // scrub used to rebuild the whole inverted index a second time)
     "dedup_substring_scrub" -> ((s, dir) => {
       graft.pipeline.Dedup.duplicatedSpanScrub(docs(s, dir),
-          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf)
+          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf,
+          spansDf = Some(dupSpans(s, dir)))
         .orderBy(col("doc_id"))
     }),
     // LLM pipeline: CCNet-style line-level corpus dedup over planted

@@ -385,14 +385,18 @@ object Ann {
       topK: Int = 10, prfM: Int = 3, lambda: Double = 0.5,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text", vecIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      bm25Df: Option[DataFrame] = None): DataFrame = {
     require(prfM >= 1 && prfM <= topK && lambda >= 0.0 && lambda <= 1.0,
       s"hybridSearch: bad prfM/lambda ($prfM/$lambda)")
     // candidates persist: they feed the PRF centroid, the normalizer
-    // and the rerank (≤ queries×topK rows — bounded by contract)
-    val bm = TextAnalysis.bm25Search(docsDf, queries, topK, k1, b,
-        textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // and the rerank (≤ queries×topK rows — bounded by contract).
+    // bm25Df hands in an already-computed candidate table (the shinglesDf
+    // pattern) so a caller running bm25/hybrid/rrf over the SAME corpus
+    // and queries builds the postings index once, not three times.
+    val bm = bm25Df.getOrElse(
+      TextAnalysis.bm25Search(docsDf, queries, topK, k1, b, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val e = emb.select(col(vecIdCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val cent = bm.filter(col("rank") <= prfM)
@@ -435,13 +439,15 @@ object Ann {
       topK: Int = 10, kRrf: Int = 60, prfM: Int = 3,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text", vecIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      bm25Df: Option[DataFrame] = None): DataFrame = {
     require(prfM >= 1 && prfM <= topK && kRrf >= 1,
       s"rrfSearch: bad prfM/kRrf ($prfM/$kRrf)")
-    val bm = TextAnalysis.bm25Search(docsDf, queries, topK, k1, b,
-        textCol, idCol)
+    // bm25Df: pre-computed candidates (the hybridSearch share seam)
+    val bm = bm25Df.getOrElse(
+        TextAnalysis.bm25Search(docsDf, queries, topK, k1, b, textCol, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .withColumnRenamed("rank", "bm25_rank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = emb.select(col(vecIdCol).cast("long").as(idCol),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val cent = bm.filter(col("bm25_rank") <= prfM)

@@ -1330,9 +1330,14 @@ object Dedup {
     * matter how many intervals hit it (never tokens × intervals). */
   def duplicatedSpanScrub(df: DataFrame, k: Int = 8, minSpanTokens: Int = 12,
       maxDocFreq: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spans = duplicatedSpans(df, k, minSpanTokens, maxDocFreq,
-      idCol, textCol)
+      textCol: String = "text",
+      spansDf: Option[DataFrame] = None): DataFrame = {
+    // spansDf: a pre-computed [[duplicatedSpans]] table (the shinglesDf
+    // pattern) — the scrub's interval math is identical either way; a
+    // caller running spans + scrub over the same corpus builds the
+    // inverted index once instead of twice
+    val spans = spansDf.getOrElse(duplicatedSpans(df, k, minSpanTokens,
+      maxDocFreq, idCol, textCol))
     val iv = spans.select(col("doc_b").as("id"), col("start_b").as("s"),
       (col("start_b") + col("span_tokens") - lit(1L)).as("e"))
     val wOrd = org.apache.spark.sql.expressions.Window

@@ -1047,21 +1047,17 @@ object TextAnalysis {
     // windows 0..n-w (or the single truncated window when 0 < n < w);
     // each selection is packed as pos·2^32 + fp (fp < 2^32 by
     // construction) so the distinct runs on plain longs — portable to
-    // engines whose list-distinct can't hash structs
-    val sel = hashed.select(col("id"),
-      when(size(col("h")) === 0, array().cast("array<bigint>"))
-        .otherwise(transform(
-          sequence(lit(0), greatest(size(col("h")) - lit(w), lit(0))),
-          i => {
-            val sub = slice(col("h"), i + lit(1), lit(w))
-            val m = array_min(sub)
-            // rightmost index of the min within the window (0-based)
-            val ri = aggregate(sequence(lit(0), size(sub) - lit(1)),
-              lit(0L), (acc, j) =>
-                when(element_at(sub, j.cast("int") + 1) === m,
-                  j.cast("long")).otherwise(acc))
-            (i.cast("long") + ri) * lit(4294967296L) + m
-          })).as("sels"))
+    // engines whose list-distinct can't hash structs. One-pass native
+    // selection ([[graft.functions.WinnowSelect]]): the HOF form
+    // re-evaluated the window slice per element inside the rightmost-min
+    // aggregate (no subexpression elimination in interpreted lambdas —
+    // O(windows·w²) evals per doc); values are identical by the
+    // WinnowSelectSpec HOF-parity pin + the entries' oracle hashes.
+    val sel = hashed.select(col("id"), {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.WinnowSelect(
+        GraftColumnBridge.expression(col("h")), w)).as("sels")
+    })
     sel.select(col("id"), explode(array_distinct(col("sels"))).as("c"))
       .select(col("id"), shiftright(col("c"), 32).as("pos"),
         pmod(col("c"), lit(4294967296L)).as("fp"))

@@ -38,6 +38,57 @@ object StreamReplay {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Feed-staging chunk count (round 13): a single staged parquet file
+    * gives the file source ONE scan partition (openCostInBytes packs a
+    * small file alone, but one file cannot split), so every per-row
+    * in-stream kernel — shingles→minhash, NB scoring, entropy folds,
+    * window partial aggregation — ran on ONE CORE regardless of
+    * machine size, the single largest idle-capacity hole in the replay
+    * harness (guide §2.6/§6). Staging the feed as K hash chunks gives
+    * the scan K partitions while every consumer still takes the whole
+    * set in ONE micro-batch (no maxFilesPerTrigger below K), so
+    * arrival-order semantics and watermarks are untouched — partition
+    * count is a scan property, not a semantic one; the per-key claim
+    * machines additionally sort each state group by (ts, id) before
+    * folding, so even row order within the batch is irrelevant. Scales
+    * with the session's cores (the production analogue: a real stream
+    * arrives as many files/offsets per trigger), capped so sf-scale
+    * chunks stay above trivial size. */
+  private def feedChunks(spark: SparkSession): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, 16))
+
+  /** Write `df` as `k` parquet chunk files `<prefix>_NNNNN.parquet`
+    * under `destDir`, all stamped `mtimeMillis` — the multi-file twin
+    * of [[writeSingleParquet]] for feeds whose consumers take every
+    * chunk in one micro-batch. Hash-partitioned on `keyCol` so chunk
+    * contents are deterministic run-to-run. */
+  private def writeSplitParquet(df: DataFrame, destDir: Path, prefix: String,
+      keyCol: String, k: Int, mtimeMillis: Long): Unit = {
+    val tmp = destDir.resolve(prefix + ".dir")
+    df.repartition(k, org.apache.spark.sql.functions.col(keyCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    try {
+      val parts = new java.util.ArrayList[Path]()
+      listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => parts.add(p))
+      parts.sort(java.util.Comparator.comparing[Path, String](
+        (p: Path) => p.getFileName.toString))
+      var i = 0
+      while (i < parts.size()) {
+        val dest = destDir.resolve(f"${prefix}_$i%05d.parquet")
+        Files.move(parts.get(i), dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+        i += 1
+      }
+    } finally listing.close()
+    val leftovers = Files.list(tmp)
+    try leftovers.forEach(p => Files.deleteIfExists(p))
+    finally leftovers.close()
+    Files.deleteIfExists(tmp)
+  }
+
   /** Write `df` as ONE parquet file at `dest` with an explicit mtime —
     * the file-source staging primitive every replay here builds on
     * (file-source batch order is mtime order, and single files keep a
@@ -119,6 +170,37 @@ object StreamReplay {
       stage
     })
 
+  /** [[stageDir]] with the event feed split into `k` hash chunks (plus
+    * the same two flush sentinels) — the staging for CHUNKING-INDEPENDENT
+    * consumers (watermarked window aggregations, stream-stream inner
+    * joins) that take every file in ONE micro-batch: the chunk count
+    * only sets scan/partial-aggregation parallelism ([[feedChunks]]
+    * scaladoc); outputs are oracle-certified unchanged. Arrival-order-
+    * sensitive state machines keep the single-file [[stageDir]]. */
+  private def stageDirSplit(spark: SparkSession, dir: String, k: Int): Path =
+    stages.computeIfAbsent((spark, s"$dir#split$k"), { _ =>
+      val stage = Files.createTempDirectory("graft_replay_split")
+      val src = Paths.get(s"$dir/events.parquet")
+      val maxTs = spark.read.parquet(src.toString)
+        .agg(max(unix_micros(col("ts").cast(TimestampType)))).head.getLong(0)
+      def sentinel(name: String, offsetDays: Int, mtime: Long): Unit = {
+        val one = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            -1L,
+            java.time.LocalDateTime.ofEpochSecond(
+              (maxTs / 1000000L) + offsetDays * 86400L, 0, java.time.ZoneOffset.UTC),
+            -1L, "sentinel", 0.0, "")),
+          eventSchema)
+        writeSingleParquet(one, stage.resolve(name), mtime)
+      }
+      val base = System.currentTimeMillis()
+      writeSplitParquet(spark.read.parquet(src.toString), stage, "00_events",
+        "event_id", k, base - 60000)
+      sentinel("01_sentinel_a.parquet", 30, base - 40000)
+      sentinel("02_sentinel_b.parquet", 31, base - 20000)
+      stage
+    })
+
   /** Run `op` on a file-source replay of `$dir/events.parquet`, await
     * completion, return the memory-sink contents as a local batch
     * DataFrame (callers filter their own sentinel artifacts).
@@ -189,8 +271,15 @@ object StreamReplay {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     }
 
+  /** `splitFeed = true` swaps the staged feed for the [[stageDirSplit]]
+    * k-chunk form and raises `filesPerTrigger` to cover every chunk +
+    * both sentinels in one micro-batch — the CHUNKING-INDEPENDENT
+    * consumers' mode (the old `filesPerTrigger = 3` one-batch contract,
+    * now with k-way scan parallelism instead of one task for the whole
+    * feed). */
   private def replay(spark: SparkSession, dir: String,
-      filesPerTrigger: Int = 1, shufflePartitions: Option[Int] = None)
+      filesPerTrigger: Int = 1, shufflePartitions: Option[Int] = None,
+      splitFeed: Boolean = false)
       (op: DataFrame => DataFrame): DataFrame = {
     val tzKey = "spark.sql.session.timeZone"
     val prevTz = spark.conf.get(tzKey)
@@ -202,9 +291,12 @@ object StreamReplay {
     shufflePartitions.foreach(p => spark.conf.set(spKey, p.toString))
     StateStoreProviderClass.foreach(c => spark.conf.set(provKey, c))
     try {
-      val stage = stageDir(spark, dir)
+      val k = if (splitFeed) feedChunks(spark) else 0
+      val stage = if (splitFeed) stageDirSplit(spark, dir, k)
+        else stageDir(spark, dir)
+      val perTrigger = if (splitFeed) k + 2 else filesPerTrigger
       val stream = spark.readStream.schema(eventSchema)
-        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .option("maxFilesPerTrigger", perTrigger.toString)
         .parquet(stage.toString)
       val qname = s"graft_replay_${counter.incrementAndGet()}"
       val q = op(stream).writeStream.format("memory").queryName(qname)
@@ -240,17 +332,20 @@ object StreamReplay {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Memoized documents staging — the file source's basePath must be a
-    * DIRECTORY, so stage a symlink (copy fallback); one per
+  /** Memoized documents staging, split into [[feedChunks]] hash chunks
+    * (round 13 — was a single symlinked file, which capped every
+    * documents replay's in-stream compute at ONE scan task; see
+    * [[feedChunks]]). Every consumer takes all chunks in one
+    * AvailableNow micro-batch (none sets maxFilesPerTrigger), so only
+    * scan parallelism changes; the claim machines sort each state group
+    * by (ts, id), so within-batch row order is irrelevant too. One per
     * (session, dir), shared by every documents replay. */
   private def stageDocs(spark: SparkSession, dir: String): Path =
     stages.computeIfAbsent((spark, s"$dir#docs"), { _ =>
       val d = Files.createTempDirectory("graft_replay_docs")
-      val staged = d.resolve("documents.parquet")
-      val src = Paths.get(s"$dir/documents.parquet")
-      try Files.createSymbolicLink(staged, src)
-      catch { case _: Exception =>
-        Files.copy(src, staged, StandardCopyOption.REPLACE_EXISTING) }
+      writeSplitParquet(spark.read.parquet(s"$dir/documents.parquet"),
+        d, "documents", "doc_id", feedChunks(spark),
+        System.currentTimeMillis())
       d
     })
 
@@ -313,8 +408,9 @@ object StreamReplay {
         .select((col("vec_id") + idOffset).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
           col("label"))
-      writeSingleParquet(base.unionByName(planted),
-        d.resolve("embeddings.parquet"), System.currentTimeMillis())
+      // split staging (the stageDocs rationale): one batch, k scan tasks
+      writeSplitParquet(base.unionByName(planted), d, "embeddings",
+        "vec_id", feedChunks(spark), System.currentTimeMillis())
       d
     })
 
@@ -1413,7 +1509,7 @@ object StreamReplay {
     require(widthNs % 1000000000L == 0, "window width must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val win = replay(spark, dir, splitFeed = true) { ev =>
       StreamingPipeline.eventWindowCounts(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${widthNs / 1000000000L} seconds",
@@ -1435,7 +1531,7 @@ object StreamReplay {
       "window width/slide must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val win = replay(spark, dir, splitFeed = true) { ev =>
       StreamingPipeline.eventHoppingCounts(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${widthNs / 1000000000L} seconds",
@@ -1457,7 +1553,7 @@ object StreamReplay {
     require(bucketNs % 1000000000L == 0, "bucket width must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val out = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val out = replay(spark, dir, splitFeed = true) { ev =>
       StreamingPipeline.ohlcStream(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${bucketNs / 1000000000L} seconds",
@@ -1476,7 +1572,7 @@ object StreamReplay {
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val dau = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val dau = replay(spark, dir, splitFeed = true) { ev =>
       StreamingPipeline.activeUsersExactStream(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = "1 day", watermark = "1 day")
@@ -1516,8 +1612,8 @@ object StreamReplay {
       rightType: String, windowNs: Long): DataFrame = {
     require(windowNs % 1000000000L == 0, "join window must be whole seconds")
     val wSec = windowNs / 1000000000L
-    val out = replay(spark, dir, filesPerTrigger = 3,
-        shufflePartitions = Some(8)) { ev =>
+    val out = replay(spark, dir, shufflePartitions = Some(8),
+        splitFeed = true) { ev =>
       val base = ev.withColumn("ets", col("ts").cast(TimestampType))
       val l = base.where(col("event_type") === leftType)
         .select(col("user_id").as("l_user"),
@@ -1573,7 +1669,7 @@ object StreamReplay {
     * integer counts, so the split is exact. Gated by the batch
     * events_topk oracle. */
   def topUsers(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val win = replay(spark, dir, splitFeed = true) { ev =>
       ev.withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
@@ -1619,7 +1715,7 @@ object StreamReplay {
     * row. Integer counts ⇒ the split is exact. */
   def heavyHitters(spark: SparkSession, dir: String,
       factor: Double): DataFrame = {
-    val win = replay(spark, dir, filesPerTrigger = 3) { ev =>
+    val win = replay(spark, dir, splitFeed = true) { ev =>
       ev.withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
