@@ -53,10 +53,21 @@ object Classify {
     * itself (== the doc-level counts whenever every included doc has
     * ≥ 1 feature, which each caller's filter guarantees). Returns
     * [idCol, __lbl, pred, margin]. */
-  private[graft] def nbFromDocTok(docTok: DataFrame, idCol: String): DataFrame = {
+  private[graft] def nbFromDocTok(docTok0: DataFrame, idCol: String): DataFrame = {
+    // materialization barrier (the minhashLsh/shingleTable rationale):
+    // docTok is referenced FOUR times below (classTok, totalDocs,
+    // partial, docLen) and classTok twice — unpersisted, Catalyst
+    // re-inlines the corpus explode+groupBy into every consumer and the
+    // corpus is tokenized and shuffled ~5× per query (measured: the
+    // whole classify_nb entry ~2× slower). Both tables are
+    // bounded — (doc,token) counts and (class,token) counts — so the
+    // barrier is the right trade at any scale.
+    val docTok = docTok0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (class, token, c_st) — vocabulary-sized
     val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
       .agg(sum("n").as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-class constants: ln prior, ln(c_s + V); a handful of rows
     val v = classTok.select(countDistinct("t").as("v"))
     val totalDocs = docTok.select(countDistinct(col(idCol)).as("total"))
@@ -141,7 +152,11 @@ object Classify {
   /** The driver-side model assembly shared by the word- and n-gram
     * trainers (same counts as [[naiveBayes]]; constants use the same
     * Math.log the codegen'd scoring uses). */
-  private def nbModelFromDocTok(docTok: DataFrame, idCol: String): NbModel = {
+  private def nbModelFromDocTok(docTok0: DataFrame, idCol: String): NbModel = {
+    // same barrier as nbFromDocTok: two driver collects below each
+    // re-run the corpus explode+groupBy without it
+    val docTok = docTok0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
       .agg(sum("n").as("c_st")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -158,6 +173,7 @@ object Classify {
         lnCounts = rows.map { case (_, t, c) => t -> math.log(c.toDouble + 1.0) }
           .toMap)
     }
+    docTok.unpersist(false) // both collects are done — training is eager
     NbModel(classes)
   }
 
