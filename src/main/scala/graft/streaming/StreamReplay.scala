@@ -851,21 +851,28 @@ object StreamReplay {
       .agg(countDistinct(col("doc_id")).as("df_t"))
       .persist()
     val nDocs = nonBlank.count()
+    // ONE packed row per doc through the memory sink (the
+    // bpe_encode_stream sink-traffic rule): the previous shape shipped
+    // one (doc, term, df_t) row per token OCCURRENCE through the sink
+    // and its driver collect — ~50× the rows for identical math. The
+    // stream keeps the expensive scan (tokenize); the df join and the
+    // tf rollup move to the sink, where they run as a normal batch job
+    // over doc-count rows. Values unchanged (same counts, same join) —
+    // gated by the same batch text_tfidf oracle.
     val stream = spark.readStream.schema(docSchema)
       .parquet(stageDocs(spark, dir).toString)
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokensCol(col("text"))).as("term"))
-      .join(broadcast(dfT), Seq("term"))
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("terms"))
     val qname = s"graft_replay_tfidf_${counter.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val tf = drainSink(spark, qname)
+      .select(col("doc_id"), explode(col("terms")).as("term"))
+      .join(broadcast(dfT), Seq("term"))
       .groupBy(col("doc_id"), col("term"), col("df_t"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("n_docs", lit(nDocs))
-    dfT.unpersist(blocking = false)
     TextAnalysis.tfidfRankFromTf(tf, topK)
   }
 
