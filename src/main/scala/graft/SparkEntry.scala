@@ -449,6 +449,24 @@ object SparkEntry {
           numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold))
     }
 
+  /** Memoized full-corpus bigram LM (the broadcastable serving model) —
+    * shared by the LM stream serves and the curation ingest door. */
+  private def lmModelM(s: SparkSession, dir: String)
+      : graft.pipeline.TextAnalysis.LmModel =
+    memoized(s, dir, "lmmodel")(
+      graft.pipeline.TextAnalysis.trainLmModel(docs(s, dir)))
+
+  /** Memoized full-corpus bigram-LM perplexity table
+    * [doc_id, n_bigrams, ppl] — shared by text_lm_perplexity,
+    * text_ccnet_bucket_stream, curation_ingest and
+    * curation_ingest_stream, which each re-trained and re-scored the
+    * same LM before r13 (doc-count rows, LocalRelation-safe). */
+  private def lmPpl(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "lmppl") {
+      RelationalEm.collectLocal(
+        graft.pipeline.TextAnalysis.lmPerplexity(docs(s, dir), addK = LmAddK))
+    }
+
   /** Memoized duplicated-span table — shared by dedup_substring and
     * dedup_substring_scrub, which each rebuilt the positional k-gram
     * inverted index + diagonal coalescing before r13 (spans are
@@ -2524,7 +2542,7 @@ object SparkEntry {
     // model-based quality signal (complements artm_doc_perplexity's
     // topic-model variant)
     "text_lm_perplexity" -> ((s, dir) => {
-      graft.pipeline.TextAnalysis.lmPerplexity(docs(s, dir), addK = LmAddK)
+      lmPpl(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_bigrams").cast("long").as("n_bigrams"), col("ppl"))
         .orderBy(col("doc_id"))
@@ -2533,7 +2551,8 @@ object SparkEntry {
     // the bigram LM trains in batch, the doc stream is scored by a
     // stateless broadcast-model fold, under the batch row's oracle
     "text_lm_perplexity_stream" -> ((s, dir) => {
-      graft.streaming.StreamReplay.lmPerplexity(s, dir, addK = LmAddK)
+      graft.streaming.StreamReplay.lmPerplexity(s, dir, addK = LmAddK,
+          modelOpt = Some(lmModelM(s, dir)))
         .select(col("doc_id"), col("n_bigrams"), col("ppl"))
         .orderBy(col("doc_id"))
     }),
@@ -4587,11 +4606,11 @@ object SparkEntry {
     "text_ccnet_bucket_stream" -> ((s, dir) => {
       import graft.pipeline.TextAnalysis
       val d = docs(s, dir)
-      val batchPpl = TextAnalysis.lmPerplexity(d, addK = LmAddK)
+      val batchPpl = lmPpl(s, dir)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
       val th = TextAnalysis.ccnetThresholdsFromPpl(batchPpl, exact = true)
       val pplStream = graft.streaming.StreamReplay.lmPerplexity(s, dir,
-        addK = LmAddK)
+        addK = LmAddK, modelOpt = Some(lmModelM(s, dir)))
       val langStream = graft.streaming.StreamReplay.mapDocs(s, dir)(
         _.select(col("doc_id"), col("lang")))
       TextAnalysis.bucketWithThresholds(
@@ -4609,7 +4628,7 @@ object SparkEntry {
       val passing = TextAnalysis.gopherRules(d, minWords = GopherMinWords,
           maxWords = GopherMaxWords, minStopwords = GopherMinStop)
         .filter(col("keep"))
-      val ppl = TextAnalysis.lmPerplexity(d, addK = LmAddK)
+      val ppl = lmPpl(s, dir)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
         .join(passing.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val th = TextAnalysis.ccnetThresholdsFromPpl(ppl, exact = true)
@@ -4633,11 +4652,11 @@ object SparkEntry {
     "curation_ingest_stream" -> ((s, dir) => {
       import graft.pipeline.TextAnalysis
       val d = docs(s, dir)
-      val model = TextAnalysis.trainLmModel(d)
+      val model = lmModelM(s, dir)
       val passing = TextAnalysis.gopherRules(d, minWords = GopherMinWords,
           maxWords = GopherMaxWords, minStopwords = GopherMinStop)
         .filter(col("keep"))
-      val batchPpl = TextAnalysis.lmPerplexity(d, addK = LmAddK)
+      val batchPpl = lmPpl(s, dir)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
         .join(passing.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val th = TextAnalysis.ccnetThresholdsFromPpl(batchPpl, exact = true)

@@ -1277,9 +1277,13 @@ object StreamReplay {
     * the staged doc stream is scored statelessly
     * ([[StreamingPipeline.lmScoreStream]]) — gated by the SAME
     * PipelineSql.lmPerplexity statement as the batch row. */
-  def lmPerplexity(spark: SparkSession, dir: String, addK: Double): DataFrame = {
-    val model = graft.pipeline.TextAnalysis.trainLmModel(
-      spark.read.parquet(s"$dir/documents.parquet"))
+  def lmPerplexity(spark: SparkSession, dir: String, addK: Double,
+      modelOpt: Option[graft.pipeline.TextAnalysis.LmModel] = None)
+      : DataFrame = {
+    // modelOpt: a pre-trained full-corpus model (SparkEntry memoizes one
+    // per session — four entries re-trained the identical LM before r13)
+    val model = modelOpt.getOrElse(graft.pipeline.TextAnalysis.trainLmModel(
+      spark.read.parquet(s"$dir/documents.parquet")))
     val stream = spark.readStream.schema(docSchema)
       .parquet(stageDocs(spark, dir).toString)
     val qname = s"graft_replay_lm_${counter.incrementAndGet()}"
