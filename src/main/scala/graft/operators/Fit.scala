@@ -144,7 +144,13 @@ object Fit {
       }
       out = withJoint.persist(StorageLevel.MEMORY_AND_DISK)
 
-      nwt = EStep.nwt(out)
+      // persist barrier (r14, guide §5): nwt is referenced by
+      // normalizeModel TWICE (normalizer branch + output branch) plus
+      // once per phi regularizer — unpersisted, the ordered fold over
+      // `out` re-executes per reference (2-4 fold shuffles per pass).
+      // The fold is deterministic, so the cache replays identical rows.
+      val prevNwt = nwt
+      nwt = EStep.nwt(out).persist(StorageLevel.MEMORY_AND_DISK)
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
       theta = EStep.theta(out)
 
@@ -162,9 +168,11 @@ object Fit {
         pwt = newPwt // last pass: lazy over the still-persisted `out`
       }
       if (prevOut != null) prevOut.unpersist(false)
+      if (prevNwt != null) prevNwt.unpersist(false)
       bPhi.unpersist(false)
     }
-    FitResult(pwt, nwt, theta, scores.toSeq, retained = Seq(out) ++ regRetained)
+    FitResult(pwt, nwt, theta, scores.toSeq,
+      retained = Seq(out, nwt) ++ regRetained)
   }
 
   /** fit_offline with the join-based E-step: Phi stays a distributed
@@ -221,10 +229,14 @@ object Fit {
       // orderedJoinPhi: the doc-keyed multi-level tree fold + hash-ranged
       // normalizer fold — bit-reproducible at any executor count (see
       // EStep.nwtOrderedByDoc / Config.orderedJoinPhi for the trade).
-      nwt = denseCtx match {
+      // Persist barrier (r14): normalizeModel references nwt twice, so
+      // without it the whole multi-level fold re-executes per reference
+      // (same rationale as the broadcast loop above).
+      val prevNwt = nwt
+      nwt = (denseCtx match {
         case Some((_, _, n)) => EStep.nwtOrderedByDoc(out, 0L, n - 1L)
         case None => EStep.nwt(out, ordered = false)
-      }
+      }).persist(StorageLevel.MEMORY_AND_DISK)
       scores += cumulativeScores(pass, out, cfg.numTopics) // action: materializes `out`
       theta = denseCtx match {
         case Some((_, mapDF, _)) =>
@@ -242,10 +254,11 @@ object Fit {
       pwt.unpersist(false)
       pwt = newPwt
       if (prevOut != null) prevOut.unpersist(false)
+      if (prevNwt != null) prevNwt.unpersist(false)
       pass += 1
     }
     FitResult(pwt, nwt, theta, scores.toSeq,
-      retained = Seq(out, pwt) ++
+      retained = Seq(out, pwt, nwt) ++
         denseCtx.toSeq.flatMap(c => Seq[Dataset[_]](c._1, c._2)) ++ regRetained)
   }
 

@@ -35,6 +35,39 @@ object Classify {
     * from any float boundary). */
   def naiveBayes(df: DataFrame, labelCol: String = "source",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // r14: train-then-serve. The relational window form below
+    // ([[naiveBayesRelational]]) re-aggregated the corpus through ~6
+    // shuffle stages and a per-doc rank window per query (measured 80+
+    // task-s warm at sf0.1 — the shuffle-write and cache machinery, not
+    // the math); the model path is the classify_nb_stream serving shape:
+    // TWO small driver collects train the NbModel, then ONE stateless
+    // broadcast-hash pass scores every row (no shuffle at all). Output
+    // is row-for-row identical (same IEEE association order — the
+    // classifyStream contract, pinned by StreamingSpec's stateless-fold
+    // == grouped-sum test and by the shared classify_nb oracle SQL both
+    // entries already hash-match).
+    nbServe(df, trainNbModel(df, labelCol, textCol, idCol),
+      labelCol, textCol, idCol)
+  }
+
+  /** Score every non-blank document against an already-trained
+    * [[NbModel]] — the serving half of [[naiveBayes]], split out so
+    * callers sharing one model across several queries (batch + stream +
+    * evaluation) train once (the lmModelM pattern). */
+  def nbServe(df: DataFrame, model: NbModel, labelCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.streaming.StreamingPipeline.classifyStream(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(labelCol).as(labelCol), col(textCol).as("text")),
+        model, labelCol)
+      .select(col("doc_id").as(idCol), col(labelCol), col("pred"), col("margin"))
+
+  /** The pre-r14 fully relational form (docTok → classTok → log-count
+    * join → rank window) — kept as the REFERENCE implementation the
+    * serving path is pinned against (StreamingSpec / ClassifySpec); the
+    * production entry points above now train-then-serve. */
+  private[graft] def naiveBayesRelational(df: DataFrame, labelCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nonBlank = df.filter(length(trim(col(textCol))) > 0)
     val toks = TextAnalysis.tokensCol(col(textCol))
     // (doc, token, n) — one map-side-combined shuffle on (doc, token)
@@ -54,20 +87,20 @@ object Classify {
     * ≥ 1 feature, which each caller's filter guarantees). Returns
     * [idCol, __lbl, pred, margin]. */
   private[graft] def nbFromDocTok(docTok0: DataFrame, idCol: String): DataFrame = {
-    // materialization barrier (the minhashLsh/shingleTable rationale):
-    // docTok is referenced FOUR times below (classTok, totalDocs,
-    // partial, docLen) and classTok twice — unpersisted, Catalyst
-    // re-inlines the corpus explode+groupBy into every consumer and the
-    // corpus is tokenized and shuffled ~5× per query (measured: the
-    // whole classify_nb entry ~2× slower). Both tables are
-    // bounded — (doc,token) counts and (class,token) counts — so the
-    // barrier is the right trade at any scale.
+    // r14: the r13 persist barrier here was REMOVED with measurements:
+    // at sf0.1 the docTok recompute costs ~0.6 task-s where ONE
+    // InMemoryTableScan read of the same table costs ~10 task-s and the
+    // cache write ~8 (columnar encode/decode of the string columns
+    // dwarfs the tokenize+groupBy it saves) — the barrier also leaked
+    // its two pinned cache entries for the session (r13 ADVICE #1).
+    // Re-inlining is the cheaper plan at every scale here because every
+    // consumer AGGREGATES docTok further before joining: the rows that
+    // flow are count tables, never the corpus. (This form is now the
+    // test reference — production scoring is train-then-serve above.)
     val docTok = docTok0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (class, token, c_st) — vocabulary-sized
     val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
       .agg(sum("n").as("c_st"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-class constants: ln prior, ln(c_s + V); a handful of rows
     val v = classTok.select(countDistinct("t").as("v"))
     val totalDocs = docTok.select(countDistinct(col(idCol)).as("total"))
@@ -136,27 +169,28 @@ object Classify {
   def trainNbModelNgram(df: DataFrame, n: Int, labelCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id"): NbModel = {
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    // r14: no persist — the native CharNgrams extractor (r13) evaluates
+    // the normalization once per row under codegen, so the two collects'
+    // recomputes cost less than one columnar cache write of the text.
     val base = df
       .select(col(idCol), col(labelCol).as("__lbl"), norm.as("nt"))
       .filter(length(col("nt")) >= n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col(idCol), col("__lbl"),
       explode(TextAnalysis.charNgramsCol(col("nt"), n)).as("t"))
     val docTok = grams.groupBy(col(idCol), col("__lbl"), col("t"))
       .agg(count(lit(1)).as("n"))
-    val m = nbModelFromDocTok(docTok, idCol)
-    base.unpersist(false)
-    m
+    nbModelFromDocTok(docTok, idCol)
   }
 
   /** The driver-side model assembly shared by the word- and n-gram
     * trainers (same counts as [[naiveBayes]]; constants use the same
     * Math.log the codegen'd scoring uses). */
   private def nbModelFromDocTok(docTok0: DataFrame, idCol: String): NbModel = {
-    // same barrier as nbFromDocTok: two driver collects below each
-    // re-run the corpus explode+groupBy without it
+    // r14: the persist barrier between the two collects was removed with
+    // measurements (the nbFromDocTok rationale): the docTok recompute is
+    // ~0.6 task-s where the cache write alone is ~8 — integer counts, so
+    // both plans are value-identical.
     val docTok = docTok0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classTok = docTok.groupBy(col("__lbl").as("cls"), col("t"))
       .agg(sum("n").as("c_st")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -173,7 +207,6 @@ object Classify {
         lnCounts = rows.map { case (_, t, c) => t -> math.log(c.toDouble + 1.0) }
           .toMap)
     }
-    docTok.unpersist(false) // both collects are done — training is eager
     NbModel(classes)
   }
 

@@ -76,22 +76,33 @@ object Pca {
     // collect_list) build and the d²-wide double-explode — without it the
     // whole upstream re-evaluates inside the Gram job's generator
     // pipeline (measured 12 s → ~3 s at sf0.1)
+    // Gram pass (r14): ONE map-side-combined aggregate over the centered
+    // rows (graft.functions.GramDecimal) — the same DECIMAL(28,8)-exact
+    // cell sums the former posexplode×posexplode → groupBy(i,j) →
+    // sum(decimal) plan produced (exact fixed-scale sums are order-free,
+    // so the kernel is value-identical by construction; GramDecimalSpec
+    // pins it), without materializing n·d² exploded rows through a
+    // shuffle. The shuffle now carries one d²-long array per map
+    // partition instead of d² decimal partials per row.
     val xcArr = ex.join(broadcast(mean), Seq("i"))
       .select(col("id"), struct(col("i"), (col("x") - col("m")).as("v")).as("p"))
       .groupBy(col("id"))
       .agg(orderedVals(collect_list(col("p"))).as("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gramRows = xcArr
-      .select(posexplode(col("a")).as(Seq("i", "xi")), col("a"))
-      .select(col("i"), col("xi"), posexplode(col("a")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(28,8)")).cast("double").as("g"))
-      .collect() // d² doubles — bounded by contract (the codebook precedent)
-    xcArr.unpersist(false)
-    require(gramRows.nonEmpty, "empty embedding table")
-    val dim = gramRows.iterator.map(_.getInt(0)).max + 1
+    val gramFlat = xcArr
+      .agg(graft.functions.GramDecimal.gramSum(col("a")).as("g"))
+      .head().getSeq[Long](0)
+    require(gramFlat != null && gramFlat.nonEmpty, "empty embedding table")
+    val dim = math.sqrt(gramFlat.length.toDouble).round.toInt
     val g = Array.ofDim[Double](dim, dim)
-    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var gi = 0
+    while (gi < dim) {
+      var gj = 0
+      while (gj < dim) {
+        g(gi)(gj) = graft.functions.GramDecimal.unscaledToDouble(gramFlat(gi * dim + gj))
+        gj += 1
+      }
+      gi += 1
+    }
 
     // power iterations on the d×d scatter — driver-local (the corpus is
     // never touched again), replicating the engine arithmetic exactly:

@@ -194,6 +194,34 @@ object TextAnalysis {
     * [idCol, labelCol, pred, margin]. */
   def languageIdNgram(df: DataFrame, n: Int = 3, labelCol: String = "lang",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // r14: train-then-serve (the Classify.naiveBayes rationale — the
+    // relational rank-window form re-aggregated the gram table through
+    // ~6 shuffle stages per query). The broadcast n-gram model scores
+    // each doc in one stateless pass; output is row-for-row the
+    // relational form's (classifyNgramStream's certified contract — the
+    // text_lang_ngram_stream entry already hash-matches the SAME oracle
+    // SQL as the batch row). The relational reference survives as
+    // [[languageIdNgramRelational]] for the parity specs.
+    ngramServe(df, Classify.trainNbModelNgram(df, n, labelCol, textCol, idCol),
+      n, labelCol, textCol, idCol)
+  }
+
+  /** Serving half of [[languageIdNgram]] over a pre-trained char-n-gram
+    * [[Classify.NbModel]] (the nbServe twin). */
+  def ngramServe(df: DataFrame, model: Classify.NbModel, n: Int,
+      labelCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    graft.streaming.StreamingPipeline.classifyNgramStream(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(labelCol).as(labelCol), col(textCol).as("text")),
+        model, n, labelCol)
+      .select(col("doc_id").as(idCol), col(labelCol), col("pred"), col("margin"))
+
+  /** Pre-r14 relational char-n-gram language ID — the REFERENCE form the
+    * serving path above is pinned against (ClassifySpec). */
+  private[graft] def languageIdNgramRelational(df: DataFrame, n: Int = 3,
+      labelCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
     val base = df
       .select(col(idCol), col(labelCol).as("__lbl"), norm.as("nt"))

@@ -83,10 +83,13 @@ object StreamReplay {
         i += 1
       }
     } finally listing.close()
-    val leftovers = Files.list(tmp)
-    try leftovers.forEach(p => Files.deleteIfExists(p))
-    finally leftovers.close()
-    Files.deleteIfExists(tmp)
+    // recursive delete (r13 ADVICE: a stray non-empty subdir — e.g. an
+    // aborted task's _temporary — made the flat sweep throw
+    // DirectoryNotEmptyException and fail the staging it should clean)
+    val walk = Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** Write `df` as ONE parquet file at `dest` with an explicit mtime —
@@ -847,9 +850,13 @@ object StreamReplay {
     val nonBlank = docsDf.filter(length(trim(col("text"))) > 0)
     val toks = nonBlank.select(col("doc_id"),
       explode(TextAnalysis.tokensCol(col("text"))).as("term"))
-    val dfT = toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df_t"))
-      .persist()
+    // vocab-sized df table collected to a lineage-free LocalRelation
+    // (r13 ADVICE: the lazy sink-side join kept a .persist() pinned for
+    // the rest of the session on every tfidf replay — the LocalRelation
+    // needs no cache entry and the broadcast reads it directly)
+    val dfT = graft.operators.RelationalEm.collectLocal(
+      toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df_t")))
     val nDocs = nonBlank.count()
     // ONE packed row per doc through the memory sink (the
     // bpe_encode_stream sink-traffic rule): the previous shape shipped
@@ -1475,9 +1482,13 @@ object StreamReplay {
     * stream is scored statelessly ([[StreamingPipeline.classifyStream]])
     * — gated by the SAME PipelineSql.naiveBayes statement as the batch
     * classify_nb row. Returns [doc_id, source, pred, margin]. */
-  def classifyDocs(spark: SparkSession, dir: String): DataFrame = {
-    val model = graft.pipeline.Classify.trainNbModel(
-      spark.read.parquet(s"$dir/documents.parquet"))
+  def classifyDocs(spark: SparkSession, dir: String,
+      modelOpt: Option[graft.pipeline.Classify.NbModel] = None): DataFrame = {
+    // modelOpt: a pre-trained NbModel (the lmPerplexity modelOpt seam) —
+    // SparkEntry memoizes one model across the four classify/confusion
+    // entries instead of retraining per entry
+    val model = modelOpt.getOrElse(graft.pipeline.Classify.trainNbModel(
+      spark.read.parquet(s"$dir/documents.parquet")))
     val stream = spark.readStream.schema(docSchema)
       .parquet(stageDocs(spark, dir).toString)
     val qname = s"graft_replay_nb_${counter.incrementAndGet()}"

@@ -728,7 +728,10 @@ class StreamingSpec extends SparkSpec {
     // executes micro-batch by micro-batch)
     val stream = StreamingPipeline.classifyStream(docs, model)
       .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
-    val batch = graft.pipeline.Classify.naiveBayes(docs)
+    // the RELATIONAL reference form — production naiveBayes now serves
+    // through classifyStream itself (r14), so the pin compares the two
+    // genuinely distinct computations
+    val batch = graft.pipeline.Classify.naiveBayesRelational(docs)
       .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
     assert(stream.keySet === batch.keySet)
     stream.foreach { case (id, (pred, margin)) =>
