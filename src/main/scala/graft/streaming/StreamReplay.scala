@@ -243,10 +243,21 @@ object StreamReplay {
     * record: asof 7.3 s addBatch over 3 micro-batches holding 1,500
     * rows). Sizing state partitions to state volume is the §26g rule
     * the range join already applies; measured ladder on this family in
-    * PLANS §27. NOT applied to the watermarked window aggregations
-    * (windowCounts/dau/topUsers/heavyHitters/...): those shuffle the
-    * FULL feed through the aggregation, and 8 tasks on 32 cores
-    * starves the compute-bound stage (measured 3-5× slower, §26g).
+    * PLANS §27.
+    *
+    * r14: NOW ALSO applied to the watermarked window aggregations
+    * (windowCounts/dau/topUsers/heavyHitters/eventsDedup). The r12
+    * finding that 8 state partitions starves them predates the r13
+    * k-chunk staging: the feed's per-row compute now runs in the k
+    * SCAN tasks' partial aggregation, and only merged (window, key)
+    * rows reach the state exchange — re-measured ladder at sf0.1
+    * (32/8/4 partitions, warm): events_dau_stream 4.2/2.4/2.6 s wall
+    * with 75/10.6/6.6 TASK-seconds (the excess was tasks blocked in
+    * per-partition state-store machinery, not compute),
+    * events_topk_stream 3.4/3.0/2.4, heavy_hitters 3.6/-/2.7. State
+    * volume stays the sizing rule: ~50-100k state rows at sf0.1 →
+    * 8 partitions; a deployment with GB-scale window state raises
+    * SPARK_GRAFT_STATE_PARTS (or sizes shuffle partitions) to match.
     * Dev A/B override: SPARK_GRAFT_STATE_PARTS=off|<n> (the ladder in
     * PLANS §27 was measured through this; the driver never sets it). */
   private val StateMachinePartitions: Option[Int] =
@@ -526,7 +537,12 @@ object StreamReplay {
       watermark: String = "30 days"): DataFrame = {
     val tzKey = "spark.sql.session.timeZone"
     val prevTz = spark.conf.get(tzKey)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
     spark.conf.set(tzKey, "UTC")
+    // state-sized partitions (the r14 window-agg re-measure above):
+    // dedup state is event-id-count rows, ~100k at sf0.1
+    StateMachinePartitions.foreach(p => spark.conf.set(spKey, p.toString))
     try {
       val stage = stages.computeIfAbsent((spark, s"$dir#double"), { _ =>
         val d = Files.createTempDirectory("graft_replay_double")
@@ -556,7 +572,10 @@ object StreamReplay {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       drainSink(spark, qname)
-    } finally spark.conf.set(tzKey, prevTz)
+    } finally {
+      spark.conf.set(tzKey, prevTz)
+      spark.conf.set(spKey, prevSp)
+    }
   }
 
   /** INCREMENTAL NEAR-DUP SERVED ON A STREAM — the daily-ingest
@@ -1531,7 +1550,8 @@ object StreamReplay {
     require(widthNs % 1000000000L == 0, "window width must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val win = replay(spark, dir, splitFeed = true) { ev =>
+    val win = replay(spark, dir, shufflePartitions = StateMachinePartitions,
+        splitFeed = true) { ev =>
       StreamingPipeline.eventWindowCounts(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${widthNs / 1000000000L} seconds",
@@ -1553,7 +1573,8 @@ object StreamReplay {
       "window width/slide must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val win = replay(spark, dir, splitFeed = true) { ev =>
+    val win = replay(spark, dir, shufflePartitions = StateMachinePartitions,
+        splitFeed = true) { ev =>
       StreamingPipeline.eventHoppingCounts(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${widthNs / 1000000000L} seconds",
@@ -1575,7 +1596,8 @@ object StreamReplay {
     require(bucketNs % 1000000000L == 0, "bucket width must be whole seconds")
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val out = replay(spark, dir, splitFeed = true) { ev =>
+    val out = replay(spark, dir, shufflePartitions = StateMachinePartitions,
+        splitFeed = true) { ev =>
       StreamingPipeline.ohlcStream(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = s"${bucketNs / 1000000000L} seconds",
@@ -1594,7 +1616,8 @@ object StreamReplay {
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
     val maxNs = graft.pipeline.Temporal.readEvents(spark, dir)
       .agg(max("ts")).head.getLong(0)
-    val dau = replay(spark, dir, splitFeed = true) { ev =>
+    val dau = replay(spark, dir, shufflePartitions = StateMachinePartitions,
+        splitFeed = true) { ev =>
       StreamingPipeline.activeUsersExactStream(
         ev.withColumn("ts", col("ts").cast(TimestampType)),
         windowLength = "1 day", watermark = "1 day")
@@ -1691,7 +1714,8 @@ object StreamReplay {
     * integer counts, so the split is exact. Gated by the batch
     * events_topk oracle. */
   def topUsers(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val win = replay(spark, dir, splitFeed = true) { ev =>
+    val win = replay(spark, dir, shufflePartitions = StateMachinePartitions,
+        splitFeed = true) { ev =>
       ev.withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
@@ -1737,7 +1761,8 @@ object StreamReplay {
     * row. Integer counts ⇒ the split is exact. */
   def heavyHitters(spark: SparkSession, dir: String,
       factor: Double): DataFrame = {
-    val win = replay(spark, dir, splitFeed = true) { ev =>
+    val win = replay(spark, dir, shufflePartitions = StateMachinePartitions,
+        splitFeed = true) { ev =>
       ev.withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "86400 seconds"), col("event_type"),
