@@ -496,9 +496,24 @@ object SparkEntry {
     * are duplicate-sized, not corpus-sized). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "minhashpairs") {
-      RelationalEm.collectLocal(
-        graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
-          numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold))
+      // r14 (VERDICT #9): pair-bounded, NOT constant-bounded — at a
+      // near-dup-heavy 100 TB corpus a driver collect here is a §5
+      // bottleneck. localCheckpoint keeps the table DISTRIBUTED with
+      // the same memo semantics (blocks survive clearCache, computed
+      // once per session).
+      graft.pipeline.Dedup.minhashLsh(docs(s, dir), shingleSize = ShingleK,
+          numHashes = MinHashes, bands = MinBands, threshold = MinhashThreshold)
+        .localCheckpoint(true)
+    }
+
+  /** Memoized k=8, iters=2 Lloyd centroid table (kmeansDataflow) —
+    * shared by embed_kmeans and embed_silhouette, which each trained the
+    * identical clustering before r14. k rows → LocalRelation-safe
+    * (constant-bounded). */
+  private def kmeansCentsM(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "kmeanscents") {
+      RelationalEm.collectLocal(graft.pipeline.Ann.kmeansDataflow(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 8, iters = 2))
     }
 
   /** Memoized word-token NB model (trainNbModel over `source`) — shared
@@ -531,8 +546,10 @@ object SparkEntry {
     * same LM before r13 (doc-count rows, LocalRelation-safe). */
   private def lmPpl(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "lmppl") {
-      RelationalEm.collectLocal(
-        graft.pipeline.TextAnalysis.lmPerplexity(docs(s, dir), addK = LmAddK))
+      // doc-count rows — corpus-LINEAR, so distributed blocks, not a
+      // driver collect (VERDICT #9)
+      graft.pipeline.TextAnalysis.lmPerplexity(docs(s, dir), addK = LmAddK)
+        .localCheckpoint(true)
     }
 
   /** Memoized duplicated-span table — shared by dedup_substring and
@@ -541,9 +558,10 @@ object SparkEntry {
     * pair-count sized, LocalRelation-safe). */
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "dupspans") {
-      RelationalEm.collectLocal(
-        graft.pipeline.Dedup.duplicatedSpans(docs(s, dir),
-          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf))
+      // pair-bounded (VERDICT #9): distributed blocks, not a collect
+      graft.pipeline.Dedup.duplicatedSpans(docs(s, dir),
+          k = SpanK, minSpanTokens = SpanMinTokens, maxDocFreq = SpanMaxDf)
+        .localCheckpoint(true)
     }
 
   /** Memoized BM25 candidate table [query_id, rank, doc_id, score] for
@@ -569,8 +587,10 @@ object SparkEntry {
     * the four entries used to pay the |V|² cosine scan each. */
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "knnedges") {
-      RelationalEm.collectLocal(graft.pipeline.Ann.knnGraph(
-        s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK))
+      // |V|·k rows — corpus-linear (VERDICT #9): distributed blocks
+      graft.pipeline.Ann.knnGraph(
+          s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK)
+        .localCheckpoint(true)
     }
 
   /** The ROUTED kNN edge list (IVF-PQ cell join + refine) behind
@@ -582,11 +602,13 @@ object SparkEntry {
     * and the oracle hash is unchanged. */
   private def knnEdgesRouted(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "knnedgesrouted") {
-      RelationalEm.collectLocal(graft.pipeline.Ann.knnGraphRouted(
-        s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK,
-        numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
-        pqCentroids = PqCentroids, iters = 0, pqIters = 0,
-        sampleSize = AnnSample, refine = KnnRefine))
+      // |V|·k rows — corpus-linear (VERDICT #9): distributed blocks
+      graft.pipeline.Ann.knnGraphRouted(
+          s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK,
+          numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
+          pqCentroids = PqCentroids, iters = 0, pqIters = 0,
+          sampleSize = AnnSample, refine = KnnRefine)
+        .localCheckpoint(true)
     }
 
   // ---- memoized shared fits (driver-local outputs only) ----
@@ -671,9 +693,19 @@ object SparkEntry {
     * thresholded near-dup pairs) shared by dedup_containment, graph_cc
     * and graph_kcore; LocalRelation so clearCache() between entries
     * can't evict it. */
+  /** r14 (VERDICT #9): the pair-bounded shared artifacts stay
+    * DISTRIBUTED — an eager localCheckpoint has the same memo semantics
+    * as the old driver collect (computed once per (session, dir), blocks
+    * survive the bench's clearCache()) without the §5 driver-sized
+    * collect a near-dup-heavy corpus would turn into a bottleneck.
+    * LocalRelations remain only for provably CONSTANT-bounded artifacts
+    * (queries×topK candidates, k centroids, vocab×T phi). */
+  private def checkpointNotCollect(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   private def containmentPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "containpairs") {
-      RelationalEm.collectLocal(graft.pipeline.Dedup.containment(
+      checkpointNotCollect(graft.pipeline.Dedup.containment(
         docs(s, dir), shingleSize = ShingleK, threshold = 0.5,
         maxDocFreq = 100))
     }
@@ -2367,7 +2399,8 @@ object SparkEntry {
     // the iterations as MATERIALIZED CTEs).
     "embed_kmeans" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Ann.kmeansReport(emb, k = 8, iters = 2)
+      graft.pipeline.Ann.kmeansReport(emb, k = 8, iters = 2,
+          centsDf = Some(kmeansCentsM(s, dir)))
         .orderBy(col("cell"), col("pos"))
     }),
     // LLM pipeline: centroid-based silhouette of the kmeans clustering —
@@ -2375,7 +2408,8 @@ object SparkEntry {
     // per-point s deterministic, per-cell mean DECIMAL-summed
     "embed_silhouette" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Ann.silhouetteReport(emb, k = 8, iters = 2)
+      graft.pipeline.Ann.silhouetteReport(emb, k = 8, iters = 2,
+          centsDf = Some(kmeansCentsM(s, dir)))
         .orderBy(col("cell"))
     }),
     // LLM pipeline: int8 scalar quantization of the embedding corpus —

@@ -1632,11 +1632,15 @@ object Ann {
     * count under the FINAL codebook (one extra assignment pass; empty
     * cells report 0). Returns [cell, pos, c_val(6), n_vectors]. */
   def kmeansReport(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centsDf: Option[DataFrame] = None): DataFrame = {
     // kmeansDataflow returns an eagerly localCheckpointed k-row frame —
     // re-use downstream is already free, and an extra persist() would
-    // pin a cache entry nothing ever releases (cleaned by GC vs never)
-    val cents = kmeansDataflow(emb, k, iters, idCol, vecCol)
+    // pin a cache entry nothing ever releases (cleaned by GC vs never).
+    // centsDf: a pre-computed kmeansDataflow(emb, k, iters) table (the
+    // shinglesDf seam) — callers running report + silhouette over the
+    // same clustering train Lloyd once.
+    val cents = centsDf.getOrElse(kmeansDataflow(emb, k, iters, idCol, vecCol))
     val base = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val counts = assignCells(base, cents)
@@ -1665,10 +1669,11 @@ object Ann {
     * cells have no members and therefore no row. Returns
     * [cell, n_vectors, mean_silhouette(6)]. */
   def silhouetteReport(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centsDf: Option[DataFrame] = None): DataFrame = {
     // no persist: the dataflow's k-row localCheckpoint is the barrier
     // (see kmeansReport — persist here leaked a pinned cache entry)
-    val cents = kmeansDataflow(emb, k, iters, idCol, vecCol)
+    val cents = centsDf.getOrElse(kmeansDataflow(emb, k, iters, idCol, vecCol))
     val base = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val ab = assignCells(base, cents)
