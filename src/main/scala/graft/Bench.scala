@@ -203,16 +203,32 @@ object Bench {
     // compilation amortized; round-to-round diffs compare THESE.
     val warmGc = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Long)]
+    // memo-hit labels (r13 VERDICT "what's wrong" #2: memoized shared
+    // artifacts blur per-entry warm times): an entry whose WARM plan
+    // contains no file scan is reading session artifacts (memoized
+    // LocalRelations / localCheckpoints) or was computed eagerly during
+    // construction — its warm figure measures an artifact read, not the
+    // query's plan. Additions-only: detection happens AFTER the timed
+    // count, on the same DataFrame.
+    val memoHits = scala.collection.mutable.ArrayBuffer.empty[String]
     val warm = results.filter(_._2 >= 0).map { case (name, _) =>
       val (r0, w0, _, g0, tt0) = metricSnapshot()
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      var df: org.apache.spark.sql.DataFrame = null
+      val ok = try { df = SparkEntry.queries(name)(spark, sfDir); df.count(); true }
         catch { case NonFatal(_) => false }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val (r1, w1, _, g1, tt1) = metricSnapshot()
       warmGc(name) = (g1 - g0, tt1 - tt0, (r1 - r0) + (w1 - w0))
       val sq = drainStream()
       if (sq.nonEmpty) streamStatsWarm(name) = streamJson(sq)
+      else if (ok) try {
+        val p = df.queryExecution.executedPlan.toString
+        if (!p.contains("Scan parquet") && !p.contains("FileScan") &&
+          !p.contains("Scan csv") && !p.contains("Scan orc") &&
+          !p.contains("Scan json") && !p.contains("Scan text"))
+          memoHits += name
+      } catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
       name -> (if (ok) elapsed else -1.0)
     }
@@ -269,6 +285,7 @@ object Bench {
         n -> r3(isoWarm.get(n).map(_._1).getOrElse(-1.0)))) +
       ",\"iso_cold\":" + jmap(slowWarmNames.map(n =>
         n -> r3(isoWarm.get(n).map(_._2).getOrElse(-1.0)))) +
+      ",\"memo_hit\":" + memoHits.map(jstr).mkString("[", ",", "]") +
       ",\"calib\":{\"pre\":" + calibPre + ",\"mid\":" + calibMid +
         ",\"post\":" + calibPost + "}" +
       ",\"contended\":" + contended.map(jstr).mkString("[", ",", "]") +
