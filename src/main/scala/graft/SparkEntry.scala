@@ -607,7 +607,8 @@ object SparkEntry {
           s.read.parquet(s"$dir/embeddings.parquet"), k = KnnGraphK,
           numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
           pqCentroids = PqCentroids, iters = 0, pqIters = 0,
-          sampleSize = AnnSample, refine = KnnRefine)
+          sampleSize = AnnSample, refine = KnnRefine,
+          indexOpt = Some(ivfPqIdxM(s, dir)))
         .localCheckpoint(true)
     }
 
@@ -693,6 +694,23 @@ object SparkEntry {
     * thresholded near-dup pairs) shared by dedup_containment, graph_cc
     * and graph_kcore; LocalRelation so clearCache() between entries
     * can't evict it. */
+  /** Memoized IVF-PQ index at the shared serving parameters
+    * (SemCells cells, PqSubspaces×PqCentroids codebooks, iters = 0,
+    * AnnSample) — five entries each rebuilt the IDENTICAL index before
+    * r14 (deterministic md5-seeded build, so every copy was
+    * byte-equal). Codebooks/centroids are driver arrays by contract;
+    * the corpus-linear codes table stays distributed
+    * (localCheckpoint). */
+  private def ivfPqIdxM(s: SparkSession, dir: String)
+      : graft.pipeline.Ann.IvfPqIndex =
+    memoized(s, dir, "ivfpqidx") {
+      val idx = graft.pipeline.Ann.buildIvfPq(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        numCentroids = SemCells, m = PqSubspaces, pqCentroids = PqCentroids,
+        iters = 0, pqIters = 0, sampleSize = AnnSample)
+      idx.copy(codes = idx.codes.localCheckpoint(true))
+    }
+
   /** r14 (VERDICT #9): the pair-bounded shared artifacts stay
     * DISTRIBUTED — an eager localCheckpoint has the same memo semantics
     * as the old driver collect (computed once per (session, dir), blocks
@@ -2032,10 +2050,8 @@ object SparkEntry {
     // fragments of ann_ivf / ann_pq so the three rows cannot drift apart.
     "ann_ivfpq" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
-          numCentroids = SemCells, nprobe = 4, m = PqSubspaces,
-          pqCentroids = PqCentroids, iters = 0, pqIters = 0,
-          sampleSize = AnnSample)
+      graft.pipeline.Ann.queryIvfPq(ivfPqIdxM(s, dir),
+          emb.filter(col("vec_id") < AnnQueries), AnnK, nprobe = 4)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))
@@ -2098,11 +2114,9 @@ object SparkEntry {
     // of the exact cost)
     "ann_ivfpq_rerank" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.pipeline.Ann.ivfPqRerank(emb,
+      graft.pipeline.Ann.queryIvfPqRerank(ivfPqIdxM(s, dir), emb,
           emb.filter(col("vec_id") < AnnQueries), AnnK,
-          overfetch = AnnRerankOverfetch, numCentroids = SemCells, nprobe = 4,
-          m = PqSubspaces, pqCentroids = PqCentroids, iters = 0, pqIters = 0,
-          sampleSize = AnnSample)
+          overfetch = AnnRerankOverfetch, nprobe = 4)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
@@ -2283,9 +2297,8 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < AnnQueries)
       graft.pipeline.Ann.recallReport(
         graft.pipeline.Ann.bruteForceTopK(emb, q, AnnK),
-        graft.pipeline.Ann.ivfPqTopK(emb, q, AnnK, numCentroids = SemCells,
-          nprobe = 4, m = PqSubspaces, pqCentroids = PqCentroids,
-          iters = 0, pqIters = 0, sampleSize = AnnSample))
+        graft.pipeline.Ann.queryIvfPq(ivfPqIdxM(s, dir), q, AnnK,
+          nprobe = 4))
         .orderBy(col("query_id"))
     }),
     // two-sample Kolmogorov-Smirnov — the distribution-drift pager:
@@ -3943,7 +3956,7 @@ object SparkEntry {
           col("label").isin(FilteredLabels: _*),
           numCentroids = SemCells, nprobe = 6, m = PqSubspaces,
           pqCentroids = PqCentroids, iters = 0, pqIters = 0,
-          sampleSize = AnnSample)
+          sampleSize = AnnSample, indexOpt = Some(ivfPqIdxM(s, dir)))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("id"), round(col("adc"), 6).as("adc"))
         .orderBy(col("query_id"), col("rank"))

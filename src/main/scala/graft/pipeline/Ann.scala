@@ -1068,9 +1068,13 @@ object Ann {
       predicate: org.apache.spark.sql.Column, idCol: String = "vec_id",
       vecCol: String = "embedding", numCentroids: Int = 16, nprobe: Int = 6,
       m: Int = 4, pqCentroids: Int = 16, iters: Int = 0, pqIters: Int = 0,
-      sampleSize: Int = 10000): DataFrame = {
-    val idx = buildIvfPq(corpus, idCol, vecCol, numCentroids, m,
-      pqCentroids, iters, pqIters, sampleSize)
+      sampleSize: Int = 10000,
+      /** pre-built index with the same parameters (the shinglesDf
+        * seam) — callers sharing one IVF-PQ build across entries pass
+        * it here. */
+      indexOpt: Option[IvfPqIndex] = None): DataFrame = {
+    val idx = indexOpt.getOrElse(buildIvfPq(corpus, idCol, vecCol,
+      numCentroids, m, pqCentroids, iters, pqIters, sampleSize))
     val keep = corpus.filter(predicate)
       .select(col(idCol).cast("long").as("id"))
     val scored = queryIvfPqCandidates(idx, queries, nprobe, idCol, vecCol)
@@ -1449,11 +1453,14 @@ object Ann {
       sampleSize: Int = 10000, refine: Int = 4,
       trainDistributed: Boolean = false,
       hierarchicalRouting: Boolean = false,
-      routerLevels: Int = 1): DataFrame = {
+      routerLevels: Int = 1,
+      /** pre-built index with the same parameters (the shinglesDf
+        * seam). */
+      indexOpt: Option[IvfPqIndex] = None): DataFrame = {
     val shortlist = queryIvfPq(
-      buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids,
-        iters, pqIters, sampleSize, trainDistributed, hierarchicalRouting,
-        routerLevels),
+      indexOpt.getOrElse(buildIvfPq(emb, idCol, vecCol, numCentroids, m,
+        pqCentroids, iters, pqIters, sampleSize, trainDistributed,
+        hierarchicalRouting, routerLevels)),
       emb, k * refine, nprobe, idCol, vecCol)
       .select(col("query_id"), col("id"))
     // Exact-refine (the FAISS "refine" stage): re-rank the ADC shortlist
